@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cosine_sim, dot_product, l2_dist}
+
+/** k-NN similarity search over a collection of `array<float>` embeddings —
+  * the Spark realization of the reference's SEARCHSIMILAR command
+  * (`/root/reference/src/command/types.rs:121-132`).
+  *
+  * Design for scale:
+  *  - Single query: score every row with a codegen'd expression, then
+  *    `orderBy(score).limit(k)` — Catalyst plans `TakeOrderedAndProject`
+  *    (per-partition heap + driver merge of k×partitions rows), never a full
+  *    sort/shuffle of the collection.
+  *  - Query batch: the query side is small by construction → `broadcast` it,
+  *    score the (collection × queries) product map-side with zero shuffle,
+  *    then one shuffle on `query_id` for the per-query top-k window. The big
+  *    collection is never shuffled.
+  *  - At 100 TB, exact scan is the fallback; the IVF path (see
+  *    [[VectorIndex]]) prunes candidate partitions before this operator runs.
+  */
+object SimilaritySearch {
+
+  /** Scoring column for a metric; `higherIsBetter` drives sort direction. */
+  def score(metric: String, a: Column, b: Column): (Column, Boolean) =
+    metric match {
+      case "cosine" => (cosine_sim(a, b), true)
+      case "dot"    => (dot_product(a, b), true)
+      case "l2"     => (l2_dist(a, b), false)
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+
+  /** Exact top-k for a single query vector.
+    * Output: all collection columns except the vector, plus `score`.
+    */
+  def topK(
+      collection: DataFrame,
+      queryVec: Array[Float],
+      k: Int,
+      metric: String = "cosine",
+      vecCol: String = "embedding",
+      idCol: String = "id"): DataFrame = {
+    val (sc, desc_?) = score(metric, col(vecCol), lit(queryVec))
+    val scored = collection
+      .withColumn("score", sc)
+      .drop(vecCol)
+    val ordered =
+      if (desc_?) scored.orderBy(desc("score"), col(idCol))
+      else scored.orderBy(asc("score"), col(idCol))
+    ordered.limit(k)
+  }
+
+  /** Exact per-query top-k for a batch of queries.
+    *
+    * @param queries DataFrame with (`queryIdCol`, `queryVecCol`); must be
+    *                small enough to broadcast (true by construction: queries
+    *                arrive from a request, not from a table scan).
+    */
+  def topKBatch(
+      collection: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: String = "cosine",
+      vecCol: String = "embedding",
+      idCol: String = "id",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    val (sc, desc_?) = score(metric, col(vecCol), col(queryVecCol))
+    val scored = collection
+      .crossJoin(broadcast(queries))
+      .withColumn("score", sc)
+      .drop(vecCol, queryVecCol)
+    val w = Window
+      .partitionBy(queryIdCol)
+      .orderBy(if (desc_?) desc("score") else asc("score"), col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
