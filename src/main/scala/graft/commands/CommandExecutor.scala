@@ -1,0 +1,102 @@
+package graft.commands
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftDatabase
+import graft.model.VectorRecord
+import graft.operators.VectorIndex
+import graft.sources.EmbeddingTextFormat
+
+/** Executes a parsed [[GraftCommand]] against a [[GraftDatabase]] — the
+  * `Command::execute` layer the reference declares but leaves empty
+  * (`/root/reference/src/command/types.rs:5-7` and every impl body).
+  *
+  * Every command returns a DataFrame: query commands return their result
+  * rows; effectful commands return a one-row status frame, so the CLI and
+  * programmatic callers share one result shape.
+  */
+object CommandExecutor {
+  import GraftCommand._
+
+  def execute(db: GraftDatabase, cmd: GraftCommand): DataFrame = {
+    val spark = db.spark
+    import spark.implicits._
+
+    def status(command: String, target: String): DataFrame =
+      Seq((command, target, "ok")).toDF("command", "target", "status")
+
+    cmd match {
+      case CreateCollection(name) =>
+        db.createCollection(name); status("CREATE", name)
+
+      case DropCollection(name) =>
+        db.dropCollection(name); status("DROP", name)
+
+      case ListCollections =>
+        db.listCollections()
+
+      case TruncateWal(target) =>
+        db.compact(target); status("TRUNCATEWAL", target.getOrElse("<database>"))
+
+      case Insert(coll, arg) =>
+        db.insert(coll, parseRecord(arg)); status("INSERT", coll)
+
+      case BulkInsert(coll, arg) =>
+        val source =
+          if (arg.endsWith(".parquet") || arg.endsWith(".pq"))
+            spark.read.parquet(arg)
+          else EmbeddingTextFormat.read(spark, arg)
+        db.bulkInsert(coll, source)
+        status("BULKINSERT", coll)
+
+      case Update(coll, arg) =>
+        val updates =
+          if (arg.endsWith(".parquet") || arg.endsWith(".pq")) spark.read.parquet(arg)
+          else Seq(parseRecord(arg)).toDF()
+        db.update(coll, updates)
+        status("UPDATE", coll)
+
+      case Delete(coll, arg) =>
+        db.delete(coll, expr(arg)); status("DELETE", coll)
+
+      case Search(coll, arg) =>
+        db.search(coll, expr(arg))
+
+      case SearchSimilar(coll, arg) =>
+        val opts = parseKv(arg)
+        val k = opts.getOrElse("k", "10").toInt
+        val metric = opts.getOrElse("metric", "cosine")
+        val vec = opts.get("vec") match {
+          case Some(v) => v.split(",").map(_.trim.toFloat)
+          case None => throw new IllegalArgumentException(
+            "SEARCHSIMILAR arg must include vec=f,f,...")
+        }
+        db.searchSimilar(coll, vec, k, metric)
+
+      case Reindex(coll, arg) =>
+        val bits = arg.map(parseKv).flatMap(_.get("bits")).map(_.toInt).getOrElse(8)
+        db.reindexWith(coll, df => VectorIndex.assignSignBuckets(df, nBits = bits))
+        status("REINDEX", coll)
+    }
+  }
+
+  /** `id;f,f,...,f;payload` — the reference's `vec;payload` line format
+    * (`src/utils/embeddings.rs:55-62`) with an explicit leading id.
+    */
+  private[commands] def parseRecord(arg: String): VectorRecord = {
+    val parts = arg.split(";", 3)
+    require(parts.length == 3, s"record arg must be id;vec;payload, got: $arg")
+    VectorRecord(parts(0).trim.toLong,
+      parts(1).split(",").map(_.trim.toFloat), parts(2))
+  }
+
+  private[commands] def parseKv(arg: String): Map[String, String] =
+    arg.split(";").iterator
+      .map(_.trim).filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"expected key=value, got: $kv")
+        kv.take(i).trim -> kv.drop(i + 1).trim
+      }.toMap
+}

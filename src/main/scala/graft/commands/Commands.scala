@@ -1,0 +1,91 @@
+package graft.commands
+
+/** The command vocabulary — one case per command dispatched in the
+  * reference's `CommandBuilder::build`
+  * (`/root/reference/src/command/builder.rs:29-80`). Field shapes follow the
+  * reference structs (`/root/reference/src/command/types.rs`): CREATE/DROP
+  * carry the collection name from the *command arg*; data commands carry the
+  * target collection from the `--collection` flag plus a payload arg;
+  * TRUNCATEWAL uniquely reads the collection flag as an optional target.
+  *
+  * The reference never executes these (every `execute` body is a stub); the
+  * payload-arg grammars below are therefore graft's own, frozen here:
+  *
+  *  - INSERT arg: `id;f,f,...,f;payload` (the reference's embeddings-file
+  *    line format `vec;payload` — `src/utils/embeddings.rs:55-62` — with an
+  *    explicit leading id).
+  *  - BULKINSERT arg: a path — `.parquet` dir, or a text file of `vec;payload`
+  *    lines (line number becomes the id).
+  *  - UPDATE arg: `id;f,f,...,f;payload` (single record upsert) or a parquet
+  *    path of update rows.
+  *  - DELETE / SEARCH arg: a SQL boolean expression over the collection's
+  *    columns (e.g. `id IN (1,2,3)`, `payload LIKE 'al%'`).
+  *  - SEARCHSIMILAR arg: `k=<n>[;metric=cosine|l2|dot];vec=f,f,...` .
+  *  - REINDEX arg (optional): `buckets=<n>`.
+  */
+sealed trait GraftCommand
+
+object GraftCommand {
+  final case class CreateCollection(name: String) extends GraftCommand
+  final case class DropCollection(name: String) extends GraftCommand
+  final case object ListCollections extends GraftCommand
+  final case class TruncateWal(target: Option[String]) extends GraftCommand
+  final case class Insert(collection: String, arg: String) extends GraftCommand
+  final case class BulkInsert(collection: String, arg: String) extends GraftCommand
+  final case class Update(collection: String, arg: String) extends GraftCommand
+  final case class Delete(collection: String, arg: String) extends GraftCommand
+  final case class Search(collection: String, arg: String) extends GraftCommand
+  final case class SearchSimilar(collection: String, arg: String) extends GraftCommand
+  final case class Reindex(collection: String, arg: Option[String]) extends GraftCommand
+}
+
+/** Build failure surface, mirroring `CommandBuilderError`
+  * (`/root/reference/src/command/builder.rs:8-15`).
+  */
+sealed trait CommandError { def message: String }
+object CommandError {
+  final case class UnrecognizedCommand(raw: String) extends CommandError {
+    def message = s"unrecognized command: $raw"
+  }
+  final case class MissingCollection(command: String) extends CommandError {
+    def message = s"$command requires --collection"
+  }
+  final case class MissingArg(command: String) extends CommandError {
+    def message = s"$command requires --command-arg"
+  }
+}
+
+object CommandParser {
+  import GraftCommand._
+  import CommandError._
+
+  /** Keyword match is case-insensitive (`command.to_uppercase()`,
+    * `/root/reference/src/command/builder.rs:29`); argument routing follows
+    * `builder.rs:30-76`.
+    */
+  def parse(collection: Option[String], command: String,
+      arg: Option[String]): Either[CommandError, GraftCommand] = {
+    def needColl(name: String)(f: String => GraftCommand) =
+      collection.toRight(MissingCollection(name)).map(f)
+    def needBoth(name: String)(f: (String, String) => GraftCommand) =
+      for {
+        c <- collection.toRight(MissingCollection(name))
+        a <- arg.toRight(MissingArg(name))
+      } yield f(c, a)
+
+    command.toUpperCase match {
+      case "CREATE" => arg.toRight(MissingArg("CREATE")).map(CreateCollection(_))
+      case "DROP" => arg.toRight(MissingArg("DROP")).map(DropCollection(_))
+      case "LISTCOLLECTIONS" => Right(ListCollections)
+      case "TRUNCATEWAL" => Right(TruncateWal(collection))
+      case "INSERT" => needBoth("INSERT")(Insert(_, _))
+      case "BULKINSERT" => needBoth("BULKINSERT")(BulkInsert(_, _))
+      case "UPDATE" => needBoth("UPDATE")(Update(_, _))
+      case "DELETE" => needBoth("DELETE")(Delete(_, _))
+      case "SEARCH" => needBoth("SEARCH")(Search(_, _))
+      case "SEARCHSIMILAR" => needBoth("SEARCHSIMILAR")(SearchSimilar(_, _))
+      case "REINDEX" => needColl("REINDEX")(Reindex(_, arg))
+      case other => Left(UnrecognizedCommand(other))
+    }
+  }
+}

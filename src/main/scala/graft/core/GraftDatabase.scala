@@ -1,0 +1,283 @@
+package graft.core
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.model.VectorRecord
+import graft.operators.SimilaritySearch
+
+/** A graft database: a directory of named collections, each a Parquet-backed
+  * table (SURVEY §1.2). Reference surface: database init at
+  * `/root/reference/src/database/setup.rs:3-26` (directory + `vr_config` +
+  * `vr_wal`, fail if the directory exists), collections planned at
+  * `/root/reference/src/database/mod.rs:6-10`.
+  *
+  * Layout:
+  * {{{
+  *   <root>/graft_config.json        // vr_config parity: db metadata
+  *   <root>/graft_wal/               // vr_wal parity: streaming checkpoints
+  *   <root>/<collection>/_graft_meta.ddl   // collection schema (DDL string)
+  *   <root>/<collection>/part-....parquet  // data files (cluster_id=... dirs
+  *                                         //   after REINDEX)
+  * }}}
+  *
+  * All paths go through Hadoop [[FileSystem]], so a database root can live on
+  * HDFS/S3/local alike; nothing below assumes a local disk. Mutation commands
+  * (UPDATE/DELETE/compaction/REINDEX) are copy-on-write: the new version is
+  * fully written to a sibling temp directory, then swapped in — readers of the
+  * old version are never mid-overwritten, and a failed job leaves the old
+  * version intact (job-level atomicity; a transactional table format would be
+  * the production upgrade and slots in behind this same API).
+  */
+final class GraftDatabase private (val spark: SparkSession, val root: Path) {
+  private val fs: FileSystem = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  import GraftDatabase._
+
+  def name: String = root.getName
+
+  // ---- catalog -----------------------------------------------------------
+
+  private def collDir(name: String): Path = {
+    require(name.nonEmpty && !name.startsWith(ReservedPrefix) && !name.contains("/"),
+      s"illegal collection name: $name")
+    new Path(root, name)
+  }
+
+  private def metaPath(name: String): Path = new Path(collDir(name), MetaFile)
+
+  /** CREATE (reference `src/command/types.rs:9-19`): registers an empty
+    * collection with a schema; fails if it already exists.
+    */
+  def createCollection(name: String, schema: StructType = VectorRecord.schema): Unit = {
+    val dir = collDir(name)
+    if (fs.exists(dir)) throw new IllegalStateException(s"collection exists: $name")
+    fs.mkdirs(dir)
+    writeString(fs, metaPath(name), schema.toDDL)
+  }
+
+  /** DROP (reference `src/command/types.rs:21-31`). */
+  def dropCollection(name: String): Unit = {
+    val dir = collDir(name)
+    if (!fs.exists(dir)) throw new IllegalStateException(s"no such collection: $name")
+    fs.delete(dir, true)
+    ()
+  }
+
+  /** LISTCOLLECTIONS (reference `src/command/types.rs:33-42`): collection
+    * names, sorted, as a small DataFrame[name: string].
+    */
+  def listCollections(): DataFrame = {
+    import spark.implicits._
+    collectionNames().toDF("name")
+  }
+
+  def collectionNames(): Seq[String] =
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && !s.getPath.getName.startsWith(ReservedPrefix))
+      .map(_.getPath.getName)
+      .sorted
+
+  def hasCollection(name: String): Boolean = fs.exists(metaPath(name))
+
+  private def schemaOf(name: String): StructType =
+    StructType.fromDDL(readString(fs, metaPath(name)))
+
+  // ---- read --------------------------------------------------------------
+
+  /** Read a collection as a DataFrame (empty-with-schema when no data files
+    * have been written yet). `basePath` keeps partition columns (cluster_id)
+    * visible after REINDEX rewrites the layout.
+    */
+  def read(name: String): DataFrame = {
+    requireCollection(name)
+    val dir = collDir(name)
+    val schema = schemaOf(name)
+    val hasData = fs.listStatus(dir).exists { s =>
+      (s.isFile && s.getPath.getName.endsWith(".parquet")) ||
+        (s.isDirectory && s.getPath.getName.contains("="))
+    }
+    if (!hasData) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    } else {
+      // schema inference (not the stored DDL) so partition columns added by
+      // REINDEX (cluster_id=...) stay visible.
+      spark.read.option("basePath", dir.toString).parquet(dir.toString)
+    }
+  }
+
+  // ---- writes ------------------------------------------------------------
+
+  /** Align an incoming frame to the collection schema: project the declared
+    * columns (casting where needed), keep any extra columns out. Extra
+    * *declared-but-missing* columns fail fast rather than null-fill silently.
+    */
+  private def align(name: String, df: DataFrame): DataFrame = {
+    val schema = schemaOf(name)
+    val cols = schema.fields.map { f =>
+      require(df.columns.contains(f.name),
+        s"bulk insert into $name: missing column ${f.name}")
+      col(f.name).cast(f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** INSERT a single record (reference `src/command/types.rs:56-67`).
+    * Point-writes produce one small file per call — an anti-pattern at scale,
+    * kept for command parity; `compact` (TRUNCATEWAL) merges them.
+    */
+  def insert(name: String, record: VectorRecord): Unit = {
+    import spark.implicits._
+    bulkInsert(name, Seq(record).toDF())
+  }
+
+  /** BULKINSERT (reference `src/command/types.rs:69-80`): append a DataFrame
+    * of records. The scalable ingest path — appends parquet part-files, no
+    * rewrite of existing data.
+    */
+  def bulkInsert(name: String, df: DataFrame): Unit = {
+    requireCollection(name)
+    align(name, df).write.mode("append").parquet(collDir(name).toString)
+  }
+
+  /** UPDATE (reference `src/command/types.rs:82-93`): upsert by key.
+    * anti-join keeps the untouched rows, union appends the new versions —
+    * both sides shuffle on the key once; with a small update set Catalyst
+    * broadcasts it and the big side never shuffles.
+    */
+  def update(name: String, updates: DataFrame, key: String = "id"): Unit = {
+    requireCollection(name)
+    val current = read(name)
+    val next = current
+      .join(updates.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(align(name, updates))
+    rewrite(name, next)
+  }
+
+  /** DELETE rows matching a predicate (reference `src/command/types.rs:95-106`). */
+  def delete(name: String, predicate: Column): Unit = {
+    requireCollection(name)
+    rewrite(name, read(name).filter(!predicate))
+  }
+
+  /** SEARCH (reference `src/command/types.rs:108-119`): projection + filter;
+    * Catalyst pushes both into the parquet scan.
+    */
+  def search(name: String, predicate: Column, projection: Seq[String] = Nil): DataFrame = {
+    val base = read(name).filter(predicate)
+    if (projection.isEmpty) base else base.select(projection.map(col).toIndexedSeq: _*)
+  }
+
+  /** SEARCHSIMILAR (reference `src/command/types.rs:121-132`): exact k-NN,
+    * optionally IVF-pruned when the collection has been REINDEXed (see
+    * [[graft.operators.VectorIndex]] for the probe path).
+    */
+  def searchSimilar(name: String, query: Array[Float], k: Int,
+      metric: String = "cosine"): DataFrame =
+    SimilaritySearch.topK(read(name), query, k, metric)
+
+  /** TRUNCATEWAL parity (reference `src/command/types.rs:44-54` — "truncate
+    * the database's WAL" when no target): storage maintenance. For a
+    * collection target, compact small part-files into `targetFiles`; for the
+    * database, clear the streaming-checkpoint dir (our WAL equivalent).
+    */
+  def compact(target: Option[String], targetFiles: Int = 8): Unit = target match {
+    case Some(name) =>
+      requireCollection(name)
+      rewrite(name, read(name).repartition(targetFiles))
+    case None =>
+      val wal = new Path(root, WalDir)
+      if (fs.exists(wal)) fs.delete(wal, true)
+      fs.mkdirs(wal)
+      ()
+  }
+
+  /** Copy-on-write rewrite: materialize `next` into a temp dir, then swap. */
+  private def rewrite(name: String, next: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val dir = collDir(name)
+    val tmp = new Path(root, s"${ReservedPrefix}tmp_${name}_${UUID.randomUUID().toString.take(8)}")
+    val writer = next.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(tmp.toString)
+    // preserve collection meta in the new version
+    val ddl = readString(fs, metaPath(name))
+    writeString(fs, new Path(tmp, MetaFile), ddl)
+    fs.delete(dir, true)
+    if (!fs.rename(tmp, dir))
+      throw new IllegalStateException(s"rewrite swap failed for $name")
+  }
+
+  /** REINDEX (reference `src/command/types.rs:134-144`): assign a cluster id
+    * to every row and rewrite the collection partitioned by it, so
+    * SEARCHSIMILAR probes prune partitions. The cluster assignment column is
+    * produced by the caller (sign-bucket LSH or KMeans — see
+    * [[graft.operators.VectorIndex]]).
+    */
+  def reindexWith(name: String, assign: DataFrame => DataFrame): Unit = {
+    requireCollection(name)
+    val clustered = assign(read(name))
+    require(clustered.columns.contains("cluster_id"),
+      "reindex assignment must add a cluster_id column")
+    rewrite(name, clustered, partitionBy = Seq("cluster_id"))
+  }
+
+  private def requireCollection(name: String): Unit =
+    if (!hasCollection(name))
+      throw new IllegalArgumentException(s"no such collection: $name")
+}
+
+object GraftDatabase {
+  private[core] val ReservedPrefix = "graft_"
+  // leading underscore: Spark/Hadoop input listing treats it as hidden, so
+  // the parquet reader never trips over the sidecar.
+  private[core] val MetaFile = "_graft_meta.ddl"
+  private[core] val ConfigFile = "graft_config.json"
+  private[core] val WalDir = "graft_wal"
+
+  /** EP1 parity (`/root/reference/src/database/setup.rs:3-26`): create the
+    * database directory; refuse to overwrite; create config + WAL artifacts.
+    */
+  def create(spark: SparkSession, parent: String, name: String): GraftDatabase = {
+    val root = new Path(parent, name)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root))
+      throw new IllegalStateException(s"database already exists: $root")
+    fs.mkdirs(root)
+    writeString(fs, new Path(root, ConfigFile),
+      s"""{"name": "$name", "format": "parquet", "version": 1}""")
+    fs.mkdirs(new Path(root, WalDir))
+    new GraftDatabase(spark, root)
+  }
+
+  /** EP2's `Database::load` (a `todo!()` in the reference,
+    * `/root/reference/src/database/mod.rs:19-21`) made real.
+    */
+  def open(spark: SparkSession, path: String): GraftDatabase = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(root, ConfigFile)))
+      throw new IllegalArgumentException(s"not a graft database: $path")
+    new GraftDatabase(spark, root)
+  }
+
+  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch ANN index construction + probe — the Spark realization of REINDEX
+  * (`/root/reference/src/command/types.rs:134-144`) feeding SEARCHSIMILAR's
+  * pruned path.
+  *
+  * Two interchangeable cluster assignments:
+  *
+  *  - [[signBucket]]: deterministic LSH — bit i of the bucket code is the
+  *    sign of dimension i. Pure codegen'd column math (no fitted model, no
+  *    collect), reproducible everywhere — including in a SQL oracle — and at
+  *    100 TB it assigns buckets in the same scan that writes the data.
+  *  - [[kmeansAssign]]: MLlib KMeans centroids — better-balanced buckets for
+  *    skewed embedding distributions, at the cost of a training pass; the
+  *    fitted centroids table is small and broadcastable.
+  *
+  * Either way the collection is rewritten `partitionBy("cluster_id")`, so a
+  * probe is a partition-pruned scan: `cluster_id IN (<codes near query>)`
+  * never touches the other partitions' files.
+  */
+object VectorIndex {
+
+  /** Bucket code from the signs of the first `nBits` dimensions (1-indexed
+    * `element_at`). Codegen'd; no shuffle; deterministic.
+    */
+  def signBucket(vec: Column, nBits: Int): Column =
+    (0 until nBits)
+      .map(i => when(element_at(vec, i + 1) > 0.0f, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** Add `cluster_id` via sign-bucket LSH. */
+  def assignSignBuckets(df: DataFrame, vecCol: String = "embedding",
+      nBits: Int = 8): DataFrame =
+    df.withColumn("cluster_id", signBucket(col(vecCol), nBits))
+
+  /** Sign-bucket code of a query vector, driver-side (same bit rule). */
+  def signBucketOf(query: Array[Float], nBits: Int = 8): Int =
+    (0 until nBits).map(i => if (query(i) > 0.0f) 1 << i else 0).sum
+
+  /** All codes within `radius` bit-flips of `code` — the probe set. Bounded
+    * by sum_{d<=radius} C(nBits,d); tiny for the radii that make sense.
+    */
+  def codesWithin(code: Int, nBits: Int, radius: Int): Seq[Int] = {
+    def flips(c: Int, startBit: Int, left: Int): Seq[Int] =
+      if (left == 0) Seq(c)
+      else (startBit until nBits).flatMap(b => flips(c ^ (1 << b), b + 1, left - 1)) :+ c
+    flips(code, 0, radius).distinct.sorted
+  }
+
+  /** IVF probe: partition-pruned scan of the buckets near the query, then
+    * exact top-k rerank within the candidates. `radius` trades recall for
+    * scanned volume (nprobe).
+    */
+  def probe(indexed: DataFrame, query: Array[Float], k: Int,
+      metric: String = "cosine", nBits: Int = 8, radius: Int = 1,
+      vecCol: String = "embedding", idCol: String = "id"): DataFrame = {
+    val candidates = codesWithin(signBucketOf(query, nBits), nBits, radius)
+    SimilaritySearch.topK(
+      indexed.filter(col("cluster_id").isin(candidates: _*)),
+      query, k, metric, vecCol, idCol)
+  }
+
+  /** Add `cluster_id` via MLlib KMeans (fixed seed ⇒ reproducible on a given
+    * dataset). Returns the assigned frame and the centroids as rows.
+    */
+  def kmeansAssign(df: DataFrame, vecCol: String = "embedding", k: Int = 16,
+      seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    val withVec = df.withColumn("__features", array_to_vector(col(vecCol)))
+    val model = new KMeans()
+      .setK(k).setSeed(seed).setFeaturesCol("__features").setPredictionCol("cluster_id")
+      .fit(withVec)
+    val assigned = model.transform(withVec).drop("__features")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.commands
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.core.GraftDatabase
+
+class CommandsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import GraftCommand._
+
+  test("parser: keyword match is case-insensitive, routing follows the reference") {
+    assert(CommandParser.parse(None, "create", Some("c1")) == Right(CreateCollection("c1")))
+    assert(CommandParser.parse(None, "DROP", Some("c1")) == Right(DropCollection("c1")))
+    assert(CommandParser.parse(None, "ListCollections", None) == Right(ListCollections))
+    // TRUNCATEWAL reads the collection flag as optional target
+    assert(CommandParser.parse(Some("c1"), "truncatewal", None) == Right(TruncateWal(Some("c1"))))
+    assert(CommandParser.parse(None, "TRUNCATEWAL", None) == Right(TruncateWal(None)))
+    assert(CommandParser.parse(Some("c1"), "search", Some("id=1")) == Right(Search("c1", "id=1")))
+    assert(CommandParser.parse(Some("c1"), "REINDEX", None) == Right(Reindex("c1", None)))
+  }
+
+  test("parser: error surface (UnrecognizedCommand + missing flag/arg)") {
+    assert(CommandParser.parse(None, "EXPLODE", None) ==
+      Left(CommandError.UnrecognizedCommand("EXPLODE")))
+    assert(CommandParser.parse(None, "INSERT", Some("x")) ==
+      Left(CommandError.MissingCollection("INSERT")))
+    assert(CommandParser.parse(Some("c1"), "INSERT", None) ==
+      Left(CommandError.MissingArg("INSERT")))
+    assert(CommandParser.parse(None, "CREATE", None) ==
+      Left(CommandError.MissingArg("CREATE")))
+  }
+
+  test("executor: full command round-trip on a scratch database") {
+    val parent = Files.createTempDirectory("graftcmd").toString
+    val db = GraftDatabase.create(spark, parent, "cmdb")
+    def exec(coll: Option[String], cmd: String, arg: Option[String]) =
+      CommandExecutor.execute(db,
+        CommandParser.parse(coll, cmd, arg).fold(e => fail(e.message), identity))
+
+    exec(None, "CREATE", Some("vecs"))
+    exec(None, "create", Some("other"))
+    assert(exec(None, "LISTCOLLECTIONS", None).as[String].collect().toSeq ==
+      Seq("other", "vecs"))
+
+    exec(Some("vecs"), "INSERT", Some("1;1.0,0.0;alice"))
+    exec(Some("vecs"), "INSERT", Some("2;0.0,1.0;rabbit"))
+    assert(db.read("vecs").count() == 2)
+
+    exec(Some("vecs"), "UPDATE", Some("2;0.9,0.1;rabbit2"))
+    val payloads = db.read("vecs").orderBy("id")
+      .select("payload").as[String].collect().toSeq
+    assert(payloads == Seq("alice", "rabbit2"))
+
+    val hits = exec(Some("vecs"), "SEARCHSIMILAR", Some("k=1;vec=1.0,0.05"))
+    assert(hits.select("id").as[Long].head() == 1L)
+
+    val found = exec(Some("vecs"), "SEARCH", Some("payload = 'rabbit2'"))
+    assert(found.select("id").as[Long].head() == 2L)
+
+    exec(Some("vecs"), "DELETE", Some("id = 1"))
+    assert(db.read("vecs").count() == 1)
+
+    exec(Some("vecs"), "TRUNCATEWAL", None) // compaction path
+    assert(db.read("vecs").count() == 1)
+
+    exec(None, "DROP", Some("other"))
+    assert(db.collectionNames() == Seq("vecs"))
+  }
+
+  test("executor: bulkinsert from the reference text format") {
+    val parent = Files.createTempDirectory("graftbulk").toString
+    val db = GraftDatabase.create(spark, parent, "bulkdb")
+    db.createCollection("vecs")
+    val txt = s"$parent/in.txt"
+    Files.writeString(java.nio.file.Paths.get(txt),
+      "0.1,0.2;hello\n0.3,0.4;world\n")
+    CommandExecutor.execute(db, GraftCommand.BulkInsert("vecs", txt))
+    val rows = db.read("vecs").orderBy("id")
+      .select("id", "payload").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((0L, "hello"), (1L, "world")))
+  }
+}
