@@ -151,11 +151,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def update(name: String, updates: DataFrame, key: String = "id"): Unit = {
     requireCollection(name)
-    val current = read(name)
-    val next = current
-      .join(updates.select(key).distinct(), Seq(key), "left_anti")
-      .unionByName(align(name, updates))
-    rewrite(name, next)
+    rewrite(name, graft.operators.Mutations.upsert(read(name), align(name, updates), key))
   }
 
   /** DELETE rows matching a predicate (reference `src/command/types.rs:95-106`). */

@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write mutation semantics over immutable columnar storage — the
+  * dataflow behind UPDATE (`/root/reference/src/command/types.rs:82-93`) and
+  * DELETE (`:95-106`).
+  *
+  * Scale notes: `upsert` shuffles both sides on the key once (or broadcasts
+  * the update side when it is small — the common case — leaving the big side
+  * unshuffled); `deleteByKeys` is a broadcast anti-join. Neither ever
+  * collects data to the driver.
+  */
+object Mutations {
+
+  /** Rows of `current` whose key doesn't appear in `updates`, plus all of
+    * `updates` — i.e. last-writer-wins upsert by `key`.
+    */
+  def upsert(current: DataFrame, updates: DataFrame, key: String = "id"): DataFrame =
+    current
+      .join(broadcast(updates.select(key).distinct()), Seq(key), "left_anti")
+      .unionByName(updates.select(current.columns.map(col).toIndexedSeq: _*))
+
+  /** Delete by predicate: keep the complement. */
+  def deleteWhere(current: DataFrame, predicate: Column): DataFrame =
+    current.filter(!predicate)
+
+  /** Delete by key set (anti-join; `keys` is one key column). */
+  def deleteByKeys(current: DataFrame, keys: DataFrame, key: String = "id"): DataFrame =
+    current.join(broadcast(keys.select(key).distinct()), Seq(key), "left_anti")
+}

@@ -1,0 +1,366 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Mutations
+
+/** Relational operator coverage (SURVEY §2.1 checklist): scan + filter +
+  * projection (SEARCH #9), joins of every flavor the engine needs
+  * (broadcast, semi, anti), aggregation with partial combine, window, top-k,
+  * set ops, conditional/json/time/string scalar functions, and the
+  * UPDATE/DELETE dataflows as pure queries.
+  *
+  * Every query is paired with a DuckDB oracle in [[oracles]]; see SparkEntry
+  * for the shared determinism conventions (total ORDER BY, rounding, BIGINT
+  * casts).
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Pricing summary: filter → hash-agg with partial aggregation (map-side
+    // combine) on two low-cardinality keys; scan-bound at scale, the shuffle
+    // carries ~|groups| rows per partition.
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // SEARCH parity: selective filter + narrow projection. Catalyst pushes
+    // both into the parquet scan (PushedFilters + pruned ReadSchema).
+    "q02_search_filter" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_quantity") >= 48 && col("l_discount") > 0.08 &&
+          col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // 3-way join: two broadcastable dimensions against the fact table.
+    // customer is tiny → broadcast; orders×lineitem is the one real shuffle.
+    "q03_join_revenue" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Global top-k: orderBy+limit plans TakeOrderedAndProject (per-partition
+    // heaps, no full sort, no shuffle of the losers).
+    "q04_topk_orders" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Per-group top-n: ranking window partitioned by customer. One shuffle
+    // on the partition key; Spark's rank-limit pushdown keeps state bounded.
+    "q05_window_topn" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // UPDATE dataflow as a query: upsert = anti-join(current, keys(updates))
+    // ∪ updates — exactly what GraftDatabase.update rewrites. The +10.0
+    // price bump is FP-exact so the oracle's CASE expression matches
+    // bit-for-bit.
+    "q06_update_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val updates = o.filter(col("o_orderstatus") === "P")
+        .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+      Mutations.upsert(o, updates, key = "o_orderkey")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    // DELETE dataflow: anti-join against a key set (broadcast — the delete
+    // set is small relative to the fact table), then verify by aggregation.
+    "q07_delete_antijoin" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val doomed = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey"))
+      Mutations.deleteByKeys(l, doomed, key = "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Exact distinct (dedup on relational keys).
+    "q08_distinct" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // Set operations over two derived key sets: partkeys shipped at max
+    // quantity vs partkeys shipped at deep discount — EXCEPT both ways plus
+    // INTERSECT, tagged and unioned (non-empty on all three sides).
+    "q09_setops" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val highQty = l.filter(col("l_quantity") >= 49)
+        .select(col("l_partkey").as("partkey")).distinct()
+      val deepDisc = l.filter(col("l_discount") > 0.09)
+        .select(col("l_partkey").as("partkey")).distinct()
+      highQty.except(deepDisc).withColumn("side", lit("qty_only"))
+        .unionByName(deepDisc.except(highQty).withColumn("side", lit("disc_only")))
+        .unionByName(highQty.intersect(deepDisc).withColumn("side", lit("both")))
+        .orderBy("side", "partkey")
+    }),
+
+    // Anti-join: customers with no high-value order (NOT EXISTS).
+    "q10_anti_customers" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    // Semi-join: customers having at least one order above a threshold.
+    "q11_semi_customers" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
+    // GROUP BY ... HAVING on the fact table.
+    "q12_having" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .filter(col("n") > 100)
+        .orderBy("l_suppkey")
+    }),
+
+    // JSON extraction from the events.props string column.
+    "q13_json_events" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          round(avg("k"), 4).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
+    // Time bucketing: events per hour (string-formatted hour keeps the
+    // output schema timestamp-free on both engines).
+    "q14_hourly_events" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour")
+    }),
+
+    // Star join through three broadcast dimensions: region ⋈ nation ⋈
+    // supplier ⋈ lineitem, revenue per (region, nation).
+    "q15_star_join" -> ((s, dir) => {
+      val r = Tables.region(s, dir)
+      val n = Tables.nation(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val l = Tables.lineitem(s, dir)
+      l.join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Scalar string functions over documents.
+    "q16_string_ops" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("len"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("n_tokens"),
+          upper(substring(col("text"), 1, 12)).as("prefix"))
+        .orderBy("doc_id")
+    }),
+
+    // Conditional aggregation (CASE WHEN inside agg).
+    "q17_case_when" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") > 200000.0, 1L).otherwise(0L)).as("n_big"),
+          round(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("avg_f_price"))
+        .orderBy("o_orderpriority")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_search_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_quantity >= 48 AND l_discount > 0.08
+        |  AND l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_revenue" ->
+      """SELECT c_mktsegment,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q04_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q05_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q06_update_merge" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 10.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q07_delete_antijoin" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q08_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus
+        |FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q09_setops" ->
+      """WITH high_qty AS (
+        |  SELECT DISTINCT l_partkey AS partkey FROM lineitem WHERE l_quantity >= 49),
+        |deep_disc AS (
+        |  SELECT DISTINCT l_partkey AS partkey FROM lineitem WHERE l_discount > 0.09)
+        |SELECT partkey, 'qty_only' AS side FROM (FROM high_qty EXCEPT FROM deep_disc)
+        |UNION ALL
+        |SELECT partkey, 'disc_only' AS side FROM (FROM deep_disc EXCEPT FROM high_qty)
+        |UNION ALL
+        |SELECT partkey, 'both' AS side FROM (FROM high_qty INTERSECT FROM deep_disc)
+        |ORDER BY side, partkey""".stripMargin,
+
+    "q10_anti_customers" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_semi_customers" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_having" ->
+      """SELECT l_suppkey, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_suppkey
+        |HAVING count(*) > 100
+        |ORDER BY l_suppkey""".stripMargin,
+
+    "q13_json_events" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q14_hourly_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY hour
+        |ORDER BY hour""".stripMargin,
+
+    "q15_star_join" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q16_string_ops" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS len,
+        |  CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  upper(substring(text, 1, 12)) AS prefix
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q17_case_when" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
+  )
+}

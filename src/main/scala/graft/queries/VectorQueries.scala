@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{SimilaritySearch, VectorIndex}
+
+/** SEARCHSIMILAR (#10) + REINDEX (#11) coverage over the embeddings table:
+  * exact k-NN (cosine / L2), batched k-NN, IVF probe-and-rerank on the
+  * deterministic sign-bucket index, and per-label vector statistics.
+  */
+object VectorQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Single-query exact cosine top-k. Query vector = row vec_id=0, carried
+    // by a broadcast single-row join (no driver collect); codegen'd scoring;
+    // orderBy+limit → TakeOrderedAndProject.
+    "q20_knn_cosine" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(
+          col("vec_id"),
+          round(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6).as("score"))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // Single-query exact L2 top-k (ascending distance).
+    "q21_knn_l2" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(
+          col("vec_id"),
+          round(graft.functions.l2_dist(col("embedding"), col("q_emb")), 6).as("dist"))
+        .orderBy(asc("dist"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // Batched k-NN: broadcast 5 query vectors, score map-side, per-query
+    // top-5 via ranking window (only the tiny query_id shuffle).
+    "q22_knn_batch" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilaritySearch
+        .topKBatch(e, qs, k = 5, metric = "cosine",
+          vecCol = "embedding", idCol = "vec_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF probe-and-rerank on the deterministic sign-bucket index: assign an
+    // 8-bit code from dimension signs, keep only rows whose code is within
+    // Hamming radius 1 of the query's code (at rest this is a partition-
+    // pruned scan over cluster_id=<code> dirs — see GraftDatabase.reindexWith),
+    // then exact cosine rerank of the surviving ~3.5% of the collection.
+    "q23_ivf_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("cluster_id", VectorIndex.signBucket(col("embedding"), 8))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"), col("cluster_id").as("q_cluster"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .filter(bit_count(col("cluster_id").bitwiseXOR(col("q_cluster"))) <= 1)
+        .select(
+          col("vec_id"),
+          col("cluster_id").cast("long").as("cluster_id"),
+          round(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6).as("score"))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // Vector statistics per label: count + mean L2 norm (index diagnostics).
+    "q24_vector_stats" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(graft.functions.l2_norm(col("embedding"))), 6).as("avg_norm"))
+        .orderBy("label")
+    })
+  )
+
+  // Shared SQL fragment: the 8-bit sign-bucket code of a DuckDB FLOAT[] —
+  // must mirror VectorIndex.signBucket bit-for-bit (1-indexed lists).
+  private def duckBucket(v: String): String =
+    (0 until 8)
+      .map(i => s"(CASE WHEN $v[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+
+    "q20_knn_cosine" ->
+      """SELECT e.vec_id AS vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS score
+        |FROM embeddings e,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q21_knn_l2" ->
+      """SELECT e.vec_id AS vec_id,
+        |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS dist
+        |FROM embeddings e,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY dist ASC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q22_knn_batch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS query_vec
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])) AS raw_score,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])) DESC, e.vec_id) AS rank
+        |  FROM embeddings e CROSS JOIN q
+        |)
+        |SELECT query_id, vec_id, round(raw_score, 6) AS score, rank
+        |FROM scored
+        |WHERE rank <= 5 AND vec_id <> query_id
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q23_ivf_probe" -> {
+      s"""WITH coded AS (
+         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS cluster_id
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT embedding AS q_emb, cluster_id AS q_cluster FROM coded WHERE vec_id = 0
+         |)
+         |SELECT e.vec_id AS vec_id,
+         |  CAST(e.cluster_id AS BIGINT) AS cluster_id,
+         |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])), 6) AS score
+         |FROM coded e, q
+         |WHERE e.vec_id <> 0
+         |  AND bit_count(xor(CAST(e.cluster_id AS BIGINT), CAST(q.q_cluster AS BIGINT))) <= 1
+         |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin
+    },
+
+    "q24_vector_stats" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin
+  )
+}
