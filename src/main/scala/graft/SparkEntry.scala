@@ -29,10 +29,12 @@ object SparkEntry {
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ VectorQueries.queries
+    RelationalQueries.queries ++ VectorQueries.queries ++
+      DedupQueries.queries ++ TextQueries.queries
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ VectorQueries.oracles
+    RelationalQueries.oracles ++ VectorQueries.oracles ++
+      DedupQueries.oracles ++ TextQueries.oracles
 
   /** Headline subset Bench runs per-round (kept fast + scale-representative:
     * the scan-agg, the shuffling join, the window, and the vector paths).

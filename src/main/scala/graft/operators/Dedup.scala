@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale corpus curation (BASELINE
+  * "north_star" extensions): exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * and embedding-cosine near-dup.
+  *
+  * Everything is built from codegen'd built-ins over an explode → aggregate
+  * shape: shingles/tokens explode map-side, signatures reduce with partial
+  * aggregation, and candidate pairs come from equi-joins on small derived
+  * keys (band buckets / LSH codes) — never an all-pairs product. Hash
+  * functions are md5-based so the exact same signatures are reproducible in
+  * any engine (the DuckDB oracles recompute them).
+  *
+  * Scale notes (100 TB corpus):
+  *  - shingling is embarrassingly parallel; the only shuffles are
+  *    groupBy(doc) for signatures and groupBy(band/bucket) for candidates;
+  *  - band buckets are power-law-ish: a pathological hot bucket (e.g. the
+  *    empty document) would quadratically blow up its pair list, so
+  *    candidatePairs caps per-bucket membership (`maxBucketSize`) the way
+  *    production LSH dedup pipelines drop degenerate buckets.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a text column, as array<string>.
+    * Docs shorter than n tokens yield an empty array (guarded: Spark's
+    * `sequence(1, 0)` would count *down*, not produce an empty range).
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = regexp_extract_all(text, lit("\\S+"), lit(0))
+    val cnt = size(toks) - (n - 1)
+    when(cnt <= 0, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), cnt),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** (id, shingle) pairs, one row per distinct shingle per doc. */
+  def explodeShingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+
+  /** MinHash signature per doc: for hash seed s, the lexicographic min of
+    * `md5("s:" + shingle)` over the doc's shingle set — the classic
+    * min-wise independent permutation family, with md5 standing in for the
+    * permutations so signatures are engine-reproducible.
+    * Output: (id, mh0..mh{numHashes-1}).
+    */
+  def minhashSignatures(shingles: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    val mins = (0 until numHashes).map { s =>
+      min(md5(concat(lit(s + ":"), col("shingle")))).as(s"mh$s")
+    }
+    shingles.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: band b's key is md5 over the band's `rowsPerBand`
+    * signature components. Docs sharing any band key become candidates.
+    * Output: (id, band, band_key).
+    */
+  def bandKeys(signatures: DataFrame, idCol: String, numHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must divide into bands")
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", lit(b) +: parts: _*)).as("band_key"))
+    }
+    signatures
+      .select(col(idCol), explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs (a < b) from shared band keys; degenerate hot buckets
+    * (> maxBucketSize members) are dropped, as at corpus scale they are
+    * near-always an artifact (empty/boilerplate docs) that would emit
+    * O(n²) pairs.
+    */
+  def candidatePairs(banded: DataFrame, idCol: String,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sized = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy("band", "band_key")))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val a = sized.select(col("band"), col("band_key"), col(idCol).as("a_id"))
+    val b = sized.select(col("band"), col("band_key"), col(idCol).as("b_id"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Full MinHash-LSH candidate generation pipeline. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    candidatePairs(
+      bandKeys(
+        minhashSignatures(explodeShingles(df, idCol, textCol, shingleN),
+          idCol, numHashes),
+        idCol, numHashes, rowsPerBand),
+      idCol)
+
+  /** SimHash (nBits ≤ 32): bit j of the code is the sign of the sum over
+    * tokens of ±1, where the ±1 is the high bit of hex digit j of
+    * md5(token). Term frequency weights tokens naturally (explode keeps
+    * duplicates). Output: (id, simhash long).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+      nBits: Int = 16): DataFrame = {
+    require(nBits <= 32, "md5 hex digits limit nBits to 32")
+    val tokens = df.select(col(idCol),
+      explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (1 to nBits).map { j =>
+      sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1)).as(s"s$j")
+    }
+    val code = (1 to nBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tokens.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), code.as("simhash"))
+  }
+
+  /** Verified n-gram Jaccard pairs: candidates from shared shingles (an
+    * equi-join on the shingle value — no all-pairs), exact Jaccard =
+    * |A∩B| / (|A|+|B|-|A∩B|), thresholded.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, threshold: Double = 0.5,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    val sh = explodeShingles(df, idCol, textCol, shingleN)
+    val sized = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    // drop ubiquitous shingles (boilerplate) before pairing, like hot
+    // buckets in candidatePairs
+    val rare = sh.withColumn("sh_freq",
+        count(lit(1)).over(Window.partitionBy("shingle")))
+      .filter(col("sh_freq") <= maxShingleFreq)
+    val shared = rare.select(col(idCol).as("a_id"), col("shingle"))
+      .join(rare.select(col(idCol).as("b_id"), col("shingle")), Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sized.select(col(idCol).as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
+      .join(sized.select(col(idCol).as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
+      .withColumn("jaccard",
+        col("shared") / (col("a_n") + col("b_n") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs, LSH-prefiltered: only pairs sharing a
+    * sign-bucket code are scored (the bucket join is the scale guard; the
+    * cosine is codegen'd). Returns all scored pairs; callers threshold or
+    * top-k.
+    */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 8): DataFrame = {
+    val coded = df.select(col(idCol), col(vecCol),
+      VectorIndex.signBucket(col(vecCol), nBits).as("bucket"))
+    val a = coded.select(col("bucket"), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = coded.select(col("bucket"), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.cosine_sim(col("a_vec"), col("b_vec")).as("score"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for corpus curation: token counting,
+  * quality scoring, language identification, and content fingerprinting.
+  * All pure codegen'd column expressions — they run inside the scan at any
+  * scale, and every one is reproducible in plain SQL (see TextQueries'
+  * oracles).
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited token count. */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0))).cast("long")
+
+  /** BPE-ish subword count: alphabetic chunks of ≤4 chars + every
+    * non-alpha, non-space symbol counts as one piece — a cheap, stable
+    * proxy for tokenizer budget at corpus scale.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Fraction of characters that are not alphanumeric/whitespace. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))).cast("double")
+        / length(text))
+
+  /** Fraction of tokens that are (English) stopwords — corpus-quality
+    * heuristic; the stopword list is deliberately tiny and frozen since the
+    * score only needs to be monotone in "natural prose-ness".
+    */
+  val stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length-fit × (1 - punct noise) with a
+    * stopword-presence bonus. Deliberately simple + frozen: the value is
+    * that it is deterministic and monotone, not that it is clever.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenFit = least(length(text).cast("double") / 200.0, lit(1.0))
+    val noise = punctRatio(text)
+    val stop = stopwordRatio(text)
+    least(greatest(lenFit * (lit(1.0) - noise) * (lit(0.5) + stop), lit(0.0)), lit(1.0))
+  }
+
+  /** Language-ID by signature-token voting: per language, count hits of its
+    * signature tokens; predict the argmax (ties broken by language code
+    * order). N-gram-profile language ID reduced to its decision core so the
+    * same profiles can live verbatim in a SQL oracle.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "nicht", "das"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in"),
+    "es" -> Seq("el", "la", "que", "de", "es", "un"),
+    "fr" -> Seq("le", "la", "et", "est", "que", "des"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "我"))
+
+  def langScore(text: Column, profile: Seq[String]): Column = {
+    val toks = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+    size(filter(toks, t => t.isin(profile: _*))).cast("long")
+  }
+
+  def langId(text: Column): Column = {
+    val scored = langProfiles.map { case (lang, prof) => lang -> langScore(text, prof) }
+    // argmax with deterministic lang-code tie-break: fold over profiles
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  /** Content fingerprint: md5 over the normalized text (lowercased,
+    * punctuation stripped, whitespace collapsed) — robust to formatting-only
+    * edits, exact otherwise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " ")))
+}

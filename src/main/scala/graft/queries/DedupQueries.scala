@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Deduplication coverage over the documents/embeddings tables: exact,
+  * MinHash+LSH bands, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  * Every signature is md5-derived, so the DuckDB oracles recompute the
+  * identical values (no engine-specific hashing anywhere).
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact + normalized-fingerprint dedup statistics per source.
+    "q30_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_unique"),
+          countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique_norm"))
+        .orderBy("source")
+    }),
+
+    // MinHash (8 hashes over 5-gram word shingles) + LSH banding (4 bands
+    // of 2): candidate near-dup pairs. Explode→aggregate shapes only; the
+    // pair join is on band keys, never all-pairs.
+    "q31_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashCandidates(Tables.documents(s, dir),
+          idCol = "doc_id", textCol = "text",
+          shingleN = 5, numHashes = 8, rowsPerBand = 2)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // 16-bit SimHash per document (term-frequency-weighted md5 bit votes).
+    "q32_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", nBits = 16)
+        .orderBy("doc_id")
+    }),
+
+    // Verified 5-gram Jaccard: candidates from shared shingles, exact
+    // set-Jaccard ≥ 0.5.
+    "q33_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 5, threshold = 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Embedding-cosine near-dup: sign-bucket LSH prefilter, top-20 most
+    // similar in-bucket pairs (the corpus has no >0.5-cosine pairs, so the
+    // operator reports the nearest ones rather than a thresholded set).
+    "q34_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          nBits = 8)
+        .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), col("a_id"), col("b_id"))
+        .limit(20)
+    })
+  )
+
+  // ---- shared oracle SQL fragments --------------------------------------
+
+  /** Distinct 5-gram word shingles per doc (DuckDB): `range` is
+    * exclusive-end so `range(1, len(w) - 3)` emits exactly len-4 window
+    * starts, and nothing for docs under 5 tokens.
+    */
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') w FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM toks))""".stripMargin
+
+  private val signaturesCte = {
+    val mins = (0 until 8)
+      .map(s => s"min(md5('$s:'||shingle)) AS mh$s").mkString(",\n    ")
+    s"""sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id)""".stripMargin
+  }
+
+  private val bandsCte = {
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, md5('$b|'||mh${2 * b}||'|'||mh${2 * b + 1}) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"bands AS (\n  $bandRows)"
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    "q30_dedup_exact" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+        |  CAST(count(DISTINCT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))) AS BIGINT) AS n_unique_norm
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q31_minhash_lsh" ->
+      s"""WITH $shinglesCte,
+         |$signaturesCte,
+         |$bandsCte
+         |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q32_simhash" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(unnest(regexp_extract_all(text, '\S+'))) AS hx
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN substring(hx, CAST(j AS INTEGER), 1) >= '8' THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(range(1, 17)) AS j)
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q33_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q34_embed_neardup" -> {
+      val bucket = (0 until 8)
+        .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH coded AS (
+         |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
+         |FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |ORDER BY score DESC, a_id, b_id
+         |LIMIT 20""".stripMargin
+    }
+  )
+}

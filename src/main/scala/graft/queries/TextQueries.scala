@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextAnalysis
+
+/** Text-analysis coverage over the documents table: per-language corpus
+  * statistics, quality scoring, token/subword counting, fingerprinting, and
+  * heuristic language-ID — all pure column expressions (they run inside the
+  * scan), each mirrored exactly by its DuckDB oracle.
+  */
+object TextQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Corpus statistics per language label.
+    "q35_lang_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          round(avg(TextAnalysis.tokenCount(col("text"))), 4).as("avg_tokens"))
+        .orderBy("lang")
+    }),
+
+    // Quality scoring: token count, punctuation ratio, stopword ratio, and
+    // the composite score, per document.
+    "q36_quality" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Token budget accounting per source: whitespace tokens + BPE-ish
+    // subword pieces + characters.
+    "q37_token_count" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(
+          sum(TextAnalysis.tokenCount(col("text"))).as("sum_tokens"),
+          sum(TextAnalysis.subwordCount(col("text"))).as("sum_subwords"),
+          sum(length(col("text"))).as("sum_chars"))
+        .orderBy("source")
+    }),
+
+    // Content fingerprints: normalized-md5 per doc (first 100 docs keeps the
+    // output small while still exercising the normalization chain).
+    "q38_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // Heuristic language-ID (signature-token voting, earliest-max
+    // tie-break) vs the labeled lang column.
+    "q39_lang_id" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("predicted"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private def duckLangScore(lang: String): String = {
+    val prof = TextAnalysis.langProfiles.toMap.apply(lang)
+      .map(t => s"'$t'").mkString(", ")
+    s"len(list_filter(regexp_extract_all(lower(text), '\\S+'), t -> t IN ($prof)))"
+  }
+
+  val oracles: Map[String, String] = Map(
+
+    "q35_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 4) AS avg_chars,
+        |  round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q36_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+        |  round(CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |           t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |         / len(regexp_extract_all(lower(text), '\S+')) END, 6) AS stopword_ratio,
+        |  round(least(greatest(
+        |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        |    * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+        |        ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END))
+        |    * (0.5 + (CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 0.0
+        |        ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |               t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |             / len(regexp_extract_all(lower(text), '\S+')) END)),
+        |    0.0), 1.0), 6) AS quality
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q37_token_count" ->
+      """SELECT source,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]'))) AS BIGINT) AS sum_subwords,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q38_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents
+        |WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin,
+
+    "q39_lang_id" -> {
+      val (sDe, sEn, sEs, sFr, sZh) = (duckLangScore("de"), duckLangScore("en"),
+        duckLangScore("es"), duckLangScore("fr"), duckLangScore("zh"))
+      s"""SELECT doc_id, lang,
+         |  CASE
+         |    WHEN $sDe >= $sEn AND $sDe >= $sEs AND $sDe >= $sFr AND $sDe >= $sZh THEN 'de'
+         |    WHEN $sEn >= $sEs AND $sEn >= $sFr AND $sEn >= $sZh THEN 'en'
+         |    WHEN $sEs >= $sFr AND $sEs >= $sZh THEN 'es'
+         |    WHEN $sFr >= $sZh THEN 'fr'
+         |    ELSE 'zh'
+         |  END AS predicted
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    }
+  )
+}

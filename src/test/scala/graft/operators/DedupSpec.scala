@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d e f g"),          // 3 distinct 5-shingles
+    (2L, "a b c d e f g"),          // exact dup of 1
+    (3L, "a b c d e f h"),          // near dup of 1 (2 of 3 shingles differ? no: shares 'a b c d e','b c d e f')
+    (4L, "x y z w q r t"),          // unrelated
+    (5L, "short one")               // < 5 tokens → no shingles
+  ).toDF("doc_id", "text")
+
+  test("wordShingles: counts, distinctness, short-doc empty") {
+    val sh = docs.select($"doc_id", Dedup.wordShingles($"text", 5).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sh(1L) == Seq("a b c d e", "b c d e f", "c d e f g"))
+    assert(sh(5L).isEmpty)
+    // repeated tokens still give distinct shingles
+    val rep = Seq((9L, "a a a a a a")).toDF("doc_id", "text")
+      .select(Dedup.wordShingles($"text", 5)).as[Seq[String]].head()
+    assert(rep == Seq("a a a a a"))
+  }
+
+  test("minhash LSH: exact dup always a candidate, unrelated never") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "identical docs share every band")
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L },
+      "doc 4 shares no shingle with anything")
+  }
+
+  test("simhash: identical docs get identical codes, disjoint docs differ") {
+    val codes = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(codes(1L) == codes(2L))
+    assert(codes(1L) != codes(4L))
+    assert(codes.values.forall(c => c >= 0 && c < (1L << 16)))
+  }
+
+  test("ngram jaccard: dup pair = 1.0, near pair in (0,1), respects threshold") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.4)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // docs 1,3 share 2 of 4 distinct shingles → J = 2/4 = 0.5
+    assert(math.abs(pairs((1L, 3L)) - 0.5) < 1e-12)
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("embeddingPairs only scores within sign buckets") {
+    val vecs = Seq(
+      (1L, Array(0.5f, 0.5f)), (2L, Array(0.6f, 0.4f)),   // bucket 3
+      (3L, Array(-0.5f, -0.5f))                            // bucket 0
+    ).toDF("id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "id", "embedding", nBits = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(pairs.head._3 > 0.9)
+  }
+}

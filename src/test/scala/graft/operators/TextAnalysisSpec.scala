@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token and subword counts") {
+    val row = Seq("the quick brown fox!").toDF("text")
+      .select(
+        TextAnalysis.tokenCount($"text"),
+        TextAnalysis.subwordCount($"text"))
+      .as[(Long, Long)].head()
+    // tokens: the, quick, brown, fox!  subwords: the|quic|k|brow|n|fox|!
+    assert(row == ((4L, 7L)))
+  }
+
+  test("punct and stopword ratios, quality bounds") {
+    val rows = Seq(
+      "the cat sat on a mat",
+      "!!!???...",
+      "").toDF("text")
+      .select(
+        round(TextAnalysis.punctRatio($"text"), 6).as("p"),
+        round(TextAnalysis.stopwordRatio($"text"), 6).as("s"),
+        TextAnalysis.qualityScore($"text").as("q"))
+      .as[(Double, Double, Double)].collect()
+    assert(rows(0)._1 == 0.0)
+    assert(math.abs(rows(0)._2 - 2.0 / 6.0) < 1e-6) // 'the', 'a'
+    assert(rows(1)._1 == 1.0 && rows(1)._3 == 0.0)  // all punct → quality 0
+    assert(rows(2)._3 == 0.0)                        // empty → quality 0
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+  }
+
+  test("langId discriminates real sentences by signature tokens") {
+    val preds = Seq(
+      ("en", "the cat is one of the animals found in the house"),
+      ("de", "der hund und die katze das ist nicht schlecht"),
+      ("fr", "le chien et le chat est dans la maison des amis"),
+      ("es", "el perro es un animal que vive en la casa")
+    ).toDF("expected", "text")
+      .select($"expected", TextAnalysis.langId($"text").as("got"))
+      .as[(String, String)].collect()
+    preds.foreach { case (exp, got) => assert(got == exp, s"expected $exp got $got") }
+  }
+
+  test("fingerprint is formatting-invariant but content-sensitive") {
+    val fps = Seq(
+      "Hello,   World!",
+      "hello world",
+      "hello there world").toDF("text")
+      .select(TextAnalysis.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}
