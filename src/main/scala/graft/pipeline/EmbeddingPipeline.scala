@@ -32,10 +32,16 @@ object DeterministicEmbedder {
       j => unitFromMd5(concat(token, lit(":"), j.cast("string"))))
 
   /** L2-normalized `array<float>` embedding of a token/text column. */
-  def embedding(token: Column, dim: Int = 64): Column = {
+  def embedding(token: Column, dim: Int = 64): Column =
+    transform(embeddingDouble(token, dim), x => x.cast("float"))
+
+  /** Same embedding in full double precision (no float32 quantization) —
+    * the form oracle SQL can reproduce bit-for-bit-enough to round-compare.
+    */
+  def embeddingDouble(token: Column, dim: Int): Column = {
     val raw = rawEmbedding(token, dim)
     val norm = sqrt(aggregate(raw, lit(0.0), (acc, x) => acc + x * x))
-    transform(raw, x => (x / norm).cast("float"))
+    transform(raw, x => x / norm)
   }
 }
 

@@ -1,0 +1,157 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.commands.{CommandExecutor, GraftCommand}
+import graft.core.GraftDatabase
+import graft.operators.Multimodal
+import graft.pipeline.DeterministicEmbedder
+import graft.streaming.StreamingIngest
+
+/** Command-surface, pipeline, streaming, and multimodal coverage: each query
+  * drives the engine's *effectful* machinery (databases, collections,
+  * command executor, streaming sink, partition-local decode) and then
+  * returns a deterministic result the DuckDB oracle can reproduce from the
+  * original testdata tables.
+  */
+object PipelineQueries {
+
+  private def scratchDb(s: SparkSession, prefix: String): GraftDatabase =
+    GraftDatabase.create(s, Files.createTempDirectory(prefix).toString, "qdb")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CREATE + BULKINSERT + SEARCH through a real collection: data flows
+    // parquet → collection dir → predicate-pushed search. The oracle reads
+    // the same rows straight from the source table, so a hash match proves
+    // the storage round-trip is lossless.
+    "q40_collection_roundtrip" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q40")
+      db.createCollection("vecs", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      db.bulkInsert("vecs", Tables.embeddings(s, dir))
+      db.search("vecs", col("vec_id") < 10, Seq("vec_id", "label"))
+        .orderBy("vec_id")
+    }),
+
+    // Catalog surface: LISTCOLLECTIONS over a database created via the
+    // command executor (CREATE × 3).
+    "q41_listcollections" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q41")
+      Seq("alpha", "beta", "gamma").foreach(n =>
+        CommandExecutor.execute(db, GraftCommand.CreateCollection(n)))
+      CommandExecutor.execute(db, GraftCommand.ListCollections)
+    }),
+
+    // Deterministic embedder (EP3 pipeline core): embed each document's
+    // first token at dim=8 in double precision; oracle recomputes the same
+    // md5-seeded values and normalization in SQL.
+    "q42_embed_tokens" -> ((s, dir) => {
+      val emb = DeterministicEmbedder.embeddingDouble(col("token"), 8)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          element_at(regexp_extract_all(col("text"), lit("\\S+"), lit(0)), 1).as("token"))
+        .withColumn("emb", emb)
+        .select(col("doc_id"), col("token"),
+          round(element_at(col("emb"), 1), 6).as("e0"),
+          round(element_at(col("emb"), 2), 6).as("e1"),
+          round(sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)), 6).as("norm"))
+        .orderBy("doc_id")
+    }),
+
+    // Structured Streaming: watermarked hourly window aggregation drained
+    // through a memory sink; the oracle is the equivalent batch query.
+    "q43_stream_hourly" -> ((s, dir) => {
+      StreamingIngest
+        .hourlyEventCounts(s, dir, s"hourly_${java.util.UUID.randomUUID().toString.take(8)}")
+        .orderBy("hour", "event_type")
+    }),
+
+    // Multimodal plumbing: text → binary media column → batched
+    // partition-local decode (stubbed codec, deterministic metadata) →
+    // ordinary columns. Oracle recomputes byte length + md5 from the text.
+    "q44_multimodal_meta" -> ((s, dir) => {
+      Multimodal.decodePipeline(s, Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bytes"), col("checksum"),
+          col("width"), col("height"))
+        .orderBy("doc_id")
+    }),
+
+    // INSERT / UPDATE / DELETE through the command grammar, end state read
+    // back through SEARCH; oracle is the literal expected table.
+    "q45_command_mutations" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q45")
+      def run(coll: Option[String], cmd: String, arg: Option[String]) =
+        CommandExecutor.execute(db,
+          graft.commands.CommandParser.parse(coll, cmd, arg)
+            .fold(e => throw new IllegalArgumentException(e.message), identity))
+      run(None, "CREATE", Some("vecs"))
+      run(Some("vecs"), "INSERT", Some("1;1.0,0.0;alice"))
+      run(Some("vecs"), "INSERT", Some("2;0.0,1.0;bob"))
+      run(Some("vecs"), "INSERT", Some("3;1.0,1.0;carol"))
+      run(Some("vecs"), "UPDATE", Some("1;0.9,0.1;alice2"))
+      run(Some("vecs"), "DELETE", Some("id = 2"))
+      run(Some("vecs"), "SEARCH", Some("id >= 0"))
+        .select("id", "payload").orderBy("id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q40_collection_roundtrip" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE vec_id < 10
+        |ORDER BY vec_id""".stripMargin,
+
+    "q41_listcollections" ->
+      """SELECT name FROM (VALUES ('alpha'), ('beta'), ('gamma')) t(name)
+        |ORDER BY name""".stripMargin,
+
+    "q42_embed_tokens" -> {
+      // the embedder, re-derived in SQL: dim j value = uniform[-1,1) from
+      // the first 8 hex chars of md5(token || ':' || j), L2-normalized
+      val rawList = "list_transform(range(0, 8), j -> " +
+        "(CAST(CAST('0x'||substring(md5(token||':'||CAST(j AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0) * 2.0 - 1.0)"
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '\\S+')[1] AS token FROM documents),
+         |raw AS (
+         |  SELECT doc_id, token, $rawList AS r FROM toks),
+         |normed AS (
+         |  SELECT doc_id, token, r, sqrt(list_inner_product(r, r)) AS nrm FROM raw)
+         |SELECT doc_id, token,
+         |  round(r[1] / nrm, 6) AS e0,
+         |  round(r[2] / nrm, 6) AS e1,
+         |  round(sqrt(list_inner_product(list_transform(r, x -> x / nrm), list_transform(r, x -> x / nrm))), 6) AS norm
+         |FROM normed
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q43_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "q44_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS checksum,
+        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q45_command_mutations" ->
+      """SELECT CAST(id AS BIGINT) AS id, payload
+        |FROM (VALUES (1, 'alice2'), (3, 'carol')) t(id, payload)
+        |ORDER BY id""".stripMargin
+  )
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming surface. The reference's only durability artifact is
+  * the WAL (`/root/reference/src/database/setup.rs:22-23`); graft's streaming
+  * ingest replaces it with Structured Streaming checkpoints (the real WAL of
+  * the Spark world), and windowed aggregation demonstrates watermarked
+  * event-time processing over the events table.
+  */
+object StreamingIngest {
+
+  /** Hourly windowed aggregation over the events parquet, executed as a
+    * bounded stream: readStream → watermark → window agg → memory sink,
+    * drained synchronously with processAllAvailable. On an unbounded source
+    * the same plan runs with the same semantics — the watermark bounds
+    * window state; at scale the only shuffle is on (window, event_type).
+    *
+    * events.ts is parquet TIMESTAMP(NANOS); like Tables.events, the stream
+    * reads it as long (legacy conf) and converts with exact ns→µs division.
+    */
+  def hourlyEventCounts(spark: SparkSession, sfDir: String,
+      queryName: String = "hourly_events"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+
+    // the streaming file source wants a directory: stream the sf dir with a
+    // glob filter selecting just the events file
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    spark.table(queryName)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"),
+        round(col("sum_value"), 2).as("sum_value"))
+  }
+
+  /** Streaming ingest into a collection directory: the WAL-replacement
+    * path. Checkpoints live under the database's graft_wal dir, so
+    * TRUNCATEWAL (database target) clears exactly this state.
+    */
+  def streamInto(spark: SparkSession, sourceDir: String, sourceSchema: String,
+      collectionDir: String, checkpointDir: String): Unit = {
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(sourceSchema))
+      .parquet(sourceDir)
+      .writeStream
+      .format("parquet")
+      .option("path", collectionDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

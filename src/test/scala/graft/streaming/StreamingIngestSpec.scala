@@ -1,0 +1,42 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StreamingIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hourly windowed agg over the bounded event stream matches batch") {
+    val streamed = StreamingIngest
+      .hourlyEventCounts(spark, TestSpark.sf, "spec_hourly")
+      .select("hour", "event_type", "n")
+      .as[(String, String, Long)].collect().toSet
+    val batch = graft.Tables.events(spark, TestSpark.sf)
+      .groupBy(
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd HH").as("hour"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .count()
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streamInto lands parquet rows through a checkpointed sink") {
+    val src = Files.createTempDirectory("graft_stream_src")
+    Files.copy(
+      java.nio.file.Paths.get(s"${TestSpark.sf}/embeddings.parquet"),
+      src.resolve("embeddings.parquet"))
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val schema = spark.read
+      .parquet(s"${TestSpark.sf}/embeddings.parquet").schema.toDDL
+    StreamingIngest.streamInto(spark, src.toString, schema, out, ckpt)
+    assert(spark.read.parquet(out).count() ==
+      spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet").count())
+  }
+}
