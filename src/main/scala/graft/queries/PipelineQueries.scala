@@ -84,6 +84,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // TRUNCATEWAL-as-compaction: land data in many small part files (the
+    // point-insert anti-pattern), compact to 2, and prove the contents are
+    // byte-identical to the source — the oracle reads the source directly.
+    "q46_compaction" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q46")
+      db.createCollection("vecs", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      val src = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+      // 10 separate appends → ≥10 small files
+      (0 until 10).foreach(i =>
+        db.bulkInsert("vecs", src.filter(col("vec_id") % 10 === i)))
+      db.compact(Some("vecs"), targetFiles = 2)
+      db.read("vecs").select("vec_id", "label").orderBy("vec_id")
+    }),
+
+    // REINDEX: rewrite a collection partitioned by the sign-bucket
+    // cluster_id, read it back through the partition-discovering reader, and
+    // report per-cluster counts; the oracle recomputes the bucket directly.
+    "q47_reindex" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q47")
+      db.createCollection("vecs", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      db.bulkInsert("vecs", Tables.embeddings(s, dir))
+      db.reindexWith("vecs", df =>
+        graft.operators.VectorIndex.assignSignBuckets(df, nBits = 4))
+      db.read("vecs")
+        .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cluster_id")
+    }),
+
     // INSERT / UPDATE / DELETE through the command grammar, end state read
     // back through SEARCH; oracle is the literal expected table.
     "q45_command_mutations" -> ((s, dir) => {
@@ -152,6 +187,21 @@ object PipelineQueries {
     "q45_command_mutations" ->
       """SELECT CAST(id AS BIGINT) AS id, payload
         |FROM (VALUES (1, 'alice2'), (3, 'carol')) t(id, payload)
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    "q46_compaction" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE vec_id < 100
+        |ORDER BY vec_id""".stripMargin,
+
+    "q47_reindex" -> {
+      val bucket = (0 until 4)
+        .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""SELECT CAST($bucket AS BIGINT) AS cluster_id, count(*) AS n
+         |FROM embeddings
+         |GROUP BY 1
+         |ORDER BY cluster_id""".stripMargin
+    }
   )
 }

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.sources.EmbeddingTextFormat
+
+class EmbeddingPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("deterministic embedder: unit norm, fixed dim, reproducible") {
+    val df = Seq("alice", "rabbit", "alice").toDF("tok")
+      .select($"tok", DeterministicEmbedder.embedding($"tok", 16).as("emb"))
+    val rows = df.select($"tok", $"emb",
+        graft.functions.l2_norm($"emb").as("n"))
+      .as[(String, Seq[Float], Double)].collect()
+    assert(rows.forall(_._2.length == 16))
+    assert(rows.forall(r => math.abs(r._3 - 1.0) < 1e-5))
+    val alice = rows.filter(_._1 == "alice").map(_._2)
+    assert(alice(0) == alice(1), "same token ⇒ same embedding")
+    assert(rows.find(_._1 == "rabbit").get._2 != alice(0))
+  }
+
+  test("processEmbeddings: first-N token extraction, parity file format round-trips") {
+    val in = Files.createTempDirectory("graft_pipe")
+    val txt = in.resolve("input.txt")
+    Files.writeString(txt, "alice was beginning to get\nvery tired of sitting\n")
+    val out = Files.createTempDirectory("graft_pipe_out").toString
+
+    val embedded = EmbeddingPipeline.processEmbeddings(
+      spark, txt.toString, amount = 6, outputPath = out, dim = 8, verbose = false)
+    val words = embedded.orderBy("id").select("payload").as[String].collect().toSeq
+    assert(words == Seq("alice", "was", "beginning", "to", "get", "very"))
+
+    // the reference's vec;payload line format round-trips losslessly enough
+    // to preserve ids, payloads, and vector dimension
+    val back = EmbeddingTextFormat.read(spark, s"$out/embeddings_txt")
+    val rows = back.orderBy("id")
+      .select($"payload", size($"embedding")).as[(String, Int)].collect()
+    assert(rows.map(_._1).toSeq == words)
+    assert(rows.forall(_._2 == 8))
+
+    // and the parquet sink matches the returned frame
+    assert(spark.read.parquet(s"$out/embeddings_parquet").count() == 6)
+  }
+}
