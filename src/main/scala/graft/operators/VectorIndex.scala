@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -63,6 +65,25 @@ object VectorIndex {
     SimilaritySearch.topK(
       indexed.filter(col("cluster_id").isin(candidates: _*)),
       query, k, metric, vecCol, idCol)
+  }
+
+  /** MLlib BucketedRandomProjectionLSH approximate nearest neighbors —
+    * the "MLlib for vectors" alternative to the sign-bucket path. Seeded ⇒
+    * reproducible on a fixed dataset/Spark version (not SQL-reproducible, so
+    * queries built on it carry rows-only checks).
+    */
+  def brpAnn(df: DataFrame, vecCol: String, query: Array[Float], k: Int,
+      bucketLength: Double = 2.0, numTables: Int = 3,
+      seed: Long = 42L): DataFrame = {
+    val withVec = df.withColumn("__features", array_to_vector(col(vecCol)))
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(seed)
+      .setInputCol("__features").setOutputCol("__hashes")
+      .fit(withVec)
+    model
+      .approxNearestNeighbors(withVec,
+        Vectors.dense(query.map(_.toDouble)), k)
+      .drop("__features", "__hashes")
   }
 
   /** Add `cluster_id` via MLlib KMeans (fixed seed ⇒ reproducible on a given

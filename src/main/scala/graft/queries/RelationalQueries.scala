@@ -210,6 +210,29 @@ object RelationalQueries {
         .orderBy("doc_id")
     }),
 
+    // Hierarchical aggregation: ROLLUP over (returnflag, linestatus) with
+    // subtotal rows surfaced via a sentinel (coalesce) so null-ordering
+    // differences between engines can't reorder the result.
+    "q18_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    }),
+
+    // Sessionization: gap-based session assignment (5-minute idle gap) via
+    // one shuffle on user_id feeding both windows, then per-session summary.
+    "q19_sessionize" -> ((s, dir) => {
+      graft.operators.Sessionize
+        .sessionSummary(Tables.events(s, dir), "user_id", "ts", "event_id",
+          gapSeconds = 300L)
+        .orderBy("user_id", "session_no")
+    }),
+
     // Conditional aggregation (CASE WHEN inside agg).
     "q17_case_when" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -354,6 +377,36 @@ object RelationalQueries {
         |  upper(substring(text, 1, 12)) AS prefix
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q18_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q19_sessionize" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 300000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ordered),
+        |sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 3) AS duration_sec
+        |FROM sess
+        |GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
 
     "q17_case_when" ->
       """SELECT o_orderpriority, count(*) AS n,

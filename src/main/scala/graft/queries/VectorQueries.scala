@@ -78,6 +78,28 @@ object VectorQueries {
         .limit(10)
     }),
 
+    // MLlib BucketedRandomProjectionLSH ANN (seeded; reproducible on a fixed
+    // dataset but not SQL-reproducible → rows-only check, no oracle entry).
+    "q48_brp_ann" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val query = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      VectorIndex.brpAnn(e, "embedding", query, k = 10)
+        .select(col("vec_id"), round(col("distCol"), 6).as("dist"))
+        .orderBy("dist", "vec_id")
+    }),
+
+    // MLlib KMeans index build (REINDEX's model-based variant): cluster
+    // sizes for a seeded k=10 fit (rows-only check — centroid identity is
+    // engine-specific).
+    "q49_kmeans_clusters" -> ((s, dir) => {
+      val (assigned, _) = VectorIndex.kmeansAssign(
+        Tables.embeddings(s, dir), "embedding", k = 10)
+      assigned.groupBy(col("cluster_id").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cluster_id")
+    }),
+
     // Vector statistics per label: count + mean L2 norm (index diagnostics).
     "q24_vector_stats" -> ((s, dir) => {
       Tables.embeddings(s, dir)
