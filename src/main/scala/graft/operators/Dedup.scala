@@ -39,23 +39,32 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i, lit(n))))))
   }
 
-  /** (id, shingle) pairs, one row per distinct shingle per doc. */
+  /** (id, shingle) pairs, one row per distinct shingle per doc. Shingling
+    * is CPU-bound, so the input is widened to full core parallelism first
+    * (see [[Parallelism.ensure]]).
+    */
   def explodeShingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+    Parallelism.ensure(df)
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle"))
 
-  /** MinHash signature per doc: for hash seed s, the lexicographic min of
-    * `md5("s:" + shingle)` over the doc's shingle set — the classic
-    * min-wise independent permutation family, with md5 standing in for the
-    * permutations so signatures are engine-reproducible.
+  /** MinHash signature per doc: hash function s is the lexicographic min of
+    * hex chunk s (4 hex chars = 16 bits) of a SINGLE md5 per shingle — one
+    * digest feeds all `numHashes ≤ 8` hash functions, which is 8× fewer
+    * digests than an md5-per-seed family at the cost of 16-bit (vs 128-bit)
+    * min-wise values; at shingle-set sizes in the hundreds the collision
+    * effect on Jaccard estimation is negligible, and the scheme stays
+    * engine-reproducible (any SQL dialect can substring an md5).
     * Output: (id, mh0..mh{numHashes-1}).
     */
   def minhashSignatures(shingles: DataFrame, idCol: String,
       numHashes: Int): DataFrame = {
+    require(numHashes <= 8, "one md5 yields 8 independent 4-hex chunks")
+    val hashed = shingles.withColumn("__h", md5(col("shingle")))
     val mins = (0 until numHashes).map { s =>
-      min(md5(concat(lit(s + ":"), col("shingle")))).as(s"mh$s")
+      min(substring(col("__h"), s * 4 + 1, 4)).as(s"mh$s")
     }
-    shingles.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    hashed.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: band b's key is md5 over the band's `rowsPerBand`
@@ -75,22 +84,32 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
-  /** Candidate pairs (a < b) from shared band keys; degenerate hot buckets
-    * (> maxBucketSize members) are dropped, as at corpus scale they are
-    * near-always an artifact (empty/boilerplate docs) that would emit
-    * O(n²) pairs.
+  /** Candidate pairs (a < b) from shared band keys. One pass: buckets are
+    * aggregated (sorted member sets), degenerate hot buckets
+    * (> maxBucketSize members) dropped — at corpus scale those are
+    * near-always an artifact (empty/boilerplate docs) that would emit O(n²)
+    * pairs — and pairs enumerated from each surviving set with array
+    * combinatorics. A self-join formulation would recompute the entire
+    * upstream shingle→signature pipeline once per join side; this shape
+    * computes it once and shuffles each (band, key) group to a single
+    * reducer. (collect_set buffers a bucket's members before the size
+    * filter; a truly adversarial corpus would want a pre-aggregation
+    * member cap, which maxBucketSize approximates.)
     */
   def candidatePairs(banded: DataFrame, idCol: String,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sized = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        Window.partitionBy("band", "band_key")))
-      .filter(col("bucket_n") <= maxBucketSize)
-    val a = sized.select(col("band"), col("band_key"), col(idCol).as("a_id"))
-    val b = sized.select(col("band"), col("band_key"), col(idCol).as("b_id"))
-    a.join(b, Seq("band", "band_key"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val bucketed = banded
+      .groupBy("band", "band_key")
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+    bucketed
+      .select(explode(flatten(
+        transform(col("ids"), (x, i) =>
+          transform(
+            slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .distinct()
   }
 
   /** Full MinHash-LSH candidate generation pipeline. */
@@ -111,7 +130,7 @@ object Dedup {
   def simhash(df: DataFrame, idCol: String, textCol: String,
       nBits: Int = 16): DataFrame = {
     require(nBits <= 32, "md5 hex digits limit nBits to 32")
-    val tokens = df.select(col(idCol),
+    val tokens = Parallelism.ensure(df).select(col(idCol),
       explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val bitSums = (1 to nBits).map { j =>

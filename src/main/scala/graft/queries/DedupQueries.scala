@@ -78,7 +78,8 @@ object DedupQueries {
 
   private val signaturesCte = {
     val mins = (0 until 8)
-      .map(s => s"min(md5('$s:'||shingle)) AS mh$s").mkString(",\n    ")
+      .map(s => s"min(substring(md5(shingle), ${s * 4 + 1}, 4)) AS mh$s")
+      .mkString(",\n    ")
     s"""sig AS (
        |  SELECT doc_id,
        |    $mins

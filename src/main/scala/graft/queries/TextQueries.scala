@@ -27,15 +27,30 @@ object TextQueries {
     }),
 
     // Quality scoring: token count, punctuation ratio, stopword ratio, and
-    // the composite score, per document.
+    // the composite score, per document. The tokens array and both raw
+    // ratios are materialized once and reused (vs re-deriving the regexps
+    // per output column — same values, ~3× less regex work per row).
     "q36_quality" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val punct = when(length(col("text")) === 0, 0.0).otherwise(
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))).cast("double")
+          / length(col("text")))
+      graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .withColumn("__toks", toks)
+        .withColumn("__punct", punct)
+        .withColumn("__stop", when(size(col("__toks")) === 0, 0.0).otherwise(
+          size(filter(col("__toks"), t => t.isin(TextAnalysis.stopwords: _*)))
+            .cast("double") / size(col("__toks"))))
         .select(
           col("doc_id"),
-          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-          round(TextAnalysis.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"),
-          round(TextAnalysis.qualityScore(col("text")), 6).as("quality"))
+          size(col("__toks")).cast("long").as("n_tokens"),
+          round(col("__punct"), 6).as("punct_ratio"),
+          round(col("__stop"), 6).as("stopword_ratio"),
+          round(least(greatest(
+            least(length(col("text")).cast("double") / 200.0, lit(1.0))
+              * (lit(1.0) - col("__punct")) * (lit(0.5) + col("__stop")),
+            lit(0.0)), lit(1.0)), 6).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -64,7 +79,7 @@ object TextQueries {
     // Heuristic language-ID (signature-token voting, earliest-max
     // tie-break) vs the labeled lang column.
     "q39_lang_id" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      graft.operators.Parallelism.ensure(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langId(col("text")).as("predicted"))
         .orderBy("doc_id")
