@@ -76,7 +76,7 @@ object CommandExecutor {
 
       case Reindex(coll, arg) =>
         val bits = arg.map(parseKv).flatMap(_.get("bits")).map(_.toInt).getOrElse(8)
-        db.reindexWith(coll, df => VectorIndex.assignSignBuckets(df, nBits = bits))
+        db.reindex(coll, bits)
         status("REINDEX", coll)
     }
   }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.model.VectorRecord
-import graft.operators.SimilaritySearch
+import graft.operators.{SimilaritySearch, VectorIndex}
 
 /** A graft database: a directory of named collections, each a Parquet-backed
   * table (SURVEY §1.2). Reference surface: database init at
@@ -168,13 +168,50 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     if (projection.isEmpty) base else base.select(projection.map(col).toIndexedSeq: _*)
   }
 
-  /** SEARCHSIMILAR (reference `src/command/types.rs:121-132`): exact k-NN,
-    * optionally IVF-pruned when the collection has been REINDEXed (see
-    * [[graft.operators.VectorIndex]] for the probe path).
+  /** SEARCHSIMILAR (reference `src/command/types.rs:121-132`): exact k-NN;
+    * after a REINDEX the collection carries `cluster_id` and the search
+    * automatically becomes an IVF probe — a partition-pruned scan of the
+    * buckets within `probeRadius` bit-flips of the query's bucket, exact
+    * rerank inside. `probeRadius < 0` forces the exact full scan.
     */
   def searchSimilar(name: String, query: Array[Float], k: Int,
-      metric: String = "cosine"): DataFrame =
-    SimilaritySearch.topK(read(name), query, k, metric)
+      metric: String = "cosine", probeRadius: Int = 1): DataFrame = {
+    val data = read(name)
+    if (probeRadius >= 0 && data.columns.contains("cluster_id")) {
+      val nBits = indexBits(name)
+      VectorIndex.probe(data, query, k, metric, nBits, probeRadius)
+    } else {
+      SimilaritySearch.topK(data, query, k, metric)
+    }
+  }
+
+  /** Bits of the sign-bucket index: the sidecar written by [[reindex]], or
+    * (for externally-assigned layouts) ceil(log2(max partition code + 1))
+    * from the partition listing.
+    */
+  private def indexBits(name: String): Int = {
+    val sidecar = new Path(collDir(name), IndexMetaFile)
+    if (fs.exists(sidecar)) {
+      val bits = "\"bits\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(readString(fs, sidecar)).map(_.group(1).toInt)
+      bits.getOrElse(8)
+    } else {
+      val dirs = fs.listStatus(collDir(name)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
+        .map(_.getPath.getName.stripPrefix("cluster_id=").toInt)
+      val maxCode = if (dirs.isEmpty) 0 else dirs.max
+      math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(maxCode, 1)))
+    }
+  }
+
+  /** REINDEX with the default deterministic sign-bucket index; records the
+    * bit width so probes know the code space.
+    */
+  def reindex(name: String, nBits: Int = 8): Unit = {
+    reindexWith(name, df => VectorIndex.assignSignBuckets(df, nBits = nBits))
+    writeString(fs, new Path(collDir(name), IndexMetaFile),
+      s"""{"type": "sign_bucket", "bits": $nBits}""")
+  }
 
   /** TRUNCATEWAL parity (reference `src/command/types.rs:44-54` — "truncate
     * the database's WAL" when no target): storage maintenance. For a
@@ -184,7 +221,15 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   def compact(target: Option[String], targetFiles: Int = 8): Unit = target match {
     case Some(name) =>
       requireCollection(name)
-      rewrite(name, read(name).repartition(targetFiles))
+      val data = read(name)
+      // indexed collections: cluster-aligned repartition, so each task
+      // writes whole cluster_id=... dirs instead of a file per (task ×
+      // cluster) pair
+      val compacted =
+        if (data.columns.contains("cluster_id"))
+          data.repartition(targetFiles, col("cluster_id"))
+        else data.repartition(targetFiles)
+      rewrite(name, compacted)
     case None =>
       val wal = new Path(root, WalDir)
       if (fs.exists(wal)) fs.delete(wal, true)
@@ -192,17 +237,27 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       ()
   }
 
-  /** Copy-on-write rewrite: materialize `next` into a temp dir, then swap. */
+  /** Copy-on-write rewrite: materialize `next` into a temp dir, then swap.
+    * An indexed collection (cluster_id present) keeps its partition layout
+    * across rewrites — UPDATE/DELETE/compaction must not silently degrade
+    * REINDEX's partition pruning — and index sidecars survive the swap.
+    */
   private def rewrite(name: String, next: DataFrame,
       partitionBy: Seq[String] = Nil): Unit = {
     val dir = collDir(name)
     val tmp = new Path(root, s"${ReservedPrefix}tmp_${name}_${UUID.randomUUID().toString.take(8)}")
+    val parts =
+      if (partitionBy.nonEmpty) partitionBy
+      else if (next.columns.contains("cluster_id")) Seq("cluster_id")
+      else Nil
     val writer = next.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+    (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(tmp.toString)
-    // preserve collection meta in the new version
-    val ddl = readString(fs, metaPath(name))
-    writeString(fs, new Path(tmp, MetaFile), ddl)
+    // preserve collection + index sidecars in the new version
+    writeString(fs, new Path(tmp, MetaFile), readString(fs, metaPath(name)))
+    val idx = new Path(dir, IndexMetaFile)
+    if (fs.exists(idx))
+      writeString(fs, new Path(tmp, IndexMetaFile), readString(fs, idx))
     fs.delete(dir, true)
     if (!fs.rename(tmp, dir))
       throw new IllegalStateException(s"rewrite swap failed for $name")
@@ -230,8 +285,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
 object GraftDatabase {
   private[core] val ReservedPrefix = "graft_"
   // leading underscore: Spark/Hadoop input listing treats it as hidden, so
-  // the parquet reader never trips over the sidecar.
+  // the parquet reader never trips over the sidecars.
   private[core] val MetaFile = "_graft_meta.ddl"
+  private[core] val IndexMetaFile = "_graft_index.json"
   private[core] val ConfigFile = "graft_config.json"
   private[core] val WalDir = "graft_wal"
 

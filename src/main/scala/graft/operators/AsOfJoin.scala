@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (most-recent-prior) join: for every left row, attach the latest
+  * right row with the same key whose timestamp is ≤ the left timestamp.
+  *
+  * Implemented as the union-and-carry dataflow rather than a range join:
+  * tag both inputs, union them, and run one `last(ignoreNulls)` window over
+  * (key, time) — the carried value at each left row is exactly the as-of
+  * match. One shuffle on the key, a single sort per partition, no range
+  * explosion — the shape that survives when both sides are large (a range
+  * join's candidate blow-up does not). DuckDB's native ASOF JOIN is the
+  * cross-check oracle in q50.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side (keeps all its rows)
+    * @param right     reference side (its `valueCols` are carried forward)
+    * @param keyCol    equality key present on both sides
+    * @param timeCol   event-time column present on both sides
+    * @param valueCols right-side columns to attach (null when no prior row)
+    */
+  def mostRecentPrior(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val tagged = left
+      .withColumn("__side", lit(1))
+      .select(
+        Seq(col(keyCol), col(timeCol), col("__side")) ++
+          leftCols.filterNot(c => c == keyCol || c == timeCol).map(col) ++
+          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+      .unionByName(
+        right
+          .withColumn("__side", lit(0))
+          .select(
+            Seq(col(keyCol), col(timeCol), col("__side")) ++
+              leftCols.filterNot(c => c == keyCol || c == timeCol)
+                .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+              valueCols.map(c => col(c).as(s"__v_$c")): _*))
+
+    // right rows sort before left rows at the same timestamp (__side asc) so
+    // an exactly-simultaneous reference row is visible to the probe row
+    val w = Window
+      .partitionBy(keyCol)
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = valueCols.foldLeft(tagged) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+
+    carried
+      .filter(col("__side") === 1)
+      .select(
+        leftCols.map(col) ++
+          valueCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+  }
+}

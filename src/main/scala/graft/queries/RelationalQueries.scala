@@ -233,6 +233,37 @@ object RelationalQueries {
         .orderBy("user_id", "session_no")
     }),
 
+    // As-of join: every purchase event gets its user's most recent prior
+    // signup. Union-and-carry dataflow (one shuffle on user_id, no range
+    // explosion); the oracle cross-checks with DuckDB's native ASOF JOIN —
+    // two different algorithms, same semantics.
+    "q50_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("ts").as("signup_ts"))
+      graft.operators.AsOfJoin
+        .mostRecentPrior(purchases, signups, "user_id", "ts", Seq("signup_ts"))
+        .select(
+          col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+          date_format(col("asof_signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
+        .orderBy("event_id")
+    }),
+
+    // CUBE over two dimensions with sentinel subtotals.
+    "q51_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("sum_price"))
+        .orderBy("status", "priority")
+    }),
+
     // Conditional aggregation (CASE WHEN inside agg).
     "q17_case_when" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -407,6 +438,26 @@ object RelationalQueries {
         |FROM sess
         |GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+
+    "q50_asof_join" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s AS (
+        |  SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup')
+        |SELECT p.event_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  strftime(s.signup_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+        |FROM p ASOF LEFT JOIN s
+        |  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
+        |ORDER BY event_id""".stripMargin,
+
+    "q51_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
 
     "q17_case_when" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -100,6 +100,22 @@ object VectorQueries {
         .orderBy("cluster_id")
     }),
 
+    // The SQL-text surface: graft's Catalyst expressions registered in the
+    // FunctionRegistry and invoked from spark.sql, scalar subquery carrying
+    // the query vector.
+    "q52_sql_surface" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_v")
+      s.sql(
+        """SELECT vec_id,
+          |  round(cosine_sim(embedding,
+          |    (SELECT embedding FROM embeddings_v WHERE vec_id = 1)), 6) AS score
+          |FROM embeddings_v
+          |WHERE vec_id <> 1
+          |ORDER BY score DESC, vec_id
+          |LIMIT 5""".stripMargin)
+    }),
+
     // Vector statistics per label: count + mean L2 norm (index diagnostics).
     "q24_vector_stats" -> ((s, dir) => {
       Tables.embeddings(s, dir)
@@ -170,6 +186,15 @@ object VectorQueries {
          |ORDER BY score DESC, vec_id
          |LIMIT 10""".stripMargin
     },
+
+    "q52_sql_surface" ->
+      """SELECT e.vec_id AS vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS score
+        |FROM embeddings e,
+        |  (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+        |WHERE e.vec_id <> 1
+        |ORDER BY score DESC, vec_id
+        |LIMIT 5""".stripMargin,
 
     "q24_vector_stats" ->
       """SELECT label, count(*) AS n,

@@ -115,4 +115,34 @@ class GraftDatabaseSpec extends AnyFunSuite {
     db.compact(Some("vecs"), targetFiles = 2)
     assert(db.read("vecs").count() == 64)
   }
+
+  test("searchSimilar auto-probes after reindex; mutations preserve the index") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    val rows = (0 until 32).map { i =>
+      VectorRecord(i.toLong, Array(
+        if ((i & 1) == 0) 1.0f else -1.0f,
+        if ((i & 2) == 0) 1.0f else -1.0f,
+        i.toFloat / 100 + 0.01f), s"p$i")
+    }
+    db.bulkInsert("vecs", rows.toDF())
+    db.reindex("vecs", nBits = 2)
+
+    // auto-probe (radius 0 = only the query's own bucket) returns only
+    // same-sign-bucket neighbors; exact scan (radius -1) sees everything
+    val probed = db.searchSimilar("vecs", Array(1.0f, 1.0f, 0.5f), k = 32,
+      probeRadius = 0)
+    assert(probed.count() == 8) // 32 ids / 4 buckets
+    val exact = db.searchSimilar("vecs", Array(1.0f, 1.0f, 0.5f), k = 32,
+      probeRadius = -1)
+    assert(exact.count() == 32)
+
+    // delete + compact keep the partition layout and the index sidecar
+    db.delete("vecs", expr("id = 0"))
+    db.compact(Some("vecs"), targetFiles = 2)
+    assert(db.read("vecs").columns.contains("cluster_id"))
+    val afterMutation = db.searchSimilar("vecs", Array(1.0f, 1.0f, 0.5f),
+      k = 32, probeRadius = 0)
+    assert(afterMutation.count() == 7) // id 0 was in this bucket
+  }
 }

@@ -1,0 +1,37 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("mostRecentPrior carries the latest right row at or before each left row") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0),
+      (2L, ts("2024-01-01 10:03:00"), 50.0)
+    ).toDF("key", "ts", "px")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:04:00"), "t1"), // after 10:00 quote → 100.0
+      (1L, ts("2024-01-01 10:05:00"), "t2"), // exactly at 10:05 quote → 101.0
+      (1L, ts("2024-01-01 09:59:00"), "t3"), // before any quote → null
+      (2L, ts("2024-01-01 11:00:00"), "t4"), // key 2 → 50.0
+      (3L, ts("2024-01-01 11:00:00"), "t5")  // unknown key → null
+    ).toDF("key", "ts", "trade_id")
+
+    val got = AsOfJoin
+      .mostRecentPrior(trades, quotes, "key", "ts", Seq("px"))
+      .select($"trade_id", $"asof_px")
+      .as[(String, Option[Double])].collect().toMap
+    assert(got == Map(
+      "t1" -> Some(100.0), "t2" -> Some(101.0), "t3" -> None,
+      "t4" -> Some(50.0), "t5" -> None))
+  }
+}
