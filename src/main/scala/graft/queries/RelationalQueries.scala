@@ -264,6 +264,41 @@ object RelationalQueries {
         .orderBy("status", "priority")
     }),
 
+    // Exact continuous percentiles (median + p90) per order status.
+    "q53_percentiles" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderstatus")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5D)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9D)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Running aggregate: per-customer cumulative order value over time —
+    // frame-ordered accumulation is identical in both engines, so values
+    // match exactly before rounding.
+    "q54_running_sum" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(sum(col("o_totalprice")).over(w), 2).as("run_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // String-similarity scalar: Levenshtein distance of part names to a
+    // reference string (both engines implement the same classic DP).
+    "q55_levenshtein" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_name"),
+          levenshtein(col("p_name"), lit("standard brushed steel")).cast("long").as("dist"))
+        .orderBy("p_partkey")
+    }),
+
     // Conditional aggregation (CASE WHEN inside agg).
     "q17_case_when" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -458,6 +493,30 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q53_percentiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q54_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING), 2) AS run_total
+        |FROM orders
+        |WHERE o_custkey < 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q55_levenshtein" ->
+      """SELECT p_partkey, p_name,
+        |  CAST(levenshtein(p_name, 'standard brushed steel') AS BIGINT) AS dist
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin,
 
     "q17_case_when" ->
       """SELECT o_orderpriority, count(*) AS n,
