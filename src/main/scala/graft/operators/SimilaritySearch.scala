@@ -53,7 +53,46 @@ object SimilaritySearch {
     ordered.limit(k)
   }
 
-  /** Exact per-query top-k for a batch of queries.
+  /** Exact per-query top-k via a bounded heap aggregation instead of a
+    * ranking window: partial aggregation ships ≤ k rows per partition per
+    * query through the shuffle (the window formulation shuffles every
+    * scored row). Identical output to [[topKBatch]] — ties break on
+    * (score, id) in both — so callers choose purely on plan shape.
+    */
+  def topKBatchAgg(
+      collection: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: String = "cosine",
+      vecCol: String = "embedding",
+      idCol: String = "id",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    val spark = collection.sparkSession
+    import spark.implicits._
+    val (sc, desc_?) = score(metric, col(vecCol), col(queryVecCol))
+    val eff = if (desc_?) sc else -sc
+    val scored = collection
+      .crossJoin(broadcast(queries))
+      .select(col(queryIdCol).cast("long"), col(idCol).cast("long"), eff.as("s"))
+      .as[(Long, Long, Double)]
+    val topk = new TopKAggregator(k).toColumn
+    scored
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(topk)
+      .toDF(queryIdCol, "topk")
+      .select(col(queryIdCol), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(
+        col(queryIdCol),
+        col("entry._1").as(idCol),
+        (if (desc_?) col("entry._2") else -col("entry._2")).as("score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Exact per-query top-k for a batch of queries (ranking-window
+    * formulation — simplest plan; see [[topKBatchAgg]] for the
+    * shuffle-bounded variant).
     *
     * @param queries DataFrame with (`queryIdCol`, `queryVecCol`); must be
     *                small enough to broadcast (true by construction: queries

@@ -264,6 +264,19 @@ object RelationalQueries {
         .orderBy("status", "priority")
     }),
 
+    // Spark's native session_window (gap-based) — cross-validated against
+    // the lag+running-sum sessionization (q19) and the SQL-window oracle:
+    // three independent formulations must agree on session boundaries.
+    "q56_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // Exact continuous percentiles (median + p90) per order status.
     "q53_percentiles" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -493,6 +506,30 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    // NOTE: session_window's gap test is exclusive (a new session starts at
+    // diff >= gap, because event windows [ts, ts+gap) must OVERLAP to
+    // merge), hence >= here vs the strict > of q19's operator semantics.
+    "q56_session_window" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 300000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ordered),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM flagged)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events
+        |FROM sess
+        |GROUP BY user_id, session_no
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q53_percentiles" ->
       """SELECT o_orderstatus,
