@@ -148,16 +148,38 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * anti-join keeps the untouched rows, union appends the new versions —
     * both sides shuffle on the key once; with a small update set Catalyst
     * broadcasts it and the big side never shuffles.
+    *
+    * Indexed collections: updates arrive without cluster assignments, so
+    * the merge runs on the declared schema and then (a) a sign-bucket index
+    * re-assigns codes in the same pass — cheap column math — or (b) a
+    * model-based layout (no reproducible assignment rule) is invalidated:
+    * the sidecar is dropped and SEARCHSIMILAR falls back to exact scans
+    * until the next REINDEX.
     */
   def update(name: String, updates: DataFrame, key: String = "id"): Unit = {
     requireCollection(name)
-    rewrite(name, graft.operators.Mutations.upsert(read(name), align(name, updates), key))
+    val current = read(name)
+    val hasIndex = current.columns.contains("cluster_id")
+    val base = if (hasIndex) current.drop("cluster_id") else current
+    val merged = graft.operators.Mutations.upsert(base, align(name, updates), key)
+    val next =
+      if (hasIndex && indexType(name).contains("sign_bucket"))
+        VectorIndex.assignSignBuckets(merged, nBits = indexBits(name))
+      else {
+        if (hasIndex) fs.delete(new Path(collDir(name), IndexMetaFile), false)
+        merged
+      }
+    rewrite(name, next)
   }
 
-  /** DELETE rows matching a predicate (reference `src/command/types.rs:95-106`). */
+  /** DELETE rows matching a predicate (reference `src/command/types.rs:95-106`).
+    * NULL-evaluating predicates keep their rows (SQL DELETE semantics — see
+    * Mutations.deleteWhere). Cluster assignments survive: removing rows
+    * can't change the bucket of any remaining row.
+    */
   def delete(name: String, predicate: Column): Unit = {
     requireCollection(name)
-    rewrite(name, read(name).filter(!predicate))
+    rewrite(name, graft.operators.Mutations.deleteWhere(read(name), predicate))
   }
 
   /** SEARCH (reference `src/command/types.rs:108-119`): projection + filter;
@@ -177,32 +199,35 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   def searchSimilar(name: String, query: Array[Float], k: Int,
       metric: String = "cosine", probeRadius: Int = 1): DataFrame = {
     val data = read(name)
-    if (probeRadius >= 0 && data.columns.contains("cluster_id")) {
-      val nBits = indexBits(name)
-      VectorIndex.probe(data, query, k, metric, nBits, probeRadius)
+    // probe ONLY sign-bucket layouts (the sidecar proves both the bucket
+    // semantics and the bit width). A cluster_id from KMeans or an external
+    // assign function has no sign-bit meaning — probing it with sign codes
+    // would silently return wrong neighbors, so those fall back to exact.
+    if (probeRadius >= 0 && data.columns.contains("cluster_id")
+        && indexType(name).contains("sign_bucket")) {
+      VectorIndex.probe(data, query, k, metric, indexBits(name), probeRadius)
     } else {
       SimilaritySearch.topK(data, query, k, metric)
     }
   }
 
-  /** Bits of the sign-bucket index: the sidecar written by [[reindex]], or
-    * (for externally-assigned layouts) ceil(log2(max partition code + 1))
-    * from the partition listing.
-    */
-  private def indexBits(name: String): Int = {
+  private def indexSidecar(name: String): Option[String] = {
     val sidecar = new Path(collDir(name), IndexMetaFile)
-    if (fs.exists(sidecar)) {
-      val bits = "\"bits\"\\s*:\\s*(\\d+)".r
-        .findFirstMatchIn(readString(fs, sidecar)).map(_.group(1).toInt)
-      bits.getOrElse(8)
-    } else {
-      val dirs = fs.listStatus(collDir(name)).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
-        .map(_.getPath.getName.stripPrefix("cluster_id=").toInt)
-      val maxCode = if (dirs.isEmpty) 0 else dirs.max
-      math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(maxCode, 1)))
-    }
+    if (fs.exists(sidecar)) Some(readString(fs, sidecar)) else None
   }
+
+  private def indexType(name: String): Option[String] =
+    indexSidecar(name).flatMap(
+      "\"type\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_)).map(_.group(1))
+
+  /** Bit width recorded by [[reindex]]'s sidecar (only meaningful for
+    * sign_bucket layouts).
+    */
+  private def indexBits(name: String): Int =
+    indexSidecar(name)
+      .flatMap("\"bits\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(_))
+      .map(_.group(1).toInt)
+      .getOrElse(8)
 
   /** REINDEX with the default deterministic sign-bucket index; records the
     * bit width so probes know the code space.

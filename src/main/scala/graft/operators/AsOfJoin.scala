@@ -26,12 +26,20 @@ object AsOfJoin {
   def mostRecentPrior(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // values travel inside a struct so that a matched right row whose value
+    // column is legitimately NULL still registers as "a row was here" —
+    // last(ignoreNulls) skips the NULL struct of left rows but carries a
+    // struct with a NULL field (otherwise that row would be skipped too and
+    // a stale earlier value carried past it)
     val tagged = left
       .withColumn("__side", lit(1))
       .select(
         Seq(col(keyCol), col(timeCol), col("__side")) ++
           leftCols.filterNot(c => c == keyCol || c == timeCol).map(col) ++
-          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+          valueCols.map(c =>
+            lit(null).cast(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("v", right.schema(c).dataType))))
+              .as(s"__v_$c")): _*)
       .unionByName(
         right
           .withColumn("__side", lit(0))
@@ -39,7 +47,7 @@ object AsOfJoin {
             Seq(col(keyCol), col(timeCol), col("__side")) ++
               leftCols.filterNot(c => c == keyCol || c == timeCol)
                 .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-              valueCols.map(c => col(c).as(s"__v_$c")): _*))
+              valueCols.map(c => struct(col(c).as("v")).as(s"__v_$c")): _*))
 
     // right rows sort before left rows at the same timestamp (__side asc) so
     // an exactly-simultaneous reference row is visible to the probe row
@@ -56,6 +64,6 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(
         leftCols.map(col) ++
-          valueCols.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+          valueCols.map(c => col(s"__asof_$c.v").as(s"asof_$c")): _*)
   }
 }

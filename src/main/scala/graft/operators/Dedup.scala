@@ -147,17 +147,22 @@ object Dedup {
   /** Verified n-gram Jaccard pairs: candidates from shared shingles (an
     * equi-join on the shingle value — no all-pairs), exact Jaccard =
     * |A∩B| / (|A|+|B|-|A∩B|), thresholded.
+    *
+    * Ubiquitous shingles (corpus frequency > maxShingleFreq — boilerplate)
+    * are removed from the universe FIRST, and both the intersection and the
+    * set sizes are computed over that filtered universe, so the reported
+    * value is a true Jaccard of the filtered shingle sets (mixing filtered
+    * intersections with unfiltered sizes would deflate exact duplicates
+    * below 1.0).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, threshold: Double = 0.5,
       maxShingleFreq: Int = 1000): DataFrame = {
     val sh = explodeShingles(df, idCol, textCol, shingleN)
-    val sized = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    // drop ubiquitous shingles (boilerplate) before pairing, like hot
-    // buckets in candidatePairs
     val rare = sh.withColumn("sh_freq",
         count(lit(1)).over(Window.partitionBy("shingle")))
       .filter(col("sh_freq") <= maxShingleFreq)
+    val sized = rare.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val shared = rare.select(col(idCol).as("a_id"), col("shingle"))
       .join(rare.select(col(idCol).as("b_id"), col("shingle")), Seq("shingle"))
       .filter(col("a_id") < col("b_id"))

@@ -22,9 +22,13 @@ object Mutations {
       .join(broadcast(updates.select(key).distinct()), Seq(key), "left_anti")
       .unionByName(updates.select(current.columns.map(col).toIndexedSeq: _*))
 
-  /** Delete by predicate: keep the complement. */
+  /** Delete by predicate: keep every row where the predicate is not TRUE.
+    * SQL DELETE semantics — a NULL-evaluating predicate must NOT delete the
+    * row, so the complement is `!coalesce(pred, false)`, not `!pred` (which
+    * is NULL on NULL and would silently drop those rows).
+    */
   def deleteWhere(current: DataFrame, predicate: Column): DataFrame =
-    current.filter(!predicate)
+    current.filter(!coalesce(predicate, lit(false)))
 
   /** Delete by key set (anti-join; `keys` is one key column). */
   def deleteByKeys(current: DataFrame, keys: DataFrame, key: String = "id"): DataFrame =

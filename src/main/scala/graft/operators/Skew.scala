@@ -19,6 +19,11 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0)
+    // right/full outer would surface the replicated right side: an
+    // unmatched right row appears once per salt value in the output
+    require(Set("inner", "left", "left_outer", "cross")(joinType.toLowerCase),
+      s"saltedJoin supports left-preserving joins only, got $joinType " +
+        "(right/full outer would emit saltFactor duplicates of unmatched right rows)")
     val salted = left.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)).cast("int"))
     val replicated = right.withColumn("__salt",

@@ -44,11 +44,17 @@ object TextAnalysis {
     * stopword-presence bonus. Deliberately simple + frozen: the value is
     * that it is deterministic and monotone, not that it is clever.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreFrom(text, punctRatio(text), stopwordRatio(text))
+
+  /** The same formula over pre-materialized ratio columns — the single
+    * source of the constants, so callers that compute the ratios once (to
+    * avoid re-deriving the regexps per output column) can't de-sync from
+    * this definition.
+    */
+  def qualityScoreFrom(text: Column, punct: Column, stop: Column): Column = {
     val lenFit = least(length(text).cast("double") / 200.0, lit(1.0))
-    val noise = punctRatio(text)
-    val stop = stopwordRatio(text)
-    least(greatest(lenFit * (lit(1.0) - noise) * (lit(0.5) + stop), lit(0.0)), lit(1.0))
+    least(greatest(lenFit * (lit(1.0) - punct) * (lit(0.5) + stop), lit(0.0)), lit(1.0))
   }
 
   /** Language-ID by signature-token voting: per language, count hits of its

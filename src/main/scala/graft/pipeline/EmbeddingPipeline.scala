@@ -95,6 +95,7 @@ object EmbeddingPipeline {
 
     EmbeddingTextFormat.write(embedded.coalesce(1), s"$outputPath/embeddings_txt")
     embedded.write.mode("overwrite").parquet(s"$outputPath/embeddings_parquet")
+    embedded.unpersist() // cache served the stats + two sinks; don't leak it
     embedded
   }
 }

@@ -106,9 +106,14 @@ object DedupQueries {
     "q31_minhash_lsh" ->
       s"""WITH $shinglesCte,
          |$signaturesCte,
-         |$bandsCte
+         |$bandsCte,
+         |ok_buckets AS (
+         |  SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |eligible AS (
+         |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key))
          |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |FROM bands a JOIN bands b
+         |FROM eligible a JOIN eligible b
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |ORDER BY a_id, b_id""".stripMargin,
 
@@ -129,10 +134,14 @@ object DedupQueries {
 
     "q33_ngram_jaccard" ->
       s"""WITH $shinglesCte,
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |rare AS (
+         |  SELECT sh.* FROM sh
+         |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000) f
+         |    USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
          |shared AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id,
          |  round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard

@@ -32,13 +32,9 @@ object TextQueries {
     // per output column — same values, ~3× less regex work per row).
     "q36_quality" -> ((s, dir) => {
       val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
-      val punct = when(length(col("text")) === 0, 0.0).otherwise(
-        (length(col("text")) -
-          length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))).cast("double")
-          / length(col("text")))
       graft.operators.Parallelism.ensure(Tables.documents(s, dir))
         .withColumn("__toks", toks)
-        .withColumn("__punct", punct)
+        .withColumn("__punct", TextAnalysis.punctRatio(col("text")))
         .withColumn("__stop", when(size(col("__toks")) === 0, 0.0).otherwise(
           size(filter(col("__toks"), t => t.isin(TextAnalysis.stopwords: _*)))
             .cast("double") / size(col("__toks"))))
@@ -47,10 +43,8 @@ object TextQueries {
           size(col("__toks")).cast("long").as("n_tokens"),
           round(col("__punct"), 6).as("punct_ratio"),
           round(col("__stop"), 6).as("stopword_ratio"),
-          round(least(greatest(
-            least(length(col("text")).cast("double") / 200.0, lit(1.0))
-              * (lit(1.0) - col("__punct")) * (lit(0.5) + col("__stop")),
-            lit(0.0)), lit(1.0)), 6).as("quality"))
+          round(TextAnalysis.qualityScoreFrom(
+            col("text"), col("__punct"), col("__stop")), 6).as("quality"))
         .orderBy("doc_id")
     }),
 

@@ -27,12 +27,15 @@ object EmbeddingTextFormat {
       StructType(Seq(
         StructField("id", LongType, nullable = false),
         StructField("value", StringType, nullable = true))))
+    // payload = everything after the FIRST ';' — payloads may themselves
+    // contain semicolons (substring_index(value, ";", -1) would keep only
+    // the tail after the LAST one and corrupt such payloads on round-trip)
     withId.select(
       col("id"),
       transform(
         split(substring_index(col("value"), ";", 1), ","),
         s => s.cast("float")).as("embedding"),
-      substring_index(col("value"), ";", -1).as("payload"))
+      expr("substring(value, instr(value, ';') + 1)").as("payload"))
   }
 
   /** One output text part per input partition; `coalesce(1)` upstream for a

@@ -11,6 +11,11 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
+      // bucketed-join tests: keep the small side from auto-broadcasting so
+      // the co-located (no-Exchange) plan shape is observable
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

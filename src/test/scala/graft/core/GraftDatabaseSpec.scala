@@ -144,5 +144,24 @@ class GraftDatabaseSpec extends AnyFunSuite {
     val afterMutation = db.searchSimilar("vecs", Array(1.0f, 1.0f, 0.5f),
       k = 32, probeRadius = 0)
     assert(afterMutation.count() == 7) // id 0 was in this bucket
+
+    // UPDATE on an indexed collection re-assigns buckets (the updated row
+    // moves to the bucket its new vector belongs to)
+    db.update("vecs", Seq(
+      VectorRecord(1L, Array(-1.0f, -1.0f, -0.5f), "moved")).toDF())
+    val moved = db.read("vecs").filter($"id" === 1)
+      .select($"cluster_id".cast("int")).as[Int].head()
+    assert(moved == 0) // both dims negative → sign bucket 0
+  }
+
+  test("delete with NULL-evaluating predicate keeps those rows (SQL semantics)") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    db.bulkInsert("vecs", Seq(
+      (1L, Array(1.0f), "a"), (2L, Array(1.0f), null), (3L, Array(1.0f), "x")
+    ).toDF("id", "embedding", "payload"))
+    db.delete("vecs", expr("payload = 'x'")) // NULL payload ⇒ predicate NULL
+    assert(db.read("vecs").select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L), "row with NULL payload must survive")
   }
 }

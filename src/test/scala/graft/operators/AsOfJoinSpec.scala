@@ -34,4 +34,17 @@ class AsOfJoinSpec extends AnyFunSuite {
       "t1" -> Some(100.0), "t2" -> Some(101.0), "t3" -> None,
       "t4" -> Some(50.0), "t5" -> None))
   }
+
+  test("a matched right row with NULL value wins over an older non-null one") {
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0)),
+      (1L, ts("2024-01-01 10:05:00"), None) // newer quote, NULL px
+    ).toDF("key", "ts", "px")
+    val trades = Seq((1L, ts("2024-01-01 10:06:00"), "t1"))
+      .toDF("key", "ts", "trade_id")
+    val got = AsOfJoin
+      .mostRecentPrior(trades, quotes, "key", "ts", Seq("px"))
+      .select($"asof_px").as[Option[Double]].head()
+    assert(got.isEmpty, "the 10:05 NULL quote is the as-of match, not 10:00")
+  }
 }

@@ -23,4 +23,14 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
     assert(plain.nonEmpty)
   }
+
+  test("right/full outer joins are rejected (replication would duplicate rows)") {
+    val df = Seq((1L, "a")).toDF("key", "v")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df, "key", joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(df, df, "key", joinType = "full")
+    }
+  }
 }

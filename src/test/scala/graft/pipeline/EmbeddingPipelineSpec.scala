@@ -47,4 +47,13 @@ class EmbeddingPipelineSpec extends AnyFunSuite {
     // and the parquet sink matches the returned frame
     assert(spark.read.parquet(s"$out/embeddings_parquet").count() == 6)
   }
+
+  test("vec;payload format round-trips payloads containing semicolons") {
+    val out = java.nio.file.Files.createTempDirectory("graft_semi").toString
+    val df = Seq((0L, Array(0.5f, 1.5f), "hello;world;x")).toDF("id", "embedding", "payload")
+    EmbeddingTextFormat.write(df, s"$out/t")
+    val back = EmbeddingTextFormat.read(spark, s"$out/t")
+      .select($"payload", size($"embedding")).as[(String, Int)].head()
+    assert(back == (("hello;world;x", 2)))
+  }
 }
