@@ -41,10 +41,16 @@ object TextQueries {
         .select(
           col("doc_id"),
           size(col("__toks")).cast("long").as("n_tokens"),
-          round(col("__punct"), 6).as("punct_ratio"),
-          round(col("__stop"), 6).as("stopword_ratio"),
+          // +1e-9 before rounding on BOTH sides: these ratios are dyadic
+          // rationals (token counts are often powers of two) that land
+          // EXACTLY on 6-decimal midpoints, where Spark (HALF_UP) and
+          // DuckDB disagree; the epsilon (≪ the 5e-7 rounding granularity,
+          // ≫ FP noise) shifts values off the midpoint lattice identically
+          // in both engines.
+          round(col("__punct") + lit(1e-9), 6).as("punct_ratio"),
+          round(col("__stop") + lit(1e-9), 6).as("stopword_ratio"),
           round(TextAnalysis.qualityScoreFrom(
-            col("text"), col("__punct"), col("__stop")), 6).as("quality"))
+            col("text"), col("__punct"), col("__stop")) + lit(1e-9), 6).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -97,24 +103,24 @@ object TextQueries {
         |ORDER BY lang""".stripMargin,
 
     "q36_quality" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-        |  round(CASE WHEN length(text) = 0 THEN 0.0
-        |    ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
-        |  round(CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 0.0
-        |    ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
-        |           t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
-        |         / len(regexp_extract_all(lower(text), '\S+')) END, 6) AS stopword_ratio,
+      """WITH ratios AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    length(text) AS n_chars,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |             t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |           / len(regexp_extract_all(lower(text), '\S+')) END AS stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  round(punct + 1e-9, 6) AS punct_ratio,
+        |  round(stop + 1e-9, 6) AS stopword_ratio,
         |  round(least(greatest(
-        |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
-        |    * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
-        |        ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END))
-        |    * (0.5 + (CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 0.0
-        |        ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
-        |               t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
-        |             / len(regexp_extract_all(lower(text), '\S+')) END)),
-        |    0.0), 1.0), 6) AS quality
-        |FROM documents
+        |    least(CAST(n_chars AS DOUBLE) / 200.0, 1.0)
+        |    * (1.0 - punct) * (0.5 + stop), 0.0), 1.0) + 1e-9, 6) AS quality
+        |FROM ratios
         |ORDER BY doc_id""".stripMargin,
 
     "q37_token_count" ->
