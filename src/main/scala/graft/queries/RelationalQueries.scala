@@ -264,6 +264,40 @@ object RelationalQueries {
         .orderBy("status", "priority")
     }),
 
+    // Skew-salted join vs a plain SQL join oracle: salting must be
+    // invisible in the result (the hot key here: a handful of customers
+    // own most orders after the filter).
+    "q57_salted_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = Tables.customer(s, dir).select(
+        col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(o, c, "o_custkey", saltFactor = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // Bucketed-table co-located join: both sides written bucketed by the
+    // join key (external tables at a scratch path), joined shuffle-free;
+    // the oracle is the plain join on the source tables — identical rows
+    // prove the bucketing layout is a pure physical optimization.
+    "q58_bucketed_join" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q58").toString
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      s.sql("DROP TABLE IF EXISTS b58_orders")
+      s.sql("DROP TABLE IF EXISTS b58_customer")
+      o.write.mode("overwrite").option("path", s"$tmp/o")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b58_orders")
+      c.withColumnRenamed("c_custkey", "o_custkey")
+        .write.mode("overwrite").option("path", s"$tmp/c")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b58_customer")
+      s.table("b58_orders").join(s.table("b58_customer"), Seq("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+
     // Spark's native session_window (gap-based) — cross-validated against
     // the lag+running-sum sessionization (q19) and the SQL-window oracle:
     // three independent formulations must agree on session boundaries.
@@ -506,6 +540,20 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q57_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q58_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     // NOTE: session_window's gap test is exclusive (a new session starts at
     // diff >= gap, because event windows [ts, ts+gap) must OVERLAP to

@@ -100,6 +100,22 @@ object VectorQueries {
         .orderBy("cluster_id")
     }),
 
+    // Batched kNN through the bounded-heap aggregator (shuffles ≤ k rows
+    // per partition per query) — same oracle shape as the window-based q22,
+    // so the DuckDB gate proves both formulations.
+    "q59_knn_batch_agg" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilaritySearch
+        .topKBatchAgg(e, qs, k = 5, metric = "cosine",
+          vecCol = "embedding", idCol = "vec_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // The SQL-text surface: graft's Catalyst expressions registered in the
     // FunctionRegistry and invoked from spark.sql, scalar subquery carrying
     // the query vector.
@@ -186,6 +202,22 @@ object VectorQueries {
          |ORDER BY score DESC, vec_id
          |LIMIT 10""".stripMargin
     },
+
+    "q59_knn_batch_agg" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS query_vec
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])) AS raw_score,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])) DESC, e.vec_id) AS rank
+        |  FROM embeddings e CROSS JOIN q
+        |)
+        |SELECT query_id, vec_id, round(raw_score, 6) AS score, rank
+        |FROM scored
+        |WHERE rank <= 5 AND vec_id <> query_id
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q52_sql_surface" ->
       """SELECT e.vec_id AS vec_id,
