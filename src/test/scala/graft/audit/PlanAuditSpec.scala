@@ -34,6 +34,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not be a full sort")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "single-row query side must broadcast")
+    // the scoring project must sit inside a WholeStageCodegen span — the
+    // custom expression's doGenCode is what makes it 6-7× faster than the
+    // higher-order-function / UDF formulations (see graft.ScoreBench).
+    // AQE only materializes codegen markers in the final plan → execute first.
+    val df = graft.SparkEntry.queries("q20_knn_cosine")(spark, graft.TestSpark.sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("*(") && finalPlan.contains("cosine_sim"),
+      s"cosine scoring must participate in whole-stage codegen:\n${finalPlan.take(1200)}")
   }
 
   test("q22 batch knn broadcasts queries and shuffles only on query_id") {
