@@ -67,12 +67,15 @@ object CommandExecutor {
         val opts = parseKv(arg)
         val k = opts.getOrElse("k", "10").toInt
         val metric = opts.getOrElse("metric", "cosine")
+        // radius >= 0 opts into the IVF probe on an indexed collection
+        // (see GraftDatabase.searchSimilar for the recall trade-off)
+        val radius = opts.getOrElse("radius", "-1").toInt
         val vec = opts.get("vec") match {
           case Some(v) => v.split(",").map(_.trim.toFloat)
           case None => throw new IllegalArgumentException(
             "SEARCHSIMILAR arg must include vec=f,f,...")
         }
-        db.searchSimilar(coll, vec, k, metric)
+        db.searchSimilar(coll, vec, k, metric, radius)
 
       case Reindex(coll, arg) =>
         val bits = arg.map(parseKv).flatMap(_.get("bits")).map(_.toInt).getOrElse(8)

@@ -190,14 +190,20 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     if (projection.isEmpty) base else base.select(projection.map(col).toIndexedSeq: _*)
   }
 
-  /** SEARCHSIMILAR (reference `src/command/types.rs:121-132`): exact k-NN;
-    * after a REINDEX the collection carries `cluster_id` and the search
-    * automatically becomes an IVF probe — a partition-pruned scan of the
-    * buckets within `probeRadius` bit-flips of the query's bucket, exact
-    * rerank inside. `probeRadius < 0` forces the exact full scan.
+  /** SEARCHSIMILAR (reference `src/command/types.rs:121-132`): exact k-NN
+    * by default; pass `probeRadius >= 0` on a REINDEXed collection to opt
+    * into the IVF probe — a partition-pruned scan of the buckets within
+    * `probeRadius` bit-flips of the query's bucket, exact rerank inside.
+    *
+    * Probing is opt-in rather than automatic because its recall depends on
+    * the corpus: strongly clustered embeddings probe well; near-isotropic
+    * ones (weak neighbor structure) can see low recall at aggressive
+    * pruning (IvfRecallSpec characterizes this on the testdata). The engine
+    * never silently trades correctness for speed — callers choose, with the
+    * trade measured.
     */
   def searchSimilar(name: String, query: Array[Float], k: Int,
-      metric: String = "cosine", probeRadius: Int = 1): DataFrame = {
+      metric: String = "cosine", probeRadius: Int = -1): DataFrame = {
     val data = read(name)
     // probe ONLY sign-bucket layouts (the sidecar proves both the bucket
     // semantics and the bit width). A cluster_id from KMeans or an external
