@@ -30,11 +30,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ VectorQueries.queries ++
-      DedupQueries.queries ++ TextQueries.queries ++ PipelineQueries.queries
+      DedupQueries.queries ++ TextQueries.queries ++
+      TextQueries.pipelineQueries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ VectorQueries.oracles ++
-      DedupQueries.oracles ++ TextQueries.oracles ++ PipelineQueries.oracles
+      DedupQueries.oracles ++ TextQueries.oracles ++
+      TextQueries.pipelineOracles ++ PipelineQueries.oracles
 
   /** Headline subset Bench runs per-round (kept fast + scale-representative:
     * the scan-agg, the shuffling join, the window, and the vector paths).

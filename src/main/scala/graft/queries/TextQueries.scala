@@ -86,11 +86,115 @@ object TextQueries {
     })
   )
 
+  // ---- training-data pipeline compositions ------------------------------
+
+  val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Deterministic train/val/test split: the split is a pure function of
+    // the content fingerprint (md5), so it is reproducible across runs,
+    // engines, and cluster sizes — the property a training pipeline needs
+    // (no sampleBy/random(), which would be seed- and partitioning-bound).
+    "q60_dataset_split" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 10
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"))
+        .orderBy("split")
+    }),
+
+    // The flagship curation pipeline: language filter → quality floor →
+    // exact-content dedup (keep the smallest doc_id per normalized
+    // fingerprint) → per-source yield accounting. Every stage is an
+    // operator from this library; the oracle recomputes the whole chain.
+    "q61_curation" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .withColumn("__punct", TextAnalysis.punctRatio(col("text")))
+        .withColumn("__stop", TextAnalysis.stopwordRatio(col("text")))
+        .withColumn("__q", TextAnalysis.qualityScoreFrom(col("text"), col("__punct"), col("__stop")))
+        .filter(col("lang") === "en" && col("__q") > 0.3)
+        .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      val keep = docs.groupBy("__fp").agg(min("doc_id").as("doc_id"))
+      docs.join(keep, Seq("__fp", "doc_id"), "left_semi")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(length(col("text"))).as("n_chars"))
+        .orderBy("source")
+    }),
+
+    // Mixture sampling: a deterministic per-source sample (top-5 docs by
+    // md5 order — a seedless, engine-reproducible "random" draw) for
+    // balanced training mixtures.
+    "q62_mixture_sample" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))), col("doc_id"))
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy("source", "rn")
+    })
+  )
+
   private def duckLangScore(lang: String): String = {
     val prof = TextAnalysis.langProfiles.toMap.apply(lang)
       .map(t => s"'$t'").mkString(", ")
     s"len(list_filter(regexp_extract_all(lower(text), '\\S+'), t -> t IN ($prof)))"
   }
+
+  val pipelineOracles: Map[String, String] = Map(
+
+    "q60_dataset_split" ->
+      """WITH bucketed AS (
+        |  SELECT *, CAST(('0x'||substring(md5('split:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 AS b
+        |  FROM documents)
+        |SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM bucketed
+        |GROUP BY 1
+        |ORDER BY split""".stripMargin,
+
+    "q61_curation" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |             t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |           / len(regexp_extract_all(lower(text), '\S+')) END AS stop
+        |  FROM documents WHERE lang = 'en'),
+        |filtered AS (
+        |  SELECT doc_id, source, text,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM scored
+        |  WHERE least(greatest(
+        |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        |    * (1.0 - punct) * (0.5 + stop), 0.0), 1.0) > 0.3),
+        |kept AS (
+        |  SELECT f.* FROM filtered f
+        |  JOIN (SELECT fp, min(doc_id) AS doc_id FROM filtered GROUP BY fp) k
+        |    ON f.fp = k.fp AND f.doc_id = k.doc_id)
+        |SELECT source, count(*) AS n_kept,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM kept
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q62_mixture_sample" ->
+      """SELECT source, rn, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('mix:'||CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5
+        |ORDER BY source, rn""".stripMargin
+  )
 
   val oracles: Map[String, String] = Map(
 
