@@ -25,7 +25,7 @@ import graft.pipeline.EmbeddingPipeline
   */
 object Main {
 
-  private case class Args(
+  private[cli] case class Args(
       initDatabase: Option[String] = None,
       initName: Option[String] = None,
       database: Option[String] = None,
@@ -34,7 +34,7 @@ object Main {
       commandArg: Option[String] = None,
       generateEmbeddings: Option[Int] = None)
 
-  private def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
+  private[cli] def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
     case Nil => acc
     case ("-i" | "--init-database") :: v :: rest => parseArgs(rest, acc.copy(initDatabase = Some(v)))
     case ("-n" | "--init-database-name") :: v :: rest => parseArgs(rest, acc.copy(initName = Some(v)))
