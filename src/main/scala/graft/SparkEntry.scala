@@ -44,5 +44,5 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_revenue", "q05_window_topn",
     "q19_sessionize", "q20_knn_cosine", "q22_knn_batch", "q23_ivf_probe",
-    "q31_minhash_lsh", "q36_quality")
+    "q31_minhash_lsh", "q36_quality", "q61_curation")
 }

@@ -264,6 +264,34 @@ object RelationalQueries {
         .orderBy("status", "priority")
     }),
 
+    // JSON → typed struct via from_json (schema-on-read for the props
+    // column), grouped stats over the extracted field.
+    "q63_json_struct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))))
+        .groupBy(col("event_type"))
+        .agg(
+          min(col("p.k")).as("min_k"),
+          max(col("p.k")).as("max_k"),
+          count(when(col("p.k") > 50, 1)).as("n_big_k"))
+        .orderBy("event_type")
+    }),
+
+    // Pivot: event counts as one column per event type (fixed small
+    // domain); the oracle is the equivalent conditional aggregation, which
+    // is also exactly what Catalyst lowers pivot to.
+    "q64_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")
+    }),
+
     // Skew-salted join vs a plain SQL join oracle: salting must be
     // invisible in the result (the hot key here: a handful of customers
     // own most orders after the filter).
@@ -540,6 +568,26 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q63_json_struct" ->
+      """SELECT event_type,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+        |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_big_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q64_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
 
     "q57_salted_join" ->
       """SELECT c_mktsegment, count(*) AS n,
