@@ -176,6 +176,47 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Connected components over a candidate-pair graph → dedup clusters:
+    * every document gets the smallest doc id reachable through candidate
+    * edges as its cluster representative (so "keep one per cluster" =
+    * `filter(id === cluster_rep)`).
+    *
+    * Distributed min-label propagation: each round, every node adopts the
+    * minimum label in its closed neighborhood; converges in
+    * O(component diameter) rounds — near-dup components are tiny, so 2–3
+    * rounds in practice. Each round is one join + one aggregation on the
+    * (small) edge set, not the corpus; at extreme graph sizes a dedicated
+    * graph engine would slot in behind the same signature.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.unionByName(
+      fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("label", "n_label"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min("n_label").as("n_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("n_min"), col("label"))).as("label"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_rep"))
+  }
+
   /** Embedding-cosine near-dup pairs, LSH-prefiltered: only pairs sharing a
     * sign-bucket code are scored (the bucket join is the scale guard; the
     * cosine is codegen'd). Returns all scored pairs; callers threshold or

@@ -51,6 +51,19 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Dedup clusters: connected components over the MinHash-LSH candidate
+    // pairs (min-label propagation); each doc maps to the smallest doc_id
+    // reachable through near-dup edges. Oracle: recursive CTE over the same
+    // edges.
+    "q65_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidates(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text",
+        shingleN = 5, numHashes = 8, rowsPerBand = 2)
+      Dedup.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster_rep"))
+        .orderBy("doc_id")
+    }),
+
     // Embedding-cosine near-dup: sign-bucket LSH prefilter, top-20 most
     // similar in-bucket pairs (the corpus has no >0.5-cosine pairs, so the
     // operator reports the nearest ones rather than a thresholded set).
@@ -150,6 +163,32 @@ object DedupQueries {
          |JOIN sizes sb ON sb.doc_id = b_id
          |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q65_dedup_clusters" ->
+      s"""WITH $shinglesCte,
+         |$signaturesCte,
+         |$bandsCte,
+         |ok_buckets AS (
+         |  SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |eligible AS (
+         |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM eligible a JOIN eligible b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         |  -- every (node, reachable-node) pair; UNION dedups so it terminates
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+         |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+         |FROM reach
+         |GROUP BY id
+         |ORDER BY doc_id""".stripMargin.replace("WITH toks", "WITH RECURSIVE toks"),
 
     "q34_embed_neardup" -> {
       val bucket = (0 until 8)

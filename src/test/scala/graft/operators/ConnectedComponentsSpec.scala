@@ -1,0 +1,32 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("components resolve to the min reachable id, including chains") {
+    // two components: {1,2,3,9} connected as a chain 9-3, 3-2, 2-1
+    // (forces >1 propagation round), and {5,6}
+    val pairs = Seq((3L, 9L), (2L, 3L), (1L, 2L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("isolated pairs and self-consistency on real candidates") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    // every representative is itself a member mapped to itself
+    val reps = cc.map(_._2).toSet
+    val selfMapped = cc.filter { case (id, rep) => id == rep }.map(_._1).toSet
+    assert(reps.subsetOf(selfMapped))
+    // representatives are minimal in their cluster
+    cc.foreach { case (id, rep) => assert(rep <= id) }
+  }
+}
