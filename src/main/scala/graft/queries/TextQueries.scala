@@ -117,8 +117,13 @@ object TextQueries {
         .withColumn("__q", TextAnalysis.qualityScoreFrom(col("text"), col("__punct"), col("__stop")))
         .filter(col("lang") === "en" && col("__q") > 0.3)
         .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
-      val keep = docs.groupBy("__fp").agg(min("doc_id").as("doc_id"))
-      docs.join(keep, Seq("__fp", "doc_id"), "left_semi")
+      // keep-min-per-fingerprint via a window, not groupBy + semi-join:
+      // the join formulation would recompute the whole regex/score lineage
+      // once per join side; the window is one shuffle on fp, single pass
+      docs
+        .withColumn("__keep", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
+        .filter(col("doc_id") === col("__keep"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"),
           sum(length(col("text"))).as("n_chars"))
