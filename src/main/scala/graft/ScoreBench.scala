@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
   */
 object ScoreBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "200").toInt
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -23,7 +23,7 @@ object ScoreBench {
     val rows = sys.env.getOrElse("SPARK_GRAFT_ROWS", "2000000").toLong
     val dim = 64
     val e = spark.range(rows).toDF("vec_id")
-      .repartition(32)
+      .repartition(cpus.toInt)
       .select($"vec_id", transform(
         sequence(lit(0), lit(dim - 1)),
         j => ((pmod($"vec_id" * 2654435761L + j * 40503L, lit(2000)) - 1000L)

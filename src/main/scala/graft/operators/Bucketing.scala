@@ -15,10 +15,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed (and optionally sorted) managed table. */
+  /** Write `df` as a bucketed (and optionally sorted) table — managed by
+    * default, external when `path` is given (keeps data out of the session
+    * warehouse).
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int, sortByKey: Boolean = true): Unit = {
-    val w = df.write.mode("overwrite").bucketBy(buckets, key)
+      buckets: Int, sortByKey: Boolean = true,
+      path: Option[String] = None): Unit = {
+    val base = df.write.mode("overwrite").bucketBy(buckets, key)
+    val w = path.fold(base)(p => base.option("path", p))
     (if (sortByKey) w.sortBy(key) else w).saveAsTable(table)
   }
 

@@ -189,7 +189,7 @@ object Dedup {
     * graph engine would slot in behind the same signature.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
-      bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+      bCol: String = "b_id", maxIter: Int = 50): DataFrame = {
     val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
@@ -203,18 +203,28 @@ object Dedup {
           .withColumnRenamed("label", "n_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("n_label").as("n_min"))
+      // carry the previous label through, so convergence is a filter on
+      // this frame — no second join, one action per round
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("n_min"), col("label"))).as("label"))
         .cache()
-      converged = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
+      converged = next.filter(col("label") =!= col("old")).isEmpty
       labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id"), col("label").as("cluster_rep"))
+    // fail LOUD on non-convergence: a silently non-minimal label would
+    // diverge from the exact transitive-closure oracle only at the scale
+    // that trips the cap (the failure class the oracle conventions forbid)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds the cap; raise maxIter")
+    val out = labels.select(col("id"), col("label").as("cluster_rep"))
+    labels.unpersist() // lineage recomputes the last round if re-read; no pin
+    out
   }
 
   /** Embedding-cosine near-dup pairs, LSH-prefiltered: only pairs sharing a

@@ -165,7 +165,7 @@ object DedupQueries {
          |ORDER BY a_id, b_id""".stripMargin,
 
     "q65_dedup_clusters" ->
-      s"""WITH $shinglesCte,
+      s"""WITH RECURSIVE $shinglesCte,
          |$signaturesCte,
          |$bandsCte,
          |ok_buckets AS (
@@ -188,7 +188,7 @@ object DedupQueries {
          |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
          |FROM reach
          |GROUP BY id
-         |ORDER BY doc_id""".stripMargin.replace("WITH toks", "WITH RECURSIVE toks"),
+         |ORDER BY doc_id""".stripMargin,
 
     "q34_embed_neardup" -> {
       val bucket = (0 until 8)

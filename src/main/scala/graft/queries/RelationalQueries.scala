@@ -310,17 +310,18 @@ object RelationalQueries {
     // the oracle is the plain join on the source tables — identical rows
     // prove the bucketing layout is a pure physical optimization.
     "q58_bucketed_join" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q58").toString
+      // unique table names + scratch path per invocation: the query fn has
+      // write side effects by nature (bucketing IS a write-time layout), so
+      // concurrent/repeated calls must not race on shared catalog names
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_q58_$tag").toString
+      val (tO, tC) = (s"b58_orders_$tag", s"b58_customer_$tag")
       val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
       val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
-      s.sql("DROP TABLE IF EXISTS b58_orders")
-      s.sql("DROP TABLE IF EXISTS b58_customer")
-      o.write.mode("overwrite").option("path", s"$tmp/o")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b58_orders")
-      c.withColumnRenamed("c_custkey", "o_custkey")
-        .write.mode("overwrite").option("path", s"$tmp/c")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b58_customer")
-      s.table("b58_orders").join(s.table("b58_customer"), Seq("o_custkey"))
+        .withColumnRenamed("c_custkey", "o_custkey")
+      graft.operators.Bucketing.writeBucketed(o, tO, "o_custkey", 8, path = Some(s"$tmp/o"))
+      graft.operators.Bucketing.writeBucketed(c, tC, "o_custkey", 8, path = Some(s"$tmp/c"))
+      graft.operators.Bucketing.cozyJoin(s, tO, tC, "o_custkey")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
         .orderBy("c_mktsegment")

@@ -194,8 +194,8 @@ object TextQueries {
     "q62_mixture_sample" ->
       """SELECT source, rn, doc_id FROM (
         |  SELECT source, doc_id,
-        |    row_number() OVER (PARTITION BY source
-        |      ORDER BY md5('mix:'||CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('mix:'||CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |  FROM documents)
         |WHERE rn <= 5
         |ORDER BY source, rn""".stripMargin

@@ -177,8 +177,8 @@ object VectorQueries {
         |), scored AS (
         |  SELECT q.query_id, e.vec_id,
         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])) AS raw_score,
-        |    row_number() OVER (PARTITION BY q.query_id
-        |                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])) DESC, e.vec_id) AS rank
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank
         |  FROM embeddings e CROSS JOIN q
         |)
         |SELECT query_id, vec_id, round(raw_score, 6) AS score, rank
@@ -210,8 +210,8 @@ object VectorQueries {
         |), scored AS (
         |  SELECT q.query_id, e.vec_id,
         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])) AS raw_score,
-        |    row_number() OVER (PARTITION BY q.query_id
-        |                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])) DESC, e.vec_id) AS rank
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank
         |  FROM embeddings e CROSS JOIN q
         |)
         |SELECT query_id, vec_id, round(raw_score, 6) AS score, rank
