@@ -54,6 +54,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * collection with a schema; fails if it already exists.
     */
   def createCollection(name: String, schema: StructType = VectorRecord.schema): Unit = {
+    recoverIfCrashed(name) // a crashed rewrite's data must not be shadowed
     val dir = collDir(name)
     if (fs.exists(dir)) throw new IllegalStateException(s"collection exists: $name")
     fs.mkdirs(dir)
@@ -138,11 +139,53 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   /** BULKINSERT (reference `src/command/types.rs:69-80`): append a DataFrame
     * of records. The scalable ingest path — appends parquet part-files, no
     * rewrite of existing data.
+    *
+    * Indexed collections (REINDEX moved the data under `cluster_id=...`
+    * partition dirs): a plain root-level append would be INVISIBLE to the
+    * partition-discovering read — silent row loss. So the append is
+    * layout-aware: arriving rows get a `cluster_id` in the same write pass
+    * (sign-bucket code or nearest stored centroid — both pure column math)
+    * and land `partitionBy("cluster_id")`; a layout whose assignment rule
+    * the sidecar doesn't carry appends into a reserved `cluster_id=-1`
+    * unindexed-tail partition, which exact scans always read and probes of
+    * recognized layouts never produce (both assignment rules emit ≥ 0).
     */
   def bulkInsert(name: String, df: DataFrame): Unit = {
     requireCollection(name)
-    align(name, df).write.mode("append").parquet(collDir(name).toString)
+    val aligned = align(name, df)
+    appendAssignment(name) match {
+      case Some(assign) =>
+        assign(aligned).write.mode("append")
+          .partitionBy("cluster_id").parquet(collDir(name).toString)
+      case None =>
+        aligned.write.mode("append").parquet(collDir(name).toString)
+    }
   }
+
+  /** True when the collection's files live under cluster_id partition dirs
+    * (i.e. a REINDEX happened and appends must follow that layout).
+    */
+  private def hasClusterLayout(name: String): Boolean =
+    fs.listStatus(collDir(name)).exists { s =>
+      s.isDirectory && s.getPath.getName.startsWith("cluster_id=")
+    }
+
+  /** How to assign `cluster_id` to rows appended to `name`, or None for an
+    * unindexed (flat) collection.
+    */
+  private def appendAssignment(name: String): Option[DataFrame => DataFrame] =
+    if (!hasClusterLayout(name)) None
+    else indexType(name) match {
+      case Some("sign_bucket") =>
+        Some(VectorIndex.assignSignBuckets(_, nBits = indexBits(name)))
+      case Some("kmeans") =>
+        Some(VectorIndex.assignNearestCentroid(_, centroidsOf(name)))
+      case _ =>
+        // unknown layout (custom reindexWith): rows stay readable in the
+        // unindexed tail; SEARCHSIMILAR on unknown layouts is exact-scan
+        // anyway, so nothing ever prunes these rows away.
+        Some(_.withColumn("cluster_id", lit(-1)))
+    }
 
   /** UPDATE (reference `src/command/types.rs:82-93`): upsert by key.
     * anti-join keeps the untouched rows, union appends the new versions —
@@ -162,13 +205,17 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val hasIndex = current.columns.contains("cluster_id")
     val base = if (hasIndex) current.drop("cluster_id") else current
     val merged = graft.operators.Mutations.upsert(base, align(name, updates), key)
-    val next =
-      if (hasIndex && indexType(name).contains("sign_bucket"))
+    val next = (if (hasIndex) indexType(name) else None) match {
+      case Some("sign_bucket") =>
         VectorIndex.assignSignBuckets(merged, nBits = indexBits(name))
-      else {
+      case Some("kmeans") =>
+        // re-assign against the stored centroids (same rule the append path
+        // uses) — the index survives the update instead of being dropped
+        VectorIndex.assignNearestCentroid(merged, centroidsOf(name))
+      case _ =>
         if (hasIndex) fs.delete(new Path(collDir(name), IndexMetaFile), false)
         merged
-      }
+    }
     rewrite(name, next)
   }
 
@@ -203,19 +250,39 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * trade measured.
     */
   def searchSimilar(name: String, query: Array[Float], k: Int,
-      metric: String = "cosine", probeRadius: Int = -1): DataFrame = {
+      metric: String = "cosine", probeRadius: Int = -1,
+      idCol: String = "id"): DataFrame = {
     val data = read(name)
-    // probe ONLY sign-bucket layouts (the sidecar proves both the bucket
-    // semantics and the bit width). A cluster_id from KMeans or an external
-    // assign function has no sign-bit meaning — probing it with sign codes
-    // would silently return wrong neighbors, so those fall back to exact.
+    // probe ONLY layouts whose sidecar carries the assignment semantics:
+    // sign_bucket (probeRadius = hamming bit-flip radius) or kmeans
+    // (probeRadius = extra cells beyond the nearest, i.e. nprobe − 1 —
+    // radius 0 means "just the query's own cell" for both). A cluster_id
+    // from an external assign function has no recoverable geometry, so it
+    // falls back to exact rather than silently returning wrong neighbors.
+    lazy val layout = indexType(name)
     if (probeRadius >= 0 && data.columns.contains("cluster_id")
-        && indexType(name).contains("sign_bucket")) {
-      VectorIndex.probe(data, query, k, metric, indexBits(name), probeRadius)
+        && layout.contains("sign_bucket")) {
+      VectorIndex.probe(data, query, k, metric, indexBits(name), probeRadius,
+        idCol = idCol)
+    } else if (probeRadius >= 0 && data.columns.contains("cluster_id")
+        && layout.contains("kmeans")) {
+      VectorIndex.probeKMeans(data, query, k, metric, centroidsOf(name),
+        nprobe = probeRadius + 1, idCol = idCol)
     } else {
-      SimilaritySearch.topK(data, query, k, metric)
+      SimilaritySearch.topK(data, query, k, metric, idCol = idCol)
     }
   }
+
+  /** SQ8-accelerated SEARCHSIMILAR (see [[SimilaritySearch.topKSq8]]): scan
+    * int8-quantized scores for everything, exact-rerank only a shortlist.
+    * Works on any layout (no index required) — the accelerator of choice
+    * when the corpus has no cluster structure for an IVF probe to exploit.
+    */
+  def searchSimilarSq8(name: String, query: Array[Float], k: Int,
+      shortlist: Int = 1000, metric: String = "cosine",
+      idCol: String = "id"): DataFrame =
+    SimilaritySearch.topKSq8(read(name), query, k, shortlist, metric,
+      idCol = idCol)
 
   private def indexSidecar(name: String): Option[String] = {
     val sidecar = new Path(collDir(name), IndexMetaFile)
@@ -235,6 +302,21 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .map(_.group(1).toInt)
       .getOrElse(8)
 
+  /** Centroids recorded by [[reindexKMeans]]'s sidecar. The JSON is written
+    * by this class (Double.toString round-trips exactly), so a bracketed
+    * split is a faithful parse.
+    */
+  private def centroidsOf(name: String): Array[Array[Double]] = {
+    val json = indexSidecar(name).getOrElse(
+      throw new IllegalStateException(s"no index sidecar for $name"))
+    val body = "\"centroids\"\\s*:\\s*\\[\\[(.*)\\]\\]".r
+      .findFirstMatchIn(json)
+      .getOrElse(throw new IllegalStateException(
+        s"index sidecar for $name has no centroids"))
+      .group(1)
+    body.split("\\],\\s*\\[").map(_.split(",").map(_.trim.toDouble))
+  }
+
   /** REINDEX with the default deterministic sign-bucket index; records the
     * bit width so probes know the code space.
     */
@@ -242,6 +324,26 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     reindexWith(name, df => VectorIndex.assignSignBuckets(df, nBits = nBits))
     writeString(fs, new Path(collDir(name), IndexMetaFile),
       s"""{"type": "sign_bucket", "bits": $nBits}""")
+  }
+
+  /** REINDEX with a KMeans-centroid IVF layout: train centroids, rewrite
+    * partitioned by nearest-centroid cell, and record the centroids in the
+    * sidecar — they are what makes the index *live*: SEARCHSIMILAR probes
+    * the nprobe nearest cells, and INSERT/BULKINSERT assigns arriving rows
+    * by the same nearest-centroid rule (no invalidation, no row loss).
+    */
+  def reindexKMeans(name: String, k: Int = 16, seed: Long = 42L): Unit = {
+    requireCollection(name)
+    val base = {
+      val cur = read(name)
+      if (cur.columns.contains("cluster_id")) cur.drop("cluster_id") else cur
+    }
+    val (assigned, centroids) = VectorIndex.kmeansAssign(base, "embedding", k, seed)
+    rewrite(name, assigned, partitionBy = Seq("cluster_id"))
+    val cents = centroids
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    writeString(fs, new Path(collDir(name), IndexMetaFile),
+      s"""{"type": "kmeans", "k": $k, "centroids": $cents}""")
   }
 
   /** TRUNCATEWAL parity (reference `src/command/types.rs:44-54` — "truncate
@@ -289,9 +391,38 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val idx = new Path(dir, IndexMetaFile)
     if (fs.exists(idx))
       writeString(fs, new Path(tmp, IndexMetaFile), readString(fs, idx))
-    fs.delete(dir, true)
-    if (!fs.rename(tmp, dir))
-      throw new IllegalStateException(s"rewrite swap failed for $name")
+    // crash-safe swap: the old version moves to a trash path (not deleted),
+    // so at every instant either the live dir or the trash holds a complete
+    // copy — a crash between the two renames is recovered by
+    // recoverIfCrashed on the next access. Trash left by a crash AFTER a
+    // successful swap is stale (live dir exists) and is discarded here.
+    val trash = trashPath(name)
+    if (fs.exists(trash)) fs.delete(trash, true)
+    if (!fs.rename(dir, trash))
+      throw new IllegalStateException(s"rewrite swap failed for $name (live → trash)")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(trash, dir) // restore — readers never observe an absent collection
+      throw new IllegalStateException(s"rewrite swap failed for $name (new → live)")
+    }
+    fs.delete(trash, true)
+    ()
+  }
+
+  private def trashPath(name: String): Path =
+    new Path(root, s"${ReservedPrefix}trash_$name")
+
+  /** Recovery for a rewrite that crashed between its two renames: the old
+    * version sits whole in the trash path and the live dir is absent (or a
+    * partial artifact) — move it back. Idempotent; called before any
+    * collection access resolves "no such collection".
+    */
+  private def recoverIfCrashed(name: String): Unit = {
+    val trash = trashPath(name)
+    if (fs.exists(new Path(trash, MetaFile)) && !fs.exists(metaPath(name))) {
+      if (fs.exists(collDir(name))) fs.delete(collDir(name), true)
+      if (!fs.rename(trash, collDir(name)))
+        throw new IllegalStateException(s"crash recovery failed for $name")
+    }
   }
 
   /** REINDEX (reference `src/command/types.rs:134-144`): assign a cluster id
@@ -302,15 +433,21 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def reindexWith(name: String, assign: DataFrame => DataFrame): Unit = {
     requireCollection(name)
-    val clustered = assign(read(name))
+    val current = read(name)
+    val base = // re-reindex: the old assignment is dead weight, drop it
+      if (current.columns.contains("cluster_id")) current.drop("cluster_id")
+      else current
+    val clustered = assign(base)
     require(clustered.columns.contains("cluster_id"),
       "reindex assignment must add a cluster_id column")
     rewrite(name, clustered, partitionBy = Seq("cluster_id"))
   }
 
-  private def requireCollection(name: String): Unit =
+  private def requireCollection(name: String): Unit = {
+    if (!hasCollection(name)) recoverIfCrashed(name)
     if (!hasCollection(name))
       throw new IllegalArgumentException(s"no such collection: $name")
+  }
 }
 
 object GraftDatabase {

@@ -92,13 +92,27 @@ object Dedup {
     * combinatorics. A self-join formulation would recompute the entire
     * upstream shingle→signature pipeline once per join side; this shape
     * computes it once and shuffles each (band, key) group to a single
-    * reducer. (collect_set buffers a bucket's members before the size
-    * filter; a truly adversarial corpus would want a pre-aggregation
-    * member cap, which maxBucketSize approximates.)
+    * reducer.
+    *
+    * The cap is enforced BEFORE aggregation: a `row_number() ≤ cap+1`
+    * window over (band, band_key) keeps only the first cap+1 members of any
+    * bucket, so the agg buffer is bounded at cap+1 ids no matter how
+    * degenerate a bucket gets (an adversarial corpus can't OOM an executor
+    * through `collect_set`), while the overflow test stays exact: an
+    * original bucket exceeds the cap iff its capped size is cap+1. The
+    * window's sort spills to disk under pressure — the property the
+    * aggregation buffer lacks. Result is unchanged from filtering after
+    * aggregation (the oracle SQL's plain HAVING-BETWEEN mirrors it).
+    *
+    * Precondition: one row per (band, band_key, id) — what [[bandKeys]]
+    * emits. Duplicate id rows would count against the cap twice.
     */
   def candidatePairs(banded: DataFrame, idCol: String,
       maxBucketSize: Int = 1000): DataFrame = {
+    val perBucket = Window.partitionBy("band", "band_key").orderBy(col(idCol))
     val bucketed = banded
+      .withColumn("__rn", row_number().over(perBucket))
+      .filter(col("__rn") <= maxBucketSize + 1)
       .groupBy("band", "band_key")
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)

@@ -53,6 +53,81 @@ object SimilaritySearch {
     ordered.limit(k)
   }
 
+  /** int8 scalar quantization of a float/double vector: each component
+    * becomes `floor(x·127 + 0.5)` clamped to [−127, 127] (explicit floor
+    * rather than `round` so no engine rounding-mode choice can flip a
+    * midpoint — the rule is reproducible in any SQL dialect). Computed in
+    * double so float·int promotion can't move a value across a floor
+    * boundary between engines.
+    */
+  def sq8(vec: Column): Column =
+    transform(vec, x =>
+      greatest(lit(-127), least(lit(127),
+        floor(x.cast("double") * 127 + 0.5).cast("int"))))
+
+  /** SQ8-accelerated top-k: rank everything by the cosine of the int8
+    * QUANTIZED vectors (4× less data to read when the quantized column is
+    * stored, and integer products are exact in double — the approximate
+    * score is bit-reproducible across engines), keep a `shortlist`, then
+    * exact-rerank only the shortlist with full-precision vectors.
+    *
+    * This is the ANN path that holds up on corpora with no cluster
+    * structure (where any cell-probing index — sign-bucket or KMeans —
+    * must scan most of the data to recall well, see IvfRecallSpec): the
+    * first pass touches every row but only the small quantized column, and
+    * exact scoring touches ≤ `shortlist` rows. Both passes are
+    * TakeOrderedAndProject (bounded heaps), never a full sort.
+    *
+    * Ties break on (approx score, id) for the shortlist and (score, id)
+    * for the final rank, so the result is total-order deterministic and a
+    * SQL oracle can reproduce it exactly.
+    */
+  /** The quantized-scan half of [[topKSq8]]: every row scored by the cosine
+    * of the int8 vectors, top `shortlist` kept (TakeOrderedAndProject), the
+    * full-precision vector column carried through for reranking. The
+    * approximate score is integer-exact in double, so a SQL oracle
+    * reproduces the shortlist bit-for-bit.
+    */
+  def sq8Shortlist(
+      collection: DataFrame,
+      queryVec: Array[Float],
+      shortlist: Int,
+      metric: String = "cosine",
+      vecCol: String = "embedding",
+      idCol: String = "id"): DataFrame = {
+    require(metric == "cosine" || metric == "dot",
+      s"sq8 shortlist supports cosine/dot, got $metric")
+    // quantize the query driver-side with the same rule as sq8(); int
+    // values cast to float are exact, so cosine_sim's double accumulation
+    // over them is integer-exact arithmetic — reproducible bit-for-bit.
+    val q8 = queryVec.map(x =>
+      math.max(-127, math.min(127, math.floor(x.toDouble * 127 + 0.5).toInt)).toFloat)
+    val q8col = transform(sq8(col(vecCol)), x => x.cast("float"))
+    val (approx, _) = score(metric, q8col, lit(q8))
+    collection
+      .withColumn("approx_score", approx)
+      .orderBy(desc("approx_score"), col(idCol))
+      .limit(shortlist)
+  }
+
+  def topKSq8(
+      collection: DataFrame,
+      queryVec: Array[Float],
+      k: Int,
+      shortlist: Int,
+      metric: String = "cosine",
+      vecCol: String = "embedding",
+      idCol: String = "id"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = sq8Shortlist(collection, queryVec, shortlist, metric, vecCol, idCol)
+    val (exact, _) = score(metric, col(vecCol), lit(queryVec))
+    short
+      .withColumn("score", exact)
+      .drop(vecCol)
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
   /** Exact per-query top-k via a bounded heap aggregation instead of a
     * ranking window: partial aggregation ships ≤ k rows per partition per
     * query through the shuffle (the window formulation shuffles every

@@ -98,4 +98,61 @@ object VectorIndex {
     val assigned = model.transform(withVec).drop("__features")
     (assigned, model.clusterCenters.map(_.toArray))
   }
+
+  /** Nearest-centroid id as a column: argmin over centroids of ‖x − c‖²,
+    * computed as argmin of (‖c‖²/2 − x·c) — monotone-equivalent because the
+    * row's own norm is constant across centroids — so the per-centroid work
+    * is one codegen'd [[graft.functions.dot_product]] against a literal.
+    * Ties break to the lowest centroid id (struct ordering on (d, c)).
+    *
+    * This is the append-path twin of [[kmeansAssign]]: INSERT/BULKINSERT into
+    * a KMeans-indexed collection assigns arriving rows with this expression
+    * (pure column math in the write pass — no model, no training, no
+    * collect), which is exactly IVF semantics: a cell is "the centroid you
+    * are nearest to".
+    */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "nearestCentroid: no centroids")
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val halfNorm = c.map(x => x * x).sum / 2.0
+      struct((lit(halfNorm) - graft.functions.dot_product(vec, lit(c))).as("d"),
+        lit(i).as("c"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("c")
+  }
+
+  /** Add `cluster_id` via nearest centroid (see [[nearestCentroid]]). */
+  def assignNearestCentroid(df: DataFrame, centroids: Array[Array[Double]],
+      vecCol: String = "embedding"): DataFrame =
+    df.withColumn("cluster_id", nearestCentroid(col(vecCol), centroids))
+
+  /** The `nprobe` centroid ids nearest to a query vector, driver-side (the
+    * centroid table is tiny — it rode in on the index sidecar).
+    */
+  def nearestCentroidIds(query: Array[Float], centroids: Array[Array[Double]],
+      nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex.map { case (c, i) =>
+      var s = 0.0
+      var j = 0
+      while (j < c.length) {
+        val d = (if (j < query.length) query(j).toDouble else 0.0) - c(j)
+        s += d * d
+        j += 1
+      }
+      (s, i)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+
+  /** KMeans-IVF probe: partition-pruned scan of the `nprobe` cells nearest
+    * the query, exact top-k rerank inside. The scan cost is ~nprobe/k of the
+    * collection (cells are size-balanced by construction — KMeans' advantage
+    * over sign buckets on skewed corpora).
+    */
+  def probeKMeans(indexed: DataFrame, query: Array[Float], k: Int,
+      metric: String, centroids: Array[Array[Double]], nprobe: Int,
+      vecCol: String = "embedding", idCol: String = "id"): DataFrame = {
+    val cand = nearestCentroidIds(query, centroids, math.max(1, nprobe))
+    SimilaritySearch.topK(
+      indexed.filter(col("cluster_id").isin(cand: _*)),
+      query, k, metric, vecCol, idCol)
+  }
 }

@@ -59,22 +59,31 @@ object EmbeddingPipeline {
     */
   def processEmbeddings(spark: SparkSession, inputPath: String, amount: Int,
       outputPath: String, dim: Int = 64, verbose: Boolean = true): DataFrame = {
+    // File word order without serializing the read: the text source emits
+    // rows in line order within each split, and a single file's splits map
+    // to partitions in byte-offset order, so `monotonically_increasing_id`
+    // (partition-prefixed, in-partition sequential) sorts lines exactly as
+    // the file orders them — no RDD hop, no single-partition window over
+    // the corpus. Multi-file inputs order by file name first (ids are only
+    // offset-ordered within one file).
     val lines = spark.read.text(inputPath)
-    val withLine = spark.createDataFrame(
-      lines.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row(i, r.getString(0)) },
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("line", org.apache.spark.sql.types.LongType, false),
-        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType, true))))
-
-    val words = withLine
-      .select(col("line"), posexplode(split(col("value"), "\\s+")).as(Seq("pos", "word")))
-      .filter(length(col("word")) > 0)
-      .orderBy(col("line"), col("pos"))
-      .limit(amount)
       .select(
+        input_file_name().as("__file"),
+        monotonically_increasing_id().as("__line_ord"),
+        col("value"))
+
+    val words = lines
+      .select(col("__file"), col("__line_ord"),
+        posexplode(split(col("value"), "\\s+")).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0)
+      .orderBy(col("__file"), col("__line_ord"), col("pos"))
+      .limit(amount) // bounded TakeOrderedAndProject — never a full sort
+      .select(
+        // ≤ `amount` rows from here on, so the global ranking window is a
+        // bounded single-task sort of the head slice, not of the corpus
         row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("line"), col("pos")))
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("__file"), col("__line_ord"), col("pos")))
           .cast("long").minus(1).as("id"),
         col("word").as("payload"))
 

@@ -119,6 +119,29 @@ object PipelineQueries {
         .orderBy("cluster_id")
     }),
 
+    // INSERT/BULKINSERT *after* REINDEX — the silent-row-loss regression
+    // gate (round-1 verdict #1): rows appended to an indexed collection must
+    // land inside the cluster_id partition layout, be visible to the
+    // partition-discovering read, AND carry the same bucket code a fresh
+    // REINDEX would assign. The oracle recomputes per-bucket counts over the
+    // FULL table — if appended rows were dropped (old bug) or mis-bucketed,
+    // the counts diverge.
+    "q66_insert_after_reindex" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q66")
+      db.createCollection("vecs", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      val src = Tables.embeddings(s, dir)
+      db.bulkInsert("vecs", src.filter(col("vec_id") % 5 =!= 0))
+      db.reindex("vecs", nBits = 4)
+      db.bulkInsert("vecs", src.filter(col("vec_id") % 5 === 0)) // post-index
+      db.read("vecs")
+        .groupBy(col("cluster_id").cast("long").as("cluster_id"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("vec_id")).as("n_ids"))
+        .orderBy("cluster_id")
+    }),
+
     // INSERT / UPDATE / DELETE through the command grammar, end state read
     // back through SEARCH; oracle is the literal expected table.
     "q45_command_mutations" -> ((s, dir) => {
@@ -199,6 +222,17 @@ object PipelineQueries {
         .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
         .mkString(" + ")
       s"""SELECT CAST($bucket AS BIGINT) AS cluster_id, count(*) AS n
+         |FROM embeddings
+         |GROUP BY 1
+         |ORDER BY cluster_id""".stripMargin
+    },
+
+    "q66_insert_after_reindex" -> {
+      val bucket = (0 until 4)
+        .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""SELECT CAST($bucket AS BIGINT) AS cluster_id, count(*) AS n,
+         |  CAST(count(DISTINCT vec_id) AS BIGINT) AS n_ids
          |FROM embeddings
          |GROUP BY 1
          |ORDER BY cluster_id""".stripMargin

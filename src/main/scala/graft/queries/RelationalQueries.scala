@@ -233,6 +233,19 @@ object RelationalQueries {
         .orderBy("user_id", "session_no")
     }),
 
+    // Skew-hardened sessionization: identical semantics to q19 but the
+    // per-event window is partitioned by (user, hour-chunk), so one hot
+    // user (bot traffic) can no longer serialize a reducer; chunk-boundary
+    // sessions are stitched back in a second window over the (tiny) local
+    // session summaries. Same oracle SQL as q19 — a hash match proves the
+    // two-phase merge is exact.
+    "q67_sessionize_2phase" -> ((s, dir) => {
+      graft.operators.Sessionize
+        .sessionSummaryChunked(Tables.events(s, dir), "user_id", "ts",
+          "event_id", gapSeconds = 300L, chunkSeconds = 3600L)
+        .orderBy("user_id", "session_no")
+    }),
+
     // As-of join: every purchase event gets its user's most recent prior
     // signup. Union-and-carry dataflow (one shuffle on user_id, no range
     // explosion); the oracle cross-checks with DuckDB's native ASOF JOIN —
@@ -529,6 +542,30 @@ object RelationalQueries {
         |ORDER BY rf, ls""".stripMargin,
 
     "q19_sessionize" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 300000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ordered),
+        |sess AS (
+        |  SELECT user_id, event_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |  count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 3) AS duration_sec
+        |FROM sess
+        |GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+
+    // same oracle as q19 on purpose: the two-phase operator must produce
+    // byte-identical sessions to the single-window formulation
+    "q67_sessionize_2phase" ->
       """WITH ordered AS (
         |  SELECT user_id, event_id, ts,
         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.core.GraftDatabase
 import graft.operators.{SimilaritySearch, VectorIndex}
 
 /** SEARCHSIMILAR (#10) + REINDEX (#11) coverage over the embeddings table:
@@ -114,6 +115,50 @@ object VectorQueries {
         .select(col("query_id"), col("vec_id"),
           round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // KMeans-IVF probe through the full database surface: REINDEX trains
+    // centroids into the index sidecar, SEARCHSIMILAR prunes to the nprobe=4
+    // nearest cells and exact-reranks inside. MLlib centroid identity is
+    // engine-specific → rows-only check (q48/q49 precedent).
+    "q68_kmeans_probe" -> ((s, dir) => {
+      val db = GraftDatabase.create(s,
+        java.nio.file.Files.createTempDirectory("graft_q68").toString, "qdb")
+      db.createCollection("vecs", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)),
+        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType))))
+      db.bulkInsert("vecs", Tables.embeddings(s, dir))
+      db.reindexKMeans("vecs", k = 16)
+      val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      db.searchSimilar("vecs", query, k = 10, metric = "cosine",
+          probeRadius = 3, idCol = "vec_id")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(desc("score"), col("vec_id"))
+    }),
+
+    // SQ8 rerank: rank everything by the cosine of int8-QUANTIZED vectors
+    // (integer math — bit-reproducible in any engine), shortlist 100, exact
+    // cosine rerank of the shortlist only. The oracle recomputes the same
+    // quantization rule (floor(x·127 + 0.5) clamped) in SQL, so this is a
+    // full hash-match gate on an ANN path — unlike cell-probing indexes,
+    // the quantized pass is deterministic across engines.
+    "q69_sq8_rerank" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val query = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      SimilaritySearch
+        .sq8Shortlist(e.filter(col("vec_id") =!= 0), query, shortlist = 100,
+          metric = "cosine", vecCol = "embedding", idCol = "vec_id")
+        .withColumn("score",
+          round(graft.functions.cosine_sim(col("embedding"), lit(query)), 6))
+        .select(col("vec_id"), col("score"),
+          round(col("approx_score"), 6).as("approx_score"))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
     }),
 
     // The SQL-text surface: graft's Catalyst expressions registered in the
@@ -233,6 +278,35 @@ object VectorQueries {
         |  round(avg(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS avg_norm
         |FROM embeddings
         |GROUP BY label
-        |ORDER BY label""".stripMargin
+        |ORDER BY label""".stripMargin,
+
+    // q68_kmeans_probe: rows-only (MLlib centroids aren't SQL-reproducible)
+    // — deliberately absent here, like q48/q49.
+
+    "q69_sq8_rerank" ->
+      // the int8 cosine written out explicitly (dot / (sqrt·sqrt)) so the
+      // IEEE op sequence matches the codegen'd expression exactly — every
+      // intermediate is an exact small integer in double, so the shortlist
+      // cut is bit-deterministic across engines
+      """WITH q8 AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> greatest(-127.0, least(127.0, floor(x * 127 + 0.5)))) AS qv
+        |  FROM embeddings),
+        |qq AS (SELECT qv AS qqv FROM q8 WHERE vec_id = 0),
+        |approx AS (
+        |  SELECT e.vec_id, e.embedding,
+        |    list_inner_product(e.qv, qq.qqv)
+        |      / (sqrt(list_inner_product(e.qv, e.qv)) * sqrt(list_inner_product(qq.qqv, qq.qqv))) AS a
+        |  FROM q8 e, qq
+        |  WHERE e.vec_id <> 0),
+        |short AS (
+        |  SELECT * FROM approx ORDER BY a DESC, vec_id LIMIT 100)
+        |SELECT s.vec_id AS vec_id,
+        |  round(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS score,
+        |  round(s.a, 6) AS approx_score
+        |FROM short s, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY score DESC, vec_id
+        |LIMIT 10""".stripMargin
   )
 }

@@ -20,13 +20,29 @@ object StatefulSessions {
   case class Session(user_id: Long, session_no: Long, n_events: Long,
       start_us: Long, duration_sec: Double)
 
+  /** Fold a user's events into sessions with BOUNDED memory: instead of
+    * materializing + sorting the whole group (a hot user — bot traffic — is
+    * an executor OOM on a real stream), events pass through a min-heap
+    * reorder buffer of at most `maxBuffer` entries. Once the buffer is
+    * full, the earliest buffered event is folded into the session state —
+    * correct as long as no event arrives more than `maxBuffer` positions
+    * out of order. If one does (its ts precedes an already-folded event),
+    * the fold fails LOUD rather than silently mis-sessionizing: on an
+    * unbounded stream that is the signal to raise the buffer or tighten the
+    * upstream watermark.
+    */
   def sessionize(events: Iterator[Event], gapUs: Long,
-      st: SessionState): (Seq[Session], SessionState, Long) = {
+      st: SessionState, maxBuffer: Int = 1 << 20): (Seq[Session], SessionState, Long) = {
     var state = st
     val out = scala.collection.mutable.ArrayBuffer[Session]()
     var uid = -1L
-    events.toSeq.sortBy(_.ts_us).foreach { e =>
+    def fold(e: Event): Unit = {
       uid = e.user_id
+      if (state.n != 0L && e.ts_us < state.lastUs)
+        throw new IllegalStateException(
+          s"sessionize: event at ts=${e.ts_us} for user ${e.user_id} arrived " +
+            s"more than maxBuffer=$maxBuffer positions out of order " +
+            s"(already folded up to ts=${state.lastUs}); raise maxBuffer")
       state =
         if (state.n == 0L) SessionState(1L, e.ts_us, e.ts_us, 1L)
         else if (e.ts_us - state.lastUs > gapUs) {
@@ -35,6 +51,15 @@ object StatefulSessions {
           SessionState(state.sessionNo + 1, e.ts_us, e.ts_us, 1L)
         } else state.copy(lastUs = e.ts_us, n = state.n + 1)
     }
+    // min-heap on ts_us; same-ts pop order is arbitrary, which cannot change
+    // the result (the fold only looks at ts deltas)
+    val heap = scala.collection.mutable.PriorityQueue.empty[Event](
+      Ordering.by[Event, Long](e => -e.ts_us))
+    events.foreach { e =>
+      heap.enqueue(e)
+      if (heap.size > maxBuffer) fold(heap.dequeue())
+    }
+    while (heap.nonEmpty) fold(heap.dequeue())
     (out.toSeq, state, uid)
   }
 
