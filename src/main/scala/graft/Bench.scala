@@ -37,7 +37,35 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val deltas = previousRoundTimes().fold("{}") { prev =>
+      results.flatMap { case (k, v) =>
+        prev.get(k).map(p => "\"" + k + "\":" + (v - p))
+      }.mkString("{", ",", "}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"delta_vs_prev":$deltas,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Per-query seconds from the newest BENCH_r{N}.json in the working dir —
+    * round-over-round regressions become visible in the artifact itself
+    * (positive delta = slower than last round). Parsed with a regex: the
+    * file is machine-written single-line JSON with known key shapes.
+    */
+  private def previousRoundTimes(): Option[Map[String, Double]] = {
+    val dir = new java.io.File(".")
+    val benches = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(_.getName)
+    benches.lastOption.flatMap { f =>
+      val text = scala.io.Source.fromFile(f)
+      val raw = try text.mkString finally text.close()
+      // the driver embeds our metric line inside a log-tail string field
+      // with escaped quotes — unescape before matching either shape
+      val json = raw.replace("\\\"", "\"")
+      "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(json).map { m =>
+        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(m.group(1))
+          .map(q => q.group(1) -> q.group(2).toDouble).toMap
+      }
+    }
   }
 }

@@ -44,5 +44,9 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q01_pricing_summary", "q03_join_revenue", "q05_window_topn",
     "q19_sessionize", "q20_knn_cosine", "q22_knn_batch", "q23_ivf_probe",
-    "q31_minhash_lsh", "q36_quality", "q61_curation")
+    "q31_minhash_lsh", "q36_quality", "q61_curation",
+    // round-2 additions: the most iterative pipeline (dedup clustering —
+    // most regression-prone), the skew-hardened sessionize (must not regress
+    // the balanced case vs q19), and the sq8 ANN path
+    "q65_dedup_clusters", "q67_sessionize_2phase", "q69_sq8_rerank")
 }

@@ -204,11 +204,33 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
       bCol: String = "b_id", maxIter: Int = 50): DataFrame = {
-    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // cache the pair projection BEFORE mirroring it — otherwise the union
+    // runs the entire upstream candidate pipeline twice — and size the
+    // iteration's parallelism from the measured edge count: the label
+    // frames are usually orders of magnitude smaller than the corpus, and
+    // per-round fixed cost (32-way shuffles of a few-KB frame) otherwise
+    // dominates the wall clock. ~1M edges per partition, capped at the
+    // cluster's parallelism.
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
+    val nEdges = fwd.count()
+    val parts = math.max(1L, math.min(
+      fwd.sparkSession.sparkContext.defaultParallelism.toLong,
+      nEdges / 1000000L + 1L)).toInt
+    // localCheckpoint (not cache) for everything the loop re-reads: each
+    // round's logical plan would otherwise carry the WHOLE iteration
+    // lineage — caching cuts physical recompute but Catalyst still
+    // re-analyzes the growing plan every round (quadratic planning cost),
+    // and an unpersist at the end would hand the caller a result that
+    // recomputes the entire pipeline on first use (this was ~2× the q65
+    // wall clock). Checkpointed frames are self-contained: rounds plan
+    // against a flat scan, and the returned frame is materialized.
     val edges = fwd.unionByName(
-      fwd.select(col("dst").as("src"), col("src").as("dst"))).cache()
+      fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(parts, col("dst")).localCheckpoint(true)
+    fwd.unpersist()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .repartition(parts, col("id"))
+      .withColumn("label", col("id")).localCheckpoint(true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -222,13 +244,11 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("n_min"), col("label"))).as("label"))
-        .cache()
+        .localCheckpoint(true)
       converged = next.filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
     // fail LOUD on non-convergence: a silently non-minimal label would
     // diverge from the exact transitive-closure oracle only at the scale
     // that trips the cap (the failure class the oracle conventions forbid)
@@ -236,9 +256,7 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "component diameter exceeds the cap; raise maxIter")
-    val out = labels.select(col("id"), col("label").as("cluster_rep"))
-    labels.unpersist() // lineage recomputes the last round if re-read; no pin
-    out
+    labels.select(col("id"), col("label").as("cluster_rep"))
   }
 
   /** Embedding-cosine near-dup pairs, LSH-prefiltered: only pairs sharing a

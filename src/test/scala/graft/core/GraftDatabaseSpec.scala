@@ -154,6 +154,122 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(moved == 0) // both dims negative → sign bucket 0
   }
 
+  test("bulkInsert after reindex keeps rows visible (round-1 verdict repro)") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    val rows = (0 until 32).map { i =>
+      VectorRecord(i.toLong, Array(
+        if ((i & 1) == 0) 1.0f else -1.0f,
+        if ((i & 2) == 0) 1.0f else -1.0f,
+        i.toFloat / 100 + 0.01f), s"p$i")
+    }
+    db.bulkInsert("vecs", rows.toDF())
+    db.reindex("vecs", nBits = 2)
+    // the round-1 bug: this append landed in root-level files the
+    // partitioned read silently ignored — 32 rows back, id=100 gone
+    db.bulkInsert("vecs",
+      Seq(VectorRecord(100L, Array(1.0f, 1.0f, 0.5f), "late")).toDF())
+    val after = db.read("vecs")
+    assert(after.count() == 33, "appended row lost after reindex")
+    // and it must carry the sign-bucket code its vector implies (bucket 3)…
+    assert(after.filter($"id" === 100)
+      .select($"cluster_id".cast("int")).as[Int].head() == 3)
+    // …so an index probe of that bucket finds it
+    val probed = db.searchSimilar("vecs", Array(1.0f, 1.0f, 0.5f), k = 9,
+      probeRadius = 0)
+    assert(probed.filter($"id" === 100).count() == 1,
+      "probe can't see the appended row")
+    // single-record INSERT takes the same path
+    db.insert("vecs", VectorRecord(101L, Array(-1.0f, -1.0f, -0.5f), "late2"))
+    assert(db.read("vecs").count() == 34)
+    assert(db.read("vecs").filter($"id" === 101)
+      .select($"cluster_id".cast("int")).as[Int].head() == 0)
+  }
+
+  test("kmeans reindex: sidecar centroids drive probe, appends, and update") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    // two well-separated planted clusters
+    val rows = (0 until 40).map { i =>
+      val base = if (i < 20) Array(1.0f, 0.0f, 0.0f) else Array(0.0f, 1.0f, 0.0f)
+      VectorRecord(i.toLong, base.updated(2, i.toFloat / 1000), s"p$i")
+    }
+    db.bulkInsert("vecs", rows.toDF())
+    db.reindexKMeans("vecs", k = 2)
+    val indexed = db.read("vecs")
+    assert(indexed.columns.contains("cluster_id"))
+    assert(indexed.select("cluster_id").distinct().count() == 2)
+
+    // probe of the nearest cell only (nprobe=1) returns that cluster's rows
+    val probed = db.searchSimilar("vecs", Array(1.0f, 0.0f, 0.0f), k = 40,
+      probeRadius = 0)
+    assert(probed.count() == 20)
+    assert(probed.select("id").as[Long].collect().forall(_ < 20))
+
+    // append assigns by nearest stored centroid — visible AND probed
+    db.bulkInsert("vecs",
+      Seq(VectorRecord(100L, Array(0.99f, 0.01f, 0.0f), "late")).toDF())
+    assert(db.read("vecs").count() == 41)
+    val probed2 = db.searchSimilar("vecs", Array(1.0f, 0.0f, 0.0f), k = 41,
+      probeRadius = 0)
+    assert(probed2.filter($"id" === 100).count() == 1)
+
+    // update keeps the kmeans index alive (re-assigns, no invalidation):
+    // the moved row changes cells
+    db.update("vecs", Seq(
+      VectorRecord(0L, Array(0.0f, 1.0f, 0.1f), "moved")).toDF())
+    val afterUpd = db.read("vecs")
+    assert(afterUpd.columns.contains("cluster_id"))
+    val probed3 = db.searchSimilar("vecs", Array(0.0f, 1.0f, 0.0f), k = 41,
+      probeRadius = 0)
+    assert(probed3.filter($"id" === 0).count() == 1,
+      "updated row not re-assigned to its new cell")
+  }
+
+  test("custom reindexWith layout: appends survive in the unindexed tail") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    db.bulkInsert("vecs", (0 until 8).map(i =>
+      VectorRecord(i.toLong, Array(i.toFloat, 1.0f), s"p$i")).toDF())
+    // a layout the sidecar can't describe (no sidecar at all)
+    db.reindexWith("vecs", df =>
+      df.withColumn("cluster_id", (col("id") % 3).cast("int")))
+    db.bulkInsert("vecs",
+      Seq(VectorRecord(50L, Array(9.0f, 1.0f), "late")).toDF())
+    val all = db.read("vecs")
+    assert(all.count() == 9, "append to unknown layout lost")
+    assert(all.filter($"id" === 50)
+      .select($"cluster_id".cast("int")).as[Int].head() == -1)
+    // exact search (the only path for unknown layouts) sees the row
+    val exact = db.searchSimilar("vecs", Array(9.0f, 1.0f), k = 1)
+    assert(exact.select("id").as[Long].head() == 50L)
+  }
+
+  test("rewrite swap crash between renames is recovered on next access") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    db.bulkInsert("vecs", (0 until 10).map(i =>
+      VectorRecord(i.toLong, Array(1.0f), s"p$i")).toDF())
+    // simulate the crash window: the old version moved to trash, the new
+    // version never renamed in — the live dir is absent
+    val fs = new org.apache.hadoop.fs.Path(db.root, "x")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live = new org.apache.hadoop.fs.Path(db.root, "vecs")
+    val trash = new org.apache.hadoop.fs.Path(db.root, "graft_trash_vecs")
+    assert(fs.rename(live, trash))
+    assert(!db.hasCollection("vecs"))
+    // first access recovers the trashed version; no data lost
+    assert(db.read("vecs").count() == 10)
+    assert(db.hasCollection("vecs"))
+    // and a crash AFTER a successful swap (stale trash + live dir both
+    // present): the live version wins, stale trash never shadows it
+    val trash2 = new org.apache.hadoop.fs.Path(db.root, "graft_trash_vecs")
+    fs.mkdirs(trash2)
+    db.delete("vecs", expr("id = 0")) // rewrite discards the stale trash
+    assert(db.read("vecs").count() == 9)
+    assert(!fs.exists(trash2))
+  }
+
   test("delete with NULL-evaluating predicate keeps those rows (SQL semantics)") {
     val db = freshDb()
     db.createCollection("vecs")

@@ -54,6 +54,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("candidatePairs: a degenerate hot bucket is dropped with bounded state") {
+    // one adversarial bucket with 300 members (would emit ~45k pairs and,
+    // pre-fix, buffer all 300 ids in one agg buffer) + one healthy pair
+    val banded = (
+      (0 until 300).map(i => (i.toLong, 0, "hot")) ++
+        Seq((1000L, 0, "ok"), (1001L, 0, "ok"))
+      ).toDF("doc_id", "band", "band_key")
+    val pairs = Dedup.candidatePairs(banded, "doc_id", maxBucketSize = 50)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1000L, 1001L)),
+      "hot bucket must contribute nothing; healthy bucket must survive")
+    // the pre-aggregation cap must appear in the plan BEFORE the aggregate:
+    // a window filter on row_number, so no collect_set ever sees > cap+1 ids
+    val plan = Dedup.candidatePairs(banded, "doc_id", maxBucketSize = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("row_number"), s"pre-agg cap window missing:\n$plan")
+  }
+
+  test("candidatePairs: bucket exactly at the cap is kept whole") {
+    val banded = (0 until 50).map(i => (i.toLong, 0, "full"))
+      .toDF("doc_id", "band", "band_key")
+    val n = Dedup.candidatePairs(banded, "doc_id", maxBucketSize = 50).count()
+    assert(n == 50L * 49 / 2, "cap-sized bucket must emit all its pairs")
+  }
+
   test("embeddingPairs only scores within sign buckets") {
     val vecs = Seq(
       (1L, Array(0.5f, 0.5f)), (2L, Array(0.6f, 0.4f)),   // bucket 3

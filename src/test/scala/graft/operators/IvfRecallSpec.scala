@@ -60,4 +60,101 @@ class IvfRecallSpec extends AnyFunSuite {
       s"radius-1 probe scanned $scanned of $total rows — pruning is broken")
     indexed.unpersist()
   }
+
+  /** Recall/scan of a kmeans probe over `indexed` for the given query ids. */
+  private def kmeansRecallScan(e: org.apache.spark.sql.DataFrame,
+      indexed: org.apache.spark.sql.DataFrame,
+      centroids: Array[Array[Double]], queryIds: Seq[Long],
+      nprobe: Int): (Double, Double) = {
+    import indexed.sparkSession.implicits._
+    val total = indexed.count().toDouble
+    val (hits, scanned) = queryIds.map { qid =>
+      val q = e.filter($"vec_id" === qid)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val exact = SimilaritySearch
+        .topK(e.filter($"vec_id" =!= qid), q, 10, "cosine",
+          vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      val cand = VectorIndex.nearestCentroidIds(q, centroids, nprobe)
+      val scan = indexed.filter($"cluster_id".isin(cand: _*)).count()
+      val probed = VectorIndex
+        .probeKMeans(indexed.filter($"vec_id" =!= qid), q, 10, "cosine",
+          centroids, nprobe, vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      ((exact intersect probed).size, scan)
+    }.unzip
+    (hits.sum.toDouble / (queryIds.size * 10),
+      scanned.sum.toDouble / (queryIds.size * total))
+  }
+
+  test("kmeans probe: recall@10 ≥ 0.9 at ≤ 25% scan on clustered data") {
+    // planted structure — the regime an IVF index exists for: 16 well-
+    // separated unit centers, 2000 points = center + noise, re-normalized.
+    // Deterministic (seeded) so this is a fixed property, not a flaky stat.
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(16)(normalize(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = (0 until 2000).map { i =>
+      val c = centers(i % 16)
+      val v = normalize(c.map(x => x + 0.25 * rnd.nextGaussian()))
+      (i.toLong, v.map(_.toFloat))
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val (indexed, centroids) = VectorIndex.kmeansAssign(e, "embedding", k = 16)
+    indexed.cache()
+    val (recall, scanFrac) = kmeansRecallScan(
+      e, indexed, centroids, Seq(1L, 17L, 101L, 250L, 444L), nprobe = 3)
+    indexed.unpersist()
+    assert(recall >= 0.9, f"clustered-data recall@10 $recall%.2f < 0.9")
+    assert(scanFrac <= 0.25, f"scan fraction $scanFrac%.2f > 0.25")
+  }
+
+  test("kmeans probe beats sign buckets on the (isotropic) testdata") {
+    // The real embeddings are near-isotropic (same-label mean cosine ≈ 0 —
+    // verified offline), so NO cell-probing index reaches 0.9 recall at a
+    // 25% scan here; this test pins the honest numbers: kmeans at nprobe=4
+    // (~25-30% scanned) must clearly beat sign-bucket radius-2 (~30%
+    // scanned, recall 0.30 — see the first test) on the same corpus.
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val (indexed, centroids) = VectorIndex.kmeansAssign(e, "embedding", k = 16)
+    indexed.cache()
+    val (recall, scanFrac) = kmeansRecallScan(
+      e, indexed, centroids, Seq(1L, 17L, 101L, 250L, 444L), nprobe = 4)
+    indexed.unpersist()
+    assert(recall >= 0.5, f"kmeans recall@10 $recall%.2f < 0.5 on testdata")
+    assert(scanFrac <= 0.40, f"kmeans nprobe=4 scanned $scanFrac%.2f > 0.40")
+  }
+
+  test("sq8 rerank: recall@10 ≥ 0.9 while exact-scoring ≤ 25% of rows") {
+    // the ANN path that does NOT depend on cluster structure: int8-
+    // quantized scan over everything (4× less data), exact rerank of a
+    // shortlist = 25% of rows. On this isotropic corpus — where cell
+    // probes cap out near 0.65 — this is the accelerator that actually
+    // meets the recall bar.
+    val e = graft.Tables.embeddings(spark, TestSpark.sf).cache()
+    val total = e.count().toInt
+    val shortlist = total / 4
+    val queryIds = Seq(1L, 17L, 101L, 250L, 444L)
+    val hits = queryIds.map { qid =>
+      val q = e.filter($"vec_id" === qid)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val rest = e.filter($"vec_id" =!= qid)
+      val exact = SimilaritySearch
+        .topK(rest, q, 10, "cosine", vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      val approx = SimilaritySearch
+        .topKSq8(rest, q, 10, shortlist, "cosine",
+          vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id").as[Long].collect().toSet
+      (exact intersect approx).size
+    }.sum
+    e.unpersist()
+    val recall = hits.toDouble / (queryIds.size * 10)
+    assert(recall >= 0.9, f"sq8 recall@10 $recall%.2f < 0.9")
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
 }

@@ -43,4 +43,37 @@ class StatefulSessionsSpec extends AnyFunSuite {
     assert(closed.map(s => (s.session_no, s.n_events)) == Seq((1L, 2L)))
     assert(st == StatefulSessions.SessionState(2L, 1000000000L, 1000000000L, 1L))
   }
+
+  test("sessionize folds a large out-of-order group through a bounded buffer") {
+    val gapUs = 300L * 1000000L
+    val zero = StatefulSessions.SessionState(0L, 0L, 0L, 0L)
+    // 100k events, 10 sessions (gap every 10k events), locally shuffled in
+    // reversed blocks of 64 — a disorder window the 128-entry buffer covers
+    def ts(i: Int): Long = // 1s cadence + an extra 400s jump per session
+      i.toLong * 1000000L + (i / 10000).toLong * 400L * 1000000L
+    val ordered = (0 until 100000).map(i => StatefulSessions.Event(3L, ts(i)))
+    val disordered = ordered.grouped(64).flatMap(_.reverse)
+    val (closedD, stD, _) = StatefulSessions.sessionize(
+      disordered, gapUs, zero, maxBuffer = 128)
+    val (closedO, stO, _) = StatefulSessions.sessionize(
+      ordered.iterator, gapUs, zero, maxBuffer = 128)
+    assert(stD == stO)
+    assert(closedD == closedO)
+    assert(closedD.size == 9, s"expected 9 closed sessions, got ${closedD.size}")
+    assert(closedD.forall(_.n_events == 10000L))
+  }
+
+  test("sessionize fails loud when disorder exceeds the buffer") {
+    val gapUs = 300L * 1000000L
+    val zero = StatefulSessions.SessionState(0L, 0L, 0L, 0L)
+    // an event 12 positions late with a buffer of 2 → must throw, not
+    // silently mis-sessionize
+    val evs = (1 to 12).map(i =>
+      StatefulSessions.Event(3L, (100L + i) * 1000000L)) :+
+      StatefulSessions.Event(3L, 50L * 1000000L)
+    val ex = intercept[IllegalStateException] {
+      StatefulSessions.sessionize(evs.iterator, gapUs, zero, maxBuffer = 2)
+    }
+    assert(ex.getMessage.contains("out of order"))
+  }
 }
