@@ -68,18 +68,30 @@ object CommandExecutor {
         val k = opts.getOrElse("k", "10").toInt
         val metric = opts.getOrElse("metric", "cosine")
         // radius >= 0 opts into the IVF probe on an indexed collection
-        // (see GraftDatabase.searchSimilar for the recall trade-off)
+        // (see GraftDatabase.searchSimilar for the recall trade-off);
+        // shortlist=<n> instead selects the SQ8 quantized-rerank path
+        // (index-free, structure-free — see SimilaritySearch.topKSq8)
         val radius = opts.getOrElse("radius", "-1").toInt
         val vec = opts.get("vec") match {
           case Some(v) => v.split(",").map(_.trim.toFloat)
           case None => throw new IllegalArgumentException(
             "SEARCHSIMILAR arg must include vec=f,f,...")
         }
-        db.searchSimilar(coll, vec, k, metric, radius)
+        opts.get("shortlist") match {
+          case Some(s) => db.searchSimilarSq8(coll, vec, k, s.toInt, metric)
+          case None => db.searchSimilar(coll, vec, k, metric, radius)
+        }
 
       case Reindex(coll, arg) =>
-        val bits = arg.map(parseKv).flatMap(_.get("bits")).map(_.toInt).getOrElse(8)
-        db.reindex(coll, bits)
+        val opts = arg.map(parseKv).getOrElse(Map.empty)
+        opts.getOrElse("type", "sign") match {
+          case "kmeans" =>
+            db.reindexKMeans(coll, k = opts.getOrElse("k", "16").toInt)
+          case "sign" =>
+            db.reindex(coll, nBits = opts.getOrElse("bits", "8").toInt)
+          case other => throw new IllegalArgumentException(
+            s"REINDEX type must be sign or kmeans, got: $other")
+        }
         status("REINDEX", coll)
     }
   }

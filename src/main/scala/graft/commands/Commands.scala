@@ -20,8 +20,12 @@ package graft.commands
   *    path of update rows.
   *  - DELETE / SEARCH arg: a SQL boolean expression over the collection's
   *    columns (e.g. `id IN (1,2,3)`, `payload LIKE 'al%'`).
-  *  - SEARCHSIMILAR arg: `k=<n>[;metric=cosine|l2|dot];vec=f,f,...` .
-  *  - REINDEX arg (optional): `buckets=<n>`.
+  *  - SEARCHSIMILAR arg: `k=<n>[;metric=cosine|l2|dot][;radius=<r>]
+  *    [;shortlist=<n>];vec=f,f,...` — `radius` opts into the index probe
+  *    (sign-bucket hamming radius / kmeans nprobe−1); `shortlist` selects
+  *    the SQ8 quantized-rerank path instead.
+  *  - REINDEX arg (optional): `[type=sign;bits=<n>]` (default) or
+  *    `type=kmeans;k=<n>` (centroid IVF, centroids stored in the sidecar).
   */
 sealed trait GraftCommand
 

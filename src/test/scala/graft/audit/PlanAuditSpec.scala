@@ -55,4 +55,43 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q03_join_revenue")
     assert(p.contains("BroadcastHashJoin"), "dimension join should broadcast")
   }
+
+  test("q69 sq8 path: both passes are bounded heaps, quantized scoring codegen'd") {
+    val p = plan("q69_sq8_rerank")
+    // shortlist cut AND final cut must be TakeOrderedAndProject — a full
+    // sort of the corpus would defeat the 100 TB design
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"expected two bounded top-k cuts:\n${p.take(1500)}")
+    assert(p.contains("cosine_sim"), "quantized scoring must use the codegen'd expression")
+  }
+
+  test("kmeans probe prunes partitions at the scan") {
+    import org.apache.spark.sql.types._
+    val db = graft.core.GraftDatabase.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_audit").toString, "pdb")
+    db.createCollection("vecs", StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)),
+      StructField("label", IntegerType))))
+    db.bulkInsert("vecs", graft.Tables.embeddings(spark, TestSpark.sf))
+    db.reindexKMeans("vecs", k = 8)
+    val q = graft.Tables.embeddings(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val probe = db.searchSimilar("vecs", q, k = 5, probeRadius = 1, idCol = "vec_id")
+    val p = probe.queryExecution.executedPlan.toString
+    // the cluster_id IN (...) filter must reach partition pruning, not a
+    // post-scan filter over all files
+    assert(p.contains("PartitionFilters: [cluster_id"),
+      s"probe must prune cluster_id partitions at the scan:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q67 two-phase sessionize: per-event window partitioned by (user, chunk)") {
+    val p = plan("q67_sessionize_2phase")
+    // the heavy (per-event) sort must key on user_id AND the chunk — that
+    // is the whole point of the skew hardening
+    assert(p.contains("hashpartitioning(user_id") && p.contains("__chunk"),
+      s"phase-1 window must partition by (user, chunk):\n${p.take(1500)}")
+  }
 }

@@ -71,6 +71,38 @@ class CommandsSpec extends AnyFunSuite {
     assert(db.collectionNames() == Seq("vecs"))
   }
 
+  test("executor: REINDEX type=kmeans and SEARCHSIMILAR shortlist/radius") {
+    val parent = Files.createTempDirectory("graftidx").toString
+    val db = GraftDatabase.create(spark, parent, "idxdb")
+    def exec(coll: Option[String], cmd: String, arg: Option[String]) =
+      CommandExecutor.execute(db,
+        CommandParser.parse(coll, cmd, arg).fold(e => fail(e.message), identity))
+
+    exec(None, "CREATE", Some("vecs"))
+    (0 until 20).foreach { i =>
+      val v = if (i < 10) s"1.0,0.0,0.0${i}1" else s"0.0,1.0,0.0${i}1"
+      exec(Some("vecs"), "INSERT", Some(s"$i;$v;p$i"))
+    }
+    exec(Some("vecs"), "REINDEX", Some("type=kmeans;k=2"))
+    assert(db.read("vecs").select("cluster_id").distinct().count() == 2)
+
+    // probe the nearest cell only → the 10 same-cluster rows
+    val probed = exec(Some("vecs"), "SEARCHSIMILAR",
+      Some("k=20;radius=0;vec=1.0,0.0,0.0"))
+    assert(probed.count() == 10)
+
+    // sq8 shortlist path works through the command surface too
+    val sq8 = exec(Some("vecs"), "SEARCHSIMILAR",
+      Some("k=3;shortlist=10;vec=1.0,0.0,0.0"))
+    assert(sq8.count() == 3)
+    assert(sq8.select("id").as[Long].collect().forall(_ < 10))
+
+    // bad index type fails loud
+    intercept[IllegalArgumentException] {
+      exec(Some("vecs"), "REINDEX", Some("type=annoy"))
+    }
+  }
+
   test("executor: bulkinsert from the reference text format") {
     val parent = Files.createTempDirectory("graftbulk").toString
     val db = GraftDatabase.create(spark, parent, "bulkdb")
