@@ -128,13 +128,14 @@ object Dedup {
 
   /** Full MinHash-LSH candidate generation pipeline. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+      shingleN: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2,
+      maxBucketSize: Int = 1000): DataFrame =
     candidatePairs(
       bandKeys(
         minhashSignatures(explodeShingles(df, idCol, textCol, shingleN),
           idCol, numHashes),
         idCol, numHashes, rowsPerBand),
-      idCol)
+      idCol, maxBucketSize)
 
   /** SimHash (nBits ≤ 32): bit j of the code is the sign of the sum over
     * tokens of ±1, where the ±1 is the high bit of hex digit j of
@@ -173,13 +174,53 @@ object Dedup {
       shingleN: Int = 5, threshold: Double = 0.5,
       maxShingleFreq: Int = 1000): DataFrame = {
     val sh = explodeShingles(df, idCol, textCol, shingleN)
-    val rare = sh.withColumn("sh_freq",
-        count(lit(1)).over(Window.partitionBy("shingle")))
+    // corpus frequency via aggregate + join, NOT a window over every
+    // occurrence: partial aggregation compresses map-side to distinct
+    // shingles before the shuffle, and the equi-join back is a hash join —
+    // no full sort of the (huge) occurrence list
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("sh_freq"))
       .filter(col("sh_freq") <= maxShingleFreq)
+    val rare = sh.join(freq, Seq("shingle"))
     val sized = rare.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val shared = rare.select(col(idCol).as("a_id"), col("shingle"))
       .join(rare.select(col(idCol).as("b_id"), col("shingle")), Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sized.select(col(idCol).as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
+      .join(sized.select(col(idCol).as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
+      .withColumn("jaccard",
+        col("shared") / (col("a_n") + col("b_n") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** The production near-dup pipeline, composed end-to-end: MinHash-LSH as
+    * the DISCOVERY stage (never all-pairs, hot buckets capped) and exact
+    * n-gram Jaccard as the VERIFICATION stage — computed only for the LSH
+    * candidates, so the expensive exact set intersection touches
+    * O(candidates) pairs instead of O(shared-shingle pairs). This is the
+    * composition [[ngramJaccardPairs]]'s scale note points at: shared-
+    * shingle joins verify; LSH discovers.
+    *
+    * Shingles are recomputed per consuming branch rather than cached:
+    * shingling is stateless map-side CPU (no added shuffle), while caching
+    * the exploded shingle set at corpus scale would hold many × the input
+    * in memory.
+    *
+    * Output: (a_id, b_id, jaccard) for candidates with exact full-set
+    * Jaccard ≥ threshold.
+    */
+  def verifiedNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, shingleN, numHashes,
+      rowsPerBand, maxBucketSize)
+    val sh = explodeShingles(df, idCol, textCol, shingleN)
+    val sized = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val shared = cands
+      .join(sh.select(col(idCol).as("a_id"), col("shingle")), Seq("a_id"))
+      .join(sh.select(col(idCol).as("b_id"), col("shingle")), Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
     shared
       .join(sized.select(col(idCol).as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))

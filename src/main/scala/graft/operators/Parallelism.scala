@@ -11,14 +11,22 @@ import org.apache.spark.sql.DataFrame
   * executor shingles on one core. At 100 TB the same shape appears after a
   * selective pushed-down filter leaves a handful of non-empty splits.
   *
-  * `ensure` widens to the session's default parallelism ONLY when the plan's
-  * current partitioning is narrower — on a well-split input it is a no-op,
+  * `ensure` widens to the session's default parallelism ONLY when the
+  * estimated split count is narrower — on a well-split input it is a no-op,
   * so the extra shuffle is only paid exactly when the alternative is idle
-  * cores.
+  * cores. The estimate comes from optimizer statistics (plan size ÷ max
+  * split bytes), NOT from `df.rdd.getNumPartitions`: converting to an RDD
+  * would force physical planning of a side plan and pin it outside AQE,
+  * while logical stats are already computed and AQE still owns the real
+  * plan.
   */
 object Parallelism {
   def ensure(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val estSplits =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes / math.max(1L, maxSplit) + 1
+    if (estSplits < target) df.repartition(target) else df
   }
 }

@@ -64,6 +64,17 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // The composed production pipeline: LSH discovery (q31's machinery) →
+    // exact full-set Jaccard verification of ONLY the candidates. The
+    // oracle recomputes both stages, so a hash match proves the
+    // discovery+verify composition end-to-end.
+    "q70_lsh_verified" -> ((s, dir) => {
+      Dedup.verifiedNearDups(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 5, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Embedding-cosine near-dup: sign-bucket LSH prefilter, top-20 most
     // similar in-bucket pairs (the corpus has no >0.5-cosine pairs, so the
     // operator reports the nearest ones rather than a thresholded set).
@@ -189,6 +200,34 @@ object DedupQueries {
          |FROM reach
          |GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+
+    "q70_lsh_verified" ->
+      s"""WITH $shinglesCte,
+         |$signaturesCte,
+         |$bandsCte,
+         |ok_buckets AS (
+         |  SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |eligible AS (
+         |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM eligible a JOIN eligible b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS shared
+         |  FROM cands c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY c.a_id, c.b_id)
+         |SELECT a_id, b_id,
+         |  round(CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared), 6) AS jaccard
+         |FROM shared
+         |JOIN sizes za ON za.doc_id = a_id
+         |JOIN sizes zb ON zb.doc_id = b_id
+         |WHERE CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin,
 
     "q34_embed_neardup" -> {
       val bucket = (0 until 8)
