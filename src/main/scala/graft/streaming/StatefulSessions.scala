@@ -63,6 +63,64 @@ object StatefulSessions {
     (out.toSeq, state, uid)
   }
 
+  /** Unbounded-stream form: event-time watermark + `EventTimeTimeout`.
+    * Sessions close two ways — a later event beyond the gap (emitted
+    * immediately), or the watermark passing `last_event + gap` for an idle
+    * user (the timeout fires, the final session emits, and `state.remove()`
+    * EVICTS the user) — so state size tracks *active* users on a stream
+    * that never ends. [[run]]'s NoTimeout variant only ever emits
+    * gap-closed sessions and keeps every user's state forever.
+    */
+  def runWatermarked(spark: SparkSession, sfDir: String, gapSeconds: Long,
+      delaySeconds: Long, queryName: String): Dataset[Session] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+
+    val events = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
+        expr("timestamp_micros(ts DIV 1000)").as("ts"))
+      .withWatermark("ts", s"$delaySeconds seconds")
+      .as[(Long, Long, java.sql.Timestamp)]
+
+    val gapUs = gapSeconds * 1000000L
+    val sessions = events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last_event + gap: the open session is final
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(uid, st.sessionNo, st.n, st.startUs,
+              (st.lastUs - st.startUs) / 1e6))
+          } else {
+            val st = state.getOption.getOrElse(SessionState(0L, 0L, 0L, 0L))
+            val (closed, next, _) =
+              sessionize(it.map(e => Event(e._1, e._2)), gapUs, st)
+            state.update(next)
+            val timeoutMs = next.lastUs / 1000L + gapSeconds * 1000L
+            state.setTimeoutTimestamp(
+              math.max(timeoutMs, state.getCurrentWatermarkMs() + 1L))
+            closed.iterator
+          }
+      }
+
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName).as[Session]
+  }
+
   /** Bounded-stream demo: sessionize a parquet-backed event stream and
     * return closed + final open sessions. On an unbounded stream the same
     * code runs with `GroupStateTimeout.EventTimeTimeout` closing sessions at

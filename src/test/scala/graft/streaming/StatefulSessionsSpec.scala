@@ -32,6 +32,43 @@ class StatefulSessionsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("watermarked sessionization emits timed-out sessions and evicts state") {
+    val streamed = StatefulSessions
+      .runWatermarked(spark, TestSpark.sf, gapSeconds = 300,
+        delaySeconds = 60, "spec_sessions_wm")
+      .collect()
+      .map(s => (s.user_id, s.session_no, s.n_events)).toSet
+
+    // with event-time timeouts sessions emit two ways: gap-closed ones
+    // immediately, and each user's final session when the watermark (max
+    // event time − delay) passes its end + gap. A final session whose
+    // timeout lies BEYOND the final watermark is still legitimately open
+    // when the bounded replay ends — exactly the sessions a live stream
+    // would emit later — so the expected output is the full batch session
+    // set minus those.
+    val events = graft.Tables.events(spark, TestSpark.sf)
+    val sessions = Sessionize
+      .assignSessions(events, "user_id", "ts", "event_id", gapSeconds = 300)
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+      .select("user_id", "session_no", "n_events", "last_us")
+      .as[(Long, Long, Long, Long)].collect()
+    val maxUs = sessions.map(_._4).max
+    val finalWatermarkUs = maxUs - 60L * 1000000L
+    val lastPerUser = sessions.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = sessions.filter { case (u, s, _, lastUs) =>
+      lastPerUser(u) != s || lastUs + 300L * 1000000L < finalWatermarkUs
+    }.map(t => (t._1, t._2, t._3)).toSet
+
+    assert(streamed == expected,
+      s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
+    assert(streamed.nonEmpty)
+    // and the still-open tail really is tiny (bounded by user count)
+    val all = sessions.map(t => (t._1, t._2, t._3)).toSet
+    assert((all -- streamed).size <= lastPerUser.size)
+  }
+
   test("pure sessionize function: gap logic and state carry-over") {
     val gapUs = 300L * 1000000L
     val evs = Iterator(
