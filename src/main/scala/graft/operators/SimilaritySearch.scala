@@ -165,6 +165,48 @@ object SimilaritySearch {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Batch form of [[topKSq8]]: int8-quantized scoring against every query
+    * with the bounded-heap aggregator keeping a per-query `shortlist`
+    * (≤ shortlist rows per partition per query cross the shuffle), then an
+    * exact rerank of the shortlist only. The rerank joins the (tiny)
+    * shortlist back to the collection broadcast-side, so the full-precision
+    * vectors are read once and never shuffled.
+    *
+    * Output matches [[topKBatchAgg]]: (queryId, id, score, rank).
+    */
+  def topKSq8Batch(
+      collection: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      shortlist: Int,
+      metric: String = "cosine",
+      vecCol: String = "embedding",
+      idCol: String = "id",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    require(metric == "cosine" || metric == "dot",
+      s"sq8 supports cosine/dot, got $metric")
+    val q8f: Column => Column = v => transform(sq8(v), x => x.cast("float"))
+    val short = topKBatchAgg(
+        collection.select(col(idCol), q8f(col(vecCol)).as(vecCol)),
+        queries.select(col(queryIdCol), q8f(col(queryVecCol)).as(queryVecCol)),
+        shortlist, metric, vecCol, idCol, queryIdCol, queryVecCol)
+      .select(col(queryIdCol), col(idCol))
+    val (exact, desc_?) = score(metric, col(vecCol), col(queryVecCol))
+    val w = Window
+      .partitionBy(queryIdCol)
+      .orderBy(if (desc_?) desc("score") else asc("score"), col(idCol))
+    collection.select(col(idCol), col(vecCol))
+      .join(broadcast(short), Seq(idCol))
+      .join(broadcast(queries), Seq(queryIdCol))
+      .withColumn("score", exact)
+      .drop(vecCol, queryVecCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("score"), col("rank"))
+  }
+
   /** Exact per-query top-k for a batch of queries (ranking-window
     * formulation — simplest plan; see [[topKBatchAgg]] for the
     * shuffle-bounded variant).

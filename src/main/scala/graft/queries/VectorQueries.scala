@@ -161,6 +161,23 @@ object VectorQueries {
         .limit(10)
     }),
 
+    // Batch SQ8: the quantized-rerank path over a query batch — int8
+    // shortlist per query through the bounded-heap aggregator, exact rerank
+    // of shortlists only. Same oracle discipline as q69: the int8 stage is
+    // engine-exact, so the full composition hash-matches.
+    "q71_sq8_batch" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilaritySearch
+        .topKSq8Batch(e, qs, k = 5, shortlist = 50, metric = "cosine",
+          vecCol = "embedding", idCol = "vec_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // The SQL-text surface: graft's Catalyst expressions registered in the
     // FunctionRegistry and invoked from spark.sql, scalar subquery carrying
     // the query vector.
@@ -282,6 +299,36 @@ object VectorQueries {
 
     // q68_kmeans_probe: rows-only (MLlib centroids aren't SQL-reproducible)
     // — deliberately absent here, like q48/q49.
+
+    "q71_sq8_batch" ->
+      """WITH q8 AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> greatest(-127.0, least(127.0, floor(x * 127 + 0.5)))) AS qv
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id AS query_id, qv AS qqv, embedding AS qemb
+        |  FROM q8 WHERE vec_id < 5),
+        |approx AS (
+        |  SELECT q.query_id, e.vec_id, e.embedding, q.qemb,
+        |    list_inner_product(e.qv, q.qqv)
+        |      / (sqrt(list_inner_product(e.qv, e.qv)) * sqrt(list_inner_product(q.qqv, q.qqv))) AS a
+        |  FROM q8 e CROSS JOIN q),
+        |short AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY a DESC, vec_id) AS srank
+        |    FROM approx)
+        |  WHERE srank <= 50),
+        |ranked AS (
+        |  SELECT query_id, vec_id,
+        |    list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qemb AS DOUBLE[])) AS raw,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qemb AS DOUBLE[])) DESC, vec_id) AS BIGINT) AS rank
+        |  FROM short)
+        |SELECT query_id, vec_id, round(raw, 6) AS score, rank
+        |FROM ranked
+        |WHERE rank <= 5 AND vec_id <> query_id
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q69_sq8_rerank" ->
       // the int8 cosine written out explicitly (dot / (sqrt·sqrt)) so the
