@@ -152,7 +152,10 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def bulkInsert(name: String, df: DataFrame): Unit = {
     requireCollection(name)
-    val aligned = align(name, df)
+    // derived columns the existing data carries (quantized copy, cluster
+    // assignment) are recomputed for arriving rows in the same write pass —
+    // an append may never produce rows missing a column the readers expect
+    val aligned = withQuantIfPresent(name, align(name, df))
     appendAssignment(name) match {
       case Some(assign) =>
         assign(aligned).write.mode("append")
@@ -161,6 +164,27 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         aligned.write.mode("append").parquet(collDir(name).toString)
     }
   }
+
+  /** Materialize an int8 scalar-quantized copy of the embedding column
+    * (`embedding_q8`, array<tinyint> — a quarter of the float32 bytes on
+    * disk). SEARCHSIMILAR's SQ8 path then reads ONLY (id, embedding_q8)
+    * for its full scan and touches full-precision vectors for the
+    * shortlist alone. Appends and updates keep the column populated.
+    */
+  def quantize(name: String): Unit = {
+    requireCollection(name)
+    val cur = read(name)
+    if (!cur.columns.contains(QuantCol))
+      rewrite(name, cur.withColumn(QuantCol, quantExpr(col("embedding"))))
+  }
+
+  private def quantExpr(v: Column): Column =
+    transform(graft.operators.SimilaritySearch.sq8(v), x => x.cast("tinyint"))
+
+  private def withQuantIfPresent(name: String, df: DataFrame): DataFrame =
+    if (read(name).columns.contains(QuantCol))
+      df.withColumn(QuantCol, quantExpr(col("embedding")))
+    else df
 
   /** True when the collection's files live under cluster_id partition dirs
     * (i.e. a REINDEX happened and appends must follow that layout).
@@ -203,8 +227,15 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     requireCollection(name)
     val current = read(name)
     val hasIndex = current.columns.contains("cluster_id")
-    val base = if (hasIndex) current.drop("cluster_id") else current
-    val merged = graft.operators.Mutations.upsert(base, align(name, updates), key)
+    val hasQuant = current.columns.contains(QuantCol)
+    // derived columns come off before the merge (updates arrive without
+    // them) and are re-derived after, so an updated row's quantized copy /
+    // cluster assignment always reflects its NEW vector
+    val base = current.drop("cluster_id").drop(QuantCol)
+    val mergedRaw = graft.operators.Mutations.upsert(base, align(name, updates), key)
+    val merged =
+      if (hasQuant) mergedRaw.withColumn(QuantCol, quantExpr(col("embedding")))
+      else mergedRaw
     val next = (if (hasIndex) indexType(name) else None) match {
       case Some("sign_bucket") =>
         VectorIndex.assignSignBuckets(merged, nBits = indexBits(name))
@@ -280,9 +311,12 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def searchSimilarSq8(name: String, query: Array[Float], k: Int,
       shortlist: Int = 1000, metric: String = "cosine",
-      idCol: String = "id"): DataFrame =
-    SimilaritySearch.topKSq8(read(name), query, k, shortlist, metric,
-      idCol = idCol)
+      idCol: String = "id"): DataFrame = {
+    val data = read(name)
+    val stored = if (data.columns.contains(QuantCol)) Some(QuantCol) else None
+    SimilaritySearch.topKSq8(data, query, k, shortlist, metric,
+      idCol = idCol, q8Col = stored)
+  }
 
   private def indexSidecar(name: String): Option[String] = {
     val sidecar = new Path(collDir(name), IndexMetaFile)
@@ -456,6 +490,7 @@ object GraftDatabase {
   // the parquet reader never trips over the sidecars.
   private[core] val MetaFile = "_graft_meta.ddl"
   private[core] val IndexMetaFile = "_graft_index.json"
+  private[core] val QuantCol = "embedding_q8"
   private[core] val ConfigFile = "graft_config.json"
   private[core] val WalDir = "graft_wal"
 

@@ -27,20 +27,30 @@ trait VectorExpressionHelpers { self: Expression =>
   protected def elemType(dt: DataType): DataType =
     dt.asInstanceOf[ArrayType].elementType
 
-  /** Interpreted accessor: element i of `arr` as double (null element → 0). */
+  /** Interpreted accessor: element i of `arr` as double (null element → 0).
+    * Integral element types are accepted so scoring runs DIRECTLY on stored
+    * quantized vectors (array<tinyint> SQ8 columns) with no conversion
+    * projection in the scan.
+    */
   protected def getD(arr: ArrayData, et: DataType, i: Int): Double =
     if (arr.isNullAt(i)) 0.0
     else et match {
-      case FloatType  => arr.getFloat(i).toDouble
-      case DoubleType => arr.getDouble(i)
+      case FloatType   => arr.getFloat(i).toDouble
+      case DoubleType  => arr.getDouble(i)
+      case ByteType    => arr.getByte(i).toDouble
+      case ShortType   => arr.getShort(i).toDouble
+      case IntegerType => arr.getInt(i).toDouble
       case _ => throw new IllegalStateException(s"unsupported element type $et")
     }
 
   /** Codegen accessor: java source for element i of `arr` as double. */
   protected def genGetD(arr: String, et: DataType, i: String): String = {
     val raw = et match {
-      case FloatType  => s"(double) $arr.getFloat($i)"
-      case DoubleType => s"$arr.getDouble($i)"
+      case FloatType   => s"(double) $arr.getFloat($i)"
+      case DoubleType  => s"$arr.getDouble($i)"
+      case ByteType    => s"(double) $arr.getByte($i)"
+      case ShortType   => s"(double) $arr.getShort($i)"
+      case IntegerType => s"(double) $arr.getInt($i)"
       case _ => throw new IllegalStateException(s"unsupported element type $et")
     }
     s"($arr.isNullAt($i) ? 0.0d : $raw)"
@@ -51,9 +61,9 @@ trait VectorExpressionHelpers { self: Expression =>
     */
   protected def checkVectorType(which: String, dt: DataType): Option[String] =
     dt match {
-      case ArrayType(FloatType | DoubleType, _) => None
-      case other => Some(s"$which argument of $prettyName must be array<float> " +
-        s"or array<double>, got ${other.catalogString}")
+      case ArrayType(FloatType | DoubleType | ByteType | ShortType | IntegerType, _) => None
+      case other => Some(s"$which argument of $prettyName must be an array of " +
+        s"float/double/byte/short/int, got ${other.catalogString}")
     }
 }
 

@@ -117,15 +117,43 @@ object SimilaritySearch {
       shortlist: Int,
       metric: String = "cosine",
       vecCol: String = "embedding",
-      idCol: String = "id"): DataFrame = {
+      idCol: String = "id",
+      q8Col: Option[String] = None): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val short = sq8Shortlist(collection, queryVec, shortlist, metric, vecCol, idCol)
     val (exact, _) = score(metric, col(vecCol), lit(queryVec))
-    short
-      .withColumn("score", exact)
-      .drop(vecCol)
-      .orderBy(desc("score"), col(idCol))
-      .limit(k)
+    q8Col match {
+      case None =>
+        val short = sq8Shortlist(collection, queryVec, shortlist, metric,
+          vecCol, idCol)
+        short
+          .withColumn("score", exact)
+          .drop(vecCol)
+          .orderBy(desc("score"), col(idCol))
+          .limit(k)
+      case Some(qc) =>
+        // STORED quantized column: the shortlist pass reads only (id, qc) —
+        // a quarter of the vector bytes, and the scoring expression runs
+        // directly on the int8 array (see VectorExpressionHelpers) — then
+        // the tiny shortlist broadcasts back for a pruned full-precision
+        // rerank. This is the shape that wins at 100 TB: the full-width
+        // column is only read for ≤ shortlist rows.
+        require(metric == "cosine" || metric == "dot",
+          s"sq8 shortlist supports cosine/dot, got $metric")
+        val q8 = queryVec.map(x =>
+          math.max(-127, math.min(127, math.floor(x.toDouble * 127 + 0.5).toInt)))
+        val (approx, _) = score(metric, col(qc), lit(q8))
+        val short = collection.select(col(idCol), col(qc))
+          .withColumn("approx_score", approx)
+          .orderBy(desc("approx_score"), col(idCol))
+          .limit(shortlist)
+          .select(col(idCol), col("approx_score"))
+        collection.drop(qc)
+          .join(broadcast(short), Seq(idCol))
+          .withColumn("score", exact)
+          .drop(vecCol)
+          .orderBy(desc("score"), col(idCol))
+          .limit(k)
+    }
   }
 
   /** Exact per-query top-k via a bounded heap aggregation instead of a

@@ -87,6 +87,28 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("stored-sq8 shortlist scan reads only the quantized column") {
+    import org.apache.spark.sql.types._
+    val db = graft.core.GraftDatabase.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_audit_q8").toString, "qdb")
+    db.createCollection("vecs", StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)),
+      StructField("label", IntegerType))))
+    db.bulkInsert("vecs", graft.Tables.embeddings(spark, TestSpark.sf))
+    db.quantize("vecs")
+    val q = graft.Tables.embeddings(spark, TestSpark.sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val res = db.searchSimilarSq8("vecs", q, k = 5, shortlist = 50, idCol = "vec_id")
+    val p = res.queryExecution.executedPlan.toString
+    // the shortlist branch's scan must prune to (vec_id, embedding_q8) —
+    // reading float vectors there would forfeit the 4× IO win
+    assert(p.contains("struct<vec_id:bigint,embedding_q8:array<tinyint>>"),
+      s"shortlist scan must read only id + quantized column:\n${p.take(2000)}")
+    assert(res.count() == 5)
+  }
+
   test("q67 two-phase sessionize: per-event window partitioned by (user, chunk)") {
     val p = plan("q67_sessionize_2phase")
     // the heavy (per-event) sort must key on user_id AND the chunk — that

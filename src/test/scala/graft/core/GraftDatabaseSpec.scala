@@ -270,6 +270,45 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(!fs.exists(trash2))
   }
 
+  test("quantize: stored sq8 column drives search; appends and updates keep it") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      VectorRecord(i.toLong, v.map(_ / n), s"p$i")
+    }
+    db.bulkInsert("vecs", rows.toDF())
+    val q = rows(5).embedding
+    val exact = db.searchSimilar("vecs", q, k = 10)
+      .select("id").as[Long].collect().toSeq
+
+    db.quantize("vecs")
+    assert(db.read("vecs").schema("embedding_q8").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType))
+    val viaStored = db.searchSimilarSq8("vecs", q, k = 10, shortlist = 50)
+      .select("id").as[Long].collect().toSeq
+    assert(viaStored == exact,
+      "sq8-over-stored-column must recover the exact top-k on separable data")
+
+    // appended rows get the quantized copy in the same write pass…
+    db.bulkInsert("vecs", Seq(VectorRecord(500L, q, "dup")).toDF())
+    val withDup = db.searchSimilarSq8("vecs", q, k = 1, shortlist = 50)
+    assert(withDup.select("id").as[Long].head() == 5L ||
+      withDup.select("id").as[Long].head() == 500L) // exact dup ties on score
+    assert(db.read("vecs").filter($"id" === 500)
+      .select(size($"embedding_q8")).as[Int].head() == 16)
+
+    // …and an update re-derives it from the NEW vector
+    db.update("vecs", Seq(VectorRecord(5L, rows(7).embedding, "moved")).toDF())
+    val q8row = db.read("vecs").filter($"id" === 5)
+      .select($"embedding_q8".cast("array<int>")).as[Seq[Int]].head()
+    val expected = rows(7).embedding.map(x =>
+      math.max(-127, math.min(127, math.floor(x.toDouble * 127 + 0.5).toInt))).toSeq
+    assert(q8row == expected, "updated row's quantized copy must track its new vector")
+  }
+
   test("delete with NULL-evaluating predicate keeps those rows (SQL semantics)") {
     val db = freshDb()
     db.createCollection("vecs")
