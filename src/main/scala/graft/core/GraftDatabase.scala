@@ -311,11 +311,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def searchSimilarSq8(name: String, query: Array[Float], k: Int,
       shortlist: Int = 1000, metric: String = "cosine",
-      idCol: String = "id"): DataFrame = {
+      idCol: String = "id", rerank: Boolean = true): DataFrame = {
     val data = read(name)
     val stored = if (data.columns.contains(QuantCol)) Some(QuantCol) else None
     SimilaritySearch.topKSq8(data, query, k, shortlist, metric,
-      idCol = idCol, q8Col = stored)
+      idCol = idCol, q8Col = stored, rerank = rerank)
   }
 
   private def indexSidecar(name: String): Option[String] = {

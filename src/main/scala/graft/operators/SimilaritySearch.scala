@@ -118,7 +118,8 @@ object SimilaritySearch {
       metric: String = "cosine",
       vecCol: String = "embedding",
       idCol: String = "id",
-      q8Col: Option[String] = None): DataFrame = {
+      q8Col: Option[String] = None,
+      rerank: Boolean = true): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val (exact, _) = score(metric, col(vecCol), lit(queryVec))
     q8Col match {
@@ -130,30 +131,56 @@ object SimilaritySearch {
           .drop(vecCol)
           .orderBy(desc("score"), col(idCol))
           .limit(k)
-      case Some(qc) =>
+      case Some(qc) if rerank =>
         // STORED quantized column: the shortlist pass reads only (id, qc) —
-        // a quarter of the vector bytes, and the scoring expression runs
-        // directly on the int8 array (see VectorExpressionHelpers) — then
-        // the tiny shortlist broadcasts back for a pruned full-precision
-        // rerank. This is the shape that wins at 100 TB: the full-width
-        // column is only read for ≤ shortlist rows.
-        require(metric == "cosine" || metric == "dot",
-          s"sq8 shortlist supports cosine/dot, got $metric")
-        val q8 = queryVec.map(x =>
-          math.max(-127, math.min(127, math.floor(x.toDouble * 127 + 0.5).toInt)))
-        val (approx, _) = score(metric, col(qc), lit(q8))
-        val short = collection.select(col(idCol), col(qc))
-          .withColumn("approx_score", approx)
-          .orderBy(desc("approx_score"), col(idCol))
-          .limit(shortlist)
-          .select(col(idCol), col("approx_score"))
+        // a quarter of the vector bytes, scored directly on the int8 array
+        // (see VectorExpressionHelpers). The shortlist ids (≤ shortlist, a
+        // bounded request-sized result — the same class of driver-side
+        // value as the query vector itself) then push into the rerank scan
+        // as an In filter, so row-group/page statistics can skip
+        // full-precision data where the layout allows. A join-back
+        // formulation would re-read every row's float vector unpruned.
+        val short = sq8ShortlistStored(collection, queryVec, shortlist,
+          metric, qc, idCol)
+        val ids = short.select(col(idCol)).collect().map(_.get(0)).toSeq
         collection.drop(qc)
-          .join(broadcast(short), Seq(idCol))
+          .filter(col(idCol).isInCollection(ids))
           .withColumn("score", exact)
           .drop(vecCol)
           .orderBy(desc("score"), col(idCol))
           .limit(k)
+      case Some(qc) =>
+        // rerank = false: rank by the quantized score alone — the scan
+        // NEVER touches full-precision vectors, so total IO is a strict
+        // quarter of the exact scan no matter the storage layout. The
+        // quantization perturbs cosine by ~1e-3, so top-k order can
+        // differ from exact only where neighbors are closer than that
+        // (recall characterized in IvfRecallSpec).
+        sq8ShortlistStored(collection, queryVec, k, metric, qc, idCol)
+          .withColumnRenamed("approx_score", "score")
     }
+  }
+
+  /** The quantized-scan stage over a STORED int8 column: reads (id, q8Col)
+    * only, scores in codegen, bounded top-`shortlist` cut.
+    */
+  def sq8ShortlistStored(
+      collection: DataFrame,
+      queryVec: Array[Float],
+      shortlist: Int,
+      metric: String,
+      q8Col: String,
+      idCol: String): DataFrame = {
+    require(metric == "cosine" || metric == "dot",
+      s"sq8 shortlist supports cosine/dot, got $metric")
+    val q8 = queryVec.map(x =>
+      math.max(-127, math.min(127, math.floor(x.toDouble * 127 + 0.5).toInt)))
+    val (approx, _) = score(metric, col(q8Col), lit(q8))
+    collection.select(col(idCol), col(q8Col))
+      .withColumn("approx_score", approx)
+      .orderBy(desc("approx_score"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol), col("approx_score"))
   }
 
   /** Exact per-query top-k via a bounded heap aggregation instead of a

@@ -100,12 +100,21 @@ class PlanAuditSpec extends AnyFunSuite {
     val q = graft.Tables.embeddings(spark, TestSpark.sf)
       .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
       .select("embedding").head().getSeq[Float](0).toArray
+    // the shortlist stage's scan must prune to (vec_id, embedding_q8) —
+    // reading float vectors there would forfeit the 4× IO win
+    val shortPlan = graft.operators.SimilaritySearch
+      .sq8ShortlistStored(db.read("vecs"), q, 50, "cosine",
+        "embedding_q8", "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(shortPlan.contains("struct<vec_id:bigint,embedding_q8:array<tinyint>>"),
+      s"shortlist scan must read only id + quantized column:\n${shortPlan.take(2000)}")
+    assert(shortPlan.contains("TakeOrderedAndProject"))
+    // and the rerank reads full vectors only behind a PUSHED id filter, so
+    // row-group stats can skip — not a join that re-reads every float row
     val res = db.searchSimilarSq8("vecs", q, k = 5, shortlist = 50, idCol = "vec_id")
     val p = res.queryExecution.executedPlan.toString
-    // the shortlist branch's scan must prune to (vec_id, embedding_q8) —
-    // reading float vectors there would forfeit the 4× IO win
-    assert(p.contains("struct<vec_id:bigint,embedding_q8:array<tinyint>>"),
-      s"shortlist scan must read only id + quantized column:\n${p.take(2000)}")
+    assert(p.contains("PushedFilters: [In(vec_id"),
+      s"rerank scan must push the shortlist id filter:\n${p.take(2000)}")
     assert(res.count() == 5)
   }
 
