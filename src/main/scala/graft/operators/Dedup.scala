@@ -195,6 +195,41 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** SimHash near-dup pairs: candidates from a banded equi-join on code
+    * chunks, verified with the exact Hamming distance. Pigeonhole makes the
+    * banding EXACT, not approximate: splitting an nBits code into `bands`
+    * chunks, any pair within Hamming distance < bands must agree on at
+    * least one whole chunk — so the chunk equi-join finds every qualifying
+    * pair and never compares all pairs. (maxHamming must be < bands for
+    * the guarantee; the default 16-bit/4-band setup covers distance ≤ 3.)
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      nBits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands, got $maxHamming >= $bands")
+    require(nBits % bands == 0, "bands must divide nBits")
+    val chunkBits = nBits / bands
+    val codes = simhash(df, idCol, textCol, nBits)
+    val chunked = codes.select(col(idCol), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("chunk_idx"),
+          col("simhash").bitwiseAND(lit(((1L << chunkBits) - 1) << (b * chunkBits)))
+            .as("chunk_val"))
+      }: _*)).as("c"))
+      .select(col(idCol), col("simhash"),
+        col("c.chunk_idx").as("chunk_idx"), col("c.chunk_val").as("chunk_val"))
+    val a = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col(idCol).as("a_id"), col("simhash").as("a_code"))
+    val b = chunked.select(col("chunk_idx"), col("chunk_val"),
+      col(idCol).as("b_id"), col("simhash").as("b_code"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_code").bitwiseXOR(col("b_code"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** The production near-dup pipeline, composed end-to-end: MinHash-LSH as
     * the DISCOVERY stage (never all-pairs, hot buckets capped) and exact
     * n-gram Jaccard as the VERIFICATION stage — computed only for the LSH

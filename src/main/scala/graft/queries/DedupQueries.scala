@@ -64,6 +64,17 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // SimHash near-dup pairs: banded chunk equi-join (pigeonhole-exact for
+    // hamming <= bands-1) + exact bit_count verification. The oracle does
+    // the all-pairs comparison directly — tractable at oracle scale — so a
+    // hash match proves the banding loses no pair.
+    "q72_simhash_neardup" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+          nBits = 16, bands = 4, maxHamming = 1)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // The composed production pipeline: LSH discovery (q31's machinery) →
     // exact full-set Jaccard verification of ONLY the candidates. The
     // oracle recomputes both stages, so a hash match proves the
@@ -200,6 +211,25 @@ object DedupQueries {
          |FROM reach
          |GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+
+    "q72_simhash_neardup" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(unnest(regexp_extract_all(text, '\S+'))) AS hx
+        |  FROM documents),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |    sum(CASE WHEN substring(hx, CAST(j AS INTEGER), 1) >= '8' THEN 1 ELSE -1 END) AS s
+        |  FROM h, (SELECT unnest(range(1, 17)) AS j)
+        |  GROUP BY doc_id, j),
+        |codes AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q70_lsh_verified" ->
       s"""WITH $shinglesCte,

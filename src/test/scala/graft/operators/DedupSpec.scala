@@ -79,6 +79,24 @@ class DedupSpec extends AnyFunSuite {
     assert(n == 50L * 49 / 2, "cap-sized bucket must emit all its pairs")
   }
 
+  test("simhashPairs: banding finds identical docs, excludes distant ones") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),  // identical → hamming 0
+      (3L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val asSet = Dedup.simhashPairs(corpus, "doc_id", "text", 16, 4, 3)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(asSet.contains((1L, 2L, 0)), s"identical docs must pair at hamming 0: $asSet")
+    // the unrelated doc's code differs in far more than 3 bits from both
+    assert(!asSet.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not appear: $asSet")
+    // pigeonhole precondition enforced loudly
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(corpus, "doc_id", "text", 16, 4, maxHamming = 4)
+    }
+  }
+
   test("embeddingPairs only scores within sign buckets") {
     val vecs = Seq(
       (1L, Array(0.5f, 0.5f)), (2L, Array(0.6f, 0.4f)),   // bucket 3
