@@ -367,6 +367,46 @@ object RelationalQueries {
     // Running aggregate: per-customer cumulative order value over time —
     // frame-ordered accumulation is identical in both engines, so values
     // match exactly before rounding.
+    // Funnel: per event-type first-touch funnel for each user (signup →
+    // first purchase within 7 days), aggregated to conversion counts. One
+    // shuffle on user_id; the per-user min() aggregations combine map-side.
+    "q73_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstSignup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("signup_us"))
+      val firstConv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .join(firstSignup, Seq("user_id"))
+        .filter(col("p_us") >= col("signup_us") &&
+          col("p_us") < col("signup_us") + lit(7L * 86400L * 1000000L))
+        .groupBy("user_id").agg(min(col("p_us")).as("conv_us"))
+      firstSignup.join(firstConv, Seq("user_id"), "left")
+        .agg(
+          count(lit(1)).as("n_signed"),
+          count(col("conv_us")).as("n_converted"),
+          round(count(col("conv_us")) / count(lit(1)).cast("double") + 1e-9, 4)
+            .as("conversion"))
+    }),
+
+    // Retention cohorts: users grouped by signup week, activity counted by
+    // week offset — the canonical triangle. date_trunc arithmetic only, one
+    // shuffle on (cohort, offset).
+    "q74_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      ev.select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+        .join(cohort, Seq("user_id"))
+        .filter(col("act_week") >= col("cohort_week"))
+        .groupBy(
+          date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          ((unix_micros(col("act_week")) - unix_micros(col("cohort_week")))
+            / lit(7L * 86400L * 1000000L)).cast("long").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "q54_running_sum" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey")
@@ -562,6 +602,37 @@ object RelationalQueries {
         |FROM sess
         |GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+
+    "q73_funnel" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS signup_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |fc AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS conv_us
+        |  FROM events e JOIN fs USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= fs.signup_us
+        |    AND epoch_us(e.ts) < fs.signup_us + 604800000000
+        |  GROUP BY e.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_signed,
+        |  CAST(count(conv_us) AS BIGINT) AS n_converted,
+        |  round(CAST(count(conv_us) AS DOUBLE) / count(*) + 1e-9, 4) AS conversion
+        |FROM fs LEFT JOIN fc USING (user_id)""".stripMargin,
+
+    "q74_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |act AS (
+        |  SELECT e.user_id, date_trunc('week', e.ts) AS act_week, c.cohort_week
+        |  FROM events e JOIN cohort c USING (user_id)
+        |  WHERE date_trunc('week', e.ts) >= c.cohort_week)
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  CAST((epoch_us(act_week) - epoch_us(cohort_week)) / 604800000000 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+        |FROM act
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     // same oracle as q19 on purpose: the two-phase operator must produce
     // byte-identical sessions to the single-window formulation
