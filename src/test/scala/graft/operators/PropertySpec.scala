@@ -50,6 +50,51 @@ class PropertySpec extends AnyFunSuite {
     assert(rows(restored).contains((2L, "b3")))
   }
 
+  test("sq8 quantization: Spark expression equals the driver-side rule on random floats") {
+    val rnd = new scala.util.Random(11)
+    // values spanning the clamp range and the floor boundaries
+    val vals = Array.fill(512)((rnd.nextDouble() * 4 - 2).toFloat) ++
+      Array(-1.0f, 1.0f, 0.0f, 0.5f / 127, -0.5f / 127, 1.5f, -1.5f)
+    val df = Seq(Tuple1(vals)).toDF("v")
+    val sparkSide = df.select(SimilaritySearch.sq8(col("v")).as("q"))
+      .as[Seq[Int]].head()
+    val driverSide = vals.map(x =>
+      math.max(-127, math.min(127, math.floor(x.toDouble * 127 + 0.5).toInt))).toSeq
+    assert(sparkSide == driverSide,
+      "quantization rule must be identical driver-side and in the expression")
+  }
+
+  test("bounded-buffer sessionize is invariant to any in-buffer reordering") {
+    val gapUs = 300L * 1000000L
+    val zero = graft.streaming.StatefulSessions.SessionState(0L, 0L, 0L, 0L)
+    val base = (0 until 5000).map(i => graft.streaming.StatefulSessions.Event(
+      1L, i.toLong * 90L * 1000000L)) // 90s cadence → gaps never split
+    val rnd = new scala.util.Random(3)
+    (0 until 5).foreach { trial =>
+      // shuffle within random windows of ≤ 64 — disorder the 64-buffer covers
+      val shuffled = base.grouped(64).flatMap(g => rnd.shuffle(g)).toSeq
+      val (c1, s1, _) = graft.streaming.StatefulSessions.sessionize(
+        shuffled.iterator, gapUs, zero, maxBuffer = 128)
+      val (c2, s2, _) = graft.streaming.StatefulSessions.sessionize(
+        base.iterator, gapUs, zero, maxBuffer = 128)
+      assert(c1 == c2 && s1 == s2, s"trial $trial diverged")
+    }
+  }
+
+  test("nearestCentroidIds: nprobe distinct cells, nearest first") {
+    val rnd = new scala.util.Random(5)
+    val centroids = Array.fill(16)(Array.fill(8)(rnd.nextGaussian()))
+    (0 until 20).foreach { _ =>
+      val q = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val ids = VectorIndex.nearestCentroidIds(q, centroids, nprobe = 4)
+      assert(ids.size == 4 && ids.distinct.size == 4)
+      def d2(c: Array[Double]) =
+        c.zipWithIndex.map { case (x, j) => (q(j) - x) * (q(j) - x) }.sum
+      val best = centroids.zipWithIndex.minBy { case (c, i) => (d2(c), i) }._2
+      assert(ids.head == best, "first probed cell must be the nearest centroid")
+    }
+  }
+
   test("approx_count_distinct is within its rsd bound on real keys") {
     val li = graft.Tables.lineitem(spark, TestSpark.sf)
     val (approx, exact) = li.agg(
