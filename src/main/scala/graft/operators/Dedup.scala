@@ -94,27 +94,24 @@ object Dedup {
     * computes it once and shuffles each (band, key) group to a single
     * reducer.
     *
-    * The cap is enforced BEFORE aggregation: a `row_number() ≤ cap+1`
-    * window over (band, band_key) keeps only the first cap+1 members of any
-    * bucket, so the agg buffer is bounded at cap+1 ids no matter how
-    * degenerate a bucket gets (an adversarial corpus can't OOM an executor
-    * through `collect_set`), while the overflow test stays exact: an
-    * original bucket exceeds the cap iff its capped size is cap+1. The
-    * window's sort spills to disk under pressure — the property the
-    * aggregation buffer lacks. Result is unchanged from filtering after
-    * aggregation (the oracle SQL's plain HAVING-BETWEEN mirrors it).
+    * The cap is enforced INSIDE the aggregation: [[BoundedDistinctSetAgg]]
+    * keeps at most cap+1 distinct ids in every partial buffer and merge, so
+    * no executor ever materializes a degenerate bucket (an adversarial
+    * corpus can't OOM through `collect_set`) and the plan stays a single
+    * shuffle with map-side partial trimming — no extra window sort stage.
+    * The overflow test stays exact: an original bucket exceeds the cap iff
+    * its capped size is cap+1, and buckets at or under the cap are kept
+    * whole, so results equal an unbounded collect + size filter (the
+    * oracle SQL's plain HAVING-BETWEEN mirrors it).
     *
-    * Precondition: one row per (band, band_key, id) — what [[bandKeys]]
-    * emits. Duplicate id rows would count against the cap twice.
+    * Ids aggregate as longs (graft's id convention throughout).
     */
   def candidatePairs(banded: DataFrame, idCol: String,
       maxBucketSize: Int = 1000): DataFrame = {
-    val perBucket = Window.partitionBy("band", "band_key").orderBy(col(idCol))
+    val bounded = udaf(new BoundedDistinctSetAgg(maxBucketSize + 1))
     val bucketed = banded
-      .withColumn("__rn", row_number().over(perBucket))
-      .filter(col("__rn") <= maxBucketSize + 1)
       .groupBy("band", "band_key")
-      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .agg(bounded(col(idCol).cast("long")).as("ids"))
       .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
     bucketed
       .select(explode(flatten(

@@ -65,11 +65,13 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((1000L, 1001L)),
       "hot bucket must contribute nothing; healthy bucket must survive")
-    // the pre-aggregation cap must appear in the plan BEFORE the aggregate:
-    // a window filter on row_number, so no collect_set ever sees > cap+1 ids
+    // the cap must live INSIDE the aggregation (bounded partial buffers),
+    // with no extra window/sort stage in front of it
     val plan = Dedup.candidatePairs(banded, "doc_id", maxBucketSize = 50)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("row_number"), s"pre-agg cap window missing:\n$plan")
+    assert(plan.toLowerCase.contains("boundeddistinctsetagg"),
+      s"bounded aggregator missing from plan:\n$plan")
+    assert(!plan.contains("Window"), s"cap must not need a window stage:\n$plan")
   }
 
   test("candidatePairs: bucket exactly at the cap is kept whole") {
