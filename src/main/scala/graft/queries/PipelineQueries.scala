@@ -74,6 +74,16 @@ object PipelineQueries {
         .orderBy("hour", "event_type")
     }),
 
+    // Streaming exactly-once ingest: the event stream delivered TWICE
+    // (at-least-once simulation) through dropDuplicatesWithinWatermark —
+    // bounded dedup state — must aggregate to exactly the batch numbers.
+    "q75_stream_dedup" -> ((s, dir) => {
+      StreamingIngest
+        .dedupedEventCounts(s, dir,
+          s"dedup_${java.util.UUID.randomUUID().toString.take(8)}")
+        .orderBy("event_type")
+    }),
+
     // Multimodal plumbing: text → binary media column → batched
     // partition-local decode (stubbed codec, deterministic metadata) →
     // ordinary columns. Oracle recomputes byte length + md5 from the text.
@@ -197,6 +207,12 @@ object PipelineQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q75_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q44_multimodal_meta" ->
       """SELECT doc_id,

@@ -53,6 +53,45 @@ object StreamingIngest {
         round(col("sum_value"), 2).as("sum_value"))
   }
 
+  /** Exactly-once ingest over an at-least-once source: duplicate events
+    * (same `idCol`) within the watermark are dropped with
+    * `dropDuplicatesWithinWatermark`, which — unlike plain dropDuplicates —
+    * EVICTS each key's state once the watermark passes it, so dedup state
+    * tracks the in-flight window instead of all history: the property that
+    * makes ingest dedup viable on an unbounded stream.
+    *
+    * The source here simulates at-least-once delivery by unioning the event
+    * stream with itself (every event delivered twice, the worst case);
+    * output is per-type counts over the deduplicated stream, which must
+    * equal the plain batch counts.
+    */
+  def dedupedEventCounts(spark: SparkSession, sfDir: String,
+      queryName: String = "deduped_events"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+
+    def source() = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+    val deduped = source().unionByName(source()) // at-least-once: ×2 delivery
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+
+    val q = deduped.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest into a collection directory: the WAL-replacement
     * path. Checkpoints live under the database's graft_wal dir, so
     * TRUNCATEWAL (database target) clears exactly this state.
