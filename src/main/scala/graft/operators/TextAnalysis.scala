@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis column builders for corpus curation: token counting,
@@ -90,4 +91,28 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " ")))
+
+  /** Sequence packing for training batches: assign documents to token-budget
+    * bins, deterministically. Docs are packed in (partitionCol, id) order;
+    * a doc opens a new bin when the running token total before it has
+    * filled ≥ one budget's worth — i.e. `bin = floor((cumsum − tokens) /
+    * budget)` over the running sum, the greedy contiguous packing every
+    * data loader uses. Oversized single docs simply occupy bins alone
+    * (never dropped silently).
+    *
+    * Packing is per `partitionCol` (e.g. source), so the window
+    * parallelizes across partitions rather than serializing the corpus;
+    * within a partition the assignment is a single running-sum window.
+    * Output: one row per doc with (bin, n_tokens).
+    */
+  def packBins(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, partitionCol: String): DataFrame = {
+    val w = Window.partitionBy(partitionCol).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("__cum") - col("n_tokens")) / lit(budget)).cast("long"))
+      .drop("__cum")
+  }
 }

@@ -367,6 +367,19 @@ object RelationalQueries {
     // Running aggregate: per-customer cumulative order value over time —
     // frame-ordered accumulation is identical in both engines, so values
     // match exactly before rounding.
+    // Explicit GROUPING SETS (the general form behind q18's ROLLUP / q51's
+    // CUBE) through the SQL-text surface.
+    "q77_grouping_sets" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+          |  coalesce(o_orderpriority, 'ALL') AS pri,
+          |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY st, pri""".stripMargin)
+    }),
+
     // Funnel: per event-type first-touch funnel for each user (signup →
     // first purchase within 7 days), aggregated to conversion counts. One
     // shuffle on user_id; the per-user min() aggregations combine map-side.
@@ -602,6 +615,14 @@ object RelationalQueries {
         |FROM sess
         |GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+
+    "q77_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+        |  coalesce(o_orderpriority, 'ALL') AS pri,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY st, pri""".stripMargin,
 
     "q73_funnel" ->
       """WITH fs AS (

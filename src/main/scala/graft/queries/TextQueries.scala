@@ -83,6 +83,18 @@ object TextQueries {
         .select(col("doc_id"), col("lang"),
           TextAnalysis.langId(col("text")).as("predicted"))
         .orderBy("doc_id")
+    }),
+
+    // Sequence packing: docs → 512-token training bins, packed per source
+    // (the window parallelizes across sources), summarized per bin. The
+    // assignment rule is a pure running-sum function, so the oracle
+    // recomputes it exactly.
+    "q76_pack_bins" -> ((s, dir) => {
+      TextAnalysis.packBins(Tables.documents(s, dir), "doc_id", "text",
+          budget = 512L, partitionCol = "source")
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+        .orderBy("source", "bin")
     })
   )
 
@@ -202,6 +214,22 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q76_pack_bins" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM c
+        |GROUP BY 1, 2
+        |ORDER BY source, bin""".stripMargin,
 
     "q35_lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
