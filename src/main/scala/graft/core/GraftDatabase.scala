@@ -159,9 +159,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     appendAssignment(name) match {
       case Some(assign) =>
         assign(aligned).write.mode("append")
+          .option("compression", Compression)
           .partitionBy("cluster_id").parquet(collDir(name).toString)
       case None =>
-        aligned.write.mode("append").parquet(collDir(name).toString)
+        aligned.write.mode("append").option("compression", Compression)
+          .parquet(collDir(name).toString)
     }
   }
 
@@ -417,7 +419,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       if (partitionBy.nonEmpty) partitionBy
       else if (next.columns.contains("cluster_id")) Seq("cluster_id")
       else Nil
-    val writer = next.write.mode("overwrite")
+    val writer = next.write.mode("overwrite").option("compression", Compression)
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(tmp.toString)
     // preserve collection + index sidecars in the new version
@@ -491,6 +493,10 @@ object GraftDatabase {
   private[core] val MetaFile = "_graft_meta.ddl"
   private[core] val IndexMetaFile = "_graft_index.json"
   private[core] val QuantCol = "embedding_q8"
+  // zstd over the snappy default: ~2× better ratio at comparable decode
+  // speed — at 100 TB the scan is IO-bound and storage cost is real; both
+  // codecs ship in Spark's own jars so readers need nothing extra.
+  private[core] val Compression = "zstd"
   private[core] val ConfigFile = "graft_config.json"
   private[core] val WalDir = "graft_wal"
 
