@@ -86,6 +86,36 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Dedup RESOLUTION: after clustering, production keeps the highest-
+    // QUALITY member of each near-dup cluster (not the min id) — composed
+    // here from connected components + the quality score + one window.
+    // Ranking uses the ROUNDED quality (6dp, +1e-9 midpoint guard) so the
+    // argmax is cross-engine deterministic, tie-broken by doc_id.
+    "q78_cluster_resolve" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 5, numHashes = 8, rowsPerBand = 2)
+      val comps = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val punct = TextAnalysis.punctRatio(col("text"))
+      val toks = regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))
+      val stop = when(size(toks) === 0, 0.0).otherwise(
+        size(filter(toks, t => t.isin(TextAnalysis.stopwords: _*)))
+          .cast("double") / size(toks))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_rep")
+      val wr = w.orderBy(desc("quality"), col("doc_id"))
+      docs.join(comps, Seq("doc_id"), "left")
+        .withColumn("cluster_rep", coalesce(col("cluster_rep"), col("doc_id")))
+        .withColumn("quality", round(
+          TextAnalysis.qualityScoreFrom(col("text"), punct, stop) + lit(1e-9), 6))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1 && col("n_members") >= 2)
+        .select(col("cluster_rep"), col("doc_id").as("kept_doc"),
+          col("n_members"), col("quality"))
+        .orderBy("cluster_rep")
+    }),
+
     // Embedding-cosine near-dup: sign-bucket LSH prefilter, top-20 most
     // similar in-bucket pairs (the corpus has no >0.5-cosine pairs, so the
     // operator reports the nearest ones rather than a thresholded set).
@@ -258,6 +288,57 @@ object DedupQueries {
          |JOIN sizes zb ON zb.doc_id = b_id
          |WHERE CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q78_cluster_resolve" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$signaturesCte,
+         |$bandsCte,
+         |ok_buckets AS (
+         |  SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |eligible AS (
+         |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM eligible a JOIN eligible b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |comp AS (
+         |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+         |  FROM reach GROUP BY id),
+         |quality AS (
+         |  SELECT doc_id,
+         |    round(least(greatest(
+         |      least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+         |      * (1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+         |          ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END))
+         |      * (0.5 + (CASE WHEN len(regexp_extract_all(lower(text), '\\S+')) = 0 THEN 0.0
+         |          ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+         |                 t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+         |               / len(regexp_extract_all(lower(text), '\\S+')) END)),
+         |      0.0), 1.0) + 1e-9, 6) AS quality
+         |  FROM documents),
+         |m AS (
+         |  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep, q.quality
+         |  FROM documents d
+         |  LEFT JOIN comp c USING (doc_id)
+         |  JOIN quality q USING (doc_id)),
+         |ranked AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY cluster_rep ORDER BY quality DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_rep) AS n_members
+         |  FROM m)
+         |SELECT cluster_rep, doc_id AS kept_doc,
+         |  CAST(n_members AS BIGINT) AS n_members, quality
+         |FROM ranked
+         |WHERE rn = 1 AND n_members >= 2
+         |ORDER BY cluster_rep""".stripMargin,
 
     "q34_embed_neardup" -> {
       val bucket = (0 until 8)
