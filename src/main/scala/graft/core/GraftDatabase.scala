@@ -154,9 +154,16 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     requireCollection(name)
     // derived columns the existing data carries (quantized copy, cluster
     // assignment) are recomputed for arriving rows in the same write pass —
-    // an append may never produce rows missing a column the readers expect
-    val aligned = withQuantIfPresent(name, align(name, df))
-    appendAssignment(name) match {
+    // an append may never produce rows missing a column the readers expect.
+    // ONE schema read serves both decisions (each listStatus/inference is a
+    // storage roundtrip — this is the hot write path).
+    val existing = read(name).columns.toSet
+    val base = align(name, df)
+    val aligned =
+      if (existing.contains(QuantCol))
+        base.withColumn(QuantCol, quantExpr(col("embedding")))
+      else base
+    appendAssignment(name, existing.contains("cluster_id")) match {
       case Some(assign) =>
         assign(aligned).write.mode("append")
           .option("compression", Compression)
@@ -183,24 +190,14 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   private def quantExpr(v: Column): Column =
     transform(graft.operators.SimilaritySearch.sq8(v), x => x.cast("tinyint"))
 
-  private def withQuantIfPresent(name: String, df: DataFrame): DataFrame =
-    if (read(name).columns.contains(QuantCol))
-      df.withColumn(QuantCol, quantExpr(col("embedding")))
-    else df
-
-  /** True when the collection's files live under cluster_id partition dirs
-    * (i.e. a REINDEX happened and appends must follow that layout).
-    */
-  private def hasClusterLayout(name: String): Boolean =
-    fs.listStatus(collDir(name)).exists { s =>
-      s.isDirectory && s.getPath.getName.startsWith("cluster_id=")
-    }
 
   /** How to assign `cluster_id` to rows appended to `name`, or None for an
-    * unindexed (flat) collection.
+    * unindexed (flat) collection. `hasClusterLayout` comes from the caller's
+    * schema read (the partition column appears iff cluster dirs exist).
     */
-  private def appendAssignment(name: String): Option[DataFrame => DataFrame] =
-    if (!hasClusterLayout(name)) None
+  private def appendAssignment(name: String,
+      hasClusterLayout: Boolean): Option[DataFrame => DataFrame] =
+    if (!hasClusterLayout) None
     else indexType(name) match {
       case Some("sign_bucket") =>
         Some(VectorIndex.assignSignBuckets(_, nBits = indexBits(name)))

@@ -108,6 +108,18 @@ object Dedup {
     */
   def candidatePairs(banded: DataFrame, idCol: String,
       maxBucketSize: Int = 1000): DataFrame = {
+    // ids aggregate as longs; reject non-integral id columns up front (an
+    // ANSI runtime cast error — or silent nulls with ANSI off — would be
+    // far less legible than this)
+    banded.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"candidatePairs requires an integral id column, got $idCol: $other " +
+          "(hash string ids to int64 first)")
+    }
     val bounded = udaf(new BoundedDistinctSetAgg(maxBucketSize + 1))
     val bucketed = banded
       .groupBy("band", "band_key")
@@ -134,19 +146,25 @@ object Dedup {
         idCol, numHashes, rowsPerBand),
       idCol, maxBucketSize)
 
-  /** SimHash (nBits ≤ 32): bit j of the code is the sign of the sum over
+  /** SimHash (nBits ≤ 64): bit j of the code is the sign of the sum over
     * tokens of ±1, where the ±1 is the high bit of hex digit j of
-    * md5(token). Term frequency weights tokens naturally (explode keeps
-    * duplicates). Output: (id, simhash long).
+    * md5(token) (digits 33–64 come from a second digest, md5(token · '#')).
+    * Term frequency weights tokens naturally (explode keeps duplicates).
+    * Output: (id, simhash long).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
       nBits: Int = 16): DataFrame = {
-    require(nBits <= 32, "md5 hex digits limit nBits to 32")
-    val tokens = Parallelism.ensure(df).select(col(idCol),
+    require(nBits <= 64, "one long holds at most 64 bits")
+    val base = Parallelism.ensure(df).select(col(idCol),
       explode(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("tok"))
       .withColumn("h", md5(col("tok")))
+    val tokens = // second digest only when the code actually uses it
+      if (nBits > 32) base.withColumn("h2", md5(concat(col("tok"), lit("#"))))
+      else base
+    def digit(j: Int) = // 1-based hex digit j across the two digests
+      if (j <= 32) substring(col("h"), j, 1) else substring(col("h2"), j - 32, 1)
     val bitSums = (1 to nBits).map { j =>
-      sum(when(substring(col("h"), j, 1) >= "8", 1).otherwise(-1)).as(s"s$j")
+      sum(when(digit(j) >= "8", 1).otherwise(-1)).as(s"s$j")
     }
     val code = (1 to nBits)
       .map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L)))
@@ -197,11 +215,19 @@ object Dedup {
     * banding EXACT, not approximate: splitting an nBits code into `bands`
     * chunks, any pair within Hamming distance < bands must agree on at
     * least one whole chunk — so the chunk equi-join finds every qualifying
-    * pair and never compares all pairs. (maxHamming must be < bands for
-    * the guarantee; the default 16-bit/4-band setup covers distance ≤ 3.)
+    * pair and never compares all pairs.
+    *
+    * Scale note — size the code to the corpus: the join key space is
+    * bands × 2^(nBits/bands), and each bucket holds ~N / 2^(nBits/bands)
+    * docs, paired quadratically. The 64-bit/4-band default gives 16-bit
+    * chunks (65k values per band): at N = 10⁸ that is ~1.5k docs per
+    * bucket — ~10⁶ comparisons per bucket, linear-ish overall. A 16-bit
+    * code (oracle-scale demos, q72) has only 16 values per chunk and is
+    * quadratic beyond ~10⁴ docs — never use small codes on a large corpus.
+    * (maxHamming must be < bands for the pigeonhole guarantee.)
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      nBits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+      nBits: Int = 64, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands, got $maxHamming >= $bands")
     require(nBits % bands == 0, "bands must divide nBits")

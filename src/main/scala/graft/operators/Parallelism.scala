@@ -25,8 +25,16 @@ object Parallelism {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
-    val estSplits =
-      df.queryExecution.optimizedPlan.stats.sizeInBytes / math.max(1L, maxSplit) + 1
-    if (estSplits < target) df.repartition(target) else df
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // a stat-less leaf reports conf.defaultSizeInBytes (Long.MaxValue-ish),
+    // which would make the estimate "plenty of splits" and silently skip
+    // the widening this guard exists for — treat unknown as narrow (the
+    // repartition is cheap exactly when the guess is wrong the other way).
+    // Caveat: the estimate assumes splittable storage (parquet — all graft
+    // sources); a non-splittable codec (gzip text) can under-parallelize
+    // despite a large byte size.
+    val statless = size >= spark.sessionState.conf.defaultSizeInBytes
+    val estSplits = size / math.max(1L, maxSplit) + 1
+    if (statless || estSplits < target) df.repartition(target) else df
   }
 }

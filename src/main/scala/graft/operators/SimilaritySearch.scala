@@ -123,6 +123,14 @@ object SimilaritySearch {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val (exact, _) = score(metric, col(vecCol), lit(queryVec))
     q8Col match {
+      case None if !rerank =>
+        // quantized ranking only, quantizing in-flight: same scores as the
+        // stored-column fast path (useful for recall studies before
+        // committing to a stored column) — the IO win itself needs the
+        // stored column.
+        sq8Shortlist(collection, queryVec, k, metric, vecCol, idCol)
+          .drop(vecCol)
+          .withColumnRenamed("approx_score", "score")
       case None =>
         val short = sq8Shortlist(collection, queryVec, shortlist, metric,
           vecCol, idCol)

@@ -47,7 +47,10 @@ object DedupQueries {
     "q33_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
           shingleN = 5, threshold = 0.5)
-        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        // +1e-9: jaccard is a ratio of small ints — dyadic rationals land
+        // on exact 6dp midpoints where Spark/DuckDB rounding disagrees
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard") + lit(1e-9), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -82,7 +85,9 @@ object DedupQueries {
     "q70_lsh_verified" -> ((s, dir) => {
       Dedup.verifiedNearDups(Tables.documents(s, dir), "doc_id", "text",
           shingleN = 5, numHashes = 8, rowsPerBand = 2, threshold = 0.5)
-        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        // +1e-9 midpoint guard, as in q33
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard") + lit(1e-9), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
 
@@ -209,7 +214,7 @@ object DedupQueries {
          |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT a_id, b_id,
-         |  round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+         |  round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) + 1e-9, 6) AS jaccard
          |FROM shared
          |JOIN sizes sa ON sa.doc_id = a_id
          |JOIN sizes sb ON sb.doc_id = b_id
@@ -282,7 +287,7 @@ object DedupQueries {
          |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
          |  GROUP BY c.a_id, c.b_id)
          |SELECT a_id, b_id,
-         |  round(CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared), 6) AS jaccard
+         |  round(CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared) + 1e-9, 6) AS jaccard
          |FROM shared
          |JOIN sizes za ON za.doc_id = a_id
          |JOIN sizes zb ON zb.doc_id = b_id

@@ -63,23 +63,46 @@ object StatefulSessions {
     (out.toSeq, state, uid)
   }
 
+  /** Per-user state for [[runWatermarked]]: the session being built from
+    * FINALIZED (≤ watermark) events, plus the pending buffer of events the
+    * watermark hasn't passed yet. Pending is what makes cross-micro-batch
+    * disorder safe: an event may only fold into the session once no earlier
+    * event can still arrive (the watermark contract), so nothing ever folds
+    * out of order and nothing crashes on a late-but-in-watermark arrival.
+    * Pending size is bounded by one user's traffic inside the watermark
+    * delay window.
+    */
+  case class WmState(sess: SessionState, pending: Seq[Event])
+
   /** Unbounded-stream form: event-time watermark + `EventTimeTimeout`.
-    * Sessions close two ways — a later event beyond the gap (emitted
-    * immediately), or the watermark passing `last_event + gap` for an idle
-    * user (the timeout fires, the final session emits, and `state.remove()`
-    * EVICTS the user) — so state size tracks *active* users on a stream
-    * that never ends. [[run]]'s NoTimeout variant only ever emits
-    * gap-closed sessions and keeps every user's state forever.
+    * Each invocation folds exactly the events the watermark has passed
+    * (from the pending buffer + this batch); newer events wait in state.
+    * Sessions close two ways — a later folded event beyond the gap
+    * (emitted immediately), or the watermark passing `last_event + gap`
+    * for an idle user (timeout fires, the final session emits, and the
+    * user's state is EVICTED) — so state size tracks *active* users on a
+    * stream that never ends. Events arriving later than the watermark
+    * allows (ts below an already-folded point) are dropped, the standard
+    * late-data contract. After an eviction a returning user's session
+    * numbering restarts (state cannot count forever on an unbounded
+    * stream); `start_us` is the stable session key across evictions.
+    * [[run]]'s NoTimeout variant folds eagerly and only ever emits
+    * gap-closed sessions.
     */
   def runWatermarked(spark: SparkSession, sfDir: String, gapSeconds: Long,
-      delaySeconds: Long, queryName: String): Dataset[Session] = {
+      delaySeconds: Long, queryName: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      glob: String = "events.parquet"): Dataset[Session] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val schema = spark.read
+      .option("pathGlobFilter", glob).parquet(sfDir).schema
 
-    val events = spark.readStream
+    val reader = spark.readStream
       .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val events = reader
       .parquet(sfDir)
       .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
         expr("timestamp_micros(ts DIV 1000)").as("ts"))
@@ -89,26 +112,42 @@ object StatefulSessions {
     val gapUs = gapSeconds * 1000000L
     val sessions = events
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[WmState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (uid: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
-            state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            // watermark passed last_event + gap: the open session is final
-            val st = state.get
-            state.remove()
-            Iterator.single(Session(uid, st.sessionNo, st.n, st.startUs,
-              (st.lastUs - st.startUs) / 1e6))
+            state: GroupState[WmState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prev = state.getOption.getOrElse(
+            WmState(SessionState(0L, 0L, 0L, 0L), Nil))
+          val arrived = it.map(e => Event(e._1, e._2)).toSeq
+          // fold only what the watermark has passed; hold the rest. Events
+          // below the already-folded frontier are late data — dropped.
+          val (ripe, hold) = (prev.pending ++ arrived).partition(_.ts_us <= wmUs)
+          val onTime = ripe.filter(e => prev.sess.n == 0L || e.ts_us >= prev.sess.lastUs)
+          val (closed, folded, _) = sessionize(onTime.iterator, gapUs, prev.sess)
+          // gap-close by TIME, not only by a successor event: if the
+          // watermark has moved a full gap past the folded frontier and
+          // nothing is pending before that point, the open session is final
+          val idleClosed =
+            if (folded.n > 0L && hold.isEmpty && wmUs > folded.lastUs + gapUs)
+              Seq(Session(uid, folded.sessionNo, folded.n, folded.startUs,
+                (folded.lastUs - folded.startUs) / 1e6))
+            else Nil
+          val nextSess =
+            if (idleClosed.nonEmpty) SessionState(folded.sessionNo + 1, 0L, 0L, 0L)
+            else folded
+          if (hold.isEmpty && nextSess.n == 0L) {
+            state.remove() // fully idle user: evict
           } else {
-            val st = state.getOption.getOrElse(SessionState(0L, 0L, 0L, 0L))
-            val (closed, next, _) =
-              sessionize(it.map(e => Event(e._1, e._2)), gapUs, st)
-            state.update(next)
-            val timeoutMs = next.lastUs / 1000L + gapSeconds * 1000L
+            state.update(WmState(nextSess, hold))
+            // wake when the watermark can next change this user's outcome:
+            // the earliest held event, or the open session's gap deadline
+            val wakeUs = (hold.map(_.ts_us) ++
+              (if (nextSess.n > 0L) Seq(nextSess.lastUs + gapUs) else Nil)).min
             state.setTimeoutTimestamp(
-              math.max(timeoutMs, state.getCurrentWatermarkMs() + 1L))
-            closed.iterator
+              math.max(wakeUs / 1000L, state.getCurrentWatermarkMs() + 1L))
           }
+          (closed ++ idleClosed).iterator
       }
 
     val q = sessions.writeStream

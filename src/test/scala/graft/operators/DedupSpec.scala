@@ -97,6 +97,11 @@ class DedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.simhashPairs(corpus, "doc_id", "text", 16, 4, maxHamming = 4)
     }
+    // the production default (64-bit codes, 16-bit chunks) behaves the same
+    val at64 = Dedup.simhashPairs(corpus, "doc_id", "text")
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(at64.contains((1L, 2L, 0)))
+    assert(!at64.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
   test("embeddingPairs only scores within sign buckets") {

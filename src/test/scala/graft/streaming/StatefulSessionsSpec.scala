@@ -32,41 +32,94 @@ class StatefulSessionsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
-  test("watermarked sessionization emits timed-out sessions and evicts state") {
+  /** Model of [[StatefulSessions.runWatermarked]] on a bounded replay:
+    * only events at or below the FINAL watermark fold; a user's last
+    * folded session emits only if the user holds no post-watermark events
+    * and the watermark cleared its gap deadline.
+    */
+  private def expectedWatermarked(events: Seq[(Long, Long)], gapUs: Long,
+      delayUs: Long): Set[(Long, Long, Long)] = {
+    val wm = events.map(_._2).max - delayUs
+    events.groupBy(_._1).flatMap { case (u, evs) =>
+      val folded = evs.map(_._2).filter(_ <= wm).sorted
+      val held = evs.exists(_._2 > wm)
+      if (folded.isEmpty) Nil
+      else {
+        // gap-sessionize the folded prefix
+        val sessions = folded.tail.foldLeft(List(List(folded.head))) {
+          case (acc, ts) =>
+            if (ts - acc.head.head > gapUs) List(ts) :: acc
+            else (ts :: acc.head) :: acc.tail
+        }.reverse.map(_.reverse)
+        val emitted = sessions.zipWithIndex.filter { case (s, i) =>
+          i < sessions.size - 1 || (!held && wm > s.last + gapUs)
+        }
+        emitted.map { case (s, i) => (u, (i + 1).toLong, s.size.toLong) }
+      }
+    }.toSet
+  }
+
+  test("watermarked sessionization emits exactly the watermark-final sessions") {
     val streamed = StatefulSessions
       .runWatermarked(spark, TestSpark.sf, gapSeconds = 300,
         delaySeconds = 60, "spec_sessions_wm")
       .collect()
       .map(s => (s.user_id, s.session_no, s.n_events)).toSet
 
-    // with event-time timeouts sessions emit two ways: gap-closed ones
-    // immediately, and each user's final session when the watermark (max
-    // event time − delay) passes its end + gap. A final session whose
-    // timeout lies BEYOND the final watermark is still legitimately open
-    // when the bounded replay ends — exactly the sessions a live stream
-    // would emit later — so the expected output is the full batch session
-    // set minus those.
     val events = graft.Tables.events(spark, TestSpark.sf)
-    val sessions = Sessionize
-      .assignSessions(events, "user_id", "ts", "event_id", gapSeconds = 300)
-      .groupBy("user_id", "session_no")
-      .agg(count(lit(1)).as("n_events"),
-        max(unix_micros(col("ts"))).as("last_us"))
-      .select("user_id", "session_no", "n_events", "last_us")
-      .as[(Long, Long, Long, Long)].collect()
-    val maxUs = sessions.map(_._4).max
-    val finalWatermarkUs = maxUs - 60L * 1000000L
-    val lastPerUser = sessions.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
-    val expected = sessions.filter { case (u, s, _, lastUs) =>
-      lastPerUser(u) != s || lastUs + 300L * 1000000L < finalWatermarkUs
-    }.map(t => (t._1, t._2, t._3)).toSet
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)].collect().toSeq
+    val expected = expectedWatermarked(events,
+      gapUs = 300L * 1000000L, delayUs = 60L * 1000000L)
 
     assert(streamed == expected,
       s"missing=${(expected -- streamed).take(5)} extra=${(streamed -- expected).take(5)}")
     assert(streamed.nonEmpty)
-    // and the still-open tail really is tiny (bounded by user count)
-    val all = sessions.map(t => (t._1, t._2, t._3)).toSet
-    assert((all -- streamed).size <= lastPerUser.size)
+  }
+
+  test("watermarked sessionization survives cross-batch in-watermark disorder") {
+    // three files → three micro-batches (maxFilesPerTrigger=1), with file 2
+    // carrying events OLDER than file 1's max but inside the watermark
+    // delay — the crash case for a fold that finalizes each batch eagerly
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
+    def write(name: String, rows: Seq[(Long, Long)]): Unit =
+      rows.toDF("user_id", "us")
+        .select(col("user_id"), (col("us") * 1000).as("ts"), // µs → ns-as-long
+          col("us").cast("string").as("event_id"))
+        .coalesce(1).write.parquet(s"$dir/$name")
+    // batch 1: user 1 at t=1000s..1010s; batch 2: t=960s (40s late, within
+    // the 300s delay) + t=1400s (new session trigger); batch 3: t=2500s
+    val S = 1000000L
+    write("b1.parquet", Seq((1L, 1000L * S), (1L, 1010L * S)))
+    write("b2.parquet", Seq((1L, 960L * S), (1L, 1400L * S)))
+    write("b3.parquet", Seq((1L, 2500L * S)))
+    // move the inner part-files up so the glob sees three single files
+    val fs = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.list(fs).forEach { sub =>
+      if (java.nio.file.Files.isDirectory(sub)) {
+        val part = java.nio.file.Files.list(sub)
+          .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        java.nio.file.Files.move(part,
+          fs.resolve(sub.getFileName.toString.stripSuffix(".parquet") + "_f.parquet"))
+      }
+    }
+
+    val streamed = StatefulSessions
+      .runWatermarked(spark, dir, gapSeconds = 300, delaySeconds = 300,
+        "spec_sessions_wm_mb", maxFilesPerTrigger = Some(1),
+        glob = "*_f.parquet")
+      .collect()
+      .map(s => (s.user_id, s.session_no, s.n_events)).toSet
+
+    val all = Seq((1L, 960L * S), (1L, 1000L * S), (1L, 1010L * S),
+      (1L, 1400L * S), (1L, 2500L * S))
+    val expected = expectedWatermarked(all,
+      gapUs = 300L * 1000000L, delayUs = 300L * 1000000L)
+    assert(streamed == expected,
+      s"got $streamed, want $expected")
+    // the late-but-in-watermark event must have folded into session 1
+    assert(streamed.contains((1L, 1L, 3L)),
+      "the 40s-late event was dropped or crashed the fold")
   }
 
   test("pure sessionize function: gap logic and state carry-over") {
