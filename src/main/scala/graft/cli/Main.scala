@@ -42,7 +42,14 @@ object Main {
     case ("-c" | "--collection") :: v :: rest => parseArgs(rest, acc.copy(collection = Some(v)))
     case ("-e" | "--execute") :: v :: rest => parseArgs(rest, acc.copy(execute = Some(v)))
     case ("-a" | "--command-arg") :: v :: rest => parseArgs(rest, acc.copy(commandArg = Some(v)))
-    case ("-g" | "--generate-embeddings") :: v :: rest => parseArgs(rest, acc.copy(generateEmbeddings = Some(v.toInt)))
+    case ("-g" | "--generate-embeddings") :: v :: rest =>
+      val n = v.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"--generate-embeddings expects a number, got: $v"))
+      parseArgs(rest, acc.copy(generateEmbeddings = Some(n)))
+    case (flag @ ("-i" | "--init-database" | "-n" | "--init-database-name"
+        | "-d" | "--database" | "-c" | "--collection" | "-e" | "--execute"
+        | "-a" | "--command-arg" | "-g" | "--generate-embeddings")) :: Nil =>
+      throw new IllegalArgumentException(s"flag $flag is missing its value")
     case other :: _ => throw new IllegalArgumentException(s"unknown flag: $other")
   }
 

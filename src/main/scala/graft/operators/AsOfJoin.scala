@@ -26,6 +26,11 @@ object AsOfJoin {
   def mostRecentPrior(left: DataFrame, right: DataFrame, keyCol: String,
       timeCol: String, valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // a reference row with no timestamp can never satisfy "most recent
+    // PRIOR" (ts ≤ t is never true for NULL) — and nulls-first ordering
+    // would otherwise carry it as an earliest match, diverging from ASOF
+    // semantics (and from DuckDB's ASOF JOIN oracle)
+    val rightValid = right.filter(col(timeCol).isNotNull)
     // values travel inside a struct so that a matched right row whose value
     // column is legitimately NULL still registers as "a row was here" —
     // last(ignoreNulls) skips the NULL struct of left rows but carries a
@@ -41,7 +46,7 @@ object AsOfJoin {
               org.apache.spark.sql.types.StructField("v", right.schema(c).dataType))))
               .as(s"__v_$c")): _*)
       .unionByName(
-        right
+        rightValid
           .withColumn("__side", lit(0))
           .select(
             Seq(col(keyCol), col(timeCol), col("__side")) ++
@@ -50,10 +55,14 @@ object AsOfJoin {
               valueCols.map(c => struct(col(c).as("v")).as(s"__v_$c")): _*))
 
     // right rows sort before left rows at the same timestamp (__side asc) so
-    // an exactly-simultaneous reference row is visible to the probe row
+    // an exactly-simultaneous reference row is visible to the probe row; the
+    // value structs complete the order so that among reference rows tied on
+    // (key, ts) the carried row is the struct-wise maximum — deterministic
+    // across partitionings/runs, per the repo's total-order convention
     val w = Window
       .partitionBy(keyCol)
-      .orderBy(col(timeCol), col("__side"))
+      .orderBy(col(timeCol) +: col("__side") +:
+        valueCols.map(c => col(s"__v_$c")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = valueCols.foldLeft(tagged) { (df, c) =>

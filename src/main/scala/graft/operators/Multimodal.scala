@@ -30,9 +30,12 @@ object Multimodal {
   case class MediaMeta(id: Long, media_type: String, n_bytes: Long,
       checksum: String, width: Long, height: Long)
 
-  /** Attach a media payload column to any frame by encoding an existing
-    * column's bytes (stand-in for reading real blobs; real ingest would read
-    * binaryFile sources).
+  /** Project a frame to a media-record shape — (id, media_type, media) —
+    * by encoding an existing column's bytes (stand-in for reading real
+    * blobs; real ingest would read binaryFile sources). Other columns are
+    * NOT carried: [[MediaRecord]] is the decoder's input contract; callers
+    * keeping sidecar columns join decode output back on `id`
+    * (see [[decodePipeline]]).
     */
   def withMediaColumn(df: DataFrame, idCol: String, payloadCol: String,
       mediaType: String = "text/plain"): DataFrame =
@@ -60,6 +63,7 @@ object Multimodal {
     */
   def extractMetadata(records: Dataset[MediaRecord],
       batchSize: Int = 64): Dataset[MediaMeta] = {
+    require(batchSize >= 1, s"batchSize must be positive, got $batchSize")
     import records.sparkSession.implicits._
     records.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
@@ -70,7 +74,9 @@ object Multimodal {
   }
 
   /** Full plumbing demo: frame → media column → batched decode → metadata
-    * frame joined back as ordinary columns.
+    * columns. The decode output carries (id, media_type, n_bytes, checksum,
+    * width, height); join it back on `id` when the original frame's other
+    * columns are needed downstream.
     */
   def decodePipeline(spark: SparkSession, df: DataFrame, idCol: String,
       payloadCol: String): DataFrame = {

@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * dataflow behind UPDATE (`/root/reference/src/command/types.rs:82-93`) and
   * DELETE (`:95-106`).
   *
-  * Scale notes: `upsert` shuffles both sides on the key once (or broadcasts
-  * the update side when it is small — the common case — leaving the big side
-  * unshuffled); `deleteByKeys` is a broadcast anti-join. Neither ever
+  * Scale notes: the anti-join key sets carry NO broadcast hint — Catalyst
+  * broadcasts them automatically when they fit autoBroadcastJoinThreshold
+  * (the common small-update case, leaving the big side unshuffled) and
+  * falls back to a shuffled join when they don't. A forced hint here would
+  * bypass the threshold and drive the driver out of memory on a large
+  * delete/update set (e.g. "delete half the table by key"). Neither path
   * collects data to the driver.
   */
 object Mutations {
@@ -19,7 +22,7 @@ object Mutations {
     */
   def upsert(current: DataFrame, updates: DataFrame, key: String = "id"): DataFrame =
     current
-      .join(broadcast(updates.select(key).distinct()), Seq(key), "left_anti")
+      .join(updates.select(key).distinct(), Seq(key), "left_anti")
       .unionByName(updates.select(current.columns.map(col).toIndexedSeq: _*))
 
   /** Delete by predicate: keep every row where the predicate is not TRUE.
@@ -32,5 +35,5 @@ object Mutations {
 
   /** Delete by key set (anti-join; `keys` is one key column). */
   def deleteByKeys(current: DataFrame, keys: DataFrame, key: String = "id"): DataFrame =
-    current.join(broadcast(keys.select(key).distinct()), Seq(key), "left_anti")
+    current.join(keys.select(key).distinct(), Seq(key), "left_anti")
 }

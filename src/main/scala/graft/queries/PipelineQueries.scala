@@ -22,7 +22,7 @@ import graft.streaming.StreamingIngest
 object PipelineQueries {
 
   private def scratchDb(s: SparkSession, prefix: String): GraftDatabase =
-    GraftDatabase.create(s, Files.createTempDirectory(prefix).toString, "qdb")
+    Scratch.db(s, prefix)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

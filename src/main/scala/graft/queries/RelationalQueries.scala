@@ -327,7 +327,7 @@ object RelationalQueries {
       // write side effects by nature (bucketing IS a write-time layout), so
       // concurrent/repeated calls must not race on shared catalog names
       val tag = java.util.UUID.randomUUID().toString.take(8)
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_q58_$tag").toString
+      val tmp = Scratch.dir(s"graft_q58_$tag") // exit-cleaned
       val (tO, tC) = (s"b58_orders_$tag", s"b58_customer_$tag")
       val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
       val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
@@ -370,14 +370,15 @@ object RelationalQueries {
     // Explicit GROUPING SETS (the general form behind q18's ROLLUP / q51's
     // CUBE) through the SQL-text surface.
     "q77_grouping_sets" -> ((s, dir) => {
-      Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+      val view = Scratch.name("orders_gs") // unique: fixed view names race
+      Tables.orders(s, dir).createOrReplaceTempView(view)
       s.sql(
-        """SELECT coalesce(o_orderstatus, 'ALL') AS st,
-          |  coalesce(o_orderpriority, 'ALL') AS pri,
-          |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
-          |FROM orders_gs
-          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-          |ORDER BY st, pri""".stripMargin)
+        s"""SELECT coalesce(o_orderstatus, 'ALL') AS st,
+           |  coalesce(o_orderpriority, 'ALL') AS pri,
+           |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+           |FROM $view
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |ORDER BY st, pri""".stripMargin)
     }),
 
     // Funnel: per event-type first-touch funnel for each user (signup →

@@ -122,8 +122,7 @@ object VectorQueries {
     // nearest cells and exact-reranks inside. MLlib centroid identity is
     // engine-specific → rows-only check (q48/q49 precedent).
     "q68_kmeans_probe" -> ((s, dir) => {
-      val db = GraftDatabase.create(s,
-        java.nio.file.Files.createTempDirectory("graft_q68").toString, "qdb")
+      val db = Scratch.db(s, "graft_q68")
       db.createCollection("vecs", org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("embedding",
@@ -183,15 +182,16 @@ object VectorQueries {
     // the query vector.
     "q52_sql_surface" -> ((s, dir) => {
       graft.functions.registerAll(s)
-      Tables.embeddings(s, dir).createOrReplaceTempView("embeddings_v")
+      val view = Scratch.name("embeddings_v") // unique: fixed view names race
+      Tables.embeddings(s, dir).createOrReplaceTempView(view)
       s.sql(
-        """SELECT vec_id,
-          |  round(cosine_sim(embedding,
-          |    (SELECT embedding FROM embeddings_v WHERE vec_id = 1)), 6) AS score
-          |FROM embeddings_v
-          |WHERE vec_id <> 1
-          |ORDER BY score DESC, vec_id
-          |LIMIT 5""".stripMargin)
+        s"""SELECT vec_id,
+           |  round(cosine_sim(embedding,
+           |    (SELECT embedding FROM $view WHERE vec_id = 1)), 6) AS score
+           |FROM $view
+           |WHERE vec_id <> 1
+           |ORDER BY score DESC, vec_id
+           |LIMIT 5""".stripMargin)
     }),
 
     // Vector statistics per label: count + mean L2 norm (index diagnostics).

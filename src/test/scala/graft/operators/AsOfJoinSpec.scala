@@ -47,4 +47,38 @@ class AsOfJoinSpec extends AnyFunSuite {
       .select($"asof_px").as[Option[Double]].head()
     assert(got.isEmpty, "the 10:05 NULL quote is the as-of match, not 10:00")
   }
+
+  test("a right row with a NULL timestamp never matches (ts <= t is never true)") {
+    val quotes = Seq(
+      (1L, Option.empty[Timestamp], 42.0), // timestampless quote
+      (1L, Some(ts("2024-01-01 10:05:00")), 101.0)
+    ).toDF("key", "ts", "px")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "early"), // before any real quote
+      (1L, ts("2024-01-01 10:06:00"), "late")
+    ).toDF("key", "ts", "trade_id")
+    val got = AsOfJoin
+      .mostRecentPrior(trades, quotes, "key", "ts", Seq("px"))
+      .select($"trade_id", $"asof_px")
+      .as[(String, Option[Double])].collect().toMap
+    assert(got == Map("early" -> None, "late" -> Some(101.0)),
+      "the NULL-ts quote must never be carried as a match")
+  }
+
+  test("ties on (key, ts) carry a deterministic (struct-max) right row") {
+    val quotes = Seq( // two quotes in the same microsecond
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:00"), 200.0)
+    ).toDF("key", "ts", "px")
+    val trades = Seq((1L, ts("2024-01-01 10:01:00"), "t1"))
+      .toDF("key", "ts", "trade_id")
+    // repeated runs with different partitioning must agree
+    val results = (1 to 3).map { i =>
+      AsOfJoin.mostRecentPrior(
+          trades.repartition(i), quotes.repartition(4 - i), "key", "ts", Seq("px"))
+        .select($"asof_px").as[Double].head()
+    }
+    assert(results.distinct.size == 1, s"nondeterministic tie-break: $results")
+    assert(results.head == 200.0, "tie must resolve to the struct-wise maximum")
+  }
 }
