@@ -27,6 +27,7 @@ object Bench {
     SparkEntry.benchQueries.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).collect()
       catch { case _: Throwable => }
+      sweep(spark)
     }
     // min of two timed reps: single-shot numbers occasionally absorb
     // multi-second environment hiccups (page-cache evictions, co-tenant
@@ -37,7 +38,9 @@ object Bench {
       val times = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).collect() } catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        sweep(spark)
+        t
       }
       name -> times.min
     }
@@ -51,6 +54,20 @@ object Bench {
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"delta_vs_prev":$deltas,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Storage-state reset between measured queries: per-query numbers must
+    * not depend on what ran before. `clearCache()` drops CacheManager
+    * entries; the persistent-RDD sweep additionally frees blocks that
+    * bypass the CacheManager (localCheckpoints) — any still-referenced
+    * frame would just recompute, and bench queries are independent, so
+    * nothing is referenced across the boundary. The sweep is outside the
+    * timed window (hygiene isn't part of the query).
+    */
+  private def sweep(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** Per-query seconds from the newest BENCH_r{N}.json in the working dir —

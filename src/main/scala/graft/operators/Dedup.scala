@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -323,6 +323,15 @@ object Dedup {
     // recomputes the entire pipeline on first use (this was ~2× the q65
     // wall clock). Checkpointed frames are self-contained: rounds plan
     // against a flat scan, and the returned frame is materialized.
+    //
+    // Leak + action discipline (round-3 fix): checkpoint blocks live in the
+    // RDD's own storage, outside the CacheManager, so every superseded
+    // round's frame must be freed explicitly (GraftSqlShims
+    // .unpersistCheckpoint) or the driver's block manager grows without
+    // bound across calls. And each round runs exactly ONE job: the
+    // checkpoint is LAZY and the convergence count is the action that
+    // materializes it — an eager checkpoint + separate isEmpty was two
+    // scheduled jobs per round of a frame that fits in one.
     val edges = fwd.unionByName(
       fwd.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(parts, col("dst")).localCheckpoint(true)
@@ -338,16 +347,23 @@ object Dedup {
           .withColumnRenamed("label", "n_label"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min("n_label").as("n_min"))
-      // carry the previous label through, so convergence is a filter on
-      // this frame — no second join, one action per round
+      // carry the previous label through, so convergence is a count on
+      // this frame — no second join. The count both materializes the lazy
+      // checkpoint (all partitions computed → persisted) and answers
+      // convergence in the same job.
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("n_min"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      converged = next.filter(col("label") =!= col("old")).isEmpty
+        .localCheckpoint(false)
+      val nChanged = next.filter(col("label") =!= col("old")).count()
+      converged = nChanged == 0L
+      GraftSqlShims.unpersistCheckpoint(labels)
       labels = next
       iter += 1
     }
+    // the returned frame is itself checkpointed and self-contained — the
+    // edge frame is no longer reachable from it and can be freed now
+    GraftSqlShims.unpersistCheckpoint(edges)
     // fail LOUD on non-convergence: a silently non-minimal label would
     // diverge from the exact transitive-closure oracle only at the scale
     // that trips the cap (the failure class the oracle conventions forbid)

@@ -18,6 +18,23 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("frees every superseded checkpoint: only the result frame stays persisted") {
+    // leak contract (round-3): the loop checkpoints per round, so every
+    // superseded labels frame AND the edge frame must be freed before
+    // return — a long-lived driver calling this repeatedly must not
+    // accumulate block-manager storage. Sweep first so the count is ours.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val pairs = Seq((3L, 9L), (2L, 3L), (1L, 2L), (5L, 6L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs)
+    assert(cc.count() == 8)
+    val persisted = spark.sparkContext.getPersistentRDDs
+    // exactly one persisted RDD: the returned (still-consumable) frame
+    assert(persisted.size == 1,
+      s"leaked checkpoint blocks: ${persisted.values.map(_.name).toList}")
+    persisted.values.foreach(_.unpersist(true))
+  }
+
   test("isolated pairs and self-consistency on real candidates") {
     val docs = graft.Tables.documents(spark, TestSpark.sf)
     val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
