@@ -307,14 +307,35 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * int8-quantized scores for everything, exact-rerank only a shortlist.
     * Works on any layout (no index required) — the accelerator of choice
     * when the corpus has no cluster structure for an IVF probe to exploit.
+    *
+    * On a REINDEXed + quantized collection, `probeRadius >= 0` composes
+    * BOTH prunings (the 100 TB plan): partition-prune to the probed cells,
+    * int8-rank only inside them, exact-rerank the shortlist —
+    * [[VectorIndex.probeCellsSq8]]. Same probeRadius semantics as
+    * [[searchSimilar]] (hamming radius for sign_bucket, nprobe − 1 for
+    * kmeans); same fallback discipline (no recoverable geometry → the
+    * index-free quantized scan, never silently wrong neighbors).
     */
   def searchSimilarSq8(name: String, query: Array[Float], k: Int,
       shortlist: Int = 1000, metric: String = "cosine",
-      idCol: String = "id", rerank: Boolean = true): DataFrame = {
+      idCol: String = "id", rerank: Boolean = true,
+      probeRadius: Int = -1): DataFrame = {
     val data = read(name)
     val stored = if (data.columns.contains(QuantCol)) Some(QuantCol) else None
-    SimilaritySearch.topKSq8(data, query, k, shortlist, metric,
-      idCol = idCol, q8Col = stored, rerank = rerank)
+    lazy val layout = indexType(name)
+    val probeable = probeRadius >= 0 && rerank && stored.isDefined &&
+      data.columns.contains("cluster_id")
+    if (probeable && layout.contains("sign_bucket")) {
+      VectorIndex.probeSq8(data, query, k, shortlist, metric,
+        indexBits(name), probeRadius, q8Col = QuantCol, idCol = idCol)
+    } else if (probeable && layout.contains("kmeans")) {
+      VectorIndex.probeKMeansSq8(data, query, k, shortlist, metric,
+        centroidsOf(name), nprobe = probeRadius + 1, q8Col = QuantCol,
+        idCol = idCol)
+    } else {
+      SimilaritySearch.topKSq8(data, query, k, shortlist, metric,
+        idCol = idCol, q8Col = stored, rerank = rerank)
+    }
   }
 
   private def indexSidecar(name: String): Option[String] = {

@@ -142,21 +142,14 @@ object SimilaritySearch {
       case Some(qc) if rerank =>
         // STORED quantized column: the shortlist pass reads only (id, qc) —
         // a quarter of the vector bytes, scored directly on the int8 array
-        // (see VectorExpressionHelpers). The shortlist ids (≤ shortlist, a
-        // bounded request-sized result — the same class of driver-side
-        // value as the query vector itself) then push into the rerank scan
-        // as an In filter, so row-group/page statistics can skip
-        // full-precision data where the layout allows. A join-back
-        // formulation would re-read every row's float vector unpruned.
+        // (see VectorExpressionHelpers) — then the exact rerank touches
+        // ≤ shortlist full-precision rows via [[rerankExact]]'s
+        // cap-and-switch (In-pushdown small, broadcast join-back large).
         val short = sq8ShortlistStored(collection, queryVec, shortlist,
           metric, qc, idCol)
-        val ids = short.select(col(idCol)).collect().map(_.get(0)).toSeq
-        collection.drop(qc)
-          .filter(col(idCol).isInCollection(ids))
-          .withColumn("score", exact)
-          .drop(vecCol)
-          .orderBy(desc("score"), col(idCol))
-          .limit(k)
+        rerankExact(collection.drop(qc), short, queryVec, k, shortlist,
+          metric, vecCol, idCol)
+          .drop("approx_score")
       case Some(qc) =>
         // rerank = false: rank by the quantized score alone — the scan
         // NEVER touches full-precision vectors, so total IO is a strict
@@ -167,6 +160,52 @@ object SimilaritySearch {
         sq8ShortlistStored(collection, queryVec, k, metric, qc, idCol)
           .withColumnRenamed("approx_score", "score")
     }
+  }
+
+  /** Exact rerank of a bounded shortlist, cap-and-switch on the shortlist
+    * size:
+    *
+    *  - `shortlist ≤ inThreshold`: materialize the shortlist ONCE on the
+    *    driver (it is request-sized by construction — the same class of
+    *    driver-side value as the query vector), push the ids into the
+    *    rerank scan as an `In` filter so parquet row-group/page statistics
+    *    can skip full-precision data, and join the approx scores back from
+    *    a local relation (no second execution of the shortlist plan).
+    *  - above the threshold: a giant In-list would serialize through the
+    *    driver into every task, so the shortlist never leaves the
+    *    executors — broadcast join-back instead (the pushdown win no
+    *    longer covers the driver round-trip at that size).
+    *
+    * `short` must carry (`idCol`, `approx_score`); both are kept in the
+    * output alongside the exact `score`.
+    */
+  def rerankExact(
+      collection: DataFrame,
+      short: DataFrame,
+      queryVec: Array[Float],
+      k: Int,
+      shortlist: Int,
+      metric: String = "cosine",
+      vecCol: String = "embedding",
+      idCol: String = "id",
+      inThreshold: Int = 10000): DataFrame = {
+    val (exact, desc_?) = score(metric, col(vecCol), lit(queryVec))
+    val joined =
+      if (shortlist <= inThreshold) {
+        val rows = short.collect()
+        val ids = rows.map(_.get(0)).toSeq
+        val local = collection.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), short.schema)
+        collection
+          .filter(col(idCol).isInCollection(ids))
+          .join(broadcast(local), Seq(idCol))
+      } else {
+        collection.join(broadcast(short), Seq(idCol))
+      }
+    val ranked = joined.withColumn("score", exact).drop(vecCol)
+    (if (desc_?) ranked.orderBy(desc("score"), col(idCol))
+     else ranked.orderBy(asc("score"), col(idCol)))
+      .limit(k)
   }
 
   /** The quantized-scan stage over a STORED int8 column: reads (id, q8Col)

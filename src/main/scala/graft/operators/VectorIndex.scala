@@ -67,6 +67,58 @@ object VectorIndex {
       query, k, metric, vecCol, idCol)
   }
 
+  /** IVF × SQ8 — the composition that holds up at 100 TB: partition pruning
+    * and byte pruning multiply. The probe keeps only the cells in
+    * `cellIds` (at rest: a partition-pruned scan that never opens the other
+    * cells' files), ranks the surviving rows by the STORED int8 column
+    * (¼ of the vector bytes — the scan reads `(id, q8Col)` only), and
+    * exact-reranks just the bounded shortlist with full-precision vectors
+    * ([[SimilaritySearch.rerankExact]]'s cap-and-switch). Scanned bytes
+    * ≈ (|cells| / total cells) × ¼ of the vector data — at 100 TB with 256
+    * cells and radius-1 probing that is ~0.9% of the corpus bytes, vs 25 TB
+    * for a plain SQ8 pass or 3.5 TB for IVF with float rerank.
+    *
+    * Output: all collection columns except the vectors, plus
+    * `approx_score` (int8 cosine, integer-exact in double → engine-
+    * reproducible) and `score` (exact).
+    */
+  def probeCellsSq8(indexed: DataFrame, cellIds: Seq[Int],
+      query: Array[Float], k: Int, shortlist: Int,
+      metric: String = "cosine", vecCol: String = "embedding",
+      q8Col: String = "embedding_q8", idCol: String = "id",
+      inThreshold: Int = 10000): DataFrame = {
+    val cells = indexed.filter(col("cluster_id").isin(cellIds: _*))
+    val short = SimilaritySearch.sq8ShortlistStored(
+      cells, query, shortlist, metric, q8Col, idCol)
+    SimilaritySearch.rerankExact(
+      cells.drop(q8Col), short, query, k, shortlist, metric, vecCol, idCol,
+      inThreshold)
+  }
+
+  /** [[probeCellsSq8]] on a sign-bucket layout: cells within `radius`
+    * bit-flips of the query's code. Fully deterministic end to end (sign
+    * buckets + integer-exact quantized scores) — the whole composition is
+    * SQL-reproducible, so it carries a full hash-match oracle (q79).
+    */
+  def probeSq8(indexed: DataFrame, query: Array[Float], k: Int,
+      shortlist: Int, metric: String = "cosine", nBits: Int = 8,
+      radius: Int = 1, vecCol: String = "embedding",
+      q8Col: String = "embedding_q8", idCol: String = "id",
+      inThreshold: Int = 10000): DataFrame =
+    probeCellsSq8(indexed, codesWithin(signBucketOf(query, nBits), nBits, radius),
+      query, k, shortlist, metric, vecCol, q8Col, idCol, inThreshold)
+
+  /** [[probeCellsSq8]] on a KMeans-IVF layout: the `nprobe` cells nearest
+    * the query (centroids ride in on the index sidecar).
+    */
+  def probeKMeansSq8(indexed: DataFrame, query: Array[Float], k: Int,
+      shortlist: Int, metric: String, centroids: Array[Array[Double]],
+      nprobe: Int, vecCol: String = "embedding",
+      q8Col: String = "embedding_q8", idCol: String = "id"): DataFrame =
+    probeCellsSq8(indexed,
+      nearestCentroidIds(query, centroids, math.max(1, nprobe)),
+      query, k, shortlist, metric, vecCol, q8Col, idCol)
+
   /** MLlib BucketedRandomProjectionLSH approximate nearest neighbors —
     * the "MLlib for vectors" alternative to the sign-bucket path. Seeded ⇒
     * reproducible on a fixed dataset/Spark version (not SQL-reproducible, so

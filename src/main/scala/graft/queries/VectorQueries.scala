@@ -177,6 +177,43 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF × SQ8 — the 100 TB composition, through the full database
+    // surface: REINDEX lays the collection out by sign-bucket cell
+    // (partition-pruned probes), QUANTIZE stores the int8 copy (¼ scan
+    // bytes inside the probed cells), SEARCHSIMILAR probes radius-1 cells,
+    // int8-ranks only within them, and exact-reranks the 100-row
+    // shortlist. Every stage is deterministic (sign buckets + integer-
+    // exact quantized cosine), so unlike model-based ANN the WHOLE
+    // composition carries a full hash-match oracle.
+    "q79_ivf_sq8" -> ((s, dir) => {
+      val db = Scratch.db(s, "graft_q79")
+      db.createCollection("vecs", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)),
+        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType))))
+      db.bulkInsert("vecs", Tables.embeddings(s, dir))
+      db.reindex("vecs", nBits = 8)
+      db.quantize("vecs")
+      val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      // k = shortlist: the only raw-score cut left inside the engine is
+      // the shortlist cut, which is on the INTEGER-exact approx score —
+      // reproducible bit-for-bit. The final 10-cut below is on the
+      // ROUNDED exact score (the oracle conventions' rule: never cut on
+      // a raw float both engines compute with their own op order). The
+      // query row rides through the probe (it shares the query's cell by
+      // construction) and is dropped before that final cut — mirrored in
+      // the oracle.
+      db.searchSimilarSq8("vecs", query, k = 100, shortlist = 100,
+          metric = "cosine", idCol = "vec_id", probeRadius = 1)
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(col("score"), 6).as("score"),
+          round(col("approx_score"), 6).as("approx_score"))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+    }),
+
     // The SQL-text surface: graft's Catalyst expressions registered in the
     // FunctionRegistry and invoked from spark.sql, scalar subquery carrying
     // the query vector.
@@ -329,6 +366,40 @@ object VectorQueries {
         |FROM ranked
         |WHERE rank <= 5 AND vec_id <> query_id
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q79_ivf_sq8" ->
+      // the full IVF × SQ8 composition recomputed in SQL: sign-bucket
+      // cells (duckBucket mirrors VectorIndex.signBucket bit-for-bit),
+      // radius-1 hamming probe, int8 cosine written out explicitly
+      // (dot / (sqrt·sqrt), every intermediate an exact integer in
+      // double) for the shortlist cut, exact rerank of the shortlist,
+      // query row dropped after the final k=10 cut — exactly the Spark
+      // side's order of operations.
+      s"""WITH coded AS (
+         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS cluster_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]),
+         |      x -> greatest(-127.0, least(127.0, floor(x * 127 + 0.5)))) AS qv
+         |  FROM embeddings),
+         |q AS (
+         |  SELECT embedding AS qemb, qv AS qqv, cluster_id AS qc
+         |  FROM coded WHERE vec_id = 0),
+         |probed AS (
+         |  SELECT e.vec_id, e.embedding, e.qv, q.qqv, q.qemb
+         |  FROM coded e, q
+         |  WHERE bit_count(xor(CAST(e.cluster_id AS BIGINT), CAST(q.qc AS BIGINT))) <= 1),
+         |approx AS (
+         |  SELECT vec_id, embedding, qemb,
+         |    list_inner_product(qv, qqv)
+         |      / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(qqv, qqv))) AS a
+         |  FROM probed),
+         |short AS (SELECT * FROM approx ORDER BY a DESC, vec_id LIMIT 100)
+         |SELECT vec_id,
+         |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qemb AS DOUBLE[])), 6) AS score,
+         |  round(a, 6) AS approx_score
+         |FROM short
+         |WHERE vec_id <> 0
+         |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin,
 
     "q69_sq8_rerank" ->
       // the int8 cosine written out explicitly (dot / (sqrt·sqrt)) so the

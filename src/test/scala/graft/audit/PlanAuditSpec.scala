@@ -118,6 +118,71 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(res.count() == 5)
   }
 
+  test("ivf×sq8: partition pruning AND quantized-column pruning in one plan") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val db = graft.core.GraftDatabase.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_audit_ivfq8").toString, "cdb")
+    db.createCollection("vecs", StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)),
+      StructField("label", IntegerType))))
+    db.bulkInsert("vecs", graft.Tables.embeddings(spark, TestSpark.sf))
+    db.reindex("vecs", nBits = 8)
+    db.quantize("vecs")
+    val q = graft.Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // broadcast branch (inThreshold = 0): the WHOLE composition is one DAG,
+    // so one executed plan must show both prunings multiplying
+    val composed = graft.operators.VectorIndex.probeSq8(
+      db.read("vecs"), q, k = 10, shortlist = 100, metric = "cosine",
+      nBits = 8, radius = 1, q8Col = "embedding_q8", idCol = "vec_id",
+      inThreshold = 0)
+    val p = composed.queryExecution.executedPlan.toString
+    // the probe prunes cluster_id partitions at the scan (IVF half)…
+    assert(p.contains("PartitionFilters: [cluster_id"),
+      s"probe must prune cluster_id partitions:\n${p.take(2000)}")
+    // …and the shortlist scan reads ONLY (id, int8 column) (SQ8 half)
+    assert(p.contains("struct<vec_id:bigint,embedding_q8:array<tinyint>>"),
+      s"shortlist scan must read only id + quantized column:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+
+    // the q79 gate path (small shortlist → In branch): the rerank scan
+    // still prunes partitions AND pushes the shortlist ids
+    val pq = plan("q79_ivf_sq8")
+    assert(pq.contains("PartitionFilters: [cluster_id"),
+      s"q79 rerank must prune cluster_id partitions:\n${pq.take(2000)}")
+    assert(pq.contains("PushedFilters: [In(vec_id"),
+      s"q79 rerank must push the shortlist id filter:\n${pq.take(2000)}")
+  }
+
+  test("rerankExact above the In-threshold: shortlist never leaves executors") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val q = e.filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val short = graft.operators.SimilaritySearch.sq8Shortlist(
+        e.filter(col("vec_id") =!= 0), q, 50, "cosine", "embedding", "vec_id")
+      .select(col("vec_id"), col("approx_score"))
+    // inThreshold below the shortlist size forces the broadcast join-back
+    val above = graft.operators.SimilaritySearch.rerankExact(
+      e, short, q, 10, shortlist = 50, metric = "cosine",
+      vecCol = "embedding", idCol = "vec_id", inThreshold = 10)
+    val p = above.queryExecution.executedPlan.toString
+    assert(!p.contains("In(vec_id"),
+      s"large shortlists must not serialize an In-list through the driver:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"large shortlists rerank via broadcast join-back:\n${p.take(2000)}")
+    // both branches return the same rows
+    val below = graft.operators.SimilaritySearch.rerankExact(
+      e, short, q, 10, shortlist = 50, metric = "cosine",
+      vecCol = "embedding", idCol = "vec_id", inThreshold = 10000)
+    assert(above.select("vec_id").collect().map(_.getLong(0)).toSeq ==
+      below.select("vec_id").collect().map(_.getLong(0)).toSeq,
+      "cap-and-switch branches must agree")
+  }
+
   test("q67 two-phase sessionize: per-event window partitioned by (user, chunk)") {
     val p = plan("q67_sessionize_2phase")
     // the heavy (per-event) sort must key on user_id AND the chunk — that

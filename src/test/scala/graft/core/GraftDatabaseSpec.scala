@@ -270,6 +270,47 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(!fs.exists(trash2))
   }
 
+  test("ivf × sq8: probed quantized search recovers the exact top-k on both layouts") {
+    // two tight clusters with fully-signed leading dims: sign buckets are
+    // 0x00 / 0xFF per cluster, so a radius-1 probe of the query's cell is
+    // lossless, and KMeans(k=2) separates them identically
+    val rnd = new scala.util.Random(11)
+    def point(i: Int, sign: Float): VectorRecord = {
+      val v = Array.tabulate(16)(d =>
+        if (d < 8) sign * (1.0f + 0.1f * rnd.nextGaussian().toFloat)
+        else 0.1f * rnd.nextGaussian().toFloat)
+      VectorRecord(i.toLong, v, s"p$i")
+    }
+    val rows = (0 until 100).map(point(_, 1.0f)) ++
+      (100 until 200).map(point(_, -1.0f))
+    val q = rows(3).embedding
+
+    val db = freshDb()
+    db.createCollection("vecs")
+    db.bulkInsert("vecs", rows.toDF())
+    val exact = db.searchSimilar("vecs", q, k = 10)
+      .select("id").as[Long].collect().toSeq
+
+    db.reindex("vecs", nBits = 8)
+    db.quantize("vecs")
+    val signProbed = db.searchSimilarSq8("vecs", q, k = 10, shortlist = 50,
+        probeRadius = 1)
+      .select("id").as[Long].collect().toSeq
+    assert(signProbed == exact,
+      "sign-bucket ivf×sq8 must recover the exact top-k on separable data")
+
+    val db2 = freshDb()
+    db2.createCollection("vecs")
+    db2.bulkInsert("vecs", rows.toDF())
+    db2.reindexKMeans("vecs", k = 2)
+    db2.quantize("vecs")
+    val kmProbed = db2.searchSimilarSq8("vecs", q, k = 10, shortlist = 50,
+        probeRadius = 0)
+      .select("id").as[Long].collect().toSeq
+    assert(kmProbed == exact,
+      "kmeans ivf×sq8 must recover the exact top-k on separable data")
+  }
+
   test("quantize: stored sq8 column drives search; appends and updates keep it") {
     val db = freshDb()
     db.createCollection("vecs")
