@@ -378,13 +378,31 @@ object Dedup {
     * sign-bucket code are scored (the bucket join is the scale guard; the
     * cosine is codegen'd). Returns all scored pairs; callers threshold or
     * top-k.
+    *
+    * Hot-bucket cap (same discipline as [[candidatePairs]]): a degenerate
+    * bucket — 2^nBits buckets over a corpus-scale table means an average
+    * bucket holds N/2^nBits rows, and a skewed one far more — would blow
+    * up quadratically in the self-join. Bucket membership is counted with
+    * [[BoundedDistinctSetAgg]] (≤ cap+1 ids per partial buffer, so an
+    * adversarial corpus can't OOM an executor), buckets over
+    * `maxBucketSize` are dropped whole, and buckets at or under it are
+    * kept whole — exact semantics a SQL oracle reproduces with a plain
+    * count filter. LSH dedup pipelines drop degenerate buckets for recall
+    * reasons anyway: a bucket holding 1% of the corpus carries no
+    * near-dup signal.
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-      nBits: Int = 8): DataFrame = {
-    val coded = df.select(col(idCol), col(vecCol),
+      nBits: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+    val coded = df.select(col(idCol).cast("long").as(idCol), col(vecCol),
       VectorIndex.signBucket(col(vecCol), nBits).as("bucket"))
-    val a = coded.select(col("bucket"), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
-    val b = coded.select(col("bucket"), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
+    val bounded = udaf(new BoundedDistinctSetAgg(maxBucketSize + 1))
+    val surviving = coded.groupBy("bucket")
+      .agg(bounded(col(idCol)).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+      .select(col("bucket"), explode(col("ids")).as(idCol))
+    val members = coded.join(surviving, Seq("bucket", idCol))
+    val a = members.select(col("bucket"), col(idCol).as("a_id"), col(vecCol).as("a_vec"))
+    val b = members.select(col("bucket"), col(idCol).as("b_id"), col(vecCol).as("b_vec"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),

@@ -349,11 +349,19 @@ object DedupQueries {
       val bucket = (0 until 8)
         .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
         .mkString(" + ")
+      // the hot-bucket cap (embeddingPairs maxBucketSize = 1000) mirrored
+      // as a plain membership-count filter — implementation caps MUST
+      // appear in the oracle or the gate diverges at the scale that trips
+      // them (oracle conventions)
       s"""WITH coded AS (
-         |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings)
+         |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |keep AS (
+         |  SELECT bucket FROM coded GROUP BY bucket
+         |  HAVING count(DISTINCT vec_id) BETWEEN 2 AND 1000)
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS score
          |FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |JOIN keep k ON a.bucket = k.bucket
          |ORDER BY score DESC, a_id, b_id
          |LIMIT 20""".stripMargin
     }

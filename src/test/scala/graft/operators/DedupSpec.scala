@@ -114,4 +114,29 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
     assert(pairs.head._3 > 0.9)
   }
+
+  test("embeddingPairs: a degenerate hot bucket is dropped with bounded state") {
+    // every positive-quadrant vector lands in bucket 3 → 120 members would
+    // quadratically self-join (~7k pairs); the cap drops the bucket whole
+    // while the healthy negative-quadrant pair survives
+    val vecs = (
+      (0 until 120).map(i => (i.toLong, Array(0.5f + i * 0.001f, 0.5f))) ++
+        Seq((500L, Array(-0.5f, -0.5f)), (501L, Array(-0.4f, -0.6f)))
+      ).toDF("id", "embedding")
+    val capped = Dedup.embeddingPairs(vecs, "id", "embedding", nBits = 2,
+      maxBucketSize = 50)
+    assert(capped.select("a_id", "b_id").as[(Long, Long)].collect().toSet ==
+      Set((500L, 501L)),
+      "hot bucket must contribute nothing; healthy bucket must survive")
+    // cap inside the aggregation: bounded partial buffers, no window stage
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("boundeddistinctsetagg"),
+      s"bounded aggregator missing from plan:\n$plan")
+    assert(!plan.contains("Window"), s"cap must not need a window stage:\n$plan")
+    // a bucket exactly at the cap keeps all its pairs
+    val atCap = Dedup.embeddingPairs(vecs, "id", "embedding", nBits = 2,
+      maxBucketSize = 120).count()
+    assert(atCap == 120L * 119 / 2 + 1,
+      "cap-sized bucket must emit all its pairs")
+  }
 }
