@@ -2,7 +2,7 @@ package graft.operators
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video payloads ride along as
@@ -43,6 +43,58 @@ object Multimodal {
       col(idCol).cast("long").as("id"),
       lit(mediaType).as("media_type"),
       encode(col(payloadCol), "UTF-8").as("media"))
+
+  // =====================================================================
+  // REAL DECODE: vectorized image-header parsing. No codec library needed —
+  // image dimensions live at fixed offsets in PNG/GIF/BMP headers, so the
+  // parse is pure codegen'd column math (hex slice + base-16 conv) that
+  // runs at scan speed on 100 TB of binary payloads. JPEG is classified by
+  // magic but carries NULL dimensions: its SOF marker sits at a variable
+  // offset (an entropy-coded marker scan needs a real decoder, and a
+  // columnar "search for FFC0" would false-positive inside compressed
+  // data — wrong metadata is worse than absent metadata).
+  // =====================================================================
+
+  /** `struct(format, width, height)` parsed from the leading bytes of a
+    * binary column:
+    *  - PNG  — 8-byte signature, IHDR width/height big-endian u32 at
+    *    bytes 16/20;
+    *  - GIF  — "GIF8" magic, logical-screen width/height little-endian u16
+    *    at bytes 6/8;
+    *  - BMP  — "BM" magic, BITMAPINFOHEADER width/height little-endian i32
+    *    at bytes 18/22 (signed: top-down bitmaps store a negative height);
+    *  - JPEG — classified (`FFD8FF`), dimensions NULL (see above);
+    *  - anything else — format "unknown", dimensions NULL.
+    */
+  def imageMeta(bin: Column): Column = {
+    val h = upper(hex(bin))
+    // hex-char position of byte b is 2·b + 1 (1-based substring)
+    def be32(pos: Int): Column = conv(substring(h, pos, 8), 16, 10).cast("long")
+    def le16(pos: Int): Column =
+      conv(concat(substring(h, pos + 2, 2), substring(h, pos, 2)), 16, 10)
+        .cast("long")
+    def le32(pos: Int): Column = {
+      val u = conv(concat(substring(h, pos + 6, 2), substring(h, pos + 4, 2),
+        substring(h, pos + 2, 2), substring(h, pos, 2)), 16, 10).cast("long")
+      when(u >= 2147483648L, u - 4294967296L).otherwise(u)
+    }
+    val noDim = lit(null).cast("long")
+    def meta(f: String, w: Column, hgt: Column): Column =
+      struct(lit(f).as("format"), w.as("width"), hgt.as("height"))
+    when(h.startsWith("89504E470D0A1A0A"), meta("png", be32(33), be32(41)))
+      .when(h.startsWith("47494638"), meta("gif", le16(13), le16(17)))
+      .when(h.startsWith("424D"), meta("bmp", le32(37), le32(45)))
+      .when(h.startsWith("FFD8FF"), meta("jpeg", noDim, noDim))
+      .otherwise(meta("unknown", noDim, noDim))
+  }
+
+  /** Append parsed `format`/`width`/`height` columns from a binary column. */
+  def withImageMeta(df: DataFrame, binCol: String): DataFrame =
+    df.withColumn("__meta", imageMeta(col(binCol)))
+      .withColumn("format", col("__meta.format"))
+      .withColumn("width", col("__meta.width"))
+      .withColumn("height", col("__meta.height"))
+      .drop("__meta")
 
   // =====================================================================
   // STUB DECODER — replace with a real codec (JNI/ffmpeg/ImageIO) when the

@@ -19,6 +19,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.forall(_.media_type == "text/plain"))
   }
 
+  test("imageMeta parses real PNG/GIF/BMP headers; classifies JPEG; rejects junk") {
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val rows = Seq(
+      // 1×1 PNG (real header: signature + IHDR length/type + dims + rest)
+      (1L, bytes("89504E470D0A1A0A0000000D494844520000000100000001080600000000")),
+      // GIF89a, logical screen 2×3 (LE u16)
+      (2L, bytes("47494638396102000300F700")),
+      // BMP, BITMAPINFOHEADER, 4×6 (LE i32 at 18/22)
+      (3L, bytes("424D4600000000000000360000002800000004000000060000000100")),
+      // top-down BMP: height −6 stored as LE i32 two's complement
+      (4L, bytes("424D4600000000000000360000002800000004000000FAFFFFFF0100")),
+      // JPEG JFIF: classified, dims NULL (variable-offset SOF)
+      (5L, bytes("FFD8FFE000104A46494600")),
+      // junk
+      (6L, bytes("DEADBEEF"))
+    ).toDF("id", "media")
+    val got = Multimodal.withImageMeta(rows, "media")
+      .select($"id", $"format", $"width", $"height")
+      .as[(Long, String, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "png", Some(1L), Some(1L))))
+    assert(got(1) == ((2L, "gif", Some(2L), Some(3L))))
+    assert(got(2) == ((3L, "bmp", Some(4L), Some(6L))))
+    assert(got(3) == ((4L, "bmp", Some(4L), Some(-6L))),
+      "top-down BMP height must parse as signed")
+    assert(got(4) == ((5L, "jpeg", None, None)))
+    assert(got(5) == ((6L, "unknown", None, None)))
+  }
+
   test("batch boundary: batchSize smaller than partition still covers all rows") {
     val df = (1L to 200L).map(i => (i, s"payload-$i")).toDF("id", "text")
     val media = Multimodal.withMediaColumn(df, "id", "text")
