@@ -29,21 +29,26 @@ object Bench {
       catch { case _: Throwable => }
       sweep(spark)
     }
-    // min of two timed reps: single-shot numbers occasionally absorb
+    // min over timed reps: single-shot numbers occasionally absorb
     // multi-second environment hiccups (page-cache evictions, co-tenant
     // noise) that would pollute the round-over-round deltas; the minimum
-    // is the steady-state estimator of record.
-    val results = SparkEntry.benchQueries.map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (0 until 2).map { _ =>
+    // is the steady-state estimator of record. Reps are INTERLEAVED as
+    // full passes over the query set (not back-to-back per query): two
+    // adjacent reps sit inside the same noise burst and the min keeps the
+    // inflated value, while passes put the whole set (~10 s) between a
+    // query's reps, so a burst can only touch one of them.
+    val reps = 3
+    val times = Array.fill(SparkEntry.benchQueries.length)(Double.MaxValue)
+    for (_ <- 0 until reps) {
+      SparkEntry.benchQueries.zipWithIndex.foreach { case (name, i) =>
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).collect() } catch { case _: Throwable => }
-        val t = (System.nanoTime() - t0) / 1e9
+        times(i) = math.min(times(i), (System.nanoTime() - t0) / 1e9)
         sweep(spark)
-        t
       }
-      name -> times.min
     }
+    val results = SparkEntry.benchQueries.zip(times)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -66,8 +71,15 @@ object Bench {
     */
   private def sweep(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
+    // blocking: an async unpersist would free the previous query's blocks
+    // (and trigger their GC) INSIDE the next query's timed window — the
+    // prime suspect for allocation-heavy queries regressing in r03's
+    // driver artifact. Same reason for the explicit gc(): pay the
+    // collection of the previous query's garbage here, not in the next
+    // measurement.
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
+    System.gc()
   }
 
   /** Per-query seconds from the newest BENCH_r{N}.json in the working dir —

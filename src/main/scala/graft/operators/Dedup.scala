@@ -367,10 +367,14 @@ object Dedup {
     // fail LOUD on non-convergence: a silently non-minimal label would
     // diverge from the exact transitive-closure oracle only at the scale
     // that trips the cap (the failure class the oracle conventions forbid)
-    if (!converged)
+    if (!converged) {
+      // free the last round's checkpoint on the error path too — a
+      // long-lived driver catching this must not inherit the blocks
+      GraftSqlShims.unpersistCheckpoint(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds — " +
           "component diameter exceeds the cap; raise maxIter")
+    }
     labels.select(col("id"), col("label").as("cluster_rep"))
   }
 
@@ -393,6 +397,18 @@ object Dedup {
     */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+    // NARROWED CONTRACT: the bounded bucket-membership aggregation buffers
+    // ids as Long (flat Array buffer — the Kryo/TreeSet trap), so the id
+    // column must be an integral type; a silent cast would turn string ids
+    // into nulls and emit NO pairs. Fail loud instead.
+    val idType = df.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"embeddingPairs requires an integral id column; '$idCol' is $idType" +
+        " — hash or re-key non-numeric ids first")
     val coded = df.select(col(idCol).cast("long").as(idCol), col(vecCol),
       VectorIndex.signBucket(col(vecCol), nBits).as("bucket"))
     val bounded = udaf(new BoundedDistinctSetAgg(maxBucketSize + 1))

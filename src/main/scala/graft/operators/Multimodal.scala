@@ -61,13 +61,23 @@ object Multimodal {
     *    bytes 16/20;
     *  - GIF  — "GIF8" magic, logical-screen width/height little-endian u16
     *    at bytes 6/8;
-    *  - BMP  — "BM" magic, BITMAPINFOHEADER width/height little-endian i32
-    *    at bytes 18/22 (signed: top-down bitmaps store a negative height);
+    *  - BMP  — "BM" magic, width/height little-endian i32 at bytes 18/22
+    *    (signed: top-down bitmaps store a negative height). The dimension
+    *    read is gated on the DIB header-size field at byte 14: only the
+    *    BITMAPINFOHEADER family (40/52/56/64/108/124) shares the 18/22
+    *    layout — a BITMAPCOREHEADER (size 12, u16 dims at 18/20) or a
+    *    truncated header would otherwise parse plausible-but-wrong
+    *    dimensions, the exact failure the JPEG note above forbids. Those
+    *    classify as "bmp" with NULL dimensions;
     *  - JPEG — classified (`FFD8FF`), dimensions NULL (see above);
     *  - anything else — format "unknown", dimensions NULL.
+    *
+    * Only the first 32 bytes are hex-encoded (every parsed offset ends by
+    * byte 26): hexing the whole payload would allocate a string 2× the
+    * payload per row and overflow the max byte-array size on ≥1 GB blobs.
     */
   def imageMeta(bin: Column): Column = {
-    val h = upper(hex(bin))
+    val h = upper(hex(substring(bin, 1, 32)))
     // hex-char position of byte b is 2·b + 1 (1-based substring)
     def be32(pos: Int): Column = conv(substring(h, pos, 8), 16, 10).cast("long")
     def le16(pos: Int): Column =
@@ -81,9 +91,17 @@ object Multimodal {
     val noDim = lit(null).cast("long")
     def meta(f: String, w: Column, hgt: Column): Column =
       struct(lit(f).as("format"), w.as("width"), hgt.as("height"))
-    when(h.startsWith("89504E470D0A1A0A"), meta("png", be32(33), be32(41)))
-      .when(h.startsWith("47494638"), meta("gif", le16(13), le16(17)))
-      .when(h.startsWith("424D"), meta("bmp", le32(37), le32(45)))
+    val dibSize = le32(29) // DIB header size, byte 14
+    val bmpDims = length(bin) >= 26 &&
+      dibSize.isin(40L, 52L, 56L, 64L, 108L, 124L)
+    when(h.startsWith("89504E470D0A1A0A") && length(bin) >= 24,
+        meta("png", be32(33), be32(41)))
+      .when(h.startsWith("89504E470D0A1A0A"), meta("png", noDim, noDim))
+      .when(h.startsWith("47494638") && length(bin) >= 10,
+        meta("gif", le16(13), le16(17)))
+      .when(h.startsWith("47494638"), meta("gif", noDim, noDim))
+      .when(h.startsWith("424D") && bmpDims, meta("bmp", le32(37), le32(45)))
+      .when(h.startsWith("424D"), meta("bmp", noDim, noDim))
       .when(h.startsWith("FFD8FF"), meta("jpeg", noDim, noDim))
       .otherwise(meta("unknown", noDim, noDim))
   }

@@ -193,7 +193,10 @@ object SimilaritySearch {
     val joined =
       if (shortlist <= inThreshold) {
         val rows = short.collect()
-        val ids = rows.map(_.get(0)).toSeq
+        // resolve by name, not position — a shortlist with columns in
+        // another order would otherwise silently push scores as ids
+        val idIdx = short.schema.fieldIndex(idCol)
+        val ids = rows.map(_.get(idIdx)).toSeq
         val local = collection.sparkSession.createDataFrame(
           java.util.Arrays.asList(rows: _*), short.schema)
         collection

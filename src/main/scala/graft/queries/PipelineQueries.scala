@@ -2,7 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -91,6 +91,49 @@ object PipelineQueries {
       Multimodal.decodePipeline(s, Tables.documents(s, dir), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_bytes"), col("checksum"),
           col("width"), col("height"))
+        .orderBy("doc_id")
+    }),
+
+    // Real header decode, oracle-gated: deterministic synthetic image
+    // headers (PNG/GIF/BMP/JPEG/BITMAPCOREHEADER by doc_id % 5, dimensions
+    // derived from doc_id and text length) are built as hex, round-tripped
+    // through binary, and parsed back by [[Multimodal.imageMeta]]'s
+    // codegen'd header math. The oracle recomputes the expected values
+    // analytically, so a hash match proves every branch of the parse:
+    // big-endian u32 (PNG), little-endian u16 (GIF), little-endian i32
+    // behind the DIB-size gate (BMP), classify-only (JPEG), and the
+    // core-header reject (bmp with NULL dims).
+    "q80_image_meta" -> ((s, dir) => {
+      val w = (col("doc_id") % 1000 + 1).cast("long")
+      val h = (length(col("text")) % 1000 + 1).cast("long")
+      def beHex32(c: Column) = lpad(hex(c), 8, "0")
+      def leHex16(c: Column) = {
+        val p = lpad(hex(c), 4, "0")
+        concat(substring(p, 3, 2), substring(p, 1, 2))
+      }
+      def leHex32(c: Column) = {
+        val p = lpad(hex(c), 8, "0")
+        concat(substring(p, 7, 2), substring(p, 5, 2),
+          substring(p, 3, 2), substring(p, 1, 2))
+      }
+      val f = col("doc_id") % 5
+      val hexHeader = when(f === 0, concat(
+          lit("89504E470D0A1A0A" + "0000000D49484452"),
+          beHex32(w), beHex32(h), lit("0806000000")))
+        .when(f === 1, concat(
+          lit("474946383961"), leHex16(w), leHex16(h), lit("F70000")))
+        .when(f === 2, concat(
+          lit("424D" + "00000000" + "00000000" + "36000000" + "28000000"),
+          leHex32(w), leHex32(h)))
+        .when(f === 3, lit("FFD8FFE000104A464946"))
+        .otherwise(concat( // BITMAPCOREHEADER: classified, dims rejected
+          lit("424D" + "00000000" + "00000000" + "1A000000" + "0C000000"),
+          leHex16(w), leHex16(h), lit("01001800")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.imageMeta(unhex(hexHeader)).as("__m"))
+        .select(col("doc_id"), col("__m.format").as("format"),
+          col("__m.width").as("width"), col("__m.height").as("height"))
         .orderBy("doc_id")
     }),
 
@@ -220,6 +263,17 @@ object PipelineQueries {
         |  md5(text) AS checksum,
         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
         |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q80_image_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+        |    WHEN 2 THEN 'bmp' WHEN 3 THEN 'jpeg' ELSE 'bmp' END AS format,
+        |  CASE WHEN doc_id % 5 IN (0, 1, 2)
+        |    THEN CAST(doc_id % 1000 + 1 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 5 IN (0, 1, 2)
+        |    THEN CAST(length(text) % 1000 + 1 AS BIGINT) END AS height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

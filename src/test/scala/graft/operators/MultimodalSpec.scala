@@ -34,7 +34,19 @@ class MultimodalSpec extends AnyFunSuite {
       // JPEG JFIF: classified, dims NULL (variable-offset SOF)
       (5L, bytes("FFD8FFE000104A46494600")),
       // junk
-      (6L, bytes("DEADBEEF"))
+      (6L, bytes("DEADBEEF")),
+      // BITMAPCOREHEADER (DIB size 12, u16 dims at 18/20): classified bmp,
+      // dims NULL — the 18/22 i32 layout does NOT apply and a blind read
+      // would return plausible-but-wrong numbers
+      (7L, bytes("424D20000000000000001A0000000C000000040006000100180000000000")),
+      // truncated BMP (magic + 6 bytes): bmp, dims NULL, no parse error
+      (8L, bytes("424D460000000000")),
+      // truncated PNG (signature only): png, dims NULL
+      (9L, bytes("89504E470D0A1A0A")),
+      // PNG header followed by a payload much longer than the 32-byte
+      // hexed prefix: dims still parse (the parse never reads past 26)
+      (10L, bytes("89504E470D0A1A0A0000000D49484452000000070000000B0806000000" +
+        "00" * 4096))
     ).toDF("id", "media")
     val got = Multimodal.withImageMeta(rows, "media")
       .select($"id", $"format", $"width", $"height")
@@ -46,6 +58,12 @@ class MultimodalSpec extends AnyFunSuite {
       "top-down BMP height must parse as signed")
     assert(got(4) == ((5L, "jpeg", None, None)))
     assert(got(5) == ((6L, "unknown", None, None)))
+    assert(got(6) == ((7L, "bmp", None, None)),
+      "BITMAPCOREHEADER must not be read with the INFOHEADER layout")
+    assert(got(7) == ((8L, "bmp", None, None)), "truncated BMP → NULL dims")
+    assert(got(8) == ((9L, "png", None, None)), "truncated PNG → NULL dims")
+    assert(got(9) == ((10L, "png", Some(7L), Some(11L))),
+      "large payload after the header parses from the 32-byte prefix")
   }
 
   test("batch boundary: batchSize smaller than partition still covers all rows") {
