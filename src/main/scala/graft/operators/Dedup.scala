@@ -210,6 +210,42 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Eval-set contamination detection — the decontamination pass every
+    * training-data pipeline runs before a model ever sees the corpus:
+    * find corpus documents sharing at least `minShared` distinct
+    * `shingleN`-gram word shingles with any document of a held-out eval
+    * set (the n-gram-overlap criterion of published LLM decontamination
+    * procedures).
+    *
+    * Scale shape: the corpus side streams — one shingle explode, one hash
+    * join, one partial-aggregated count; it is never self-joined. The eval
+    * side is broadcast by default: eval sets are small by definition
+    * (10³–10⁴ docs against a 100 TB corpus → a shingle set of ~10⁶ rows,
+    * comfortably under executor memory), so the join ships NO corpus
+    * bytes. Pass `broadcastEval = false` for an unusually large eval
+    * suite and it degrades to an ordinary shuffle hash join on the
+    * shingle key.
+    *
+    * Output: (`idCol`, eval_id, n_shared) — one row per contaminated
+    * (corpus doc, eval doc) pair; self-pairs are excluded so the corpus
+    * frame may contain the eval docs themselves. `n_shared` counts
+    * DISTINCT shared shingles (both explode sides are distinct per doc).
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 5, minShared: Int = 2,
+      broadcastEval: Boolean = true): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val docSh = explodeShingles(corpus, idCol, textCol, shingleN)
+    val evalShRaw = explodeShingles(evalSet, idCol, textCol, shingleN)
+      .withColumnRenamed(idCol, "eval_id")
+    val evalSh = if (broadcastEval) broadcast(evalShRaw) else evalShRaw
+    docSh.join(evalSh, Seq("shingle"))
+      .filter(col(idCol) =!= col("eval_id"))
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash near-dup pairs: candidates from a banded equi-join on code
     * chunks, verified with the exact Hamming distance. Pigeonhole makes the
     * banding EXACT, not approximate: splitting an nBits code into `bands`

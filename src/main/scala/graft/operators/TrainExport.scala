@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-set export: deterministic global shuffle + sharding.
+  *
+  * Training jobs need the corpus in pseudo-random order, split into
+  * same-sized shards, and REPRODUCIBLE — re-running the export (or
+  * re-exporting after fixing one upstream bug) must yield byte-identical
+  * shards, or training runs aren't comparable. A `rand()`-based shuffle
+  * fails that on any retry/speculative re-execution; this one derives both
+  * the shard and the within-shard order from `md5(seed ":" id)`, so the
+  * layout is a pure function of (data, seed) — any engine can recompute
+  * it (the audit query's DuckDB oracle does exactly that).
+  *
+  * Scale shape: shard assignment is one codegen'd hash per row; the export
+  * is one hash-partitioned shuffle straight into the writer with a
+  * partition-local sort — no global sort, no driver involvement, no skew
+  * (md5 is uniform: expected shard imbalance at N rows is O(√(N/shards))).
+  */
+object TrainExport {
+
+  /** Append `__shuffle_key` (the md5 order key) and `shard`
+    * (first 16 bits of the key mod `nShards`) to `df`.
+    *
+    * `nShards` must divide 65536 (i.e. be a power of two ≤ 65536): the
+    * shard id comes from a 16-bit slice of the key, and a non-divisor
+    * would bias low shard ids (65536 % n leftover values) — a silent
+    * imbalance this operator exists to prevent.
+    */
+  def withShard(df: DataFrame, idCol: String, nShards: Int,
+      seed: String = "shard"): DataFrame = {
+    require(nShards >= 1 && 65536 % nShards == 0,
+      s"nShards must be a power of two <= 65536, got $nShards")
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    df.withColumn("__shuffle_key", key)
+      .withColumn("shard",
+        conv(substring(col("__shuffle_key"), 1, 4), 16, 10).cast("long")
+          % nShards)
+  }
+
+  /** Balance + determinism audit, one row per shard: doc count, token
+    * budget, and the first/last order keys (the keys pin the permutation,
+    * so a hash-match on this frame proves the whole layout).
+    */
+  def shardAudit(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int, seed: String = "shard"): DataFrame =
+    withShard(df, idCol, nShards, seed)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col(textCol))).cast("long").as("n_tokens"),
+        min("__shuffle_key").as("first_key"),
+        max("__shuffle_key").as("last_key"))
+      .orderBy("shard")
+
+  /** Materialize the shards: one directory per shard, rows in shuffle-key
+    * order within each file. `repartition(nShards, shard)` makes the write
+    * a single shuffle whose output partitioning IS the shard layout —
+    * `partitionBy` then splits ready-sorted partitions without a second
+    * exchange.
+    */
+  def exportShards(df: DataFrame, idCol: String, path: String,
+      nShards: Int, seed: String = "shard"): Unit =
+    withShard(df, idCol, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "__shuffle_key")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+}

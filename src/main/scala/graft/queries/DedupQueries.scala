@@ -130,6 +130,21 @@ object DedupQueries {
         .select(col("a_id"), col("b_id"), round(col("score"), 6).as("score"))
         .orderBy(desc("score"), col("a_id"), col("b_id"))
         .limit(20)
+    }),
+
+    // Decontamination: every 97th document stands in for a held-out eval
+    // set; corpus docs sharing >= 2 distinct 5-gram shingles with an eval
+    // doc are flagged. The eval shingle set rides a broadcast join
+    // (asserted in PlanAuditSpec) — the corpus side never self-joins and
+    // never shuffles its text.
+    "q81_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      Dedup.decontaminate(docs, evalSet, "doc_id", "text",
+          shingleN = 5, minShared = 2)
+        .select(col("doc_id"), col("eval_id"),
+          col("n_shared").cast("long").as("n_shared"))
+        .orderBy("doc_id", "eval_id")
     })
   )
 
@@ -364,6 +379,16 @@ object DedupQueries {
          |JOIN keep k ON a.bucket = k.bucket
          |ORDER BY score DESC, a_id, b_id
          |LIMIT 20""".stripMargin
-    }
+    },
+
+    "q81_decontaminate" ->
+      s"""WITH $shinglesCte,
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sh s JOIN ev e USING (shingle)
+         |WHERE s.doc_id <> e.eval_id
+         |GROUP BY s.doc_id, e.eval_id
+         |HAVING count(*) >= 2
+         |ORDER BY doc_id, eval_id""".stripMargin
   )
 }

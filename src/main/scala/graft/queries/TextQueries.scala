@@ -154,6 +154,15 @@ object TextQueries {
         .filter(col("rn") <= 5)
         .select(col("source"), col("rn"), col("doc_id"))
         .orderBy("source", "rn")
+    }),
+
+    // Deterministic global shuffle + shard export audit: shard and
+    // within-shard order are pure functions of (doc_id, seed), so the
+    // oracle recomputes the exact permutation — a hash match pins the
+    // whole training-data layout, not just the counts.
+    "q82_shard_export" -> ((s, dir) => {
+      graft.operators.TrainExport.shardAudit(
+        Tables.documents(s, dir), "doc_id", "text", nShards = 16)
     })
   )
 
@@ -210,7 +219,20 @@ object TextQueries {
         |      ORDER BY md5('mix:'||CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |  FROM documents)
         |WHERE rn <= 5
-        |ORDER BY source, rn""".stripMargin
+        |ORDER BY source, rn""".stripMargin,
+
+    "q82_shard_export" ->
+      """WITH t AS (
+        |  SELECT text,
+        |    md5('shard:'||CAST(doc_id AS VARCHAR)) AS key,
+        |    CAST(('0x'||substring(md5('shard:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 16 AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
+        |  min(key) AS first_key, max(key) AS last_key
+        |FROM t
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin
   )
 
   val oracles: Map[String, String] = Map(

@@ -183,6 +183,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "cap-and-switch branches must agree")
   }
 
+  test("q81 decontamination joins the eval shingles via broadcast") {
+    val p = plan("q81_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval shingle set must broadcast — corpus text never shuffles " +
+        s"for the contamination join:\n${p.take(2000)}")
+  }
+
   test("q67 two-phase sessionize: per-event window partitioned by (user, chunk)") {
     val p = plan("q67_sessionize_2phase")
     // the heavy (per-event) sort must key on user_id AND the chunk — that

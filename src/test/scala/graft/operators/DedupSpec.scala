@@ -36,6 +36,29 @@ class DedupSpec extends AnyFunSuite {
       "doc 4 shares no shingle with anything")
   }
 
+  test("decontaminate: overlap counts, threshold, self-exclusion") {
+    // eval doc 1 ("a b c d e f g", shingles S1={abcde,bcdef,cdefg})
+    val evalSet = docs.filter($"doc_id" === 1L)
+    val hits = Dedup.decontaminate(docs, evalSet, "doc_id", "text",
+        shingleN = 5, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 2 is an exact dup (3 shared), doc 3 shares exactly 2
+    assert(hits == Set((2L, 1L, 3L), (3L, 1L, 2L)),
+      s"expected docs 2 and 3 flagged against eval doc 1, got $hits")
+    // raising the threshold to 3 drops the near-dup, keeps the exact dup
+    val strict = Dedup.decontaminate(docs, evalSet, "doc_id", "text",
+        shingleN = 5, minShared = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(strict == Set((2L, 1L, 3L)))
+    // a doc never contaminates itself even when the corpus contains the
+    // eval docs; shuffle-join fallback agrees with the broadcast path
+    assert(!hits.exists(h => h._1 == h._2))
+    val shuffled = Dedup.decontaminate(docs, evalSet, "doc_id", "text",
+        shingleN = 5, minShared = 2, broadcastEval = false)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(shuffled == hits, "broadcast and shuffle paths must agree")
+  }
+
   test("simhash: identical docs get identical codes, disjoint docs differ") {
     val codes = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TrainExportSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = (1L to 400L).map(i => (i, s"tok$i " * (i % 7 + 1).toInt))
+    .toDF("doc_id", "text")
+
+  test("withShard: deterministic, uniform-ish, power-of-two contract") {
+    val a = TrainExport.withShard(docs, "doc_id", 16)
+      .select("doc_id", "shard", "__shuffle_key").collect()
+    val b = TrainExport.withShard(docs, "doc_id", 16)
+      .select("doc_id", "shard", "__shuffle_key").collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted),
+      "shard layout must be a pure function of (data, seed)")
+    val counts = a.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(counts.size == 16, "400 uniform draws must touch all 16 shards")
+    assert(counts.values.max <= 3 * 400 / 16,
+      s"md5 sharding should be roughly balanced, got ${counts.toMap}")
+    // a different seed is a different permutation
+    val c = TrainExport.withShard(docs, "doc_id", 16, seed = "other")
+      .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+    val aMap = a.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(aMap != c, "seed must change the layout")
+    intercept[IllegalArgumentException] {
+      TrainExport.withShard(docs, "doc_id", 12)
+    }
+  }
+
+  test("exportShards: one dir per shard, rows in shuffle-key order") {
+    val out = Files.createTempDirectory("graft_shards").toString
+    TrainExport.exportShards(docs, "doc_id", out, nShards = 8)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(dirs.length == 8, s"expected 8 shard dirs, got ${dirs.length}")
+    // within any shard the parquet row order is the shuffle-key order
+    val one = spark.read.parquet(s"$out/shard=3")
+    val keys = one.select("__shuffle_key").as[String].collect()
+    assert(keys.sameElements(keys.sorted), "shard rows must be key-ordered")
+    // round-trip covers every row exactly once
+    val total = spark.read.parquet(out).count()
+    assert(total == 400L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
+  test("shardAudit pins the permutation: keys move when the seed moves") {
+    val audit = TrainExport.shardAudit(docs, "doc_id", "text", nShards = 4)
+      .as[(Long, Long, Long, String, String)].collect()
+    assert(audit.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(audit.map(_._2).sum == 400L)
+    val other = TrainExport.shardAudit(docs, "doc_id", "text", nShards = 4,
+      seed = "other").as[(Long, Long, Long, String, String)].collect()
+    assert(audit.map(_._4).toSeq != other.map(_._4).toSeq)
+  }
+}
