@@ -15,6 +15,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // static conf, default 100: 13 multi-stage queries evict each
+      // other's generated classes between interleaved passes, putting
+      // Janino recompilation inside every timed window — a long-running
+      // service would have a warm cache, so the bench should too
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",

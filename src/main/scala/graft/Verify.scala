@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 74 queries × several codegen stages each blow far past the
+      // default 100-entry generated-class cache — evictions put Janino
+      // recompiles inside the run (measured 40%+ on the bench set)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       // bucketed-table queries use saveAsTable: keep the warehouse out of CWD
       .config("spark.sql.warehouse.dir",
         Files.createTempDirectory("graft_wh").toString)

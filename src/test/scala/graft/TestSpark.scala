@@ -16,6 +16,7 @@ object TestSpark {
       // bucketed-join tests: keep the small side from auto-broadcasting so
       // the co-located (no-Exchange) plan shape is observable
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
