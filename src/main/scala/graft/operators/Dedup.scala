@@ -378,18 +378,26 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
+      // one join + ONE aggregation per round: neighbor label contributions
+      // and each vertex's own label meet in a single min — the self row is
+      // tagged so the aggregation recovers the previous label for the
+      // convergence count in the same pass (a labels⋈neighborMin
+      // carry-join here was a whole extra shuffle of the label frame per
+      // round). `max(when(is_self, label))` sees exactly one non-null per
+      // id, stays type-agnostic, and the count both materializes the lazy
+      // checkpoint and answers convergence in one job.
+      val contrib = edges
         .join(labels.withColumnRenamed("id", "dst")
           .withColumnRenamed("label", "n_label"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min("n_label").as("n_min"))
-      // carry the previous label through, so convergence is a count on
-      // this frame — no second join. The count both materializes the lazy
-      // checkpoint (all partitions computed → persisted) and answers
-      // convergence in the same job.
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("n_min"), col("label"))).as("label"))
+        .select(col("src").as("id"), col("n_label").as("label"),
+          lit(false).as("is_self"))
+        .unionByName(labels.select(col("id"), col("label"),
+          lit(true).as("is_self")))
+      val next = contrib
+        .groupBy("id")
+        .agg(min("label").as("label"),
+          max(when(col("is_self"), col("label"))).as("old"))
+        .select(col("id"), col("old"), col("label"))
         .localCheckpoint(false)
       val nChanged = next.filter(col("label") =!= col("old")).count()
       converged = nChanged == 0L

@@ -451,10 +451,42 @@ object RelationalQueries {
           sum(when(col("o_totalprice") > 200000.0, 1L).otherwise(0L)).as("n_big"),
           round(avg(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("avg_f_price"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Z-order layout audit: Morton-interleave (customer-bucket, order-day)
+    // and aggregate per curve segment — per-bucket min/max of BOTH
+    // dimensions stay tight (the property file skipping rides on). The
+    // oracle recomputes the interleave bit-for-bit from ZOrder.zvalueSql.
+    "q83_zorder" -> ((s, dir) => {
+      import graft.operators.ZOrder
+      val o = Tables.orders(s, dir)
+        .select((col("o_custkey") % 256).cast("int").as("c1"),
+          (dayofyear(col("o_orderdate")) % 256).cast("int").as("c2"))
+      o.withColumn("__z", ZOrder.zvalue(col("c1"), col("c2"), 8))
+        .groupBy(shiftright(col("__z"), 8).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min("c1").cast("long").as("min_c1"), max("c1").cast("long").as("max_c1"),
+          min("c2").cast("long").as("min_c2"), max("c2").cast("long").as("max_c2"))
+        .orderBy("bucket")
     })
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q83_zorder" -> {
+      val zv = graft.operators.ZOrder.zvalueSql("c1", "c2", 8)
+      s"""WITH k AS (
+         |  SELECT CAST(o_custkey % 256 AS INTEGER) AS c1,
+         |    CAST(dayofyear(o_orderdate) % 256 AS INTEGER) AS c2
+         |  FROM orders),
+         |z AS (SELECT c1, c2, ($zv) AS zv FROM k)
+         |SELECT CAST(zv >> 8 AS BIGINT) AS bucket, count(*) AS n,
+         |  CAST(min(c1) AS BIGINT) AS min_c1, CAST(max(c1) AS BIGINT) AS max_c1,
+         |  CAST(min(c2) AS BIGINT) AS min_c2, CAST(max(c2) AS BIGINT) AS max_c2
+         |FROM z
+         |GROUP BY 1
+         |ORDER BY bucket""".stripMargin
+    },
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
