@@ -26,18 +26,11 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct word n-gram shingles of a text column, as array<string>.
-    * Docs shorter than n tokens yield an empty array (guarded: Spark's
-    * `sequence(1, 0)` would count *down*, not produce an empty range).
+    * Docs shorter than n tokens yield an empty array (the short-doc guard
+    * lives in [[TextAnalysis.wordNgrams]]).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = regexp_extract_all(text, lit("\\S+"), lit(0))
-    val cnt = size(toks) - (n - 1)
-    when(cnt <= 0, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(
-          sequence(lit(1), cnt),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(TextAnalysis.wordNgrams(text, n))
 
   /** (id, shingle) pairs, one row per distinct shingle per doc. Shingling
     * is CPU-bound, so the input is widened to full core parallelism first

@@ -23,6 +23,32 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
 
+  /** ALL word n-grams of `text` (with repeats — the distinct set is
+    * [[Dedup.wordShingles]]'s job). Empty array under n tokens; the
+    * explicit guard matters because `sequence(1, 0)` counts DOWN.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = regexp_extract_all(text, lit("\\S+"), lit(0))
+    val cnt = size(toks) - (n - 1)
+    when(cnt <= 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Fraction of n-gram occurrences that repeat an earlier occurrence
+    * within the SAME document — the intra-document repetition signal of
+    * published quality-filter rule sets (looping generations, boilerplate,
+    * scraped nav bars all score high). `1 − distinct/total`; 0.0 for docs
+    * under n tokens. Pure codegen column math over one token array.
+    */
+  def duplicateNgramFrac(text: Column, n: Int): Column = {
+    val grams = wordNgrams(text, n)
+    val total = size(grams)
+    when(total <= 0, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double") / total)
+  }
+
   /** Fraction of characters that are not alphanumeric/whitespace. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(

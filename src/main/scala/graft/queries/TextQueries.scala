@@ -54,6 +54,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Intra-document repetition (Gopher-class quality rule): fraction of
+    // 2-/3-gram occurrences repeating an earlier one in the same doc.
+    "q84_repetition" -> ((s, dir) => {
+      graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          round(TextAnalysis.duplicateNgramFrac(col("text"), 2) + lit(1e-9), 6)
+            .as("dup_2gram"),
+          round(TextAnalysis.duplicateNgramFrac(col("text"), 3) + lit(1e-9), 6)
+            .as("dup_3gram"))
+        .orderBy("doc_id")
+    }),
+
     // Token budget accounting per source: whitespace tokens + BPE-ish
     // subword pieces + characters.
     "q37_token_count" -> ((s, dir) => {
@@ -280,6 +293,24 @@ object TextQueries {
         |    least(CAST(n_chars AS DOUBLE) / 200.0, 1.0)
         |    * (1.0 - punct) * (0.5 + stop), 0.0), 1.0) + 1e-9, 6) AS quality
         |FROM ratios
+        |ORDER BY doc_id""".stripMargin,
+
+    "q84_repetition" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') w FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, count(*) AS total,
+        |    count(DISTINCT w[i]||' '||w[i+1]) AS dist
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)
+        |  GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, count(*) AS total,
+        |    count(DISTINCT w[i]||' '||w[i+1]||' '||w[i+2]) AS dist
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  round(COALESCE(1.0 - CAST(g2.dist AS DOUBLE) / g2.total, 0.0) + 1e-9, 6) AS dup_2gram,
+        |  round(COALESCE(1.0 - CAST(g3.dist AS DOUBLE) / g3.total, 0.0) + 1e-9, 6) AS dup_3gram
+        |FROM toks t LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q37_token_count" ->

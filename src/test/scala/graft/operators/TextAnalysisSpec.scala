@@ -19,6 +19,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(row == ((4L, 7L)))
   }
 
+  test("wordNgrams keeps repeats; duplicateNgramFrac measures them") {
+    val got = Seq(
+      "a b a b a",    // bigrams: ab,ba,ab,ba → 4 total, 2 distinct → 0.5
+      "a b c d",      // all distinct → 0.0
+      "x x x x x",    // bigrams all 'x x' → 1 - 1/4 = 0.75
+      "one"           // under n tokens → 0.0, empty ngrams
+    ).toDF("text").select(
+      TextAnalysis.wordNgrams($"text", 2),
+      TextAnalysis.duplicateNgramFrac($"text", 2))
+      .as[(Seq[String], Double)].collect()
+    assert(got(0)._1 == Seq("a b", "b a", "a b", "b a"))
+    assert(got(0)._2 == 0.5)
+    assert(got(1)._2 == 0.0)
+    assert(got(2)._2 == 0.75)
+    assert(got(3) == ((Seq.empty[String], 0.0)))
+  }
+
   test("punct and stopword ratios, quality bounds") {
     val rows = Seq(
       "the cat sat on a mat",
