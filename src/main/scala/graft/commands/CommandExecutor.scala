@@ -89,8 +89,16 @@ object CommandExecutor {
             db.reindexKMeans(coll, k = opts.getOrElse("k", "16").toInt)
           case "sign" =>
             db.reindex(coll, nBits = opts.getOrElse("bits", "8").toInt)
+          case "zorder" =>
+            val cols = opts.getOrElse("cols",
+              throw new IllegalArgumentException(
+                "REINDEX type=zorder needs cols=<a>,<b>")).split(",").map(_.trim)
+            require(cols.length == 2, s"zorder needs exactly 2 cols, got ${cols.length}")
+            db.reindexZOrder(coll, cols(0), cols(1),
+              bits = opts.getOrElse("bits", "8").toInt,
+              nFiles = opts.getOrElse("files", "8").toInt)
           case other => throw new IllegalArgumentException(
-            s"REINDEX type must be sign or kmeans, got: $other")
+            s"REINDEX type must be sign, kmeans, or zorder, got: $other")
         }
         status("REINDEX", coll)
     }

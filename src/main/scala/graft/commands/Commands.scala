@@ -24,8 +24,10 @@ package graft.commands
   *    [;shortlist=<n>];vec=f,f,...` — `radius` opts into the index probe
   *    (sign-bucket hamming radius / kmeans nprobe−1); `shortlist` selects
   *    the SQ8 quantized-rerank path instead.
-  *  - REINDEX arg (optional): `[type=sign;bits=<n>]` (default) or
-  *    `type=kmeans;k=<n>` (centroid IVF, centroids stored in the sidecar).
+  *  - REINDEX arg (optional): `[type=sign;bits=<n>]` (default),
+  *    `type=kmeans;k=<n>` (centroid IVF, centroids stored in the sidecar),
+  *    or `type=zorder;cols=<a>,<b>[;bits=<n>;files=<n>]` (Morton file
+  *    layout — multi-dimensional min/max file skipping, no partition col).
   */
 sealed trait GraftCommand
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.model.VectorRecord
-import graft.operators.{SimilaritySearch, VectorIndex}
+import graft.operators.{SimilaritySearch, VectorIndex, ZOrder}
 
 /** A graft database: a directory of named collections, each a Parquet-backed
   * table (SURVEY §1.2). Reference surface: database init at
@@ -398,6 +398,39 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     writeString(fs, new Path(collDir(name), IndexMetaFile),
       s"""{"type": "kmeans", "k": $k, "centroids": $cents}""")
+  }
+
+  /** REINDEX with a Z-ORDER file layout: rewrite the collection
+    * range-partitioned on the Morton interleave of two numeric columns
+    * (each bucketed to `[0, 2^bits)` via pmod). Unlike sign/kmeans this is
+    * a FILE layout, not a partition layout — no `cluster_id` column; range
+    * predicates on EITHER column skip files through parquet min/max stats
+    * instead of directory pruning, and SEARCHSIMILAR/mutations treat the
+    * collection as flat (the probe dispatch ignores non-geometric
+    * sidecars by design).
+    *
+    * Mutation semantics follow the OPTIMIZE model: appends land unordered
+    * and updates rewrite without the clustering — the sidecar records
+    * layout intent, and a periodic re-REINDEX restores tightness (same
+    * contract as Delta/Iceberg clustered tables).
+    */
+  def reindexZOrder(name: String, aCol: String, bCol: String,
+      bits: Int = 8, nFiles: Int = 8): Unit = {
+    requireCollection(name)
+    val cur = read(name)
+    val base =
+      if (cur.columns.contains("cluster_id")) cur.drop("cluster_id") else cur
+    val m = 1 << bits
+    val laid = base
+      .withColumn("__za", pmod(col(aCol).cast("long"), lit(m)).cast("int"))
+      .withColumn("__zb", pmod(col(bCol).cast("long"), lit(m)).cast("int"))
+      .withColumn("__z", ZOrder.zvalue(col("__za"), col("__zb"), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z", "__za", "__zb")
+    rewrite(name, laid)
+    writeString(fs, new Path(collDir(name), IndexMetaFile),
+      s"""{"type": "zorder", "cols": ["$aCol", "$bCol"], "bits": $bits}""")
   }
 
   /** TRUNCATEWAL parity (reference `src/command/types.rs:44-54` — "truncate

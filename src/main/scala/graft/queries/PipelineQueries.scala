@@ -94,6 +94,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // REINDEX type=zorder through the command surface: the collection is
+    // rewritten range-partitioned on the (vec_id, label) Morton value.
+    // The file layout itself isn't SQL-observable (range boundaries come
+    // from sampling), so the gate proves the command round-trip is
+    // content-lossless; ZOrderSpec/GraftDatabaseSpec assert the locality
+    // and sidecar properties.
+    "q85_zorder_reindex" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q85")
+      db.createCollection("vecs", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      db.bulkInsert("vecs", Tables.embeddings(s, dir))
+      CommandExecutor.execute(db, GraftCommand.Reindex("vecs",
+        Some("type=zorder;cols=vec_id,label;bits=8;files=4")))
+      db.read("vecs").select("vec_id", "label").orderBy("vec_id")
+    }),
+
     // Real header decode, oracle-gated: deterministic synthetic image
     // headers (PNG/GIF/BMP/JPEG/BITMAPCOREHEADER by doc_id % 5, dimensions
     // derived from doc_id and text length) are built as hex, round-tripped
@@ -265,6 +283,10 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) % 480 AS BIGINT) AS height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q85_zorder_reindex" ->
+      """SELECT vec_id, label FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
 
     "q80_image_meta" ->
       """SELECT doc_id,

@@ -350,6 +350,57 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(q8row == expected, "updated row's quantized copy must track its new vector")
   }
 
+  test("zorder reindex fails loud on a missing column, collection intact") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    val rows = (0 until 64).map(i =>
+      VectorRecord(i.toLong, Array(i / 64.0f, 1.0f - i / 64.0f), s"p$i"))
+    db.bulkInsert("vecs", rows.toDF())
+    intercept[Exception] {
+      db.reindexZOrder("vecs", "id", "no_such_col", 8, 4)
+    }
+    assert(db.read("vecs").count() == 64L,
+      "a failed rewrite must leave the live collection untouched")
+  }
+
+  test("zorder reindex through the command surface: content + sidecar + fallback") {
+    import org.apache.spark.sql.functions._
+    val db = freshDb()
+    db.createCollection("vecs")
+    val rows = (0 until 256).map(i =>
+      VectorRecord(i.toLong, Array(i / 256.0f, 1.0f - i / 256.0f), s"p$i"))
+    db.bulkInsert("vecs", rows.toDF())
+    // z-order on (id, a scrambled derivative): exercise via the command
+    graft.commands.CommandExecutor.execute(db,
+      graft.commands.GraftCommand.Reindex("vecs",
+        Some("type=zorder;cols=id,id;bits=8;files=4")))
+    val back = db.read("vecs")
+    assert(!back.columns.contains("cluster_id"),
+      "zorder is a file layout, not a partition layout")
+    assert(back.count() == 256L)
+    assert(back.select("id").as[Long].collect().toSet == (0L until 256L).toSet)
+    // per-file id spans are tight (4 files over 256 ids → ~64 each)
+    val spans = back.withColumn("__f", input_file_name())
+      .groupBy("__f").agg((max("id") - min("id")).as("span"))
+      .select("span").as[Long].collect()
+    assert(spans.forall(_ <= 128L),
+      s"range-partitioned z layout must bound per-file id spans, got ${spans.toSeq}")
+    // probe on a non-geometric layout falls back to exact — same top-k as
+    // a brute-force scan, never silently wrong neighbors
+    val q = Array(0.5f, 0.5f)
+    val probed = db.searchSimilar("vecs", q, 5, probeRadius = 1)
+      .select("id").as[Long].collect().toSeq
+    val exact = db.searchSimilar("vecs", q, 5)
+      .select("id").as[Long].collect().toSeq
+    assert(probed == exact)
+    // updates keep content; the sidecar (layout intent) survives
+    db.update("vecs", Seq(VectorRecord(0L, Array(9f, 9f), "moved")).toDF())
+    assert(db.read("vecs").count() == 256L)
+    assert(Files.exists(java.nio.file.Paths.get(
+      db.root.toString.stripPrefix("file:"), "vecs", "_graft_index.json")),
+      "the layout-intent sidecar must survive updates")
+  }
+
   test("delete with NULL-evaluating predicate keeps those rows (SQL semantics)") {
     val db = freshDb()
     db.createCollection("vecs")
