@@ -48,5 +48,10 @@ object SparkEntry {
     // round-2 additions: the most iterative pipeline (dedup clustering —
     // most regression-prone), the skew-hardened sessionize (must not regress
     // the balanced case vs q19), and the sq8 ANN path
-    "q65_dedup_clusters", "q67_sessionize_2phase", "q69_sq8_rerank")
+    "q65_dedup_clusters", "q67_sessionize_2phase", "q69_sq8_rerank",
+    // round-4 addition: broadcast decontamination. (q79's composed probe
+    // is NOT here: as a self-contained query it spends ~90% of its wall
+    // clock building its scratch collection — q23 + q69 already bench the
+    // probe and sq8 scan paths in steady state.)
+    "q81_decontaminate")
 }
