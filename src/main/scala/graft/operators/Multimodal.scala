@@ -76,18 +76,24 @@ object Multimodal {
     * byte 26): hexing the whole payload would allocate a string 2× the
     * payload per row and overflow the max byte-array size on ≥1 GB blobs.
     */
+  // hex-char position of byte b is 2·b + 1 (1-based substring); all
+  // helpers operate on an UPPERCASE hex prefix of the payload
+  private def be32(h: Column, pos: Int): Column =
+    conv(substring(h, pos, 8), 16, 10).cast("long")
+  private def le16(h: Column, pos: Int): Column =
+    conv(concat(substring(h, pos + 2, 2), substring(h, pos, 2)), 16, 10)
+      .cast("long")
+  private def le32(h: Column, pos: Int): Column = {
+    val u = conv(concat(substring(h, pos + 6, 2), substring(h, pos + 4, 2),
+      substring(h, pos + 2, 2), substring(h, pos, 2)), 16, 10).cast("long")
+    when(u >= 2147483648L, u - 4294967296L).otherwise(u)
+  }
+
   def imageMeta(bin: Column): Column = {
     val h = upper(hex(substring(bin, 1, 32)))
-    // hex-char position of byte b is 2·b + 1 (1-based substring)
-    def be32(pos: Int): Column = conv(substring(h, pos, 8), 16, 10).cast("long")
-    def le16(pos: Int): Column =
-      conv(concat(substring(h, pos + 2, 2), substring(h, pos, 2)), 16, 10)
-        .cast("long")
-    def le32(pos: Int): Column = {
-      val u = conv(concat(substring(h, pos + 6, 2), substring(h, pos + 4, 2),
-        substring(h, pos + 2, 2), substring(h, pos, 2)), 16, 10).cast("long")
-      when(u >= 2147483648L, u - 4294967296L).otherwise(u)
-    }
+    def be32(pos: Int): Column = Multimodal.be32(h, pos)
+    def le16(pos: Int): Column = Multimodal.le16(h, pos)
+    def le32(pos: Int): Column = Multimodal.le32(h, pos)
     val noDim = lit(null).cast("long")
     def meta(f: String, w: Column, hgt: Column): Column =
       struct(lit(f).as("format"), w.as("width"), hgt.as("height"))
@@ -104,6 +110,39 @@ object Multimodal {
       .when(h.startsWith("424D"), meta("bmp", noDim, noDim))
       .when(h.startsWith("FFD8FF"), meta("jpeg", noDim, noDim))
       .otherwise(meta("unknown", noDim, noDim))
+  }
+
+  /** `struct(format, channels, sample_rate, bits_per_sample)` parsed from
+    * the leading bytes of a binary column:
+    *  - WAV — "RIFF" magic + "WAVE" form type; fields read ONLY from a
+    *    canonical layout ("fmt " chunk directly at byte 12, ≥ 36 bytes):
+    *    channels LE u16 at 22, sample rate LE u32 at 24, bits/sample LE
+    *    u16 at 34. A WAV whose fmt chunk sits elsewhere (extension
+    *    chunks before it) classifies as "wav" with NULL fields — a
+    *    chunk-walk needs a real parser, and misread audio rates are worse
+    *    than absent ones (same doctrine as JPEG in [[imageMeta]]);
+    *  - MP4 — "ftyp" box tag at bytes 4–7: classified, fields NULL (box
+    *    structure is variable);
+    *  - anything else — "unknown", fields NULL.
+    *
+    * Only the first 36 bytes are hexed (every parsed offset ends by 36).
+    */
+  def audioMeta(bin: Column): Column = {
+    val h = upper(hex(substring(bin, 1, 36)))
+    val noF = lit(null).cast("long")
+    def meta(f: String, ch: Column, sr: Column, bps: Column): Column =
+      struct(lit(f).as("format"), ch.as("channels"), sr.as("sample_rate"),
+        bps.as("bits_per_sample"))
+    val isWav = h.startsWith("52494646") &&
+      substring(h, 17, 8) === lit("57415645")
+    val canonicalFmt = substring(h, 25, 8) === lit("666D7420") &&
+      length(bin) >= 36
+    when(isWav && canonicalFmt,
+        meta("wav", le16(h, 45), le32(h, 49), le16(h, 69)))
+      .when(isWav, meta("wav", noF, noF, noF))
+      .when(substring(h, 9, 8) === lit("66747970"),
+        meta("mp4", noF, noF, noF))
+      .otherwise(meta("unknown", noF, noF, noF))
   }
 
   /** Append parsed `format`/`width`/`height` columns from a binary column. */

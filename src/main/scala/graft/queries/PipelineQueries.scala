@@ -24,6 +24,19 @@ object PipelineQueries {
   private def scratchDb(s: SparkSession, prefix: String): GraftDatabase =
     Scratch.db(s, prefix)
 
+  // hex-string builders for the synthetic-header gates (q80/q86): fixed
+  // widths, big-/little-endian byte order
+  private def beHex32(c: Column): Column = lpad(hex(c), 8, "0")
+  private def leHex16(c: Column): Column = {
+    val p = lpad(hex(c), 4, "0")
+    concat(substring(p, 3, 2), substring(p, 1, 2))
+  }
+  private def leHex32(c: Column): Column = {
+    val p = lpad(hex(c), 8, "0")
+    concat(substring(p, 7, 2), substring(p, 5, 2),
+      substring(p, 3, 2), substring(p, 1, 2))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // CREATE + BULKINSERT + SEARCH through a real collection: data flows
@@ -124,16 +137,6 @@ object PipelineQueries {
     "q80_image_meta" -> ((s, dir) => {
       val w = (col("doc_id") % 1000 + 1).cast("long")
       val h = (length(col("text")) % 1000 + 1).cast("long")
-      def beHex32(c: Column) = lpad(hex(c), 8, "0")
-      def leHex16(c: Column) = {
-        val p = lpad(hex(c), 4, "0")
-        concat(substring(p, 3, 2), substring(p, 1, 2))
-      }
-      def leHex32(c: Column) = {
-        val p = lpad(hex(c), 8, "0")
-        concat(substring(p, 7, 2), substring(p, 5, 2),
-          substring(p, 3, 2), substring(p, 1, 2))
-      }
       val f = col("doc_id") % 5
       val hexHeader = when(f === 0, concat(
           lit("89504E470D0A1A0A" + "0000000D49484452"),
@@ -152,6 +155,32 @@ object PipelineQueries {
           Multimodal.imageMeta(unhex(hexHeader)).as("__m"))
         .select(col("doc_id"), col("__m.format").as("format"),
           col("__m.width").as("width"), col("__m.height").as("height"))
+        .orderBy("doc_id")
+    }),
+
+    // Audio-header decode, oracle-gated (q80's pattern for the audio
+    // modality): canonical WAV headers with doc-derived channel count /
+    // sample rate / bit depth, an MP4 ftyp box, and a truncated WAV (must
+    // classify with NULL fields, never misread) round-trip through binary
+    // and [[Multimodal.audioMeta]].
+    "q86_audio_meta" -> ((s, dir) => {
+      val ch = (col("doc_id") % 2 + 1).cast("long")
+      val rate = (col("doc_id") % 8 * 4000 + 8000).cast("long")
+      val bits = ((col("doc_id") % 7 % 3 + 1) * 8).cast("long")
+      val f = col("doc_id") % 3
+      val hexHeader = when(f === 0, concat(
+          lit("52494646" + "24080000" + "57415645" + "666D7420" +
+            "10000000" + "0100"),
+          leHex16(ch), leHex32(rate), lit("00000000" + "0400"), leHex16(bits)))
+        .when(f === 1, lit("00000018" + "66747970" + "69736F6D"))
+        .otherwise(lit("52494646" + "24080000" + "57415645"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.audioMeta(unhex(hexHeader)).as("__m"))
+        .select(col("doc_id"), col("__m.format").as("format"),
+          col("__m.channels").as("channels"),
+          col("__m.sample_rate").as("sample_rate"),
+          col("__m.bits_per_sample").as("bits_per_sample"))
         .orderBy("doc_id")
     }),
 
@@ -287,6 +316,18 @@ object PipelineQueries {
     "q85_zorder_reindex" ->
       """SELECT vec_id, label FROM embeddings
         |ORDER BY vec_id""".stripMargin,
+
+    "q86_audio_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 1 THEN 'mp4' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN CAST(doc_id % 2 + 1 AS BIGINT) END AS channels,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN CAST(doc_id % 8 * 4000 + 8000 AS BIGINT) END AS sample_rate,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN CAST((doc_id % 7 % 3 + 1) * 8 AS BIGINT) END AS bits_per_sample
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q80_image_meta" ->
       """SELECT doc_id,

@@ -66,6 +66,37 @@ class MultimodalSpec extends AnyFunSuite {
       "large payload after the header parses from the 32-byte prefix")
   }
 
+  test("audioMeta parses canonical WAV; classifies MP4; rejects junk and drift") {
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val rows = Seq(
+      // canonical 44.1kHz stereo 16-bit WAV header
+      (1L, bytes("524946462408000057415645666D7420100000000100" +
+        "0200" + "44AC0000" + "10B10200" + "0400" + "1000")),
+      // WAV whose fmt chunk is NOT at byte 12 (JUNK chunk first): must
+      // classify wav with NULL fields, not misread the junk as fields
+      (2L, bytes("52494646240800005741564564A74120100000000100" +
+        "0200" + "44AC0000" + "10B10200" + "0400" + "1000")),
+      // truncated WAV (RIFF+WAVE only)
+      (3L, bytes("524946462408000057415645")),
+      // MP4 ftyp box (isom)
+      (4L, bytes("000000186674797069736F6D")),
+      // junk
+      (5L, bytes("DEADBEEFDEADBEEF"))
+    ).toDF("id", "media")
+    val got = rows.select($"id", Multimodal.audioMeta($"media").as("m"))
+      .select($"id", $"m.format", $"m.channels", $"m.sample_rate",
+        $"m.bits_per_sample")
+      .as[(Long, String, Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(got(0) == ((1L, "wav", Some(2L), Some(44100L), Some(16L))))
+    assert(got(1) == ((2L, "wav", None, None, None)),
+      "non-canonical fmt placement must yield NULL fields, not a misread")
+    assert(got(2) == ((3L, "wav", None, None, None)))
+    assert(got(3) == ((4L, "mp4", None, None, None)))
+    assert(got(4) == ((5L, "unknown", None, None, None)))
+  }
+
   test("batch boundary: batchSize smaller than partition still covers all rows") {
     val df = (1L to 200L).map(i => (i, s"payload-$i")).toDF("id", "text")
     val media = Multimodal.withMediaColumn(df, "id", "text")
