@@ -97,6 +97,18 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
+    // Stream-static decontamination: documents as a stream against the
+    // broadcast eval-shingle index. Same oracle text as q81 — the stream
+    // must produce byte-identical contamination pairs to the batch path.
+    "q87_stream_decontaminate" -> ((s, dir) => {
+      StreamingIngest
+        .streamDecontaminate(s, dir,
+          queryName = s"decon_${java.util.UUID.randomUUID().toString.take(8)}")
+        .select(col("doc_id"), col("eval_id"),
+          col("n_shared").cast("long").as("n_shared"))
+        .orderBy("doc_id", "eval_id")
+    }),
+
     // Multimodal plumbing: text → binary media column → batched
     // partition-local decode (stubbed codec, deterministic metadata) →
     // ordinary columns. Oracle recomputes byte length + md5 from the text.
@@ -316,6 +328,21 @@ object PipelineQueries {
     "q85_zorder_reindex" ->
       """SELECT vec_id, label FROM embeddings
         |ORDER BY vec_id""".stripMargin,
+
+    // identical to q81's oracle on purpose: stream ≡ batch
+    "q87_stream_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM toks)),
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0)
+        |SELECT s.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM sh s JOIN ev e USING (shingle)
+        |WHERE s.doc_id <> e.eval_id
+        |GROUP BY s.doc_id, e.eval_id
+        |HAVING count(*) >= 2
+        |ORDER BY doc_id, eval_id""".stripMargin,
 
     "q86_audio_meta" ->
       """SELECT doc_id,

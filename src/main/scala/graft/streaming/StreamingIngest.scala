@@ -92,6 +92,50 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Stream-static decontamination — the ingest-time filter of a training
+    * pipeline: documents arrive as a stream; the eval-set shingle index is
+    * a STATIC frame broadcast into every micro-batch (eval sets are small
+    * by definition, and the static side is planned once); contaminated
+    * (doc, eval) pairs surface in-flight, before the doc ever lands in the
+    * corpus. Same semantics as [[graft.operators.Dedup.decontaminate]] —
+    * the q87 gate runs this against q81's exact batch oracle.
+    *
+    * The aggregation keys on (doc_id, eval_id) — naturally bounded state:
+    * only CONTAMINATED pairs ever hold a row, and on an unbounded source
+    * the groupBy would ride the ingest watermark like [[hourlyEventCounts]].
+    */
+  def streamDecontaminate(spark: SparkSession, sfDir: String,
+      shingleN: Int = 5, minShared: Int = 2,
+      queryName: String = "stream_decon"): DataFrame = {
+    import graft.operators.Dedup
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val evalSh = Dedup.explodeShingles(
+        spark.read.parquet(path).filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleN)
+      .withColumnRenamed("doc_id", "eval_id")
+    val docSh = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(col("doc_id"),
+        explode(Dedup.wordShingles(col("text"), shingleN)).as("shingle"))
+    val flagged = docSh.join(broadcast(evalSh), Seq("shingle"))
+      .filter(col("doc_id") =!= col("eval_id"))
+      .groupBy("doc_id", "eval_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
+    val q = flagged.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest into a collection directory: the WAL-replacement
     * path. Checkpoints live under the database's graft_wal dir, so
     * TRUNCATEWAL (database target) clears exactly this state.
