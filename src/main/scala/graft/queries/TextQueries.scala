@@ -67,6 +67,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus-level boilerplate mining: the most document-frequent 5-gram
+    // shingles (nav bars, license headers, scraped chrome). One explode +
+    // one partially-aggregated count + a top-k cut — the corpus never
+    // self-joins, and the result feeds the stop-shingle lists the dedup
+    // operators' frequency caps consume.
+    "q88_boilerplate" -> ((s, dir) => {
+      graft.operators.Dedup.explodeShingles(
+          Tables.documents(s, dir), "doc_id", "text", 5)
+        .groupBy("shingle")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(desc("n_docs"), col("shingle"))
+        .limit(20)
+    }),
+
     // Token budget accounting per source: whitespace tokens + BPE-ish
     // subword pieces + characters.
     "q37_token_count" -> ((s, dir) => {
@@ -294,6 +308,18 @@ object TextQueries {
         |    * (1.0 - punct) * (0.5 + stop), 0.0), 1.0) + 1e-9, 6) AS quality
         |FROM ratios
         |ORDER BY doc_id""".stripMargin,
+
+    "q88_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM toks))
+        |SELECT shingle, count(*) AS n_docs
+        |FROM sh
+        |GROUP BY shingle
+        |ORDER BY n_docs DESC, shingle
+        |LIMIT 20""".stripMargin,
 
     "q84_repetition" ->
       """WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') w FROM documents),
