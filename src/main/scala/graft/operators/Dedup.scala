@@ -39,7 +39,14 @@ object Dedup {
   def explodeShingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     Parallelism.ensure(df)
-      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("shingle"))
+      // tokenize ONCE in a projection; the generator expression references
+      // its token input three times (size guard + transform), and inlining
+      // the regex there would re-run it per reference
+      .select(col(idCol),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
+      .select(col(idCol),
+        explode(array_distinct(
+          TextAnalysis.ngramsFromTokens(col("__toks"), n))).as("shingle"))
 
   /** MinHash signature per doc: hash function s is the lexicographic min of
     * hex chunk s (4 hex chars = 16 bits) of a SINGLE md5 per shingle — one

@@ -27,8 +27,17 @@ object TextAnalysis {
     * [[Dedup.wordShingles]]'s job). Empty array under n tokens; the
     * explicit guard matters because `sequence(1, 0)` counts DOWN.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = regexp_extract_all(text, lit("\\S+"), lit(0))
+  def wordNgrams(text: Column, n: Int): Column =
+    ngramsFromTokens(regexp_extract_all(text, lit("\\S+"), lit(0)), n)
+
+  /** N-grams from an ALREADY-TOKENIZED array column. Callers that explode
+    * the result should materialize the token array in a projection first
+    * ([[graft.operators.Dedup.explodeShingles]] does): the expression
+    * references its input three times, and a generator re-evaluates its
+    * input per reference — with the regex inlined that is 3× the
+    * tokenization cost per row.
+    */
+  def ngramsFromTokens(toks: Column, n: Int): Column = {
     val cnt = size(toks) - (n - 1)
     when(cnt <= 0, array().cast("array<string>"))
       .otherwise(transform(
