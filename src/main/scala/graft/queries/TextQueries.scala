@@ -183,6 +183,34 @@ object TextQueries {
         .orderBy("source", "rn")
     }),
 
+    // THE composed training-data pipeline — every stage is an operator
+    // from this library, chained the way a production corpus build runs:
+    // quality curation (language + score floor) → exact-content dedup
+    // (keep min doc_id per fingerprint) → eval-set decontamination (drop
+    // flagged docs via anti-join) → deterministic shard export audit.
+    // The oracle recomputes the whole chain, so a hash match proves the
+    // stages COMPOSE exactly, not just work in isolation.
+    "q89_training_pipeline" -> ((s, dir) => {
+      import graft.operators.{Dedup, TrainExport}
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .withColumn("__punct", TextAnalysis.punctRatio(col("text")))
+        .withColumn("__stop", TextAnalysis.stopwordRatio(col("text")))
+        .withColumn("__q", TextAnalysis.qualityScoreFrom(
+          col("text"), col("__punct"), col("__stop")))
+        .filter(col("lang") === "en" && col("__q") > 0.3)
+        .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      val kept = docs
+        .withColumn("__keep", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
+        .filter(col("doc_id") === col("__keep"))
+      val evalSet = Tables.documents(s, dir).filter(col("doc_id") % 97 === 0)
+      val contaminated = Dedup.decontaminate(kept, evalSet, "doc_id", "text",
+          shingleN = 5, minShared = 2)
+        .select("doc_id").distinct()
+      val clean = kept.join(contaminated, Seq("doc_id"), "left_anti")
+      TrainExport.shardAudit(clean, "doc_id", "text", nShards = 8)
+    }),
+
     // Deterministic global shuffle + shard export audit: shard and
     // within-shard order are pure functions of (doc_id, seed), so the
     // oracle recomputes the exact permutation — a hash match pins the
@@ -247,6 +275,59 @@ object TextQueries {
         |  FROM documents)
         |WHERE rn <= 5
         |ORDER BY source, rn""".stripMargin,
+
+    "q89_training_pipeline" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |             t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |           / len(regexp_extract_all(lower(text), '\S+')) END AS stop
+        |  FROM documents WHERE lang = 'en'),
+        |filtered AS (
+        |  SELECT doc_id, source, text,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM scored
+        |  WHERE least(greatest(
+        |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        |    * (1.0 - punct) * (0.5 + stop), 0.0), 1.0) > 0.3),
+        |kept AS (
+        |  SELECT f.* FROM filtered f
+        |  JOIN (SELECT fp, min(doc_id) AS doc_id FROM filtered GROUP BY fp) k
+        |    ON f.fp = k.fp AND f.doc_id = k.doc_id),
+        |ktoks AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') w FROM kept),
+        |ksh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM ktoks)),
+        |etoks AS (SELECT doc_id, regexp_extract_all(text, '\S+') w
+        |          FROM documents WHERE doc_id % 97 = 0),
+        |ev AS (
+        |  SELECT DISTINCT doc_id AS eval_id,
+        |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM etoks)),
+        |contaminated AS (
+        |  SELECT DISTINCT s.doc_id
+        |  FROM ksh s JOIN ev e USING (shingle)
+        |  WHERE s.doc_id <> e.eval_id
+        |  GROUP BY s.doc_id, e.eval_id
+        |  HAVING count(*) >= 2),
+        |clean AS (
+        |  SELECT k.doc_id, k.text FROM kept k
+        |  WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |sharded AS (
+        |  SELECT text,
+        |    md5('shard:'||CAST(doc_id AS VARCHAR)) AS key,
+        |    CAST(('0x'||substring(md5('shard:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard
+        |  FROM clean)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
+        |  min(key) AS first_key, max(key) AS last_key
+        |FROM sharded
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
 
     "q82_shard_export" ->
       """WITH t AS (
