@@ -36,6 +36,33 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(db.searchSimilar("vecs", Array(1.0f, 0.0f, 0.0f), k = 3).count() == 0)
   }
 
+  test("quantize → zorder reindex: q8 column survives; sq8 search matches exact top-k") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    db.bulkInsert("vecs", vecs(64).toDF())
+    db.quantize("vecs")
+    db.reindexZOrder("vecs", "id", "id", bits = 6, nFiles = 4)
+    val back = db.read("vecs")
+    assert(back.count() == 64L)
+    assert(back.columns.contains("embedding_q8"),
+      "the stored quantized column must survive a zorder rewrite")
+    // sq8 on a non-geometric layout = index-free quantized scan + rerank:
+    // exact results, quarter-bytes shortlist
+    val q = Array(1.0f, 0.0f, 0.0f)
+    val viaSq8 = db.searchSimilarSq8("vecs", q, k = 5, shortlist = 64)
+      .select("id").as[Long].collect().toSeq
+    val exact = db.searchSimilar("vecs", q, k = 5)
+      .select("id").as[Long].collect().toSeq
+    assert(viaSq8 == exact)
+    // appends after a zorder reindex land without error (unordered tail —
+    // the OPTIMIZE model) and re-derive the quantized column
+    db.bulkInsert("vecs", Seq(VectorRecord(100L, Array(1f, 0f, 0f), "new")).toDF())
+    val after = db.read("vecs")
+    assert(after.count() == 65L)
+    assert(after.filter(col("id") === 100L && col("embedding_q8").isNotNull)
+      .count() == 1L, "appends must re-derive embedding_q8")
+  }
+
   test("quantize → reindex → append → update keeps both derived columns coherent") {
     val db = freshDb()
     db.createCollection("vecs")
