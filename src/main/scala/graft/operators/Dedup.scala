@@ -236,8 +236,14 @@ object Dedup {
       broadcastEval: Boolean = true): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val docSh = explodeShingles(corpus, idCol, textCol, shingleN)
-    val evalShRaw = explodeShingles(evalSet, idCol, textCol, shingleN)
-      .withColumnRenamed(idCol, "eval_id")
+    // the eval side skips explodeShingles' parallelism widening: it is
+    // about to be broadcast, and a repartition shuffle of a request-sized
+    // frame would be pure overhead
+    val evalShRaw = evalSet
+      .select(col(idCol).as("eval_id"),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
+      .select(col("eval_id"), explode(array_distinct(
+        TextAnalysis.ngramsFromTokens(col("__toks"), shingleN))).as("shingle"))
     val evalSh = if (broadcastEval) broadcast(evalShRaw) else evalShRaw
     docSh.join(evalSh, Seq("shingle"))
       .filter(col(idCol) =!= col("eval_id"))
