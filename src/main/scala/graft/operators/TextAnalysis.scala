@@ -58,6 +58,26 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(grams)).cast("double") / total)
   }
 
+  /** Winnowing fingerprints (the MOSS scheme): hash every `k`-char gram,
+    * take the minimum hash of each `w`-wide window, distinct the minima.
+    * Guarantees at least one shared fingerprint for any shared substring
+    * of length ≥ k + w − 1, at ~1/w the storage of the full hash list —
+    * the partial-overlap detector that whole-document fingerprints
+    * ([[fingerprint]]) can't provide. Pure column math; hashes are md5
+    * prefixes so any SQL engine recomputes the exact set (window minima
+    * compare lexicographically, deterministic both sides).
+    */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val n = length(text) - (k - 1)   // number of k-grams
+    val nw = n - (w - 1)             // number of windows
+    val hashes = transform(sequence(lit(1), n),
+      i => substring(md5(text.substr(i, lit(k))), 1, 8))
+    when(nw <= 0, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), nw),
+        j => array_min(slice(hashes, j, lit(w))))))
+  }
+
   /** Fraction of characters that are not alphanumeric/whitespace. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(

@@ -67,6 +67,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Winnowing fingerprints (k=8 char grams, w=4 windows): the gate pins
+    // each document's ENTIRE fingerprint set via an md5 over the sorted
+    // set, not just its size — the oracle recomputes the window minima.
+    "q90_winnowing" -> ((s, dir) => {
+      val fps = TextAnalysis.winnowingFingerprints(col("text"), 8, 4)
+      graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .withColumn("__fps", fps)
+        .select(col("doc_id"),
+          size(col("__fps")).cast("long").as("n_fp"),
+          when(size(col("__fps")) === 0, lit(null).cast("string"))
+            .otherwise(md5(concat_ws("", array_sort(col("__fps")))))
+            .as("fp_sig"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-level boilerplate mining: the most document-frequent 5-gram
     // shingles (nav bars, license headers, scraped chrome). One explode +
     // one partially-aggregated count + a top-k cut — the corpus never
@@ -388,6 +403,20 @@ object TextQueries {
         |    least(CAST(n_chars AS DOUBLE) / 200.0, 1.0)
         |    * (1.0 - punct) * (0.5 + stop), 0.0), 1.0) + 1e-9, 6) AS quality
         |FROM ratios
+        |ORDER BY doc_id""".stripMargin,
+
+    "q90_winnowing" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) - 7 - 3 <= 0 THEN []::VARCHAR[]
+        |    ELSE list_distinct(list_transform(range(1, length(text) - 7 - 3 + 1),
+        |      j -> list_min(list_transform(range(j, j + 4),
+        |        i -> substring(md5(substr(text, i, 8)), 1, 8))))) END AS fps
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |  CASE WHEN len(fps) = 0 THEN NULL
+        |    ELSE md5(list_aggregate(list_sort(fps), 'string_agg', '')) END AS fp_sig
+        |FROM fp
         |ORDER BY doc_id""".stripMargin,
 
     "q88_boilerplate" ->

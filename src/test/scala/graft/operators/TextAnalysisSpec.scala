@@ -36,6 +36,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3) == ((Seq.empty[String], 0.0)))
   }
 
+  test("winnowing: overlap guarantee, compression, short-text empty") {
+    val k = 8; val w = 4
+    val shared = "the quick brown fox jumps over the lazy dog near the bank"
+    val a = s"PREFIX-A $shared SUFFIX-AAA"
+    val b = s"completely different opening $shared and another tail"
+    val c = "no overlap with anything else here at all, truly none"
+    val rows = Seq((1L, a), (2L, b), (3L, c), (4L, "tiny")).toDF("id", "text")
+      .select($"id",
+        TextAnalysis.winnowingFingerprints($"text", k, w).as("fps"))
+      .as[(Long, Seq[String])].collect().toMap
+    // any shared substring of length >= k + w - 1 guarantees >= 1 shared
+    // fingerprint; `shared` is far longer, expect substantial overlap
+    val inter = rows(1L).toSet.intersect(rows(2L).toSet)
+    assert(inter.nonEmpty, "docs sharing a long substring must share fingerprints")
+    assert(rows(1L).toSet.intersect(rows(3L).toSet).size <
+      rows(1L).toSet.size / 4,
+      "unrelated docs must not share substantially")
+    // ~1/w compression vs the full k-gram hash list
+    assert(rows(1L).size < a.length - k + 2,
+      "winnowing must store fewer fingerprints than k-grams")
+    assert(rows(4L).isEmpty, "text shorter than k + w - 1 yields no windows")
+  }
+
   test("punct and stopword ratios, quality bounds") {
     val rows = Seq(
       "the cat sat on a mat",
