@@ -67,12 +67,32 @@ object TextAnalysis {
     * prefixes so any SQL engine recomputes the exact set (window minima
     * compare lexicographically, deterministic both sides).
     */
-  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column = {
-    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
-    val n = length(text) - (k - 1)   // number of k-grams
-    val nw = n - (w - 1)             // number of windows
-    val hashes = transform(sequence(lit(1), n),
-      i => substring(md5(text.substr(i, lit(k))), 1, 8))
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    winnowFromHashes(kgramHashes(text, k), w)
+
+  /** The hash array of every `k`-char gram of `text` (md5 prefixes —
+    * engine-reproducible). AT SCALE, MATERIALIZE THIS IN ITS OWN
+    * PROJECTION before winnowing (q90 does): [[winnowFromHashes]]'s
+    * window lambda references its input array per window, and a
+    * higher-order function re-evaluates a nested expression per element —
+    * inlining this transform there is O(n²) md5 calls per document.
+    * [[winnowingFingerprints]] is the nested convenience form for small
+    * inputs and tests only.
+    */
+  def kgramHashes(text: Column, k: Int): Column = {
+    require(k >= 1, s"k must be positive, got $k")
+    val n = length(text) - (k - 1)
+    when(n <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), n),
+        i => substring(md5(text.substr(i, lit(k))), 1, 8)))
+  }
+
+  /** Distinct per-window minima over an ALREADY-MATERIALIZED gram-hash
+    * array column — linear in the hash count.
+    */
+  def winnowFromHashes(hashes: Column, w: Int): Column = {
+    require(w >= 1, s"w must be positive, got $w")
+    val nw = size(hashes) - (w - 1)
     when(nw <= 0, array().cast("array<string>"))
       .otherwise(array_distinct(transform(sequence(lit(1), nw),
         j => array_min(slice(hashes, j, lit(w))))))

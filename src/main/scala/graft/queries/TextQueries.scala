@@ -71,9 +71,11 @@ object TextQueries {
     // each document's ENTIRE fingerprint set via an md5 over the sorted
     // set, not just its size — the oracle recomputes the window minima.
     "q90_winnowing" -> ((s, dir) => {
-      val fps = TextAnalysis.winnowingFingerprints(col("text"), 8, 4)
       graft.operators.Parallelism.ensure(Tables.documents(s, dir))
-        .withColumn("__fps", fps)
+        // materialize the gram-hash array in its own projection: the
+        // window lambda would otherwise recompute it per window (O(n²))
+        .withColumn("__h", TextAnalysis.kgramHashes(col("text"), 8))
+        .withColumn("__fps", TextAnalysis.winnowFromHashes(col("__h"), 4))
         .select(col("doc_id"),
           size(col("__fps")).cast("long").as("n_fp"),
           when(size(col("__fps")) === 0, lit(null).cast("string"))

@@ -57,6 +57,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows(1L).size < a.length - k + 2,
       "winnowing must store fewer fingerprints than k-grams")
     assert(rows(4L).isEmpty, "text shorter than k + w - 1 yields no windows")
+    // the scale path (gram hashes materialized in their own projection)
+    // must produce the identical fingerprint sets
+    val twoStep = Seq((1L, a), (2L, b), (3L, c), (4L, "tiny")).toDF("id", "text")
+      .withColumn("__h", TextAnalysis.kgramHashes($"text", k))
+      .select($"id", TextAnalysis.winnowFromHashes($"__h", w).as("fps"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(twoStep == rows, "nested and materialized winnowing must agree")
   }
 
   test("punct and stopword ratios, quality bounds") {
