@@ -107,19 +107,28 @@ object StreamingIngest {
   def streamDecontaminate(spark: SparkSession, sfDir: String,
       shingleN: Int = 5, minShared: Int = 2,
       queryName: String = "stream_decon"): DataFrame = {
-    import graft.operators.Dedup
     val path = s"$sfDir/documents.parquet"
     val schema = spark.read.parquet(path).schema
-    val evalSh = Dedup.explodeShingles(
-        spark.read.parquet(path).filter(col("doc_id") % 97 === 0),
-        "doc_id", "text", shingleN)
-      .withColumnRenamed("doc_id", "eval_id")
+    // direct projection — no parallelism widening on a frame that is
+    // about to be broadcast (same reasoning as Dedup.decontaminate)
+    val evalSh = spark.read.parquet(path)
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("__toks"))
+      .select(col("eval_id"), explode(array_distinct(
+        graft.operators.TextAnalysis.ngramsFromTokens(col("__toks"), shingleN)))
+        .as("shingle"))
+    // tokenize once below the explode (the generator re-evaluates its
+    // input per reference — see Dedup.explodeShingles)
     val docSh = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
       .select(col("doc_id"),
-        explode(Dedup.wordShingles(col("text"), shingleN)).as("shingle"))
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("__toks"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.operators.TextAnalysis.ngramsFromTokens(col("__toks"), shingleN)))
+        .as("shingle"))
     val flagged = docSh.join(broadcast(evalSh), Seq("shingle"))
       .filter(col("doc_id") =!= col("eval_id"))
       .groupBy("doc_id", "eval_id")
