@@ -29,6 +29,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate ≡ brute-force shingle-set overlap on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff")
+    def doc() = Seq.fill(rnd.nextInt(12) + 1)(vocab(rnd.nextInt(vocab.length)))
+      .mkString(" ")
+    for (trial <- 0 until 3) {
+      val docs = (0L until 30L).map(i => (i, doc()))
+      val df = docs.toDF("doc_id", "text")
+      val evalIds = docs.map(_._1).filter(_ % 7 == 0).toSet
+      val n = 3; val minShared = 2
+      def shingles(t: String): Set[String] =
+        t.split("\\s+").sliding(n).filter(_.length == n).map(_.mkString(" ")).toSet
+      val expected = (for {
+        (d, dt) <- docs
+        e <- evalIds if e != d
+        shared = shingles(dt).intersect(shingles(docs(e.toInt)._2)).size
+        if shared >= minShared
+      } yield (d, e, shared.toLong)).toSet
+      val got = Dedup.decontaminate(df, df.filter($"doc_id" % 7 === 0),
+          "doc_id", "text", shingleN = n, minShared = minShared)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"trial $trial: $got != $expected")
+    }
+  }
+
   test("upsert is idempotent; delete is idempotent; delete∘upsert removes") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
     val up = Seq((2L, "b2"), (4L, "d")).toDF("id", "v")
