@@ -190,6 +190,20 @@ class PlanAuditSpec extends AnyFunSuite {
         s"for the contamination join:\n${p.take(2000)}")
   }
 
+  test("q88 boilerplate mining: partial aggregation + top-k cut, no full sort") {
+    val p = plan("q88_boilerplate")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"document-frequency count must combine map-side:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be a bounded cut, not a global sort:\n${p.take(1500)}")
+  }
+
+  test("q82 shard audit: one aggregation shuffle with map-side combine") {
+    val p = plan("q82_shard_export")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"per-shard stats must partially aggregate before the shuffle:\n${p.take(1500)}")
+  }
+
   test("q67 two-phase sessionize: per-event window partitioned by (user, chunk)") {
     val p = plan("q67_sessionize_2phase")
     // the heavy (per-event) sort must key on user_id AND the chunk — that
