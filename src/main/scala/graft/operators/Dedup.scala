@@ -233,7 +233,7 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 5, minShared: Int = 2,
-      broadcastEval: Boolean = true): DataFrame = {
+      broadcastEval: Boolean = true, maxEvalFreq: Int = 100): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val docSh = explodeShingles(corpus, idCol, textCol, shingleN)
     // the eval side skips explodeShingles' parallelism widening: it is
@@ -244,7 +244,18 @@ object Dedup {
         regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
       .select(col("eval_id"), explode(array_distinct(
         TextAnalysis.ngramsFromTokens(col("__toks"), shingleN))).as("shingle"))
-    val evalSh = if (broadcastEval) broadcast(evalShRaw) else evalShRaw
+    // hot-shingle cap (the embeddingPairs/candidatePairs discipline): a
+    // shingle present in more than maxEvalFreq eval docs multiplies EVERY
+    // corpus occurrence by its eval multiplicity in the join — and a
+    // shingle that ubiquitous across a held-out suite is boilerplate, not
+    // contamination signal. The frequency filter runs entirely on the
+    // (small) eval side; the cap is mirrored in the q81/q87/q89 oracles.
+    val evalOk = evalShRaw.groupBy("shingle")
+      .agg(count(lit(1)).as("__ef"))
+      .filter(col("__ef") <= maxEvalFreq)
+      .select("shingle")
+    val evalCapped = evalShRaw.join(evalOk, Seq("shingle"))
+    val evalSh = if (broadcastEval) broadcast(evalCapped) else evalCapped
     docSh.join(evalSh, Seq("shingle"))
       .filter(col(idCol) =!= col("eval_id"))
       .groupBy(col(idCol), col("eval_id"))

@@ -382,10 +382,14 @@ object DedupQueries {
     },
 
     "q81_decontaminate" ->
+      // the eval-side hot-shingle cap (maxEvalFreq = 100) mirrored as a
+      // frequency filter — implementation caps MUST appear in the oracle
+      // or the gate diverges at the scale that trips them
       s"""WITH $shinglesCte,
-         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0)
+         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+         |evok AS (SELECT shingle FROM ev GROUP BY shingle HAVING count(*) <= 100)
          |SELECT s.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
-         |FROM sh s JOIN ev e USING (shingle)
+         |FROM sh s JOIN ev e USING (shingle) JOIN evok USING (shingle)
          |WHERE s.doc_id <> e.eval_id
          |GROUP BY s.doc_id, e.eval_id
          |HAVING count(*) >= 2

@@ -336,9 +336,10 @@ object PipelineQueries {
         |  SELECT DISTINCT doc_id,
         |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM toks)),
-        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0)
+        |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+        |evok AS (SELECT shingle FROM ev GROUP BY shingle HAVING count(*) <= 100)
         |SELECT s.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
-        |FROM sh s JOIN ev e USING (shingle)
+        |FROM sh s JOIN ev e USING (shingle) JOIN evok USING (shingle)
         |WHERE s.doc_id <> e.eval_id
         |GROUP BY s.doc_id, e.eval_id
         |HAVING count(*) >= 2

@@ -325,9 +325,10 @@ object TextQueries {
         |  SELECT DISTINCT doc_id AS eval_id,
         |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM etoks)),
+        |evok AS (SELECT shingle FROM ev GROUP BY shingle HAVING count(*) <= 100),
         |contaminated AS (
         |  SELECT DISTINCT s.doc_id
-        |  FROM ksh s JOIN ev e USING (shingle)
+        |  FROM ksh s JOIN ev e USING (shingle) JOIN evok USING (shingle)
         |  WHERE s.doc_id <> e.eval_id
         |  GROUP BY s.doc_id, e.eval_id
         |  HAVING count(*) >= 2),

@@ -106,18 +106,24 @@ object StreamingIngest {
     */
   def streamDecontaminate(spark: SparkSession, sfDir: String,
       shingleN: Int = 5, minShared: Int = 2,
-      queryName: String = "stream_decon"): DataFrame = {
+      queryName: String = "stream_decon", maxEvalFreq: Int = 100): DataFrame = {
     val path = s"$sfDir/documents.parquet"
     val schema = spark.read.parquet(path).schema
     // direct projection — no parallelism widening on a frame that is
-    // about to be broadcast (same reasoning as Dedup.decontaminate)
-    val evalSh = spark.read.parquet(path)
+    // about to be broadcast (same reasoning as Dedup.decontaminate);
+    // same eval-side hot-shingle cap, computed once on the static side
+    val evalShRaw = spark.read.parquet(path)
       .filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("eval_id"),
         regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("__toks"))
       .select(col("eval_id"), explode(array_distinct(
         graft.operators.TextAnalysis.ngramsFromTokens(col("__toks"), shingleN)))
         .as("shingle"))
+    val evalOk = evalShRaw.groupBy("shingle")
+      .agg(count(lit(1)).as("__ef"))
+      .filter(col("__ef") <= maxEvalFreq)
+      .select("shingle")
+    val evalSh = evalShRaw.join(evalOk, Seq("shingle"))
     // tokenize once below the explode (the generator re-evaluates its
     // input per reference — see Dedup.explodeShingles)
     val docSh = spark.readStream

@@ -59,6 +59,34 @@ class DedupSpec extends AnyFunSuite {
     assert(shuffled == hits, "broadcast and shuffle paths must agree")
   }
 
+  test("decontaminate: boilerplate shingles across the eval suite are capped") {
+    // three eval docs all contain the same boilerplate passage; one also
+    // shares a RARE passage with a corpus doc
+    // "common header one two three four" = 2 distinct 5-grams, present in
+    // every eval doc; the rare passage = 2 distinct 5-grams, in one
+    val evalDocs = Seq(
+      (101L, "common header one two three four x1 y1"),
+      (102L, "common header one two three four x2 y2"),
+      (103L, "common header one two three four rare unique signal passage here today")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "common header one two three four a b"),  // only boilerplate
+      (2L, "rare unique signal passage here today and more") // real contamination
+    ).toDF("doc_id", "text")
+    // cap = 2: the boilerplate shingles (in all 3 eval docs) are dropped,
+    // the rare passage (1 eval doc) survives
+    val hits = Dedup.decontaminate(corpus, evalDocs, "doc_id", "text",
+        shingleN = 5, minShared = 2, maxEvalFreq = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hits.map(h => (h._1, h._2)) == Set((2L, 103L)),
+      s"boilerplate must be capped, rare overlap kept — got $hits")
+    // without the cap, doc 1 is (wrongly, at scale: explosively) flagged
+    val uncapped = Dedup.decontaminate(corpus, evalDocs, "doc_id", "text",
+        shingleN = 5, minShared = 2, maxEvalFreq = 1000)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uncapped.exists(_._1 == 1L))
+  }
+
   test("simhash: identical docs get identical codes, disjoint docs differ") {
     val codes = Dedup.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
