@@ -341,4 +341,41 @@ object SimilaritySearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * query (id, vector, label), the top-k most-similar collection rows
+    * whose label DIFFERS from the query's — the near-miss negatives that
+    * carry the most training signal.
+    *
+    * Same scale shape as [[topKBatch]] (queries broadcast — they arrive
+    * from a request or a sampled anchor set, not a table scan), with the
+    * label predicate applied MAP-SIDE, before scoring and before the
+    * ranking window: positives never get scored and never shuffle, so the
+    * per-query window input is already negatives-only.
+    */
+  def hardNegatives(
+      collection: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: String = "cosine",
+      vecCol: String = "embedding",
+      idCol: String = "id",
+      labelCol: String = "label",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec",
+      queryLabelCol: String = "query_label"): DataFrame = {
+    val (sc, desc_?) = score(metric, col(vecCol), col(queryVecCol))
+    val w = Window
+      .partitionBy(queryIdCol)
+      .orderBy(if (desc_?) desc("score") else asc("score"), col(idCol))
+    collection
+      .crossJoin(broadcast(queries))
+      .filter(col(labelCol) =!= col(queryLabelCol))
+      .withColumn("score", sc)
+      .drop(vecCol, queryVecCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(queryLabelCol), col(idCol), col(labelCol),
+        col("score"), col("rank"))
+  }
 }

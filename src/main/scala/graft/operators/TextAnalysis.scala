@@ -160,6 +160,46 @@ object TextAnalysis {
     }._1
   }
 
+  /** Lowercased alphanumeric word extraction — the normalization used for
+    * vocabulary building (tokenizer-training prep): case-folded, punctuation
+    * acts as a separator, so "Word," and "word" count as one vocabulary
+    * entry.
+    */
+  def normalizedTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** PII redaction patterns: (class, regex, replacement token). The regexes
+    * deliberately use only the syntax subset where Java regex (Spark) and
+    * RE2 (DuckDB, Go, etc.) agree — character classes, bounded repetition,
+    * greedy quantifiers; no alternation inside a match (leftmost-first vs
+    * leftmost-longest divergence), no lookaround (absent from RE2) — so the
+    * scrub is reproducible across engines, which a compliance pipeline
+    * needs even more than a stats query does.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
+
+  /** Occurrences of one PII class (by name from [[piiPatterns]]). */
+  def piiCount(text: Column, cls: String): Column = {
+    val pat = piiPatterns.collectFirst { case (`cls`, p, _) => p }
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown PII class '$cls' (known: ${piiPatterns.map(_._1).mkString(", ")})"))
+    size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+  }
+
+  /** Replace every PII occurrence with its class token. Emails are scrubbed
+    * first (they may embed digit runs), then phones, then IPs; replacement
+    * tokens contain no digits, so later passes can't re-match earlier
+    * replacements. Pure codegen'd regexp_replace chain — runs inside the
+    * scan.
+    */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, pat, repl)) =>
+      regexp_replace(t, pat, repl)
+    }
+
   /** Content fingerprint: md5 over the normalized text (lowercased,
     * punctuation stripped, whitespace collapsed) — robust to formatting-only
     * edits, exact otherwise.

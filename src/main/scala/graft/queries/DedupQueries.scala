@@ -137,6 +137,32 @@ object DedupQueries {
     // doc are flagged. The eval shingle set rides a broadcast join
     // (asserted in PlanAuditSpec) — the corpus side never self-joins and
     // never shuffles its text.
+    // Leakage-safe train/val/test split: the split key is the near-dup
+    // CLUSTER representative, not the document id — every member of a
+    // near-dup cluster lands on the same side by construction, so a
+    // training doc can never leak an eval doc's content. Composes
+    // clustering (q65's machinery) with the deterministic md5 split
+    // (q60's); the oracle recomputes both stages.
+    "q91_leakage_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 5, numHashes = 8, rowsPerBand = 2)
+      val comps = Dedup.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      val rep = coalesce(col("cluster_rep"), col("doc_id"))
+      val bucket = conv(substring(md5(concat(lit("split:"),
+        rep.cast("string"))), 1, 4), 16, 10).cast("long") % 10
+      docs.join(comps, Seq("doc_id"), "left")
+        .withColumn("__rep", rep)
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("__rep")).as("n_clusters"),
+          sum(length(col("text"))).as("n_chars"))
+        .orderBy("split")
+    }),
+
     "q81_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val evalSet = docs.filter(col("doc_id") % 97 === 0)
@@ -380,6 +406,43 @@ object DedupQueries {
          |ORDER BY score DESC, a_id, b_id
          |LIMIT 20""".stripMargin
     },
+
+    "q91_leakage_split" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$signaturesCte,
+         |$bandsCte,
+         |ok_buckets AS (
+         |  SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |eligible AS (
+         |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM eligible a JOIN eligible b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |comp AS (
+         |  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_rep
+         |  FROM reach GROUP BY id),
+         |m AS (
+         |  SELECT d.doc_id, d.text, COALESCE(c.cluster_rep, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |b AS (
+         |  SELECT *, CAST(('0x'||substring(md5('split:'||CAST(rep AS VARCHAR)), 1, 4)) AS BIGINT) % 10 AS bk
+         |  FROM m)
+         |SELECT CASE WHEN bk < 8 THEN 'train' WHEN bk < 9 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+         |FROM b
+         |GROUP BY 1
+         |ORDER BY split""".stripMargin,
 
     "q81_decontaminate" ->
       // the eval-side hot-shingle cap (maxEvalFreq = 100) mirrored as a

@@ -98,6 +98,58 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Vocabulary building (tokenizer-training prep): corpus-wide top-100
+    // normalized words by occurrence count, with document frequency and
+    // cumulative corpus coverage. One explode + one partial-agg count, the
+    // top-100 cut is orderBy+limit (TakeOrderedAndProject — never a global
+    // sort of the full vocabulary), and only the 100 survivors enter the
+    // ranking/cumsum window.
+    "q93_vocabulary" -> ((s, dir) => {
+      val toks = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          explode(TextAnalysis.normalizedTokens(col("text"))).as("token"))
+      val counts = toks.groupBy("token")
+        .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+      val total = counts.agg(sum("n_occ").cast("double").as("total"))
+      val top = counts.orderBy(desc("n_occ"), col("token")).limit(100)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("n_occ"), col("token"))
+      top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_share", round(
+          sum("n_occ").over(w.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast("double") / col("total") + lit(1e-9), 6))
+        .select(col("rank"), col("token"), col("n_occ"), col("n_docs"),
+          col("cum_share"))
+        .orderBy("rank")
+    }),
+
+    // PII redaction: scrub emails/phones/IPv4s to class tokens and account
+    // for what was removed. The PII is synthesized deterministically from
+    // doc_id (the corpus itself is clean), so the gate exercises real
+    // matches; the oracle recomputes synthesis, counts, and the scrubbed
+    // text's md5 — a hash match pins the exact redacted output, not just
+    // the counts.
+    "q94_pii_scrub" -> ((s, dir) => {
+      val synth = concat_ws(" ", col("text"), lit("contact:"),
+        concat(lit("user"), col("doc_id").cast("string"), lit("@ex"),
+          (col("doc_id") % 7).cast("string"), lit(".com")),
+        concat(lit("+1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")),
+        concat(lit("10."), (col("doc_id") % 256).cast("string"), lit("."),
+          ((col("doc_id") * 3) % 256).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string")))
+      graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .withColumn("__synth", synth)
+        .select(col("doc_id"),
+          TextAnalysis.piiCount(col("__synth"), "email").as("n_email"),
+          TextAnalysis.piiCount(col("__synth"), "phone").as("n_phone"),
+          TextAnalysis.piiCount(col("__synth"), "ip").as("n_ip"),
+          md5(TextAnalysis.scrubPii(col("__synth"))).as("scrub_sig"))
+        .orderBy("doc_id")
+    }),
+
     // Token budget accounting per source: whitespace tokens + BPE-ish
     // subword pieces + characters.
     "q37_token_count" -> ((s, dir) => {
@@ -450,6 +502,44 @@ object TextQueries {
         |  round(COALESCE(1.0 - CAST(g2.dist AS DOUBLE) / g2.total, 0.0) + 1e-9, 6) AS dup_2gram,
         |  round(COALESCE(1.0 - CAST(g3.dist AS DOUBLE) / g3.total, 0.0) + 1e-9, 6) AS dup_3gram
         |FROM toks t LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q93_vocabulary" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT token, count(*) AS n_occ,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(n_occ) AS DOUBLE) AS total FROM counts),
+        |top AS (SELECT * FROM counts ORDER BY n_occ DESC, token LIMIT 100),
+        |r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS BIGINT) AS rank,
+        |    sum(n_occ) OVER (ORDER BY n_occ DESC, token ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM top)
+        |SELECT rank, token, n_occ, n_docs,
+        |  round(CAST(cum AS DOUBLE) / total + 1e-9, 6) AS cum_share
+        |FROM r, tot
+        |ORDER BY rank""".stripMargin,
+
+    "q94_pii_scrub" ->
+      """WITH synth AS (
+        |  SELECT doc_id, concat_ws(' ', text, 'contact:',
+        |    'user'||CAST(doc_id AS VARCHAR)||'@ex'||CAST(doc_id % 7 AS VARCHAR)||'.com',
+        |    '+1-555-'||lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        |    '10.'||CAST(doc_id % 256 AS VARCHAR)||'.'||CAST((doc_id * 3) % 256 AS VARCHAR)||'.'||CAST((doc_id * 7) % 256 AS VARCHAR)) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(s, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(s, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrub_sig
+        |FROM synth
         |ORDER BY doc_id""".stripMargin,
 
     "q37_token_count" ->

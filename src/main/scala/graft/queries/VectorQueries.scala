@@ -117,6 +117,28 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Hard-negative mining (contrastive-training prep): for each of 5
+    // anchor vectors, the top-5 most-cosine-similar rows with a DIFFERENT
+    // label. The label predicate runs map-side before the ranking window —
+    // positives never score, never shuffle. The query's own row is
+    // excluded for free (same label as itself).
+    "q92_hard_negatives" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"),
+          col("label").as("query_label"))
+      SimilaritySearch
+        .hardNegatives(e, qs, k = 5, metric = "cosine",
+          vecCol = "embedding", idCol = "vec_id", labelCol = "label")
+        .select(col("query_id"),
+          col("query_label").cast("long").as("query_label"),
+          col("vec_id"),
+          col("label").cast("long").as("label"),
+          round(col("score"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // KMeans-IVF probe through the full database surface: REINDEX trains
     // centroids into the index sidecar, SEARCHSIMILAR prunes to the nprobe=4
     // nearest cells and exact-reranks inside. MLlib centroid identity is
@@ -283,6 +305,24 @@ object VectorQueries {
         |SELECT query_id, vec_id, round(raw_score, 6) AS score, rank
         |FROM scored
         |WHERE rank <= 5 AND vec_id <> query_id
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q92_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding AS query_vec, label AS query_label
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, CAST(q.query_label AS BIGINT) AS query_label,
+        |    e.vec_id, CAST(e.label AS BIGINT) AS label,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])) AS raw_score,
+        |    CAST(row_number() OVER (PARTITION BY q.query_id
+        |                       ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.query_vec AS DOUBLE[])) DESC, e.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.label <> q.query_label
+        |)
+        |SELECT query_id, query_label, vec_id, label, round(raw_score, 6) AS score, rank
+        |FROM scored
+        |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
     "q23_ivf_probe" -> {

@@ -35,6 +35,27 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     persisted.values.foreach(_.unpersist(true))
   }
 
+  test("leakage-safe split: every component member lands on the same side") {
+    // q91's contract: the split key is the cluster representative, so a
+    // near-dup cluster can never straddle train/eval. Verified on real
+    // candidates: group the per-doc split by component and assert each
+    // component sees exactly one split value.
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val comps = Dedup.connectedComponents(pairs).withColumnRenamed("id", "doc_id")
+    val rep = coalesce(col("cluster_rep"), col("doc_id"))
+    val bucket = conv(substring(md5(concat(lit("split:"),
+      rep.cast("string"))), 1, 4), 16, 10).cast("long") % 10
+    val straddlers = docs.join(comps, Seq("doc_id"), "left")
+      .withColumn("__rep", rep)
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test"))
+      .groupBy("__rep").agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(straddlers.isEmpty, "a cluster straddles the split boundary")
+  }
+
   test("isolated pairs and self-consistency on real candidates") {
     val docs = graft.Tables.documents(spark, TestSpark.sf)
     val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class HardNegativesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hard negatives: label-disjoint, self-excluded, k-bounded, rank-contiguous") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val qs = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"),
+        $"label".as("query_label"))
+    val got = SimilaritySearch.hardNegatives(e, qs, k = 5,
+        vecCol = "embedding", idCol = "vec_id", labelCol = "label")
+      .select($"query_id", $"query_label".cast("int"), $"vec_id",
+        $"label".cast("int"), $"rank")
+      .as[(Long, Int, Long, Int, Int)].collect()
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, ql, _, l, _) => ql != l },
+      "a hard negative must never share the query's label")
+    assert(got.forall { case (q, _, id, _, _) => q != id },
+      "the query's own row is excluded (it shares its own label)")
+    val perQuery = got.groupBy(_._1)
+    assert(perQuery.values.forall(_.length <= 5))
+    perQuery.foreach { case (q, rows) =>
+      assert(rows.map(_._5).sorted.toSeq == (1 to rows.length),
+        s"ranks for query $q must be contiguous from 1")
+    }
+  }
+
+  test("crafted case: nearest same-label row is skipped, not just re-ranked") {
+    // query q (label 0) is most similar to id=1 (label 0) — the positive
+    // must be skipped and the top negative must be id=2 (label 1), even
+    // though its score is lower.
+    val coll = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val qs = Seq((0L, Array(1.0f, 0.0f), 0))
+      .toDF("query_id", "query_vec", "query_label")
+    val got = SimilaritySearch.hardNegatives(coll, qs, k = 2,
+        vecCol = "embedding", idCol = "vec_id", labelCol = "label")
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(2L, 3L))
+  }
+}

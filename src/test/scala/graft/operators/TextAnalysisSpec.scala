@@ -19,6 +19,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(row == ((4L, 7L)))
   }
 
+  test("PII scrub: all three classes replaced, counted, idempotent, clean text untouched") {
+    val dirty = "mail a@b.com or x.y_z+1@sub.domain.org call +1-555-0199 " +
+      "from 10.0.255.3 and 192.168.1.200 done"
+    val clean = "no pii here, just words and numbers like 1234 or 1.5"
+    val got = Seq(dirty, clean).toDF("text").select(
+      TextAnalysis.piiCount($"text", "email"),
+      TextAnalysis.piiCount($"text", "phone"),
+      TextAnalysis.piiCount($"text", "ip"),
+      TextAnalysis.scrubPii($"text")).as[(Long, Long, Long, String)].collect()
+    assert(got(0)._1 == 2 && got(0)._2 == 1 && got(0)._3 == 2)
+    assert(got(0)._4 ==
+      "mail <EMAIL> or <EMAIL> call <PHONE> from <IP> and <IP> done")
+    assert(got(1) == ((0L, 0L, 0L, clean)), "clean text must pass unchanged")
+    // idempotence: replacement tokens contain no digits/@, so a second
+    // pass is a no-op
+    val twice = Seq(dirty).toDF("text")
+      .select(TextAnalysis.scrubPii(TextAnalysis.scrubPii($"text")))
+      .as[String].head()
+    assert(twice == got(0)._4)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.piiCount($"text", "ssn")
+    }
+  }
+
+  test("normalizedTokens case-folds and splits on punctuation") {
+    val got = Seq("Word, word; WORD-2 done").toDF("text")
+      .select(TextAnalysis.normalizedTokens($"text"))
+      .as[Seq[String]].head()
+    assert(got == Seq("word", "word", "word", "2", "done"))
+  }
+
   test("wordNgrams keeps repeats; duplicateNgramFrac measures them") {
     val got = Seq(
       "a b a b a",    // bigrams: ab,ba,ab,ba → 4 total, 2 distinct → 0.5
