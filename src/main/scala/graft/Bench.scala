@@ -20,6 +20,9 @@ object Bench {
       // Janino recompilation inside every timed window — a long-running
       // service would have a warm cache, so the bench should too
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // the library's session-extension surface, loaded the way a no-code
+      // integration would (string conf, not withExtensions)
+      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",

@@ -21,6 +21,9 @@ object Verify {
       // default 100-entry generated-class cache — evictions put Janino
       // recompiles inside the run (measured 40%+ on the bench set)
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // the library's session-extension surface, loaded the way a no-code
+      // integration would (string conf, not withExtensions)
+      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
       // bucketed-table queries use saveAsTable: keep the warehouse out of CWD
       .config("spark.sql.warehouse.dir",
         Files.createTempDirectory("graft_wh").toString)

@@ -344,31 +344,20 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   }
 
   private def indexType(name: String): Option[String] =
-    indexSidecar(name).flatMap(
-      "\"type\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_)).map(_.group(1))
+    indexSidecar(name).flatMap(parseIndexType)
 
   /** Bit width recorded by [[reindex]]'s sidecar (only meaningful for
     * sign_bucket layouts).
     */
   private def indexBits(name: String): Int =
-    indexSidecar(name)
-      .flatMap("\"bits\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(_))
-      .map(_.group(1).toInt)
-      .getOrElse(8)
+    indexSidecar(name).map(parseIndexBits).getOrElse(8)
 
-  /** Centroids recorded by [[reindexKMeans]]'s sidecar. The JSON is written
-    * by this class (Double.toString round-trips exactly), so a bracketed
-    * split is a faithful parse.
-    */
+  /** Centroids recorded by [[reindexKMeans]]'s sidecar. */
   private def centroidsOf(name: String): Array[Array[Double]] = {
     val json = indexSidecar(name).getOrElse(
       throw new IllegalStateException(s"no index sidecar for $name"))
-    val body = "\"centroids\"\\s*:\\s*\\[\\[(.*)\\]\\]".r
-      .findFirstMatchIn(json)
-      .getOrElse(throw new IllegalStateException(
-        s"index sidecar for $name has no centroids"))
-      .group(1)
-    body.split("\\],\\s*\\[").map(_.split(",").map(_.trim.toDouble))
+    parseIndexCentroids(json).getOrElse(throw new IllegalStateException(
+      s"index sidecar for $name has no centroids"))
   }
 
   /** REINDEX with the default deterministic sign-bucket index; records the
@@ -542,7 +531,26 @@ object GraftDatabase {
   // leading underscore: Spark/Hadoop input listing treats it as hidden, so
   // the parquet reader never trips over the sidecars.
   private[core] val MetaFile = "_graft_meta.ddl"
-  private[core] val IndexMetaFile = "_graft_index.json"
+  private[graft] val IndexMetaFile = "_graft_index.json"
+
+  // ---- index-sidecar JSON parsing ----------------------------------------
+  // Shared by the instance probe dispatch AND the AnnProbeRewrite optimizer
+  // rule (graft.extensions), which discovers collections by their sidecar
+  // file next to the scan root — one parser, one format.
+
+  private[graft] def parseIndexType(json: String): Option[String] =
+    "\"type\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1))
+
+  private[graft] def parseIndexBits(json: String): Int =
+    "\"bits\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(8)
+
+  /** The JSON is written by this object (Double.toString round-trips
+    * exactly), so a bracketed split is a faithful parse.
+    */
+  private[graft] def parseIndexCentroids(json: String): Option[Array[Array[Double]]] =
+    "\"centroids\"\\s*:\\s*\\[\\[(.*)\\]\\]".r.findFirstMatchIn(json)
+      .map(_.group(1).split("\\],\\s*\\[").map(_.split(",").map(_.trim.toDouble)))
   private[core] val QuantCol = "embedding_q8"
   // zstd over the snappy default: ~2× better ratio at comparable decode
   // speed — at 100 TB the scan is IO-bound and storage cost is real; both

@@ -132,11 +132,6 @@ object DedupQueries {
         .limit(20)
     }),
 
-    // Decontamination: every 97th document stands in for a held-out eval
-    // set; corpus docs sharing >= 2 distinct 5-gram shingles with an eval
-    // doc are flagged. The eval shingle set rides a broadcast join
-    // (asserted in PlanAuditSpec) — the corpus side never self-joins and
-    // never shuffles its text.
     // Leakage-safe train/val/test split: the split key is the near-dup
     // CLUSTER representative, not the document id — every member of a
     // near-dup cluster lands on the same side by construction, so a
@@ -163,6 +158,11 @@ object DedupQueries {
         .orderBy("split")
     }),
 
+    // Decontamination: every 97th document stands in for a held-out eval
+    // set; corpus docs sharing >= 2 distinct 5-gram shingles with an eval
+    // doc are flagged. The eval shingle set rides a broadcast join
+    // (asserted in PlanAuditSpec) — the corpus side never self-joins and
+    // never shuffles its text.
     "q81_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val evalSet = docs.filter(col("doc_id") % 97 === 0)

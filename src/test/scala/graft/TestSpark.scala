@@ -8,6 +8,10 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // the library's session-extension surface (SQL built-ins + the
+      // opt-in ANN probe rewrite, default-off) — installed here so the
+      // suite exercises exactly what spark.sql.extensions users get
+      .withExtensions(new graft.extensions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
