@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -263,6 +263,31 @@ object RelationalQueries {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
           date_format(col("asof_signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
         .orderBy("event_id")
+    }),
+
+    // Bucketed range join (point-in-interval): lineitems shipped inside
+    // each sampled order's one-week window. The naive inequality join has
+    // no equality key and plans as a nested-loop — RangeJoin turns it into
+    // a hash equi-join on week buckets + exact containment filter
+    // (asserted nested-loop-free in PlanAuditSpec). Epochs in ms on both
+    // sides (unix_millis ↔ epoch_ms).
+    "q95_interval_join" -> ((s, dir) => {
+      val wk = 604800000L // 7 days in ms — fits INT32, no DuckDB overflow
+      // parquet timestamps read as NTZ; session TZ is UTC, so the cast
+      // interprets them as UTC — matching DuckDB's epoch_ms on naive ts
+      def ms(c: Column) = unix_millis(c.cast("timestamp"))
+      val iv = Tables.orders(s, dir).filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey"),
+          ms(col("o_orderdate")).as("w_start"),
+          (ms(col("o_orderdate")) + wk).as("w_end"))
+      val pts = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), ms(col("l_shipdate")).as("t"))
+      graft.operators.RangeJoin
+        .pointInInterval(pts, iv, "t", "w_start", "w_end", bucketWidth = wk)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_shipped"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("o_orderkey")
     }),
 
     // CUBE over two dimensions with sentinel subtotals.
@@ -723,6 +748,17 @@ object RelationalQueries {
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
         |ORDER BY event_id""".stripMargin,
+
+    "q95_interval_join" ->
+      """SELECT o.o_orderkey,
+        |  count(*) AS n_shipped,
+        |  CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+        |FROM orders o JOIN lineitem l
+        |  ON epoch_ms(l.l_shipdate) >= epoch_ms(o.o_orderdate)
+        | AND epoch_ms(l.l_shipdate) < epoch_ms(o.o_orderdate) + 604800000
+        |WHERE o.o_orderkey % 199 = 0
+        |GROUP BY o.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q51_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,

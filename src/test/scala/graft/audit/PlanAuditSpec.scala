@@ -204,6 +204,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-shard stats must partially aggregate before the shuffle:\n${p.take(1500)}")
   }
 
+  test("q95 range join: hash equi-join on buckets, never a nested loop") {
+    val p = plan("q95_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the bucketed range join must not plan a nested loop:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"expected a hash/merge equi-join on the bucket key:\n${p.take(2000)}")
+  }
+
   test("q67 two-phase sessionize: per-event window partitioned by (user, chunk)") {
     val p = plan("q67_sessionize_2phase")
     // the heavy (per-event) sort must key on user_id AND the chunk — that
