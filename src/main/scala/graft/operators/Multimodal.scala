@@ -145,6 +145,48 @@ object Multimodal {
       .otherwise(meta("unknown", noF, noF, noF))
   }
 
+  /** `struct(format, width, height, n_frames, usec_per_frame)` parsed from
+    * the leading bytes of a binary column — the video face of the
+    * [[imageMeta]]/[[audioMeta]] family:
+    *  - AVI — "RIFF" magic + "AVI " form type; fields read ONLY from the
+    *    canonical layout (LIST/hdrl at byte 12 with the "avih" main header
+    *    directly at byte 24, ≥ 72 bytes): µs/frame LE u32 at 32, total
+    *    frames LE u32 at 48, width/height LE u32 at 64/68. An AVI whose
+    *    header list is laid out differently classifies as "avi" with NULL
+    *    fields — a chunk-walk needs a real parser, and a misread frame
+    *    count is worse than an absent one (the [[imageMeta]] JPEG
+    *    doctrine);
+    *  - MP4 — "ftyp" box tag at bytes 4–7: classified, fields NULL;
+    *  - MKV — EBML magic `1A45DFA3`: classified, fields NULL (EBML is
+    *    variable-length-coded throughout);
+    *  - anything else — "unknown", fields NULL.
+    *
+    * Only the first 72 bytes are hexed (every parsed offset ends by 72).
+    * Frame *content* (decode, frame sampling) stays behind the batched
+    * stub decoder below — this parses container metadata only.
+    */
+  def videoMeta(bin: Column): Column = {
+    val h = upper(hex(substring(bin, 1, 72)))
+    val noF = lit(null).cast("long")
+    def meta(f: String, w: Column, hgt: Column, nf: Column,
+        us: Column): Column =
+      struct(lit(f).as("format"), w.as("width"), hgt.as("height"),
+        nf.as("n_frames"), us.as("usec_per_frame"))
+    val isAvi = h.startsWith("52494646") &&
+      substring(h, 17, 8) === lit("41564920")
+    // canonical: LIST at 12, "hdrl" at 20, "avih" fourcc at 24
+    val canonicalHdrl = substring(h, 25, 8) === lit("4C495354") &&
+      substring(h, 41, 8) === lit("6864726C") &&
+      substring(h, 49, 8) === lit("61766968") && length(bin) >= 72
+    when(isAvi && canonicalHdrl,
+        meta("avi", le32(h, 129), le32(h, 137), le32(h, 97), le32(h, 65)))
+      .when(isAvi, meta("avi", noF, noF, noF, noF))
+      .when(substring(h, 9, 8) === lit("66747970"),
+        meta("mp4", noF, noF, noF, noF))
+      .when(h.startsWith("1A45DFA3"), meta("mkv", noF, noF, noF, noF))
+      .otherwise(meta("unknown", noF, noF, noF, noF))
+  }
+
   /** Append parsed `format`/`width`/`height` columns from a binary column. */
   def withImageMeta(df: DataFrame, binCol: String): DataFrame =
     df.withColumn("__meta", imageMeta(col(binCol)))

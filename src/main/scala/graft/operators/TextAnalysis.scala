@@ -230,4 +230,50 @@ object TextAnalysis {
         floor((col("__cum") - col("n_tokens")) / lit(budget)).cast("long"))
       .drop("__cum")
   }
+
+  /** Sliding-window document chunking — the context-length segmenter every
+    * training/RAG pipeline runs before tokenization proper: whitespace
+    * tokens in windows of `size` advancing by `stride` (overlap =
+    * `size − stride` tokens), the final window keeping the tail even when
+    * short. Output: one row per chunk with (`idCol`, chunk_id, n_tokens,
+    * chunk_sig, chunk — the token slice rejoined).
+    *
+    * Chunk count is `1 + max(ceil((n − size) / stride), 0)` in exact
+    * integer math (never float division), so engines can recompute the
+    * boundary exactly; `chunk_sig` is md5 over the space-rejoined slice so
+    * SQL oracles can verify content without hauling full chunk text.
+    *
+    * Scale shape: narrow per-row explode — no shuffle, no window, runs
+    * inside the scan; output row count is ~`n/stride` per doc, linear in
+    * corpus size. The token array and each chunk slice are materialized in
+    * their own projections (a generator re-evaluates nested expressions
+    * per reference — the [[ngramsFromTokens]] lesson).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be positive, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride (chunkSize $chunkSize)")
+    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val base = df
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      // exact integer chunk count; the empty guard matters because
+      // sequence(0, -1) counts DOWN
+      .withColumn("__nc", when(col("__n") <= 0, lit(0L)).otherwise(
+        lit(1L) + greatest(
+          expr(s"(__n - $chunkSize + ${stride - 1}) DIV $stride"), lit(0L))))
+    base
+      .select(col(idCol), col("__toks"),
+        explode(when(col("__nc") > 0, sequence(lit(0L), col("__nc") - 1))
+          .otherwise(array().cast("array<bigint>"))).as("chunk_id"))
+      .withColumn("__chunk", slice(col("__toks"),
+        (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)))
+      // rejoin once in its own projection: chunk text feeds BOTH the
+      // signature and the output column
+      .withColumn("chunk", array_join(col("__chunk"), " "))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        md5(col("chunk")).as("chunk_sig"), col("chunk"))
+  }
 }

@@ -196,6 +196,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Video-container decode, oracle-gated (q80/q86's pattern for the video
+    // modality, completing the image/audio/video triple): canonical AVI
+    // main headers with doc-derived dimensions / frame count / frame
+    // duration, an MP4 ftyp box, an MKV EBML magic, and a truncated AVI
+    // (classify-only, NULL fields — never misread) round-trip through
+    // binary and [[Multimodal.videoMeta]].
+    "q99_video_meta" -> ((s, dir) => {
+      val w = (col("doc_id") % 1920 + 1).cast("long")
+      val h = (length(col("text")) % 1080 + 1).cast("long")
+      val nf = (col("doc_id") % 9000 + 1).cast("long")
+      val us = ((col("doc_id") % 5 + 1) * 10000).cast("long")
+      val f = col("doc_id") % 4
+      val hexHeader = when(f === 0, concat(
+          lit("52494646" + "00100000" + "41564920" +
+            "4C495354" + "C4000000" + "6864726C" +
+            "61766968" + "38000000"),
+          leHex32(us), lit("00000000" + "00000000" + "10000000"),
+          leHex32(nf), lit("00000000" + "01000000" + "00000000"),
+          leHex32(w), leHex32(h)))
+        .when(f === 1, lit("00000018" + "66747970" + "69736F6D"))
+        .when(f === 2, lit("1A45DFA3"))
+        .otherwise(lit("52494646" + "00100000" + "41564920"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          Multimodal.videoMeta(unhex(hexHeader)).as("__m"))
+        .select(col("doc_id"), col("__m.format").as("format"),
+          col("__m.width").as("width"), col("__m.height").as("height"),
+          col("__m.n_frames").as("n_frames"),
+          col("__m.usec_per_frame").as("usec_per_frame"))
+        .orderBy("doc_id")
+    }),
+
     // TRUNCATEWAL-as-compaction: land data in many small part files (the
     // point-insert anti-pattern), compact to 2, and prove the contents are
     // byte-identical to the source — the oracle reads the source directly.
@@ -354,6 +386,21 @@ object PipelineQueries {
         |    THEN CAST(doc_id % 8 * 4000 + 8000 AS BIGINT) END AS sample_rate,
         |  CASE WHEN doc_id % 3 = 0
         |    THEN CAST((doc_id % 7 % 3 + 1) * 8 AS BIGINT) END AS bits_per_sample
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q99_video_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 1 THEN 'mp4' WHEN 2 THEN 'mkv'
+        |    ELSE 'avi' END AS format,
+        |  CASE WHEN doc_id % 4 = 0
+        |    THEN CAST(doc_id % 1920 + 1 AS BIGINT) END AS width,
+        |  CASE WHEN doc_id % 4 = 0
+        |    THEN CAST(length(text) % 1080 + 1 AS BIGINT) END AS height,
+        |  CASE WHEN doc_id % 4 = 0
+        |    THEN CAST(doc_id % 9000 + 1 AS BIGINT) END AS n_frames,
+        |  CASE WHEN doc_id % 4 = 0
+        |    THEN CAST((doc_id % 5 + 1) * 10000 AS BIGINT) END AS usec_per_frame
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

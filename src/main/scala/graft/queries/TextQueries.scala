@@ -287,6 +287,64 @@ object TextQueries {
     "q82_shard_export" -> ((s, dir) => {
       graft.operators.TrainExport.shardAudit(
         Tables.documents(s, dir), "doc_id", "text", nShards = 16)
+    }),
+
+    // Sliding-window chunking (context-length segmentation): 40-token
+    // windows advancing by 30 (10-token overlap), tail kept. The oracle
+    // recomputes every chunk boundary in exact integer math and every
+    // chunk's content signature — a hash match pins the full segmentation,
+    // not just chunk counts. chunk text itself stays out of the gate
+    // output (the md5 signature carries it) to keep the compare payload
+    // bounded.
+    "q96_chunking" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", chunkSize = 40, stride = 30)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          col("chunk_sig"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // TF-IDF top terms: document frequency over the FULL corpus, term
+    // frequency for a bounded report set (doc_id < 100), smooth idf
+    // ln((N+1)/(df+1)) + 1, top-3 terms per doc. Scale shape: the
+    // vocabulary-sized df table streams; the report set is the broadcast
+    // side; ranking windows only over report-set candidates.
+    "q97_tfidf" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.normalizedTokens(col("text"))).as("token"))
+      val dfreq = toks.groupBy("token")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("__n_docs"))
+      val tf = toks.filter(col("doc_id") < 100)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("tfidf"), col("token"))
+      dfreq.join(broadcast(tf), Seq("token"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") *
+          (log((col("__n_docs") + 1.0) / (col("df") + 1.0)) + 1.0) +
+          lit(1e-9), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+          col("df"), col("tfidf"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // DSIR importance scoring: raw = the whole corpus, target = the
+    // English slice, top-20 most target-like docs by hashed-unigram log
+    // likelihood ratio. Ranking happens on the ROUNDED score (then doc_id)
+    // so accumulation-order ulps can never reorder the cut.
+    "q98_importance" -> ((s, dir) => {
+      graft.operators.Importance.importanceScores(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", isTarget = col("lang") === "en", nBuckets = 256)
+        .withColumn("score", round(col("raw_score") + lit(1e-9), 6))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("n_tokens"), col("score"))
     })
   )
 
@@ -410,7 +468,71 @@ object TextQueries {
         |  min(key) AS first_key, max(key) AS last_key
         |FROM t
         |GROUP BY shard
-        |ORDER BY shard""".stripMargin
+        |ORDER BY shard""".stripMargin,
+
+    "q96_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 0 THEN 0
+        |         ELSE 1 + greatest((len(toks) - 40 + 29) // 30, 0)
+        |    END AS nc
+        |  FROM t),
+        |x AS (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(len(toks[i*30+1 : i*30+40]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks[i*30+1 : i*30+40], ' ')) AS chunk_sig
+        |FROM x
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q97_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |dfreq AS (
+        |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM toks GROUP BY token),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE doc_id < 100 GROUP BY doc_id, token),
+        |scored AS (
+        |  SELECT doc_id, token, tf, df,
+        |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) + 1e-9, 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, token, tf, df, tfidf
+        |FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q98_importance" ->
+      """WITH tb AS (
+        |  SELECT doc_id,
+        |    CAST(('0x'||substring(md5(token), 1, 4)) AS BIGINT) % 256 AS b,
+        |    lang = 'en' AS tgt
+        |  FROM (SELECT doc_id, lang,
+        |          unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |        FROM documents)),
+        |counts AS (
+        |  SELECT b, count(*) AS cr,
+        |    count(CASE WHEN tgt THEN 1 END) AS ct
+        |  FROM tb GROUP BY b),
+        |tot AS (SELECT CAST(sum(cr) AS DOUBLE) AS tr,
+        |               CAST(sum(ct) AS DOUBLE) AS tt FROM counts),
+        |wts AS (
+        |  SELECT b, ln((ct + 1.0) / (tt + 256.0)) - ln((cr + 1.0) / (tr + 256.0)) AS w
+        |  FROM counts, tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(sum(w) + 1e-9, 6) AS score
+        |FROM tb JOIN wts USING (b)
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin
   )
 
   val oracles: Map[String, String] = Map(

@@ -97,6 +97,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4) == ((5L, "unknown", None, None, None)))
   }
 
+  test("videoMeta parses canonical AVI; classifies MP4/MKV; rejects junk and drift") {
+    def bytes(hex: String): Array[Byte] =
+      hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val rows = Seq(
+      // canonical AVI: 640×360, 250 frames, 33333 µs/frame (~30 fps)
+      (1L, bytes("52494646" + "00100000" + "41564920" +
+        "4C495354" + "C4000000" + "6864726C" + "61766968" + "38000000" +
+        "35820000" + "00000000" + "00000000" + "10000000" +
+        "FA000000" + "00000000" + "01000000" + "00000000" +
+        "80020000" + "68010000")),
+      // AVI whose header list is NOT the canonical layout (no LIST/hdrl at
+      // 12): classify avi with NULL fields, never misread other bytes
+      (2L, bytes("52494646" + "00100000" + "41564920" +
+        "4A554E4B" + "C4000000" + "6864726C" + "61766968" + "38000000" +
+        "35820000" + "00000000" + "00000000" + "10000000" +
+        "FA000000" + "00000000" + "01000000" + "00000000" +
+        "80020000" + "68010000")),
+      // truncated AVI (RIFF+AVI form only)
+      (3L, bytes("52494646" + "00100000" + "41564920")),
+      // canonical header cut one byte short of dwHeight: NULL fields
+      (4L, bytes("52494646" + "00100000" + "41564920" +
+        "4C495354" + "C4000000" + "6864726C" + "61766968" + "38000000" +
+        "35820000" + "00000000" + "00000000" + "10000000" +
+        "FA000000" + "00000000" + "01000000" + "00000000" +
+        "80020000" + "680100")),
+      // MP4 ftyp box, MKV EBML magic, junk
+      (5L, bytes("000000186674797069736F6D")),
+      (6L, bytes("1A45DFA3A342868101")),
+      (7L, bytes("DEADBEEFDEADBEEF"))
+    ).toDF("id", "media")
+    val got = rows.select($"id", Multimodal.videoMeta($"media").as("m"))
+      .select($"id", $"m.format", $"m.width", $"m.height", $"m.n_frames",
+        $"m.usec_per_frame")
+      .as[(Long, String, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1)
+    assert(got(0) == ((1L, "avi", Some(640L), Some(360L), Some(250L), Some(33333L))))
+    assert(got(1) == ((2L, "avi", None, None, None, None)),
+      "non-canonical header layout must yield NULL fields, not a misread")
+    assert(got(2) == ((3L, "avi", None, None, None, None)))
+    assert(got(3) == ((4L, "avi", None, None, None, None)),
+      "header shorter than 72 bytes must not half-parse")
+    assert(got(4) == ((5L, "mp4", None, None, None, None)))
+    assert(got(5) == ((6L, "mkv", None, None, None, None)))
+    assert(got(6) == ((7L, "unknown", None, None, None, None)))
+  }
+
   test("batch boundary: batchSize smaller than partition still covers all rows") {
     val df = (1L to 200L).map(i => (i, s"payload-$i")).toDF("id", "text")
     val media = Multimodal.withMediaColumn(df, "id", "text")

@@ -135,4 +135,63 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fps(0) == fps(1))
     assert(fps(0) != fps(2))
   }
+
+  test("chunkDocuments: boundaries, overlap, tail retention, empty docs") {
+    def chunks(text: String, size: Int, stride: Int): Seq[(Long, Long, String)] = {
+      TextAnalysis.chunkDocuments(Seq((1L, text)).toDF("doc_id", "text"),
+          "doc_id", "text", size, stride)
+        .select($"chunk_id", $"n_tokens", $"chunk")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    }
+    val doc10 = (1 to 10).map(i => s"t$i").mkString(" ")
+    // n < size → one chunk holding everything
+    assert(chunks(doc10, 40, 30) == Seq((0L, 10L, doc10)))
+    // n == size → exactly one chunk
+    assert(chunks(doc10, 10, 5) == Seq((0L, 10L, doc10)))
+    // n == size + 1 → a second chunk starting at stride, keeping the tail
+    val got11 = chunks(doc10 + " t11", 10, 5)
+    assert(got11.map(_._1) == Seq(0L, 1L))
+    assert(got11(0)._3 == doc10)
+    assert(got11(1)._3 == (6 to 11).map(i => s"t$i").mkString(" "))
+    // overlap invariant: every chunk starts stride tokens after the last,
+    // and consecutive chunks share size − stride tokens
+    val doc100 = (1 to 100).map(i => s"w$i").mkString(" ")
+    val got = chunks(doc100, 40, 30)
+    assert(got.size == 3)
+    assert(got.map(_._2) == Seq(40L, 40L, 40L))
+    assert(got(1)._3.startsWith("w31 ") && got(2)._3.startsWith("w61 "))
+    assert(got(2)._3.endsWith(" w100"))
+    // no-overlap packing (stride == size) reconstructs the document
+    val packed = chunks(doc100, 25, 25)
+    assert(packed.map(_._3).mkString(" ") == doc100)
+    // empty / whitespace-only text → zero chunks, not a crash
+    assert(chunks("", 40, 30).isEmpty)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", chunkSize = 10, stride = 11)
+    }
+  }
+
+  test("importanceScores: zero for a degenerate target, orders target-like docs first") {
+    // target == raw → every weight is exactly ln(x) − ln(x) = 0
+    val docs = Seq((1L, "alpha alpha beta", "a"), (2L, "alpha gamma", "a"),
+      (3L, "beta beta delta", "b"), (4L, "beta gamma", "b"))
+      .toDF("doc_id", "text", "grp")
+    val degenerate = Importance
+      .importanceScores(docs, "doc_id", "text", isTarget = lit(true))
+      .select($"doc_id", $"n_tokens", $"raw_score")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(degenerate.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(degenerate.map(_._2).toSeq == Seq(3L, 2L, 3L, 2L))
+    assert(degenerate.forall(_._3 == 0.0),
+      "target == raw must score exactly zero everywhere")
+    // target = group a → alpha-heavy docs outscore beta-heavy ones
+    val scored = Importance
+      .importanceScores(docs, "doc_id", "text", isTarget = $"grp" === "a")
+      .select($"doc_id", $"raw_score").as[(Long, Double)].collect()
+      .toMap
+    assert(scored(1L) > scored(3L),
+      "a target-vocabulary doc must outscore a raw-vocabulary doc")
+    assert(scored(2L) > scored(4L))
+  }
 }
