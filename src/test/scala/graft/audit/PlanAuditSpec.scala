@@ -213,6 +213,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a hash/merge equi-join on the bucket key:\n${p.take(2000)}")
   }
 
+  test("q96 chunking: narrow explode, no shuffle before the final order") {
+    val p = plan("q96_chunking")
+    assert(p.contains("Generate explode"),
+      s"chunking is a per-row generator:\n${p.take(1500)}")
+    // the only exchanges allowed are the parallelism widening (round robin)
+    // and the final presentation sort — chunking itself must never shuffle
+    assert(!p.contains("hashpartitioning"),
+      s"chunk assembly must not hash-shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Window"), "chunk ids come from the generator, not a window")
+  }
+
+  test("q97 tf-idf: report set broadcasts, rank cut is a group limit") {
+    val p = plan("q97_tfidf")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded report set must broadcast against the streaming " +
+        s"vocabulary side:\n${p.take(2000)}")
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)"),
+      s"the report-set filter must reach the scan:\n${p.take(2000)}")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-3-per-doc must use the rank-limit pushdown, not a full window " +
+        s"sort:\n${p.take(2000)}")
+  }
+
+  test("q98 importance: weights broadcast, top-20 is a bounded cut") {
+    val p = plan("q98_importance")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must be bounded, not a global sort:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(nBuckets) weights table must broadcast onto the token " +
+        s"stream:\n${p.take(2000)}")
+    assert(p.contains("partial_count"),
+      s"bucket counts must combine map-side:\n${p.take(1500)}")
+  }
+
   test("q67 two-phase sessionize: per-event window partitioned by (user, chunk)") {
     val p = plan("q67_sessionize_2phase")
     // the heavy (per-event) sort must key on user_id AND the chunk — that
