@@ -53,5 +53,10 @@ object SparkEntry {
     // is NOT here: as a self-contained query it spends ~90% of its wall
     // clock building its scratch collection — q23 + q69 already bench the
     // probe and sq8 scan paths in steady state.)
-    "q81_decontaminate")
+    "q81_decontaminate",
+    // round-5 additions: the two new heavy token-pipeline shapes — DSIR
+    // importance (two-pass hashed-feature weighting) and bigram-LM
+    // scoring (count-table joins). q96/q97/q99 are narrow scans already
+    // represented by q36's shape.
+    "q98_importance", "q100_lm_score")
 }

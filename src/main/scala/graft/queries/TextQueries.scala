@@ -333,6 +333,22 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // Stupid-backoff bigram LM scoring (the CCNet perplexity-filter
+    // analogue): counts trained on the q60 fingerprint train split, EVERY
+    // doc scored — val/test docs genuinely hit unseen bigrams, so the
+    // backoff path is exercised, not dead. The oracle recomputes counts,
+    // backoff, and the mean log-prob per doc.
+    "q100_lm_score" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 10
+      graft.operators.NgramLm.lmScores(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", isTrain = bucket < 8)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("raw_lp") + lit(1e-9), 6).as("lp"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance scoring: raw = the whole corpus, target = the
     // English slice, top-20 most target-like docs by hashed-unigram log
     // likelihood ratio. Ranking happens on the ROUNDED score (then doc_id)
@@ -509,6 +525,35 @@ object TextQueries {
         |SELECT doc_id, rank, token, tf, df, tfidf
         |FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q100_lm_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+        |    CAST(('0x'||substring(md5('split:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 < 8 AS train
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, train, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, train, t, unnest(range(1, len(t))) AS i FROM d)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE train GROUP BY w1, w2),
+        |uni AS (
+        |  SELECT w, count(*) AS c1
+        |  FROM (SELECT unnest(t) AS w FROM d WHERE train) GROUP BY w),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM uni),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN c2.c2 IS NOT NULL
+        |      THEN CAST(c2.c2 AS DOUBLE) / u1.c1
+        |      ELSE 0.4 * (COALESCE(u2.c1, 0) + 0.5) / tot.t END AS s
+        |  FROM bg b
+        |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  LEFT JOIN uni u1 ON b.w1 = u1.w
+        |  LEFT JOIN uni u2 ON b.w2 = u2.w
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(s)) + 1e-9, 6) AS lp
+        |FROM sc
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q98_importance" ->
       """WITH tb AS (

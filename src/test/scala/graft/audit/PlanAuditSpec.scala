@@ -247,6 +247,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket counts must combine map-side:\n${p.take(1500)}")
   }
 
+  test("q100 lm scoring: equi-joins on count tables, map-side combined averages") {
+    val p = plan("q100_lm_score")
+    assert(!p.contains("CartesianProduct"),
+      s"count-table joins must be equi-joins:\n${p.take(2000)}")
+    assert(p.contains("partial_avg"),
+      s"per-doc log-prob mean must combine map-side:\n${p.take(1500)}")
+    assert(p.contains("partial_count"),
+      s"count tables must partially aggregate before their shuffle:\n${p.take(1500)}")
+    // the bigram-count join key is (w1, w2) — an equi-join Catalyst can
+    // plan as broadcast or shuffle depending on scale; either is fine,
+    // a nested loop is not
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p.take(2000))
+  }
+
   test("q67 two-phase sessionize: per-event window partitioned by (user, chunk)") {
     val p = plan("q67_sessionize_2phase")
     // the heavy (per-event) sort must key on user_id AND the chunk — that
