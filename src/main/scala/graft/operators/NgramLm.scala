@@ -12,25 +12,33 @@ import org.apache.spark.sql.functions._
   * which keeps every number a ratio of counts that any SQL engine can
   * recompute bit-for-bit).
   *
-  * Scoring semantics per bigram (w1, w2), counts from the TRAIN slice:
-  *  - seen bigram:   s = c2(w1,w2) / c1(w1)
-  *  - unseen bigram: s = 0.4 · (c1(w2) + 0.5) / T
-  * (T = total train tokens; the +0.5 keeps unseen-unigram backoff finite).
-  * Doc score = mean ln s over its bigrams; docs under 2 tokens produce no
-  * bigrams and drop out.
+  * Scoring semantics per bigram (w1, w2), all counts from the TRAIN
+  * slice's bigram table:
+  *  - seen bigram:   s = c2(w1,w2) / ctx(w1)      (ctx = Σ_w c2(w1,w))
+  *  - unseen bigram: s = 0.4 · (cont(w2) + 0.5) / T
+  * where cont(w2) = Σ_w c2(w,w2) is the CONTINUATION count (how often w2
+  * appears as a bigram continuation — the Kneser–Ney lower-order idea,
+  * which discounts words that are frequent but only inside fixed
+  * phrases), T = total train bigrams, and +0.5 keeps fully-unseen backoff
+  * finite. Doc score = mean ln s over its bigrams; docs under 2 tokens
+  * produce no bigrams and drop out.
   *
   * The train slice must be held out from the scored docs' perspective
   * (score everything, train on the [[graft.queries]] q60 fingerprint
   * split) or backoff never fires — a corpus containing its own eval slice
   * sees every bigram.
   *
-  * Scale shape: two explode + partial-agg passes build the count tables;
-  * scoring is equi-joins of the (doc, w1, w2) stream against them. The
-  * count tables are corpus-vocabulary-sized, so the joins are left to
-  * Catalyst/AQE (broadcast when small, shuffle when not) — NOT forced
-  * broadcast; only the single-row total is. At real scale a production
-  * deployment would threshold rare bigrams out of c2 (KenLM prunes too) —
-  * counts here are exact because the oracle gate demands it.
+  * Scale shape: ONE explode + partial-agg pass over the train slice
+  * builds the bigram count table; context, continuation, and total
+  * counts all re-aggregate THAT table (vocabulary-sized), never the
+  * corpus — the identical count subtrees collapse into one physical
+  * exchange (AQE ReusedExchange), so the corpus tokenizes exactly twice:
+  * once for counts, once for scoring. Scoring is equi-joins of the
+  * (doc, w1, w2) stream against the count tables, left to Catalyst/AQE
+  * (broadcast when small, shuffle when not) — NOT forced broadcast; only
+  * the single-row total is. At real scale a production deployment would
+  * threshold rare bigrams out of c2 (KenLM prunes too) — counts here are
+  * exact because the oracle gate demands it.
   */
 object NgramLm {
 
@@ -63,23 +71,22 @@ object NgramLm {
         col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
     val c2 = bg.filter(col("__train"))
       .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
-    val uni = base.filter(col("__train"))
-      .select(explode(col("__toks")).as("__w"))
-      .groupBy("__w").agg(count(lit(1)).as("__c1"))
-    val tot = uni.agg(sum("__c1").cast("double").as("__t"))
-    val u1 = uni.select(col("__w").as("__w1"), col("__c1").as("__c1w1"))
-    val u2 = uni.select(col("__w").as("__w2"), col("__c1").as("__c1w2"))
+    // context / continuation / total counts re-aggregate the COUNT TABLE,
+    // never the corpus (identical subtrees → one reused exchange)
+    val ctx = c2.groupBy("__w1").agg(sum("__c2").as("__ctx"))
+    val cont = c2.groupBy("__w2").agg(sum("__c2").as("__cont"))
+    val tot = c2.agg(sum("__c2").cast("double").as("__t"))
     bg
       .join(c2, Seq("__w1", "__w2"), "left")
-      .join(u1, Seq("__w1"), "left")
-      .join(u2, Seq("__w2"), "left")
+      .join(ctx, Seq("__w1"), "left")
+      .join(cont, Seq("__w2"), "left")
       .crossJoin(broadcast(tot))
-      // a seen bigram implies a seen context, so c1(w1) is never null on
+      // a seen bigram implies a seen context, so ctx(w1) is never null on
       // that branch; the backoff branch tolerates both words being unseen
       .withColumn("__s", when(col("__c2").isNotNull,
-          col("__c2").cast("double") / col("__c1w1"))
+          col("__c2").cast("double") / col("__ctx"))
         .otherwise(lit(0.4) *
-          (coalesce(col("__c1w2"), lit(0L)) + 0.5) / col("__t")))
+          (coalesce(col("__cont"), lit(0L)) + 0.5) / col("__t")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         avg(log(col("__s"))).as("raw_lp"))

@@ -535,19 +535,18 @@ object TextQueries {
         |  SELECT doc_id, train, t[i] AS w1, t[i+1] AS w2
         |  FROM (SELECT doc_id, train, t, unnest(range(1, len(t))) AS i FROM d)),
         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE train GROUP BY w1, w2),
-        |uni AS (
-        |  SELECT w, count(*) AS c1
-        |  FROM (SELECT unnest(t) AS w FROM d WHERE train) GROUP BY w),
-        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM uni),
+        |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx FROM c2 GROUP BY w1),
+        |cont AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cont FROM c2 GROUP BY w2),
+        |tot AS (SELECT CAST(sum(c2) AS DOUBLE) AS t FROM c2),
         |sc AS (
         |  SELECT b.doc_id,
         |    CASE WHEN c2.c2 IS NOT NULL
-        |      THEN CAST(c2.c2 AS DOUBLE) / u1.c1
-        |      ELSE 0.4 * (COALESCE(u2.c1, 0) + 0.5) / tot.t END AS s
+        |      THEN CAST(c2.c2 AS DOUBLE) / ctx.ctx
+        |      ELSE 0.4 * (COALESCE(cont.cont, 0) + 0.5) / tot.t END AS s
         |  FROM bg b
         |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
-        |  LEFT JOIN uni u1 ON b.w1 = u1.w
-        |  LEFT JOIN uni u2 ON b.w2 = u2.w
+        |  LEFT JOIN ctx ON b.w1 = ctx.w1
+        |  LEFT JOIN cont ON b.w2 = cont.w2
         |  CROSS JOIN tot)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(avg(ln(s)) + 1e-9, 6) AS lp

@@ -9,9 +9,9 @@ class NgramLmSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("lmScores: seen bigrams use c2/c1, unseen back off, short docs drop") {
-    // train: doc1 [a b a c], doc2 [a b]  →  c2: (a,b)=2 (b,a)=1 (a,c)=1;
-    //                                        c1: a=3 b=2 c=1; T=6
+  test("lmScores: seen bigrams use c2/ctx, unseen back off, short docs drop") {
+    // train: doc1 [a b a c], doc2 [a b] → c2: (a,b)=2 (b,a)=1 (a,c)=1;
+    // ctx: a=3 b=1; cont: b=2 a=1 c=1; T=4 train bigrams
     val docs = Seq(
       (1L, "a b a c", true), (2L, "a b", true),
       (3L, "a b z", false), // (a,b) seen, (b,z) unseen with unseen w2
@@ -22,9 +22,9 @@ class NgramLmSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L), "doc 4 must drop out")
     assert(got.map(_._2).toSeq == Seq(3L, 1L, 2L))
-    val lp1 = (math.log(2.0 / 3) + math.log(1.0 / 2) + math.log(1.0 / 3)) / 3
+    val lp1 = (math.log(2.0 / 3) + math.log(1.0 / 1) + math.log(1.0 / 3)) / 3
     val lp2 = math.log(2.0 / 3)
-    val lp3 = (math.log(2.0 / 3) + math.log(0.4 * 0.5 / 6)) / 2
+    val lp3 = (math.log(2.0 / 3) + math.log(0.4 * 0.5 / 4)) / 2
     assert(math.abs(got(0)._3 - lp1) < 1e-12, s"doc1: ${got(0)._3} vs $lp1")
     assert(math.abs(got(1)._3 - lp2) < 1e-12, s"doc2: ${got(1)._3} vs $lp2")
     assert(math.abs(got(2)._3 - lp3) < 1e-12, s"doc3: ${got(2)._3} vs $lp3")
@@ -33,15 +33,15 @@ class NgramLmSpec extends AnyFunSuite {
     assert(got(1)._3 > got(2)._3)
   }
 
-  test("lmScores: unseen w1 with seen w2 backs off through c1(w2)") {
+  test("lmScores: unseen w1 with seen w2 backs off through the continuation count") {
     val docs = Seq(
-      (1L, "a b a b", true),
-      (2L, "q a", false) // (q,a): q unseen, a seen (c1(a)=2), T=4
+      (1L, "a b a b", true), // c2: (a,b)=2 (b,a)=1; cont: a=1 b=2; T=3
+      (2L, "q a", false) // (q,a): q unseen context, cont(a)=1
     ).toDF("doc_id", "text", "train")
     val got = NgramLm.lmScores(docs, "doc_id", "text", isTrain = $"train")
       .filter($"doc_id" === 2L)
       .select($"raw_lp").as[Double].head()
-    val expected = math.log(0.4 * (2 + 0.5) / 4)
+    val expected = math.log(0.4 * (1 + 0.5) / 3)
     assert(math.abs(got - expected) < 1e-12, s"$got vs $expected")
   }
 }
