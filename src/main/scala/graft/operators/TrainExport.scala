@@ -54,6 +54,47 @@ object TrainExport {
         max("__shuffle_key").as("last_key"))
       .orderBy("shard")
 
+  /** Deterministic proportional stratified sample: keep
+    * `ceil(n · keepNumer / keepDenom)` rows of every stratum, chosen by
+    * md5 order — the per-source/per-language mixture-downsampling step of
+    * a corpus build (cap web text at 20%, keep all of a trusted source,
+    * etc.), seedless-reproducible like every sampler here ([[withShard]]'s
+    * doctrine: a `rand()` sample changes under retries and cluster
+    * resizing; an md5-order sample is a pure function of the data).
+    *
+    * The keep fraction is a RATIONAL (`keepNumer / keepDenom`) and the
+    * keep count is exact integer math (`(n·num + den − 1) DIV den`) —
+    * `ceil(0.2 · n)` in doubles is off-by-one whenever `0.2 · n` lands on
+    * a representation boundary (0.2 has no exact double), and engines
+    * disagreeing by one row on a 5 000-row stratum is precisely the class
+    * of bug the oracle gate exists to catch.
+    *
+    * Output: the input columns plus `rn` (1-based md5-order rank within
+    * the stratum — stable, so downstream can sub-sample by rank).
+    *
+    * Scale shape: one shuffle on the strata columns; both windows (rank
+    * and stratum count) share that exchange. A pathologically hot stratum
+    * serializes its sort into one task — strata here are bounded
+    * catalogs (source × language), not user-scale keys; for unbounded
+    * strata, pre-aggregate counts and join instead of the count window.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCols: Seq[String],
+      keepNumer: Int, keepDenom: Int, seed: String = "samp"): DataFrame = {
+    require(strataCols.nonEmpty, "at least one stratum column required")
+    require(keepDenom >= 1 && keepNumer >= 0 && keepNumer <= keepDenom,
+      s"keep fraction must be in [0, 1]: got $keepNumer/$keepDenom")
+    val strata = strataCols.map(col)
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata: _*).orderBy(key, col(idCol))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(strata: _*)
+    df.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .filter(col("rn") <=
+        expr(s"(__n * $keepNumer + ${keepDenom - 1}) DIV $keepDenom"))
+      .drop("__n")
+  }
+
   /** Materialize the shards: one directory per shard, rows in shuffle-key
     * order within each file. `repartition(nShards, shard)` makes the write
     * a single shuffle whose output partitioning IS the shard layout —

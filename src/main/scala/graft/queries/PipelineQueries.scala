@@ -109,6 +109,15 @@ object PipelineQueries {
         .orderBy("doc_id", "eval_id")
     }),
 
+    // Streaming chunking: the stateless segmenter over documents arriving
+    // as a stream. Same oracle text as q96 — stream ≡ batch row-for-row.
+    "q102_stream_chunking" -> ((s, dir) => {
+      StreamingIngest
+        .streamChunk(s, dir,
+          queryName = s"chunk_${java.util.UUID.randomUUID().toString.take(8)}")
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Multimodal plumbing: text → binary media column → batched
     // partition-local decode (stubbed codec, deterministic metadata) →
     // ordinary columns. Oracle recomputes byte length + md5 from the text.
@@ -360,6 +369,9 @@ object PipelineQueries {
     "q85_zorder_reindex" ->
       """SELECT vec_id, label FROM embeddings
         |ORDER BY vec_id""".stripMargin,
+
+    // identical to q96's oracle on purpose: stream ≡ batch
+    "q102_stream_chunking" -> TextQueries.pipelineOracles("q96_chunking"),
 
     // identical to q81's oracle on purpose: stream ≡ batch
     "q87_stream_decontaminate" ->

@@ -333,6 +333,17 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // Proportional stratified sample: keep ceil(n/5) of every
+    // (source, lang) stratum by md5 order — exact rational keep count
+    // (never ceil on a double), full kept set pinned by the gate.
+    "q101_stratified" -> ((s, dir) => {
+      graft.operators.TrainExport.stratifiedSample(
+          Tables.documents(s, dir), "doc_id", Seq("source", "lang"),
+          keepNumer = 1, keepDenom = 5)
+        .select(col("source"), col("lang"), col("rn"), col("doc_id"))
+        .orderBy("source", "lang", "rn")
+    }),
+
     // Stupid-backoff bigram LM scoring (the CCNet perplexity-filter
     // analogue): counts trained on the q60 fingerprint train split, EVERY
     // doc scored — val/test docs genuinely hit unseen bigrams, so the
@@ -525,6 +536,17 @@ object TextQueries {
         |SELECT doc_id, rank, token, tf, df, tfidf
         |FROM r WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q101_stratified" ->
+      """WITH t AS (
+        |  SELECT source, lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY md5('samp:'||CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY source, lang) AS n
+        |  FROM documents)
+        |SELECT source, lang, rn, doc_id
+        |FROM t WHERE rn <= (n * 1 + 4) // 5
+        |ORDER BY source, lang, rn""".stripMargin,
 
     "q100_lm_score" ->
       """WITH d AS (

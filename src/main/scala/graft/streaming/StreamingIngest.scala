@@ -151,6 +151,37 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Streaming document chunking: [[graft.operators.TextAnalysis
+    * .chunkDocuments]] applied to documents arriving as a stream — the
+    * ingest-time segmentation path of a continuously-fed corpus. The
+    * operator is stateless (per-row generator, no window, no watermark
+    * needed), so stream ≡ batch row-for-row; the q102 gate runs this
+    * against q96's exact batch oracle. Append mode: chunks emit as soon
+    * as their document lands, no state retained.
+    */
+  def streamChunk(spark: SparkSession, sfDir: String,
+      chunkSize: Int = 40, stride: Int = 30,
+      queryName: String = "stream_chunk"): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val chunks = graft.operators.TextAnalysis.chunkDocuments(
+        spark.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir),
+        "doc_id", "text", chunkSize, stride)
+      .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+        col("chunk_sig"))
+    val q = chunks.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest into a collection directory: the WAL-replacement
     * path. Checkpoints live under the database's graft_wal dir, so
     * TRUNCATEWAL (database target) clears exactly this state.

@@ -60,4 +60,38 @@ class TrainExportSpec extends AnyFunSuite {
       seed = "other").as[(Long, Long, Long, String, String)].collect()
     assert(audit.map(_._4).toSeq != other.map(_._4).toSeq)
   }
+
+  test("stratifiedSample: exact ceil per stratum, deterministic, rank-stable") {
+    import org.apache.spark.sql.functions._
+    // strata sizes 7, 5, 1 → keep ceil(7/5)=2, ceil(5/5)=1, ceil(1/5)=1
+    val docs = ((1L to 7L).map((_, "a")) ++ (8L to 12L).map((_, "b")) ++
+      Seq((13L, "c"))).toDF("doc_id", "src")
+    val kept = TrainExport.stratifiedSample(docs, "doc_id", Seq("src"),
+        keepNumer = 1, keepDenom = 5)
+      .select($"src", $"rn", $"doc_id")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(kept.map(_._1).toSeq == Seq("a", "a", "b", "c"))
+    assert(kept.map(_._2).toSeq == Seq(1L, 2L, 1L, 1L))
+    // deterministic: a second run yields the identical kept set
+    val again = TrainExport.stratifiedSample(docs, "doc_id", Seq("src"),
+        keepNumer = 1, keepDenom = 5)
+      .select($"src", $"rn", $"doc_id")
+      .as[(String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(kept.toSeq == again.toSeq)
+    // rank-stable: the half sample is a PREFIX of the full-keep ranks
+    val all = TrainExport.stratifiedSample(docs, "doc_id", Seq("src"),
+        keepNumer = 1, keepDenom = 1)
+      .select($"src", $"rn", $"doc_id")
+      .as[(String, Long, Long)].collect()
+    assert(all.length == 13)
+    val fullRanks = all.map(r => (r._1, r._2) -> r._3).toMap
+    assert(kept.forall(r => fullRanks((r._1, r._2)) == r._3),
+      "sampling must not reorder ranks — a kept set is a rank prefix")
+    // keep-nothing and bad fractions
+    assert(TrainExport.stratifiedSample(docs, "doc_id", Seq("src"), 0, 5)
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      TrainExport.stratifiedSample(docs, "doc_id", Seq("src"), 6, 5)
+    }
+  }
 }
