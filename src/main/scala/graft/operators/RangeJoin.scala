@@ -61,4 +61,53 @@ object RangeJoin {
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval×interval overlap join — the second range-join class
+    * (concurrent sessions, ad-window × visit-window attribution, temporal
+    * conflict detection). Two half-open intervals overlap iff
+    * `lStart < rEnd && rStart < lEnd`; the naive formulation is again a
+    * nested loop, so both sides explode over their covered buckets and
+    * meet in a hash equi-join on the bucket id.
+    *
+    * An overlapping pair shares EVERY bucket their overlap spans, so the
+    * equi-join alone would emit duplicates; the pair is kept only in the
+    * bucket containing the overlap's start (`max(lStart, rStart)`) —
+    * that bucket lies in both sides' exploded ranges, so each
+    * overlapping pair survives exactly once and nothing needs a
+    * `distinct`. Same loud explode-factor cap and same empty-interval
+    * guard as [[pointInInterval]], applied to both sides; the four
+    * column names must be distinct (both sides' columns survive in the
+    * output).
+    */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long, maxBucketsPerInterval: Int = 64): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval >= 1,
+      s"maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
+    require(Seq(lStart, lEnd, rStart, rEnd).distinct.size == 4,
+      s"interval column names must be distinct across the two sides, " +
+        s"got ($lStart, $lEnd) and ($rStart, $rEnd)")
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      floor(c.cast("double") / bucketWidth).cast("long")
+    def explodeSide(df: DataFrame, sc: String, ec: String): DataFrame = {
+      val sB = bucketOf(col(sc))
+      val eB = bucketOf(col(ec) - 1)
+      val guarded = when(eB - sB >= maxBucketsPerInterval,
+        raise_error(concat(
+          lit(s"intervalOverlap: an interval covers >= $maxBucketsPerInterval " +
+            s"buckets of width $bucketWidth (start="),
+          col(sc).cast("string"), lit(", end="), col(ec).cast("string"),
+          lit(") — widen bucketWidth or split the interval"))).cast("long"))
+        .otherwise(eB)
+      df.filter(col(ec) > col(sc))
+        .withColumn("__bucket", explode(sequence(sB, guarded)))
+    }
+    explodeSide(left, lStart, lEnd)
+      .join(explodeSide(right, rStart, rEnd), Seq("__bucket"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__bucket") ===
+        bucketOf(greatest(col(lStart), col(rStart))))
+      .drop("__bucket")
+  }
 }

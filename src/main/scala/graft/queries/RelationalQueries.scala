@@ -290,6 +290,32 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Interval×interval overlap join (the second range-join class):
+    // 7-day order windows of one sparse order subset against 10-day
+    // windows of another, bucketed so the overlap test is a hash
+    // equi-join — the oracle runs the naive theta-join, proving the
+    // bucketed plan emits each overlapping pair exactly once.
+    "q103_overlap_join" -> ((s, dir) => {
+      val wk = 604800000L // 7 days in ms
+      val tenDays = 864000000L // 10 days in ms — fits INT32 for DuckDB
+      def ms(c: Column) = unix_millis(c.cast("timestamp"))
+      val a = Tables.orders(s, dir).filter(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey").as("a_key"),
+          ms(col("o_orderdate")).as("a_start"),
+          (ms(col("o_orderdate")) + wk).as("a_end"))
+      val b = Tables.orders(s, dir).filter(col("o_orderkey") % 211 === 0)
+        .select(col("o_orderkey").as("b_key"),
+          ms(col("o_orderdate")).as("b_start"),
+          (ms(col("o_orderdate")) + tenDays).as("b_end"))
+      graft.operators.RangeJoin
+        .intervalOverlap(a, b, "a_start", "a_end", "b_start", "b_end",
+          bucketWidth = tenDays)
+        .select(col("a_key"), col("b_key"),
+          (least(col("a_end"), col("b_end")) -
+            greatest(col("a_start"), col("b_start"))).as("overlap_ms"))
+        .orderBy("a_key", "b_key")
+    }),
+
     // CUBE over two dimensions with sentinel subtotals.
     "q51_cube" -> ((s, dir) => {
       Tables.orders(s, dir)
@@ -748,6 +774,18 @@ object RelationalQueries {
         |FROM p ASOF LEFT JOIN s
         |  ON p.user_id = s.user_id AND p.ts >= s.signup_ts
         |ORDER BY event_id""".stripMargin,
+
+    "q103_overlap_join" ->
+      """SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+        |  least(epoch_ms(a.o_orderdate) + 604800000,
+        |        epoch_ms(b.o_orderdate) + 864000000)
+        |  - greatest(epoch_ms(a.o_orderdate),
+        |             epoch_ms(b.o_orderdate)) AS overlap_ms
+        |FROM orders a JOIN orders b
+        |  ON epoch_ms(a.o_orderdate) < epoch_ms(b.o_orderdate) + 864000000
+        | AND epoch_ms(b.o_orderdate) < epoch_ms(a.o_orderdate) + 604800000
+        |WHERE a.o_orderkey % 199 = 0 AND b.o_orderkey % 211 = 0
+        |ORDER BY a_key, b_key""".stripMargin,
 
     "q95_interval_join" ->
       """SELECT o.o_orderkey,

@@ -213,6 +213,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected a hash/merge equi-join on the bucket key:\n${p.take(2000)}")
   }
 
+  test("q103 overlap join: hash equi-join on buckets, never a nested loop") {
+    val p = plan("q103_overlap_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the bucketed overlap join must not plan a nested loop:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"),
+      s"expected a hash/merge equi-join on the bucket key:\n${p.take(2000)}")
+  }
+
   test("q96 chunking: narrow explode, no shuffle before the final order") {
     val p = plan("q96_chunking")
     assert(p.contains("Generate explode"),

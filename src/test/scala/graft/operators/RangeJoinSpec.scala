@@ -62,4 +62,44 @@ class RangeJoinSpec extends AnyFunSuite {
       .select("pid").as[Long].collect().toSet
     assert(got == Set(1L))
   }
+
+  test("intervalOverlap equals the naive theta-join, each pair exactly once") {
+    // pseudo-random intervals with nesting, touching, disjoint, and
+    // cross-bucket cases
+    val a = Seq.tabulate(60) { i =>
+      val s = (i * 131) % 900L; (i.toLong, s, s + 1 + (i * 17) % 120L)
+    }.toDF("a_key", "a_start", "a_end")
+    val b = Seq.tabulate(60) { i =>
+      val s = (i * 211) % 900L; (i.toLong, s, s + 1 + (i * 29) % 150L)
+    }.toDF("b_key", "b_start", "b_end")
+    val expect = a.crossJoin(b)
+      .filter($"a_start" < $"b_end" && $"b_start" < $"a_end")
+      .select($"a_key", $"b_key").as[(Long, Long)].collect().toSet
+    assert(expect.nonEmpty)
+    for (width <- Seq(1L, 13L, 100L, 2048L)) {
+      val got = RangeJoin.intervalOverlap(a, b,
+          "a_start", "a_end", "b_start", "b_end", bucketWidth = width,
+          maxBucketsPerInterval = 200)
+        .select($"a_key", $"b_key").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size,
+        s"width=$width emitted a pair more than once")
+      assert(got.toSet == expect, s"width=$width")
+    }
+  }
+
+  test("intervalOverlap: touching intervals don't overlap, empties drop") {
+    val a = Seq((1L, 0L, 10L), (2L, 50L, 50L)).toDF("a_key", "a_start", "a_end")
+    val b = Seq((1L, 10L, 20L), (2L, 9L, 11L), (3L, 40L, 60L))
+      .toDF("b_key", "b_start", "b_end")
+    val got = RangeJoin.intervalOverlap(a, b,
+        "a_start", "a_end", "b_start", "b_end", bucketWidth = 10L)
+      .select($"a_key", $"b_key").as[(Long, Long)].collect().toSet
+    // a1 touches b1 at 10 (half-open: no overlap), truly overlaps b2;
+    // empty a2 matches nothing even though b3 covers its point
+    assert(got == Set((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(a, b, "a_start", "a_end", "a_start", "b_end",
+        bucketWidth = 10L)
+    }
+  }
 }
