@@ -453,6 +453,27 @@ object RelationalQueries {
             .as("conversion"))
     }),
 
+    // Event-transition matrix (per-user Markov counts): each user's
+    // event stream paired with its successor via lead() — one shuffle on
+    // user_id for the window, a partial-agg count of (from, to) pairs,
+    // and transition probabilities normalized per source state by a
+    // window over the TINY (|types|²) aggregate, never the event stream.
+    "q104_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy("from_type")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(
+          col("n") / sum("n").over(pw).cast("double") + lit(1e-9), 6))
+        .orderBy("from_type", "to_type")
+    }),
+
     // Retention cohorts: users grouped by signup week, activity counted by
     // week offset — the canonical triangle. date_trunc arithmetic only, one
     // shuffle on (cohort, offset).
@@ -723,6 +744,22 @@ object RelationalQueries {
         |  CAST(count(conv_us) AS BIGINT) AS n_converted,
         |  round(CAST(count(conv_us) AS DOUBLE) / count(*) + 1e-9, 4) AS conversion
         |FROM fs LEFT JOIN fc USING (user_id)""".stripMargin,
+
+    "q104_transitions" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM nxt WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)
+        |    + 1e-9, 6) AS p
+        |FROM m
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "q74_retention" ->
       """WITH cohort AS (

@@ -120,6 +120,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunking invariants on random docs: count formula, coverage, tail") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(rnd.nextInt(120))(s"t${rnd.nextInt(50)}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((size, stride) <- Seq((10, 10), (10, 7), (25, 5), (1, 1))) {
+      val got = TextAnalysis.chunkDocuments(df, "doc_id", "text", size, stride)
+        .select($"doc_id", $"chunk_id", $"chunk")
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        val n = toks.length
+        val expected =
+          if (n == 0) 0 else 1 + math.max((n - size + stride - 1) / stride, 0)
+        val chunks = got.getOrElse(id, Array.empty)
+        assert(chunks.length == expected,
+          s"doc $id n=$n size=$size stride=$stride: ${chunks.length} chunks")
+        // every chunk is the exact token slice; the union covers the doc
+        chunks.foreach { case (_, cid, chunk) =>
+          val want = toks.slice((cid * stride).toInt,
+            (cid * stride).toInt + size).mkString(" ")
+          assert(chunk == want, s"doc $id chunk $cid")
+        }
+        if (n > 0) {
+          val lastStart = (expected - 1) * stride
+          assert(lastStart + size >= n, "tail must be covered")
+        }
+      }
+    }
+  }
+
   test("approx_count_distinct is within its rsd bound on real keys") {
     val li = graft.Tables.lineitem(spark, TestSpark.sf)
     val (approx, exact) = li.agg(
