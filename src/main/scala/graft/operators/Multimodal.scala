@@ -172,6 +172,13 @@ object Multimodal {
         us: Column): Column =
       struct(lit(f).as("format"), w.as("width"), hgt.as("height"),
         nf.as("n_frames"), us.as("usec_per_frame"))
+    // AVI header fields are u32 (unlike BMP's deliberately-signed dims);
+    // a value with the top bit set means a corrupt/adversarial header —
+    // NULL, not a negative dimension
+    def leU32(pos: Int): Column = {
+      val v = le32(h, pos)
+      when(v < 0, noF).otherwise(v)
+    }
     val isAvi = h.startsWith("52494646") &&
       substring(h, 17, 8) === lit("41564920")
     // canonical: LIST at 12, "hdrl" at 20, "avih" fourcc at 24
@@ -179,7 +186,7 @@ object Multimodal {
       substring(h, 41, 8) === lit("6864726C") &&
       substring(h, 49, 8) === lit("61766968") && length(bin) >= 72
     when(isAvi && canonicalHdrl,
-        meta("avi", le32(h, 129), le32(h, 137), le32(h, 97), le32(h, 65)))
+        meta("avi", leU32(129), leU32(137), leU32(97), leU32(65)))
       .when(isAvi, meta("avi", noF, noF, noF, noF))
       .when(substring(h, 9, 8) === lit("66747970"),
         meta("mp4", noF, noF, noF, noF))

@@ -77,7 +77,8 @@ object RangeJoin {
     * `distinct`. Same loud explode-factor cap and same empty-interval
     * guard as [[pointInInterval]], applied to both sides; the four
     * column names must be distinct (both sides' columns survive in the
-    * output).
+    * output — alias any OTHER shared column names before calling, or the
+    * joined frame carries ambiguous duplicates).
     */
   def intervalOverlap(left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,

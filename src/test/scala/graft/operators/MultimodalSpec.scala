@@ -125,7 +125,13 @@ class MultimodalSpec extends AnyFunSuite {
       // MP4 ftyp box, MKV EBML magic, junk
       (5L, bytes("000000186674797069736F6D")),
       (6L, bytes("1A45DFA3A342868101")),
-      (7L, bytes("DEADBEEFDEADBEEF"))
+      (7L, bytes("DEADBEEFDEADBEEF")),
+      // corrupt width with the u32 top bit set: NULL width, rest parses
+      (8L, bytes("52494646" + "00100000" + "41564920" +
+        "4C495354" + "C4000000" + "6864726C" + "61766968" + "38000000" +
+        "35820000" + "00000000" + "00000000" + "10000000" +
+        "FA000000" + "00000000" + "01000000" + "00000000" +
+        "FFFFFFFF" + "68010000"))
     ).toDF("id", "media")
     val got = rows.select($"id", Multimodal.videoMeta($"media").as("m"))
       .select($"id", $"m.format", $"m.width", $"m.height", $"m.n_frames",
@@ -141,6 +147,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(4) == ((5L, "mp4", None, None, None, None)))
     assert(got(5) == ((6L, "mkv", None, None, None, None)))
     assert(got(6) == ((7L, "unknown", None, None, None, None)))
+    assert(got(7) == ((8L, "avi", None, Some(360L), Some(250L), Some(33333L))),
+      "a u32 field with the top bit set is corrupt → NULL, not negative")
   }
 
   test("batch boundary: batchSize smaller than partition still covers all rows") {
