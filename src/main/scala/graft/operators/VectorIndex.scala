@@ -207,4 +207,65 @@ object VectorIndex {
       indexed.filter(col("cluster_id").isin(cand: _*)),
       query, k, metric, vecCol, idCol)
   }
+
+  /** One fully-deterministic Lloyd (k-means) iteration, every number
+    * engine-recomputable — the reproducible counterpart of the MLlib
+    * kmeans index build (whose internal init/hashing keeps q49/q68
+    * rows-only): initial centroids are the first `k` vectors in
+    * md5(seed:id) order, assignment is argmin of ROUNDED l2 distance with
+    * a centroid-id tie-break, refined centroids are per-dimension means
+    * rounded before reuse (every handoff between stages is rounded, so
+    * accumulation ulps can never flip an argmin across engines).
+    *
+    * Returns one row per input vector: (`idCol`, c_init, c_refined) —
+    * the assignment under the seed centroids and after one refinement.
+    * Empty clusters simply vanish from the refined set (mirrored by any
+    * SQL recomputation).
+    *
+    * Scale shape: centroid seeding is a bounded top-k (TakeOrdered — the
+    * rank window only ever sees `k` rows); each assignment is a
+    * broadcast of `k` centroids against the corpus with a per-vector
+    * bounded rank; the refinement is one partial-agg mean over
+    * (cluster, dim) — k·dim result rows. Nothing shuffles more than the
+    * (id, cluster) pairs. Real index builds run [[kmeansAssign]] (MLlib,
+    * many iterations); this operator exists for the exactness-audited
+    * path and as the convergence primitive a caller can iterate with the
+    * [[graft.operators.Dedup]] localCheckpoint discipline.
+    */
+  def lloydOnce(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      seed: String = "km"): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    // bounded seeding: TakeOrdered cuts to k rows BEFORE the rank window
+    val seedRows = e.withColumn("__key", key)
+      .orderBy(col("__key"), col(idCol)).limit(k)
+    val cents0 = seedRows.withColumn("__cid",
+        row_number().over(Window.orderBy(col("__key"), col(idCol)))
+          .cast("long"))
+      .select(col("__cid"), col("__v").as("__cent"))
+    def assign(cents: DataFrame, outCol: String): DataFrame = {
+      val pick = Window.partitionBy(col(idCol))
+        .orderBy(col("__d"), col("__cid"))
+      e.crossJoin(broadcast(cents))
+        .withColumn("__d",
+          round(graft.functions.l2_dist(col("__v"), col("__cent")), 6))
+        .withColumn("__rn", row_number().over(pick))
+        .filter(col("__rn") === 1)
+        .select(col(idCol), col("__cid").as(outCol))
+    }
+    val a0 = assign(cents0, "c_init")
+    val means = e.join(a0, Seq(idCol))
+      .select(col("c_init"), posexplode(col("__v")))
+      .groupBy(col("c_init").as("__cid"), col("pos"))
+      // means are dyadic-rational-prone (float sums over power-of-two
+      // counts) → the +1e-9 midpoint guard before rounding
+      .agg(round(avg("col") + lit(1e-9), 6).as("__m"))
+    val cents1 = means.groupBy("__cid")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("__m")))),
+        x => x.getField("__m")).as("__cent"))
+    a0.join(assign(cents1, "c_refined"), Seq(idCol))
+  }
 }

@@ -261,6 +261,18 @@ object VectorQueries {
           count(lit(1)).as("n"),
           round(avg(graft.functions.l2_norm(col("embedding"))), 6).as("avg_norm"))
         .orderBy("label")
+    }),
+
+    // One deterministic Lloyd iteration, fully hash-gated: md5-order
+    // seeding, rounded-distance argmin assignment, rounded per-dim mean
+    // refinement, reassignment — the engine-recomputable counterpart of
+    // the MLlib kmeans build that keeps q49/q68 rows-only. The oracle
+    // recomputes the ENTIRE iteration, so the hash match pins every
+    // assignment under both the seed and refined centroids.
+    "q106_kmeans_lloyd" -> ((s, dir) => {
+      graft.operators.VectorIndex.lloydOnce(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 8)
+        .orderBy("vec_id")
     })
   )
 
@@ -272,6 +284,48 @@ object VectorQueries {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+
+    "q106_kmeans_lloyd" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |init AS (
+        |  SELECT cid, cent FROM (
+        |    SELECT v AS cent, CAST(row_number() OVER (
+        |      ORDER BY md5('km:'||CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cid
+        |    FROM e)
+        |  WHERE cid <= 8),
+        |a0 AS (
+        |  SELECT vec_id, cid,
+        |    round(list_distance(v, cent), 6) AS d
+        |  FROM e CROSS JOIN init),
+        |c0 AS (
+        |  SELECT vec_id, cid AS c_init FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM a0)
+        |  WHERE rn = 1),
+        |dims AS (
+        |  SELECT c_init, i, v[i] AS val
+        |  FROM (SELECT e.vec_id, v, c_init, unnest(range(1, len(v) + 1)) AS i
+        |        FROM e JOIN c0 USING (vec_id))),
+        |means AS (
+        |  SELECT c_init AS cid, i, round(avg(val) + 1e-9, 6) AS m
+        |  FROM dims GROUP BY c_init, i),
+        |cents1 AS (
+        |  SELECT cid, list(m ORDER BY i) AS cent FROM means GROUP BY cid),
+        |a1 AS (
+        |  SELECT vec_id, cid,
+        |    round(list_distance(v, cent), 6) AS d
+        |  FROM e CROSS JOIN cents1),
+        |c1 AS (
+        |  SELECT vec_id, cid AS c_refined FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM a1)
+        |  WHERE rn = 1)
+        |SELECT vec_id, c_init, c_refined
+        |FROM c0 JOIN c1 USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
 
     "q20_knn_cosine" ->
       """SELECT e.vec_id AS vec_id,
