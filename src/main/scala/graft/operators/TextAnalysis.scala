@@ -231,6 +231,37 @@ object TextAnalysis {
       .drop("__cum")
   }
 
+  /** Adjacent character-pair counts weighted by word frequency — the
+    * candidate table of the FIRST BPE merge (Sennrich et al. 2016:
+    * tokenizer training repeatedly merges the most frequent adjacent
+    * symbol pair; this computes that frequency table from raw text). The
+    * iterated merge loop changes the symbol sequences per round and
+    * belongs in a driver loop; the count table is the per-round primitive
+    * and the thing worth gating exactly.
+    *
+    * Scale shape: the corpus collapses to its word-frequency table FIRST
+    * (vocabulary-sized — the standard BPE trick: identical words share
+    * one row), then pairs explode off the VOCABULARY, each weighted by
+    * the word's corpus frequency. Pair counting is a partial-agg sum;
+    * nothing pair-shaped ever scans the corpus.
+    *
+    * Output: one row per adjacent pair with `n` = Σ_words freq(word) ×
+    * occurrences(pair in word).
+    */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val vocab = df
+      .select(explode(normalizedTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("__freq"))
+    vocab
+      .withColumn("__len", length(col("word")))
+      .filter(col("__len") >= 2)
+      .select(col("__freq"),
+        explode(transform(sequence(lit(1), col("__len") - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(sum("__freq").as("n"))
+  }
+
   /** Sliding-window document chunking — the context-length segmenter every
     * training/RAG pipeline runs before tokenization proper: whitespace
     * tokens in windows of `size` advancing by `stride` (overlap =

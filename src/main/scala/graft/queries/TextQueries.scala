@@ -150,6 +150,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE merge-candidate table (tokenizer training, first merge): the
+    // most frequent adjacent character pairs weighted by word frequency.
+    // Pairs explode off the vocabulary, never the corpus; top-20 cut is
+    // TakeOrderedAndProject.
+    "q107_bpe_pairs" -> ((s, dir) => {
+      TextAnalysis.bpePairCounts(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)), "text")
+        .orderBy(desc("n"), col("pair"))
+        .limit(20)
+        .select(col("pair"), col("n"))
+    }),
+
     // Per-doc token entropy — the lexical-diversity quality signal
     // (spam/keyword-stuffed pages score low, natural prose high).
     // H = ln n − (Σ c·ln c)/n: the −Σ p·ln p identity rearranged into a
@@ -751,6 +763,22 @@ object TextQueries {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrub_sig
         |FROM synth
         |ORDER BY doc_id""".stripMargin,
+
+    "q107_bpe_pairs" ->
+      """WITH vocab AS (
+        |  SELECT token AS word, count(*) AS freq
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |        FROM documents)
+        |  GROUP BY token),
+        |pairs AS (
+        |  SELECT substr(word, i, 2) AS pair, freq
+        |  FROM (SELECT word, freq, unnest(range(1, length(word))) AS i
+        |        FROM vocab WHERE length(word) >= 2))
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM pairs
+        |GROUP BY pair
+        |ORDER BY n DESC, pair
+        |LIMIT 20""".stripMargin,
 
     "q105_token_entropy" ->
       """WITH tc AS (

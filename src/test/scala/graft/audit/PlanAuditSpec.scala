@@ -271,6 +271,18 @@ class PlanAuditSpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"), p.take(2000))
   }
 
+  test("q106 lloyd step: centroids broadcast, no corpus-sized cartesian") {
+    val p = plan("q106_kmeans_lloyd")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the k-row centroid set must broadcast against the corpus:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast cartesian anywhere in the iteration:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"centroid seeding must be a bounded top-k, not a global sort:\n${p.take(2000)}")
+    assert(p.contains("partial_avg") || p.contains("partial"),
+      s"the mean refinement must combine map-side:\n${p.take(1500)}")
+  }
+
   test("q67 two-phase sessionize: per-event window partitioned by (user, chunk)") {
     val p = plan("q67_sessionize_2phase")
     // the heavy (per-event) sort must key on user_id AND the chunk — that

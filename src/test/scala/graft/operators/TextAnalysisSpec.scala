@@ -172,6 +172,14 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bpePairCounts: vocabulary-weighted adjacent pairs, single chars drop") {
+    // vocab: "the":2 "then":1 "a":1 → pairs: th:3 he:3 en:1; "a" has no pair
+    val docs = Seq("the then a", "The").toDF("text")
+    val got = TextAnalysis.bpePairCounts(docs, "text")
+      .select($"pair", $"n").as[(String, Long)].collect().toMap
+    assert(got == Map("th" -> 3L, "he" -> 3L, "en" -> 1L))
+  }
+
   test("importanceScores: zero for a degenerate target, orders target-like docs first") {
     // target == raw → every weight is exactly ln(x) − ln(x) = 0
     val docs = Seq((1L, "alpha alpha beta", "a"), (2L, "alpha gamma", "a"),
