@@ -232,6 +232,114 @@ object VectorIndex {
     * path and as the convergence primitive a caller can iterate with the
     * [[graft.operators.Dedup]] localCheckpoint discipline.
     */
+  /** Deterministic farthest-point (k-center greedy) selection — the
+    * classic 2-approximation to the k-center problem, doubling as the
+    * diversity-sampling primitive of training-data curation (coreset
+    * selection: each pick is the point farthest from everything already
+    * kept) and as a seeding rule that provably lands one seed per
+    * well-separated cluster (a blob farther away than any intra-blob
+    * spread ALWAYS receives the next pick — md5 seeding can't promise
+    * that, see [[lloydIterate]]).
+    *
+    * Deterministic end to end: the first pick is the md5(seed:id)
+    * minimum; every later pick maximizes the ROUNDED min-distance to the
+    * chosen set with an id tie-break — so any SQL engine replays the
+    * exact selection (the q108 oracle does, as k generated CTE layers).
+    *
+    * Scale shape: k driver rounds, each a TakeOrdered(1) over a column
+    * expression against ≤ k literal centroids — no joins, no shuffles
+    * beyond the bounded top-1, k·dim doubles of driver state. k is a
+    * sample size (tens), not a partition count.
+    */
+  def farthestPointSample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: String = "kc"): Seq[(Long, Array[Double])] = {
+    require(k >= 1, s"k must be positive, got $k")
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"farthestPointSample requires an integral id column, got $idCol: " +
+          s"$other (hash string ids to int64 first)")
+    }
+    val e = df.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val key = md5(concat(lit(seed + ":"), col("__id").cast("string")))
+    val first = e.withColumn("__key", key)
+      .orderBy(col("__key"), col("__id")).limit(1)
+      .select("__id", "__v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).head
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    while (chosen.length < k) {
+      val ds = chosen.map { case (_, c) =>
+        round(graft.functions.l2_dist(col("__v"), lit(c)), 6)
+      }.toSeq
+      val minD = if (ds.length == 1) ds.head else least(ds: _*)
+      val next = e.withColumn("__mind", minD)
+        .orderBy(desc("__mind"), col("__id")).limit(1)
+        .select("__id", "__v").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).head
+      chosen += next
+    }
+    chosen.toSeq
+  }
+
+  /** Lloyd's algorithm to convergence — [[lloydOnce]] is the
+    * exactness-audited single step; this is the production loop. Each
+    * round is ONE distributed job: assignment is the [[nearestCentroid]]
+    * column expression over literal centroids (k·dim doubles of driver
+    * state, exactly MLlib's model shape), and the per-dimension means
+    * come back as k·dim rows. Because every round's plan is the stable
+    * base frame plus a literal-centroid expression, plan depth is
+    * CONSTANT — no lineage growth, no checkpoint discipline needed
+    * (unlike label-propagation loops, where each round's frame derives
+    * from the last).
+    *
+    * Converges when no centroid moves more than `tol` (max per-dim
+    * drift); empty clusters keep their previous centroid (the MLlib
+    * behavior). Returns (assignment with `cluster_id`, final centroids,
+    * rounds run).
+    */
+  def lloydIterate(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIter: Int = 20, tol: Double = 1e-9, seed: String = "km",
+      seeding: String = "md5"): (DataFrame, Array[Array[Double]], Int) = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(maxIter >= 1, s"maxIter must be positive, got $maxIter")
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    var cents: Array[Array[Double]] = seeding match {
+      case "md5" =>
+        e.withColumn("__key", key)
+          .orderBy(col("__key"), col(idCol)).limit(k)
+          .select("__v").collect().map(_.getSeq[Double](0).toArray)
+      case "farthest" =>
+        // k-center seeds: one per well-separated cluster by construction
+        farthestPointSample(df, idCol, vecCol, k, seed).map(_._2).toArray
+      case other => throw new IllegalArgumentException(
+        s"seeding must be 'md5' or 'farthest', got '$other'")
+    }
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      val meanRows = e
+        .withColumn("__cid", nearestCentroid(col("__v"), cents))
+        .select(col("__cid"), posexplode(col("__v")))
+        .groupBy("__cid", "pos").agg(avg("col").as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      meanRows.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      }
+      moved = cents.zip(next).map { case (a, b) =>
+        a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+      }.max
+      cents = next
+      iter += 1
+    }
+    (assignNearestCentroid(df, cents, vecCol), cents, iter)
+  }
+
   def lloydOnce(df: DataFrame, idCol: String, vecCol: String, k: Int,
       seed: String = "km"): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")

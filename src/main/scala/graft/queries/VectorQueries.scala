@@ -263,6 +263,20 @@ object VectorQueries {
         .orderBy("label")
     }),
 
+    // Deterministic k-center greedy (farthest-point) selection — the
+    // diversity-sampling / seeding primitive, fully hash-gated: the
+    // oracle replays all 8 greedy picks as generated CTE layers, so the
+    // hash match pins the exact selection ORDER, not just the set.
+    "q108_kcenter" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.VectorIndex.farthestPointSample(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 8)
+        .zipWithIndex
+        .map { case ((id, _), i) => (i + 1L, id) }
+        .toDF("rank", "vec_id")
+        .orderBy("rank")
+    }),
+
     // One deterministic Lloyd iteration, fully hash-gated: md5-order
     // seeding, rounded-distance argmin assignment, rounded per-dim mean
     // refinement, reassignment — the engine-recomputable counterpart of
@@ -284,6 +298,28 @@ object VectorQueries {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+
+    // generated k-layer greedy: s_i = the point maximizing the rounded
+    // min-distance to s_1..s_{i-1} (id tie-break) — mirrors
+    // VectorIndex.farthestPointSample round for round
+    "q108_kcenter" -> {
+      val sb = new StringBuilder
+      sb ++= "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+      sb ++= "s1 AS (SELECT vec_id, v FROM e ORDER BY md5('kc:'||CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)"
+      for (i <- 2 to 8) {
+        val prev = (1 until i).map(j => s"s$j")
+        val ds = prev.map(p => s"round(list_distance(e.v, $p.v), 6)")
+        val minExpr =
+          if (ds.size == 1) ds.head else s"least(${ds.mkString(", ")})"
+        sb ++= s",\ns$i AS (SELECT e.vec_id, e.v FROM e, ${prev.mkString(", ")} " +
+          s"ORDER BY $minExpr DESC, e.vec_id LIMIT 1)"
+      }
+      sb ++= "\n" + (1 to 8)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS rank, vec_id FROM s$i")
+        .mkString(" UNION ALL ")
+      sb ++= "\nORDER BY rank"
+      sb.toString
+    },
 
     "q106_kmeans_lloyd" ->
       """WITH e AS (

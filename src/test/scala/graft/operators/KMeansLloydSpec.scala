@@ -23,6 +23,70 @@ class KMeansLloydSpec extends AnyFunSuite {
     assert(k1.forall(_ == ((1L, 1L))), "k=1 puts everything in cluster 1")
   }
 
+  test("lloydIterate converges to a stable fixed point (md5 seeding)") {
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Float) = Array.fill(8)(base + rnd.nextFloat())
+    val df = ((0L until 25L).map(i => (i, jitter(0f))) ++
+      (25L until 50L).map(i => (i, jitter(50f))) ++
+      (50L until 75L).map(i => (i, jitter(200f)))).toDF("vec_id", "embedding")
+    val (assigned, cents, iters) =
+      VectorIndex.lloydIterate(df, "vec_id", "embedding", k = 3, maxIter = 25)
+    assert(iters < 25, s"must converge before maxIter, took $iters")
+    assert(cents.length == 3)
+    // fixed point: re-assigning with the converged centroids changes nothing
+    // (md5 seeding may land a LOCAL optimum — stability, not separation,
+    // is what Lloyd guarantees; separation comes from farthest seeding)
+    val again = VectorIndex
+      .assignNearestCentroid(df, cents, "embedding")
+      .select($"vec_id", $"cluster_id").as[(Long, Int)].collect().toMap
+    val got = assigned.select($"vec_id", $"cluster_id".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == again, "converged assignment must be a fixed point")
+  }
+
+  test("farthest seeding separates well-separated blobs (guaranteed)") {
+    val rnd = new scala.util.Random(11)
+    def jitter(base: Float) = Array.fill(8)(base + rnd.nextFloat())
+    val df = ((0L until 25L).map(i => (i, jitter(0f))) ++
+      (25L until 50L).map(i => (i, jitter(50f))) ++
+      (50L until 75L).map(i => (i, jitter(200f)))).toDF("vec_id", "embedding")
+    // k-center greedy lands one seed per blob (inter-blob distance beats
+    // any intra-blob spread) — so one Lloyd pass separates them perfectly
+    val (assigned, cents, iters) = VectorIndex.lloydIterate(
+      df, "vec_id", "embedding", k = 3, maxIter = 25, seeding = "farthest")
+    assert(iters < 25)
+    val got = assigned.select($"vec_id", $"cluster_id".cast("int"))
+      .as[(Long, Int)].collect().toMap
+    val groups = Seq(0L until 25L, 25L until 50L, 50L until 75L)
+      .map(_.map(got).toSet)
+    assert(groups.forall(_.size == 1), s"each blob in one cluster: $groups")
+    assert(groups.flatten.toSet.size == 3, "three distinct clusters")
+    val centBase = cents.map(_.head).sorted
+    assert(centBase(0) >= 0 && centBase(0) <= 1.5)
+    assert(centBase(1) >= 50 && centBase(1) <= 51.5)
+    assert(centBase(2) >= 200 && centBase(2) <= 201.5)
+  }
+
+  test("farthestPointSample picks one point per blob before any second") {
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Float) = Array.fill(8)(base + rnd.nextFloat())
+    val df = ((0L until 10L).map(i => (i, jitter(0f))) ++
+      (10L until 20L).map(i => (i, jitter(50f))) ++
+      (20L until 30L).map(i => (i, jitter(200f)))).toDF("vec_id", "embedding")
+    val picks = VectorIndex.farthestPointSample(df, "vec_id", "embedding", 3)
+    assert(picks.length == 3)
+    def blob(id: Long) = id / 10
+    assert(picks.map(p => blob(p._1)).toSet.size == 3,
+      s"first 3 picks must cover all 3 blobs: ${picks.map(_._1)}")
+    // determinism
+    val again = VectorIndex.farthestPointSample(df, "vec_id", "embedding", 3)
+    assert(picks.map(_._1) == again.map(_._1))
+    intercept[IllegalArgumentException] {
+      VectorIndex.farthestPointSample(
+        df.withColumn("sid", $"vec_id".cast("string")), "sid", "embedding", 2)
+    }
+  }
+
   test("lloydOnce separates two well-separated blobs after one step") {
     // blob A near (0, 0, ...), blob B near (100, 100, ...); any seeding
     // refines to a perfect split because the refined centroids land in
