@@ -263,6 +263,32 @@ object VectorQueries {
         .orderBy("label")
     }),
 
+    // Johnson–Lindenstrauss random projection 64→8 with an md5-derived
+    // ±1 sign matrix (Achlioptas): the pre-index dimensionality reduction
+    // of the 100 TB ANN path, fully hash-gated — the oracle recomputes
+    // every matrix entry and every projected component.
+    "q109_projection" -> ((s, dir) => {
+      graft.operators.VectorPrep.randomProject(
+          Tables.embeddings(s, dir), "embedding", inDim = 64, outDim = 8)
+        .select(col("vec_id"), posexplode(col("projected")))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          col("col").as("p"))
+        .orderBy("vec_id", "j")
+    }),
+
+    // Per-dimension z-score standardization against rounded corpus stats
+    // (the bounded model state rides as literal arrays); gated via each
+    // vector's standardized norm, which pins every component.
+    "q110_standardize" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val stats = graft.operators.VectorPrep.dimStats(e, "embedding")
+      graft.operators.VectorPrep.standardize(e, "embedding", stats)
+        .select(col("vec_id"),
+          size(col("standardized")).cast("long").as("dim"),
+          round(graft.functions.l2_norm(col("standardized")), 6).as("z_norm"))
+        .orderBy("vec_id")
+    }),
+
     // Deterministic k-center greedy (farthest-point) selection — the
     // diversity-sampling / seeding primitive, fully hash-gated: the
     // oracle replays all 8 greedy picks as generated CTE layers, so the
@@ -298,6 +324,41 @@ object VectorQueries {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+
+    "q109_projection" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e),
+        |terms AS (
+        |  SELECT vec_id, i, j, v[i] *
+        |    (CASE WHEN CAST(('0x'||substring(md5(
+        |        'rp:'||CAST(i - 1 AS VARCHAR)||':'||CAST(j AS VARCHAR)), 1, 1))
+        |      AS INTEGER) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS t
+        |  FROM x, (SELECT unnest(range(0, 8)) AS j))
+        |SELECT vec_id, CAST(j AS BIGINT) AS j,
+        |  round(sum(t) / sqrt(8.0), 6) AS p
+        |FROM terms
+        |GROUP BY vec_id, j
+        |ORDER BY vec_id, j""".stripMargin,
+
+    "q110_standardize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e),
+        |stats AS (
+        |  SELECT i, round(avg(v[i]) + 1e-9, 6) AS m,
+        |    round(stddev_samp(v[i]) + 1e-9, 6) AS s
+        |  FROM x GROUP BY i),
+        |z AS (
+        |  SELECT vec_id,
+        |    round(CASE WHEN s = 0 THEN v[i] - m
+        |               ELSE (v[i] - m) / s END, 6) AS zi
+        |  FROM x JOIN stats USING (i))
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS dim,
+        |  round(sqrt(sum(zi * zi)), 6) AS z_norm
+        |FROM z
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
 
     // generated k-layer greedy: s_i = the point maximizing the rounded
     // min-distance to s_1..s_{i-1} (id tie-break) — mirrors

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class VectorPrepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("randomProject: deterministic, linear, norm-preserving in expectation") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      VectorPrep.randomProject(df, "embedding", inDim = 64, outDim = 8)
+        .select($"vec_id", $"projected").as[(Long, Seq[Double])]
+        .collect().toMap
+    val p1 = proj(e)
+    val p2 = proj(e)
+    assert(p1 == p2, "projection must be deterministic")
+    assert(p1.values.forall(_.length == 8))
+    // JL expectation: E[||Rx||²] = ||x||² — the corpus-mean ratio of
+    // projected to original squared norm should sit near 1
+    val orig = e.select($"vec_id", graft.functions.l2_norm($"embedding"))
+      .as[(Long, Double)].collect().toMap
+    val ratios = p1.map { case (id, p) =>
+      val pn2 = p.map(x => x * x).sum
+      val on = orig(id)
+      pn2 / (on * on)
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3,
+      s"mean squared-norm ratio $mean should be near 1 (JL expectation)")
+  }
+
+  test("standardize: zero mean, unit variance per dim; zero-variance dims centered") {
+    val df = Seq(
+      (1L, Array(1.0f, 5.0f, 7.0f)),
+      (2L, Array(3.0f, 5.0f, 9.0f)),
+      (3L, Array(5.0f, 5.0f, 11.0f))).toDF("vec_id", "embedding")
+    val stats = VectorPrep.dimStats(df, "embedding")
+    assert(stats(0)._1 == 3.0 && stats(0)._2 == 2.0) // mean 3, std 2
+    assert(stats(1)._2 == 0.0, "constant dim has zero std")
+    val z = VectorPrep.standardize(df, "embedding", stats)
+      .select($"vec_id", $"standardized").as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(z(1L) == Seq(-1.0, 0.0, -1.0))
+    assert(z(2L) == Seq(0.0, 0.0, 0.0))
+    assert(z(3L) == Seq(1.0, 0.0, 1.0),
+      "zero-variance dim must center without dividing by zero")
+  }
+}
