@@ -276,6 +276,32 @@ object VectorQueries {
         .orderBy("vec_id", "j")
     }),
 
+    // The reduced-dimension ANN composition: JL-project 64→16, sign-bucket
+    // the PROJECTED space (4 bits), probe the query's bucket, exact-cosine
+    // rerank on the ORIGINAL vectors — project→bucket→probe→rerank, each
+    // stage md5-reproducible, so the whole pipeline hash-gates end to end.
+    "q111_project_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val proj = graft.operators.VectorPrep.randomProject(
+          e, "embedding", inDim = 64, outDim = 16)
+        .withColumn("bkt", graft.operators.VectorIndex
+          .signBucket(col("projected"), 4).cast("long"))
+      // one bounded driver value: the query's bucket, computed by the
+      // same engine path as the corpus
+      val qBucket = proj.filter(col("vec_id") === 0)
+        .select("bkt").head().getLong(0)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      proj.filter(col("bkt") === qBucket)
+        .select("vec_id", "embedding")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(graft.functions.cosine_sim(col("embedding"), col("q_emb")), 6)
+            .as("score"))
+        .orderBy(desc("score"), col("vec_id"))
+        .limit(10)
+    }),
+
     // Per-dimension z-score standardization against rounded corpus stats
     // (the bounded model state rides as literal arrays); gated via each
     // vector's standardized norm, which pins every component.
@@ -340,6 +366,33 @@ object VectorQueries {
         |FROM terms
         |GROUP BY vec_id, j
         |ORDER BY vec_id, j""".stripMargin,
+
+    "q111_project_probe" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, v, unnest(range(1, len(v) + 1)) AS i FROM e),
+        |terms AS (
+        |  SELECT vec_id, i, j, v[i] *
+        |    (CASE WHEN CAST(('0x'||substring(md5(
+        |        'rp:'||CAST(i - 1 AS VARCHAR)||':'||CAST(j AS VARCHAR)), 1, 1))
+        |      AS INTEGER) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS t
+        |  FROM x, (SELECT unnest(range(0, 16)) AS j)),
+        |proj AS (
+        |  SELECT vec_id, j, round(sum(t) / sqrt(16.0), 6) AS p
+        |  FROM terms GROUP BY vec_id, j),
+        |bkt AS (
+        |  SELECT vec_id, CAST(sum(CASE WHEN p > 0.0
+        |    THEN CAST(round(pow(2, j)) AS BIGINT) ELSE 0 END) AS BIGINT) AS b
+        |  FROM proj WHERE j < 4 GROUP BY vec_id),
+        |qb AS (SELECT b FROM bkt WHERE vec_id = 0),
+        |cand AS (
+        |  SELECT e.vec_id, e.v FROM e JOIN bkt USING (vec_id), qb
+        |  WHERE bkt.b = qb.b)
+        |SELECT c.vec_id,
+        |  round(list_cosine_similarity(c.v, q.v), 6) AS score
+        |FROM cand c, (SELECT v FROM e WHERE vec_id = 0) q
+        |ORDER BY score DESC, vec_id
+        |LIMIT 10""".stripMargin,
 
     "q110_standardize" ->
       """WITH e AS (
