@@ -150,6 +150,24 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Count-min heavy hitters: md5-hashed sketch (4 rows × 256 buckets —
+    // bounded regardless of corpus size), estimates for the true top-20
+    // tokens beside their exact counts. The oracle recomputes every
+    // sketch cell, so the hash match pins the sketch itself; n_cms ≥
+    // n_true always (collisions only add).
+    "q112_cms_heavyhitters" -> ((s, dir) => {
+      val toks = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .select(explode(TextAnalysis.normalizedTokens(col("text"))).as("token"))
+      val table = graft.operators.Sketches.countMinTable(
+        toks, "token", depth = 4, width = 256)
+      val top = toks.groupBy("token").agg(count(lit(1)).as("n_true"))
+        .orderBy(desc("n_true"), col("token")).limit(20)
+      top.join(graft.operators.Sketches.cmsEstimate(
+          table, top, "token", depth = 4, width = 256), Seq("token"))
+        .select(col("token"), col("n_true"), col("n_cms"))
+        .orderBy(desc("n_true"), col("token"))
+    }),
+
     // BPE merge-candidate table (tokenizer training, first merge): the
     // most frequent adjacent character pairs weighted by word frequency.
     // Pairs explode off the vocabulary, never the corpus; top-20 cut is
@@ -763,6 +781,32 @@ object TextQueries {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrub_sig
         |FROM synth
         |ORDER BY doc_id""".stripMargin,
+
+    "q112_cms_heavyhitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |rb AS (
+        |  SELECT token, r,
+        |    CAST(('0x'||substring(md5('cms'||CAST(r AS VARCHAR)||':'||token), 1, 4))
+        |      AS BIGINT) % 256 AS bucket
+        |  FROM toks, (SELECT unnest(range(0, 4)) AS r)),
+        |tab AS (SELECT r, bucket, count(*) AS c FROM rb GROUP BY r, bucket),
+        |top AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM toks GROUP BY token
+        |  ORDER BY n_true DESC, token LIMIT 20),
+        |est AS (
+        |  SELECT t.token, CAST(min(tab.c) AS BIGINT) AS n_cms
+        |  FROM (SELECT token, r,
+        |          CAST(('0x'||substring(md5('cms'||CAST(r AS VARCHAR)||':'||token), 1, 4))
+        |            AS BIGINT) % 256 AS bucket
+        |        FROM top, (SELECT unnest(range(0, 4)) AS r)) t
+        |  JOIN tab USING (r, bucket)
+        |  GROUP BY t.token)
+        |SELECT token, n_true, n_cms
+        |FROM top JOIN est USING (token)
+        |ORDER BY n_true DESC, token""".stripMargin,
 
     "q107_bpe_pairs" ->
       """WITH vocab AS (
