@@ -236,27 +236,65 @@ object Dedup {
       broadcastEval: Boolean = true, maxEvalFreq: Int = 100): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val docSh = explodeShingles(corpus, idCol, textCol, shingleN)
-    // the eval side skips explodeShingles' parallelism widening: it is
-    // about to be broadcast, and a repartition shuffle of a request-sized
-    // frame would be pure overhead
+    val evalCapped = evalShinglesCapped(
+      evalSet, idCol, textCol, shingleN, maxEvalFreq)
+    val evalSh = if (broadcastEval) broadcast(evalCapped) else evalCapped
+    docSh.join(evalSh, Seq("shingle"))
+      .filter(col(idCol) =!= col("eval_id"))
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The capped eval-shingle set shared by [[decontaminate]] and
+    * [[decontaminateBloom]]. Skips explodeShingles' parallelism widening:
+    * the frame is about to be broadcast, and a repartition shuffle of a
+    * request-sized frame would be pure overhead.
+    *
+    * Hot-shingle cap (the embeddingPairs/candidatePairs discipline): a
+    * shingle present in more than maxEvalFreq eval docs multiplies EVERY
+    * corpus occurrence by its eval multiplicity in the join — and a
+    * shingle that ubiquitous across a held-out suite is boilerplate, not
+    * contamination signal. The frequency filter runs entirely on the
+    * (small) eval side; the cap is mirrored in the q81/q87/q89 oracles.
+    */
+  private def evalShinglesCapped(evalSet: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, maxEvalFreq: Int): DataFrame = {
     val evalShRaw = evalSet
       .select(col(idCol).as("eval_id"),
         regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
       .select(col("eval_id"), explode(array_distinct(
         TextAnalysis.ngramsFromTokens(col("__toks"), shingleN))).as("shingle"))
-    // hot-shingle cap (the embeddingPairs/candidatePairs discipline): a
-    // shingle present in more than maxEvalFreq eval docs multiplies EVERY
-    // corpus occurrence by its eval multiplicity in the join — and a
-    // shingle that ubiquitous across a held-out suite is boilerplate, not
-    // contamination signal. The frequency filter runs entirely on the
-    // (small) eval side; the cap is mirrored in the q81/q87/q89 oracles.
     val evalOk = evalShRaw.groupBy("shingle")
       .agg(count(lit(1)).as("__ef"))
       .filter(col("__ef") <= maxEvalFreq)
       .select("shingle")
-    val evalCapped = evalShRaw.join(evalOk, Seq("shingle"))
-    val evalSh = if (broadcastEval) broadcast(evalCapped) else evalCapped
-    docSh.join(evalSh, Seq("shingle"))
+    evalShRaw.join(evalOk, Seq("shingle"))
+  }
+
+  /** [[decontaminate]] with an md5-Bloom pre-filter on the corpus side —
+    * the 100 TB shape: at real scale the corpus shingle stream dwarfs the
+    * eval set by many orders of magnitude, and even a broadcast hash join
+    * must MATERIALIZE every corpus shingle as a probe. The Bloom bits
+    * (built from the capped eval shingles, [[Sketches.bloomBuild]])
+    * reject ~all non-matching shingles INSIDE the scan as codegen'd
+    * column math, so only the ~matching sliver reaches the join. Bloom
+    * filters have no false negatives, so the output is IDENTICAL to
+    * [[decontaminate]] — the q113 gate runs this against q81's exact
+    * oracle text to prove it.
+    */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 5, minShared: Int = 2,
+      maxEvalFreq: Int = 100, bloomM: Int = 65536,
+      bloomK: Int = 3): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val evalCapped = evalShinglesCapped(
+      evalSet, idCol, textCol, shingleN, maxEvalFreq)
+    val bits = Sketches.bloomBuild(
+      evalCapped.select("shingle"), "shingle", bloomM, bloomK)
+    val docSh = explodeShingles(corpus, idCol, textCol, shingleN)
+      .filter(Sketches.bloomMightContain(col("shingle"), bits, bloomK))
+    docSh.join(broadcast(evalCapped), Seq("shingle"))
       .filter(col(idCol) =!= col("eval_id"))
       .groupBy(col(idCol), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))

@@ -53,6 +53,50 @@ object Sketches {
       .agg(count(lit(1)).as("c"))
   }
 
+  /** Bloom position `i` of a key: 16-bit slice of md5("seed" + i + ":" +
+    * key) mod the bit count — same derivation family as [[cmsBucket]], so
+    * any engine recomputes the filter bit-for-bit.
+    */
+  def bloomPos(key: Column, i: Column, m: Int,
+      seed: String = "bloom"): Column =
+    conv(substring(md5(concat(lit(seed), i.cast("string"), lit(":"), key)),
+      1, 4), 16, 10).cast("long") % m
+
+  /** Build a Bloom filter over a (bounded) key set: `m` bits, `k` md5
+    * hash positions per key. Returned as a driver-side bit array — the
+    * broadcast-model-state shape ([[VectorIndex]] centroids' doctrine);
+    * m/8 bytes ride into every task as a plan literal. No false
+    * negatives ever; false-positive rate ≈ (1 − e^(−kn/m))^k.
+    */
+  def bloomBuild(keys: DataFrame, keyCol: String, m: Int, k: Int,
+      seed: String = "bloom"): Array[Boolean] = {
+    require(m >= 2 && 65536 % m == 0,
+      s"m must be >= 2 and divide 65536, got $m")
+    require(k >= 1, s"k must be positive, got $k")
+    val bits = Array.fill(m)(false)
+    keys.select(col(keyCol).as("__k")).distinct()
+      .withColumn("__i", explode(sequence(lit(0L), lit(k - 1L))))
+      .select(bloomPos(col("__k"), col("__i"), m, seed).as("__p"))
+      .distinct().collect()
+      .foreach(r => bits(r.getLong(0).toInt) = true)
+    bits
+  }
+
+  /** Membership test as a pure column expression over the literal bit
+    * array: true iff ALL k positions are set. Codegen'd array lookups —
+    * runs inside the scan, which is the whole point: a 99%-selective
+    * pre-filter before an expensive join.
+    */
+  def bloomMightContain(key: Column, bits: Array[Boolean], k: Int,
+      seed: String = "bloom"): Column = {
+    require(k >= 1, s"k must be positive, got $k")
+    val m = bits.length
+    (0 until k)
+      .map(i => element_at(lit(bits),
+        (bloomPos(key, lit(i.toLong), m, seed) + 1).cast("int")))
+      .reduce(_ && _)
+  }
+
   /** Point estimates for a (small) candidate token set against a built
     * table: min over hash rows of the bucket count. The bounded table
     * broadcasts; candidates never shuffle. Tokens whose buckets are

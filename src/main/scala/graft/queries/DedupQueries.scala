@@ -171,6 +171,20 @@ object DedupQueries {
         .select(col("doc_id"), col("eval_id"),
           col("n_shared").cast("long").as("n_shared"))
         .orderBy("doc_id", "eval_id")
+    }),
+
+    // Bloom-pruned decontamination: the corpus shingle stream passes an
+    // md5-Bloom of the eval shingles INSIDE the scan before anything
+    // reaches the join — the 100 TB pre-filter. No false negatives, so
+    // the result must be byte-identical to q81 (same oracle text).
+    "q113_bloom_decon" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      Dedup.decontaminateBloom(docs, evalSet, "doc_id", "text",
+          shingleN = 5, minShared = 2)
+        .select(col("doc_id"), col("eval_id"),
+          col("n_shared").cast("long").as("n_shared"))
+        .orderBy("doc_id", "eval_id")
     })
   )
 
@@ -444,18 +458,25 @@ object DedupQueries {
          |GROUP BY 1
          |ORDER BY split""".stripMargin,
 
-    "q81_decontaminate" ->
-      // the eval-side hot-shingle cap (maxEvalFreq = 100) mirrored as a
-      // frequency filter — implementation caps MUST appear in the oracle
-      // or the gate diverges at the scale that trips them
-      s"""WITH $shinglesCte,
-         |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
-         |evok AS (SELECT shingle FROM ev GROUP BY shingle HAVING count(*) <= 100)
-         |SELECT s.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
-         |FROM sh s JOIN ev e USING (shingle) JOIN evok USING (shingle)
-         |WHERE s.doc_id <> e.eval_id
-         |GROUP BY s.doc_id, e.eval_id
-         |HAVING count(*) >= 2
-         |ORDER BY doc_id, eval_id""".stripMargin
+    "q81_decontaminate" -> deconOracle,
+
+    // identical to q81's oracle on purpose: the Bloom pre-filter has no
+    // false negatives, so the pruned path must produce byte-identical
+    // contamination pairs
+    "q113_bloom_decon" -> deconOracle
   )
+
+  // the eval-side hot-shingle cap (maxEvalFreq = 100) mirrored as a
+  // frequency filter — implementation caps MUST appear in the oracle
+  // or the gate diverges at the scale that trips them
+  private lazy val deconOracle =
+    s"""WITH $shinglesCte,
+       |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+       |evok AS (SELECT shingle FROM ev GROUP BY shingle HAVING count(*) <= 100)
+       |SELECT s.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM sh s JOIN ev e USING (shingle) JOIN evok USING (shingle)
+       |WHERE s.doc_id <> e.eval_id
+       |GROUP BY s.doc_id, e.eval_id
+       |HAVING count(*) >= 2
+       |ORDER BY doc_id, eval_id""".stripMargin
 }

@@ -120,6 +120,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-pruned decontamination ≡ exact decontamination on random corpora") {
+    val rnd = new scala.util.Random(99)
+    val vocab = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    def doc() = Seq.fill(rnd.nextInt(14) + 6)(vocab(rnd.nextInt(vocab.length)))
+      .mkString(" ")
+    for (trial <- 0 until 3) {
+      val df = (0L until 40L).map(i => (i, doc())).toDF("doc_id", "text")
+      val evalSet = df.filter($"doc_id" % 7 === 0)
+      def rows(out: org.apache.spark.sql.DataFrame) =
+        out.select($"doc_id", $"eval_id", $"n_shared")
+          .as[(Long, Long, Long)].collect().toSet
+      val exact = rows(Dedup.decontaminate(
+        df, evalSet, "doc_id", "text", shingleN = 3, minShared = 2))
+      val bloomed = rows(Dedup.decontaminateBloom(
+        df, evalSet, "doc_id", "text", shingleN = 3, minShared = 2))
+      assert(bloomed == exact, s"trial $trial: bloom path diverged")
+    }
+  }
+
   test("chunking invariants on random docs: count formula, coverage, tail") {
     val rnd = new scala.util.Random(7)
     val docs = (0L until 40L).map { i =>

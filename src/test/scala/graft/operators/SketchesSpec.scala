@@ -35,6 +35,24 @@ class SketchesSpec extends AnyFunSuite {
       "a wide sketch over 40 tokens should estimate exactly")
   }
 
+  test("bloom: no false negatives ever, real pruning, deterministic") {
+    val keys = (0 until 200).map(i => s"key-$i")
+    val bits = Sketches.bloomBuild(keys.toDF("k"), "k", m = 4096, k = 3)
+    val probe = (keys ++ (0 until 2000).map(i => s"other-$i")).toDF("k")
+    val got = probe
+      .select($"k", Sketches.bloomMightContain($"k", bits, 3).as("hit"))
+      .as[(String, Boolean)].collect().toMap
+    assert(keys.forall(got(_)), "an inserted key must NEVER miss")
+    val fps = (0 until 2000).count(i => got(s"other-$i"))
+    assert(fps < 200,
+      s"4096 bits / 200 keys / k=3 must reject most non-members, fp=$fps")
+    val bits2 = Sketches.bloomBuild(keys.toDF("k"), "k", m = 4096, k = 3)
+    assert(bits.toSeq == bits2.toSeq, "bit layout must be deterministic")
+    intercept[IllegalArgumentException] {
+      Sketches.bloomBuild(keys.toDF("k"), "k", m = 1000, k = 3)
+    }
+  }
+
   test("table is bounded by depth x width; unseen tokens estimate zero") {
     val toks = tokens(Seq.fill(500)("a") ++ Seq.fill(300)("b"))
     val table = Sketches.countMinTable(toks, "token", depth = 4, width = 16)
