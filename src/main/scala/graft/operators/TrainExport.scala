@@ -95,6 +95,33 @@ object TrainExport {
       .drop("__n")
   }
 
+  /** Deterministic weighted sampling without replacement — the
+    * Efraimidis–Spirakis scheme with md5 uniforms: each row draws
+    * u ∈ (0,1) from a 16-bit md5 slice and ranks by ln(u)/w (the
+    * log-form of the classic u^(1/w) key); the top `n` keys are a
+    * weighted sample without replacement. The usual implementation draws
+    * u from `rand()` and breaks under retries; this one is a pure
+    * function of (id, seed), so any engine replays the exact sample
+    * (q115 does).
+    *
+    * Keys are rounded at 9 places before ranking (they are already
+    * ln-of-rational — cross-engine ulp drift is ~1e-19 — and an id
+    * tie-break settles rounded collisions), and rows with non-positive
+    * weight are excluded (their key is undefined). One bounded top-n
+    * (TakeOrderedAndProject), no shuffle, no window.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int, seed: String = "ws"): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val u = (conv(substring(md5(concat(lit(seed + ":"),
+      col(idCol).cast("string"))), 1, 4), 16, 10).cast("double") + 1.0) /
+      65537.0
+    df.filter(col(weightCol) > 0)
+      .withColumn("skey", round(log(u) / col(weightCol), 9))
+      .orderBy(desc("skey"), col(idCol))
+      .limit(n)
+  }
+
   /** Materialize the shards: one directory per shard, rows in shuffle-key
     * order within each file. `repartition(nShards, shard)` makes the write
     * a single shuffle whose output partitioning IS the shard layout —

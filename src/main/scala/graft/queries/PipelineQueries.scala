@@ -118,6 +118,18 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Ingest-time sketch: the count-min table maintained over the
+    // document stream — bounded state (depth×width rows) regardless of
+    // volume, cell-identical to the batch build (q112's table CTE is the
+    // oracle).
+    "q114_stream_cms" -> ((s, dir) => {
+      StreamingIngest
+        .streamCms(s, dir,
+          queryName = s"cms_${java.util.UUID.randomUUID().toString.take(8)}")
+        .select(col("r"), col("bucket"), col("c").cast("long").as("c"))
+        .orderBy("r", "bucket")
+    }),
+
     // Multimodal plumbing: text → binary media column → batched
     // partition-local decode (stubbed codec, deterministic metadata) →
     // ordinary columns. Oracle recomputes byte length + md5 from the text.
@@ -372,6 +384,21 @@ object PipelineQueries {
 
     // identical to q96's oracle on purpose: stream ≡ batch
     "q102_stream_chunking" -> TextQueries.pipelineOracles("q96_chunking"),
+
+    // the streamed count-min table must be cell-identical to a batch build
+    "q114_stream_cms" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |rb AS (
+        |  SELECT token, r,
+        |    CAST(('0x'||substring(md5('cms'||CAST(r AS VARCHAR)||':'||token), 1, 4))
+        |      AS BIGINT) % 256 AS bucket
+        |  FROM toks, (SELECT unnest(range(0, 4)) AS r))
+        |SELECT r, bucket, count(*) AS c
+        |FROM rb
+        |GROUP BY r, bucket
+        |ORDER BY r, bucket""".stripMargin,
 
     // identical to q81's oracle on purpose: stream ≡ batch
     "q87_stream_decontaminate" ->

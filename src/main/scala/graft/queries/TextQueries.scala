@@ -396,6 +396,17 @@ object TextQueries {
         .orderBy("source", "lang", "rn")
     }),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis, md5
+    // uniforms): 20 docs drawn proportional to length — the
+    // quality/length-weighted mixture draw, retry-safe and
+    // engine-replayable.
+    "q115_weighted_sample" -> ((s, dir) => {
+      graft.operators.TrainExport.weightedSample(
+          Tables.documents(s, dir), "doc_id", "n_chars", n = 20)
+        .select(col("doc_id"), col("n_chars"), col("skey"))
+        .orderBy(desc("skey"), col("doc_id"))
+    }),
+
     // Stupid-backoff bigram LM scoring (the CCNet perplexity-filter
     // analogue): counts trained on the q60 fingerprint train split, EVERY
     // doc scored — val/test docs genuinely hit unseen bigrams, so the
@@ -781,6 +792,15 @@ object TextQueries {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrub_sig
         |FROM synth
         |ORDER BY doc_id""".stripMargin,
+
+    "q115_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  round(ln((CAST(('0x'||substring(md5('ws:'||CAST(doc_id AS VARCHAR)), 1, 4))
+        |    AS BIGINT) + 1.0) / 65537.0) / n_chars, 9) AS skey
+        |FROM documents
+        |WHERE n_chars > 0
+        |ORDER BY skey DESC, doc_id
+        |LIMIT 20""".stripMargin,
 
     "q112_cms_heavyhitters" ->
       """WITH toks AS (

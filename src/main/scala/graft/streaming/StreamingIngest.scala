@@ -182,6 +182,37 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Ingest-time count-min sketch: [[graft.operators.Sketches
+    * .countMinTable]] maintained over documents arriving as a stream —
+    * heavy-hitter tracking that never stores more than depth×width
+    * state rows no matter how much text flows through (the sketch IS
+    * the bounded-state aggregation streaming wants). Complete-mode
+    * memory sink; the q114 gate proves the streamed sketch is
+    * cell-identical to the batch build.
+    */
+  def streamCms(spark: SparkSession, sfDir: String,
+      depth: Int = 4, width: Int = 256,
+      queryName: String = "stream_cms"): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val toks = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(explode(graft.operators.TextAnalysis
+        .normalizedTokens(col("text"))).as("token"))
+    val table = graft.operators.Sketches
+      .countMinTable(toks, "token", depth, width)
+    val q = table.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest into a collection directory: the WAL-replacement
     * path. Checkpoints live under the database's graft_wal dir, so
     * TRUNCATEWAL (database target) clears exactly this state.

@@ -61,6 +61,21 @@ class TrainExportSpec extends AnyFunSuite {
     assert(audit.map(_._4).toSeq != other.map(_._4).toSeq)
   }
 
+  test("weightedSample: deterministic, weight-dominant rows win, bad weights drop") {
+    import org.apache.spark.sql.functions._
+    val docs = ((1L to 50L).map((_, 1.0)) ++ Seq((99L, 1e12), (100L, -3.0)))
+      .toDF("doc_id", "w")
+    val got = TrainExport.weightedSample(docs, "doc_id", "w", n = 10)
+      .select($"doc_id").as[Long].collect()
+    assert(got.length == 10)
+    assert(got.head == 99L,
+      "a weight twelve orders larger must rank first (key ln(u)/w → 0⁻)")
+    assert(!got.contains(100L), "non-positive weights are excluded")
+    val again = TrainExport.weightedSample(docs, "doc_id", "w", n = 10)
+      .select($"doc_id").as[Long].collect()
+    assert(got.toSeq == again.toSeq, "sample must be deterministic")
+  }
+
   test("stratifiedSample: exact ceil per stratum, deterministic, rank-stable") {
     import org.apache.spark.sql.functions._
     // strata sizes 7, 5, 1 → keep ceil(7/5)=2, ceil(5/5)=1, ceil(1/5)=1
