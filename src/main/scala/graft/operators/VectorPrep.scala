@@ -47,12 +47,17 @@ object VectorPrep {
     require(inDim >= 1 && outDim >= 1,
       s"dims must be positive, got in=$inDim out=$outDim")
     val scale = math.sqrt(outDim.toDouble)
-    val v = col(vecCol).cast("array<double>")
+    // materialize the double cast ONCE: it is referenced by every output
+    // component, and a projection re-evaluates non-aliased expressions
+    // per reference (the ngramsFromTokens lesson — outDim array copies
+    // per row otherwise)
     val comps = (0 until outDim).map { j =>
       val signs = Array.tabulate(inDim)(i => signEntry(seed, i, j))
-      round(graft.functions.dot_product(v, lit(signs)) / scale, 6)
+      round(graft.functions.dot_product(col("__vd"), lit(signs)) / scale, 6)
     }
-    df.withColumn(projCol, array(comps: _*))
+    df.withColumn("__vd", col(vecCol).cast("array<double>"))
+      .withColumn(projCol, array(comps: _*))
+      .drop("__vd")
   }
 
   /** Per-dimension mean/stddev over the corpus, ROUNDED — the bounded
