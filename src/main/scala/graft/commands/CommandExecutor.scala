@@ -46,6 +46,8 @@ object CommandExecutor {
         val source =
           if (arg.endsWith(".parquet") || arg.endsWith(".pq"))
             spark.read.parquet(arg)
+          else if (arg.endsWith(".csv"))
+            graft.sources.CsvVectorFormat.read(spark, arg)
           else EmbeddingTextFormat.read(spark, arg)
         db.bulkInsert(coll, source)
         status("BULKINSERT", coll)

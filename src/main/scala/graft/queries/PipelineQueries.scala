@@ -54,6 +54,28 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // CSV source round-trip (the third bulk-insert format): records →
+    // CSV (vector as one space-separated field) → BULKINSERT through the
+    // command surface → read back. The oracle reads the ORIGINAL table,
+    // so the hash match proves the CSV write→parse cycle is lossless.
+    "q116_csv_roundtrip" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q116")
+      db.createCollection("recs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("payload", StringType))))
+      val src = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id").as("id"), col("embedding"),
+          col("label").cast("string").as("payload"))
+      val csvPath = Scratch.dir("graft_q116") + "/recs.csv"
+      graft.sources.CsvVectorFormat.write(src, csvPath)
+      CommandExecutor.execute(db, GraftCommand.BulkInsert("recs", csvPath))
+      db.read("recs").select(col("id"), col("payload"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(graft.functions.l2_norm(col("embedding")), 6).as("norm"))
+        .orderBy("id")
+    }),
+
     // Catalog surface: LISTCOLLECTIONS over a database created via the
     // command executor (CREATE × 3).
     "q41_listcollections" -> ((s, dir) => {
@@ -332,6 +354,15 @@ object PipelineQueries {
       """SELECT vec_id, label FROM embeddings
         |WHERE vec_id < 10
         |ORDER BY vec_id""".stripMargin,
+
+    "q116_csv_roundtrip" ->
+      """SELECT vec_id AS id, CAST(label AS VARCHAR) AS payload,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[]))), 6) AS norm
+        |FROM embeddings
+        |WHERE vec_id < 100
+        |ORDER BY id""".stripMargin,
 
     "q41_listcollections" ->
       """SELECT name FROM (VALUES ('alpha'), ('beta'), ('gamma')) t(name)
