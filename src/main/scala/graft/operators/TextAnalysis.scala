@@ -231,6 +231,24 @@ object TextAnalysis {
       .drop("__cum")
   }
 
+  /** Deterministic word-dropout augmentation: drop each token with
+    * probability `1/dropDenom`, the decision a pure function of
+    * (seed, doc id, token position) via a 16-bit md5 slice — augmented
+    * corpora must be REPRODUCIBLE (a rerun or a retried task has to emit
+    * the identical augmented text, and the oracle has to recompute it).
+    * Pass an ALREADY-MATERIALIZED token array (the [[ngramsFromTokens]]
+    * caveat); the per-element hash is inherent O(tokens) work, not
+    * re-evaluation waste. Returns the kept-token array.
+    */
+  def wordDropout(toks: Column, id: Column, dropDenom: Int = 10,
+      seed: String = "aug"): Column = {
+    require(dropDenom >= 2, s"dropDenom must be >= 2, got $dropDenom")
+    filter(toks, (_, i) =>
+      conv(substring(md5(concat(lit(seed + ":"), id.cast("string"),
+        lit(":"), i.cast("string"))), 1, 4), 16, 10).cast("long")
+        % dropDenom >= 1)
+  }
+
   /** Adjacent character-pair counts weighted by word frequency — the
     * candidate table of the FIRST BPE merge (Sennrich et al. 2016:
     * tokenizer training repeatedly merges the most frequent adjacent

@@ -396,6 +396,22 @@ object TextQueries {
         .orderBy("source", "lang", "rn")
     }),
 
+    // Deterministic word-dropout augmentation: ~10% of tokens dropped by
+    // md5(doc, position) — reproducible across reruns/retries, the gate
+    // pins every augmented document's exact content via md5 signature.
+    "q117_augment" -> ((s, dir) => {
+      graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("__toks"))
+        .withColumn("__kept",
+          TextAnalysis.wordDropout(col("__toks"), col("doc_id"), 10))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_orig"),
+          size(col("__kept")).cast("long").as("n_kept"),
+          md5(array_join(col("__kept"), " ")).as("aug_sig"))
+        .orderBy("doc_id")
+    }),
+
     // Weighted sampling without replacement (Efraimidis–Spirakis, md5
     // uniforms): 20 docs drawn proportional to length — the
     // quality/length-weighted mixture draw, retry-safe and
@@ -791,6 +807,26 @@ object TextQueries {
         |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrub_sig
         |FROM synth
+        |ORDER BY doc_id""".stripMargin,
+
+    "q117_augment" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |x AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+        |k AS (
+        |  SELECT doc_id, i, toks[i] AS tok FROM x
+        |  WHERE CAST(('0x'||substring(md5(
+        |      'aug:'||CAST(doc_id AS VARCHAR)||':'||CAST(i - 1 AS VARCHAR)), 1, 4))
+        |    AS BIGINT) % 10 >= 1),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS cnt,
+        |    md5(string_agg(tok, ' ' ORDER BY i)) AS sig
+        |  FROM k GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_orig,
+        |  CAST(COALESCE(agg.cnt, 0) AS BIGINT) AS n_kept,
+        |  COALESCE(agg.sig, md5('')) AS aug_sig
+        |FROM t LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q115_weighted_sample" ->

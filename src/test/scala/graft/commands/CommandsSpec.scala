@@ -115,4 +115,24 @@ class CommandsSpec extends AnyFunSuite {
       .select("id", "payload").as[(Long, String)].collect().toSeq
     assert(rows == Seq((0L, "hello"), (1L, "world")))
   }
+
+  test("executor: bulkinsert from csv, commas and quotes in payload survive") {
+    val parent = Files.createTempDirectory("graftcsv").toString
+    val db = GraftDatabase.create(spark, parent, "csvdb")
+    db.createCollection("vecs")
+    val csv = s"$parent/in.csv"
+    val src = Seq(
+      (0L, Array(0.1f, 0.2f), "plain"),
+      (1L, Array(-0.5f, 1.25f), "has, comma and \"quotes\"")
+    ).toDF("id", "embedding", "payload")
+    graft.sources.CsvVectorFormat.write(src, csv)
+    CommandExecutor.execute(db, GraftCommand.BulkInsert("vecs", csv))
+    val rows = db.read("vecs").orderBy("id")
+      .select("id", "embedding", "payload")
+      .as[(Long, Seq[Float], String)].collect().toSeq
+    assert(rows == Seq(
+      (0L, Seq(0.1f, 0.2f), "plain"),
+      (1L, Seq(-0.5f, 1.25f), "has, comma and \"quotes\"")),
+      "floats and quoted payloads must round-trip exactly")
+  }
 }

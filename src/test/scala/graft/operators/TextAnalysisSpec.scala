@@ -172,6 +172,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("wordDropout: deterministic, ~1/denom dropped, subsequence order kept") {
+    val doc = (1 to 1000).map(i => s"t$i").mkString(" ")
+    val df = Seq((7L, doc)).toDF("doc_id", "text")
+      .select($"doc_id",
+        regexp_extract_all($"text", lit("\\S+"), lit(0)).as("toks"))
+    def run() = df
+      .select(TextAnalysis.wordDropout($"toks", $"doc_id", 10))
+      .as[Seq[String]].head()
+    val kept = run()
+    assert(kept.length > 850 && kept.length < 950,
+      s"~10% dropout expected, kept ${kept.length}/1000")
+    val idx = kept.map(_.drop(1).toInt)
+    assert(idx == idx.sorted, "kept tokens must stay in document order")
+    assert(run() == kept, "augmentation must be deterministic")
+    // a different doc id draws a different mask
+    val other = df.withColumn("doc_id", lit(8L))
+      .select(TextAnalysis.wordDropout($"toks", $"doc_id", 10))
+      .as[Seq[String]].head()
+    assert(other != kept)
+  }
+
   test("bpePairCounts: vocabulary-weighted adjacent pairs, single chars drop") {
     // vocab: "the":2 "then":1 "a":1 → pairs: th:3 he:3 en:1; "a" has no pair
     val docs = Seq("the then a", "The").toDF("text")
