@@ -283,6 +283,54 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the mean refinement must combine map-side:\n${p.take(1500)}")
   }
 
+  test("q101 stratified sample: both windows share one strata shuffle") {
+    val p = plan("q101_stratified")
+    assert(p.contains("hashpartitioning(source"),
+      s"rank and count windows must key on the strata columns:\n${p.take(1500)}")
+    // exactly one strata exchange — the count window must reuse the rank
+    // window's partitioning, not add a second shuffle
+    assert("hashpartitioning\\(source".r.findAllIn(p).size == 1,
+      s"the two windows must share one exchange:\n${p.take(2000)}")
+  }
+
+  test("q112 count-min: bounded-table build combines map-side, top cut bounded") {
+    val p = plan("q112_cms_heavyhitters")
+    assert(p.contains("partial_count"),
+      s"sketch cells must partially aggregate before their shuffle:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 cut must be bounded:\n${p.take(1500)}")
+  }
+
+  test("q113 bloom decon: the filter runs in the scan stage, before the join") {
+    val p = plan("q113_bloom_decon")
+    assert(p.contains("element_at"),
+      s"the bloom bit test must appear as column math in the plan:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval shingles still broadcast behind the bloom pre-filter:\n${p.take(1200)}")
+    // the bloom test must sit under a Filter BELOW the join, not above it
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val bloomIdx = p.indexOf("element_at")
+    assert(bloomIdx > joinIdx,
+      "the bloom filter must appear deeper in the tree (before the join executes)")
+  }
+
+  test("q115 weighted sample: one bounded top-n, no shuffle, no window") {
+    val p = plan("q115_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the weighted draw must be a bounded top-n:\n${p.take(1500)}")
+    assert(!p.contains("Window"), "no window needed for a global top-n")
+    assert(!p.contains("hashpartitioning"),
+      s"nothing should hash-shuffle:\n${p.take(1500)}")
+  }
+
+  test("q117 augmentation: pure per-row math, no shuffle before the order") {
+    val p = plan("q117_augment")
+    assert(!p.contains("hashpartitioning"),
+      s"augmentation must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("Window") && !p.contains("Generate"),
+      "dropout is an in-row lambda filter — no explode, no window")
+  }
+
   test("q67 two-phase sessionize: per-event window partitioned by (user, chunk)") {
     val p = plan("q67_sessionize_2phase")
     // the heavy (per-event) sort must key on user_id AND the chunk — that
