@@ -54,6 +54,44 @@ object NgramLm {
         i => struct(element_at(toks, i).as("w1"),
           element_at(toks, i + 1).as("w2"))))
 
+  /** Collocation mining by pointwise mutual information — the "phrases"
+    * pass of word2vec preprocessing (Mikolov et al. 2013: join tokens
+    * that co-occur far above chance into single units before training):
+    * PMI(w1, w2) = ln( c2·T / (c1(w1)·c1(w2)) ) over adjacent pairs with
+    * `minCount` support (PMI is unstable on rare pairs — the standard
+    * floor). Returns one row per qualifying pair with counts and the
+    * ROUNDED pmi (rank-grade, the house rule).
+    *
+    * Scale shape: the same one-explode count tables as [[lmScores]];
+    * the pair→unigram joins carry only pairs above `minCount`
+    * (vocabulary-shaped, not corpus-shaped).
+    */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int = 5): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive, got $minCount")
+    val base = df.select(col(idCol),
+      TextAnalysis.normalizedTokens(col(textCol)).as("__toks"))
+    val bg = base
+      .select(explode(bigramStructs(col("__toks"))).as("__bg"))
+      .select(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val c2 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val uni = base.select(explode(col("__toks")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c1"))
+    val tot = uni.agg(sum("__c1").cast("double").as("__t"))
+    c2
+      .join(uni.select(col("__w").as("__w1"), col("__c1").as("c1w1")),
+        Seq("__w1"))
+      .join(uni.select(col("__w").as("__w2"), col("__c1").as("c1w2")),
+        Seq("__w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("__w1").as("w1"), col("__w2").as("w2"),
+        col("c2"), col("c1w1"), col("c1w2"),
+        round(log(col("c2").cast("double") * col("__t") /
+          (col("c1w1").cast("double") * col("c1w2"))) + lit(1e-9), 6)
+          .as("pmi"))
+  }
+
   /** Per-document stupid-backoff scores: (`idCol`, n_bigrams, raw_lp).
     * `isTrain` selects the count-training slice over `df`'s columns.
     * `raw_lp` (mean ln s) is returned unrounded — rank-and-cut callers

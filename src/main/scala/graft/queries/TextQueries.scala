@@ -396,6 +396,18 @@ object TextQueries {
         .orderBy("source", "lang", "rn")
     }),
 
+    // Collocation mining (the word2vec "phrases" pass): top-20 adjacent
+    // pairs by PMI with min-count support — phrase-detection prep for
+    // tokenizer/embedding training.
+    "q118_collocations" -> ((s, dir) => {
+      graft.operators.NgramLm.collocations(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", minCount = 5)
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+        .limit(20)
+        .select(col("w1"), col("w2"), col("c2"), col("pmi"))
+    }),
+
     // Deterministic word-dropout augmentation: ~10% of tokens dropped by
     // md5(doc, position) — reproducible across reruns/retries, the gate
     // pins every augmented document's exact content via md5 signature.
@@ -808,6 +820,30 @@ object TextQueries {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrub_sig
         |FROM synth
         |ORDER BY doc_id""".stripMargin,
+
+    "q118_collocations" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM d)),
+        |c2 AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2
+        |  HAVING count(*) >= 5),
+        |uni AS (
+        |  SELECT w, count(*) AS c1
+        |  FROM (SELECT unnest(t) AS w FROM d) GROUP BY w),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t FROM uni)
+        |SELECT w1, w2, c2,
+        |  round(ln(CAST(c2 AS DOUBLE) * tot.t /
+        |    (CAST(u1.c1 AS DOUBLE) * u2.c1)) + 1e-9, 6) AS pmi
+        |FROM c2
+        |JOIN uni u1 ON c2.w1 = u1.w
+        |JOIN uni u2 ON c2.w2 = u2.w
+        |CROSS JOIN tot
+        |ORDER BY pmi DESC, w1, w2
+        |LIMIT 20""".stripMargin,
 
     "q117_augment" ->
       """WITH t AS (
