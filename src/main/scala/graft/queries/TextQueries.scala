@@ -396,6 +396,49 @@ object TextQueries {
         .orderBy("source", "lang", "rn")
     }),
 
+    // Partial-overlap pairs via shared winnowing fingerprints — the
+    // cross-document face of q90 (MOSS-style): any shared substring of
+    // length ≥ k+w−1 guarantees a shared fingerprint, so fingerprint
+    // co-occurrence finds partial plagiarism/quotation that whole-doc
+    // and shingle dedup miss. Hot fingerprints (boilerplate 8-grams)
+    // capped on the fingerprint-frequency table BEFORE the self-join —
+    // the candidatePairs discipline; top-100 cut bounds the report.
+    "q119_winnow_pairs" -> ((s, dir) => {
+      // ONE pass over the (expensive) winnowing compute: fingerprint
+      // buckets aggregate their doc ids into a bounded sorted buffer
+      // (cap 50, oversize buckets dropped whole — the candidatePairs
+      // discipline), pairs explode from each bucket's array. A fps
+      // self-join would recompute the per-doc window minima once per
+      // branch — 4× the dominant cost.
+      // explode_outer, NOT explode: InferFiltersFromGenerate turns a
+      // plain explode into a `size(input) > 0` predicate that pushdown
+      // re-plants at the SCAN with the whole fingerprint chain inlined —
+      // and inside that inlined copy the winnow lambda re-evaluates the
+      // gram-hash array per window: O(n²) md5s per doc in a filter
+      // (measured 10×+ the whole query's cost). The outer explode infers
+      // nothing; empty docs surface one null row dropped by a cheap
+      // post-explode filter on the generated column.
+      val fps = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .withColumn("__h", TextAnalysis.kgramHashes(col("text"), 8))
+        .withColumn("__fps", TextAnalysis.winnowFromHashes(col("__h"), 4))
+        .select(col("doc_id"), explode_outer(col("__fps")).as("fp"))
+        .filter(col("fp").isNotNull)
+      val bounded = org.apache.spark.sql.functions.udaf(
+        new graft.operators.BoundedDistinctSetAgg(51))
+      val buckets = fps.groupBy("fp")
+        .agg(bounded(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) >= 2 && size(col("ids")) <= 50)
+      buckets
+        .select(explode(flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+            y => struct(x.as("a_id"), y.as("b_id")))))).as("p"))
+        .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared_fp"))
+        .filter(col("n_shared_fp") >= 3)
+        .orderBy(desc("n_shared_fp"), col("a_id"), col("b_id"))
+        .limit(100)
+    }),
+
     // Collocation mining (the word2vec "phrases" pass): top-20 adjacent
     // pairs by PMI with min-count support — phrase-detection prep for
     // tokenizer/embedding training.
@@ -820,6 +863,28 @@ object TextQueries {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrub_sig
         |FROM synth
         |ORDER BY doc_id""".stripMargin,
+
+    "q119_winnow_pairs" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) - 7 - 3 <= 0 THEN []::VARCHAR[]
+        |    ELSE list_distinct(list_transform(range(1, length(text) - 7 - 3 + 1),
+        |      j -> list_min(list_transform(range(j, j + 4),
+        |        i -> substring(md5(substr(text, i, 8)), 1, 8))))) END AS fps
+        |  FROM documents),
+        |x AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+        |ok AS (SELECT f FROM x GROUP BY f HAVING count(*) <= 50),
+        |xc AS (SELECT doc_id, f FROM x JOIN ok USING (f)),
+        |p AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(count(*) AS BIGINT) AS n_shared_fp
+        |  FROM xc a JOIN xc b USING (f)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |  HAVING count(*) >= 3)
+        |SELECT a_id, b_id, n_shared_fp FROM p
+        |ORDER BY n_shared_fp DESC, a_id, b_id
+        |LIMIT 100""".stripMargin,
 
     "q118_collocations" ->
       """WITH d AS (

@@ -331,6 +331,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "dropout is an in-row lambda filter — no explode, no window")
   }
 
+  test("q119 winnow pairs: no inferred generate-filter re-runs the fingerprint chain") {
+    val p = plan("q119_winnow_pairs")
+    // InferFiltersFromGenerate + pushdown would re-plant the whole
+    // winnowing expression as a scan filter (O(n²) md5s per doc —
+    // measured 10×+ the query's cost); explode_outer must keep the scan
+    // clean
+    assert(!p.contains("DataFilters: [(size(CASE"),
+      s"the fingerprint chain must not be inlined into a scan filter:\n${p.take(1500)}")
+    assert(p.contains("boundeddistinctsetagg"),
+      s"fingerprint buckets must aggregate through the bounded buffer:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
   test("q67 two-phase sessionize: per-event window partitioned by (user, chunk)") {
     val p = plan("q67_sessionize_2phase")
     // the heavy (per-event) sort must key on user_id AND the chunk — that
