@@ -231,6 +231,43 @@ object TextAnalysis {
       .drop("__cum")
   }
 
+  /** The Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1,
+    * thresholds adapted to this corpus's scale): named boolean flags per
+    * rule plus the conjunction `keep` — a pipeline wants the per-rule
+    * breakdown (which rule rejected how much), not just the verdict.
+    * Rules: word count in [20, 100 000]; mean word length in [3, 10];
+    * punctuation ratio ≤ 0.2; ≥ 2 distinct stopwords present (the
+    * "contains common English words" test); 2-gram repetition ≤ 0.3.
+    *
+    * Every ratio is a SINGLE division of exact integer counts, so both
+    * engines land on the identical double and the threshold comparisons
+    * can never disagree — no rounding needed where no accumulation
+    * happens. Pure column math; runs inside the scan.
+    */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df
+      .withColumn("__toks",
+        regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0)))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      // mean word length = non-whitespace chars / words (exact ints)
+      .withColumn("__mwl", when(col("__n") === 0, lit(0.0)).otherwise(
+        length(regexp_replace(col(textCol), "\\s+", "")).cast("double") /
+          col("__n")))
+      .withColumn("__punct", punctRatio(col(textCol)))
+      .withColumn("__nstop", size(array_intersect(
+        array_distinct(col("__toks")), lit(stopwords.toArray))).cast("long"))
+      .withColumn("__dup2", duplicateNgramFrac(col(textCol), 2))
+      .select(col(idCol), col("__n").as("n_words"),
+        (col("__n") >= 20 && col("__n") <= 100000).as("flag_word_count"),
+        (col("__mwl") >= 3.0 && col("__mwl") <= 10.0).as("flag_word_len"),
+        (col("__punct") <= 0.2).as("flag_punct"),
+        (col("__nstop") >= 2).as("flag_stopwords"),
+        (col("__dup2") <= 0.3).as("flag_repetition"),
+        ((col("__n") >= 20 && col("__n") <= 100000) &&
+          (col("__mwl") >= 3.0 && col("__mwl") <= 10.0) &&
+          (col("__punct") <= 0.2) && (col("__nstop") >= 2) &&
+          (col("__dup2") <= 0.3)).as("keep"))
+
   /** Deterministic word-dropout augmentation: drop each token with
     * probability `1/dropDenom`, the decision a pure function of
     * (seed, doc id, token position) via a 16-bit md5 slice — augmented

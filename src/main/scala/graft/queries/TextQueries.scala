@@ -396,6 +396,16 @@ object TextQueries {
         .orderBy("source", "lang", "rn")
     }),
 
+    // Gopher rule-based quality flags: the published filter bundle with
+    // per-rule booleans + the keep conjunction — pipelines tune on the
+    // per-rule breakdown, not just the verdict.
+    "q120_gopher_rules" -> ((s, dir) => {
+      TextAnalysis.gopherQuality(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Partial-overlap pairs via shared winnowing fingerprints — the
     // cross-document face of q90 (MOSS-style): any shared substring of
     // length ≥ k+w−1 guarantees a shared fingerprint, so fingerprint
@@ -862,6 +872,38 @@ object TextQueries {
         |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrub_sig
         |FROM synth
+        |ORDER BY doc_id""".stripMargin,
+
+    "q120_gopher_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS w FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, count(*) AS total,
+        |    count(DISTINCT w[i]||' '||w[i+1]) AS dist
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)
+        |  GROUP BY doc_id),
+        |b AS (
+        |  SELECT t.doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\S+')) AS BIGINT) AS n,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |           / len(regexp_extract_all(lower(text), '\S+')) END AS mwl,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |           / length(text) END AS punct,
+        |    len(list_filter(list_distinct(regexp_extract_all(lower(text), '\S+')),
+        |      x -> x IN ('the','a','an','and','of','to','in','is'))) AS nstop,
+        |    COALESCE(1.0 - CAST(g2.dist AS DOUBLE) / g2.total, 0.0) AS dup2
+        |  FROM toks t LEFT JOIN g2 USING (doc_id))
+        |SELECT doc_id, n AS n_words,
+        |  n >= 20 AND n <= 100000 AS flag_word_count,
+        |  mwl >= 3.0 AND mwl <= 10.0 AS flag_word_len,
+        |  punct <= 0.2 AS flag_punct,
+        |  nstop >= 2 AS flag_stopwords,
+        |  dup2 <= 0.3 AS flag_repetition,
+        |  (n >= 20 AND n <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+        |    AND punct <= 0.2 AND nstop >= 2 AND dup2 <= 0.3 AS keep
+        |FROM b
         |ORDER BY doc_id""".stripMargin,
 
     "q119_winnow_pairs" ->

@@ -172,6 +172,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("gopherQuality: each rule rejects its designed failure, good text keeps") {
+    val good = ("the quick brown fox jumps over a lazy dog and then runs " +
+      "far away to find some food in the deep dark forest tonight") // 23 words
+    val tooShort = "the cat is in a box"
+    val shouting = Seq.fill(25)("!!!###!!!").mkString(" ") // punct-heavy
+    val noStops = Seq.tabulate(25)(i => s"zzz$i").mkString(" ")
+    val looping = ("spam ham " * 30).trim // 2-gram repetition ≈ 1
+    val docs = Seq((1L, good), (2L, tooShort), (3L, shouting),
+      (4L, noStops), (5L, looping)).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .select($"doc_id", $"flag_word_count", $"flag_word_len", $"flag_punct",
+        $"flag_stopwords", $"flag_repetition", $"keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got(0) == ((1L, true, true, true, true, true, true)), s"${got(0)}")
+    assert(!got(1)._2 && !got(1)._7, "short doc fails word count")
+    assert(!got(2)._4 && !got(2)._7, "symbol spam fails the punct rule")
+    assert(!got(3)._5 && !got(3)._7, "stopword-free text fails the common-words rule")
+    assert(!got(4)._6 && !got(4)._7, "looping text fails the repetition rule")
+  }
+
   test("wordDropout: deterministic, ~1/denom dropped, subsequence order kept") {
     val doc = (1 to 1000).map(i => s"t$i").mkString(" ")
     val df = Seq((7L, doc)).toDF("doc_id", "text")
