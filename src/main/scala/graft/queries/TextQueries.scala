@@ -396,6 +396,33 @@ object TextQueries {
         .orderBy("source", "lang", "rn")
     }),
 
+    // The round-5 composed corpus build — quality filter (Gopher rules) →
+    // exact-content dedup (keep min doc_id per fingerprint) → sliding
+    // chunking → token-budget packing per source. Every stage is a
+    // round-5-or-earlier operator; the oracle recomputes the WHOLE chain,
+    // proving the new stages COMPOSE exactly (the q89 doctrine).
+    "q121_corpus_build" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      val kept = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+        .join(docs, Seq("doc_id"))
+        .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("__keep_id", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
+        .filter(col("doc_id") === col("__keep_id"))
+      val chunks = TextAnalysis.chunkDocuments(kept, "doc_id", "text",
+          chunkSize = 40, stride = 30)
+        // a packable unique id in (doc, chunk) order; docs here are far
+        // under 1000 chunks (40-token windows over ≤ 577-char docs)
+        .withColumn("uid", col("doc_id") * 1000 + col("chunk_id"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      TextAnalysis.packBins(chunks, "uid", "chunk",
+          budget = 512L, partitionCol = "source")
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("bin_tokens"))
+        .orderBy("source", "bin")
+    }),
+
     // Gopher rule-based quality flags: the published filter bundle with
     // per-rule booleans + the keep conjunction — pipelines tune on the
     // per-rule breakdown, not just the verdict.
@@ -873,6 +900,61 @@ object TextQueries {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrub_sig
         |FROM synth
         |ORDER BY doc_id""".stripMargin,
+
+    "q121_corpus_build" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, regexp_extract_all(text, '\S+') AS w FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, count(*) AS total,
+        |    count(DISTINCT w[i]||' '||w[i+1]) AS dist
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)
+        |  GROUP BY doc_id),
+        |b AS (
+        |  SELECT t.doc_id,
+        |    len(regexp_extract_all(lower(text), '\S+')) AS n,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 0.0
+        |      ELSE CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |           / len(regexp_extract_all(lower(text), '\S+')) END AS mwl,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |           / length(text) END AS punct,
+        |    len(list_filter(list_distinct(regexp_extract_all(lower(text), '\S+')),
+        |      x -> x IN ('the','a','an','and','of','to','in','is'))) AS nstop,
+        |    COALESCE(1.0 - CAST(g2.dist AS DOUBLE) / g2.total, 0.0) AS dup2
+        |  FROM toks t LEFT JOIN g2 USING (doc_id)),
+        |keepids AS (
+        |  SELECT doc_id FROM b
+        |  WHERE n >= 20 AND n <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |    AND punct <= 0.2 AND nstop >= 2 AND dup2 <= 0.3),
+        |fps AS (
+        |  SELECT d.doc_id, d.text, d.source,
+        |    md5(trim(regexp_replace(regexp_replace(lower(d.text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents d JOIN keepids USING (doc_id)),
+        |dedup AS (
+        |  SELECT doc_id, text, source FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM fps)
+        |  WHERE doc_id = keep_id),
+        |ct AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS tk FROM dedup),
+        |cc AS (
+        |  SELECT doc_id, source, tk,
+        |    CASE WHEN len(tk) <= 0 THEN 0
+        |         ELSE 1 + greatest((len(tk) - 40 + 29) // 30, 0) END AS nc
+        |  FROM ct),
+        |cx AS (SELECT doc_id, source, tk, unnest(range(0, nc)) AS i FROM cc),
+        |chunks AS (
+        |  SELECT doc_id * 1000 + i AS uid, source,
+        |    CAST(len(tk[i*30+1 : i*30+40]) AS BIGINT) AS n_tokens
+        |  FROM cx),
+        |packed AS (
+        |  SELECT source, uid, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY uid
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM chunks)
+        |SELECT source, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
+        |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM packed
+        |GROUP BY 1, 2
+        |ORDER BY source, bin""".stripMargin,
 
     "q120_gopher_rules" ->
       """WITH toks AS (
