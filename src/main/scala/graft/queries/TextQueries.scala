@@ -396,6 +396,28 @@ object TextQueries {
         .orderBy("source", "lang", "rn")
     }),
 
+    // Temperature-sampled mixture at α = 0.5: keep ceil(√n) docs per
+    // source by md5 order — the multilingual temperature-sampling scheme
+    // (upweight small sources relative to proportional sampling). α is
+    // FIXED at 1/2 because IEEE sqrt is correctly rounded in every
+    // engine; an arbitrary pow(n, α) is not, and an off-by-one keep
+    // count at a representation boundary is exactly the divergence class
+    // the gate hunts (the q101 exact-integer lesson, transposed).
+    "q122_temperature" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(md5(concat(lit("temp:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      val cw = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(cw))
+        .filter(col("rn") <= ceil(sqrt(col("__n").cast("double"))))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), max("__n").cast("long").as("n_total"))
+        .orderBy("source")
+    }),
+
     // The round-5 composed corpus build — quality filter (Gopher rules) →
     // exact-content dedup (keep min doc_id per fingerprint) → sliding
     // chunking → token-budget packing per source. Every stage is a
@@ -900,6 +922,18 @@ object TextQueries {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrub_sig
         |FROM synth
         |ORDER BY doc_id""".stripMargin,
+
+    "q122_temperature" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('temp:'||CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, count(*) AS n_kept, CAST(max(n) AS BIGINT) AS n_total
+        |FROM t WHERE rn <= ceil(sqrt(CAST(n AS DOUBLE)))
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q121_corpus_build" ->
       """WITH toks AS (
