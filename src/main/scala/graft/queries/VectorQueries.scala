@@ -276,6 +276,35 @@ object VectorQueries {
         .orderBy("vec_id", "j")
     }),
 
+    // Embedding-quality diagnostic: Fisher-style label separation —
+    // within-class scatter (Σ ||x − μ_label||²) and between-class scatter
+    // (n_label · ||μ_label − μ||²) per label. Both computed against
+    // ROUNDED means (the Lloyd handoff doctrine: accumulation ulps must
+    // never leak into a cross-engine comparison), outputs rounded at 4.
+    "q123_label_separation" -> ((s, dir) => {
+      val dims = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>")))
+      val mul = dims.groupBy("label", "pos")
+        .agg(round(avg("col") + lit(1e-9), 6).as("m"))
+      val mug = dims.groupBy("pos")
+        .agg(round(avg("col") + lit(1e-9), 6).as("g"))
+      val n = Tables.embeddings(s, dir).groupBy("label")
+        .agg(count(lit(1)).as("n"))
+      val within = dims.join(mul, Seq("label", "pos"))
+        .groupBy("label")
+        .agg(sum((col("col") - col("m")) * (col("col") - col("m")))
+          .as("__w"))
+      val between = mul.join(broadcast(mug), Seq("pos"))
+        .groupBy("label")
+        .agg(sum((col("m") - col("g")) * (col("m") - col("g"))).as("__b"))
+      n.join(within, Seq("label")).join(between, Seq("label"))
+        .select(col("label").cast("long").as("label"), col("n"),
+          round(col("__w") + lit(1e-9), 4).as("within_scatter"),
+          round(col("n") * col("__b") + lit(1e-9), 4).as("between_scatter"))
+        .orderBy("label")
+    }),
+
     // The reduced-dimension ANN composition: JL-project 64→16, sign-bucket
     // the PROJECTED space (4 bits), probe the query's bucket, exact-cosine
     // rerank on the ORIGINAL vectors — project→bucket→probe→rerank, each
@@ -350,6 +379,30 @@ object VectorQueries {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+
+    "q123_label_separation" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, label, v[i] AS val, i
+        |      FROM (SELECT vec_id, label, v, unnest(range(1, len(v) + 1)) AS i FROM e)),
+        |mul AS (
+        |  SELECT label, i, round(avg(val) + 1e-9, 6) AS m
+        |  FROM x GROUP BY label, i),
+        |mug AS (SELECT i, round(avg(val) + 1e-9, 6) AS g FROM x GROUP BY i),
+        |n AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+        |w AS (
+        |  SELECT x.label, sum((val - m) * (val - m)) AS w
+        |  FROM x JOIN mul ON x.label = mul.label AND x.i = mul.i
+        |  GROUP BY x.label),
+        |btw AS (
+        |  SELECT mul.label, sum((m - g) * (m - g)) AS b
+        |  FROM mul JOIN mug ON mul.i = mug.i
+        |  GROUP BY mul.label)
+        |SELECT CAST(n.label AS BIGINT) AS label, n.n AS n,
+        |  round(w.w + 1e-9, 4) AS within_scatter,
+        |  round(n.n * btw.b + 1e-9, 4) AS between_scatter
+        |FROM n JOIN w ON n.label = w.label JOIN btw ON n.label = btw.label
+        |ORDER BY label""".stripMargin,
 
     "q109_projection" ->
       """WITH e AS (
