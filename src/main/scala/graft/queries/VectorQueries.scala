@@ -276,6 +276,37 @@ object VectorQueries {
         .orderBy("vec_id", "j")
     }),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup inside k-means cells —
+    // pairwise cosine only WITHIN a cluster (k sizes the quadratic term;
+    // the paper's cost model), any doc with a lower-id neighbor above the
+    // threshold drops. Composes the deterministic Lloyd step, so the
+    // oracle replays clustering AND dedup end to end.
+    "q124_semdedup" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val assign = graft.operators.VectorIndex
+        .lloydOnce(e, "vec_id", "embedding", k = 8)
+        .select(col("vec_id"), col("c_refined").as("cid"))
+      val a = e.select(col("vec_id"), col("embedding"))
+        .join(assign, Seq("vec_id"))
+      val pairs = a.select(col("cid"), col("vec_id").as("a_id"),
+          col("embedding").as("__va"))
+        .join(a.select(col("cid"), col("vec_id").as("b_id"),
+          col("embedding").as("__vb")), Seq("cid"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("__score",
+          round(graft.functions.cosine_sim(col("__va"), col("__vb")), 6))
+        .filter(col("__score") >= 0.35)
+      val dropped = pairs.select(col("cid"), col("b_id").as("vec_id"))
+        .distinct()
+      a.join(dropped.select("vec_id"), Seq("vec_id"), "left_anti")
+        .groupBy("cid").agg(count(lit(1)).as("n_kept"))
+        .join(dropped.groupBy("cid").agg(count(lit(1)).as("n_dropped")),
+          Seq("cid"), "left")
+        .na.fill(0L, Seq("n_dropped"))
+        .select(col("cid"), col("n_kept"), col("n_dropped"))
+        .orderBy("cid")
+    }),
+
     // Embedding-quality diagnostic: Fisher-style label separation —
     // within-class scatter (Σ ||x − μ_label||²) and between-class scatter
     // (n_label · ||μ_label − μ||²) per label. Both computed against
@@ -379,6 +410,54 @@ object VectorQueries {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+
+    "q124_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |init AS (
+        |  SELECT cid, cent FROM (
+        |    SELECT v AS cent, CAST(row_number() OVER (
+        |      ORDER BY md5('km:'||CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS cid
+        |    FROM e)
+        |  WHERE cid <= 8),
+        |a0 AS (
+        |  SELECT vec_id, cid, round(list_distance(v, cent), 6) AS d
+        |  FROM e CROSS JOIN init),
+        |c0 AS (
+        |  SELECT vec_id, cid AS c_init FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM a0)
+        |  WHERE rn = 1),
+        |dims AS (
+        |  SELECT c_init, i, v[i] AS val
+        |  FROM (SELECT e.vec_id, v, c_init, unnest(range(1, len(v) + 1)) AS i
+        |        FROM e JOIN c0 USING (vec_id))),
+        |means AS (
+        |  SELECT c_init AS cid, i, round(avg(val) + 1e-9, 6) AS m
+        |  FROM dims GROUP BY c_init, i),
+        |cents1 AS (
+        |  SELECT cid, list(m ORDER BY i) AS cent FROM means GROUP BY cid),
+        |a1 AS (
+        |  SELECT vec_id, cid, round(list_distance(v, cent), 6) AS d
+        |  FROM e CROSS JOIN cents1),
+        |c1 AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM a1)
+        |  WHERE rn = 1),
+        |cand AS (SELECT c1.vec_id, c1.cid, e.v FROM c1 JOIN e USING (vec_id)),
+        |sz AS (SELECT cid, count(*) AS n FROM cand GROUP BY cid),
+        |prs AS (
+        |  SELECT a.cid, b.vec_id AS b_id
+        |  FROM cand a JOIN cand b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
+        |dc AS (SELECT cid, count(DISTINCT b_id) AS nd FROM prs GROUP BY cid)
+        |SELECT cid, sz.n - COALESCE(dc.nd, 0) AS n_kept,
+        |  COALESCE(dc.nd, 0) AS n_dropped
+        |FROM sz LEFT JOIN dc USING (cid)
+        |ORDER BY cid""".stripMargin,
 
     "q123_label_separation" ->
       """WITH e AS (
