@@ -344,6 +344,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(1200))
   }
 
+  test("q121 corpus build: dedup and packing windows key correctly, no cartesian") {
+    val p = plan("q121_corpus_build")
+    assert(p.contains("hashpartitioning(__fp"),
+      s"the dedup window must shuffle on the fingerprint:\n${p.take(1500)}")
+    assert(p.contains("hashpartitioning(source"),
+      s"packing must shuffle on the source partition:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q124 semdedup: pairing is a cid equi-join, never a cartesian") {
+    val p = plan("q124_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"within-cluster pairing must join on the cluster id:\n${p.take(2000)}")
+    // the k-row centroid sets broadcast (the lloyd shape), and the
+    // pair join keys on cid
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(1500))
+    assert(p.contains("hashpartitioning(cid") || p.contains("BroadcastHashJoin"),
+      s"pairing must be an equi-join on cid:\n${p.take(2000)}")
+  }
+
   test("q67 two-phase sessionize: per-event window partitioned by (user, chunk)") {
     val p = plan("q67_sessionize_2phase")
     // the heavy (per-event) sort must key on user_id AND the chunk — that
