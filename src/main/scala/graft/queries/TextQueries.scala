@@ -396,6 +396,34 @@ object TextQueries {
         .orderBy("source", "lang", "rn")
     }),
 
+    // Pairwise source-overlap matrix: 5-gram shingle Jaccard between
+    // every source pair — the corpus diagnostic that finds mirrored /
+    // re-scraped sources before dedup spends compute on them. The join
+    // key fans out to at most |sources|² pairs per shingle (a bounded
+    // catalog, not a data-scale key — no cap needed), and the two join
+    // sides share one physical exchange (identical distinct subtrees).
+    "q125_source_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ss = graft.operators.Dedup
+        .explodeShingles(docs, "source", "text", 5).distinct()
+      val tot = ss.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = ss.select(col("shingle"), col("source").as("src_a"))
+        .join(ss.select(col("shingle"), col("source").as("src_b")),
+          Seq("shingle"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(tot.select(col("source").as("src_a"), col("n").as("n_a")),
+          Seq("src_a"))
+        .join(tot.select(col("source").as("src_b"), col("n").as("n_b")),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          round(col("n_shared").cast("double") /
+            (col("n_a") + col("n_b") - col("n_shared")) + lit(1e-9), 6)
+            .as("jaccard"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // Temperature-sampled mixture at α = 0.5: keep ceil(√n) docs per
     // source by md5 order — the multilingual temperature-sampling scheme
     // (upweight small sources relative to proportional sampling). α is
@@ -922,6 +950,26 @@ object TextQueries {
         |    '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS scrub_sig
         |FROM synth
         |ORDER BY doc_id""".stripMargin,
+
+    "q125_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, regexp_extract_all(text, '\S+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source,
+        |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+        |  FROM (SELECT source, w, unnest(range(1, len(w) - 3)) AS i FROM toks)),
+        |tot AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |p AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT src_a, src_b, n_shared,
+        |  round(CAST(n_shared AS DOUBLE) / (ta.n + tb.n - n_shared) + 1e-9, 6) AS jaccard
+        |FROM p
+        |JOIN tot ta ON p.src_a = ta.source
+        |JOIN tot tb ON p.src_b = tb.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "q122_temperature" ->
       """WITH t AS (
