@@ -276,6 +276,40 @@ object VectorQueries {
         .orderBy("vec_id", "j")
     }),
 
+    // Recall@10 of the sign-bucket probe vs exact search, per query —
+    // the index-quality measurement ITSELF under the exactness gate
+    // (recall characterization is usually a side report; here the oracle
+    // recomputes both rankings and the hit counts, so the recall numbers
+    // are provably right, not self-reported).
+    "q126_probe_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("cluster_id",
+          graft.operators.VectorIndex.signBucket(col("embedding"), 8))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
+          col("cluster_id").as("__qc"))
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("__score",
+          round(graft.functions.cosine_sim(col("embedding"), col("__qv")), 6))
+      def top(df: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("__score"), col("vec_id"))
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 10).select("query_id", "vec_id")
+      }
+      val exact = top(scored)
+      val probe = top(scored.filter(
+        bit_count(col("cluster_id").bitwiseXOR(col("__qc"))) <= 1))
+      val hits = exact.join(probe, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      qs.select("query_id").join(hits, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          round(col("n_hit") / 10.0 + lit(1e-9), 2).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup inside k-means cells —
     // pairwise cosine only WITHIN a cluster (k sizes the quadratic term;
     // the paper's cost model), any doc with a lower-id neighbor above the
@@ -410,6 +444,41 @@ object VectorQueries {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+
+    "q126_probe_recall" -> {
+      s"""WITH coded AS (
+         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS c
+         |  FROM embeddings),
+         |qs AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, c AS qc
+         |  FROM coded WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id, e.c, q.qc,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.qv AS DOUBLE[])), 6) AS score
+         |  FROM coded e CROSS JOIN qs q WHERE e.vec_id <> q.query_id),
+         |exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM scored) WHERE rn <= 10),
+         |probe AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM scored
+         |    WHERE bit_count(xor(CAST(c AS BIGINT), CAST(qc AS BIGINT))) <= 1)
+         |  WHERE rn <= 10),
+         |h AS (
+         |  SELECT e.query_id, count(*) AS n_hit
+         |  FROM exact e JOIN probe p
+         |    ON e.query_id = p.query_id AND e.vec_id = p.vec_id
+         |  GROUP BY e.query_id)
+         |SELECT q.query_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(COALESCE(h.n_hit, 0) / 10.0 + 1e-9, 2) AS recall
+         |FROM qs q LEFT JOIN h USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    },
 
     "q124_semdedup" ->
       """WITH e AS (
