@@ -54,6 +54,67 @@ object TrainExport {
         max("__shuffle_key").as("last_key"))
       .orderBy("shard")
 
+  /** Global 1-based md5-order rank within each stratum, computed
+    * SKEW-PROOF via the chunked two-phase pattern
+    * ([[Sessionize.sessionSummaryChunked]]'s doctrine, transposed from
+    * time-chunks to keyspace-chunks): a single
+    * `row_number() OVER (PARTITION BY strata ORDER BY key)` sorts every
+    * row of a stratum on ONE reducer — at corpus scale the dominant
+    * source serializes the job. Here the md5 key's first `hexChars` hex
+    * digits define a chunk; because the chunk is a PREFIX of the order
+    * key, ordering by (chunk, key) equals ordering by key, so the global
+    * rank decomposes exactly:
+    *
+    *   phase 1 — rank within (strata, chunk): the big sort is
+    *     partitioned by stratum × 16^hexChars uniform chunks (md5 is
+    *     uniform — no chunk is hot even when a stratum is);
+    *   phase 2 — per-(strata, chunk) counts (a map-side-combined
+    *     aggregation that collapses to |strata|·16^hexChars rows)
+    *     prefix-sum into chunk offsets; a broadcast stitch adds the
+    *     offset of all earlier chunks to the local rank.
+    *
+    * Identical output to the single-window formulation (TrainExportSpec
+    * proves the equivalence row-for-row); only the plan changes.
+    *
+    * Output: the input columns plus `rn` (the global stratum rank, ties
+    * on the md5 key broken by `idCol`) and `__n` (the stratum row
+    * count) — callers filter on a keep rule and drop `__n`.
+    */
+  def md5RankChunked(df: DataFrame, idCol: String, strataCols: Seq[String],
+      seed: String, hexChars: Int = 2): DataFrame = {
+    require(strataCols.nonEmpty, "at least one stratum column required")
+    require(hexChars >= 1 && hexChars <= 4,
+      s"hexChars must be in [1, 4] (16..65536 chunks), got $hexChars")
+    val strata = strataCols.map(col)
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    val keyed = df.withColumn("__key", key)
+      .withColumn("__chunk", substring(col("__key"), 1, hexChars))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy((strata :+ col("__chunk")): _*)
+      .orderBy(col("__key"), col(idCol))
+    val local = keyed
+      .withColumn("__lrn", row_number().over(wLocal).cast("long"))
+    // per-chunk counts: a second linear pass whose partial aggregation
+    // collapses map-side to the tiny (strata × chunks) catalog — far
+    // cheaper than re-deriving counts from the windowed branch (which
+    // would re-run the big sort on the aggregation side).
+    val counts = keyed
+      .groupBy((strata :+ col("__chunk")): _*)
+      .agg(count(lit(1)).as("__cn"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata: _*).orderBy("__chunk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(strata: _*)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cn")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__cn")).over(wTot))
+      .select((strata :+ col("__chunk") :+ col("__off") :+ col("__n")): _*)
+    local.join(broadcast(offsets), strataCols :+ "__chunk")
+      .withColumn("rn", col("__off") + col("__lrn"))
+      .drop("__key", "__chunk", "__lrn", "__off")
+  }
+
   /** Deterministic proportional stratified sample: keep
     * `ceil(n · keepNumer / keepDenom)` rows of every stratum, chosen by
     * md5 order — the per-source/per-language mixture-downsampling step of
@@ -72,24 +133,17 @@ object TrainExport {
     * Output: the input columns plus `rn` (1-based md5-order rank within
     * the stratum — stable, so downstream can sub-sample by rank).
     *
-    * Scale shape: one shuffle on the strata columns; both windows (rank
-    * and stratum count) share that exchange. A pathologically hot stratum
-    * serializes its sort into one task — strata here are bounded
-    * catalogs (source × language), not user-scale keys; for unbounded
-    * strata, pre-aggregate counts and join instead of the count window.
+    * Scale shape: [[md5RankChunked]] — the per-row sort is partitioned by
+    * (stratum, md5-prefix chunk), so a pathologically hot stratum spreads
+    * over 16^hexChars uniform chunks instead of serializing one reducer;
+    * the stitch is a broadcast of the tiny chunk-offset catalog.
     */
   def stratifiedSample(df: DataFrame, idCol: String, strataCols: Seq[String],
       keepNumer: Int, keepDenom: Int, seed: String = "samp"): DataFrame = {
     require(strataCols.nonEmpty, "at least one stratum column required")
     require(keepDenom >= 1 && keepNumer >= 0 && keepNumer <= keepDenom,
       s"keep fraction must be in [0, 1]: got $keepNumer/$keepDenom")
-    val strata = strataCols.map(col)
-    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(strata: _*).orderBy(key, col(idCol))
-    val cw = org.apache.spark.sql.expressions.Window.partitionBy(strata: _*)
-    df.withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("__n", count(lit(1)).over(cw))
+    md5RankChunked(df, idCol, strataCols, seed)
       .filter(col("rn") <=
         expr(s"(__n * $keepNumer + ${keepDenom - 1}) DIV $keepDenom"))
       .drop("__n")

@@ -431,15 +431,12 @@ object TextQueries {
     // engine; an arbitrary pow(n, α) is not, and an off-by-one keep
     // count at a representation boundary is exactly the divergence class
     // the gate hunts (the q101 exact-integer lesson, transposed).
+    // Skew-proof rank: md5RankChunked partitions the per-row sort by
+    // (source, md5-prefix chunk) — the dominant source of a real corpus
+    // never serializes one reducer (the q67 chunked doctrine).
     "q122_temperature" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("source")
-        .orderBy(md5(concat(lit("temp:"), col("doc_id").cast("string"))),
-          col("doc_id"))
-      val cw = org.apache.spark.sql.expressions.Window.partitionBy("source")
-      Tables.documents(s, dir)
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("__n", count(lit(1)).over(cw))
+      graft.operators.TrainExport.md5RankChunked(
+          Tables.documents(s, dir), "doc_id", Seq("source"), seed = "temp")
         .filter(col("rn") <= ceil(sqrt(col("__n").cast("double"))))
         .groupBy("source")
         .agg(count(lit(1)).as("n_kept"), max("__n").cast("long").as("n_total"))

@@ -283,14 +283,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the mean refinement must combine map-side:\n${p.take(1500)}")
   }
 
-  test("q101 stratified sample: both windows share one strata shuffle") {
+  test("q101 stratified sample: rank partitioned by (strata, chunk), broadcast stitch") {
     val p = plan("q101_stratified")
-    assert(p.contains("hashpartitioning(source"),
-      s"rank and count windows must key on the strata columns:\n${p.take(1500)}")
-    // exactly one strata exchange — the count window must reuse the rank
-    // window's partitioning, not add a second shuffle
-    assert("hashpartitioning\\(source".r.findAllIn(p).size == 1,
-      s"the two windows must share one exchange:\n${p.take(2000)}")
+    // the per-row sort must be chunk-partitioned (skew-proof: a hot
+    // stratum spreads over the md5-prefix chunks), never a bare
+    // per-stratum window
+    assert("hashpartitioning\\(source#\\d+, lang#\\d+, __chunk".r
+      .findFirstIn(p).isDefined,
+      s"row rank must partition on (strata, __chunk):\n${p.take(2000)}")
+    // the chunk-offset stitch is a broadcast of the tiny offset catalog
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"offset stitch must broadcast:\n${p.take(2000)}")
   }
 
   test("q112 count-min: bounded-table build combines map-side, top cut bounded") {

@@ -109,4 +109,33 @@ class TrainExportSpec extends AnyFunSuite {
       TrainExport.stratifiedSample(docs, "doc_id", Seq("src"), 6, 5)
     }
   }
+
+  test("md5RankChunked equals the single-window rank at every chunk width") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // enough rows per stratum that every 1-hex chunk is hit (16 chunks,
+    // 400 rows/stratum) — exercises multi-chunk offsets, not just the
+    // degenerate one-chunk case
+    val docs = (1L to 1200L).map(i => (i, "s" + (i % 3))).toDF("doc_id", "src")
+    val w = Window.partitionBy("src")
+      .orderBy(md5(concat(lit("samp:"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    val single = docs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy("src")))
+      .select($"src", $"doc_id", $"rn", $"__n")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    for (hexChars <- Seq(1, 2)) {
+      val chunked = TrainExport.md5RankChunked(
+          docs, "doc_id", Seq("src"), "samp", hexChars)
+        .select($"src", $"doc_id", $"rn", $"__n")
+        .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+      assert(chunked.toSeq == single.toSeq,
+        s"chunked two-phase rank must equal the single window (hexChars=$hexChars)")
+    }
+    intercept[IllegalArgumentException] {
+      TrainExport.md5RankChunked(docs, "doc_id", Seq("src"), "samp", 5)
+    }
+  }
 }
