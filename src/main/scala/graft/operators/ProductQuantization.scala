@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze, Schmid 2011): split each vector
+  * into `m` contiguous subspaces, learn a small codebook per subspace
+  * (k-means over the sub-vectors), store each vector as `m` one-byte
+  * centroid ids, and score queries against the codes via an
+  * asymmetric-distance lookup table (ADC) — the 100 TB compression step
+  * of the reference's SEARCHSIMILAR surface
+  * (`/root/reference/src/command/types.rs:121-132`) beyond SQ8's 4×:
+  * with dim 64 float32 and m = 8, codes are 8 bytes per row — 32× fewer
+  * scan bytes, and the ADC scan reads only `(id, code)`.
+  *
+  * Deterministic end to end by the house doctrine (the q106 Lloyd rules,
+  * applied per subspace): codebooks seed from the first `ksub` vectors in
+  * md5(seed:id) order (ONE bounded top-k over the corpus — every
+  * subspace slices the same seed rows, the classic PQ initialization),
+  * assignment is argmin of ROUNDED l2 with a centroid-id tie-break,
+  * refined centroids are per-dimension means rounded (+1e-9 midpoint
+  * guard) before reuse, empty cells keep their previous centroid (the
+  * MLlib/lloydIterate behavior — and it keeps the codebook DENSE, so ADC
+  * lookup tables are plain arrays). Every handoff is rounded, so a SQL
+  * engine replays codebooks, codes, and ADC scores exactly (the q127
+  * gate does).
+  *
+  * Scale shape: training is `rounds` jobs, each one partial-agg pass
+  * (m·ksub·dsub ≈ dim·ksub rounded doubles of driver/plan state — the
+  * same model shape as [[VectorIndex.lloydIterate]]); code assignment and
+  * ADC scoring are pure codegen column math against literal codebooks
+  * (no join, no shuffle, runs inside the scan); the ADC cut is a bounded
+  * top-k (TakeOrderedAndProject). Composes with the IVF layouts in
+  * [[VectorIndex]] exactly like SQ8 does: prune cells, ADC-rank inside
+  * them, exact-rerank the shortlist ([[SimilaritySearch.rerankExact]]).
+  */
+object ProductQuantization {
+
+  /** Codebooks: `codebooks(s)(cid - 1)` is subspace `s`'s centroid `cid`
+    * (1-based cids so codes index `element_at` directly), each of length
+    * `dim / m`.
+    */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  private def checkDims(dim: Int, m: Int): Int = {
+    require(m >= 1 && dim % m == 0,
+      s"m must divide dim: dim=$dim m=$m")
+    dim / m
+  }
+
+  /** Nearest centroid id (1-based) for a sub-vector against a literal
+    * codebook: argmin of ROUNDED l2 distance, ties to the lowest cid —
+    * the q106 assignment rule, engine-reproducible.
+    */
+  private def nearestCid(sv: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      struct(round(graft.functions.l2_dist(sv, lit(c)), 6).as("d"),
+        lit(j + 1).as("c"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("c")
+  }
+
+  /** Train per-subspace codebooks with `rounds` deterministic Lloyd
+    * refinements (fixed round count, never convergence-dependent — a SQL
+    * oracle replays exactly `rounds` layers). Seeds are the first `ksub`
+    * vectors in md5(seed:id) order, sliced per subspace.
+    */
+  def trainCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, rounds: Int = 1, seed: String = "pq"): Codebooks = {
+    require(ksub >= 1 && ksub <= 127,
+      s"ksub must fit a signed byte code, got $ksub")
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val dim = df.select(col(vecCol)).head().getSeq[Float](0).length
+    val dsub = checkDims(dim, m)
+    val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    // ONE bounded top-k for every subspace's seeds (TakeOrdered, never a
+    // rank window): the classic PQ init slices the same sampled rows.
+    val seedVecs = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__key", key)
+      .orderBy(col("__key"), col(idCol)).limit(ksub)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    require(seedVecs.length == ksub,
+      s"need at least ksub=$ksub vectors to seed, got ${seedVecs.length}")
+    var cents: Codebooks = Array.tabulate(m) { s =>
+      seedVecs.map(v => v.slice(s * dsub, (s + 1) * dsub))
+    }
+    var r = 0
+    while (r < rounds) {
+      // one job: every (subspace, cell, dim) mean in a single partial-agg
+      // pass over the corpus
+      val frozen = cents
+      val subStructs = (0 until m).map { s =>
+        val sv = slice(col("__v"), s * dsub + 1, dsub)
+        struct(lit(s).as("s"), nearestCid(sv, frozen(s)).as("cid"),
+          sv.as("sv"))
+      }
+      val meanRows = df
+        .select(col(vecCol).cast("array<double>").as("__v"))
+        .select(explode(array(subStructs: _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.cid").as("cid"),
+          posexplode(col("e.sv")))
+        .groupBy("s", "cid", "pos")
+        .agg(round(avg("col") + lit(1e-9), 6).as("m"))
+        .collect()
+      // keep-previous for empty cells (dense codebook, MLlib behavior)
+      val next = cents.map(_.map(_.clone()))
+      meanRows.foreach { row =>
+        next(row.getInt(0))(row.getInt(1) - 1)(row.getInt(2)) =
+          row.getDouble(3)
+      }
+      cents = next
+      r += 1
+    }
+    cents
+  }
+
+  /** Append `codeCol` (array<tinyint>, length m, 1-based cids): each
+    * vector's per-subspace nearest-centroid ids. Pure column math against
+    * the literal codebooks — runs inside the scan that writes the data.
+    */
+  def assignCodes(df: DataFrame, vecCol: String, codebooks: Codebooks,
+      codeCol: String = "pq_code"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    df.withColumn("__vd", col(vecCol).cast("array<double>"))
+      .withColumn(codeCol, array((0 until m).map { s =>
+        nearestCid(slice(col("__vd"), s * dsub + 1, dsub), codebooks(s))
+          .cast("byte")
+      }: _*))
+      .drop("__vd")
+  }
+
+  /** The query's ADC lookup table: `lut(s)(cid - 1)` is the ROUNDED
+    * squared l2 distance from the query's subspace-`s` slice to centroid
+    * `cid` — m·ksub doubles, rounded with the same +1e-9 HALF_UP rule as
+    * the Spark `round` the oracle mirrors.
+    */
+  def adcTable(query: Array[Float], codebooks: Codebooks): Array[Array[Double]] = {
+    val m = codebooks.length
+    val dsub = codebooks.head.head.length
+    require(query.length == m * dsub,
+      s"query dim ${query.length} != m*dsub ${m * dsub}")
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      cb.map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = query(s * dsub + i).toDouble - c(i)
+          acc += d * d
+          i += 1
+        }
+        java.math.BigDecimal.valueOf(acc + 1e-9)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      }
+    }
+  }
+
+  /** ADC distance column over a stored code column: Σ_s lut[s][code_s],
+    * rounded (+1e-9) — a fixed chain of literal-array lookups, fully
+    * codegen, reading only the m-byte code.
+    */
+  def adcDistance(codeCol: Column, lut: Array[Array[Double]]): Column = {
+    val total = lut.zipWithIndex.map { case (row, s) =>
+      element_at(lit(row), element_at(codeCol, s + 1).cast("int"))
+    }.reduce(_ + _)
+    round(total + lit(1e-9), 6)
+  }
+
+  /** Bounded ADC shortlist over a coded frame: reads `(idCol, codeCol)`
+    * only, scores by the lookup table, keeps the `shortlist` nearest
+    * (TakeOrderedAndProject). Output: (`idCol`, `approx_score`) — feed to
+    * [[SimilaritySearch.rerankExact]] with metric "l2" for the exact cut.
+    */
+  def adcShortlist(coded: DataFrame, query: Array[Float],
+      shortlist: Int, codebooks: Codebooks, codeCol: String = "pq_code",
+      idCol: String = "id"): DataFrame = {
+    require(shortlist >= 1, s"shortlist must be positive, got $shortlist")
+    val lut = adcTable(query, codebooks)
+    coded.select(col(idCol), col(codeCol))
+      .withColumn("approx_score", adcDistance(col(codeCol), lut))
+      .orderBy(asc("approx_score"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol), col("approx_score"))
+  }
+
+  /** The full PQ probe: ADC shortlist on the stored codes, exact l2
+    * rerank of the shortlist only ([[SimilaritySearch.rerankExact]]'s
+    * cap-and-switch In-pushdown). Output: collection columns minus the
+    * vector, plus `approx_score` (ADC) and `score` (exact l2, ascending).
+    */
+  def topKAdc(collection: DataFrame, coded: DataFrame, query: Array[Float],
+      k: Int, shortlist: Int, codebooks: Codebooks,
+      vecCol: String = "embedding", codeCol: String = "pq_code",
+      idCol: String = "id"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = adcShortlist(coded, query, shortlist, codebooks, codeCol, idCol)
+    SimilaritySearch.rerankExact(collection, short, query, k, shortlist,
+      "l2", vecCol, idCol)
+  }
+}

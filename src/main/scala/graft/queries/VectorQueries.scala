@@ -433,6 +433,32 @@ object VectorQueries {
       graft.operators.VectorIndex.lloydOnce(
           Tables.embeddings(s, dir), "vec_id", "embedding", k = 8)
         .orderBy("vec_id")
+    }),
+
+    // Product quantization, fully hash-gated: per-subspace codebooks
+    // (md5-seeded, one rounded Lloyd refinement — the q106 doctrine ×8
+    // subspaces), 8-byte codes (32× compression over float32), ADC
+    // shortlist against the query's rounded lookup table, exact l2
+    // rerank. Every stage — codebooks, codes, ADC distances, final
+    // ranks — is recomputed by the oracle; the final cut is on the
+    // ROUNDED exact distance (the q79 rule: never cut on a raw float).
+    "q127_pq_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = graft.operators.ProductQuantization.trainCodebooks(
+        e, "vec_id", "embedding", m = 8, ksub = 16, rounds = 1, seed = "pq")
+      val coded = graft.operators.ProductQuantization.assignCodes(
+        e, "embedding", cb)
+      val query = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      graft.operators.ProductQuantization.topKAdc(
+          e.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+          coded.filter(col("vec_id") =!= 0), query,
+          k = 50, shortlist = 50, cb,
+          vecCol = "embedding", idCol = "vec_id")
+        .select(col("vec_id"), col("approx_score").as("adc_dist"),
+          round(col("score"), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
     })
   )
 
@@ -635,6 +661,68 @@ object VectorQueries {
       sb ++= "\nORDER BY rank"
       sb.toString
     },
+
+    "q127_pq_probe" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sp AS (SELECT unnest(range(0, 8)) AS s),
+        |ii AS (SELECT unnest(range(1, 9)) AS i),
+        |sub AS (
+        |  SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv FROM e CROSS JOIN sp),
+        |seeds AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, CAST(row_number() OVER (
+        |      ORDER BY md5('pq:'||CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS cid
+        |    FROM e) WHERE cid <= 16),
+        |c0 AS (
+        |  SELECT sub.s, seeds.cid, sub.sv AS cent
+        |  FROM sub JOIN seeds USING (vec_id)),
+        |a0 AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT sub.vec_id, sub.s, c0.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        |        ORDER BY round(list_distance(sub.sv, c0.cent), 6), c0.cid) AS rn
+        |    FROM sub JOIN c0 USING (s))
+        |  WHERE rn = 1),
+        |m1 AS (
+        |  SELECT s, cid, i, round(avg(sv[i]) + 1e-9, 6) AS mv
+        |  FROM (SELECT sub.s, a0.cid, sub.sv, unnest(range(1, 9)) AS i
+        |        FROM sub JOIN a0 USING (vec_id, s))
+        |  GROUP BY s, cid, i),
+        |c1 AS (
+        |  SELECT c0.s, c0.cid,
+        |    list(coalesce(m1.mv, c0.cent[ii.i]) ORDER BY ii.i) AS cent
+        |  FROM c0 CROSS JOIN ii
+        |  LEFT JOIN m1 ON m1.s = c0.s AND m1.cid = c0.cid AND m1.i = ii.i
+        |  GROUP BY c0.s, c0.cid),
+        |codes AS (
+        |  SELECT vec_id, s, cid FROM (
+        |    SELECT sub.vec_id, sub.s, c1.cid,
+        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+        |        ORDER BY round(list_distance(sub.sv, c1.cent), 6), c1.cid) AS rn
+        |    FROM sub JOIN c1 USING (s))
+        |  WHERE rn = 1),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |lut AS (
+        |  SELECT c1.s, c1.cid,
+        |    round(sum(power(qv[c1.s*8 + ii.i] - c1.cent[ii.i], 2)) + 1e-9, 6) AS d
+        |  FROM c1 CROSS JOIN ii CROSS JOIN q
+        |  GROUP BY c1.s, c1.cid),
+        |adc AS (
+        |  SELECT codes.vec_id, round(sum(lut.d) + 1e-9, 6) AS adc_dist
+        |  FROM codes JOIN lut USING (s, cid)
+        |  WHERE codes.vec_id <> 0
+        |  GROUP BY codes.vec_id),
+        |short AS (
+        |  SELECT vec_id, adc_dist FROM (
+        |    SELECT vec_id, adc_dist, row_number() OVER (
+        |      ORDER BY adc_dist, vec_id) AS rn FROM adc)
+        |  WHERE rn <= 50)
+        |SELECT short.vec_id, adc_dist,
+        |  round(list_distance(e.v, q.qv), 6) AS dist
+        |FROM short JOIN e USING (vec_id) CROSS JOIN q
+        |ORDER BY dist, short.vec_id
+        |LIMIT 10""".stripMargin,
 
     "q106_kmeans_lloyd" ->
       """WITH e AS (

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Product quantization: codebook/code invariants, determinism, recall
+  * per stored byte against the SQ8 path, and the scan-pruning property
+  * that justifies the whole operator (the ADC pass reads only the
+  * m-byte code column).
+  */
+class ProductQuantizationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val e = graft.Tables.embeddings(spark, TestSpark.sf)
+  private lazy val cb = ProductQuantization.trainCodebooks(
+    e, "vec_id", "embedding", m = 8, ksub = 16, rounds = 1)
+
+  test("codebooks are dense and deterministic; codes are in-range bytes") {
+    assert(cb.length == 8)
+    assert(cb.forall(_.length == 16))
+    assert(cb.forall(_.forall(_.length == 8)))
+    // keep-previous rule ⇒ no NaN/empty cells ever
+    assert(cb.forall(_.forall(_.forall(d => !d.isNaN))))
+    val again = ProductQuantization.trainCodebooks(
+      e, "vec_id", "embedding", m = 8, ksub = 16, rounds = 1)
+    assert(cb.map(_.map(_.toSeq).toSeq).toSeq ==
+      again.map(_.map(_.toSeq).toSeq).toSeq, "training must be deterministic")
+
+    val codes = ProductQuantization.assignCodes(e, "embedding", cb)
+      .select("pq_code").as[Seq[Byte]].collect()
+    assert(codes.forall(_.length == 8))
+    assert(codes.forall(_.forall(c => c >= 1 && c <= 16)))
+  }
+
+  test("ADC+rerank recall@10 beats sq8-rank-only at an eighth of the bytes") {
+    val queryIds = Seq(1L, 17L, 101L, 250L, 444L)
+    // production-shaped codebook: still 8 one-byte codes per row, but 64
+    // cells per subspace and two refinement rounds (the gate's q127 uses
+    // ksub=16/rounds=1 to keep the oracle's CTE layers small — byte cost
+    // is identical, only codebook quality differs)
+    val cbFine = ProductQuantization.trainCodebooks(
+      e, "vec_id", "embedding", m = 8, ksub = 64, rounds = 2)
+    val coded = ProductQuantization.assignCodes(e, "embedding", cbFine).cache()
+
+    def recallPq(shortlist: Int): Double = {
+      val hits = queryIds.map { qid =>
+        val q = e.filter($"vec_id" === qid)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val truth = SimilaritySearch
+          .topK(e.filter($"vec_id" =!= qid), q, 10, "l2",
+            vecCol = "embedding", idCol = "vec_id")
+          .select("vec_id").as[Long].collect().toSet
+        val got = ProductQuantization.topKAdc(
+            e.filter($"vec_id" =!= qid).select("vec_id", "embedding"),
+            coded.filter($"vec_id" =!= qid), q, 10, shortlist, cbFine,
+            vecCol = "embedding", idCol = "vec_id")
+          .select("vec_id").as[Long].collect().toSet
+        (truth intersect got).size
+      }.sum
+      hits.toDouble / (queryIds.size * 10)
+    }
+
+    // sq8 WITHOUT rerank (rank purely on the stored 64-byte int8 column —
+    // the IO-equal comparison point is what each method recalls from its
+    // compressed representation alone plus a bounded rerank budget)
+    val sq8Recall = {
+      val hits = queryIds.map { qid =>
+        val q = e.filter($"vec_id" === qid)
+          .select("embedding").head().getSeq[Float](0).toArray
+        val truth = SimilaritySearch
+          .topK(e.filter($"vec_id" =!= qid), q, 10, "cosine",
+            vecCol = "embedding", idCol = "vec_id")
+          .select("vec_id").as[Long].collect().toSet
+        val got = SimilaritySearch
+          .topKSq8(e.filter($"vec_id" =!= qid), q, 10, 10, "cosine",
+            vecCol = "embedding", idCol = "vec_id", rerank = false)
+          .select("vec_id").as[Long].collect().toSet
+        (truth intersect got).size
+      }.sum
+      hits.toDouble / (queryIds.size * 10)
+    }
+
+    val r20 = recallPq(20)
+    val r100 = recallPq(100)
+    val r200 = recallPq(200)
+    info(s"PQ recall@10 by shortlist: 20=$r20 100=$r100 200=$r200; sq8-only=$sq8Recall")
+    // widening the rerank budget must not lose neighbors
+    assert(r20 <= r100 + 1e-9 && r100 <= r200 + 1e-9,
+      s"recall not monotone in shortlist: $r20 / $r100 / $r200")
+    // the headline: 8 bytes of PQ code + a bounded exact rerank recalls at
+    // least as well as ranking on the full 64-byte sq8 column — while the
+    // scan reads 8× fewer bytes per row (the rerank is a constant 200
+    // rows, not a per-row cost). Measured honestly on this near-isotropic
+    // corpus (the IvfRecallSpec doctrine).
+    assert(r200 >= sq8Recall - 1e-9,
+      s"PQ@8B+rerank-200 ($r200) must match sq8-only@64B ($sq8Recall)")
+    coded.unpersist()
+  }
+
+  test("ADC over stored codes reads only (id, code) — never the vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    ProductQuantization.assignCodes(e, "embedding", cb)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val q = e.filter($"vec_id" === 1)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val p = ProductQuantization
+      .adcShortlist(stored, q, 50, cb, idCol = "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ADC cut must be a bounded top-k:\n${p.take(1500)}")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("pq_code") && !readSchema.contains("embedding"),
+      s"ADC scan must read only the code column: $readSchema")
+  }
+}
