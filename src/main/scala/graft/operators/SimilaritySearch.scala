@@ -256,6 +256,23 @@ object SimilaritySearch {
       .crossJoin(broadcast(queries))
       .select(col(queryIdCol).cast("long"), col(idCol).cast("long"), eff.as("s"))
       .as[(Long, Long, Double)]
+    boundedTopKPerQuery(scored, k, desc_?, idCol, queryIdCol)
+  }
+
+  /** The bounded-heap tail shared by [[topKBatchAgg]] and the batch IVF
+    * probes ([[VectorIndex.probeBatchCells]]): per-query top-k via
+    * [[TopKAggregator]] over a pre-scored (query, id, effective-score)
+    * dataset — ≤ k rows per partition per query cross the shuffle. The
+    * effective score is ALWAYS higher-is-better (callers negate ascending
+    * metrics); `desc_?` restores the sign on output. Ties kept on
+    * (score, lowest id). Output: (queryIdCol, idCol, score, rank).
+    */
+  private[operators] def boundedTopKPerQuery(
+      scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
+      k: Int, desc_? : Boolean, idCol: String,
+      queryIdCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
     val topk = new TopKAggregator(k).toColumn
     scored
       .groupByKey(_._1)

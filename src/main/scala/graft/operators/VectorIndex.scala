@@ -119,6 +119,80 @@ object VectorIndex {
       nearestCentroidIds(query, centroids, math.max(1, nprobe)),
       query, k, shortlist, metric, vecCol, q8Col, idCol)
 
+  /** Batch IVF probe — the shape a retrieval or hard-negative-mining job
+    * actually runs (the single-query probes serve the request path): for a
+    * BATCH of queries, compute each query's probe cells driver-side (the
+    * batch is request-sized, the same class of driver value as one query
+    * vector), scan the UNION of all probed cells ONCE — on a
+    * `partitionBy("cluster_id")` layout that is a partition-pruned scan
+    * that never opens the other cells' files — and keep a bounded heap
+    * per query ([[SimilaritySearch.boundedTopKPerQuery]]: ≤ k rows per
+    * partition per query cross the shuffle, never a full sort).
+    *
+    * Each scanned row joins the (query, cell) pairs broadcast-side, so a
+    * row scores only against the queries actually probing its cell — the
+    * scored volume is Σ_q |cells(q)|-worth of rows, not |batch| × |union
+    * scan| (the crossJoin shape of the exact batch, q22/q59).
+    *
+    * `cellsOf` maps a query vector to its probe cells — sign-bucket
+    * hamming balls ([[probeBatch]]) or nearest-centroid sets
+    * ([[probeKMeansBatch]]).
+    *
+    * Output matches [[SimilaritySearch.topKBatchAgg]]:
+    * (queryIdCol, idCol, score, rank).
+    */
+  def probeBatchCells(indexed: DataFrame, queries: DataFrame,
+      cellsOf: Array[Float] => Seq[Int], k: Int, metric: String = "cosine",
+      vecCol: String = "embedding", idCol: String = "id",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol)).collect()
+    require(qRows.nonEmpty, "probeBatchCells: empty query batch")
+    val cellPairs: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
+      cellsOf(r.getSeq[Float](1).toArray).map(c => (r.getLong(0), c))
+    }
+    val union = cellPairs.map(_._2).distinct.sorted
+    val cells = cellPairs.toDF(queryIdCol, "cluster_id")
+    val (sc, descQ) = SimilaritySearch.score(metric, col(vecCol), col(queryVecCol))
+    val eff = if (descQ) sc else -sc
+    val scored = indexed
+      .filter(col("cluster_id").isin(union: _*))
+      .join(broadcast(cells), Seq("cluster_id"))
+      .join(broadcast(queries.select(
+        col(queryIdCol).cast("long").as(queryIdCol), col(queryVecCol))),
+        Seq(queryIdCol))
+      .select(col(queryIdCol), col(idCol).cast("long").as(idCol), eff.as("s"))
+      .as[(Long, Long, Double)]
+    SimilaritySearch.boundedTopKPerQuery(scored, k, descQ, idCol, queryIdCol)
+  }
+
+  /** [[probeBatchCells]] on a sign-bucket layout: each query probes the
+    * cells within `radius` bit-flips of its own code.
+    */
+  def probeBatch(indexed: DataFrame, queries: DataFrame, k: Int,
+      metric: String = "cosine", nBits: Int = 8, radius: Int = 1,
+      vecCol: String = "embedding", idCol: String = "id",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame =
+    probeBatchCells(indexed, queries,
+      qv => codesWithin(signBucketOf(qv, nBits), nBits, radius),
+      k, metric, vecCol, idCol, queryIdCol, queryVecCol)
+
+  /** [[probeBatchCells]] on a KMeans-IVF layout: each query probes its
+    * `nprobe` nearest centroids' cells.
+    */
+  def probeKMeansBatch(indexed: DataFrame, queries: DataFrame, k: Int,
+      metric: String, centroids: Array[Array[Double]], nprobe: Int,
+      vecCol: String = "embedding", idCol: String = "id",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame =
+    probeBatchCells(indexed, queries,
+      qv => nearestCentroidIds(qv, centroids, math.max(1, nprobe)),
+      k, metric, vecCol, idCol, queryIdCol, queryVecCol)
+
   /** MLlib BucketedRandomProjectionLSH approximate nearest neighbors —
     * the "MLlib for vectors" alternative to the sign-bucket path. Seeded ⇒
     * reproducible on a fixed dataset/Spark version (not SQL-reproducible, so

@@ -459,6 +459,25 @@ object VectorQueries {
           round(col("score"), 6).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
+    }),
+
+    // Batch IVF probe: 5 queries, each probing its radius-1 hamming ball
+    // of sign-bucket cells, answered by ONE scan of the cell union (on a
+    // partitioned layout: partition-pruned) with a bounded heap per
+    // query — the retrieval-job shape, vs q22/q59's exact cross-join.
+    // Sign buckets + cosine are SQL-recomputable, so the whole batch
+    // probe carries a full hash-match oracle (q126's probe CTE, batched).
+    "q128_batch_probe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val indexed = VectorIndex.assignSignBuckets(e, "embedding", nBits = 8)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      VectorIndex.probeBatch(indexed, qs, k = 5, metric = "cosine",
+          nBits = 8, radius = 1, vecCol = "embedding", idCol = "vec_id")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -660,6 +679,28 @@ object VectorQueries {
         .mkString(" UNION ALL ")
       sb ++= "\nORDER BY rank"
       sb.toString
+    },
+
+    "q128_batch_probe" -> {
+      s"""WITH coded AS (
+         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS c
+         |  FROM embeddings),
+         |qs AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, c AS qc
+         |  FROM coded WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.qv AS DOUBLE[])) AS raw
+         |  FROM coded e CROSS JOIN qs q
+         |  WHERE bit_count(xor(CAST(e.c AS BIGINT), CAST(q.qc AS BIGINT))) <= 1),
+         |r AS (
+         |  SELECT query_id, vec_id, raw, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY raw DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, round(raw, 6) AS score, rank
+         |FROM r WHERE rank <= 5 AND vec_id <> query_id
+         |ORDER BY query_id, rank""".stripMargin
     },
 
     "q127_pq_probe" ->
