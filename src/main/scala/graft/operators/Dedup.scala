@@ -494,6 +494,64 @@ object Dedup {
     * reasons anyway: a bucket holding 1% of the corpus carries no
     * near-dup signal.
     */
+  private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
+    val idType = df.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"$op requires an integral id column; '$idCol' is $idType" +
+        " — hash or re-key non-numeric ids first")
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup WITHIN clustering
+    * cells — pairwise cosine only between rows sharing `cidCol`, and any
+    * row with a lower-id neighbor scoring ≥ `threshold` is marked
+    * dropped. Appends `semdup_drop` (boolean); callers filter or count.
+    *
+    * Hot-cell cap — the [[embeddingPairs]] discipline applied to the
+    * cells: the within-cell self-join is quadratic in cell size, so cell
+    * membership is counted with [[BoundedDistinctSetAgg]] (bounded
+    * partial buffers — an adversarial clustering can't OOM an executor)
+    * and cells over `maxCellSize` SKIP pairwise dedup entirely (kept
+    * whole, `semdup_drop` = false — exact semantics a SQL oracle mirrors
+    * with a count filter). The paper's cost model wants k ∝ N precisely
+    * so cells stay ~constant-size: at 100 TB, pick k ≈ N / (intended
+    * cell size) and the cap is the loud guard that the clustering
+    * actually delivered it, not a silent quadratic cliff.
+    *
+    * The clustering rides in as a column, not a callable — pair it with
+    * [[VectorIndex.lloydOnce]] (engine-recomputable, the q124 gate),
+    * [[VectorIndex.lloydIterate]], or [[VectorIndex.kmeansAssign]].
+    */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+      cidCol: String, threshold: Double,
+      maxCellSize: Int = 1000): DataFrame = {
+    requireIntegralId(df, idCol, "semDeDup")
+    require(maxCellSize >= 2, s"maxCellSize must be >= 2, got $maxCellSize")
+    val ids = col(idCol).cast("long")
+    val bounded = udaf(new BoundedDistinctSetAgg(maxCellSize + 1))
+    val surviving = df.groupBy(col(cidCol))
+      .agg(bounded(ids).as("__ids"))
+      .filter(size(col("__ids")) >= 2 && size(col("__ids")) <= maxCellSize)
+      .select(col(cidCol), explode(col("__ids")).as("__mid"))
+    val members = df
+      .select(col(cidCol), ids.as("__mid"), col(vecCol).as("__v"))
+      .join(surviving, Seq(cidCol, "__mid"))
+    val dropped = members
+      .select(col(cidCol), col("__mid").as("__a"), col("__v").as("__va"))
+      .join(members.select(col(cidCol), col("__mid").as("__b"),
+        col("__v").as("__vb")), Seq(cidCol))
+      .filter(col("__a") < col("__b"))
+      .filter(round(graft.functions.cosine_sim(col("__va"), col("__vb")), 6)
+        >= threshold)
+      .select(col("__b").as("__did")).distinct()
+    df.join(dropped, ids === col("__did"), "left")
+      .withColumn("semdup_drop", col("__did").isNotNull)
+      .drop("__did")
+  }
+
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
     // NARROWED CONTRACT: the bounded bucket-membership aggregation buffers

@@ -322,22 +322,14 @@ object VectorQueries {
         .select(col("vec_id"), col("c_refined").as("cid"))
       val a = e.select(col("vec_id"), col("embedding"))
         .join(assign, Seq("vec_id"))
-      val pairs = a.select(col("cid"), col("vec_id").as("a_id"),
-          col("embedding").as("__va"))
-        .join(a.select(col("cid"), col("vec_id").as("b_id"),
-          col("embedding").as("__vb")), Seq("cid"))
-        .filter(col("a_id") < col("b_id"))
-        .withColumn("__score",
-          round(graft.functions.cosine_sim(col("__va"), col("__vb")), 6))
-        .filter(col("__score") >= 0.35)
-      val dropped = pairs.select(col("cid"), col("b_id").as("vec_id"))
-        .distinct()
-      a.join(dropped.select("vec_id"), Seq("vec_id"), "left_anti")
-        .groupBy("cid").agg(count(lit(1)).as("n_kept"))
-        .join(dropped.groupBy("cid").agg(count(lit(1)).as("n_dropped")),
-          Seq("cid"), "left")
-        .na.fill(0L, Seq("n_dropped"))
-        .select(col("cid"), col("n_kept"), col("n_dropped"))
+      // Dedup.semDeDup carries the hot-cell cap (cells over maxCellSize
+      // skip pairwise dedup — mirrored in the oracle's sz.n filter); at
+      // these SFs no cell trips it, so results are cap-invariant.
+      graft.operators.Dedup.semDeDup(a, "vec_id", "embedding", "cid",
+          threshold = 0.35, maxCellSize = 1000)
+        .groupBy("cid")
+        .agg(count(when(!col("semdup_drop"), 1)).as("n_kept"),
+          count(when(col("semdup_drop"), 1)).as("n_dropped"))
         .orderBy("cid")
     }),
 
@@ -566,6 +558,7 @@ object VectorQueries {
         |prs AS (
         |  SELECT a.cid, b.vec_id AS b_id
         |  FROM cand a JOIN cand b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        |  JOIN sz ON sz.cid = a.cid AND sz.n <= 1000
         |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35),
         |dc AS (SELECT cid, count(DISTINCT b_id) AS nd FROM prs GROUP BY cid)
         |SELECT cid, sz.n - COALESCE(dc.nd, 0) AS n_kept,

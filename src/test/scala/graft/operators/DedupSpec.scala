@@ -190,4 +190,37 @@ class DedupSpec extends AnyFunSuite {
     assert(atCap == 120L * 119 / 2 + 1,
       "cap-sized bucket must emit all its pairs")
   }
+
+  test("semDeDup: drops in-cell near-dups, hot cells skip dedup whole") {
+    // cell 1: 20 identical vectors (every pair cosine 1.0) — OVER the
+    // cap of 10 → kept whole, no drops. cell 2: three vectors, two
+    // identical → the higher id of the identical pair drops.
+    val rows =
+      (1L to 20L).map(i => (i, 1, Array(1.0f, 0.0f))) ++
+      Seq((21L, 2, Array(0.0f, 1.0f)), (22L, 2, Array(0.0f, 1.0f)),
+        (23L, 2, Array(1.0f, 0.0f)))
+    val df = rows.toDF("id", "cid", "embedding")
+    val out = Dedup.semDeDup(df, "id", "embedding", "cid",
+      threshold = 0.9, maxCellSize = 10)
+    val droppedIds = out.filter($"semdup_drop")
+      .select("id").as[Long].collect().toSet
+    assert(droppedIds == Set(22L),
+      s"only the higher id of the small cell's identical pair drops: $droppedIds")
+    assert(out.count() == 23, "annotation must preserve every input row")
+    // the same data under a cap that admits the hot cell: ids 2..20 all
+    // have the lower-id twin 1 → all drop
+    val uncapped = Dedup.semDeDup(df, "id", "embedding", "cid",
+      threshold = 0.9, maxCellSize = 100)
+    assert(uncapped.filter($"semdup_drop").count() == 20,
+      "cap raised → hot cell dedups (19 twins of id 1) + id 22")
+    // cap inside the aggregation, never a window
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("boundeddistinctsetagg"),
+      s"bounded aggregator missing from plan:\n${plan.take(1500)}")
+    // loud contract: non-integral ids fail fast
+    intercept[IllegalArgumentException] {
+      Dedup.semDeDup(df.withColumn("id", $"id".cast("string")),
+        "id", "embedding", "cid", 0.9)
+    }
+  }
 }
