@@ -80,10 +80,18 @@ abstract class BinaryVectorExpression extends BinaryExpression
   protected def leftElem: DataType  = elemType(left.dataType)
   protected def rightElem: DataType = elemType(right.dataType)
 
-  /** Fold both arrays; subclasses define accumulators + finish. */
-  protected def accDecl: String                       // java: accumulator decls
-  protected def accStep(x: String, y: String): String // java: per-element step
-  protected def accFinish: String                     // java: expr producing double
+  /** Fold both arrays; subclasses define accumulators + finish. All java
+    * accumulator names derive from `acc` — a `ctx.freshName` — because two
+    * instances of the same expression can land in ONE generated function
+    * scope (e.g. `least(l2_dist(v, c1), l2_dist(v, c2))`): a fixed name
+    * there is a Janino "Redefinition of local variable" compile error and
+    * the whole stage silently falls back to interpreted evaluation.
+    * (Per-element temporaries declared inside the loop body are safe —
+    * each instance's loop is its own block scope.)
+    */
+  protected def accDecl(acc: String): String          // java: accumulator decls
+  protected def accStep(acc: String, x: String, y: String): String // per-element
+  protected def accFinish(acc: String): String        // java: expr producing double
 
   protected def evalLoop(a: ArrayData, b: ArrayData): Double
 
@@ -99,18 +107,19 @@ abstract class BinaryVectorExpression extends BinaryExpression
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  throw new IllegalArgumentException("$prettyName: vector length mismatch");
          |}
-         |$accDecl
+         |${accDecl(acc)}
          |for (int $i = 0; $i < $n; $i++) {
          |  double x = ${genGetD(a, leftElem, i)};
          |  double y = ${genGetD(b, rightElem, i)};
-         |  ${accStep("x", "y")}
+         |  ${accStep(acc, "x", "y")}
          |}
-         |${ev.value} = $accFinish;
+         |${ev.value} = ${accFinish(acc)};
        """.stripMargin
     })
 }
@@ -119,11 +128,13 @@ abstract class BinaryVectorExpression extends BinaryExpression
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryVectorExpression {
   override def prettyName: String = "cosine_sim"
-  override protected def accDecl: String = "double dot = 0.0d, na = 0.0d, nb = 0.0d;"
-  override protected def accStep(x: String, y: String): String =
-    s"dot += $x * $y; na += $x * $x; nb += $y * $y;"
-  override protected def accFinish: String =
-    "(na == 0.0d || nb == 0.0d) ? 0.0d : dot / (Math.sqrt(na) * Math.sqrt(nb))"
+  override protected def accDecl(acc: String): String =
+    s"double ${acc}dot = 0.0d, ${acc}na = 0.0d, ${acc}nb = 0.0d;"
+  override protected def accStep(acc: String, x: String, y: String): String =
+    s"${acc}dot += $x * $y; ${acc}na += $x * $x; ${acc}nb += $y * $y;"
+  override protected def accFinish(acc: String): String =
+    s"(${acc}na == 0.0d || ${acc}nb == 0.0d) ? 0.0d : " +
+      s"${acc}dot / (Math.sqrt(${acc}na) * Math.sqrt(${acc}nb))"
   override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -143,10 +154,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 case class L2Distance(left: Expression, right: Expression)
     extends BinaryVectorExpression {
   override def prettyName: String = "l2_dist"
-  override protected def accDecl: String = "double s = 0.0d;"
-  override protected def accStep(x: String, y: String): String =
-    s"double d = $x - $y; s += d * d;"
-  override protected def accFinish: String = "Math.sqrt(s)"
+  override protected def accDecl(acc: String): String = s"double ${acc}s = 0.0d;"
+  override protected def accStep(acc: String, x: String, y: String): String =
+    s"double d = $x - $y; ${acc}s += d * d;"
+  override protected def accFinish(acc: String): String = s"Math.sqrt(${acc}s)"
   override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
     var s = 0.0; var i = 0
     val n = a.numElements()
@@ -164,9 +175,10 @@ case class L2Distance(left: Expression, right: Expression)
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryVectorExpression {
   override def prettyName: String = "dot_product"
-  override protected def accDecl: String = "double s = 0.0d;"
-  override protected def accStep(x: String, y: String): String = s"s += $x * $y;"
-  override protected def accFinish: String = "s"
+  override protected def accDecl(acc: String): String = s"double ${acc}s = 0.0d;"
+  override protected def accStep(acc: String, x: String, y: String): String =
+    s"${acc}s += $x * $y;"
+  override protected def accFinish(acc: String): String = s"${acc}s"
   override protected def evalLoop(a: ArrayData, b: ArrayData): Double = {
     var s = 0.0; var i = 0
     val n = a.numElements()
@@ -200,14 +212,15 @@ case class L2Norm(child: Expression) extends UnaryExpression
     nullSafeCodeGen(ctx, ev, a => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
       s"""
          |int $n = $a.numElements();
-         |double s = 0.0d;
+         |double $s = 0.0d;
          |for (int $i = 0; $i < $n; $i++) {
          |  double x = ${genGetD(a, et, i)};
-         |  s += x * x;
+         |  $s += x * x;
          |}
-         |${ev.value} = Math.sqrt(s);
+         |${ev.value} = Math.sqrt($s);
        """.stripMargin
     })
 
@@ -247,13 +260,14 @@ case class HammingDistance(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |int d = 0;
+         |int $d = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getInt($i) != $b.getInt($i)) d++;
+         |  if ($a.getInt($i) != $b.getInt($i)) $d++;
          |}
-         |${ev.value} = d + java.lang.Math.abs($a.numElements() - $b.numElements());
+         |${ev.value} = $d + java.lang.Math.abs($a.numElements() - $b.numElements());
        """.stripMargin
     })
 

@@ -4,7 +4,7 @@ import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.ml.linalg.Vectors
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims}
 import org.apache.spark.sql.functions._
 
 /** Batch ANN index construction + probe — the Spark realization of REINDEX
@@ -320,10 +320,18 @@ object VectorIndex {
     * chosen set with an id tie-break — so any SQL engine replays the
     * exact selection (the q108 oracle does, as k generated CTE layers).
     *
-    * Scale shape: k driver rounds, each a TakeOrdered(1) over a column
-    * expression against ≤ k literal centroids — no joins, no shuffles
-    * beyond the bounded top-1, k·dim doubles of driver state. k is a
-    * sample size (tens), not a partition count.
+    * Scale shape: the classic greedy is O(k²·N) distance work when every
+    * round recomputes distances to ALL chosen centers; here the per-row
+    * min-distance is a RUNNING column (least of the carried minimum and
+    * ONE new distance per round — the same rounded values, so the
+    * selection is identical) kept flat by the lazy-localCheckpoint
+    * discipline ([[graft.operators.Dedup.connectedComponents]]'s):
+    * each round is ONE job — the bounded TakeOrdered(1) pick
+    * materializes that round's checkpoint — for O(k·N) total distance
+    * work, constant plan depth, and k·dim doubles of driver state.
+    * Chosen ids leave the candidate frame, so exhausting the input
+    * (k > distinct ids) fails LOUD instead of silently re-picking a
+    * chosen point (coincident centroids downstream).
     */
   def farthestPointSample(df: DataFrame, idCol: String, vecCol: String,
       k: Int, seed: String = "kc"): Seq[(Long, Array[Double])] = {
@@ -340,22 +348,49 @@ object VectorIndex {
     val e = df.select(col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
     val key = md5(concat(lit(seed + ":"), col("__id").cast("string")))
-    val first = e.withColumn("__key", key)
+    val firstRows = e.withColumn("__key", key)
       .orderBy(col("__key"), col("__id")).limit(1)
       .select("__id", "__v").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).head
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(firstRows.nonEmpty, "farthestPointSample: empty input")
+    val first = firstRows.head
     val chosen = scala.collection.mutable.ArrayBuffer(first)
+    // running-min frame, lazily checkpointed; each round's TakeOrdered
+    // pick materializes it (one job/round), superseded checkpoints freed
+    var frame = e.filter(col("__id") =!= first._1)
+      .withColumn("__mind",
+        round(graft.functions.l2_dist(col("__v"), lit(first._2)), 6))
+      .localCheckpoint(false)
+    // the lazy checkpoint is materialized by the pick job, so a
+    // superseded frame can be freed only AFTER its successor's pick ran
+    // (freeing eagerly would drop blocks the successor still reads)
+    var prev: Option[DataFrame] = None
     while (chosen.length < k) {
-      val ds = chosen.map { case (_, c) =>
-        round(graft.functions.l2_dist(col("__v"), lit(c)), 6)
-      }.toSeq
-      val minD = if (ds.length == 1) ds.head else least(ds: _*)
-      val next = e.withColumn("__mind", minD)
+      val nextRows = frame
         .orderBy(desc("__mind"), col("__id")).limit(1)
         .select("__id", "__v").collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).head
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      prev.foreach(GraftSqlShims.unpersistCheckpoint)
+      prev = None
+      if (nextRows.isEmpty) {
+        GraftSqlShims.unpersistCheckpoint(frame)
+        throw new IllegalArgumentException(
+          s"farthestPointSample: k=$k exceeds the ${chosen.length} " +
+            "distinct ids in the input")
+      }
+      val next = nextRows.head
       chosen += next
+      if (chosen.length < k) {
+        val updated = frame
+          .filter(col("__id") =!= next._1)
+          .withColumn("__mind", least(col("__mind"),
+            round(graft.functions.l2_dist(col("__v"), lit(next._2)), 6)))
+          .localCheckpoint(false)
+        prev = Some(frame)
+        frame = updated
+      }
     }
+    GraftSqlShims.unpersistCheckpoint(frame)
     chosen.toSeq
   }
 

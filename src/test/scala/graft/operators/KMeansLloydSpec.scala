@@ -87,6 +87,50 @@ class KMeansLloydSpec extends AnyFunSuite {
     }
   }
 
+  test("farthestPointSample running-min equals the O(k²) greedy reference") {
+    val rnd = new scala.util.Random(29)
+    val df = (0L until 60L).map(i => (i, Array.fill(6)(rnd.nextFloat() * 10f)))
+      .toDF("vec_id", "embedding")
+    val got = VectorIndex.farthestPointSample(df, "vec_id", "embedding", 12)
+    // reference: the textbook greedy, recomputing all distances per round
+    // on collected data with the SAME rounding/tie rules
+    val pts = df.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def d(a: Seq[Double], b: Seq[Double]): Double = {
+      val raw = math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      java.math.BigDecimal.valueOf(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val first = pts.minBy(p => (md5hex("kc:" + p._1), p._1))
+    val ref = scala.collection.mutable.ArrayBuffer(first)
+    while (ref.length < 12) {
+      val remaining = pts.filterNot(p => ref.exists(_._1 == p._1))
+      val next = remaining.maxBy(p =>
+        (ref.map(c => d(p._2, c._2)).min, -p._1))
+      ref += next
+    }
+    assert(got.map(_._1).toSeq == ref.map(_._1).toSeq,
+      "running-min selection must replay the quadratic greedy exactly")
+  }
+
+  test("farthestPointSample: duplicate vectors pick distinct ids; k too large fails loud") {
+    // five distinct ids but only TWO distinct vectors
+    val df = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0f, 0f)), (3L, Array(0f, 0f)),
+      (4L, Array(9f, 9f)), (5L, Array(9f, 9f))).toDF("vec_id", "embedding")
+    val picks = VectorIndex.farthestPointSample(df, "vec_id", "embedding", 5)
+    assert(picks.map(_._1).distinct.length == 5,
+      s"every pick must be a distinct id: ${picks.map(_._1)}")
+    val err = intercept[IllegalArgumentException] {
+      VectorIndex.farthestPointSample(df, "vec_id", "embedding", 6)
+    }
+    assert(err.getMessage.contains("exceeds"),
+      s"exhaustion must fail loud, got: ${err.getMessage}")
+  }
+
   test("lloydOnce separates two well-separated blobs after one step") {
     // blob A near (0, 0, ...), blob B near (100, 100, ...); any seeding
     // refines to a perfect split because the refined centroids land in
