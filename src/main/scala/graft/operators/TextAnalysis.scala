@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlShims}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -315,6 +315,104 @@ object TextAnalysis {
           i => col("word").substr(i, lit(2)))).as("pair"))
       .groupBy("pair")
       .agg(sum("__freq").as("n"))
+  }
+
+  /** Iterative BPE training (Sennrich, Haddow, Birch 2016) — the merge
+    * LOOP on top of [[bpePairCounts]]'s single table: count adjacent
+    * symbol pairs over the vocabulary (weighted by word frequency,
+    * overlapping positions counted — the reference implementation's
+    * `get_stats`), merge the best pair everywhere, recount; `nMerges`
+    * rounds. Returns the merge SEQUENCE ((a, b, count) in merge order —
+    * order is the tokenizer, not the set), stopping early if the
+    * vocabulary runs out of pairs.
+    *
+    * Determinism: counts are exact integer sums; the best pair ties
+    * break lexicographically on (a, b) — so any engine replays the exact
+    * sequence (the q129 oracle does, as nMerges generated CTE layers).
+    *
+    * Representation is the key trick: a word's segmentation is a string
+    * of DOUBLE-SPACE-joined symbols with single-space wraps
+    * (`" a  b  c "`). Each symbol carries its own boundary spaces, so
+    * merging pair (a,b) is a plain left-to-right non-overlapping
+    * `replace(seg, " a  b ", " ab ")` — exactly the greedy merge rule,
+    * safe against substring false-matches (symbols can't contain
+    * spaces), and IDENTICAL semantics in Spark and any SQL engine's
+    * `replace`. No fold lambda, no UDF — the merge step is one codegen'd
+    * string op.
+    *
+    * Scale shape: the loop state is the VOCABULARY frame (collapsed
+    * word-freq table — tokens, not corpus rows), kept flat by the
+    * lazy-localCheckpoint discipline ([[graft.operators.Dedup]]): each
+    * round is ONE job — the bounded top-1 pair pick materializes that
+    * round's checkpoint — plus a codegen'd replace; driver state is
+    * nMerges small strings.
+    */
+  def bpeTrain(df: DataFrame, textCol: String,
+      nMerges: Int): Seq[(String, String, Long)] = {
+    require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    val chars = regexp_extract_all(col("word"), lit("."), lit(0))
+    var vocab = df
+      .select(explode(normalizedTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit(" "), array_join(chars, "  "), lit(" ")).as("seg"))
+      .localCheckpoint(false)
+    // superseded checkpoints freed one round late — the successor's pick
+    // job must run before its parent's blocks can go (the
+    // farthestPointSample discipline)
+    var prev: Option[DataFrame] = None
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val best = vocab
+        .select(col("freq"), split(trim(col("seg")), "  ").as("__l"))
+        .filter(size(col("__l")) >= 2)
+        .select(col("freq"),
+          explode(sequence(lit(1), size(col("__l")) - 1)).as("__i"),
+          col("__l"))
+        .select(element_at(col("__l"), col("__i")).as("a"),
+          element_at(col("__l"), col("__i") + 1).as("b"),
+          col("freq"))
+        .groupBy("a", "b").agg(sum("freq").as("n"))
+        .orderBy(desc("n"), col("a"), col("b")).limit(1)
+        .collect()
+      prev.foreach(GraftSqlShims.unpersistCheckpoint)
+      prev = None
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += ((a, b, n))
+        r += 1
+        if (r < nMerges) {
+          val updated = vocab
+            .withColumn("seg", org.apache.spark.sql.functions.replace(
+              col("seg"), lit(s" $a  $b "), lit(s" $a$b ")))
+            .localCheckpoint(false)
+          prev = Some(vocab)
+          vocab = updated
+        }
+      }
+    }
+    GraftSqlShims.unpersistCheckpoint(vocab)
+    merges.toSeq
+  }
+
+  /** The BPE ENCODER: apply a learned merge sequence (in order) to a
+    * word column, returning its symbol array — a fixed chain of
+    * `nMerges` codegen'd string replaces over the wrapped representation
+    * ([[bpeTrain]]'s), no UDF, runs inside the scan.
+    */
+  def bpeSegment(word: Column,
+      merges: Seq[(String, String)]): Column = {
+    val chars = regexp_extract_all(word, lit("."), lit(0))
+    val wrapped = concat(lit(" "), array_join(chars, "  "), lit(" "))
+    val applied = merges.foldLeft(wrapped) { case (s, (a, b)) =>
+      org.apache.spark.sql.functions.replace(
+        s, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    split(trim(applied), "  ")
   }
 
   /** Sliding-window document chunking — the context-length segmenter every

@@ -180,6 +180,21 @@ object TextQueries {
         .select(col("pair"), col("n"))
     }),
 
+    // The full tokenizer-training loop: 10 BPE merges in sequence (count
+    // pairs over the vocabulary → merge best → recount), the oracle
+    // replaying all 10 layers — the SEQUENCE is pinned, not just the
+    // first merge's table (q107). Symbol-pair ties break on (a, b).
+    "q129_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpeTrain(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "text", nMerges = 10)
+        .zipWithIndex
+        .map { case ((a, b, n), i) => (i + 1L, a, b, n) }
+        .toDF("rank", "a", "b", "n")
+        .orderBy("rank")
+    }),
+
     // Per-doc token entropy — the lexical-diversity quality signal
     // (spam/keyword-stuffed pages score low, natural prose high).
     // H = ln n − (Σ c·ln c)/n: the −Σ p·ln p identity rearranged into a
@@ -1167,6 +1182,38 @@ object TextQueries {
         |SELECT token, n_true, n_cms
         |FROM top JOIN est USING (token)
         |ORDER BY n_true DESC, token""".stripMargin,
+
+    // nMerges generated CTE layers (the q108 oracle pattern): each layer
+    // counts pairs over the previous vocabulary state, picks the best,
+    // and applies the boundary-safe double-space replace.
+    "q129_bpe_merges" -> {
+      val sb = new StringBuilder
+      sb ++=
+        """WITH v0 AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS freq,
+          |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seg
+          |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+          |        FROM documents)
+          |  GROUP BY word)""".stripMargin
+      for (i <- 1 to 10) {
+        sb ++= s""",
+          |s$i AS (SELECT freq, str_split(trim(seg), '  ') AS l FROM v${i - 1}),
+          |p$i AS (
+          |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(freq) AS BIGINT) AS n
+          |  FROM (SELECT freq, l, unnest(range(1, len(l))) AS i FROM s$i)
+          |  GROUP BY a, b),
+          |b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+          |v$i AS (
+          |  SELECT freq,
+          |    replace(seg, ' '||b$i.a||'  '||b$i.b||' ', ' '||b$i.a||b$i.b||' ') AS seg
+          |  FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
+      }
+      sb ++= "\n" + (1 to 10)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, n FROM b$i")
+        .mkString(" UNION ALL ")
+      sb ++= "\nORDER BY rank"
+      sb.toString
+    },
 
     "q107_bpe_pairs" ->
       """WITH vocab AS (

@@ -244,4 +244,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       "a target-vocabulary doc must outscore a raw-vocabulary doc")
     assert(scored(2L) > scored(4L))
   }
+
+  test("bpeTrain: hand-computed merge sequence, early exhaustion, encoder") {
+    // vocab: abab ×2 (one doc has it twice), ab ×1.
+    // round 1 pair counts (overlapping positions, freq-weighted):
+    //   abab → (a,b)×2, (b,a)×1 each occurrence; ab → (a,b)×1
+    //   ⇒ (a,b) = 2·2+1 = 5, (b,a) = 2·1 = 2 → merge 1 = (a,b,5)
+    // round 2: abab → [ab,ab] ⇒ (ab,ab) = 2 → merge 2 = (ab,ab,2)
+    // round 3: everything is a single symbol → exhausted at 2 merges
+    val docs = Seq((1L, "abab abab"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 5)
+    assert(merges == Seq(("a", "b", 5L), ("ab", "ab", 2L)),
+      s"merge sequence diverged: $merges")
+
+    // deterministic: replay is identical
+    assert(TextAnalysis.bpeTrain(docs, "text", nMerges = 5) == merges)
+
+    // encoder applies merges IN ORDER with greedy left-to-right matching:
+    // ababab → chars → (a,b): [ab,ab,ab] → (ab,ab): [abab, ab]
+    val seg = docs.limit(1).select(
+        TextAnalysis.bpeSegment(lit("ababab"), merges.map(m => (m._1, m._2)))
+          .as("seg"))
+      .as[Seq[String]].head()
+    assert(seg == Seq("abab", "ab"), s"encoder segmentation diverged: $seg")
+    // unseen symbols pass through untouched
+    val raw = docs.limit(1).select(
+        TextAnalysis.bpeSegment(lit("xy"), merges.map(m => (m._1, m._2)))
+          .as("seg"))
+      .as[Seq[String]].head()
+    assert(raw == Seq("x", "y"))
+  }
 }
