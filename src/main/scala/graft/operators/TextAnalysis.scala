@@ -276,6 +276,15 @@ object TextAnalysis {
     * Pass an ALREADY-MATERIALIZED token array (the [[ngramsFromTokens]]
     * caveat); the per-element hash is inherent O(tokens) work, not
     * re-evaluation waste. Returns the kept-token array.
+    *
+    * Bias note: the decision is `hash16 % dropDenom == 0` over a 16-bit
+    * slice, so unless `dropDenom` divides 65536 the realized drop rate
+    * deviates from 1/dropDenom by up to `(65536 mod dropDenom)/65536`
+    * (~0.009% at the default 10) — negligible for augmentation and fully
+    * reproducible (the oracle mirrors the same arithmetic), unlike the
+    * sharding/bucketing paths ([[graft.operators.Importance.hashBucket]],
+    * shard export) where modulo bias is a correctness issue and divisors
+    * of 65536 are REQUIRED. Pass a power of two if exactness matters.
     */
   def wordDropout(toks: Column, id: Column, dropDenom: Int = 10,
       seed: String = "aug"): Column = {

@@ -474,9 +474,14 @@ object TextQueries {
         .filter(col("doc_id") === col("__keep_id"))
       val chunks = TextAnalysis.chunkDocuments(kept, "doc_id", "text",
           chunkSize = 40, stride = 30)
-        // a packable unique id in (doc, chunk) order; docs here are far
-        // under 1000 chunks (40-token windows over ≤ 577-char docs)
-        .withColumn("uid", col("doc_id") * 1000 + col("chunk_id"))
+        // a packable unique id in (doc, chunk) order; uid arithmetic
+        // collides silently at >= 1000 chunks/doc, so fail loudly there
+        // (the RangeJoin explode-cap doctrine)
+        .withColumn("uid", col("doc_id") * 1000 +
+          when(col("chunk_id") >= 1000, raise_error(concat(
+              lit("q121: doc_id "), col("doc_id").cast("string"),
+              lit(" produced >= 1000 chunks — uid packing would collide"))))
+            .otherwise(col("chunk_id")))
         .join(docs.select("doc_id", "source"), Seq("doc_id"))
       TextAnalysis.packBins(chunks, "uid", "chunk",
           budget = 512L, partitionCol = "source")

@@ -135,4 +135,25 @@ class CommandsSpec extends AnyFunSuite {
       (1L, Seq(-0.5f, 1.25f), "has, comma and \"quotes\"")),
       "floats and quoted payloads must round-trip exactly")
   }
+
+  test("csv source: empty/null vectors and newline payloads round-trip") {
+    val parent = Files.createTempDirectory("graftcsvedge").toString
+    val csv = s"$parent/edge.csv"
+    val src = Seq(
+      (0L, Some(Seq.empty[Float]), "empty vec"),
+      (1L, None, "null vec collapses to empty"),
+      (2L, Some(Seq(0.5f)), "line one\nline two"),
+      (3L, Some(Seq(1.0f, 2.0f)), "plain")
+    ).toDF("id", "embedding", "payload")
+    graft.sources.CsvVectorFormat.write(src, csv)
+    val rows = graft.sources.CsvVectorFormat.read(spark, csv)
+      .orderBy("id")
+      .as[(Long, Seq[Float], String)].collect().toSeq
+    assert(rows == Seq(
+      (0L, Seq.empty[Float], "empty vec"),
+      (1L, Seq.empty[Float], "null vec collapses to empty"),
+      (2L, Seq(0.5f), "line one\nline two"),
+      (3L, Seq(1.0f, 2.0f), "plain")),
+      "edge vectors/payloads must round-trip (null -> empty, documented)")
+  }
 }
