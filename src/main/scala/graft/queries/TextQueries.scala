@@ -195,6 +195,33 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // The ENCODER side of the tokenizer: train 10 merges, apply them to
+    // the corpus, report per-source token counts + fertility (BPE tokens
+    // per word — THE tokenizer-quality number). Scale shape: the corpus
+    // collapses to (source, word) counts, the encoder runs ONCE per
+    // distinct word (vocabulary-sized frame), and totals re-aggregate
+    // the count table — the replace chain never touches corpus rows.
+    "q130_bpe_encode" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 10)
+        .map(m => (m._1, m._2))
+      val wordCounts = docs
+        .select(col("source"),
+          explode(TextAnalysis.normalizedTokens(col("text"))).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+      val vocab = wordCounts.select("word").distinct()
+        .withColumn("n_sym",
+          size(TextAnalysis.bpeSegment(col("word"), merges)).cast("long"))
+      wordCounts.join(vocab, "word")
+        .groupBy("source")
+        .agg(sum("cnt").as("words"),
+          sum(col("cnt") * col("n_sym")).as("bpe_tokens"))
+        .withColumn("fertility",
+          round(col("bpe_tokens").cast("double") / col("words"), 6))
+        .select("source", "words", "bpe_tokens", "fertility")
+        .orderBy("source")
+    }),
+
     // Per-doc token entropy — the lexical-diversity quality signal
     // (spam/keyword-stuffed pages score low, natural prose high).
     // H = ln n − (Σ c·ln c)/n: the −Σ p·ln p identity rearranged into a
@@ -612,6 +639,36 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("score"))
     })
   )
+
+  /** The generated BPE-training CTE prefix shared by q129/q130: `v0` is
+    * the wrapped word-frequency vocabulary; each layer `i` exposes the
+    * round's best pair as `b$i` and the merged vocabulary as `v$i` —
+    * DuckDB replays [[TextAnalysis.bpeTrain]]'s exact loop.
+    */
+  private def bpeLayersSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++=
+      """WITH v0 AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS freq,
+        |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seg
+        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |        FROM documents)
+        |  GROUP BY word)""".stripMargin
+    for (i <- 1 to nMerges) {
+      sb ++= s""",
+        |s$i AS (SELECT freq, str_split(trim(seg), '  ') AS l FROM v${i - 1}),
+        |p$i AS (
+        |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(freq) AS BIGINT) AS n
+        |  FROM (SELECT freq, l, unnest(range(1, len(l))) AS i FROM s$i)
+        |  GROUP BY a, b),
+        |b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+        |v$i AS (
+        |  SELECT freq,
+        |    replace(seg, ' '||b$i.a||'  '||b$i.b||' ', ' '||b$i.a||b$i.b||' ') AS seg
+        |  FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
+    }
+    sb.toString
+  }
 
   private def duckLangScore(lang: String): String = {
     val prof = TextAnalysis.langProfiles.toMap.apply(lang)
@@ -1192,32 +1249,40 @@ object TextQueries {
     // counts pairs over the previous vocabulary state, picks the best,
     // and applies the boundary-safe double-space replace.
     "q129_bpe_merges" -> {
-      val sb = new StringBuilder
-      sb ++=
-        """WITH v0 AS (
-          |  SELECT CAST(count(*) AS BIGINT) AS freq,
-          |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seg
-          |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-          |        FROM documents)
-          |  GROUP BY word)""".stripMargin
-      for (i <- 1 to 10) {
-        sb ++= s""",
-          |s$i AS (SELECT freq, str_split(trim(seg), '  ') AS l FROM v${i - 1}),
-          |p$i AS (
-          |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(freq) AS BIGINT) AS n
-          |  FROM (SELECT freq, l, unnest(range(1, len(l))) AS i FROM s$i)
-          |  GROUP BY a, b),
-          |b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
-          |v$i AS (
-          |  SELECT freq,
-          |    replace(seg, ' '||b$i.a||'  '||b$i.b||' ', ' '||b$i.a||b$i.b||' ') AS seg
-          |  FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
-      }
-      sb ++= "\n" + (1 to 10)
+      bpeLayersSql(10) + "\n" + (1 to 10)
         .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, n FROM b$i")
-        .mkString(" UNION ALL ")
-      sb ++= "\nORDER BY rank"
-      sb.toString
+        .mkString(" UNION ALL ") + "\nORDER BY rank"
+    },
+
+    // Same generated layers, then the replace CHAIN applied once per
+    // distinct word (e1..e10) and totals off the (source, word) counts.
+    "q130_bpe_encode" -> {
+      bpeLayersSql(10) +
+        """,
+          |w AS (
+          |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+          |  FROM documents),
+          |wc AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY source, word),
+          |e0 AS (
+          |  SELECT DISTINCT word,
+          |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seg
+          |  FROM wc)""".stripMargin +
+        (1 to 10).map(i => s""",
+          |e$i AS (
+          |  SELECT word,
+          |    replace(seg, ' '||b$i.a||'  '||b$i.b||' ', ' '||b$i.a||b$i.b||' ') AS seg
+          |  FROM e${i - 1} CROSS JOIN b$i)""".stripMargin).mkString +
+        """,
+          |vs AS (
+          |  SELECT word, CAST(len(str_split(trim(seg), '  ')) AS BIGINT) AS n_sym
+          |  FROM e10)
+          |SELECT source,
+          |  CAST(sum(cnt) AS BIGINT) AS words,
+          |  CAST(sum(cnt * n_sym) AS BIGINT) AS bpe_tokens,
+          |  round(CAST(sum(cnt * n_sym) AS DOUBLE) / sum(cnt), 6) AS fertility
+          |FROM wc JOIN vs USING (word)
+          |GROUP BY source
+          |ORDER BY source""".stripMargin
     },
 
     "q107_bpe_pairs" ->
