@@ -581,4 +581,46 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
         graft.functions.cosine_sim(col("a_vec"), col("b_vec")).as("score"))
   }
+
+  /** Within-document repeated-span removal — the paragraph/line-level
+    * dedup pass of CCNet (Wenzek et al. 2020) and RefinedWeb (Penedo et
+    * al. 2023), realized at fixed token-span granularity (the corpus
+    * here has no paragraph breaks; real text would split on them
+    * instead): cut each doc into NON-overlapping `spanSize`-token spans
+    * ([[TextAnalysis.chunkDocuments]] with stride = size), count each
+    * span signature corpus-wide, drop EVERY copy of any span occurring
+    * more than `maxFreq` times (both CCNet and RefinedWeb remove all
+    * occurrences — boilerplate is noise wherever it appears), and
+    * reassemble the surviving spans in document order.
+    *
+    * Returns one row per non-empty doc: `(idCol, n_spans, n_kept, text)`
+    * — `text` is the cleaned document ("" when everything was
+    * boilerplate).
+    *
+    * Scale shape: explode is narrow; ONE shuffle to count signatures,
+    * one signature-keyed join back (AQE-planned — the count table is
+    * span-cardinality-sized, it shuffles rather than broadcasts at
+    * corpus scale), one final aggregation back to doc grain whose
+    * collect buffer is bounded by the DOCUMENT's own span count (the
+    * doc already fit in memory at scan time). No windows, no driver
+    * state.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      spanSize: Int, maxFreq: Int = 1): DataFrame = {
+    require(maxFreq >= 1, s"maxFreq must be >= 1, got $maxFreq")
+    val spans = TextAnalysis.chunkDocuments(df, idCol, textCol,
+      chunkSize = spanSize, stride = spanSize)
+    val freq = spans.groupBy("chunk_sig").agg(count(lit(1)).as("__f"))
+    spans.join(freq, "chunk_sig")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__f") <= maxFreq, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__f") <= maxFreq,
+              struct(col("chunk_id"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("text"))
+  }
 }

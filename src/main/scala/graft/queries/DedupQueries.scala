@@ -26,6 +26,19 @@ object DedupQueries {
         .orderBy("source")
     }),
 
+    // Repeated-span removal (the CCNet/RefinedWeb paragraph-dedup pass at
+    // 20-token span granularity): drop every copy of any span occurring
+    // more than once corpus-wide, reassemble the survivors in document
+    // order. text_sig pins the reassembled text exactly.
+    "q131_span_dedup" -> ((s, dir) => {
+      Dedup.spanDedup(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", spanSize = 20, maxFreq = 1)
+        .select(col("doc_id"), col("n_spans"), col("n_kept"),
+          md5(col("text")).as("text_sig"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash (8 hashes over 5-gram word shingles) + LSH banding (4 bands
     // of 2): candidate near-dup pairs. Explode→aggregate shapes only; the
     // pair join is on band keys, never all-pairs.
@@ -227,6 +240,32 @@ object DedupQueries {
         |FROM documents
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q131_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 0 THEN 0
+        |         ELSE 1 + greatest((len(toks) - 20 + 19) // 20, 0)
+        |    END AS nc
+        |  FROM t),
+        |spans AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |    array_to_string(toks[i*20+1 : i*20+20], ' ') AS chunk
+        |  FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)),
+        |f AS (SELECT md5(chunk) AS sig, count(*) AS n
+        |      FROM spans GROUP BY md5(chunk))
+        |SELECT doc_id,
+        |  count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN f.n <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(
+        |    string_agg(chunk, ' ' ORDER BY chunk_id) FILTER (WHERE f.n <= 1),
+        |    '')) AS text_sig
+        |FROM spans JOIN f ON md5(chunk) = f.sig
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q31_minhash_lsh" ->
       s"""WITH $shinglesCte,

@@ -223,4 +223,30 @@ class DedupSpec extends AnyFunSuite {
         "id", "embedding", "cid", 0.9)
     }
   }
+
+  test("spanDedup: repeated spans drop everywhere, survivors keep order") {
+    // spanSize=2 spans: doc 1 = [a b][c d][e f], doc 2 = [c d][x y],
+    // doc 3 = [c d] — "c d" occurs 3× ⇒ dropped from ALL docs;
+    // doc 3 becomes empty (kept as a row, text "")
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "c d x y"),
+      (3L, "c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", spanSize = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_kept", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, "a b e f"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 1L, 0L, "")),
+      s"span dedup semantics diverged: $out")
+
+    // maxFreq=3 keeps the triplicated span
+    val kept = Dedup.spanDedup(docs, "doc_id", "text",
+        spanSize = 2, maxFreq = 3)
+      .orderBy("doc_id").select("text").as[String].collect().toSeq
+    assert(kept == Seq("a b c d e f", "c d x y", "c d"))
+  }
 }
