@@ -58,5 +58,9 @@ object SparkEntry {
     // importance (two-pass hashed-feature weighting) and bigram-LM
     // scoring (count-table joins). q96/q97/q99 are narrow scans already
     // represented by q36's shape.
-    "q98_importance", "q100_lm_score")
+    "q98_importance", "q100_lm_score",
+    // round-6 additions: the new ANN paths (PQ train+ADC probe, batch
+    // union-scan probe) and the corpus-wide span-dedup pass (count +
+    // join-back + reassembly — a shape no other bench query has).
+    "q127_pq_probe", "q128_batch_probe", "q131_span_dedup")
 }
