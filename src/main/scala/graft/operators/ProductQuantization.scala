@@ -198,4 +198,28 @@ object ProductQuantization {
     SimilaritySearch.rerankExact(collection, short, query, k, shortlist,
       "l2", vecCol, idCol)
   }
+
+  /** IVF × PQ — the deepest pruning composition: cell pruning and code
+    * compression MULTIPLY, like [[VectorIndex.probeSq8]] but the pruned
+    * scan reads m BYTES per row instead of dim/4. At 100 TB with 256
+    * cells, radius-1 probing, dim 64, m = 8: ≈ (9/256) × 1/32 of the
+    * vector bytes ≈ 0.1% of the corpus — the FAISS IVFPQ layout
+    * re-expressed as a partition-pruned Spark scan. `indexed` carries
+    * both the sign-bucket `cluster_id` ([[VectorIndex.assignSignBuckets]])
+    * and the stored `codeCol` ([[assignCodes]]); the ADC shortlist ranks
+    * only the probed cells' codes, and the exact rerank reads full
+    * vectors for the bounded shortlist alone.
+    */
+  def probeAdc(indexed: DataFrame, query: Array[Float], k: Int,
+      shortlist: Int, codebooks: Codebooks, nBits: Int = 8,
+      radius: Int = 1, vecCol: String = "embedding",
+      codeCol: String = "pq_code", idCol: String = "id"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cells = VectorIndex.codesWithin(
+      VectorIndex.signBucketOf(query, nBits), nBits, radius)
+    val pruned = indexed.filter(col("cluster_id").isin(cells: _*))
+    val short = adcShortlist(pruned, query, shortlist, codebooks, codeCol, idCol)
+    SimilaritySearch.rerankExact(pruned.drop(codeCol), short, query, k,
+      shortlist, "l2", vecCol, idCol)
+  }
 }

@@ -470,6 +470,30 @@ object VectorQueries {
         .select(col("query_id"), col("vec_id"),
           round(col("score"), 6).as("score"), col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF × PQ: sign-bucket cell pruning × 8-byte ADC codes × exact
+    // rerank of the bounded shortlist — the q79 composition with PQ in
+    // SQ8's seat. Same cut discipline: shortlist on the rounded ADC
+    // distance inside the engine, final 10-cut on the ROUNDED exact
+    // distance outside.
+    "q132_ivf_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = graft.operators.ProductQuantization.trainCodebooks(
+        e, "vec_id", "embedding", m = 8, ksub = 16, rounds = 1, seed = "pq")
+      val coded = graft.operators.ProductQuantization.assignCodes(
+        VectorIndex.assignSignBuckets(e, "embedding", nBits = 8),
+        "embedding", cb)
+      val query = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      graft.operators.ProductQuantization.probeAdc(
+          coded.filter(col("vec_id") =!= 0), query,
+          k = 50, shortlist = 50, cb, nBits = 8, radius = 1,
+          vecCol = "embedding", idCol = "vec_id")
+        .select(col("vec_id"), col("approx_score").as("adc_dist"),
+          round(col("score"), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
     })
   )
 
@@ -479,6 +503,58 @@ object VectorQueries {
     (0 until 8)
       .map(i => s"(CASE WHEN $v[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
+
+  // Shared PQ-training replay (q127/q132): m=8, ksub=16, one Lloyd round,
+  // md5('pq:'-ordered seeds — ends with `codes` (per-vector per-subspace
+  // cids), `q` (the vec_id-0 query), and `lut` (the query's rounded
+  // squared-l2 ADC table). Must mirror ProductQuantization.trainCodebooks
+  // / assignCodes / adcTable handoff-for-handoff.
+  private val pqTrainSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sp AS (SELECT unnest(range(0, 8)) AS s),
+      |ii AS (SELECT unnest(range(1, 9)) AS i),
+      |sub AS (
+      |  SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv FROM e CROSS JOIN sp),
+      |seeds AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, CAST(row_number() OVER (
+      |      ORDER BY md5('pq:'||CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS cid
+      |    FROM e) WHERE cid <= 16),
+      |c0 AS (
+      |  SELECT sub.s, seeds.cid, sub.sv AS cent
+      |  FROM sub JOIN seeds USING (vec_id)),
+      |a0 AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT sub.vec_id, sub.s, c0.cid,
+      |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+      |        ORDER BY round(list_distance(sub.sv, c0.cent), 6), c0.cid) AS rn
+      |    FROM sub JOIN c0 USING (s))
+      |  WHERE rn = 1),
+      |m1 AS (
+      |  SELECT s, cid, i, round(avg(sv[i]) + 1e-9, 6) AS mv
+      |  FROM (SELECT sub.s, a0.cid, sub.sv, unnest(range(1, 9)) AS i
+      |        FROM sub JOIN a0 USING (vec_id, s))
+      |  GROUP BY s, cid, i),
+      |c1 AS (
+      |  SELECT c0.s, c0.cid,
+      |    list(coalesce(m1.mv, c0.cent[ii.i]) ORDER BY ii.i) AS cent
+      |  FROM c0 CROSS JOIN ii
+      |  LEFT JOIN m1 ON m1.s = c0.s AND m1.cid = c0.cid AND m1.i = ii.i
+      |  GROUP BY c0.s, c0.cid),
+      |codes AS (
+      |  SELECT vec_id, s, cid FROM (
+      |    SELECT sub.vec_id, sub.s, c1.cid,
+      |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+      |        ORDER BY round(list_distance(sub.sv, c1.cent), 6), c1.cid) AS rn
+      |    FROM sub JOIN c1 USING (s))
+      |  WHERE rn = 1),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |lut AS (
+      |  SELECT c1.s, c1.cid,
+      |    round(sum(power(qv[c1.s*8 + ii.i] - c1.cent[ii.i], 2)) + 1e-9, 6) AS d
+      |  FROM c1 CROSS JOIN ii CROSS JOIN q
+      |  GROUP BY c1.s, c1.cid)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -696,52 +772,8 @@ object VectorQueries {
          |ORDER BY query_id, rank""".stripMargin
     },
 
-    "q127_pq_probe" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |sp AS (SELECT unnest(range(0, 8)) AS s),
-        |ii AS (SELECT unnest(range(1, 9)) AS i),
-        |sub AS (
-        |  SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv FROM e CROSS JOIN sp),
-        |seeds AS (
-        |  SELECT vec_id, cid FROM (
-        |    SELECT vec_id, CAST(row_number() OVER (
-        |      ORDER BY md5('pq:'||CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS cid
-        |    FROM e) WHERE cid <= 16),
-        |c0 AS (
-        |  SELECT sub.s, seeds.cid, sub.sv AS cent
-        |  FROM sub JOIN seeds USING (vec_id)),
-        |a0 AS (
-        |  SELECT vec_id, s, cid FROM (
-        |    SELECT sub.vec_id, sub.s, c0.cid,
-        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
-        |        ORDER BY round(list_distance(sub.sv, c0.cent), 6), c0.cid) AS rn
-        |    FROM sub JOIN c0 USING (s))
-        |  WHERE rn = 1),
-        |m1 AS (
-        |  SELECT s, cid, i, round(avg(sv[i]) + 1e-9, 6) AS mv
-        |  FROM (SELECT sub.s, a0.cid, sub.sv, unnest(range(1, 9)) AS i
-        |        FROM sub JOIN a0 USING (vec_id, s))
-        |  GROUP BY s, cid, i),
-        |c1 AS (
-        |  SELECT c0.s, c0.cid,
-        |    list(coalesce(m1.mv, c0.cent[ii.i]) ORDER BY ii.i) AS cent
-        |  FROM c0 CROSS JOIN ii
-        |  LEFT JOIN m1 ON m1.s = c0.s AND m1.cid = c0.cid AND m1.i = ii.i
-        |  GROUP BY c0.s, c0.cid),
-        |codes AS (
-        |  SELECT vec_id, s, cid FROM (
-        |    SELECT sub.vec_id, sub.s, c1.cid,
-        |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
-        |        ORDER BY round(list_distance(sub.sv, c1.cent), 6), c1.cid) AS rn
-        |    FROM sub JOIN c1 USING (s))
-        |  WHERE rn = 1),
-        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-        |lut AS (
-        |  SELECT c1.s, c1.cid,
-        |    round(sum(power(qv[c1.s*8 + ii.i] - c1.cent[ii.i], 2)) + 1e-9, 6) AS d
-        |  FROM c1 CROSS JOIN ii CROSS JOIN q
-        |  GROUP BY c1.s, c1.cid),
+    "q127_pq_probe" -> (pqTrainSql +
+      """,
         |adc AS (
         |  SELECT codes.vec_id, round(sum(lut.d) + 1e-9, 6) AS adc_dist
         |  FROM codes JOIN lut USING (s, cid)
@@ -756,7 +788,29 @@ object VectorQueries {
         |  round(list_distance(e.v, q.qv), 6) AS dist
         |FROM short JOIN e USING (vec_id) CROSS JOIN q
         |ORDER BY dist, short.vec_id
-        |LIMIT 10""".stripMargin,
+        |LIMIT 10""".stripMargin),
+
+    "q132_ivf_pq" -> (pqTrainSql +
+      s""",
+         |bk AS (SELECT vec_id, ${duckBucket("embedding")} AS c FROM embeddings),
+         |qb AS (SELECT c FROM bk WHERE vec_id = 0),
+         |adc AS (
+         |  SELECT codes.vec_id, round(sum(lut.d) + 1e-9, 6) AS adc_dist
+         |  FROM codes JOIN lut USING (s, cid)
+         |  JOIN bk ON bk.vec_id = codes.vec_id CROSS JOIN qb
+         |  WHERE codes.vec_id <> 0
+         |    AND bit_count(xor(CAST(bk.c AS BIGINT), CAST(qb.c AS BIGINT))) <= 1
+         |  GROUP BY codes.vec_id),
+         |short AS (
+         |  SELECT vec_id, adc_dist FROM (
+         |    SELECT vec_id, adc_dist, row_number() OVER (
+         |      ORDER BY adc_dist, vec_id) AS rn FROM adc)
+         |  WHERE rn <= 50)
+         |SELECT short.vec_id, adc_dist,
+         |  round(list_distance(e.v, q.qv), 6) AS dist
+         |FROM short JOIN e USING (vec_id) CROSS JOIN q
+         |ORDER BY dist, short.vec_id
+         |LIMIT 10""".stripMargin),
 
     "q106_kmeans_lloyd" ->
       """WITH e AS (

@@ -116,4 +116,31 @@ class ProductQuantizationSpec extends AnyFunSuite {
     assert(readSchema.contains("pq_code") && !readSchema.contains("embedding"),
       s"ADC scan must read only the code column: $readSchema")
   }
+
+  test("probeAdc: results come only from probed cells; top hit survives") {
+    val indexed = ProductQuantization.assignCodes(
+      VectorIndex.assignSignBuckets(e, "embedding", nBits = 8),
+      "embedding", cb)
+    val q = e.filter($"vec_id" === 1)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val ball = VectorIndex.codesWithin(
+      VectorIndex.signBucketOf(q, 8), 8, 1).toSet
+    val out = ProductQuantization.probeAdc(
+      indexed.filter($"vec_id" =!= 1), q, k = 10, shortlist = 50,
+      cb, nBits = 8, radius = 1, idCol = "vec_id")
+    val ids = out.select("vec_id").as[Long].collect().toSeq
+    assert(ids.nonEmpty && ids.size <= 10)
+    val cells = indexed.filter($"vec_id".isin(ids: _*))
+      .select("cluster_id").as[Int].collect().toSet
+    assert(cells.subsetOf(ball),
+      s"probe returned rows outside the hamming ball: ${cells -- ball}")
+    // the probed-and-reranked top-1 must equal the exact top-1 restricted
+    // to the ball (pruning, not rescoring, is the only approximation left)
+    val exactTop = SimilaritySearch.topK(
+        indexed.filter($"vec_id" =!= 1 && $"cluster_id".isin(ball.toSeq: _*)),
+        q, 1, "l2", "embedding", "vec_id")
+      .select("vec_id").as[Long].head()
+    assert(out.orderBy(round($"score", 6), $"vec_id")
+      .select("vec_id").as[Long].head() == exactTop)
+  }
 }
