@@ -606,10 +606,18 @@ object Dedup {
     * state.
     */
   def spanDedup(df: DataFrame, idCol: String, textCol: String,
-      spanSize: Int, maxFreq: Int = 1): DataFrame = {
+      spanSize: Int, maxFreq: Int = 1): DataFrame =
+    spanDedupSpans(TextAnalysis.chunkDocuments(df, idCol, textCol,
+      chunkSize = spanSize, stride = spanSize), idCol, maxFreq)
+
+  /** The count → drop → reassemble core of [[spanDedup]] over ANY span
+    * frame `(idCol, chunk_id, chunk, chunk_sig)` — fixed windows
+    * ([[TextAnalysis.chunkDocuments]]) and content-defined spans
+    * ([[TextAnalysis.cdcSpans]]) share it.
+    */
+  def spanDedupSpans(spans: DataFrame, idCol: String,
+      maxFreq: Int = 1): DataFrame = {
     require(maxFreq >= 1, s"maxFreq must be >= 1, got $maxFreq")
-    val spans = TextAnalysis.chunkDocuments(df, idCol, textCol,
-      chunkSize = spanSize, stride = spanSize)
     val freq = spans.groupBy("chunk_sig").agg(count(lit(1)).as("__f"))
     spans.join(freq, "chunk_sig")
       .groupBy(idCol)

@@ -469,4 +469,44 @@ object TextAnalysis {
         size(col("__chunk")).cast("long").as("n_tokens"),
         md5(col("chunk")).as("chunk_sig"), col("chunk"))
   }
+
+  /** Content-defined chunking (the Rabin/Gear CDC idea at token
+    * granularity): a token closes its span when its seeded 16-bit md5
+    * slice ≡ 0 (mod `divisor`) — boundaries are a function of CONTENT,
+    * not position, so inserting or deleting a token perturbs only the
+    * span it lands in while every later span keeps its exact bytes (and
+    * its dedup signature). That insertion-robustness is why storage
+    * dedup uses CDC over fixed blocks, and it carries over verbatim to
+    * corpus span-dedup ([[graft.operators.Dedup.spanDedupSpans]]).
+    * Expected span length ≈ `divisor` tokens; `divisor` must divide
+    * 65536 (the house no-modulo-bias rule — here the bias would skew
+    * span-length statistics, not just a probability).
+    *
+    * Output matches [[chunkDocuments]]: `(idCol, chunk_id, chunk,
+    * chunk_sig)` — span ids count the boundaries BEFORE each token, so
+    * a boundary token is the LAST token of its span.
+    *
+    * Scale shape: posexplode is narrow; the running boundary count is a
+    * window partitioned BY DOCUMENT (millions of tiny partitions — the
+    * q19 sessionize shape, parallel across docs, never a global sort);
+    * reassembly buffers are bounded by the doc's own token count.
+    */
+  def cdcSpans(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 16, seed: String = "cdc"): DataFrame = {
+    require(divisor >= 2 && 65536 % divisor == 0,
+      s"divisor must divide 65536 (no modulo bias), got $divisor")
+    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    df.select(col(idCol), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("__bd",
+        (conv(substring(md5(concat(lit(seed + ":"), col("tok"))), 1, 4),
+          16, 10).cast("long") % divisor === 0).cast("long"))
+      .withColumn("chunk_id", coalesce(
+        sum("__bd").over(Window.partitionBy(idCol).orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy(idCol, "chunk_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("chunk"))
+      .withColumn("chunk_sig", md5(col("chunk")))
+  }
 }

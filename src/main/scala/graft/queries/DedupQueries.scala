@@ -39,6 +39,21 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Content-defined span dedup: same count → drop → reassemble pass as
+    // q131, but boundaries come from token content (seeded 16-bit md5
+    // ≡ 0 mod 16), so an insertion shifts only its own span — the CDC
+    // argument, at token granularity.
+    "q133_cdc_dedup" -> ((s, dir) => {
+      Dedup.spanDedupSpans(
+          TextAnalysis.cdcSpans(
+            graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+            "doc_id", "text", divisor = 16),
+          "doc_id", maxFreq = 1)
+        .select(col("doc_id"), col("n_spans"), col("n_kept"),
+          md5(col("text")).as("text_sig"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash (8 hashes over 5-gram word shingles) + LSH banding (4 bands
     // of 2): candidate near-dup pairs. Explode→aggregate shapes only; the
     // pair join is on band keys, never all-pairs.
@@ -255,6 +270,40 @@ object DedupQueries {
         |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
         |    array_to_string(toks[i*20+1 : i*20+20], ' ') AS chunk
         |  FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)),
+        |f AS (SELECT md5(chunk) AS sig, count(*) AS n
+        |      FROM spans GROUP BY md5(chunk))
+        |SELECT doc_id,
+        |  count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN f.n <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(
+        |    string_agg(chunk, ' ' ORDER BY chunk_id) FILTER (WHERE f.n <= 1),
+        |    '')) AS text_sig
+        |FROM spans JOIN f ON md5(chunk) = f.sig
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q133_cdc_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS tok
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t)),
+        |b AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN CAST('0x'||substring(md5('cdc:'||tok), 1, 4) AS BIGINT)
+        |      % 16 = 0 THEN 1 ELSE 0 END AS bd
+        |  FROM tok),
+        |sp AS (
+        |  SELECT doc_id, pos, tok,
+        |    CAST(coalesce(sum(bd) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS chunk_id
+        |  FROM b),
+        |spans AS (
+        |  SELECT doc_id, chunk_id,
+        |    string_agg(tok, ' ' ORDER BY pos) AS chunk
+        |  FROM sp GROUP BY doc_id, chunk_id),
         |f AS (SELECT md5(chunk) AS sig, count(*) AS n
         |      FROM spans GROUP BY md5(chunk))
         |SELECT doc_id,

@@ -249,4 +249,38 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("doc_id").select("text").as[String].collect().toSeq
     assert(kept == Seq("a b c d e f", "c d x y", "c d"))
   }
+
+  test("cdcSpans: content-defined boundaries survive an insertion") {
+    // A long synthetic doc and the same doc with one token inserted near
+    // the front: fixed-size chunking shifts EVERY later chunk; CDC must
+    // leave every span after the insertion point byte-identical.
+    val words = (1 to 400).map(i => s"w${i % 37}x${i % 11}")
+    val base = words.mkString(" ")
+    val bumped = (words.take(3) :+ "INSERTED").++(words.drop(3)).mkString(" ")
+    val docs = Seq((1L, base), (2L, bumped)).toDF("doc_id", "text")
+    val spans = TextAnalysis.cdcSpans(docs, "doc_id", "text", divisor = 16)
+    val sigs1 = spans.filter($"doc_id" === 1).orderBy("chunk_id")
+      .select("chunk_sig").as[String].collect().toSeq
+    val sigs2 = spans.filter($"doc_id" === 2).orderBy("chunk_id")
+      .select("chunk_sig").as[String].collect().toSeq
+    assert(sigs1.size > 10, s"expected many spans, got ${sigs1.size}")
+    // all spans after the perturbed one are identical (suffix sets match)
+    val shared = sigs1.toSet.intersect(sigs2.toSet)
+    assert(shared.size >= sigs1.size - 2,
+      s"CDC must localize the insertion: only ${shared.size} of " +
+        s"${sigs1.size} spans survived")
+    // sanity: fixed 16-token windows share (almost) nothing after the
+    // insertion — the contrast that motivates CDC
+    val fixed = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 16, 16)
+    val f1 = fixed.filter($"doc_id" === 1).select("chunk_sig")
+      .as[String].collect().toSet
+    val f2 = fixed.filter($"doc_id" === 2).select("chunk_sig")
+      .as[String].collect().toSet
+    assert(f1.intersect(f2).size < shared.size,
+      "fixed windows should lose far more spans to the shift than CDC")
+    // reassembly is exact: dedup with maxFreq high enough keeps all text
+    val rebuilt = Dedup.spanDedupSpans(spans, "doc_id", maxFreq = 10)
+      .filter($"doc_id" === 1).select("text").as[String].head()
+    assert(rebuilt == base, "span reassembly must reproduce the document")
+  }
 }
