@@ -131,6 +131,18 @@ object PipelineQueries {
         .orderBy("doc_id", "eval_id")
     }),
 
+    // Streaming span dedup: incoming docs cleaned against the static
+    // span census. Same oracle text as q131 — stream ≡ batch row-for-row
+    // (the census already covers the streamed docs).
+    "q134_stream_span_dedup" -> ((s, dir) => {
+      StreamingIngest
+        .streamSpanDedup(s, dir,
+          queryName = s"spandd_${java.util.UUID.randomUUID().toString.take(8)}")
+        .select(col("doc_id"), col("n_spans"), col("n_kept"),
+          md5(col("text")).as("text_sig"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming chunking: the stateless segmenter over documents arriving
     // as a stream. Same oracle text as q96 — stream ≡ batch row-for-row.
     "q102_stream_chunking" -> ((s, dir) => {
@@ -415,6 +427,9 @@ object PipelineQueries {
 
     // identical to q96's oracle on purpose: stream ≡ batch
     "q102_stream_chunking" -> TextQueries.pipelineOracles("q96_chunking"),
+
+    // the streamed span-dedup must equal the batch pass row-for-row
+    "q134_stream_span_dedup" -> DedupQueries.oracles("q131_span_dedup"),
 
     // the streamed count-min table must be cell-identical to a batch build
     "q114_stream_cms" ->

@@ -213,6 +213,53 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Streaming repeated-span removal: documents arriving as a stream are
+    * cleaned against a STATIC span-frequency table built over the
+    * at-rest corpus ([[graft.operators.Dedup.spanDedup]]'s count side) —
+    * the stream-static shape of [[streamDecontaminate]]: the boilerplate
+    * census is an index you rebuild periodically, not per-microbatch
+    * state. Chunking is stateless per row; the only streaming state is
+    * the doc-grain reassembly aggregation (complete-mode memory sink
+    * here for the gate; a production sink would watermark on arrival
+    * time so reassembled docs age out of state once emitted). The q134
+    * gate runs this against q131's exact batch oracle — stream ≡ batch
+    * because the static census already covers the streamed docs.
+    */
+  def streamSpanDedup(spark: SparkSession, sfDir: String,
+      spanSize: Int = 20, maxFreq: Int = 1,
+      queryName: String = "stream_span_dedup"): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val freq = graft.operators.TextAnalysis.chunkDocuments(
+        spark.read.parquet(path), "doc_id", "text", spanSize, spanSize)
+      .groupBy("chunk_sig").agg(count(lit(1)).as("__f"))
+    val spans = graft.operators.TextAnalysis.chunkDocuments(
+        spark.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir),
+        "doc_id", "text", spanSize, spanSize)
+    val cleaned = spans.join(freq, Seq("chunk_sig"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__f") <= maxFreq, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__f") <= maxFreq,
+              struct(col("chunk_id"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("text"))
+    val q = cleaned.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest into a collection directory: the WAL-replacement
     * path. Checkpoints live under the database's graft_wal dir, so
     * TRUNCATEWAL (database target) clears exactly this state.
