@@ -222,4 +222,78 @@ object ProductQuantization {
     SimilaritySearch.rerankExact(pruned.drop(codeCol), short, query, k,
       shortlist, "l2", vecCol, idCol)
   }
+
+  /** Batch IVF × PQ probe — what a retrieval or hard-negative-mining job
+    * runs against a PQ-compressed corpus: each query's hamming ball of
+    * cells, the UNION of all probed cells scanned ONCE reading only
+    * `(idCol, cluster_id, codeCol)` (m bytes of vector data per row), a
+    * per-(query, cell) broadcast so rows ADC-score only against the
+    * queries probing their cell, a bounded per-query heap for the
+    * shortlist ([[SimilaritySearch.boundedTopKPerQuery]] — ≤ shortlist
+    * rows per partition per query cross the shuffle, never a sort), and
+    * ONE exact rerank joining the broadcast shortlist back to the
+    * full-precision vectors. ADC tables ride in as a broadcast
+    * (query_id, flattened-lut) frame — m·ksub rounded doubles per query.
+    *
+    * The final k-cut ranks on the ROUNDED exact l2 (house rule: never
+    * let raw-float accumulation order decide a rank); the shortlist cut
+    * is on the rounded ADC distance. Output: (queryIdCol, idCol,
+    * approx_score, score, rank), self-matches included (queries need
+    * not be corpus members; callers exclude ids they consider "self").
+    */
+  def probeAdcBatch(indexed: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int, codebooks: Codebooks, nBits: Int = 8,
+      radius: Int = 1, vecCol: String = "embedding",
+      codeCol: String = "pq_code", idCol: String = "id",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val qRows = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol)).collect()
+    require(qRows.nonEmpty, "probeAdcBatch: empty query batch")
+    val cellPairs: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
+      VectorIndex.codesWithin(
+          VectorIndex.signBucketOf(r.getSeq[Float](1).toArray, nBits),
+          nBits, radius)
+        .map(c => (r.getLong(0), c))
+    }
+    val union = cellPairs.map(_._2).distinct.sorted
+    val cells = cellPairs.toDF(queryIdCol, "cluster_id")
+    val luts = qRows.toSeq.map { r =>
+      (r.getLong(0),
+        adcTable(r.getSeq[Float](1).toArray, codebooks).flatten.toSeq)
+    }.toDF(queryIdCol, "__lut")
+    val adc = (0 until m).map { s =>
+      element_at(col("__lut"),
+        lit(s * ksub) + element_at(col(codeCol), s + 1).cast("int"))
+    }.reduce(_ + _)
+    val scored = indexed
+      .filter(col("cluster_id").isin(union: _*))
+      .join(broadcast(cells), Seq("cluster_id"))
+      .join(broadcast(luts), Seq(queryIdCol))
+      .select(col(queryIdCol), col(idCol).cast("long").as(idCol),
+        (-round(adc + lit(1e-9), 6)).as("s"))
+      .as[(Long, Long, Double)]
+    val short = SimilaritySearch
+      .boundedTopKPerQuery(scored, shortlist, desc_? = false, idCol, queryIdCol)
+      .select(col(queryIdCol), col(idCol), col("score").as("approx_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryIdCol).orderBy(asc("score"), col(idCol))
+    indexed.select(col(idCol).cast("long").as(idCol), col(vecCol))
+      .join(broadcast(short), Seq(idCol))
+      .join(broadcast(queries.select(
+        col(queryIdCol).cast("long").as(queryIdCol), col(queryVecCol))),
+        Seq(queryIdCol))
+      .withColumn("score",
+        round(graft.functions.l2_dist(col(vecCol), col(queryVecCol)), 6))
+      .drop(vecCol, queryVecCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col(idCol), col("approx_score"),
+        col("score"), col("rank"))
+  }
 }

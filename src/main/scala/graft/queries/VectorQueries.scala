@@ -494,6 +494,28 @@ object VectorQueries {
           round(col("score"), 6).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
+    }),
+
+    // Batch IVF × PQ: 3 queries, one union scan of their probed cells
+    // reading only the 8-byte codes, per-query ADC shortlist in a
+    // bounded heap, one broadcast exact rerank. Self-matches ride
+    // through (rank 1 at distance 0) — deterministic and mirrored.
+    "q135_pq_batch" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = graft.operators.ProductQuantization.trainCodebooks(
+        e, "vec_id", "embedding", m = 8, ksub = 16, rounds = 1, seed = "pq")
+      val coded = graft.operators.ProductQuantization.assignCodes(
+        VectorIndex.assignSignBuckets(e, "embedding", nBits = 8),
+        "embedding", cb)
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      graft.operators.ProductQuantization.probeAdcBatch(
+          coded, qs, k = 5, shortlist = 20, cb, nBits = 8, radius = 1,
+          vecCol = "embedding", idCol = "vec_id")
+        .select(col("query_id"), col("vec_id"),
+          col("approx_score").as("adc_dist"), col("score").as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -811,6 +833,41 @@ object VectorQueries {
          |FROM short JOIN e USING (vec_id) CROSS JOIN q
          |ORDER BY dist, short.vec_id
          |LIMIT 10""".stripMargin),
+
+    "q135_pq_batch" -> (pqTrainSql +
+      s""",
+         |qs2 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+         |lutb AS (
+         |  SELECT qs2.query_id, c1.s, c1.cid,
+         |    round(sum(power(qv[c1.s*8 + ii.i] - c1.cent[ii.i], 2)) + 1e-9, 6) AS d
+         |  FROM c1 CROSS JOIN ii CROSS JOIN qs2
+         |  GROUP BY qs2.query_id, c1.s, c1.cid),
+         |bk AS (SELECT vec_id, ${duckBucket("embedding")} AS c FROM embeddings),
+         |adc AS (
+         |  SELECT lutb.query_id, codes.vec_id,
+         |    round(sum(lutb.d) + 1e-9, 6) AS adc_dist
+         |  FROM codes
+         |  JOIN lutb ON lutb.s = codes.s AND lutb.cid = codes.cid
+         |  JOIN bk ON bk.vec_id = codes.vec_id
+         |  JOIN bk qb ON qb.vec_id = lutb.query_id
+         |  WHERE bit_count(xor(CAST(bk.c AS BIGINT), CAST(qb.c AS BIGINT))) <= 1
+         |  GROUP BY lutb.query_id, codes.vec_id),
+         |short AS (
+         |  SELECT query_id, vec_id, adc_dist FROM (
+         |    SELECT query_id, vec_id, adc_dist, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+         |    FROM adc)
+         |  WHERE rn <= 20),
+         |sel AS (
+         |  SELECT short.query_id, short.vec_id, adc_dist,
+         |    round(list_distance(e.v, qs2.qv), 6) AS dist
+         |  FROM short JOIN e ON e.vec_id = short.vec_id
+         |  JOIN qs2 ON qs2.query_id = short.query_id)
+         |SELECT query_id, vec_id, adc_dist, dist, CAST(rn AS BIGINT) AS rank
+         |FROM (SELECT *, row_number() OVER (
+         |  PARTITION BY query_id ORDER BY dist, vec_id) AS rn FROM sel)
+         |WHERE rn <= 5
+         |ORDER BY query_id, rank""".stripMargin),
 
     "q106_kmeans_lloyd" ->
       """WITH e AS (

@@ -143,4 +143,35 @@ class ProductQuantizationSpec extends AnyFunSuite {
     assert(out.orderBy(round($"score", 6), $"vec_id")
       .select("vec_id").as[Long].head() == exactTop)
   }
+
+  test("probeAdcBatch: self at rank 1, per-query ball containment") {
+    val indexed = ProductQuantization.assignCodes(
+      VectorIndex.assignSignBuckets(e, "embedding", nBits = 8),
+      "embedding", cb)
+    val qs = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val out = ProductQuantization.probeAdcBatch(
+        indexed, qs, k = 5, shortlist = 20, cb, nBits = 8, radius = 1,
+        idCol = "vec_id")
+      .collect()
+    assert(out.nonEmpty)
+    // each query finds itself first at exact distance 0
+    val firsts = out.filter(_.getAs[Int]("rank") == 1)
+    assert(firsts.length == 3)
+    firsts.foreach { r =>
+      assert(r.getAs[Long]("vec_id") == r.getAs[Long]("query_id"))
+      assert(r.getAs[Double]("score") == 0.0)
+    }
+    // every hit lies inside ITS query's hamming ball
+    val buckets = indexed.select($"vec_id", $"cluster_id")
+      .as[(Long, Int)].collect().toMap
+    val qvecs = qs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    out.foreach { r =>
+      val ball = VectorIndex.codesWithin(
+        VectorIndex.signBucketOf(qvecs(r.getAs[Long]("query_id")), 8), 8, 1)
+      assert(ball.contains(buckets(r.getAs[Long]("vec_id"))),
+        s"hit outside its query's ball: $r")
+    }
+  }
 }
