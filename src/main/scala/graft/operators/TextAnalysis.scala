@@ -470,6 +470,56 @@ object TextAnalysis {
         md5(col("chunk")).as("chunk_sig"), col("chunk"))
   }
 
+  /** BM25 ranking (Robertson–Spärck Jones; the Lucene practical form
+    * with +1 inside the log so idf stays positive): score every document
+    * against a literal bag of query terms,
+    * `Σ_t idf_t · tf_t·(k1+1) / (tf_t + k1·(1 − b + b·dl/avgdl))` with
+    * `idf_t = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)` — the classic
+    * sparse-retrieval counterpart to the dense [[graft.operators
+    * .SimilaritySearch]] path (hybrid retrieval runs both).
+    *
+    * Scale shape: ONE corpus pass computes each doc's length and its
+    * per-term counts (a fixed handful of codegen'd array filters — the
+    * query is request-sized); corpus stats (N, avgdl, per-term df) are a
+    * single-row re-aggregation of that doc-grain frame riding back in as
+    * a broadcast; the final cut is a bounded top-k on the ROUNDED score
+    * (accumulation over nTerms varies in order → round before ranking,
+    * the q97/q100 ln-parity discipline).
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25: empty term list")
+    require(terms.distinct == terms, s"bm25: duplicate terms in $terms")
+    require(k >= 1, s"k must be positive, got $k")
+    val perDoc = df
+      .select(col(idCol), normalizedTokens(col(textCol)).as("__toks"))
+      .select(col(idCol) +:
+        size(col("__toks")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__toks"), x => x === t)).cast("long").as(s"__tf_$i")
+        }: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("__n"),
+      (sum("dl").cast("double") / count(lit(1))).as("__avgdl") +:
+        terms.indices.map(i =>
+          sum((col(s"__tf_$i") > 0).cast("long")).as(s"__df_$i")): _*)
+    val contrib = terms.indices.map { i =>
+      val tf = col(s"__tf_$i")
+      val idf = log((col("__n") - col(s"__df_$i") + 0.5) /
+        (col(s"__df_$i") + 0.5) + 1)
+      when(tf > 0, idf * (tf * (k1 + 1)) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("__avgdl"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .filter(terms.indices.map(i => col(s"__tf_$i")).reduce(_ + _) > 0)
+      .withColumn("bm25", round(contrib + lit(1e-9), 6))
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("bm25"), col("dl"))
+  }
+
   /** Content-defined chunking (the Rabin/Gear CDC idea at token
     * granularity): a token closes its span when its seeded 16-bit md5
     * slice ≡ 0 (mod `divisor`) — boundaries are a function of CONTENT,

@@ -222,6 +222,16 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // BM25 sparse retrieval: rank the corpus for a 3-term query, one
+    // corpus pass + a single-row stats broadcast, top-20 on the rounded
+    // score. The sparse counterpart to the kNN/ANN dense path.
+    "q136_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25(
+        graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+        "doc_id", "text", terms = Seq("vector", "data", "merge"),
+        k1 = 1.2, b = 0.75, k = 20)
+    }),
+
     // Per-doc token entropy — the lexical-diversity quality signal
     // (spam/keyword-stuffed pages score low, natural prose high).
     // H = ln n − (Σ c·ln c)/n: the −Σ p·ln p identity rearranged into a
@@ -1253,6 +1263,41 @@ object TextQueries {
         .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, n FROM b$i")
         .mkString(" UNION ALL ") + "\nORDER BY rank"
     },
+
+    // BM25 with the Lucene +1-inside-log idf; identical expression shape
+    // and parenthesization as the Spark side so every division chains in
+    // the same order; rank on the rounded score.
+    "q136_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |pd AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(t, x -> x = 'data')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf2
+        |  FROM toks),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM pd)
+        |SELECT doc_id, round(
+        |    (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+        |      * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END)
+        |  + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+        |      * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END)
+        |  + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
+        |      * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END) + 1e-9, 6) AS bm25, dl
+        |FROM pd CROSS JOIN st
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin,
 
     // Same generated layers, then the replace CHAIN applied once per
     // distinct word (e1..e10) and totals off the (source, word) counts.

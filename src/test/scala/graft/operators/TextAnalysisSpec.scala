@@ -245,6 +245,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scored(2L) > scored(4L))
   }
 
+  test("bm25: rare terms outweigh common, shorter docs outrank longer") {
+    val docs = Seq(
+      (1L, "rare common common filler filler filler"),
+      (2L, "common filler filler filler filler filler"),
+      (3L, "common filler"), // same tf=1 as doc 2 but much shorter
+      (4L, "filler filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(docs, "doc_id", "text",
+        terms = Seq("rare", "common"), k = 10)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(!out.contains(4L), "doc without any term must not appear")
+    assert(out(1L) > out(2L) && out(1L) > out(3L),
+      "the only doc with the rare term must rank first")
+    assert(out(3L) > out(2L),
+      "same tf, shorter doc must score higher (length normalization)")
+    // deterministic
+    val again = TextAnalysis.bm25(docs, "doc_id", "text",
+        terms = Seq("rare", "common"), k = 10)
+      .select("doc_id", "bm25").as[(Long, Double)].collect().toMap
+    assert(again == out)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(docs, "doc_id", "text", terms = Seq())
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(docs, "doc_id", "text", terms = Seq("a", "a"))
+    }
+  }
+
   test("bpeTrain: hand-computed merge sequence, early exhaustion, encoder") {
     // vocab: abab ×2 (one doc has it twice), ab ×1.
     // round 1 pair counts (overlapping positions, freq-weighted):
