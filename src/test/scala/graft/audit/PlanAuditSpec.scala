@@ -375,4 +375,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(user_id") && p.contains("__chunk"),
       s"phase-1 window must partition by (user, chunk):\n${p.take(1500)}")
   }
+
+  test("q131 span dedup: sig-keyed equi-joins, no window, no cartesian") {
+    val p = plan("q131_span_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"),
+      s"reassembly must be an aggregation, never a window:\n${p.take(2000)}")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("partial_count") || p.contains("partial")),
+      "span census must combine map-side")
+  }
+
+  test("q133 cdc dedup: boundary window partitions by document") {
+    val p = plan("q133_cdc_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the running boundary count must key on doc_id — parallel across
+    // docs, never a global sort
+    assert(p.contains("hashpartitioning(doc_id"),
+      s"CDC window must partition by doc_id:\n${p.take(2000)}")
+  }
+
+  test("q135 batch pq probe: broadcast cells/luts, bounded per-query heap") {
+    // (q135 computes codes in-query, so its scan reads vectors; the
+    // code-only-scan property for STORED codes is pinned by
+    // ProductQuantizationSpec's ReadSchema test.)
+    val p = plan("q135_pq_batch")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastExchange"),
+      "cells/luts/shortlist must broadcast")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the ADC shortlist must be the bounded heap aggregator:\n${p.take(2000)}")
+  }
+
+  test("q136 bm25: single-row stats broadcast, bounded top-k on rounded score") {
+    val p = plan("q136_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final cut must be a bounded top-k:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange"),
+      "corpus stats must ride in as a broadcast")
+    assert(!p.contains("Window"), "no rank window anywhere")
+  }
 }
