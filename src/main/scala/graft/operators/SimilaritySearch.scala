@@ -395,4 +395,33 @@ object SimilaritySearch {
       .select(col(queryIdCol), col(queryLabelCol), col(idCol), col(labelCol),
         col("score"), col("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke, Büttcher 2009) — the
+    * standard hybrid-retrieval combiner: each input ranking contributes
+    * `1/(kRrf + rank)` per item, absent items contribute nothing, and
+    * the fused score needs no score calibration across systems (ranks
+    * only — exactly why hybrid BM25+dense stacks default to it). Inputs
+    * are `(idCol, rankCol)` frames — bounded per-query result lists,
+    * NOT corpus-sized scans.
+    *
+    * Determinism: each term is a single exact-integer division; the
+    * per-item sum accumulates in list order which may vary → ROUNDED
+    * (+1e-9) before the final rank, per the house rule. Scale shape: the
+    * union is (Σ list sizes) rows; one aggregation, one bounded top-k.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String,
+      rankCol: String = "rank", kRrf: Int = 60, k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings to fuse")
+    require(kRrf >= 1, s"kRrf must be positive, got $kRrf")
+    val unioned = rankings
+      .map(df => df.select(col(idCol), col(rankCol).cast("long").as("__r")))
+      .reduce(_ unionByName _)
+    unioned.groupBy(idCol)
+      .agg(
+        round(sum(lit(1.0) / (lit(kRrf) + col("__r"))) + lit(1e-9), 6)
+          .as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(desc("rrf"), col(idCol))
+      .limit(k)
+  }
 }

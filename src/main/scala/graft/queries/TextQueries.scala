@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.TextAnalysis
+import graft.operators.{SimilaritySearch, TextAnalysis}
 
 /** Text-analysis coverage over the documents table: per-language corpus
   * statistics, quality scoring, token/subword counting, fingerprinting, and
@@ -230,6 +230,35 @@ object TextQueries {
         graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
         "doc_id", "text", terms = Seq("vector", "data", "merge"),
         k1 = 1.2, b = 0.75, k = 20)
+    }),
+
+    // Hybrid retrieval: BM25 top-20 and dense cosine top-20 (query =
+    // embedding 0, vec_id ≡ doc_id) fused by reciprocal rank — no score
+    // calibration, ranks only, both cut on ROUNDED scores before
+    // ranking. n_lists shows which hits both systems agree on.
+    "q137_hybrid_rrf" -> ((s, dir) => {
+      val w20 = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("bm25"), col("doc_id"))
+      val sparse = TextAnalysis.bm25(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", terms = Seq("vector", "data", "merge"), k = 20)
+        .withColumn("rank", row_number().over(w20).cast("long"))
+        .select("doc_id", "rank")
+      val e = Tables.embeddings(s, dir)
+      val qv = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val wd = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("cs"), col("doc_id"))
+      val dense = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          round(graft.functions.cosine_sim(col("embedding"), lit(qv)), 6)
+            .as("cs"))
+        .orderBy(desc("cs"), col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(wd).cast("long"))
+        .select("doc_id", "rank")
+      SimilaritySearch.rrfFuse(Seq(sparse, dense), "doc_id",
+          kRrf = 60, k = 10)
+        .orderBy(desc("rrf"), col("doc_id"))
     }),
 
     // Per-doc token entropy — the lexical-diversity quality signal
@@ -1298,6 +1327,63 @@ object TextQueries {
         |WHERE tf0 + tf1 + tf2 > 0
         |ORDER BY bm25 DESC, doc_id
         |LIMIT 20""".stripMargin,
+
+    // BM25 and dense lists re-ranked in SQL (both on rounded scores),
+    // fused as sum of 1.0/(60 + r) — single exact divisions, rounded
+    // before the final rank.
+    "q137_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |pd AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(t, x -> x = 'data')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf2
+        |  FROM toks),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM pd),
+        |bm AS (
+        |  SELECT doc_id, round(
+        |      (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+        |        * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |        ELSE 0.0 END)
+        |    + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+        |        * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |        ELSE 0.0 END)
+        |    + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
+        |        * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |        ELSE 0.0 END) + 1e-9, 6) AS bm25
+        |  FROM pd CROSS JOIN st
+        |  WHERE tf0 + tf1 + tf2 > 0),
+        |sp AS (
+        |  SELECT doc_id, CAST(rn AS BIGINT) AS r FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      ORDER BY bm25 DESC, doc_id) AS rn FROM bm)
+        |  WHERE rn <= 20),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 0),
+        |dn AS (
+        |  SELECT vec_id AS doc_id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6)
+        |      AS cs
+        |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0),
+        |de AS (
+        |  SELECT doc_id, CAST(rn AS BIGINT) AS r FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      ORDER BY cs DESC, doc_id) AS rn FROM dn)
+        |  WHERE rn <= 20),
+        |u AS (SELECT doc_id, r FROM sp UNION ALL SELECT doc_id, r FROM de)
+        |SELECT doc_id, round(sum(1.0/(60 + r)) + 1e-9, 6) AS rrf,
+        |  CAST(count(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf DESC, doc_id
+        |LIMIT 10""".stripMargin,
 
     // Same generated layers, then the replace CHAIN applied once per
     // distinct word (e1..e10) and totals off the (source, word) counts.

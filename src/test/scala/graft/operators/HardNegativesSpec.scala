@@ -48,4 +48,20 @@ class HardNegativesSpec extends AnyFunSuite {
       .orderBy("rank").select("vec_id").as[Long].collect().toSeq
     assert(got == Seq(2L, 3L))
   }
+
+  test("rrfFuse: hand-computed fusion, absence contributes nothing") {
+    // list A ranks docs 1,2,3; list B ranks 2,1 — doc 2: 1/62 + 1/61,
+    // doc 1: 1/61 + 1/62 (tie with 2 → id tie-break), doc 3: 1/63 only
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (1L, 2L)).toDF("doc_id", "rank")
+    val out = SimilaritySearch.rrfFuse(Seq(a, b), "doc_id", k = 10)
+      .select("doc_id", "rrf", "n_lists")
+      .as[(Long, Double, Long)].collect().toSeq
+    val both = BigDecimal(1.0 / 61 + 1.0 / 62 + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val solo = BigDecimal(1.0 / 63 + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq((1L, both, 2L), (2L, both, 2L), (3L, solo, 1L)),
+      s"fusion diverged: $out")
+  }
 }
