@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.model.VectorRecord
-import graft.operators.{SimilaritySearch, VectorIndex, ZOrder}
+import graft.operators.{SimilaritySearch, TextAnalysis, VectorIndex, ZOrder}
 
 /** A graft database: a directory of named collections, each a Parquet-backed
   * table (SURVEY §1.2). Reference surface: database init at
@@ -467,6 +467,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val idx = new Path(dir, IndexMetaFile)
     if (fs.exists(idx))
       writeString(fs, new Path(tmp, IndexMetaFile), readString(fs, idx))
+    val tok = new Path(dir, TokenizerMetaFile)
+    if (fs.exists(tok))
+      writeString(fs, new Path(tmp, TokenizerMetaFile), readString(fs, tok))
     // crash-safe swap: the old version moves to a trash path (not deleted),
     // so at every instant either the live dir or the trash holds a complete
     // copy — a crash between the two renames is recovered by
@@ -524,6 +527,43 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     if (!hasCollection(name))
       throw new IllegalArgumentException(s"no such collection: $name")
   }
+
+  /** Train a BPE tokenizer ([[graft.operators.TextAnalysis.bpeTrain]])
+    * over a text column and persist the merge SEQUENCE as a collection
+    * sidecar — the tokenizer is a managed artifact exactly like an
+    * index: it rides through compaction and rewrite swaps, is dropped
+    * with the collection, and [[tokenize]] applies it without retraining.
+    * (Retraining after significant ingest is the same operational story
+    * as re-REINDEX; the sidecar records the vocabulary the corpus was
+    * last tokenized under.)
+    */
+  def trainTokenizer(name: String, textCol: String = "payload",
+      nMerges: Int = 10): Unit = {
+    requireCollection(name)
+    val merges = TextAnalysis.bpeTrain(read(name), textCol, nMerges)
+    val body = merges.map { case (a, b, _) => s"""["$a","$b"]""" }.mkString(",")
+    writeString(fs, new Path(collDir(name), TokenizerMetaFile),
+      s"""{"type": "bpe", "merges": [$body]}""")
+  }
+
+  /** Segment `textCol` with the collection's trained tokenizer: the
+    * merge chain rides in from the sidecar as plan literals (a fixed
+    * per-word replace chain, no UDF, runs inside the scan) — adds
+    * `tokens` (subword symbols in document order) and `n_tokens`.
+    */
+  def tokenize(name: String, textCol: String = "payload"): DataFrame = {
+    requireCollection(name)
+    val sidecar = new Path(collDir(name), TokenizerMetaFile)
+    if (!fs.exists(sidecar))
+      throw new IllegalStateException(
+        s"no tokenizer sidecar for $name — run trainTokenizer first")
+    val merges = GraftDatabase.parseTokenizerMerges(readString(fs, sidecar))
+    read(name)
+      .withColumn("tokens",
+        flatten(transform(TextAnalysis.normalizedTokens(col(textCol)),
+          w => TextAnalysis.bpeSegment(w, merges))))
+      .withColumn("n_tokens", size(col("tokens")).cast("long"))
+  }
 }
 
 object GraftDatabase {
@@ -532,6 +572,16 @@ object GraftDatabase {
   // the parquet reader never trips over the sidecars.
   private[core] val MetaFile = "_graft_meta.ddl"
   private[graft] val IndexMetaFile = "_graft_index.json"
+  private[graft] val TokenizerMetaFile = "_graft_tokenizer.json"
+
+  /** Merge-sequence parser for the tokenizer sidecar. Symbols are closed
+    * under [[graft.operators.TextAnalysis.normalizedTokens]]'s [a-z0-9]+
+    * alphabet (merges concatenate such symbols), so the format needs no
+    * escaping and the parse is a plain regex.
+    */
+  private[graft] def parseTokenizerMerges(json: String): Seq[(String, String)] =
+    """\["([a-z0-9]+)","([a-z0-9]+)"\]""".r.findAllMatchIn(json)
+      .map(m => (m.group(1), m.group(2))).toSeq
 
   // ---- index-sidecar JSON parsing ----------------------------------------
   // Shared by the instance probe dispatch AND the AnnProbeRewrite optimizer

@@ -411,4 +411,31 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(db.read("vecs").select("id").as[Long].collect().sorted.toSeq ==
       Seq(1L, 2L), "row with NULL payload must survive")
   }
+
+  test("tokenizer sidecar: train, tokenize, survive compaction, drop cleanly") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    db.bulkInsert("vecs", Seq(
+      VectorRecord(1L, Array(1.0f), "abab abab"),
+      VectorRecord(2L, Array(1.0f), "ab")).toDF())
+    // no tokenizer yet → loud failure
+    intercept[IllegalStateException] { db.tokenize("vecs") }
+    db.trainTokenizer("vecs", "payload", nMerges = 5)
+    // db-managed tokenize ≡ the raw operator chain (the q129 spec corpus:
+    // merges (a,b) then (ab,ab); "abab" → [abab], "ab" → [ab])
+    val toks = db.tokenize("vecs").orderBy("id")
+      .select("id", "tokens").as[(Long, Seq[String])].collect().toSeq
+    assert(toks == Seq(
+      (1L, Seq("abab", "abab")),
+      (2L, Seq("ab"))), s"tokenization diverged: $toks")
+    // the artifact survives compaction (the rewrite swap preserves it)
+    db.compact(Some("vecs"), targetFiles = 1)
+    assert(db.tokenize("vecs").count() == 2)
+    // n_tokens is the fertility numerator
+    assert(db.tokenize("vecs").agg(sum("n_tokens")).as[Long].head() == 3L)
+    // sidecar parse round-trips the exact merge order
+    val merges = GraftDatabase.parseTokenizerMerges(
+      """{"type": "bpe", "merges": [["a","b"],["ab","ab"]]}""")
+    assert(merges == Seq(("a", "b"), ("ab", "ab")))
+  }
 }
