@@ -310,6 +310,64 @@ object VectorQueries {
         .orderBy("query_id")
     }),
 
+    // Recall@10 of the IVF × PQ probe (ball pruning + ADC shortlist 50 +
+    // exact rerank) vs exact l2 — the q126 honesty doctrine applied to
+    // the compressed path: the oracle recomputes BOTH rankings and the
+    // hit counts, so the PQ recall characterization is provably right.
+    "q138_pq_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cb = graft.operators.ProductQuantization.trainCodebooks(
+        e, "vec_id", "embedding", m = 8, ksub = 16, rounds = 1, seed = "pq")
+      val coded = graft.operators.ProductQuantization.assignCodes(
+        VectorIndex.assignSignBuckets(e, "embedding", nBits = 8),
+        "embedding", cb)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      val qRows = qs.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      import s.implicits._
+      val balls = qRows.toSeq.flatMap { case (qid, qv) =>
+        VectorIndex.codesWithin(VectorIndex.signBucketOf(qv, 8), 8, 1)
+          .map(c => (qid, c))
+      }.toDF("query_id", "cluster_id")
+      val luts = qRows.toSeq.map { case (qid, qv) =>
+        (qid, graft.operators.ProductQuantization.adcTable(qv, cb)
+          .flatten.toSeq)
+      }.toDF("query_id", "__lut")
+      val scored = coded.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("__l2",
+          round(graft.functions.l2_dist(col("embedding"), col("__qv")), 6))
+      def topL2(df: DataFrame, n: Int): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(asc("__l2"), col("vec_id"))
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n).select("query_id", "vec_id", "__l2")
+      }
+      val exact = topL2(scored, 10)
+      val adc = (0 until 8).map { sub =>
+        element_at(col("__lut"),
+          lit(sub * 16) + element_at(col("pq_code"), sub + 1).cast("int"))
+      }.reduce(_ + _)
+      val wAdc = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(asc("__adc"), col("vec_id"))
+      val shortlist = scored
+        .join(broadcast(balls), Seq("cluster_id", "query_id"))
+        .join(broadcast(luts), Seq("query_id"))
+        .withColumn("__adc", round(adc + lit(1e-9), 6))
+        .withColumn("__sn", row_number().over(wAdc))
+        .filter(col("__sn") <= 50)
+      val probe = topL2(shortlist, 10)
+      val hits = exact.select("query_id", "vec_id")
+        .join(probe.select("query_id", "vec_id"), Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      qs.select("query_id").join(hits, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_hit"))
+        .select(col("query_id"), col("n_hit"),
+          round(col("n_hit") / 10.0 + lit(1e-9), 2).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // SemDeDup (Abbas et al. 2023): semantic dedup inside k-means cells —
     // pairwise cosine only WITHIN a cluster (k sizes the quadratic term;
     // the paper's cost model), any doc with a lower-id neighbor above the
@@ -833,6 +891,54 @@ object VectorQueries {
          |FROM short JOIN e USING (vec_id) CROSS JOIN q
          |ORDER BY dist, short.vec_id
          |LIMIT 10""".stripMargin),
+
+    "q138_pq_recall" -> (pqTrainSql +
+      s""",
+         |qs2 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |lutb AS (
+         |  SELECT qs2.query_id, c1.s, c1.cid,
+         |    round(sum(power(qv[c1.s*8 + ii.i] - c1.cent[ii.i], 2)) + 1e-9, 6) AS d
+         |  FROM c1 CROSS JOIN ii CROSS JOIN qs2
+         |  GROUP BY qs2.query_id, c1.s, c1.cid),
+         |bk AS (SELECT vec_id, ${duckBucket("embedding")} AS c FROM embeddings),
+         |scored AS (
+         |  SELECT qs2.query_id, e.vec_id,
+         |    round(list_distance(e.v, qs2.qv), 6) AS l2
+         |  FROM e CROSS JOIN qs2 WHERE e.vec_id <> qs2.query_id),
+         |exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY l2, vec_id) AS rn FROM scored)
+         |  WHERE rn <= 10),
+         |adc AS (
+         |  SELECT lutb.query_id, codes.vec_id,
+         |    round(sum(lutb.d) + 1e-9, 6) AS adc_dist
+         |  FROM codes
+         |  JOIN lutb ON lutb.s = codes.s AND lutb.cid = codes.cid
+         |  JOIN bk ON bk.vec_id = codes.vec_id
+         |  JOIN bk qb ON qb.vec_id = lutb.query_id
+         |  WHERE codes.vec_id <> lutb.query_id
+         |    AND bit_count(xor(CAST(bk.c AS BIGINT), CAST(qb.c AS BIGINT))) <= 1
+         |  GROUP BY lutb.query_id, codes.vec_id),
+         |sl AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn FROM adc)
+         |  WHERE rn <= 50),
+         |probe AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT s.query_id, s.vec_id, row_number() OVER (
+         |      PARTITION BY s.query_id ORDER BY s.l2, s.vec_id) AS rn
+         |    FROM scored s JOIN sl USING (query_id, vec_id))
+         |  WHERE rn <= 10),
+         |hits AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM exact JOIN probe USING (query_id, vec_id)
+         |  GROUP BY query_id)
+         |SELECT qs2.query_id, coalesce(hits.n_hit, 0) AS n_hit,
+         |  round(coalesce(hits.n_hit, 0) / 10.0 + 1e-9, 2) AS recall
+         |FROM qs2 LEFT JOIN hits USING (query_id)
+         |ORDER BY query_id""".stripMargin),
 
     "q135_pq_batch" -> (pqTrainSql +
       s""",
