@@ -556,6 +556,32 @@ object TextQueries {
         .orderBy("source", "bin")
     }),
 
+    // Round-6 capstone compose: corpus-wide repeated-span removal →
+    // chunk the CLEANED text → token-budget packing per source — the
+    // boilerplate actually disappears from the packed training corpus,
+    // and the oracle recomputes the entire chain (dedup reassembly
+    // included) to pin every bin.
+    "q139_dedup_pack" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      val cleaned = graft.operators.Dedup
+        .spanDedup(docs, "doc_id", "text", spanSize = 20, maxFreq = 1)
+        .select("doc_id", "text")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      val chunks = TextAnalysis.chunkDocuments(cleaned, "doc_id", "text",
+          chunkSize = 40, stride = 30)
+        .withColumn("uid", col("doc_id") * 1000 +
+          when(col("chunk_id") >= 1000, raise_error(concat(
+              lit("q139: doc_id "), col("doc_id").cast("string"),
+              lit(" produced >= 1000 chunks — uid packing would collide"))))
+            .otherwise(col("chunk_id")))
+        .join(cleaned.select("doc_id", "source"), Seq("doc_id"))
+      TextAnalysis.packBins(chunks, "uid", "chunk",
+          budget = 512L, partitionCol = "source")
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("bin_tokens"))
+        .orderBy("source", "bin")
+    }),
+
     // Gopher rule-based quality flags: the published filter bundle with
     // per-rule booleans + the keep conjunction — pipelines tune on the
     // per-rule breakdown, not just the verdict.
@@ -1130,6 +1156,53 @@ object TextQueries {
         |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id FROM fps)
         |  WHERE doc_id = keep_id),
         |ct AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') AS tk FROM dedup),
+        |cc AS (
+        |  SELECT doc_id, source, tk,
+        |    CASE WHEN len(tk) <= 0 THEN 0
+        |         ELSE 1 + greatest((len(tk) - 40 + 29) // 30, 0) END AS nc
+        |  FROM ct),
+        |cx AS (SELECT doc_id, source, tk, unnest(range(0, nc)) AS i FROM cc),
+        |chunks AS (
+        |  SELECT doc_id * 1000 + i AS uid, source,
+        |    CAST(len(tk[i*30+1 : i*30+40]) AS BIGINT) AS n_tokens
+        |  FROM cx),
+        |packed AS (
+        |  SELECT source, uid, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY uid
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM chunks)
+        |SELECT source, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
+        |  count(*) AS n_chunks, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM packed
+        |GROUP BY 1, 2
+        |ORDER BY source, bin""".stripMargin,
+
+    "q139_dedup_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 0 THEN 0
+        |         ELSE 1 + greatest((len(toks) - 20 + 19) // 20, 0)
+        |    END AS nc
+        |  FROM t),
+        |spans AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |    array_to_string(toks[i*20+1 : i*20+20], ' ') AS chunk
+        |  FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)),
+        |f AS (SELECT md5(chunk) AS sig, count(*) AS n
+        |      FROM spans GROUP BY md5(chunk)),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    coalesce(
+        |      string_agg(chunk, ' ' ORDER BY chunk_id) FILTER (WHERE f.n <= 1),
+        |      '') AS text
+        |  FROM spans JOIN f ON md5(chunk) = f.sig
+        |  GROUP BY doc_id),
+        |ct AS (
+        |  SELECT cl.doc_id, d.source, regexp_extract_all(cl.text, '\S+') AS tk
+        |  FROM cleaned cl JOIN documents d USING (doc_id)),
         |cc AS (
         |  SELECT doc_id, source, tk,
         |    CASE WHEN len(tk) <= 0 THEN 0
