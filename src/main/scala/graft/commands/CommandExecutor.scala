@@ -99,8 +99,14 @@ object CommandExecutor {
             db.reindexZOrder(coll, cols(0), cols(1),
               bits = opts.getOrElse("bits", "8").toInt,
               nFiles = opts.getOrElse("files", "8").toInt)
+          case "tokenizer" =>
+            // the trained-artifact family: like zorder this records intent
+            // in a sidecar rather than a cluster_id partition layout
+            db.trainTokenizer(coll,
+              textCol = opts.getOrElse("col", "payload"),
+              nMerges = opts.getOrElse("merges", "10").toInt)
           case other => throw new IllegalArgumentException(
-            s"REINDEX type must be sign, kmeans, or zorder, got: $other")
+            s"REINDEX type must be sign, kmeans, zorder, or tokenizer, got: $other")
         }
         status("REINDEX", coll)
     }

@@ -437,5 +437,16 @@ class GraftDatabaseSpec extends AnyFunSuite {
     val merges = GraftDatabase.parseTokenizerMerges(
       """{"type": "bpe", "merges": [["a","b"],["ab","ab"]]}""")
     assert(merges == Seq(("a", "b"), ("ab", "ab")))
+
+    // the command surface reaches it: REINDEX type=tokenizer retrains
+    // (the zorder trained-artifact precedent)
+    graft.commands.CommandExecutor.execute(db,
+      graft.commands.GraftCommand.Reindex("vecs",
+        Some("type=tokenizer;merges=1;col=payload")))
+    val oneMerge = db.tokenize("vecs").orderBy("id")
+      .select("tokens").as[Seq[String]].collect().toSeq
+    // doc 1 = two "abab" words, each → [ab, ab] under the single (a,b) merge
+    assert(oneMerge == Seq(Seq("ab", "ab", "ab", "ab"), Seq("ab")),
+      s"1-merge retrain must stop at (a,b): $oneMerge")
   }
 }
