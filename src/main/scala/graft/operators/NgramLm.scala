@@ -36,9 +36,9 @@ import org.apache.spark.sql.functions._
   * once for counts, once for scoring. Scoring is equi-joins of the
   * (doc, w1, w2) stream against the count tables, left to Catalyst/AQE
   * (broadcast when small, shuffle when not) — NOT forced broadcast; only
-  * the single-row total is. At real scale a production deployment would
-  * threshold rare bigrams out of c2 (KenLM prunes too) — counts here are
-  * exact because the oracle gate demands it.
+  * the single-row total is. At real scale, prune the singleton tail with
+  * [[lmScores]]'s `minCount` (KenLM prunes too) — the pruned model is
+  * itself oracle-gated (q140), not a documented-only deviation.
   */
 object NgramLm {
 
@@ -97,9 +97,20 @@ object NgramLm {
     * `raw_lp` (mean ln s) is returned unrounded — rank-and-cut callers
     * round before ordering (accumulation-order ulps must never decide a
     * rank or a gate hash).
+    *
+    * `minCount` prunes bigrams below the support floor out of the count
+    * table BEFORE the derived aggregates — the production deviation KenLM
+    * ships (its count pruning): at 100 TB the singleton-bigram tail IS
+    * most of the table's rows, and dropping it shrinks the join state by
+    * an order of magnitude while barely moving scores. The pruned model
+    * is self-consistent: context, continuation, and total counts all
+    * derive from the PRUNED table (the model only knows surviving
+    * bigrams), so a pruned bigram scores through backoff exactly like a
+    * never-seen one — one rule, engine-replayable. Default 1 = exact.
     */
   def lmScores(df: DataFrame, idCol: String, textCol: String,
-      isTrain: Column): DataFrame = {
+      isTrain: Column, minCount: Int = 1): DataFrame = {
+    require(minCount >= 1, s"minCount must be positive, got $minCount")
     val base = df.select(col(idCol), isTrain.as("__train"),
       TextAnalysis.normalizedTokens(col(textCol)).as("__toks"))
     val bg = base
@@ -107,8 +118,10 @@ object NgramLm {
         explode(bigramStructs(col("__toks"))).as("__bg"))
       .select(col(idCol), col("__train"),
         col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
-    val c2 = bg.filter(col("__train"))
+    val c2full = bg.filter(col("__train"))
       .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
+    val c2 = if (minCount > 1) c2full.filter(col("__c2") >= minCount)
+      else c2full
     // context / continuation / total counts re-aggregate the COUNT TABLE,
     // never the corpus (identical subtrees → one reused exchange)
     val ctx = c2.groupBy("__w1").agg(sum("__c2").as("__ctx"))

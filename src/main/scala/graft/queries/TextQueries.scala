@@ -690,6 +690,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Count-pruned LM scoring (q100 with minCount=2): the production
+    // deviation the NgramLm docs describe — KenLM-style support pruning —
+    // made gate-checkable instead of prose. The pruned model is
+    // self-consistent (ctx/cont/total re-derive from the PRUNED table), so
+    // singleton bigrams score through backoff exactly like unseen ones;
+    // the oracle mirrors the prune as one HAVING clause.
+    "q140_lm_pruned" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 10
+      graft.operators.NgramLm.lmScores(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", isTrain = bucket < 8, minCount = 2)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("raw_lp") + lit(1e-9), 6).as("lp"))
+        .orderBy("doc_id")
+    }),
+
     // DSIR importance scoring: raw = the whole corpus, target = the
     // English slice, top-20 most target-like docs by hashed-unigram log
     // likelihood ratio. Ranking happens on the ROUNDED score (then doc_id)
@@ -917,6 +934,35 @@ object TextQueries {
         |  SELECT doc_id, train, t[i] AS w1, t[i+1] AS w2
         |  FROM (SELECT doc_id, train, t, unnest(range(1, len(t))) AS i FROM d)),
         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE train GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx FROM c2 GROUP BY w1),
+        |cont AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cont FROM c2 GROUP BY w2),
+        |tot AS (SELECT CAST(sum(c2) AS DOUBLE) AS t FROM c2),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN c2.c2 IS NOT NULL
+        |      THEN CAST(c2.c2 AS DOUBLE) / ctx.ctx
+        |      ELSE 0.4 * (COALESCE(cont.cont, 0) + 0.5) / tot.t END AS s
+        |  FROM bg b
+        |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  LEFT JOIN ctx ON b.w1 = ctx.w1
+        |  LEFT JOIN cont ON b.w2 = cont.w2
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(s)) + 1e-9, 6) AS lp
+        |FROM sc
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q140_lm_pruned" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+        |    CAST(('0x'||substring(md5('split:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 < 8 AS train
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, train, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, train, t, unnest(range(1, len(t))) AS i FROM d)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE train GROUP BY w1, w2
+        |       HAVING count(*) >= 2),
         |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx FROM c2 GROUP BY w1),
         |cont AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cont FROM c2 GROUP BY w2),
         |tot AS (SELECT CAST(sum(c2) AS DOUBLE) AS t FROM c2),

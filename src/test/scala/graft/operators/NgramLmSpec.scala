@@ -33,6 +33,33 @@ class NgramLmSpec extends AnyFunSuite {
     assert(got(1)._3 > got(2)._3)
   }
 
+  test("lmScores: minCount prunes the count table and the pruned model is self-consistent") {
+    // train [a b a b a c]: c2 (a,b)=2 (b,a)=2 (a,c)=1. minCount=2 drops
+    // (a,c) → pruned table: (a,b)=2 (b,a)=2; ctx: a=2 b=2; cont: a=2 b=2;
+    // T=4. The pruned bigram (a,c) must now score exactly like a
+    // never-seen one: 0.4 * (cont(c)=0 + 0.5) / 4 — cont from the PRUNED
+    // table, not the raw one.
+    val docs = Seq(
+      (1L, "a b a b a c", true),
+      (2L, "a c", false)
+    ).toDF("doc_id", "text", "train")
+    val got = NgramLm.lmScores(docs, "doc_id", "text", isTrain = $"train",
+        minCount = 2)
+      .select($"doc_id", $"raw_lp").as[(Long, Double)]
+      .collect().sortBy(_._1).toMap
+    val backoffAc = math.log(0.4 * 0.5 / 4)
+    assert(math.abs(got(2L) - backoffAc) < 1e-12,
+      s"pruned (a,c) must back off with pruned-table counts: ${got(2L)} vs $backoffAc")
+    // doc1: (a,b)=2/2... ctx(a)=2 → ln(2/2)=0 twice, (b,a): ln(2/2)=0
+    // twice, (a,c): backoff → mean over 5 bigrams
+    val lp1 = (0 + 0 + 0 + 0 + backoffAc) / 5
+    assert(math.abs(got(1L) - lp1) < 1e-12, s"${got(1L)} vs $lp1")
+    // default minCount=1 must keep (a,c) seen: 1/ctx(a) = 1/(2+1)
+    val exact = NgramLm.lmScores(docs, "doc_id", "text", isTrain = $"train")
+      .filter($"doc_id" === 2L).select($"raw_lp").as[Double].head()
+    assert(math.abs(exact - math.log(1.0 / 3)) < 1e-12)
+  }
+
   test("lmScores: unseen w1 with seen w2 backs off through the continuation count") {
     val docs = Seq(
       (1L, "a b a b", true), // c2: (a,b)=2 (b,a)=1; cont: a=1 b=2; T=3
