@@ -80,6 +80,11 @@ object CommandExecutor {
             "SEARCHSIMILAR arg must include vec=f,f,...")
         }
         opts.get("shortlist") match {
+          // on a REINDEX type=pq collection, shortlist= means the ADC
+          // path (stored m-byte codes + sidecar codebooks), composed with
+          // cell pruning when radius= is also given
+          case Some(s) if db.indexTypeOf(coll).contains("pq") =>
+            db.searchSimilarPq(coll, vec, k, s.toInt, probeRadius = radius)
           case Some(s) => db.searchSimilarSq8(coll, vec, k, s.toInt, metric)
           case None => db.searchSimilar(coll, vec, k, metric, radius)
         }
@@ -99,6 +104,12 @@ object CommandExecutor {
             db.reindexZOrder(coll, cols(0), cols(1),
               bits = opts.getOrElse("bits", "8").toInt,
               nFiles = opts.getOrElse("files", "8").toInt)
+          case "pq" =>
+            db.reindexPq(coll,
+              m = opts.getOrElse("m", "8").toInt,
+              ksub = opts.getOrElse("ksub", "16").toInt,
+              rounds = opts.getOrElse("rounds", "1").toInt,
+              nBits = opts.getOrElse("bits", "8").toInt)
           case "tokenizer" =>
             // the trained-artifact family: like zorder this records intent
             // in a sidecar rather than a cluster_id partition layout
@@ -106,7 +117,7 @@ object CommandExecutor {
               textCol = opts.getOrElse("col", "payload"),
               nMerges = opts.getOrElse("merges", "10").toInt)
           case other => throw new IllegalArgumentException(
-            s"REINDEX type must be sign, kmeans, zorder, or tokenizer, got: $other")
+            s"REINDEX type must be sign, kmeans, zorder, pq, or tokenizer, got: $other")
         }
         status("REINDEX", coll)
     }

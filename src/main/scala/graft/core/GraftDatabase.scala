@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.model.VectorRecord
-import graft.operators.{SimilaritySearch, TextAnalysis, VectorIndex, ZOrder}
+import graft.operators.{ProductQuantization, SimilaritySearch, TextAnalysis, VectorIndex, ZOrder}
 
 /** A graft database: a directory of named collections, each a Parquet-backed
   * table (SURVEY §1.2). Reference surface: database init at
@@ -159,10 +159,15 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     // storage roundtrip — this is the hot write path).
     val existing = read(name).columns.toSet
     val base = align(name, df)
-    val aligned =
+    val quanted =
       if (existing.contains(QuantCol))
         base.withColumn(QuantCol, quantExpr(col("embedding")))
       else base
+    val aligned =
+      if (existing.contains(PqCodeCol))
+        ProductQuantization.assignCodes(quanted, "embedding",
+          pqCodebooksOf(name), PqCodeCol)
+      else quanted
     appendAssignment(name, existing.contains("cluster_id")) match {
       case Some(assign) =>
         assign(aligned).write.mode("append")
@@ -203,6 +208,10 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         Some(VectorIndex.assignSignBuckets(_, nBits = indexBits(name)))
       case Some("kmeans") =>
         Some(VectorIndex.assignNearestCentroid(_, centroidsOf(name)))
+      case Some("pq") =>
+        // same cell rule as sign_bucket (the pq_code column is re-derived
+        // by the bulkInsert pass above, keyed off the schema read)
+        Some(VectorIndex.assignSignBuckets(_, nBits = indexBits(name)))
       case _ =>
         // unknown layout (custom reindexWith): rows stay readable in the
         // unindexed tail; SEARCHSIMILAR on unknown layouts is exact-scan
@@ -230,7 +239,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     // derived columns come off before the merge (updates arrive without
     // them) and are re-derived after, so an updated row's quantized copy /
     // cluster assignment always reflects its NEW vector
-    val base = current.drop("cluster_id").drop(QuantCol)
+    val base = current.drop("cluster_id").drop(QuantCol).drop(PqCodeCol)
     val mergedRaw = graft.operators.Mutations.upsert(base, align(name, updates), key)
     val merged =
       if (hasQuant) mergedRaw.withColumn(QuantCol, quantExpr(col("embedding")))
@@ -242,6 +251,12 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         // re-assign against the stored centroids (same rule the append path
         // uses) — the index survives the update instead of being dropped
         VectorIndex.assignNearestCentroid(merged, centroidsOf(name))
+      case Some("pq") =>
+        // both derived columns are reproducible from the sidecar, so the
+        // PQ index survives updates too — cells AND codes re-derive
+        ProductQuantization.assignCodes(
+          VectorIndex.assignSignBuckets(merged, nBits = indexBits(name)),
+          "embedding", pqCodebooksOf(name), PqCodeCol)
       case _ =>
         if (hasIndex) fs.delete(new Path(collDir(name), IndexMetaFile), false)
         merged
@@ -360,6 +375,24 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       s"index sidecar for $name has no centroids"))
   }
 
+  /** The index layout recorded in the collection's sidecar, if any —
+    * public so the command layer can dispatch SEARCHSIMILAR options to the
+    * path the collection's index actually supports (e.g. `shortlist=` on a
+    * PQ collection means the ADC path, not the SQ8 scan).
+    */
+  def indexTypeOf(name: String): Option[String] = {
+    requireCollection(name)
+    indexType(name)
+  }
+
+  /** Codebooks recorded by [[reindexPq]]'s sidecar. */
+  private def pqCodebooksOf(name: String): ProductQuantization.Codebooks = {
+    val json = indexSidecar(name).getOrElse(
+      throw new IllegalStateException(s"no index sidecar for $name"))
+    parseIndexCodebooks(json).getOrElse(throw new IllegalStateException(
+      s"index sidecar for $name has no codebooks — REINDEX type=pq first"))
+  }
+
   /** REINDEX with the default deterministic sign-bucket index; records the
     * bit width so probes know the code space.
     */
@@ -387,6 +420,64 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
     writeString(fs, new Path(collDir(name), IndexMetaFile),
       s"""{"type": "kmeans", "k": $k, "centroids": $cents}""")
+  }
+
+  /** REINDEX with the IVF × PQ layout — the 100 TB ANN index as a managed
+    * artifact: train per-subspace codebooks ([[ProductQuantization
+    * .trainCodebooks]] — md5-seeded, `rounds` deterministic Lloyd
+    * refinements), rewrite the collection partitioned by sign-bucket
+    * `cluster_id` with an m-byte `pq_code` column beside each vector, and
+    * record codebooks + geometry in the sidecar. The sidecar is what makes
+    * the index live AND reproducible: [[searchSimilarPq]] probes with the
+    * stored codebooks, and arriving rows (INSERT/BULKINSERT/UPDATE) get
+    * cluster_id and pq_code re-derived by the same deterministic rules —
+    * no invalidation, no row loss (both assignment rules are pure column
+    * math against sidecar literals).
+    */
+  def reindexPq(name: String, m: Int = 8, ksub: Int = 16, rounds: Int = 1,
+      nBits: Int = 8, idCol: String = "id", seed: String = "pq"): Unit = {
+    requireCollection(name)
+    val cur = read(name)
+    val base = cur.drop("cluster_id").drop(PqCodeCol)
+    val cb = ProductQuantization.trainCodebooks(base, idCol, "embedding",
+      m, ksub, rounds, seed)
+    val laid = ProductQuantization.assignCodes(
+      VectorIndex.assignSignBuckets(base, nBits = nBits), "embedding", cb,
+      PqCodeCol)
+    rewrite(name, laid, partitionBy = Seq("cluster_id"))
+    val cbJson = cb.map(_.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    writeString(fs, new Path(collDir(name), IndexMetaFile),
+      s"""{"type": "pq", "bits": $nBits, "m": $m, "ksub": $ksub, "codebooks": $cbJson}""")
+  }
+
+  /** PQ-accelerated SEARCHSIMILAR over a `REINDEX type=pq` collection:
+    * ADC-score the stored m-byte codes against the query's lookup table
+    * (built from the sidecar codebooks), keep the `shortlist` nearest,
+    * exact-l2-rerank only those. `probeRadius >= 0` composes the
+    * sign-bucket cell pruning (hamming radius, like [[searchSimilar]]) —
+    * cell pruning × 32× code compression is the 100 TB read path
+    * (≈0.1% of corpus vector bytes at the defaults). l2 metric by
+    * construction (ADC decomposes squared l2 per subspace; cosine
+    * callers normalize at ingest). Loud on a collection without the pq
+    * sidecar — never silently exact-scans when the caller asked for the
+    * compressed path.
+    */
+  def searchSimilarPq(name: String, query: Array[Float], k: Int,
+      shortlist: Int = 1000, probeRadius: Int = -1,
+      idCol: String = "id"): DataFrame = {
+    val data = read(name)
+    val cb = pqCodebooksOf(name)
+    require(data.columns.contains(PqCodeCol),
+      s"$name has no $PqCodeCol column — REINDEX type=pq first")
+    if (probeRadius >= 0 && data.columns.contains("cluster_id"))
+      ProductQuantization.probeAdc(data, query, k, shortlist, cb,
+        nBits = indexBits(name), radius = probeRadius,
+        vecCol = "embedding", codeCol = PqCodeCol, idCol = idCol)
+    else
+      ProductQuantization.topKAdc(data.drop(PqCodeCol), data, query, k,
+        shortlist, cb, vecCol = "embedding", codeCol = PqCodeCol,
+        idCol = idCol)
   }
 
   /** REINDEX with a Z-ORDER file layout: rewrite the collection
@@ -601,7 +692,19 @@ object GraftDatabase {
   private[graft] def parseIndexCentroids(json: String): Option[Array[Array[Double]]] =
     "\"centroids\"\\s*:\\s*\\[\\[(.*)\\]\\]".r.findFirstMatchIn(json)
       .map(_.group(1).split("\\],\\s*\\[").map(_.split(",").map(_.trim.toDouble)))
+
+  /** Codebooks from a `type=pq` sidecar: three bracket levels (subspace →
+    * centroid → dim), written by [[GraftDatabase.reindexPq]] with
+    * Double.toString (round-trips exactly) — a two-level bracketed split
+    * is a faithful parse, same contract as [[parseIndexCentroids]].
+    */
+  private[graft] def parseIndexCodebooks(
+      json: String): Option[Array[Array[Array[Double]]]] =
+    "\"codebooks\"\\s*:\\s*\\[\\[\\[(.*)\\]\\]\\]".r.findFirstMatchIn(json)
+      .map(_.group(1).split("\\]\\],\\s*\\[\\[").map(
+        _.split("\\],\\s*\\[").map(_.split(",").map(_.trim.toDouble))))
   private[core] val QuantCol = "embedding_q8"
+  private[graft] val PqCodeCol = "pq_code"
   // zstd over the snappy default: ~2× better ratio at comparable decode
   // speed — at 100 TB the scan is IO-bound and storage cost is real; both
   // codecs ship in Spark's own jars so readers need nothing extra.

@@ -341,6 +341,37 @@ object PipelineQueries {
         .orderBy("cluster_id")
     }),
 
+    // The PQ index as a MANAGED artifact, driven entirely through the
+    // command grammar: REINDEX type=pq trains codebooks and rewrites the
+    // collection (sign-bucket partition layout + m-byte pq_code column +
+    // codebooks sidecar), then SEARCHSIMILAR shortlist=…;radius=… runs the
+    // IVF × ADC × exact-rerank composition with codebooks parsed BACK from
+    // the sidecar — a hash match proves the persisted artifact round-trips
+    // bit-exactly (Double.toString both ways) and the managed path equals
+    // the raw-operator composition the oracle replays. The self-match
+    // (vec_id 0 at distance 0) rides through: the collection holds the
+    // query row, proving no row was lost in the reindex rewrite.
+    "q141_pq_reindex" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q141")
+      db.createCollection("vecs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      val src = Tables.embeddings(s, dir).withColumnRenamed("vec_id", "id")
+      db.bulkInsert("vecs", src)
+      CommandExecutor.execute(db, GraftCommand.Reindex("vecs",
+        Some("type=pq;m=8;ksub=16;rounds=1;bits=8")))
+      val qv = src.filter(col("id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      CommandExecutor.execute(db, GraftCommand.SearchSimilar("vecs",
+          s"k=50;shortlist=50;radius=1;vec=${qv.mkString(",")}"))
+        .select(col("id").as("vec_id"),
+          col("approx_score").as("adc_dist"),
+          round(col("score"), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    }),
+
     // INSERT / UPDATE / DELETE through the command grammar, end state read
     // back through SEARCH; oracle is the literal expected table.
     "q45_command_mutations" -> ((s, dir) => {
@@ -361,6 +392,30 @@ object PipelineQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // q132's replay (training, codes, lut, ball pruning, ADC shortlist,
+    // exact rerank) WITHOUT the self-exclusion: the managed collection
+    // holds the query row, so vec_id 0 must surface at rank 1 / dist 0.
+    "q141_pq_reindex" -> (VectorQueries.pqTrainSql +
+      s""",
+         |bk AS (SELECT vec_id, ${VectorQueries.duckBucket("embedding")} AS c FROM embeddings),
+         |qb AS (SELECT c FROM bk WHERE vec_id = 0),
+         |adc AS (
+         |  SELECT codes.vec_id, round(sum(lut.d) + 1e-9, 6) AS adc_dist
+         |  FROM codes JOIN lut USING (s, cid)
+         |  JOIN bk ON bk.vec_id = codes.vec_id CROSS JOIN qb
+         |  WHERE bit_count(xor(CAST(bk.c AS BIGINT), CAST(qb.c AS BIGINT))) <= 1
+         |  GROUP BY codes.vec_id),
+         |short AS (
+         |  SELECT vec_id, adc_dist FROM (
+         |    SELECT vec_id, adc_dist, row_number() OVER (
+         |      ORDER BY adc_dist, vec_id) AS rn FROM adc)
+         |  WHERE rn <= 50)
+         |SELECT short.vec_id, adc_dist,
+         |  round(list_distance(e.v, q.qv), 6) AS dist
+         |FROM short JOIN e USING (vec_id) CROSS JOIN q
+         |ORDER BY dist, short.vec_id
+         |LIMIT 10""".stripMargin),
 
     "q40_collection_roundtrip" ->
       """SELECT vec_id, label FROM embeddings

@@ -579,7 +579,7 @@ object VectorQueries {
 
   // Shared SQL fragment: the 8-bit sign-bucket code of a DuckDB FLOAT[] —
   // must mirror VectorIndex.signBucket bit-for-bit (1-indexed lists).
-  private def duckBucket(v: String): String =
+  private[queries] def duckBucket(v: String): String =
     (0 until 8)
       .map(i => s"(CASE WHEN $v[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
@@ -589,7 +589,7 @@ object VectorQueries {
   // cids), `q` (the vec_id-0 query), and `lut` (the query's rounded
   // squared-l2 ADC table). Must mirror ProductQuantization.trainCodebooks
   // / assignCodes / adcTable handoff-for-handoff.
-  private val pqTrainSql: String =
+  private[queries] val pqTrainSql: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |sp AS (SELECT unnest(range(0, 8)) AS s),

@@ -226,6 +226,83 @@ class GraftDatabaseSpec extends AnyFunSuite {
       "updated row not re-assigned to its new cell")
   }
 
+  test("pq reindex: sidecar codebooks drive the ADC probe, appends, and update") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    val rows = (0 until 40).map { i =>
+      val base =
+        if (i < 20) Array(1.0f, 0.0f, 0.0f, 0.0f)
+        else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      VectorRecord(i.toLong, base.updated(3, i.toFloat / 1000), s"p$i")
+    }
+    db.bulkInsert("vecs", rows.toDF())
+    db.reindexPq("vecs", m = 2, ksub = 4, rounds = 1, nBits = 4)
+    val indexed = db.read("vecs")
+    assert(indexed.columns.contains("cluster_id"), "pq layout must partition")
+    assert(indexed.columns.contains("pq_code"), "pq layout must store codes")
+    assert(indexed.filter($"pq_code".isNull).count() == 0)
+
+    // managed path ≡ the raw-operator composition: the sidecar round-trip
+    // (write JSON, parse back) must reproduce the trained codebooks
+    // bit-for-bit, so the ADC ranking is identical
+    val cb = graft.operators.ProductQuantization.trainCodebooks(
+      rows.toDF(), "id", "embedding", m = 2, ksub = 4, rounds = 1)
+    val coded = graft.operators.ProductQuantization.assignCodes(
+      rows.toDF(), "embedding", cb)
+    val q = Array(1.0f, 0.0f, 0.0f, 0.005f)
+    val raw = graft.operators.ProductQuantization.topKAdc(
+        rows.toDF(), coded, q, k = 5, shortlist = 40, cb)
+      .select($"id", $"score").as[(Long, Double)].collect().toSeq
+    val managed = db.searchSimilarPq("vecs", q, k = 5, shortlist = 40)
+      .select($"id", $"score").as[(Long, Double)].collect().toSeq
+    assert(managed == raw, s"managed $managed != raw $raw")
+
+    // radius-composed probe stays within the hamming ball AND finds the
+    // planted nearest (same cell as the query by construction)
+    val probed = db.searchSimilarPq("vecs", q, k = 3, shortlist = 40,
+      probeRadius = 0)
+    assert(probed.select("id").as[Long].collect().forall(_ < 20))
+
+    // append re-derives BOTH derived columns from the sidecar
+    db.bulkInsert("vecs",
+      Seq(VectorRecord(100L, Array(0.99f, 0.0f, 0.0f, 0.01f), "late")).toDF())
+    val after = db.read("vecs")
+    assert(after.count() == 41)
+    assert(after.filter($"id" === 100 && $"pq_code".isNotNull).count() == 1,
+      "appended row missing its pq code")
+    val found = db.searchSimilarPq("vecs",
+      Array(0.99f, 0.0f, 0.0f, 0.01f), k = 1, shortlist = 41,
+      probeRadius = 0)
+    assert(found.select("id").as[Long].head() == 100L)
+
+    // update keeps the pq index alive: cells and codes re-derive
+    db.update("vecs", Seq(
+      VectorRecord(0L, Array(0.0f, 1.0f, 0.0f, 0.5f), "moved")).toDF())
+    val afterUpd = db.read("vecs")
+    assert(afterUpd.columns.contains("pq_code"))
+    val probed3 = db.searchSimilarPq("vecs", Array(0.0f, 1.0f, 0.0f, 0.5f),
+      k = 1, shortlist = 41, probeRadius = 0)
+    assert(probed3.select("id").as[Long].head() == 0L,
+      "updated row not re-coded into its new cell")
+  }
+
+  test("searchSimilarPq without a pq sidecar fails loud, never exact-scans") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    db.bulkInsert("vecs", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f, 0.5f, 0.2f), "a")).toDF())
+    val e = intercept[IllegalStateException] {
+      db.searchSimilarPq("vecs", Array(1.0f, 0.0f, 0.5f, 0.2f), k = 1)
+    }
+    assert(e.getMessage.contains("sidecar"))
+    // a sign-bucket sidecar is not a pq sidecar either
+    db.reindex("vecs", nBits = 4)
+    val e2 = intercept[IllegalStateException] {
+      db.searchSimilarPq("vecs", Array(1.0f, 0.0f, 0.5f, 0.2f), k = 1)
+    }
+    assert(e2.getMessage.contains("codebooks"))
+  }
+
   test("custom reindexWith layout: appends survive in the unindexed tail") {
     val db = freshDb()
     db.createCollection("vecs")
