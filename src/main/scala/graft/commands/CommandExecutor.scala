@@ -74,19 +74,28 @@ object CommandExecutor {
         // shortlist=<n> instead selects the SQ8 quantized-rerank path
         // (index-free, structure-free — see SimilaritySearch.topKSq8)
         val radius = opts.getOrElse("radius", "-1").toInt
-        val vec = opts.get("vec") match {
-          case Some(v) => v.split(",").map(_.trim.toFloat)
-          case None => throw new IllegalArgumentException(
-            "SEARCHSIMILAR arg must include vec=f,f,...")
-        }
-        opts.get("shortlist") match {
-          // on a REINDEX type=pq collection, shortlist= means the ADC
-          // path (stored m-byte codes + sidecar codebooks), composed with
-          // cell pruning when radius= is also given
-          case Some(s) if db.indexTypeOf(coll).contains("pq") =>
-            db.searchSimilarPq(coll, vec, k, s.toInt, probeRadius = radius)
-          case Some(s) => db.searchSimilarSq8(coll, vec, k, s.toInt, metric)
-          case None => db.searchSimilar(coll, vec, k, metric, radius)
+        opts.get("batch") match {
+          // batch= names a parquet file of (query_id, query_vec) — the
+          // retrieval-job shape: the whole batch probes in ONE scan
+          case Some(path) =>
+            db.searchSimilarBatch(coll, readBatchQueries(spark, path), k,
+              metric, probeRadius = radius,
+              shortlist = opts.get("shortlist").map(_.toInt).getOrElse(-1))
+          case None =>
+            val vec = opts.get("vec") match {
+              case Some(v) => v.split(",").map(_.trim.toFloat)
+              case None => throw new IllegalArgumentException(
+                "SEARCHSIMILAR arg must include vec=f,f,... or batch=<path>")
+            }
+            opts.get("shortlist") match {
+              // on a REINDEX type=pq collection, shortlist= means the ADC
+              // path (stored m-byte codes + sidecar codebooks), composed
+              // with cell pruning when radius= is also given
+              case Some(s) if db.indexTypeOf(coll).contains("pq") =>
+                db.searchSimilarPq(coll, vec, k, s.toInt, probeRadius = radius)
+              case Some(s) => db.searchSimilarSq8(coll, vec, k, s.toInt, metric)
+              case None => db.searchSimilar(coll, vec, k, metric, radius)
+            }
         }
 
       case Reindex(coll, arg) =>
@@ -121,6 +130,23 @@ object CommandExecutor {
         }
         status("REINDEX", coll)
     }
+  }
+
+  /** Query batch for `SEARCHSIMILAR batch=<path>`: a parquet file with
+    * exactly the (query_id, query_vec array<float>) columns the batch
+    * operators take. Strict — a mis-shaped file fails loud here, not as a
+    * confusing analysis error three operators deep.
+    */
+  private def readBatchQueries(spark: SparkSession, path: String): DataFrame = {
+    require(path.endsWith(".parquet") || path.endsWith(".pq"),
+      s"SEARCHSIMILAR batch= requires a parquet file of (query_id, query_vec), got: $path")
+    val df = spark.read.parquet(path)
+    Seq("query_id", "query_vec").foreach { c =>
+      require(df.columns.contains(c),
+        s"batch query file $path is missing column $c (has: ${df.columns.mkString(", ")})")
+    }
+    df.select(col("query_id"),
+      col("query_vec").cast("array<float>").as("query_vec"))
   }
 
   /** `id;f,f,...,f;payload` — the reference's `vec;payload` line format

@@ -353,6 +353,40 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     }
   }
 
+  /** Batch SEARCHSIMILAR — the retrieval-job shape through the managed
+    * surface: `queries` is a (`query_id`, `query_vec` array<float>) frame,
+    * and the WHOLE batch is answered by ONE scan (the union of all probed
+    * cells on an indexed layout) with a bounded per-query heap — never one
+    * job per query. Dispatch mirrors the single-query paths:
+    * `probeRadius >= 0` + a pq sidecar + `shortlist >= 1` runs the batch
+    * IVF × ADC composition ([[ProductQuantization.probeAdcBatch]]);
+    * sign-bucket / kmeans layouts run the exact batch probe
+    * ([[VectorIndex.probeBatch]] / [[VectorIndex.probeKMeansBatch]]);
+    * anything else is the exact broadcast batch scan
+    * ([[SimilaritySearch.topKBatchAgg]]) — same fallback discipline as
+    * [[searchSimilar]], never silently wrong neighbors.
+    */
+  def searchSimilarBatch(name: String, queries: DataFrame, k: Int,
+      metric: String = "cosine", probeRadius: Int = -1,
+      shortlist: Int = -1, idCol: String = "id"): DataFrame = {
+    val data = read(name)
+    lazy val layout = indexType(name)
+    val probeable = probeRadius >= 0 && data.columns.contains("cluster_id")
+    if (probeable && layout.contains("pq") && shortlist >= 1)
+      ProductQuantization.probeAdcBatch(data, queries, k, shortlist,
+        pqCodebooksOf(name), nBits = indexBits(name), radius = probeRadius,
+        vecCol = "embedding", codeCol = PqCodeCol, idCol = idCol)
+    else if (probeable && (layout.contains("sign_bucket")
+        || layout.contains("pq")))
+      VectorIndex.probeBatch(data.drop(PqCodeCol), queries, k, metric,
+        nBits = indexBits(name), radius = probeRadius, idCol = idCol)
+    else if (probeable && layout.contains("kmeans"))
+      VectorIndex.probeKMeansBatch(data, queries, k, metric,
+        centroidsOf(name), nprobe = probeRadius + 1, idCol = idCol)
+    else
+      SimilaritySearch.topKBatchAgg(data, queries, k, metric, idCol = idCol)
+  }
+
   private def indexSidecar(name: String): Option[String] = {
     val sidecar = new Path(collDir(name), IndexMetaFile)
     if (fs.exists(sidecar)) Some(readString(fs, sidecar)) else None

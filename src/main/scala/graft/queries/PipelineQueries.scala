@@ -372,6 +372,35 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // Batch retrieval through the command grammar: SEARCHSIMILAR batch=
+    // names a parquet of (query_id, query_vec) and the pq-indexed
+    // collection answers the whole batch in ONE union-pruned scan (batch
+    // IVF × ADC × one broadcast rerank). Gated against q135's oracle
+    // VERBATIM — the managed command path must equal the raw-operator
+    // composition row-for-row (the stream ≡ batch gating pattern).
+    "q142_batch_cmd" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q142")
+      db.createCollection("vecs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      val src = Tables.embeddings(s, dir).withColumnRenamed("vec_id", "id")
+      db.bulkInsert("vecs", src)
+      CommandExecutor.execute(db, GraftCommand.Reindex("vecs",
+        Some("type=pq;m=8;ksub=16;rounds=1;bits=8")))
+      val qpath = Files.createTempDirectory("graft_q142").toString +
+        "/queries.parquet"
+      src.filter(col("id") < 3)
+        .select(col("id").as("query_id"), col("embedding").as("query_vec"))
+        .write.mode("overwrite").parquet(qpath)
+      CommandExecutor.execute(db, GraftCommand.SearchSimilar("vecs",
+          s"k=5;shortlist=20;radius=1;batch=$qpath"))
+        .select(col("query_id"), col("id").as("vec_id"),
+          col("approx_score").as("adc_dist"), col("score").as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // INSERT / UPDATE / DELETE through the command grammar, end state read
     // back through SEARCH; oracle is the literal expected table.
     "q45_command_mutations" -> ((s, dir) => {
@@ -416,6 +445,10 @@ object PipelineQueries {
          |FROM short JOIN e USING (vec_id) CROSS JOIN q
          |ORDER BY dist, short.vec_id
          |LIMIT 10""".stripMargin),
+
+    // q135's oracle verbatim: the command-surface batch must equal the
+    // raw-operator batch IVF × PQ composition row-for-row
+    "q142_batch_cmd" -> VectorQueries.oracles("q135_pq_batch"),
 
     "q40_collection_roundtrip" ->
       """SELECT vec_id, label FROM embeddings

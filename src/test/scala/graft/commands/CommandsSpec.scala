@@ -103,6 +103,50 @@ class CommandsSpec extends AnyFunSuite {
     }
   }
 
+  test("executor: SEARCHSIMILAR batch= answers every query, strict on shape") {
+    val parent = Files.createTempDirectory("graftbatch").toString
+    val db = GraftDatabase.create(spark, parent, "batchdb")
+    def exec(coll: Option[String], cmd: String, arg: Option[String]) =
+      CommandExecutor.execute(db,
+        CommandParser.parse(coll, cmd, arg).fold(e => fail(e.message), identity))
+
+    exec(None, "CREATE", Some("vecs"))
+    (0 until 20).foreach { i =>
+      val v = if (i < 10) s"1.0,0.0,0.0${i}1,0.5" else s"0.0,1.0,0.0${i}1,0.5"
+      exec(Some("vecs"), "INSERT", Some(s"$i;$v;p$i"))
+    }
+    val qdir = Files.createTempDirectory("graftbatchq").toString
+    val qpath = qdir + "/q.parquet"
+    Seq((0L, Array(1.0f, 0.0f, 0.001f, 0.5f)),
+        (1L, Array(0.0f, 1.0f, 0.001f, 0.5f)))
+      .toDF("query_id", "query_vec").write.parquet(qpath)
+
+    // flat collection → exact broadcast batch: each query's top-1 is its
+    // own planted cluster
+    val flat = exec(Some("vecs"), "SEARCHSIMILAR", Some(s"k=3;batch=$qpath"))
+    assert(flat.filter($"rank" === 1).count() == 2)
+    val top = flat.filter($"rank" === 1)
+      .select($"query_id", $"id").as[(Long, Long)].collect().toMap
+    assert(top(0L) < 10 && top(1L) >= 10)
+
+    // indexed collection + radius → ONE pruned batch probe
+    exec(Some("vecs"), "REINDEX", Some("type=sign;bits=4"))
+    val probed = exec(Some("vecs"), "SEARCHSIMILAR",
+      Some(s"k=3;radius=0;batch=$qpath"))
+    assert(probed.filter($"rank" === 1).count() == 2)
+
+    // mis-shaped batch files fail loud, before any probe runs
+    val bad = qdir + "/bad.parquet"
+    Seq((0L, "not a vector")).toDF("query_id", "text").write.parquet(bad)
+    val e = intercept[IllegalArgumentException] {
+      exec(Some("vecs"), "SEARCHSIMILAR", Some(s"k=3;batch=$bad"))
+    }
+    assert(e.getMessage.contains("query_vec"))
+    intercept[IllegalArgumentException] {
+      exec(Some("vecs"), "SEARCHSIMILAR", Some("k=3;batch=/tmp/q.csv"))
+    }
+  }
+
   test("executor: bulkinsert from the reference text format") {
     val parent = Files.createTempDirectory("graftbulk").toString
     val db = GraftDatabase.create(spark, parent, "bulkdb")
