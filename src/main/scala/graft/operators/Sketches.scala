@@ -113,4 +113,60 @@ object Sketches {
       .groupBy(col(tokenCol))
       .agg(min(coalesce(col("c"), lit(0L))).as("n_cms"))
   }
+
+  /** 48-bit md5 hash of a value — the KMV key space. 48 bits keeps every
+    * hash (and every product in the estimator) under 2^53, so the
+    * arithmetic is EXACT in double on every engine; the loss vs 64 bits
+    * only nudges the estimate via extra collisions (≈n²/2^49 expected),
+    * identically on both sides of the gate.
+    */
+  def kmvHash(value: Column, seed: String = "kmv"): Column =
+    conv(substring(md5(concat(lit(seed + ":"), value)), 1, 12), 16, 10)
+      .cast("long")
+
+  /** KMV / bottom-k distinct-count sketch (Bar-Yossef et al. 2002) per
+    * group — the vocabulary-size diagnostic beside [[countMinTable]]'s
+    * frequencies: with the k smallest of n uniform 48-bit hashes, the
+    * k-th smallest H_k estimates n ≈ (k−1)·2^48 / H_k (stderr ≈
+    * 1/√(k−2)). Unlike `approx_count_distinct`'s HLL bytes, every number
+    * here is an md5 slice any engine recomputes — the sketch itself is
+    * hash-gateable.
+    *
+    * Scale shape: ONE shuffle dedups (group, hash) with map-side partial
+    * dedup; the bottom-k runs in [[TopKAggregator]]'s bounded heap — ≤ k
+    * rows per partition per group cross the second (group-keyed) shuffle,
+    * never a per-group sort window (the q101 de-skew doctrine: a dominant
+    * group must not serialize through one reducer). Driver state: nothing;
+    * output: one row per group.
+    *
+    * Output: (`groupCol`, n_sketch, kth, est_distinct) — `n_sketch` < k
+    * means the group's distinct count IS n_sketch (the sketch saw
+    * everything) and `kth` is null; est is then exact by construction.
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64, seed: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df
+      .select(col(groupCol).cast("string").as("__g"),
+        kmvHash(col(valueCol), seed).as("__h"))
+      .distinct()
+    val topk = new TopKAggregator(k).toColumn
+    hashed.as[(String, Long)]
+      .groupByKey(_._1)
+      // heap keeps the k LARGEST scores; score = −h (exact: |h| < 2^53)
+      // selects the k smallest hashes
+      .mapValues(t => (t._2, -t._2.toDouble))
+      .agg(topk)
+      .toDF("__g", "__bk")
+      .select(col("__g").as(groupCol),
+        size(col("__bk")).cast("long").as("n_sketch"),
+        // try_: a group with fewer than k distinct hashes has no k-th
+        try_element_at(col("__bk"), lit(k)).getField("_1").as("kth"))
+      .withColumn("est_distinct",
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /
+            col("kth").cast("double")))
+  }
 }

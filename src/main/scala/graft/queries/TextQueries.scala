@@ -168,6 +168,26 @@ object TextQueries {
         .orderBy(desc("n_true"), col("token"))
     }),
 
+    // KMV bottom-k distinct sketch: per-source vocabulary-size estimates
+    // beside the exact counts — the distinct-count diagnostic the CMS
+    // (frequencies, q112) and Bloom (membership, q113) sketches don't
+    // cover. 48-bit md5 hashes keep every number under 2^53 (exact in
+    // double on both engines); the oracle recomputes the k-th smallest
+    // hash and the estimator division, pinning the sketch itself. The
+    // bottom-k runs in the bounded heap, never a per-group sort window.
+    "q143_kmv_distinct" -> ((s, dir) => {
+      val toks = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .select(col("source"),
+          explode(TextAnalysis.normalizedTokens(col("text"))).as("token"))
+      val exact = toks.groupBy("source")
+        .agg(countDistinct("token").as("n_exact"))
+      graft.operators.Sketches.kmvDistinct(toks, "source", "token", k = 64)
+        .join(exact, Seq("source"))
+        .select(col("source"), col("n_exact"), col("n_sketch"), col("kth"),
+          round(col("est_distinct") + lit(1e-9), 4).as("est"))
+        .orderBy("source")
+    }),
+
     // BPE merge-candidate table (tokenizer training, first merge): the
     // most frequent adjacent character pairs weighted by word frequency.
     // Pairs explode off the vocabulary, never the corpus; top-20 cut is
@@ -952,6 +972,31 @@ object TextQueries {
         |FROM sc
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q143_kmv_distinct" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |hx AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x'||substring(md5('kmv:'||token), 1, 12)) AS BIGINT) AS h
+        |  FROM toks),
+        |bk AS (
+        |  SELECT source, h, row_number() OVER (
+        |    PARTITION BY source ORDER BY h) AS rn
+        |  FROM hx),
+        |sk AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_sketch,
+        |    max(CASE WHEN rn = 64 THEN h END) AS kth
+        |  FROM bk WHERE rn <= 64 GROUP BY source),
+        |ex AS (
+        |  SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_exact
+        |  FROM toks GROUP BY source)
+        |SELECT ex.source, n_exact, n_sketch, kth,
+        |  round(CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+        |    ELSE 63.0 * 281474976710656.0 / CAST(kth AS DOUBLE) END + 1e-9, 4) AS est
+        |FROM ex JOIN sk USING (source)
+        |ORDER BY source""".stripMargin,
 
     "q140_lm_pruned" ->
       """WITH d AS (

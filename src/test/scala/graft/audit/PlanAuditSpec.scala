@@ -409,6 +409,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the ADC shortlist must be the bounded heap aggregator:\n${p.take(2000)}")
   }
 
+  test("q143 kmv sketch: bounded heap per group, no per-group sort window") {
+    val p = plan("q143_kmv_distinct")
+    assert(!p.contains("Window"),
+      s"bottom-k must be the bounded heap aggregator, never a rank window:\n${p.take(2000)}")
+    assert(p.contains("ObjectHashAggregate"),
+      "TopKAggregator (typed heap) expected in the plan")
+    assert(p.contains("partial"),
+      "the (group, hash) dedup must combine map-side")
+  }
+
   test("q136 bm25: single-row stats broadcast, bounded top-k on rounded score") {
     val p = plan("q136_bm25")
     assert(p.contains("TakeOrderedAndProject"),

@@ -53,6 +53,40 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv: small groups are exact, large groups estimate within theory") {
+    // group "small": 3 distinct values, k=8 → the sketch sees everything,
+    // kth is null and the estimate IS the exact count
+    // group "big": 5000 distinct values, k=64 → estimator branch; KMV
+    // stderr is 1/sqrt(k-2) ≈ 12.7%, assert within 5σ
+    val rows = (0 until 3).map(i => ("small", s"s$i")) ++
+      (0 until 20000).map(i => ("big", s"b${i % 5000}"))
+    val df = rows.toDF("g", "v")
+    val got = Sketches.kmvDistinct(df, "g", "v", k = 64)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), r.getDouble(3))).toMap
+    val (nSmall, kthSmall, estSmall) = got("small")
+    assert(nSmall == 3L && kthSmall.isEmpty && estSmall == 3.0)
+    val (nBig, kthBig, estBig) = got("big")
+    assert(nBig == 64L && kthBig.nonEmpty)
+    assert(math.abs(estBig - 5000.0) / 5000.0 < 5.0 / math.sqrt(62.0),
+      s"estimate $estBig too far from 5000")
+
+    // duplicates must not eat heap slots: the sketch of the deduplicated
+    // frame is identical (the .distinct() inside is load-bearing)
+    val dedup = Sketches.kmvDistinct(df.distinct(), "g", "v", k = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(dedup("big") == estBig && dedup("small") == estSmall)
+
+    // deterministic run-to-run
+    val again = Sketches.kmvDistinct(df, "g", "v", k = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(again("big") == estBig)
+
+    intercept[IllegalArgumentException] {
+      Sketches.kmvDistinct(df, "g", "v", k = 1)
+    }
+  }
+
   test("table is bounded by depth x width; unseen tokens estimate zero") {
     val toks = tokens(Seq.fill(500)("a") ++ Seq.fill(300)("b"))
     val table = Sketches.countMinTable(toks, "token", depth = 4, width = 16)
