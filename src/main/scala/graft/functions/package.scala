@@ -30,6 +30,13 @@ package object functions {
   def hamming_dist(a: Column, b: Column): Column =
     GraftSqlShims.column(HammingDistance(GraftSqlShims.expression(a), GraftSqlShims.expression(b)))
 
+  /** Unicode NFC canonical composition — normalize BEFORE dedup or
+    * fingerprinting so byte-level encoding variants of the same text
+    * land in one dedup class.
+    */
+  def nfc_normalize(a: Column): Column =
+    GraftSqlShims.column(NfcNormalize(GraftSqlShims.expression(a)))
+
   /** A float-vector literal usable against `array<float>` columns. */
   def vector_lit(v: Array[Float]): Column = lit(v)
 
@@ -46,5 +53,6 @@ package object functions {
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("hamming_dist", es => HammingDistance(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "scala_udf")
   }
 }

@@ -188,6 +188,35 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Unicode canonicalization before dedup: deterministic synthetic
+    // encoding variants (precomposed é/ñ vs decomposed e+U+0301 /
+    // n+U+0303 by doc_id % 4 — the q80 synthetic-input pattern) are
+    // NFC-normalized by the custom codegen expression; per source, the
+    // four raw byte-variants collapse to two canonical classes, and the
+    // md5 of the canonical bytes is pinned — the oracle recomputes with
+    // DuckDB's own nfc_normalize, so a hash match proves the JDK and
+    // utf8proc compose these sequences identically.
+    "q144_nfc_dedup" -> ((s, dir) => {
+      // variant from an md5 slice, NOT doc_id % 4: doc ids within a
+      // source share a residue class, which would collapse the variants
+      // to one per source (a vacuous gate)
+      val variant = conv(substring(md5(concat(lit("nfcvar:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 4
+      val raw = concat(col("source"),
+        when(variant === 0, lit("\u00e9"))        // precomposed e-acute
+          .when(variant === 1, lit("e\u0301"))     // e + combining acute
+          .when(variant === 2, lit("\u00f1"))      // precomposed n-tilde
+          .otherwise(lit("n\u0303")))              // n + combining tilde
+      Tables.documents(s, dir)
+        .select(col("source"), raw.as("raw"))
+        .withColumn("canon", graft.functions.nfc_normalize(col("raw")))
+        .groupBy("source")
+        .agg(countDistinct("raw").as("n_raw"),
+          countDistinct("canon").as("n_canon"),
+          min(md5(col("canon"))).as("canon_md5"))
+        .orderBy("source")
+    }),
+
     // BPE merge-candidate table (tokenizer training, first merge): the
     // most frequent adjacent character pairs weighted by word frequency.
     // Pairs explode off the vocabulary, never the corpus; top-20 cut is
@@ -972,6 +1001,24 @@ object TextQueries {
         |FROM sc
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q144_nfc_dedup" ->
+      """WITH v AS (
+        |  SELECT source,
+        |    source || CASE CAST(
+        |        CAST(('0x'||substring(md5('nfcvar:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 4
+        |      AS INT)
+        |      WHEN 0 THEN chr(233)
+        |      WHEN 1 THEN 'e' || chr(769)
+        |      WHEN 2 THEN chr(241)
+        |      ELSE 'n' || chr(771) END AS raw
+        |  FROM documents),
+        |c AS (SELECT source, raw, nfc_normalize(raw) AS canon FROM v)
+        |SELECT source, CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
+        |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canon,
+        |  min(md5(canon)) AS canon_md5
+        |FROM c GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q143_kmv_distinct" ->
       """WITH toks AS (
