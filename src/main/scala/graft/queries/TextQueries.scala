@@ -217,6 +217,25 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Naive-Bayes source classification (the curation-pipeline
+    // quality/domain classifier slot): train on the md5-split 80% of
+    // docs, predict the source of the held-out 20%, pin the full
+    // confusion matrix. Closed-form training means the MODEL — not just
+    // the predictions — is engine-replayable; the oracle retrains from
+    // scratch and must land every argmax identically (rounded scores,
+    // label tie-break, the ln/rank doctrine).
+    "q145_nb_classify" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 10
+      graft.operators.Classify.nbPredict(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", "source", isTrain = bucket < 8)
+        .groupBy(col("label").as("source"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("source"), col("pred"), col("n"))
+        .orderBy("source", "pred")
+    }),
+
     // BPE merge-candidate table (tokenizer training, first merge): the
     // most frequent adjacent character pairs weighted by word frequency.
     // Pairs explode off the vocabulary, never the corpus; top-20 cut is
@@ -1019,6 +1038,47 @@ object TextQueries {
         |  min(md5(canon)) AS canon_md5
         |FROM c GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q145_nb_classify" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+        |    CAST(('0x'||substring(md5('split:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 < 8 AS train
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source, train, unnest(t) AS token FROM d),
+        |c AS (SELECT source AS label, token, CAST(count(*) AS BIGINT) AS c
+        |      FROM tok WHERE train GROUP BY 1, 2),
+        |ls AS (SELECT label, CAST(sum(c) AS BIGINT) AS ns FROM c GROUP BY 1),
+        |ds AS (SELECT source AS label, CAST(count(*) AS BIGINT) AS dsn
+        |       FROM d WHERE train GROUP BY 1),
+        |vv AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+        |       FROM tok WHERE train),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS dtot FROM d WHERE train),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE NOT train GROUP BY 1, 2),
+        |td AS (SELECT doc_id, source AS label_true,
+        |         CAST(len(t) AS BIGINT) AS ntok
+        |       FROM d WHERE NOT train),
+        |part AS (
+        |  SELECT tf.doc_id, c.label, sum(tf * ln(CAST(c AS DOUBLE) + 1.0)) AS p
+        |  FROM tf JOIN c USING (token) GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT td.doc_id, td.label_true, l.label,
+        |    round(ln(CAST(l.dsn AS DOUBLE) / tt.dtot)
+        |      - td.ntok * ln(CAST(l.ns + vv.v AS DOUBLE))
+        |      + COALESCE(part.p, 0.0) + 1e-9, 6) AS score
+        |  FROM td
+        |  CROSS JOIN (SELECT label, ns, dsn FROM ls JOIN ds USING (label)) l
+        |  CROSS JOIN vv CROSS JOIN tt
+        |  LEFT JOIN part ON part.doc_id = td.doc_id AND part.label = l.label),
+        |rk AS (
+        |  SELECT doc_id, label_true, label AS pred, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+        |  FROM grid)
+        |SELECT label_true AS source, pred, CAST(count(*) AS BIGINT) AS n
+        |FROM rk WHERE rn = 1
+        |GROUP BY 1, 2
+        |ORDER BY source, pred""".stripMargin,
 
     "q143_kmv_distinct" ->
       """WITH toks AS (

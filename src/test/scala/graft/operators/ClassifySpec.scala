@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ClassifySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    // (id, label, text, split)
+    (1L, "fruit", "apple apple banana", "train"),
+    (2L, "fruit", "apple pear", "train"),
+    (3L, "auto", "car road", "train"),
+    (4L, "auto", "car car engine", "train"),
+    (5L, "fruit", "apple banana", "test"),
+    (6L, "auto", "car engine", "test"),
+    (7L, "fruit", "zebra", "test"))
+
+  private def df = corpus.toDF("doc_id", "label", "text", "split")
+
+  /** Pure-Scala multinomial NB reference: direct Σ ln((c+1)/(N_s+V)),
+    * NOT the operator's regrouped form — agreement proves the
+    * regrouping is an identity, not a shared bug.
+    */
+  private def refPredict(tokens: Seq[String]): (String, Double) = {
+    val train = corpus.filter(_._4 == "train")
+    val toks = train.map(d => d._2 -> d._3.split(" ").toSeq)
+    val counts = toks.flatMap { case (l, ts) => ts.map(l -> _) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val mass = counts.groupBy(_._1._1).map { case (l, m) => l -> m.values.sum }
+    val vocab = counts.keys.map(_._2).toSet.size.toLong
+    val docsPer = train.groupBy(_._2).map { case (l, d) => l -> d.size.toLong }
+    val total = train.size.toLong
+    val scored = mass.keys.toSeq.sorted.map { l =>
+      val raw = math.log(docsPer(l).toDouble / total) + tokens.map { t =>
+        val c = counts.getOrElse((l, t), 0L)
+        math.log((c + 1.0) / (mass(l) + vocab))
+      }.sum
+      l -> BigDecimal(raw + 1e-9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // argmax on (score desc, label asc):
+    scored.sortBy { case (l, s) => (-s, l) }.head
+  }
+
+  test("predictions match a direct independent NB computation") {
+    val got = Classify.nbPredict(df, "doc_id", "text", "label",
+        col("split") === "train")
+      .orderBy("doc_id")
+      .select("doc_id", "label", "pred", "score")
+      .as[(Long, String, String, Double)].collect()
+    val expected = corpus.filter(_._4 == "test").map { case (id, l, text, _) =>
+      val (pred, score) = refPredict(text.split(" ").toSeq)
+      (id, l, pred, score)
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("distinctive vocabularies classify correctly; unseen-only text falls to the prior") {
+    val got = Classify.nbPredict(df, "doc_id", "text", "label",
+        col("split") === "train")
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    assert(got(5L) == "fruit" && got(6L) == "auto")
+    // doc 7 is all unseen tokens: score reduces to prior − ln(N_s+V);
+    // both labels have 2 train docs AND token mass 5, so the scores tie
+    // exactly and the deterministic label tie-break picks "auto"
+    assert(got(7L) == "auto")
+  }
+}
