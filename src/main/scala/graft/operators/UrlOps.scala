@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization — the normalization pass a web-crawl pipeline
+  * runs before URL-level dedup: the same page arrives as byte-distinct
+  * URLs (host case, default ports, trailing slashes, tracking params,
+  * fragments) and without canonicalization each variant is its own
+  * "document", inflating the corpus and splitting click/dup statistics
+  * across copies.
+  *
+  * Reference surface: BULKINSERT's many-records-behind-one-argument
+  * shape (`/root/reference/src/command/builder.rs:48-52`) — ingest-side
+  * record normalization before dedup.
+  *
+  * All regexes stay in the Java-regex ∩ RE2 subset (character classes,
+  * anchors, bounded groups — no lookaround, no alternation inside a
+  * match), the same discipline as [[TextAnalysis.piiPatterns]], so the
+  * canonical form is engine-reproducible. Pure codegen column math —
+  * runs inside the scan, no UDF, no shuffle.
+  */
+object UrlOps {
+
+  /** Query parameters dropped during canonicalization: `utm_*` plus the
+    * common click-tracking ids. Prefix-matched against `name=`.
+    */
+  val trackingParams: Seq[String] = Seq("utm_", "gclid=", "fbclid=", "ref=")
+
+  private val SchemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Lowercased scheme ("" when `url` is not scheme://...). */
+  def urlScheme(url: Column): Column =
+    lower(regexp_extract(url, SchemePat, 1))
+
+  /** Lowercased host[:port] ("" when absent). */
+  def urlHostPort(url: Column): Column =
+    lower(regexp_extract(url, SchemePat + "([^/?#]*)", 2))
+
+  /** Canonical form:
+    *  - scheme and host lowercased;
+    *  - default port stripped (`:80` for http, `:443` for https);
+    *  - trailing slashes trimmed from the path;
+    *  - fragment dropped;
+    *  - [[trackingParams]] filtered out of the query, remaining params
+    *    kept in their original order (re-sorting would merge URLs whose
+    *    servers treat order as significant);
+    *  - a query left empty by the filter drops its `?`.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = urlScheme(url)
+    val hp = urlHostPort(url)
+    val hpc = when(scheme === "https", regexp_replace(hp, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hp, ":80$", ""))
+      .otherwise(hp)
+    val path = rtrim(regexp_extract(url, SchemePat + "[^/?#]*([^?#]*)", 2), "/")
+    val qs = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = filter(split(qs, "&"), p =>
+      !trackingParams.map(t => p.startsWith(t)).reduce(_ || _))
+    val qc = when(qs === "", lit(""))
+      .when(size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(kept, "&")))
+    concat(scheme, lit("://"), hpc, path, qc)
+  }
+}

@@ -217,6 +217,38 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // URL canonicalization before URL-level dedup: eight deterministic
+    // byte-variants of the same page URL (host case, default port,
+    // trailing slash, fragment, tracking params — synthesized from
+    // doc_id md5 slices, the q144 pattern) collapse to two canonical
+    // classes per page (with and without the surviving ?q=1). The
+    // canonical string itself is in the output, so a hash match pins
+    // every normalization rule byte-for-byte.
+    "q146_url_canon" -> ((s, dir) => {
+      val v = conv(substring(md5(concat(lit("urlvar:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 8
+      val hcase = conv(substring(md5(concat(lit("urlcase:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 2
+      val host = when(hcase === 0, lit("example.com"))
+        .otherwise(lit("EXAMPLE.Com"))
+      val k = (col("doc_id") % 25).cast("string")
+      val base = concat(lit("https://"), host, lit("/a/"), k)
+      val raw = when(v === 0, base)
+        .when(v === 1, concat(base, lit("/")))
+        .when(v === 2, concat(base, lit("?utm_source=feed")))
+        .when(v === 3, concat(base, lit("#top")))
+        .when(v === 4, concat(lit("https://"), host, lit(":443/a/"), k))
+        .when(v === 5, concat(base, lit("?q=1&utm_campaign=x")))
+        .when(v === 6, concat(base, lit("?q=1")))
+        .otherwise(concat(base, lit("?q=1&gclid=zz")))
+      Tables.documents(s, dir)
+        .select(raw.as("raw"))
+        .withColumn("canon", graft.operators.UrlOps.canonicalizeUrl(col("raw")))
+        .groupBy("canon")
+        .agg(countDistinct("raw").as("n_raw"), count(lit(1)).as("n"))
+        .orderBy("canon")
+    }),
+
     // Naive-Bayes source classification (the curation-pipeline
     // quality/domain classifier slot): train on the md5-split 80% of
     // docs, predict the source of the held-out 20%, pin the full
@@ -1038,6 +1070,51 @@ object TextQueries {
         |  min(md5(canon)) AS canon_md5
         |FROM c GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q146_url_canon" ->
+      """WITH u AS (
+        |  SELECT
+        |    CAST(('0x'||substring(md5('urlvar:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS v,
+        |    CASE WHEN CAST(('0x'||substring(md5('urlcase:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+        |      THEN 'example.com' ELSE 'EXAMPLE.Com' END AS host,
+        |    CAST(doc_id % 25 AS VARCHAR) AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT CASE v
+        |      WHEN 0 THEN 'https://'||host||'/a/'||k
+        |      WHEN 1 THEN 'https://'||host||'/a/'||k||'/'
+        |      WHEN 2 THEN 'https://'||host||'/a/'||k||'?utm_source=feed'
+        |      WHEN 3 THEN 'https://'||host||'/a/'||k||'#top'
+        |      WHEN 4 THEN 'https://'||host||':443/a/'||k
+        |      WHEN 5 THEN 'https://'||host||'/a/'||k||'?q=1&utm_campaign=x'
+        |      WHEN 6 THEN 'https://'||host||'/a/'||k||'?q=1'
+        |      ELSE 'https://'||host||'/a/'||k||'?q=1&gclid=zz' END AS raw
+        |  FROM u),
+        |p AS (
+        |  SELECT raw,
+        |    lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+        |    rtrim(regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/') AS path,
+        |    regexp_extract(raw, '\?([^#]*)', 1) AS qs
+        |  FROM r),
+        |c AS (
+        |  SELECT raw,
+        |    scheme || '://' ||
+        |    (CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+        |          WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+        |          ELSE hp END) || path ||
+        |    (CASE WHEN qs = '' THEN '' ELSE
+        |      (CASE WHEN len(kept) = 0 THEN ''
+        |            ELSE '?' || array_to_string(kept, '&') END) END) AS canon
+        |  FROM (
+        |    SELECT *, list_filter(str_split(qs, '&'), x -> NOT (
+        |        starts_with(x, 'utm_') OR starts_with(x, 'gclid=')
+        |        OR starts_with(x, 'fbclid=') OR starts_with(x, 'ref='))) AS kept
+        |    FROM p))
+        |SELECT canon, CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM c GROUP BY canon
+        |ORDER BY canon""".stripMargin,
 
     "q145_nb_classify" ->
       """WITH d AS (

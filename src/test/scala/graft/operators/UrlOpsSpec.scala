@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class UrlOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlOps.canonicalizeUrl($"u")).as[String].collect().toSeq
+
+  test("host case, default port, trailing slash, fragment all collapse") {
+    val got = canon(
+      "https://Example.COM/a/1",
+      "https://example.com:443/a/1",
+      "https://example.com/a/1/",
+      "https://example.com/a/1#section-3",
+      "HTTP://example.com:80/a/1")
+    assert(got.take(4).forall(_ == "https://example.com/a/1"))
+    assert(got(4) == "http://example.com/a/1")
+  }
+
+  test("non-default ports and non-matching schemes survive") {
+    assert(canon("https://example.com:8443/x") ==
+      Seq("https://example.com:8443/x"))
+    assert(canon("http://example.com:443/x") ==
+      Seq("http://example.com:443/x"))
+    assert(canon("ftp://Example.com:80/x") == Seq("ftp://example.com:80/x"))
+  }
+
+  test("tracking params drop; surviving params keep their order") {
+    assert(canon("https://a.com/p?utm_source=x&b=2&gclid=z&a=1") ==
+      Seq("https://a.com/p?b=2&a=1"))
+    // query left empty by the filter drops its '?'
+    assert(canon("https://a.com/p?utm_source=x&fbclid=y&ref=hn") ==
+      Seq("https://a.com/p"))
+    // no query at all
+    assert(canon("https://a.com/p") == Seq("https://a.com/p"))
+  }
+
+  test("root and empty paths trim cleanly") {
+    assert(canon("https://a.com/") == Seq("https://a.com"))
+    assert(canon("https://a.com") == Seq("https://a.com"))
+    assert(canon("https://a.com/deep/path///") == Seq("https://a.com/deep/path"))
+  }
+}
