@@ -3,6 +3,17 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** A trained multinomial-NB model in ingest-ready form: the per-label
+  * constants are bounded driver state (the centroids precedent — they
+  * ride into plans as literals), while the vocabulary-sized part stays
+  * distributed as `tokenContrib` (token → dense per-label ln(c+1)
+  * array, label-ascending order). This split is what lets scoring run
+  * as a stream-static join + ONE aggregation — the ingest-time
+  * classification shape.
+  */
+final case class NbModel(labels: Array[String], prior: Array[Double],
+    lnDenom: Array[Double], tokenContrib: DataFrame)
+
 /** Deterministic text classification — the quality/domain-classifier slot
   * of a curation pipeline (CCNet and its descendants gate pages with a
   * linear fastText model; the multinomial Naive Bayes here is the same
@@ -103,5 +114,80 @@ object Classify {
       .filter(col("__rn") === 1)
       .select(col(idCol), col("label"), col("__label").as("pred"),
         col("__score").as("score"))
+  }
+
+  /** Train the NB model from `df` (already filtered to the training
+    * slice). Label constants come back through two bounded collects
+    * (|labels| rows + one vocabulary count — the centroids precedent);
+    * the token table stays a DataFrame. Same arithmetic as
+    * [[nbPredict]]: `prior = ln(D_s/D)`, `lnDenom = ln(N_s + V)`,
+    * contrib = ln(c + 1).
+    */
+  def nbTrainModel(df: DataFrame, textCol: String, labelCol: String): NbModel = {
+    val toks = df.select(col(labelCol).as("__label"),
+        TextAnalysis.normalizedTokens(col(textCol)).as("__toks"))
+    val counts = toks
+      .select(col("__label"), explode(col("__toks")).as("__tok"))
+      .groupBy("__label", "__tok").agg(count(lit(1)).as("__c"))
+    val stats = counts.groupBy("__label").agg(sum("__c").as("__ns"))
+      .join(toks.groupBy("__label").agg(count(lit(1)).as("__ds")),
+        Seq("__label"))
+      .orderBy("__label")
+      .collect()
+    val vocab = counts.select("__tok").distinct().count()
+    val totDocs = stats.map(_.getAs[Long]("__ds")).sum
+    val labels = stats.map(_.getAs[String]("__label"))
+    val prior = stats.map(r =>
+      math.log(r.getAs[Long]("__ds").toDouble / totDocs))
+    val lnDenom = stats.map(r =>
+      math.log((r.getAs[Long]("__ns") + vocab).toDouble))
+    // dense per-label contribution vector per token: one conditional sum
+    // per label (agg peels the first column — the (Column, Column*) rule)
+    val contribCols = labels.map(l =>
+      coalesce(sum(when(col("__label") === l,
+        log(col("__c").cast("double") + 1.0))), lit(0.0)))
+    val dense = counts.groupBy("__tok")
+      .agg(contribCols.head.as("__c0"),
+        contribCols.tail.zipWithIndex.map { case (c, i) => c.as(s"__c${i + 1}") }: _*)
+      .select(col("__tok"),
+        array(labels.indices.map(i => col(s"__c$i")): _*).as("__contrib"))
+    NbModel(labels, prior, lnDenom, dense)
+  }
+
+  /** Score `docs` (batch OR stream) against a trained [[NbModel]]:
+    * explode tokens, stream-static join the contribution table, then a
+    * SINGLE per-doc aggregation — the per-doc arrays fold in a
+    * projection (collect_list skips the unseen-token nulls, which
+    * contribute exactly zero by construction), the argmax keeps the
+    * EARLIEST index on rounded ties = the label-ascending tie-break.
+    * Identical output contract to [[nbPredict]] (proved in ClassifySpec).
+    */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String, model: NbModel): DataFrame = {
+    val n = model.labels.length
+    require(n >= 1, "model must have at least one label")
+    val zeros = lit(Array.fill(n)(0.0))
+    val toks = docs.select(col(idCol), col(labelCol).as("label"),
+        explode_outer(TextAnalysis.normalizedTokens(col(textCol))).as("__tok"))
+      .join(model.tokenContrib, Seq("__tok"), "left")
+    val agged = toks
+      .groupBy(col(idCol), col("label"))
+      .agg(count(col("__tok")).as("__ntok"),
+        collect_list(col("__contrib")).as("__vecs"))
+      .withColumn("__sums", aggregate(col("__vecs"), zeros,
+        (acc, x) => zip_with(acc, x, _ + _)))
+      .withColumn("__scores", array(model.labels.indices.map(i =>
+        round(lit(model.prior(i)) - col("__ntok") * model.lnDenom(i)
+          + element_at(col("__sums"), i + 1) + lit(1e-9), 6)): _*))
+    // __scores is materialized by its own projection above; the argmax
+    // fold references it per element (lambda re-eval is O(labels²) on an
+    // already-computed array — bounded, not the q90 trap)
+    agged
+      .withColumn("__best", aggregate(lit((1 until n).toArray), lit(0),
+        (acc, i) => when(element_at(col("__scores"), i + 1) >
+            element_at(col("__scores"), acc + 1), i).otherwise(acc)))
+      .select(col(idCol), col("label"),
+        element_at(lit(model.labels), col("__best") + 1).as("pred"),
+        element_at(col("__scores"), col("__best") + 1).as("score"))
   }
 }

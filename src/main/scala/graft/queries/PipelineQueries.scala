@@ -143,6 +143,22 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Ingest-time classification: the held-out slice streams in and is
+    // scored against the statically trained NB model; the confusion
+    // matrix aggregates AFTER the sink (batch post-processing of the
+    // drained table, like every stream gate here). Same oracle text as
+    // q145 — the streamed model application must land every argmax
+    // exactly where batch retraining does.
+    "q147_stream_classify" -> ((s, dir) => {
+      StreamingIngest
+        .streamClassify(s, dir,
+          queryName = s"nbcls_${java.util.UUID.randomUUID().toString.take(8)}")
+        .groupBy(col("label").as("source"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("source"), col("pred"), col("n"))
+        .orderBy("source", "pred")
+    }),
+
     // Streaming chunking: the stateless segmenter over documents arriving
     // as a stream. Same oracle text as q96 — stream ≡ batch row-for-row.
     "q102_stream_chunking" -> ((s, dir) => {
@@ -518,6 +534,7 @@ object PipelineQueries {
 
     // the streamed span-dedup must equal the batch pass row-for-row
     "q134_stream_span_dedup" -> DedupQueries.oracles("q131_span_dedup"),
+    "q147_stream_classify" -> TextQueries.pipelineOracles("q145_nb_classify"),
 
     // the streamed count-min table must be cell-identical to a batch build
     "q114_stream_cms" ->

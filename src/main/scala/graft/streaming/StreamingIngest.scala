@@ -260,6 +260,41 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Ingest-time classification: the held-out document slice arrives as
+    * a stream and is scored against a Naive-Bayes model trained ONCE
+    * from the static training slice ([[graft.operators.Classify.nbTrainModel]]
+    * — label constants as plan literals, the vocabulary-sized
+    * contribution table as a stream-static join). One aggregation per
+    * doc, bounded by the doc's own token count — the same
+    * stream-static-index shape as [[streamDecontaminate]] and
+    * [[streamSpanDedup]]: the model is a periodically retrained
+    * artifact, not per-microbatch state.
+    */
+  def streamClassify(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_classify"): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    def bucket = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 10
+    val model = graft.operators.Classify.nbTrainModel(
+      spark.read.parquet(path).filter(bucket < 8), "text", "source")
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(bucket >= 8)
+    val scored = graft.operators.Classify.nbScore(
+      stream, "doc_id", "text", "source", model)
+    val q = scored.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest into a collection directory: the WAL-replacement
     * path. Checkpoints live under the database's graft_wal dir, so
     * TRUNCATEWAL (database target) clears exactly this state.

@@ -59,6 +59,35 @@ class ClassifySpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
+  test("nbScore (model/stream formulation) equals nbPredict (join formulation)") {
+    val model = Classify.nbTrainModel(
+      df.filter(col("split") === "train"), "text", "label")
+    assert(model.labels.toSeq == Seq("auto", "fruit"))
+    val viaModel = Classify.nbScore(df.filter(col("split") === "test"),
+        "doc_id", "text", "label", model)
+      .orderBy("doc_id")
+      .select("doc_id", "label", "pred", "score")
+      .as[(Long, String, String, Double)].collect().toSeq
+    val viaJoin = Classify.nbPredict(df, "doc_id", "text", "label",
+        col("split") === "train")
+      .orderBy("doc_id")
+      .select("doc_id", "label", "pred", "score")
+      .as[(Long, String, String, Double)].collect().toSeq
+    assert(viaModel == viaJoin)
+  }
+
+  test("nbScore keeps token-less docs (explode_outer) and prices them by the prior") {
+    val withEmpty = (corpus :+ ((8L, "fruit", "", "test"))).toDF(
+      "doc_id", "label", "text", "split")
+    val model = Classify.nbTrainModel(
+      withEmpty.filter(col("split") === "train"), "text", "label")
+    val got = Classify.nbScore(withEmpty.filter(col("split") === "test"),
+        "doc_id", "text", "label", model)
+      .select("doc_id", "pred").as[(Long, String)].collect().toMap
+    // zero tokens: score = prior only; equal priors tie -> label asc
+    assert(got(8L) == "auto")
+  }
+
   test("distinctive vocabularies classify correctly; unseen-only text falls to the prior") {
     val got = Classify.nbPredict(df, "doc_id", "text", "label",
         col("split") === "train")
