@@ -427,4 +427,34 @@ class PlanAuditSpec extends AnyFunSuite {
       "corpus stats must ride in as a broadcast")
     assert(!p.contains("Window"), "no rank window anywhere")
   }
+
+  test("q144 nfc dedup: normalization is codegen scan-side math, one aggregation") {
+    val p = plan("q144_nfc_dedup")
+    assert(p.contains("nfc_normalize"),
+      s"custom expression must appear in the plan:\n${p.take(1500)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "normalization must be the codegen expression, not a UDF")
+  }
+
+  test("q145 nb classify: label stats broadcast, model join is token-keyed") {
+    val p = plan("q145_nb_classify")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"label stats / vocab / doc totals must broadcast:\n${p.take(2000)}")
+    // the corpus-sized side must never sort globally: the only window is
+    // the per-doc argmax, partitioned by doc id
+    assert(p.contains("hashpartitioning(doc_id"),
+      "argmax window must partition by the doc id")
+  }
+
+  test("q146 url canon: canonicalization runs scan-side, no UDF, no pre-agg shuffle") {
+    val p = plan("q146_url_canon")
+    assert(!p.contains("ScalaUDF"), "pure column math expected")
+    // canonicalization itself must add no shuffle: every hash exchange
+    // belongs to the final count/count-distinct aggregation, i.e. keys
+    // on the canonical string
+    val exchanges = "Exchange hashpartitioning\\(canon".r.findAllIn(p).size
+    val allHash = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(allHash >= 1 && exchanges == allHash,
+      s"every shuffle must key on canon (agg-only), got $exchanges/$allHash:\n${p.take(2000)}")
+  }
 }
