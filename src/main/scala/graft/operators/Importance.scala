@@ -75,4 +75,45 @@ object Importance {
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         sum("__w").as("raw_score"))
   }
+
+  /** Training-mixture domain weights from per-source excess LM loss —
+    * the DoReMi idea (Xie et al., "DoReMi: Optimizing Data Mixtures
+    * Speeds Up Language Model Pretraining", 2023) with this library's
+    * deterministic stand-ins: the reference model is the corpus-trained
+    * bigram LM ([[NgramLm.lmScores]]), a source's loss is the negated
+    * mean of its per-doc ROUNDED log-probs, excess = loss − min loss
+    * over sources, and `weight ∝ exp(eta · excess)` normalized — harder
+    * sources get upweighted, exactly the DoReMi direction.
+    *
+    * Engine parity: every floating hand-off is rounded before reuse
+    * (doc lp, source lp — the q100 gate values), differences of
+    * identical doubles are identical, and exp's ulp noise lands on a
+    * continuous weight rounded to 6 dp — never on a rank or a count
+    * (the exponent doctrine). Docs with fewer than two tokens score no
+    * bigrams and drop from both sides' averages identically.
+    *
+    * Scale shape: the corpus-sized work is [[NgramLm.lmScores]] (one
+    * count-table model, doc-keyed scoring); everything after is
+    * |sources| rows with two single-row broadcasts (min loss,
+    * normalizer).
+    */
+  def mixtureWeights(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, eta: Double = 1.0): DataFrame = {
+    require(eta > 0.0, s"eta must be positive, got $eta")
+    val scored = NgramLm.lmScores(df, idCol, textCol, isTrain = lit(true))
+      .select(col(idCol), round(col("raw_lp") + lit(1e-9), 6).as("__lp"))
+    val perSrc = df.select(col(idCol), col(sourceCol).as("source"))
+      .join(scored, Seq(idCol))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg("__lp") + lit(1e-9), 6).as("lp"))
+    val minLoss = perSrc.agg(min(-col("lp")).as("__m"))
+    val ex = perSrc.crossJoin(broadcast(minLoss))
+      .withColumn("excess", round(-col("lp") - col("__m") + lit(1e-9), 6))
+    val z = ex.agg(sum(exp(col("excess") * eta)).as("__z"))
+    ex.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("lp"), col("excess"),
+        round(exp(col("excess") * eta) / col("__z") + lit(1e-9), 6)
+          .as("weight"))
+  }
 }

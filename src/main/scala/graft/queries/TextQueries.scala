@@ -807,6 +807,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // DoReMi-style mixture weights: per-source excess loss under the
+    // corpus-trained bigram LM → exp-weighted, normalized. Hard sources
+    // upweight; every floating hand-off is a rounded q100 gate value,
+    // so the oracle replays model, losses, and weights exactly.
+    "q148_mixture_weights" -> ((s, dir) => {
+      graft.operators.Importance.mixtureWeights(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", "source")
+        .orderBy("source")
+    }),
+
     // DSIR importance scoring: raw = the whole corpus, target = the
     // English slice, top-20 most target-like docs by hashed-unigram log
     // likelihood ratio. Ranking happens on the ROUNDED score (then doc_id)
@@ -1069,6 +1080,44 @@ object TextQueries {
         |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canon,
         |  min(md5(canon)) AS canon_md5
         |FROM c GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q148_mixture_weights" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx FROM c2 GROUP BY w1),
+        |cont AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cont FROM c2 GROUP BY w2),
+        |tot AS (SELECT CAST(sum(c2) AS DOUBLE) AS t FROM c2),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN c2.c2 IS NOT NULL
+        |      THEN CAST(c2.c2 AS DOUBLE) / ctx.ctx
+        |      ELSE 0.4 * (COALESCE(cont.cont, 0) + 0.5) / tot.t END AS s
+        |  FROM bg b
+        |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  LEFT JOIN ctx ON b.w1 = ctx.w1
+        |  LEFT JOIN cont ON b.w2 = cont.w2
+        |  CROSS JOIN tot),
+        |dl AS (
+        |  SELECT doc_id, round(avg(ln(s)) + 1e-9, 6) AS lp
+        |  FROM sc GROUP BY doc_id),
+        |ps AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    round(avg(lp) + 1e-9, 6) AS lp
+        |  FROM dl JOIN d USING (doc_id) GROUP BY source),
+        |mn AS (SELECT min(-lp) AS m FROM ps),
+        |ex AS (
+        |  SELECT source, n_docs, lp, round((-lp) - m + 1e-9, 6) AS excess
+        |  FROM ps CROSS JOIN mn),
+        |zz AS (SELECT sum(exp(excess * 1.0)) AS z FROM ex)
+        |SELECT source, n_docs, lp, excess,
+        |  round(exp(excess * 1.0) / z + 1e-9, 6) AS weight
+        |FROM ex CROSS JOIN zz
         |ORDER BY source""".stripMargin,
 
     "q146_url_canon" ->

@@ -245,6 +245,36 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scored(2L) > scored(4L))
   }
 
+  test("mixtureWeights: hard sources upweight, weights normalize, uniform corpus is uniform") {
+    // "rep"'s transitions are deterministic (every context has one
+    // continuation -> probability 1, zero loss); "mix" branches from
+    // `a` four ways (disjoint alphabet, so the models don't couple) ->
+    // positive loss -> the larger mixture weight
+    val docs = Seq(
+      (1L, "x y x y x y x y", "rep"), (2L, "x y x y x y", "rep"),
+      (3L, "a b a c", "mix"), (4L, "a d a e", "mix"))
+      .toDF("doc_id", "text", "source")
+    val got = Importance.mixtureWeights(docs, "doc_id", "text", "source")
+      .select($"source", $"n_docs", $"excess", $"weight")
+      .as[(String, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("mix", "rep"))
+    assert(got.map(_._2) == Seq(2L, 2L))
+    val (mix, rep) = (got.head, got(1))
+    assert(rep._3 == 0.0, "easiest source defines the zero of excess loss")
+    assert(mix._3 > 0.0 && mix._4 > rep._4,
+      "harder source must carry the larger weight")
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-5, "weights must normalize")
+    // identical per-source difficulty -> equal weights
+    val uniform = Importance.mixtureWeights(
+        Seq((1L, "a b c", "x"), (2L, "a b c", "y")).toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source")
+      .select($"weight").as[Double].collect().toSeq
+    assert(uniform == Seq(0.5, 0.5))
+    intercept[IllegalArgumentException] {
+      Importance.mixtureWeights(docs, "doc_id", "text", "source", eta = 0.0)
+    }
+  }
+
   test("bm25: rare terms outweigh common, shorter docs outrank longer") {
     val docs = Seq(
       (1L, "rare common common filler filler filler"),
