@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
 
 import graft.core.GraftDatabase
-import graft.functions.{CosineSimilarity, DotProduct, HammingDistance, L2Distance, L2Norm, NfcNormalize}
+import graft.functions.{CosineSimilarity, DotProduct, HammingDistance, L2Distance, L2Norm, NfcNormalize, StripAccents}
 import graft.operators.VectorIndex
 
 /** Session-level integration via [[SparkSessionExtensions]] — the standard
@@ -71,7 +71,8 @@ object GraftExtensions {
     fn("dot_product", classOf[DotProduct], es => DotProduct(es(0), es(1))),
     fn("l2_norm", classOf[L2Norm], es => L2Norm(es.head)),
     fn("hamming_dist", classOf[HammingDistance], es => HammingDistance(es(0), es(1))),
-    fn("nfc_normalize", classOf[NfcNormalize], es => NfcNormalize(es.head)))
+    fn("nfc_normalize", classOf[NfcNormalize], es => NfcNormalize(es.head)),
+    fn("strip_accents", classOf[StripAccents], es => StripAccents(es.head)))
 }
 
 /** Opt-in ANN rewrite: `ORDER BY cosine_sim(vec, <literal>) DESC LIMIT k`

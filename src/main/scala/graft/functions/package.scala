@@ -37,6 +37,12 @@ package object functions {
   def nfc_normalize(a: Column): Column =
     GraftSqlShims.column(NfcNormalize(GraftSqlShims.expression(a)))
 
+  /** NFD-decompose and drop combining marks — diacritic folding for
+    * fuzzy dedup keys (café ≡ café ≡ cafe).
+    */
+  def strip_accents(a: Column): Column =
+    GraftSqlShims.column(StripAccents(GraftSqlShims.expression(a)))
+
   /** A float-vector literal usable against `array<float>` columns. */
   def vector_lit(v: Array[Float]): Column = lit(v)
 
@@ -54,5 +60,6 @@ package object functions {
     reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("hamming_dist", es => HammingDistance(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("strip_accents", es => StripAccents(es.head), "scala_udf")
   }
 }

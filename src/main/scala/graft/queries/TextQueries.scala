@@ -217,6 +217,31 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Accent folding for fuzzy dedup keys: diacritic variants of the
+    // same word (precomposed é, decomposed e+U+0301, plain e) land in
+    // one fold class, while ß — which carries no combining mark — must
+    // pass through untouched (folding is NOT transliteration). The md5
+    // of the folded bytes is pinned; the oracle recomputes with
+    // DuckDB's utf8proc strip_accents, proving the JDK NFD+drop-Mn
+    // fold and utf8proc agree on the exercised sequences.
+    "q149_accent_fold" -> ((s, dir) => {
+      val variant = conv(substring(md5(concat(lit("accvar:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 4
+      val raw = concat(col("source"),
+        when(variant === 0, lit("cafe"))
+          .when(variant === 1, lit("caf\u00e9"))   // precomposed
+          .when(variant === 2, lit("cafe\u0301"))  // decomposed
+          .otherwise(lit("stra\u00dfe")))          // ß: no mark, kept
+      Tables.documents(s, dir)
+        .select(col("source"), raw.as("raw"))
+        .withColumn("folded", graft.functions.strip_accents(col("raw")))
+        .groupBy("source")
+        .agg(countDistinct("raw").as("n_raw"),
+          countDistinct("folded").as("n_fold"),
+          min(md5(col("folded"))).as("fold_md5"))
+        .orderBy("source")
+    }),
+
     // URL canonicalization before URL-level dedup: eight deterministic
     // byte-variants of the same page URL (host case, default port,
     // trailing slash, fragment, tracking params — synthesized from
@@ -1080,6 +1105,24 @@ object TextQueries {
         |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canon,
         |  min(md5(canon)) AS canon_md5
         |FROM c GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q149_accent_fold" ->
+      """WITH v AS (
+        |  SELECT source,
+        |    source || CASE CAST(
+        |        CAST(('0x'||substring(md5('accvar:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 4
+        |      AS INT)
+        |      WHEN 0 THEN 'cafe'
+        |      WHEN 1 THEN 'caf' || chr(233)
+        |      WHEN 2 THEN 'cafe' || chr(769)
+        |      ELSE 'stra' || chr(223) || 'e' END AS raw
+        |  FROM documents),
+        |f AS (SELECT source, raw, strip_accents(raw) AS folded FROM v)
+        |SELECT source, CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
+        |  CAST(count(DISTINCT folded) AS BIGINT) AS n_fold,
+        |  min(md5(folded)) AS fold_md5
+        |FROM f GROUP BY source
         |ORDER BY source""".stripMargin,
 
     "q148_mixture_weights" ->

@@ -38,6 +38,20 @@ class NfcNormalizeSpec extends AnyFunSuite {
     assert(err.getMessage.contains("nfc_normalize"))
   }
 
+  test("strip_accents folds diacritics but never transliterates") {
+    val eszett = "straße"
+    val lStroke = "Łódź" // Łódź: Ł has no mark, ó/ź do
+    val got = Seq("caf" + eAcuteC, "caf" + eAcuteD, nTildeC + eAcuteC,
+        eszett, lStroke, "plain ascii")
+      .toDF("s").select(strip_accents($"s")).as[String].collect().toSeq
+    assert(got == Seq("cafe", "cafe", "ne", eszett, "Łodz", "plain ascii"))
+    // registered for SQL, and null-safe
+    assert(spark.sql(s"SELECT strip_accents('$eAcuteD')").as[String].head() == "e")
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(strip_accents($"s")).as[Option[String]].collect()
+    assert(nulls.sameElements(Array(None)))
+  }
+
   test("collapses encoding variants into one dedup class") {
     // the q144 scenario: same visible text, different bytes
     val n = Seq("caf" + eAcuteC, "caf" + eAcuteD).toDF("s")
