@@ -62,5 +62,10 @@ object SparkEntry {
     // round-6 additions: the new ANN paths (PQ train+ADC probe, batch
     // union-scan probe) and the corpus-wide span-dedup pass (count +
     // join-back + reassembly — a shape no other bench query has).
-    "q127_pq_probe", "q128_batch_probe", "q131_span_dedup")
+    "q127_pq_probe", "q128_batch_probe", "q131_span_dedup",
+    // round-6 tail: NB classification — train-side count aggregation +
+    // vocabulary-keyed model join + per-doc argmax window in one query;
+    // q148's cost is q100's LM (already benched), q146/q149 are narrow
+    // scans represented by q36's shape.
+    "q145_nb_classify")
 }
