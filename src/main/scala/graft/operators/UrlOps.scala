@@ -60,6 +60,11 @@ object UrlOps {
     val qc = when(qs === "", lit(""))
       .when(size(kept) === 0, lit(""))
       .otherwise(concat(lit("?"), array_join(kept, "&")))
-    concat(scheme, lit("://"), hpc, path, qc)
+    // anything without a scheme://host shape is not a URL this
+    // canonicalizer understands — pass it through untouched rather than
+    // emit a degenerate "://" (the NULL-beats-misread doctrine, applied
+    // to strings)
+    when(scheme === "", url)
+      .otherwise(concat(scheme, lit("://"), hpc, path, qc))
   }
 }

@@ -456,6 +456,56 @@ object TextQueries {
 
   val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Web-ingest capstone for the round-6-tail operators, chained the
+    // way a crawl-ingest pipeline runs: URL-level dedup on the
+    // CANONICALIZED url (q146's synthetic variants — so byte-distinct
+    // URL forms of the same page collapse first), then exact-content
+    // dedup on the Unicode-canonical ACCENT-FOLDED fingerprint (each
+    // doc's text carries a synthetic diacritic suffix by md5 class —
+    // q149's variants — so byte-distinct encodings of the same content
+    // merge only because the fold chain ran). The oracle recomputes the
+    // whole chain; a hash match proves the three normalizers COMPOSE.
+    "q150_web_ingest" -> ((s, dir) => {
+      val v = conv(substring(md5(concat(lit("urlvar:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 8
+      val hcase = conv(substring(md5(concat(lit("urlcase:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 2
+      val host = when(hcase === 0, lit("example.com"))
+        .otherwise(lit("EXAMPLE.Com"))
+      val k = (col("doc_id") % 25).cast("string")
+      val base = concat(lit("https://"), host, lit("/a/"), k)
+      val rawUrl = when(v === 0, base)
+        .when(v === 1, concat(base, lit("/")))
+        .when(v === 2, concat(base, lit("?utm_source=feed")))
+        .when(v === 3, concat(base, lit("#top")))
+        .when(v === 4, concat(lit("https://"), host, lit(":443/a/"), k))
+        .when(v === 5, concat(base, lit("?q=1&utm_campaign=x")))
+        .when(v === 6, concat(base, lit("?q=1")))
+        .otherwise(concat(base, lit("?q=1&gclid=zz")))
+      val av = conv(substring(md5(concat(lit("accvar:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 4
+      val suffix = when(av === 0, lit("cafe"))
+        .when(av === 1, lit("caf\u00e9"))
+        .when(av === 2, lit("cafe\u0301"))
+        .otherwise(lit("stra\u00dfe"))
+      val wUrl = org.apache.spark.sql.expressions.Window.partitionBy("canon")
+      val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"),
+          graft.operators.UrlOps.canonicalizeUrl(rawUrl).as("canon"),
+          concat(col("text"), lit(" "), suffix).as("aug"))
+        .withColumn("keep", min("doc_id").over(wUrl))
+        .filter(col("doc_id") === col("keep"))
+        .withColumn("fp", md5(graft.functions.strip_accents(
+          graft.functions.nfc_normalize(col("aug")))))
+        .withColumn("keep2", min("doc_id").over(wFp))
+        .filter(col("doc_id") === col("keep2"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(length(col("text"))).as("n_chars"))
+        .orderBy("source")
+    }),
+
     // Deterministic train/val/test split: the split is a pure function of
     // the content fingerprint (md5), so it is reproducible across runs,
     // engines, and cluster sizes — the property a training pipeline needs
@@ -895,6 +945,68 @@ object TextQueries {
   }
 
   val pipelineOracles: Map[String, String] = Map(
+
+    "q150_web_ingest" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(('0x'||substring(md5('urlvar:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS v,
+        |    CASE WHEN CAST(('0x'||substring(md5('urlcase:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+        |      THEN 'example.com' ELSE 'EXAMPLE.Com' END AS host,
+        |    CAST(doc_id % 25 AS VARCHAR) AS k,
+        |    text || ' ' || CASE CAST(
+        |        CAST(('0x'||substring(md5('accvar:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 4
+        |      AS INT)
+        |      WHEN 0 THEN 'cafe'
+        |      WHEN 1 THEN 'caf' || chr(233)
+        |      WHEN 2 THEN 'cafe' || chr(769)
+        |      ELSE 'stra' || chr(223) || 'e' END AS aug
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, text, aug, CASE v
+        |      WHEN 0 THEN 'https://'||host||'/a/'||k
+        |      WHEN 1 THEN 'https://'||host||'/a/'||k||'/'
+        |      WHEN 2 THEN 'https://'||host||'/a/'||k||'?utm_source=feed'
+        |      WHEN 3 THEN 'https://'||host||'/a/'||k||'#top'
+        |      WHEN 4 THEN 'https://'||host||':443/a/'||k
+        |      WHEN 5 THEN 'https://'||host||'/a/'||k||'?q=1&utm_campaign=x'
+        |      WHEN 6 THEN 'https://'||host||'/a/'||k||'?q=1'
+        |      ELSE 'https://'||host||'/a/'||k||'?q=1&gclid=zz' END AS raw
+        |  FROM u),
+        |p AS (
+        |  SELECT *,
+        |    lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
+        |    rtrim(regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/') AS path,
+        |    regexp_extract(raw, '\?([^#]*)', 1) AS qs
+        |  FROM r),
+        |c AS (
+        |  SELECT doc_id, source, text, aug,
+        |    scheme || '://' ||
+        |    (CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
+        |          WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
+        |          ELSE hp END) || path ||
+        |    (CASE WHEN qs = '' THEN '' ELSE
+        |      (CASE WHEN len(kept) = 0 THEN ''
+        |            ELSE '?' || array_to_string(kept, '&') END) END) AS canon
+        |  FROM (
+        |    SELECT *, list_filter(str_split(qs, '&'), x -> NOT (
+        |        starts_with(x, 'utm_') OR starts_with(x, 'gclid=')
+        |        OR starts_with(x, 'fbclid=') OR starts_with(x, 'ref='))) AS kept
+        |    FROM p)),
+        |s1 AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY canon) AS keep FROM c)
+        |  WHERE doc_id = keep),
+        |f AS (
+        |  SELECT *, md5(strip_accents(nfc_normalize(aug))) AS fp FROM s1),
+        |s2 AS (
+        |  SELECT * FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep2 FROM f)
+        |  WHERE doc_id = keep2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM s2 GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q60_dataset_split" ->
       """WITH bucketed AS (

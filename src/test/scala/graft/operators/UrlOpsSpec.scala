@@ -41,6 +41,11 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(canon("https://a.com/p") == Seq("https://a.com/p"))
   }
 
+  test("non-URL strings pass through untouched") {
+    val in = Seq("example.com/x", "not a url at all", "", "relative/path?utm_source=x")
+    assert(canon(in: _*) == in)
+  }
+
   test("root and empty paths trim cleanly") {
     assert(canon("https://a.com/") == Seq("https://a.com"))
     assert(canon("https://a.com") == Seq("https://a.com"))
