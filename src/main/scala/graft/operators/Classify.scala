@@ -161,6 +161,12 @@ object Classify {
     * contribute exactly zero by construction), the argmax keeps the
     * EARLIEST index on rounded ties = the label-ascending tie-break.
     * Identical output contract to [[nbPredict]] (proved in ClassifySpec).
+    *
+    * State bound: the aggregation buffer is O(doc tokens × labels)
+    * doubles for the doc being folded — fine for documents, the wrong
+    * tool for book-length texts with many labels; chunk first
+    * ([[TextAnalysis.chunkDocuments]]) or use the batch [[nbPredict]],
+    * whose partial sums never buffer per-token state.
     */
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
       labelCol: String, model: NbModel): DataFrame = {

@@ -465,6 +465,9 @@ object TextQueries {
     // q149's variants — so byte-distinct encodings of the same content
     // merge only because the fold chain ran). The oracle recomputes the
     // whole chain; a hash match proves the three normalizers COMPOSE.
+    // (The ~50-value canon keyspace is a synthetic-data artifact — real
+    // crawls have high-cardinality canonical URLs, where the min-window
+    // is q89's proven exact-dedup shape.)
     "q150_web_ingest" -> ((s, dir) => {
       val v = conv(substring(md5(concat(lit("urlvar:"),
         col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 8
