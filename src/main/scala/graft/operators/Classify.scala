@@ -56,9 +56,13 @@ object Classify {
     */
   def nbPredict(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, isTrain: Column): DataFrame = {
+    // null text ≡ empty text (zero tokens, scored by the prior) — the
+    // same contract explode_outer gives nbScore; without the coalesce a
+    // null array nulls __ntok and the whole score
     val base = df.select(col(idCol), col(labelCol).as("__label"),
       isTrain.as("__train"),
-      TextAnalysis.normalizedTokens(col(textCol)).as("__toks"))
+      coalesce(TextAnalysis.normalizedTokens(col(textCol)),
+        array().cast("array<string>")).as("__toks"))
 
     val trainToks = base.filter(col("__train"))
       .select(col("__label"), explode(col("__toks")).as("__tok"))

@@ -33,9 +33,15 @@ object UrlOps {
   def urlScheme(url: Column): Column =
     lower(regexp_extract(url, SchemePat, 1))
 
-  /** Lowercased host[:port] ("" when absent). */
-  def urlHostPort(url: Column): Column =
-    lower(regexp_extract(url, SchemePat + "([^/?#]*)", 2))
+  /** host[:port] with the HOST lowercased and any `user:pass@` userinfo
+    * preserved verbatim ("" when absent) — RFC 3986 makes only scheme
+    * and host case-insensitive; userinfo is case-sensitive data.
+    */
+  def urlHostPort(url: Column): Column = {
+    val auth = regexp_extract(url, SchemePat + "([^/?#]*)", 2)
+    concat(regexp_extract(auth, "^([^@]*@)", 1),
+      lower(regexp_replace(auth, "^[^@]*@", "")))
+  }
 
   /** Canonical form:
     *  - scheme and host lowercased;
@@ -54,7 +60,10 @@ object UrlOps {
       .when(scheme === "http", regexp_replace(hp, ":80$", ""))
       .otherwise(hp)
     val path = rtrim(regexp_extract(url, SchemePat + "[^/?#]*([^?#]*)", 2), "/")
-    val qs = regexp_extract(url, "\\?([^#]*)", 1)
+    // anchor the query to the pre-fragment region: a '?' INSIDE the
+    // fragment (SPA routes like /app#/home?page=2) is fragment content
+    // and must drop with it, not resurface as query params
+    val qs = regexp_extract(url, "^[^#?]*\\?([^#]*)", 1)
     val kept = filter(split(qs, "&"), p =>
       !trackingParams.map(t => p.startsWith(t)).reduce(_ || _))
     val qc = when(qs === "", lit(""))

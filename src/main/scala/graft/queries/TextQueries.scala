@@ -13,6 +13,101 @@ import graft.operators.{SimilaritySearch, TextAnalysis}
   */
 object TextQueries {
 
+  import org.apache.spark.sql.Column
+
+  /** Shared q146/q150 synthetic URL: eight deterministic byte-variants
+    * of the same page URL (host case, default port, trailing slash,
+    * fragment, tracking params) from doc_id md5 slices.
+    */
+  private def syntheticUrl: Column = {
+    val v = conv(substring(md5(concat(lit("urlvar:"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 8
+    val hcase = conv(substring(md5(concat(lit("urlcase:"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 2
+    val host = when(hcase === 0, lit("example.com"))
+      .otherwise(lit("EXAMPLE.Com"))
+    val k = (col("doc_id") % 25).cast("string")
+    val base = concat(lit("https://"), host, lit("/a/"), k)
+    when(v === 0, base)
+      .when(v === 1, concat(base, lit("/")))
+      .when(v === 2, concat(base, lit("?utm_source=feed")))
+      .when(v === 3, concat(base, lit("#top")))
+      .when(v === 4, concat(lit("https://"), host, lit(":443/a/"), k))
+      .when(v === 5, concat(base, lit("?q=1&utm_campaign=x")))
+      .when(v === 6, concat(base, lit("?q=1")))
+      .otherwise(concat(base, lit("?q=1&gclid=zz")))
+  }
+
+  /** Shared q149/q150 synthetic diacritic suffix: precomposed /
+    * decomposed / plain / markless-ß variants by doc_id md5 class.
+    */
+  private def accentSuffix: Column = {
+    val av = conv(substring(md5(concat(lit("accvar:"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 4
+    when(av === 0, lit("cafe"))
+      .when(av === 1, lit("caf\u00e9"))
+      .when(av === 2, lit("cafe\u0301"))
+      .otherwise(lit("stra\u00dfe"))
+  }
+
+  /** Shared q146/q150 DuckDB CTE prefix: synthesizes the URL variants
+    * and replays [[graft.operators.UrlOps.canonicalizeUrl]] exactly
+    * (query anchored to the pre-fragment region, userinfo preserved
+    * with only the host lowercased, default ports and trailing slashes
+    * stripped, tracking params filtered in order). Ends with CTE `c`
+    * exposing `$carry, raw, canon`.
+    */
+  private def urlCanonSql(carry: String): String =
+    raw"""WITH u AS (
+       |  SELECT doc_id, source, text,
+       |    CAST(('0x'||substring(md5('urlvar:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS v,
+       |    CASE WHEN CAST(('0x'||substring(md5('urlcase:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
+       |      THEN 'example.com' ELSE 'EXAMPLE.Com' END AS host,
+       |    CAST(doc_id % 25 AS VARCHAR) AS k,
+       |    text || ' ' || CASE CAST(
+       |        CAST(('0x'||substring(md5('accvar:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 4
+       |      AS INT)
+       |      WHEN 0 THEN 'cafe'
+       |      WHEN 1 THEN 'caf' || chr(233)
+       |      WHEN 2 THEN 'cafe' || chr(769)
+       |      ELSE 'stra' || chr(223) || 'e' END AS aug
+       |  FROM documents),
+       |r AS (
+       |  SELECT *, CASE v
+       |      WHEN 0 THEN 'https://'||host||'/a/'||k
+       |      WHEN 1 THEN 'https://'||host||'/a/'||k||'/'
+       |      WHEN 2 THEN 'https://'||host||'/a/'||k||'?utm_source=feed'
+       |      WHEN 3 THEN 'https://'||host||'/a/'||k||'#top'
+       |      WHEN 4 THEN 'https://'||host||':443/a/'||k
+       |      WHEN 5 THEN 'https://'||host||'/a/'||k||'?q=1&utm_campaign=x'
+       |      WHEN 6 THEN 'https://'||host||'/a/'||k||'?q=1'
+       |      ELSE 'https://'||host||'/a/'||k||'?q=1&gclid=zz' END AS raw
+       |  FROM u),
+       |p AS (
+       |  SELECT *,
+       |    lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+       |    rtrim(regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/') AS path,
+       |    regexp_extract(raw, '^[^#?]*\?([^#]*)', 1) AS qs
+       |  FROM r),
+       |c AS (
+       |  SELECT $carry, raw,
+       |    scheme || '://' ||
+       |    (CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$$', '')
+       |          WHEN scheme = 'http' THEN regexp_replace(hp, ':80$$', '')
+       |          ELSE hp END) || path ||
+       |    (CASE WHEN qs = '' THEN '' ELSE
+       |      (CASE WHEN len(kept) = 0 THEN ''
+       |            ELSE '?' || array_to_string(kept, '&') END) END) AS canon
+       |  FROM (
+       |    SELECT *,
+       |      regexp_extract(auth, '^([^@]*@)', 1)
+       |        || lower(regexp_replace(auth, '^[^@]*@', '')) AS hp,
+       |      list_filter(str_split(qs, '&'), x -> NOT (
+       |        starts_with(x, 'utm_') OR starts_with(x, 'gclid=')
+       |        OR starts_with(x, 'fbclid=') OR starts_with(x, 'ref='))) AS kept
+       |    FROM p))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Corpus statistics per language label.
@@ -250,24 +345,8 @@ object TextQueries {
     // canonical string itself is in the output, so a hash match pins
     // every normalization rule byte-for-byte.
     "q146_url_canon" -> ((s, dir) => {
-      val v = conv(substring(md5(concat(lit("urlvar:"),
-        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 8
-      val hcase = conv(substring(md5(concat(lit("urlcase:"),
-        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 2
-      val host = when(hcase === 0, lit("example.com"))
-        .otherwise(lit("EXAMPLE.Com"))
-      val k = (col("doc_id") % 25).cast("string")
-      val base = concat(lit("https://"), host, lit("/a/"), k)
-      val raw = when(v === 0, base)
-        .when(v === 1, concat(base, lit("/")))
-        .when(v === 2, concat(base, lit("?utm_source=feed")))
-        .when(v === 3, concat(base, lit("#top")))
-        .when(v === 4, concat(lit("https://"), host, lit(":443/a/"), k))
-        .when(v === 5, concat(base, lit("?q=1&utm_campaign=x")))
-        .when(v === 6, concat(base, lit("?q=1")))
-        .otherwise(concat(base, lit("?q=1&gclid=zz")))
       Tables.documents(s, dir)
-        .select(raw.as("raw"))
+        .select(syntheticUrl.as("raw"))
         .withColumn("canon", graft.operators.UrlOps.canonicalizeUrl(col("raw")))
         .groupBy("canon")
         .agg(countDistinct("raw").as("n_raw"), count(lit(1)).as("n"))
@@ -469,34 +548,12 @@ object TextQueries {
     // crawls have high-cardinality canonical URLs, where the min-window
     // is q89's proven exact-dedup shape.)
     "q150_web_ingest" -> ((s, dir) => {
-      val v = conv(substring(md5(concat(lit("urlvar:"),
-        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 8
-      val hcase = conv(substring(md5(concat(lit("urlcase:"),
-        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 2
-      val host = when(hcase === 0, lit("example.com"))
-        .otherwise(lit("EXAMPLE.Com"))
-      val k = (col("doc_id") % 25).cast("string")
-      val base = concat(lit("https://"), host, lit("/a/"), k)
-      val rawUrl = when(v === 0, base)
-        .when(v === 1, concat(base, lit("/")))
-        .when(v === 2, concat(base, lit("?utm_source=feed")))
-        .when(v === 3, concat(base, lit("#top")))
-        .when(v === 4, concat(lit("https://"), host, lit(":443/a/"), k))
-        .when(v === 5, concat(base, lit("?q=1&utm_campaign=x")))
-        .when(v === 6, concat(base, lit("?q=1")))
-        .otherwise(concat(base, lit("?q=1&gclid=zz")))
-      val av = conv(substring(md5(concat(lit("accvar:"),
-        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 4
-      val suffix = when(av === 0, lit("cafe"))
-        .when(av === 1, lit("caf\u00e9"))
-        .when(av === 2, lit("cafe\u0301"))
-        .otherwise(lit("stra\u00dfe"))
       val wUrl = org.apache.spark.sql.expressions.Window.partitionBy("canon")
       val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
       Tables.documents(s, dir)
         .select(col("doc_id"), col("source"), col("text"),
-          graft.operators.UrlOps.canonicalizeUrl(rawUrl).as("canon"),
-          concat(col("text"), lit(" "), suffix).as("aug"))
+          graft.operators.UrlOps.canonicalizeUrl(syntheticUrl).as("canon"),
+          concat(col("text"), lit(" "), accentSuffix).as("aug"))
         .withColumn("keep", min("doc_id").over(wUrl))
         .filter(col("doc_id") === col("keep"))
         .withColumn("fp", md5(graft.functions.strip_accents(
@@ -949,54 +1006,9 @@ object TextQueries {
 
   val pipelineOracles: Map[String, String] = Map(
 
-    "q150_web_ingest" ->
-      """WITH u AS (
-        |  SELECT doc_id, source, text,
-        |    CAST(('0x'||substring(md5('urlvar:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS v,
-        |    CASE WHEN CAST(('0x'||substring(md5('urlcase:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
-        |      THEN 'example.com' ELSE 'EXAMPLE.Com' END AS host,
-        |    CAST(doc_id % 25 AS VARCHAR) AS k,
-        |    text || ' ' || CASE CAST(
-        |        CAST(('0x'||substring(md5('accvar:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 4
-        |      AS INT)
-        |      WHEN 0 THEN 'cafe'
-        |      WHEN 1 THEN 'caf' || chr(233)
-        |      WHEN 2 THEN 'cafe' || chr(769)
-        |      ELSE 'stra' || chr(223) || 'e' END AS aug
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, source, text, aug, CASE v
-        |      WHEN 0 THEN 'https://'||host||'/a/'||k
-        |      WHEN 1 THEN 'https://'||host||'/a/'||k||'/'
-        |      WHEN 2 THEN 'https://'||host||'/a/'||k||'?utm_source=feed'
-        |      WHEN 3 THEN 'https://'||host||'/a/'||k||'#top'
-        |      WHEN 4 THEN 'https://'||host||':443/a/'||k
-        |      WHEN 5 THEN 'https://'||host||'/a/'||k||'?q=1&utm_campaign=x'
-        |      WHEN 6 THEN 'https://'||host||'/a/'||k||'?q=1'
-        |      ELSE 'https://'||host||'/a/'||k||'?q=1&gclid=zz' END AS raw
-        |  FROM u),
-        |p AS (
-        |  SELECT *,
-        |    lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    lower(regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
-        |    rtrim(regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/') AS path,
-        |    regexp_extract(raw, '\?([^#]*)', 1) AS qs
-        |  FROM r),
-        |c AS (
-        |  SELECT doc_id, source, text, aug,
-        |    scheme || '://' ||
-        |    (CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
-        |          WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
-        |          ELSE hp END) || path ||
-        |    (CASE WHEN qs = '' THEN '' ELSE
-        |      (CASE WHEN len(kept) = 0 THEN ''
-        |            ELSE '?' || array_to_string(kept, '&') END) END) AS canon
-        |  FROM (
-        |    SELECT *, list_filter(str_split(qs, '&'), x -> NOT (
-        |        starts_with(x, 'utm_') OR starts_with(x, 'gclid=')
-        |        OR starts_with(x, 'fbclid=') OR starts_with(x, 'ref='))) AS kept
-        |    FROM p)),
-        |s1 AS (
+    "q150_web_ingest" -> (urlCanonSql("doc_id, source, text, aug") +
+      """
+        |, s1 AS (
         |  SELECT * FROM (
         |    SELECT *, min(doc_id) OVER (PARTITION BY canon) AS keep FROM c)
         |  WHERE doc_id = keep),
@@ -1009,7 +1021,7 @@ object TextQueries {
         |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM s2 GROUP BY source
-        |ORDER BY source""".stripMargin,
+        |ORDER BY source""".stripMargin),
 
     "q60_dataset_split" ->
       """WITH bucketed AS (
@@ -1278,55 +1290,18 @@ object TextQueries {
         |FROM ex CROSS JOIN zz
         |ORDER BY source""".stripMargin,
 
-    "q146_url_canon" ->
-      """WITH u AS (
-        |  SELECT
-        |    CAST(('0x'||substring(md5('urlvar:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS v,
-        |    CASE WHEN CAST(('0x'||substring(md5('urlcase:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 2 = 0
-        |      THEN 'example.com' ELSE 'EXAMPLE.Com' END AS host,
-        |    CAST(doc_id % 25 AS VARCHAR) AS k
-        |  FROM documents),
-        |r AS (
-        |  SELECT CASE v
-        |      WHEN 0 THEN 'https://'||host||'/a/'||k
-        |      WHEN 1 THEN 'https://'||host||'/a/'||k||'/'
-        |      WHEN 2 THEN 'https://'||host||'/a/'||k||'?utm_source=feed'
-        |      WHEN 3 THEN 'https://'||host||'/a/'||k||'#top'
-        |      WHEN 4 THEN 'https://'||host||':443/a/'||k
-        |      WHEN 5 THEN 'https://'||host||'/a/'||k||'?q=1&utm_campaign=x'
-        |      WHEN 6 THEN 'https://'||host||'/a/'||k||'?q=1'
-        |      ELSE 'https://'||host||'/a/'||k||'?q=1&gclid=zz' END AS raw
-        |  FROM u),
-        |p AS (
-        |  SELECT raw,
-        |    lower(regexp_extract(raw, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-        |    lower(regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hp,
-        |    rtrim(regexp_extract(raw, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/') AS path,
-        |    regexp_extract(raw, '\?([^#]*)', 1) AS qs
-        |  FROM r),
-        |c AS (
-        |  SELECT raw,
-        |    scheme || '://' ||
-        |    (CASE WHEN scheme = 'https' THEN regexp_replace(hp, ':443$', '')
-        |          WHEN scheme = 'http' THEN regexp_replace(hp, ':80$', '')
-        |          ELSE hp END) || path ||
-        |    (CASE WHEN qs = '' THEN '' ELSE
-        |      (CASE WHEN len(kept) = 0 THEN ''
-        |            ELSE '?' || array_to_string(kept, '&') END) END) AS canon
-        |  FROM (
-        |    SELECT *, list_filter(str_split(qs, '&'), x -> NOT (
-        |        starts_with(x, 'utm_') OR starts_with(x, 'gclid=')
-        |        OR starts_with(x, 'fbclid=') OR starts_with(x, 'ref='))) AS kept
-        |    FROM p))
+    "q146_url_canon" -> (urlCanonSql("doc_id") +
+      """
         |SELECT canon, CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM c GROUP BY canon
-        |ORDER BY canon""".stripMargin,
+        |ORDER BY canon""".stripMargin),
 
     "q145_nb_classify" ->
       """WITH d AS (
         |  SELECT doc_id, source,
-        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+        |    coalesce(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |      CAST([] AS VARCHAR[])) AS t,
         |    CAST(('0x'||substring(md5('split:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 < 8 AS train
         |  FROM documents),
         |tok AS (SELECT doc_id, source, train, unnest(t) AS token FROM d),

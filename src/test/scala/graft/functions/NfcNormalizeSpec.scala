@@ -38,6 +38,17 @@ class NfcNormalizeSpec extends AnyFunSuite {
     assert(err.getMessage.contains("nfc_normalize"))
   }
 
+  test("strip_accents drops spacing/enclosing marks and recomposes (utf8proc STRIPMARK)") {
+    // Devanagari vowel sign AA is category Mc — utf8proc strips it, so
+    // must we; Hangul must survive UNCHANGED (NFD jamo recompose)
+    val devanagari = "क" + "ा"  // ka + VOWEL SIGN AA (Mc)
+    val enclosing = "a⃝"          // a + COMBINING ENCLOSING CIRCLE (Me)
+    val hangul = "가각"       // 가각
+    val got = Seq(devanagari, enclosing, hangul)
+      .toDF("s").select(strip_accents($"s")).as[String].collect().toSeq
+    assert(got == Seq("क", "a", hangul))
+  }
+
   test("strip_accents folds diacritics but never transliterates") {
     val eszett = "straße"
     val lStroke = "Łódź" // Łódź: Ł has no mark, ó/ź do

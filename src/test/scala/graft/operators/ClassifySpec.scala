@@ -76,6 +76,24 @@ class ClassifySpec extends AnyFunSuite {
     assert(viaModel == viaJoin)
   }
 
+  test("null text scores like empty text, identically in both formulations") {
+    val withNull = (corpus :+ ((9L, "auto", null.asInstanceOf[String], "test")))
+      .toDF("doc_id", "label", "text", "split")
+    val viaJoin = Classify.nbPredict(withNull, "doc_id", "text", "label",
+        col("split") === "train")
+      .orderBy("doc_id").select("doc_id", "pred", "score")
+      .as[(Long, String, Double)].collect().toSeq
+    val model = Classify.nbTrainModel(
+      withNull.filter(col("split") === "train"), "text", "label")
+    val viaModel = Classify.nbScore(withNull.filter(col("split") === "test"),
+        "doc_id", "text", "label", model)
+      .orderBy("doc_id").select("doc_id", "pred", "score")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(viaJoin == viaModel)
+    // zero tokens -> prior only; equal priors tie -> label asc
+    assert(viaJoin.find(_._1 == 9L).get._2 == "auto")
+  }
+
   test("nbScore keeps token-less docs (explode_outer) and prices them by the prior") {
     val withEmpty = (corpus :+ ((8L, "fruit", "", "test"))).toDF(
       "doc_id", "label", "text", "split")
