@@ -446,6 +446,16 @@ class PlanAuditSpec extends AnyFunSuite {
       "argmax window must partition by the doc id")
   }
 
+  test("q150 web ingest: both dedup windows key on their dedup column, no cartesian") {
+    val p = plan("q150_web_ingest")
+    assert(p.contains("hashpartitioning(canon"),
+      s"URL dedup must partition by the canonical url:\n${p.take(2000)}")
+    assert(p.contains("hashpartitioning(fp"),
+      "content dedup must partition by the folded fingerprint")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the chain is windows + one aggregation, never a join explosion")
+  }
+
   test("q146 url canon: canonicalization runs scan-side, no UDF, no pre-agg shuffle") {
     val p = plan("q146_url_canon")
     assert(!p.contains("ScalaUDF"), "pure column math expected")
