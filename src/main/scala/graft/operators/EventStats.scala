@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream statistics beyond sessionization ([[Sessionize]]): the
+  * monitoring-flavored aggregations an ingest pipeline runs over its own
+  * event volumes.
+  */
+object EventStats {
+
+  /** Hourly volume anomalies per event type: bucket events by hour,
+    * z-score each (type, hour) count against that type's own hourly
+    * distribution, keep |z| ≥ `zThreshold` — the classic volume-spike /
+    * outage detector over ingest telemetry.
+    *
+    * Engine parity: hourly counts are exact integers; the per-type mean
+    * and sample stddev are ROUNDED before the z division (identical
+    * doubles in, so the division is identical — the single-division
+    * doctrine), and z is rounded again before the threshold compare, so
+    * accumulation-order ulps can never flip a flag. Types observed in
+    * only one hour (stddev undefined) or with constant volume
+    * (stddev 0) score z = 0: no variation, no anomaly.
+    *
+    * Scale shape: one shuffle to the (type, hour) grain — the q43
+    * windowed-aggregation key — then per-type stats re-aggregate the
+    * HOURLY table (bounded: types × hours), broadcast back. Nothing
+    * after the first aggregation is corpus-sized.
+    */
+  def hourlyAnomalies(events: DataFrame, tsCol: String, typeCol: String,
+      zThreshold: Double = 2.0): DataFrame = {
+    require(zThreshold > 0.0, s"zThreshold must be positive, got $zThreshold")
+    val hourly = events
+      .groupBy(date_trunc("hour", col(tsCol)).as("hour"),
+        col(typeCol).as("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(round(avg("n") + lit(1e-9), 6).as("__mean"),
+        round(coalesce(stddev_samp(col("n")), lit(0.0)) + lit(1e-9), 6)
+          .as("__std"))
+    hourly.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", when(col("__std") === 0.0, lit(0.0))
+        .otherwise(round((col("n") - col("__mean")) / col("__std")
+          + lit(1e-9), 6)))
+      .filter(abs(col("z")) >= zThreshold)
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH").as("hour"),
+        col("n"), col("z"))
+  }
+}

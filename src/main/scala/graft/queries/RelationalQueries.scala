@@ -246,6 +246,18 @@ object RelationalQueries {
         .orderBy("user_id", "session_no")
     }),
 
+    // Hourly volume anomalies: z-score each (event_type, hour) count
+    // against the type's own hourly distribution, flag |z| >= 1.5. Mean
+    // and stddev are rounded BEFORE the z division and z is rounded
+    // before the threshold compare, so accumulation-order ulps can
+    // never flip a flag (the ln/rank doctrine applied to a filter).
+    "q151_event_anomaly" -> ((s, dir) => {
+      graft.operators.EventStats
+        .hourlyAnomalies(Tables.events(s, dir), "ts", "event_type",
+          zThreshold = 1.5)
+        .orderBy("event_type", "hour")
+    }),
+
     // As-of join: every purchase event gets its user's most recent prior
     // signup. Union-and-carry dataflow (one shuffle on user_id, no range
     // explosion); the oracle cross-checks with DuckDB's native ASOF JOIN —
@@ -544,6 +556,25 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q151_event_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type,
+        |    round(avg(n) + 1e-9, 6) AS m,
+        |    round(coalesce(stddev_samp(n), 0.0) + 1e-9, 6) AS s
+        |  FROM hourly GROUP BY event_type),
+        |z AS (
+        |  SELECT h.event_type, strftime(h.h, '%Y-%m-%d %H') AS hour, h.n,
+        |    CASE WHEN st.s = 0.0 THEN 0.0
+        |         ELSE round((h.n - st.m) / st.s + 1e-9, 6) END AS z
+        |  FROM hourly h JOIN st USING (event_type))
+        |SELECT event_type, hour, n, z
+        |FROM z WHERE abs(z) >= 1.5
+        |ORDER BY event_type, hour""".stripMargin,
 
     "q83_zorder" -> {
       val zv = graft.operators.ZOrder.zvalueSql("c1", "c2", 8)

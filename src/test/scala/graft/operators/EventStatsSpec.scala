@@ -1,0 +1,51 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class EventStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(hour: Int, min: Int = 0) =
+    Timestamp.valueOf(f"2026-01-01 $hour%02d:$min%02d:00")
+
+  test("a spiking hour flags; constant and single-hour types never do") {
+    // "click": 1,1,1,1,6 events per hour -> hour 4 spikes (z ~ 1.79)
+    val clicks = (0 to 3).map(h => (ts(h), "click")) ++
+      (0 until 6).map(m => (ts(4, m), "click"))
+    // "steady": identical volume every hour -> stddev 0 -> z 0 everywhere
+    val steady = (0 to 4).flatMap(h => Seq((ts(h), "steady"), (ts(h, 30), "steady")))
+    // "once": a single hour -> stddev undefined -> z 0
+    val once = Seq((ts(2), "once"))
+    val df = (clicks ++ steady ++ once).toDF("ts", "event_type")
+    val got = EventStats.hourlyAnomalies(df, "ts", "event_type", zThreshold = 1.5)
+      .select("event_type", "hour", "n", "z")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ==
+      Seq(("click", "2026-01-01 04", 6L)))
+    // z = (6 - 2) / stddev_samp(1,1,1,1,6) rounded at each hand-off
+    val mean = BigDecimal(2.0 + 1e-9).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val std = BigDecimal(math.sqrt(20.0 / 4) + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val z = BigDecimal((6 - mean) / std + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head._4 == z)
+    intercept[IllegalArgumentException] {
+      EventStats.hourlyAnomalies(df, "ts", "event_type", zThreshold = 0.0)
+    }
+  }
+
+  test("a volume collapse (negative z) flags symmetrically") {
+    val ev = ((0 to 3).flatMap(h => (0 until 5).map(m => (ts(h, m), "api"))) :+
+      ((ts(4), "api"))).toDF("ts", "event_type")
+    val got = EventStats.hourlyAnomalies(ev, "ts", "event_type", zThreshold = 1.5)
+      .select("hour", "z").as[(String, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("2026-01-01 04"))
+    assert(got.head._2 < 0, "a collapse must flag with negative z")
+  }
+}
