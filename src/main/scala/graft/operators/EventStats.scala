@@ -27,6 +27,44 @@ object EventStats {
     * HOURLY table (bounded: types × hours), broadcast back. Nothing
     * after the first aggregation is corpus-sized.
     */
+  /** Strict-order k-step funnel: step i counts users whose earliest
+    * step-i event falls strictly AFTER their earliest qualifying
+    * step-(i−1) event — the standard conversion funnel (view → click →
+    * purchase), generalized to any step list. Returns one row per step:
+    * (step, event_type, n_users), n_users non-increasing by
+    * construction.
+    *
+    * Dataflow: each step is one user-keyed join against the previous
+    * step's (user, first-ts) frame + one min-aggregation — k sequential
+    * user-keyed shuffles, never a window over the event stream. The k
+    * output counts re-derive shared prefixes per branch; AQE's
+    * ReusedExchange dedups them (the q100 count-table precedent), and k
+    * is funnel-length small. Timestamps compare at Spark's native
+    * microsecond precision; the oracle compares epoch_us(...) — the q19
+    * precedent, so sub-µs noise in a nanosecond source can never split
+    * the engines.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var cur: DataFrame = null
+    val perStep = steps.zipWithIndex.map { case (st, i) =>
+      val evs = events.filter(col(typeCol) === st)
+        .select(col(userCol), col(tsCol))
+      cur =
+        if (i == 0) evs.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        else evs
+          .join(cur.select(col(userCol), col("__t").as("__prev")),
+            Seq(userCol))
+          .filter(col(tsCol) > col("__prev"))
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      cur.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }
+    perStep.reduce(_ unionByName _)
+  }
+
   def hourlyAnomalies(events: DataFrame, tsCol: String, typeCol: String,
       zThreshold: Double = 2.0): DataFrame = {
     require(zThreshold > 0.0, s"zThreshold must be positive, got $zThreshold")

@@ -258,6 +258,17 @@ object RelationalQueries {
         .orderBy("event_type", "hour")
     }),
 
+    // Conversion funnel: view → click → purchase in strict time order
+    // per user. Step counts are exact integers; the only float risk
+    // would be timestamp precision, pinned to microseconds on both
+    // engines (the q19 epoch_us precedent).
+    "q152_funnel" -> ((s, dir) => {
+      graft.operators.EventStats
+        .funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("step")
+    }),
+
     // As-of join: every purchase event gets its user's most recent prior
     // signup. Union-and-carry dataflow (one shuffle on user_id, no range
     // explosion); the oracle cross-checks with DuckDB's native ASOF JOIN —
@@ -556,6 +567,31 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q152_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > epoch_us(s1.t)
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > epoch_us(s2.t)
+        |  GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        |    CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click',
+        |    CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase',
+        |    CAST((SELECT count(*) FROM s3) AS BIGINT))
+        |ORDER BY step""".stripMargin,
 
     "q151_event_anomaly" ->
       """WITH hourly AS (

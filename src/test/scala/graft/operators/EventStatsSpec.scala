@@ -40,6 +40,27 @@ class EventStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: strict ordering per user, non-increasing step counts") {
+    // u1 completes the funnel in order; u2 clicks BEFORE viewing (the
+    // click must not count) then never purchases; u3 views only;
+    // u4's purchase lands at the exact click timestamp (strictly-after
+    // excludes it)
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      (2L, "click", ts(0)), (2L, "view", ts(1)),
+      (3L, "view", ts(0)),
+      (4L, "view", ts(0)), (4L, "click", ts(1)), (4L, "purchase", ts(1))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventStats.funnel(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("step")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "view", 4L), (2L, "click", 2L), (3L, "purchase", 1L)))
+    intercept[IllegalArgumentException] {
+      EventStats.funnel(ev, "user_id", "ts", "event_type", Seq.empty)
+    }
+  }
+
   test("a volume collapse (negative z) flags symmetrically") {
     val ev = ((0 to 3).flatMap(h => (0 until 5).map(m => (ts(h, m), "api"))) :+
       ((ts(4), "api"))).toDF("ts", "event_type")
