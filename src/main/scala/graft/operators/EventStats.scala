@@ -65,6 +65,41 @@ object EventStats {
     perStep.reduce(_ unionByName _)
   }
 
+  /** Weekly cohort retention: cohort = ISO week of a user's first
+    * `cohortEvent`; a user counts at offset k if ANY of their events
+    * falls in the week k weeks after their cohort week. Returns
+    * (cohort, offset, n_users, cohort_size) — the classic retention
+    * triangle, with the cohort size alongside so callers derive rates
+    * as single exact-integer divisions (the q120 doctrine).
+    *
+    * All time math is exact integers: week-truncated MICROsecond epochs
+    * divided by 604800000000 with integer DIV, pre-cohort activity
+    * filtered out BEFORE the division so truncate-vs-floor semantics on
+    * negatives can never matter. Dataflow: two user-keyed aggregations
+    * + one user-keyed join; the per-(cohort, offset) grid is bounded by
+    * weeks², and cohort sizes broadcast back onto it.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, cohortEvent: String = "signup"): DataFrame = {
+    val cohorts = events.filter(col(typeCol) === cohortEvent)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__first"))
+      .select(col(userCol), date_trunc("week", col("__first")).as("__cohort"))
+    val sizes = cohorts.groupBy("__cohort")
+      .agg(count(lit(1)).as("cohort_size"))
+    val activity = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("__w"))
+      .distinct()
+    activity.join(cohorts, Seq(userCol))
+      .filter(col("__w") >= col("__cohort"))
+      .withColumn("offset",
+        expr("(unix_micros(__w) - unix_micros(__cohort)) DIV 604800000000"))
+      .groupBy(col("__cohort"), col("offset"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+      .join(broadcast(sizes), Seq("__cohort"))
+      .select(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort"),
+        col("offset"), col("n_users"), col("cohort_size"))
+  }
+
   def hourlyAnomalies(events: DataFrame, tsCol: String, typeCol: String,
       zThreshold: Double = 2.0): DataFrame = {
     require(zThreshold > 0.0, s"zThreshold must be positive, got $zThreshold")

@@ -258,10 +258,24 @@ object RelationalQueries {
         .orderBy("event_type", "hour")
     }),
 
-    // Conversion funnel: view → click → purchase in strict time order
-    // per user. Step counts are exact integers; the only float risk
-    // would be timestamp precision, pinned to microseconds on both
-    // engines (the q19 epoch_us precedent).
+    // Weekly cohort retention triangle via the EventStats OPERATOR —
+    // the q74 composition promoted to a reusable, parameterized
+    // operator (the q124→semDeDup doctrine), extended with cohort sizes
+    // so rates stay exact-integer divisions. q74's inline formulation
+    // stays as an independent cross-check of the same triangle.
+    "q153_retention" -> ((s, dir) => {
+      graft.operators.EventStats
+        .cohortRetention(Tables.events(s, dir), "user_id", "ts", "event_type")
+        .orderBy("cohort", "offset")
+    }),
+
+    // Strict-order k-step funnel: view → click → purchase, each step's
+    // first event strictly after the previous step's. DISTINCT
+    // semantics from q73 (which is a 2-step signup→purchase conversion
+    // under a 7-day deadline): this one enforces full-sequence ordering
+    // with no deadline, generalized to any step list. Step counts are
+    // exact integers; timestamps compare at microseconds (the q19
+    // epoch_us precedent).
     "q152_funnel" -> ((s, dir) => {
       graft.operators.EventStats
         .funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
@@ -567,6 +581,28 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    "q153_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |sz AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size
+        |       FROM c GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+        |      FROM events),
+        |j AS (
+        |  SELECT c.cohort,
+        |    CAST((epoch_us(a.w) - epoch_us(c.cohort)) / 604800000000 AS BIGINT) AS "offset",
+        |    a.user_id
+        |  FROM a JOIN c USING (user_id)
+        |  WHERE epoch_us(a.w) >= epoch_us(c.cohort)),
+        |r AS (
+        |  SELECT cohort, "offset", CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |  FROM j GROUP BY 1, 2)
+        |SELECT strftime(r.cohort, '%Y-%m-%d') AS cohort,
+        |  CAST("offset" AS BIGINT) AS "offset", n_users, cohort_size
+        |FROM r JOIN sz USING (cohort)
+        |ORDER BY cohort, "offset"""".stripMargin,
 
     "q152_funnel" ->
       """WITH s1 AS (

@@ -61,6 +61,27 @@ class EventStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("cohortRetention: offsets count whole weeks, pre-signup activity drops") {
+    def day(d: Int, t: String = "12:00:00") =
+      Timestamp.valueOf(f"2026-01-$d%02d $t") // 2026-01-05 is a Monday
+    val ev = Seq(
+      // u1 signs up week of Jan 5, active weeks 0 and 2
+      (1L, "signup", day(6)), (1L, "click", day(7)), (1L, "view", day(20)),
+      // u2 signs up same week, has PRE-signup activity (must not count
+      // at a negative offset) and week-1 activity
+      (2L, "view", day(2)), (2L, "signup", day(8)), (2L, "click", day(13)),
+      // u3 never signs up -> excluded entirely
+      (3L, "view", day(6))
+    ).toDF("user_id", "event_type", "ts")
+    val got = EventStats.cohortRetention(ev, "user_id", "ts", "event_type")
+      .orderBy("cohort", "offset")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2026-01-05", 0L, 2L, 2L),   // both signup-week active
+      ("2026-01-05", 1L, 1L, 2L),   // u2 clicks in week 1
+      ("2026-01-05", 2L, 1L, 2L)))  // u1 views in week 2
+  }
+
   test("a volume collapse (negative z) flags symmetrically") {
     val ev = ((0 to 3).flatMap(h => (0 until 5).map(m => (ts(h, m), "api"))) :+
       ((ts(4), "api"))).toDF("ts", "event_type")
