@@ -360,9 +360,14 @@ object Dedup {
     * Output: (a_id, b_id, jaccard) for candidates with exact full-set
     * Jaccard ≥ threshold.
     */
-  def verifiedNearDups(df: DataFrame, idCol: String, textCol: String,
+  /** Exact shingle-set Jaccard for EVERY LSH candidate pair (no
+    * threshold cut) — the measurement surface behind
+    * [[verifiedNearDups]] and the q154 precision gate: how good are the
+    * bucket collisions BEFORE verification filters them.
+    */
+  def candidateJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2,
-      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, shingleN, numHashes,
       rowsPerBand, maxBucketSize)
     val sh = explodeShingles(df, idCol, textCol, shingleN)
@@ -371,14 +376,26 @@ object Dedup {
       .join(sh.select(col(idCol).as("a_id"), col("shingle")), Seq("a_id"))
       .join(sh.select(col(idCol).as("b_id"), col("shingle")), Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
-    shared
+    // LEFT join back onto the full candidate set: a bucket collision
+    // with ZERO shared shingles is still a candidate the verifier paid
+    // for — precision measurement must see it as jaccard 0, not drop it
+    cands
+      .join(shared, Seq("a_id", "b_id"), "left")
       .join(sized.select(col(idCol).as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
       .join(sized.select(col(idCol).as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
+      .withColumn("__sh", coalesce(col("shared"), lit(0L)))
       .withColumn("jaccard",
-        col("shared") / (col("a_n") + col("b_n") - col("shared")))
-      .filter(col("jaccard") >= threshold)
+        col("__sh") / (col("a_n") + col("b_n") - col("__sh")))
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
+
+  def verifiedNearDups(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame =
+    candidateJaccard(df, idCol, textCol, shingleN, numHashes, rowsPerBand,
+      maxBucketSize)
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
 
   /** Connected components over a candidate-pair graph → dedup clusters:
     * every document gets the smallest doc id reachable through candidate

@@ -119,6 +119,21 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // LSH candidate-quality measurement (the dedup sibling of the
+    // q126/q138 recall gates): exact Jaccard for EVERY bucket collision
+    // — including zero-overlap ones the verifier paid for — histogrammed
+    // by decile of the rounded score. Pins the precision of the
+    // discovery stage itself, measured under the oracle, not
+    // self-reported.
+    "q154_lsh_precision" -> ((s, dir) => {
+      Dedup.candidateJaccard(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 5, numHashes = 8, rowsPerBand = 2)
+        .select(floor(round(col("jaccard") + lit(1e-9), 6) * lit(10))
+          .cast("long").as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("decile")
+    }),
+
     // Dedup RESOLUTION: after clustering, production keeps the highest-
     // QUALITY member of each near-dup cluster (not the min id) — composed
     // here from connected components + the quality score + one window.
@@ -436,6 +451,39 @@ object DedupQueries {
          |JOIN sizes zb ON zb.doc_id = b_id
          |WHERE CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q154_lsh_precision" ->
+      s"""WITH $shinglesCte,
+         |$signaturesCte,
+         |$bandsCte,
+         |ok_buckets AS (
+         |  SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |eligible AS (
+         |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM eligible a JOIN eligible b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS shared
+         |  FROM cands c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY c.a_id, c.b_id),
+         |j AS (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(coalesce(s.shared, 0) AS DOUBLE)
+         |      / (za.n_sh + zb.n_sh - coalesce(s.shared, 0)) AS jac
+         |  FROM cands c
+         |  LEFT JOIN shared s ON s.a_id = c.a_id AND s.b_id = c.b_id
+         |  JOIN sizes za ON za.doc_id = c.a_id
+         |  JOIN sizes zb ON zb.doc_id = c.b_id)
+         |SELECT CAST(floor(round(jac + 1e-9, 6) * 10) AS BIGINT) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM j GROUP BY 1
+         |ORDER BY decile""".stripMargin,
 
     "q78_cluster_resolve" ->
       s"""WITH RECURSIVE $shinglesCte,

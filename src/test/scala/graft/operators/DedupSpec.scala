@@ -105,6 +105,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("candidateJaccard scores every candidate; verifiedNearDups is its filtered subset") {
+    val all = Dedup.candidateJaccard(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val verified = Dedup.verifiedNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // the identical pair scores exactly 1.0 in the unfiltered view
+    assert(all((1L, 2L)) == 1.0)
+    // the filter keeps exactly the >= threshold slice, same scores
+    assert(verified == all.filter(_._2 >= 0.5))
+    // every candidate the banding emitted got a score (none dropped by
+    // the shared-shingle join)
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(all.keySet == cands)
+  }
+
   test("candidatePairs: a degenerate hot bucket is dropped with bounded state") {
     // one adversarial bucket with 300 members (would emit ~45k pairs and,
     // pre-fix, buffer all 300 ids in one agg buffer) + one healthy pair
