@@ -115,6 +115,56 @@ object TrainExport {
       .drop("__key", "__chunk", "__lrn", "__off")
   }
 
+  /** Per-stratum DESCENDING score rank without a single-task-per-stratum
+    * window — the [[md5RankChunked]] two-phase discipline applied to a
+    * SCORE axis: rank within (stratum, coarse score bucket), stitch with
+    * the counts of higher buckets. Exact same rows as
+    * `row_number().over(partitionBy(strata).orderBy(score desc, id))`
+    * (TrainExportSpec proves the equivalence), but the big sort
+    * parallelizes across `nBuckets` score bands per stratum instead of
+    * serializing through one reducer per stratum.
+    *
+    * `scoreCol` must already be ROUNDED (the rank doctrine: ranks decide
+    * gates, accumulation ulps must not decide ranks); ties break on
+    * `idCol`. The typical consumer is score CALIBRATION — per-source
+    * percentile rank `(rn − 1)/(n − 1)` as exact integer division, which
+    * normalizes heterogeneous quality scores across sources before a
+    * global threshold.
+    *
+    * Output: the input columns plus `rn` (1-based, score-descending
+    * within the stratum) and `__n` (stratum size).
+    */
+  def scoreRankChunked(df: DataFrame, idCol: String, scoreCol: String,
+      strataCols: Seq[String], nBuckets: Int = 20): DataFrame = {
+    require(strataCols.nonEmpty, "at least one stratum column required")
+    require(nBuckets >= 2, s"nBuckets must be at least 2, got $nBuckets")
+    val strata = strataCols.map(col)
+    val keyed = df.withColumn("__bkt",
+      floor(col(scoreCol) * nBuckets).cast("long"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy((strata :+ col("__bkt")): _*)
+      .orderBy(desc(scoreCol), col(idCol))
+    val local = keyed
+      .withColumn("__lrn", row_number().over(wLocal).cast("long"))
+    val counts = keyed
+      .groupBy((strata :+ col("__bkt")): _*)
+      .agg(count(lit(1)).as("__cn"))
+    // descending stitch: a row's offset is the population of all HIGHER
+    // score buckets in its stratum
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata: _*).orderBy(desc("__bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(strata: _*)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cn")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__cn")).over(wTot))
+      .select((strata :+ col("__bkt") :+ col("__off") :+ col("__n")): _*)
+    local.join(broadcast(offsets), strataCols :+ "__bkt")
+      .withColumn("rn", col("__off") + col("__lrn"))
+      .drop("__bkt", "__lrn", "__off")
+  }
+
   /** Deterministic proportional stratified sample: keep
     * `ceil(n · keepNumer / keepDenom)` rows of every stratum, chosen by
     * md5 order — the per-source/per-language mixture-downsampling step of

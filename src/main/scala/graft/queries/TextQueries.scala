@@ -942,6 +942,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-source score calibration: per-source DESCENDING quality
+    // rank via the chunked two-phase pattern (rank within (source,
+    // score band), stitch with higher-band counts — no single-task-per-
+    // source sort), percentile = (rn−1)/(n−1) as exact integer
+    // division. The oracle ranks with a plain per-source window, so a
+    // hash match proves the de-skewed formulation is EXACT.
+    "q155_score_calibration" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .withColumn("__punct", TextAnalysis.punctRatio(col("text")))
+        .withColumn("__stop", TextAnalysis.stopwordRatio(col("text")))
+        .withColumn("q", round(TextAnalysis.qualityScoreFrom(
+          col("text"), col("__punct"), col("__stop")) + lit(1e-9), 6))
+      graft.operators.TrainExport
+        .scoreRankChunked(docs, "doc_id", "q", Seq("source"))
+        .withColumn("pct", when(col("__n") === 1L, lit(0.0))
+          .otherwise((col("rn") - 1L).cast("double") / (col("__n") - 1L)))
+        .select(col("doc_id"), col("source"), col("q"), col("rn"), col("pct"))
+        .orderBy("doc_id")
+    }),
+
     // DoReMi-style mixture weights: per-source excess loss under the
     // corpus-trained bigram LM → exp-weighted, normalized. Hard sources
     // upweight; every floating hand-off is a rounded q100 gate value,
@@ -1251,6 +1271,35 @@ object TextQueries {
         |  min(md5(folded)) AS fold_md5
         |FROM f GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    "q155_score_calibration" ->
+      """WITH ratios AS (
+        |  SELECT doc_id, source,
+        |    length(text) AS n_chars,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |             t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |           / len(regexp_extract_all(lower(text), '\S+')) END AS stop
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    round(least(greatest(
+        |      least(CAST(n_chars AS DOUBLE) / 200.0, 1.0)
+        |      * (1.0 - punct) * (0.5 + stop), 0.0), 1.0) + 1e-9, 6) AS q
+        |  FROM ratios),
+        |rk AS (
+        |  SELECT doc_id, source, q,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM scored)
+        |SELECT doc_id, source, q, rn,
+        |  CASE WHEN n = 1 THEN 0.0
+        |       ELSE CAST(rn - 1 AS DOUBLE) / (n - 1) END AS pct
+        |FROM rk
+        |ORDER BY doc_id""".stripMargin,
 
     "q148_mixture_weights" ->
       """WITH d AS (

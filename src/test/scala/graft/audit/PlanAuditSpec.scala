@@ -446,6 +446,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "argmax window must partition by the doc id")
   }
 
+  test("q155 calibration: rank window keys on (source, score band), offsets broadcast") {
+    val p = plan("q155_score_calibration")
+    assert(p.contains("hashpartitioning(source") && p.contains("__bkt"),
+      s"the big sort must parallelize across score bands per source:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange"),
+      "the band-offset stitch table must broadcast")
+  }
+
   test("q150 web ingest: both dedup windows key on their dedup column, no cartesian") {
     val p = plan("q150_web_ingest")
     assert(p.contains("hashpartitioning(canon"),

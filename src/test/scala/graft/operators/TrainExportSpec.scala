@@ -138,4 +138,31 @@ class TrainExportSpec extends AnyFunSuite {
       TrainExport.md5RankChunked(docs, "doc_id", Seq("src"), "samp", 5)
     }
   }
+
+  test("scoreRankChunked equals the single-window descending score rank") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // skewed strata + heavy score ties (scores quantized to 0.05 steps,
+    // so bucket boundaries AND in-bucket ties are both exercised)
+    val docs = (1L to 900L)
+      .map(i => (i, "s" + (i % 2), math.round((i % 21) / 20.0 * 100) / 100.0))
+      .toDF("doc_id", "src", "q")
+    val w = Window.partitionBy("src").orderBy(desc("q"), col("doc_id"))
+    val single = docs
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("src")))
+      .select($"src", $"doc_id", $"rn", $"__n")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    for (nBuckets <- Seq(2, 20)) {
+      val chunked = TrainExport.scoreRankChunked(
+          docs, "doc_id", "q", Seq("src"), nBuckets)
+        .select($"src", $"doc_id", $"rn", $"__n")
+        .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+      assert(chunked.toSeq == single.toSeq,
+        s"chunked score rank must equal the single window (nBuckets=$nBuckets)")
+    }
+    intercept[IllegalArgumentException] {
+      TrainExport.scoreRankChunked(docs, "doc_id", "q", Seq.empty)
+    }
+  }
 }
