@@ -82,6 +82,23 @@ object VectorPrep {
     * with zero-variance dims centered but unscaled. Stats ride as
     * literal arrays — pure column math inside the scan.
     */
+  /** Per-key embedding centroids in long form: (key, pos, c) with `c`
+    * the ROUNDED per-dimension mean, computed in DOUBLE (the vector-math
+    * house rule). Long form on purpose — downstream pairwise analytics
+    * (key-similarity matrices, drift measurement between snapshots) are
+    * pos-keyed joins over a |keys|·dim frame, and the rounding makes
+    * every derived cosine engine-replayable (q156).
+    *
+    * Scale shape: one posexplode + one (key, pos) aggregation with
+    * map-side partial means; the result is |keys|·dim rows — broadcast
+    * material regardless of corpus size.
+    */
+  def centroidsByKey(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    df.select(col(keyCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "__x")))
+      .groupBy(col(keyCol), col("pos"))
+      .agg(round(avg("__x") + lit(1e-9), 6).as("c"))
+
   def standardize(df: DataFrame, vecCol: String,
       stats: Array[(Double, Double)],
       outCol: String = "standardized"): DataFrame = {

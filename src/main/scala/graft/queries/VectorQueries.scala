@@ -15,6 +15,29 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Label-centroid similarity matrix: per-label mean embeddings
+    // (rounded per-dim, double math) pairwise-cosined — the embedding-
+    // space view of how separable the labels are (the token-space
+    // sibling is the source-overlap matrix). The cosine is written as
+    // explicit dot/(sqrt·sqrt) over the ROUNDED centroid dims, so the
+    // oracle replays it term-for-term.
+    "q156_label_centroids" -> ((s, dir) => {
+      val cent = graft.operators.VectorPrep.centroidsByKey(
+        Tables.embeddings(s, dir), "label", "embedding")
+      val a = cent.select(col("label").as("la"), col("pos"), col("c").as("ca"))
+      val b = cent.select(col("label").as("lb"), col("pos"), col("c").as("cb"))
+      a.join(b, Seq("pos")).filter(col("la") < col("lb"))
+        .groupBy("la", "lb")
+        .agg(sum(col("ca") * col("cb")).as("__dot"),
+          sum(col("ca") * col("ca")).as("__na"),
+          sum(col("cb") * col("cb")).as("__nb"))
+        .select(col("la").cast("long").as("la"),
+          col("lb").cast("long").as("lb"),
+          round(col("__dot") / (sqrt(col("__na")) * sqrt(col("__nb")))
+            + lit(1e-9), 6).as("cos"))
+        .orderBy("la", "lb")
+    }),
+
     // Single-query exact cosine top-k. Query vector = row vec_id=0, carried
     // by a broadcast single-row join (no driver collect); codegen'd scoring;
     // orderBy+limit → TakeOrderedAndProject.
@@ -637,6 +660,25 @@ object VectorQueries {
       |  GROUP BY c1.s, c1.cid)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q156_label_centroids" ->
+      """WITH pos AS (
+        |  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM (SELECT label, embedding,
+        |          unnest(range(1, len(embedding) + 1)) AS i
+        |        FROM embeddings)),
+        |cent AS (
+        |  SELECT label, pos, round(avg(x) + 1e-9, 6) AS c
+        |  FROM pos GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.label AS la, b.label AS lb,
+        |    sum(a.c * b.c) AS dot, sum(a.c * a.c) AS na, sum(b.c * b.c) AS nb
+        |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT CAST(la AS BIGINT) AS la, CAST(lb AS BIGINT) AS lb,
+        |  round(dot / (sqrt(na) * sqrt(nb)) + 1e-9, 6) AS cos
+        |FROM pr
+        |ORDER BY la, lb""".stripMargin,
 
     "q126_probe_recall" -> {
       s"""WITH coded AS (

@@ -48,4 +48,22 @@ class VectorPrepSpec extends AnyFunSuite {
     assert(z(3L) == Seq(1.0, 0.0, 1.0),
       "zero-variance dim must center without dividing by zero")
   }
+
+  test("centroidsByKey: per-dim means in long form, rounded, double math") {
+    val df = Seq(
+      ("a", Array(1.0f, 2.0f)), ("a", Array(3.0f, 4.0f)),
+      ("b", Array(10.0f, 0.0f))).toDF("k", "embedding")
+    val got = VectorPrep.centroidsByKey(df, "k", "embedding")
+      .as[(String, Int, Double)].collect().toSet
+    assert(got == Set(
+      ("a", 0, 2.0), ("a", 1, 3.0), ("b", 0, 10.0), ("b", 1, 0.0)))
+    // rounding: mean of (0.1f, 0.2f) in double, 6dp
+    val r = VectorPrep.centroidsByKey(
+        Seq(("c", Array(0.1f, 0.0f)), ("c", Array(0.2f, 0.0f))).toDF("k", "embedding"),
+        "k", "embedding")
+      .filter($"pos" === 0).as[(String, Int, Double)].head()
+    val expect = BigDecimal((0.1f.toDouble + 0.2f.toDouble) / 2 + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r._3 == expect)
+  }
 }
