@@ -76,6 +76,47 @@ object Importance {
         sum("__w").as("raw_score"))
   }
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over the
+    * corpus's top-`vocabSize` tokens, add-one smoothed within that
+    * vocabulary — the "which source looks least like the mixture"
+    * analytic behind rebalancing and contamination triage. The
+    * restricted vocabulary is the standard move (full-vocab KL is
+    * dominated by tail noise) and what makes every probability a single
+    * exact-integer division; ln ulps land in the rounded sum (the ln
+    * doctrine). The cut itself is deterministic: (count desc, token
+    * asc).
+    *
+    * Scale shape: one token-keyed corpus count, a bounded top-V cut
+    * (TakeOrderedAndProject), then everything downstream —
+    * (source × V) grid, totals, KL sums — is broadcast-sized.
+    *
+    * Output: (source, n_in_vocab, kl), kl rounded to 6 dp.
+    */
+  def sourceDivergence(df: DataFrame, textCol: String, sourceCol: String,
+      vocabSize: Int = 100): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    val toks = df.select(col(sourceCol).as("source"),
+      explode(TextAnalysis.normalizedTokens(col(textCol))).as("__tok"))
+    val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__cq"))
+      .orderBy(desc("__cq"), col("__tok")).limit(vocabSize)
+    val qTot = vocab.agg(sum("__cq").as("__qt"))
+    val srcCounts = toks.join(broadcast(vocab.select("__tok")), Seq("__tok"))
+      .groupBy("source", "__tok").agg(count(lit(1)).as("__c"))
+    val srcTot = srcCounts.groupBy("source")
+      .agg(sum("__c").as("__ns"))
+    srcTot.crossJoin(broadcast(vocab))
+      .join(srcCounts, Seq("source", "__tok"), "left")
+      .crossJoin(broadcast(qTot))
+      .withColumn("__p", (coalesce(col("__c"), lit(0L)) + 1L).cast("double")
+        / (col("__ns") + vocabSize))
+      .withColumn("__q", (col("__cq") + 1L).cast("double")
+        / (col("__qt") + vocabSize))
+      .groupBy("source")
+      .agg(first(col("__ns")).as("n_in_vocab"),
+        round(sum(col("__p") * (log(col("__p")) - log(col("__q"))))
+          + lit(1e-9), 6).as("kl"))
+  }
+
   /** Training-mixture domain weights from per-source excess LM loss —
     * the DoReMi idea (Xie et al., "DoReMi: Optimizing Data Mixtures
     * Speeds Up Language Model Pretraining", 2023) with this library's

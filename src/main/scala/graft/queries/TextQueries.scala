@@ -942,6 +942,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Distribution drift per source: KL(source ‖ corpus) over the
+    // corpus's top-100 tokens, add-one smoothed — every probability is
+    // an exact-integer division, ln ulps land in the rounded sum, and
+    // the vocabulary cut is (count desc, token asc) deterministic.
+    "q157_source_kl" -> ((s, dir) => {
+      graft.operators.Importance.sourceDivergence(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "text", "source")
+        .orderBy("source")
+    }),
+
     // Cross-source score calibration: per-source DESCENDING quality
     // rank via the chunked two-phase pattern (rank within (source,
     // score band), stitch with higher-band counts — no single-task-per-
@@ -1270,6 +1281,31 @@ object TextQueries {
         |  CAST(count(DISTINCT folded) AS BIGINT) AS n_fold,
         |  min(md5(folded)) AS fold_md5
         |FROM f GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q157_source_kl" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cq
+        |  FROM toks GROUP BY tok
+        |  ORDER BY cq DESC, tok LIMIT 100),
+        |qt AS (SELECT CAST(sum(cq) AS BIGINT) AS qt FROM vocab),
+        |sc AS (
+        |  SELECT source, t.tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks t JOIN vocab USING (tok)
+        |  GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sc GROUP BY 1),
+        |grid AS (
+        |  SELECT st.source, st.ns, v.cq, qt.qt,
+        |    CAST(COALESCE(sc.c, 0) + 1 AS DOUBLE) / (st.ns + 100) AS p,
+        |    CAST(v.cq + 1 AS DOUBLE) / (qt.qt + 100) AS q
+        |  FROM st CROSS JOIN vocab v CROSS JOIN qt
+        |  LEFT JOIN sc ON sc.source = st.source AND sc.tok = v.tok)
+        |SELECT source, min(ns) AS n_in_vocab,
+        |  round(sum(p * (ln(p) - ln(q))) + 1e-9, 6) AS kl
+        |FROM grid GROUP BY source
         |ORDER BY source""".stripMargin,
 
     "q155_score_calibration" ->

@@ -245,6 +245,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scored(2L) > scored(4L))
   }
 
+  test("sourceDivergence: corpus-like source scores near zero, skewed source higher") {
+    // "bal" is the majority source (it IS most of the corpus mixture);
+    // "skew" concentrates on one token the mixture spreads out
+    val docs = Seq(
+      (1L, "x x y z", "bal"), (2L, "x x y z", "bal"),
+      (3L, "x x y z", "bal"), (4L, "x x y z", "bal"),
+      (5L, "z z z z", "skew"))
+      .toDF("doc_id", "text", "source")
+    val got = Importance.sourceDivergence(docs, "text", "source", vocabSize = 3)
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq("bal", "skew"))
+    assert(got.map(_._2) == Seq(16L, 4L), "all tokens are in the top-3 vocab")
+    val (bal, skew) = (got.head._3, got(1)._3)
+    assert(skew > bal, "the skewed source must diverge more from the corpus")
+    assert(bal >= 0.0 && skew > 0.1)
+    intercept[IllegalArgumentException] {
+      Importance.sourceDivergence(docs, "text", "source", vocabSize = 0)
+    }
+  }
+
   test("mixtureWeights: hard sources upweight, weights normalize, uniform corpus is uniform") {
     // "rep"'s transitions are deterministic (every context has one
     // continuation -> probability 1, zero loss); "mix" branches from
