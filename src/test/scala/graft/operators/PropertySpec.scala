@@ -180,4 +180,36 @@ class PropertySpec extends AnyFunSuite {
     val err = math.abs(approx - exact).toDouble / exact
     assert(err <= 0.15, s"approx=$approx exact=$exact err=$err beyond 3×rsd")
   }
+
+  test("normalizers are idempotent: canonical forms are fixpoints") {
+    // dedup keys break if normalizing an already-normal value moves it —
+    // f(f(x)) == f(x) for every normalizer on a fuzz sweep
+    val rnd = new scala.util.Random(7)
+    val hostParts = Seq("Example.COM", "a.ORG:443", "b.net:8080", "U:p@H.io")
+    val pathParts = Seq("", "/x", "/x/", "/x/y///", "#f", "#/r?page=2",
+      "?utm_source=a", "?q=1&utm_b=c&r=2", "?utm_only=1", "?q=1#f")
+    val urls = (for { h <- hostParts; p <- pathParts }
+      yield s"https://$h$p") ++ Seq("not a url", "ftp://X.y/Z/")
+    val accents = Seq("café", "café", "straße",
+      "का", "가각", "naïve ascii",
+      "ÅΩ", "mixed éé ends")
+    val fuzz = (0 until 50).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ =>
+        (0x20 + rnd.nextInt(0x2fff)).toChar).mkString
+    }
+    val df = (urls ++ accents ++ fuzz).toDF("s")
+    import graft.functions.{nfc_normalize, strip_accents}
+    val bad = df.select(col("s"),
+        UrlOps.canonicalizeUrl(col("s")).as("u1"),
+        UrlOps.canonicalizeUrl(UrlOps.canonicalizeUrl(col("s"))).as("u2"),
+        nfc_normalize(col("s")).as("n1"),
+        nfc_normalize(nfc_normalize(col("s"))).as("n2"),
+        strip_accents(col("s")).as("a1"),
+        strip_accents(strip_accents(col("s"))).as("a2"))
+      .filter(col("u1") =!= col("u2") || col("n1") =!= col("n2")
+        || col("a1") =!= col("a2"))
+      .collect()
+    assert(bad.isEmpty,
+      s"non-idempotent normalization on: ${bad.take(5).mkString("; ")}")
+  }
 }
