@@ -43,12 +43,39 @@ object CommandExecutor {
         db.insert(coll, parseRecord(arg)); status("INSERT", coll)
 
       case BulkInsert(coll, arg) =>
-        val source =
-          if (arg.endsWith(".parquet") || arg.endsWith(".pq"))
-            spark.read.parquet(arg)
-          else if (arg.endsWith(".csv"))
-            graft.sources.CsvVectorFormat.read(spark, arg)
-          else EmbeddingTextFormat.read(spark, arg)
+        // arg grammar: `<path>[;normalize=nfc|fold]` — the same
+        // ';'-separated k=v tail REINDEX uses (paths must be ';'-free).
+        // normalize runs ingest-side Unicode canonicalization on the
+        // payload BEFORE the write: nfc = canonical composition only,
+        // fold = nfc + accent folding (the dedup-key normalizers applied
+        // where a crawl pipeline applies them — at ingest).
+        val parts = arg.split(";").map(_.trim).filter(_.nonEmpty)
+        val path = parts.head
+        val opts =
+          if (parts.length > 1) parseKv(parts.tail.mkString(";"))
+          else Map.empty[String, String]
+        val raw =
+          if (path.endsWith(".parquet") || path.endsWith(".pq"))
+            spark.read.parquet(path)
+          else if (path.endsWith(".csv"))
+            graft.sources.CsvVectorFormat.read(spark, path)
+          else EmbeddingTextFormat.read(spark, path)
+        val source = opts.get("normalize") match {
+          case None => raw
+          case Some(mode) =>
+            require(raw.columns.contains("payload"),
+              s"BULKINSERT normalize=$mode needs a payload column, " +
+                s"got [${raw.columns.mkString(", ")}]")
+            mode match {
+              case "nfc" => raw.withColumn("payload",
+                graft.functions.nfc_normalize(col("payload")))
+              case "fold" => raw.withColumn("payload",
+                graft.functions.strip_accents(
+                  graft.functions.nfc_normalize(col("payload"))))
+              case other => throw new IllegalArgumentException(
+                s"unknown normalize mode '$other' (expected nfc or fold)")
+            }
+        }
         db.bulkInsert(coll, source)
         status("BULKINSERT", coll)
 

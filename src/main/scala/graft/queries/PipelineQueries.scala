@@ -76,6 +76,36 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // Ingest-side normalization through the command grammar:
+    // `BULKINSERT <path>;normalize=fold` canonicalizes payloads (NFC +
+    // accent fold) during the write, so byte-variant payloads land
+    // already-canonical — synthesized diacritic variants (the q149
+    // classes, by vec_id md5) must read back as their folded forms, and
+    // the oracle recomputes the fold with DuckDB's own functions.
+    "q158_ingest_normalize" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q158")
+      db.createCollection("recs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("payload", StringType))))
+      val av = conv(substring(md5(concat(lit("accvar:"),
+        col("vec_id").cast("string"))), 1, 4), 16, 10).cast("long") % 4
+      val suffix = when(av === 0, lit("cafe"))
+        .when(av === 1, lit("caf\u00e9"))
+        .when(av === 2, lit("cafe\u0301"))
+        .otherwise(lit("stra\u00dfe"))
+      val src = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+        .select(col("vec_id").as("id"), col("embedding"),
+          concat(lit("p:"), suffix).as("payload"))
+      val srcPath = Scratch.dir("graft_q158") + "/src.parquet"
+      src.write.mode("overwrite").parquet(srcPath)
+      CommandExecutor.execute(db,
+        GraftCommand.BulkInsert("recs", s"$srcPath;normalize=fold"))
+      db.read("recs")
+        .select(col("id"), col("payload"))
+        .orderBy("id")
+    }),
+
     // Catalog surface: LISTCOLLECTIONS over a database created via the
     // command executor (CREATE × 3).
     "q41_listcollections" -> ((s, dir) => {
@@ -483,6 +513,20 @@ object PipelineQueries {
     "q41_listcollections" ->
       """SELECT name FROM (VALUES ('alpha'), ('beta'), ('gamma')) t(name)
         |ORDER BY name""".stripMargin,
+
+    "q158_ingest_normalize" ->
+      """SELECT vec_id AS id,
+        |  strip_accents(nfc_normalize(
+        |    'p:' || CASE CAST(
+        |        CAST(('0x'||substring(md5('accvar:'||CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) % 4
+        |      AS INT)
+        |      WHEN 0 THEN 'cafe'
+        |      WHEN 1 THEN 'caf' || chr(233)
+        |      WHEN 2 THEN 'cafe' || chr(769)
+        |      ELSE 'stra' || chr(223) || 'e' END)) AS payload
+        |FROM embeddings
+        |WHERE vec_id < 200
+        |ORDER BY id""".stripMargin,
 
     "q42_embed_tokens" -> {
       // the embedder, re-derived in SQL: dim j value = uniform[-1,1) from

@@ -160,6 +160,35 @@ class CommandsSpec extends AnyFunSuite {
     assert(rows == Seq((0L, "hello"), (1L, "world")))
   }
 
+  test("executor: bulkinsert normalize= canonicalizes payloads at ingest") {
+    val parent = Files.createTempDirectory("graftnorm").toString
+    val db = GraftDatabase.create(spark, parent, "normdb")
+    db.createCollection("vecs")
+    val txt = s"$parent/in.txt"
+    // decomposed e+U+0301 in the payload; escapes, not literals
+    Files.writeString(java.nio.file.Paths.get(txt),
+      "0.1,0.2;cafe\u0301\n0.3,0.4;stra\u00dfe\n")
+    CommandExecutor.execute(db,
+      GraftCommand.BulkInsert("vecs", s"$txt;normalize=fold"))
+    val rows = db.read("vecs").orderBy("id")
+      .select("id", "payload").as[(Long, String)].collect().toSeq
+    assert(rows == Seq((0L, "cafe"), (1L, "stra\u00dfe")),
+      "fold must strip the accent and keep markless eszett")
+    // nfc mode composes but keeps the accent
+    db.createCollection("vecs2")
+    CommandExecutor.execute(db,
+      GraftCommand.BulkInsert("vecs2", s"$txt;normalize=nfc"))
+    val nfc = db.read("vecs2").orderBy("id")
+      .select("payload").as[String].collect().toSeq
+    assert(nfc == Seq("caf\u00e9", "stra\u00dfe"))
+    // unknown mode fails loudly
+    val err = intercept[IllegalArgumentException] {
+      CommandExecutor.execute(db,
+        GraftCommand.BulkInsert("vecs", s"$txt;normalize=upper"))
+    }
+    assert(err.getMessage.contains("unknown normalize mode"))
+  }
+
   test("executor: bulkinsert from csv, commas and quotes in payload survive") {
     val parent = Files.createTempDirectory("graftcsv").toString
     val db = GraftDatabase.create(spark, parent, "csvdb")
