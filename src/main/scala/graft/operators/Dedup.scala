@@ -365,29 +365,44 @@ object Dedup {
     * [[verifiedNearDups]] and the q154 precision gate: how good are the
     * bucket collisions BEFORE verification filters them.
     */
-  def candidateJaccard(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, shingleN, numHashes,
-      rowsPerBand, maxBucketSize)
+  /** Exact shingle-set Jaccard for an ARBITRARY candidate-pair frame
+    * (`a_id`, `b_id` + any extra columns, which ride through): the
+    * measurement core shared by the minhash (q154) and simhash (q159)
+    * precision gates. A candidate with ZERO shared shingles — or whose
+    * members have no shingles at all (short docs CAN collide under
+    * token-level simhash) — scores jaccard 0 via left joins, never
+    * silently drops: the verifier paid for every collision.
+    */
+  def jaccardOfPairs(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, shingleN: Int = 5): DataFrame = {
     val sh = explodeShingles(df, idCol, textCol, shingleN)
-    val sized = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val shared = cands
+    val sized = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__nsh"))
+    val shared = pairs.select("a_id", "b_id")
       .join(sh.select(col(idCol).as("a_id"), col("shingle")), Seq("a_id"))
       .join(sh.select(col(idCol).as("b_id"), col("shingle")), Seq("b_id", "shingle"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
-    // LEFT join back onto the full candidate set: a bucket collision
-    // with ZERO shared shingles is still a candidate the verifier paid
-    // for — precision measurement must see it as jaccard 0, not drop it
-    cands
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__shared"))
+    pairs
       .join(shared, Seq("a_id", "b_id"), "left")
-      .join(sized.select(col(idCol).as("a_id"), col("n_sh").as("a_n")), Seq("a_id"))
-      .join(sized.select(col(idCol).as("b_id"), col("n_sh").as("b_n")), Seq("b_id"))
-      .withColumn("__sh", coalesce(col("shared"), lit(0L)))
+      .join(sized.select(col(idCol).as("a_id"), col("__nsh").as("__an")),
+        Seq("a_id"), "left")
+      .join(sized.select(col(idCol).as("b_id"), col("__nsh").as("__bn")),
+        Seq("b_id"), "left")
+      .withColumn("__s", coalesce(col("__shared"), lit(0L)))
+      .withColumn("__den", coalesce(col("__an"), lit(0L))
+        + coalesce(col("__bn"), lit(0L)) - col("__s"))
       .withColumn("jaccard",
-        col("__sh") / (col("a_n") + col("b_n") - col("__sh")))
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+        when(col("__den") === 0L, lit(0.0))
+          .otherwise(col("__s") / col("__den")))
+      .drop("__shared", "__an", "__bn", "__s", "__den")
   }
+
+  def candidateJaccard(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2,
+      maxBucketSize: Int = 1000): DataFrame =
+    jaccardOfPairs(df, idCol, textCol,
+      minhashCandidates(df, idCol, textCol, shingleN, numHashes,
+        rowsPerBand, maxBucketSize), shingleN)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
 
   def verifiedNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2,

@@ -134,6 +134,22 @@ object DedupQueries {
         .orderBy("decile")
     }),
 
+    // SimHash candidate quality (q154's measurement applied to the
+    // OTHER discovery family): exact Jaccard per hamming distance for
+    // every simhash band collision — pins how hamming distance predicts
+    // real overlap, the number that justifies a maxHamming cut.
+    "q159_simhash_precision" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        nBits = 16, bands = 4, maxHamming = 3)
+      Dedup.jaccardOfPairs(docs, "doc_id", "text", pairs, shingleN = 5)
+        .select(col("hamming").cast("long").as("hamming"),
+          floor(round(col("jaccard") + lit(1e-9), 6) * lit(10))
+            .cast("long").as("decile"))
+        .groupBy("hamming", "decile").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("hamming", "decile")
+    }),
+
     // Dedup RESOLUTION: after clustering, production keeps the highest-
     // QUALITY member of each near-dup cluster (not the min id) — composed
     // here from connected components + the quality score + one window.
@@ -451,6 +467,49 @@ object DedupQueries {
          |JOIN sizes zb ON zb.doc_id = b_id
          |WHERE CAST(shared AS DOUBLE) / (za.n_sh + zb.n_sh - shared) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin,
+
+    "q159_simhash_precision" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, md5(unnest(regexp_extract_all(text, '\\S+'))) AS hx
+         |  FROM documents),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    sum(CASE WHEN substring(hx, CAST(j AS INTEGER), 1) >= '8' THEN 1 ELSE -1 END) AS s
+         |  FROM h, (SELECT unnest(range(1, 17)) AS j)
+         |  GROUP BY doc_id, j),
+         |codes AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |  FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |$shinglesCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT p.a_id, p.b_id, count(*) AS shared
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.a_id
+         |  JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY p.a_id, p.b_id),
+         |j AS (
+         |  SELECT p.hamming,
+         |    CASE WHEN COALESCE(za.n_sh, 0) + COALESCE(zb.n_sh, 0)
+         |              - COALESCE(s.shared, 0) = 0 THEN 0.0
+         |      ELSE CAST(COALESCE(s.shared, 0) AS DOUBLE)
+         |        / (COALESCE(za.n_sh, 0) + COALESCE(zb.n_sh, 0)
+         |           - COALESCE(s.shared, 0)) END AS jac
+         |  FROM pairs p
+         |  LEFT JOIN shared s ON s.a_id = p.a_id AND s.b_id = p.b_id
+         |  LEFT JOIN sizes za ON za.doc_id = p.a_id
+         |  LEFT JOIN sizes zb ON zb.doc_id = p.b_id)
+         |SELECT hamming,
+         |  CAST(floor(round(jac + 1e-9, 6) * 10) AS BIGINT) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM j GROUP BY 1, 2
+         |ORDER BY hamming, decile""".stripMargin,
 
     "q154_lsh_precision" ->
       s"""WITH $shinglesCte,
