@@ -123,6 +123,20 @@ class DedupSpec extends AnyFunSuite {
     assert(all.keySet == cands)
   }
 
+  test("jaccardOfPairs: extra columns ride through; shingle-less members score 0") {
+    // docs 10/11 are too short for 5-shingles but CAN collide under
+    // token-level simhash — the pair must score 0, not vanish
+    val short = Seq((10L, "tiny doc"), (11L, "tiny doc"),
+      (1L, "a b c d e f g"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 99L), (10L, 11L, 7L))
+      .toDF("a_id", "b_id", "tag")
+    val got = Dedup.jaccardOfPairs(short, "doc_id", "text", pairs)
+      .select("a_id", "b_id", "tag", "jaccard")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 99L, 1.0), (10L, 11L, 7L, 0.0)),
+      "tags must ride through; identical docs 1.0; shingle-less pair 0.0")
+  }
+
   test("candidatePairs: a degenerate hot bucket is dropped with bounded state") {
     // one adversarial bucket with 300 members (would emit ~45k pairs and,
     // pre-fix, buffer all 300 ids in one agg buffer) + one healthy pair
