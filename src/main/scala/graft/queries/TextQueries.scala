@@ -942,6 +942,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Percentile quality cut — the selection policy the calibration
+    // enables: keep each source's top fifth by quality, with the keep
+    // count as EXACT integer math ((n+4) DIV 5, the q101 fractional-
+    // count doctrine — never ceil(0.2·n) in doubles) over the de-skewed
+    // chunked rank. Output pins the boundary: per source, how many
+    // kept, the worst kept score, and the kept character mass.
+    "q160_quality_cut" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .withColumn("__punct", TextAnalysis.punctRatio(col("text")))
+        .withColumn("__stop", TextAnalysis.stopwordRatio(col("text")))
+        .withColumn("q", round(TextAnalysis.qualityScoreFrom(
+          col("text"), col("__punct"), col("__stop")) + lit(1e-9), 6))
+      graft.operators.TrainExport
+        .scoreRankChunked(docs, "doc_id", "q", Seq("source"))
+        .filter(col("rn") * 5 <= col("__n") + 4)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("q")).as("q_floor"),
+          sum(length(col("text"))).as("n_chars"))
+        .orderBy("source")
+    }),
+
     // Distribution drift per source: KL(source ‖ corpus) over the
     // corpus's top-100 tokens, add-one smoothed — every probability is
     // an exact-integer division, ln ulps land in the rounded sum, and
@@ -1281,6 +1303,37 @@ object TextQueries {
         |  CAST(count(DISTINCT folded) AS BIGINT) AS n_fold,
         |  min(md5(folded)) AS fold_md5
         |FROM f GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q160_quality_cut" ->
+      """WITH ratios AS (
+        |  SELECT doc_id, source, text,
+        |    length(text) AS n_chars,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |             t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |           / len(regexp_extract_all(lower(text), '\S+')) END AS stop
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source, text,
+        |    round(least(greatest(
+        |      least(CAST(n_chars AS DOUBLE) / 200.0, 1.0)
+        |      * (1.0 - punct) * (0.5 + stop), 0.0), 1.0) + 1e-9, 6) AS q
+        |  FROM ratios),
+        |rk AS (
+        |  SELECT doc_id, source, text, q,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM scored)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  min(q) AS q_floor,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM rk
+        |WHERE rn * 5 <= n + 4
+        |GROUP BY source
         |ORDER BY source""".stripMargin,
 
     "q157_source_kl" ->
