@@ -172,6 +172,8 @@ object CommandExecutor {
       require(df.columns.contains(c),
         s"batch query file $path is missing column $c (has: ${df.columns.mkString(", ")})")
     }
+    graft.operators.VectorIndex.requireIntegralCol(df, "query_id",
+      "SEARCHSIMILAR batch=")
     df.select(col("query_id"),
       col("query_vec").cast("array<float>").as("query_vec"))
   }

@@ -377,7 +377,11 @@ object Dedup {
       pairs: DataFrame, shingleN: Int = 5): DataFrame = {
     val sh = explodeShingles(df, idCol, textCol, shingleN)
     val sized = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__nsh"))
-    val shared = pairs.select("a_id", "b_id")
+    // distinct BEFORE the shingle joins: a duplicated (a_id, b_id) row in an
+    // arbitrary candidate frame would otherwise multiply __shared through
+    // both joins (jaccard > 1); each input row still rides through the final
+    // join and gets the correct, singly-counted score
+    val shared = pairs.select("a_id", "b_id").distinct()
       .join(sh.select(col(idCol).as("a_id"), col("shingle")), Seq("a_id"))
       .join(sh.select(col(idCol).as("b_id"), col("shingle")), Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("__shared"))

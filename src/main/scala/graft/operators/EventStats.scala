@@ -78,6 +78,15 @@ object EventStats {
     * negatives can never matter. Dataflow: two user-keyed aggregations
     * + one user-keyed join; the per-(cohort, offset) grid is bounded by
     * weeks², and cohort sizes broadcast back onto it.
+    *
+    * REQUIRES a UTC (or other fixed-offset, DST-free) session timezone:
+    * the exact-multiple property of week-truncated epoch differences
+    * holds only when no DST transition can make two week starts sit
+    * 7d·k ± 1h apart — in a DST zone the DIV would truncate a k−1h gap
+    * to offset k−1, and Spark's TZ-aware `date_trunc` would also diverge
+    * from a naive-timestamp SQL oracle. Every session this library
+    * builds sets `spark.sql.session.timeZone=UTC`; set it before reusing
+    * this operator elsewhere.
     */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, cohortEvent: String = "signup"): DataFrame = {

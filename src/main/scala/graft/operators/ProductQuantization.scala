@@ -250,6 +250,8 @@ object ProductQuantization {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
     val spark = indexed.sparkSession
     import spark.implicits._
+    VectorIndex.requireIntegralCol(queries, queryIdCol, "probeAdcBatch")
+    VectorIndex.requireIntegralCol(indexed, idCol, "probeAdcBatch")
     val m = codebooks.length
     val ksub = codebooks.head.length
     val qRows = queries

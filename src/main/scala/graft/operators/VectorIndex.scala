@@ -27,6 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
+  /** Loud integral-type gate for id columns that get `.cast("long")` on the
+    * hot path (batch probes key heaps and joins by long ids): a string id
+    * would otherwise fail deep in execution as an ANSI cast error or a
+    * `Row.getLong` NPE — the candidatePairs/semDeDup/embeddingPairs
+    * doctrine applied to the probe family.
+    */
+  private[graft] def requireIntegralCol(df: DataFrame, colName: String,
+      op: String): Unit = {
+    val t = df.schema(colName).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(t),
+      s"$op requires an integral '$colName' column, got $t" +
+        " — hash or re-key non-numeric ids first")
+  }
+
   /** Bucket code from the signs of the first `nBits` dimensions (1-indexed
     * `element_at`). Codegen'd; no shuffle; deterministic.
     */
@@ -148,6 +166,8 @@ object VectorIndex {
       queryVecCol: String = "query_vec"): DataFrame = {
     val spark = indexed.sparkSession
     import spark.implicits._
+    requireIntegralCol(queries, queryIdCol, "probeBatchCells")
+    requireIntegralCol(indexed, idCol, "probeBatchCells")
     val qRows = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol)).collect()
     require(qRows.nonEmpty, "probeBatchCells: empty query batch")

@@ -69,4 +69,31 @@ class BatchProbeSpec extends AnyFunSuite {
       "per-query cut must be the bounded heap, not a rank window")
     assert(res.count() > 0)
   }
+
+  test("batch probes reject non-integral ids LOUDLY (no deep cast errors)") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val indexed = VectorIndex.assignSignBuckets(e, "embedding", nBits = 8)
+    val strQs = e.filter($"vec_id" < 2)
+      .select($"vec_id".cast("string").as("query_id"),
+        $"embedding".as("query_vec"))
+    val exBatch = intercept[IllegalArgumentException] {
+      VectorIndex.probeBatch(indexed, strQs, k = 2, idCol = "vec_id")
+    }
+    assert(exBatch.getMessage.contains("query_id"))
+    val goodQs = e.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val strIndexed = indexed.withColumn("vec_id", $"vec_id".cast("string"))
+    val exId = intercept[IllegalArgumentException] {
+      VectorIndex.probeBatch(strIndexed, goodQs, k = 2, idCol = "vec_id")
+    }
+    assert(exId.getMessage.contains("vec_id"))
+    val cb = ProductQuantization.trainCodebooks(
+      e, "vec_id", "embedding", m = 8, ksub = 4)
+    val coded = ProductQuantization.assignCodes(indexed, "embedding", cb)
+    val exAdc = intercept[IllegalArgumentException] {
+      ProductQuantization.probeAdcBatch(coded, strQs, k = 2, shortlist = 4,
+        cb, idCol = "vec_id")
+    }
+    assert(exAdc.getMessage.contains("probeAdcBatch"))
+  }
 }

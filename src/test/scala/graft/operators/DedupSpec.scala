@@ -137,6 +137,21 @@ class DedupSpec extends AnyFunSuite {
       "tags must ride through; identical docs 1.0; shingle-less pair 0.0")
   }
 
+  test("jaccardOfPairs: duplicated candidate rows don't inflate the score") {
+    // an ARBITRARY candidate frame may repeat a pair (e.g. one row per
+    // colliding band); pre-fix the dup multiplied __shared through both
+    // shingle joins and jaccard exceeded 1
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 0), (1L, 2L, 1), (1L, 2L, 2))
+      .toDF("a_id", "b_id", "band")
+    val got = Dedup.jaccardOfPairs(docs, "doc_id", "text", pairs)
+      .select("a_id", "b_id", "band", "jaccard")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 0, 1.0), (1L, 2L, 1, 1.0), (1L, 2L, 2, 1.0)),
+      "each duplicate row rides through with the singly-counted score")
+  }
+
   test("candidatePairs: a degenerate hot bucket is dropped with bounded state") {
     // one adversarial bucket with 300 members (would emit ~45k pairs and,
     // pre-fix, buffer all 300 ids in one agg buffer) + one healthy pair
