@@ -32,6 +32,7 @@ object Bench {
 
     // Steady-state measurement: one untimed warmup pass (JIT, codegen
     // compilation, parquet footer caches), then the timed pass.
+    calibrate(spark)
     SparkEntry.benchQueries.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).collect()
       catch { case _: Throwable => }
@@ -47,7 +48,14 @@ object Bench {
     // query's reps, so a burst can only touch one of them.
     val reps = 3
     val times = Array.fill(SparkEntry.benchQueries.length)(Double.MaxValue)
+    var calib = Double.MaxValue
     for (_ <- 0 until reps) {
+      // the calibration probe rides in every timed pass like a query, so
+      // its min sees the same noise environment the query minima do
+      val c0 = System.nanoTime()
+      calibrate(spark)
+      calib = math.min(calib, (System.nanoTime() - c0) / 1e9)
+      sweep(spark)
       SparkEntry.benchQueries.zipWithIndex.foreach { case (name, i) =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -60,13 +68,38 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val deltas = previousRoundTimes().fold("{}") { prev =>
+    // delta vs the previous artifact, NET of box drift: when the previous
+    // round recorded a calibration time, its per-query numbers are scaled
+    // by (calib_now / calib_prev) before subtracting — a uniformly slower
+    // box then reads as ~zero deltas instead of a phantom regression
+    // (raw deltas when the previous artifact predates calibration)
+    val prev = previousRoundTimes()
+    val ratio = prev.flatMap(_.get("calibration"))
+      .filter(_ > 0.0).map(calib / _).getOrElse(1.0)
+    val deltas = prev.fold("{}") { p =>
       results.flatMap { case (k, v) =>
-        prev.get(k).map(p => "\"" + k + "\":" + (v - p))
+        p.get(k).map(t => "\"" + k + "\":" + (v - t * ratio))
       }.mkString("{", ",", "}")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"delta_vs_prev":$deltas,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"cal_ratio_vs_prev":$ratio,"queries":$qs,"delta_vs_prev":$deltas,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Fixed-work calibration probe: a constant synthetic scan-agg that
+    * touches no testdata (so its cost is invariant across rounds and
+    * scale factors) — 200M codegen'd hashes over a fixed 32-split range
+    * (~0.2 s at 32 threads: long enough to average scheduler jitter,
+    * short enough to be bench noise).
+    * Its round-over-round ratio separates box drift from code
+    * regressions: in round 6, 14 of 16 shared queries "rose" 3–16% with
+    * no code change because the box itself was slower.
+    */
+  private def calibrate(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    // modulo bounds the ANSI sum: |h % 1e9+7| · 200M < 2^63 by a wide margin
+    spark.range(0L, 200000000L, 1L, 32)
+      .select(sum(xxhash64(col("id")) % 1000000007L)).collect()
+    ()
   }
 
   /** Storage-state reset between measured queries: per-query numbers must
@@ -93,7 +126,10 @@ object Bench {
   /** Per-query seconds from the newest BENCH_r{N}.json in the working dir —
     * round-over-round regressions become visible in the artifact itself
     * (positive delta = slower than last round). Parsed with a regex: the
-    * file is machine-written single-line JSON with known key shapes.
+    * file is machine-written single-line JSON with known key shapes. The
+    * previous round's calibration time (when present) rides along under
+    * the reserved key "calibration" — query names are all q-prefixed, so
+    * the keyspaces can't collide.
     */
   private def previousRoundTimes(): Option[Map[String, Double]] = {
     val dir = new java.io.File(".")
@@ -107,8 +143,13 @@ object Bench {
       // with escaped quotes — unescape before matching either shape
       val json = raw.replace("\\\"", "\"")
       "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(json).map { m =>
-        "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(m.group(1))
+        val qs = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+          .findAllMatchIn(m.group(1))
           .map(q => q.group(1) -> q.group(2).toDouble).toMap
+        val cal = "\"calibration\"\\s*:\\s*([0-9.eE+-]+)".r
+          .findFirstMatchIn(json)
+          .map(c => "calibration" -> c.group(1).toDouble)
+        qs ++ cal
       }
     }
   }
