@@ -350,14 +350,22 @@ object TextAnalysis {
     * string op.
     *
     * Scale shape: the loop state is the VOCABULARY frame (collapsed
-    * word-freq table — tokens, not corpus rows), kept flat by the
-    * lazy-localCheckpoint discipline ([[graft.operators.Dedup]]): each
-    * round is ONE job — the bounded top-1 pair pick materializes that
-    * round's checkpoint — plus a codegen'd replace; driver state is
-    * nMerges small strings.
+    * word-freq table — tokens, not corpus rows) plus the PAIR-COUNT
+    * frame, both kept flat by the lazy-localCheckpoint discipline
+    * ([[graft.operators.Dedup]]): each round is ONE action — the bounded
+    * top-1 pair pick materializes that round's checkpoints. Pair counts
+    * are maintained INCREMENTALLY (the reference implementation's
+    * `get_stats` delta update as dataframes): only segments containing
+    * the merged pair contribute −old/+new pair counts into the count
+    * frame, so per-round aggregation work scales with the pair's hit
+    * set — not with the whole vocabulary, which at a real 30k-merge
+    * training run would mean 30k sequential vocabulary-wide
+    * explode-and-shuffle jobs (verified identical to the full recount by
+    * spec AND by the unchanged q129/q130 oracles; `incremental = false`
+    * keeps the recount path alive for that A/B).
     */
-  def bpeTrain(df: DataFrame, textCol: String,
-      nMerges: Int): Seq[(String, String, Long)] = {
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
+      incremental: Boolean = true): Seq[(String, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
     val chars = regexp_extract_all(col("word"), lit("."), lit(0))
     var vocab = df
@@ -366,28 +374,27 @@ object TextAnalysis {
       .select(col("freq"),
         concat(lit(" "), array_join(chars, "  "), lit(" ")).as("seg"))
       .localCheckpoint(false)
+    // the maintained (a, b, n) table; seeded by ONE full count, then
+    // delta-updated per merge
+    var counts = segPairCounts(vocab).localCheckpoint(false)
     // superseded checkpoints freed one round late — the successor's pick
-    // job must run before its parent's blocks can go (the
-    // farthestPointSample discipline)
-    var prev: Option[DataFrame] = None
+    // job must run before its parents' blocks can go (the
+    // farthestPointSample discipline). The pick on counts_{r+1} reads
+    // counts_r, vocab_r (old pairs of the hit set) and materializes
+    // vocab_{r+1} (new pairs via the __hit flag), so after it both
+    // parents are safe to free.
+    var prev: Seq[DataFrame] = Nil
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
     var r = 0
     var exhausted = false
     while (r < nMerges && !exhausted) {
-      val best = vocab
-        .select(col("freq"), split(trim(col("seg")), "  ").as("__l"))
-        .filter(size(col("__l")) >= 2)
-        .select(col("freq"),
-          explode(sequence(lit(1), size(col("__l")) - 1)).as("__i"),
-          col("__l"))
-        .select(element_at(col("__l"), col("__i")).as("a"),
-          element_at(col("__l"), col("__i") + 1).as("b"),
-          col("freq"))
-        .groupBy("a", "b").agg(sum("freq").as("n"))
-        .orderBy(desc("n"), col("a"), col("b")).limit(1)
-        .collect()
+      val best =
+        (if (incremental) counts
+         else segPairCounts(vocab))
+          .orderBy(desc("n"), col("a"), col("b")).limit(1)
+          .collect()
       prev.foreach(GraftSqlShims.unpersistCheckpoint)
-      prev = None
+      prev = Nil
       if (best.isEmpty) exhausted = true
       else {
         val (a, b, n) = (best.head.getString(0), best.head.getString(1),
@@ -395,18 +402,57 @@ object TextAnalysis {
         merges += ((a, b, n))
         r += 1
         if (r < nMerges) {
+          val pat = s" $a  $b "
+          val merged = s" $a$b "
           val updated = vocab
+            .withColumn("__hit", col("seg").contains(pat))
             .withColumn("seg", org.apache.spark.sql.functions.replace(
-              col("seg"), lit(s" $a  $b "), lit(s" $a$b ")))
+              col("seg"), lit(pat), lit(merged)))
             .localCheckpoint(false)
-          prev = Some(vocab)
+          if (incremental) {
+            // only hit segments change: their pre-merge pairs leave the
+            // table, their post-merge pairs enter; everything else is
+            // untouched — exact integer deltas, so the maintained table
+            // equals the full recount row for row
+            val oldPairs = segPairCounts(vocab.filter(col("seg").contains(pat)))
+              .select(col("a"), col("b"), (-col("n")).as("n"))
+            val newPairs = segPairCounts(updated.filter(col("__hit")))
+            val nextCounts = counts.unionByName(oldPairs)
+              .unionByName(newPairs)
+              .groupBy("a", "b").agg(sum("n").as("n"))
+              .filter(col("n") =!= 0L)
+              .localCheckpoint(false)
+            prev = Seq(counts, vocab)
+            counts = nextCounts
+          } else {
+            prev = Seq(vocab)
+          }
           vocab = updated
         }
       }
     }
     GraftSqlShims.unpersistCheckpoint(vocab)
+    GraftSqlShims.unpersistCheckpoint(counts)
+    prev.foreach(GraftSqlShims.unpersistCheckpoint)
     merges.toSeq
   }
+
+  /** Frequency-weighted adjacent-pair counts of a segmented vocabulary
+    * frame (`freq`, `seg` in [[bpeTrain]]'s wrapped representation) —
+    * the per-round primitive shared by the full-recount and incremental
+    * training paths. Output: (a, b, n).
+    */
+  private def segPairCounts(segs: DataFrame): DataFrame =
+    segs
+      .select(col("freq"), split(trim(col("seg")), "  ").as("__l"))
+      .filter(size(col("__l")) >= 2)
+      .select(col("freq"),
+        explode(sequence(lit(1), size(col("__l")) - 1)).as("__i"),
+        col("__l"))
+      .select(element_at(col("__l"), col("__i")).as("a"),
+        element_at(col("__l"), col("__i") + 1).as("b"),
+        col("freq"))
+      .groupBy("a", "b").agg(sum("freq").as("n"))
 
   /** The BPE ENCODER: apply a learned merge sequence (in order) to a
     * word column, returning its symbol array — a fixed chain of

@@ -352,4 +352,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[Seq[String]].head()
     assert(raw == Seq("x", "y"))
   }
+
+  test("bpeTrain: incremental delta counting equals the full recount") {
+    // a corpus where merges CASCADE (each merge creates new pairs that
+    // later win) and where ties exercise the (a, b) lexicographic break —
+    // the delta path must reproduce the recount sequence exactly
+    val docs = Seq(
+      (1L, "the theme there then the"),
+      (2L, "these the theme other ether"),
+      (3L, "hello hello help hel the"),
+      (4L, "banana bandana ban banana")).toDF("doc_id", "text")
+    val full = TextAnalysis.bpeTrain(docs, "text", nMerges = 12,
+      incremental = false)
+    val inc = TextAnalysis.bpeTrain(docs, "text", nMerges = 12,
+      incremental = true)
+    assert(inc == full, s"delta-maintained sequence diverged:\n$inc\nvs\n$full")
+    assert(full.length == 12, "corpus must not exhaust before 12 merges")
+
+    // and on real testdata text (the q129 surface), a longer horizon
+    val real = graft.Tables.documents(spark, TestSpark.sf).limit(60)
+    val fullR = TextAnalysis.bpeTrain(real, "text", nMerges = 16,
+      incremental = false)
+    val incR = TextAnalysis.bpeTrain(real, "text", nMerges = 16,
+      incremental = true)
+    assert(incR == fullR)
+  }
 }
