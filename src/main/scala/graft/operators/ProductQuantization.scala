@@ -70,7 +70,9 @@ object ProductQuantization {
     require(ksub >= 1 && ksub <= 127,
       s"ksub must fit a signed byte code, got $ksub")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    val dim = df.select(col(vecCol)).head().getSeq[Float](0).length
+    // size() instead of a typed getSeq: the input may be the float
+    // source column or a double residual column ([[withResiduals]])
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
     val dsub = checkDims(dim, m)
     val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
     // ONE bounded top-k for every subspace's seeds (TakeOrdered, never a
@@ -136,7 +138,14 @@ object ProductQuantization {
     * `cid` — m·ksub doubles, rounded with the same +1e-9 HALF_UP rule as
     * the Spark `round` the oracle mirrors.
     */
-  def adcTable(query: Array[Float], codebooks: Codebooks): Array[Array[Double]] = {
+  def adcTable(query: Array[Float], codebooks: Codebooks): Array[Array[Double]] =
+    adcTableD(query.map(_.toDouble), codebooks)
+
+  /** [[adcTable]] over a double query — the residual path's entry point
+    * (query residuals are exact doubles: float query minus rounded cell
+    * centroid).
+    */
+  def adcTableD(query: Array[Double], codebooks: Codebooks): Array[Array[Double]] = {
     val m = codebooks.length
     val dsub = codebooks.head.head.length
     require(query.length == m * dsub,
@@ -146,7 +155,7 @@ object ProductQuantization {
         var acc = 0.0
         var i = 0
         while (i < dsub) {
-          val d = query(s * dsub + i).toDouble - c(i)
+          val d = query(s * dsub + i) - c(i)
           acc += d * d
           i += 1
         }
@@ -219,6 +228,103 @@ object ProductQuantization {
       VectorIndex.signBucketOf(query, nBits), nBits, radius)
     val pruned = indexed.filter(col("cluster_id").isin(cells: _*))
     val short = adcShortlist(pruned, query, shortlist, codebooks, codeCol, idCol)
+    SimilaritySearch.rerankExact(pruned.drop(codeCol), short, query, k,
+      shortlist, "l2", vecCol, idCol)
+  }
+
+  /** Per-cell ROUNDED mean centroids of an IVF layout — the coarse
+    * codebook of the residual encoding (Jégou et al. 2011 §IV: encode
+    * `x − centroid(cell)`, not `x`). One posexplode + one (cell, dim)
+    * partial-agg pass; the result is ≤ |cells|·dim rounded doubles —
+    * driver/plan state of exactly the k-means-model shape
+    * ([[VectorIndex.lloydIterate]]), broadcast material at any corpus
+    * size. Rounding (+1e-9 HALF_UP, 6 places) makes every residual
+    * `x − cent` EXACT double arithmetic on both engines — the Lloyd
+    * handoff doctrine, so no further rounding is needed on the residual
+    * values themselves.
+    */
+  def cellCentroids(indexed: DataFrame, vecCol: String = "embedding",
+      cellCol: String = "cluster_id"): Map[Int, Array[Double]] = {
+    val rows = indexed
+      .select(col(cellCol).cast("int").as("__cell"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col("__cell"), posexplode(col("__v")))
+      .groupBy("__cell", "pos")
+      .agg(round(avg("col") + lit(1e-9), 6).as("m"))
+      .collect()
+    rows.groupBy(_.getInt(0)).map { case (c, rs) =>
+      val arr = new Array[Double](rs.length)
+      rs.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+      c -> arr
+    }
+  }
+
+  /** Residual column `v − centroid(cell)`: exact double subtraction
+    * against the literal per-cell means (a plan-literal map lookup +
+    * one zip_with — pure codegen'd column math inside the scan that
+    * codes the data, no join).
+    */
+  def residualCol(vec: Column, cell: Column,
+      cents: Map[Int, Array[Double]]): Column = {
+    require(cents.nonEmpty, "residualCol: no cell centroids")
+    val m = typedLit(cents.map { case (k, v) => k -> v.toSeq })
+    zip_with(vec.cast("array<double>"), element_at(m, cell.cast("int")),
+      (x, c) => x - c)
+  }
+
+  /** Append `resCol` = the row's residual against its own cell's
+    * centroid — the frame to [[trainCodebooks]]/[[assignCodes]] on for
+    * the residual IVF×PQ layout.
+    */
+  def withResiduals(indexed: DataFrame, vecCol: String,
+      cents: Map[Int, Array[Double]], cellCol: String = "cluster_id",
+      resCol: String = "__res"): DataFrame =
+    indexed.withColumn(resCol,
+      residualCol(col(vecCol), col(cellCol), cents))
+
+  /** Residual IVF × PQ probe — the published IVFPQ layout (Jégou et al.
+    * 2011 §IV; the FAISS default) at identical stored bytes to
+    * [[probeAdc]]: codes quantize `x − centroid(cell)` instead of `x`,
+    * so the per-subspace codebooks spend their 4 bits on the
+    * within-cell spread rather than re-encoding the cell's position —
+    * materially tighter quantization error whenever cells are real
+    * clusters. The query is re-expressed per probed cell
+    * (`q − centroid(c)`), giving ONE ADC lookup table per cell; tables
+    * ride in as a plan-literal cell→LUT map (≤ |probed cells| · m·ksub
+    * rounded doubles), so the pruned scan is still pure codegen over
+    * `(id, cluster_id, code)` — m bytes of vector data per row — and
+    * the exact rerank of the bounded shortlist is unchanged.
+    */
+  def probeAdcResidual(indexed: DataFrame, query: Array[Float], k: Int,
+      shortlist: Int, codebooks: Codebooks,
+      cellCents: Map[Int, Array[Double]], nBits: Int = 8,
+      radius: Int = 1, vecCol: String = "embedding",
+      codeCol: String = "pq_code", idCol: String = "id"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    // empty probed cells have no centroid (and no rows) — drop them
+    val cells = VectorIndex.codesWithin(
+        VectorIndex.signBucketOf(query, nBits), nBits, radius)
+      .filter(cellCents.contains)
+    require(cells.nonEmpty, "probeAdcResidual: no probed cell has data")
+    val lutMap: Map[Int, Seq[Double]] = cells.map { c =>
+      val cent = cellCents(c)
+      val qr = Array.tabulate(query.length)(i => query(i).toDouble - cent(i))
+      c -> adcTableD(qr, codebooks).flatten.toSeq
+    }.toMap
+    val pruned = indexed.filter(col("cluster_id").isin(cells: _*))
+    val adc = (0 until m).map { s =>
+      element_at(col("__lut"),
+        lit(s * ksub) + element_at(col(codeCol), s + 1).cast("int"))
+    }.reduce(_ + _)
+    val short = pruned.select(col(idCol), col(codeCol), col("cluster_id"))
+      .withColumn("__lut",
+        element_at(typedLit(lutMap), col("cluster_id").cast("int")))
+      .withColumn("approx_score", round(adc + lit(1e-9), 6))
+      .orderBy(asc("approx_score"), col(idCol))
+      .limit(shortlist)
+      .select(col(idCol), col("approx_score"))
     SimilaritySearch.rerankExact(pruned.drop(codeCol), short, query, k,
       shortlist, "l2", vecCol, idCol)
   }

@@ -60,6 +60,60 @@ object VectorPrep {
       .drop("__vd")
   }
 
+  /** Cluster centers of the [[clusteredFixture]]: for the first
+    * `min(8, dim)` dimensions, ±0.5 from the bits of the cluster id
+    * (so the 8-bit sign bucket of every member IS its cluster — the
+    * probe geometry is exact by construction, and the k cells are
+    * pairwise distinct); for the remaining dimensions, ±0.5 from the
+    * first hex digit of md5("seed:j:d") — the [[signEntry]]
+    * discipline, engine-recomputable.
+    */
+  def fixtureCenters(kClusters: Int, dim: Int,
+      seed: String = "cfx"): Array[Array[Double]] = {
+    require(kClusters >= 1 && kClusters <= 256,
+      s"kClusters must be in [1, 256], got $kClusters")
+    Array.tabulate(kClusters) { j =>
+      Array.tabulate(dim) { d =>
+        if (d < 8) { if (((j >> d) & 1) == 1) 0.5 else -0.5 }
+        else signEntry(s"$seed:$j", d, 0) / 2.0
+      }
+    }
+  }
+
+  /** Deterministic CLUSTERED vector fixture — the recall test-bed the
+    * isotropic testdata embeddings cannot provide (they measure ~0.1
+    * recall@10 for ANY bucketing ANN — q126/q138 — because no cell
+    * structure exists to exploit). Each id gets cluster `id % k` and
+    * vector `center + noise`, noise_d uniform on [−0.125, 0.125) from
+    * a 16-bit md5 slice: `(hex4(md5("cfn:id:d")) / 65536 − 0.5) · 0.25`.
+    * Every term is an exact dyadic rational, so components need NO
+    * rounding — both engines hold bit-identical doubles — and
+    * |noise| < |center| = 0.5 means each member's 8-bit sign bucket
+    * equals its cluster signature exactly. Intra-cluster spread
+    * (≲ 0.25/dim) is far below the ≥ 0.75 nearest inter-cluster
+    * distance, so exact top-k neighbors are in-cluster whenever the
+    * cluster has ≥ k+1 members.
+    *
+    * Pure column math (plan-literal centers + per-(id, d) md5) inside
+    * the scan — the fixture costs one projection at any corpus size.
+    * Appends `outCol` (array<double> of length `dim`).
+    */
+  def clusteredFixture(df: DataFrame, idCol: String, dim: Int = 16,
+      kClusters: Int = 8, outCol: String = "fvec",
+      centerSeed: String = "cfx", noiseSeed: String = "cfn"): DataFrame = {
+    val centers = fixtureCenters(kClusters, dim, centerSeed)
+    val cent = element_at(
+      typedLit(centers.map(_.toSeq).toSeq),
+      (col(idCol) % kClusters).cast("int") + 1)
+    val comps = (0 until dim).map { d =>
+      val slice = conv(substring(md5(concat(lit(noiseSeed + ":"),
+        col(idCol).cast("string"), lit(":" + d))), 1, 4), 16, 10)
+      element_at(cent, d + 1) +
+        (slice.cast("double") / 65536.0 - 0.5) * 0.25
+    }
+    df.withColumn(outCol, array(comps: _*))
+  }
+
   /** Per-dimension mean/stddev over the corpus, ROUNDED — the bounded
     * model state of [[standardize]] (dim rows, the same driver-state
     * shape as k-means centroids). Sample stddev; zero-variance
