@@ -31,11 +31,18 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Steady-state measurement: one untimed warmup pass (JIT, codegen
-    // compilation, parquet footer caches), then the timed pass.
+    // compilation, parquet footer caches), then the timed pass. A query
+    // that throws in warmup is marked BROKEN and skipped from every timed
+    // pass — time-to-exception is not a timing (round 8 recorded two
+    // schema-broken queries as ~0.14 s "speedups").
+    val broken = scala.collection.mutable.LinkedHashMap.empty[String, String]
     calibrate(spark)
     SparkEntry.benchQueries.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).collect()
-      catch { case _: Throwable => }
+      catch { case e: Throwable =>
+        broken(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .take(200).replaceAll("\\s+", " ")
+      }
       sweep(spark)
     }
     // min over timed reps: single-shot numbers occasionally absorb
@@ -57,14 +64,22 @@ object Bench {
       calib = math.min(calib, (System.nanoTime() - c0) / 1e9)
       sweep(spark)
       SparkEntry.benchQueries.zipWithIndex.foreach { case (name, i) =>
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).collect() } catch { case _: Throwable => }
-        times(i) = math.min(times(i), (System.nanoTime() - t0) / 1e9)
-        sweep(spark)
+        if (!broken.contains(name)) {
+          val fn = SparkEntry.queries(name)
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).collect() }
+          catch { case e: Throwable =>
+            broken(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .take(200).replaceAll("\\s+", " ")
+          }
+          if (!broken.contains(name))
+            times(i) = math.min(times(i), (System.nanoTime() - t0) / 1e9)
+          sweep(spark)
+        }
       }
     }
     val results = SparkEntry.benchQueries.zip(times)
+      .filter { case (name, _) => !broken.contains(name) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -81,7 +96,10 @@ object Bench {
         p.get(k).map(t => "\"" + k + "\":" + (v - t * ratio))
       }.mkString("{", ",", "}")
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"cal_ratio_vs_prev":$ratio,"queries":$qs,"delta_vs_prev":$deltas,"sf":"$sfDir"}""")
+    val errs = broken.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"cal_ratio_vs_prev":$ratio,"queries":$qs,"broken":$errs,"delta_vs_prev":$deltas,"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -96,8 +114,12 @@ object Bench {
     */
   private def calibrate(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
+    // splits follow the session's actual parallelism (SPARK_GRAFT_CPUS),
+    // not a hardcoded 32 — a probe with more splits than threads would
+    // measure scheduling waves, not per-core speed
+    val splits = spark.sparkContext.defaultParallelism
     // modulo bounds the ANSI sum: |h % 1e9+7| · 200M < 2^63 by a wide margin
-    spark.range(0L, 200000000L, 1L, 32)
+    spark.range(0L, 200000000L, 1L, splits)
       .select(sum(xxhash64(col("id")) % 1000000007L)).collect()
     ()
   }
@@ -142,15 +164,18 @@ object Bench {
       // the driver embeds our metric line inside a log-tail string field
       // with escaped quotes — unescape before matching either shape
       val json = raw.replace("\\\"", "\"")
-      "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(json).map { m =>
-        val qs = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
-          .findAllMatchIn(m.group(1))
-          .map(q => q.group(1) -> q.group(2).toDouble).toMap
-        val cal = "\"calibration\"\\s*:\\s*([0-9.eE+-]+)".r
-          .findFirstMatchIn(json)
-          .map(c => "calibration" -> c.group(1).toDouble)
-        qs ++ cal
-      }
+      // keys anchored on a preceding { or , so a suffix-colliding key
+      // (e.g. "warm_queries", "recalibration") can never shadow the real one
+      "[{,]\\s*\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(json)
+        .map { m =>
+          val qs = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+            .findAllMatchIn(m.group(1))
+            .map(q => q.group(1) -> q.group(2).toDouble).toMap
+          val cal = "[{,]\\s*\"calibration\"\\s*:\\s*([0-9.eE+-]+)".r
+            .findFirstMatchIn(json)
+            .map(c => "calibration" -> c.group(1).toDouble)
+          qs ++ cal
+        }
     }
   }
 }

@@ -102,10 +102,8 @@ object StatefulSessions {
       .schema(schema)
       .option("pathGlobFilter", glob)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val events = reader
-      .parquet(sfDir)
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"),
-        expr("timestamp_micros(ts DIV 1000)").as("ts"))
+    val events = graft.Tables.normalizeTs(reader.parquet(sfDir))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
       .withWatermark("ts", s"$delaySeconds seconds")
       .as[(Long, Long, java.sql.Timestamp)]
 
@@ -171,11 +169,11 @@ object StatefulSessions {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
 
-    val events = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .select(col("user_id"), expr("ts DIV 1000").as("ts_us"))
+    val events = graft.Tables.normalizeTs(spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
       .as[Event]
 
     val gapUs = gapSeconds * 1000000L

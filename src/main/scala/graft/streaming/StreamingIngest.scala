@@ -18,8 +18,9 @@ object StreamingIngest {
     * the same plan runs with the same semantics — the watermark bounds
     * window state; at scale the only shuffle is on (window, event_type).
     *
-    * events.ts is parquet TIMESTAMP(NANOS); like Tables.events, the stream
-    * reads it as long (legacy conf) and converts with exact ns→µs division.
+    * events.ts is normalized through [[graft.Tables.normalizeTs]] — the
+    * stream adapts to either the nanos-as-long or TIMESTAMP_NTZ parquet
+    * encoding exactly like the batch loader.
     */
   def hourlyEventCounts(spark: SparkSession, sfDir: String,
       queryName: String = "hourly_events"): DataFrame = {
@@ -29,11 +30,10 @@ object StreamingIngest {
 
     // the streaming file source wants a directory: stream the sf dir with a
     // glob filter selecting just the events file
-    val stream = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = graft.Tables.normalizeTs(spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
@@ -70,11 +70,10 @@ object StreamingIngest {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
 
-    def source() = spark.readStream
+    def source() = graft.Tables.normalizeTs(spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .parquet(sfDir))
 
     val deduped = source().unionByName(source()) // at-least-once: ×2 delivery
       .withWatermark("ts", "1 hour")

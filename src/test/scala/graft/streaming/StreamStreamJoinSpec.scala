@@ -21,11 +21,11 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     val path = s"${TestSpark.sf}/events.parquet"
     val schema = spark.read.parquet(path).schema
 
-    def side(eventType: String, prefix: String) = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(TestSpark.sf)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def side(eventType: String, prefix: String) = graft.Tables.normalizeTs(
+        spark.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(TestSpark.sf))
       .filter(col("event_type") === eventType)
       .select(
         col("event_id").as(s"${prefix}_id"),
