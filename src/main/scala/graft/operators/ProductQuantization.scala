@@ -301,32 +301,57 @@ object ProductQuantization {
       radius: Int = 1, vecCol: String = "embedding",
       codeCol: String = "pq_code", idCol: String = "id"): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val m = codebooks.length
-    val ksub = codebooks.head.length
-    // empty probed cells have no centroid (and no rows) — drop them
+    val cells = probedCells(query, cellCents, nBits, radius)
+    val pruned = indexed.filter(col("cluster_id").isin(cells: _*))
+    val short = adcShortlistResidual(indexed, query, shortlist, codebooks,
+      cellCents, nBits, radius, codeCol, idCol)
+    SimilaritySearch.rerankExact(pruned.drop(codeCol), short, query, k,
+      shortlist, "l2", vecCol, idCol)
+  }
+
+  /** The query's hamming ball restricted to cells that hold data (empty
+    * probed cells have no centroid — and no rows to score).
+    */
+  private def probedCells(query: Array[Float],
+      cellCents: Map[Int, Array[Double]], nBits: Int, radius: Int): Seq[Int] = {
     val cells = VectorIndex.codesWithin(
         VectorIndex.signBucketOf(query, nBits), nBits, radius)
       .filter(cellCents.contains)
     require(cells.nonEmpty, "probeAdcResidual: no probed cell has data")
+    cells
+  }
+
+  /** Residual ADC shortlist: the pruned scan reads `(idCol, cluster_id,
+    * codeCol)` only — m bytes of vector data per row — and scores each
+    * row against ITS cell's lookup table, delivered as a plan-literal
+    * cell→LUT map (≤ |probed cells| · m·ksub rounded doubles). Output:
+    * (`idCol`, `approx_score`), bounded top-`shortlist`.
+    */
+  def adcShortlistResidual(indexed: DataFrame, query: Array[Float],
+      shortlist: Int, codebooks: Codebooks,
+      cellCents: Map[Int, Array[Double]], nBits: Int = 8, radius: Int = 1,
+      codeCol: String = "pq_code", idCol: String = "id"): DataFrame = {
+    require(shortlist >= 1, s"shortlist must be positive, got $shortlist")
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val cells = probedCells(query, cellCents, nBits, radius)
     val lutMap: Map[Int, Seq[Double]] = cells.map { c =>
       val cent = cellCents(c)
       val qr = Array.tabulate(query.length)(i => query(i).toDouble - cent(i))
       c -> adcTableD(qr, codebooks).flatten.toSeq
     }.toMap
-    val pruned = indexed.filter(col("cluster_id").isin(cells: _*))
     val adc = (0 until m).map { s =>
       element_at(col("__lut"),
         lit(s * ksub) + element_at(col(codeCol), s + 1).cast("int"))
     }.reduce(_ + _)
-    val short = pruned.select(col(idCol), col(codeCol), col("cluster_id"))
+    indexed.select(col(idCol), col(codeCol), col("cluster_id"))
+      .filter(col("cluster_id").isin(cells: _*))
       .withColumn("__lut",
         element_at(typedLit(lutMap), col("cluster_id").cast("int")))
       .withColumn("approx_score", round(adc + lit(1e-9), 6))
       .orderBy(asc("approx_score"), col(idCol))
       .limit(shortlist)
       .select(col(idCol), col("approx_score"))
-    SimilaritySearch.rerankExact(pruned.drop(codeCol), short, query, k,
-      shortlist, "l2", vecCol, idCol)
   }
 
   /** Batch IVF × PQ probe — what a retrieval or hard-negative-mining job

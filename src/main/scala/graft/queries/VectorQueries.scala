@@ -597,6 +597,119 @@ object VectorQueries {
           col("approx_score").as("adc_dist"), col("score").as("dist"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Residual IVF × PQ (Jégou et al. 2011 §IV — the FAISS IVFPQ layout):
+    // codes quantize `x − centroid(cell)` instead of `x`, the query is
+    // re-expressed per probed cell, and the per-cell ADC tables ride in
+    // as a plan-literal map — so the pruned scan still reads only
+    // (id, cluster_id, code). Every handoff — cell centroids, residuals,
+    // codebooks, codes, per-cell LUTs, ADC sums, exact rerank — is
+    // replayed by the oracle end to end.
+    "q161_residual_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val indexed = VectorIndex.assignSignBuckets(e, "embedding", nBits = 8)
+      val cents = graft.operators.ProductQuantization
+        .cellCentroids(indexed, "embedding")
+      val res = graft.operators.ProductQuantization
+        .withResiduals(indexed, "embedding", cents)
+      val cb = graft.operators.ProductQuantization.trainCodebooks(
+        res, "vec_id", "__res", m = 8, ksub = 16, rounds = 1, seed = "rpq")
+      val coded = graft.operators.ProductQuantization
+        .assignCodes(res, "__res", cb).drop("__res")
+      val query = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      graft.operators.ProductQuantization.probeAdcResidual(
+          coded.filter(col("vec_id") =!= 0), query,
+          k = 50, shortlist = 50, cb, cents, nBits = 8, radius = 1,
+          vecCol = "embedding", idCol = "vec_id")
+        .select(col("vec_id"), col("approx_score").as("adc_dist"),
+          round(col("score"), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // Recall on the CLUSTERED fixture — the measurement the isotropic
+    // testdata cannot provide (q126/q138 honestly report ~0.1 recall
+    // because no cell structure exists). clusteredFixture gives every id
+    // a cluster whose 8-bit sign bucket IS the cluster by construction;
+    // the gate probes radius 0 (scan fraction = the query's single cell
+    // ≈ 1/8 of the corpus) and measures recall@10 vs exact l2 for plain
+    // PQ and residual PQ at IDENTICAL stored bytes (m=8, ksub=16), with
+    // a TIGHT ADC shortlist (20 for a top-10 cut) so quantization error
+    // actually shows up in the numbers instead of being absorbed by a
+    // generous rerank. The
+    // oracle replays fixture generation, bucketing, BOTH trainings, the
+    // per-query LUTs, shortlists, and both recalls — the q138 honesty
+    // doctrine on a fixture where the numbers can be high.
+    "q162_fixture_recall" -> ((s, dir) => {
+      import s.implicits._
+      val PQ = graft.operators.ProductQuantization
+      val f = graft.operators.VectorPrep.clusteredFixture(
+        Tables.embeddings(s, dir).select("vec_id"), "vec_id",
+        dim = 16, kClusters = 8)
+      val indexed = VectorIndex.assignSignBuckets(f, "fvec", nBits = 8)
+      val cbP = PQ.trainCodebooks(indexed, "vec_id", "fvec",
+        m = 8, ksub = 16, rounds = 1, seed = "fpq")
+      val cents = PQ.cellCentroids(indexed, "fvec")
+      val res = PQ.withResiduals(indexed, "fvec", cents)
+      val cbR = PQ.trainCodebooks(res, "vec_id", "__res",
+        m = 8, ksub = 16, rounds = 1, seed = "frq")
+      val coded = PQ.assignCodes(
+        PQ.assignCodes(res, "fvec", cbP, "code_p"), "__res", cbR, "code_r")
+        .drop("__res")
+      val qRows = indexed.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("fvec"), col("cluster_id")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getInt(2)))
+      val qs = qRows.toSeq.map { case (qid, _, qc) => (qid, qc) }
+        .toDF("query_id", "__qc")
+      val qVecs = qRows.toSeq.map { case (qid, qv, _) => (qid, qv.toSeq) }
+        .toDF("query_id", "__qv")
+      val lutP = qRows.toSeq.map { case (qid, qv, _) =>
+        (qid, PQ.adcTableD(qv, cbP).flatten.toSeq)
+      }.toDF("query_id", "__lutp")
+      val lutR = qRows.toSeq.map { case (qid, qv, qc) =>
+        val cent = cents(qc)
+        val qr = Array.tabulate(qv.length)(i => qv(i) - cent(i))
+        (qid, PQ.adcTableD(qr, cbR).flatten.toSeq)
+      }.toDF("query_id", "__lutr")
+      val scored = coded.crossJoin(broadcast(qs.join(qVecs, "query_id")))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("__l2",
+          round(graft.functions.l2_dist(col("fvec"), col("__qv")), 6))
+      def top10(df: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(asc("__l2"), col("vec_id"))
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 10).select("query_id", "vec_id")
+      }
+      val exact = top10(scored)
+      def adcOf(codeCol: String, lutCol: String) = (0 until 8).map { sub =>
+        element_at(col(lutCol),
+          lit(sub * 16) + element_at(col(codeCol), sub + 1).cast("int"))
+      }.reduce(_ + _)
+      def probeRecall(luts: DataFrame, codeCol: String, lutCol: String,
+          hitCol: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(asc("__adc"), col("vec_id"))
+        val short = scored.filter(col("cluster_id") === col("__qc"))
+          .join(broadcast(luts), "query_id")
+          .withColumn("__adc", round(adcOf(codeCol, lutCol) + lit(1e-9), 6))
+          .withColumn("__sn", row_number().over(w))
+          .filter(col("__sn") <= 20)
+        exact.join(top10(short), Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as(hitCol))
+      }
+      val hp = probeRecall(lutP, "code_p", "__lutp", "n_hit_plain")
+      val hr = probeRecall(lutR, "code_r", "__lutr", "n_hit_res")
+      qs.select("query_id")
+        .join(hp, Seq("query_id"), "left").join(hr, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_hit_plain", "n_hit_res"))
+        .select(col("query_id"), col("n_hit_plain"),
+          round(col("n_hit_plain") / 10.0 + lit(1e-9), 2).as("recall_plain"),
+          col("n_hit_res"),
+          round(col("n_hit_res") / 10.0 + lit(1e-9), 2).as("recall_res"))
+        .orderBy("query_id")
     })
   )
 
@@ -607,51 +720,63 @@ object VectorQueries {
       .map(i => s"(CASE WHEN $v[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
 
-  // Shared PQ-training replay (q127/q132): m=8, ksub=16, one Lloyd round,
-  // md5('pq:'-ordered seeds — ends with `codes` (per-vector per-subspace
-  // cids), `q` (the vec_id-0 query), and `lut` (the query's rounded
-  // squared-l2 ADC table). Must mirror ProductQuantization.trainCodebooks
-  // / assignCodes / adcTable handoff-for-handoff.
+  // Parameterized PQ-training replay: trains m×ksub codebooks of dsub dims
+  // over `src` (a CTE with columns vec_id, v DOUBLE[]) — md5('<seed>:'||id)
+  // seed order, one rounded Lloyd refinement, keep-previous empty cells,
+  // final `codes` assignment — mirroring ProductQuantization
+  // .trainCodebooks / assignCodes handoff-for-handoff. CTE names carry
+  // prefix `p` so two trainings (plain + residual, q162) coexist in one
+  // WITH chain; the unprefixed chain is the original q127/q132 text.
+  private[queries] def pqTrainBody(src: String, seed: String, m: Int,
+      dsub: Int, ksub: Int, p: String = ""): String =
+    s"""${p}sp AS (SELECT unnest(range(0, $m)) AS s),
+       |${p}ii AS (SELECT unnest(range(1, ${dsub + 1})) AS i),
+       |${p}sub AS (
+       |  SELECT vec_id, s, v[s*$dsub+1 : s*$dsub+$dsub] AS sv
+       |  FROM $src CROSS JOIN ${p}sp),
+       |${p}seeds AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, CAST(row_number() OVER (
+       |      ORDER BY md5('$seed:'||CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS cid
+       |    FROM $src) WHERE cid <= $ksub),
+       |${p}c0 AS (
+       |  SELECT b.s, d.cid, b.sv AS cent
+       |  FROM ${p}sub b JOIN ${p}seeds d USING (vec_id)),
+       |${p}a0 AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT b.vec_id, b.s, c.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.s
+       |        ORDER BY round(list_distance(b.sv, c.cent), 6), c.cid) AS rn
+       |    FROM ${p}sub b JOIN ${p}c0 c USING (s))
+       |  WHERE rn = 1),
+       |${p}m1 AS (
+       |  SELECT s, cid, i, round(avg(sv[i]) + 1e-9, 6) AS mv
+       |  FROM (SELECT b.s, a.cid, b.sv, unnest(range(1, ${dsub + 1})) AS i
+       |        FROM ${p}sub b JOIN ${p}a0 a USING (vec_id, s))
+       |  GROUP BY s, cid, i),
+       |${p}c1 AS (
+       |  SELECT c.s, c.cid,
+       |    list(coalesce(m.mv, c.cent[x.i]) ORDER BY x.i) AS cent
+       |  FROM ${p}c0 c CROSS JOIN ${p}ii x
+       |  LEFT JOIN ${p}m1 m ON m.s = c.s AND m.cid = c.cid AND m.i = x.i
+       |  GROUP BY c.s, c.cid),
+       |${p}codes AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT b.vec_id, b.s, c.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id, b.s
+       |        ORDER BY round(list_distance(b.sv, c.cent), 6), c.cid) AS rn
+       |    FROM ${p}sub b JOIN ${p}c1 c USING (s))
+       |  WHERE rn = 1)""".stripMargin
+
+  // Shared PQ-training replay (q127/q132/q135/q138): m=8, ksub=16, one
+  // Lloyd round, md5('pq:'-ordered seeds — ends with `codes` (per-vector
+  // per-subspace cids), `q` (the vec_id-0 query), and `lut` (the query's
+  // rounded squared-l2 ADC table).
   private[queries] val pqTrainSql: String =
     """WITH e AS (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |sp AS (SELECT unnest(range(0, 8)) AS s),
-      |ii AS (SELECT unnest(range(1, 9)) AS i),
-      |sub AS (
-      |  SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv FROM e CROSS JOIN sp),
-      |seeds AS (
-      |  SELECT vec_id, cid FROM (
-      |    SELECT vec_id, CAST(row_number() OVER (
-      |      ORDER BY md5('pq:'||CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS cid
-      |    FROM e) WHERE cid <= 16),
-      |c0 AS (
-      |  SELECT sub.s, seeds.cid, sub.sv AS cent
-      |  FROM sub JOIN seeds USING (vec_id)),
-      |a0 AS (
-      |  SELECT vec_id, s, cid FROM (
-      |    SELECT sub.vec_id, sub.s, c0.cid,
-      |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
-      |        ORDER BY round(list_distance(sub.sv, c0.cent), 6), c0.cid) AS rn
-      |    FROM sub JOIN c0 USING (s))
-      |  WHERE rn = 1),
-      |m1 AS (
-      |  SELECT s, cid, i, round(avg(sv[i]) + 1e-9, 6) AS mv
-      |  FROM (SELECT sub.s, a0.cid, sub.sv, unnest(range(1, 9)) AS i
-      |        FROM sub JOIN a0 USING (vec_id, s))
-      |  GROUP BY s, cid, i),
-      |c1 AS (
-      |  SELECT c0.s, c0.cid,
-      |    list(coalesce(m1.mv, c0.cent[ii.i]) ORDER BY ii.i) AS cent
-      |  FROM c0 CROSS JOIN ii
-      |  LEFT JOIN m1 ON m1.s = c0.s AND m1.cid = c0.cid AND m1.i = ii.i
-      |  GROUP BY c0.s, c0.cid),
-      |codes AS (
-      |  SELECT vec_id, s, cid FROM (
-      |    SELECT sub.vec_id, sub.s, c1.cid,
-      |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
-      |        ORDER BY round(list_distance(sub.sv, c1.cent), 6), c1.cid) AS rn
-      |    FROM sub JOIN c1 USING (s))
-      |  WHERE rn = 1),
+      |""".stripMargin + pqTrainBody("e", "pq", 8, 8, 16) +
+    """,
       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
       |lut AS (
       |  SELECT c1.s, c1.cid,
@@ -1016,6 +1141,176 @@ object VectorQueries {
          |  PARTITION BY query_id ORDER BY dist, vec_id) AS rn FROM sel)
          |WHERE rn <= 5
          |ORDER BY query_id, rank""".stripMargin),
+
+    // Residual IVF×PQ replay: cell centroids (rounded per-(cell, dim)
+    // means), exact-double residuals, the rpq-seeded training on the
+    // residual vectors, per-probed-cell LUTs ((q − cellcent) − codecent,
+    // the same left-to-right subtraction order as adcTableD), ADC sums
+    // over each row's OWN cell's table, shortlist 50, exact-l2 rerank.
+    "q161_residual_pq" -> (
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bk AS (SELECT vec_id, ${duckBucket("embedding")} AS c FROM embeddings),
+         |dd AS (SELECT unnest(range(1, 65)) AS i),
+         |cc AS (
+         |  SELECT bk.c, dd.i, round(avg(e.v[dd.i]) + 1e-9, 6) AS m
+         |  FROM e JOIN bk USING (vec_id) CROSS JOIN dd
+         |  GROUP BY bk.c, dd.i),
+         |rv AS (
+         |  SELECT e.vec_id, list(e.v[dd.i] - cc.m ORDER BY dd.i) AS v
+         |  FROM e JOIN bk USING (vec_id) CROSS JOIN dd
+         |  JOIN cc ON cc.c = bk.c AND cc.i = dd.i
+         |  GROUP BY e.vec_id),
+         |""".stripMargin + pqTrainBody("rv", "rpq", 8, 8, 16) +
+      """,
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |qb AS (SELECT c FROM bk WHERE vec_id = 0),
+        |probed AS (
+        |  SELECT DISTINCT bk.c FROM bk CROSS JOIN qb
+        |  WHERE bit_count(xor(CAST(bk.c AS BIGINT), CAST(qb.c AS BIGINT))) <= 1),
+        |lutr AS (
+        |  SELECT pc.c, c1.s, c1.cid,
+        |    round(sum(power(q.qv[c1.s*8 + ii.i] - cc.m - c1.cent[ii.i], 2))
+        |      + 1e-9, 6) AS d
+        |  FROM probed pc CROSS JOIN c1 CROSS JOIN ii CROSS JOIN q
+        |  JOIN cc ON cc.c = pc.c AND cc.i = c1.s*8 + ii.i
+        |  GROUP BY pc.c, c1.s, c1.cid),
+        |adc AS (
+        |  SELECT k.vec_id, round(sum(l.d) + 1e-9, 6) AS adc_dist
+        |  FROM codes k JOIN bk ON bk.vec_id = k.vec_id
+        |  JOIN lutr l ON l.c = bk.c AND l.s = k.s AND l.cid = k.cid
+        |  WHERE k.vec_id <> 0
+        |  GROUP BY k.vec_id),
+        |short AS (
+        |  SELECT vec_id, adc_dist FROM (
+        |    SELECT vec_id, adc_dist, row_number() OVER (
+        |      ORDER BY adc_dist, vec_id) AS rn FROM adc)
+        |  WHERE rn <= 50)
+        |SELECT short.vec_id, adc_dist,
+        |  round(list_distance(e.v, q.qv), 6) AS dist
+        |FROM short JOIN e USING (vec_id) CROSS JOIN q
+        |ORDER BY dist, short.vec_id
+        |LIMIT 10""".stripMargin),
+
+    // Clustered-fixture recall replay: fixture vectors are exact dyadic
+    // rationals (center bit-pattern ±0.5 for dims < 8, md5-sign ±0.5
+    // otherwise, plus 16-bit md5 noise × 0.25) so components carry NO
+    // rounding; then sign buckets, plain fpq training on the vectors,
+    // cell centroids → residuals → frq training, per-query LUTs for
+    // both paths (plain: q − codecent; residual: (q − cellcent) −
+    // codecent), single-cell (radius 0) shortlists of 50, exact-l2
+    // top-10s, and both recall columns.
+    "q162_fixture_recall" -> {
+      val ctr = (0 until 16).map { d =>
+        if (d < 8)
+          s"CASE WHEN ((CAST(j AS BIGINT) >> $d) & 1) = 1 THEN 0.5 ELSE -0.5 END"
+        else
+          s"""CASE WHEN CAST(('0x'||substring(md5('cfx:'||CAST(j AS VARCHAR)||':$d:0'), 1, 1)) AS INTEGER) % 2 = 0 THEN 0.5 ELSE -0.5 END"""
+      }.zipWithIndex
+        .map { case (e, d) => s"SELECT j, $d AS d, $e AS cv" }
+        .mkString("(", " FROM jj UNION ALL ", " FROM jj)")
+      val fvBucket = (0 until 8)
+        .map(i => s"(CASE WHEN v[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH jj AS (SELECT unnest(range(0, 8)) AS j),
+         |ctr AS (SELECT j, d, cv FROM $ctr),
+         |fx AS (SELECT vec_id, vec_id % 8 AS j FROM embeddings),
+         |fv AS (
+         |  SELECT f.vec_id, list(ctr.cv +
+         |    (CAST(('0x'||substring(md5('cfn:'||CAST(f.vec_id AS VARCHAR)||':'||CAST(ctr.d AS VARCHAR)), 1, 4)) AS INTEGER) / 65536.0 - 0.5) * 0.25
+         |    ORDER BY ctr.d) AS v
+         |  FROM fx f JOIN ctr ON ctr.j = f.j
+         |  GROUP BY f.vec_id),
+         |bk2 AS (SELECT vec_id, $fvBucket AS c FROM fv),
+         |dd2 AS (SELECT unnest(range(1, 17)) AS i),
+         |cc2 AS (
+         |  SELECT bk2.c, dd2.i, round(avg(fv.v[dd2.i]) + 1e-9, 6) AS m
+         |  FROM fv JOIN bk2 USING (vec_id) CROSS JOIN dd2
+         |  GROUP BY bk2.c, dd2.i),
+         |rv2 AS (
+         |  SELECT fv.vec_id, list(fv.v[dd2.i] - cc2.m ORDER BY dd2.i) AS v
+         |  FROM fv JOIN bk2 USING (vec_id) CROSS JOIN dd2
+         |  JOIN cc2 ON cc2.c = bk2.c AND cc2.i = dd2.i
+         |  GROUP BY fv.vec_id),
+         |""".stripMargin +
+      pqTrainBody("fv", "fpq", 8, 2, 16, "p") + ",\n" +
+      pqTrainBody("rv2", "frq", 8, 2, 16, "r") +
+      """,
+        |qs3 AS (
+        |  SELECT fv.vec_id AS query_id, fv.v AS qv, bk2.c AS qc
+        |  FROM fv JOIN bk2 USING (vec_id) WHERE fv.vec_id < 5),
+        |sc AS (
+        |  SELECT q.query_id, f.vec_id, b.c, q.qc,
+        |    round(list_distance(f.v, q.qv), 6) AS l2
+        |  FROM fv f JOIN bk2 b USING (vec_id) CROSS JOIN qs3 q
+        |  WHERE f.vec_id <> q.query_id),
+        |ex AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY l2, vec_id) AS rn FROM sc)
+        |  WHERE rn <= 10),
+        |lutp AS (
+        |  SELECT q.query_id, c.s, c.cid,
+        |    round(sum(power(q.qv[c.s*2 + x.i] - c.cent[x.i], 2)) + 1e-9, 6) AS d
+        |  FROM pc1 c CROSS JOIN pii x CROSS JOIN qs3 q
+        |  GROUP BY q.query_id, c.s, c.cid),
+        |lutr2 AS (
+        |  SELECT q.query_id, c.s, c.cid,
+        |    round(sum(power(q.qv[c.s*2 + x.i] - cc2.m - c.cent[x.i], 2))
+        |      + 1e-9, 6) AS d
+        |  FROM rc1 c CROSS JOIN rii x CROSS JOIN qs3 q
+        |  JOIN cc2 ON cc2.c = q.qc AND cc2.i = c.s*2 + x.i
+        |  GROUP BY q.query_id, c.s, c.cid),
+        |adcp AS (
+        |  SELECT q.query_id, k.vec_id, round(sum(l.d) + 1e-9, 6) AS ad
+        |  FROM pcodes k
+        |  JOIN bk2 b ON b.vec_id = k.vec_id
+        |  JOIN qs3 q ON q.qc = b.c AND q.query_id <> k.vec_id
+        |  JOIN lutp l ON l.query_id = q.query_id AND l.s = k.s AND l.cid = k.cid
+        |  GROUP BY q.query_id, k.vec_id),
+        |adcr AS (
+        |  SELECT q.query_id, k.vec_id, round(sum(l.d) + 1e-9, 6) AS ad
+        |  FROM rcodes k
+        |  JOIN bk2 b ON b.vec_id = k.vec_id
+        |  JOIN qs3 q ON q.qc = b.c AND q.query_id <> k.vec_id
+        |  JOIN lutr2 l ON l.query_id = q.query_id AND l.s = k.s AND l.cid = k.cid
+        |  GROUP BY q.query_id, k.vec_id),
+        |slp AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY ad, vec_id) AS rn FROM adcp)
+        |  WHERE rn <= 20),
+        |slr AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY ad, vec_id) AS rn FROM adcr)
+        |  WHERE rn <= 20),
+        |prp AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT s.query_id, s.vec_id, row_number() OVER (
+        |      PARTITION BY s.query_id ORDER BY s.l2, s.vec_id) AS rn
+        |    FROM sc s JOIN slp USING (query_id, vec_id))
+        |  WHERE rn <= 10),
+        |prr AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT s.query_id, s.vec_id, row_number() OVER (
+        |      PARTITION BY s.query_id ORDER BY s.l2, s.vec_id) AS rn
+        |    FROM sc s JOIN slr USING (query_id, vec_id))
+        |  WHERE rn <= 10),
+        |hp AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM ex JOIN prp USING (query_id, vec_id) GROUP BY query_id),
+        |hr AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM ex JOIN prr USING (query_id, vec_id) GROUP BY query_id)
+        |SELECT q.query_id, coalesce(hp.n, 0) AS n_hit_plain,
+        |  round(coalesce(hp.n, 0) / 10.0 + 1e-9, 2) AS recall_plain,
+        |  coalesce(hr.n, 0) AS n_hit_res,
+        |  round(coalesce(hr.n, 0) / 10.0 + 1e-9, 2) AS recall_res
+        |FROM qs3 q
+        |LEFT JOIN hp USING (query_id) LEFT JOIN hr USING (query_id)
+        |ORDER BY query_id""".stripMargin
+    },
 
     "q106_kmeans_lloyd" ->
       """WITH e AS (

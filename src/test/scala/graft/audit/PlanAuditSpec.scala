@@ -409,6 +409,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the ADC shortlist must be the bounded heap aggregator:\n${p.take(2000)}")
   }
 
+  test("q161 residual pq probe: pruned cell filter, literal LUT map, bounded cuts") {
+    // (q160 composes training in-query, so its scans read vectors; the
+    // (id, cell, code)-only scan for STORED residual codes is pinned by
+    // ProductQuantizationSpec's adcShortlistResidual ReadSchema test.)
+    val p = plan("q161_residual_pq")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2,
+      s"ADC shortlist and final cut must both be bounded top-ks:\n${p.take(2000)}")
+    // cell pruning reaches the scan as an IN/INSET over the (inlined)
+    // sign-bucket expression — hamming-ball cells only, never a full scan
+    assert(p.contains(" IN (") || p.contains("INSET"),
+      s"the probe must prune to the hamming-ball cells:\n${p.take(2000)}")
+    // the rerank reads only the bounded shortlist: the id filter is
+    // pushed into the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id)") &&
+        (p.contains("In(vec_id") || p.contains("INSET")),
+      s"rerank must push the shortlist id filter to the scan:\n${p.take(2000)}")
+    // the per-cell LUTs ride as plan literals (no join, no shuffle
+    // between the coded scan and the ADC cut): the only exchange in the
+    // plan is the rerank's broadcast of the bounded shortlist
+    assert(!p.contains("ShuffleExchange"),
+      s"no shuffle belongs in the residual probe:\n${p.take(2000)}")
+  }
+
   test("q143 kmv sketch: bounded heap per group, no per-group sort window") {
     val p = plan("q143_kmv_distinct")
     assert(!p.contains("Window"),

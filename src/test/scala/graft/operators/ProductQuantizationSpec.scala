@@ -144,6 +144,101 @@ class ProductQuantizationSpec extends AnyFunSuite {
       .select("vec_id").as[Long].head() == exactTop)
   }
 
+  test("residuals equal the driver-side subtraction bitwise; centroids are model-state-sized") {
+    val indexed = VectorIndex.assignSignBuckets(e, "embedding", nBits = 8)
+    val cents = ProductQuantization.cellCentroids(indexed, "embedding")
+    val nCells = indexed.select("cluster_id").distinct().count()
+    assert(cents.size == nCells, "one centroid per non-empty cell")
+    assert(cents.values.forall(_.length == 64))
+    // the engine's residual is BITWISE the driver's double subtraction
+    // (one correctly-rounded IEEE op against the rounded centroid) — the
+    // property that lets a SQL oracle replay residuals with `v[i] - m`
+    val res = ProductQuantization.withResiduals(indexed, "embedding", cents)
+    val bad = res.select(
+        col("cluster_id"), col("embedding").cast("array<double>").as("v"),
+        col("__res"))
+      .as[(Int, Seq[Double], Seq[Double])].collect()
+      .count { case (c, v, r) =>
+        val cent = cents(c)
+        v.indices.exists(i => r(i) != v(i) - cent(i))
+      }
+    assert(bad == 0, s"$bad rows diverge from the driver-side subtraction")
+  }
+
+  test("residual ADC over stored codes reads only (id, cell, code)") {
+    val indexed = VectorIndex.assignSignBuckets(e, "embedding", nBits = 8)
+    val cents = ProductQuantization.cellCentroids(indexed, "embedding")
+    val res = ProductQuantization.withResiduals(indexed, "embedding", cents)
+    val cbR = ProductQuantization.trainCodebooks(
+      res, "vec_id", "__res", m = 8, ksub = 16, rounds = 1, seed = "rpq")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rpq").toString
+    ProductQuantization.assignCodes(res, "__res", cbR).drop("__res")
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val q = e.filter($"vec_id" === 1)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val p = ProductQuantization
+      .adcShortlistResidual(stored, q, 50, cbR, cents, idCol = "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"residual ADC cut must be a bounded top-k:\n${p.take(1500)}")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("pq_code") && readSchema.contains("cluster_id")
+        && !readSchema.contains("embedding"),
+      s"residual ADC scan must read only (id, cell, code): $readSchema")
+    // the residual probe end-to-end agrees with a driver-side replay of
+    // LUT lookups over the same codes
+    val out = ProductQuantization.probeAdcResidual(
+      stored.filter($"vec_id" =!= 1), q, k = 5, shortlist = 50, cbR, cents,
+      idCol = "vec_id")
+    assert(out.count() == 5)
+    val ball = VectorIndex.codesWithin(
+      VectorIndex.signBucketOf(q, 8), 8, 1).toSet
+    val cellsHit = stored
+      .join(out.select("vec_id"), Seq("vec_id"))
+      .select("cluster_id").as[Int].collect().toSet
+    assert(cellsHit.subsetOf(ball),
+      s"residual probe left the hamming ball: ${cellsHit -- ball}")
+  }
+
+  test("on the clustered fixture, residual PQ reconstructs tighter than plain") {
+    val f = VectorPrep.clusteredFixture(
+      e.select("vec_id"), "vec_id", dim = 16, kClusters = 8)
+    val indexed = VectorIndex.assignSignBuckets(f, "fvec", nBits = 8)
+    val cbP = ProductQuantization.trainCodebooks(
+      indexed, "vec_id", "fvec", m = 8, ksub = 16, rounds = 1, seed = "fpq")
+    val cents = ProductQuantization.cellCentroids(indexed, "fvec")
+    val res = ProductQuantization.withResiduals(indexed, "fvec", cents)
+    val cbR = ProductQuantization.trainCodebooks(
+      res, "vec_id", "__res", m = 8, ksub = 16, rounds = 1, seed = "frq")
+    // mean squared reconstruction error per path, computed from each
+    // row's own codes: plain reconstructs from cbP alone; residual from
+    // cell centroid + cbR. Identical stored bytes (8 one-byte codes).
+    def mse(coded: org.apache.spark.sql.DataFrame, vecCol: String,
+        cb: ProductQuantization.Codebooks, addCent: Boolean): Double = {
+      val rows = coded
+        .select(col("cluster_id"), col(vecCol).cast("array<double>"),
+          col("pq_code"))
+        .as[(Int, Seq[Double], Seq[Byte])].collect()
+      val errs = rows.map { case (cell, v, code) =>
+        val rec = code.zipWithIndex.flatMap { case (cid, s) =>
+          cb(s)(cid - 1)
+        }.toArray
+        val full =
+          if (addCent) rec.zip(cents(cell)).map { case (a, b) => a + b }
+          else rec
+        v.indices.map(i => math.pow(v(i) - full(i), 2)).sum
+      }
+      errs.sum / errs.length
+    }
+    val mseP = mse(ProductQuantization.assignCodes(indexed, "fvec", cbP),
+      "fvec", cbP, addCent = false)
+    val mseR = mse(ProductQuantization.assignCodes(res, "__res", cbR),
+      "fvec", cbR, addCent = true)
+    assert(mseR < mseP,
+      s"residual must quantize tighter on clustered data: $mseR vs $mseP")
+  }
+
   test("probeAdcBatch: self at rank 1, per-query ball containment") {
     val indexed = ProductQuantization.assignCodes(
       VectorIndex.assignSignBuckets(e, "embedding", nBits = 8),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -65,5 +66,32 @@ class VectorPrepSpec extends AnyFunSuite {
     val expect = BigDecimal((0.1f.toDouble + 0.2f.toDouble) / 2 + 1e-9)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r._3 == expect)
+  }
+
+  test("clusteredFixture: sign bucket equals cluster id by construction") {
+    val ids = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select("vec_id")
+    val f = VectorPrep.clusteredFixture(ids, "vec_id", dim = 16, kClusters = 8)
+    val mism = VectorIndex.assignSignBuckets(f, "fvec", nBits = 8)
+      .filter(col("cluster_id") =!= col("vec_id") % 8)
+      .count()
+    assert(mism == 0, s"$mism members land outside their cluster's bucket")
+    // components are exact dyadic rationals bounded away from zero, so
+    // the sign is never ambiguous and floats hold them exactly
+    val tiny = f.select(explode(col("fvec")).as("x"))
+      .filter(abs(col("x")) < 0.01).count()
+    assert(tiny == 0, "fixture components must stay clear of the sign boundary")
+  }
+
+  test("q162 fixture recall gate: residual >= plain >= usable, every query") {
+    val out = graft.queries.VectorQueries
+      .queries("q162_fixture_recall")(spark, graft.TestSpark.sf)
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(out.length == 5)
+    out.foreach { case (qid, _, rp, _, rr) =>
+      assert(rr >= rp, s"query $qid: residual recall $rr < plain $rp")
+      assert(rr >= 0.9, s"query $qid: residual recall $rr below 0.9")
+      assert(rp >= 0.5, s"query $qid: plain recall $rp collapsed")
+    }
   }
 }
