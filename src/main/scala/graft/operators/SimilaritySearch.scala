@@ -248,6 +248,10 @@ object SimilaritySearch {
       idCol: String = "id",
       queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec"): DataFrame = {
+    // both ids get .cast("long") below — gate loudly, like the indexed
+    // batch probes (the candidatePairs/embeddingPairs doctrine)
+    VectorIndex.requireIntegralCol(collection, idCol, "topKBatchAgg")
+    VectorIndex.requireIntegralCol(queries, queryIdCol, "topKBatchAgg")
     val spark = collection.sparkSession
     import spark.implicits._
     val (sc, desc_?) = score(metric, col(vecCol), col(queryVecCol))

@@ -221,13 +221,26 @@ object TextAnalysis {
     * Output: one row per doc with (bin, n_tokens).
     */
   def packBins(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, partitionCol: String): DataFrame =
+    packBinsByCount(
+      df.withColumn("n_tokens", tokenCount(col(textCol))),
+      idCol, "n_tokens", budget, partitionCol)
+
+  /** [[packBins]] generalized to an ALREADY-COMPUTED token-count column —
+    * the tokenizer-grain packer: real pipelines budget bins by the
+    * trained tokenizer's token count ([[bpeSegment]] symbols), not by
+    * whitespace words. Same greedy contiguous assignment, same
+    * per-`partitionCol` window parallelism; the count column rides
+    * through unchanged.
+    */
+  def packBinsByCount(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, partitionCol: String): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
     val w = Window.partitionBy(partitionCol).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens", tokenCount(col(textCol)))
-      .withColumn("__cum", sum(col("n_tokens")).over(w))
+    df.withColumn("__cum", sum(col(tokensCol)).over(w))
       .withColumn("bin",
-        floor((col("__cum") - col("n_tokens")) / lit(budget)).cast("long"))
+        floor((col("__cum") - col(tokensCol)) / lit(budget)).cast("long"))
       .drop("__cum")
   }
 
@@ -357,19 +370,32 @@ object TextAnalysis {
     * are maintained INCREMENTALLY (the reference implementation's
     * `get_stats` delta update as dataframes): only segments containing
     * the merged pair contribute −old/+new pair counts into the count
-    * frame, so per-round aggregation work scales with the pair's hit
-    * set — not with the whole vocabulary, which at a real 30k-merge
-    * training run would mean 30k sequential vocabulary-wide
-    * explode-and-shuffle jobs (verified identical to the full recount by
+    * frame. Per-round cost is O(|pair table| + hit set) — the
+    * union+regroup rewrites the whole maintained pair table every
+    * round — so the win over the full recount is PAIR GENERATION:
+    * the recount explodes and shuffles every vocabulary segment each
+    * round, the delta path explodes only the merged pair's hit set
+    * (the pair table is vocabulary-sized but far narrower than the
+    * explode). At a real 30k-merge run the recount means 30k
+    * sequential vocabulary-wide explode-and-shuffle jobs (verified identical to the full recount by
     * spec AND by the unchanged q129/q130 oracles; `incremental = false`
-    * keeps the recount path alive for that A/B).
+    * keeps the recount path alive for that A/B — measured numbers in
+    * SURVEY.md §6).
     */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
-      incremental: Boolean = true): Seq[(String, String, Long)] = {
+      incremental: Boolean = true,
+      byteLevel: Boolean = false): Seq[(String, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
-    val chars = regexp_extract_all(col("word"), lit("."), lit(0))
+    val chars = baseSymbols(col("word"), byteLevel)
+    // byte-level pairs with the RAW case-and-punctuation-preserving
+    // pre-tokenization (the GPT-2 setup): the closed byte alphabet makes
+    // normalization unnecessary for coverage, so the tokenizer sees the
+    // text it will actually encode
+    val toks =
+      if (byteLevel) regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+      else normalizedTokens(col(textCol))
     var vocab = df
-      .select(explode(normalizedTokens(col(textCol))).as("word"))
+      .select(explode(toks).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(col("freq"),
         concat(lit(" "), array_join(chars, "  "), lit(" ")).as("seg"))
@@ -381,7 +407,9 @@ object TextAnalysis {
     // job must run before its parents' blocks can go (the
     // farthestPointSample discipline). The pick on counts_{r+1} reads
     // counts_r, vocab_r (old pairs of the hit set) and materializes
-    // vocab_{r+1} (new pairs via the __hit flag), so after it both
+    // vocab_{r+1} (new pairs re-derive the hit set's
+    // post-merge segments from vocab_r directly, so no scratch column
+    // rides the checkpoints), so after it both
     // parents are safe to free.
     var prev: Seq[DataFrame] = Nil
     val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
@@ -404,8 +432,8 @@ object TextAnalysis {
         if (r < nMerges) {
           val pat = s" $a  $b "
           val merged = s" $a$b "
+          val hit = vocab.filter(col("seg").contains(pat))
           val updated = vocab
-            .withColumn("__hit", col("seg").contains(pat))
             .withColumn("seg", org.apache.spark.sql.functions.replace(
               col("seg"), lit(pat), lit(merged)))
             .localCheckpoint(false)
@@ -414,9 +442,11 @@ object TextAnalysis {
             // table, their post-merge pairs enter; everything else is
             // untouched — exact integer deltas, so the maintained table
             // equals the full recount row for row
-            val oldPairs = segPairCounts(vocab.filter(col("seg").contains(pat)))
+            val oldPairs = segPairCounts(hit)
               .select(col("a"), col("b"), (-col("n")).as("n"))
-            val newPairs = segPairCounts(updated.filter(col("__hit")))
+            val newPairs = segPairCounts(hit.withColumn("seg",
+              org.apache.spark.sql.functions.replace(
+                col("seg"), lit(pat), lit(merged))))
             val nextCounts = counts.unionByName(oldPairs)
               .unionByName(newPairs)
               .groupBy("a", "b").agg(sum("n").as("n"))
@@ -460,8 +490,9 @@ object TextAnalysis {
     * ([[bpeTrain]]'s), no UDF, runs inside the scan.
     */
   def bpeSegment(word: Column,
-      merges: Seq[(String, String)]): Column = {
-    val chars = regexp_extract_all(word, lit("."), lit(0))
+      merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column = {
+    val chars = baseSymbols(word, byteLevel)
     val wrapped = concat(lit(" "), array_join(chars, "  "), lit(" "))
     val applied = merges.foldLeft(wrapped) { case (s, (a, b)) =>
       org.apache.spark.sql.functions.replace(
@@ -469,6 +500,29 @@ object TextAnalysis {
     }
     split(trim(applied), "  ")
   }
+
+  /** Base symbolization shared by [[bpeTrain]] and [[bpeSegment]]:
+    * char-level (one symbol per character) or BYTE-level — each UTF-8
+    * byte rendered as a fixed-width uppercase hex pair, the identical
+    * output of Spark's `hex(encode(w, 'UTF-8'))` and DuckDB's
+    * `hex(encode(w))`, and order-isomorphic to the byte values (hex
+    * digits 0-9A-F sort like the nibbles they encode), so lexicographic
+    * tie-breaks agree across engines AND across representations. The
+    * byte alphabet is CLOSED at 256 symbols: any Unicode word segments
+    * with zero OOV by construction, and [[bpeBytesDecode]] inverts any
+    * segmentation back to the exact original string.
+    */
+  private def baseSymbols(word: Column, byteLevel: Boolean): Column =
+    if (byteLevel)
+      regexp_extract_all(hex(encode(word, "UTF-8")), lit(".."), lit(0))
+    else regexp_extract_all(word, lit("."), lit(0))
+
+  /** Inverse of byte-level [[bpeSegment]]: hex-pair symbols → bytes →
+    * UTF-8 string. Merged symbols are concatenations of whole hex pairs,
+    * so the concat of ANY segmentation is the word's full hex rendering.
+    */
+  def bpeBytesDecode(symbols: Column): Column =
+    decode(unhex(concat_ws("", symbols)), "UTF-8")
 
   /** Sliding-window document chunking — the context-length segmenter every
     * training/RAG pipeline runs before tokenization proper: whitespace

@@ -377,4 +377,77 @@ class TextAnalysisSpec extends AnyFunSuite {
       incremental = true)
     assert(incR == fullR)
   }
+
+  test("byte-level BPE: hand-checked merges are hex-mapped, case/punct kept") {
+    // lowercase-alnum corpus where \S+ pre-tokenization coincides with
+    // normalizedTokens: byte merges must be the char merges with every
+    // symbol hex-mapped (a→61, b→62), same counts, same order
+    val docs = Seq((1L, "abab abab"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 5,
+      byteLevel = true)
+    assert(merges == Seq(("61", "62", 5L), ("6162", "6162", 2L)),
+      s"byte merge sequence diverged: $merges")
+
+    // byte-level pre-tokenization preserves case: "The" and "the" are
+    // distinct words, so (T,h) and (t,h) count separately while (h,e)
+    // pools across both
+    val cased = Seq((1L, "The the the The")).toDF("doc_id", "text")
+    val m1 = TextAnalysis.bpeTrain(cased, "text", nMerges = 1,
+      byteLevel = true)
+    // h=68, e=65: (h,e) appears in all four tokens
+    assert(m1 == Seq(("68", "65", 4L)), s"first cased merge diverged: $m1")
+  }
+
+  test("byte-level BPE: arbitrary Unicode round-trips with zero OOV") {
+    val docs = Seq((1L, "abab abab"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", nMerges = 5,
+      byteLevel = true).map(m => (m._1, m._2))
+    // precomposed e-acute, DECOMPOSED e + combining acute (as \uXXXX
+    // escapes only — editors NFC-compose raw combining marks, the
+    // q144/q149 lesson), sharp-s, CJK, astral emoji (surrogate pair),
+    // plus ASCII the merges DO hit
+    val words = Seq("caf\u00e9", "cafe\u0301", "stra\u00dfe",
+      "\u4e2d\u6587", "\ud83d\ude00ok", "abab", "")
+    for (w <- words) {
+      val (sym, dec, hx) = docs.limit(1).select(
+          TextAnalysis.bpeSegment(lit(w), merges, byteLevel = true).as("s"),
+          TextAnalysis.bpeBytesDecode(
+            TextAnalysis.bpeSegment(lit(w), merges, byteLevel = true)).as("d"),
+          hex(encode(lit(w), "UTF-8")).as("h"))
+        .as[(Seq[String], String, String)].head()
+      // no OOV by construction: concat of symbols IS the full hex rendering
+      assert(sym.mkString("") == hx, s"word '$w': symbols $sym vs hex $hx")
+      assert(dec == w, s"word '$w' failed round-trip: got '$dec'")
+      // every unmerged symbol is a single byte from the closed alphabet
+      assert(sym.forall(s => s.length % 2 == 0 && s.nonEmpty) || w.isEmpty)
+    }
+    // the trained merge applies at byte level too: abab → 6162 61 62... →
+    // [61626162, 6162]
+    val seg = docs.limit(1).select(
+        TextAnalysis.bpeSegment(lit("abab"), merges, byteLevel = true).as("s"))
+      .as[Seq[String]].head()
+    assert(seg == Seq("61626162"), s"byte encoder diverged: $seg")
+  }
+
+  test("packBinsByCount: greedy boundaries, oversized rows isolate, loud budget") {
+    val rows = Seq((1L, "s", 3L), (2L, "s", 3L), (3L, "s", 3L))
+      .toDF("id", "source", "cnt")
+    val bins = TextAnalysis.packBinsByCount(rows, "id", "cnt",
+        budget = 5L, partitionCol = "source")
+      .orderBy("id").select("bin").as[Long].collect().toSeq
+    // cum 3,6,9 → floor((cum-3)/5) = 0,0,1
+    assert(bins == Seq(0L, 0L, 1L))
+
+    val over = Seq((1L, "s", 12L), (2L, "s", 1L)).toDF("id", "source", "cnt")
+    val b2 = TextAnalysis.packBinsByCount(over, "id", "cnt",
+        budget = 5L, partitionCol = "source")
+      .orderBy("id").select("bin").as[Long].collect().toSeq
+    // the oversized doc opens bin 0 alone; the next doc lands past it
+    assert(b2 == Seq(0L, 2L))
+
+    intercept[IllegalArgumentException] {
+      TextAnalysis.packBinsByCount(rows, "id", "cnt", budget = 0L,
+        partitionCol = "source")
+    }
+  }
 }

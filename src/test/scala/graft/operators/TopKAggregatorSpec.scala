@@ -45,4 +45,19 @@ class TopKAggregatorSpec extends AnyFunSuite {
     // cosine: ids 10, 3, 7 all score 1.0 → order by id: 3, 7, 10
     assert(got == Seq(3L, 7L, 10L))
   }
+
+  test("topKBatchAgg rejects non-integral ids loudly (both sides)") {
+    val coll = Seq(("a", Array(1.0f, 0.0f))).toDF("id", "embedding")
+    val qs = Seq((0L, Array(1.0f, 0.0f))).toDF("query_id", "query_vec")
+    val e1 = intercept[IllegalArgumentException] {
+      SimilaritySearch.topKBatchAgg(coll, qs, k = 1, "cosine")
+    }
+    assert(e1.getMessage.contains("integral"))
+    val collOk = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "embedding")
+    val qsBad = Seq(("q0", Array(1.0f, 0.0f))).toDF("query_id", "query_vec")
+    val e2 = intercept[IllegalArgumentException] {
+      SimilaritySearch.topKBatchAgg(collOk, qsBad, k = 1, "cosine")
+    }
+    assert(e2.getMessage.contains("integral"))
+  }
 }
