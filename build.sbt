@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: 8g gave local[32] only 256 MiB/core — far below any real
+  // per-executor sizing — and measurably GC-throttled the hash-agg-heavy
+  // bench queries (q100 2.58s@8g -> 1.66s@16g, q145 2.26 -> 2.05, same
+  // box, same pass structure; round-9 A/B). 512 MiB/core is still modest.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

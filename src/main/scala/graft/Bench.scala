@@ -55,6 +55,12 @@ object Bench {
     // query's reps, so a burst can only touch one of them.
     val reps = 3
     val times = Array.fill(SparkEntry.benchQueries.length)(Double.MaxValue)
+    // GC seconds INSIDE the rep that produced each query's min wall time —
+    // the round-9 heap A/B showed GC throttling masquerading as query
+    // regressions (q100 2.58s@8g vs 1.66s@16g, code unchanged); recording
+    // per-query GC makes that failure mode visible in the artifact instead
+    // of needing a heap bisection to find
+    val gcs = Array.fill(SparkEntry.benchQueries.length)(0.0)
     var calib = Double.MaxValue
     for (_ <- 0 until reps) {
       // the calibration probe rides in every timed pass like a query, so
@@ -66,14 +72,20 @@ object Bench {
       SparkEntry.benchQueries.zipWithIndex.foreach { case (name, i) =>
         if (!broken.contains(name)) {
           val fn = SparkEntry.queries(name)
+          val g0 = gcMillis()
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).collect() }
           catch { case e: Throwable =>
             broken(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
               .take(200).replaceAll("\\s+", " ")
           }
-          if (!broken.contains(name))
-            times(i) = math.min(times(i), (System.nanoTime() - t0) / 1e9)
+          if (!broken.contains(name)) {
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (dt < times(i)) {
+              times(i) = dt
+              gcs(i) = (gcMillis() - g0) / 1e3
+            }
+          }
           sweep(spark)
         }
       }
@@ -82,6 +94,11 @@ object Bench {
       .filter { case (name, _) => !broken.contains(name) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val gcJson = SparkEntry.benchQueries.zip(gcs)
+      .filter { case (name, _) => !broken.contains(name) }
+      .map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val heapGb = Runtime.getRuntime.maxMemory / 1024.0 / 1024.0 / 1024.0
     val total = results.map(_._2).sum
     // delta vs the previous artifact, NET of box drift: when the previous
     // round recorded a calibration time, its per-query numbers are scaled
@@ -99,8 +116,17 @@ object Bench {
     val errs = broken.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"cal_ratio_vs_prev":$ratio,"queries":$qs,"broken":$errs,"delta_vs_prev":$deltas,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"cal_ratio_vs_prev":$ratio,"heap_gb":$heapGb,"queries":$qs,"gc_in_min_rep":$gcJson,"broken":$errs,"delta_vs_prev":$deltas,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Cumulative stop-the-world GC time of this JVM, in milliseconds —
+    * the delta across a timed window is the GC share of that window.
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
 
   /** Fixed-work calibration probe: a constant synthetic scan-agg that

@@ -363,27 +363,27 @@ object TextAnalysis {
     * string op.
     *
     * Scale shape: the loop state is the VOCABULARY frame (collapsed
-    * word-freq table — tokens, not corpus rows) plus the PAIR-COUNT
-    * frame, both kept flat by the lazy-localCheckpoint discipline
-    * ([[graft.operators.Dedup]]): each round is ONE action — the bounded
-    * top-1 pair pick materializes that round's checkpoints. Pair counts
-    * are maintained INCREMENTALLY (the reference implementation's
-    * `get_stats` delta update as dataframes): only segments containing
-    * the merged pair contribute −old/+new pair counts into the count
-    * frame. Per-round cost is O(|pair table| + hit set) — the
-    * union+regroup rewrites the whole maintained pair table every
-    * round — so the win over the full recount is PAIR GENERATION:
-    * the recount explodes and shuffles every vocabulary segment each
-    * round, the delta path explodes only the merged pair's hit set
-    * (the pair table is vocabulary-sized but far narrower than the
-    * explode). At a real 30k-merge run the recount means 30k
-    * sequential vocabulary-wide explode-and-shuffle jobs (verified identical to the full recount by
-    * spec AND by the unchanged q129/q130 oracles; `incremental = false`
-    * keeps the recount path alive for that A/B — measured numbers in
-    * SURVEY.md §6).
+    * word-freq table — tokens, not corpus rows) plus, on the delta path,
+    * the PAIR-COUNT frame, both kept flat by the lazy-localCheckpoint
+    * discipline ([[graft.operators.Dedup]]): each round is ONE action —
+    * the bounded top-1 pair pick materializes that round's checkpoints.
+    * `incremental = true` maintains pair counts by delta update (the
+    * reference implementation's `get_stats` trick as dataframes): only
+    * segments containing the merged pair contribute −old/+new counts.
+    * Per-round cost is O(|pair table| + hit set) either way, because the
+    * union+regroup rewrites the whole maintained table every round — the
+    * delta path only narrows PAIR GENERATION (explode the hit set, not
+    * every segment). MEASURED regimes (`graft.BpeBench`, 256-merge
+    * budget, numbers in SURVEY.md §6): on the gate corpora the recount
+    * WINS (0.179 vs 0.226 s/round at sf0.01, ratio 0.79; 0.81 at sf0.1)
+    * — at vocabularies of a few thousand words the explode is cheaper
+    * than the maintained table's rewrite, so the default here is the
+    * recount. The delta path's regime is million-word vocabularies where
+    * the per-round explode dominates; it stays available and both paths
+    * are pinned identical by spec AND by the unchanged q129/q130 oracles.
     */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
-      incremental: Boolean = true,
+      incremental: Boolean = false,
       byteLevel: Boolean = false): Seq[(String, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
     val chars = baseSymbols(col("word"), byteLevel)

@@ -114,6 +114,100 @@ object VectorPrep {
     df.withColumn(outCol, array(comps: _*))
   }
 
+  /** Sylvester–Hadamard sign in closed form: H(i, j) = (−1)^popcount(i & j)
+    * — row/column indices 0-based, valid for any power-of-two order. The
+    * whole orthogonal matrix is a pure function of the indices, so both
+    * engines materialize identical literal rows with no shared state.
+    */
+  def hadamardSign(i: Int, j: Int): Double =
+    if (Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0
+
+  /** OPQ-style fixed orthogonal rotation (Ge, He, Ke, Sun 2013's
+    * random-rotation baseline — "Optimized Product Quantization", CVPR;
+    * the learned alternating minimization is out of scope, the fixed
+    * rotation is the half that changes the subspace DECOMPOSITION):
+    * rot = (H/√dim) · v, with H the Sylvester–Hadamard matrix. Each
+    * output dimension mixes EVERY input dimension with weight ±1/√dim,
+    * so energy that straddles PQ's contiguous subspace boundaries in the
+    * raw basis is re-spread — and for data that is itself a Hadamard
+    * mixture of independent latents ([[latentPairFixture]]), the
+    * rotation concentrates each latent back into its own dimension,
+    * which is exactly when rotated PQ beats plain PQ (q165).
+    *
+    * Engine-exact by the house rules: for power-of-4 dims the weight
+    * ±1/√dim is a dyadic rational (dim 16 → ±0.25), every product is an
+    * exact double, and outputs are rounded (+1e-9 HALF_UP, 6 places)
+    * before any downstream use — a SQL engine replays the literal
+    * matrix term for term (the q109 projection discipline). The matrix
+    * rides as `dim` literal rows inside codegen'd dot products — no
+    * join, no shuffle, the rotation runs inside the scan.
+    *
+    * H/√dim is symmetric and orthogonal, so the rotation is its own
+    * inverse (up to the output rounding) — spec-pinned.
+    */
+  def opqRotate(df: DataFrame, vecCol: String, dim: Int,
+      outCol: String = "rotated"): DataFrame = {
+    require(dim >= 1 && (dim & (dim - 1)) == 0,
+      s"Hadamard rotation needs a power-of-two dim, got $dim")
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    val comps = (0 until dim).map { i =>
+      val row = Array.tabulate(dim)(j => hadamardSign(i, j) * scale)
+      round(graft.functions.dot_product(col("__vd"), lit(row)) + lit(1e-9), 6)
+    }
+    df.withColumn("__vd", col(vecCol).cast("array<double>"))
+      .withColumn(outCol, array(comps: _*))
+      .drop("__vd")
+  }
+
+  /** The fixture where a fixed rotation PROVABLY earns its keep — the
+    * OPQ counterpart of [[clusteredFixture]]. Latent vector per id:
+    * dim/2 independent PAIRS, each pair drawing one of 4 centers
+    * (±0.5, ±0.5) from a 2-bit md5 choice (`md5("lmc:id:pair")`), plus
+    * per-dimension noise uniform on [−0.125, 0.125) from a 16-bit md5
+    * slice (`md5("lmn:id:d")`) — so in LATENT space every contiguous
+    * 2-dim PQ subspace sees 4 clean clusters. The emitted vector is the
+    * Hadamard MIXTURE fvec = (H/√dim)·latent: every latent spreads
+    * across all raw dimensions, so plain contiguous-subspace PQ sees
+    * near-Gaussian 4^(dim/2)-combination marginals, while
+    * [[opqRotate]] (self-inverse H/√dim) recovers the latent exactly
+    * and rotated PQ sees the clean per-pair clusters.
+    *
+    * Exactness: latent terms are dyadic rationals on a 2^-20 grid and
+    * the mixture weights ±1/√dim are dyadic for power-of-4 dims, so
+    * every component of fvec is an EXACT double (magnitude < 2^2 ≫
+    * grid 2^-22 — 24 mantissa bits, order-independent sums) — both
+    * engines hold bit-identical vectors with NO rounding anywhere in
+    * the fixture, and the oracle replays it as literal per-dimension
+    * expressions. Pure column math inside the scan.
+    *
+    * Appends `outCol` (array<double> of length `dim`).
+    */
+  def latentPairFixture(df: DataFrame, idCol: String, dim: Int = 16,
+      outCol: String = "fvec", choiceSeed: String = "lmc",
+      noiseSeed: String = "lmn"): DataFrame = {
+    require(dim >= 4 && (dim & (dim - 1)) == 0 &&
+      (Integer.numberOfTrailingZeros(dim) % 2 == 0),
+      s"latentPairFixture needs a power-of-4 dim >= 4, got $dim")
+    val lat = (0 until dim).map { d =>
+      val choice = conv(substring(md5(concat(lit(choiceSeed + ":"),
+        col(idCol).cast("string"), lit(":" + d / 2))), 1, 1), 16, 10)
+        .cast("int") % 4
+      val bit = shiftright(choice, d % 2).bitwiseAND(lit(1))
+      val noise = (conv(substring(md5(concat(lit(noiseSeed + ":"),
+        col(idCol).cast("string"), lit(":" + d))), 1, 4), 16, 10)
+        .cast("double") / 65536.0 - 0.5) * 0.25
+      when(bit === 1, lit(0.5)).otherwise(lit(-0.5)) + noise
+    }
+    val scale = 1.0 / math.sqrt(dim.toDouble)
+    val mixed = (0 until dim).map { i =>
+      val row = Array.tabulate(dim)(d => hadamardSign(i, d) * scale)
+      graft.functions.dot_product(col("__lat"), lit(row))
+    }
+    df.withColumn("__lat", array(lat: _*))
+      .withColumn(outCol, array(mixed: _*))
+      .drop("__lat")
+  }
+
   /** Per-dimension mean/stddev over the corpus, ROUNDED — the bounded
     * model state of [[standardize]] (dim rows, the same driver-state
     * shape as k-means centroids). Sample stddev; zero-variance

@@ -710,6 +710,80 @@ object VectorQueries {
           col("n_hit_res"),
           round(col("n_hit_res") / 10.0 + lit(1e-9), 2).as("recall_res"))
         .orderBy("query_id")
+    }),
+
+    // OPQ rotation A/B (Ge et al. 2013's fixed-rotation baseline) on the
+    // latent-mix fixture: vectors are a Hadamard mixture of dim/2
+    // independent 4-way pair-clusters, so plain contiguous-subspace PQ
+    // quantizes near-Gaussian 4^8-combination marginals while the
+    // self-inverse rotation recovers the clean per-pair clusters first.
+    // Both arms train at IDENTICAL stored bytes (m=8, ksub=16, one Lloyd
+    // round) and cut a TIGHT flat ADC shortlist (20 for a top-10) — the
+    // q162 honesty discipline; recall_rot > recall_plain is the measured
+    // claim, not an assertion. The oracle replays fixture, rotation
+    // (literal Hadamard rows), both trainings, LUTs, shortlists, and
+    // both recalls end to end.
+    "q165_opq_recall" -> ((s, dir) => {
+      import s.implicits._
+      val PQ = graft.operators.ProductQuantization
+      val VP = graft.operators.VectorPrep
+      val f = VP.latentPairFixture(
+        Tables.embeddings(s, dir).select("vec_id"), "vec_id", dim = 16)
+      val rot = VP.opqRotate(f, "fvec", 16, "rvec")
+      val cbP = PQ.trainCodebooks(rot, "vec_id", "fvec",
+        m = 8, ksub = 16, rounds = 1, seed = "oqp")
+      val cbR = PQ.trainCodebooks(rot, "vec_id", "rvec",
+        m = 8, ksub = 16, rounds = 1, seed = "oqr")
+      val coded = PQ.assignCodes(
+        PQ.assignCodes(rot, "fvec", cbP, "code_p"), "rvec", cbR, "code_r")
+      val qRows = coded.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("fvec"), col("rvec")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+          r.getSeq[Double](2).toArray))
+      val qVecs = qRows.toSeq.map { case (qid, qv, _) => (qid, qv.toSeq) }
+        .toDF("query_id", "__qv")
+      val lutP = qRows.toSeq.map { case (qid, qv, _) =>
+        (qid, PQ.adcTableD(qv, cbP).flatten.toSeq)
+      }.toDF("query_id", "__lutp")
+      val lutR = qRows.toSeq.map { case (qid, _, rq) =>
+        (qid, PQ.adcTableD(rq, cbR).flatten.toSeq)
+      }.toDF("query_id", "__lutr")
+      val scored = coded.crossJoin(broadcast(qVecs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("__l2",
+          round(graft.functions.l2_dist(col("fvec"), col("__qv")), 6))
+      def top10(df: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(asc("__l2"), col("vec_id"))
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 10).select("query_id", "vec_id")
+      }
+      val exact = top10(scored)
+      def adcOf(codeCol: String, lutCol: String) = (0 until 8).map { sub =>
+        element_at(col(lutCol),
+          lit(sub * 16) + element_at(col(codeCol), sub + 1).cast("int"))
+      }.reduce(_ + _)
+      def armHits(luts: DataFrame, codeCol: String, lutCol: String,
+          hitCol: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(asc("__adc"), col("vec_id"))
+        val short = scored.join(broadcast(luts), "query_id")
+          .withColumn("__adc", round(adcOf(codeCol, lutCol) + lit(1e-9), 6))
+          .withColumn("__sn", row_number().over(w))
+          .filter(col("__sn") <= 20)
+        exact.join(top10(short), Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as(hitCol))
+      }
+      val hp = armHits(lutP, "code_p", "__lutp", "n_hit_plain")
+      val hr = armHits(lutR, "code_r", "__lutr", "n_hit_rot")
+      qVecs.select("query_id")
+        .join(hp, Seq("query_id"), "left").join(hr, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_hit_plain", "n_hit_rot"))
+        .select(col("query_id"), col("n_hit_plain"),
+          round(col("n_hit_plain") / 10.0 + lit(1e-9), 2).as("recall_plain"),
+          col("n_hit_rot"),
+          round(col("n_hit_rot") / 10.0 + lit(1e-9), 2).as("recall_rot"))
+        .orderBy("query_id")
     })
   )
 
@@ -1307,6 +1381,112 @@ object VectorQueries {
         |  round(coalesce(hp.n, 0) / 10.0 + 1e-9, 2) AS recall_plain,
         |  coalesce(hr.n, 0) AS n_hit_res,
         |  round(coalesce(hr.n, 0) / 10.0 + 1e-9, 2) AS recall_res
+        |FROM qs3 q
+        |LEFT JOIN hp USING (query_id) LEFT JOIN hr USING (query_id)
+        |ORDER BY query_id""".stripMargin
+    },
+
+    // OPQ fixture replay: latent per-pair clusters (2-bit md5 choice →
+    // ±0.5 centers, 16-bit md5 noise × 0.25, all exact dyadic — NO
+    // rounding), Hadamard mixture fv = (H/4)·lat as 16 literal ±0.25
+    // term-sums (exact), the rotation rv = round((H/4)·fv + 1e-9, 6)
+    // (mirrors opqRotate's output rounding), both PQ trainings, per-arm
+    // LUTs, flat 20-shortlists, exact-l2 top-10s on fv, both recalls.
+    "q165_opq_recall" -> {
+      val latExprs = (0 until 16).map { d =>
+        val choice = s"(CAST(('0x'||substring(md5('lmc:'||CAST(vec_id AS VARCHAR)||':${d / 2}'), 1, 1)) AS INTEGER) % 4)"
+        val noise = s"(CAST(('0x'||substring(md5('lmn:'||CAST(vec_id AS VARCHAR)||':$d'), 1, 4)) AS INTEGER) / 65536.0 - 0.5) * 0.25"
+        s"(CASE WHEN (($choice >> ${d % 2}) & 1) = 1 THEN 0.5 ELSE -0.5 END) + $noise"
+      }.mkString(",\n    ")
+      def mixRow(i: Int, src: String, rounded: Boolean): String = {
+        val terms = (0 until 16).map { j =>
+          val t = s"$src[${j + 1}]*0.25"
+          if (j == 0) t
+          else if (graft.operators.VectorPrep.hadamardSign(i, j) > 0) s"+ $t"
+          else s"- $t"
+        }.mkString(" ")
+        if (rounded) s"round(($terms) + 1e-9, 6)" else s"($terms)"
+      }
+      val fvExprs = (0 until 16).map(mixRow(_, "v", rounded = false))
+        .mkString(",\n    ")
+      val rvExprs = (0 until 16).map(mixRow(_, "v", rounded = true))
+        .mkString(",\n    ")
+      s"""WITH lat AS (
+         |  SELECT vec_id, [$latExprs] AS v FROM embeddings),
+         |fv AS (
+         |  SELECT vec_id, [$fvExprs] AS v FROM lat),
+         |rv AS (
+         |  SELECT vec_id, [$rvExprs] AS v FROM fv),
+         |""".stripMargin +
+      pqTrainBody("fv", "oqp", 8, 2, 16, "p") + ",\n" +
+      pqTrainBody("rv", "oqr", 8, 2, 16, "r") +
+      """,
+        |qs3 AS (
+        |  SELECT f.vec_id AS query_id, f.v AS qv, r.v AS rqv
+        |  FROM fv f JOIN rv r USING (vec_id) WHERE f.vec_id < 5),
+        |sc AS (
+        |  SELECT q.query_id, f.vec_id,
+        |    round(list_distance(f.v, q.qv), 6) AS l2
+        |  FROM fv f CROSS JOIN qs3 q WHERE f.vec_id <> q.query_id),
+        |ex AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY l2, vec_id) AS rn FROM sc)
+        |  WHERE rn <= 10),
+        |lutp AS (
+        |  SELECT q.query_id, c.s, c.cid,
+        |    round(sum(power(q.qv[c.s*2 + x.i] - c.cent[x.i], 2)) + 1e-9, 6) AS d
+        |  FROM pc1 c CROSS JOIN pii x CROSS JOIN qs3 q
+        |  GROUP BY q.query_id, c.s, c.cid),
+        |lutr2 AS (
+        |  SELECT q.query_id, c.s, c.cid,
+        |    round(sum(power(q.rqv[c.s*2 + x.i] - c.cent[x.i], 2)) + 1e-9, 6) AS d
+        |  FROM rc1 c CROSS JOIN rii x CROSS JOIN qs3 q
+        |  GROUP BY q.query_id, c.s, c.cid),
+        |adcp AS (
+        |  SELECT q.query_id, k.vec_id, round(sum(l.d) + 1e-9, 6) AS ad
+        |  FROM pcodes k CROSS JOIN qs3 q
+        |  JOIN lutp l ON l.query_id = q.query_id AND l.s = k.s AND l.cid = k.cid
+        |  WHERE k.vec_id <> q.query_id
+        |  GROUP BY q.query_id, k.vec_id),
+        |adcr AS (
+        |  SELECT q.query_id, k.vec_id, round(sum(l.d) + 1e-9, 6) AS ad
+        |  FROM rcodes k CROSS JOIN qs3 q
+        |  JOIN lutr2 l ON l.query_id = q.query_id AND l.s = k.s AND l.cid = k.cid
+        |  WHERE k.vec_id <> q.query_id
+        |  GROUP BY q.query_id, k.vec_id),
+        |slp AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY ad, vec_id) AS rn FROM adcp)
+        |  WHERE rn <= 20),
+        |slr AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY ad, vec_id) AS rn FROM adcr)
+        |  WHERE rn <= 20),
+        |prp AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT s.query_id, s.vec_id, row_number() OVER (
+        |      PARTITION BY s.query_id ORDER BY s.l2, s.vec_id) AS rn
+        |    FROM sc s JOIN slp USING (query_id, vec_id))
+        |  WHERE rn <= 10),
+        |prr AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT s.query_id, s.vec_id, row_number() OVER (
+        |      PARTITION BY s.query_id ORDER BY s.l2, s.vec_id) AS rn
+        |    FROM sc s JOIN slr USING (query_id, vec_id))
+        |  WHERE rn <= 10),
+        |hp AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM ex JOIN prp USING (query_id, vec_id) GROUP BY query_id),
+        |hr AS (
+        |  SELECT query_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM ex JOIN prr USING (query_id, vec_id) GROUP BY query_id)
+        |SELECT q.query_id, coalesce(hp.n, 0) AS n_hit_plain,
+        |  round(coalesce(hp.n, 0) / 10.0 + 1e-9, 2) AS recall_plain,
+        |  coalesce(hr.n, 0) AS n_hit_rot,
+        |  round(coalesce(hr.n, 0) / 10.0 + 1e-9, 2) AS recall_rot
         |FROM qs3 q
         |LEFT JOIN hp USING (query_id) LEFT JOIN hr USING (query_id)
         |ORDER BY query_id""".stripMargin

@@ -433,6 +433,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no shuffle belongs in the residual probe:\n${p.take(2000)}")
   }
 
+  test("q165 opq recall: id-only scan, broadcast queries/LUTs, partitioned windows") {
+    val p = plan("q165_opq_recall")
+    // the fixture + rotation are plan-literal column math over ids: the
+    // embeddings scan must read NOTHING but vec_id
+    assert(p.contains("ReadSchema: struct<vec_id:bigint>"),
+      s"fixture query must scan only the id column:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"query fan-out must be a broadcast, never a cartesian:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange"),
+      "per-query vectors and ADC LUTs must broadcast")
+    // every rank window is per-query, never a single-partition global sort
+    assert(p.contains("hashpartitioning(query_id"),
+      s"top-k windows must partition by query_id:\n${p.take(2000)}")
+  }
+
   test("q143 kmv sketch: bounded heap per group, no per-group sort window") {
     val p = plan("q143_kmv_distinct")
     assert(!p.contains("Window"),
