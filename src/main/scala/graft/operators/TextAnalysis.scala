@@ -58,6 +58,196 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(grams)).cast("double") / total)
   }
 
+  /** The FULL Gopher repetition table (Rae et al. 2021, Table A1) as one
+    * document-grain frame — the within-document repetition signals a
+    * curation pipeline cuts on, beyond [[gopherQuality]]'s single 2-gram
+    * flag: fraction of characters in the most frequent word {2,3,4}-gram
+    * and in duplicated word {5..10}-grams, plus duplicate-LINE fraction
+    * and duplicate-line character fraction. Definitions (mirrored exactly
+    * by the q166 oracle; they deviate from the paper only where the paper
+    * is ambiguous):
+    *   - tokens: `\S+` over the lowercased text; an n-gram's character
+    *     length is the sum of its token lengths (inner joins excluded);
+    *     the denominator is the document's non-whitespace character count.
+    *   - top-n fraction: occurrences × char-length of THE most frequent
+    *     n-gram (ties: highest count, then lexicographically greatest
+    *     gram — `max(struct(count, gram))` ≡ `ORDER BY c DESC, gram DESC`).
+    *   - dup-n fraction: Σ over n-grams seen c ≥ 2 times of
+    *     (c − 1) × char-length (occurrences beyond the first; overlapping
+    *     spans are NOT unioned — each repeat occurrence counts its full
+    *     length).
+    *   - lines: newline-split, trimmed, empties dropped; dup_line_frac =
+    *     (lines − distinct lines)/lines, dup_line_char_frac counts the
+    *     characters of occurrences beyond each line's first.
+    * Every fraction is a SINGLE division of exact integer counts —
+    * engine-exact with no rounding (the q120 doctrine) — and every
+    * threshold flag compares those exact doubles, so the keep verdict can
+    * never disagree across engines. Thresholds are the paper's: top-n ≤
+    * {0.20, 0.18, 0.16}, dup-n ≤ {0.15, 0.14, 0.13, 0.12, 0.11, 0.10},
+    * dup-line ≤ 0.30, dup-line-chars ≤ 0.20.
+    *
+    * Scale shape: ONE explode over (n, gram) pairs for all nine n values
+    * → a (doc, n, gram) count table with map-side partial counts → a
+    * doc-grain conditional aggregation; the line stats are a second,
+    * far smaller explode. Everything keyed by doc id — no global state,
+    * no window wider than a document's grams.
+    */
+  // the Gopher Table A1 thresholds, shared by both repetition variants
+  private val topNs = Seq(2, 3, 4)
+  private val dupNs = Seq(5, 6, 7, 8, 9, 10)
+  private val topThresh = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  private val dupThresh = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+    9 -> 0.11, 10 -> 0.10)
+
+  def repetitionStats(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val allNs = topNs ++ dupNs
+    val base = df.select(col(idCol),
+        regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0))
+          .as("__toks"),
+        length(regexp_replace(col(textCol), "\\s+", "")).cast("long")
+          .as("__chars"),
+        filter(transform(split(col(textCol), "\n"), l => trim(l)),
+          l => l =!= "").as("__lines"))
+    // one generator for every n: (n, gram) structs, flattened
+    val entries = flatten(array(allNs.map { n =>
+      transform(ngramsFromTokens(col("__toks"), n),
+        g => struct(lit(n).as("n"), g.as("gram")))
+    }: _*))
+    // explode_outer + null filter, NOT explode: InferFiltersFromGenerate
+    // would re-plant `size(entries) > 0` at the scan with the whole
+    // 9-way tokenization chain inlined (the q119 winnowing lesson)
+    val gramCounts = base
+      .select(col(idCol), explode_outer(entries).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col(idCol), col("e.n").as("n"), col("e.gram").as("gram"))
+      .groupBy(idCol, "n", "gram").agg(count(lit(1)).as("c"))
+      // char length of the gram = total length minus the n−1 joiners
+      .withColumn("__len", (length(col("gram")) - (col("n") - 1)).cast("long"))
+    val aggs = topNs.map { n =>
+      // the winner rides as (count, gram): struct max = highest count,
+      // then lexicographically greatest gram — the documented tie-break
+      max(when(col("n") === n, struct(col("c"), col("gram"))))
+        .as(s"__top$n")
+    } ++ dupNs.map { n =>
+      sum(when(col("n") === n && col("c") >= 2,
+        (col("c") - 1) * col("__len")).otherwise(0L)).as(s"__dup$n")
+    }
+    val perDoc = gramCounts.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+    val lineCounts = base
+      .select(col(idCol), explode_outer(col("__lines")).as("__line"))
+      .filter(col("__line").isNotNull)
+      .groupBy(idCol, "__line").agg(count(lit(1)).as("lc"))
+      .groupBy(idCol).agg(
+        sum("lc").as("__nlines"),
+        sum(col("lc") * length(col("__line"))).as("__linechars"),
+        sum(col("lc") - 1).as("__duplines"),
+        sum((col("lc") - 1) * length(col("__line"))).as("__duplinechars"))
+    def frac(num: Column, den: Column): Column =
+      when(den.isNull || den === 0L || num.isNull, lit(0.0))
+        .otherwise(num.cast("double") / den)
+    val joined = base.select(col(idCol), col("__chars"))
+      .join(perDoc, Seq(idCol), "left")
+      .join(lineCounts, Seq(idCol), "left")
+    val topFracs = topNs.map { n =>
+      val gramLen = (length(col(s"__top$n.gram")) - (n - 1)).cast("long")
+      frac(col(s"__top$n.c") * gramLen, col("__chars"))
+        .as(s"top${n}_frac")
+    }
+    val dupFracs = dupNs.map { n =>
+      frac(col(s"__dup$n"), col("__chars")).as(s"dup${n}_frac")
+    }
+    val lineFracs = Seq(
+      frac(col("__duplines"), col("__nlines")).as("dup_line_frac"),
+      frac(col("__duplinechars"), col("__linechars"))
+        .as("dup_line_char_frac"))
+    val withFracs = joined.select(
+      col(idCol) +: (topFracs ++ dupFracs ++ lineFracs): _*)
+    val keep = (topNs.map(n => col(s"top${n}_frac") <= topThresh(n)) ++
+      dupNs.map(n => col(s"dup${n}_frac") <= dupThresh(n)) ++
+      Seq(col("dup_line_frac") <= 0.30, col("dup_line_char_frac") <= 0.20))
+      .reduce(_ && _)
+    withFracs.withColumn("keep", keep)
+  }
+
+  /** [[repetitionStats]] as PURE PER-ROW column math — the streaming
+    * form. The batch operator chains two aggregations (gram counts →
+    * doc roll-up), which Structured Streaming cannot run in append mode;
+    * but every statistic is a function of the single document, so the
+    * stateless reformulation counts each distinct gram with a
+    * higher-order filter over the doc's own gram array and folds the
+    * duplicate-char sums with `aggregate` — zero shuffle, zero state,
+    * identical output row for row (spec-pinned, and q167 reuses q166's
+    * oracle text verbatim — the q102 → q96 stateless-gate pattern).
+    *
+    * The trade is per-row O(distinct × total) gram comparisons instead
+    * of a count shuffle — right for ingest-time filtering of bounded
+    * documents (the gram compare is codegen'd string equality); for
+    * unbounded batch corpora the grouped [[repetitionStats]] is the
+    * scale path. Tie-breaks, divisions, and thresholds are the same
+    * exact-integer arithmetic, so stream and batch can never disagree
+    * on a keep verdict.
+    */
+  def repetitionStatsStateless(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def frac(num: Column, den: Column): Column =
+      when(den.isNull || den === 0L || num.isNull, lit(0.0))
+        .otherwise(num.cast("double") / den)
+    // materialize the token array, every gram array, and every distinct
+    // set in their OWN projections: each is referenced per element by a
+    // downstream lambda (the ngramsFromTokens / q90 re-evaluation lesson)
+    var out = df
+      .withColumn("__toks",
+        regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0)))
+      .withColumn("__chars",
+        length(regexp_replace(col(textCol), "\\s+", "")).cast("long"))
+      .withColumn("__lines",
+        filter(transform(split(col(textCol), "\n"), l => trim(l)),
+          l => l =!= ""))
+      .withColumn("__dlines", array_distinct(col("__lines")))
+    (topNs ++ dupNs).foreach { n =>
+      out = out
+        .withColumn(s"__g$n", ngramsFromTokens(col("__toks"), n))
+        .withColumn(s"__d$n", array_distinct(col(s"__g$n")))
+        // (count, gram) per distinct gram — the same struct the batch
+        // aggregation maxes/sums over
+        .withColumn(s"__cg$n", transform(col(s"__d$n"),
+          g => struct(size(filter(col(s"__g$n"), x => x === g))
+            .cast("long").as("c"), g.as("gram"))))
+    }
+    val topFracs = topNs.map { n =>
+      val top = array_max(col(s"__cg$n"))
+      val gramLen = (length(top.getField("gram")) - (n - 1)).cast("long")
+      frac(top.getField("c") * gramLen, col("__chars")).as(s"top${n}_frac")
+    }
+    val dupFracs = dupNs.map { n =>
+      val dupChars = aggregate(col(s"__cg$n"), lit(0L), (acc, s) =>
+        acc + when(s.getField("c") >= 2,
+          (s.getField("c") - 1) *
+            (length(s.getField("gram")) - (n - 1)).cast("long"))
+          .otherwise(0L))
+      frac(dupChars, col("__chars")).as(s"dup${n}_frac")
+    }
+    val nLines = size(col("__lines")).cast("long")
+    val dupLines = nLines - size(col("__dlines")).cast("long")
+    val lineChars = aggregate(col("__lines"), lit(0L),
+      (acc, l) => acc + length(l).cast("long"))
+    val dupLineChars = lineChars - aggregate(col("__dlines"), lit(0L),
+      (acc, l) => acc + length(l).cast("long"))
+    val lineFracs = Seq(
+      frac(dupLines, when(nLines === 0, lit(null)).otherwise(nLines))
+        .as("dup_line_frac"),
+      frac(dupLineChars, when(lineChars === 0, lit(null)).otherwise(lineChars))
+        .as("dup_line_char_frac"))
+    val withFracs = out.select(
+      col(idCol) +: (topFracs ++ dupFracs ++ lineFracs): _*)
+    val keep = (topNs.map(n => col(s"top${n}_frac") <= topThresh(n)) ++
+      dupNs.map(n => col(s"dup${n}_frac") <= dupThresh(n)) ++
+      Seq(col("dup_line_frac") <= 0.30, col("dup_line_char_frac") <= 0.20))
+      .reduce(_ && _)
+    withFracs.withColumn("keep", keep)
+  }
+
   /** Winnowing fingerprints (the MOSS scheme): hash every `k`-char gram,
     * take the minimum hash of each `w`-wide window, distinct the minima.
     * Guarantees at least one shared fingerprint for any shared substring

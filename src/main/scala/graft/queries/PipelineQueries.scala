@@ -189,6 +189,16 @@ object PipelineQueries {
         .orderBy("source", "pred")
     }),
 
+    // Streaming repetition filter: the per-row Gopher table over documents
+    // arriving as a stream (the batch operator's chained aggs can't
+    // stream; the stateless reformulation can). Same oracle text as q166.
+    "q167_stream_repetition" -> ((s, dir) => {
+      StreamingIngest
+        .streamRepetition(s, dir,
+          queryName = s"rep_${java.util.UUID.randomUUID().toString.take(8)}")
+        .orderBy("doc_id")
+    }),
+
     // Streaming chunking: the stateless segmenter over documents arriving
     // as a stream. Same oracle text as q96 — stream ≡ batch row-for-row.
     "q102_stream_chunking" -> ((s, dir) => {
@@ -575,6 +585,7 @@ object PipelineQueries {
 
     // identical to q96's oracle on purpose: stream ≡ batch
     "q102_stream_chunking" -> TextQueries.pipelineOracles("q96_chunking"),
+    "q167_stream_repetition" -> TextQueries.oracles("q166_repetition"),
 
     // the streamed span-dedup must equal the batch pass row-for-row
     "q134_stream_span_dedup" -> DedupQueries.oracles("q131_span_dedup"),

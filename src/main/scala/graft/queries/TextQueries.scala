@@ -417,6 +417,20 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // The FULL Gopher repetition table (Rae et al. 2021 A1) as a gate:
+    // top-{2,3,4}-gram and duplicated-{5..10}-gram character fractions
+    // plus the line-level pair, all single divisions of exact integer
+    // counts (no rounding anywhere — the q120 doctrine), thresholds the
+    // paper's. The corpus has no newlines, so the line fractions are
+    // exercised structurally here (always one line → 0.0) and
+    // numerically by spec; the n-gram family carries the gate.
+    "q166_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // The ENCODER side of the tokenizer: train 10 merges, apply them to
     // the corpus, report per-source token counts + fertility (BPE tokens
     // per word — THE tokenizer-quality number). Scale shape: the corpus
@@ -2028,6 +2042,95 @@ object TextQueries {
       bpeLayersSql(10, byteLevel = true) + "\n" + (1 to 10)
         .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, n FROM b$i")
         .mkString(" UNION ALL ") + "\nORDER BY rank"
+    },
+
+    // Gopher repetition replay: one (doc, n, gram) count table for all
+    // nine n values, top gram per (doc, n) by (count DESC, gram DESC) —
+    // Spark's max(struct(c, gram)) tie-break — dup chars as
+    // Σ (c−1)·(len(gram) − (n−1)), line stats from trimmed nonempty
+    // newline splits, every fraction a single division of exact integer
+    // counts (CAST sums to BIGINT: DuckDB widens to HUGEINT).
+    "q166_repetition" -> {
+      def topFrac(n: Int) =
+        s"CASE WHEN total_chars = 0 OR t$n IS NULL THEN 0.0 ELSE CAST(t$n AS BIGINT) / total_chars END"
+      def dupFrac(n: Int) =
+        s"CASE WHEN total_chars = 0 OR p$n IS NULL THEN 0.0 ELSE CAST(p$n AS BIGINT) / total_chars END"
+      val lineFrac =
+        "CASE WHEN nl IS NULL OR nl = 0 THEN 0.0 ELSE CAST(dl AS BIGINT) / CAST(nl AS BIGINT) END"
+      val lineCharFrac =
+        "CASE WHEN lch IS NULL OR lch = 0 THEN 0.0 ELSE CAST(dlch AS BIGINT) / CAST(lch AS BIGINT) END"
+      val topThresh = Map(2 -> "0.20", 3 -> "0.18", 4 -> "0.16")
+      val dupThresh = Map(5 -> "0.15", 6 -> "0.14", 7 -> "0.13",
+        8 -> "0.12", 9 -> "0.11", 10 -> "0.10")
+      val keep = ((2 to 4).map(n => s"${topFrac(n)} <= ${topThresh(n)}") ++
+        (5 to 10).map(n => s"${dupFrac(n)} <= ${dupThresh(n)}") ++
+        Seq(s"$lineFrac <= 0.30", s"$lineCharFrac <= 0.20"))
+        .mkString("(", ") AND (", ")")
+      raw"""WITH d AS (
+         |  SELECT doc_id, text,
+         |    regexp_extract_all(lower(text), '\S+') AS toks,
+         |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS total_chars
+         |  FROM documents),
+         |ns AS (SELECT unnest(range(2, 11)) AS n),
+         |g0 AS (
+         |  SELECT doc_id, n, toks, unnest(range(1, len(toks) - n + 2)) AS i
+         |  FROM d CROSS JOIN ns WHERE len(toks) >= n),
+         |g AS (
+         |  SELECT doc_id, n, array_to_string(toks[i:i+n-1], ' ') AS gram
+         |  FROM g0),
+         |cnts AS (
+         |  SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+         |topg AS (
+         |  SELECT doc_id, n, c * (length(gram) - (n - 1)) AS top_chars
+         |  FROM (
+         |    SELECT doc_id, n, gram, c, row_number() OVER (
+         |      PARTITION BY doc_id, n ORDER BY c DESC, gram DESC) AS rn
+         |    FROM cnts) WHERE rn = 1),
+         |dupg AS (
+         |  SELECT doc_id, n,
+         |    CAST(sum(CASE WHEN c >= 2 THEN (c - 1) * (length(gram) - (n - 1)) ELSE 0 END) AS BIGINT) AS dup_chars
+         |  FROM cnts GROUP BY 1, 2),
+         |pern AS (
+         |  SELECT t.doc_id, t.n, t.top_chars, p.dup_chars
+         |  FROM topg t JOIN dupg p USING (doc_id, n)),
+         |agg AS (
+         |  SELECT doc_id,
+         |    max(CASE WHEN n = 2 THEN top_chars END) AS t2,
+         |    max(CASE WHEN n = 3 THEN top_chars END) AS t3,
+         |    max(CASE WHEN n = 4 THEN top_chars END) AS t4,
+         |    max(CASE WHEN n = 5 THEN dup_chars END) AS p5,
+         |    max(CASE WHEN n = 6 THEN dup_chars END) AS p6,
+         |    max(CASE WHEN n = 7 THEN dup_chars END) AS p7,
+         |    max(CASE WHEN n = 8 THEN dup_chars END) AS p8,
+         |    max(CASE WHEN n = 9 THEN dup_chars END) AS p9,
+         |    max(CASE WHEN n = 10 THEN dup_chars END) AS p10
+         |  FROM pern GROUP BY doc_id),
+         |lines0 AS (
+         |  SELECT doc_id, trim(l) AS line
+         |  FROM (SELECT doc_id, unnest(str_split(text, chr(10))) AS l FROM d)
+         |  WHERE trim(l) <> ''),
+         |lcc AS (SELECT doc_id, line, count(*) AS c FROM lines0 GROUP BY 1, 2),
+         |ls AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nl,
+         |    CAST(sum(c * length(line)) AS BIGINT) AS lch,
+         |    CAST(sum(c - 1) AS BIGINT) AS dl,
+         |    CAST(sum((c - 1) * length(line)) AS BIGINT) AS dlch
+         |  FROM lcc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  ${topFrac(2)} AS top2_frac,
+         |  ${topFrac(3)} AS top3_frac,
+         |  ${topFrac(4)} AS top4_frac,
+         |  ${dupFrac(5)} AS dup5_frac,
+         |  ${dupFrac(6)} AS dup6_frac,
+         |  ${dupFrac(7)} AS dup7_frac,
+         |  ${dupFrac(8)} AS dup8_frac,
+         |  ${dupFrac(9)} AS dup9_frac,
+         |  ${dupFrac(10)} AS dup10_frac,
+         |  $lineFrac AS dup_line_frac,
+         |  $lineCharFrac AS dup_line_char_frac,
+         |  $keep AS keep
+         |FROM d LEFT JOIN agg USING (doc_id) LEFT JOIN ls USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     // Tokenizer-grain packing: the q129 training layers + the q130 encode

@@ -150,6 +150,35 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Ingest-time Gopher repetition filter: [[graft.operators.TextAnalysis
+    * .repetitionStatsStateless]] over documents arriving as a stream —
+    * the per-row reformulation exists precisely because the batch
+    * operator's chained aggregations cannot run in streaming append
+    * mode. Zero state, zero shuffle: each document's full repetition
+    * verdict (all eleven fractions + keep) emits the moment it lands.
+    * The q167 gate runs this against q166's exact batch oracle text —
+    * the q102 → q96 stateless-gate pattern.
+    */
+  def streamRepetition(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_repetition"): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stats = graft.operators.TextAnalysis.repetitionStatsStateless(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sfDir),
+      "doc_id", "text")
+    val q = stats.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming document chunking: [[graft.operators.TextAnalysis
     * .chunkDocuments]] applied to documents arriving as a stream — the
     * ingest-time segmentation path of a continuously-fed corpus. The
