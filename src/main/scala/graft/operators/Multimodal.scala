@@ -231,6 +231,76 @@ object Multimodal {
     }
   }
 
+  /** A (video, frame) decode request — the input contract of the frame
+    * extraction boundary.
+    */
+  case class FrameRecord(id: Long, media: Array[Byte], frame_idx: Long)
+
+  /** One sampled frame's decode output: presentation timestamp + a
+    * deterministic frame signature (what a real pipeline would replace
+    * with pixels/embeddings).
+    */
+  case class FrameSample(id: Long, frame_idx: Long, ts_usec: Long,
+      frame_sig: String)
+
+  /** Uniform frame-sample indices from a frame count: all frames when
+    * `nFrames` ≤ k, else the k evenly-spaced indices ⌊j·nFrames/k⌋
+    * (j = 0..k−1) — the standard fixed-budget video sampling policy.
+    * Exact integer math (subtract the modulus before dividing — the
+    * house keep-count rule, so any engine replays the identical index
+    * set); empty array for NULL/non-positive counts (audio containers,
+    * truncated headers). Pure column math inside the scan.
+    */
+  def sampleFrameIndices(nFrames: Column, k: Int): Column = {
+    require(k >= 1, s"k must be positive, got $k")
+    when(nFrames.isNull || nFrames <= 0, array().cast("array<long>"))
+      .otherwise(when(nFrames <= k, sequence(lit(0L), nFrames - 1))
+        .otherwise(transform(sequence(lit(0L), lit(k - 1L)), { j =>
+          val num = j * nFrames
+          ((num - num % k) / k).cast("long")
+        })))
+  }
+
+  /** Batched partition-local frame extraction — [[extractMetadata]]'s
+    * shape at FRAME grain: a real implementation would seek the codec to
+    * each requested index and emit pixels; the STUB parses the container's
+    * real header fields from the raw bytes (LE u32 µs/frame at 32, frame
+    * count at 48, width/height at 64/68 — the [[videoMeta]] AVI layout;
+    * headers under 72 bytes refuse with zeroed fields rather than
+    * misread) and derives a deterministic signature
+    * md5("len:w:h:nframes:usec:idx") plus the frame's presentation
+    * timestamp idx·µs — so the gate proves the BYTES flowed through the
+    * boundary, not just the row count.
+    */
+  def extractFrames(requests: Dataset[FrameRecord],
+      batchSize: Int = 64): Dataset[FrameSample] = {
+    require(batchSize >= 1, s"batchSize must be positive, got $batchSize")
+    import requests.sparkSession.implicits._
+    requests.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch codec setup/seek state would happen here
+        batch.iterator.map(frameStub)
+      }
+    }
+  }
+
+  private def leU32At(b: Array[Byte], pos: Int): Long =
+    (b(pos) & 0xffL) | ((b(pos + 1) & 0xffL) << 8) |
+      ((b(pos + 2) & 0xffL) << 16) | ((b(pos + 3) & 0xffL) << 24)
+
+  private[operators] def frameStub(r: FrameRecord): FrameSample = {
+    val b = r.media
+    val (us, nf, w, h) =
+      if (b.length >= 72)
+        (leU32At(b, 32), leU32At(b, 48), leU32At(b, 64), leU32At(b, 68))
+      else (0L, 0L, 0L, 0L)
+    val md = MessageDigest.getInstance("MD5")
+    val sig = md.digest(
+        s"${b.length}:$w:$h:$nf:$us:${r.frame_idx}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    FrameSample(r.id, r.frame_idx, r.frame_idx * us, sig)
+  }
+
   /** Full plumbing demo: frame → media column → batched decode → metadata
     * columns. The decode output carries (id, media_type, n_bytes, checksum,
     * width, height); join it back on `id` when the original frame's other

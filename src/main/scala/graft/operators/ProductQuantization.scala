@@ -299,12 +299,24 @@ object ProductQuantization {
       shortlist: Int, codebooks: Codebooks,
       cellCents: Map[Int, Array[Double]], nBits: Int = 8,
       radius: Int = 1, vecCol: String = "embedding",
+      codeCol: String = "pq_code", idCol: String = "id"): DataFrame =
+    probeAdcResidualCells(indexed, query,
+      probedCells(query, cellCents, nBits, radius), k, shortlist,
+      codebooks, cellCents, vecCol, codeCol, idCol)
+
+  /** [[probeAdcResidual]] with an EXPLICIT probed-cell set — composed
+    * with [[nearestCellsD]] this is the FAISS-canonical IVFPQ: kmeans
+    * coarse quantizer, residual codes, nprobe-nearest-cell pruning,
+    * per-cell ADC tables, exact rerank (q169).
+    */
+  def probeAdcResidualCells(indexed: DataFrame, query: Array[Float],
+      cells: Seq[Int], k: Int, shortlist: Int, codebooks: Codebooks,
+      cellCents: Map[Int, Array[Double]], vecCol: String = "embedding",
       codeCol: String = "pq_code", idCol: String = "id"): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
-    val cells = probedCells(query, cellCents, nBits, radius)
     val pruned = indexed.filter(col("cluster_id").isin(cells: _*))
-    val short = adcShortlistResidual(indexed, query, shortlist, codebooks,
-      cellCents, nBits, radius, codeCol, idCol)
+    val short = adcShortlistResidualCells(indexed, query, cells, shortlist,
+      codebooks, cellCents, codeCol, idCol)
     SimilaritySearch.rerankExact(pruned.drop(codeCol), short, query, k,
       shortlist, "l2", vecCol, idCol)
   }
@@ -321,6 +333,33 @@ object ProductQuantization {
     cells
   }
 
+  /** The `nprobe` cell ids nearest a DOUBLE query under the engine-exact
+    * ordering: ROUNDED Euclidean l2 (HALF_UP, 6 places — the
+    * [[nearestCid]] assignment rounding; sqrt outputs are never dyadic,
+    * so no midpoint guard) with a cell-id tie-break, so a SQL oracle
+    * replays the probe set exactly
+    * (`ORDER BY round(list_distance(cent, qv), 6), cid`). This is the
+    * kmeans-IVF probe rule; [[VectorIndex.nearestCentroidIds]] is its
+    * raw-float sibling for the MLlib-built (rows-only-gated) index path.
+    */
+  def nearestCellsD(query: Array[Double], cellCents: Map[Int, Array[Double]],
+      nprobe: Int): Seq[Int] = {
+    require(nprobe >= 1, s"nprobe must be positive, got $nprobe")
+    require(cellCents.nonEmpty, "nearestCellsD: no cells")
+    cellCents.toSeq.map { case (cid, cent) =>
+      var acc = 0.0
+      var i = 0
+      while (i < cent.length) {
+        val d = (if (i < query.length) query(i) else 0.0) - cent(i)
+        acc += d * d
+        i += 1
+      }
+      val r = java.math.BigDecimal.valueOf(math.sqrt(acc))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      (r, cid)
+    }.sortBy(identity).take(nprobe).map(_._2)
+  }
+
   /** Residual ADC shortlist: the pruned scan reads `(idCol, cluster_id,
     * codeCol)` only — m bytes of vector data per row — and scores each
     * row against ITS cell's lookup table, delivered as a plan-literal
@@ -330,11 +369,25 @@ object ProductQuantization {
   def adcShortlistResidual(indexed: DataFrame, query: Array[Float],
       shortlist: Int, codebooks: Codebooks,
       cellCents: Map[Int, Array[Double]], nBits: Int = 8, radius: Int = 1,
+      codeCol: String = "pq_code", idCol: String = "id"): DataFrame =
+    adcShortlistResidualCells(indexed, query,
+      probedCells(query, cellCents, nBits, radius), shortlist, codebooks,
+      cellCents, codeCol, idCol)
+
+  /** [[adcShortlistResidual]] against an EXPLICIT probed-cell set — the
+    * entry point for coarse quantizers that are not sign buckets (kmeans
+    * cells via [[nearestCellsD]], q169).
+    */
+  def adcShortlistResidualCells(indexed: DataFrame, query: Array[Float],
+      cells: Seq[Int], shortlist: Int, codebooks: Codebooks,
+      cellCents: Map[Int, Array[Double]],
       codeCol: String = "pq_code", idCol: String = "id"): DataFrame = {
     require(shortlist >= 1, s"shortlist must be positive, got $shortlist")
+    require(cells.nonEmpty, "adcShortlistResidualCells: no probed cells")
+    require(cells.forall(cellCents.contains),
+      s"probed cells ${cells.filterNot(cellCents.contains)} have no centroid")
     val m = codebooks.length
     val ksub = codebooks.head.length
-    val cells = probedCells(query, cellCents, nBits, radius)
     val lutMap: Map[Int, Seq[Double]] = cells.map { c =>
       val cent = cellCents(c)
       val qr = Array.tabulate(query.length)(i => query(i).toDouble - cent(i))

@@ -37,6 +37,28 @@ object PipelineQueries {
       substring(p, 3, 2), substring(p, 1, 2))
   }
 
+  // The synthetic video container headers shared by q99 (metadata parse)
+  // and q168 (frame sampling): canonical 72-byte AVI main header with
+  // doc-derived dimensions / frame count / frame duration (doc_id % 4 = 0),
+  // MP4 ftyp, MKV EBML magic, truncated AVI.
+  private def videoHexHeader: Column = {
+    val w = (col("doc_id") % 1920 + 1).cast("long")
+    val h = (length(col("text")) % 1080 + 1).cast("long")
+    val nf = (col("doc_id") % 9000 + 1).cast("long")
+    val us = ((col("doc_id") % 5 + 1) * 10000).cast("long")
+    val f = col("doc_id") % 4
+    when(f === 0, concat(
+        lit("52494646" + "00100000" + "41564920" +
+          "4C495354" + "C4000000" + "6864726C" +
+          "61766968" + "38000000"),
+        leHex32(us), lit("00000000" + "00000000" + "10000000"),
+        leHex32(nf), lit("00000000" + "01000000" + "00000000"),
+        leHex32(w), leHex32(h)))
+      .when(f === 1, lit("00000018" + "66747970" + "69736F6D"))
+      .when(f === 2, lit("1A45DFA3"))
+      .otherwise(lit("52494646" + "00100000" + "41564920"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // CREATE + BULKINSERT + SEARCH through a real collection: data flows
@@ -314,21 +336,7 @@ object PipelineQueries {
     // (classify-only, NULL fields — never misread) round-trip through
     // binary and [[Multimodal.videoMeta]].
     "q99_video_meta" -> ((s, dir) => {
-      val w = (col("doc_id") % 1920 + 1).cast("long")
-      val h = (length(col("text")) % 1080 + 1).cast("long")
-      val nf = (col("doc_id") % 9000 + 1).cast("long")
-      val us = ((col("doc_id") % 5 + 1) * 10000).cast("long")
-      val f = col("doc_id") % 4
-      val hexHeader = when(f === 0, concat(
-          lit("52494646" + "00100000" + "41564920" +
-            "4C495354" + "C4000000" + "6864726C" +
-            "61766968" + "38000000"),
-          leHex32(us), lit("00000000" + "00000000" + "10000000"),
-          leHex32(nf), lit("00000000" + "01000000" + "00000000"),
-          leHex32(w), leHex32(h)))
-        .when(f === 1, lit("00000018" + "66747970" + "69736F6D"))
-        .when(f === 2, lit("1A45DFA3"))
-        .otherwise(lit("52494646" + "00100000" + "41564920"))
+      val hexHeader = videoHexHeader
       Tables.documents(s, dir)
         .select(col("doc_id"),
           Multimodal.videoMeta(unhex(hexHeader)).as("__m"))
@@ -337,6 +345,33 @@ object PipelineQueries {
           col("__m.n_frames").as("n_frames"),
           col("__m.usec_per_frame").as("usec_per_frame"))
         .orderBy("doc_id")
+    }),
+
+    // Frame sampling through the batched decode boundary: the q99 video
+    // headers → uniform ⌊j·nf/8⌋ indices as exact integer column math →
+    // one FrameRecord per sampled frame → partition-local batched
+    // extraction whose stub PARSES the LE header fields from the raw
+    // bytes and signs md5(len:w:h:nf:us:idx) — the oracle recomputes
+    // indices, timestamps, and signatures analytically (q99's pattern),
+    // so a hash match proves the byte parse, the sampling policy, and
+    // the timestamp arithmetic together. Containers without a frame
+    // count (mp4/mkv/truncated) sample nothing.
+    "q168_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val media = unhex(videoHexHeader)
+      val withIdx = Tables.documents(s, dir)
+        .select(col("doc_id"), media.as("media"),
+          Multimodal.videoMeta(media).as("__m"))
+        .select(col("doc_id"), col("media"),
+          explode_outer(Multimodal.sampleFrameIndices(
+            col("__m.n_frames"), 8)).as("frame_idx"))
+        .filter(col("frame_idx").isNotNull)
+        .select(col("doc_id").as("id"), col("media"), col("frame_idx"))
+        .as[Multimodal.FrameRecord]
+      Multimodal.extractFrames(withIdx).toDF()
+        .select(col("id").as("doc_id"), col("frame_idx"),
+          col("ts_usec"), col("frame_sig"))
+        .orderBy("doc_id", "frame_idx")
     }),
 
     // TRUNCATEWAL-as-compaction: land data in many small part files (the
@@ -648,6 +683,33 @@ object PipelineQueries {
         |    THEN CAST((doc_id % 5 + 1) * 10000 AS BIGINT) END AS usec_per_frame
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // Frame-sample replay: only full-AVI docs (doc_id % 4 = 0) carry a
+    // frame count; indices are all frames when nf <= 8, else the eight
+    // exact ⌊j·nf/8⌋ values (modulus subtracted before the division —
+    // the exact-multiple CAST idiom); the signature recomputes the
+    // stub's md5 over the analytically-known header fields (len 72).
+    "q168_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 9000 + 1 AS BIGINT) AS nf,
+        |    CAST((doc_id % 5 + 1) * 10000 AS BIGINT) AS us,
+        |    CAST(doc_id % 1920 + 1 AS BIGINT) AS w,
+        |    CAST(length(text) % 1080 + 1 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |idx AS (
+        |  SELECT doc_id, unnest(range(0, nf)) AS fi FROM v WHERE nf <= 8
+        |  UNION ALL
+        |  SELECT doc_id, CAST((j.j * nf - (j.j * nf) % 8) / 8 AS BIGINT) AS fi
+        |  FROM v CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j
+        |  WHERE nf > 8)
+        |SELECT v.doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |  CAST(fi * us AS BIGINT) AS ts_usec,
+        |  md5('72:' || CAST(w AS VARCHAR) || ':' || CAST(h AS VARCHAR)
+        |    || ':' || CAST(nf AS VARCHAR) || ':' || CAST(us AS VARCHAR)
+        |    || ':' || CAST(fi AS VARCHAR)) AS frame_sig
+        |FROM idx JOIN v USING (doc_id)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q80_image_meta" ->
       """SELECT doc_id,

@@ -784,6 +784,41 @@ object VectorQueries {
           col("n_hit_rot"),
           round(col("n_hit_rot") / 10.0 + lit(1e-9), 2).as("recall_rot"))
         .orderBy("query_id")
+    }),
+
+    // The FAISS-canonical IVFPQ (Jégou §IV with a LEARNED coarse
+    // quantizer): deterministic kmeans cells — which ARE PQ training at
+    // m = 1 (ksub cells over the full vector, identical seeding /
+    // rounded-argmin / rounded-mean rules, so the oracle reuses the same
+    // replay body) — then residual codes against the coarse centroids,
+    // nprobe = 2 nearest cells by rounded l2 (cell-id tie-break), per-cell
+    // ADC tables, exact rerank. q161 is the sign-bucket sibling; this
+    // closes the coarse-quantizer axis of the ANN matrix.
+    "q169_kmeans_ivfpq" -> ((s, dir) => {
+      val PQ = graft.operators.ProductQuantization
+      val e = Tables.embeddings(s, dir)
+      val coarse = PQ.trainCodebooks(e, "vec_id", "embedding",
+        m = 1, ksub = 8, rounds = 1, seed = "kvr")
+      val cellCents: Map[Int, Array[Double]] =
+        coarse(0).zipWithIndex.map { case (c, i) => (i + 1) -> c }.toMap
+      val indexed = PQ.assignCodes(e, "embedding", coarse, "__coarse")
+        .withColumn("cluster_id", element_at(col("__coarse"), 1).cast("int"))
+        .drop("__coarse")
+      val res = PQ.withResiduals(indexed, "embedding", cellCents)
+      val cb = PQ.trainCodebooks(res, "vec_id", "__res",
+        m = 8, ksub = 16, rounds = 1, seed = "krq")
+      val coded = PQ.assignCodes(res, "__res", cb).drop("__res")
+      val query = e.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val cells = PQ.nearestCellsD(query.map(_.toDouble), cellCents,
+        nprobe = 2)
+      PQ.probeAdcResidualCells(coded.filter(col("vec_id") =!= 0), query,
+          cells, k = 50, shortlist = 50, cb, cellCents,
+          vecCol = "embedding", idCol = "vec_id")
+        .select(col("vec_id"), col("approx_score").as("adc_dist"),
+          round(col("score"), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
     })
   )
 
@@ -1491,6 +1526,57 @@ object VectorQueries {
         |LEFT JOIN hp USING (query_id) LEFT JOIN hr USING (query_id)
         |ORDER BY query_id""".stripMargin
     },
+
+    // Kmeans-coarse IVFPQ replay: the coarse quantizer is literally the
+    // PQ training body at m=1/dsub=64/ksub=8 (prefix k), residuals
+    // subtract each row's own kc1 centroid, the fine training is the
+    // standard body (prefix r), the probe ranks cells by rounded
+    // Euclidean l2 with a cid tie-break (nprobe 2), and the per-cell
+    // LUTs expand the query residual inline (qv − cellcent − subcent).
+    "q169_kmeans_ivfpq" -> (
+      s"""WITH e2 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |""".stripMargin +
+      pqTrainBody("e2", "kvr", 1, 64, 8, "k") +
+      """,
+        |rv3 AS (
+        |  SELECT e2.vec_id, list(e2.v[kii.i] - c.cent[kii.i] ORDER BY kii.i) AS v
+        |  FROM e2 JOIN kcodes kc ON kc.vec_id = e2.vec_id
+        |  JOIN kc1 c ON c.s = kc.s AND c.cid = kc.cid
+        |  CROSS JOIN kii
+        |  GROUP BY e2.vec_id),
+        |""".stripMargin +
+      pqTrainBody("rv3", "krq", 8, 8, 16, "r") +
+      """,
+        |q AS (SELECT v AS qv FROM e2 WHERE vec_id = 0),
+        |probed AS (
+        |  SELECT cid, cent FROM (
+        |    SELECT c.cid, c.cent, row_number() OVER (
+        |      ORDER BY round(list_distance(c.cent, q.qv), 6), c.cid) AS rn
+        |    FROM kc1 c CROSS JOIN q) WHERE rn <= 2),
+        |lutr AS (
+        |  SELECT p.cid AS cell, c1.s, c1.cid,
+        |    round(sum(power(q.qv[c1.s*8 + ii.i] - p.cent[c1.s*8 + ii.i]
+        |      - c1.cent[ii.i], 2)) + 1e-9, 6) AS d
+        |  FROM probed p CROSS JOIN rc1 c1 CROSS JOIN rii ii CROSS JOIN q
+        |  GROUP BY p.cid, c1.s, c1.cid),
+        |adc AS (
+        |  SELECT k2.vec_id, round(sum(l.d) + 1e-9, 6) AS adc_dist
+        |  FROM rcodes k2
+        |  JOIN kcodes kc ON kc.vec_id = k2.vec_id
+        |  JOIN lutr l ON l.cell = kc.cid AND l.s = k2.s AND l.cid = k2.cid
+        |  WHERE k2.vec_id <> 0
+        |  GROUP BY k2.vec_id),
+        |short AS (
+        |  SELECT vec_id, adc_dist FROM (
+        |    SELECT vec_id, adc_dist, row_number() OVER (
+        |      ORDER BY adc_dist, vec_id) AS rn FROM adc)
+        |  WHERE rn <= 50)
+        |SELECT short.vec_id, adc_dist,
+        |  round(list_distance(e2.v, q.qv), 6) AS dist
+        |FROM short JOIN e2 USING (vec_id) CROSS JOIN q
+        |ORDER BY dist, short.vec_id
+        |LIMIT 10""".stripMargin),
 
     "q106_kmeans_lloyd" ->
       """WITH e AS (

@@ -159,4 +159,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 200)
     assert(out.map(_.id).toSet == (1L to 200L).toSet)
   }
+
+  test("sampleFrameIndices: all frames under budget, exact uniform spread over") {
+    val rows = Seq(1L -> 5L, 2L -> 9000L, 3L -> 8L, 4L -> 0L)
+      .toDF("id", "nf")
+      .select($"id",
+        Multimodal.sampleFrameIndices($"nf", 8).as("idx"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(rows(1L) == (0L until 5L), "nf <= k takes every frame")
+    assert(rows(3L) == (0L until 8L))
+    assert(rows(2L) == (0 until 8).map(j => j * 9000L / 8),
+      "k evenly-spaced exact indices")
+    assert(rows(2L).distinct == rows(2L), "indices strictly increasing")
+    assert(rows(4L).isEmpty, "no frames → nothing to sample")
+    // NULL count (mp4/mkv/truncated containers) samples nothing
+    val nullRow = Seq(Tuple1(1L)).toDF("id")
+      .select(Multimodal.sampleFrameIndices(
+        org.apache.spark.sql.functions.lit(null).cast("long"), 8))
+      .as[Seq[Long]].head()
+    assert(nullRow.isEmpty)
+  }
+
+  test("frame extraction stub parses the header bytes it is handed") {
+    // the canonical 72-byte AVI from the videoMeta test: w 640, h 360,
+    // nf 250, us 33333 — the stub must read those fields from the BYTES
+    val hdr =
+      "52494646" + "00100000" + "41564920" + "4C495354" + "C4000000" +
+      "6864726C" + "61766968" + "38000000" + "35820000" + "00000000" +
+      "00000000" + "10000000" + "FA000000" + "00000000" + "01000000" +
+      "00000000" + "80020000" + "68010000"
+    val media = hdr.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val got = Multimodal.frameStub(Multimodal.FrameRecord(7L, media, 3L))
+    assert(got.ts_usec == 3L * 33333L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = md.digest("72:640:360:250:33333:3".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.frame_sig == want)
+    // short header: refuse with zeroed fields, never a misread
+    val short = Multimodal.frameStub(
+      Multimodal.FrameRecord(8L, media.take(40), 2L))
+    assert(short.ts_usec == 0L)
+  }
 }

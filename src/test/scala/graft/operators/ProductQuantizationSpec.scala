@@ -269,4 +269,40 @@ class ProductQuantizationSpec extends AnyFunSuite {
         s"hit outside its query's ball: $r")
     }
   }
+
+  test("nearestCellsD: rounded-l2 order, cid tie-break, nprobe cut") {
+    val cents = Map(
+      1 -> Array(1.0, 0.0), 2 -> Array(0.0, 1.0),
+      3 -> Array(1.0, 0.0), // exact tie with cell 1 → lower cid first
+      4 -> Array(10.0, 10.0))
+    val got = ProductQuantization.nearestCellsD(Array(1.0, 0.0), cents, 3)
+    assert(got == Seq(1, 3, 2), s"tie must break on cid: $got")
+    assert(ProductQuantization.nearestCellsD(Array(1.0, 0.0), cents, 1)
+      == Seq(1))
+  }
+
+  test("kmeans coarse quantizer IS PQ training at m = 1 (q169's trick)") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val coarse = ProductQuantization.trainCodebooks(
+      e, "vec_id", "embedding", m = 1, ksub = 8, rounds = 1, seed = "kvr")
+    assert(coarse.length == 1 && coarse(0).length == 8)
+    assert(coarse(0).forall(_.length == 64),
+      "m=1 sub-vectors are the full vectors")
+    // every assignment is the rounded-l2 argmin against the returned
+    // centroids — recompute independently per row
+    val cells = ProductQuantization
+      .assignCodes(e, "embedding", coarse, "code")
+      .select($"vec_id", $"embedding", element_at($"code", 1).cast("int"))
+      .as[(Long, Seq[Float], Int)].collect()
+    cells.take(50).foreach { case (id, v, cid) =>
+      val want = coarse(0).zipWithIndex.map { case (c, i) =>
+        val d = math.sqrt(v.indices.map { j =>
+          val x = v(j).toDouble - c(j); x * x
+        }.sum)
+        (java.math.BigDecimal.valueOf(d)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(), i + 1)
+      }.min._2
+      assert(cid == want, s"vec $id assigned $cid, expected $want")
+    }
+  }
 }
