@@ -464,8 +464,83 @@ object ProductQuantization {
       .select(col(queryIdCol), col(idCol).cast("long").as(idCol),
         (-round(adc + lit(1e-9), 6)).as("s"))
       .as[(Long, Long, Double)]
+    batchExactRerank(indexed, queries, scored.toDF(queryIdCol, idCol, "s"),
+      k, shortlist, vecCol, idCol, queryIdCol, queryVecCol)
+  }
+
+  /** Batch residual IVFPQ probe — [[probeAdcBatch]] for the
+    * kmeans-coarse layout (q170): each query probes its `nprobe`
+    * nearest cells ([[nearestCellsD]] — the engine-exact ordering), ADC
+    * tables are PER (query, probed cell) because codes quantize
+    * residuals (the q169 LUT re-expressed per cell), delivered as ONE
+    * broadcast (query_id, cluster_id, lut) frame whose cell join also
+    * restricts scoring to probed cells; the bounded per-query heap and
+    * the single exact rerank are shared with the sign-bucket batch
+    * path. Scale shape: the union of probed cells is scanned once
+    * reading (idCol, cluster_id, codeCol) — m bytes of vector data per
+    * row — and broadcast sizes are |queries|·nprobe·m·ksub rounded
+    * doubles.
+    */
+  def probeAdcResidualBatch(indexed: DataFrame, queries: DataFrame, k: Int,
+      shortlist: Int, codebooks: Codebooks,
+      cellCents: Map[Int, Array[Double]], nprobe: Int = 2,
+      vecCol: String = "embedding", codeCol: String = "pq_code",
+      idCol: String = "id", queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    VectorIndex.requireIntegralCol(queries, queryIdCol, "probeAdcResidualBatch")
+    VectorIndex.requireIntegralCol(indexed, idCol, "probeAdcResidualBatch")
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val qRows = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol)).collect()
+    require(qRows.nonEmpty, "probeAdcResidualBatch: empty query batch")
+    val qVecs: Map[Long, Array[Float]] =
+      qRows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cellPairs: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
+      nearestCellsD(r.getSeq[Float](1).toArray.map(_.toDouble), cellCents,
+          nprobe)
+        .map(c => (r.getLong(0), c))
+    }
+    val union = cellPairs.map(_._2).distinct.sorted
+    val luts = cellPairs.map { case (qid, c) =>
+      val cent = cellCents(c)
+      val qv = qVecs(qid)
+      val qr = Array.tabulate(qv.length)(i => qv(i).toDouble - cent(i))
+      (qid, c, adcTableD(qr, codebooks).flatten.toSeq)
+    }.toDF(queryIdCol, "cluster_id", "__lut")
+    val adc = (0 until m).map { s =>
+      element_at(col("__lut"),
+        lit(s * ksub) + element_at(col(codeCol), s + 1).cast("int"))
+    }.reduce(_ + _)
+    val scored = indexed
+      .filter(col("cluster_id").isin(union: _*))
+      .join(broadcast(luts), Seq("cluster_id"))
+      .select(col(queryIdCol), col(idCol).cast("long").as(idCol),
+        (-round(adc + lit(1e-9), 6)).as("s"))
+    batchExactRerank(indexed, queries, scored, k, shortlist, vecCol, idCol,
+      queryIdCol, queryVecCol)
+  }
+
+  /** Shared batch tail: bounded per-query shortlist heap over negated
+    * ADC scores, then ONE exact rerank joining the broadcast shortlist
+    * back to full-precision vectors, ranking on the ROUNDED l2 (house
+    * rule). `scored` columns: (queryIdCol, idCol, s) with s = −rounded
+    * ADC distance.
+    */
+  private def batchExactRerank(indexed: DataFrame, queries: DataFrame,
+      scored: DataFrame, k: Int, shortlist: Int, vecCol: String,
+      idCol: String, queryIdCol: String, queryVecCol: String): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val typed = scored
+      .select(col(queryIdCol).cast("long"), col(idCol).cast("long"),
+        col("s").cast("double"))
+      .as[(Long, Long, Double)]
     val short = SimilaritySearch
-      .boundedTopKPerQuery(scored, shortlist, desc_? = false, idCol, queryIdCol)
+      .boundedTopKPerQuery(typed, shortlist, desc_? = false, idCol, queryIdCol)
       .select(col(queryIdCol), col(idCol), col("score").as("approx_score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(queryIdCol).orderBy(asc("score"), col(idCol))

@@ -819,6 +819,37 @@ object VectorQueries {
           round(col("score"), 6).as("dist"))
         .orderBy(col("dist"), col("vec_id"))
         .limit(10)
+    }),
+
+    // Batch kmeans-coarse IVFPQ — the retrieval-job shape of q169
+    // (q135's sign-bucket sibling): 3 queries, per-query nprobe=2
+    // nearest cells, ONE union scan of the probed cells reading only
+    // the codes, per-(query, cell) residual ADC tables in one
+    // broadcast, bounded per-query heap, one exact rerank.
+    // Self-matches ride through (rank 1 at distance 0).
+    "q170_kmeans_batch" -> ((s, dir) => {
+      val PQ = graft.operators.ProductQuantization
+      val e = Tables.embeddings(s, dir)
+      val coarse = PQ.trainCodebooks(e, "vec_id", "embedding",
+        m = 1, ksub = 8, rounds = 1, seed = "kvr")
+      val cellCents: Map[Int, Array[Double]] =
+        coarse(0).zipWithIndex.map { case (c, i) => (i + 1) -> c }.toMap
+      val indexed = PQ.assignCodes(e, "embedding", coarse, "__coarse")
+        .withColumn("cluster_id", element_at(col("__coarse"), 1).cast("int"))
+        .drop("__coarse")
+      val res = PQ.withResiduals(indexed, "embedding", cellCents)
+      val cb = PQ.trainCodebooks(res, "vec_id", "__res",
+        m = 8, ksub = 16, rounds = 1, seed = "krq")
+      val coded = PQ.assignCodes(res, "__res", cb).drop("__res")
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      PQ.probeAdcResidualBatch(coded, qs, k = 5, shortlist = 20, cb,
+          cellCents, nprobe = 2, vecCol = "embedding", idCol = "vec_id")
+        .select(col("query_id"), col("vec_id"),
+          col("approx_score").as("adc_dist"), col("score").as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -1577,6 +1608,63 @@ object VectorQueries {
         |FROM short JOIN e2 USING (vec_id) CROSS JOIN q
         |ORDER BY dist, short.vec_id
         |LIMIT 10""".stripMargin),
+
+    // Batch kmeans-coarse IVFPQ replay: the q169 chain with 3 queries —
+    // per-query nprobe=2 probed cells (rounded-l2 rank, cid tie-break),
+    // per-(query, cell) residual LUTs, ADC restricted to each query's
+    // probed cells via the LUT join itself, shortlist 20, exact-l2
+    // rerank to rank <= 5. Self-matches included.
+    "q170_kmeans_batch" -> (
+      s"""WITH e2 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |""".stripMargin +
+      pqTrainBody("e2", "kvr", 1, 64, 8, "k") +
+      """,
+        |rv3 AS (
+        |  SELECT e2.vec_id, list(e2.v[kii.i] - c.cent[kii.i] ORDER BY kii.i) AS v
+        |  FROM e2 JOIN kcodes kc ON kc.vec_id = e2.vec_id
+        |  JOIN kc1 c ON c.s = kc.s AND c.cid = kc.cid
+        |  CROSS JOIN kii
+        |  GROUP BY e2.vec_id),
+        |""".stripMargin +
+      pqTrainBody("rv3", "krq", 8, 8, 16, "r") +
+      """,
+        |qs4 AS (SELECT vec_id AS query_id, v AS qv FROM e2 WHERE vec_id < 3),
+        |probed AS (
+        |  SELECT query_id, cid, cent FROM (
+        |    SELECT q.query_id, c.cid, c.cent, row_number() OVER (
+        |      PARTITION BY q.query_id
+        |      ORDER BY round(list_distance(c.cent, q.qv), 6), c.cid) AS rn
+        |    FROM kc1 c CROSS JOIN qs4 q) WHERE rn <= 2),
+        |lutr AS (
+        |  SELECT p.query_id, p.cid AS cell, c1.s, c1.cid,
+        |    round(sum(power(q.qv[c1.s*8 + ii.i] - p.cent[c1.s*8 + ii.i]
+        |      - c1.cent[ii.i], 2)) + 1e-9, 6) AS d
+        |  FROM probed p JOIN qs4 q USING (query_id)
+        |  CROSS JOIN rc1 c1 CROSS JOIN rii ii
+        |  GROUP BY p.query_id, p.cid, c1.s, c1.cid),
+        |adc AS (
+        |  SELECT l.query_id, k2.vec_id, round(sum(l.d) + 1e-9, 6) AS adc_dist
+        |  FROM rcodes k2
+        |  JOIN kcodes kc ON kc.vec_id = k2.vec_id
+        |  JOIN lutr l ON l.cell = kc.cid AND l.s = k2.s AND l.cid = k2.cid
+        |  GROUP BY l.query_id, k2.vec_id),
+        |short AS (
+        |  SELECT query_id, vec_id, adc_dist FROM (
+        |    SELECT query_id, vec_id, adc_dist, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+        |    FROM adc)
+        |  WHERE rn <= 20),
+        |sel AS (
+        |  SELECT short.query_id, short.vec_id, adc_dist,
+        |    round(list_distance(e2.v, q.qv), 6) AS dist
+        |  FROM short JOIN e2 ON e2.vec_id = short.vec_id
+        |  JOIN qs4 q ON q.query_id = short.query_id)
+        |SELECT query_id, vec_id, adc_dist, dist, CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (
+        |  PARTITION BY query_id ORDER BY dist, vec_id) AS rn FROM sel)
+        |WHERE rn <= 5
+        |ORDER BY query_id, rank""".stripMargin),
 
     "q106_kmeans_lloyd" ->
       """WITH e AS (

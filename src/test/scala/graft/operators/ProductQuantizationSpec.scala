@@ -270,6 +270,43 @@ class ProductQuantizationSpec extends AnyFunSuite {
     }
   }
 
+  test("probeAdcResidualBatch: self at rank 1, hits confined to probed cells") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val coarse = ProductQuantization.trainCodebooks(
+      e, "vec_id", "embedding", m = 1, ksub = 8, rounds = 1, seed = "kvr")
+    val cellCents = coarse(0).zipWithIndex
+      .map { case (c, i) => (i + 1) -> c }.toMap
+    val indexed = ProductQuantization
+      .assignCodes(e, "embedding", coarse, "__coarse")
+      .withColumn("cluster_id", element_at($"__coarse", 1).cast("int"))
+      .drop("__coarse")
+    val res = ProductQuantization.withResiduals(indexed, "embedding", cellCents)
+    val cb = ProductQuantization.trainCodebooks(res, "vec_id", "__res",
+      m = 8, ksub = 16, rounds = 1, seed = "krq")
+    val coded = ProductQuantization.assignCodes(res, "__res", cb).drop("__res")
+    val qs = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val out = ProductQuantization.probeAdcResidualBatch(coded, qs, k = 5,
+      shortlist = 20, cb, cellCents, nprobe = 2,
+      vecCol = "embedding", idCol = "vec_id").collect()
+    val firsts = out.filter(_.getAs[Int]("rank") == 1)
+    assert(firsts.length == 3)
+    firsts.foreach { r =>
+      assert(r.getAs[Long]("vec_id") == r.getAs[Long]("query_id"))
+      assert(r.getAs[Double]("score") == 0.0)
+    }
+    val cells = coded.select($"vec_id", $"cluster_id")
+      .as[(Long, Int)].collect().toMap
+    val qvecs = qs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    out.foreach { r =>
+      val probed = ProductQuantization.nearestCellsD(
+        qvecs(r.getAs[Long]("query_id")).map(_.toDouble), cellCents, 2)
+      assert(probed.contains(cells(r.getAs[Long]("vec_id"))),
+        s"hit outside its query's probed cells: $r")
+    }
+  }
+
   test("nearestCellsD: rounded-l2 order, cid tie-break, nprobe cut") {
     val cents = Map(
       1 -> Array(1.0, 0.0), 2 -> Array(0.0, 1.0),
