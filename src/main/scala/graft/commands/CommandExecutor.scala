@@ -120,6 +120,11 @@ object CommandExecutor {
               // with cell pruning when radius= is also given
               case Some(s) if db.indexTypeOf(coll).contains("pq") =>
                 db.searchSimilarPq(coll, vec, k, s.toInt, probeRadius = radius)
+              // residual layout: radius= keeps the kmeans convention
+              // (nprobe = radius + 1, like searchSimilar on type=kmeans)
+              case Some(s) if db.indexTypeOf(coll).contains("ivfpq_kmeans") =>
+                db.searchSimilarIvfPq(coll, vec, k, s.toInt,
+                  nprobe = if (radius >= 0) radius + 1 else 2)
               case Some(s) => db.searchSimilarSq8(coll, vec, k, s.toInt, metric)
               case None => db.searchSimilar(coll, vec, k, metric, radius)
             }
@@ -146,6 +151,12 @@ object CommandExecutor {
               ksub = opts.getOrElse("ksub", "16").toInt,
               rounds = opts.getOrElse("rounds", "1").toInt,
               nBits = opts.getOrElse("bits", "8").toInt)
+          case "ivfpq" =>
+            db.reindexIvfPq(coll,
+              m = opts.getOrElse("m", "8").toInt,
+              ksub = opts.getOrElse("ksub", "16").toInt,
+              rounds = opts.getOrElse("rounds", "1").toInt,
+              kCells = opts.getOrElse("k", "8").toInt)
           case "tokenizer" =>
             // the trained-artifact family: like zorder this records intent
             // in a sidecar rather than a cluster_id partition layout

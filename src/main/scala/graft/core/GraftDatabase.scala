@@ -158,17 +158,21 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     // ONE schema read serves both decisions (each listStatus/inference is a
     // storage roundtrip — this is the hot write path).
     val existing = read(name).columns.toSet
+    val layout = indexType(name)
     val base = align(name, df)
     val quanted =
       if (existing.contains(QuantCol))
         base.withColumn(QuantCol, quantExpr(col("embedding")))
       else base
     val aligned =
-      if (existing.contains(PqCodeCol))
+      // residual layouts derive codes AFTER the cluster assignment (codes
+      // quantize x − centroid(cell)) — the combined ivfPqAssign below
+      // handles both columns in one pass
+      if (existing.contains(PqCodeCol) && !layout.contains("ivfpq_kmeans"))
         ProductQuantization.assignCodes(quanted, "embedding",
           pqCodebooksOf(name), PqCodeCol)
       else quanted
-    appendAssignment(name, existing.contains("cluster_id")) match {
+    appendAssignment(name, existing.contains("cluster_id"), layout) match {
       case Some(assign) =>
         assign(aligned).write.mode("append")
           .option("compression", Compression)
@@ -201,9 +205,10 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * schema read (the partition column appears iff cluster dirs exist).
     */
   private def appendAssignment(name: String,
-      hasClusterLayout: Boolean): Option[DataFrame => DataFrame] =
+      hasClusterLayout: Boolean,
+      layout: Option[String]): Option[DataFrame => DataFrame] =
     if (!hasClusterLayout) None
-    else indexType(name) match {
+    else layout match {
       case Some("sign_bucket") =>
         Some(VectorIndex.assignSignBuckets(_, nBits = indexBits(name)))
       case Some("kmeans") =>
@@ -212,6 +217,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         // same cell rule as sign_bucket (the pq_code column is re-derived
         // by the bulkInsert pass above, keyed off the schema read)
         Some(VectorIndex.assignSignBuckets(_, nBits = indexBits(name)))
+      case Some("ivfpq_kmeans") =>
+        // cluster AND residual code re-derive together from the sidecar
+        Some(ivfPqAssign(name))
       case _ =>
         // unknown layout (custom reindexWith): rows stay readable in the
         // unindexed tail; SEARCHSIMILAR on unknown layouts is exact-scan
@@ -257,6 +265,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         ProductQuantization.assignCodes(
           VectorIndex.assignSignBuckets(merged, nBits = indexBits(name)),
           "embedding", pqCodebooksOf(name), PqCodeCol)
+      case Some("ivfpq_kmeans") =>
+        // residual layout: cluster then residual codes, both sidecar-pure
+        ivfPqAssign(name)(merged)
       case _ =>
         if (hasIndex) fs.delete(new Path(collDir(name), IndexMetaFile), false)
         merged
@@ -512,6 +523,93 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       ProductQuantization.topKAdc(data.drop(PqCodeCol), data, query, k,
         shortlist, cb, vecCol = "embedding", codeCol = PqCodeCol,
         idCol = idCol)
+  }
+
+  /** REINDEX with the FAISS-canonical kmeans-coarse RESIDUAL IVFPQ layout
+    * (q169/q170's layout as a managed artifact): a deterministic kmeans
+    * coarse quantizer — [[ProductQuantization.trainCodebooks]] at m = 1,
+    * the identical seeding/rounded-argmin/rounded-mean rules — partitions
+    * the collection by cell, and per-subspace codebooks trained on the
+    * RESIDUALS `x − centroid(cell)` yield the m-byte `pq_code` beside
+    * each vector. The sidecar records coarse centroids AND codebooks, so
+    * the layout survives INSERT/BULKINSERT/UPDATE: both derived columns
+    * re-derive from sidecar literals ([[ivfPqAssign]]), no invalidation,
+    * no row loss. [[searchSimilarIvfPq]] is the read path.
+    */
+  def reindexIvfPq(name: String, m: Int = 8, ksub: Int = 16,
+      rounds: Int = 1, kCells: Int = 8, idCol: String = "id",
+      seed: String = "rpq"): Unit = {
+    requireCollection(name)
+    val cur = read(name)
+    val base = cur.drop("cluster_id").drop(PqCodeCol)
+    val coarse = ProductQuantization.trainCodebooks(base, idCol,
+      "embedding", 1, kCells, rounds, seed + ":coarse")
+    val clustered = ivfPqClustered(base, coarse)
+    val cb = ProductQuantization.trainCodebooks(clustered, idCol, "__res",
+      m, ksub, rounds, seed)
+    val laid = ProductQuantization.assignCodes(clustered, "__res", cb,
+      PqCodeCol).drop("__res")
+    rewrite(name, laid, partitionBy = Seq("cluster_id"))
+    val cbJson = cb.map(_.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    val centJson = coarse(0)
+      .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    // "codebooks" MUST precede "centroids": both parsers split on greedy
+    // bracket matches, which is faithful only when the deeper-nested key
+    // comes first (parseIndexCentroids' trailing ]] anchor would otherwise
+    // swallow the codebook brackets)
+    writeString(fs, new Path(collDir(name), IndexMetaFile),
+      s"""{"type": "ivfpq_kmeans", "m": $m, "ksub": $ksub, "k": $kCells, "codebooks": $cbJson, "centroids": $centJson}""")
+  }
+
+  /** The residual-layout frame: `cluster_id` (1-based coarse cid, the
+    * m=1 rounded-argmin rule) and the exact-double residual `__res`.
+    */
+  private def ivfPqClustered(df: DataFrame,
+      coarse: ProductQuantization.Codebooks): DataFrame = {
+    val cellCents = coarseMap(coarse)
+    val clustered = ProductQuantization
+      .assignCodes(df, "embedding", coarse, "__coarse")
+      .withColumn("cluster_id", element_at(col("__coarse"), 1).cast("int"))
+      .drop("__coarse")
+    ProductQuantization.withResiduals(clustered, "embedding", cellCents)
+  }
+
+  private def coarseMap(coarse: ProductQuantization.Codebooks)
+      : Map[Int, Array[Double]] =
+    coarse(0).zipWithIndex.map { case (c, i) => (i + 1) -> c }.toMap
+
+  /** Cluster + residual-code assignment for arriving/updated rows of an
+    * `ivfpq_kmeans` collection — pure column math against the sidecar's
+    * coarse centroids and codebooks.
+    */
+  private def ivfPqAssign(name: String): DataFrame => DataFrame = { df =>
+    val coarse: ProductQuantization.Codebooks = Array(centroidsOf(name))
+    ProductQuantization.assignCodes(ivfPqClustered(df, coarse), "__res",
+      pqCodebooksOf(name), PqCodeCol).drop("__res")
+  }
+
+  /** SEARCHSIMILAR over a `REINDEX type=ivfpq` collection: the query
+    * probes its `nprobe` nearest coarse cells (rounded-l2 rank,
+    * [[ProductQuantization.nearestCellsD]]), ADC-scores the probed cells'
+    * stored codes against per-cell residual lookup tables, and
+    * exact-l2-reranks the bounded shortlist — cell pruning × 32× code
+    * compression, the deepest managed read path. Loud without the
+    * sidecar/codes — never silently exact-scans.
+    */
+  def searchSimilarIvfPq(name: String, query: Array[Float], k: Int,
+      shortlist: Int = 1000, nprobe: Int = 2,
+      idCol: String = "id"): DataFrame = {
+    val data = read(name)
+    require(data.columns.contains(PqCodeCol),
+      s"$name has no $PqCodeCol column — REINDEX type=ivfpq first")
+    val coarse: ProductQuantization.Codebooks = Array(centroidsOf(name))
+    val cellCents = coarseMap(coarse)
+    val cells = ProductQuantization.nearestCellsD(
+      query.map(_.toDouble), cellCents, nprobe)
+    ProductQuantization.probeAdcResidualCells(data, query, cells, k,
+      shortlist, pqCodebooksOf(name), cellCents, vecCol = "embedding",
+      codeCol = PqCodeCol, idCol = idCol)
   }
 
   /** REINDEX with a Z-ORDER file layout: rewrite the collection

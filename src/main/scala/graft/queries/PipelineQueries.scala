@@ -492,6 +492,35 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // The residual IVFPQ layout as a MANAGED artifact (q141's pattern for
+    // the kmeans-coarse layout): REINDEX type=ivfpq trains the m=1 coarse
+    // quantizer + residual codebooks and rewrites (cell partitions +
+    // pq_code + sidecar holding BOTH models), then SEARCHSIMILAR
+    // shortlist=…;radius=1 (nprobe 2) probes with everything parsed back
+    // from the sidecar. Self-match rides through — no row lost in the
+    // rewrite; the oracle replays coarse + residual training under the
+    // reindex seeds without self-exclusion.
+    "q171_ivfpq_reindex" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q171")
+      db.createCollection("vecs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      val src = Tables.embeddings(s, dir).withColumnRenamed("vec_id", "id")
+      db.bulkInsert("vecs", src)
+      CommandExecutor.execute(db, GraftCommand.Reindex("vecs",
+        Some("type=ivfpq;m=8;ksub=16;rounds=1;k=8")))
+      val qv = src.filter(col("id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      CommandExecutor.execute(db, GraftCommand.SearchSimilar("vecs",
+          s"k=50;shortlist=50;radius=1;vec=${qv.mkString(",")}"))
+        .select(col("id").as("vec_id"),
+          col("approx_score").as("adc_dist"),
+          round(col("score"), 6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+    }),
+
     // INSERT / UPDATE / DELETE through the command grammar, end state read
     // back through SEARCH; oracle is the literal expected table.
     "q45_command_mutations" -> ((s, dir) => {
@@ -540,6 +569,55 @@ object PipelineQueries {
     // q135's oracle verbatim: the command-surface batch must equal the
     // raw-operator batch IVF × PQ composition row-for-row
     "q142_batch_cmd" -> VectorQueries.oracles("q135_pq_batch"),
+
+    // q169's chain under the reindex seeds (rpq:coarse / rpq), WITHOUT
+    // the self-exclusion: the managed collection holds the query row, so
+    // id 0 must surface at rank 1 / dist 0 — proving the sidecar
+    // round-trip (coarse centroids AND codebooks, Double.toString both
+    // ways) and that the rewrite lost no rows.
+    "q171_ivfpq_reindex" -> (
+      s"""WITH e2 AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |""".stripMargin +
+      VectorQueries.pqTrainBody("e2", "rpq:coarse", 1, 64, 8, "k") +
+      """,
+        |rv3 AS (
+        |  SELECT e2.vec_id, list(e2.v[kii.i] - c.cent[kii.i] ORDER BY kii.i) AS v
+        |  FROM e2 JOIN kcodes kc ON kc.vec_id = e2.vec_id
+        |  JOIN kc1 c ON c.s = kc.s AND c.cid = kc.cid
+        |  CROSS JOIN kii
+        |  GROUP BY e2.vec_id),
+        |""".stripMargin +
+      VectorQueries.pqTrainBody("rv3", "rpq", 8, 8, 16, "r") +
+      """,
+        |q AS (SELECT v AS qv FROM e2 WHERE vec_id = 0),
+        |probed AS (
+        |  SELECT cid, cent FROM (
+        |    SELECT c.cid, c.cent, row_number() OVER (
+        |      ORDER BY round(list_distance(c.cent, q.qv), 6), c.cid) AS rn
+        |    FROM kc1 c CROSS JOIN q) WHERE rn <= 2),
+        |lutr AS (
+        |  SELECT p.cid AS cell, c1.s, c1.cid,
+        |    round(sum(power(q.qv[c1.s*8 + ii.i] - p.cent[c1.s*8 + ii.i]
+        |      - c1.cent[ii.i], 2)) + 1e-9, 6) AS d
+        |  FROM probed p CROSS JOIN rc1 c1 CROSS JOIN rii ii CROSS JOIN q
+        |  GROUP BY p.cid, c1.s, c1.cid),
+        |adc AS (
+        |  SELECT k2.vec_id, round(sum(l.d) + 1e-9, 6) AS adc_dist
+        |  FROM rcodes k2
+        |  JOIN kcodes kc ON kc.vec_id = k2.vec_id
+        |  JOIN lutr l ON l.cell = kc.cid AND l.s = k2.s AND l.cid = k2.cid
+        |  GROUP BY k2.vec_id),
+        |short AS (
+        |  SELECT vec_id, adc_dist FROM (
+        |    SELECT vec_id, adc_dist, row_number() OVER (
+        |      ORDER BY adc_dist, vec_id) AS rn FROM adc)
+        |  WHERE rn <= 50)
+        |SELECT short.vec_id, adc_dist,
+        |  round(list_distance(e2.v, q.qv), 6) AS dist
+        |FROM short JOIN e2 USING (vec_id) CROSS JOIN q
+        |ORDER BY dist, short.vec_id
+        |LIMIT 10""".stripMargin),
 
     "q40_collection_roundtrip" ->
       """SELECT vec_id, label FROM embeddings

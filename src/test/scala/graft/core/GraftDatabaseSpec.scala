@@ -286,6 +286,54 @@ class GraftDatabaseSpec extends AnyFunSuite {
       "updated row not re-coded into its new cell")
   }
 
+  test("ivfpq reindex: coarse + residual sidecar drives probe, appends, update") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    val rows = (0 until 40).map { i =>
+      val base =
+        if (i < 20) Array(1.0f, 0.0f, 0.0f, 0.0f)
+        else Array(0.0f, 1.0f, 0.0f, 0.0f)
+      VectorRecord(i.toLong, base.updated(3, i.toFloat / 1000), s"p$i")
+    }
+    db.bulkInsert("vecs", rows.toDF())
+    db.reindexIvfPq("vecs", m = 2, ksub = 4, rounds = 1, kCells = 2)
+    val indexed = db.read("vecs")
+    assert(indexed.columns.contains("cluster_id") &&
+      indexed.columns.contains("pq_code"))
+    assert(indexed.filter($"pq_code".isNull).count() == 0)
+    // cells are 1-based coarse cids (the m=1 rule), never the -1 tail
+    val cells = indexed.select($"cluster_id").distinct()
+      .as[Int].collect().toSet
+    assert(cells.subsetOf(Set(1, 2)), s"unexpected cells $cells")
+
+    // probe finds the planted neighborhood through the managed path
+    val q = Array(1.0f, 0.0f, 0.0f, 0.005f)
+    val got = db.searchSimilarIvfPq("vecs", q, k = 3, shortlist = 40,
+      nprobe = 1)
+    assert(got.select("id").as[Long].collect().forall(_ < 20),
+      "nprobe=1 must stay inside the query's coarse cell")
+
+    // append re-derives cluster AND residual code from the sidecar
+    db.bulkInsert("vecs",
+      Seq(VectorRecord(100L, Array(0.99f, 0.0f, 0.0f, 0.01f), "late")).toDF())
+    val after = db.read("vecs")
+    assert(after.count() == 41)
+    assert(after.filter($"id" === 100 && $"pq_code".isNotNull &&
+      $"cluster_id" >= 1).count() == 1,
+      "appended row missing residual code or cell")
+    val found = db.searchSimilarIvfPq("vecs",
+      Array(0.99f, 0.0f, 0.0f, 0.01f), k = 1, shortlist = 41, nprobe = 1)
+    assert(found.select("id").as[Long].head() == 100L)
+
+    // update re-derives both — the layout survives
+    db.update("vecs", Seq(
+      VectorRecord(0L, Array(0.0f, 1.0f, 0.0f, 0.5f), "moved")).toDF())
+    val probed3 = db.searchSimilarIvfPq("vecs",
+      Array(0.0f, 1.0f, 0.0f, 0.5f), k = 1, shortlist = 41, nprobe = 1)
+    assert(probed3.select("id").as[Long].head() == 0L,
+      "updated row not re-coded into its new cell")
+  }
+
   test("searchSimilarPq without a pq sidecar fails loud, never exact-scans") {
     val db = freshDb()
     db.createCollection("vecs")
