@@ -17,10 +17,12 @@ import graft.queries._
   *  - integer-valued columns as BIGINT on both sides (DuckDB widens int
   *    sums to HUGEINT and row_number to BIGINT; Spark sides cast to long).
   *
-  * Query modules (graft.queries): [[RelationalQueries]] q01–q17,
-  * [[VectorQueries]] q20–q24, [[DedupQueries]] q30–q34, [[TextQueries]]
-  * q35–q38, [[PipelineQueries]] q40+ (commands/pipeline/streaming/
-  * multimodal).
+  * Query modules (graft.queries): [[RelationalQueries]] (relational core,
+  * windows, set ops, event analytics), [[VectorQueries]] (similarity
+  * search, ANN layouts, PQ/OPQ/residual trainings, fixtures),
+  * [[DedupQueries]] (exact/minhash/simhash/semantic dedup),
+  * [[TextQueries]] (quality, LM, BPE, repetition, normalizers),
+  * [[PipelineQueries]] (commands, streaming, multimodal, capstones).
   */
 object SparkEntry {
 
@@ -67,5 +69,12 @@ object SparkEntry {
     // vocabulary-keyed model join + per-doc argmax window in one query;
     // q148's cost is q100's LM (already benched), q146/q149 are narrow
     // scans represented by q36's shape.
-    "q145_nb_classify")
+    "q145_nb_classify",
+    // round-9 additions: the nine-way n-gram repetition table (the widest
+    // single explode + doc-keyed conditional agg in the repo) and the
+    // kmeans-residual batch probe (coarse assign + residual train + union
+    // scan + per-(query, cell) ADC — the deepest managed ANN shape).
+    // q165-q168/q171 are fixture/command round-trips dominated by scratch
+    // setup, not steady-state operator cost.
+    "q166_repetition", "q170_kmeans_batch")
 }
