@@ -23,11 +23,20 @@ package graft.commands
   *  - SEARCHSIMILAR arg: `k=<n>[;metric=cosine|l2|dot][;radius=<r>]
   *    [;shortlist=<n>];vec=f,f,...` — `radius` opts into the index probe
   *    (sign-bucket hamming radius / kmeans nprobe−1); `shortlist` selects
-  *    the SQ8 quantized-rerank path instead.
+  *    the SQ8 quantized-rerank path — except on `type=pq` /
+  *    `type=ivfpq` collections, where it means the ADC path over the
+  *    stored codes (composed with `radius` cell pruning). `batch=<path>`
+  *    answers a whole (query_id, query_vec) parquet in one scan.
   *  - REINDEX arg (optional): `[type=sign;bits=<n>]` (default),
   *    `type=kmeans;k=<n>` (centroid IVF, centroids stored in the sidecar),
-  *    or `type=zorder;cols=<a>,<b>[;bits=<n>;files=<n>]` (Morton file
-  *    layout — multi-dimensional min/max file skipping, no partition col).
+  *    `type=pq;m=<n>;ksub=<n>[;rounds;bits]` (sign-bucket cells + m-byte
+  *    PQ codes + codebooks sidecar),
+  *    `type=ivfpq;m=<n>;ksub=<n>[;rounds;k=<cells>]` (kmeans-coarse
+  *    RESIDUAL PQ — the FAISS-canonical layout, coarse centroids AND
+  *    codebooks in the sidecar),
+  *    `type=zorder;cols=<a>,<b>[;bits=<n>;files=<n>]` (Morton file
+  *    layout — multi-dimensional min/max file skipping, no partition col),
+  *    or `type=tokenizer[;col;merges]` (trained-artifact sidecar).
   */
 sealed trait GraftCommand
 

@@ -448,6 +448,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"top-k windows must partition by query_id:\n${p.take(2000)}")
   }
 
+  test("q170 kmeans batch probe: broadcast LUTs, bounded heap, pruned cells") {
+    // (q170 trains both models in-query, so its scans read vectors; the
+    // code-only-scan property for STORED codes is pinned by
+    // ProductQuantizationSpec's ReadSchema tests.)
+    val p = plan("q170_kmeans_batch")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastExchange"),
+      "per-(query, cell) LUTs and the shortlist must broadcast")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the ADC shortlist must be the bounded heap aggregator:\n${p.take(2000)}")
+    // the union of probed cells reaches the coded frame as an IN filter —
+    // never a full-corpus ADC pass
+    assert(p.contains(" IN (") || p.contains("INSET"),
+      s"the batch probe must prune to the probed-cell union:\n${p.take(2000)}")
+  }
+
   test("q143 kmv sketch: bounded heap per group, no per-group sort window") {
     val p = plan("q143_kmv_distinct")
     assert(!p.contains("Window"),

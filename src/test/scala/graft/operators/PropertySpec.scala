@@ -54,6 +54,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("repetition stats: stateless ≡ grouped batch on random multi-line docs") {
+    val rnd = new scala.util.Random(43)
+    val vocab = Array("aa", "bb", "cc", "a", "b", "zz zz", "")
+    def line() = Seq.fill(rnd.nextInt(14))(vocab(rnd.nextInt(vocab.length)))
+      .mkString(" ")
+    def doc() = Seq.fill(rnd.nextInt(4) + 1)(line()).mkString("\n")
+    for (trial <- 0 until 3) {
+      val docs = (0L until 40L).map(i => (i, doc())).toDF("doc_id", "text")
+      val batch = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      val stateless = TextAnalysis
+        .repetitionStatsStateless(docs, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(batch == stateless,
+        s"trial $trial: streaming reformulation diverged from the batch aggs")
+    }
+  }
+
   test("upsert is idempotent; delete is idempotent; delete∘upsert removes") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
     val up = Seq((2L, "b2"), (4L, "d")).toDF("id", "v")
