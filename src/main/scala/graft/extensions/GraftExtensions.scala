@@ -213,6 +213,17 @@ class AnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case "kmeans" =>
           GraftDatabase.parseIndexCentroids(json).map(cents =>
             VectorIndex.nearestCentroidIds(query, cents, nprobe = radius + 1))
+        case "ivfpq_kmeans" =>
+          // the coarse centroids ARE probe geometry (1-based cids, the
+          // m=1 rounded-argmin rule); the rewrite prunes cells and
+          // exact-reranks inside — the ADC compression stays an explicit
+          // searchSimilarIvfPq opt-in, never an optimizer surprise
+          GraftDatabase.parseIndexCentroids(json).map { cents =>
+            val cellCents = cents.zipWithIndex
+              .map { case (c, i) => (i + 1) -> c }.toMap
+            graft.operators.ProductQuantization.nearestCellsD(
+              query.map(_.toDouble), cellCents, nprobe = radius + 1)
+          }
         case _ => None // zorder etc: no recoverable probe geometry → exact
       }
     } yield cells

@@ -129,4 +129,30 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(rewritten.select(col("vec_id")).as[Long].collect().toSeq == viaApi)
     } finally spark.conf.set(GraftExtensions.AutoProbeKey, "false")
   }
+
+  test("ivfpq layout: rewrite prunes to the nprobe nearest coarse cells") {
+    val db = graft.core.GraftDatabase.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_ext_iq").toString, "qdb")
+    db.createCollection("vecs", StructType(Seq(
+      StructField("id", LongType),
+      StructField("embedding", ArrayType(FloatType, containsNull = false)),
+      StructField("label", IntegerType))))
+    db.bulkInsert("vecs", graft.Tables.embeddings(spark, TestSpark.sf)
+      .withColumnRenamed("vec_id", "id"))
+    db.reindexIvfPq("vecs", m = 8, ksub = 16, kCells = 4)
+    val q = graft.Tables.embeddings(spark, TestSpark.sf)
+      .filter(col("vec_id") === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    spark.conf.set(GraftExtensions.AutoProbeKey, "true")
+    try {
+      val rewritten = db.read("vecs")
+        .select(col("id"),
+          graft.functions.cosine_sim(col("embedding"), lit(q)).as("score"))
+        .orderBy(desc("score"), col("id")).limit(5)
+      val physical = rewritten.queryExecution.executedPlan.toString
+      assert(physical.contains("PartitionFilters: [cluster_id"),
+        s"ivfpq probe must prune partitions:\n${physical.take(2000)}")
+      assert(rewritten.count() == 5, "rewritten probe must still answer")
+    } finally spark.conf.set(GraftExtensions.AutoProbeKey, "false")
+  }
 }
