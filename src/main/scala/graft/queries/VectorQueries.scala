@@ -786,6 +786,76 @@ object VectorQueries {
         .orderBy("query_id")
     }),
 
+    // OPQ composed with IVF — the rotation as an INDEX-BUILD step, not
+    // just a flat-scan trick: cells are sign buckets of the ROTATED
+    // vectors (4 bits → 16 cells; in rotated space those bits are the
+    // first two latent pairs' choice bits, i.e. real clusters), PQ
+    // trains on the rotated vectors, and the radius-0 probe scans ~1/16
+    // of the corpus. Measures recall@10 vs exact l2 honestly (the
+    // q126/q138 discipline): pruning costs recall exactly where the
+    // nearest neighbors differ in a bucketed latent pair — the gate
+    // documents that trade next to q165's flat-scan 1.0.
+    "q172_opq_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val PQ = graft.operators.ProductQuantization
+      val VP = graft.operators.VectorPrep
+      val f = VP.latentPairFixture(
+        Tables.embeddings(s, dir).select("vec_id"), "vec_id", dim = 16)
+      val rot = VP.opqRotate(f, "fvec", 16, "rvec")
+      val indexed = VectorIndex.assignSignBuckets(rot, "rvec", nBits = 4)
+      val cbR = PQ.trainCodebooks(indexed, "vec_id", "rvec",
+        m = 8, ksub = 16, rounds = 1, seed = "oqi")
+      val coded = PQ.assignCodes(indexed, "rvec", cbR, "code_r")
+      val qRows = coded.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("fvec"), col("rvec"), col("cluster_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq,
+          r.getSeq[Double](2).toArray, r.getInt(3)))
+      val qs = qRows.toSeq.map { case (qid, qv, _, qc) => (qid, qv, qc) }
+        .toDF("query_id", "__qv", "__qc")
+      val lutR = qRows.toSeq.map { case (qid, _, rq, _) =>
+        (qid, PQ.adcTableD(rq, cbR).flatten.toSeq)
+      }.toDF("query_id", "__lutr")
+      val scored = coded.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("__l2",
+          round(graft.functions.l2_dist(col("fvec"), col("__qv")), 6))
+      def top10(df: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(asc("__l2"), col("vec_id"))
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 10).select("query_id", "vec_id")
+      }
+      val exact = top10(scored)
+      val adcOf = (0 until 8).map { sub =>
+        element_at(col("__lutr"),
+          lit(sub * 16) + element_at(col("code_r"), sub + 1).cast("int"))
+      }.reduce(_ + _)
+      def armHits(radius: Int, hitCol: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(asc("__adc"), col("vec_id"))
+        val inBall = bit_count(col("cluster_id").cast("long")
+          .bitwiseXOR(col("__qc").cast("long"))) <= radius
+        val short = scored.filter(inBall)
+          .join(broadcast(lutR), "query_id")
+          .withColumn("__adc", round(adcOf + lit(1e-9), 6))
+          .withColumn("__sn", row_number().over(w))
+          .filter(col("__sn") <= 20)
+        exact.join(top10(short), Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as(hitCol))
+      }
+      val h0 = armHits(0, "n_hit_r0")
+      val h1 = armHits(1, "n_hit_r1")
+      qs.select("query_id")
+        .join(h0, Seq("query_id"), "left").join(h1, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_hit_r0", "n_hit_r1"))
+        .select(col("query_id"), col("n_hit_r0"),
+          round(col("n_hit_r0") / 10.0 + lit(1e-9), 2).as("recall_r0"),
+          col("n_hit_r1"),
+          round(col("n_hit_r1") / 10.0 + lit(1e-9), 2).as("recall_r1"))
+        .orderBy("query_id")
+    }),
+
     // The FAISS-canonical IVFPQ (Jégou §IV with a LEARNED coarse
     // quantizer): deterministic kmeans cells — which ARE PQ training at
     // m = 1 (ksub cells over the full vector, identical seeding /
@@ -859,6 +929,38 @@ object VectorQueries {
     (0 until 8)
       .map(i => s"(CASE WHEN $v[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
+
+  // The OPQ latent-mix fixture replay shared by q165/q172: latent per-pair
+  // clusters (exact dyadic), the Hadamard mixture fv = (H/4)·lat as 16
+  // literal ±0.25 term-sums (exact, no rounding), and the rotation
+  // rv = round((H/4)·fv + 1e-9, 6) mirroring opqRotate's output rounding.
+  // Emits the CTE chain "lat, fv, rv" (no leading WITH).
+  private[queries] def opqFixtureSql: String = {
+    val latExprs = (0 until 16).map { d =>
+      val choice = s"(CAST(('0x'||substring(md5('lmc:'||CAST(vec_id AS VARCHAR)||':${d / 2}'), 1, 1)) AS INTEGER) % 4)"
+      val noise = s"(CAST(('0x'||substring(md5('lmn:'||CAST(vec_id AS VARCHAR)||':$d'), 1, 4)) AS INTEGER) / 65536.0 - 0.5) * 0.25"
+      s"(CASE WHEN (($choice >> ${d % 2}) & 1) = 1 THEN 0.5 ELSE -0.5 END) + $noise"
+    }.mkString(",\n    ")
+    def mixRow(i: Int, src: String, rounded: Boolean): String = {
+      val terms = (0 until 16).map { j =>
+        val t = s"$src[${j + 1}]*0.25"
+        if (j == 0) t
+        else if (graft.operators.VectorPrep.hadamardSign(i, j) > 0) s"+ $t"
+        else s"- $t"
+      }.mkString(" ")
+      if (rounded) s"round(($terms) + 1e-9, 6)" else s"($terms)"
+    }
+    val fvExprs = (0 until 16).map(mixRow(_, "v", rounded = false))
+      .mkString(",\n    ")
+    val rvExprs = (0 until 16).map(mixRow(_, "v", rounded = true))
+      .mkString(",\n    ")
+    s"""lat AS (
+       |  SELECT vec_id, [$latExprs] AS v FROM embeddings),
+       |fv AS (
+       |  SELECT vec_id, [$fvExprs] AS v FROM lat),
+       |rv AS (
+       |  SELECT vec_id, [$rvExprs] AS v FROM fv)""".stripMargin
+  }
 
   // Parameterized PQ-training replay: trains m×ksub codebooks of dsub dims
   // over `src` (a CTE with columns vec_id, v DOUBLE[]) — md5('<seed>:'||id)
@@ -1459,30 +1561,7 @@ object VectorQueries {
     // (mirrors opqRotate's output rounding), both PQ trainings, per-arm
     // LUTs, flat 20-shortlists, exact-l2 top-10s on fv, both recalls.
     "q165_opq_recall" -> {
-      val latExprs = (0 until 16).map { d =>
-        val choice = s"(CAST(('0x'||substring(md5('lmc:'||CAST(vec_id AS VARCHAR)||':${d / 2}'), 1, 1)) AS INTEGER) % 4)"
-        val noise = s"(CAST(('0x'||substring(md5('lmn:'||CAST(vec_id AS VARCHAR)||':$d'), 1, 4)) AS INTEGER) / 65536.0 - 0.5) * 0.25"
-        s"(CASE WHEN (($choice >> ${d % 2}) & 1) = 1 THEN 0.5 ELSE -0.5 END) + $noise"
-      }.mkString(",\n    ")
-      def mixRow(i: Int, src: String, rounded: Boolean): String = {
-        val terms = (0 until 16).map { j =>
-          val t = s"$src[${j + 1}]*0.25"
-          if (j == 0) t
-          else if (graft.operators.VectorPrep.hadamardSign(i, j) > 0) s"+ $t"
-          else s"- $t"
-        }.mkString(" ")
-        if (rounded) s"round(($terms) + 1e-9, 6)" else s"($terms)"
-      }
-      val fvExprs = (0 until 16).map(mixRow(_, "v", rounded = false))
-        .mkString(",\n    ")
-      val rvExprs = (0 until 16).map(mixRow(_, "v", rounded = true))
-        .mkString(",\n    ")
-      s"""WITH lat AS (
-         |  SELECT vec_id, [$latExprs] AS v FROM embeddings),
-         |fv AS (
-         |  SELECT vec_id, [$fvExprs] AS v FROM lat),
-         |rv AS (
-         |  SELECT vec_id, [$rvExprs] AS v FROM fv),
+      s"""WITH $opqFixtureSql,
          |""".stripMargin +
       pqTrainBody("fv", "oqp", 8, 2, 16, "p") + ",\n" +
       pqTrainBody("rv", "oqr", 8, 2, 16, "r") +
@@ -1556,6 +1635,90 @@ object VectorQueries {
         |FROM qs3 q
         |LEFT JOIN hp USING (query_id) LEFT JOIN hr USING (query_id)
         |ORDER BY query_id""".stripMargin
+    },
+
+    // OPQ × IVF replay: the shared fixture chain, PQ training on the
+    // ROTATED vectors, 4-bit sign buckets of rv as cells, per-query LUTs
+    // from the rotated query, same-cell (radius 0) ADC shortlist 20,
+    // exact-l2 top-10 on fv, recall.
+    "q172_opq_ivf" -> {
+      val bucket4 = (0 until 4)
+        .map(i => s"(CASE WHEN v[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $opqFixtureSql,
+         |""".stripMargin +
+      pqTrainBody("rv", "oqi", 8, 2, 16, "r") +
+      s""",
+         |bk AS (SELECT vec_id, $bucket4 AS c FROM rv),
+         |qs3 AS (
+         |  SELECT f.vec_id AS query_id, f.v AS qv, r.v AS rqv, b.c AS qc
+         |  FROM fv f JOIN rv r USING (vec_id) JOIN bk b USING (vec_id)
+         |  WHERE f.vec_id < 5),
+         |sc AS (
+         |  SELECT q.query_id, f.vec_id,
+         |    round(list_distance(f.v, q.qv), 6) AS l2
+         |  FROM fv f CROSS JOIN qs3 q WHERE f.vec_id <> q.query_id),
+         |ex AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY l2, vec_id) AS rn FROM sc)
+         |  WHERE rn <= 10),
+         |lutr2 AS (
+         |  SELECT q.query_id, c.s, c.cid,
+         |    round(sum(power(q.rqv[c.s*2 + x.i] - c.cent[x.i], 2)) + 1e-9, 6) AS d
+         |  FROM rc1 c CROSS JOIN rii x CROSS JOIN qs3 q
+         |  GROUP BY q.query_id, c.s, c.cid),
+         |adc0 AS (
+         |  SELECT q.query_id, k.vec_id, round(sum(l.d) + 1e-9, 6) AS ad
+         |  FROM rcodes k
+         |  JOIN bk b ON b.vec_id = k.vec_id
+         |  JOIN qs3 q ON q.query_id <> k.vec_id
+         |    AND bit_count(xor(CAST(b.c AS BIGINT), CAST(q.qc AS BIGINT))) <= 0
+         |  JOIN lutr2 l ON l.query_id = q.query_id AND l.s = k.s AND l.cid = k.cid
+         |  GROUP BY q.query_id, k.vec_id),
+         |adc1 AS (
+         |  SELECT q.query_id, k.vec_id, round(sum(l.d) + 1e-9, 6) AS ad
+         |  FROM rcodes k
+         |  JOIN bk b ON b.vec_id = k.vec_id
+         |  JOIN qs3 q ON q.query_id <> k.vec_id
+         |    AND bit_count(xor(CAST(b.c AS BIGINT), CAST(q.qc AS BIGINT))) <= 1
+         |  JOIN lutr2 l ON l.query_id = q.query_id AND l.s = k.s AND l.cid = k.cid
+         |  GROUP BY q.query_id, k.vec_id),
+         |sl0 AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY ad, vec_id) AS rn FROM adc0)
+         |  WHERE rn <= 20),
+         |sl1 AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY ad, vec_id) AS rn FROM adc1)
+         |  WHERE rn <= 20),
+         |pr0 AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT s.query_id, s.vec_id, row_number() OVER (
+         |      PARTITION BY s.query_id ORDER BY s.l2, s.vec_id) AS rn
+         |    FROM sc s JOIN sl0 USING (query_id, vec_id))
+         |  WHERE rn <= 10),
+         |pr1 AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT s.query_id, s.vec_id, row_number() OVER (
+         |      PARTITION BY s.query_id ORDER BY s.l2, s.vec_id) AS rn
+         |    FROM sc s JOIN sl1 USING (query_id, vec_id))
+         |  WHERE rn <= 10),
+         |h0 AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM ex JOIN pr0 USING (query_id, vec_id) GROUP BY query_id),
+         |h1 AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM ex JOIN pr1 USING (query_id, vec_id) GROUP BY query_id)
+         |SELECT q.query_id, coalesce(h0.n, 0) AS n_hit_r0,
+         |  round(coalesce(h0.n, 0) / 10.0 + 1e-9, 2) AS recall_r0,
+         |  coalesce(h1.n, 0) AS n_hit_r1,
+         |  round(coalesce(h1.n, 0) / 10.0 + 1e-9, 2) AS recall_r1
+         |FROM qs3 q
+         |LEFT JOIN h0 USING (query_id) LEFT JOIN h1 USING (query_id)
+         |ORDER BY query_id""".stripMargin
     },
 
     // Kmeans-coarse IVFPQ replay: the coarse quantizer is literally the
