@@ -387,6 +387,14 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       ProductQuantization.probeAdcBatch(data, queries, k, shortlist,
         pqCodebooksOf(name), nBits = indexBits(name), radius = probeRadius,
         vecCol = "embedding", codeCol = PqCodeCol, idCol = idCol)
+    else if (probeable && layout.contains("ivfpq_kmeans") && shortlist >= 1) {
+      // residual batch probe against sidecar models; radius keeps the
+      // kmeans convention (nprobe = radius + 1)
+      val coarse: ProductQuantization.Codebooks = Array(centroidsOf(name))
+      ProductQuantization.probeAdcResidualBatch(data, queries, k, shortlist,
+        pqCodebooksOf(name), coarseMap(coarse), nprobe = probeRadius + 1,
+        vecCol = "embedding", codeCol = PqCodeCol, idCol = idCol)
+    }
     else if (probeable && (layout.contains("sign_bucket")
         || layout.contains("pq")))
       VectorIndex.probeBatch(data.drop(PqCodeCol), queries, k, metric,

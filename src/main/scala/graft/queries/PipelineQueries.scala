@@ -521,6 +521,34 @@ object PipelineQueries {
         .limit(10)
     }),
 
+    // Batch retrieval through the command grammar on the RESIDUAL layout
+    // (q142's pattern for type=ivfpq): the whole (query_id, query_vec)
+    // parquet answered in one union-pruned scan with per-(query, cell)
+    // residual ADC tables parsed back from the sidecar. Gated against
+    // the seed-parameterized q170 chain — managed ≡ raw row-for-row.
+    "q173_ivfpq_batch_cmd" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q173")
+      db.createCollection("vecs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      val src = Tables.embeddings(s, dir).withColumnRenamed("vec_id", "id")
+      db.bulkInsert("vecs", src)
+      CommandExecutor.execute(db, GraftCommand.Reindex("vecs",
+        Some("type=ivfpq;m=8;ksub=16;rounds=1;k=8")))
+      val qpath = Files.createTempDirectory("graft_q173").toString +
+        "/queries.parquet"
+      src.filter(col("id") < 3)
+        .select(col("id").as("query_id"), col("embedding").as("query_vec"))
+        .write.mode("overwrite").parquet(qpath)
+      CommandExecutor.execute(db, GraftCommand.SearchSimilar("vecs",
+          s"k=5;shortlist=20;radius=1;batch=$qpath"))
+        .select(col("query_id"), col("id").as("vec_id"),
+          col("approx_score").as("adc_dist"), col("score").as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // INSERT / UPDATE / DELETE through the command grammar, end state read
     // back through SEARCH; oracle is the literal expected table.
     "q45_command_mutations" -> ((s, dir) => {
@@ -569,6 +597,10 @@ object PipelineQueries {
     // q135's oracle verbatim: the command-surface batch must equal the
     // raw-operator batch IVF × PQ composition row-for-row
     "q142_batch_cmd" -> VectorQueries.oracles("q135_pq_batch"),
+
+    // the q170 chain under the reindex seeds: managed residual batch ≡ raw
+    "q173_ivfpq_batch_cmd" ->
+      VectorQueries.kmeansBatchSql("rpq:coarse", "rpq"),
 
     // q169's chain under the reindex seeds (rpq:coarse / rpq), WITHOUT
     // the self-exclusion: the managed collection holds the query row, so

@@ -962,6 +962,64 @@ object VectorQueries {
        |  SELECT vec_id, [$rvExprs] AS v FROM fv)""".stripMargin
   }
 
+  // Seed-parameterized batch kmeans-IVFPQ replay (q170 uses the raw
+  // gate's seeds, q173 the reindex's): coarse m=1 training, residuals,
+  // fine training, 3 queries × nprobe=2 probed cells, per-(query, cell)
+  // residual LUTs, shortlist 20, exact-l2 rerank to rank <= 5.
+  // Self-matches included.
+  private[queries] def kmeansBatchSql(coarseSeed: String,
+      fineSeed: String): String =
+    s"""WITH e2 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |""".stripMargin +
+    pqTrainBody("e2", coarseSeed, 1, 64, 8, "k") +
+    """,
+      |rv3 AS (
+      |  SELECT e2.vec_id, list(e2.v[kii.i] - c.cent[kii.i] ORDER BY kii.i) AS v
+      |  FROM e2 JOIN kcodes kc ON kc.vec_id = e2.vec_id
+      |  JOIN kc1 c ON c.s = kc.s AND c.cid = kc.cid
+      |  CROSS JOIN kii
+      |  GROUP BY e2.vec_id),
+      |""".stripMargin +
+    pqTrainBody("rv3", fineSeed, 8, 8, 16, "r") +
+    """,
+      |qs4 AS (SELECT vec_id AS query_id, v AS qv FROM e2 WHERE vec_id < 3),
+      |probed AS (
+      |  SELECT query_id, cid, cent FROM (
+      |    SELECT q.query_id, c.cid, c.cent, row_number() OVER (
+      |      PARTITION BY q.query_id
+      |      ORDER BY round(list_distance(c.cent, q.qv), 6), c.cid) AS rn
+      |    FROM kc1 c CROSS JOIN qs4 q) WHERE rn <= 2),
+      |lutr AS (
+      |  SELECT p.query_id, p.cid AS cell, c1.s, c1.cid,
+      |    round(sum(power(q.qv[c1.s*8 + ii.i] - p.cent[c1.s*8 + ii.i]
+      |      - c1.cent[ii.i], 2)) + 1e-9, 6) AS d
+      |  FROM probed p JOIN qs4 q USING (query_id)
+      |  CROSS JOIN rc1 c1 CROSS JOIN rii ii
+      |  GROUP BY p.query_id, p.cid, c1.s, c1.cid),
+      |adc AS (
+      |  SELECT l.query_id, k2.vec_id, round(sum(l.d) + 1e-9, 6) AS adc_dist
+      |  FROM rcodes k2
+      |  JOIN kcodes kc ON kc.vec_id = k2.vec_id
+      |  JOIN lutr l ON l.cell = kc.cid AND l.s = k2.s AND l.cid = k2.cid
+      |  GROUP BY l.query_id, k2.vec_id),
+      |short AS (
+      |  SELECT query_id, vec_id, adc_dist FROM (
+      |    SELECT query_id, vec_id, adc_dist, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+      |    FROM adc)
+      |  WHERE rn <= 20),
+      |sel AS (
+      |  SELECT short.query_id, short.vec_id, adc_dist,
+      |    round(list_distance(e2.v, q.qv), 6) AS dist
+      |  FROM short JOIN e2 ON e2.vec_id = short.vec_id
+      |  JOIN qs4 q ON q.query_id = short.query_id)
+      |SELECT query_id, vec_id, adc_dist, dist, CAST(rn AS BIGINT) AS rank
+      |FROM (SELECT *, row_number() OVER (
+      |  PARTITION BY query_id ORDER BY dist, vec_id) AS rn FROM sel)
+      |WHERE rn <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   // Parameterized PQ-training replay: trains m×ksub codebooks of dsub dims
   // over `src` (a CTE with columns vec_id, v DOUBLE[]) — md5('<seed>:'||id)
   // seed order, one rounded Lloyd refinement, keep-previous empty cells,
@@ -1776,58 +1834,9 @@ object VectorQueries {
     // per-query nprobe=2 probed cells (rounded-l2 rank, cid tie-break),
     // per-(query, cell) residual LUTs, ADC restricted to each query's
     // probed cells via the LUT join itself, shortlist 20, exact-l2
-    // rerank to rank <= 5. Self-matches included.
-    "q170_kmeans_batch" -> (
-      s"""WITH e2 AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |""".stripMargin +
-      pqTrainBody("e2", "kvr", 1, 64, 8, "k") +
-      """,
-        |rv3 AS (
-        |  SELECT e2.vec_id, list(e2.v[kii.i] - c.cent[kii.i] ORDER BY kii.i) AS v
-        |  FROM e2 JOIN kcodes kc ON kc.vec_id = e2.vec_id
-        |  JOIN kc1 c ON c.s = kc.s AND c.cid = kc.cid
-        |  CROSS JOIN kii
-        |  GROUP BY e2.vec_id),
-        |""".stripMargin +
-      pqTrainBody("rv3", "krq", 8, 8, 16, "r") +
-      """,
-        |qs4 AS (SELECT vec_id AS query_id, v AS qv FROM e2 WHERE vec_id < 3),
-        |probed AS (
-        |  SELECT query_id, cid, cent FROM (
-        |    SELECT q.query_id, c.cid, c.cent, row_number() OVER (
-        |      PARTITION BY q.query_id
-        |      ORDER BY round(list_distance(c.cent, q.qv), 6), c.cid) AS rn
-        |    FROM kc1 c CROSS JOIN qs4 q) WHERE rn <= 2),
-        |lutr AS (
-        |  SELECT p.query_id, p.cid AS cell, c1.s, c1.cid,
-        |    round(sum(power(q.qv[c1.s*8 + ii.i] - p.cent[c1.s*8 + ii.i]
-        |      - c1.cent[ii.i], 2)) + 1e-9, 6) AS d
-        |  FROM probed p JOIN qs4 q USING (query_id)
-        |  CROSS JOIN rc1 c1 CROSS JOIN rii ii
-        |  GROUP BY p.query_id, p.cid, c1.s, c1.cid),
-        |adc AS (
-        |  SELECT l.query_id, k2.vec_id, round(sum(l.d) + 1e-9, 6) AS adc_dist
-        |  FROM rcodes k2
-        |  JOIN kcodes kc ON kc.vec_id = k2.vec_id
-        |  JOIN lutr l ON l.cell = kc.cid AND l.s = k2.s AND l.cid = k2.cid
-        |  GROUP BY l.query_id, k2.vec_id),
-        |short AS (
-        |  SELECT query_id, vec_id, adc_dist FROM (
-        |    SELECT query_id, vec_id, adc_dist, row_number() OVER (
-        |      PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
-        |    FROM adc)
-        |  WHERE rn <= 20),
-        |sel AS (
-        |  SELECT short.query_id, short.vec_id, adc_dist,
-        |    round(list_distance(e2.v, q.qv), 6) AS dist
-        |  FROM short JOIN e2 ON e2.vec_id = short.vec_id
-        |  JOIN qs4 q ON q.query_id = short.query_id)
-        |SELECT query_id, vec_id, adc_dist, dist, CAST(rn AS BIGINT) AS rank
-        |FROM (SELECT *, row_number() OVER (
-        |  PARTITION BY query_id ORDER BY dist, vec_id) AS rn FROM sel)
-        |WHERE rn <= 5
-        |ORDER BY query_id, rank""".stripMargin),
+    // rerank to rank <= 5. Self-matches included. Seed-parameterized:
+    // q170 replays the raw-operator gate's seeds, q173 the reindex's.
+    "q170_kmeans_batch" -> kmeansBatchSql("kvr", "krq"),
 
     "q106_kmeans_lloyd" ->
       """WITH e AS (
