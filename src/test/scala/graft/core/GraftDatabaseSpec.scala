@@ -332,6 +332,15 @@ class GraftDatabaseSpec extends AnyFunSuite {
       Array(0.0f, 1.0f, 0.0f, 0.5f), k = 1, shortlist = 41, nprobe = 1)
     assert(probed3.select("id").as[Long].head() == 0L,
       "updated row not re-coded into its new cell")
+
+    // TRUNCATEWAL compaction keeps the partition layout AND the sidecar:
+    // the probe still answers, no rows lost
+    db.compact(Some("vecs"), targetFiles = 2)
+    assert(db.read("vecs").count() == 41)
+    val probed4 = db.searchSimilarIvfPq("vecs",
+      Array(0.99f, 0.0f, 0.0f, 0.01f), k = 1, shortlist = 41, nprobe = 1)
+    assert(probed4.select("id").as[Long].head() == 100L,
+      "compaction must not degrade the ivfpq layout")
   }
 
   test("searchSimilarPq without a pq sidecar fails loud, never exact-scans") {
