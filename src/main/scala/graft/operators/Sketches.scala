@@ -169,4 +169,60 @@ object Sketches {
           .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /
             col("kth").cast("double")))
   }
+
+  /** HyperLogLog registers (Flajolet, Fusy, Gandouet, Meunier 2007) with
+    * md5-derived hashing — the register-based sibling of [[kmvDistinct]]
+    * (Spark's own `approx_count_distinct` IS HLL++, but its bytes hash
+    * with engine internals and stay rows-only-gateable; these registers
+    * are engine-recomputable cell for cell). Fixed m = 64 buckets:
+    * bucket = first 8 md5 bits mod 64 (256 mod 64 = 0 — unbiased), rank
+    * = leading-zero count of the next 16 bits + 1 (17 when zero),
+    * computed by a CASE ladder of exact integer compares — NEVER
+    * `floor(log2(v))`: float log at power-of-two boundaries must not
+    * decide an integer (the pow/keep-count doctrine). Register value =
+    * max rank per (group, bucket).
+    *
+    * Scale shape: one map-side-combinable aggregation whose result is
+    * ≤ |groups|·64 rows regardless of corpus size — the sketch property.
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, valueCol: String,
+      seed: String = "hll"): DataFrame = {
+    val h = md5(concat(lit(seed + ":"), col(valueCol).cast("string")))
+    val bucket = conv(substring(h, 1, 2), 16, 10).cast("int") % 64
+    val v = conv(substring(h, 3, 4), 16, 10).cast("int")
+    // built inside-out so the HIGHEST threshold ends outermost:
+    // when(v >= 2^15, 1).when(v >= 2^14, 2)...otherwise(17)
+    val rank = (16 to 1 by -1).foldLeft(lit(17): Column) { (acc, i) =>
+      when(v >= (1 << (16 - i)), i).otherwise(acc)
+    }
+    df.select(col(groupCol), bucket.as("bucket"), rank.as("r"))
+      .groupBy(groupCol, "bucket").agg(max("r").as("r"))
+  }
+
+  /** The HLL estimate from a [[hllRegisters]] table: harmonic mean of
+    * 2^(−M_j) over all 64 registers (absent buckets contribute 2^0 = 1),
+    * α_64 = 0.709, with the paper's small-range linear-counting branch
+    * (E_raw ≤ 2.5m and empty buckets exist → m·ln(m/V)). Engine-exact:
+    * 2^(−r) rides as a literal array of exact dyadic doubles (never
+    * `pow`), the harmonic sum is exact (≤ 64 terms on a 2^-17 grid), the
+    * branch decision compares identically-computed doubles, and the only
+    * transcendental (`ln`) follows the house ln-parity rule — rounded
+    * (+1e-9, 4) on both sides. Output: (`groupCol`, n_hll).
+    */
+  def hllEstimate(registers: DataFrame, groupCol: String): DataFrame = {
+    val m = 64
+    val inv = Array.tabulate(18)(r => 1.0 / (1L << r))
+    registers
+      .groupBy(groupCol)
+      .agg(sum(element_at(lit(inv), col("r") + 1)).as("__s0"),
+        count(lit(1)).as("__nb"))
+      .select(col(groupCol), {
+        val s = col("__s0") + (lit(m) - col("__nb")).cast("double")
+        val v0 = lit(m) - col("__nb")
+        val eRaw = lit(0.709) * lit(4096.0) / s
+        val est = when(eRaw <= 160.0 && v0 > 0,
+          lit(64.0) * log(lit(64.0) / v0.cast("double"))).otherwise(eRaw)
+        round(est + lit(1e-9), 4).as("n_hll")
+      })
+  }
 }

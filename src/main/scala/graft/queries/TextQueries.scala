@@ -283,6 +283,26 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // HyperLogLog distinct-count per source — the register-based sibling
+    // of q143's KMV, closing the sketch family (CMS counts, bloom
+    // membership, KMV bottom-k, HLL registers). The oracle replays the
+    // md5 bucketing, the CASE-ladder rank (exact integer compares — no
+    // float log), the register maxima, the exact-dyadic harmonic sum,
+    // and the linear-counting branch; ln follows the house parity rule.
+    "q174_hll_distinct" -> ((s, dir) => {
+      val toks = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .select(col("source"),
+          explode(TextAnalysis.normalizedTokens(col("text"))).as("token"))
+      val exact = toks.groupBy("source")
+        .agg(countDistinct("token").as("n_exact"))
+      val est = graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllRegisters(toks, "source", "token"),
+        "source")
+      exact.join(est, Seq("source"))
+        .select(col("source"), col("n_exact"), col("n_hll"))
+        .orderBy("source")
+    }),
+
     // Unicode canonicalization before dedup: deterministic synthetic
     // encoding variants (precomposed é/ñ vs decomposed e+U+0301 /
     // n+U+0303 by doc_id % 4 — the q80 synthetic-input pattern) are
@@ -1576,6 +1596,46 @@ object TextQueries {
         |    ELSE 63.0 * 281474976710656.0 / CAST(kth AS DOUBLE) END + 1e-9, 4) AS est
         |FROM ex JOIN sk USING (source)
         |ORDER BY source""".stripMargin,
+
+    // HLL replay: md5 bucket (first 2 hex chars % 64), rank by a CASE
+    // ladder of exact integer thresholds (no float log), register
+    // maxima, exact-dyadic harmonic sum 1/(1<<r) with absent buckets
+    // contributing 1.0, alpha·m²/S with the linear-counting branch.
+    "q174_hll_distinct" -> {
+      val ladder = (1 to 16)
+        .map(i => s"WHEN v >= ${1 << (16 - i)} THEN $i")
+        .mkString("CASE ", " ", " ELSE 17 END")
+      s"""WITH toks AS (
+         |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+         |  FROM documents),
+         |hx AS (
+         |  SELECT DISTINCT source, token, md5('hll:'||token) AS hh FROM toks),
+         |br AS (
+         |  SELECT source,
+         |    CAST(('0x'||substring(hh, 1, 2)) AS INTEGER) % 64 AS bucket,
+         |    $ladder AS r
+         |  FROM (SELECT source, hh,
+         |          CAST(('0x'||substring(hh, 3, 4)) AS INTEGER) AS v
+         |        FROM hx)),
+         |regs AS (SELECT source, bucket, max(r) AS r FROM br GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT source, sum(1.0 / (1 << r)) AS s0,
+         |    CAST(count(*) AS BIGINT) AS nb
+         |  FROM regs GROUP BY source),
+         |fin AS (
+         |  SELECT source,
+         |    CASE WHEN (0.709 * 4096.0 / (s0 + (64 - nb))) <= 160.0
+         |           AND (64 - nb) > 0
+         |      THEN 64.0 * ln(64.0 / (64 - nb))
+         |      ELSE 0.709 * 4096.0 / (s0 + (64 - nb)) END AS e
+         |  FROM agg),
+         |ex AS (
+         |  SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_exact
+         |  FROM toks GROUP BY source)
+         |SELECT ex.source, n_exact, round(e + 1e-9, 4) AS n_hll
+         |FROM ex JOIN fin USING (source)
+         |ORDER BY source""".stripMargin
+    },
 
     "q140_lm_pruned" ->
       """WITH d AS (

@@ -104,4 +104,43 @@ class SketchesSpec extends AnyFunSuite {
       Sketches.countMinTable(toks, "token", depth = 4, width = 100)
     }
   }
+
+  test("hll registers: bucket/rank match an independent md5 derivation") {
+    import java.security.MessageDigest
+    val vals = (0 until 200).map(i => s"tok$i")
+    val df = vals.map(v => ("g", v)).toDF("g", "v")
+    val got = Sketches.hllRegisters(df, "g", "v")
+      .select($"bucket", $"r").as[(Int, Int)].collect().toMap
+    // independent replay: numberOfLeadingZeros-based rank, not the ladder
+    def md5hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = vals
+      .map { v =>
+        val h = md5hex(s"hll:$v")
+        val bucket = Integer.parseInt(h.substring(0, 2), 16) % 64
+        val x = Integer.parseInt(h.substring(2, 6), 16)
+        val rank =
+          if (x == 0) 17 else Integer.numberOfLeadingZeros(x) - 16 + 1
+        (bucket, rank)
+      }
+      .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    assert(got == want,
+      "the CASE-ladder rank must equal the leading-zeros definition")
+  }
+
+  test("hll estimate: within theory on range cardinalities, deterministic") {
+    for (n <- Seq(40L, 400L, 4000L)) {
+      val df = spark.range(n).select(lit("g").as("g"),
+        concat(lit("v"), $"id").as("v"))
+      val est = Sketches.hllEstimate(Sketches.hllRegisters(df, "g", "v"), "g")
+        .select($"n_hll").as[Double].head()
+      val rel = math.abs(est - n) / n
+      // stderr ≈ 1.04/√64 ≈ 13%; allow 3σ (small n uses linear counting,
+      // which is tighter)
+      assert(rel < 0.4, s"n=$n est=$est rel=$rel")
+      val est2 = Sketches.hllEstimate(Sketches.hllRegisters(df, "g", "v"), "g")
+        .select($"n_hll").as[Double].head()
+      assert(est == est2, "registers and estimate must be deterministic")
+    }
+  }
 }
