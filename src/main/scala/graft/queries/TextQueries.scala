@@ -303,6 +303,23 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // The RAW harmonic branch of the HLL (q174's corpus vocabulary is so
+    // small every source linear-counts): thousands of distinct order keys
+    // per return flag fill all 64 registers, so the α·m²/S path runs —
+    // both branches of the estimator are now gate-covered.
+    "q175_hll_raw" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_orderkey"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct("l_orderkey").as("n_exact"))
+      val est = graft.operators.Sketches.hllEstimate(
+        graft.operators.Sketches.hllRegisters(li, "l_returnflag",
+          "l_orderkey"), "l_returnflag")
+      exact.join(est, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_exact"), col("n_hll"))
+        .orderBy("l_returnflag")
+    }),
+
     // Unicode canonicalization before dedup: deterministic synthetic
     // encoding variants (precomposed é/ñ vs decomposed e+U+0301 /
     // n+U+0303 by doc_id % 4 — the q80 synthetic-input pattern) are
@@ -1635,6 +1652,45 @@ object TextQueries {
          |SELECT ex.source, n_exact, round(e + 1e-9, 4) AS n_hll
          |FROM ex JOIN fin USING (source)
          |ORDER BY source""".stripMargin
+    },
+
+    // q174's replay over lineitem order keys — all 64 registers fill, so
+    // the CASE selects the raw harmonic path.
+    "q175_hll_raw" -> {
+      val ladder = (1 to 16)
+        .map(i => s"WHEN v >= ${1 << (16 - i)} THEN $i")
+        .mkString("CASE ", " ", " ELSE 17 END")
+      s"""WITH ks AS (
+         |  SELECT DISTINCT l_returnflag,
+         |    md5('hll:'||CAST(l_orderkey AS VARCHAR)) AS hh
+         |  FROM lineitem),
+         |br AS (
+         |  SELECT l_returnflag,
+         |    CAST(('0x'||substring(hh, 1, 2)) AS INTEGER) % 64 AS bucket,
+         |    $ladder AS r
+         |  FROM (SELECT l_returnflag, hh,
+         |          CAST(('0x'||substring(hh, 3, 4)) AS INTEGER) AS v
+         |        FROM ks)),
+         |regs AS (
+         |  SELECT l_returnflag, bucket, max(r) AS r FROM br GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT l_returnflag, sum(1.0 / (1 << r)) AS s0,
+         |    CAST(count(*) AS BIGINT) AS nb
+         |  FROM regs GROUP BY l_returnflag),
+         |fin AS (
+         |  SELECT l_returnflag,
+         |    CASE WHEN (0.709 * 4096.0 / (s0 + (64 - nb))) <= 160.0
+         |           AND (64 - nb) > 0
+         |      THEN 64.0 * ln(64.0 / (64 - nb))
+         |      ELSE 0.709 * 4096.0 / (s0 + (64 - nb)) END AS e
+         |  FROM agg),
+         |ex AS (
+         |  SELECT l_returnflag,
+         |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT ex.l_returnflag, n_exact, round(e + 1e-9, 4) AS n_hll
+         |FROM ex JOIN fin USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin
     },
 
     "q140_lm_pruned" ->
