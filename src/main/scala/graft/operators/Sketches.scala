@@ -199,6 +199,95 @@ object Sketches {
       .groupBy(groupCol, "bucket").agg(max("r").as("r"))
   }
 
+  /** Mergeable sample-quantile sketch — the quantile member of the sketch
+    * family (CMS counts, bloom membership, KMV/HLL distinct): a bottom-k
+    * BY HASH uniform row sample per group, then type-1 (lower) quantiles
+    * of the sample. Keeping the `sampleSize` smallest md5 hashes of the
+    * group's row keys is a uniform without-replacement sample that MERGES
+    * by union + re-bottom-k — the same mergeability argument as KMV, so
+    * partial samples combine across partitions, shards, or days without
+    * re-reading data. Every selected number is an md5 slice or an actual
+    * data value, so the sketch is engine-recomputable cell for cell
+    * (unlike `approx_percentile`'s internal KLL bytes).
+    *
+    * Quantile rule: index = ((n − 1) · q) div 100 into the sample sorted
+    * by (value, key) — exact integer math (the keep-count doctrine: no
+    * float multiply deciding an integer index), a total order (key breaks
+    * value ties), and the OUTPUT IS AN INPUT VALUE — no interpolation, no
+    * accumulation, nothing to round.
+    *
+    * Scale shape: the sample side is [[TopKAggregator]]'s bounded heap
+    * (≤ sampleSize rows per partition per group cross the shuffle — never
+    * a per-group sort of the corpus), values join back over the
+    * BROADCAST sample-key table, and the quantile window runs on
+    * ≤ |groups|·sampleSize rows. The exact side (the `xp*` diagnostic
+    * columns, the q143 `n_exact` convention) DOES sort each full group —
+    * that is the cost the sketch exists to avoid; drop it in production.
+    *
+    * Output: (`groupCol`, n_rows, n_sample, sp{q}… sample quantiles,
+    * xp{q}… exact quantiles). A group with ≤ sampleSize rows samples
+    * itself entirely, so sp ≡ xp there (spec-pinned).
+    */
+  def sampleQuantiles(df: DataFrame, groupCol: String, keyCol: String,
+      valueCol: String, sampleSize: Int = 128,
+      qs: Seq[Int] = Seq(25, 50, 75, 90),
+      seed: String = "sq"): DataFrame = {
+    require(sampleSize >= 1, s"sampleSize must be >= 1, got $sampleSize")
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 100),
+      s"quantiles must be percentages in [0, 100], got $qs")
+    val integral = df.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.LongType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    // the embeddingPairs rule: a silent long cast of a string key would
+    // sample nothing / join back nothing — refuse loudly instead
+    require(integral,
+      s"keyCol '$keyCol' must be an integral unique row key")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val base = df.select(col(groupCol).cast("string").as("__g"),
+      col(keyCol).cast("long").as("__k"),
+      col(valueCol).cast("double").as("__v"))
+    val hashed = base.select(col("__g"), col("__k"),
+      kmvHash(col("__k").cast("string"), seed).as("__h"))
+    val topk = new TopKAggregator(sampleSize).toColumn
+    // heap keeps the k LARGEST scores; score = −h (exact: |h| < 2^53)
+    // selects the k smallest hashes; h-ties keep the smaller key — the
+    // oracle's ORDER BY h, k
+    val picked = hashed.as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, -t._3.toDouble))
+      .agg(topk)
+      .toDF("__g", "__bk")
+      .select(col("__g"), explode(col("__bk")).as("__e"))
+      .select(col("__g"), col("__e").getField("_1").as("__k"))
+
+    def quantiles(src: DataFrame, prefix: String): DataFrame = {
+      val rn = src
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("__g").orderBy("__v", "__k")))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("__g")))
+      val aggs = qs.map { q =>
+        max(when(col("__rn") ===
+            lit(1) + expr(s"((__n - 1) * $q) div 100"), col("__v")))
+          .as(s"$prefix$q")
+      } :+ count(lit(1)).as(s"__n_$prefix")
+      rn.groupBy("__g").agg(aggs.head, aggs.tail: _*)
+    }
+
+    val sp = quantiles(base.join(broadcast(picked), Seq("__g", "__k")), "sp")
+    val xp = quantiles(base, "xp")
+    sp.join(xp, Seq("__g"))
+      .select(Seq(col("__g").as(groupCol),
+        col("__n_xp").as("n_rows"), col("__n_sp").as("n_sample")) ++
+        qs.map(q => col(s"sp$q")) ++ qs.map(q => col(s"xp$q")): _*)
+  }
+
   /** The HLL estimate from a [[hllRegisters]] table: harmonic mean of
     * 2^(−M_j) over all 64 registers (absent buckets contribute 2^0 = 1),
     * α_64 = 0.709, with the paper's small-range linear-counting branch

@@ -320,6 +320,21 @@ object TextQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Mergeable sample-quantile sketch — the quantile member of the
+    // sketch family: bottom-128-by-md5 uniform row sample per order
+    // status, type-1 quantiles of the sample by exact integer index
+    // math, beside the exact full-sort quantiles as the honesty
+    // diagnostic (the q143 n_exact convention). Every output is an
+    // actual data value — no interpolation, nothing to round. At
+    // sf0.001 every group is smaller than the sample, so sp ≡ xp —
+    // the self-sampling boundary rides the gate at one SF.
+    "q176_sample_quantiles" -> ((s, dir) => {
+      graft.operators.Sketches.sampleQuantiles(
+        Tables.orders(s, dir), "o_orderstatus", "o_orderkey",
+        "o_totalprice", sampleSize = 128)
+        .orderBy("o_orderstatus")
+    }),
+
     // Unicode canonicalization before dedup: deterministic synthetic
     // encoding variants (precomposed é/ñ vs decomposed e+U+0301 /
     // n+U+0303 by doc_id % 4 — the q80 synthetic-input pattern) are
@@ -1691,6 +1706,48 @@ object TextQueries {
          |SELECT ex.l_returnflag, n_exact, round(e + 1e-9, 4) AS n_hll
          |FROM ex JOIN fin USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin
+    },
+
+    // Sample-quantile replay: bottom-128 by md5 of the order key
+    // (ORDER BY h, k — the heap's h-tie rule), type-1 index
+    // 1 + ((n−1)·q − ((n−1)·q) % 100)/100 (modulus-subtracted exact
+    // integer division, the house keep-count idiom), quantiles picked
+    // from the (v, k)-sorted sample and from the full group.
+    "q176_sample_quantiles" -> {
+      def qsel(prefix: String): String = Seq(25, 50, 75, 90)
+        .map(q => s"max(CASE WHEN rn = 1 + CAST(((n - 1) * $q - ((n - 1) * $q) % 100) / 100 AS BIGINT) THEN v END) AS $prefix$q")
+        .mkString(",\n    ")
+      s"""WITH b AS (
+         |  SELECT o_orderstatus AS g, o_orderkey AS k,
+         |    CAST(o_totalprice AS DOUBLE) AS v,
+         |    CAST(('0x'||substring(md5('sq:'||CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+         |  FROM orders),
+         |pk AS (
+         |  SELECT g, k, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY h, k) AS hr
+         |  FROM b),
+         |sr AS (
+         |  SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY v, k) AS rn,
+         |    count(*) OVER (PARTITION BY g) AS n
+         |  FROM pk WHERE hr <= 128),
+         |sq AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS n_sample,
+         |    ${qsel("sp")}
+         |  FROM sr GROUP BY g),
+         |xr AS (
+         |  SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY v, k) AS rn,
+         |    count(*) OVER (PARTITION BY g) AS n
+         |  FROM b),
+         |xq AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+         |    ${qsel("xp")}
+         |  FROM xr GROUP BY g)
+         |SELECT g AS o_orderstatus, n_rows, n_sample,
+         |  sp25, sp50, sp75, sp90, xp25, xp50, xp75, xp90
+         |FROM sq JOIN xq USING (g)
+         |ORDER BY o_orderstatus""".stripMargin
     },
 
     "q140_lm_pruned" ->

@@ -143,4 +143,52 @@ class SketchesSpec extends AnyFunSuite {
       assert(est == est2, "registers and estimate must be deterministic")
     }
   }
+
+  test("sample quantiles: hand-checked bottom-k selection and index math") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // one group, keys 0..9, value = key as double, sample of 4
+    val df = spark.range(10).select(lit("g").as("g"), $"id".as("k"),
+      $"id".cast("double").as("v"))
+    val got = Sketches.sampleQuantiles(df, "g", "k", "v", sampleSize = 4)
+      .collect().head
+    // replay the selection: 4 smallest md5('sq:'||k) 48-bit prefixes
+    val picked = (0L until 10L)
+      .map(k => (k, java.lang.Long.parseLong(md5hex(s"sq:$k").take(12), 16)))
+      .sortBy { case (k, h) => (h, k) }.take(4).map(_._1).sorted
+    val sv = picked.map(_.toDouble)
+    def t1(xs: Seq[Double], q: Int): Double = xs(((xs.size - 1) * q) / 100)
+    assert(got.getAs[Long]("n_rows") == 10L)
+    assert(got.getAs[Long]("n_sample") == 4L)
+    for (q <- Seq(25, 50, 75, 90)) {
+      assert(got.getAs[Double](s"sp$q") == t1(sv, q),
+        s"sample p$q must pick the hand-derived sample's type-1 value")
+      assert(got.getAs[Double](s"xp$q") == t1((0 to 9).map(_.toDouble), q),
+        s"exact p$q must pick the full group's type-1 value")
+    }
+  }
+
+  test("sample quantiles: a group within the sample size is exact") {
+    // two groups: 'small' (20 rows < 64) must self-sample (sp ≡ xp);
+    // 'big' (500 rows) must not
+    val df = spark.range(520).select(
+      when($"id" < 20, "small").otherwise("big").as("g"), $"id".as("k"),
+      ($"id" % 97).cast("double").as("v"))
+    val rows = Sketches.sampleQuantiles(df, "g", "k", "v", sampleSize = 64)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val s = rows("small")
+    assert(s.getAs[Long]("n_sample") == 20L)
+    for (q <- Seq(25, 50, 75, 90))
+      assert(s.getAs[Double](s"sp$q") == s.getAs[Double](s"xp$q"),
+        "a self-sampled group's sketch quantiles must be exact")
+    assert(rows("big").getAs[Long]("n_sample") == 64L)
+  }
+
+  test("sample quantiles: non-integral row key is refused loudly") {
+    val df = Seq(("g", "a", 1.0), ("g", "b", 2.0)).toDF("g", "k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.sampleQuantiles(df, "g", "k", "v")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
