@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, GraftSqlShims}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over pair tables — the iterative-numeric sibling of
+  * [[Dedup.connectedComponents]]'s iterative-label propagation. The input
+  * convention is the repo's pair-table shape (`a_id` < `b_id`, one row per
+  * undirected edge), which every near-dup discovery stage (MinHash-LSH,
+  * SimHash banding, embedding buckets) already emits.
+  */
+object Graph {
+
+  /** PageRank (Brin & Page 1998) over an UNDIRECTED pair table, the
+    * centrality score behind representative selection in dedup clusters:
+    * among near-identical documents, the highest-rank node is the one the
+    * most other duplicates point at — a principled "keep this copy" choice
+    * where [[Dedup.connectedComponents]]' min-id representative is an
+    * arbitrary one.
+    *
+    * Semantics: edges are symmetrized (each pair contributes both
+    * directions), nodes are the edge endpoints (an unpaired document has
+    * no rank — it is its own trivial representative), and a FIXED
+    * `iters`-round power iteration runs
+    * `r'(v) = (1 − d)/N + d · Σ_{u→v} r(u)/deg(u)`.
+    * Every node has in-degree ≥ 1 by symmetry, so the contribution join
+    * covers all nodes and there is no dangling-mass term.
+    *
+    * Cross-engine exactness (the iterative extension of the ln/rounding
+    * doctrine): each round's rank is rounded to `scaleDigits` (+1e-15
+    * midpoint guard) ON BOTH SIDES, so both engines re-enter every round
+    * with BIT-IDENTICAL inputs and accumulation-order ulps (≈1e-17 for
+    * bucket-capped degrees) cannot compound across rounds. 1/N and
+    * r/deg are single divisions by exact integers (engine-exact,
+    * q120 doctrine); the damping base is written `(1 − 0.85)/N` —
+    * IDENTICAL ARITHMETIC, never the pre-folded 0.15 (q136 doctrine).
+    *
+    * Scale shape: the edge table is checkpointed ONCE and reused each
+    * round; a round is one edges⋈ranks join keyed by `src` and one
+    * dst-keyed sum — both shuffles are edge-keyed, nothing is ever
+    * quadratic, and the rank frame is node-sized. The loop follows the
+    * connectedComponents discipline: `localCheckpoint` per round (a
+    * cached lineage would re-analyze quadratically), one materializing
+    * action per round, superseded checkpoints freed immediately.
+    *
+    * Output: (id, deg, rank) — degree as BIGINT, rank at `scaleDigits`
+    * decimals. Σ rank ≈ 1 (spec-pinned within rounding slack).
+    */
+  def pageRank(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", iters: Int = 5, damping: Double = 0.85,
+      scaleDigits: Int = 12): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1,
+      s"damping must be in (0, 1), got $damping")
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    fwd.unpersist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+      .localCheckpoint(true)
+    val n = deg.count()
+    // driver-side IEEE arithmetic — the same single operations the oracle
+    // writes as 1.0/n and (1 - 0.85)/n
+    val r0 = 1.0 / n
+    val base = (1.0 - damping) / n
+    var ranks = deg.withColumn("rank", lit(r0)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = edges
+        .join(ranks.select(col("id").as("src"),
+          (col("rank") / col("deg")).as("__c")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum("__c").as("__s"))
+        .join(deg, Seq("id"))
+        .select(col("id"), col("deg"),
+          round(lit(base) + lit(damping) * col("__s") + lit(1e-15),
+            scaleDigits).as("rank"))
+        .localCheckpoint(false)
+      next.count() // materialize before freeing the frame it was built from
+      GraftSqlShims.unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    GraftSqlShims.unpersistCheckpoint(edges)
+    GraftSqlShims.unpersistCheckpoint(deg)
+    ranks
+  }
+}

@@ -95,6 +95,22 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // PageRank centrality over the q31 near-dup graph — representative
+    // selection by structure (the most-pointed-at duplicate) instead of
+    // q65's arbitrary min-id. Fixed 5-round power iteration; each
+    // round's rank is rounded (+1e-15, 12) on BOTH sides so the engines
+    // re-enter every round bit-identical and accumulation ulps can't
+    // compound (the iterative extension of the rounding doctrine). The
+    // oracle unrolls the five rounds as CTEs over the same edges.
+    "q177_pagerank" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidates(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text",
+        shingleN = 5, numHashes = 8, rowsPerBand = 2)
+      graft.operators.Graph.pageRank(pairs)
+        .select(col("id").as("doc_id"), col("deg"), col("rank"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup pairs: banded chunk equi-join (pigeonhole-exact for
     // hamming <= bands-1) + exact bit_count verification. The oracle does
     // the all-pairs comparison directly — tractable at oracle scale — so a
@@ -420,6 +436,46 @@ object DedupQueries {
          |FROM reach
          |GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+
+    // PageRank replay: the q31/q65 edge chain, then five unrolled power
+    //-iteration CTEs. 1.0/n and rank/deg are single divisions by exact
+    // integers (engine-exact); the damping base stays written as
+    // (1 - 0.85)/n — identical arithmetic, never the pre-folded 0.15;
+    // each round rounds (+1e-15, 12) exactly like the Spark loop.
+    "q177_pagerank" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT d.id, d.deg,
+           |    round((1 - 0.85) / nn.n + 0.85 * c.cs + 1e-15, 12) AS rank
+           |  FROM (SELECT e.dst AS id, sum(r.rank / r.deg) AS cs
+           |        FROM edges e JOIN r${i - 1} r ON r.id = e.src
+           |        GROUP BY e.dst) c
+           |  JOIN deg d ON d.id = c.id, nn)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $shinglesCte,
+         |$signaturesCte,
+         |$bandsCte,
+         |ok_buckets AS (
+         |  SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |eligible AS (
+         |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM eligible a JOIN eligible b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT id, deg, 1.0 / nn.n AS rank FROM deg, nn),
+         |$rounds
+         |SELECT id AS doc_id, CAST(deg AS BIGINT) AS deg, rank
+         |FROM r5
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q72_simhash_neardup" ->
       """WITH h AS (

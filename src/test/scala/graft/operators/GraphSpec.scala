@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // replay pageRank's per-round arithmetic (same IEEE ops, same rounding)
+  private def replay(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    val sym = edges ++ edges.map(_.swap)
+    val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = deg.size
+    var r = deg.keys.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = sym.groupBy(_._2)
+      r = deg.keys.map { v =>
+        val s = in(v).map { case (u, _) => r(u) / deg(u) }.sum
+        v -> BigDecimal((1.0 - 0.85) / n + 0.85 * s + 1e-15)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int = 5) =
+    Graph.pageRank(edges.toDF("a_id", "b_id"), iters = iters)
+      .as[(Long, Long, Double)].collect()
+      .map { case (id, d, r) => id -> (d, r) }.toMap
+
+  test("star graph: the center out-ranks every leaf, ranks sum to ~1") {
+    val edges = (2L to 6L).map(l => (1L, l))
+    val got = run(edges)
+    assert(got(1L)._1 == 5L && got(2L)._1 == 1L)
+    val center = got(1L)._2
+    (2L to 6L).foreach(l => assert(center > got(l)._2,
+      s"center must out-rank leaf $l"))
+    val total = got.values.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-9,
+      s"undirected PageRank mass must be conserved, got $total")
+  }
+
+  test("path graph matches an independent per-round replay") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val want = replay(edges, 5)
+    val got = run(edges)
+    want.foreach { case (id, r) =>
+      assert(got(id)._2 == r, s"node $id: got ${got(id)._2}, want $r")
+    }
+    // symmetry: the path's mirror-image nodes tie exactly
+    assert(got(1L)._2 == got(4L)._2 && got(2L)._2 == got(3L)._2)
+  }
+
+  test("deterministic across runs; parameters validated loudly") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(run(edges).toSeq.sortBy(_._1) sameElements
+      run(edges).toSeq.sortBy(_._1))
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges.toDF("a_id", "b_id"), iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(edges.toDF("a_id", "b_id"), damping = 1.0)
+    }
+  }
+}
