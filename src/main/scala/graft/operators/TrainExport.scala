@@ -165,6 +165,71 @@ object TrainExport {
       .drop("__bkt", "__lrn", "__off")
   }
 
+  /** GPT-style concat-and-slice sequence packing: documents are laid out
+    * in deterministic md5 order as ONE virtual token stream and cut into
+    * fixed `seqLen`-token training sequences, crossing document
+    * boundaries — the pretraining layout (every sequence exactly full),
+    * where [[TextAnalysis.packBins]] is the no-splitting layout (bins
+    * underfull, documents intact). Output is the PROVENANCE map: one row
+    * per (document × sequence it lands in) with the document's global
+    * token offset and its token count inside that sequence — exactly
+    * what attribution, decontamination-by-sequence, and loader-side
+    * assembly need.
+    *
+    * Layout math is all exact integers: a document at exclusive-prefix
+    * offset `off` with `t > 0` tokens spans sequences `off div L`
+    * through `(off + t − 1) div L` and contributes
+    * `least(off + t, (s+1)·L) − greatest(off, s·L)` tokens to sequence
+    * `s`; zero-token documents occupy no positions and emit no rows.
+    * Every sequence except the last holds exactly L tokens by
+    * construction (spec-pinned).
+    *
+    * Scale shape: the global offset is the [[md5RankChunked]] two-phase
+    * discipline transposed from ranks to TOKEN-COUNT cumsums — the
+    * cumsum window is partitioned by the md5-prefix chunk (the chunk is
+    * a prefix of the order key, so (chunk, key) order IS key order and
+    * per-chunk cumsums + a broadcast stitch of the 16^hexChars
+    * chunk-total catalog reproduce the global cumsum exactly); no
+    * single-reducer global window, no driver loop. The expansion join is
+    * a generator (≤ 1 + t/L rows per doc), never a cross join.
+    */
+  def sliceSequences(df: DataFrame, idCol: String, tokensCol: String,
+      seqLen: Int, seed: String = "slice", hexChars: Int = 2): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(hexChars >= 1 && hexChars <= 4,
+      s"hexChars must be in [1, 4] (16..65536 chunks), got $hexChars")
+    val keyed = df
+      .select(col(idCol), col(tokensCol).cast("long").as("__t"))
+      .withColumn("__key",
+        md5(concat(lit(seed + ":"), col(idCol).cast("string"))))
+      .withColumn("__chunk", substring(col("__key"), 1, hexChars))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("__chunk").orderBy(col("__key"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val local = keyed
+      .withColumn("__loff", coalesce(sum("__t").over(wLocal), lit(0L)))
+    val counts = keyed.groupBy("__chunk").agg(sum("__t").as("__cn"))
+    // catalog-sized frame (16^hexChars rows): the unpartitioned window is
+    // bounded by construction, not a corpus-scale sort
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy("__chunk")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val offsets = counts
+      .withColumn("__coff", coalesce(sum("__cn").over(wOff), lit(0L)))
+      .select("__chunk", "__coff")
+    local.join(broadcast(offsets), Seq("__chunk"))
+      .withColumn("off", col("__coff") + col("__loff"))
+      .filter(col("__t") > 0)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"off div $seqLen"), expr(s"(off + __t - 1) div $seqLen"))))
+      .withColumn("n_tok",
+        least(col("off") + col("__t"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("off"), col("seq_id") * seqLen))
+      .select(col(idCol), col("seq_id"), col("off"), col("n_tok"))
+  }
+
   /** Deterministic proportional stratified sample: keep
     * `ceil(n · keepNumer / keepDenom)` rows of every stratum, chosen by
     * md5 order — the per-source/per-language mixture-downsampling step of

@@ -335,6 +335,21 @@ object TextQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // GPT-style concat-and-slice packing: the corpus as one md5-ordered
+    // virtual token stream cut into exactly-256-token sequences across
+    // document boundaries (q163 packs whole docs into bins; this is the
+    // pretraining layout where every sequence is full). The gate hashes
+    // the PROVENANCE map — every doc's global token offset and its token
+    // count in every sequence it touches — so the chunked two-phase
+    // cumsum is pinned offset-for-offset. All exact integer math.
+    "q178_seq_slices" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .withColumn("__nt", TextAnalysis.tokenCount(col("text")))
+      graft.operators.TrainExport
+        .sliceSequences(docs, "doc_id", "__nt", seqLen = 256)
+        .orderBy("doc_id", "seq_id")
+    }),
+
     // Unicode canonicalization before dedup: deterministic synthetic
     // encoding variants (precomposed é/ñ vs decomposed e+U+0301 /
     // n+U+0303 by doc_id % 4 — the q80 synthetic-input pattern) are
@@ -1707,6 +1722,32 @@ object TextQueries {
          |FROM ex JOIN fin USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin
     },
+
+    // Concat-and-slice replay: global token cumsum over the md5 order
+    // (the single window is oracle-scale; Spark's side is the chunked
+    // two-phase cumsum — same numbers, different plan), sequence span by
+    // modulus-subtracted integer division, unnest(range(...)) in the
+    // SELECT list (lateral generate_series is unsupported here).
+    "q178_seq_slices" ->
+      raw"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS t,
+         |    md5('slice:'||CAST(doc_id AS VARCHAR)) AS key
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, t,
+         |    CAST(coalesce(sum(t) OVER (ORDER BY key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM d),
+         |s AS (
+         |  SELECT doc_id, t, off,
+         |    unnest(range(CAST((off - off % 256) / 256 AS BIGINT),
+         |      CAST(((off + t - 1) - (off + t - 1) % 256) / 256 AS BIGINT) + 1)) AS seq_id
+         |  FROM o WHERE t > 0)
+         |SELECT doc_id, seq_id, off,
+         |  least(off + t, (seq_id + 1) * 256) - greatest(off, seq_id * 256) AS n_tok
+         |FROM s
+         |ORDER BY doc_id, seq_id""".stripMargin,
 
     // Sample-quantile replay: bottom-128 by md5 of the order key
     // (ORDER BY h, k — the heap's h-tie rule), type-1 index

@@ -165,4 +165,48 @@ class TrainExportSpec extends AnyFunSuite {
       TrainExport.scoreRankChunked(docs, "doc_id", "q", Seq.empty)
     }
   }
+
+  test("sliceSequences: chunked cumsum equals the single-window layout") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (1L to 300L).map(id => (id, (id * 7) % 41)) // some zeros
+      .toDF("doc_id", "nt")
+    val key = md5(concat(lit("slice:"), $"doc_id".cast("string")))
+    val single = docs.withColumn("__key", key)
+      .withColumn("off", coalesce(sum($"nt").over(
+        Window.orderBy("__key", "doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter($"nt" > 0)
+      .select($"doc_id", $"off").as[(Long, Long)].collect().toMap
+    for (hexChars <- Seq(1, 2)) {
+      val got = TrainExport
+        .sliceSequences(docs, "doc_id", "nt", 64, hexChars = hexChars)
+        .select($"doc_id", $"off").distinct()
+        .as[(Long, Long)].collect().toMap
+      assert(got == single,
+        s"chunked offsets must equal the global window (hexChars=$hexChars)")
+    }
+  }
+
+  test("sliceSequences: every sequence but the last is exactly full") {
+    val docs = (1L to 200L).map(id => (id, (id * 13) % 37)).toDF("doc_id", "nt")
+    val rows = TrainExport.sliceSequences(docs, "doc_id", "nt", 64)
+      .as[(Long, Long, Long, Long)].collect()
+    val perSeq = rows.groupBy(_._2).view
+      .mapValues(_.map(_._4).sum).toMap
+    val lastSeq = perSeq.keys.max
+    perSeq.foreach { case (s, tot) =>
+      if (s != lastSeq) assert(tot == 64L, s"sequence $s holds $tot != 64")
+      else assert(tot >= 1L && tot <= 64L)
+    }
+    // total token conservation + zero-token docs emit nothing
+    val totalTokens = (1L to 200L).map(id => (id * 13) % 37).sum
+    assert(rows.map(_._4).sum == totalTokens)
+    val zeroIds = (1L to 200L).filter(id => (id * 13) % 37 == 0).toSet
+    assert(rows.forall(r => !zeroIds.contains(r._1)))
+    // per-doc counts across its sequences reassemble the doc
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.map(_._4).sum == (id * 13) % 37,
+        s"doc $id token mass must be conserved across sequences")
+    }
+  }
 }
