@@ -549,6 +549,30 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Corpus snapshot diff — the incremental-ingest primitive completing
+    // the mutation family's join algebra with its one missing shape (FULL
+    // OUTER). A deterministic md5-class "next" snapshot (5% deleted, 10%
+    // edited, 5% brand-new ids) diffs against the documents table by
+    // content signature; the gate hashes the full per-doc status table,
+    // so every class boundary is pinned.
+    "q179_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def cls(seedTag: String) = conv(substring(md5(concat(lit(seedTag),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 20
+      val nextKept = docs.withColumn("__v", cls("snap:"))
+        .filter(col("__v") =!= 0)
+        .withColumn("text", when(col("__v").isin(1, 2),
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .drop("__v")
+      val nextAdded = docs.filter(cls("snapadd:") === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("text", concat(lit("added "), col("text")))
+      val sig = (d: DataFrame) => d.withColumn("sig", md5(col("text")))
+      graft.operators.Mutations.snapshotDiff(
+          sig(docs), sig(nextKept.unionByName(nextAdded)), "doc_id", "sig")
+        .orderBy("doc_id")
+    }),
+
     // INSERT / UPDATE / DELETE through the command grammar, end state read
     // back through SEARCH; oracle is the literal expected table.
     "q45_command_mutations" -> ((s, dir) => {
@@ -836,6 +860,30 @@ object PipelineQueries {
       """SELECT CAST(id AS BIGINT) AS id, payload
         |FROM (VALUES (1, 'alice2'), (3, 'carol')) t(id, payload)
         |ORDER BY id""".stripMargin,
+
+    // Snapshot-diff replay: rebuild the md5-class next snapshot (drop
+    // class 0, edit classes 1-2, add the snapadd class under offset
+    // ids), then FULL OUTER join on doc_id comparing signatures.
+    "q179_snapshot_diff" ->
+      """WITH prev AS (SELECT doc_id, md5(text) AS sig FROM documents),
+        |nx AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN v IN (1, 2) THEN text || ' rev2' ELSE text END) AS sig
+        |  FROM (SELECT doc_id, text,
+        |          CAST(('0x'||substring(md5('snap:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 AS v
+        |        FROM documents)
+        |  WHERE v <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5('added ' || text)
+        |  FROM documents
+        |  WHERE CAST(('0x'||substring(md5('snapadd:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 = 0)
+        |SELECT coalesce(prev.doc_id, nx.doc_id) AS doc_id,
+        |  CASE WHEN prev.doc_id IS NULL THEN 'added'
+        |       WHEN nx.doc_id IS NULL THEN 'removed'
+        |       WHEN prev.sig = nx.sig THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM prev FULL OUTER JOIN nx ON prev.doc_id = nx.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q46_compaction" ->
       """SELECT vec_id, label FROM embeddings

@@ -93,6 +93,36 @@ class PropertySpec extends AnyFunSuite {
     assert(rows(restored).contains((2L, "b3")))
   }
 
+  test("snapshotDiff: all four statuses, upsert round-trip consistency") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "sig")
+    val next = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "sig")
+    def diff(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame) =
+      Mutations.snapshotDiff(a, b, "id", "sig")
+        .as[(Long, String)].collect().toMap
+    assert(diff(prev, next) == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // self-diff is all-unchanged; diff against empty is all-removed
+    assert(diff(prev, prev).values.forall(_ == "unchanged"))
+    assert(diff(prev, prev.limit(0)).values.forall(_ == "removed"))
+    // NULL signatures: both-null is unchanged, one-sided null is changed
+    val pn = Seq((1L, null: String), (2L, "x")).toDF("id", "sig")
+    val nn = Seq((1L, null: String), (2L, null: String)).toDF("id", "sig")
+    assert(diff(pn, nn) == Map(1L -> "unchanged", 2L -> "changed"))
+    // applying upsert(next-side adds/changes) + delete(removed) to prev
+    // reproduces next — the diff really is the incremental recipe
+    val d = diff(prev, next)
+    val changedOrAdded = next.filter(col("id")
+      .isin(d.filter(kv => kv._2 == "added" || kv._2 == "changed")
+        .keys.toSeq: _*))
+    val removedKeys = prev.filter(col("id")
+      .isin(d.filter(_._2 == "removed").keys.toSeq: _*)).select("id")
+    val rebuilt = Mutations.deleteByKeys(
+      Mutations.upsert(prev, changedOrAdded), removedKeys)
+    assert(rebuilt.as[(Long, String)].collect().toSet ==
+      next.as[(Long, String)].collect().toSet)
+  }
+
   test("sq8 quantization: Spark expression equals the driver-side rule on random floats") {
     val rnd = new scala.util.Random(11)
     // values spanning the clamp range and the floor boundaries
