@@ -519,6 +519,43 @@ class PlanAuditSpec extends AnyFunSuite {
       "the chain is windows + one aggregation, never a join explosion")
   }
 
+  test("q176 sample quantiles: bounded heap selection, broadcast join-back") {
+    val p = plan("q176_sample_quantiles")
+    assert(p.contains("ObjectHashAggregate"),
+      "the bottom-k-by-hash sample must run in the TopKAggregator heap")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the sample-key join-back must broadcast the tiny picked set:\n${p.take(2000)}")
+    // exactly one corpus-sorting window pair is allowed: the xp*
+    // exact-quantile DIAGNOSTIC. The sketch path must stay heap+broadcast.
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows <= 4,
+      s"only the exact-diagnostic windows may sort ($windows found):\n${p.take(2000)}")
+  }
+
+  test("q178 seq slices: chunk-partitioned cumsum, broadcast stitch, generator") {
+    val p = plan("q178_seq_slices")
+    // the corpus cumsum must partition by the md5-prefix chunk — never a
+    // single-reducer global window
+    assert("hashpartitioning\\(__chunk".r.findFirstIn(p).isDefined,
+      s"token cumsum must partition on __chunk:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"chunk-offset stitch must broadcast the catalog:\n${p.take(2000)}")
+    assert(p.contains("Generate explode"),
+      "the doc→sequence expansion must be a generator, not a join")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "no unkeyed join anywhere in the slicing plan")
+  }
+
+  test("q179 snapshot diff: id-keyed FULL OUTER join, no cartesian") {
+    val p = plan("q179_snapshot_diff")
+    assert(p.contains("FullOuter"),
+      s"the diff must be a full outer join:\n${p.take(2000)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "unique-keyed shuffle join expected (neither side is small at scale)")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "no unkeyed join in the diff plan")
+  }
+
   test("q146 url canon: canonicalization runs scan-side, no UDF, no pre-agg shuffle") {
     val p = plan("q146_url_canon")
     assert(!p.contains("ScalaUDF"), "pure column math expected")
