@@ -85,4 +85,76 @@ object Graph {
     GraftSqlShims.unpersistCheckpoint(deg)
     ranks
   }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    * clamped-seed variant) over an undirected pair table: seed labels
+    * spread to unlabeled neighbors by iterated neighbor-majority vote —
+    * how a quality tag or language label audited on 1% of a corpus
+    * reaches the rest of each near-dup neighborhood without a model.
+    *
+    * Round semantics: a node's next label is the MOST COMMON label among
+    * its labeled neighbors (unlabeled neighbors don't vote; a node with
+    * no labeled neighbors stays unlabeled this round); seed nodes are
+    * CLAMPED — they never change. Ties break to the GREATEST label —
+    * `max(struct(count, label))` ≡ `ORDER BY c DESC, label DESC` (the
+    * q166 top-gram tie-break rule, engine-replayable in one aggregate
+    * with no rank window). Vote counts are exact integers; a fixed
+    * `iters` rounds runs — everything deterministic, nothing rounded.
+    *
+    * Scale shape: per round one edges⋈labels join keyed by `src` and one
+    * (dst, label)-keyed count whose argmax folds into the same
+    * aggregation pass — both shuffles edge-keyed; label frames are
+    * node-sized; the loop keeps the [[pageRank]] checkpoint discipline.
+    *
+    * Output: one row per GRAPH NODE — (id, label, status) with status
+    * `seed` / `prop` / `none` (still unlabeled after `iters`). Seeds
+    * outside the graph are ignored (they have no edges to spread over).
+    */
+  def labelPropagation(pairs: DataFrame, seeds: DataFrame,
+      idCol: String = "id", labelCol: String = "label",
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .cache()
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    fwd.unpersist()
+    val nodes = edges.select(col("src").as("id")).distinct()
+      .localCheckpoint(true)
+    val seedLabels = seeds
+      .select(col(idCol).as("id"), col(labelCol).as("label"))
+      .join(nodes, Seq("id"))
+      .localCheckpoint(true)
+    var labels = seedLabels
+    for (_ <- 1 to iters) {
+      val voted = edges
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("id")
+        .agg(max(struct(col("__c"), col("label"))).as("__m"))
+        .select(col("id"), col("__m.label").as("label"))
+      val next = seedLabels.unionByName(
+          voted.join(seedLabels.select("id"), Seq("id"), "left_anti"))
+        .localCheckpoint(false)
+      next.count() // materialize before freeing the previous round
+      if (!(labels eq seedLabels)) GraftSqlShims.unpersistCheckpoint(labels)
+      labels = next
+    }
+    val out = nodes
+      .join(labels, Seq("id"), "left_outer")
+      .join(seedLabels.select(col("id"), lit(true).as("__s")),
+        Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), lit("none")).as("label"),
+        when(col("__s").isNotNull, "seed")
+          .when(col("label").isNotNull, "prop")
+          .otherwise("none").as("status"))
+      .localCheckpoint(true)
+    if (!(labels eq seedLabels)) GraftSqlShims.unpersistCheckpoint(labels)
+    GraftSqlShims.unpersistCheckpoint(edges)
+    GraftSqlShims.unpersistCheckpoint(nodes)
+    GraftSqlShims.unpersistCheckpoint(seedLabels)
+    out
+  }
 }

@@ -111,6 +111,26 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Clamped-seed label propagation over the q31 graph: the lang tag of
+    // an md5-class 25% seed set spreads to unlabeled neighbors by
+    // iterated neighbor-majority (3 rounds, exact integer votes, greatest
+    // -label tie-break = the q166 max-struct rule). The gate hashes every
+    // node's final (label, status) — seed clamping, vote counts, and the
+    // no-labeled-neighbor 'none' path are all pinned.
+    "q180_label_prop" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs,
+        idCol = "doc_id", textCol = "text",
+        shingleN = 5, numHashes = 8, rowsPerBand = 2)
+      val seeds = docs.filter(conv(substring(md5(concat(lit("lpseed:"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+          % 4 === 0)
+        .select(col("doc_id"), col("lang"))
+      graft.operators.Graph.labelPropagation(pairs, seeds, "doc_id", "lang")
+        .select(col("id").as("doc_id"), col("label"), col("status"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup pairs: banded chunk equi-join (pigeonhole-exact for
     // hamming <= bands-1) + exact bit_count verification. The oracle does
     // the all-pairs comparison directly — tractable at oracle scale — so a
@@ -474,6 +494,60 @@ object DedupQueries {
          |$rounds
          |SELECT id AS doc_id, CAST(deg AS BIGINT) AS deg, rank
          |FROM r5
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Label-propagation replay: the q31/q65 edge chain, seeds restricted
+    // to graph nodes, three unrolled vote rounds (row_number ORDER BY
+    // c DESC, label DESC ≡ Spark's max(struct(c, label))), seeds clamped
+    // by UNION + NOT IN each round.
+    "q180_label_prop" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""v$i AS (
+           |  SELECT e.dst AS id, l.label, count(*) AS c
+           |  FROM edges e JOIN l${i - 1} l ON l.id = e.src
+           |  GROUP BY e.dst, l.label),
+           |b$i AS (
+           |  SELECT id, label FROM (
+           |    SELECT id, label, row_number() OVER (
+           |      PARTITION BY id ORDER BY c DESC, label DESC) AS rn
+           |    FROM v$i) WHERE rn = 1),
+           |l$i AS (
+           |  SELECT * FROM seeds
+           |  UNION ALL
+           |  SELECT * FROM b$i WHERE id NOT IN (SELECT id FROM seeds))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $shinglesCte,
+         |$signaturesCte,
+         |$bandsCte,
+         |ok_buckets AS (
+         |  SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |eligible AS (
+         |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM eligible a JOIN eligible b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |seeds AS (
+         |  SELECT d.doc_id AS id, d.lang AS label
+         |  FROM documents d JOIN nodes ON nodes.id = d.doc_id
+         |  WHERE CAST(('0x'||substring(md5('lpseed:'||CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 4 = 0),
+         |l0 AS (SELECT * FROM seeds),
+         |$rounds
+         |SELECT nodes.id AS doc_id,
+         |  coalesce(l3.label, 'none') AS label,
+         |  CASE WHEN seeds.id IS NOT NULL THEN 'seed'
+         |       WHEN l3.label IS NOT NULL THEN 'prop'
+         |       ELSE 'none' END AS status
+         |FROM nodes
+         |LEFT JOIN l3 ON l3.id = nodes.id
+         |LEFT JOIN seeds ON seeds.id = nodes.id
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -54,6 +54,34 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1L)._2 == got(4L)._2 && got(2L)._2 == got(3L)._2)
   }
 
+  test("label propagation: spread, clamping, tie-break, unreached nodes") {
+    // component A: path 1-2-3 with seed 1='en' (3 is reached in round 2);
+    // component B: 10-11 with no seeds (stays 'none');
+    // component C: 20-21-22 where 21 is seeded 'de' and 20 is seeded 'fr' —
+    // 22's neighbors give it 'de'; 20 must STAY 'fr' (clamped) even though
+    // its only neighbor says 'de'
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("a_id", "b_id")
+    val seeds = Seq((1L, "en"), (21L, "de"), (20L, "fr"), (99L, "xx"))
+      .toDF("id", "label") // 99 is not in the graph → ignored
+    val got = Graph.labelPropagation(edges, seeds)
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(
+      1L -> ("en", "seed"), 2L -> ("en", "prop"), 3L -> ("en", "prop"),
+      10L -> ("none", "none"), 11L -> ("none", "none"),
+      20L -> ("fr", "seed"), 21L -> ("de", "seed"), 22L -> ("de", "prop")))
+    assert(!got.contains(99L), "a seed outside the graph spreads nowhere")
+    // tie-break: node 2 with equal-count neighbors 'aa' and 'zz' takes the
+    // GREATEST label (the max-struct rule)
+    val tri = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val ts = Seq((1L, "aa"), (3L, "zz")).toDF("id", "label")
+    val tie = Graph.labelPropagation(tri, ts, iters = 1)
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(tie(2L) == "zz", "equal votes must resolve to the greatest label")
+  }
+
   test("deterministic across runs; parameters validated loudly") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     assert(run(edges).toSeq.sortBy(_._1) sameElements
