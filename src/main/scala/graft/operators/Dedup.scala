@@ -530,6 +530,44 @@ object Dedup {
     * reasons anyway: a bucket holding 1% of the corpus carries no
     * near-dup signal.
     */
+  /** Leakage-free train/test split: partition at NEAR-DUP-CLUSTER grain,
+    * not document grain. A doc-grain md5 split puts near-copies of test
+    * documents into train (the contamination Lee et al. 2021 measure —
+    * the eval set leaks through its duplicates); deciding the split on
+    * each doc's [[connectedComponents]] representative keeps every
+    * near-dup neighborhood on ONE side by construction. Documents
+    * outside any pair are their own singleton cluster (rep = own id).
+    *
+    * The split class is the q140 md5-residue rule (`% trainMod <
+    * trainLt`, default 8/10) keyed on the REP, so membership is a pure
+    * function of (data, seed) — reproducible under retries, engine-
+    * recomputable, and stable when new singletons arrive (an existing
+    * cluster never flips because unrelated data grew).
+    *
+    * Scale shape: the components run is the q65 machinery (edge-keyed
+    * label propagation, checkpointed rounds); the rep attach is one
+    * id-keyed left join (pair-covered docs are a small minority, so the
+    * cc frame usually broadcasts); the split itself is scan-side hash
+    * math. Output: the input columns plus `cluster_rep` and `split`.
+    */
+  def clusterSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      seed: String = "csplit", trainMod: Int = 10,
+      trainLt: Int = 8): DataFrame = {
+    require(trainMod >= 1 && trainLt >= 0 && trainLt <= trainMod,
+      s"split rule must be 0 <= trainLt <= trainMod, got $trainLt/$trainMod")
+    requireIntegralId(df, idCol, "clusterSplit")
+    val cc = connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    df.join(cc, Seq(idCol), "left_outer")
+      .withColumn("cluster_rep",
+        coalesce(col("cluster_rep"), col(idCol).cast("long")))
+      .withColumn("split",
+        when(conv(substring(md5(concat(lit(seed + ":"),
+            col("cluster_rep").cast("string"))), 1, 4), 16, 10)
+            .cast("long") % trainMod < trainLt, "train")
+          .otherwise("test"))
+  }
+
   private def requireIntegralId(df: DataFrame, idCol: String, op: String): Unit = {
     val idType = df.schema(idCol).dataType
     require(Set[org.apache.spark.sql.types.DataType](

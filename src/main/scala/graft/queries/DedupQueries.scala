@@ -131,6 +131,21 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Leakage-free split: train/test membership decided at near-dup
+    // CLUSTER grain (the q65 components' rep), so no near-copy of a test
+    // doc can land in train; docs outside any pair are singleton
+    // clusters. The gate hashes every doc's (rep, split) — the q140 md5
+    // residue rule keyed on the rep.
+    "q181_cluster_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs,
+        idCol = "doc_id", textCol = "text",
+        shingleN = 5, numHashes = 8, rowsPerBand = 2)
+      Dedup.clusterSplit(docs.select("doc_id"), "doc_id", pairs)
+        .select(col("doc_id"), col("cluster_rep"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup pairs: banded chunk equi-join (pigeonhole-exact for
     // hamming <= bands-1) + exact bit_count verification. The oracle does
     // the all-pairs comparison directly — tractable at oracle scale — so a
@@ -550,6 +565,39 @@ object DedupQueries {
          |LEFT JOIN seeds ON seeds.id = nodes.id
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Cluster-split replay: the q65 recursive components, singleton
+    // fallback via LEFT JOIN + coalesce, split by md5 residue of the rep.
+    "q181_cluster_split" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$signaturesCte,
+         |$bandsCte,
+         |ok_buckets AS (
+         |  SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |eligible AS (
+         |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM eligible a JOIN eligible b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |cc AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |wr AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(cc.rep, d.doc_id) AS BIGINT) AS cluster_rep
+         |  FROM documents d LEFT JOIN cc ON cc.id = d.doc_id)
+         |SELECT doc_id, cluster_rep,
+         |  CASE WHEN CAST(('0x'||substring(md5('csplit:'||CAST(cluster_rep AS VARCHAR)), 1, 4)) AS BIGINT) % 10 < 8
+         |    THEN 'train' ELSE 'test' END AS split
+         |FROM wr
+         |ORDER BY doc_id""".stripMargin,
 
     "q72_simhash_neardup" ->
       """WITH h AS (

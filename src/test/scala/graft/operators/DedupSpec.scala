@@ -330,4 +330,29 @@ class DedupSpec extends AnyFunSuite {
       .filter($"doc_id" === 1).select("text").as[String].head()
     assert(rebuilt == base, "span reassembly must reproduce the document")
   }
+
+  test("clusterSplit: no pair ever crosses the split, singletons fall back") {
+    val docs = (1L to 40L).toDF("doc_id")
+    // chain clusters {1..4}, {10,11}, everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a_id", "b_id")
+    val got = Dedup.clusterSplit(docs, "doc_id", pairs)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 40)
+    // whole cluster shares one rep and one side — the leakage guarantee
+    Seq(Seq(1L, 2L, 3L, 4L), Seq(10L, 11L)).foreach { cl =>
+      assert(cl.map(got(_)).distinct.size == 1,
+        s"cluster $cl must share rep and split")
+      assert(got(cl.head)._1 == cl.min, "rep is the cluster min id")
+    }
+    // singletons are their own rep
+    assert(got(25L)._1 == 25L)
+    // both sides are populated at an 80/20 residue rule over 36 clusters
+    val sides = got.values.map(_._2).toSet
+    assert(sides == Set("train", "test"))
+    intercept[IllegalArgumentException] {
+      Dedup.clusterSplit(Seq("a").toDF("doc_id"), "doc_id", pairs)
+    }
+  }
 }
