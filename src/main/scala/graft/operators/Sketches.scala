@@ -222,16 +222,19 @@ object Sketches {
     * BROADCAST sample-key table, and the quantile window runs on
     * ≤ |groups|·sampleSize rows. The exact side (the `xp*` diagnostic
     * columns, the q143 `n_exact` convention) DOES sort each full group —
-    * that is the cost the sketch exists to avoid; drop it in production.
+    * that is the cost the sketch exists to avoid; pass
+    * `exactDiagnostic = false` for the production shape (heap +
+    * broadcast only, no full-group sort in the plan).
     *
     * Output: (`groupCol`, n_rows, n_sample, sp{q}… sample quantiles,
-    * xp{q}… exact quantiles). A group with ≤ sampleSize rows samples
-    * itself entirely, so sp ≡ xp there (spec-pinned).
+    * xp{q}… exact quantiles); without the diagnostic, (`groupCol`,
+    * n_sample, sp{q}…). A group with ≤ sampleSize rows samples itself
+    * entirely, so sp ≡ xp there (spec-pinned).
     */
   def sampleQuantiles(df: DataFrame, groupCol: String, keyCol: String,
       valueCol: String, sampleSize: Int = 128,
       qs: Seq[Int] = Seq(25, 50, 75, 90),
-      seed: String = "sq"): DataFrame = {
+      seed: String = "sq", exactDiagnostic: Boolean = true): DataFrame = {
     require(sampleSize >= 1, s"sampleSize must be >= 1, got $sampleSize")
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 100),
       s"quantiles must be percentages in [0, 100], got $qs")
@@ -281,11 +284,18 @@ object Sketches {
     }
 
     val sp = quantiles(base.join(broadcast(picked), Seq("__g", "__k")), "sp")
-    val xp = quantiles(base, "xp")
-    sp.join(xp, Seq("__g"))
-      .select(Seq(col("__g").as(groupCol),
-        col("__n_xp").as("n_rows"), col("__n_sp").as("n_sample")) ++
-        qs.map(q => col(s"sp$q")) ++ qs.map(q => col(s"xp$q")): _*)
+    if (!exactDiagnostic)
+      // production shape: heap + broadcast only — no full-group sort
+      // anywhere in the plan (q182's PlanAudit pins it)
+      sp.select(Seq(col("__g").as(groupCol),
+        col("__n_sp").as("n_sample")) ++ qs.map(q => col(s"sp$q")): _*)
+    else {
+      val xp = quantiles(base, "xp")
+      sp.join(xp, Seq("__g"))
+        .select(Seq(col("__g").as(groupCol),
+          col("__n_xp").as("n_rows"), col("__n_sp").as("n_sample")) ++
+          qs.map(q => col(s"sp$q")) ++ qs.map(q => col(s"xp$q")): _*)
+    }
   }
 
   /** The HLL estimate from a [[hllRegisters]] table: harmonic mean of

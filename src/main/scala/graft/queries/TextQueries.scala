@@ -335,6 +335,32 @@ object TextQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // The sample-quantile sketch driving its production consumer:
+    // per-source quality-score quartile thresholds estimated from the
+    // bottom-64 sample (exactDiagnostic = false — no full-group sort
+    // anywhere, PlanAudit-pinned), broadcast back over the corpus to bin
+    // every doc. Scores are rounded (+1e-9, 6) BEFORE the sketch on both
+    // sides (q36's quality replay), so threshold comparisons are
+    // identical-double compares; lo/hi are selections of already-rounded
+    // values — nothing re-rounds.
+    "q182_quantile_bins" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .withColumn("__q", round(
+          TextAnalysis.qualityScore(col("text")) + lit(1e-9), 6))
+      val sk = graft.operators.Sketches.sampleQuantiles(docs, "source",
+        "doc_id", "__q", sampleSize = 64, qs = Seq(25, 50, 75),
+        exactDiagnostic = false)
+      docs.join(broadcast(sk), Seq("source"))
+        .withColumn("bucket",
+          when(col("__q") <= col("sp25"), 0L)
+            .when(col("__q") <= col("sp50"), 1L)
+            .when(col("__q") <= col("sp75"), 2L)
+            .otherwise(3L))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n"), min("__q").as("lo"), max("__q").as("hi"))
+        .orderBy("source", "bucket")
+    }),
+
     // GPT-style concat-and-slice packing: the corpus as one md5-ordered
     // virtual token stream cut into exactly-256-token sequences across
     // document boundaries (q163 packs whole docs into bins; this is the
@@ -1721,6 +1747,57 @@ object TextQueries {
          |SELECT ex.l_returnflag, n_exact, round(e + 1e-9, 4) AS n_hll
          |FROM ex JOIN fin USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin
+    },
+
+    // Quantile-bin replay: q36's quality score rounded first, the q176
+    // bottom-64/type-1 sketch per source, thresholds joined back, exact
+    // bucket counts with raw min/max of the pre-rounded scores.
+    "q182_quantile_bins" -> {
+      def qsel(prefix: String): String = Seq(25, 50, 75)
+        .map(q => s"max(CASE WHEN rn = 1 + CAST(((n - 1) * $q - ((n - 1) * $q) % 100) / 100 AS BIGINT) THEN qv END) AS $prefix$q")
+        .mkString(",\n    ")
+      raw"""WITH r0 AS (
+         |  SELECT doc_id, source, text,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |      ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+         |    CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+         |             t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+         |           / len(regexp_extract_all(lower(text), '\S+')) END AS stop
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    round(least(greatest(
+         |      least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+         |      * (1.0 - punct) * (0.5 + stop), 0.0), 1.0) + 1e-9, 6) AS qv
+         |  FROM r0),
+         |hx AS (
+         |  SELECT source, doc_id, qv,
+         |    CAST(('0x'||substring(md5('sq:'||CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+         |  FROM q),
+         |pk AS (
+         |  SELECT source, doc_id, qv,
+         |    row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS hr
+         |  FROM hx),
+         |sr AS (
+         |  SELECT source, qv,
+         |    row_number() OVER (PARTITION BY source ORDER BY qv, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY source) AS n
+         |  FROM pk WHERE hr <= 64),
+         |sk AS (
+         |  SELECT source,
+         |    ${qsel("sp")}
+         |  FROM sr GROUP BY source),
+         |b AS (
+         |  SELECT q.source,
+         |    CASE WHEN qv <= sp25 THEN 0 WHEN qv <= sp50 THEN 1
+         |         WHEN qv <= sp75 THEN 2 ELSE 3 END AS bucket, qv
+         |  FROM q JOIN sk USING (source))
+         |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n, min(qv) AS lo, max(qv) AS hi
+         |FROM b
+         |GROUP BY source, bucket
+         |ORDER BY source, bucket""".stripMargin
     },
 
     // Concat-and-slice replay: global token cumsum over the md5 order

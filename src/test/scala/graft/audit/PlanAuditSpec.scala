@@ -532,6 +532,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"only the exact-diagnostic windows may sort ($windows found):\n${p.take(2000)}")
   }
 
+  test("q182 quantile bins: production sketch shape — no corpus sort window") {
+    val p = plan("q182_quantile_bins")
+    assert(p.contains("ObjectHashAggregate"),
+      "sample selection must be the bounded heap")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "threshold attach must broadcast the sketch")
+    // exactDiagnostic = false: the only windows allowed are the two over
+    // the sample frame (≤ groups × 64 rows) — the corpus is never sorted
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows <= 2,
+      s"production sketch must not sort the corpus ($windows windows):\n${p.take(2000)}")
+  }
+
   test("q178 seq slices: chunk-partitioned cumsum, broadcast stitch, generator") {
     val p = plan("q178_seq_slices")
     // the corpus cumsum must partition by the md5-prefix chunk — never a

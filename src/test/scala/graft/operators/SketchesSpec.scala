@@ -182,6 +182,14 @@ class SketchesSpec extends AnyFunSuite {
       assert(s.getAs[Double](s"sp$q") == s.getAs[Double](s"xp$q"),
         "a self-sampled group's sketch quantiles must be exact")
     assert(rows("big").getAs[Long]("n_sample") == 64L)
+    // production shape: same sp values, no exact columns
+    val prod = Sketches.sampleQuantiles(df, "g", "k", "v", sampleSize = 64,
+        exactDiagnostic = false)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(!prod("big").schema.fieldNames.exists(_.startsWith("xp")))
+    for (g <- Seq("small", "big"); q <- Seq(25, 50, 75, 90))
+      assert(prod(g).getAs[Double](s"sp$q") == rows(g).getAs[Double](s"sp$q"),
+        "dropping the diagnostic must not change the sketch values")
   }
 
   test("sample quantiles: non-integral row key is refused loudly") {
