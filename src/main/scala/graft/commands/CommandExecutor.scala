@@ -59,6 +59,8 @@ object CommandExecutor {
             spark.read.parquet(path)
           else if (path.endsWith(".csv"))
             graft.sources.CsvVectorFormat.read(spark, path)
+          else if (path.endsWith(".jsonl") || path.endsWith(".json"))
+            graft.sources.JsonVectorFormat.read(spark, path)
           else EmbeddingTextFormat.read(spark, path)
         val source = opts.get("normalize") match {
           case None => raw

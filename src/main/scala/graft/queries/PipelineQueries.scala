@@ -98,6 +98,29 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // JSONL through the command grammar — the splittable interchange
+    // format crawl pipelines ship (q116's CSV sibling): write vector
+    // records as JSON lines, BULKINSERT the path, read the collection
+    // back and pin dims/norms against the original parquet. Explicit
+    // read schema (no inference pass), exact float round-trip.
+    "q183_jsonl_ingest" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q183")
+      db.createCollection("recs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("payload", StringType))))
+      val src = Tables.embeddings(s, dir).filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("id"), col("embedding"),
+          concat(lit("j:"), col("label").cast("string")).as("payload"))
+      val jsonPath = Scratch.dir("graft_q183") + "/recs.jsonl"
+      graft.sources.JsonVectorFormat.write(src, jsonPath)
+      CommandExecutor.execute(db, GraftCommand.BulkInsert("recs", jsonPath))
+      db.read("recs").select(col("id"), col("payload"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(graft.functions.l2_norm(col("embedding")), 6).as("norm"))
+        .orderBy("id")
+    }),
+
     // Ingest-side normalization through the command grammar:
     // `BULKINSERT <path>;normalize=fold` canonicalizes payloads (NFC +
     // accent fold) during the write, so byte-variant payloads land
@@ -687,6 +710,15 @@ object PipelineQueries {
         |    CAST(embedding AS DOUBLE[]))), 6) AS norm
         |FROM embeddings
         |WHERE vec_id < 100
+        |ORDER BY id""".stripMargin,
+
+    "q183_jsonl_ingest" ->
+      """SELECT vec_id AS id, 'j:' || CAST(label AS VARCHAR) AS payload,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[]))), 6) AS norm
+        |FROM embeddings
+        |WHERE vec_id % 3 = 0
         |ORDER BY id""".stripMargin,
 
     "q41_listcollections" ->

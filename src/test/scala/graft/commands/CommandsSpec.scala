@@ -229,4 +229,28 @@ class CommandsSpec extends AnyFunSuite {
       (3L, Seq(1.0f, 2.0f), "plain")),
       "edge vectors/payloads must round-trip (null -> empty, documented)")
   }
+
+  test("executor: bulkinsert from jsonl, exact floats and JSON-escaped payloads") {
+    val parent = Files.createTempDirectory("graftjsonl").toString
+    val db = GraftDatabase.create(spark, parent, "jsonldb")
+    db.createCollection("vecs")
+    val path = s"$parent/in.jsonl"
+    val src = Seq(
+      (0L, Some(Seq(0.1f, -0.25f)), "plain"),
+      (1L, Some(Seq(1.5f)), "quote \" brace { and newline\nsurvive"),
+      (2L, None, "null vec collapses to empty"),
+      (3L, Some(Seq.empty[Float]), "empty vec")
+    ).toDF("id", "embedding", "payload")
+    graft.sources.JsonVectorFormat.write(src, path)
+    CommandExecutor.execute(db, GraftCommand.BulkInsert("vecs", path))
+    val rows = db.read("vecs").orderBy("id")
+      .select("id", "embedding", "payload")
+      .as[(Long, Seq[Float], String)].collect().toSeq
+    assert(rows == Seq(
+      (0L, Seq(0.1f, -0.25f), "plain"),
+      (1L, Seq(1.5f), "quote \" brace { and newline\nsurvive"),
+      (2L, Seq.empty[Float], "null vec collapses to empty"),
+      (3L, Seq.empty[Float], "empty vec")),
+      "jsonl records must round-trip exactly through the command surface")
+  }
 }
