@@ -596,6 +596,39 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Round-10 capstone: the nightly-delta pipeline. Snapshot diff finds
+    // the added/changed docs (q179's synthetic next snapshot), and ONLY
+    // that delta — not the unchanged 85% — concat-and-slices into
+    // 256-token training sequences (q178's machinery under a different
+    // seed). The gate hashes the delta's full provenance map: diff
+    // classification, token counts of the EDITED texts, and the chunked
+    // cumsum layout are all pinned in one artifact.
+    "q184_incremental_pack" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def cls(seedTag: String) = conv(substring(md5(concat(lit(seedTag),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 20
+      val nextKept = docs.withColumn("__v", cls("snap:"))
+        .filter(col("__v") =!= 0)
+        .withColumn("text", when(col("__v").isin(1, 2),
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .drop("__v")
+      val nextAdded = docs.filter(cls("snapadd:") === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("text", concat(lit("added "), col("text")))
+      val next = nextKept.unionByName(nextAdded)
+      val sig = (d: DataFrame) => d.withColumn("sig", md5(col("text")))
+      val diff = graft.operators.Mutations
+        .snapshotDiff(sig(docs), sig(next), "doc_id", "sig")
+      val delta = next
+        .join(diff.filter(col("status").isin("added", "changed"))
+          .select("doc_id"), Seq("doc_id"))
+        .withColumn("__nt",
+          graft.operators.TextAnalysis.tokenCount(col("text")))
+      graft.operators.TrainExport
+        .sliceSequences(delta, "doc_id", "__nt", seqLen = 256, seed = "inc")
+        .orderBy("doc_id", "seq_id")
+    }),
+
     // INSERT / UPDATE / DELETE through the command grammar, end state read
     // back through SEARCH; oracle is the literal expected table.
     "q45_command_mutations" -> ((s, dir) => {
@@ -892,6 +925,40 @@ object PipelineQueries {
       """SELECT CAST(id AS BIGINT) AS id, payload
         |FROM (VALUES (1, 'alice2'), (3, 'carol')) t(id, payload)
         |ORDER BY id""".stripMargin,
+
+    // Incremental-pack replay: the delta IS added ∪ edited (every edit
+    // appends ' rev2', so changed ≡ class 1-2 kept docs), then the q178
+    // cumsum/slice chain under the 'inc' seed.
+    "q184_incremental_pack" ->
+      raw"""WITH delta AS (
+         |  SELECT doc_id + 1000000 AS doc_id, 'added ' || text AS text
+         |  FROM documents
+         |  WHERE CAST(('0x'||substring(md5('snapadd:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 = 0
+         |  UNION ALL
+         |  SELECT doc_id, text || ' rev2' AS text
+         |  FROM (SELECT doc_id, text,
+         |          CAST(('0x'||substring(md5('snap:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 AS v
+         |        FROM documents)
+         |  WHERE v IN (1, 2)),
+         |d AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS t,
+         |    md5('inc:'||CAST(doc_id AS VARCHAR)) AS key
+         |  FROM delta),
+         |o AS (
+         |  SELECT doc_id, t,
+         |    CAST(coalesce(sum(t) OVER (ORDER BY key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM d),
+         |s AS (
+         |  SELECT doc_id, t, off,
+         |    unnest(range(CAST((off - off % 256) / 256 AS BIGINT),
+         |      CAST(((off + t - 1) - (off + t - 1) % 256) / 256 AS BIGINT) + 1)) AS seq_id
+         |  FROM o WHERE t > 0)
+         |SELECT doc_id, seq_id, off,
+         |  least(off + t, (seq_id + 1) * 256) - greatest(off, seq_id * 256) AS n_tok
+         |FROM s
+         |ORDER BY doc_id, seq_id""".stripMargin,
 
     // Snapshot-diff replay: rebuild the md5-class next snapshot (drop
     // class 0, edit classes 1-2, add the snapadd class under offset
