@@ -257,6 +257,18 @@ object PipelineQueries {
     // document stream — bounded state (depth×width rows) regardless of
     // volume, cell-identical to the batch build (q112's table CTE is the
     // oracle).
+    // Streaming quantile binning: the q182 batch formulation with the
+    // sketch trained batch-side and applied in the stream (stateless row
+    // scoring + stream-static threshold join + ONE agg) — gated on
+    // q182's oracle text verbatim (the q102→q96 stateless-gate pattern).
+    "q185_stream_bins" -> ((s, dir) => {
+      StreamingIngest
+        .streamQuantileBins(s, dir,
+          queryName = s"bins_${java.util.UUID.randomUUID().toString.take(8)}")
+        .select(col("source"), col("bucket"), col("n"), col("lo"), col("hi"))
+        .orderBy("source", "bucket")
+    }),
+
     "q114_stream_cms" -> ((s, dir) => {
       StreamingIngest
         .streamCms(s, dir,
@@ -824,6 +836,7 @@ object PipelineQueries {
     // the streamed span-dedup must equal the batch pass row-for-row
     "q134_stream_span_dedup" -> DedupQueries.oracles("q131_span_dedup"),
     "q147_stream_classify" -> TextQueries.pipelineOracles("q145_nb_classify"),
+    "q185_stream_bins" -> TextQueries.pipelineOracles("q182_quantile_bins"),
 
     // the streamed count-min table must be cell-identical to a batch build
     "q114_stream_cms" ->

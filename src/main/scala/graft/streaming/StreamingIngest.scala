@@ -323,6 +323,49 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Streaming quantile binning: documents arriving as a stream are
+    * quality-binned against quartile thresholds TRAINED BATCH-SIDE by the
+    * sample-quantile sketch ([[graft.operators.Sketches.sampleQuantiles]],
+    * production shape) — the stream-static-index pattern of
+    * [[streamClassify]]/[[streamSpanDedup]]: the sketch is a periodically
+    * retrained artifact, not per-microbatch state. Per-row scoring and
+    * the threshold join are stateless; the only streaming state is the
+    * ONE (source, bucket) aggregation (count + min/max of pre-rounded
+    * scores), complete-mode memory sink. Value-identical to the batch
+    * q182 formulation — the gate reuses its oracle text verbatim.
+    */
+  def streamQuantileBins(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_bins"): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    def scored(df: DataFrame): DataFrame = df.withColumn("__q", round(
+      graft.operators.TextAnalysis.qualityScore(col("text")) + lit(1e-9),
+      6))
+    val sketch = graft.operators.Sketches.sampleQuantiles(
+      scored(spark.read.parquet(path)), "source", "doc_id", "__q",
+      sampleSize = 64, qs = Seq(25, 50, 75), exactDiagnostic = false)
+    val stream = scored(spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sfDir))
+    val binned = stream.join(broadcast(sketch), Seq("source"))
+      .withColumn("bucket",
+        when(col("__q") <= col("sp25"), 0L)
+          .when(col("__q") <= col("sp50"), 1L)
+          .when(col("__q") <= col("sp75"), 2L)
+          .otherwise(3L))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n"), min("__q").as("lo"), max("__q").as("hi"))
+    val q = binned.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest into a collection directory: the WAL-replacement
     * path. Checkpoints live under the database's graft_wal dir, so
     * TRUNCATEWAL (database target) clears exactly this state.

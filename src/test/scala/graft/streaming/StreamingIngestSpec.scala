@@ -26,6 +26,20 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming quantile bins equal the batch q182 formulation") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingIngest
+      .streamQuantileBins(spark, TestSpark.sf, "spec_bins")
+      .select("source", "bucket", "n", "lo", "hi")
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    val batch = graft.SparkEntry
+      .queries("q182_quantile_bins")(spark, TestSpark.sf)
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(streamed == batch,
+      "stream-applied thresholds must reproduce the batch bins exactly")
+    assert(streamed.nonEmpty)
+  }
+
   test("streamInto lands parquet rows through a checkpointed sink") {
     val src = Files.createTempDirectory("graft_stream_src")
     Files.copy(
