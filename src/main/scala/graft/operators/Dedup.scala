@@ -210,6 +210,81 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Exact set-similarity join via PREFIX FILTERING (Bayardo, Ma &
+    * Srikant 2007's All-Pairs; the SSJoin/PPJoin family) — the
+    * EXACT-recall sibling of [[minhashCandidates]]: where LSH banding
+    * finds qualifying pairs with high probability, the prefix filter
+    * finds EVERY pair with Jaccard ≥ `num/den`, guaranteed, still
+    * without an all-pairs product.
+    *
+    * The filter: order each doc's shingles by GLOBAL rarity (corpus
+    * frequency asc, shingle asc — one total order for everyone); a doc
+    * with n shingles keeps only its first `n − ⌈t·n⌉ + 1` as its
+    * prefix. Any pair with J ≥ t has |A∩B| ≥ ⌈t·|A|⌉ (the union is at
+    * least |A|), so the globally-smallest common shingle must sit
+    * inside BOTH prefixes — if it sat past A's prefix, the ≥ n−⌈t·n⌉+1
+    * shingles before it would all miss B, leaving at most ⌈t·n⌉−1
+    * common. Candidates therefore come from a prefix×prefix equi-join,
+    * and exact verification keeps J ≥ t as pure integer math
+    * (`shared·den ≥ num·(|A|+|B|−shared)` — no float threshold, the
+    * q101/q120 doctrine).
+    *
+    * Universe convention: shingles over `maxShingleFreq` corpus
+    * frequency are dropped FIRST and Jaccard is computed over the
+    * filtered universe — identical to [[ngramJaccardPairs]], so at the
+    * same parameters the output Jaccard-≥-t set is IDENTICAL (the q187
+    * gate runs this against q33's exhaustive oracle to prove zero
+    * false negatives under the oracle, not self-reported).
+    *
+    * Scale shape: prefixes are built with ONE doc-partitioned window
+    * (doc-bounded sort, no global sort); the candidate join keys on the
+    * RAREST tokens in the corpus — bucket sizes are the frequency of
+    * globally-rare shingles, orders of magnitude smaller than LSH band
+    * buckets — and verification touches candidates only. Prefix size
+    * shrinks as t grows (t = 0.9 keeps ~10% of each doc), so the knob
+    * that raises precision also cuts the join. All exact math; the
+    * threshold is a rational, never a float.
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, num: Int = 1, den: Int = 2,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    require(num >= 1 && den >= 1 && num <= den,
+      s"threshold must be a rational in (0, 1]: got $num/$den")
+    val sh = explodeShingles(df, idCol, textCol, shingleN)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__f"))
+      .filter(col("__f") <= maxShingleFreq)
+    val rare = sh.join(freq, Seq("shingle"))
+    val sized = rare.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    // prefix = the n − ⌈t·n⌉ + 1 globally-rarest shingles of each doc;
+    // ⌈n·num/den⌉ as exact integer math (modulus-free DIV form)
+    val prefix = rare
+      .withColumn("__pos", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("__f"), col("shingle"))))
+      .join(sized, Seq(idCol))
+      .filter(col("__pos") <=
+        col("__n") - expr(s"(__n * $num + ${den - 1}) DIV $den") + 1)
+    val cands = prefix.select(col(idCol).as("a_id"), col("shingle"))
+      .join(prefix.select(col(idCol).as("b_id"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // exact verification over the candidates only — full filtered-universe
+    // intersection counts, integer cross-multiplied threshold
+    val shared = cands
+      .join(rare.select(col(idCol).as("a_id"), col("shingle")), Seq("a_id"))
+      .join(rare.select(col(idCol).as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__shared"))
+    shared
+      .join(sized.select(col(idCol).as("a_id"), col("__n").as("__an")), Seq("a_id"))
+      .join(sized.select(col(idCol).as("b_id"), col("__n").as("__bn")), Seq("b_id"))
+      .filter(col("__shared") * den >=
+        lit(num) * (col("__an") + col("__bn") - col("__shared")))
+      .withColumn("jaccard",
+        col("__shared") / (col("__an") + col("__bn") - col("__shared")))
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   /** Eval-set contamination detection — the decontamination pass every
     * training-data pipeline runs before a model ever sees the corpus:
     * find corpus documents sharing at least `minShared` distinct

@@ -86,6 +86,78 @@ object Graph {
     ranks
   }
 
+  /** Triangle participation counts + local clustering coefficients over an
+    * undirected pair table — the cohesion measure of the graph family: a
+    * near-dup component that is one dense triangle-rich clique is a true
+    * duplicate group, while a triangle-free star of the same size is one
+    * boilerplate hub touching unrelated documents (drop the hub, keep the
+    * leaves). Components (q65), centrality (q177), and labels (q180) say
+    * WHO is connected; triangles say HOW TIGHTLY.
+    *
+    * Algorithm (Schank & Wagner 2005's node ordering, the shape MapReduce
+    * triangle counting inherited via Suri & Vassilvitskii 2011): orient
+    * every edge from its lower endpoint to its higher endpoint under the
+    * TOTAL order (degree, id); enumerate wedges only at each edge's
+    * SOURCE (two out-edges u→v, u→w with v ≺ w); close a wedge iff the
+    * oriented edge v→w exists. Every triangle {x ≺ y ≺ z} is found
+    * exactly once — as the wedge (y, z) at x closed by y→z.
+    *
+    * Scale shape: orientation bounds every node's out-degree by O(√m)
+    * regardless of raw-degree skew (a hub of degree d contributes wedges
+    * only toward HIGHER-ordered nodes, and only √m nodes can rank above
+    * √m out-degree) — so the wedge join is O(m^1.5) total work where the
+    * naive per-node enumeration is quadratic in the hottest degree. All
+    * three shuffles (orient join, wedge self-join on src, closure
+    * equi-join on (dst₁, dst₂)) are edge-keyed; counts are exact
+    * integers; the coefficient 2·T/(deg·(deg−1)) is a SINGLE division of
+    * exact integers (engine-exact, never rounded — the q120 doctrine).
+    *
+    * Output: one row per graph node — (id, deg BIGINT, tri BIGINT,
+    * lcc DOUBLE), lcc = 0 for deg < 2. No driver loop — the whole
+    * operator is one declarative plan (plan-auditable, unlike the
+    * iterative siblings).
+    */
+  def triangleStats(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id"): DataFrame = {
+    val e = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")).distinct()
+    val deg = e.select(col("a").as("id"))
+      .unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by the (deg, id) total order: attach both endpoints' ranks,
+    // then src = lower-ordered endpoint. The rank structs ride along so
+    // the wedge condition below compares them without a re-join.
+    val oriented = e
+      .join(deg.select(col("id").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("__db")), Seq("b"))
+      .select(
+        when(struct(col("__da"), col("a")) < struct(col("__db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            struct(col("__db").as("d"), col("b").as("i")).as("dr")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            struct(col("__da").as("d"), col("a").as("i")).as("dr"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"),
+        col("o.dr").as("dr"))
+    // wedges at each source: out-neighbor pairs (v ≺ w); closure = the
+    // oriented edge v→w. Triangle rows carry all three corners.
+    val w1 = oriented.select(col("src"), col("dst").as("v"), col("dr").as("vr"))
+    val w2 = oriented.select(col("src"), col("dst").as("w"), col("dr").as("wr"))
+    val triangles = w1.join(w2, Seq("src"))
+      .filter(col("vr") < col("wr"))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+      .select(col("src").as("x"), col("v").as("y"), col("w").as("z"))
+    val triPerNode = triangles
+      .select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.join(triPerNode, Seq("id"), "left_outer")
+      .select(col("id"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc",
+        when(col("deg") < 2, lit(0.0))
+          .otherwise((lit(2L) * col("tri")) / (col("deg") * (col("deg") - 1L))))
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani 2002, the
     * clamped-seed variant) over an undirected pair table: seed labels
     * spread to unlabeled neighbors by iterated neighbor-majority vote —

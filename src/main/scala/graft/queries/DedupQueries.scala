@@ -82,6 +82,20 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Prefix-filtered EXACT similarity join (All-Pairs): every pair with
+    // filtered-universe Jaccard >= 1/2, found from a prefix×prefix join on
+    // each doc's globally-rarest shingles — never all-pairs, and unlike
+    // LSH, with a zero-false-negative GUARANTEE. Gated against q33's
+    // exhaustive shared-shingle oracle text VERBATIM: a hash match proves
+    // the prefix filter lost no qualifying pair, under the oracle.
+    "q187_prefix_join" -> ((s, dir) => {
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+          shingleN = 5, num = 1, den = 2)
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard") + lit(1e-9), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Dedup clusters: connected components over the MinHash-LSH candidate
     // pairs (min-label propagation); each doc maps to the smallest doc_id
     // reachable through near-dup edges. Oracle: recursive CTE over the same
@@ -143,6 +157,24 @@ object DedupQueries {
         shingleN = 5, numHashes = 8, rowsPerBand = 2)
       Dedup.clusterSplit(docs.select("doc_id"), "doc_id", pairs)
         .select(col("doc_id"), col("cluster_rep"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Triangle participation + local clustering coefficient over the q31
+    // near-dup graph — cohesion of each near-dup neighborhood (dense
+    // clique = true duplicate group; triangle-free star = one boilerplate
+    // hub touching unrelated docs). Spark enumerates wedges under the
+    // (deg, id) orientation (O(m^1.5) regardless of hub skew); the oracle
+    // counts the same triangles with the order-independent x<y<z
+    // three-way join — counts are orientation-invariant, so a hash match
+    // proves the oriented enumeration exact. lcc = 2T/(d(d-1)) is a
+    // single division of exact integers (engine-exact, never rounded).
+    "q186_triangles" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidates(Tables.documents(s, dir),
+        idCol = "doc_id", textCol = "text",
+        shingleN = 5, numHashes = 8, rowsPerBand = 2)
+      graft.operators.Graph.triangleStats(pairs)
+        .select(col("id").as("doc_id"), col("deg"), col("tri"), col("lcc"))
         .orderBy("doc_id")
     }),
 
@@ -427,24 +459,12 @@ object DedupQueries {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
-    "q33_ngram_jaccard" ->
-      s"""WITH $shinglesCte,
-         |rare AS (
-         |  SELECT sh.* FROM sh
-         |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000) f
-         |    USING (shingle)),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
-         |shared AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
-         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT a_id, b_id,
-         |  round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) + 1e-9, 6) AS jaccard
-         |FROM shared
-         |JOIN sizes sa ON sa.doc_id = a_id
-         |JOIN sizes sb ON sb.doc_id = b_id
-         |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
-         |ORDER BY a_id, b_id""".stripMargin,
+    "q33_ngram_jaccard" -> ngramJaccardOracle,
+
+    // identical to q33's oracle on purpose: the prefix filter has a
+    // zero-false-negative guarantee, so the prefix×prefix candidate path
+    // must land byte-identical qualifying pairs
+    "q187_prefix_join" -> ngramJaccardOracle,
 
     "q65_dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,
@@ -597,6 +617,43 @@ object DedupQueries {
          |  CASE WHEN CAST(('0x'||substring(md5('csplit:'||CAST(cluster_rep AS VARCHAR)), 1, 4)) AS BIGINT) % 10 < 8
          |    THEN 'train' ELSE 'test' END AS split
          |FROM wr
+         |ORDER BY doc_id""".stripMargin,
+
+    // Triangle replay: the q31 pair chain, triangles as the x<y<z
+    // three-way join (orientation-independent — Spark's degree-ordered
+    // enumeration must land the identical counts), per-node participation
+    // by corner unnest, lcc as the single exact-integer division.
+    "q186_triangles" ->
+      s"""WITH $shinglesCte,
+         |$signaturesCte,
+         |$bandsCte,
+         |ok_buckets AS (
+         |  SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |eligible AS (
+         |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM eligible a JOIN eligible b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+         |tri AS (
+         |  SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+         |  FROM pairs e1
+         |  JOIN pairs e2 ON e2.a_id = e1.a_id AND e2.b_id > e1.b_id
+         |  JOIN pairs e3 ON e3.a_id = e1.b_id AND e3.b_id = e2.b_id),
+         |tpn AS (
+         |  SELECT id, count(*) AS tri FROM (
+         |    SELECT unnest([x, y, z]) AS id FROM tri) GROUP BY id)
+         |SELECT deg.id AS doc_id, CAST(deg AS BIGINT) AS deg,
+         |  CAST(coalesce(tpn.tri, 0) AS BIGINT) AS tri,
+         |  CASE WHEN deg < 2 THEN 0.0
+         |    ELSE CAST(2 * coalesce(tpn.tri, 0) AS DOUBLE) / (deg * (deg - 1))
+         |  END AS lcc
+         |FROM deg LEFT JOIN tpn ON tpn.id = deg.id
          |ORDER BY doc_id""".stripMargin,
 
     "q72_simhash_neardup" ->
@@ -838,6 +895,30 @@ object DedupQueries {
     // contamination pairs
     "q113_bloom_decon" -> deconOracle
   )
+
+  // the exhaustive filtered-universe Jaccard-threshold join: candidates
+  // from ANY shared rare shingle (provably complete — a qualifying pair
+  // must share one), exact set Jaccard >= 0.5. Shared by q33 (the direct
+  // shared-shingle join) and q187 (the prefix-filtered join, whose
+  // guarantee makes the outputs identical).
+  private lazy val ngramJaccardOracle =
+    s"""WITH $shinglesCte,
+       |rare AS (
+       |  SELECT sh.* FROM sh
+       |  JOIN (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000) f
+       |    USING (shingle)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  round(CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) + 1e-9, 6) AS jaccard
+       |FROM shared
+       |JOIN sizes sa ON sa.doc_id = a_id
+       |JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE CAST(shared AS DOUBLE) / (sa.n_sh + sb.n_sh - shared) >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
 
   // the eval-side hot-shingle cap (maxEvalFreq = 100) mirrored as a
   // frequency filter — implementation caps MUST appear in the oracle

@@ -194,6 +194,17 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
+    // Stream-STREAM interval join: view→click attribution with both sides
+    // watermarked and the join horizon bounding state — the one join class
+    // the streaming surface hadn't gated. µs-pinned window bounds; the
+    // oracle is the equivalent batch interval join.
+    "q188_stream_attr" -> ((s, dir) => {
+      StreamingIngest
+        .streamAttribution(s, dir,
+          queryName = s"attr_${java.util.UUID.randomUUID().toString.take(8)}")
+        .orderBy("click_id", "view_id")
+    }),
+
     // Stream-static decontamination: documents as a stream against the
     // broadcast eval-shingle index. Same oracle text as q81 — the stream
     // must produce byte-identical contamination pairs to the batch path.
@@ -815,6 +826,15 @@ object PipelineQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q188_stream_attr" ->
+      """SELECT c.event_id AS click_id, v.event_id AS view_id,
+        |  c.user_id, epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events c JOIN events v ON v.user_id = c.user_id
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |  AND epoch_us(v.ts) <= epoch_us(c.ts)
+        |  AND epoch_us(v.ts) > epoch_us(c.ts) - 1800000000
+        |ORDER BY click_id, view_id""".stripMargin,
 
     "q44_multimodal_meta" ->
       """SELECT doc_id,

@@ -91,6 +91,60 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Stream-STREAM interval join — view→click attribution in flight: each
+    * click joins the same user's views from the trailing `windowMinutes`
+    * (µs-pinned inclusive-end / exclusive-start bounds, the q19/q152
+    * timestamp discipline). Both sides are watermarked and the join
+    * condition bounds event-time distance, so Spark evicts view state
+    * older than the horizon — the property that makes a stream-stream
+    * join viable unbounded (state is O(window), not O(history)).
+    *
+    * This is the one join class the streaming surface hadn't gated:
+    * stream-static (q87/q147), watermarked aggregation (q43), stateful
+    * sessions (q56), dedup (q75) — and now two live streams joining each
+    * other. StreamStreamJoinSpec pins stream ≡ batch on purchases ×
+    * signups; this gate pins the attribution shape against the DuckDB
+    * oracle at 3 SFs.
+    *
+    * Scale shape: the join shuffles both sides on user_id; state per user
+    * is the trailing window of views. Skewed users are bounded by the
+    * window, not corpus history.
+    */
+  def streamAttribution(spark: SparkSession, sfDir: String,
+      windowMinutes: Int = 30,
+      queryName: String = "stream_attr"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+
+    def side(eventType: String, prefix: String) = graft.Tables.normalizeTs(
+        spark.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir))
+      .filter(col("event_type") === eventType)
+      .select(
+        col("event_id").as(s"${prefix}_id"),
+        col("user_id").as(s"${prefix}_user"),
+        col("ts").as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+
+    val joined = side("click", "c").join(
+      side("view", "v"),
+      expr(s"""c_user = v_user AND
+               v_ts <= c_ts AND
+               v_ts > c_ts - INTERVAL $windowMinutes MINUTES"""))
+
+    val q = joined.writeStream
+      .outputMode("append").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    spark.table(queryName)
+      .select(col("c_id").as("click_id"), col("v_id").as("view_id"),
+        col("c_user").as("user_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
   /** Stream-static decontamination — the ingest-time filter of a training
     * pipeline: documents arrive as a stream; the eval-set shingle index is
     * a STATIC frame broadcast into every micro-batch (eval sets are small

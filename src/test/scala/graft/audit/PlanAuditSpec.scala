@@ -569,6 +569,28 @@ class PlanAuditSpec extends AnyFunSuite {
       "no unkeyed join in the diff plan")
   }
 
+  test("q186 triangles: keyed equi-joins only, no cartesian, no window") {
+    val p = plan("q186_triangles")
+    // wedge enumeration and closure are hash equi-joins on edge keys —
+    // an unkeyed product would be quadratic in the corpus
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"triangle enumeration must never cross-product:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      "the oriented enumeration needs no rank window")
+    assert(p.contains("Generate explode"),
+      "per-node counts come from the corner generator")
+  }
+
+  test("q187 prefix join: doc-bounded window, keyed joins, no cartesian") {
+    val p = plan("q187_prefix_join")
+    // the only sort is the per-doc prefix ranking — partitioned by doc,
+    // never a global sort of the shingle universe
+    assert("hashpartitioning\\(doc_id".r.findFirstIn(p).isDefined,
+      s"prefix ranking must partition by doc:\n${p.take(2000)}")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "candidate generation must stay an equi-join on prefix shingles")
+  }
+
   test("q146 url canon: canonicalization runs scan-side, no UDF, no pre-agg shuffle") {
     val p = plan("q146_url_canon")
     assert(!p.contains("ScalaUDF"), "pure column math expected")

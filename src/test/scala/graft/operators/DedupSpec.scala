@@ -331,6 +331,37 @@ class DedupSpec extends AnyFunSuite {
     assert(rebuilt == base, "span reassembly must reproduce the document")
   }
 
+  test("prefixJaccardPairs: finds every qualifying pair, exact threshold") {
+    // same universe conventions as ngramJaccardPairs → identical output
+    // at the same rational threshold (1/2 here)
+    val exhaustive = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val prefixed = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        num = 1, den = 2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(prefixed == exhaustive,
+      "prefix filter must lose no qualifying pair and add none")
+    assert(prefixed((1L, 2L)) == 1.0 && prefixed((1L, 3L)) == 0.5)
+    // threshold boundary is EXACT integer math: J(1,3) = 2/4, so it is in
+    // at t = 1/2 (above) but out at t = 2/3
+    val strict = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        num = 2, den = 3)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(strict.contains((1L, 2L)) && !strict.contains((1L, 3L)))
+    // t = 1 keeps a 1-shingle prefix per doc and still finds exact dups
+    val ones = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        num = 1, den = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(ones.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    intercept[IllegalArgumentException] {
+      Dedup.prefixJaccardPairs(docs, "doc_id", "text", num = 3, den = 2)
+    }
+  }
+
   test("clusterSplit: no pair ever crosses the split, singletons fall back") {
     val docs = (1L to 40L).toDF("doc_id")
     // chain clusters {1..4}, {10,11}, everything else singleton

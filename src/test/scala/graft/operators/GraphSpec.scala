@@ -82,6 +82,39 @@ class GraphSpec extends AnyFunSuite {
     assert(tie(2L) == "zz", "equal votes must resolve to the greatest label")
   }
 
+  private def triRun(edges: Seq[(Long, Long)]) =
+    Graph.triangleStats(edges.toDF("a_id", "b_id"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+
+  test("triangles: clique, pendant, star, shared-corner counts") {
+    // triangle {1,2,3} with pendant 4 on node 3
+    val g1 = triRun(Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)))
+    assert(g1 == Map(
+      1L -> (2L, 1L, 1.0), 2L -> (2L, 1L, 1.0),
+      3L -> (3L, 1L, 1.0 / 3), 4L -> (1L, 0L, 0.0)))
+    // K4: every node in 3 triangles, lcc 1
+    val k4 = triRun(for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+    assert(k4.values.forall(_ == (3L, 3L, 1.0)))
+    // star: hub of any degree closes nothing
+    val star = triRun((2L to 6L).map(l => (1L, l)))
+    assert(star(1L) == (5L, 0L, 0.0) && star(2L) == (1L, 0L, 0.0))
+    // two triangles sharing node 3: it participates in both
+    val shared = triRun(Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (3L, 5L), (4L, 5L)))
+    assert(shared(3L) == (4L, 2L, 2.0 * 2 / (4 * 3)))
+    assert(shared(1L)._2 == 1L && shared(4L)._2 == 1L)
+  }
+
+  test("triangles: duplicate pair rows collapse; determinism") {
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val dup = triRun(base ++ base)
+    assert(dup.values.forall(_ == (2L, 1L, 1.0)),
+      "duplicated edges must not double-count")
+    assert(triRun(base).toSeq.sortBy(_._1) sameElements
+      triRun(base).toSeq.sortBy(_._1))
+  }
+
   test("deterministic across runs; parameters validated loudly") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
     assert(run(edges).toSeq.sortBy(_._1) sameElements
