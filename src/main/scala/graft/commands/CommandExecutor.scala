@@ -54,14 +54,7 @@ object CommandExecutor {
         val opts =
           if (parts.length > 1) parseKv(parts.tail.mkString(";"))
           else Map.empty[String, String]
-        val raw =
-          if (path.endsWith(".parquet") || path.endsWith(".pq"))
-            spark.read.parquet(path)
-          else if (path.endsWith(".csv"))
-            graft.sources.CsvVectorFormat.read(spark, path)
-          else if (path.endsWith(".jsonl") || path.endsWith(".json"))
-            graft.sources.JsonVectorFormat.read(spark, path)
-          else EmbeddingTextFormat.read(spark, path)
+        val raw = readBulkSource(spark, path)
         val source = opts.get("normalize") match {
           case None => raw
           case Some(mode) =>
@@ -132,6 +125,18 @@ object CommandExecutor {
             }
         }
 
+      case Sync(coll, arg) =>
+        // arg grammar: `<path>[;key=<col>]` (the BULKINSERT ';'-tail);
+        // reconcile to the snapshot at the path (any BULKINSERT format);
+        // the result IS the diff report — a query-like frame of per-status
+        // key counts, the work-list an incremental pipeline schedules from
+        val sparts = arg.split(";").map(_.trim).filter(_.nonEmpty)
+        val sopts =
+          if (sparts.length > 1) parseKv(sparts.tail.mkString(";"))
+          else Map.empty[String, String]
+        db.sync(coll, readBulkSource(spark, sparts.head),
+          sopts.getOrElse("key", "id"))
+
       case Reindex(coll, arg) =>
         val opts = arg.map(parseKv).getOrElse(Map.empty)
         opts.getOrElse("type", "sign") match {
@@ -171,6 +176,19 @@ object CommandExecutor {
         status("REINDEX", coll)
     }
   }
+
+  /** The bulk-load reader dispatch shared by BULKINSERT and SYNC: format
+    * by extension — parquet, CSV, JSON Lines, or the reference's
+    * `vec;payload` text format.
+    */
+  private def readBulkSource(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".parquet") || path.endsWith(".pq"))
+      spark.read.parquet(path)
+    else if (path.endsWith(".csv"))
+      graft.sources.CsvVectorFormat.read(spark, path)
+    else if (path.endsWith(".jsonl") || path.endsWith(".json"))
+      graft.sources.JsonVectorFormat.read(spark, path)
+    else EmbeddingTextFormat.read(spark, path)
 
   /** Query batch for `SEARCHSIMILAR batch=<path>`: a parquet file with
     * exactly the (query_id, query_vec array<float>) columns the batch

@@ -37,6 +37,11 @@ package graft.commands
   *    `type=zorder;cols=<a>,<b>[;bits=<n>;files=<n>]` (Morton file
   *    layout — multi-dimensional min/max file skipping, no partition col),
   *    or `type=tokenizer[;col;merges]` (trained-artifact sidecar).
+  *  - SYNC arg (extension — not in the reference grammar): a snapshot path
+  *    in any BULKINSERT format; the collection reconciles to the snapshot
+  *    (diff → delete removed, upsert added+changed with derived columns
+  *    re-derived, unchanged rows untouched) and the command returns the
+  *    per-status diff counts.
   */
 sealed trait GraftCommand
 
@@ -52,6 +57,7 @@ object GraftCommand {
   final case class Search(collection: String, arg: String) extends GraftCommand
   final case class SearchSimilar(collection: String, arg: String) extends GraftCommand
   final case class Reindex(collection: String, arg: Option[String]) extends GraftCommand
+  final case class Sync(collection: String, arg: String) extends GraftCommand
 }
 
 /** Build failure surface, mirroring `CommandBuilderError`
@@ -100,6 +106,7 @@ object CommandParser {
       case "SEARCH" => needBoth("SEARCH")(Search(_, _))
       case "SEARCHSIMILAR" => needBoth("SEARCHSIMILAR")(SearchSimilar(_, _))
       case "REINDEX" => needColl("REINDEX")(Reindex(_, arg))
+      case "SYNC" => needBoth("SYNC")(Sync(_, _))
       case other => Left(UnrecognizedCommand(other))
     }
   }

@@ -285,6 +285,72 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     rewrite(name, graft.operators.Mutations.deleteWhere(read(name), predicate))
   }
 
+  /** SYNC (extension): reconcile the collection with a FULL incoming
+    * snapshot — the managed form of the incremental-ingest loop
+    * ([[graft.operators.Mutations.snapshotDiff]] → apply): removed keys
+    * are deleted, added and changed rows land with their derived columns
+    * (quantized copy, cluster assignment, PQ codes) re-derived from the
+    * sidecar exactly like [[bulkInsert]]/[[update]] appends, and —
+    * the point of the diff — UNCHANGED rows keep their stored derived
+    * bytes untouched: only the delta pays re-derivation, never the
+    * unchanged majority. Content signatures compare the DECLARED schema
+    * columns (derived columns excluded, so a reindex never makes
+    * everything look "changed").
+    *
+    * One copy-on-write [[rewrite]] applies the whole reconciliation; the
+    * index sidecar survives (recognized layouts re-derive the delta's
+    * assignments; an unrecognized custom layout routes the delta to the
+    * `cluster_id=-1` unindexed tail, the bulkInsert contract).
+    *
+    * Returns the diff report — one row per status (added / changed /
+    * removed / unchanged) with its key count: the work-list sizes an
+    * incremental pipeline schedules from.
+    */
+  def sync(name: String, snapshot: DataFrame, key: String = "id"): DataFrame = {
+    requireCollection(name)
+    import spark.implicits._
+    val next = align(name, snapshot)
+    val current = read(name)
+    val schemaCols = schemaOf(name).fields.map(_.name)
+    require(schemaCols.contains(key),
+      s"sync key '$key' is not a declared column of $name " +
+        s"(has: ${schemaCols.mkString(", ")})")
+    val declared = schemaCols.filter(_ != key)
+    require(declared.nonEmpty, s"sync needs content columns besides '$key'")
+    def sig(df: DataFrame): DataFrame = df.withColumn("__sig",
+      md5(to_json(struct(declared.map(col).toIndexedSeq: _*))))
+    val diff = graft.operators.Mutations
+      .snapshotDiff(sig(current), sig(next), key, "__sig").cache()
+    // the report materializes the cache; the rewrite below reuses it
+    val counts = diff.groupBy("status").agg(count(lit(1)).as("__n"))
+      .as[(String, Long)].collect().toMap
+    val delta = next.join(
+      diff.filter(col("status").isin("added", "changed")).select(key), Seq(key))
+    val kept = current.join(
+      diff.filter(col("status") === "unchanged").select(key), Seq(key))
+    val existing = current.columns.toSet
+    val layout = indexType(name)
+    val quanted =
+      if (existing.contains(QuantCol))
+        delta.withColumn(QuantCol, quantExpr(col("embedding")))
+      else delta
+    val coded =
+      if (existing.contains(PqCodeCol) && !layout.contains("ivfpq_kmeans"))
+        ProductQuantization.assignCodes(quanted, "embedding",
+          pqCodebooksOf(name), PqCodeCol)
+      else quanted
+    val derived = appendAssignment(name, existing.contains("cluster_id"),
+        layout) match {
+      case Some(assign) => assign(coded)
+      case None => coded
+    }
+    rewrite(name, kept.unionByName(derived,
+      allowMissingColumns = false))
+    diff.unpersist()
+    Seq("added", "changed", "removed", "unchanged")
+      .map(st => (st, counts.getOrElse(st, 0L))).toDF("status", "n")
+  }
+
   /** SEARCH (reference `src/command/types.rs:108-119`): projection + filter;
     * Catalyst pushes both into the parquet scan.
     */

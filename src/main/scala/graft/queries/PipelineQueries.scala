@@ -654,6 +654,45 @@ object PipelineQueries {
 
     // INSERT / UPDATE / DELETE through the command grammar, end state read
     // back through SEARCH; oracle is the literal expected table.
+    // SYNC through the command grammar: an indexed collection reconciles
+    // to a synthetic next snapshot (the q179 md5-class rules: 5% of keys
+    // deleted, 10% edited — label bumped AND embedding negated, so the
+    // sign-bucket cluster must flip — 5% new keys under offset ids). The
+    // read-back pins content AND the delta's re-derived cluster
+    // assignments; the sidecar survives (kept rows keep their layout).
+    "q189_sync" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q189")
+      db.createCollection("vecs", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      val src = Tables.embeddings(s, dir)
+      db.bulkInsert("vecs", src)
+      db.reindex("vecs", nBits = 4)
+      def cls(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("vec_id").cast("string"))), 1, 4), 16, 10).cast("long") % 20
+      val kept = src.withColumn("__v", cls("vsnap:"))
+        .filter(col("__v") =!= 0)
+        .withColumn("label", when(col("__v").isin(1, 2),
+          col("label") + 1000).otherwise(col("label")))
+        .withColumn("embedding", when(col("__v").isin(1, 2),
+          transform(col("embedding"), x => -x)).otherwise(col("embedding")))
+        .drop("__v")
+      val added = src.filter(cls("vsnapadd:") === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      val snapPath = Scratch.dir("graft_q189_snap") + "/next.parquet"
+      kept.unionByName(added).write.mode("overwrite").parquet(snapPath)
+      CommandExecutor.execute(db,
+          graft.commands.CommandParser.parse(Some("vecs"), "SYNC",
+            Some(s"$snapPath;key=vec_id"))
+            .fold(e => throw new IllegalArgumentException(e.message), identity))
+        .collect() // the report is the command result; the gate pins content
+      db.read("vecs")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("cluster_id").cast("long").as("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
     "q45_command_mutations" -> ((s, dir) => {
       val db = scratchDb(s, "graft_q45")
       def run(coll: Option[String], cmd: String, arg: Option[String]) =
@@ -953,6 +992,35 @@ object PipelineQueries {
         |    THEN CAST(length(text) % 1000 + 1 AS BIGINT) END AS height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // Sync replay: rebuild the expected post-sync state analytically —
+    // the md5-class next snapshot with every row's 4-bit sign bucket
+    // recomputed from its (possibly negated) embedding. A hash match
+    // proves deletes, upserts, derived-column re-derivation, and that
+    // the rewrite lost no unchanged row.
+    "q189_sync" -> {
+      val bucket = (0 until 4)
+        .map(i => s"(CASE WHEN emb[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH cl AS (
+         |  SELECT vec_id, embedding, label,
+         |    CAST(('0x'||substring(md5('vsnap:'||CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 AS v
+         |  FROM embeddings),
+         |nx AS (
+         |  SELECT vec_id,
+         |    CASE WHEN v IN (1, 2)
+         |      THEN list_transform(embedding, x -> -x) ELSE embedding END AS emb,
+         |    CASE WHEN v IN (1, 2) THEN label + 1000 ELSE label END AS label
+         |  FROM cl WHERE v <> 0
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, embedding AS emb, label
+         |  FROM embeddings
+         |  WHERE CAST(('0x'||substring(md5('vsnapadd:'||CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 = 0)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST($bucket AS BIGINT) AS cluster_id
+         |FROM nx
+         |ORDER BY vec_id""".stripMargin
+    },
 
     "q45_command_mutations" ->
       """SELECT CAST(id AS BIGINT) AS id, payload

@@ -21,6 +21,12 @@ class CommandsSpec extends AnyFunSuite {
     assert(CommandParser.parse(None, "TRUNCATEWAL", None) == Right(TruncateWal(None)))
     assert(CommandParser.parse(Some("c1"), "search", Some("id=1")) == Right(Search("c1", "id=1")))
     assert(CommandParser.parse(Some("c1"), "REINDEX", None) == Right(Reindex("c1", None)))
+    assert(CommandParser.parse(Some("c1"), "sync", Some("/p/next.parquet")) ==
+      Right(Sync("c1", "/p/next.parquet")))
+    assert(CommandParser.parse(None, "SYNC", Some("/p")) ==
+      Left(CommandError.MissingCollection("SYNC")))
+    assert(CommandParser.parse(Some("c1"), "SYNC", None) ==
+      Left(CommandError.MissingArg("SYNC")))
   }
 
   test("parser: error surface (UnrecognizedCommand + missing flag/arg)") {

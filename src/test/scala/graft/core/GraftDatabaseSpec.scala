@@ -82,6 +82,61 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(db.read("vecs").select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
   }
 
+  test("sync reconciles to the snapshot; report counts every status") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    db.bulkInsert("vecs", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f), "a"),
+      VectorRecord(2L, Array(0.0f, 1.0f), "b"),
+      VectorRecord(3L, Array(1.0f, 1.0f), "c")).toDF())
+    // next snapshot: 1 unchanged, 2 edited, 3 removed, 4 added
+    val next = Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f), "a"),
+      VectorRecord(2L, Array(0.0f, -1.0f), "b2"),
+      VectorRecord(4L, Array(0.5f, 0.5f), "d")).toDF()
+    val report = db.sync("vecs", next)
+      .as[(String, Long)].collect().toMap
+    assert(report == Map("added" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "unchanged" -> 1L))
+    val after = db.read("vecs").orderBy("id")
+      .select($"id", $"payload").as[(Long, String)].collect().toSeq
+    assert(after == Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+    // idempotence: syncing the same snapshot again is all-unchanged
+    val again = db.sync("vecs", next).as[(String, Long)].collect().toMap
+    assert(again == Map("added" -> 0L, "changed" -> 0L,
+      "removed" -> 0L, "unchanged" -> 3L))
+    // unknown key fails loud
+    intercept[IllegalArgumentException] {
+      db.sync("vecs", next, key = "nope")
+    }
+  }
+
+  test("sync on an indexed quantized collection re-derives the delta's columns") {
+    val db = freshDb()
+    db.createCollection("vecs")
+    db.bulkInsert("vecs", Seq(
+      VectorRecord(1L, Array(1.0f, 1.0f), "a"),
+      VectorRecord(2L, Array(-1.0f, 1.0f), "b")).toDF())
+    db.quantize("vecs")
+    db.reindex("vecs", nBits = 2)
+    // edit 1's vector into the opposite quadrant; add 3; keep 2
+    val next = Seq(
+      VectorRecord(1L, Array(-1.0f, -1.0f), "a"),
+      VectorRecord(2L, Array(-1.0f, 1.0f), "b"),
+      VectorRecord(3L, Array(1.0f, -1.0f), "c")).toDF()
+    db.sync("vecs", next)
+    val rows = db.read("vecs")
+      .select($"id", $"cluster_id".cast("int"),
+        $"embedding_q8".getItem(0).cast("int"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // sign buckets over 2 bits: bit i set iff dim i > 0
+    assert(rows(1L) == (0, -127), "edited row must re-derive cluster AND q8")
+    assert(rows(2L)._1 == 2)
+    assert(rows(3L) == (1, 127), "added row gets both derived columns")
+    // the sidecar survived: probes still dispatch on the sign layout
+    assert(db.indexTypeOf("vecs").contains("sign_bucket"))
+  }
+
   test("searchSimilar returns nearest by cosine") {
     val db = freshDb()
     db.createCollection("vecs")
