@@ -210,6 +210,63 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
+  /** Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995's SNM,
+    * the record-linkage classic) — the THIRD candidate-generation family
+    * beside probabilistic LSH ([[minhashCandidates]]/[[simhashPairs]])
+    * and guarantee-carrying prefix filtering ([[prefixJaccardPairs]]):
+    * sort the corpus on a LOCALITY-PRESERVING key (here the first
+    * `keyLen` chars of the normalized text — formatting-robust, so
+    * near-identical docs sort adjacent) and emit every pair within
+    * `window` consecutive sort positions. Cost is exactly
+    * N·(window−1) candidate pairs — fixed, skew-proof, tunable — at the
+    * price of recall limited to sort-adjacent duplicates (a PREFIX edit
+    * moves a doc far away; that is SNM's documented blind spot, and why
+    * production linkage runs multi-pass SNM with different keys).
+    *
+    * Scale shape: the global sort rank is the [[TrainExport
+    * .md5RankChunked]] two-phase discipline on the KEY axis — the chunk
+    * is a PREFIX of the key, so (chunk, key) order is key order: per-
+    * chunk windows + a broadcast stitch of the chunk-count catalog, no
+    * single-reducer window. The neighbor join is an equi-join on rank
+    * (each row generates its `window−1` successor ranks), never a range
+    * scan. Output: (a_id, b_id) with a_id < b_id, plus the rank
+    * distance `gap` (1 = sort-adjacent).
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 10, keyLen: Int = 40,
+      chunkChars: Int = 1): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(keyLen >= 1 && chunkChars >= 1 && chunkChars <= keyLen,
+      s"need 1 <= chunkChars <= keyLen, got $chunkChars/$keyLen")
+    val key = substring(trim(regexp_replace(regexp_replace(
+      lower(col(textCol)), "[^a-z0-9\\s]", " "), "\\s+", " ")), 1, keyLen)
+    val keyed = df.select(col(idCol), key.as("__key"))
+      .withColumn("__chunk", substring(col("__key"), 1, chunkChars))
+    val wLocal = Window.partitionBy(col("__chunk"))
+      .orderBy(col("__key"), col(idCol))
+    val local = keyed.withColumn("__lrn",
+      row_number().over(wLocal).cast("long"))
+    val counts = keyed.groupBy("__chunk").agg(count(lit(1)).as("__cn"))
+    val wOff = Window.orderBy("__chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("__off", coalesce(sum(col("__cn")).over(wOff), lit(0L)))
+      .select("__chunk", "__off")
+    val ranked = local.join(broadcast(offsets), Seq("__chunk"))
+      .select(col(idCol), (col("__off") + col("__lrn")).as("__rn"))
+    // neighbor join: each row meets its window-1 successors by rank.
+    // sequence(rn+1, rn+window-1) is never empty (window >= 2), so the
+    // descending-sequence trap can't fire.
+    val succ = ranked.select(col(idCol).as("__ia"), col("__rn").as("__ra"),
+      explode(sequence(col("__rn") + 1,
+        col("__rn") + lit(window - 1))).as("__rb"))
+    succ.join(ranked.select(col(idCol).as("__ib"), col("__rn").as("__rb")),
+        Seq("__rb"))
+      .select(least(col("__ia"), col("__ib")).as("a_id"),
+        greatest(col("__ia"), col("__ib")).as("b_id"),
+        (col("__rb") - col("__ra")).as("gap"))
+  }
+
   /** Exact set-similarity join via PREFIX FILTERING (Bayardo, Ma &
     * Srikant 2007's All-Pairs; the SSJoin/PPJoin family) — the
     * EXACT-recall sibling of [[minhashCandidates]]: where LSH banding

@@ -96,6 +96,23 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Sorted-neighborhood dedup (the third discovery family): corpus
+    // sorted on the normalized-text prefix (chunk-partitioned two-phase
+    // rank — no single-reducer sort), every pair within 10 sort
+    // positions becomes a candidate (N·9 pairs exactly — fixed cost,
+    // skew-proof), exact shingle Jaccard >= 0.5 verifies. The gate pins
+    // discovery AND the rank-distance gap of every surviving pair.
+    "q190_snm_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 10, keyLen = 40)
+      Dedup.jaccardOfPairs(docs, "doc_id", "text", pairs, shingleN = 5)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id"), col("gap"),
+          round(col("jaccard") + lit(1e-9), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Dedup clusters: connected components over the MinHash-LSH candidate
     // pairs (min-label propagation); each doc maps to the smallest doc_id
     // reachable through near-dup edges. Oracle: recursive CTE over the same
@@ -618,6 +635,38 @@ object DedupQueries {
          |    THEN 'train' ELSE 'test' END AS split
          |FROM wr
          |ORDER BY doc_id""".stripMargin,
+
+    // SNM replay: normalized-prefix sort rank (the oracle's single
+    // window ≡ Spark's chunk-partitioned two-phase rank), rank-distance
+    // <= 9 neighbor pairs, exact full-universe shingle Jaccard >= 0.5.
+    "q190_snm_dedup" ->
+      s"""WITH $shinglesCte,
+         |keyed AS (
+         |  SELECT doc_id,
+         |    substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), 1, 40) AS k
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn
+         |  FROM keyed),
+         |cands AS (
+         |  SELECT least(a.doc_id, b.doc_id) AS a_id,
+         |    greatest(a.doc_id, b.doc_id) AS b_id, b.rn - a.rn AS gap
+         |  FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 9),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS shared
+         |  FROM (SELECT DISTINCT a_id, b_id FROM cands) c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY c.a_id, c.b_id)
+         |SELECT c.a_id, c.b_id, CAST(c.gap AS BIGINT) AS gap,
+         |  round(CAST(s.shared AS DOUBLE) / (za.n_sh + zb.n_sh - s.shared) + 1e-9, 6) AS jaccard
+         |FROM cands c
+         |JOIN shared s ON s.a_id = c.a_id AND s.b_id = c.b_id
+         |JOIN sizes za ON za.doc_id = c.a_id
+         |JOIN sizes zb ON zb.doc_id = c.b_id
+         |WHERE CAST(s.shared AS DOUBLE) / (za.n_sh + zb.n_sh - s.shared) >= 0.5
+         |ORDER BY c.a_id, c.b_id""".stripMargin,
 
     // Triangle replay: the q31 pair chain, triangles as the x<y<z
     // three-way join (orientation-independent — Spark's degree-ordered

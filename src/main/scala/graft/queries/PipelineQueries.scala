@@ -693,6 +693,37 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // Streaming CDC apply: an upsert stream (10% edited — label bumped,
+    // embedding negated, so the sign cluster must flip — 5% new keys)
+    // drains into a sign-indexed collection via foreachBatch; the
+    // read-back pins content, the re-derived clusters of every streamed
+    // row, and that no unstreamed row was touched.
+    "q191_stream_cdc" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q191")
+      db.createCollection("vecs", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      val src = Tables.embeddings(s, dir)
+      db.bulkInsert("vecs", src)
+      db.reindex("vecs", nBits = 4)
+      def cls(tag: String) = conv(substring(md5(concat(lit(tag),
+        col("vec_id").cast("string"))), 1, 4), 16, 10).cast("long") % 20
+      val edited = src.filter(cls("cdc:").isin(1, 2))
+        .withColumn("label", col("label") + 1000)
+        .withColumn("embedding", transform(col("embedding"), x => -x))
+      val added = src.filter(cls("cdcadd:") === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000L))
+      val updDir = Scratch.dir("graft_q191_upd")
+      edited.unionByName(added).write.mode("overwrite")
+        .parquet(s"$updDir/updates.parquet")
+      StreamingIngest.streamApplyUpdates(s, db, "vecs",
+          s"$updDir/updates.parquet", key = "vec_id")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("cluster_id").cast("long").as("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
     "q45_command_mutations" -> ((s, dir) => {
       val db = scratchDb(s, "graft_q45")
       def run(coll: Option[String], cmd: String, arg: Option[String]) =
@@ -1016,6 +1047,33 @@ object PipelineQueries {
          |  SELECT vec_id + 1000000 AS vec_id, embedding AS emb, label
          |  FROM embeddings
          |  WHERE CAST(('0x'||substring(md5('vsnapadd:'||CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 = 0)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST($bucket AS BIGINT) AS cluster_id
+         |FROM nx
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    // CDC replay: base rows with the edited class swapped in (label
+    // bumped, embedding negated), the added class appended, every row's
+    // 4-bit sign bucket from its effective embedding.
+    "q191_stream_cdc" -> {
+      val bucket = (0 until 4)
+        .map(i => s"(CASE WHEN emb[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH cl AS (
+         |  SELECT vec_id, embedding, label,
+         |    CAST(('0x'||substring(md5('cdc:'||CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 AS v
+         |  FROM embeddings),
+         |nx AS (
+         |  SELECT vec_id,
+         |    CASE WHEN v IN (1, 2)
+         |      THEN list_transform(embedding, x -> -x) ELSE embedding END AS emb,
+         |    CASE WHEN v IN (1, 2) THEN label + 1000 ELSE label END AS label
+         |  FROM cl
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, embedding AS emb, label
+         |  FROM embeddings
+         |  WHERE CAST(('0x'||substring(md5('cdcadd:'||CAST(vec_id AS VARCHAR)), 1, 4)) AS BIGINT) % 20 = 0)
          |SELECT vec_id, CAST(label AS BIGINT) AS label,
          |  CAST($bucket AS BIGINT) AS cluster_id
          |FROM nx

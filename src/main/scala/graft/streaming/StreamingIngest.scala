@@ -91,6 +91,40 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Streaming CDC apply — the change-capture loop of the incremental
+    * ingest story: a stream of UPSERT rows drains into a managed
+    * collection through `foreachBatch`, the Structured Streaming escape
+    * hatch for sinks with their own transactional write path (the
+    * collection's copy-on-write [[graft.core.GraftDatabase.update]]
+    * here). Each micro-batch applies as one upsert: derived columns
+    * (quantized copy, cluster assignment, PQ codes) re-derive from the
+    * sidecar, so the index layout SURVIVES a live update stream exactly
+    * as it survives batch mutations. Empty batches skip (an empty
+    * upsert would still pay a full rewrite).
+    *
+    * Apply-order caveat (documented, spec-pinned): upserts to DISTINCT
+    * keys commute across micro-batches; two changes to the SAME key in
+    * one run land in micro-batch order, which on a file source is file
+    * order — an out-of-order CDC feed needs a sequence column and a
+    * pre-apply argmax, exactly like any idempotent CDC consumer.
+    *
+    * Returns the post-drain collection frame.
+    */
+  def streamApplyUpdates(spark: SparkSession,
+      db: graft.core.GraftDatabase, collection: String,
+      updatesDir: String, key: String = "id"): DataFrame = {
+    val schema = spark.read.parquet(updatesDir).schema
+    val stream = spark.readStream.schema(schema).parquet(updatesDir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) db.update(collection, batch, key)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    db.read(collection)
+  }
+
   /** Stream-STREAM interval join — view→click attribution in flight: each
     * click joins the same user's views from the trailing `windowMinutes`
     * (µs-pinned inclusive-end / exclusive-start bounds, the q19/q152

@@ -362,6 +362,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sortedNeighborhoodPairs: adjacency by normalized key, exact window cost") {
+    // normalized keys sort as: "aaa x1" (1), "aaa, X1!" (2 — formatting
+    // collapses to the same prefix, tie-break id), "bbb" (3), "zzz" (4)
+    val corpus = Seq(
+      (1L, "aaa x1"), (2L, "aaa, X1!"), (3L, "bbb"), (4L, "zzz"))
+      .toDF("doc_id", "text")
+    val w2 = Dedup.sortedNeighborhoodPairs(corpus, "doc_id", "text",
+        window = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // window 2 = sort-adjacent only: exactly n-1 pairs, all gap 1
+    assert(w2 == Set((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L)))
+    val w3 = Dedup.sortedNeighborhoodPairs(corpus, "doc_id", "text",
+        window = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(w3 == w2 ++ Set((1L, 3L, 2L), (2L, 4L, 2L)))
+    // chunking must not change the rank: more chunks, same pairs
+    val chunked = Dedup.sortedNeighborhoodPairs(corpus, "doc_id", "text",
+        window = 3, chunkChars = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(chunked == w3, "two-phase rank must equal the single sort")
+    intercept[IllegalArgumentException] {
+      Dedup.sortedNeighborhoodPairs(corpus, "doc_id", "text", window = 1)
+    }
+  }
+
   test("clusterSplit: no pair ever crosses the split, singletons fall back") {
     val docs = (1L to 40L).toDF("doc_id")
     // chain clusters {1..4}, {10,11}, everything else singleton

@@ -40,6 +40,33 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamApplyUpdates: CDC upserts drain through foreachBatch, layout survives") {
+    import spark.implicits._
+    import graft.model.VectorRecord
+    val dbDir = Files.createTempDirectory("graft_cdc_db").toString
+    val db = graft.core.GraftDatabase.create(spark, dbDir, "cdcdb")
+    db.createCollection("vecs")
+    db.bulkInsert("vecs", Seq(
+      VectorRecord(1L, Array(1.0f, 1.0f), "a"),
+      VectorRecord(2L, Array(-1.0f, 1.0f), "b")).toDF())
+    db.reindex("vecs", nBits = 2)
+    val upd = Files.createTempDirectory("graft_cdc_upd").toString
+    // one edit (flips 1's quadrant → cluster 0) and one insert
+    Seq(VectorRecord(1L, Array(-1.0f, -1.0f), "a2"),
+        VectorRecord(3L, Array(1.0f, -1.0f), "c")).toDF()
+      .write.parquet(s"$upd/u.parquet")
+    val after = StreamingIngest
+      .streamApplyUpdates(spark, db, "vecs", s"$upd/u.parquet")
+      .select($"id", $"payload", $"cluster_id".cast("int"))
+      .as[(Long, String, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(after == Map(
+      1L -> ("a2", 0), 2L -> ("b", 2), 3L -> ("c", 1)),
+      "streamed upserts must apply with re-derived clusters")
+    assert(db.indexTypeOf("vecs").contains("sign_bucket"),
+      "the index sidecar must survive the update stream")
+  }
+
   test("streamInto lands parquet rows through a checkpointed sink") {
     val src = Files.createTempDirectory("graft_stream_src")
     Files.copy(
