@@ -76,5 +76,12 @@ object SparkEntry {
     // scan + per-(query, cell) ADC — the deepest managed ANN shape).
     // q165-q168/q171 are fixture/command round-trips dominated by scratch
     // setup, not steady-state operator cost.
-    "q166_repetition", "q170_kmeans_batch")
+    "q166_repetition", "q170_kmeans_batch",
+    // round-10 session-2 additions: the triangle wedge join (edge-keyed
+    // self-joins over the near-dup graph — a join shape no other bench
+    // query has) and the SNM discover+verify pass (chunked string-key
+    // rank + generated-rank neighbor join + shingle verification).
+    // q187/q188/q189/q191 are oracle round-trips dominated by scratch
+    // setup or covered shapes (q33's verify join, q45's rewrite path).
+    "q186_triangles", "q190_snm_dedup")
 }

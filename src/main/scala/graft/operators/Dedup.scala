@@ -299,12 +299,33 @@ object Dedup {
     * globally-rare shingles, orders of magnitude smaller than LSH band
     * buckets — and verification touches candidates only. Prefix size
     * shrinks as t grows (t = 0.9 keeps ~10% of each doc), so the knob
-    * that raises precision also cuts the join. All exact math; the
-    * threshold is a rational, never a float.
+    * that raises precision also cuts the join. Candidates are further
+    * pruned row-wise by the LENGTH filter (num·max(|A|,|B|) ≤
+    * den·min(|A|,|B|)) and Xiao et al. 2008's POSITIONAL filter
+    * (prefix-position overlap upper bound vs the required overlap
+    * α = ⌈num·(|A|+|B|)/(num+den)⌉) — both exactness-preserving
+    * theorems (DedupSpec pins the pruning AND the unchanged output).
+    * All exact math; the threshold is a rational, never a float.
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, num: Int = 1, den: Int = 2,
-      maxShingleFreq: Int = 1000): DataFrame = {
+      maxShingleFreq: Int = 1000): DataFrame =
+    prefixJaccardFrom(df, idCol, textCol, shingleN, num, den,
+      maxShingleFreq)._2
+
+  /** The candidate frame of [[prefixJaccardPairs]] (post length +
+    * positional pruning) — exposed so specs can pin the pruning without
+    * loosening the operator's contract.
+    */
+  private[operators] def prefixCandidates(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 5, num: Int = 1, den: Int = 2,
+      maxShingleFreq: Int = 1000): DataFrame =
+    prefixJaccardFrom(df, idCol, textCol, shingleN, num, den,
+      maxShingleFreq)._1
+
+  private def prefixJaccardFrom(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, num: Int, den: Int,
+      maxShingleFreq: Int): (DataFrame, DataFrame) = {
     require(num >= 1 && den >= 1 && num <= den,
       s"threshold must be a rational in (0, 1]: got $num/$den")
     val sh = explodeShingles(df, idCol, textCol, shingleN)
@@ -320,10 +341,30 @@ object Dedup {
       .join(sized, Seq(idCol))
       .filter(col("__pos") <=
         col("__n") - expr(s"(__n * $num + ${den - 1}) DIV $den") + 1)
-    val cands = prefix.select(col(idCol).as("a_id"), col("shingle"))
-      .join(prefix.select(col(idCol).as("b_id"), col("shingle")),
-        Seq("shingle"))
+    // candidate pruning BEFORE the distinct, per matching prefix row —
+    // both filters are exactness-preserving theorems, not heuristics:
+    //  - length filter: J ≤ min(|A|,|B|)/max(|A|,|B|), so J ≥ num/den
+    //    requires num·max ≤ den·min (pure integer compare);
+    //  - positional filter (Xiao et al. 2008's PPJoin bound, generalized
+    //    to any matching token): common tokens before position p number
+    //    at most min(pa,pb)−1 and from p on at most
+    //    min(|A|−pa, |B|−pb)+1, so overlap ≤ the sum; J ≥ t needs
+    //    overlap ≥ α = ⌈num·(|A|+|B|)/(num+den)⌉. For the pair's
+    //    SMALLEST common token the before-count is 0 and the bound is
+    //    ≥ the true overlap, so a qualifying pair always keeps at least
+    //    that row — no false negative, while hopeless rows never reach
+    //    the distinct or the verification join.
+    val cands = prefix
+      .select(col(idCol).as("a_id"), col("shingle"),
+        col("__pos").as("__pa"), col("__n").as("__na"))
+      .join(prefix.select(col(idCol).as("b_id"), col("shingle"),
+        col("__pos").as("__pb"), col("__n").as("__nb")), Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
+      .filter(lit(num) * greatest(col("__na"), col("__nb")) <=
+        lit(den) * least(col("__na"), col("__nb")))
+      .filter(least(col("__pa"), col("__pb")) - 1 +
+        least(col("__na") - col("__pa"), col("__nb") - col("__pb")) + 1 >=
+        expr(s"((__na + __nb) * $num + ${num + den - 1}) DIV ${num + den}"))
       .select("a_id", "b_id").distinct()
     // exact verification over the candidates only — full filtered-universe
     // intersection counts, integer cross-multiplied threshold
@@ -332,7 +373,7 @@ object Dedup {
       .join(rare.select(col(idCol).as("b_id"), col("shingle")),
         Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("__shared"))
-    shared
+    val verified = shared
       .join(sized.select(col(idCol).as("a_id"), col("__n").as("__an")), Seq("a_id"))
       .join(sized.select(col(idCol).as("b_id"), col("__n").as("__bn")), Seq("b_id"))
       .filter(col("__shared") * den >=
@@ -340,6 +381,7 @@ object Dedup {
       .withColumn("jaccard",
         col("__shared") / (col("__an") + col("__bn") - col("__shared")))
       .select(col("a_id"), col("b_id"), col("jaccard"))
+    (cands, verified)
   }
 
   /** Eval-set contamination detection — the decontamination pass every

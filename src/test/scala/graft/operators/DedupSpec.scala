@@ -362,6 +362,45 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix join: length filter prunes the skewed candidate, output unchanged") {
+    // frequency-engineered corpus: docs 11/13 (identical, 3 shingles)
+    // share prefix shingle C = "c3 c4 c5 c6 s1" with the 13-shingle doc
+    // 12 — fillers 20..26 make 11's other shingles frequent (so C leads
+    // 11's rarity order) and the twin e-chains 30/31 make 12's tail
+    // frequent (so C lands inside 12's 7-shingle prefix).
+    val es = (1 to 17).map(i => s"e$i").mkString(" ")
+    val skew = (Seq(
+      (11L, "c1 c2 c3 c4 c5 c6 s1"),
+      (12L, "c3 c4 c5 c6 s1 " + (1 to 12).map(i => s"e$i").mkString(" ")),
+      (13L, "c1 c2 c3 c4 c5 c6 s1"),
+      (30L, es), (31L, es)) ++
+      (20L to 26L).map(i => (i, s"c1 c2 c3 c4 c5 c6 f$i")))
+      .toDF("doc_id", "text")
+    // at a permissive threshold the skewed pair IS discoverable through
+    // the shared prefix shingle (non-vacuity of the pruning assertion)
+    val loose = Dedup.prefixCandidates(skew, "doc_id", "text",
+        num = 1, den = 100)
+      .as[(Long, Long)].collect().toSet
+    assert(loose.contains((11L, 12L)),
+      "shared prefix shingle must surface the pair when nothing prunes")
+    // at t = 1/2 the length filter kills it: |A| = 3, |B| = 13,
+    // 1·13 > 2·3 — the pair never reaches verification
+    val cands = Dedup.prefixCandidates(skew, "doc_id", "text",
+        num = 1, den = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(!cands.contains((11L, 12L)),
+      "length filter must prune the size-skewed pair")
+    assert(cands.contains((11L, 13L)), "the exact dup must survive pruning")
+    // and the final output is STILL exactly the exhaustive join's
+    val out = Dedup.prefixJaccardPairs(skew, "doc_id", "text",
+        num = 1, den = 2)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    val want = Dedup.ngramJaccardPairs(skew, "doc_id", "text",
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(out == want && out.contains((11L, 13L)))
+  }
+
   test("sortedNeighborhoodPairs: adjacency by normalized key, exact window cost") {
     // normalized keys sort as: "aaa x1" (1), "aaa, X1!" (2 — formatting
     // collapses to the same prefix, tie-break id), "bbb" (3), "zzz" (4)
