@@ -810,6 +810,81 @@ object TextAnalysis {
       .select(col(idCol), col("bm25"), col("dl"))
   }
 
+  /** Inverted index build — the sparse-retrieval sibling of the vector
+    * side's stored codes: one corpus pass materializes term-grain
+    * postings `(term, idCol, tf)` (tf ≥ 1 by construction — absent
+    * terms have no row), so queries touch ONLY their terms' postings
+    * instead of re-tokenizing the corpus per query ([[bm25]]'s shape).
+    * Store it partitioned/bucketed by term and a query reads a few
+    * postings lists — the classic search-engine layout.
+    */
+  def invertedIndex(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), explode(normalizedTokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-doc lengths — the index's companion frame ([[bm25FromIndex]]
+    * needs `dl` and the corpus stats derive from it).
+    */
+  def docLengths(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(normalizedTokens(col(textCol))).cast("long").as("dl"))
+
+  /** BM25 over a STORED [[invertedIndex]] — value-identical to [[bm25]]
+    * (the q193 gate runs it against q136's oracle text): per-doc tfs
+    * come back from the postings via a term-pivoting aggregation (exact
+    * integer sums — order-free), and the score is the SAME fixed-order
+    * contribution expression as [[bm25]], so the doubles are
+    * bit-identical, not merely rounded-equal. Cost shape: the postings
+    * scan reads |terms| lists (partition-prunable when the index is
+    * stored partitioned by term), the stats and dfs are two
+    * broadcast-sized aggregations, and the cut is the same bounded
+    * top-k on the rounded score.
+    */
+  def bm25FromIndex(postings: DataFrame, doclens: DataFrame, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "bm25FromIndex: empty term list")
+    require(terms.distinct == terms, s"bm25FromIndex: duplicate terms in $terms")
+    require(k >= 1, s"k must be positive, got $k")
+    val hits = postings.filter(col("term").isin(terms: _*))
+    val perDoc = hits.groupBy(col(idCol))
+      .agg(terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf_$i")
+        }.head,
+        terms.zipWithIndex.tail.map { case (t, i) =>
+          sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf_$i")
+        }: _*)
+      .join(doclens, Seq(idCol))
+    val base = doclens.agg(
+      count(lit(1)).as("__n"),
+      (sum("dl").cast("double") / count(lit(1))).as("__avgdl"))
+    val dfs = hits.agg(
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__df_$i")
+      }.head,
+      terms.zipWithIndex.tail.map { case (t, i) =>
+        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__df_$i")
+      }: _*)
+    val stats = base.crossJoin(dfs)
+    // the contribution chain is copied from bm25() operation-for-
+    // operation (the q136 never-pre-fold rule: identical ARITHMETIC)
+    val contrib = terms.indices.map { i =>
+      val tf = col(s"__tf_$i")
+      val idf = log((col("__n") - col(s"__df_$i") + 0.5) /
+        (col(s"__df_$i") + 0.5) + 1)
+      when(tf > 0, idf * (tf * (k1 + 1)) /
+        (tf + lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("__avgdl"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .withColumn("bm25", round(contrib + lit(1e-9), 6))
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("bm25"), col("dl"))
+  }
+
   /** Content-defined chunking (the Rabin/Gear CDC idea at token
     * granularity): a token closes its span when its seeded 16-bit md5
     * slice ≡ 0 (mod `divisor`) — boundaries are a function of CONTENT,

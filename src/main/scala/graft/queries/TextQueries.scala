@@ -561,6 +561,21 @@ object TextQueries {
         k1 = 1.2, b = 0.75, k = 20)
     }),
 
+    // BM25 over a STORED inverted index: postings + doc lengths build
+    // once (the sparse sibling of stored PQ codes), the query touches
+    // only its terms' postings. Same oracle text as q136 — the stored-
+    // index path must land bit-identical scores to the corpus-rescan
+    // path (per-doc tfs are exact integer pivots; the score expression
+    // is copied operation-for-operation).
+    "q193_bm25_index" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      TextAnalysis.bm25FromIndex(
+        TextAnalysis.invertedIndex(docs, "doc_id", "text"),
+        TextAnalysis.docLengths(docs, "doc_id", "text"),
+        "doc_id", terms = Seq("vector", "data", "merge"),
+        k1 = 1.2, b = 0.75, k = 20)
+    }),
+
     // Hybrid retrieval: BM25 top-20 and dense cosine top-20 (query =
     // embedding 0, vec_id ≡ doc_id) fused by reciprocal rank — no score
     // calibration, ranks only, both cut on ROUNDED scores before
@@ -1922,6 +1937,39 @@ object TextQueries {
         |LIMIT 20""".stripMargin
   )
 
+  // the q136 BM25 oracle, shared with q193 (stored-index path)
+  private lazy val q136Oracle =
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |pd AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(t, x -> x = 'data')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf2
+        |  FROM toks),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM pd)
+        |SELECT doc_id, round(
+        |    (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+        |      * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END)
+        |  + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+        |      * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END)
+        |  + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
+        |      * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END) + 1e-9, 6) AS bm25, dl
+        |FROM pd CROSS JOIN st
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "q76_pack_bins" ->
@@ -2469,37 +2517,12 @@ object TextQueries {
     // BM25 with the Lucene +1-inside-log idf; identical expression shape
     // and parenthesization as the Spark side so every division chains in
     // the same order; rank on the rounded score.
-    "q136_bm25" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        |  FROM documents),
-        |pd AS (
-        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
-        |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf0,
-        |    CAST(len(list_filter(t, x -> x = 'data')) AS BIGINT) AS tf1,
-        |    CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf2
-        |  FROM toks),
-        |st AS (
-        |  SELECT count(*) AS n,
-        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-        |  FROM pd)
-        |SELECT doc_id, round(
-        |    (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
-        |      * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |      ELSE 0.0 END)
-        |  + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
-        |      * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |      ELSE 0.0 END)
-        |  + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
-        |      * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |      ELSE 0.0 END) + 1e-9, 6) AS bm25, dl
-        |FROM pd CROSS JOIN st
-        |WHERE tf0 + tf1 + tf2 > 0
-        |ORDER BY bm25 DESC, doc_id
-        |LIMIT 20""".stripMargin,
+    // identical to q136's oracle on purpose: the stored-index path must
+    // equal the corpus-rescan path score-for-score
+    "q193_bm25_index" -> q136Oracle,
+
+    "q136_bm25" -> q136Oracle,
+
 
     // BM25 and dense lists re-ranked in SQL (both on rounded scores),
     // fused as sum of 1.0/(60 + r) — single exact divisions, rounded

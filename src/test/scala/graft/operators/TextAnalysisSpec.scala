@@ -323,6 +323,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25FromIndex: stored-index path is bit-identical to the rescan path") {
+    val docs = Seq(
+      (1L, "rare common common filler filler filler"),
+      (2L, "common filler filler filler filler filler"),
+      (3L, "common filler"),
+      (4L, "filler filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val postings = TextAnalysis.invertedIndex(docs, "doc_id", "text")
+    val dl = TextAnalysis.docLengths(docs, "doc_id", "text")
+    // postings carry exact tfs, tf >= 1 only
+    val p = postings.as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(p(("common", 1L)) == 2L && p(("filler", 4L)) == 6L)
+    assert(!p.contains(("rare", 2L)))
+    // a query term ABSENT from the corpus must not perturb scores
+    for (terms <- Seq(Seq("rare", "common"), Seq("rare", "common", "absent"))) {
+      val direct = TextAnalysis.bm25(docs, "doc_id", "text",
+          terms = terms, k = 10)
+        .as[(Long, Double, Long)].collect().toSet
+      val indexed = TextAnalysis.bm25FromIndex(postings, dl, "doc_id",
+          terms = terms, k = 10)
+        .as[(Long, Double, Long)].collect().toSet
+      assert(indexed == direct, s"index path must equal rescan for $terms")
+    }
+  }
+
   test("bpeTrain: hand-computed merge sequence, early exhaustion, encoder") {
     // vocab: abab ×2 (one doc has it twice), ab ×1.
     // round 1 pair counts (overlapping positions, freq-weighted):
