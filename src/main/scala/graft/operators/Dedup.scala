@@ -314,10 +314,10 @@ object Dedup {
       maxShingleFreq)._2
 
   /** The candidate frame of [[prefixJaccardPairs]] (post length +
-    * positional pruning) — exposed so specs can pin the pruning without
-    * loosening the operator's contract.
+    * positional pruning) — exposed so specs and the q192 cost sheet can
+    * measure the pruning without loosening the operator's contract.
     */
-  private[operators] def prefixCandidates(df: DataFrame, idCol: String,
+  private[graft] def prefixCandidates(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 5, num: Int = 1, den: Int = 2,
       maxShingleFreq: Int = 1000): DataFrame =
     prefixJaccardFrom(df, idCol, textCol, shingleN, num, den,

@@ -195,6 +195,41 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Discovery-family cost sheet (the q154/q159 honest-measurement
+    // tradition, widened to the COST axis): candidates generated and
+    // pairs surviving exact verification at t = 1/2 for each of the
+    // three discovery families — probabilistic LSH, guaranteed prefix
+    // filtering, fixed-cost sorted neighborhoods. Each family's verified
+    // count uses its own gated convention (q70's full-universe Jaccard
+    // for minhash/SNM, q187's capped universe for prefix — identical on
+    // this corpus, replayed exactly either way). The candidate column is
+    // the cost a 100 TB run pays; verified/candidates is the precision
+    // the discovery knob buys.
+    "q192_discovery_costs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      def row(fam: String, cand: DataFrame, ver: DataFrame) =
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(ver.agg(count(lit(1)).as("n_verified")))
+          .select(lit(fam).as("family"),
+            col("n_candidates"), col("n_verified"))
+      val mh = row("minhash",
+        Dedup.minhashCandidates(docs, "doc_id", "text",
+          shingleN = 5, numHashes = 8, rowsPerBand = 2),
+        Dedup.verifiedNearDups(docs, "doc_id", "text",
+          shingleN = 5, numHashes = 8, rowsPerBand = 2, threshold = 0.5))
+      val pf = row("prefix",
+        Dedup.prefixCandidates(docs, "doc_id", "text",
+          shingleN = 5, num = 1, den = 2),
+        Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+          shingleN = 5, num = 1, den = 2))
+      val snmPairs = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        window = 10, keyLen = 40)
+      val sn = row("snm", snmPairs,
+        Dedup.jaccardOfPairs(docs, "doc_id", "text", snmPairs, shingleN = 5)
+          .filter(col("jaccard") >= 0.5))
+      mh.unionByName(pf).unionByName(sn).orderBy("family")
+    }),
+
     // SimHash near-dup pairs: banded chunk equi-join (pigeonhole-exact for
     // hamming <= bands-1) + exact bit_count verification. The oracle does
     // the all-pairs comparison directly — tractable at oracle scale — so a
@@ -635,6 +670,107 @@ object DedupQueries {
          |    THEN 'train' ELSE 'test' END AS split
          |FROM wr
          |ORDER BY doc_id""".stripMargin,
+
+    // Cost-sheet replay: all three discovery chains in one WITH —
+    // minhash candidates (q31) + full-universe verification (q70),
+    // prefix candidates incl. the length/positional filters (exact
+    // integer forms: ceil(n/2) and ceil((na+nb)/3) via the
+    // modulus-subtracted division) + capped-universe verification
+    // (q33), SNM rank-window candidates + verification (q190) — then
+    // three count rows.
+    "q192_discovery_costs" ->
+      s"""WITH $shinglesCte,
+         |$signaturesCte,
+         |$bandsCte,
+         |ok_buckets AS (
+         |  SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |eligible AS (
+         |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
+         |mhc AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM eligible a JOIN eligible b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |usz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |mhs AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS shared
+         |  FROM mhc c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY c.a_id, c.b_id),
+         |mhv AS (
+         |  SELECT s.a_id FROM mhs s
+         |  JOIN usz za ON za.doc_id = s.a_id
+         |  JOIN usz zb ON zb.doc_id = s.b_id
+         |  WHERE CAST(s.shared AS DOUBLE) / (za.n_sh + zb.n_sh - s.shared) >= 0.5),
+         |freqok AS (
+         |  SELECT shingle, count(*) AS f FROM sh
+         |  GROUP BY shingle HAVING count(*) <= 1000),
+         |rare2 AS (
+         |  SELECT sh.doc_id, sh.shingle, f.f FROM sh JOIN freqok f USING (shingle)),
+         |szs AS (SELECT doc_id, count(*) AS n FROM rare2 GROUP BY doc_id),
+         |rk AS (
+         |  SELECT r.doc_id, r.shingle,
+         |    row_number() OVER (PARTITION BY r.doc_id ORDER BY r.f, r.shingle) AS pos,
+         |    s.n
+         |  FROM rare2 r JOIN szs s USING (doc_id)),
+         |pref AS (
+         |  SELECT * FROM rk
+         |  WHERE pos <= n - CAST(((n + 1) - ((n + 1) % 2)) / 2 AS BIGINT) + 1),
+         |pfc AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM pref a JOIN pref b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  WHERE greatest(a.n, b.n) <= 2 * least(a.n, b.n)
+         |    AND least(a.pos, b.pos) - 1
+         |        + least(a.n - a.pos, b.n - b.pos) + 1
+         |        >= CAST(((a.n + b.n + 2) - ((a.n + b.n + 2) % 3)) / 3 AS BIGINT)),
+         |pfs AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS shared
+         |  FROM pfc c
+         |  JOIN rare2 ra ON ra.doc_id = c.a_id
+         |  JOIN rare2 rb ON rb.doc_id = c.b_id AND rb.shingle = ra.shingle
+         |  GROUP BY c.a_id, c.b_id),
+         |pfv AS (
+         |  SELECT s.a_id FROM pfs s
+         |  JOIN szs za ON za.doc_id = s.a_id
+         |  JOIN szs zb ON zb.doc_id = s.b_id
+         |  WHERE 2 * s.shared >= (za.n + zb.n - s.shared)),
+         |keyed AS (
+         |  SELECT doc_id,
+         |    substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), 1, 40) AS k
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn
+         |  FROM keyed),
+         |snc AS (
+         |  SELECT least(a.doc_id, b.doc_id) AS a_id,
+         |    greatest(a.doc_id, b.doc_id) AS b_id
+         |  FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 9),
+         |sns AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS shared
+         |  FROM (SELECT DISTINCT a_id, b_id FROM snc) c
+         |  JOIN sh sa ON sa.doc_id = c.a_id
+         |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY c.a_id, c.b_id),
+         |snv AS (
+         |  SELECT s.a_id FROM sns s
+         |  JOIN usz za ON za.doc_id = s.a_id
+         |  JOIN usz zb ON zb.doc_id = s.b_id
+         |  WHERE CAST(s.shared AS DOUBLE) / (za.n_sh + zb.n_sh - s.shared) >= 0.5)
+         |SELECT * FROM (
+         |  SELECT 'minhash' AS family,
+         |    (SELECT count(*) FROM mhc) AS n_candidates,
+         |    (SELECT count(*) FROM mhv) AS n_verified
+         |  UNION ALL
+         |  SELECT 'prefix',
+         |    (SELECT count(*) FROM pfc),
+         |    (SELECT count(*) FROM pfv)
+         |  UNION ALL
+         |  SELECT 'snm',
+         |    (SELECT count(*) FROM snc),
+         |    (SELECT count(*) FROM snv))
+         |ORDER BY family""".stripMargin,
 
     // SNM replay: normalized-prefix sort rank (the oracle's single
     // window ≡ Spark's chunk-partitioned two-phase rank), rank-distance
