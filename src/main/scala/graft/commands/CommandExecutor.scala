@@ -137,6 +137,26 @@ object CommandExecutor {
         db.sync(coll, readBulkSource(spark, sparts.head),
           sopts.getOrElse("key", "id"))
 
+      case SearchText(coll, arg) =>
+        val opts = parseKv(arg)
+        db.searchText(coll,
+          terms = splitTerms(opts, "SEARCHTEXT"),
+          k1 = opts.getOrElse("k1", "1.2").toDouble,
+          b = opts.getOrElse("b", "0.75").toDouble,
+          k = opts.getOrElse("k", "20").toInt)
+
+      case SearchHybrid(coll, arg) =>
+        val opts = parseKv(arg)
+        val vec = opts.getOrElse("vec", throw new IllegalArgumentException(
+          "SEARCHHYBRID arg must include vec=f,f,...")).split(",")
+          .map(_.trim.toFloat)
+        db.searchHybrid(coll,
+          terms = splitTerms(opts, "SEARCHHYBRID"),
+          query = vec,
+          k = opts.getOrElse("k", "10").toInt,
+          kf = opts.getOrElse("kf", "20").toInt,
+          kRrf = opts.getOrElse("krrf", "60").toInt)
+
       case Reindex(coll, arg) =>
         val opts = arg.map(parseKv).getOrElse(Map.empty)
         opts.getOrElse("type", "sign") match {
@@ -176,6 +196,11 @@ object CommandExecutor {
         status("REINDEX", coll)
     }
   }
+
+  private def splitTerms(opts: Map[String, String], cmd: String): Seq[String] =
+    opts.getOrElse("terms", throw new IllegalArgumentException(
+      s"$cmd arg must include terms=a,b,...")).split(",")
+      .map(_.trim).filter(_.nonEmpty).toSeq
 
   /** The bulk-load reader dispatch shared by BULKINSERT and SYNC: format
     * by extension — parquet, CSV, JSON Lines, or the reference's

@@ -42,6 +42,11 @@ package graft.commands
   *    (diff → delete removed, upsert added+changed with derived columns
   *    re-derived, unchanged rows untouched) and the command returns the
   *    per-status diff counts.
+  *  - SEARCHTEXT arg (extension): `terms=a,b,c[;k=<n>;k1=<f>;b=<f>]` —
+  *    BM25 keyword retrieval over the payload column.
+  *  - SEARCHHYBRID arg (extension): `terms=a,b,c;vec=f,f,...[;k;kf;krrf]`
+  *    — reciprocal-rank fusion of the BM25 and cosine rankings (each
+  *    branch's top `kf`, fused with constant `krrf`, top `k` out).
   */
 sealed trait GraftCommand
 
@@ -58,6 +63,8 @@ object GraftCommand {
   final case class SearchSimilar(collection: String, arg: String) extends GraftCommand
   final case class Reindex(collection: String, arg: Option[String]) extends GraftCommand
   final case class Sync(collection: String, arg: String) extends GraftCommand
+  final case class SearchText(collection: String, arg: String) extends GraftCommand
+  final case class SearchHybrid(collection: String, arg: String) extends GraftCommand
 }
 
 /** Build failure surface, mirroring `CommandBuilderError`
@@ -107,6 +114,8 @@ object CommandParser {
       case "SEARCHSIMILAR" => needBoth("SEARCHSIMILAR")(SearchSimilar(_, _))
       case "REINDEX" => needColl("REINDEX")(Reindex(_, arg))
       case "SYNC" => needBoth("SYNC")(Sync(_, _))
+      case "SEARCHTEXT" => needBoth("SEARCHTEXT")(SearchText(_, _))
+      case "SEARCHHYBRID" => needBoth("SEARCHHYBRID")(SearchHybrid(_, _))
       case other => Left(UnrecognizedCommand(other))
     }
   }

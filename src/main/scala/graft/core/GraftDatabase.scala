@@ -395,6 +395,55 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     }
   }
 
+  /** SEARCHTEXT (extension): BM25 keyword retrieval over the collection's
+    * payload — the sparse half of a hybrid store (the reference's record
+    * format carries the source text beside its vector,
+    * `src/utils/embeddings.rs:55-62`; this makes it searchable). One
+    * corpus pass, broadcast stats, bounded top-k on the rounded score
+    * ([[graft.operators.TextAnalysis.bm25]]'s shape); pair with a stored
+    * [[graft.operators.TextAnalysis.invertedIndex]] when the query rate
+    * justifies materializing postings.
+    */
+  def searchText(name: String, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, k: Int = 20): DataFrame = {
+    requireCollection(name)
+    val cur = read(name)
+    require(cur.columns.contains("payload"),
+      s"SEARCHTEXT needs a payload column on $name " +
+        s"(has: ${cur.columns.mkString(", ")})")
+    graft.operators.TextAnalysis.bm25(cur, "id", "payload", terms, k1, b, k)
+  }
+
+  /** SEARCHHYBRID (extension): reciprocal-rank fusion of SEARCHTEXT and
+    * the exact cosine ranking — the modern retrieval-stack shape
+    * (sparse ∪ dense → RRF) through one command. Both branch ranks are
+    * derived from ROUNDED scores (6 dp, id tie-break — the rank
+    * doctrine), the windows run over ≤ `kf` rows post-limit, and the
+    * fusion is [[graft.operators.SimilaritySearch.rrfFuse]]'s
+    * exact-integer-division sum.
+    */
+  def searchHybrid(name: String, terms: Seq[String], query: Array[Float],
+      k: Int = 10, kf: Int = 20, kRrf: Int = 60): DataFrame = {
+    requireCollection(name)
+    val wS = org.apache.spark.sql.expressions.Window
+      .orderBy(org.apache.spark.sql.functions.desc("bm25"), col("id"))
+    val sparse = searchText(name, terms, k = kf)
+      .withColumn("rank", row_number().over(wS).cast("long"))
+      .select("id", "rank")
+    val wD = org.apache.spark.sql.expressions.Window
+      .orderBy(org.apache.spark.sql.functions.desc("__cs"), col("id"))
+    val dense = read(name)
+      .select(col("id"),
+        round(graft.functions.cosine_sim(col("embedding"), lit(query)), 6)
+          .as("__cs"))
+      .orderBy(org.apache.spark.sql.functions.desc("__cs"), col("id"))
+      .limit(kf)
+      .withColumn("rank", row_number().over(wD).cast("long"))
+      .select("id", "rank")
+    graft.operators.SimilaritySearch.rrfFuse(Seq(sparse, dense), "id",
+      kRrf = kRrf, k = k)
+  }
+
   /** SQ8-accelerated SEARCHSIMILAR (see [[SimilaritySearch.topKSq8]]): scan
     * int8-quantized scores for everything, exact-rerank only a shortlist.
     * Works on any layout (no index required) — the accelerator of choice

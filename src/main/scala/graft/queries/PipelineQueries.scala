@@ -24,6 +24,23 @@ object PipelineQueries {
   private def scratchDb(s: SparkSession, prefix: String): GraftDatabase =
     Scratch.db(s, prefix)
 
+  /** The hybrid-store fixture shared by q194/q195: one collection whose
+    * rows carry BOTH the document text (payload) and its embedding —
+    * the reference's record format (`src/utils/embeddings.rs:55-62`)
+    * made retrieval-complete.
+    */
+  private def hybridCollection(s: SparkSession, dir: String,
+      prefix: String): GraftDatabase = {
+    val db = scratchDb(s, prefix)
+    db.createCollection("docs")
+    val src = Tables.documents(s, dir)
+      .select(col("doc_id").as("id"), col("text").as("payload"))
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding")), Seq("id"))
+    db.bulkInsert("docs", src)
+    db
+  }
+
   // hex-string builders for the synthetic-header gates (q80/q86): fixed
   // widths, big-/little-endian byte order
   private def beHex32(c: Column): Column = lpad(hex(c), 8, "0")
@@ -724,6 +741,33 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // Keyword retrieval through the command grammar: a hybrid collection
+    // (payload text + embedding per id) answers BM25 queries with
+    // SEARCHTEXT. The oracle recomputes the whole chain over the same
+    // documents⋈embeddings subset.
+    "q194_searchtext" -> ((s, dir) => {
+      val db = hybridCollection(s, dir, "graft_q194")
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "SEARCHTEXT",
+          Some("terms=vector,data,merge;k=20"))
+          .fold(e => throw new IllegalArgumentException(e.message), identity))
+    }),
+
+    // The full modern retrieval stack through ONE command: SEARCHHYBRID
+    // fuses the BM25 and cosine rankings with reciprocal-rank fusion
+    // (each branch top-20 on its ROUNDED score, exact-integer-division
+    // RRF sum). The query vector is row 0's embedding, shipped through
+    // the command arg as text — Float.toString round-trips exactly.
+    "q195_hybrid_cmd" -> ((s, dir) => {
+      val db = hybridCollection(s, dir, "graft_q195")
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "SEARCHHYBRID",
+          Some(s"terms=vector,data,merge;k=10;kf=20;vec=${qv.mkString(",")}"))
+          .fold(e => throw new IllegalArgumentException(e.message), identity))
+    }),
+
     "q45_command_mutations" -> ((s, dir) => {
       val db = scratchDb(s, "graft_q45")
       def run(coll: Option[String], cmd: String, arg: Option[String]) =
@@ -740,6 +784,30 @@ object PipelineQueries {
         .select("id", "payload").orderBy("id")
     })
   )
+
+  // the hybrid collection's BM25 CTE prefix (q194/q195): rows = documents
+  // that carry an embedding sibling, BM25 terms vector/data/merge
+  private lazy val hybridBmPrefix =
+    """WITH base AS (
+      |  SELECT d.doc_id AS id, d.text
+      |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+      |toks AS (
+      |  SELECT id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM base),
+      |pd AS (
+      |  SELECT id, CAST(len(t) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf0,
+      |    CAST(len(list_filter(t, x -> x = 'data')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(t, x -> x = 'merge')) AS BIGINT) AS tf2
+      |  FROM toks),
+      |st AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+      |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM pd)
+      |""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -1079,6 +1147,66 @@ object PipelineQueries {
          |FROM nx
          |ORDER BY vec_id""".stripMargin
     },
+
+    // BM25 replay over the hybrid collection's rows (documents with an
+    // embedding sibling — complete at these SFs, but the join is written
+    // out so the gate can never silently widen).
+    "q194_searchtext" -> (hybridBmPrefix +
+      """SELECT id, round(
+        |    (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+        |      * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END)
+        |  + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+        |      * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END)
+        |  + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
+        |      * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END) + 1e-9, 6) AS bm25, dl
+        |FROM pd CROSS JOIN st
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY bm25 DESC, id
+        |LIMIT 20""".stripMargin),
+
+    // Hybrid replay: the q194 BM25 ranking and the cosine ranking over
+    // the SAME collection rows (query = row 0's embedding, self
+    // included — the command path never self-excludes), each cut at 20
+    // on its rounded score, fused with the exact 1/(60+r) sum.
+    "q195_hybrid_cmd" -> (hybridBmPrefix +
+      """,
+        |bm AS (
+        |  SELECT id, round(
+        |      (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+        |        * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |        ELSE 0.0 END)
+        |    + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+        |        * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |        ELSE 0.0 END)
+        |    + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
+        |        * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |        ELSE 0.0 END) + 1e-9, 6) AS bm25
+        |  FROM pd CROSS JOIN st
+        |  WHERE tf0 + tf1 + tf2 > 0),
+        |sp AS (
+        |  SELECT id, CAST(rn AS BIGINT) AS r FROM (
+        |    SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS rn
+        |    FROM bm)
+        |  WHERE rn <= 20),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id = 0),
+        |dn AS (
+        |  SELECT b.id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6) AS cs
+        |  FROM base b JOIN embeddings e ON e.vec_id = b.id CROSS JOIN q),
+        |de AS (
+        |  SELECT id, CAST(rn AS BIGINT) AS r FROM (
+        |    SELECT id, row_number() OVER (ORDER BY cs DESC, id) AS rn FROM dn)
+        |  WHERE rn <= 20),
+        |u AS (SELECT id, r FROM sp UNION ALL SELECT id, r FROM de)
+        |SELECT id, round(sum(1.0/(60 + r)) + 1e-9, 6) AS rrf,
+        |  CAST(count(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY id
+        |ORDER BY rrf DESC, id
+        |LIMIT 10""".stripMargin),
 
     "q45_command_mutations" ->
       """SELECT CAST(id AS BIGINT) AS id, payload

@@ -27,6 +27,39 @@ class CommandsSpec extends AnyFunSuite {
       Left(CommandError.MissingCollection("SYNC")))
     assert(CommandParser.parse(Some("c1"), "SYNC", None) ==
       Left(CommandError.MissingArg("SYNC")))
+    assert(CommandParser.parse(Some("c1"), "searchtext", Some("terms=a")) ==
+      Right(SearchText("c1", "terms=a")))
+    assert(CommandParser.parse(Some("c1"), "SEARCHHYBRID", Some("x")) ==
+      Right(SearchHybrid("c1", "x")))
+    assert(CommandParser.parse(None, "SEARCHTEXT", Some("terms=a")) ==
+      Left(CommandError.MissingCollection("SEARCHTEXT")))
+  }
+
+  test("executor: SEARCHTEXT and SEARCHHYBRID retrieve through the grammar") {
+    import graft.model.VectorRecord
+    val parent = java.nio.file.Files.createTempDirectory("graft_cmd_hy").toString
+    val db = graft.core.GraftDatabase.create(spark, parent, "hydb")
+    db.createCollection("docs")
+    db.bulkInsert("docs", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f), "vector data merge"),
+      VectorRecord(2L, Array(0.0f, 1.0f), "data filler filler"),
+      VectorRecord(3L, Array(0.9f, 0.1f), "filler only here")).toDF())
+    def run(cmd: String, arg: String) =
+      CommandExecutor.execute(db,
+        CommandParser.parse(Some("docs"), cmd, Some(arg))
+          .fold(e => throw new IllegalArgumentException(e.message), identity))
+    val text = run("SEARCHTEXT", "terms=vector,data;k=5")
+      .select("id").as[Long].collect().toSeq
+    assert(text.head == 1L && !text.contains(3L),
+      "doc with both terms first; termless doc absent")
+    val hybrid = run("SEARCHHYBRID", "terms=vector,data;vec=1.0,0.0;k=3;kf=3")
+      .select("id", "n_lists").as[(Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(hybrid(1L) == 2L, "doc 1 must appear in BOTH rankings")
+    assert(hybrid.contains(3L) && hybrid(3L) == 1L,
+      "dense-only neighbor rides in through the cosine list")
+    intercept[IllegalArgumentException] { run("SEARCHTEXT", "k=5") }
+    intercept[IllegalArgumentException] { run("SEARCHHYBRID", "terms=a") }
   }
 
   test("parser: error surface (UnrecognizedCommand + missing flag/arg)") {
