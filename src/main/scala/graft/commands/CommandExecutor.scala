@@ -184,6 +184,9 @@ object CommandExecutor {
               ksub = opts.getOrElse("ksub", "16").toInt,
               rounds = opts.getOrElse("rounds", "1").toInt,
               kCells = opts.getOrElse("k", "8").toInt)
+          case "postings" =>
+            db.reindexPostings(coll,
+              buckets = opts.getOrElse("buckets", "64").toInt)
           case "tokenizer" =>
             // the trained-artifact family: like zorder this records intent
             // in a sidecar rather than a cluster_id partition layout
@@ -191,7 +194,8 @@ object CommandExecutor {
               textCol = opts.getOrElse("col", "payload"),
               nMerges = opts.getOrElse("merges", "10").toInt)
           case other => throw new IllegalArgumentException(
-            s"REINDEX type must be sign, kmeans, zorder, pq, or tokenizer, got: $other")
+            "REINDEX type must be sign, kmeans, zorder, pq, ivfpq, " +
+              s"postings, or tokenizer, got: $other")
         }
         status("REINDEX", coll)
     }

@@ -66,6 +66,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val dir = collDir(name)
     if (!fs.exists(dir)) throw new IllegalStateException(s"no such collection: $name")
     fs.delete(dir, true)
+    invalidateTextIndex(name) // the artifact must not outlive its collection
     ()
   }
 
@@ -152,6 +153,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def bulkInsert(name: String, df: DataFrame): Unit = {
     requireCollection(name)
+    invalidateTextIndex(name) // appended rows are not in the stored postings
     // derived columns the existing data carries (quantized copy, cluster
     // assignment) are recomputed for arriving rows in the same write pass —
     // an append may never produce rows missing a column the readers expect.
@@ -241,6 +243,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def update(name: String, updates: DataFrame, key: String = "id"): Unit = {
     requireCollection(name)
+    invalidateTextIndex(name)
     val current = read(name)
     val hasIndex = current.columns.contains("cluster_id")
     val hasQuant = current.columns.contains(QuantCol)
@@ -282,6 +285,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def delete(name: String, predicate: Column): Unit = {
     requireCollection(name)
+    invalidateTextIndex(name)
     rewrite(name, graft.operators.Mutations.deleteWhere(read(name), predicate))
   }
 
@@ -308,6 +312,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def sync(name: String, snapshot: DataFrame, key: String = "id"): DataFrame = {
     requireCollection(name)
+    invalidateTextIndex(name)
     import spark.implicits._
     val next = align(name, snapshot)
     val current = read(name)
@@ -398,20 +403,101 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   /** SEARCHTEXT (extension): BM25 keyword retrieval over the collection's
     * payload — the sparse half of a hybrid store (the reference's record
     * format carries the source text beside its vector,
-    * `src/utils/embeddings.rs:55-62`; this makes it searchable). One
-    * corpus pass, broadcast stats, bounded top-k on the rounded score
-    * ([[graft.operators.TextAnalysis.bm25]]'s shape); pair with a stored
-    * [[graft.operators.TextAnalysis.invertedIndex]] when the query rate
-    * justifies materializing postings.
+    * `src/utils/embeddings.rs:55-62`; this makes it searchable).
+    *
+    * With a [[reindexPostings]] artifact present, the query answers from
+    * the STORED postings: the scan prunes to the query terms'
+    * `term_bucket=` partitions (≤ |terms| directories of a
+    * vocabulary-sized table — the plan a search engine runs), scores via
+    * [[graft.operators.TextAnalysis.bm25FromIndex]], bit-identical to
+    * the rescan. Without one it falls back to the one-pass
+    * [[graft.operators.TextAnalysis.bm25]] corpus scan.
     */
   def searchText(name: String, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75, k: Int = 20): DataFrame = {
     requireCollection(name)
+    val tDir = textIndexDir(name)
+    if (fs.exists(new Path(tDir, "meta.json"))) {
+      val buckets = parseTextIndexBuckets(
+        readString(fs, new Path(tDir, "meta.json")))
+      val wanted = terms.map(bucketOfTerm(_, buckets)).distinct
+      val postings = spark.read
+        .parquet(new Path(tDir, "postings").toString)
+        .filter(col("term_bucket").isin(wanted: _*) &&
+          col("term").isin(terms: _*))
+      val doclens = spark.read.parquet(new Path(tDir, "doclens").toString)
+      graft.operators.TextAnalysis.bm25FromIndex(postings, doclens, "id",
+        terms, k1, b, k)
+    } else {
+      val cur = read(name)
+      require(cur.columns.contains("payload"),
+        s"SEARCHTEXT needs a payload column on $name " +
+          s"(has: ${cur.columns.mkString(", ")})")
+      graft.operators.TextAnalysis.bm25(cur, "id", "payload", terms, k1, b, k)
+    }
+  }
+
+  /** REINDEX type=postings — materialize the text index as a managed
+    * artifact beside the collection: term-grain postings partitioned by
+    * `term_bucket` (md5 16-bit slice mod `buckets`, which must divide
+    * 65536 — the house no-modulo-bias rule) plus the doc-length
+    * companion frame. SEARCHTEXT then reads ≤ |terms| partitions
+    * instead of re-tokenizing the corpus per query.
+    *
+    * Staleness contract (spec-pinned): every MUTATION (insert,
+    * bulk-insert, update, delete, sync) DROPS the artifact — a stale
+    * posting must never serve — and the fallback is the exact rescan;
+    * re-run REINDEX type=postings to re-materialize. Compaction
+    * (content-preserving) keeps it.
+    */
+  def reindexPostings(name: String, buckets: Int = 64): Unit = {
+    requireCollection(name)
+    require(buckets >= 1 && 65536 % buckets == 0,
+      s"buckets must divide 65536 (no modulo bias), got $buckets")
     val cur = read(name)
     require(cur.columns.contains("payload"),
-      s"SEARCHTEXT needs a payload column on $name " +
-        s"(has: ${cur.columns.mkString(", ")})")
-    graft.operators.TextAnalysis.bm25(cur, "id", "payload", terms, k1, b, k)
+      s"REINDEX type=postings needs a payload column on $name")
+    val dir = textIndexDir(name)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    graft.operators.TextAnalysis.invertedIndex(cur, "id", "payload")
+      .withColumn("term_bucket",
+        (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int")
+          % buckets).cast("int"))
+      .write.option("compression", Compression)
+      .partitionBy("term_bucket")
+      .parquet(new Path(dir, "postings").toString)
+    graft.operators.TextAnalysis.docLengths(cur, "id", "payload")
+      .write.option("compression", Compression)
+      .parquet(new Path(dir, "doclens").toString)
+    writeString(fs, new Path(dir, "meta.json"),
+      s"""{"type":"postings","buckets":$buckets}""")
+  }
+
+  private def textIndexDir(name: String): Path =
+    new Path(root, s"${ReservedPrefix}textindex_$name")
+
+  /** Drop the stored text index (mutations call this — stale postings
+    * must never serve a query). No-op when absent.
+    */
+  private def invalidateTextIndex(name: String): Unit = {
+    val dir = textIndexDir(name)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+
+  /** Driver-side twin of the Spark-side bucket expression —
+    * `conv(substring(md5(term), 1, 4), 16, 10) % buckets`.
+    */
+  private def bucketOfTerm(term: String, buckets: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8"))
+    val hex = d.take(2).map("%02x".format(_)).mkString
+    Integer.parseInt(hex, 16) % buckets
+  }
+
+  private[graft] def parseTextIndexBuckets(json: String): Int = {
+    val m = """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(json)
+    m.map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+      s"text index meta has no buckets field: $json"))
   }
 
   /** SEARCHHYBRID (extension): reciprocal-rank fusion of SEARCHTEXT and

@@ -768,6 +768,21 @@ object PipelineQueries {
           .fold(e => throw new IllegalArgumentException(e.message), identity))
     }),
 
+    // Stored-postings retrieval through the grammar: REINDEX
+    // type=postings materializes the term-bucket-partitioned index,
+    // SEARCHTEXT answers from it (the scan prunes to the query terms'
+    // partitions — spec-audited). Same oracle text as q194: the stored
+    // path must equal the rescan path score-for-score.
+    "q196_postings_cmd" -> ((s, dir) => {
+      val db = hybridCollection(s, dir, "graft_q196")
+      def run(cmd: String, arg: String) =
+        CommandExecutor.execute(db,
+          graft.commands.CommandParser.parse(Some("docs"), cmd, Some(arg))
+            .fold(e => throw new IllegalArgumentException(e.message), identity))
+      run("REINDEX", "type=postings;buckets=64").collect()
+      run("SEARCHTEXT", "terms=vector,data,merge;k=20")
+    }),
+
     "q45_command_mutations" -> ((s, dir) => {
       val db = scratchDb(s, "graft_q45")
       def run(coll: Option[String], cmd: String, arg: Option[String]) =
@@ -1152,6 +1167,23 @@ object PipelineQueries {
     // embedding sibling — complete at these SFs, but the join is written
     // out so the gate can never silently widen).
     "q194_searchtext" -> (hybridBmPrefix +
+      """SELECT id, round(
+        |    (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+        |      * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END)
+        |  + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+        |      * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END)
+        |  + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
+        |      * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END) + 1e-9, 6) AS bm25, dl
+        |FROM pd CROSS JOIN st
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY bm25 DESC, id
+        |LIMIT 20""".stripMargin),
+
+    // identical to q194's oracle on purpose: stored postings ≡ rescan
+    "q196_postings_cmd" -> (hybridBmPrefix +
       """SELECT id, round(
         |    (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
         |      * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))

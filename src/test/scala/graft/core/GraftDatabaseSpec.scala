@@ -137,6 +137,43 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(db.indexTypeOf("vecs").contains("sign_bucket"))
   }
 
+  test("postings index: pruned stored path, mutation invalidation, compaction survival") {
+    val db = freshDb()
+    db.createCollection("docs")
+    db.bulkInsert("docs", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f), "vector data merge"),
+      VectorRecord(2L, Array(0.0f, 1.0f), "data filler filler"),
+      VectorRecord(3L, Array(0.9f, 0.1f), "filler only here")).toDF())
+    val direct = db.searchText("docs", Seq("vector", "data"), k = 5)
+      .as[(Long, Double, Long)].collect().toSeq
+    db.reindexPostings("docs", buckets = 16)
+    val stored = db.searchText("docs", Seq("vector", "data"), k = 5)
+    assert(stored.as[(Long, Double, Long)].collect().toSeq == direct,
+      "stored postings must score identically to the rescan")
+    // the stored plan reads the postings parquet with term_bucket
+    // partition pruning — never the collection files
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("textindex_docs") &&
+      plan.contains("term_bucket"), s"expected pruned postings scan:\n$plan")
+    // any mutation drops the artifact: the fallback rescan must serve
+    db.bulkInsert("docs", Seq(
+      VectorRecord(4L, Array(0.1f, 0.9f), "vector vector vector")).toDF())
+    val after = db.searchText("docs", Seq("vector"), k = 5)
+    assert(!after.queryExecution.executedPlan.toString.contains("textindex_docs"),
+      "stale postings must never serve after a mutation")
+    assert(after.select("id").as[Long].collect().contains(4L),
+      "the new row must be retrievable immediately")
+    // compaction preserves content, so the artifact legitimately survives
+    db.reindexPostings("docs", buckets = 16)
+    db.compact(Some("docs"))
+    assert(db.searchText("docs", Seq("vector"), k = 5)
+      .queryExecution.executedPlan.toString.contains("textindex_docs"),
+      "compaction must keep the content-identical postings")
+    intercept[IllegalArgumentException] {
+      db.reindexPostings("docs", buckets = 7) // 7 does not divide 65536
+    }
+  }
+
   test("searchSimilar returns nearest by cosine") {
     val db = freshDb()
     db.createCollection("vecs")
