@@ -824,6 +824,42 @@ object TextAnalysis {
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"))
 
+  /** POSITIONAL postings — [[invertedIndex]] at occurrence grain:
+    * `(term, idCol, pos)` with 0-based token positions, the layout that
+    * answers PHRASE queries (and proximity scoring) without touching
+    * the documents. One narrow explode (posexplode keeps the position
+    * for free); size ≈ corpus token count — the classic positional
+    * index trade.
+    */
+  def invertedIndexPositional(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(normalizedTokens(col(textCol))).as(Seq("pos", "term")))
+      .select(col("term"), col(idCol), col("pos").cast("long").as("pos"))
+
+  /** Exact phrase match over POSITIONAL postings: docs containing the
+    * consecutive normalized-token sequence `phrase`, with occurrence
+    * counts. Term i's postings join term 0's on (doc, pos + i) — m−1
+    * hash equi-joins that each touch ONE term's postings list
+    * (partition-prunable under the stored layout), never the corpus.
+    * Repeated-term phrases ("data data") work — each leg constrains a
+    * distinct offset of the SAME list. Output: (idCol, n_hits ≥ 1).
+    */
+  def phraseHits(positional: DataFrame, idCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseHits: empty phrase")
+    val anchors = positional.filter(col("term") === phrase.head)
+      .select(col(idCol), col("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(anchors) {
+      case (acc, (t, i)) =>
+        acc.join(
+          positional.filter(col("term") === t)
+            .select(col(idCol), (col("pos") - i).as("pos")),
+          Seq(idCol, "pos"))
+    }
+    matched.groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Per-doc lengths — the index's companion frame ([[bm25FromIndex]]
     * needs `dl` and the corpus stats derive from it).
     */

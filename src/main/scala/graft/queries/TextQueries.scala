@@ -561,6 +561,19 @@ object TextQueries {
         k1 = 1.2, b = 0.75, k = 20)
     }),
 
+    // Exact phrase query over POSITIONAL postings: term-filtered
+    // postings lists join on (doc, pos + i) — the documents are never
+    // touched. The oracle recomputes occurrences from the token windows
+    // directly (the shingle machinery), so a hash match proves the
+    // positional-join formulation finds every occurrence and no ghosts.
+    "q197_phrase_match" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      TextAnalysis.phraseHits(
+          TextAnalysis.invertedIndexPositional(docs, "doc_id", "text"),
+          "doc_id", Seq("table", "hash"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 over a STORED inverted index: postings + doc lengths build
     // once (the sparse sibling of stored PQ codes), the query touches
     // only its terms' postings. Same oracle text as q136 — the stored-
@@ -2517,6 +2530,18 @@ object TextQueries {
     // BM25 with the Lucene +1-inside-log idf; identical expression shape
     // and parenthesization as the Spark side so every division chains in
     // the same order; rank on the rounded score.
+    // Phrase replay from the token windows themselves — the
+    // independent formulation the positional joins must agree with.
+    "q197_phrase_match" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)
+        |WHERE w[i] = 'table' AND w[i+1] = 'hash'
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     // identical to q136's oracle on purpose: the stored-index path must
     // equal the corpus-rescan path score-for-score
     "q193_bm25_index" -> q136Oracle,

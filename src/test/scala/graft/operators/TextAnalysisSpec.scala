@@ -323,6 +323,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseHits: consecutive-position joins, repeats, overlaps, misses") {
+    val docs = Seq(
+      (1L, "the table hash join"),        // one hit
+      (2L, "table hash table hash"),      // two hits
+      (3L, "hash table"),                 // reversed — no hit
+      (4L, "table x hash"),               // gap — no hit
+      (5L, "data data data")              // repeated-term phrase fodder
+    ).toDF("doc_id", "text")
+    val pos = TextAnalysis.invertedIndexPositional(docs, "doc_id", "text")
+    // positions are 0-based occurrence grain
+    val p = pos.as[(String, Long, Long)].collect().toSet
+    assert(p.contains(("table", 1L, 1L)) && p.contains(("hash", 3L, 0L)))
+    val hits = TextAnalysis.phraseHits(pos, "doc_id", Seq("table", "hash"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L, 2L -> 2L),
+      "reversed and gapped sequences must not match")
+    // a repeated-term phrase constrains distinct offsets of ONE list:
+    // 'data data' hits twice (overlapping) in doc 5
+    val rep = TextAnalysis.phraseHits(pos, "doc_id", Seq("data", "data"))
+      .as[(Long, Long)].collect().toMap
+    assert(rep == Map(5L -> 2L), "overlapping occurrences each count")
+    // three-term phrase
+    val tri = TextAnalysis.phraseHits(pos, "doc_id",
+        Seq("table", "hash", "table"))
+      .as[(Long, Long)].collect().toMap
+    assert(tri == Map(2L -> 1L))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseHits(pos, "doc_id", Seq())
+    }
+  }
+
   test("bm25FromIndex: stored-index path is bit-identical to the rescan path") {
     val docs = Seq(
       (1L, "rare common common filler filler filler"),
