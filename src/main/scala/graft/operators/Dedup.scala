@@ -830,6 +830,50 @@ object Dedup {
         graft.functions.cosine_sim(col("a_vec"), col("b_vec")).as("score"))
   }
 
+  /** k-nearest-neighbor graph over an embedding column — the curation
+    * primitive behind cluster discovery, SemDeDup-style pruning, and
+    * manifold methods: each node keeps its `k` highest-cosine IN-BUCKET
+    * neighbors ([[embeddingPairs]]' sign-bucket LSH bounds the candidate
+    * set; hot buckets capped, so no node ranks more than
+    * `maxBucketSize` candidates). Ranks order by the ROUNDED score
+    * (6 dp, neighbor-id tie-break — the rank doctrine), per-node windows
+    * are bucket-bounded, and the output is directed: `(src_id, dst_id,
+    * rank, score)` with rank 1..k. Compose with [[mutualKnnEdges]] for
+    * the symmetric, noise-robust variant.
+    */
+  def knnEdges(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nBits: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val pairs = embeddingPairs(df, idCol, vecCol, nBits, maxBucketSize)
+      .select(col("a_id"), col("b_id"),
+        round(col("score") + lit(1e-9), 6).as("score"))
+    val sym = pairs.unionByName(pairs.select(col("b_id").as("a_id"),
+      col("a_id").as("b_id"), col("score")))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(desc("score"), col("b_id"))
+    sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+        col("rank"), col("score"))
+  }
+
+  /** Mutual-kNN edges: keep {a, b} only when EACH is in the other's
+    * top-k ([[knnEdges]] both ways) — the standard robustification that
+    * drops hub-attracted asymmetric links. Output is the house pair
+    * shape (a_id < b_id, plus the rounded score), ready for
+    * [[connectedComponents]] / [[graft.operators.Graph]].
+    */
+  def mutualKnnEdges(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nBits: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+    val knn = knnEdges(df, idCol, vecCol, k, nBits, maxBucketSize)
+    knn.filter(col("src_id") < col("dst_id"))
+      .select(col("src_id").as("a_id"), col("dst_id").as("b_id"),
+        col("score"))
+      .join(knn.filter(col("src_id") > col("dst_id"))
+        .select(col("dst_id").as("a_id"), col("src_id").as("b_id")),
+        Seq("a_id", "b_id"))
+  }
+
   /** Within-document repeated-span removal — the paragraph/line-level
     * dedup pass of CCNet (Wenzek et al. 2020) and RefinedWeb (Penedo et
     * al. 2023), realized at fixed token-span granularity (the corpus

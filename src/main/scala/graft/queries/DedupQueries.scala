@@ -315,6 +315,29 @@ object DedupQueries {
         .orderBy("cluster_rep")
     }),
 
+    // kNN graph over the embeddings: each vector's top-5 in-bucket
+    // cosine neighbors (rank on the ROUNDED score, neighbor-id
+    // tie-break). The directed edge list is the curation primitive
+    // behind cluster discovery and SemDeDup-style pruning.
+    "q198_knn_graph" -> ((s, dir) => {
+      Dedup.knnEdges(Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 5, nBits = 8)
+        .orderBy("src_id", "rank")
+    }),
+
+    // Mutual-kNN components: keep an edge only when EACH side is in the
+    // other's top-5, then min-label components — the robust cluster
+    // discovery pass (hub-attracted asymmetric links drop out). The
+    // oracle replays both knn directions, the mutuality join, and the
+    // recursive closure.
+    "q199_mutual_knn" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Dedup.connectedComponents(
+          Dedup.mutualKnnEdges(e, "vec_id", "embedding", k = 5, nBits = 8))
+        .select(col("id").as("vec_id"), col("cluster_rep"))
+        .orderBy("vec_id")
+    }),
+
     // Embedding-cosine near-dup: sign-bucket LSH prefilter, top-20 most
     // similar in-bucket pairs (the corpus has no >0.5-cosine pairs, so the
     // operator reports the nearest ones rather than a thresholded set).
@@ -1015,6 +1038,33 @@ object DedupQueries {
          |WHERE rn = 1 AND n_members >= 2
          |ORDER BY cluster_rep""".stripMargin,
 
+    // kNN replay: kept-bucket pairs, rounded cosine, symmetrize, per-src
+    // rank window. The mutual variant adds the both-ways join and the
+    // q65 recursive closure.
+    "q198_knn_graph" -> (knnChainSql +
+      """SELECT a AS src_id, b AS dst_id, CAST(rn AS BIGINT) AS rank, s AS score
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY src_id, rank""".stripMargin),
+
+    "q199_mutual_knn" -> ("WITH RECURSIVE " + knnChainBody +
+      """,
+        |knn AS (SELECT a, b, s FROM ranked WHERE rn <= 5),
+        |mut AS (
+        |  SELECT f.a AS a_id, f.b AS b_id
+        |  FROM knn f JOIN knn r ON r.a = f.b AND r.b = f.a
+        |  WHERE f.a < f.b),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM mut
+        |  UNION SELECT b_id, a_id FROM mut),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+        |SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS cluster_rep
+        |FROM reach
+        |GROUP BY id
+        |ORDER BY vec_id""".stripMargin),
+
     "q34_embed_neardup" -> {
       val bucket = (0 until 8)
         .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
@@ -1080,6 +1130,35 @@ object DedupQueries {
     // contamination pairs
     "q113_bloom_decon" -> deconOracle
   )
+
+  // the kNN-graph CTE chain shared by q198/q199: 8-bit sign buckets
+  // (hot-bucket cap mirrored), in-bucket pairs with the ROUNDED cosine,
+  // symmetrization, per-source rank window
+  private lazy val knnChainBody = {
+    val bucket = (0 until 8)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""coded AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |keep AS (
+       |  SELECT bucket FROM coded GROUP BY bucket
+       |  HAVING count(DISTINCT vec_id) BETWEEN 2 AND 1000),
+       |pairs AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |      CAST(b.embedding AS DOUBLE[])) + 1e-9, 6) AS s
+       |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  JOIN keep k ON a.bucket = k.bucket),
+       |sym AS (
+       |  SELECT a, b, s FROM pairs
+       |  UNION ALL SELECT b, a, s FROM pairs),
+       |ranked AS (
+       |  SELECT a, b, s,
+       |    row_number() OVER (PARTITION BY a ORDER BY s DESC, b) AS rn
+       |  FROM sym)""".stripMargin
+  }
+
+  private lazy val knnChainSql = s"WITH $knnChainBody\n"
 
   // the exhaustive filtered-universe Jaccard-threshold join: candidates
   // from ANY shared rare shingle (provably complete — a qualifying pair

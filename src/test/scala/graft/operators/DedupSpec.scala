@@ -426,6 +426,46 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("knnEdges/mutualKnnEdges: ranks, asymmetric-link drop, bucket bound") {
+    // all strictly-positive vectors share one 2-bit sign bucket (a zero
+    // component would clear its sign bit and split the bucket)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.01f)),
+      (2L, Array(0.98f, 0.2f)),   // nearest to 1
+      (3L, Array(0.2f, 0.98f)),   // nearest to 4
+      (4L, Array(0.01f, 1.0f)),
+      (9L, Array(-1.0f, -1.0f))   // different bucket — no edges to others
+    ).toDF("vec_id", "embedding")
+    val knn = Dedup.knnEdges(vecs, "vec_id", "embedding", k = 1, nBits = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(knn == Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L),
+      "top-1 neighbors by cosine within the bucket")
+    // k = 2: node 1's list is (2, then 3 or 4) — 2 must rank first
+    val k2 = Dedup.knnEdges(vecs, "vec_id", "embedding", k = 2, nBits = 2)
+      .filter($"src_id" === 1L).orderBy("rank")
+      .as[(Long, Long, Long, Double)].collect().map(_._2).toSeq
+    assert(k2.head == 2L && k2.size == 2)
+    // mutual at k=1 keeps exactly the reciprocated pairs
+    val mut = Dedup.mutualKnnEdges(vecs, "vec_id", "embedding",
+        k = 1, nBits = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(mut == Set((1L, 2L), (3L, 4L)))
+    // asymmetry drops: at k=1 node 2's top is 1, but make 2 the hub
+    // target of 3 by shrinking the set — 3's top-1 becomes 2 while 2's
+    // stays 1 → {2,3} must NOT survive mutuality
+    val tri = Seq((1L, Array(1.0f, 0.05f)), (2L, Array(0.95f, 0.3f)),
+      (3L, Array(0.6f, 0.8f))).toDF("vec_id", "embedding")
+    val triMut = Dedup.mutualKnnEdges(tri, "vec_id", "embedding",
+        k = 1, nBits = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(triMut == Set((1L, 2L)),
+      "the unreciprocated hub link must drop")
+    intercept[IllegalArgumentException] {
+      Dedup.knnEdges(vecs, "vec_id", "embedding", k = 0)
+    }
+  }
+
   test("clusterSplit: no pair ever crosses the split, singletons fall back") {
     val docs = (1L to 40L).toDF("doc_id")
     // chain clusters {1..4}, {10,11}, everything else singleton
