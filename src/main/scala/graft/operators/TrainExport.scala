@@ -291,6 +291,61 @@ object TrainExport {
       .limit(n)
   }
 
+  /** Hamilton (largest-remainder) quota allocation: turn a per-source
+    * weight vector (Σ ≈ 1, e.g. [[Importance.mixtureWeights]]' output)
+    * into INTEGER slot counts for a budget of `n` — every source gets
+    * ⌊n·w⌋, the `n − Σ⌊n·w⌋` leftovers go to the largest fractional
+    * remainders (source-name tie-break). Cross-engine exactness: the
+    * weights arrive ROUNDED (identical doubles in both engines), so
+    * `n·w`, its floor, and the remainder compares are all operations on
+    * identical values — no new rounding needed; the only ordering is
+    * over the |sources|-row frame. Appends `quota` (BIGINT).
+    */
+  def hamiltonQuotas(weights: DataFrame, n: Int,
+      sourceCol: String = "source",
+      weightCol: String = "weight"): DataFrame = {
+    require(n >= 0, s"budget must be non-negative, got $n")
+    val q0 = weights
+      .withColumn("__q0", floor(col(weightCol) * n).cast("long"))
+      .withColumn("__rem", col(weightCol) * n - floor(col(weightCol) * n))
+    val r = q0.agg((lit(n.toLong) - sum("__q0")).as("__r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("__rem"), col(sourceCol))
+    q0.crossJoin(broadcast(r))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("quota",
+        col("__q0") + when(col("__rk") <= col("__r"), 1L).otherwise(0L))
+      .drop("__q0", "__rem", "__rk", "__r")
+  }
+
+  /** The DoReMi loop closed: per-source quotas ([[hamiltonQuotas]] over
+    * the given weights) filled by the deterministic md5-rank selection
+    * ([[md5RankChunked]] within each source) — the step that turns a
+    * reweighting DECISION into an actual training subset, reproducible
+    * under retries and engine-replayable. A source smaller than its
+    * quota contributes everything it has (capped by availability, never
+    * silently re-distributed — the honest shortfall surfaces in
+    * `n_selected < quota`). Output: one row per source —
+    * (source, n_docs, weight, quota, n_selected, sel_sum) where
+    * `sel_sum` is the exact-integer id checksum of the selected set.
+    */
+  def mixtureSelect(df: DataFrame, idCol: String, sourceCol: String,
+      weights: DataFrame, n: Int, seed: String = "mix"): DataFrame = {
+    val quotas = hamiltonQuotas(weights, n, sourceCol)
+    val ranked = md5RankChunked(df.select(col(idCol), col(sourceCol)),
+      idCol, Seq(sourceCol), seed)
+    val picked = ranked
+      .join(quotas.select(col(sourceCol), col("quota")), Seq(sourceCol))
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_selected"),
+        sum(col(idCol).cast("long")).as("sel_sum"))
+    quotas.join(picked, Seq(sourceCol), "left_outer")
+      .select(col(sourceCol), col("n_docs"), col("weight"), col("quota"),
+        coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+        coalesce(col("sel_sum"), lit(0L)).as("sel_sum"))
+  }
+
   /** Materialize the shards: one directory per shard, rows in shuffle-key
     * order within each file. `repartition(nShards, shard)` makes the write
     * a single shuffle whose output partitioning IS the shard layout —
