@@ -92,11 +92,22 @@ object Bench {
     }
     val results = SparkEntry.benchQueries.zip(times)
       .filter { case (name, _) => !broken.contains(name) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // the driver captures only ~2 KB of output tail: the round-10 artifact
+    // lost `total`/`calibration`/the first six query times when the raw
+    // line outgrew the window. The PRINTED line is therefore budgeted —
+    // 3-decimal times, GC entries only where nonzero, no delta map — and
+    // the FULL detail (unrounded times, complete gc + delta maps) is
+    // written to BENCH_LOCAL.json, committed per round.
+    // Locale.ROOT: a comma decimal separator would corrupt the JSON
+    def fmt(v: Double, d: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${d}f", Double.box(v))
+    def r3(v: Double): String = fmt(v, 3)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val gcJson = SparkEntry.benchQueries.zip(gcs)
+    val gcPairs = SparkEntry.benchQueries.zip(gcs)
       .filter { case (name, _) => !broken.contains(name) }
-      .map { case (k, v) => "\"" + k + "\":" + v }
+    val gcJson = gcPairs.filter(_._2 >= 0.0005)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val heapGb = Runtime.getRuntime.maxMemory / 1024.0 / 1024.0 / 1024.0
     val total = results.map(_._2).sum
@@ -116,7 +127,18 @@ object Bench {
     val errs = broken.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"cal_ratio_vs_prev":$ratio,"heap_gb":$heapGb,"queries":$qs,"gc_in_min_rep":$gcJson,"broken":$errs,"delta_vs_prev":$deltas,"sf":"$sfDir"}""")
+    // summary fields LAST: the tail capture truncates the FRONT of an
+    // oversized line, so `value`/`calibration` survive even if the
+    // per-query map gets clipped
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"gc_in_min_rep":$gcJson,"broken":$errs,"heap_gb":${fmt(heapGb, 1)},"cal_ratio_vs_prev":${r3(ratio)},"calibration":${fmt(calib, 4)},"value":${r3(total)}}"""
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullGc = gcPairs.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"cal_ratio_vs_prev":$ratio,"heap_gb":$heapGb,"queries":$fullQs,"gc_in_min_rep":$fullGc,"broken":$errs,"delta_vs_prev":$deltas,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 
@@ -184,24 +206,36 @@ object Bench {
     val benches = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
       .sortBy(_.getName)
-    benches.lastOption.flatMap { f =>
-      val text = scala.io.Source.fromFile(f)
-      val raw = try text.mkString finally text.close()
-      // the driver embeds our metric line inside a log-tail string field
-      // with escaped quotes — unescape before matching either shape
-      val json = raw.replace("\\\"", "\"")
-      // keys anchored on a preceding { or , so a suffix-colliding key
-      // (e.g. "warm_queries", "recalibration") can never shadow the real one
-      "[{,]\\s*\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(json)
-        .map { m =>
-          val qs = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
-            .findAllMatchIn(m.group(1))
-            .map(q => q.group(1) -> q.group(2).toDouble).toMap
-          val cal = "[{,]\\s*\"calibration\"\\s*:\\s*([0-9.eE+-]+)".r
-            .findFirstMatchIn(json)
-            .map(c => "calibration" -> c.group(1).toDouble)
-          qs ++ cal
-        }
+    val fromDriver = benches.lastOption.flatMap(parseBenchFile)
+    // the driver's tail capture can truncate the front of the line (lost
+    // r10's calibration + first six queries) — when the newest driver
+    // artifact is missing its calibration, the committed local twin
+    // (written whole by Bench itself) is the better previous-round record
+    if (fromDriver.exists(_.contains("calibration"))) fromDriver
+    else {
+      val local = new java.io.File("BENCH_LOCAL.json")
+      val fromLocal = if (local.isFile) parseBenchFile(local) else None
+      fromLocal.orElse(fromDriver)
     }
+  }
+
+  private def parseBenchFile(f: java.io.File): Option[Map[String, Double]] = {
+    val text = scala.io.Source.fromFile(f)
+    val raw = try text.mkString finally text.close()
+    // the driver embeds our metric line inside a log-tail string field
+    // with escaped quotes — unescape before matching either shape
+    val json = raw.replace("\\\"", "\"")
+    // keys anchored on a preceding { or , so a suffix-colliding key
+    // (e.g. "warm_queries", "recalibration") can never shadow the real one
+    "[{,]\\s*\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(json)
+      .map { m =>
+        val qs = "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+          .findAllMatchIn(m.group(1))
+          .map(q => q.group(1) -> q.group(2).toDouble).toMap
+        val cal = "[{,]\\s*\"calibration\"\\s*:\\s*([0-9.eE+-]+)".r
+          .findFirstMatchIn(json)
+          .map(c => "calibration" -> c.group(1).toDouble)
+        qs ++ cal
+      }
   }
 }

@@ -140,7 +140,7 @@ object CommandExecutor {
       case SearchText(coll, arg) =>
         val opts = parseKv(arg)
         db.searchText(coll,
-          terms = splitTerms(opts, "SEARCHTEXT"),
+          rawTerms = splitTerms(opts, "SEARCHTEXT"),
           k1 = opts.getOrElse("k1", "1.2").toDouble,
           b = opts.getOrElse("b", "0.75").toDouble,
           k = opts.getOrElse("k", "20").toInt)

@@ -413,9 +413,17 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * the rescan. Without one it falls back to the one-pass
     * [[graft.operators.TextAnalysis.bm25]] corpus scan.
     */
-  def searchText(name: String, terms: Seq[String], k1: Double = 1.2,
+  def searchText(name: String, rawTerms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75, k: Int = 20): DataFrame = {
     requireCollection(name)
+    // both the postings index and the rescan tokenizer store normalized
+    // lowercase [a-z0-9]+ tokens — a verbatim 'Vector' or 'data-merge'
+    // could never match on either path (a silent empty result at the
+    // command surface). Incoming terms go through the SAME rule:
+    // lowercase, split at non-alphanumerics, drop empties, dedup.
+    val terms = normalizeTerms(rawTerms)
+    require(terms.nonEmpty,
+      s"no searchable terms after normalization (got: ${rawTerms.mkString(", ")})")
     val tDir = textIndexDir(name)
     if (fs.exists(new Path(tDir, "meta.json"))) {
       val buckets = parseTextIndexBuckets(
@@ -483,6 +491,16 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val dir = textIndexDir(name)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
   }
+
+  /** Driver-side twin of [[graft.operators.TextAnalysis.normalizedTokens]]
+    * (lowercase, [a-z0-9]+ runs): query terms must pass through the SAME
+    * rule the index/tokenizer applied to documents, or they can never
+    * match. A multi-token input term ("data-merge") becomes its tokens;
+    * duplicates collapse (first occurrence kept — BM25 treats the term
+    * set, not multiplicity).
+    */
+  private[graft] def normalizeTerms(terms: Seq[String]): Seq[String] =
+    terms.flatMap(t => "[a-z0-9]+".r.findAllIn(t.toLowerCase)).distinct
 
   /** Driver-side twin of the Spark-side bucket expression —
     * `conv(substring(md5(term), 1, 4), 16, 10) % buckets`.

@@ -230,7 +230,20 @@ object Dedup {
     * single-reducer window. The neighbor join is an equi-join on rank
     * (each row generates its `window−1` successor ranks), never a range
     * scan. Output: (a_id, b_id) with a_id < b_id, plus the rank
-    * distance `gap` (1 = sort-adjacent).
+    * distance `gap` (1 = sort-adjacent). Rows with NULL `textCol` are
+    * excluded (see the in-body note; DedupSpec + the q190/q192 oracles
+    * pin the convention).
+    *
+    * `chunkChars` is the rank-phase parallelism knob: the sort fans out
+    * over ~36^chunkChars key-prefix chunks (after normalization the
+    * first characters are [a-z0-9 ]), so the default 1 caps the rank
+    * phase at ≲37 reducers — right-sized for the testdata, NOT for a
+    * corpus. At scale set chunkChars so 36^chunkChars ≳ the cluster's
+    * task slots (2 → ~1.3k chunks, 3 → ~47k); output is
+    * chunk-invariant — the chunk is a PREFIX of the sort key, so any
+    * width yields the identical global rank (DedupSpec proves 1 ≡ 2
+    * row-for-row), and skew within a chunk is bounded by how many keys
+    * share that prefix, not by corpus size.
     */
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
       window: Int = 10, keyLen: Int = 40,
@@ -238,9 +251,17 @@ object Dedup {
     require(window >= 2, s"window must be >= 2, got $window")
     require(keyLen >= 1 && chunkChars >= 1 && chunkChars <= keyLen,
       s"need 1 <= chunkChars <= keyLen, got $chunkChars/$keyLen")
+    // NULL-text rows are excluded EXPLICITLY (pinned convention, mirrored
+    // by the q190/q192 oracles and DedupSpec): a NULL sort key has no
+    // locality to preserve, and leaving it implicit made the exclusion an
+    // accident of join semantics (NULL __chunk never matched the offsets
+    // catalog) while the offsets window counted the rows — real ranks
+    // started at nNulls+1 and the documented N·(window−1) candidate count
+    // silently referred to non-null N.
     val key = substring(trim(regexp_replace(regexp_replace(
       lower(col(textCol)), "[^a-z0-9\\s]", " "), "\\s+", " ")), 1, keyLen)
-    val keyed = df.select(col(idCol), key.as("__key"))
+    val keyed = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), key.as("__key"))
       .withColumn("__chunk", substring(col("__key"), 1, chunkChars))
     val wLocal = Window.partitionBy(col("__chunk"))
       .orderBy(col("__key"), col(idCol))

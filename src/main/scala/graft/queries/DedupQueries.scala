@@ -762,7 +762,8 @@ object DedupQueries {
          |keyed AS (
          |  SELECT doc_id,
          |    substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), 1, 40) AS k
-         |  FROM documents),
+         |  FROM documents
+         |  WHERE text IS NOT NULL),
          |ranked AS (
          |  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn
          |  FROM keyed),
@@ -803,7 +804,8 @@ object DedupQueries {
          |keyed AS (
          |  SELECT doc_id,
          |    substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), 1, 40) AS k
-         |  FROM documents),
+         |  FROM documents
+         |  WHERE text IS NOT NULL),
          |ranked AS (
          |  SELECT doc_id, row_number() OVER (ORDER BY k, doc_id) AS rn
          |  FROM keyed),

@@ -143,6 +143,16 @@ object StreamingIngest {
     * Scale shape: the join shuffles both sides on user_id; state per user
     * is the trailing window of views. Skewed users are bounded by the
     * window, not corpus history.
+    *
+    * Single-batch invariant (gate determinism): the q188 oracle is the
+    * COMPLETE batch join, which the stream only reproduces if no view
+    * state is evicted before the last click arrives. Today events.parquet
+    * is one file ⇒ one AvailableNow micro-batch ⇒ the initial watermark
+    * never advances mid-run; `maxFilesPerTrigger` is pinned high so a
+    * multi-file regeneration of the testdata still lands in ONE batch
+    * instead of silently dropping cross-batch matches. A production
+    * deployment drops the pin and accepts the watermark contract: matches
+    * older than the delay are evicted by design.
     */
   def streamAttribution(spark: SparkSession, sfDir: String,
       windowMinutes: Int = 30,
@@ -154,6 +164,7 @@ object StreamingIngest {
         spark.readStream
           .schema(schema)
           .option("pathGlobFilter", "events.parquet")
+          .option("maxFilesPerTrigger", Int.MaxValue.toString)
           .parquet(sfDir))
       .filter(col("event_type") === eventType)
       .select(

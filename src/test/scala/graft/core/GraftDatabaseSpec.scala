@@ -172,6 +172,19 @@ class GraftDatabaseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       db.reindexPostings("docs", buckets = 7) // 7 does not divide 65536
     }
+    // query terms pass through the SAME lowercase [a-z0-9]+ rule the
+    // index applied to documents: 'Vector' and the multi-token
+    // 'data-merge' must hit on BOTH the stored and rescan paths (they
+    // previously returned silently-empty results on each)
+    val want = db.searchText("docs", Seq("vector", "data", "merge"), k = 5)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(want.nonEmpty)
+    assert(db.searchText("docs", Seq("Vector", "data-MERGE"), k = 5)
+      .as[(Long, Double, Long)].collect().toSeq == want,
+      "un-normalized query terms must normalize to the tokenizer's rule")
+    intercept[IllegalArgumentException] {
+      db.searchText("docs", Seq("!!!", "---"), k = 5) // nothing survives
+    }
   }
 
   test("searchSimilar returns nearest by cosine") {

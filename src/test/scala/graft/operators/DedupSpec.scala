@@ -416,11 +416,27 @@ class DedupSpec extends AnyFunSuite {
         window = 3)
       .as[(Long, Long, Long)].collect().toSet
     assert(w3 == w2 ++ Set((1L, 3L, 2L), (2L, 4L, 2L)))
-    // chunking must not change the rank: more chunks, same pairs
-    val chunked = Dedup.sortedNeighborhoodPairs(corpus, "doc_id", "text",
-        window = 3, chunkChars = 3)
+    // chunking must not change the rank: more chunks, same pairs — the
+    // chunk is a prefix of the sort key, so ANY width yields the global
+    // rank (the scale knob is pure parallelism, proven at 2 and 3)
+    for (cc <- Seq(2, 3)) {
+      val chunked = Dedup.sortedNeighborhoodPairs(corpus, "doc_id", "text",
+          window = 3, chunkChars = cc)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(chunked == w3,
+        s"two-phase rank at chunkChars=$cc must equal the single sort")
+    }
+    // NULL text is excluded EXPLICITLY (the pinned convention, mirrored
+    // in the q190/q192 oracles): ranks are over non-null rows only —
+    // before the explicit filter, a NULL row silently vanished from the
+    // join but still shifted every real rank by one via the offsets
+    // window, breaking the documented N·(window−1) cost accounting
+    val withNull = corpus.union(Seq((99L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text"))
+    val nulled = Dedup.sortedNeighborhoodPairs(withNull, "doc_id", "text",
+        window = 3)
       .as[(Long, Long, Long)].collect().toSet
-    assert(chunked == w3, "two-phase rank must equal the single sort")
+    assert(nulled == w3, "null-text rows must not rank, pair, or shift ranks")
     intercept[IllegalArgumentException] {
       Dedup.sortedNeighborhoodPairs(corpus, "doc_id", "text", window = 1)
     }
