@@ -300,6 +300,12 @@ object TrainExport {
     * `n·w`, its floor, and the remainder compares are all operations on
     * identical values — no new rounding needed; the only ordering is
     * over the |sources|-row frame. Appends `quota` (BIGINT).
+    *
+    * PRECONDITION (enforced in-plan): the weights must sum to ~1. The
+    * largest-remainder step can only hand out one extra slot per source,
+    * so the leftover `n − Σ⌊n·w⌋` must lie in [0, |sources|] — a weight
+    * vector summing materially below 1 would silently underfill the
+    * budget (and above 1, overfill it); either case raises instead.
     */
   def hamiltonQuotas(weights: DataFrame, n: Int,
       sourceCol: String = "source",
@@ -308,14 +314,21 @@ object TrainExport {
     val q0 = weights
       .withColumn("__q0", floor(col(weightCol) * n).cast("long"))
       .withColumn("__rem", col(weightCol) * n - floor(col(weightCol) * n))
-    val r = q0.agg((lit(n.toLong) - sum("__q0")).as("__r"))
+    val r = q0.agg((lit(n.toLong) - coalesce(sum("__q0"), lit(0L))).as("__r"),
+      count(lit(1)).as("__cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(desc("__rem"), col(sourceCol))
     q0.crossJoin(broadcast(r))
       .withColumn("__rk", row_number().over(w).cast("long"))
       .withColumn("quota",
-        col("__q0") + when(col("__rk") <= col("__r"), 1L).otherwise(0L))
-      .drop("__q0", "__rem", "__rk", "__r")
+        when(col("__r") < 0L || col("__r") > col("__cnt"),
+          raise_error(concat(
+            lit("hamiltonQuotas: weights must sum to ~1 (leftover "),
+            col("__r").cast("string"), lit(" slots for "),
+            col("__cnt").cast("string"), lit(" sources)"))).cast("long"))
+        .otherwise(
+          col("__q0") + when(col("__rk") <= col("__r"), 1L).otherwise(0L)))
+      .drop("__q0", "__rem", "__rk", "__r", "__cnt")
   }
 
   /** The DoReMi loop closed: per-source quotas ([[hamiltonQuotas]] over
@@ -328,9 +341,17 @@ object TrainExport {
     * `n_selected < quota`). Output: one row per source —
     * (source, n_docs, weight, quota, n_selected, sel_sum) where
     * `sel_sum` is the exact-integer id checksum of the selected set.
+    *
+    * `weights` must carry (sourceCol, weight, n_docs) —
+    * [[Importance.mixtureWeights]]' output shape; `n_docs` (the source's
+    * corpus size) is passed through so the report shows availability
+    * next to quota.
     */
   def mixtureSelect(df: DataFrame, idCol: String, sourceCol: String,
       weights: DataFrame, n: Int, seed: String = "mix"): DataFrame = {
+    require(Seq(sourceCol, "weight", "n_docs").forall(weights.columns.contains),
+      s"weights frame must carry ($sourceCol, weight, n_docs) — got " +
+        weights.columns.mkString("(", ", ", ")"))
     val quotas = hamiltonQuotas(weights, n, sourceCol)
     val ranked = md5RankChunked(df.select(col(idCol), col(sourceCol)),
       idCol, Seq(sourceCol), seed)

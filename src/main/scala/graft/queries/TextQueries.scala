@@ -1192,6 +1192,22 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // The DoReMi loop closed: q148's weights → Hamilton largest-remainder
+    // quotas for a 200-doc budget → md5-rank fill within each source.
+    // Budget 200 over 20×25-doc sources (sf≤0.01) makes heavy sources
+    // overflow availability, exercising the honest-shortfall path
+    // (n_selected < quota, never redistributed). Every float hand-off is
+    // a rounded weight; quota math is floor/compare on identical doubles;
+    // the fill is the md5 rank — the oracle replays all three stages.
+    "q200_mixture_select" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      val wts = graft.operators.Importance.mixtureWeights(
+        docs, "doc_id", "text", "source")
+      graft.operators.TrainExport.mixtureSelect(
+          docs, "doc_id", "source", wts, n = 200, seed = "mix")
+        .orderBy("source")
+    }),
+
     // DSIR importance scoring: raw = the whole corpus, target = the
     // English slice, top-20 most target-like docs by hashed-unigram log
     // likelihood ratio. Ranking happens on the ROUNDED score (then doc_id)
@@ -1252,6 +1268,46 @@ object TextQueries {
       .map(t => s"'$t'").mkString(", ")
     s"len(list_filter(regexp_extract_all(lower(text), '\\S+'), t -> t IN ($prof)))"
   }
+
+  /** Generated CTE prefix shared by q148/q200: the DoReMi mixture-weight
+    * computation (bigram-LM doc losses → per-source excess → exp
+    * weighting). Exposes `ex` (source, n_docs, lp, excess) and the
+    * normalizer `zz`; each consumer inlines the rounded weight expression
+    * (q148 reports it, q200 feeds it into the Hamilton-quota replay).
+    */
+  private val mixtureWeightsCteSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d)),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+      |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx FROM c2 GROUP BY w1),
+      |cont AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cont FROM c2 GROUP BY w2),
+      |tot AS (SELECT CAST(sum(c2) AS DOUBLE) AS t FROM c2),
+      |sc AS (
+      |  SELECT b.doc_id,
+      |    CASE WHEN c2.c2 IS NOT NULL
+      |      THEN CAST(c2.c2 AS DOUBLE) / ctx.ctx
+      |      ELSE 0.4 * (COALESCE(cont.cont, 0) + 0.5) / tot.t END AS s
+      |  FROM bg b
+      |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      |  LEFT JOIN ctx ON b.w1 = ctx.w1
+      |  LEFT JOIN cont ON b.w2 = cont.w2
+      |  CROSS JOIN tot),
+      |dl AS (
+      |  SELECT doc_id, round(avg(ln(s)) + 1e-9, 6) AS lp
+      |  FROM sc GROUP BY doc_id),
+      |ps AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    round(avg(lp) + 1e-9, 6) AS lp
+      |  FROM dl JOIN d USING (doc_id) GROUP BY source),
+      |mn AS (SELECT min(-lp) AS m FROM ps),
+      |ex AS (
+      |  SELECT source, n_docs, lp, round((-lp) - m + 1e-9, 6) AS excess
+      |  FROM ps CROSS JOIN mn),
+      |zz AS (SELECT sum(exp(excess * 1.0)) AS z FROM ex)""".stripMargin
 
   val pipelineOracles: Map[String, String] = Map(
 
@@ -1586,43 +1642,49 @@ object TextQueries {
         |FROM rk
         |ORDER BY doc_id""".stripMargin,
 
-    "q148_mixture_weights" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-        |  FROM documents),
-        |bg AS (
-        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d)),
-        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
-        |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx FROM c2 GROUP BY w1),
-        |cont AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cont FROM c2 GROUP BY w2),
-        |tot AS (SELECT CAST(sum(c2) AS DOUBLE) AS t FROM c2),
-        |sc AS (
-        |  SELECT b.doc_id,
-        |    CASE WHEN c2.c2 IS NOT NULL
-        |      THEN CAST(c2.c2 AS DOUBLE) / ctx.ctx
-        |      ELSE 0.4 * (COALESCE(cont.cont, 0) + 0.5) / tot.t END AS s
-        |  FROM bg b
-        |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
-        |  LEFT JOIN ctx ON b.w1 = ctx.w1
-        |  LEFT JOIN cont ON b.w2 = cont.w2
-        |  CROSS JOIN tot),
-        |dl AS (
-        |  SELECT doc_id, round(avg(ln(s)) + 1e-9, 6) AS lp
-        |  FROM sc GROUP BY doc_id),
-        |ps AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |    round(avg(lp) + 1e-9, 6) AS lp
-        |  FROM dl JOIN d USING (doc_id) GROUP BY source),
-        |mn AS (SELECT min(-lp) AS m FROM ps),
-        |ex AS (
-        |  SELECT source, n_docs, lp, round((-lp) - m + 1e-9, 6) AS excess
-        |  FROM ps CROSS JOIN mn),
-        |zz AS (SELECT sum(exp(excess * 1.0)) AS z FROM ex)
+    "q148_mixture_weights" -> (mixtureWeightsCteSql +
+      """
         |SELECT source, n_docs, lp, excess,
         |  round(exp(excess * 1.0) / z + 1e-9, 6) AS weight
         |FROM ex CROSS JOIN zz
-        |ORDER BY source""".stripMargin,
+        |ORDER BY source""".stripMargin),
+
+    "q200_mixture_select" -> (mixtureWeightsCteSql +
+      """,
+        |wts AS (
+        |  SELECT source, n_docs,
+        |    round(exp(excess * 1.0) / z + 1e-9, 6) AS weight
+        |  FROM ex CROSS JOIN zz),
+        |q0 AS (
+        |  SELECT source, n_docs, weight,
+        |    CAST(floor(weight * 200) AS BIGINT) AS q0,
+        |    weight * 200 - floor(weight * 200) AS rem
+        |  FROM wts),
+        |rr AS (SELECT 200 - CAST(sum(q0) AS BIGINT) AS r FROM q0),
+        |qk AS (
+        |  SELECT source, n_docs, weight,
+        |    q0 + CASE WHEN CAST(row_number() OVER (ORDER BY rem DESC, source)
+        |        AS BIGINT) <= r THEN 1 ELSE 0 END AS quota
+        |  FROM q0 CROSS JOIN rr),
+        |rk AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('mix:'||CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM documents),
+        |sel AS (
+        |  SELECT rk.source AS source,
+        |    CAST(count(*) AS BIGINT) AS n_selected,
+        |    CAST(sum(doc_id) AS BIGINT) AS sel_sum
+        |  FROM rk JOIN qk ON rk.source = qk.source
+        |  WHERE rk.rn <= qk.quota
+        |  GROUP BY rk.source)
+        |SELECT qk.source AS source, qk.n_docs AS n_docs, qk.weight AS weight,
+        |  CAST(qk.quota AS BIGINT) AS quota,
+        |  coalesce(sel.n_selected, CAST(0 AS BIGINT)) AS n_selected,
+        |  coalesce(sel.sel_sum, CAST(0 AS BIGINT)) AS sel_sum
+        |FROM qk LEFT JOIN sel ON qk.source = sel.source
+        |ORDER BY qk.source""".stripMargin),
 
     "q146_url_canon" -> (urlCanonSql("doc_id") +
       """

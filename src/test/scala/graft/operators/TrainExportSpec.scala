@@ -209,4 +209,66 @@ class TrainExportSpec extends AnyFunSuite {
         s"doc $id token mass must be conserved across sequences")
     }
   }
+
+  test("hamiltonQuotas: exact budget, largest-remainder order, guard rails") {
+    val w = Seq(("a", 0.53), ("b", 0.27), ("c", 0.2), ("d", 0.0))
+      .toDF("source", "weight")
+    val q = TrainExport.hamiltonQuotas(w, 10)
+      .select("source", "quota").as[(String, Long)].collect().toMap
+    // floors: a=5, b=2, c=2, d=0 → one leftover, largest remainder is
+    // b (0.7 vs a 0.3, c 0.0) — zero-weight d must stay at 0
+    assert(q == Map("a" -> 5L, "b" -> 3L, "c" -> 2L, "d" -> 0L))
+    assert(q.values.sum == 10L, "quotas must sum exactly to the budget")
+    // n = 0: every quota 0 (leftover 0 ≤ |sources| passes the guard)
+    val z = TrainExport.hamiltonQuotas(w, 0)
+      .select("quota").as[Long].collect()
+    assert(z.length == 4 && z.forall(_ == 0L))
+    // weights summing materially below 1 would underfill silently —
+    // the in-plan guard must raise instead (leftover 5 > 2 sources)
+    val under = Seq(("a", 0.3), ("b", 0.2)).toDF("source", "weight")
+    val e = intercept[Exception] {
+      TrainExport.hamiltonQuotas(under, 10).collect()
+    }
+    assert(e.getMessage.contains("weights must sum to ~1"))
+    // ... and above 1 would overfill (negative leftover): same guard
+    val over = Seq(("a", 0.9), ("b", 0.9)).toDF("source", "weight")
+    val e2 = intercept[Exception] {
+      TrainExport.hamiltonQuotas(over, 10).collect()
+    }
+    assert(e2.getMessage.contains("weights must sum to ~1"))
+  }
+
+  test("mixtureSelect: quota fill, honest shortfall, md5-rank determinism") {
+    // corpus: a has 20 docs, b has 2 (will fall short of its quota),
+    // c has 5; weights give b a quota its availability can't cover
+    val docs = ((1L to 20L).map(i => (i, "a")) ++
+      Seq((21L, "b"), (22L, "b")) ++
+      (23L to 27L).map(i => (i, "c"))).toDF("doc_id", "source")
+    val w = Seq(("a", 10L, 0.5), ("b", 2L, 0.3), ("c", 5L, 0.2))
+      .toDF("source", "n_docs", "weight")
+    val out = TrainExport.mixtureSelect(docs, "doc_id", "source", w, n = 10)
+      .as[(String, Long, Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // quotas: a=5, b=3, c=2 (exact floors, no leftovers)
+    assert(out("a")._4 == 5L && out("b")._4 == 3L && out("c")._4 == 2L)
+    // b holds only 2 docs: shortfall surfaces, never redistributed
+    assert(out("b")._5 == 2L && out("b")._6 == 21L + 22L)
+    assert(out("a")._5 == 5L && out("c")._5 == 2L)
+    // selection is the md5 rank: recompute driver-side and compare
+    def top(ids: Seq[Long], k: Int): Set[Long] = ids
+      .sortBy(id => (java.security.MessageDigest.getInstance("MD5")
+        .digest(s"mix:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, id))
+      .take(k).toSet
+    assert(out("a")._6 == top(1L to 20L, 5).sum)
+    assert(out("c")._6 == top(23L to 27L, 2).sum)
+    // n_docs passes through from the weights frame verbatim
+    assert(out("a")._2 == 10L && out("b")._2 == 2L && out("c")._2 == 5L)
+    // the weights-frame contract is loud, not an AnalysisException
+    val bare = Seq(("a", 1.0)).toDF("source", "weight")
+    val e = intercept[IllegalArgumentException] {
+      TrainExport.mixtureSelect(docs, "doc_id", "source", bare, n = 10)
+    }
+    assert(e.getMessage.contains("n_docs"))
+  }
 }
