@@ -102,27 +102,16 @@ object VectorQueries {
         .limit(10)
     }),
 
-    // MLlib BucketedRandomProjectionLSH ANN (seeded; reproducible on a fixed
-    // dataset but not SQL-reproducible → rows-only check, no oracle entry).
-    "q48_brp_ann" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val query = e.filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0).toArray
-      VectorIndex.brpAnn(e, "embedding", query, k = 10)
-        .select(col("vec_id"), round(col("distCol"), 6).as("dist"))
-        .orderBy("dist", "vec_id")
-    }),
-
-    // MLlib KMeans index build (REINDEX's model-based variant): cluster
-    // sizes for a seeded k=10 fit (rows-only check — centroid identity is
-    // engine-specific).
-    "q49_kmeans_clusters" -> ((s, dir) => {
-      val (assigned, _) = VectorIndex.kmeansAssign(
-        Tables.embeddings(s, dir), "embedding", k = 10)
-      assigned.groupBy(col("cluster_id").cast("long").as("cluster_id"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("cluster_id")
-    }),
+    // RETIRED (round 11): q48_brp_ann and q49_kmeans_clusters — the two
+    // MLlib-trainer queries whose internal hashing/init kept them
+    // rows-only for 9 rounds. Their deterministic, FULLY hash-gated
+    // twins cover every behavior they exercised: q109 (JL projection),
+    // q126/q128 (LSH bucket probes + recall), q106 (Lloyd iteration),
+    // q108 (k-center seeding), q170 (deterministic-kmeans coarse probe).
+    // The MLlib operators themselves (brpAnn, kmeansAssign) remain —
+    // they are the production many-iteration trainers — spec-pinned in
+    // VectorIndexSpec/IvfRecallSpec instead of carrying permanently
+    // weaker rows-only gate entries.
 
     // Batched kNN through the bounded-heap aggregator (shuffles ≤ k rows
     // per partition per query) — same oracle shape as the window-based q22,
@@ -162,27 +151,14 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // KMeans-IVF probe through the full database surface: REINDEX trains
-    // centroids into the index sidecar, SEARCHSIMILAR prunes to the nprobe=4
-    // nearest cells and exact-reranks inside. MLlib centroid identity is
-    // engine-specific → rows-only check (q48/q49 precedent).
-    "q68_kmeans_probe" -> ((s, dir) => {
-      val db = Scratch.db(s, "graft_q68")
-      db.createCollection("vecs", org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)),
-        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.IntegerType))))
-      db.bulkInsert("vecs", Tables.embeddings(s, dir))
-      db.reindexKMeans("vecs", k = 16)
-      val query = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-        .select("embedding").head().getSeq[Float](0).toArray
-      db.searchSimilar("vecs", query, k = 10, metric = "cosine",
-          probeRadius = 3, idCol = "vec_id")
-        .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), round(col("score"), 6).as("score"))
-        .orderBy(desc("score"), col("vec_id"))
-    }),
+    // RETIRED (round 11): q68_kmeans_probe — the MLlib-kmeans REINDEX →
+    // SEARCHSIMILAR probe, rows-only for the same MLlib-internals reason
+    // as q48/q49. The managed kmeans-coarse probe path is FULLY
+    // hash-gated by q171 (REINDEX type=ivfpq with deterministic kmeans
+    // coarse cells, probed through the command surface); the plain
+    // MLlib reindexKMeans + probe round-trip stays spec-pinned
+    // (GraftDatabaseSpec, EdgeCaseSpec, PlanAuditSpec's
+    // partition-pruning assert, IvfRecallSpec's recall floor).
 
     // SQ8 rerank: rank everything by the cosine of int8-QUANTIZED vectors
     // (integer math — bit-reproducible in any engine), shortlist 100, exact
@@ -1980,9 +1956,6 @@ object VectorQueries {
         |FROM embeddings
         |GROUP BY label
         |ORDER BY label""".stripMargin,
-
-    // q68_kmeans_probe: rows-only (MLlib centroids aren't SQL-reproducible)
-    // — deliberately absent here, like q48/q49.
 
     "q71_sq8_batch" ->
       """WITH q8 AS (

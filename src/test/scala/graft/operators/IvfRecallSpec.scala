@@ -157,4 +157,25 @@ class IvfRecallSpec extends AnyFunSuite {
     val n = math.sqrt(v.map(x => x * x).sum)
     v.map(_ / n)
   }
+
+  test("brpAnn: deterministic under a fixed seed, good recall vs exact top-k") {
+    // spec-pins the MLlib BRP-LSH path after its rows-only gate entry
+    // (q48) retired: seeded runs must agree row-for-row, and the ANN
+    // answer must recover most of the exact neighborhood on the real
+    // embeddings (a fixed property of the seeded model, not a flaky stat)
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val q = e.filter($"vec_id" === 0)
+      .select("embedding").head().getSeq[Float](0).toArray
+    def run() = VectorIndex.brpAnn(e, "embedding", q, k = 10)
+      .select($"vec_id", round($"distCol", 6).as("d"))
+      .as[(Long, Double)].collect().sortBy(r => (r._2, r._1)).toSeq
+    val a = run()
+    assert(a.size == 10)
+    assert(a == run(), "seeded BRP-LSH must be run-to-run deterministic")
+    val exact = SimilaritySearch
+      .topK(e, q, 10, "l2", vecCol = "embedding", idCol = "vec_id")
+      .select($"vec_id").as[Long].collect().toSet
+    val recall = a.map(_._1).count(exact.contains) / 10.0
+    assert(recall >= 0.7, f"BRP-LSH recall@10 $recall%.2f < 0.7")
+  }
 }
