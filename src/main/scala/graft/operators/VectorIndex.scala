@@ -316,12 +316,12 @@ object VectorIndex {
     * Empty clusters simply vanish from the refined set (mirrored by any
     * SQL recomputation).
     *
-    * Scale shape: centroid seeding is a bounded top-k (TakeOrdered — the
-    * rank window only ever sees `k` rows); each assignment is a
-    * broadcast of `k` centroids against the corpus with a per-vector
-    * bounded rank; the refinement is one partial-agg mean over
-    * (cluster, dim) — k·dim result rows. Nothing shuffles more than the
-    * (id, cluster) pairs. Real index builds run [[kmeansAssign]] (MLlib,
+    * Scale shape: centroid seeding is a bounded top-k (TakeOrdered);
+    * each assignment is a literal-centroid argmin expression INSIDE the
+    * scan (zero shuffle — the [[lloydIterate]] shape; the final plan is
+    * scan → project, PlanAuditSpec-pinned); the refinement is one
+    * partial-agg mean over (cluster, dim) — k·dim result rows of
+    * bounded driver state. Real index builds run [[kmeansAssign]] (MLlib,
     * many iterations); this operator exists for the exactness-audited
     * path and as the convergence primitive a caller can iterate with the
     * [[graft.operators.Dedup]] localCheckpoint discipline.
@@ -472,37 +472,46 @@ object VectorIndex {
   def lloydOnce(df: DataFrame, idCol: String, vecCol: String, k: Int,
       seed: String = "km"): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
-    import org.apache.spark.sql.expressions.Window
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
     val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
-    // bounded seeding: TakeOrdered cuts to k rows BEFORE the rank window
-    val seedRows = e.withColumn("__key", key)
+    // bounded seeding: TakeOrdered cuts to k rows, returned in key order —
+    // cid i+1 is the (i+1)-th row of the md5(seed:id) sort
+    val cents0: Seq[(Long, Array[Double])] = e.withColumn("__key", key)
       .orderBy(col("__key"), col(idCol)).limit(k)
-    val cents0 = seedRows.withColumn("__cid",
-        row_number().over(Window.orderBy(col("__key"), col(idCol)))
-          .cast("long"))
-      .select(col("__cid"), col("__v").as("__cent"))
-    def assign(cents: DataFrame, outCol: String): DataFrame = {
-      val pick = Window.partitionBy(col(idCol))
-        .orderBy(col("__d"), col("__cid"))
-      e.crossJoin(broadcast(cents))
-        .withColumn("__d",
-          round(graft.functions.l2_dist(col("__v"), col("__cent")), 6))
-        .withColumn("__rn", row_number().over(pick))
-        .filter(col("__rn") === 1)
-        .select(col(idCol), col("__cid").as(outCol))
+      .select("__v").collect().zipWithIndex
+      .map { case (r, i) => (i + 1L, r.getSeq[Double](0).toArray) }.toSeq
+    // ROUNDED-distance argmin with a centroid-id tie-break, as a
+    // literal-centroid expression INSIDE the scan (the lloydIterate
+    // shape): zero shuffle, where the former crossJoin(broadcast) +
+    // row_number() over partitionBy(id) paid a full hash shuffle of a
+    // k-times-inflated corpus. Same rounded values, same tie-break ⇒
+    // identical assignment (array_min over struct(d, cid) is the
+    // lexicographic minimum = ORDER BY d, cid LIMIT 1).
+    def argmin(cents: Seq[(Long, Array[Double])]): Column = {
+      val scored = cents.map { case (cid, c) =>
+        struct(round(graft.functions.l2_dist(col("__v"), lit(c)), 6).as("d"),
+          lit(cid).as("c"))
+      }
+      array_min(array(scored: _*)).getField("c")
     }
-    val a0 = assign(cents0, "c_init")
-    val means = e.join(a0, Seq(idCol))
-      .select(col("c_init"), posexplode(col("__v")))
-      .groupBy(col("c_init").as("__cid"), col("pos"))
-      // means are dyadic-rational-prone (float sums over power-of-two
-      // counts) → the +1e-9 midpoint guard before rounding
+    val a0 = e.withColumn("c_init", argmin(cents0))
+    // refinement: one partial-agg mean over (cluster, dim) — k·dim rows
+    // back to the driver (bounded model state, the lloydIterate
+    // discipline); empty clusters vanish from the refined set.
+    // Means are dyadic-rational-prone (float sums over power-of-two
+    // counts) → the +1e-9 midpoint guard before rounding.
+    val meanRows = a0.select(col("c_init"), posexplode(col("__v")))
+      .groupBy("c_init", "pos")
       .agg(round(avg("col") + lit(1e-9), 6).as("__m"))
-    val cents1 = means.groupBy("__cid")
-      .agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("__m")))),
-        x => x.getField("__m")).as("__cent"))
-    a0.join(assign(cents1, "c_refined"), Seq(idCol))
+      .collect()
+    val cents1: Seq[(Long, Array[Double])] = meanRows
+      .groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+      }
+    // both assignments ride the SAME single scan — the final plan is
+    // scan → project, no Exchange anywhere (PlanAuditSpec pins it)
+    a0.withColumn("c_refined", argmin(cents1))
+      .select(col(idCol), col("c_init"), col("c_refined"))
   }
 }

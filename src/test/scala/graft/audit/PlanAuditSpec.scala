@@ -271,16 +271,24 @@ class PlanAuditSpec extends AnyFunSuite {
       || p.contains("ShuffledHashJoin"), p.take(2000))
   }
 
-  test("q106 lloyd step: centroids broadcast, no corpus-sized cartesian") {
+  test("q106 lloyd step: both assignments are in-scan literal argmins, zero shuffle") {
+    // the round-11 de-shuffle: both c_init and c_refined are
+    // literal-centroid argmin expressions in ONE scan projection — the
+    // former crossJoin(broadcast) + row_number() over partitionBy(id)
+    // paid a hash shuffle of a k-times-inflated corpus. The only
+    // exchange left is the final ORDER BY's range partitioning.
+    // (Seeding + mean refinement run as separate bounded jobs at
+    // construction time — plan() executes them; their state comes back
+    // as k·dim doubles of literals, not plan nodes.)
     val p = plan("q106_kmeans_lloyd")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"the k-row centroid set must broadcast against the corpus:\n${p.take(2000)}")
-    assert(!p.contains("CartesianProduct"),
-      s"no unbroadcast cartesian anywhere in the iteration:\n${p.take(2000)}")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"centroid seeding must be a bounded top-k, not a global sort:\n${p.take(2000)}")
-    assert(p.contains("partial_avg") || p.contains("partial"),
-      s"the mean refinement must combine map-side:\n${p.take(1500)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"assignment must not shuffle — literal argmin in the scan:\n${p.take(2000)}")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"no join of any kind in the assignment plan:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      s"no per-row rank window — argmin is array_min over struct:\n${p.take(2000)}")
+    assert(p.contains("l2_dist"),
+      s"distances must be the codegen'd expression:\n${p.take(1500)}")
   }
 
   test("q101 stratified sample: rank partitioned by (strata, chunk), broadcast stitch") {
@@ -360,12 +368,14 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q124_semdedup")
     assert(!p.contains("CartesianProduct"),
       s"within-cluster pairing must join on the cluster id:\n${p.take(2000)}")
-    // the k-row centroid sets broadcast (the lloyd shape), and the
-    // pair join keys on cid
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      p.take(1500))
+    // round 11: the lloyd assignment is literal-centroid math inside the
+    // scan (no broadcast node to assert anymore — strictly better); the
+    // only joins left are the id-keyed assignment join-back and the
+    // cid-keyed pairing
     assert(p.contains("hashpartitioning(cid") || p.contains("BroadcastHashJoin"),
       s"pairing must be an equi-join on cid:\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop anywhere in the semdedup plan:\n${p.take(2000)}")
   }
 
   test("q67 two-phase sessionize: per-event window partitioned by (user, chunk)") {
