@@ -41,6 +41,20 @@ object PipelineQueries {
     db
   }
 
+  // q201's steady-state artifact: one postings-indexed hybrid collection
+  // per (session, sfDir), built on first use — timed bench reps then pay
+  // retrieval only, the serving-deployment shape. (Scratch dirs are
+  // exit-cleaned, so the cache never outlives its files.)
+  private val postingsDbCache =
+    scala.collection.concurrent.TrieMap.empty[String, GraftDatabase]
+  private def storedPostingsDb(s: SparkSession, dir: String): GraftDatabase =
+    postingsDbCache.getOrElseUpdate(
+      s"${System.identityHashCode(s)}:$dir", {
+        val db = hybridCollection(s, dir, "graft_q201")
+        db.reindexPostings("docs", buckets = 64)
+        db
+      })
+
   // hex-string builders for the synthetic-header gates (q80/q86): fixed
   // widths, big-/little-endian byte order
   private def beHex32(c: Column): Column = lpad(hex(c), 8, "0")
@@ -783,6 +797,19 @@ object PipelineQueries {
       run("SEARCHTEXT", "terms=vector,data,merge;k=20")
     }),
 
+    // Retrieval over the STORED postings artifact at STEADY STATE: the
+    // collection + postings index build once per (session, sfDir) and
+    // every subsequent call pays only the query — the shape a serving
+    // deployment has (partition-pruned postings join, NO corpus scan),
+    // which q196's build-included round-trip can't isolate. Benched as
+    // the 25th entry; gated against q196's oracle VERBATIM (same rows —
+    // the stored ≡ rescan pattern) and plan-audited for term_bucket
+    // PartitionFilters.
+    "q201_searchtext_stored" -> ((s, dir) => {
+      storedPostingsDb(s, dir)
+        .searchText("docs", Seq("vector", "data", "merge"), k = 20)
+    }),
+
     "q45_command_mutations" -> ((s, dir) => {
       val db = scratchDb(s, "graft_q45")
       def run(coll: Option[String], cmd: String, arg: Option[String]) =
@@ -802,6 +829,26 @@ object PipelineQueries {
 
   // the hybrid collection's BM25 CTE prefix (q194/q195): rows = documents
   // that carry an embedding sibling, BM25 terms vector/data/merge
+  // the stored-postings BM25 ranking over the hybrid collection — the
+  // oracle of both q196 (build-included round-trip) and q201
+  // (steady-state retrieval): identical rows by the stored ≡ rescan
+  // contract
+  private lazy val postingsBmSql = hybridBmPrefix +
+    """SELECT id, round(
+      |    (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+      |      * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |      ELSE 0.0 END)
+      |  + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+      |      * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |      ELSE 0.0 END)
+      |  + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
+      |      * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |      ELSE 0.0 END) + 1e-9, 6) AS bm25, dl
+      |FROM pd CROSS JOIN st
+      |WHERE tf0 + tf1 + tf2 > 0
+      |ORDER BY bm25 DESC, id
+      |LIMIT 20""".stripMargin
+
   private lazy val hybridBmPrefix =
     """WITH base AS (
       |  SELECT d.doc_id AS id, d.text
@@ -1183,21 +1230,12 @@ object PipelineQueries {
         |LIMIT 20""".stripMargin),
 
     // identical to q194's oracle on purpose: stored postings ≡ rescan
-    "q196_postings_cmd" -> (hybridBmPrefix +
-      """SELECT id, round(
-        |    (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
-        |      * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |      ELSE 0.0 END)
-        |  + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
-        |      * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |      ELSE 0.0 END)
-        |  + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
-        |      * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |      ELSE 0.0 END) + 1e-9, 6) AS bm25, dl
-        |FROM pd CROSS JOIN st
-        |WHERE tf0 + tf1 + tf2 > 0
-        |ORDER BY bm25 DESC, id
-        |LIMIT 20""".stripMargin),
+    "q196_postings_cmd" -> postingsBmSql,
+
+    // steady-state stored-postings retrieval: SAME rows as q196 by the
+    // stored ≡ rescan contract (only the artifact's build amortization
+    // differs), so the oracle text is shared verbatim
+    "q201_searchtext_stored" -> postingsBmSql,
 
     // Hybrid replay: the q194 BM25 ranking and the cosine ranking over
     // the SAME collection rows (query = row 0's embedding, self

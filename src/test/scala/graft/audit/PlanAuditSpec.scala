@@ -601,6 +601,18 @@ class PlanAuditSpec extends AnyFunSuite {
       "candidate generation must stay an equi-join on prefix shingles")
   }
 
+  test("q201 stored-postings retrieval: term_bucket partitions pruned, no corpus scan") {
+    val p = plan("q201_searchtext_stored")
+    assert(p.contains("PartitionFilters") && p.contains("term_bucket"),
+      s"the postings scan must prune to the query terms' buckets:\n${p.take(2000)}")
+    // no tokenizer rescan of the collection: the only parquet reads are
+    // the postings + doclens artifacts (the collection files never appear)
+    assert(!p.contains("regexp"),
+      s"stored path must not re-tokenize the corpus:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the k-cut must be a bounded top-k:\n${p.take(1500)}")
+  }
+
   test("q146 url canon: canonicalization runs scan-side, no UDF, no pre-agg shuffle") {
     val p = plan("q146_url_canon")
     assert(!p.contains("ScalaUDF"), "pure column math expected")
