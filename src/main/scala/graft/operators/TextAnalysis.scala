@@ -181,12 +181,17 @@ object TextAnalysis {
     * oracle text verbatim — the q102 → q96 stateless-gate pattern).
     *
     * The trade is per-row O(distinct × total) gram comparisons instead
-    * of a count shuffle — right for ingest-time filtering of bounded
-    * documents (the gram compare is codegen'd string equality); for
-    * unbounded batch corpora the grouped [[repetitionStats]] is the
-    * scale path. Tie-breaks, divisions, and thresholds are the same
-    * exact-integer arithmetic, so stream and batch can never disagree
-    * on a keep verdict.
+    * of a count shuffle (the gram compare is codegen'd string
+    * equality). The regime knob is DOC LENGTH, not corpus size — the
+    * per-row cost is quadratic in a document's tokens but independent
+    * of how many documents surround it, so zero-shuffle wins at normal
+    * doc lengths and only adversarially long documents favor the
+    * grouped shuffle. Measured (RepBench, sf0.01 + sf0.1 interleaved
+    * min-rep): 0.81–0.93× of [[repetitionStats]] — this form is the
+    * batch default too (q166); the grouped operator remains the path
+    * for unbounded-length documents. Tie-breaks, divisions, and
+    * thresholds are the same exact-integer arithmetic, so stream and
+    * batch can never disagree on a keep verdict.
     */
   def repetitionStatsStateless(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
