@@ -185,8 +185,13 @@ object CommandExecutor {
               rounds = opts.getOrElse("rounds", "1").toInt,
               kCells = opts.getOrElse("k", "8").toInt)
           case "postings" =>
-            db.reindexPostings(coll,
-              buckets = opts.getOrElse("buckets", "64").toInt)
+            opts.getOrElse("mode", "full") match {
+              case "full" => db.reindexPostings(coll,
+                buckets = opts.getOrElse("buckets", "64").toInt)
+              case "refresh" => db.refreshPostings(coll)
+              case other => throw new IllegalArgumentException(
+                s"REINDEX type=postings mode must be full or refresh, got: $other")
+            }
           case "tokenizer" =>
             // the trained-artifact family: like zorder this records intent
             // in a sidecar rather than a cluster_id partition layout

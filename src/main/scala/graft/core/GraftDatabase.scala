@@ -66,7 +66,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val dir = collDir(name)
     if (!fs.exists(dir)) throw new IllegalStateException(s"no such collection: $name")
     fs.delete(dir, true)
-    invalidateTextIndex(name) // the artifact must not outlive its collection
+    deleteTextIndex(name) // the artifact must not outlive its collection
     ()
   }
 
@@ -425,7 +425,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     require(terms.nonEmpty,
       s"no searchable terms after normalization (got: ${rawTerms.mkString(", ")})")
     val tDir = textIndexDir(name)
-    if (fs.exists(new Path(tDir, "meta.json"))) {
+    // the stored path serves only a LIVE artifact: a stale marker (any
+    // mutation since the last build/refresh) routes to the exact rescan
+    // — a stale posting must never serve
+    if (fs.exists(new Path(tDir, "meta.json")) &&
+        !fs.exists(textIndexStaleMarker(name))) {
       val buckets = parseTextIndexBuckets(
         readString(fs, new Path(tDir, "meta.json")))
       val wanted = terms.map(bucketOfTerm(_, buckets)).distinct
@@ -433,8 +437,13 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         .parquet(new Path(tDir, "postings").toString)
         .filter(col("term_bucket").isin(wanted: _*) &&
           col("term").isin(terms: _*))
-      val doclens = spark.read.parquet(new Path(tDir, "doclens").toString)
-      graft.operators.TextAnalysis.bm25FromIndex(postings, doclens, "id",
+      // segment-aware read: tombstoned (id, seg) versions drop via a
+      // broadcast anti-join on BOTH frames (partition pruning at the
+      // postings scan is untouched — the filter stays scan-side)
+      val livePostings = tombstonesOf(name).fold(postings)(t =>
+        postings.join(broadcast(t), Seq("id", "seg"), "left_anti"))
+      val doclens = liveDoclens(name).select(col("id"), col("dl"))
+      graft.operators.TextAnalysis.bm25FromIndex(livePostings, doclens, "id",
         terms, k1, b, k)
     } else {
       val cur = read(name)
@@ -452,11 +461,22 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * companion frame. SEARCHTEXT then reads ≤ |terms| partitions
     * instead of re-tokenizing the corpus per query.
     *
+    * SEGMENTED layout (round 11 — the Lucene model, Spark-first): every
+    * row carries a `seg` generation number (full build = seg 0), the
+    * doclens companion carries `payload_md5` (the diff key), and a
+    * `tombstones` frame lists dead `(id, seg)` versions. Readers see
+    * live rows = rows anti-joined against tombstones (a broadcast-sized
+    * frame). [[refreshPostings]] appends a DELTA segment + tombstones
+    * instead of re-tokenizing the corpus — the nightly 0.1% delta costs
+    * 0.1%, not a corpus pass.
+    *
     * Staleness contract (spec-pinned): every MUTATION (insert,
-    * bulk-insert, update, delete, sync) DROPS the artifact — a stale
-    * posting must never serve — and the fallback is the exact rescan;
-    * re-run REINDEX type=postings to re-materialize. Compaction
-    * (content-preserving) keeps it.
+    * bulk-insert, update, delete, sync) marks the artifact STALE — a
+    * stale posting must never serve, so SEARCHTEXT falls back to the
+    * exact rescan until the next REINDEX type=postings (full rebuild)
+    * or mode=refresh (incremental — diffs the stale artifact against
+    * the collection). Compaction (content-preserving) keeps the
+    * artifact live; DROP deletes it.
     */
   def reindexPostings(name: String, buckets: Int = 64): Unit = {
     requireCollection(name)
@@ -467,27 +487,131 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       s"REINDEX type=postings needs a payload column on $name")
     val dir = textIndexDir(name)
     if (fs.exists(dir)) fs.delete(dir, true)
-    graft.operators.TextAnalysis.invertedIndex(cur, "id", "payload")
+    writeTextSegment(name, cur, seg = 0, buckets = buckets)
+    writeString(fs, new Path(dir, "meta.json"),
+      s"""{"type":"postings","buckets":$buckets}""")
+  }
+
+  /** One index segment: postings (term-bucket-partitioned, `seg`-tagged)
+    * + doclens (`dl`, `payload_md5`, `seg`) for `rows`, APPENDED into the
+    * shared artifact directories.
+    */
+  private def writeTextSegment(name: String, rows: DataFrame, seg: Int,
+      buckets: Int): Unit = {
+    val dir = textIndexDir(name)
+    graft.operators.TextAnalysis.invertedIndex(rows, "id", "payload")
+      .withColumn("seg", lit(seg))
       .withColumn("term_bucket",
         (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int")
           % buckets).cast("int"))
-      .write.option("compression", Compression)
+      .write.mode("append").option("compression", Compression)
       .partitionBy("term_bucket")
       .parquet(new Path(dir, "postings").toString)
-    graft.operators.TextAnalysis.docLengths(cur, "id", "payload")
-      .write.option("compression", Compression)
+    graft.operators.TextAnalysis.docLengths(rows, "id", "payload")
+      .join(rows.select(col("id"), md5(col("payload")).as("payload_md5")),
+        Seq("id"))
+      .withColumn("seg", lit(seg))
+      .write.mode("append").option("compression", Compression)
       .parquet(new Path(dir, "doclens").toString)
-    writeString(fs, new Path(dir, "meta.json"),
-      s"""{"type":"postings","buckets":$buckets}""")
+  }
+
+  /** REINDEX type=postings;mode=refresh — INCREMENTAL index maintenance:
+    * diff the collection against the (possibly stale) stored artifact by
+    * `(id, payload_md5)`, tokenize ONLY the new/changed documents into a
+    * fresh segment, tombstone the replaced/deleted versions, and clear
+    * the stale marker. Value-identical to a full rebuild (spec-proven
+    * row-for-row; the q202 gate replays the mutated corpus in SQL) at a
+    * cost proportional to the DELTA: the expensive pass (tokenize +
+    * postings shuffle) touches changed docs only; the diff itself is two
+    * anti-joins of (id, md5) frames — doc-count-sized, not token-sized.
+    *
+    * Requires an existing artifact (nothing to refresh otherwise —
+    * loud). Unique ids assumed, as everywhere in the index family (the
+    * UPDATE-key contract).
+    */
+  def refreshPostings(name: String): Unit = {
+    requireCollection(name)
+    val dir = textIndexDir(name)
+    require(fs.exists(new Path(dir, "meta.json")),
+      s"no postings artifact on $name to refresh — run REINDEX type=postings first")
+    val buckets = parseTextIndexBuckets(
+      readString(fs, new Path(dir, "meta.json")))
+    val cur = read(name)
+    require(cur.columns.contains("payload"),
+      s"REINDEX type=postings needs a payload column on $name")
+    val curKeys = cur.select(col("id"), md5(col("payload")).as("payload_md5"))
+    val indexed = liveDoclens(name)
+      .select(col("id"), col("payload_md5"), col("seg"))
+    // changed docs appear on BOTH sides: as an arrival (new md5 not
+    // indexed) and as a departure (old version's (id, seg) tombstoned)
+    val arrivals = curKeys.join(indexed.select("id", "payload_md5"),
+      Seq("id", "payload_md5"), "left_anti")
+    val departures = indexed.join(curKeys, Seq("id", "payload_md5"),
+      "left_anti").select(col("id"), col("seg"))
+    val newRows = cur.join(broadcast(arrivals.select("id")), Seq("id"))
+    val nextSeg = spark.read.parquet(new Path(dir, "doclens").toString)
+      .agg(max("seg")).head().getInt(0) + 1
+    if (!newRows.isEmpty) writeTextSegment(name, newRows, nextSeg, buckets)
+    // tombstones: materialize the union BEFORE touching the old file
+    // (the copy-on-write swap discipline — never overwrite a path the
+    // plan still reads)
+    val tombPath = new Path(dir, "tombstones")
+    if (!departures.isEmpty) {
+      val newTombs = tombstonesOf(name).map(_.union(departures))
+        .getOrElse(departures)
+      val tmp = new Path(dir, "tombstones_tmp")
+      newTombs.write.mode("overwrite").option("compression", Compression)
+        .parquet(tmp.toString)
+      if (fs.exists(tombPath)) fs.delete(tombPath, true)
+      if (!fs.rename(tmp, tombPath))
+        throw new IllegalStateException(s"tombstone swap failed for $name")
+    }
+    fs.delete(textIndexStaleMarker(name), false)
+    ()
+  }
+
+  /** The tombstones frame `(id, seg)`, if any version was ever replaced
+    * or deleted.
+    */
+  private def tombstonesOf(name: String): Option[DataFrame] = {
+    val p = new Path(textIndexDir(name), "tombstones")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Doclens with dead versions filtered out — the live document set of
+    * the stored index (its row count and `dl` sum are the BM25 N and
+    * avgdl). The tombstone side is a broadcast anti-join: it holds one
+    * row per EVER-replaced version, orders of magnitude below doc count.
+    */
+  private def liveDoclens(name: String): DataFrame = {
+    val dl = spark.read
+      .parquet(new Path(textIndexDir(name), "doclens").toString)
+    tombstonesOf(name).fold(dl)(t =>
+      dl.join(broadcast(t), Seq("id", "seg"), "left_anti"))
   }
 
   private def textIndexDir(name: String): Path =
     new Path(root, s"${ReservedPrefix}textindex_$name")
 
-  /** Drop the stored text index (mutations call this — stale postings
-    * must never serve a query). No-op when absent.
+  private def textIndexStaleMarker(name: String): Path =
+    new Path(textIndexDir(name), "stale")
+
+  /** Mark the stored text index STALE (mutations call this — stale
+    * postings must never serve a query; SEARCHTEXT falls back to the
+    * exact rescan). The artifact itself is KEPT: it is the diff base
+    * [[refreshPostings]] needs to index only the delta. No-op when no
+    * artifact exists.
     */
   private def invalidateTextIndex(name: String): Unit = {
+    val dir = textIndexDir(name)
+    if (fs.exists(new Path(dir, "meta.json")))
+      writeString(fs, textIndexStaleMarker(name), "stale")
+  }
+
+  /** Delete the stored text index outright (DROP calls this — the
+    * artifact must not outlive its collection). No-op when absent.
+    */
+  private def deleteTextIndex(name: String): Unit = {
     val dir = textIndexDir(name)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
   }

@@ -155,7 +155,8 @@ class GraftDatabaseSpec extends AnyFunSuite {
     val plan = stored.queryExecution.executedPlan.toString
     assert(plan.contains("textindex_docs") &&
       plan.contains("term_bucket"), s"expected pruned postings scan:\n$plan")
-    // any mutation drops the artifact: the fallback rescan must serve
+    // any mutation marks the artifact STALE (kept as the refresh diff
+    // base, round 11): the fallback rescan must serve
     db.bulkInsert("docs", Seq(
       VectorRecord(4L, Array(0.1f, 0.9f), "vector vector vector")).toDF())
     val after = db.searchText("docs", Seq("vector"), k = 5)
@@ -185,6 +186,77 @@ class GraftDatabaseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       db.searchText("docs", Seq("!!!", "---"), k = 5) // nothing survives
     }
+  }
+
+  test("postings refresh: delta segment + tombstones equal a full rebuild") {
+    val db = freshDb()
+    db.createCollection("docs")
+    db.bulkInsert("docs", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f), "vector data merge"),
+      VectorRecord(2L, Array(0.0f, 1.0f), "data filler filler"),
+      VectorRecord(3L, Array(0.9f, 0.1f), "vector only here"),
+      VectorRecord(4L, Array(0.2f, 0.8f), "merge data vector")).toDF())
+    db.reindexPostings("docs", buckets = 16)
+    // the mutation batch: two arrivals, one content change, one removal
+    db.bulkInsert("docs", Seq(
+      VectorRecord(5L, Array(0.5f, 0.5f), "fresh vector arrival"),
+      VectorRecord(6L, Array(0.6f, 0.4f), "another data doc")).toDF())
+    db.update("docs", Seq(
+      VectorRecord(2L, Array(0.0f, 1.0f), "rewritten vector text")).toDF())
+    db.delete("docs", $"id" === 3L)
+    // ground truth while stale = the exact rescan over the mutated corpus
+    def q() = db.searchText("docs", Seq("vector", "data", "merge"), k = 10)
+    val expected = q().as[(Long, Double, Long)].collect().toSeq
+    assert(!q().queryExecution.executedPlan.toString.contains("textindex_docs"),
+      "stale artifact must not serve before the refresh")
+    // refresh through the COMMAND surface (grammar: mode=refresh)
+    graft.commands.CommandExecutor.execute(db,
+      graft.commands.CommandParser.parse(Some("docs"), "REINDEX",
+        Some("type=postings;mode=refresh"))
+        .fold(e => throw new IllegalArgumentException(e.message), identity))
+    val served = q()
+    assert(served.queryExecution.executedPlan.toString.contains("textindex_docs"),
+      "refreshed artifact must serve the stored path again")
+    assert(served.as[(Long, Double, Long)].collect().toSeq == expected,
+      "incremental refresh must equal the exact rescan row-for-row")
+    val ids = served.select("id").as[Long].collect().toSet
+    assert(Set(5L).subsetOf(ids), "delta-segment arrivals must serve")
+    assert(!ids.contains(3L), "deleted docs must be tombstoned out")
+    // the updated doc serves its NEW content: 'rewritten' only exists
+    // in the delta segment
+    assert(db.searchText("docs", Seq("rewritten"), k = 5)
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    // idempotence: a refresh with no changes appends nothing
+    val dlPath = s"${db.root}/graft_textindex_docs/doclens"
+    val before = spark.read.parquet(dlPath).count()
+    db.refreshPostings("docs")
+    assert(spark.read.parquet(dlPath).count() == before,
+      "no-change refresh must not grow the artifact")
+    // a SECOND round of mutations refreshes on top of the first delta
+    db.update("docs", Seq(
+      VectorRecord(5L, Array(0.5f, 0.5f), "twice rewritten arrival")).toDF())
+    val expected2 = db.searchText("docs", Seq("vector", "data"), k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    db.refreshPostings("docs")
+    assert(db.searchText("docs", Seq("vector", "data"), k = 10)
+      .as[(Long, Double, Long)].collect().toSeq == expected2,
+      "second incremental round must equal the rescan")
+    assert(db.searchText("docs", Seq("twice"), k = 5)
+      .select("id").as[Long].collect().toSeq == Seq(5L))
+    // refresh ≡ full rebuild: rebuild from scratch and compare
+    val stored2 = db.searchText("docs", Seq("vector", "data"), k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    db.reindexPostings("docs", buckets = 16)
+    assert(db.searchText("docs", Seq("vector", "data"), k = 10)
+      .as[(Long, Double, Long)].collect().toSeq == stored2,
+      "segmented view must equal the flat full rebuild")
+    // no artifact → loud
+    val db2 = freshDb()
+    db2.createCollection("other")
+    db2.bulkInsert("other", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f), "some text")).toDF())
+    val e = intercept[IllegalArgumentException] { db2.refreshPostings("other") }
+    assert(e.getMessage.contains("refresh"))
   }
 
   test("searchSimilar returns nearest by cosine") {
