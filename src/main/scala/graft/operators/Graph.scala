@@ -229,4 +229,70 @@ object Graph {
     GraftSqlShims.unpersistCheckpoint(seedLabels)
     out
   }
+
+  /** k-core decomposition (Seidman 1983) over an undirected pair table —
+    * the density filter of the graph family: the k-core is the maximal
+    * subgraph where every node keeps ≥ k neighbors, so a near-dup
+    * component's 2-core separates genuinely interlinked duplicate groups
+    * from the trees and pendant chains that LSH collisions string
+    * together (components say WHO is connected, triangles how tightly a
+    * NODE sits, the core whether the GROUP is dense enough to trust).
+    *
+    * Algorithm: iterative peeling — drop every node of degree < k,
+    * recompute degrees on the induced subgraph, repeat to the fixpoint.
+    * Pure set algebra on exact integers (no floats, no order
+    * sensitivity), so any engine replays the rounds verbatim; a fixpoint
+    * is reached iff the edge count stops shrinking (a peeled vertex
+    * always removes its incident edges; vertices of degree 0 don't exist
+    * in a pair table). Non-convergence inside `maxRounds` is LOUD —
+    * peeling can cascade (a chain peels one node per round), so the cap
+    * must fail, never silently return a non-core.
+    *
+    * Scale shape: each round is one map-side-combined degree count and
+    * two edge-keyed semi-joins against the (node-sized, broadcast-prone)
+    * survivor set — nothing quadratic; the loop follows the
+    * connectedComponents discipline (eager localCheckpoint per round,
+    * constant plan depth, superseded checkpoints freed). Rounds are
+    * data-bounded: real near-dup graphs converge in a handful (the
+    * degeneracy cascade), and each round strictly shrinks the edge set.
+    *
+    * Output: one row per surviving node — (id, core_deg BIGINT), the
+    * degree INSIDE the k-core. Empty when no k-core exists.
+    */
+  def kCore(pairs: DataFrame, k: Int, aCol: String = "a_id",
+      bCol: String = "b_id", maxRounds: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).cache()
+    var edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    fwd.unpersist()
+    var m = edges.count()
+    var round = 0
+    var converged = m == 0L
+    while (!converged) {
+      require(round < maxRounds,
+        s"k-core peeling did not converge in $maxRounds rounds " +
+          s"($m directed edges remain) — raise maxRounds")
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k).select("src")
+      val next = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint(true)
+      val m2 = next.count()
+      GraftSqlShims.unpersistCheckpoint(edges)
+      edges = next
+      converged = m2 == m
+      m = m2
+      round += 1
+    }
+    val out = edges.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("core_deg"))
+      .localCheckpoint(true)
+    GraftSqlShims.unpersistCheckpoint(edges)
+    out
+  }
 }

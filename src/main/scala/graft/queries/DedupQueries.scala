@@ -338,6 +338,24 @@ object DedupQueries {
         .orderBy("vec_id")
     }),
 
+    // k-core of the mutual-kNN graph: the density filter over the same
+    // edges q199 clusters — nodes keeping >= 3 mutual neighbors after the
+    // peeling fixpoint (pendant chains and LSH-collision trees drop).
+    // Pure integer set algebra, so the oracle replays the peel as
+    // generated layers (8 > the observed <= 5 convergence rounds at all
+    // SFs; layers past the fixpoint are idempotent, and a regenerated
+    // corpus needing more rounds fails the gate VISIBLY rather than
+    // silently — the operator itself stops at the fixpoint and is loud
+    // past maxRounds).
+    "q203_kcore" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Graph.kCore(
+          Dedup.mutualKnnEdges(e, "vec_id", "embedding", k = 5, nBits = 8),
+          k = 3)
+        .select(col("id").as("vec_id"), col("core_deg"))
+        .orderBy("vec_id")
+    }),
+
     // Embedding-cosine near-dup: sign-bucket LSH prefilter, top-20 most
     // similar in-bucket pairs (the corpus has no >0.5-cosine pairs, so the
     // operator reports the nearest ones rather than a thresholded set).
@@ -1067,6 +1085,8 @@ object DedupQueries {
         |GROUP BY id
         |ORDER BY vec_id""".stripMargin),
 
+    "q203_kcore" -> kCoreSql(k = 3, layers = 8),
+
     "q34_embed_neardup" -> {
       val bucket = (0 until 8)
         .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
@@ -1161,6 +1181,44 @@ object DedupQueries {
   }
 
   private lazy val knnChainSql = s"WITH $knnChainBody\n"
+
+  /** The q203 oracle: mutual-kNN edges (q199's chain) + the k-core peel
+    * as `layers` generated rounds (idempotent once the fixpoint is
+    * reached — see the q203 registration comment for the cap doctrine).
+    */
+  private def kCoreSql(k: Int, layers: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH " + knnChainBody
+    sb ++= s""",
+      |knn AS (SELECT a, b FROM ranked WHERE rn <= 5),
+      |mut AS (
+      |  SELECT f.a AS a_id, f.b AS b_id
+      |  FROM knn f JOIN knn r ON r.a = f.b AND r.b = f.a
+      |  WHERE f.a < f.b),
+      |e0 AS (
+      |  SELECT a_id AS src, b_id AS dst FROM mut
+      |  UNION ALL SELECT b_id, a_id FROM mut)""".stripMargin
+    // MATERIALIZED: each layer references its predecessor three times
+    // (the edge frame + both endpoint filters) — DuckDB inlines plain
+    // CTEs, so 8 layers would expand the kNN chain 3^8 times ("too many
+    // open files" before any wrong answer); materializing pins each
+    // layer to one evaluation, which is also what the Spark loop does
+    // (one localCheckpoint per round)
+    for (i <- 1 to layers) {
+      sb ++= s""",
+        |k$i AS MATERIALIZED (
+        |  SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $k),
+        |e$i AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM e${i - 1} e
+        |  JOIN k$i s ON e.src = s.src
+        |  JOIN k$i d ON e.dst = d.src)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT src AS vec_id, CAST(count(*) AS BIGINT) AS core_deg
+      |FROM e$layers GROUP BY src
+      |ORDER BY vec_id""".stripMargin
+    sb.toString
+  }
 
   // the exhaustive filtered-universe Jaccard-threshold join: candidates
   // from ANY shared rare shingle (provably complete — a qualifying pair

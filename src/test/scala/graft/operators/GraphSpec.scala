@@ -126,4 +126,36 @@ class GraphSpec extends AnyFunSuite {
       Graph.pageRank(edges.toDF("a_id", "b_id"), damping = 1.0)
     }
   }
+
+  test("kCore: peeling cascade, core degrees, empty core, loud cap") {
+    // triangle {1,2,3} + a pendant chain 3-4-5-6: the 2-core is exactly
+    // the triangle, and the chain peels ONE node per round (6, then 5,
+    // then 4) — the cascade that makes fixpoint detection necessary
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val core2 = Graph.kCore(g.toDF("a_id", "b_id"), k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      "2-core must be the triangle with in-core degrees, chain peeled away")
+    // k=1 keeps everything (every listed node has >= 1 edge)
+    val core1 = Graph.kCore(g.toDF("a_id", "b_id"), k = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(core1.keySet == (1L to 6L).toSet)
+    assert(core1(4L) == 2L && core1(6L) == 1L)
+    // no 3-core exists: the result is empty, not an error
+    assert(Graph.kCore(g.toDF("a_id", "b_id"), k = 3).isEmpty)
+    // core degree counts INSIDE the core: node 3 has raw degree 3 but
+    // core degree 2 (the edge to peeled 4 is gone)
+    assert(core2(3L) == 2L)
+    // the cap fails LOUD mid-cascade instead of returning a non-core
+    val e = intercept[IllegalArgumentException] {
+      Graph.kCore(g.toDF("a_id", "b_id"), k = 2, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // determinism across runs
+    assert(Graph.kCore(g.toDF("a_id", "b_id"), k = 2)
+      .as[(Long, Long)].collect().toMap == core2)
+    intercept[IllegalArgumentException] {
+      Graph.kCore(g.toDF("a_id", "b_id"), k = 0)
+    }
+  }
 }
