@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the incremental-postings claim: after mutating ~1% of a
+  * collection, `REINDEX type=postings;mode=refresh` must cost a small
+  * fraction of the full rebuild (it tokenizes only the delta; the diff
+  * is two (id, md5) anti-joins). Prints both times and the ratio, plus
+  * a correctness cross-check (refreshed SEARCHTEXT ≡ rescan).
+  */
+object RefreshBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import org.apache.spark.sql.types._
+    // the corpus-size knob: sf0.1 has only 5k docs, where per-job
+    // scheduling overhead swamps the tokenization the refresh avoids —
+    // inflate by unioning id-shifted copies to expose the asymptotic
+    // regime the operator exists for
+    val inflate = sys.env.getOrElse("SPARK_GRAFT_INFLATE", "1").toInt
+    val corpus = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .crossJoin(spark.range(inflate).select(col("id").as("__copy")))
+      .select((col("doc_id") + col("__copy") * 10000000L).as("id"),
+        concat(col("text"), lit(" c"), col("__copy")).as("payload"))
+    val root = java.nio.file.Files.createTempDirectory("graft_rb").toString
+    val db = core.GraftDatabase.create(spark, root, "rb")
+    db.createCollection("docs", StructType(Seq(
+      StructField("id", LongType), StructField("payload", StringType))))
+    db.bulkInsert("docs", corpus)
+    db.reindexPostings("docs", buckets = 64)
+
+    // the ~1% nightly delta: update every 100th doc
+    db.update("docs", corpus.filter(col("id") % 100 === 0)
+      .select(col("id"),
+        concat(col("payload"), lit(" refreshed")).as("payload")))
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val expected = db.searchText("docs", Seq("vector", "data"), k = 20)
+      .collect().map(_.toString).toSeq // stale → rescan = ground truth
+    val tRefresh = time(db.refreshPostings("docs"))
+    val got = db.searchText("docs", Seq("vector", "data"), k = 20)
+      .collect().map(_.toString).toSeq
+    require(got == expected, "refreshed index diverged from the rescan")
+    val tFull = time(db.reindexPostings("docs", buckets = 64))
+    println(f"[refreshbench] sf=$sfDir inflate=$inflate%d full=$tFull%.3f s refresh=$tRefresh%.3f s " +
+      f"ratio=${tRefresh / tFull}%.2f")
+    spark.stop()
+  }
+}
