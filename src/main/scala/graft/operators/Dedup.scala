@@ -603,6 +603,96 @@ object Dedup {
         rowsPerBand, maxBucketSize), shingleN)
       .select(col("a_id"), col("b_id"), col("jaccard"))
 
+  /** [[jaccardOfPairs]] across TWO frames: `a_id` keys into `batch`,
+    * `b_id` into `corpus` (whose ids may overlap the batch's — an
+    * updated doc legitimately pairs with its own stored version). The
+    * corpus side shingles ONLY the candidate rows (an id-keyed
+    * semi-join cuts it down before tokenization), so verification cost
+    * follows the candidate count, never the corpus. Zero-overlap and
+    * shingle-less candidates score 0 via left joins — the verifier pays
+    * for every collision, exactly like the single-frame form.
+    */
+  def crossJaccardOfPairs(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, pairs: DataFrame,
+      shingleN: Int = 5): DataFrame = {
+    val shA = explodeShingles(batch, idCol, textCol, shingleN)
+    val candB = corpus.join(
+      pairs.select(col("b_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val shB = explodeShingles(candB, idCol, textCol, shingleN)
+    val aSizes = shA.groupBy(col(idCol)).agg(count(lit(1)).as("__an"))
+    val bSizes = shB.groupBy(col(idCol)).agg(count(lit(1)).as("__bn"))
+    val shared = pairs.select("a_id", "b_id").distinct()
+      .join(shA.select(col(idCol).as("a_id"), col("shingle")), Seq("a_id"))
+      .join(shB.select(col(idCol).as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("__s0"))
+    pairs
+      .join(shared, Seq("a_id", "b_id"), "left")
+      .join(aSizes.select(col(idCol).as("a_id"), col("__an")),
+        Seq("a_id"), "left")
+      .join(bSizes.select(col(idCol).as("b_id"), col("__bn")),
+        Seq("b_id"), "left")
+      .withColumn("__s", coalesce(col("__s0"), lit(0L)))
+      .withColumn("__den", coalesce(col("__an"), lit(0L))
+        + coalesce(col("__bn"), lit(0L)) - col("__s"))
+      .withColumn("jaccard",
+        when(col("__den") === 0L, lit(0.0))
+          .otherwise(col("__s") / col("__den")))
+      .drop("__s0", "__an", "__bn", "__s", "__den")
+  }
+
+  /** INCREMENTAL near-dup: an arriving batch against a STORED corpus
+    * signature table — the ingest-time dedup shape. The corpus is
+    * shingled exactly once, when its banded signatures ([[bandKeys]]
+    * output: `idCol`, band, band_key — md5-derived, so any engine
+    * recomputes them) were materialized; every arriving batch then pays
+    * ONLY its own shingling + one band-keyed equi-join against the
+    * stored table + verification of the candidates it actually hit.
+    * At 100 TB that is the difference between a per-batch corpus pass
+    * and a per-batch index probe (partition the stored bands by `band`
+    * and the join prunes further).
+    *
+    * `shingleN`/`numHashes`/`rowsPerBand` MUST match the parameters the
+    * stored bands were built with — md5 band keys from different
+    * parameters simply never collide (silent empty result), so the
+    * caller owns that contract.
+    *
+    * Hot-bucket discipline: corpus band keys with more than
+    * `maxBucketSize` members are dropped (one aggregation over the
+    * stored table; mirrored in the q204 oracle) — a degenerate key
+    * (empty/boilerplate docs) would otherwise fan every arriving doc
+    * into O(bucket) candidates.
+    *
+    * Output: (a_id = batch doc, b_id = corpus doc, jaccard) for
+    * verified pairs with exact cross-set Jaccard ≥ `threshold`; an
+    * updated doc pairs with its own stored version (same id) by design.
+    */
+  def incomingNearDups(corpusBands: DataFrame, corpus: DataFrame,
+      batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, shingleN: Int = 5, numHashes: Int = 8,
+      rowsPerBand: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
+    val batchBands = bandKeys(
+      minhashSignatures(explodeShingles(batch, idCol, textCol, shingleN),
+        idCol, numHashes),
+      idCol, numHashes, rowsPerBand)
+    val okKeys = corpusBands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize)
+      .select("band", "band_key")
+    val pairs = batchBands
+      .select(col(idCol).as("a_id"), col("band"), col("band_key"))
+      .join(corpusBands
+        .select(col(idCol).as("b_id"), col("band"), col("band_key"))
+        .join(okKeys, Seq("band", "band_key"), "left_semi"),
+        Seq("band", "band_key"))
+      .select("a_id", "b_id").distinct()
+    crossJaccardOfPairs(corpus, batch, idCol, textCol, pairs, shingleN)
+      .filter(col("jaccard") >= threshold)
+      // using-column joins float their keys to the front in join order
+      // (b_id ends up first) — pin the documented column order
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
   def verifiedNearDups(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2,
       threshold: Double = 0.5, maxBucketSize: Int = 1000): DataFrame =

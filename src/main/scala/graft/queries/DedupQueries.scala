@@ -356,6 +356,33 @@ object DedupQueries {
         .orderBy("vec_id")
     }),
 
+    // INCREMENTAL ingest-time dedup: the corpus's banded minhash
+    // signatures are a STORED artifact (written once, partitioned by
+    // band, read back from parquet — the round-trip is part of the
+    // gate), and an arriving batch (a 1/7 slice of the corpus, ids
+    // shifted, two tokens appended — near-dups of their originals)
+    // pays only its own shingling + the band-keyed probe + candidate
+    // verification. The oracle replays BOTH signature chains and the
+    // exact cross-Jaccard; every batch doc must land on its original
+    // (shared = all original shingles, J = (n−4)/(n−2) for an n-shingle
+    // doc) plus whatever true near-dups the corpus already held.
+    "q204_incoming_dedup" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      val bandsPath = Scratch.dir("graft_q204") + "/bands"
+      Dedup.bandKeys(
+          Dedup.minhashSignatures(
+            Dedup.explodeShingles(docs, "doc_id", "text", 5), "doc_id", 8),
+          "doc_id", 8, 2)
+        .write.mode("overwrite").partitionBy("band").parquet(bandsPath)
+      val stored = s.read.parquet(bandsPath)
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" tm1 tm2")).as("text"))
+      Dedup.incomingNearDups(stored, docs, batch, "doc_id", "text")
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Embedding-cosine near-dup: sign-bucket LSH prefilter, top-20 most
     // similar in-bucket pairs (the corpus has no >0.5-cosine pairs, so the
     // operator reports the nearest ones rather than a thresholded set).
@@ -1087,6 +1114,42 @@ object DedupQueries {
 
     "q203_kcore" -> kCoreSql(k = 3, layers = 8),
 
+    "q204_incoming_dedup" -> {
+      val corpusChain = minhashChainSql(
+        "SELECT doc_id, text FROM documents", "c")
+      val batchChain = minhashChainSql(
+        "SELECT doc_id + 500000 AS doc_id, text || ' tm1 tm2' AS text " +
+          "FROM documents WHERE doc_id % 7 = 3", "b")
+      s"""WITH $corpusChain,
+         |$batchChain,
+         |ok AS (
+         |  SELECT band, band_key FROM bandsc
+         |  GROUP BY band, band_key HAVING count(*) <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT bb.doc_id AS a_id, bc.doc_id AS b_id
+         |  FROM bandsb bb
+         |  JOIN bandsc bc ON bb.band = bc.band AND bb.band_key = bc.band_key
+         |  JOIN ok ON bc.band = ok.band AND bc.band_key = ok.band_key),
+         |an AS (SELECT doc_id, count(*) AS an FROM shb GROUP BY doc_id),
+         |bn AS (SELECT doc_id, count(*) AS bn FROM shc GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS s
+         |  FROM cand c
+         |  JOIN shb a ON a.doc_id = c.a_id
+         |  JOIN shc b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+         |  GROUP BY c.a_id, c.b_id)
+         |SELECT a_id, b_id, jaccard FROM (
+         |  SELECT c.a_id AS a_id, c.b_id AS b_id,
+         |    CAST(COALESCE(s.s, 0) AS DOUBLE)
+         |      / (an.an + bn.bn - COALESCE(s.s, 0)) AS jaccard
+         |  FROM cand c
+         |  LEFT JOIN shared s ON s.a_id = c.a_id AND s.b_id = c.b_id
+         |  JOIN an ON an.doc_id = c.a_id
+         |  JOIN bn ON bn.doc_id = c.b_id)
+         |WHERE jaccard >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+
     "q34_embed_neardup" -> {
       val bucket = (0 until 8)
         .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
@@ -1181,6 +1244,31 @@ object DedupQueries {
   }
 
   private lazy val knnChainSql = s"WITH $knnChainBody\n"
+
+  /** The q204 signature chain over an arbitrary (doc_id, text) source —
+    * the parameterized twin of the shared shinglesCte/signaturesCte/
+    * bandsCte fragments (which are hardwired to `documents`): emits
+    * `sh$p` (distinct shingles) and `bands$p` (banded signatures).
+    */
+  private def minhashChainSql(srcSql: String, p: String): String = {
+    val mins = (0 until 8)
+      .map(s => s"min(substring(md5(shingle), ${s * 4 + 1}, 4)) AS mh$s")
+      .mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, md5('$b|'||mh${2 * b}||'|'||mh${2 * b + 1}) AS band_key FROM sig$p"
+    }.mkString("\n  UNION ALL ")
+    raw"""toks$p AS (SELECT doc_id, regexp_extract_all(text, '\S+') w FROM ($srcSql)),
+         |sh$p AS (
+         |  SELECT DISTINCT doc_id,
+         |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM toks$p)),
+         |sig$p AS (
+         |  SELECT doc_id,
+         |    $mins
+         |  FROM sh$p GROUP BY doc_id),
+         |bands$p AS (
+         |  $bandRows)""".stripMargin
+  }
 
   /** The q203 oracle: mutual-kNN edges (q199's chain) + the k-core peel
     * as `layers` generated rounds (idempotent once the fixpoint is

@@ -506,4 +506,44 @@ class DedupSpec extends AnyFunSuite {
       Dedup.clusterSplit(Seq("a").toDF("doc_id"), "doc_id", pairs)
     }
   }
+
+  test("incomingNearDups: stored-band probe, cross jaccard, same-id, hot cap") {
+    def words(seed: String, n: Int): String =
+      (0 until n).map(i => s"$seed$i").mkString(" ")
+    val corpus = Seq(
+      (1L, words("alpha", 20)),
+      (2L, words("beta", 20)),
+      (3L, words("gamma", 20))).toDF("doc_id", "text")
+    val bands = Dedup.bandKeys(
+      Dedup.minhashSignatures(
+        Dedup.explodeShingles(corpus, "doc_id", "text", 5), "doc_id", 8),
+      "doc_id", 8, 2)
+    // batch: a near-copy of doc 1 (two appended tokens), an update of
+    // doc 2 under ITS OWN id, and an unrelated doc
+    val batch = Seq(
+      (100L, words("alpha", 20) + " x y"),
+      (2L, words("beta", 20) + " z"),
+      (9L, words("omega", 20))).toDF("doc_id", "text")
+    val got = Dedup.incomingNearDups(bands, corpus, batch, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // 20 words → 16 shingles; +2 tokens → 18, all 16 shared: J = 16/18
+    assert(got.keySet == Set((100L, 1L), (2L, 2L)),
+      s"expected the near-copy and the same-id update, got ${got.keySet}")
+    assert(math.abs(got((100L, 1L)) - 16.0 / 18.0) < 1e-12)
+    // +1 token → 17 shingles, 16 shared: J = 16/17
+    assert(math.abs(got((2L, 2L)) - 16.0 / 17.0) < 1e-12)
+    // hot-bucket cap: 4 identical corpus docs share every band key; at
+    // maxBucketSize = 3 the key drops and an arriving copy finds nothing
+    val hot = (10L to 13L).map(i => (i, words("dup", 20))).toDF("doc_id", "text")
+    val hotBands = Dedup.bandKeys(
+      Dedup.minhashSignatures(
+        Dedup.explodeShingles(hot, "doc_id", "text", 5), "doc_id", 8),
+      "doc_id", 8, 2)
+    val probe = Seq((99L, words("dup", 20))).toDF("doc_id", "text")
+    assert(Dedup.incomingNearDups(hotBands, hot, probe, "doc_id", "text",
+      maxBucketSize = 3).isEmpty, "capped bucket must emit no candidates")
+    assert(Dedup.incomingNearDups(hotBands, hot, probe, "doc_id", "text",
+      maxBucketSize = 4).count() == 4L, "under the cap all four pair up")
+  }
 }
