@@ -248,6 +248,18 @@ object PipelineQueries {
         .orderBy("doc_id", "eval_id")
     }),
 
+    // Streaming ingest-time near-dup screening against the stored corpus
+    // signatures: the q204 pipeline with the batch side arriving as a
+    // stream (per-row HOF signatures, one final pair-dedup aggregation).
+    // Gated against q204's oracle text VERBATIM — stream ≡ batch.
+    "q205_stream_incoming" -> ((s, dir) => {
+      StreamingIngest
+        .streamIncomingDedup(s, dir,
+          queryName = Scratch.name("stream_incoming"))
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // Streaming span dedup: incoming docs cleaned against the static
     // span census. Same oracle text as q131 — stream ≡ batch row-for-row
     // (the census already covers the streamed docs).
@@ -1085,6 +1097,11 @@ object PipelineQueries {
     // identical to q96's oracle on purpose: stream ≡ batch
     "q102_stream_chunking" -> TextQueries.pipelineOracles("q96_chunking"),
     "q167_stream_repetition" -> TextQueries.oracles("q166_repetition"),
+
+    // stream ≡ batch: the stored-signature ingest dedup replayed by
+    // q204's oracle verbatim (identical distinct sets, identical single
+    // division — see streamIncomingDedup's reformulation note)
+    "q205_stream_incoming" -> DedupQueries.oracles("q204_incoming_dedup"),
 
     // the streamed span-dedup must equal the batch pass row-for-row
     "q134_stream_span_dedup" -> DedupQueries.oracles("q131_span_dedup"),

@@ -278,6 +278,104 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Ingest-time near-dup screening against the STORED corpus signature
+    * table — [[graft.operators.Dedup.incomingNearDups]] as a stream: the
+    * corpus side (banded signatures, hot-key prune, per-doc shingle
+    * arrays) is STATIC, computed once; arriving docs probe it with a
+    * band-keyed stream-static join and verify in the same pass.
+    *
+    * Streaming can't chain aggregations, so the batch operator's
+    * per-doc signature aggregation is reformulated as PER-ROW HOF math
+    * (the nbScore/repetitionStatsStateless doctrine): minhash component
+    * s = `array_min(transform(shingles, md5-slice s))` over the doc's
+    * own distinct-shingle ARRAY, band keys as a projection, and the
+    * exact cross-Jaccard via `array_intersect` sizes — identical values
+    * to the batch path (same distinct sets, same single division), so
+    * the q205 gate reuses q204's oracle text VERBATIM. The ONE
+    * aggregation (pair dedup across the ≤4 band hits, max of identical
+    * jaccards) is the query's only stateful operator; every join runs
+    * before it.
+    *
+    * The streamed batch is q204's: the %7=3 slice, ids shifted, two
+    * tokens appended.
+    */
+  def streamIncomingDedup(spark: SparkSession, sfDir: String,
+      shingleN: Int = 5, numHashes: Int = 8, rowsPerBand: Int = 2,
+      threshold: Double = 0.5, maxBucketSize: Int = 1000,
+      queryName: String = "stream_incoming"): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val corpus = spark.read.parquet(path).select(col("doc_id"), col("text"))
+    val corpusBands = graft.operators.Dedup.bandKeys(
+      graft.operators.Dedup.minhashSignatures(
+        graft.operators.Dedup.explodeShingles(
+          corpus, "doc_id", "text", shingleN),
+        "doc_id", numHashes),
+      "doc_id", numHashes, rowsPerBand)
+    val okKeys = corpusBands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize).select("band", "band_key")
+    val prunedBands = corpusBands
+      .join(okKeys, Seq("band", "band_key"), "left_semi")
+      .select(col("doc_id").as("b_id"), col("band"), col("band_key"))
+    val corpusSh = corpus
+      .select(col("doc_id").as("b_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("__toks"))
+      .select(col("b_id"), array_distinct(graft.operators.TextAnalysis
+        .ngramsFromTokens(col("__toks"), shingleN)).as("__bsh"))
+
+    // the arriving docs: shingle ARRAY materialized in its own
+    // projection (every HOF below references it), then the per-row
+    // signature components and band keys — no aggregation anywhere
+    val arriving = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 500000L).as("a_id"),
+        concat(col("text"), lit(" tm1 tm2")).as("text"))
+      .select(col("a_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("__toks"))
+      .select(col("a_id"), array_distinct(graft.operators.TextAnalysis
+        .ngramsFromTokens(col("__toks"), shingleN)).as("__ash"))
+    val mins = (0 until numHashes).map { s =>
+      array_min(transform(col("__ash"),
+        sh => substring(md5(sh), s * 4 + 1, 4))).as(s"mh$s")
+    }
+    val sig = arriving.select(col("a_id") +: col("__ash") +: mins: _*)
+    val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", lit(b) +: parts: _*)).as("band_key"))
+    }
+    val banded = sig
+      .select(col("a_id"), col("__ash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("a_id"), col("__ash"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val scored = banded
+      .join(prunedBands, Seq("band", "band_key"))
+      .join(corpusSh, Seq("b_id"))
+      .withColumn("__s",
+        size(array_intersect(col("__ash"), col("__bsh"))).cast("long"))
+      .withColumn("__den", size(col("__ash")).cast("long")
+        + size(col("__bsh")).cast("long") - col("__s"))
+      .withColumn("__j", when(col("__den") === 0L, lit(0.0))
+        .otherwise(col("__s") / col("__den")))
+    val out = scored.groupBy("a_id", "b_id")
+      .agg(max("__j").as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
+    val q = out.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming document chunking: [[graft.operators.TextAnalysis
     * .chunkDocuments]] applied to documents arriving as a stream — the
     * ingest-time segmentation path of a continuously-fed corpus. The
