@@ -189,8 +189,10 @@ object CommandExecutor {
               case "full" => db.reindexPostings(coll,
                 buckets = opts.getOrElse("buckets", "64").toInt)
               case "refresh" => db.refreshPostings(coll)
+              case "compact" => db.compactPostings(coll)
               case other => throw new IllegalArgumentException(
-                s"REINDEX type=postings mode must be full or refresh, got: $other")
+                "REINDEX type=postings mode must be full, refresh, or " +
+                  s"compact, got: $other")
             }
           case "tokenizer" =>
             // the trained-artifact family: like zorder this records intent

@@ -536,6 +536,13 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * column scan while the rebuild re-tokenizes, re-shuffles, and
     * re-writes every posting. The crossover is a few tens of thousands
     * of documents — i.e. everywhere the operator matters.
+    *
+    * Segments and tombstones accumulate with churn (reads pay one
+    * broadcast anti-join regardless, but the dead rows still occupy
+    * scan bytes): the artifact's COMPACTION is simply the next full
+    * `REINDEX type=postings` — one flat seg-0 generation, empty
+    * tombstones. Schedule it when the tombstone fraction gets large,
+    * exactly like any LSM/Lucene merge policy.
     */
   def refreshPostings(name: String): Unit = {
     requireCollection(name)
@@ -583,6 +590,55 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     }
     GraftSqlShims.unpersistCheckpoint(arrivals)
     GraftSqlShims.unpersistCheckpoint(departures)
+    fs.delete(textIndexStaleMarker(name), false)
+    ()
+  }
+
+  /** REINDEX type=postings;mode=compact — merge the segmented artifact
+    * back to ONE flat generation WITHOUT re-tokenizing: live
+    * postings/doclens rows (tombstones applied) rewrite as seg 0, the
+    * tombstones clear. The cheap half of a full rebuild — it re-reads
+    * and re-writes the (already computed) postings bytes but never
+    * touches document text — so churn-accumulated segments and dead
+    * rows stop costing scan bytes at postings-read price, the classic
+    * LSM/Lucene merge. Requires a LIVE artifact: a stale one doesn't
+    * reflect the collection, and compacting it would only launder
+    * staleness — refresh (or rebuild) first, loudly.
+    *
+    * Crash discipline: the stale marker goes up BEFORE the swap and
+    * comes down after — a crash mid-swap leaves the artifact marked
+    * stale (rescan serves; the next refresh/rebuild repairs), never a
+    * half-merged index silently serving.
+    */
+  def compactPostings(name: String): Unit = {
+    requireCollection(name)
+    val dir = textIndexDir(name)
+    require(fs.exists(new Path(dir, "meta.json")),
+      s"no postings artifact on $name to compact")
+    require(!fs.exists(textIndexStaleMarker(name)),
+      s"postings artifact on $name is stale — REINDEX type=postings " +
+        "(or mode=refresh) first, then compact")
+    val postPath = new Path(dir, "postings")
+    val dlPath = new Path(dir, "doclens")
+    val tombPath = new Path(dir, "tombstones")
+    val livePost = {
+      val p = spark.read.parquet(postPath.toString)
+      tombstonesOf(name).fold(p)(t =>
+        p.join(broadcast(t), Seq("id", "seg"), "left_anti"))
+    }.withColumn("seg", lit(0))
+    val liveDl = liveDoclens(name).withColumn("seg", lit(0))
+    val postTmp = new Path(dir, "postings_tmp")
+    val dlTmp = new Path(dir, "doclens_tmp")
+    livePost.write.mode("overwrite").option("compression", Compression)
+      .partitionBy("term_bucket").parquet(postTmp.toString)
+    liveDl.write.mode("overwrite").option("compression", Compression)
+      .parquet(dlTmp.toString)
+    writeString(fs, textIndexStaleMarker(name), "compacting")
+    fs.delete(postPath, true)
+    fs.delete(dlPath, true)
+    if (!fs.rename(postTmp, postPath) || !fs.rename(dlTmp, dlPath))
+      throw new IllegalStateException(s"postings compaction swap failed for $name")
+    if (fs.exists(tombPath)) fs.delete(tombPath, true)
     fs.delete(textIndexStaleMarker(name), false)
     ()
   }

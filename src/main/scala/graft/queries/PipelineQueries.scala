@@ -855,6 +855,36 @@ object PipelineQueries {
       run("SEARCHTEXT", "terms=vector,data,graftrefresh;k=20")
     }),
 
+    // the LSM story's last step: q202's churn (build → mutate → refresh)
+    // followed by mode=compact — live rows merge to one flat generation
+    // WITHOUT re-tokenizing, tombstones clear, and SEARCHTEXT must be
+    // unchanged. Gated against q202's oracle VERBATIM (compaction is
+    // content-preserving by contract).
+    "q206_postings_compact" -> ((s, dir) => {
+      import s.implicits._
+      val db = scratchDb(s, "graft_q206")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      def run(cmd: String, arg: String) =
+        CommandExecutor.execute(db,
+          graft.commands.CommandParser.parse(Some("docs"), cmd, Some(arg))
+            .fold(e => throw new IllegalArgumentException(e.message), identity))
+      run("REINDEX", "type=postings;buckets=64").collect()
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(col("text"), lit(" graftrefresh")).as("payload")))
+      db.update("docs",
+        Seq((0L, "graftrefresh vector data payload")).toDF("id", "payload"))
+      db.delete("docs", col("id") % 97 === 3)
+      run("REINDEX", "type=postings;mode=refresh").collect()
+      run("REINDEX", "type=postings;mode=compact").collect()
+      run("SEARCHTEXT", "terms=vector,data,graftrefresh;k=20")
+    }),
+
     "q45_command_mutations" -> ((s, dir) => {
       val db = scratchDb(s, "graft_q45")
       def run(coll: Option[String], cmd: String, arg: Option[String]) =
@@ -915,6 +945,50 @@ object PipelineQueries {
       |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
       |  FROM pd)
       |""".stripMargin
+
+  /** The q202/q206 oracle: the mutated corpus replayed + exact BM25
+    * arithmetic (compaction is content-preserving, so both gates share
+    * this text verbatim).
+    */
+  private lazy val postingsRefreshSql: String =
+      """WITH cur AS (
+        |  SELECT doc_id AS id, text AS payload FROM documents
+        |  WHERE doc_id <> 0 AND doc_id % 97 <> 3
+        |  UNION ALL
+        |  SELECT CAST(0 AS BIGINT), 'graftrefresh vector data payload'
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text || ' graftrefresh' FROM documents
+        |  WHERE doc_id % 10 = 7 AND (doc_id + 1000000) % 97 <> 3),
+        |toks AS (
+        |  SELECT id, regexp_extract_all(lower(payload), '[a-z0-9]+') AS t
+        |  FROM cur),
+        |pd AS (
+        |  SELECT id, CAST(len(t) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(t, x -> x = 'data')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(t, x -> x = 'graftrefresh')) AS BIGINT) AS tf2
+        |  FROM toks),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM pd)
+        |SELECT id, round(
+        |    (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+        |      * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END)
+        |  + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+        |      * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END)
+        |  + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
+        |      * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |      ELSE 0.0 END) + 1e-9, 6) AS bm25, dl
+        |FROM pd CROSS JOIN st
+        |WHERE tf0 + tf1 + tf2 > 0
+        |ORDER BY bm25 DESC, id
+        |LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -1291,45 +1365,10 @@ object PipelineQueries {
     // rewritten, the %10=7 slice re-inserted shifted + tagged), then the
     // exact BM25 arithmetic over it — proving the incremental segmented
     // index equals a from-scratch index of the mutated corpus
-    "q202_postings_refresh" ->
-      """WITH cur AS (
-        |  SELECT doc_id AS id, text AS payload FROM documents
-        |  WHERE doc_id <> 0 AND doc_id % 97 <> 3
-        |  UNION ALL
-        |  SELECT CAST(0 AS BIGINT), 'graftrefresh vector data payload'
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, text || ' graftrefresh' FROM documents
-        |  WHERE doc_id % 10 = 7 AND (doc_id + 1000000) % 97 <> 3),
-        |toks AS (
-        |  SELECT id, regexp_extract_all(lower(payload), '[a-z0-9]+') AS t
-        |  FROM cur),
-        |pd AS (
-        |  SELECT id, CAST(len(t) AS BIGINT) AS dl,
-        |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf0,
-        |    CAST(len(list_filter(t, x -> x = 'data')) AS BIGINT) AS tf1,
-        |    CAST(len(list_filter(t, x -> x = 'graftrefresh')) AS BIGINT) AS tf2
-        |  FROM toks),
-        |st AS (
-        |  SELECT count(*) AS n,
-        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
-        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
-        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
-        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
-        |  FROM pd)
-        |SELECT id, round(
-        |    (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
-        |      * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |      ELSE 0.0 END)
-        |  + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
-        |      * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |      ELSE 0.0 END)
-        |  + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
-        |      * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |      ELSE 0.0 END) + 1e-9, 6) AS bm25, dl
-        |FROM pd CROSS JOIN st
-        |WHERE tf0 + tf1 + tf2 > 0
-        |ORDER BY bm25 DESC, id
-        |LIMIT 20""".stripMargin,
+    "q202_postings_refresh" -> postingsRefreshSql,
+
+    // compaction is content-preserving: q202's oracle verbatim
+    "q206_postings_compact" -> postingsRefreshSql,
 
     // Hybrid replay: the q194 BM25 ranking and the cosine ranking over
     // the SAME collection rows (query = row 0's embedding, self

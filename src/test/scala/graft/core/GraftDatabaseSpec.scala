@@ -259,6 +259,56 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(e.getMessage.contains("refresh"))
   }
 
+  test("postings compact: one flat generation, content-identical, stale guard") {
+    val db = freshDb()
+    db.createCollection("docs")
+    db.bulkInsert("docs", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f), "vector data merge"),
+      VectorRecord(2L, Array(0.0f, 1.0f), "data filler filler"),
+      VectorRecord(3L, Array(0.9f, 0.1f), "vector only here")).toDF())
+    db.reindexPostings("docs", buckets = 16)
+    // two churn rounds → multiple segments + tombstones
+    db.update("docs", Seq(
+      VectorRecord(2L, Array(0.0f, 1.0f), "rewritten vector data")).toDF())
+    db.refreshPostings("docs")
+    db.delete("docs", $"id" === 3L)
+    db.bulkInsert("docs", Seq(
+      VectorRecord(4L, Array(0.5f, 0.5f), "late vector arrival")).toDF())
+    db.refreshPostings("docs")
+    def q() = db.searchText("docs", Seq("vector", "data"), k = 10)
+    val before = q().as[(Long, Double, Long)].collect().toSeq
+    val dlPath = s"${db.root}/graft_textindex_docs/doclens"
+    assert(spark.read.parquet(dlPath).select("seg").distinct().count() > 1,
+      "churn must have produced multiple segments")
+    graft.commands.CommandExecutor.execute(db,
+      graft.commands.CommandParser.parse(Some("docs"), "REINDEX",
+        Some("type=postings;mode=compact"))
+        .fold(e => throw new IllegalArgumentException(e.message), identity))
+    assert(q().as[(Long, Double, Long)].collect().toSeq == before,
+      "compaction must be content-preserving")
+    assert(q().queryExecution.executedPlan.toString.contains("textindex_docs"),
+      "the compacted artifact must keep serving the stored path")
+    assert(spark.read.parquet(dlPath).select("seg").distinct()
+      .as[Int].collect().toSeq == Seq(0), "one flat generation after compact")
+    assert(!new java.io.File(
+      s"${db.root}/graft_textindex_docs/tombstones").exists(),
+      "tombstones clear on compact")
+    // a further refresh on the compacted artifact still works
+    db.update("docs", Seq(
+      VectorRecord(4L, Array(0.5f, 0.5f), "twice arrived vector")).toDF())
+    // ... but compacting a STALE artifact is refused (it would launder
+    // staleness into a confidently-wrong flat index)
+    val e = intercept[IllegalArgumentException] { db.compactPostings("docs") }
+    assert(e.getMessage.contains("stale"))
+    db.refreshPostings("docs")
+    val after = db.searchText("docs", Seq("twice"), k = 5)
+      .select("id").as[Long].collect().toSeq
+    assert(after == Seq(4L))
+    db.compactPostings("docs") // live again → compacts cleanly
+    assert(db.searchText("docs", Seq("twice"), k = 5)
+      .select("id").as[Long].collect().toSeq == Seq(4L))
+  }
+
   test("searchSimilar returns nearest by cosine") {
     val db = freshDb()
     db.createCollection("vecs")
