@@ -194,6 +194,11 @@ object CommandExecutor {
                 "REINDEX type=postings mode must be full, refresh, or " +
                   s"compact, got: $other")
             }
+          case "minhash" =>
+            db.reindexMinhash(coll,
+              shingleN = opts.getOrElse("shingles", "5").toInt,
+              numHashes = opts.getOrElse("hashes", "8").toInt,
+              rowsPerBand = opts.getOrElse("rows", "2").toInt)
           case "tokenizer" =>
             // the trained-artifact family: like zorder this records intent
             // in a sidecar rather than a cluster_id partition layout
@@ -202,7 +207,7 @@ object CommandExecutor {
               nMerges = opts.getOrElse("merges", "10").toInt)
           case other => throw new IllegalArgumentException(
             "REINDEX type must be sign, kmeans, zorder, pq, ivfpq, " +
-              s"postings, or tokenizer, got: $other")
+              s"postings, minhash, or tokenizer, got: $other")
         }
         status("REINDEX", coll)
     }

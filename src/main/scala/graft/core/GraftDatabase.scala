@@ -66,7 +66,8 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val dir = collDir(name)
     if (!fs.exists(dir)) throw new IllegalStateException(s"no such collection: $name")
     fs.delete(dir, true)
-    deleteTextIndex(name) // the artifact must not outlive its collection
+    deleteTextIndex(name) // the artifacts must not outlive their collection
+    deleteMinhashIndex(name)
     ()
   }
 
@@ -154,6 +155,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   def bulkInsert(name: String, df: DataFrame): Unit = {
     requireCollection(name)
     invalidateTextIndex(name) // appended rows are not in the stored postings
+    invalidateMinhashIndex(name) // ... nor in the stored signatures
     // derived columns the existing data carries (quantized copy, cluster
     // assignment) are recomputed for arriving rows in the same write pass —
     // an append may never produce rows missing a column the readers expect.
@@ -244,6 +246,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   def update(name: String, updates: DataFrame, key: String = "id"): Unit = {
     requireCollection(name)
     invalidateTextIndex(name)
+    invalidateMinhashIndex(name)
     val current = read(name)
     val hasIndex = current.columns.contains("cluster_id")
     val hasQuant = current.columns.contains(QuantCol)
@@ -286,6 +289,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   def delete(name: String, predicate: Column): Unit = {
     requireCollection(name)
     invalidateTextIndex(name)
+    invalidateMinhashIndex(name)
     rewrite(name, graft.operators.Mutations.deleteWhere(read(name), predicate))
   }
 
@@ -313,6 +317,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   def sync(name: String, snapshot: DataFrame, key: String = "id"): DataFrame = {
     requireCollection(name)
     invalidateTextIndex(name)
+    invalidateMinhashIndex(name)
     import spark.implicits._
     val next = align(name, snapshot)
     val current = read(name)
@@ -668,6 +673,103 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
 
   private def textIndexStaleMarker(name: String): Path =
     new Path(textIndexDir(name), "stale")
+
+  // ---- minhash signature artifact (ingest-time dedup screening) ---------
+
+  private def minhashDir(name: String): Path =
+    new Path(root, s"${ReservedPrefix}minhash_$name")
+
+  private def minhashStaleMarker(name: String): Path =
+    new Path(minhashDir(name), "stale")
+
+  /** REINDEX type=minhash — materialize the collection's banded MinHash
+    * signatures ([[graft.operators.Dedup.bandKeys]] over the payload
+    * column) as a managed artifact partitioned by `band`: the corpus
+    * side of [[screenDupes]], computed once instead of per arriving
+    * batch. meta.json records (shingleN, numHashes, rowsPerBand) so the
+    * probe always hashes with the parameters the artifact was built
+    * with (md5 keys from different parameters never collide).
+    */
+  def reindexMinhash(name: String, shingleN: Int = 5, numHashes: Int = 8,
+      rowsPerBand: Int = 2): Unit = {
+    requireCollection(name)
+    require(shingleN >= 1 && numHashes >= 1 && numHashes <= 8 &&
+      numHashes % rowsPerBand == 0,
+      s"bad minhash parameters ($shingleN, $numHashes, $rowsPerBand)")
+    val cur = read(name)
+    require(cur.columns.contains("payload"),
+      s"REINDEX type=minhash needs a payload column on $name")
+    val dir = minhashDir(name)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    graft.operators.Dedup.bandKeys(
+        graft.operators.Dedup.minhashSignatures(
+          graft.operators.Dedup.explodeShingles(
+            cur, "id", "payload", shingleN),
+          "id", numHashes),
+        "id", numHashes, rowsPerBand)
+      .write.option("compression", Compression)
+      .partitionBy("band")
+      .parquet(new Path(dir, "bands").toString)
+    writeString(fs, new Path(dir, "meta.json"),
+      s"""{"type":"minhash","shingleN":$shingleN,"numHashes":$numHashes,"rowsPerBand":$rowsPerBand}""")
+  }
+
+  /** Screen an arriving batch (`id`, `payload`) for near-duplicates of
+    * the collection — [[graft.operators.Dedup.incomingNearDups]] through
+    * the managed surface. With a LIVE minhash artifact the corpus side
+    * is the stored band table (the batch pays only its own shingling +
+    * the probe); without one — or when a mutation has marked it stale —
+    * the bands recompute from the collection in the same query (the
+    * rescan fallback: identical md5-pure values, so results never
+    * change, only cost). Output: (a_id = batch, b_id = stored doc,
+    * jaccard ≥ threshold).
+    */
+  def screenDupes(name: String, batch: DataFrame, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    requireCollection(name)
+    val cur = read(name)
+    require(cur.columns.contains("payload"),
+      s"SCREEN needs a payload column on $name")
+    require(batch.columns.contains("id") && batch.columns.contains("payload"),
+      s"screen batch needs (id, payload) columns — got " +
+        batch.columns.mkString("(", ", ", ")"))
+    val dir = minhashDir(name)
+    val live = fs.exists(new Path(dir, "meta.json")) &&
+      !fs.exists(minhashStaleMarker(name))
+    val (bands, shingleN, numHashes, rowsPerBand) =
+      if (live) {
+        val meta = readString(fs, new Path(dir, "meta.json"))
+        def intOf(k: String): Int =
+          s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(meta)
+            .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+              s"minhash meta has no $k field: $meta"))
+        (spark.read.parquet(new Path(dir, "bands").toString),
+          intOf("shingleN"), intOf("numHashes"), intOf("rowsPerBand"))
+      } else {
+        (graft.operators.Dedup.bandKeys(
+          graft.operators.Dedup.minhashSignatures(
+            graft.operators.Dedup.explodeShingles(cur, "id", "payload", 5),
+            "id", 8),
+          "id", 8, 2), 5, 8, 2)
+      }
+    graft.operators.Dedup.incomingNearDups(bands, cur, batch,
+      "id", "payload", threshold, shingleN, numHashes, rowsPerBand,
+      maxBucketSize)
+  }
+
+  /** Mark the minhash artifact stale (mutations — a stale signature
+    * must never screen; [[screenDupes]] falls back to the in-query
+    * recompute). No-op when absent.
+    */
+  private def invalidateMinhashIndex(name: String): Unit = {
+    if (fs.exists(new Path(minhashDir(name), "meta.json")))
+      writeString(fs, minhashStaleMarker(name), "stale")
+  }
+
+  private def deleteMinhashIndex(name: String): Unit = {
+    val dir = minhashDir(name)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
 
   /** Mark the stored text index STALE (mutations call this — stale
     * postings must never serve a query; SEARCHTEXT falls back to the

@@ -855,6 +855,30 @@ object PipelineQueries {
       run("SEARCHTEXT", "terms=vector,data,graftrefresh;k=20")
     }),
 
+    // Ingest-time dedup screening through the MANAGED surface: REINDEX
+    // type=minhash materializes the collection's banded signatures as an
+    // artifact (the q204 operator's corpus side, stored once), and
+    // screenDupes probes it with the arriving batch. Same derived batch
+    // and corpus content as q204 → its oracle verbatim.
+    "q207_screen_dupes" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q207")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "REINDEX",
+          Some("type=minhash"))
+          .fold(e => throw new IllegalArgumentException(e.message), identity))
+        .collect()
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("id"),
+          concat(col("text"), lit(" tm1 tm2")).as("payload"))
+      db.screenDupes("docs", batch)
+        .orderBy("a_id", "b_id")
+    }),
+
     // the LSM story's last step: q202's churn (build → mutate → refresh)
     // followed by mode=compact — live rows merge to one flat generation
     // WITHOUT re-tokenizing, tombstones clear, and SEARCHTEXT must be
@@ -1369,6 +1393,9 @@ object PipelineQueries {
 
     // compaction is content-preserving: q202's oracle verbatim
     "q206_postings_compact" -> postingsRefreshSql,
+
+    // the managed screen equals the raw operator: q204's oracle verbatim
+    "q207_screen_dupes" -> DedupQueries.oracles("q204_incoming_dedup"),
 
     // Hybrid replay: the q194 BM25 ranking and the cosine ranking over
     // the SAME collection rows (query = row 0's embedding, self

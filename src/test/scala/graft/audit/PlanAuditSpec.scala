@@ -613,6 +613,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the k-cut must be a bounded top-k:\n${p.take(1500)}")
   }
 
+  test("q204 incoming dedup: band-keyed probe, keyed verification, no cartesian") {
+    // construction writes the stored-band artifact once (scratch); the
+    // audited plan is the probe + verification
+    val p = plan("q204_incoming_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every join must be keyed:\n${p.take(2000)}")
+    assert(p.contains("hashpartitioning(band") || p.contains("BroadcastHashJoin"),
+      s"the candidate probe must join on (band, band_key):\n${p.take(2000)}")
+    // verification shingles corpus rows only after the id-keyed semi-join
+    assert(p.contains("LeftSemi"),
+      s"corpus side must be cut to candidates before shingling:\n${p.take(2000)}")
+  }
+
   test("q146 url canon: canonicalization runs scan-side, no UDF, no pre-agg shuffle") {
     val p = plan("q146_url_canon")
     assert(!p.contains("ScalaUDF"), "pure column math expected")

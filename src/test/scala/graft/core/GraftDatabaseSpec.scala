@@ -309,6 +309,53 @@ class GraftDatabaseSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSeq == Seq(4L))
   }
 
+  test("minhash screen: stored bands, stale fallback sees fresh rows, drop") {
+    val db = freshDb()
+    db.createCollection("docs")
+    db.bulkInsert("docs", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f),
+        (0 until 20).map(i => s"alpha$i").mkString(" ")),
+      VectorRecord(2L, Array(0.0f, 1.0f),
+        (0 until 20).map(i => s"beta$i").mkString(" "))).toDF())
+    graft.commands.CommandExecutor.execute(db,
+      graft.commands.CommandParser.parse(Some("docs"), "REINDEX",
+        Some("type=minhash"))
+        .fold(e => throw new IllegalArgumentException(e.message), identity))
+    val batch = Seq((100L, Array(0.0f, 0.0f),
+      (0 until 20).map(i => s"alpha$i").mkString(" ") + " x y"))
+      .map(t => VectorRecord(t._1, t._2, t._3)).toDF()
+      .select($"id", $"payload")
+    val got = db.screenDupes("docs", batch)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((100L, 1L)),
+      s"near-copy must pair with its stored original, got $got")
+    assert(math.abs(got.head._3 - 16.0 / 18.0) < 1e-12)
+    // a mutation marks the artifact stale; the fallback RECOMPUTES from
+    // the live collection, so a copy of the just-inserted doc is
+    // screenable immediately (unlike a stale-serving index could ever be)
+    db.bulkInsert("docs", Seq(VectorRecord(3L, Array(0.5f, 0.5f),
+      (0 until 20).map(i => s"gamma$i").mkString(" "))).toDF())
+    val batch2 = Seq((101L,
+      (0 until 20).map(i => s"gamma$i").mkString(" ") + " z"))
+      .toDF("id", "payload")
+    val got2 = db.screenDupes("docs", batch2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got2.map(r => (r._1, r._2)) == Seq((101L, 3L)),
+      "stale fallback must screen against the LIVE collection")
+    // re-materialize: the stored path serves the same answer
+    db.reindexMinhash("docs")
+    assert(db.screenDupes("docs", batch2)
+      .as[(Long, Long, Double)].collect().toSeq == got2)
+    // batch contract is loud
+    val e = intercept[IllegalArgumentException] {
+      db.screenDupes("docs", Seq((1L, "x")).toDF("id", "text"))
+    }
+    assert(e.getMessage.contains("payload"))
+    // drop removes the artifact directory
+    db.dropCollection("docs")
+    assert(!new java.io.File(s"${db.root}/graft_minhash_docs").exists())
+  }
+
   test("searchSimilar returns nearest by cosine") {
     val db = freshDb()
     db.createCollection("vecs")
