@@ -1250,7 +1250,7 @@ object DedupQueries {
     * bandsCte fragments (which are hardwired to `documents`): emits
     * `sh$p` (distinct shingles) and `bands$p` (banded signatures).
     */
-  private def minhashChainSql(srcSql: String, p: String): String = {
+  private[queries] def minhashChainSql(srcSql: String, p: String): String = {
     val mins = (0 until 8)
       .map(s => s"min(substring(md5(shingle), ${s * 4 + 1}, 4)) AS mh$s")
       .mkString(",\n    ")

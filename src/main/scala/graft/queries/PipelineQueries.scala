@@ -879,6 +879,43 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // The incremental-ingest pipeline CAPSTONE — every round-11 piece in
+    // one flow: a mixed arriving batch (near-dups of the corpus + novel
+    // docs) is SCREENED against the stored minhash artifact, only the
+    // survivors bulk-insert (marking the postings artifact stale), the
+    // postings REFRESH indexes just the delta, and SEARCHTEXT serves
+    // from the refreshed artifact. The oracle replays screening,
+    // survivor selection, the final corpus, and the BM25 ranking — one
+    // hash pins the whole dedup-gate → ingest → index → serve loop.
+    "q208_ingest_pipeline" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q208")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      def run(cmd: String, arg: String) =
+        CommandExecutor.execute(db,
+          graft.commands.CommandParser.parse(Some("docs"), cmd, Some(arg))
+            .fold(e => throw new IllegalArgumentException(e.message), identity))
+      run("REINDEX", "type=minhash").collect()
+      run("REINDEX", "type=postings;buckets=64").collect()
+      val base = Tables.documents(s, dir)
+      val batch = base.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("id"),
+          concat(col("text"), lit(" tm1 tm2")).as("payload"))
+        .unionByName(base.filter(col("doc_id") % 13 === 5)
+          .select((col("doc_id") + 900000L).as("id"),
+            concat(lit("graftnovel entry "), col("doc_id").cast("string"),
+              lit(" vector data payload alpha beta gamma delta epsilon zeta"))
+              .as("payload")))
+      val dupIds = db.screenDupes("docs", batch)
+        .select(col("a_id").as("id")).distinct()
+      db.bulkInsert("docs", batch.join(dupIds, Seq("id"), "left_anti"))
+      run("REINDEX", "type=postings;mode=refresh").collect()
+      run("SEARCHTEXT", "terms=vector,data,graftnovel;k=20")
+    }),
+
     // the LSM story's last step: q202's churn (build → mutate → refresh)
     // followed by mode=compact — live rows merge to one flat generation
     // WITHOUT re-tokenizing, tombstones clear, and SEARCHTEXT must be
@@ -1396,6 +1433,81 @@ object PipelineQueries {
 
     // the managed screen equals the raw operator: q204's oracle verbatim
     "q207_screen_dupes" -> DedupQueries.oracles("q204_incoming_dedup"),
+
+    // the capstone replay: screening chain (both signature sides), dup
+    // ids, survivor selection, final corpus, BM25 ranking — end to end
+    "q208_ingest_pipeline" -> {
+      val batchSrc =
+        "SELECT doc_id + 500000 AS doc_id, text || ' tm1 tm2' AS text " +
+          "FROM documents WHERE doc_id % 7 = 3 " +
+          "UNION ALL SELECT doc_id + 900000, 'graftnovel entry ' || " +
+          "CAST(doc_id AS VARCHAR) || " +
+          "' vector data payload alpha beta gamma delta epsilon zeta' " +
+          "FROM documents WHERE doc_id % 13 = 5"
+      val corpusChain = DedupQueries.minhashChainSql(
+        "SELECT doc_id, text FROM documents", "c")
+      val batchChain = DedupQueries.minhashChainSql(batchSrc, "b")
+      s"""WITH $corpusChain,
+         |$batchChain,
+         |ok AS (
+         |  SELECT band, band_key FROM bandsc
+         |  GROUP BY band, band_key HAVING count(*) <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT bb.doc_id AS a_id, bc.doc_id AS b_id
+         |  FROM bandsb bb
+         |  JOIN bandsc bc ON bb.band = bc.band AND bb.band_key = bc.band_key
+         |  JOIN ok ON bc.band = ok.band AND bc.band_key = ok.band_key),
+         |an AS (SELECT doc_id, count(*) AS an FROM shb GROUP BY doc_id),
+         |bn AS (SELECT doc_id, count(*) AS bn FROM shc GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS s
+         |  FROM cand c
+         |  JOIN shb a ON a.doc_id = c.a_id
+         |  JOIN shc b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+         |  GROUP BY c.a_id, c.b_id),
+         |dup AS (
+         |  SELECT DISTINCT c.a_id
+         |  FROM cand c
+         |  JOIN shared s ON s.a_id = c.a_id AND s.b_id = c.b_id
+         |  JOIN an ON an.doc_id = c.a_id
+         |  JOIN bn ON bn.doc_id = c.b_id
+         |  WHERE CAST(s.s AS DOUBLE) / (an.an + bn.bn - s.s) >= 0.5),
+         |cur AS (
+         |  SELECT doc_id AS id, text AS payload FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, text FROM ($batchSrc)
+         |  WHERE doc_id NOT IN (SELECT a_id FROM dup)),
+         |toks2 AS (
+         |  SELECT id, regexp_extract_all(lower(payload), '[a-z0-9]+') AS t
+         |  FROM cur),
+         |pd AS (
+         |  SELECT id, CAST(len(t) AS BIGINT) AS dl,
+         |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf0,
+         |    CAST(len(list_filter(t, x -> x = 'data')) AS BIGINT) AS tf1,
+         |    CAST(len(list_filter(t, x -> x = 'graftnovel')) AS BIGINT) AS tf2
+         |  FROM toks2),
+         |st AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+         |  FROM pd)
+         |SELECT id, round(
+         |    (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+         |      * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |      ELSE 0.0 END)
+         |  + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+         |      * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |      ELSE 0.0 END)
+         |  + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
+         |      * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |      ELSE 0.0 END) + 1e-9, 6) AS bm25, dl
+         |FROM pd CROSS JOIN st
+         |WHERE tf0 + tf1 + tf2 > 0
+         |ORDER BY bm25 DESC, id
+         |LIMIT 20""".stripMargin
+    },
 
     // Hybrid replay: the q194 BM25 ranking and the cosine ranking over
     // the SAME collection rows (query = row 0's embedding, self
