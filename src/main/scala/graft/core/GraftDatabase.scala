@@ -734,24 +734,30 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       s"screen batch needs (id, payload) columns — got " +
         batch.columns.mkString("(", ", ", ")"))
     val dir = minhashDir(name)
-    val live = fs.exists(new Path(dir, "meta.json")) &&
-      !fs.exists(minhashStaleMarker(name))
-    val (bands, shingleN, numHashes, rowsPerBand) =
-      if (live) {
+    val hasMeta = fs.exists(new Path(dir, "meta.json"))
+    val live = hasMeta && !fs.exists(minhashStaleMarker(name))
+    // parameters come from the artifact's meta whenever one exists —
+    // EVEN STALE: the fallback must screen with the same (shingleN,
+    // hashes, bands) family the caller built, or the candidate sets
+    // would silently change shape across the stale window. Defaults
+    // apply only when no artifact was ever built.
+    val (shingleN, numHashes, rowsPerBand) =
+      if (hasMeta) {
         val meta = readString(fs, new Path(dir, "meta.json"))
         def intOf(k: String): Int =
           s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(meta)
             .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
               s"minhash meta has no $k field: $meta"))
-        (spark.read.parquet(new Path(dir, "bands").toString),
-          intOf("shingleN"), intOf("numHashes"), intOf("rowsPerBand"))
-      } else {
-        (graft.operators.Dedup.bandKeys(
-          graft.operators.Dedup.minhashSignatures(
-            graft.operators.Dedup.explodeShingles(cur, "id", "payload", 5),
-            "id", 8),
-          "id", 8, 2), 5, 8, 2)
-      }
+        (intOf("shingleN"), intOf("numHashes"), intOf("rowsPerBand"))
+      } else (5, 8, 2)
+    val bands =
+      if (live) spark.read.parquet(new Path(dir, "bands").toString)
+      else graft.operators.Dedup.bandKeys(
+        graft.operators.Dedup.minhashSignatures(
+          graft.operators.Dedup.explodeShingles(
+            cur, "id", "payload", shingleN),
+          "id", numHashes),
+        "id", numHashes, rowsPerBand)
     graft.operators.Dedup.incomingNearDups(bands, cur, batch,
       "id", "payload", threshold, shingleN, numHashes, rowsPerBand,
       maxBucketSize)

@@ -346,6 +346,24 @@ class GraftDatabaseSpec extends AnyFunSuite {
     db.reindexMinhash("docs")
     assert(db.screenDupes("docs", batch2)
       .as[(Long, Long, Double)].collect().toSeq == got2)
+    // parameter persistence across the stale window: a non-default
+    // family (shingleN=4) must govern the FALLBACK too — otherwise the
+    // candidate sets silently change shape while the artifact is stale
+    db.reindexMinhash("docs", shingleN = 4)
+    db.bulkInsert("docs", Seq(VectorRecord(5L, Array(0.0f, 1.0f),
+      (0 until 20).map(i => s"delta$i").mkString(" "))).toDF()) // → stale
+    val b3 = Seq((102L,
+      (0 until 20).map(i => s"delta$i").mkString(" ") + " q"))
+      .toDF("id", "payload")
+    val viaFallback = db.screenDupes("docs", b3)
+      .as[(Long, Long, Double)].collect().toSeq
+    db.reindexMinhash("docs", shingleN = 4)
+    assert(db.screenDupes("docs", b3)
+      .as[(Long, Long, Double)].collect().toSeq == viaFallback,
+      "stale fallback must screen with the artifact's parameters")
+    // 20 words → 17 4-shingles; +1 token → 18, 17 shared: J = 17/18
+    assert(viaFallback.map(r => (r._1, r._2)) == Seq((102L, 5L)))
+    assert(math.abs(viaFallback.head._3 - 17.0 / 18.0) < 1e-12)
     // batch contract is loud
     val e = intercept[IllegalArgumentException] {
       db.screenDupes("docs", Seq((1L, "x")).toDF("id", "text"))
