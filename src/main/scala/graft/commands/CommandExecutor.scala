@@ -157,6 +157,15 @@ object CommandExecutor {
           kf = opts.getOrElse("kf", "20").toInt,
           kRrf = opts.getOrElse("krrf", "60").toInt)
 
+      case SearchPhrase(coll, arg) =>
+        val opts = parseKv(arg)
+        db.searchPhrase(coll,
+          rawPhrase = opts.getOrElse("phrase",
+            throw new IllegalArgumentException(
+              "SEARCHPHRASE arg must include phrase=word word ..."))
+            .split("\\s+").toSeq.filter(_.nonEmpty),
+          k = opts.getOrElse("k", "20").toInt)
+
       case Reindex(coll, arg) =>
         val opts = arg.map(parseKv).getOrElse(Map.empty)
         opts.getOrElse("type", "sign") match {
@@ -187,7 +196,8 @@ object CommandExecutor {
           case "postings" =>
             opts.getOrElse("mode", "full") match {
               case "full" => db.reindexPostings(coll,
-                buckets = opts.getOrElse("buckets", "64").toInt)
+                buckets = opts.getOrElse("buckets", "64").toInt,
+                positions = opts.getOrElse("positions", "false").toBoolean)
               case "refresh" => db.refreshPostings(coll)
               case "compact" => db.compactPostings(coll)
               case other => throw new IllegalArgumentException(

@@ -65,6 +65,7 @@ object GraftCommand {
   final case class Sync(collection: String, arg: String) extends GraftCommand
   final case class SearchText(collection: String, arg: String) extends GraftCommand
   final case class SearchHybrid(collection: String, arg: String) extends GraftCommand
+  final case class SearchPhrase(collection: String, arg: String) extends GraftCommand
 }
 
 /** Build failure surface, mirroring `CommandBuilderError`
@@ -116,6 +117,7 @@ object CommandParser {
       case "SYNC" => needBoth("SYNC")(Sync(_, _))
       case "SEARCHTEXT" => needBoth("SEARCHTEXT")(SearchText(_, _))
       case "SEARCHHYBRID" => needBoth("SEARCHHYBRID")(SearchHybrid(_, _))
+      case "SEARCHPHRASE" => needBoth("SEARCHPHRASE")(SearchPhrase(_, _))
       case other => Left(UnrecognizedCommand(other))
     }
   }

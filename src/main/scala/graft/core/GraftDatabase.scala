@@ -483,7 +483,8 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * the collection). Compaction (content-preserving) keeps the
     * artifact live; DROP deletes it.
     */
-  def reindexPostings(name: String, buckets: Int = 64): Unit = {
+  def reindexPostings(name: String, buckets: Int = 64,
+      positions: Boolean = false): Unit = {
     requireCollection(name)
     require(buckets >= 1 && 65536 % buckets == 0,
       s"buckets must divide 65536 (no modulo bias), got $buckets")
@@ -492,26 +493,36 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       s"REINDEX type=postings needs a payload column on $name")
     val dir = textIndexDir(name)
     if (fs.exists(dir)) fs.delete(dir, true)
-    writeTextSegment(name, cur, seg = 0, buckets = buckets)
+    writeTextSegment(name, cur, seg = 0, buckets = buckets,
+      positions = positions)
     writeString(fs, new Path(dir, "meta.json"),
-      s"""{"type":"postings","buckets":$buckets}""")
+      s"""{"type":"postings","buckets":$buckets,"positions":$positions}""")
   }
 
   /** One index segment: postings (term-bucket-partitioned, `seg`-tagged)
-    * + doclens (`dl`, `payload_md5`, `seg`) for `rows`, APPENDED into the
-    * shared artifact directories.
+    * + doclens (`dl`, `payload_md5`, `seg`) — and, when the artifact was
+    * built `positions=true`, the POSITIONAL rows `(term, id, pos, seg)`
+    * in the same bucket layout — for `rows`, APPENDED into the shared
+    * artifact directories.
     */
   private def writeTextSegment(name: String, rows: DataFrame, seg: Int,
-      buckets: Int): Unit = {
+      buckets: Int, positions: Boolean): Unit = {
     val dir = textIndexDir(name)
-    graft.operators.TextAnalysis.invertedIndex(rows, "id", "payload")
+    def bucketed(df: DataFrame): DataFrame = df
       .withColumn("seg", lit(seg))
       .withColumn("term_bucket",
         (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int")
           % buckets).cast("int"))
+    bucketed(graft.operators.TextAnalysis.invertedIndex(rows, "id", "payload"))
       .write.mode("append").option("compression", Compression)
       .partitionBy("term_bucket")
       .parquet(new Path(dir, "postings").toString)
+    if (positions)
+      bucketed(graft.operators.TextAnalysis
+          .invertedIndexPositional(rows, "id", "payload"))
+        .write.mode("append").option("compression", Compression)
+        .partitionBy("term_bucket")
+        .parquet(new Path(dir, "positions").toString)
     graft.operators.TextAnalysis.docLengths(rows, "id", "payload")
       .join(rows.select(col("id"), md5(col("payload")).as("payload_md5")),
         Seq("id"))
@@ -577,7 +588,8 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       val newRows = cur.join(broadcast(arrivals.select("id")), Seq("id"))
       val nextSeg = spark.read.parquet(new Path(dir, "doclens").toString)
         .agg(max("seg")).head().getInt(0) + 1
-      writeTextSegment(name, newRows, nextSeg, buckets)
+      writeTextSegment(name, newRows, nextSeg, buckets,
+        positions = textIndexHasPositions(name))
     }
     // tombstones: materialize the union BEFORE touching the old file
     // (the copy-on-write swap discipline — never overwrite a path the
@@ -632,20 +644,94 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         p.join(broadcast(t), Seq("id", "seg"), "left_anti"))
     }.withColumn("seg", lit(0))
     val liveDl = liveDoclens(name).withColumn("seg", lit(0))
+    val posPath = new Path(dir, "positions")
+    val hasPos = textIndexHasPositions(name)
+    val livePos = if (hasPos) Some {
+      val p = spark.read.parquet(posPath.toString)
+      tombstonesOf(name).fold(p)(t =>
+        p.join(broadcast(t), Seq("id", "seg"), "left_anti"))
+        .withColumn("seg", lit(0))
+    } else None
     val postTmp = new Path(dir, "postings_tmp")
     val dlTmp = new Path(dir, "doclens_tmp")
+    val posTmp = new Path(dir, "positions_tmp")
     livePost.write.mode("overwrite").option("compression", Compression)
       .partitionBy("term_bucket").parquet(postTmp.toString)
     liveDl.write.mode("overwrite").option("compression", Compression)
       .parquet(dlTmp.toString)
+    livePos.foreach(_.write.mode("overwrite")
+      .option("compression", Compression)
+      .partitionBy("term_bucket").parquet(posTmp.toString))
     writeString(fs, textIndexStaleMarker(name), "compacting")
     fs.delete(postPath, true)
     fs.delete(dlPath, true)
     if (!fs.rename(postTmp, postPath) || !fs.rename(dlTmp, dlPath))
       throw new IllegalStateException(s"postings compaction swap failed for $name")
+    if (hasPos) {
+      fs.delete(posPath, true)
+      if (!fs.rename(posTmp, posPath))
+        throw new IllegalStateException(
+          s"positions compaction swap failed for $name")
+    }
     if (fs.exists(tombPath)) fs.delete(tombPath, true)
     fs.delete(textIndexStaleMarker(name), false)
     ()
+  }
+
+  /** Whether the stored text index carries positional rows. */
+  private def textIndexHasPositions(name: String): Boolean = {
+    val meta = new Path(textIndexDir(name), "meta.json")
+    fs.exists(meta) &&
+      """"positions"\s*:\s*true""".r
+        .findFirstIn(readString(fs, meta)).isDefined
+  }
+
+  /** SEARCHPHRASE — exact consecutive-token phrase match. With a LIVE
+    * positional artifact (REINDEX type=postings;positions=true) the
+    * query reads ONLY the phrase terms' `term_bucket=` partitions of
+    * the positions table (m−1 keyed joins on (doc, pos+i) — classic
+    * positional-index retrieval, never a corpus scan; tombstoned
+    * versions drop via the broadcast anti-join). Without one — or
+    * stale — the exact rescan recomputes positional postings from the
+    * collection in-query: same rows, corpus-scan price.
+    *
+    * Phrase terms normalize through the tokenizer's rule ORDERED and
+    * UNDEDUPED (unlike SEARCHTEXT's term set — "data data" is a real
+    * phrase). Output: (id, n_hits) for documents containing the exact
+    * sequence, highest occurrence count first, id tie-break, top `k`.
+    */
+  def searchPhrase(name: String, rawPhrase: Seq[String],
+      k: Int = 20): DataFrame = {
+    requireCollection(name)
+    require(k >= 1, s"k must be positive, got $k")
+    val phrase = rawPhrase.flatMap(t =>
+      "[a-z0-9]+".r.findAllIn(t.toLowerCase))
+    require(phrase.nonEmpty,
+      s"no searchable phrase after normalization (got: ${rawPhrase.mkString(" ")})")
+    val tDir = textIndexDir(name)
+    val positional =
+      if (textIndexHasPositions(name) &&
+          !fs.exists(textIndexStaleMarker(name))) {
+        val buckets = parseTextIndexBuckets(
+          readString(fs, new Path(tDir, "meta.json")))
+        val wanted = phrase.map(bucketOfTerm(_, buckets)).distinct
+        val pos = spark.read
+          .parquet(new Path(tDir, "positions").toString)
+          .filter(col("term_bucket").isin(wanted: _*) &&
+            col("term").isin(phrase.distinct: _*))
+        tombstonesOf(name).fold(pos)(t =>
+          pos.join(broadcast(t), Seq("id", "seg"), "left_anti"))
+      } else {
+        val cur = read(name)
+        require(cur.columns.contains("payload"),
+          s"SEARCHPHRASE needs a payload column on $name")
+        graft.operators.TextAnalysis
+          .invertedIndexPositional(cur, "id", "payload")
+      }
+    graft.operators.TextAnalysis.phraseHits(positional, "id", phrase)
+      .select(col("id"), col("n_hits"))
+      .orderBy(desc("n_hits"), col("id"))
+      .limit(k)
   }
 
   /** The tombstones frame `(id, seg)`, if any version was ever replaced

@@ -879,6 +879,27 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Exact phrase retrieval over the STORED positional artifact:
+    // REINDEX type=postings;positions=true materializes (term, id, pos)
+    // rows in the same bucket/segment layout, and SEARCHPHRASE answers
+    // from ≤ |distinct phrase terms| partitions with m−1 keyed joins —
+    // the classic positional-index workload, never a corpus scan. The
+    // oracle recomputes the consecutive-token match from text.
+    "q209_phrase_stored" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q209")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      def run(cmd: String, arg: String) =
+        CommandExecutor.execute(db,
+          graft.commands.CommandParser.parse(Some("docs"), cmd, Some(arg))
+            .fold(e => throw new IllegalArgumentException(e.message), identity))
+      run("REINDEX", "type=postings;positions=true;buckets=64").collect()
+      run("SEARCHPHRASE", "phrase=stream data;k=20")
+    }),
+
     // The incremental-ingest pipeline CAPSTONE — every round-11 piece in
     // one flow: a mixed arriving batch (near-dups of the corpus + novel
     // docs) is SCREENED against the stored minhash artifact, only the
@@ -1433,6 +1454,18 @@ object PipelineQueries {
 
     // the managed screen equals the raw operator: q204's oracle verbatim
     "q207_screen_dupes" -> DedupQueries.oracles("q204_incoming_dedup"),
+
+    // the stored positional path must equal the from-text recompute
+    "q209_phrase_stored" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM (SELECT id, w, unnest(range(1, len(w))) AS i FROM toks)
+        |WHERE w[i] = 'stream' AND w[i+1] = 'data'
+        |GROUP BY id
+        |ORDER BY n_hits DESC, id
+        |LIMIT 20""".stripMargin,
 
     // the capstone replay: screening chain (both signature sides), dup
     // ids, survivor selection, final corpus, BM25 ranking — end to end

@@ -309,6 +309,58 @@ class GraftDatabaseSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSeq == Seq(4L))
   }
 
+  test("positional postings: stored phrase match, refresh delta, compaction") {
+    val db = freshDb()
+    db.createCollection("docs")
+    db.bulkInsert("docs", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f), "alpha beta gamma alpha beta"),
+      VectorRecord(2L, Array(0.0f, 1.0f), "beta alpha beta gamma"),
+      VectorRecord(3L, Array(0.9f, 0.1f), "gamma gamma gamma")).toDF())
+    graft.commands.CommandExecutor.execute(db,
+      graft.commands.CommandParser.parse(Some("docs"), "REINDEX",
+        Some("type=postings;positions=true;buckets=16"))
+        .fold(e => throw new IllegalArgumentException(e.message), identity))
+    def phrase(p: String) = db.searchPhrase("docs", p.split(" ").toSeq)
+    val ab = phrase("alpha beta")
+    assert(ab.as[(Long, Long)].collect().toSeq == Seq((1L, 2L), (2L, 1L)))
+    val plan = ab.queryExecution.executedPlan.toString
+    assert(plan.contains("textindex_docs") && plan.contains("term_bucket"),
+      s"stored phrase match must read pruned positions:\n${plan.take(1500)}")
+    // a repeated-term phrase constrains two offsets of the SAME list
+    assert(phrase("gamma gamma").as[(Long, Long)].collect().toSeq ==
+      Seq((3L, 2L)))
+    // mutation → stale → the exact rescan serves and sees the new row
+    db.bulkInsert("docs", Seq(
+      VectorRecord(4L, Array(0.5f, 0.5f), "alpha beta zeta")).toDF())
+    val stale = phrase("alpha beta")
+    assert(!stale.queryExecution.executedPlan.toString.contains("textindex_docs"))
+    assert(stale.as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 2L), (2L, 1L), (4L, 1L)))
+    // refresh writes the positional DELTA segment too
+    db.refreshPostings("docs")
+    val refreshed = phrase("alpha beta")
+    assert(refreshed.queryExecution.executedPlan.toString.contains("textindex_docs"))
+    assert(refreshed.as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 2L), (2L, 1L), (4L, 1L)))
+    // an update whose new text DROPS the phrase must tombstone the old
+    // positional rows
+    db.update("docs", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f), "nothing here now")).toDF())
+    db.refreshPostings("docs")
+    assert(phrase("alpha beta").as[(Long, Long)].collect().toSeq ==
+      Seq((2L, 1L), (4L, 1L)))
+    // compaction keeps the positional artifact serving, content-identical
+    db.compactPostings("docs")
+    val compacted = phrase("alpha beta")
+    assert(compacted.queryExecution.executedPlan.toString.contains("textindex_docs"))
+    assert(compacted.as[(Long, Long)].collect().toSeq ==
+      Seq((2L, 1L), (4L, 1L)))
+    // normalization + loud empty contract
+    assert(phrase("ALPHA beta!").as[(Long, Long)].collect().toSeq ==
+      phrase("alpha beta").as[(Long, Long)].collect().toSeq)
+    intercept[IllegalArgumentException] { db.searchPhrase("docs", Seq("!!!")) }
+  }
+
   test("minhash screen: stored bands, stale fallback sees fresh rows, drop") {
     val db = freshDb()
     db.createCollection("docs")
