@@ -34,9 +34,9 @@ object RepBench {
     def stateless() = operators.TextAnalysis
       .repetitionStatsStateless(docs, "doc_id", "text").orderBy("doc_id")
 
-    // parity first: identical rows on the real corpus (rounded to the
-    // oracle's grain so representation noise can't fail the harness —
-    // the q166/q167 gates pin exactness; this guards harness wiring)
+    // parity first: BIT-identical rows on the real corpus (both sides
+    // are Spark-computed exact-integer divisions, so raw comparison is
+    // the correct bar — the q166/q167 gates pin the same exactness)
     val a = grouped().collect().map(_.toString).toSeq
     val b = stateless().collect().map(_.toString).toSeq
     require(a == b, s"formulations diverged: ${a.size} vs ${b.size} rows, " +

@@ -505,6 +505,20 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * in the same bucket layout — for `rows`, APPENDED into the shared
     * artifact directories.
     */
+  /** Write `df` partitioned by `term_bucket` — EXCEPT when it is empty:
+    * a dynamic-partition write of zero rows emits only _SUCCESS (no
+    * schema footer anywhere) and every later read of the directory
+    * fails schema inference. An empty frame writes flat instead, with
+    * `term_bucket` as an ordinary column — zero rows, schema intact,
+    * filters unaffected (there is nothing to prune).
+    */
+  private def writeBucketed(df: DataFrame, path: Path,
+      mode: String): Unit = {
+    val w = df.write.mode(mode).option("compression", Compression)
+    if (df.isEmpty) w.parquet(path.toString)
+    else w.partitionBy("term_bucket").parquet(path.toString)
+  }
+
   private def writeTextSegment(name: String, rows: DataFrame, seg: Int,
       buckets: Int, positions: Boolean): Unit = {
     val dir = textIndexDir(name)
@@ -513,16 +527,14 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .withColumn("term_bucket",
         (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int")
           % buckets).cast("int"))
-    bucketed(graft.operators.TextAnalysis.invertedIndex(rows, "id", "payload"))
-      .write.mode("append").option("compression", Compression)
-      .partitionBy("term_bucket")
-      .parquet(new Path(dir, "postings").toString)
+    writeBucketed(
+      bucketed(graft.operators.TextAnalysis.invertedIndex(rows, "id", "payload")),
+      new Path(dir, "postings"), "append")
     if (positions)
-      bucketed(graft.operators.TextAnalysis
-          .invertedIndexPositional(rows, "id", "payload"))
-        .write.mode("append").option("compression", Compression)
-        .partitionBy("term_bucket")
-        .parquet(new Path(dir, "positions").toString)
+      writeBucketed(
+        bucketed(graft.operators.TextAnalysis
+          .invertedIndexPositional(rows, "id", "payload")),
+        new Path(dir, "positions"), "append")
     graft.operators.TextAnalysis.docLengths(rows, "id", "payload")
       .join(rows.select(col("id"), md5(col("payload")).as("payload_md5")),
         Seq("id"))
@@ -567,6 +579,24 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       s"no postings artifact on $name to refresh — run REINDEX type=postings first")
     val buckets = parseTextIndexBuckets(
       readString(fs, new Path(dir, "meta.json")))
+    // completeness gate: a crash inside compactPostings' swap can leave
+    // a component dir missing with the stale marker up — refresh must
+    // NOT then clear the marker over a half-artifact (SEARCHPHRASE
+    // would serve path-not-found). Demand a full rebuild instead.
+    require(fs.exists(new Path(dir, "postings")) &&
+      fs.exists(new Path(dir, "doclens")) &&
+      (!textIndexHasPositions(name) || fs.exists(new Path(dir, "positions"))),
+      s"postings artifact on $name is incomplete (interrupted compaction?) " +
+        "— run a full REINDEX type=postings")
+    // an artifact that never indexed a row (built over an empty
+    // collection, or compacted down to nothing) stores its empty frames
+    // FLAT (see writeBucketed) — a partitioned delta append onto a flat
+    // dir would conflict Spark's partition discovery, and semantically
+    // refreshing an empty index IS building it: take the full path.
+    if (spark.read.parquet(new Path(dir, "doclens").toString).isEmpty) {
+      reindexPostings(name, buckets, positions = textIndexHasPositions(name))
+      return
+    }
     val cur = read(name)
     require(cur.columns.contains("payload"),
       s"REINDEX type=postings needs a payload column on $name")
@@ -586,8 +616,10 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       "left_anti").select(col("id"), col("seg")).localCheckpoint(true)
     if (!arrivals.isEmpty) {
       val newRows = cur.join(broadcast(arrivals.select("id")), Seq("id"))
+      // coalesce: an artifact built over an empty collection has a
+      // 0-row doclens — max(seg) is null and the first real segment is 1
       val nextSeg = spark.read.parquet(new Path(dir, "doclens").toString)
-        .agg(max("seg")).head().getInt(0) + 1
+        .agg(coalesce(max("seg"), lit(0)).as("m")).head().getInt(0) + 1
       writeTextSegment(name, newRows, nextSeg, buckets,
         positions = textIndexHasPositions(name))
     }
@@ -655,13 +687,10 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val postTmp = new Path(dir, "postings_tmp")
     val dlTmp = new Path(dir, "doclens_tmp")
     val posTmp = new Path(dir, "positions_tmp")
-    livePost.write.mode("overwrite").option("compression", Compression)
-      .partitionBy("term_bucket").parquet(postTmp.toString)
+    writeBucketed(livePost, postTmp, "overwrite")
     liveDl.write.mode("overwrite").option("compression", Compression)
       .parquet(dlTmp.toString)
-    livePos.foreach(_.write.mode("overwrite")
-      .option("compression", Compression)
-      .partitionBy("term_bucket").parquet(posTmp.toString))
+    livePos.foreach(writeBucketed(_, posTmp, "overwrite"))
     writeString(fs, textIndexStaleMarker(name), "compacting")
     fs.delete(postPath, true)
     fs.delete(dlPath, true)

@@ -614,8 +614,18 @@ object Dedup {
     */
   def crossJaccardOfPairs(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: String, pairs: DataFrame,
-      shingleN: Int = 5): DataFrame = {
-    val shA = explodeShingles(batch, idCol, textCol, shingleN)
+      shingleN: Int = 5): DataFrame =
+    crossJaccardWithShingles(corpus,
+      explodeShingles(batch, idCol, textCol, shingleN),
+      idCol, textCol, pairs, shingleN)
+
+  /** [[crossJaccardOfPairs]] with the batch side's shingles supplied —
+    * so a caller that already computed them (candidate generation did)
+    * never tokenizes the batch twice.
+    */
+  private[operators] def crossJaccardWithShingles(corpus: DataFrame,
+      shA: DataFrame, idCol: String, textCol: String, pairs: DataFrame,
+      shingleN: Int): DataFrame = {
     val candB = corpus.join(
       pairs.select(col("b_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
     val shB = explodeShingles(candB, idCol, textCol, shingleN)
@@ -671,9 +681,15 @@ object Dedup {
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleN: Int = 5, numHashes: Int = 8,
       rowsPerBand: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
+    // the batch's shingles feed BOTH candidate generation and
+    // verification: materialize them ONCE (eager, delta-sized — the
+    // refreshPostings arrivals discipline) so neither subtree re-runs
+    // the tokenization chain. The checkpoint stays alive deliberately:
+    // the returned frame's lineage depends on it.
+    val shA = explodeShingles(batch, idCol, textCol, shingleN)
+      .localCheckpoint(true)
     val batchBands = bandKeys(
-      minhashSignatures(explodeShingles(batch, idCol, textCol, shingleN),
-        idCol, numHashes),
+      minhashSignatures(shA, idCol, numHashes),
       idCol, numHashes, rowsPerBand)
     val okKeys = corpusBands.groupBy("band", "band_key")
       .agg(count(lit(1)).as("__n"))
@@ -686,7 +702,7 @@ object Dedup {
         .join(okKeys, Seq("band", "band_key"), "left_semi"),
         Seq("band", "band_key"))
       .select("a_id", "b_id").distinct()
-    crossJaccardOfPairs(corpus, batch, idCol, textCol, pairs, shingleN)
+    crossJaccardWithShingles(corpus, shA, idCol, textCol, pairs, shingleN)
       .filter(col("jaccard") >= threshold)
       // using-column joins float their keys to the front in join order
       // (b_id ends up first) — pin the documented column order

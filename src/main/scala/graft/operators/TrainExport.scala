@@ -311,6 +311,12 @@ object TrainExport {
       sourceCol: String = "source",
       weightCol: String = "weight"): DataFrame = {
     require(n >= 0, s"budget must be non-negative, got $n")
+    // the in-plan guard below evaluates per ROW — an empty weights frame
+    // would skip it entirely and silently leave the whole budget
+    // unfilled, the exact failure the guard exists for; catch it eagerly
+    // (the frame is |sources|-sized, the check is one cheap job)
+    require(n == 0 || !weights.isEmpty,
+      s"hamiltonQuotas: empty weights frame cannot fill a budget of $n")
     val q0 = weights
       .withColumn("__q0", floor(col(weightCol) * n).cast("long"))
       .withColumn("__rem", col(weightCol) * n - floor(col(weightCol) * n))

@@ -480,6 +480,12 @@ object VectorIndex {
       .orderBy(col("__key"), col(idCol)).limit(k)
       .select("__v").collect().zipWithIndex
       .map { case (r, i) => (i + 1L, r.getSeq[Double](0).toArray) }.toSeq
+    // zero seed vectors = empty input: the literal argmin over an empty
+    // centroid set would not even analyze (array() of nothing) — return
+    // the typed empty frame the crossJoin formulation used to produce
+    if (cents0.isEmpty)
+      return e.filter(lit(false))
+        .select(col(idCol), lit(0L).as("c_init"), lit(0L).as("c_refined"))
     // ROUNDED-distance argmin with a centroid-id tie-break, as a
     // literal-centroid expression INSIDE the scan (the lloydIterate
     // shape): zero shuffle, where the former crossJoin(broadcast) +

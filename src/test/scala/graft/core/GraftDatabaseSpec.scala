@@ -257,6 +257,21 @@ class GraftDatabaseSpec extends AnyFunSuite {
       VectorRecord(1L, Array(1.0f, 0.0f), "some text")).toDF())
     val e = intercept[IllegalArgumentException] { db2.refreshPostings("other") }
     assert(e.getMessage.contains("refresh"))
+    // an artifact built over an EMPTY collection stores flat empty
+    // frames; refresh after the first rows arrive must take the rebuild
+    // path (a partitioned delta append onto a flat dir would conflict
+    // partition discovery) and end up serving normally
+    val db3 = freshDb()
+    db3.createCollection("fresh")
+    db3.reindexPostings("fresh", buckets = 16)
+    assert(db3.searchText("fresh", Seq("vector"), k = 5).isEmpty,
+      "empty stored index must serve an empty result, not crash")
+    db3.bulkInsert("fresh", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f), "vector data here")).toDF())
+    db3.refreshPostings("fresh")
+    val served3 = db3.searchText("fresh", Seq("vector"), k = 5)
+    assert(served3.queryExecution.executedPlan.toString.contains("textindex_fresh"))
+    assert(served3.select("id").as[Long].collect().toSeq == Seq(1L))
   }
 
   test("postings compact: one flat generation, content-identical, stale guard") {

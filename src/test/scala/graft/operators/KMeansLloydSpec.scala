@@ -147,4 +147,12 @@ class KMeansLloydSpec extends AnyFunSuite {
     assert(clustersA.size == 1 && clustersB.size == 1 && clustersA != clustersB,
       s"one refinement must separate the blobs: A→$clustersA B→$clustersB")
   }
+
+  test("lloydOnce: empty input returns the typed empty frame, not an error") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val out = VectorIndex.lloydOnce(empty, "vec_id", "embedding", k = 4)
+    assert(out.columns.toSeq == Seq("vec_id", "c_init", "c_refined"))
+    assert(out.isEmpty)
+  }
 }

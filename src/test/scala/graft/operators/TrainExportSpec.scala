@@ -236,6 +236,14 @@ class TrainExportSpec extends AnyFunSuite {
       TrainExport.hamiltonQuotas(over, 10).collect()
     }
     assert(e2.getMessage.contains("weights must sum to ~1"))
+    // the per-row guard can't fire on ZERO rows — the eager check must
+    // (an empty frame with a nonzero budget is the silent underfill)
+    val none = Seq.empty[(String, Double)].toDF("source", "weight")
+    val e3 = intercept[IllegalArgumentException] {
+      TrainExport.hamiltonQuotas(none, 10)
+    }
+    assert(e3.getMessage.contains("empty weights"))
+    assert(TrainExport.hamiltonQuotas(none, 0).isEmpty) // n=0 is fine
   }
 
   test("mixtureSelect: quota fill, honest shortfall, md5-rank determinism") {
