@@ -438,15 +438,15 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       val buckets = parseTextIndexBuckets(
         readString(fs, new Path(tDir, "meta.json")))
       val wanted = terms.map(bucketOfTerm(_, buckets)).distinct
-      val postings = spark.read
-        .parquet(new Path(tDir, "postings").toString)
+      val postings = readArtifact(
+          new Path(textGenDir(name), "postings"), PostingsSchema)
         .filter(col("term_bucket").isin(wanted: _*) &&
           col("term").isin(terms: _*))
       // segment-aware read: tombstoned (id, seg) versions drop via a
       // broadcast anti-join on BOTH frames (partition pruning at the
       // postings scan is untouched — the filter stays scan-side)
-      val livePostings = tombstonesOf(name).fold(postings)(t =>
-        postings.join(broadcast(t), Seq("id", "seg"), "left_anti"))
+      val livePostings = postings
+        .join(broadcast(tombstones(name)), Seq("id", "seg"), "left_anti")
       val doclens = liveDoclens(name).select(col("id"), col("dl"))
       graft.operators.TextAnalysis.bm25FromIndex(livePostings, doclens, "id",
         terms, k1, b, k)
@@ -494,9 +494,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val dir = textIndexDir(name)
     if (fs.exists(dir)) fs.delete(dir, true)
     writeTextSegment(name, cur, seg = 0, buckets = buckets,
-      positions = positions)
-    writeString(fs, new Path(dir, "meta.json"),
-      s"""{"type":"postings","buckets":$buckets,"positions":$positions}""")
+      positions = positions, genDir = new Path(dir, "gen_0"))
+    writeString(fs, textIndexMetaPath(name),
+      s"""{"type":"postings","buckets":$buckets,"positions":$positions,"gen":0}""")
   }
 
   /** One index segment: postings (term-bucket-partitioned, `seg`-tagged)
@@ -505,42 +505,33 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * in the same bucket layout — for `rows`, APPENDED into the shared
     * artifact directories.
     */
-  /** Write `df` partitioned by `term_bucket` — EXCEPT when it is empty:
-    * a dynamic-partition write of zero rows emits only _SUCCESS (no
-    * schema footer anywhere) and every later read of the directory
-    * fails schema inference. An empty frame writes flat instead, with
-    * `term_bucket` as an ordinary column — zero rows, schema intact,
-    * filters unaffected (there is nothing to prune).
-    */
-  private def writeBucketed(df: DataFrame, path: Path,
-      mode: String): Unit = {
-    val w = df.write.mode(mode).option("compression", Compression)
-    if (df.isEmpty) w.parquet(path.toString)
-    else w.partitionBy("term_bucket").parquet(path.toString)
-  }
-
   private def writeTextSegment(name: String, rows: DataFrame, seg: Int,
-      buckets: Int, positions: Boolean): Unit = {
-    val dir = textIndexDir(name)
+      buckets: Int, positions: Boolean, genDir: Path): Unit = {
     def bucketed(df: DataFrame): DataFrame = df
       .withColumn("seg", lit(seg))
       .withColumn("term_bucket",
         (conv(substring(md5(col("term")), 1, 4), 16, 10).cast("int")
           % buckets).cast("int"))
-    writeBucketed(
-      bucketed(graft.operators.TextAnalysis.invertedIndex(rows, "id", "payload")),
-      new Path(dir, "postings"), "append")
+    // always partitioned, even for a zero-row segment (the write then
+    // emits only _SUCCESS): readers pass explicit schemas, so the
+    // schemaless-empty-dir inference failure cannot occur, and every
+    // later partitioned append lands on a layout-compatible directory
+    bucketed(graft.operators.TextAnalysis.invertedIndex(rows, "id", "payload"))
+      .write.mode("append").option("compression", Compression)
+      .partitionBy("term_bucket")
+      .parquet(new Path(genDir, "postings").toString)
     if (positions)
-      writeBucketed(
-        bucketed(graft.operators.TextAnalysis
-          .invertedIndexPositional(rows, "id", "payload")),
-        new Path(dir, "positions"), "append")
+      bucketed(graft.operators.TextAnalysis
+          .invertedIndexPositional(rows, "id", "payload"))
+        .write.mode("append").option("compression", Compression)
+        .partitionBy("term_bucket")
+        .parquet(new Path(genDir, "positions").toString)
     graft.operators.TextAnalysis.docLengths(rows, "id", "payload")
       .join(rows.select(col("id"), md5(col("payload")).as("payload_md5")),
         Seq("id"))
       .withColumn("seg", lit(seg))
       .write.mode("append").option("compression", Compression)
-      .parquet(new Path(dir, "doclens").toString)
+      .parquet(new Path(genDir, "doclens").toString)
   }
 
   /** REINDEX type=postings;mode=refresh — INCREMENTAL index maintenance:
@@ -567,36 +558,19 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     *
     * Segments and tombstones accumulate with churn (reads pay one
     * broadcast anti-join regardless, but the dead rows still occupy
-    * scan bytes): the artifact's COMPACTION is simply the next full
-    * `REINDEX type=postings` — one flat seg-0 generation, empty
-    * tombstones. Schedule it when the tombstone fraction gets large,
-    * exactly like any LSM/Lucene merge policy.
+    * scan bytes): [[compactPostings]] merges them back to one flat
+    * generation at postings-read price (no re-tokenization) — schedule
+    * it when the tombstone fraction gets large, exactly like any
+    * LSM/Lucene merge policy; a full `REINDEX type=postings` does the
+    * same and re-derives from text.
     */
   def refreshPostings(name: String): Unit = {
     requireCollection(name)
-    val dir = textIndexDir(name)
-    require(fs.exists(new Path(dir, "meta.json")),
+    require(fs.exists(textIndexMetaPath(name)),
       s"no postings artifact on $name to refresh — run REINDEX type=postings first")
     val buckets = parseTextIndexBuckets(
-      readString(fs, new Path(dir, "meta.json")))
-    // completeness gate: a crash inside compactPostings' swap can leave
-    // a component dir missing with the stale marker up — refresh must
-    // NOT then clear the marker over a half-artifact (SEARCHPHRASE
-    // would serve path-not-found). Demand a full rebuild instead.
-    require(fs.exists(new Path(dir, "postings")) &&
-      fs.exists(new Path(dir, "doclens")) &&
-      (!textIndexHasPositions(name) || fs.exists(new Path(dir, "positions"))),
-      s"postings artifact on $name is incomplete (interrupted compaction?) " +
-        "— run a full REINDEX type=postings")
-    // an artifact that never indexed a row (built over an empty
-    // collection, or compacted down to nothing) stores its empty frames
-    // FLAT (see writeBucketed) — a partitioned delta append onto a flat
-    // dir would conflict Spark's partition discovery, and semantically
-    // refreshing an empty index IS building it: take the full path.
-    if (spark.read.parquet(new Path(dir, "doclens").toString).isEmpty) {
-      reindexPostings(name, buckets, positions = textIndexHasPositions(name))
-      return
-    }
+      readString(fs, textIndexMetaPath(name)))
+    val genDir = textGenDir(name)
     val cur = read(name)
     require(cur.columns.contains("payload"),
       s"REINDEX type=postings needs a payload column on $name")
@@ -618,19 +592,18 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       val newRows = cur.join(broadcast(arrivals.select("id")), Seq("id"))
       // coalesce: an artifact built over an empty collection has a
       // 0-row doclens — max(seg) is null and the first real segment is 1
-      val nextSeg = spark.read.parquet(new Path(dir, "doclens").toString)
+      val nextSeg = readArtifact(new Path(genDir, "doclens"), DoclensSchema)
         .agg(coalesce(max("seg"), lit(0)).as("m")).head().getInt(0) + 1
       writeTextSegment(name, newRows, nextSeg, buckets,
-        positions = textIndexHasPositions(name))
+        positions = textIndexHasPositions(name), genDir = genDir)
     }
     // tombstones: materialize the union BEFORE touching the old file
     // (the copy-on-write swap discipline — never overwrite a path the
     // plan still reads)
-    val tombPath = new Path(dir, "tombstones")
+    val tombPath = new Path(genDir, "tombstones")
     if (!departures.isEmpty) {
-      val newTombs = tombstonesOf(name).map(_.union(departures))
-        .getOrElse(departures)
-      val tmp = new Path(dir, "tombstones_tmp")
+      val newTombs = tombstones(name).union(departures)
+      val tmp = new Path(genDir, "tombstones_tmp")
       newTombs.write.mode("overwrite").option("compression", Compression)
         .parquet(tmp.toString)
       if (fs.exists(tombPath)) fs.delete(tombPath, true)
@@ -654,56 +627,56 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * reflect the collection, and compacting it would only launder
     * staleness — refresh (or rebuild) first, loudly.
     *
-    * Crash discipline: the stale marker goes up BEFORE the swap and
-    * comes down after — a crash mid-swap leaves the artifact marked
-    * stale (rescan serves; the next refresh/rebuild repairs), never a
-    * half-merged index silently serving.
+    * Crash discipline — GENERATION POINTER: the merged rows build in a
+    * fresh `gen_<g+1>/` directory while readers keep serving `gen_<g>`
+    * (compaction is ONLINE — no stale window); the single commit point
+    * is the meta.json overwrite that moves the pointer, after which the
+    * old generation (and any orphan from an earlier crash) is deleted.
+    * A crash before the flip leaves an orphan directory and an intact
+    * artifact; a crash after it leaves the new generation live and an
+    * unreferenced old directory — never a half-merged index serving.
     */
   def compactPostings(name: String): Unit = {
     requireCollection(name)
-    val dir = textIndexDir(name)
-    require(fs.exists(new Path(dir, "meta.json")),
+    require(fs.exists(textIndexMetaPath(name)),
       s"no postings artifact on $name to compact")
     require(!fs.exists(textIndexStaleMarker(name)),
       s"postings artifact on $name is stale — REINDEX type=postings " +
         "(or mode=refresh) first, then compact")
-    val postPath = new Path(dir, "postings")
-    val dlPath = new Path(dir, "doclens")
-    val tombPath = new Path(dir, "tombstones")
-    val livePost = {
-      val p = spark.read.parquet(postPath.toString)
-      tombstonesOf(name).fold(p)(t =>
-        p.join(broadcast(t), Seq("id", "seg"), "left_anti"))
-    }.withColumn("seg", lit(0))
-    val liveDl = liveDoclens(name).withColumn("seg", lit(0))
-    val posPath = new Path(dir, "positions")
+    val dir = textIndexDir(name)
+    val g = textIndexGen(name)
+    val genDir = textGenDir(name)
+    val nextDir = new Path(dir, s"gen_${g + 1}")
+    if (fs.exists(nextDir)) fs.delete(nextDir, true) // earlier crash orphan
     val hasPos = textIndexHasPositions(name)
-    val livePos = if (hasPos) Some {
-      val p = spark.read.parquet(posPath.toString)
-      tombstonesOf(name).fold(p)(t =>
-        p.join(broadcast(t), Seq("id", "seg"), "left_anti"))
+    val buckets = parseTextIndexBuckets(
+      readString(fs, textIndexMetaPath(name)))
+    def live(sub: String, schema: StructType): DataFrame =
+      readArtifact(new Path(genDir, sub), schema)
+        .join(broadcast(tombstones(name)), Seq("id", "seg"), "left_anti")
         .withColumn("seg", lit(0))
-    } else None
-    val postTmp = new Path(dir, "postings_tmp")
-    val dlTmp = new Path(dir, "doclens_tmp")
-    val posTmp = new Path(dir, "positions_tmp")
-    writeBucketed(livePost, postTmp, "overwrite")
-    liveDl.write.mode("overwrite").option("compression", Compression)
-      .parquet(dlTmp.toString)
-    livePos.foreach(writeBucketed(_, posTmp, "overwrite"))
-    writeString(fs, textIndexStaleMarker(name), "compacting")
-    fs.delete(postPath, true)
-    fs.delete(dlPath, true)
-    if (!fs.rename(postTmp, postPath) || !fs.rename(dlTmp, dlPath))
-      throw new IllegalStateException(s"postings compaction swap failed for $name")
-    if (hasPos) {
-      fs.delete(posPath, true)
-      if (!fs.rename(posTmp, posPath))
-        throw new IllegalStateException(
-          s"positions compaction swap failed for $name")
+    live("postings", PostingsSchema)
+      .write.mode("overwrite").option("compression", Compression)
+      .partitionBy("term_bucket")
+      .parquet(new Path(nextDir, "postings").toString)
+    live("doclens", DoclensSchema)
+      .write.mode("overwrite").option("compression", Compression)
+      .parquet(new Path(nextDir, "doclens").toString)
+    if (hasPos)
+      live("positions", PositionsSchema)
+        .write.mode("overwrite").option("compression", Compression)
+        .partitionBy("term_bucket")
+        .parquet(new Path(nextDir, "positions").toString)
+    // THE commit: one small-file overwrite moves the pointer
+    writeString(fs, textIndexMetaPath(name),
+      s"""{"type":"postings","buckets":$buckets,"positions":$hasPos,"gen":${g + 1}}""")
+    // best-effort cleanup of every generation but the live one (also
+    // sweeps orphans a crashed earlier compaction left behind)
+    Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("gen_") && n != s"gen_${g + 1}")
+        fs.delete(st.getPath, true)
     }
-    if (fs.exists(tombPath)) fs.delete(tombPath, true)
-    fs.delete(textIndexStaleMarker(name), false)
     ()
   }
 
@@ -744,12 +717,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         val buckets = parseTextIndexBuckets(
           readString(fs, new Path(tDir, "meta.json")))
         val wanted = phrase.map(bucketOfTerm(_, buckets)).distinct
-        val pos = spark.read
-          .parquet(new Path(tDir, "positions").toString)
+        readArtifact(new Path(textGenDir(name), "positions"),
+            PositionsSchema)
           .filter(col("term_bucket").isin(wanted: _*) &&
             col("term").isin(phrase.distinct: _*))
-        tombstonesOf(name).fold(pos)(t =>
-          pos.join(broadcast(t), Seq("id", "seg"), "left_anti"))
+          .join(broadcast(tombstones(name)), Seq("id", "seg"), "left_anti")
       } else {
         val cur = read(name)
         require(cur.columns.contains("payload"),
@@ -763,28 +735,62 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .limit(k)
   }
 
-  /** The tombstones frame `(id, seg)`, if any version was ever replaced
-    * or deleted.
+  /** The tombstones frame `(id, seg)` — empty when no version was ever
+    * replaced or deleted (anti-joining against it is then free).
     */
-  private def tombstonesOf(name: String): Option[DataFrame] = {
-    val p = new Path(textIndexDir(name), "tombstones")
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
-  }
+  private def tombstones(name: String): DataFrame =
+    readArtifact(new Path(textGenDir(name), "tombstones"), TombstonesSchema)
 
   /** Doclens with dead versions filtered out — the live document set of
     * the stored index (its row count and `dl` sum are the BM25 N and
     * avgdl). The tombstone side is a broadcast anti-join: it holds one
     * row per EVER-replaced version, orders of magnitude below doc count.
     */
-  private def liveDoclens(name: String): DataFrame = {
-    val dl = spark.read
-      .parquet(new Path(textIndexDir(name), "doclens").toString)
-    tombstonesOf(name).fold(dl)(t =>
-      dl.join(broadcast(t), Seq("id", "seg"), "left_anti"))
-  }
+  private def liveDoclens(name: String): DataFrame =
+    readArtifact(new Path(textGenDir(name), "doclens"), DoclensSchema)
+      .join(broadcast(tombstones(name)), Seq("id", "seg"), "left_anti")
 
   private def textIndexDir(name: String): Path =
     new Path(root, s"${ReservedPrefix}textindex_$name")
+
+  private def textIndexMetaPath(name: String): Path =
+    new Path(textIndexDir(name), "meta.json")
+
+  /** The artifact's current GENERATION — the pointer that makes
+    * compaction atomic: data lives under `gen_<g>/`, and the only
+    * commit point is the single meta.json overwrite that moves `g`.
+    * Readers resolve through the pointer, so they see the old
+    * generation until the new one is complete, and a crash mid-compact
+    * leaves an orphan directory, never a half-artifact.
+    */
+  private def textIndexGen(name: String): Int =
+    """"gen"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readString(fs, textIndexMetaPath(name)))
+      .map(_.group(1).toInt).getOrElse(0)
+
+  private def textGenDir(name: String): Path =
+    new Path(textIndexDir(name), s"gen_${textIndexGen(name)}")
+
+  // artifact frame schemas — reads pass them EXPLICITLY, so a
+  // dynamic-partition directory holding zero data files (an empty
+  // segment write emits only _SUCCESS) reads back as the empty frame
+  // instead of failing schema inference
+  private val PostingsSchema = StructType.fromDDL(
+    "term STRING, id BIGINT, tf BIGINT, seg INT, term_bucket INT")
+  private val PositionsSchema = StructType.fromDDL(
+    "term STRING, id BIGINT, pos BIGINT, seg INT, term_bucket INT")
+  private val DoclensSchema = StructType.fromDDL(
+    "id BIGINT, dl BIGINT, payload_md5 STRING, seg INT")
+  private val TombstonesSchema = StructType.fromDDL("id BIGINT, seg INT")
+
+  /** Read an artifact frame with its declared schema; a missing
+    * directory is the empty frame (nothing was ever written there).
+    */
+  private def readArtifact(p: Path,
+      schema: StructType): DataFrame =
+    if (fs.exists(p)) spark.read.schema(schema).parquet(p.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   private def textIndexStaleMarker(name: String): Path =
     new Path(textIndexDir(name), "stale")
@@ -866,7 +872,12 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         (intOf("shingleN"), intOf("numHashes"), intOf("rowsPerBand"))
       } else (5, 8, 2)
     val bands =
-      if (live) spark.read.parquet(new Path(dir, "bands").toString)
+      // explicit schema: a minhash artifact built over an empty (or
+      // all-too-short-payload) collection has a schemaless partitioned
+      // dir — inference would fail, the declared schema reads it empty
+      if (live) spark.read
+        .schema(StructType.fromDDL("id BIGINT, band_key STRING, band INT"))
+        .parquet(new Path(dir, "bands").toString)
       else graft.operators.Dedup.bandKeys(
         graft.operators.Dedup.minhashSignatures(
           graft.operators.Dedup.explodeShingles(

@@ -12,6 +12,14 @@ class GraftDatabaseSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // the text artifact's data lives under a generation dir (the atomic
+  // compaction pointer) — resolve the CURRENT one for direct-path asserts
+  private def genDir(db: graft.core.GraftDatabase, coll: String): String = {
+    val base = new java.io.File(s"${db.root}/graft_textindex_$coll")
+    base.listFiles().filter(_.getName.startsWith("gen_"))
+      .maxBy(_.getName.drop(4).toInt).toString
+  }
+
   private def freshDb(): GraftDatabase = {
     val parent = Files.createTempDirectory("graftdb").toString
     GraftDatabase.create(spark, parent, "testdb")
@@ -227,7 +235,7 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(db.searchText("docs", Seq("rewritten"), k = 5)
       .select("id").as[Long].collect().toSeq == Seq(2L))
     // idempotence: a refresh with no changes appends nothing
-    val dlPath = s"${db.root}/graft_textindex_docs/doclens"
+    val dlPath = s"${genDir(db, "docs")}/doclens"
     val before = spark.read.parquet(dlPath).count()
     db.refreshPostings("docs")
     assert(spark.read.parquet(dlPath).count() == before,
@@ -292,7 +300,7 @@ class GraftDatabaseSpec extends AnyFunSuite {
     db.refreshPostings("docs")
     def q() = db.searchText("docs", Seq("vector", "data"), k = 10)
     val before = q().as[(Long, Double, Long)].collect().toSeq
-    val dlPath = s"${db.root}/graft_textindex_docs/doclens"
+    val dlPath = s"${genDir(db, "docs")}/doclens"
     assert(spark.read.parquet(dlPath).select("seg").distinct().count() > 1,
       "churn must have produced multiple segments")
     graft.commands.CommandExecutor.execute(db,
@@ -303,11 +311,14 @@ class GraftDatabaseSpec extends AnyFunSuite {
       "compaction must be content-preserving")
     assert(q().queryExecution.executedPlan.toString.contains("textindex_docs"),
       "the compacted artifact must keep serving the stored path")
-    assert(spark.read.parquet(dlPath).select("seg").distinct()
+    assert(spark.read.parquet(s"${genDir(db, "docs")}/doclens")
+      .select("seg").distinct()
       .as[Int].collect().toSeq == Seq(0), "one flat generation after compact")
     assert(!new java.io.File(
-      s"${db.root}/graft_textindex_docs/tombstones").exists(),
+      s"${genDir(db, "docs")}/tombstones").exists(),
       "tombstones clear on compact")
+    assert(genDir(db, "docs").endsWith("gen_1"),
+      "compaction must have flipped the generation pointer")
     // a further refresh on the compacted artifact still works
     db.update("docs", Seq(
       VectorRecord(4L, Array(0.5f, 0.5f), "twice arrived vector")).toDF())
