@@ -548,13 +548,14 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * loud). Unique ids assumed, as everywhere in the index family (the
     * UPDATE-key contract).
     *
-    * Measured (RefreshBench, 1% delta): at 5k docs the refresh LOSES
-    * (1.9× — per-job overhead swamps the avoided tokenization); at
-    * 100k/250k docs it wins (0.39×/0.58×), and the gap keeps widening
-    * because the refresh's corpus-sized work is one cheap (id, md5)
-    * column scan while the rebuild re-tokenizes, re-shuffles, and
-    * re-writes every posting. The crossover is a few tens of thousands
-    * of documents — i.e. everywhere the operator matters.
+    * Measured (RefreshBench, 1% delta, generation layout): at 5k docs
+    * the refresh LOSES (~1.8× — per-job overhead swamps the avoided
+    * tokenization); at 100k docs it wins (~0.4–0.6× across runs), and
+    * the gap keeps widening because the refresh's corpus-sized work is
+    * one cheap (id, md5) column scan while the rebuild re-tokenizes,
+    * re-shuffles, and re-writes every posting. The crossover is a few
+    * tens of thousands of documents — i.e. everywhere the operator
+    * matters.
     *
     * Segments and tombstones accumulate with churn (reads pay one
     * broadcast anti-join regardless, but the dead rows still occupy
