@@ -84,9 +84,10 @@ object SparkEntry {
     // q187/q188/q189/q191 are oracle round-trips dominated by scratch
     // setup or covered shapes (q33's verify join, q45's rewrite path).
     "q186_triangles", "q190_snm_dedup",
-    // round-11 addition: retrieval over the STORED postings artifact at
+    // round-11 additions: retrieval over the STORED postings artifact at
     // steady state (build amortized into the first/warmup call) — a
-    // partition-pruned postings join with NO corpus scan, a shape no
-    // other bench entry has.
-    "q201_searchtext_stored")
+    // partition-pruned postings join with NO corpus scan — and phrase
+    // retrieval over the stored POSITIONAL rows (m−1 keyed positional
+    // joins), shapes no other bench entry has.
+    "q201_searchtext_stored", "q210_phrase_bench")
 }

@@ -51,7 +51,10 @@ object PipelineQueries {
     postingsDbCache.getOrElseUpdate(
       s"${System.identityHashCode(s)}:$dir", {
         val db = hybridCollection(s, dir, "graft_q201")
-        db.reindexPostings("docs", buckets = 64)
+        // positions ride in the same artifact: q201 (BM25) and q210
+        // (phrase) share one cached build; the postings content — and
+        // q201's gate — are unchanged by the positional sibling
+        db.reindexPostings("docs", buckets = 64, positions = true)
         db
       })
 
@@ -822,6 +825,16 @@ object PipelineQueries {
         .searchText("docs", Seq("vector", "data", "merge"), k = 20)
     }),
 
+    // Steady-state PHRASE retrieval over the same cached artifact: the
+    // positional-join shape (m−1 keyed joins on (doc, pos+i) against
+    // pruned partitions) at serving grain — the 26th bench entry, a
+    // plan no other entry has. Oracle: the consecutive-token match over
+    // the hybrid collection's rows.
+    "q210_phrase_bench" -> ((s, dir) => {
+      storedPostingsDb(s, dir)
+        .searchPhrase("docs", Seq("stream", "data"), k = 20)
+    }),
+
     // INCREMENTAL index maintenance end to end (the nightly-delta story):
     // build the postings artifact, mutate the collection (insert a 10%
     // slice re-tagged with a marker term, rewrite one doc, delete an id
@@ -1454,6 +1467,22 @@ object PipelineQueries {
 
     // the managed screen equals the raw operator: q204's oracle verbatim
     "q207_screen_dupes" -> DedupQueries.oracles("q204_incoming_dedup"),
+
+    // the cached-artifact phrase serve must equal the from-text
+    // recompute over the hybrid collection's rows
+    "q210_phrase_bench" ->
+      """WITH base AS (
+        |  SELECT d.doc_id AS id, d.text
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |toks AS (
+        |  SELECT id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM base)
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM (SELECT id, w, unnest(range(1, len(w))) AS i FROM toks)
+        |WHERE w[i] = 'stream' AND w[i+1] = 'data'
+        |GROUP BY id
+        |ORDER BY n_hits DESC, id
+        |LIMIT 20""".stripMargin,
 
     // the stored positional path must equal the from-text recompute
     "q209_phrase_stored" ->

@@ -613,6 +613,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the k-cut must be a bounded top-k:\n${p.take(1500)}")
   }
 
+  test("q210 stored phrase: pruned positional partitions, keyed joins only") {
+    val p = plan("q210_phrase_bench")
+    assert(p.contains("PartitionFilters") && p.contains("term_bucket"),
+      s"the positions scan must prune to the phrase terms' buckets:\n${p.take(2000)}")
+    assert(!p.contains("regexp"),
+      s"stored phrase match must not re-tokenize the corpus:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the (doc, pos+i) legs must be keyed equi-joins:\n${p.take(2000)}")
+  }
+
   test("q204 incoming dedup: band-keyed probe, keyed verification, no cartesian") {
     // construction writes the stored-band artifact once (scratch); the
     // audited plan is the probe + verification
