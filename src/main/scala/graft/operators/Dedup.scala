@@ -1050,4 +1050,190 @@ object Dedup {
             s => s.getField("chunk")),
           " ").as("text"))
   }
+
+  /** Keep-FIRST span dedup — the other published convention: where
+    * [[spanDedup]] drops EVERY copy of a repeated span (the
+    * boilerplate-removal rule), CCNet's paragraph dedup (Wenzek et al.
+    * 2020 §3.1) keeps exactly ONE copy — the first occurrence in corpus
+    * order — and drops the rest. First = lexicographic min of
+    * `(idCol, chunk_id)` over the span's signature group, so the winner
+    * is deterministic under any partitioning.
+    *
+    * Same output grain as [[spanDedup]]: `(idCol, n_spans, n_kept,
+    * text)`.
+    *
+    * Scale shape: the census aggregates `min(struct(id, chunk_id))` per
+    * signature — a map-side-combinable agg, NOT a corpus-wide window
+    * (`row_number` over sig groups would sort every group; min-struct
+    * folds to one row per partial) — then one sig-keyed join back and
+    * the doc-grain reassembly.
+    */
+  def spanDedupKeepFirst(df: DataFrame, idCol: String, textCol: String,
+      spanSize: Int): DataFrame = {
+    val spans = TextAnalysis.chunkDocuments(df, idCol, textCol,
+      chunkSize = spanSize, stride = spanSize)
+    val first = spans.groupBy("chunk_sig")
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__first"))
+    spans.join(first, "chunk_sig")
+      .withColumn("__keep",
+        col("__first").getField(idCol) === col(idCol) &&
+          col("__first").getField("chunk_id") === col("chunk_id"))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("chunk_id"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("text"))
+  }
+
+  /** Exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", §ExactSubstr): remove
+    * every token position that lies inside a substring of at least
+    * `minTokens` tokens occurring MORE THAN ONCE in the corpus —
+    * including self-repeats within a single document. All occurrences
+    * are removed (the published deduplicate-text-datasets usage and the
+    * CCNet/RefinedWeb all-copies boilerplate rule; [[spanDedup]]'s
+    * `maxFreq = 1` convention).
+    *
+    * The paper builds a suffix array over the concatenated corpus; a
+    * suffix array is the wrong tool on Spark, but the SAME removal set
+    * falls out of a window identity, exactly: a position lies inside a
+    * duplicated substring of length >= L  iff  it lies inside a
+    * duplicated L-token window. (Forward: any duplicated substring of
+    * length M >= L that covers position p contains a window of exactly
+    * L tokens covering p — window starts `[a, a+M-L]` intersect
+    * `[p-L+1, p]` whenever `a <= p < a+M` — and every L-window of a
+    * duplicated substring is itself duplicated. Reverse: a duplicated
+    * L-window IS a duplicated substring of length >= L.) So counting
+    * OVERLAPPING L-token windows corpus-wide and unioning the covered
+    * positions of the duplicated ones reproduces the suffix-array
+    * answer with explode/count/join shapes only.
+    *
+    * Returns one row per doc with >= 1 token:
+    * `(idCol, n_tokens, n_kept, text)` — `text` is the document with
+    * every covered token dropped ("" when fully duplicated); docs
+    * shorter than `minTokens` pass through untouched (no window fits).
+    *
+    * Scale shape: one narrow explode emits the ~n windows per doc (the
+    * window signature is an md5 over a bounded L-token slice); ONE
+    * shuffle counts signatures; the duplicated-signature table joins
+    * back on the SAME key (at corpus scale both sides shuffle on
+    * win_sig over the identical sub-plan — reuse-eligible; at test SFs
+    * AQE broadcasts both small sides instead, so PlanDump shows NO
+    * corpus-side shuffle at all); covered positions explode at most
+    * windows x L rows and collapse by `distinct` on `(id, pos)`, the
+    * exact key the token-side left join partitions on next. No
+    * all-pairs stage, no windows over the corpus, no driver state; hot
+    * signatures cost a count, never a set (a window duplicated k times
+    * contributes k·L covered rows — linear, unlike pair emission's
+    * k²). Removal is strictly linear in corpus tokens x L.
+    */
+  def exactSubstringDedup(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val wins = overlappingWindows(df, idCol, textCol, minTokens)
+    val dupSigs = wins.groupBy("win_sig").agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).select("win_sig")
+    val covered = coveredPositions(
+      wins.join(dupSigs, Seq("win_sig"), "left_semi"), idCol, minTokens)
+    removeCoveredTokens(tokenRows(df, idCol, textCol), covered, idCol)
+  }
+
+  /** `(idCol, pos, tok)` — whitespace tokens with 0-based positions;
+    * zero-token docs emit nothing (the [[exactSubstringDedup]] grain). */
+  private[operators] def tokenRows(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
+      .select(col(idCol), posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .withColumn("pos", col("pos").cast("long"))
+
+  /** Every overlapping `minTokens`-token window of every doc:
+    * `(idCol, w_start, win_sig)` — win_sig an md5 over the space-joined
+    * slice, so any engine (and any later session) recomputes the
+    * identical signatures from text alone. */
+  private[operators] def overlappingWindows(df: DataFrame, idCol: String,
+      textCol: String, minTokens: Int): DataFrame = {
+    val L = minTokens
+    df.select(col(idCol),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .where(col("__n") >= L)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0L), col("__n") - L)).as("w_start"))
+      .select(col(idCol), col("w_start"),
+        md5(array_join(
+          slice(col("__toks"), (col("w_start") + 1).cast("int"), lit(L)),
+          " ")).as("win_sig"))
+  }
+
+  /** Union of the positions the given windows cover, collapsed to
+    * `(idCol, pos)` — `distinct` shuffles on the exact key the
+    * token-side left join partitions on next. */
+  private def coveredPositions(wins: DataFrame, idCol: String,
+      minTokens: Int): DataFrame =
+    wins.select(col(idCol),
+        explode(sequence(col("w_start"), col("w_start") + (minTokens - 1)))
+          .as("pos"))
+      .distinct()
+
+  /** Drop covered tokens and reassemble: one row per doc with >= 1
+    * token, `(idCol, n_tokens, n_kept, text)` — the collect buffer is
+    * bounded by the document's own token count. */
+  private def removeCoveredTokens(tokens: DataFrame, covered: DataFrame,
+      idCol: String): DataFrame =
+    tokens
+      .join(covered.withColumn("__dup", lit(1)), Seq(idCol, "pos"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__dup").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__dup").isNull,
+              struct(col("pos"), col("tok"))))),
+            s => s.getField("tok")),
+          " ").as("text"))
+
+  /** The storable exact-substring screening artifact: the DISTINCT
+    * `win_sig` table of a corpus ([[overlappingWindows]] collapsed).
+    * Write once beside the collection; [[incomingCoveredText]] probes
+    * it at ingest time without touching corpus text. */
+  def windowSigs(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame =
+    overlappingWindows(df, idCol, textCol, minTokens)
+      .select("win_sig").distinct()
+
+  /** Ingest-time exact-substring screening (the [[incomingNearDups]]
+    * counterpart for [[exactSubstringDedup]]): scrub from each ARRIVING
+    * document every token position covered by a `minTokens`-token window
+    * already present in the stored corpus signature table
+    * ([[windowSigs]]). Each arriving doc is screened independently
+    * against the corpus only — batch-internal repeats are the
+    * corpus-wide pass's job, and keeping the per-doc math independent is
+    * what lets the streaming twin gate on this operator's oracle
+    * verbatim.
+    *
+    * Returns `(idCol, n_tokens, n_kept, text)` per arriving doc with
+    * >= 1 token.
+    *
+    * Scale shape: the batch explodes its own windows (narrow), probes
+    * the artifact with ONE sig-keyed left-semi join (batch-sized left,
+    * artifact streamed through the join — never collected), then the
+    * covered-position collapse and the doc-grain reassembly; corpus
+    * text is never read.
+    */
+  def incomingCoveredText(corpusSigs: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, minTokens: Int): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val wins = overlappingWindows(batch, idCol, textCol, minTokens)
+    val covered = coveredPositions(
+      wins.join(corpusSigs.select("win_sig"), Seq("win_sig"), "left_semi"),
+      idCol, minTokens)
+    removeCoveredTokens(tokenRows(batch, idCol, textCol), covered, idCol)
+  }
 }

@@ -54,6 +54,54 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Exact-substring dedup (Lee et al. 2021 ExactSubstr): remove every
+    // token position covered by a >= 15-token substring occurring more
+    // than once corpus-wide (self-repeats included, all copies removed).
+    // The suffix-array answer, reproduced exactly by the duplicated
+    // overlapping-window identity — see Dedup.exactSubstringDedup.
+    "q211_exact_substring" -> ((s, dir) => {
+      Dedup.exactSubstringDedup(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", minTokens = 15)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("text")).as("text_sig"))
+        .orderBy("doc_id")
+    }),
+
+    // Keep-first span dedup (CCNet's keep-one-copy convention): the
+    // first corpus-order occurrence of every repeated 20-token span
+    // survives, later copies drop. min(struct) census — no corpus
+    // window.
+    "q212_span_keep_first" -> ((s, dir) => {
+      Dedup.spanDedupKeepFirst(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", spanSize = 20)
+        .select(col("doc_id"), col("n_spans"), col("n_kept"),
+          md5(col("text")).as("text_sig"))
+        .orderBy("doc_id")
+    }),
+
+    // Ingest-time exact-substring screening: the corpus's distinct
+    // 15-token window signatures are WRITTEN as an artifact, read back,
+    // and an arriving batch (corpus docs wrapped in fresh tokens) is
+    // scrubbed of every position covered by a stored window. The oracle
+    // replays both the artifact's signature chain and the screening.
+    "q213_incoming_substring" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      val sigsPath = Scratch.dir("graft_q213") + "/winsigs"
+      Dedup.windowSigs(docs, "doc_id", "text", minTokens = 15)
+        .write.mode("overwrite").parquet(sigsPath)
+      val stored = s.read.parquet(sigsPath)
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(lit("fb1 fb2 "), col("text"), lit(" fe1")).as("text"))
+      Dedup.incomingCoveredText(stored, batch, "doc_id", "text",
+          minTokens = 15)
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("text")).as("text_sig"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash (8 hashes over 5-gram word shingles) + LSH banding (4 bands
     // of 2): candidate near-dup pairs. Explode→aggregate shapes only; the
     // pair join is on band keys, never all-pairs.
@@ -549,6 +597,106 @@ object DedupQueries {
         |FROM spans JOIN f ON md5(chunk) = f.sig
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q211_exact_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS tok
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i FROM t)),
+        |w AS (
+        |  SELECT doc_id, CAST(s AS BIGINT) AS s,
+        |    md5(array_to_string(toks[s+1 : s+15], ' ')) AS sig
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 15 + 1)) AS s
+        |        FROM t WHERE len(toks) >= 15)),
+        |d AS (SELECT sig FROM w GROUP BY sig HAVING count(*) > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+        |  FROM (SELECT w.doc_id, unnest(range(w.s, w.s + 15)) AS p
+        |        FROM w JOIN d ON w.sig = d.sig))
+        |SELECT tok.doc_id AS doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN cov.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  md5(coalesce(
+        |    string_agg(tok.tok, ' ' ORDER BY tok.pos)
+        |      FILTER (WHERE cov.pos IS NULL),
+        |    '')) AS text_sig
+        |FROM tok LEFT JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |GROUP BY tok.doc_id
+        |ORDER BY tok.doc_id""".stripMargin,
+
+    "q212_span_keep_first" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 0 THEN 0
+        |         ELSE 1 + greatest((len(toks) - 20 + 19) // 20, 0)
+        |    END AS nc
+        |  FROM t),
+        |spans AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |    array_to_string(toks[i*20+1 : i*20+20], ' ') AS chunk
+        |  FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)),
+        |r AS (
+        |  SELECT doc_id, chunk_id, chunk,
+        |    row_number() OVER (PARTITION BY md5(chunk)
+        |      ORDER BY doc_id, chunk_id) AS rn
+        |  FROM spans)
+        |SELECT doc_id,
+        |  count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(
+        |    string_agg(chunk, ' ' ORDER BY chunk_id) FILTER (WHERE rn = 1),
+        |    '')) AS text_sig
+        |FROM r
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q213_incoming_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |cs AS (
+        |  SELECT DISTINCT md5(array_to_string(toks[s+1 : s+15], ' ')) AS sig
+        |  FROM (SELECT toks, unnest(range(0, len(toks) - 15 + 1)) AS s
+        |        FROM t WHERE len(toks) >= 15)),
+        |b AS (
+        |  SELECT doc_id + 500000 AS doc_id,
+        |    'fb1 fb2 ' || text || ' fe1' AS text
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |bt AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM b),
+        |tok AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS tok
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i
+        |        FROM bt)),
+        |w AS (
+        |  SELECT doc_id, CAST(s AS BIGINT) AS s,
+        |    md5(array_to_string(toks[s+1 : s+15], ' ')) AS sig
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 15 + 1)) AS s
+        |        FROM bt WHERE len(toks) >= 15)),
+        |hit AS (SELECT w.doc_id, w.s FROM w JOIN cs ON w.sig = cs.sig),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+        |  FROM (SELECT hit.doc_id, unnest(range(hit.s, hit.s + 15)) AS p
+        |        FROM hit))
+        |SELECT tok.doc_id AS doc_id,
+        |  count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN cov.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  md5(coalesce(
+        |    string_agg(tok.tok, ' ' ORDER BY tok.pos)
+        |      FILTER (WHERE cov.pos IS NULL),
+        |    '')) AS text_sig
+        |FROM tok LEFT JOIN cov
+        |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |GROUP BY tok.doc_id
+        |ORDER BY tok.doc_id""".stripMargin,
 
     "q31_minhash_lsh" ->
       s"""WITH $shinglesCte,

@@ -397,6 +397,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "span census must combine map-side")
   }
 
+  test("q211 exact substring: sig/pos equi-joins, no window, no cartesian") {
+    val p = plan("q211_exact_substring")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"),
+      s"coverage + reassembly must be joins/aggs, never a window:\n${p.take(2000)}")
+    // the window census combines map-side; covered positions collapse on
+    // (doc_id, pos) — the left-join key — before the token-side probe
+    assert(p.contains("partial_count"),
+      "window census must combine map-side")
+    assert(p.contains("LeftOuter"),
+      s"token-side coverage probe must be a left equi-join:\n${p.take(2000)}")
+  }
+
   test("q133 cdc dedup: boundary window partitions by document") {
     val p = plan("q133_cdc_dedup")
     assert(!p.contains("CartesianProduct") &&

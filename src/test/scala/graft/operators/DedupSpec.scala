@@ -297,6 +297,88 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Seq("a b c d e f", "c d x y", "c d"))
   }
 
+  test("exactSubstringDedup: window coverage reproduces suffix-array removal") {
+    // minTokens=3. Scenarios (token alphabets disjoint per scenario):
+    //  docs 1/2 share EXACTLY a 3-run "c d e"  → those 3 go from both;
+    //  doc 3 self-repeats "p q r"              → fully covered, text "";
+    //  doc 4 is shorter than L                 → untouched;
+    //  docs 5/6 share only a 2-run "n o" (< L) → untouched;
+    //  docs 7/8 share a 4-run (two overlapping dup windows) → the UNION
+    //    of the windows (all 4 tokens) goes, not 3.
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x c d e y z w"),
+      (3L, "p q r p q r"),
+      (4L, "a b"),
+      (5L, "m n o j"),
+      (6L, "n o q m"),
+      (7L, "u1 c0 d0 e0 f0 u2"),
+      (8L, "v1 v2 c0 d0 e0 f0")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringDedup(docs, "doc_id", "text", minTokens = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_kept", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 7L, 4L, "a b f g"),
+      (2L, 7L, 4L, "x y z w"),
+      (3L, 6L, 0L, ""),
+      (4L, 2L, 2L, "a b"),
+      (5L, 4L, 4L, "m n o j"),
+      (6L, 4L, 4L, "n o q m"),
+      (7L, 6L, 2L, "u1 u2"),
+      (8L, 6L, 2L, "v1 v2")),
+      s"exact-substring semantics diverged: $out")
+  }
+
+  test("spanDedupKeepFirst: first corpus-order copy survives, later drop") {
+    // "c d" occurs 3x — first occurrence is doc 1 chunk 1, so doc 1 is
+    // untouched while docs 2/3 lose their copies; a WITHIN-doc repeat
+    // keeps only its earliest chunk.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "c d x y"),
+      (3L, "c d"),
+      (4L, "k l k l")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupKeepFirst(docs, "doc_id", "text", spanSize = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_kept", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 3L, "a b c d e f"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 1L, 0L, ""),
+      (4L, 2L, 1L, "k l")),
+      s"keep-first semantics diverged: $out")
+  }
+
+  test("incomingCoveredText: stored-window probe, corpus-only screening") {
+    val corpus = Seq((1L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val sigs = Dedup.windowSigs(corpus, "doc_id", "text", minTokens = 3)
+    // corpus exposes 3 window sigs; the artifact is distinct
+    assert(sigs.count() == 3L)
+    val batch = Seq(
+      (10L, "x1 w2 w3 w4 x2"), // interior hit -> covers pos 1-3
+      (11L, "w2 w3 z"),        // 3-token window, NOT in corpus
+      (12L, "q1 q2 q3"),       // batch-internal dup pair: NOT screened
+      (13L, "q1 q2 q3"),
+      (14L, "a b")             // shorter than L
+    ).toDF("doc_id", "text")
+    val out = Dedup.incomingCoveredText(sigs, batch, "doc_id", "text",
+        minTokens = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_kept", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (10L, 5L, 2L, "x1 x2"),
+      (11L, 3L, 3L, "w2 w3 z"),
+      (12L, 3L, 3L, "q1 q2 q3"),
+      (13L, 3L, 3L, "q1 q2 q3"),
+      (14L, 2L, 2L, "a b")),
+      s"screening semantics diverged: $out")
+  }
+
   test("cdcSpans: content-defined boundaries survive an insertion") {
     // A long synthetic doc and the same doc with one token inserted near
     // the front: fixed-size chunking shifts EVERY later chunk; CDC must
