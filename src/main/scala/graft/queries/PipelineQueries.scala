@@ -263,6 +263,18 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Streaming exact-substring screening: arriving docs scrubbed of
+    // corpus-covered windows via one stream-static join + one agg.
+    // Same oracle text as q213 — stream ≡ batch row-for-row.
+    "q214_stream_substring" -> ((s, dir) => {
+      StreamingIngest
+        .streamIncomingSubstring(s, dir,
+          queryName = Scratch.name("stream_incoming_substring"))
+        .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("text")).as("text_sig"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming span dedup: incoming docs cleaned against the static
     // span census. Same oracle text as q131 — stream ≡ batch row-for-row
     // (the census already covers the streamed docs).
@@ -1271,6 +1283,9 @@ object PipelineQueries {
     // q204's oracle verbatim (identical distinct sets, identical single
     // division — see streamIncomingDedup's reformulation note)
     "q205_stream_incoming" -> DedupQueries.oracles("q204_incoming_dedup"),
+
+    // the streamed substring screening must equal the batch pass
+    "q214_stream_substring" -> DedupQueries.oracles("q213_incoming_substring"),
 
     // the streamed span-dedup must equal the batch pass row-for-row
     "q134_stream_span_dedup" -> DedupQueries.oracles("q131_span_dedup"),

@@ -376,6 +376,77 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Streaming ingest-time exact-substring screening — [[graft.operators
+    * .Dedup.incomingCoveredText]] reformulated for a stream: the corpus
+    * window-signature table ([[graft.operators.Dedup.windowSigs]]) is
+    * the static side; each arriving doc computes its own window starts
+    * per row (explode_OUTER so window-less docs survive), marks stored
+    * windows through ONE stream-static left join, and a SINGLE
+    * aggregation collects the matched starts while carrying the token
+    * array — the covered-position drop and reassembly are post-agg HOF
+    * math (collect_list skips nulls = unmatched windows). Streaming
+    * cannot chain aggregations; this shape has exactly one.
+    *
+    * The streamed batch is q213's: the %7=3 slice, ids shifted, fresh
+    * tokens wrapped around the text — so the gate reuses q213's oracle
+    * verbatim (stream ≡ batch).
+    */
+  def streamIncomingSubstring(spark: SparkSession, sfDir: String,
+      minTokens: Int = 15,
+      queryName: String = "stream_incoming_substring"): DataFrame = {
+    val L = minTokens
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val corpusSigs = graft.operators.Dedup.windowSigs(
+      spark.read.parquet(path).select(col("doc_id"), col("text")),
+      "doc_id", "text", L)
+
+    val arriving = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(lit("fb1 fb2 "), col("text"), lit(" fe1")).as("text"))
+      .select(col("doc_id"),
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .filter(col("__n") > 0)
+    val wins = arriving
+      .select(col("doc_id"), col("__toks"),
+        explode_outer(when(col("__n") >= L,
+            sequence(lit(0L), col("__n") - L))
+          .otherwise(array().cast("array<bigint>"))).as("w_start"))
+      .withColumn("win_sig", when(col("w_start").isNotNull,
+        md5(array_join(
+          slice(col("__toks"), (col("w_start") + 1).cast("int"), lit(L)),
+          " "))))
+    val marked = wins.join(
+      corpusSigs.withColumn("__hit", lit(1)), Seq("win_sig"), "left")
+    val out = marked.groupBy("doc_id")
+      .agg(
+        first(col("__toks")).as("__toks"),
+        collect_list(when(col("__hit") === 1, col("w_start")))
+          .as("__starts"))
+      // kept tokens materialized ONCE (n_kept and text both read it)
+      .withColumn("__kept", filter(col("__toks"),
+        (t, i) => !exists(col("__starts"),
+          s => s <= i.cast("long") && i.cast("long") < s + L)))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("text"))
+
+    val q = out.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming document chunking: [[graft.operators.TextAnalysis
     * .chunkDocuments]] applied to documents arriving as a stream — the
     * ingest-time segmentation path of a continuously-fed corpus. The
