@@ -209,6 +209,9 @@ object CommandExecutor {
               shingleN = opts.getOrElse("shingles", "5").toInt,
               numHashes = opts.getOrElse("hashes", "8").toInt,
               rowsPerBand = opts.getOrElse("rows", "2").toInt)
+          case "winsig" =>
+            db.reindexWinsig(coll,
+              minTokens = opts.getOrElse("mintokens", "15").toInt)
           case "tokenizer" =>
             // the trained-artifact family: like zorder this records intent
             // in a sidecar rather than a cluster_id partition layout
@@ -217,7 +220,7 @@ object CommandExecutor {
               nMerges = opts.getOrElse("merges", "10").toInt)
           case other => throw new IllegalArgumentException(
             "REINDEX type must be sign, kmeans, zorder, pq, ivfpq, " +
-              s"postings, minhash, or tokenizer, got: $other")
+              s"postings, minhash, winsig, or tokenizer, got: $other")
         }
         status("REINDEX", coll)
     }

@@ -68,6 +68,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     fs.delete(dir, true)
     deleteTextIndex(name) // the artifacts must not outlive their collection
     deleteMinhashIndex(name)
+    deleteWinsigIndex(name)
     ()
   }
 
@@ -156,6 +157,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     requireCollection(name)
     invalidateTextIndex(name) // appended rows are not in the stored postings
     invalidateMinhashIndex(name) // ... nor in the stored signatures
+    invalidateWinsigIndex(name) // ... nor in the stored window sigs
     // derived columns the existing data carries (quantized copy, cluster
     // assignment) are recomputed for arriving rows in the same write pass —
     // an append may never produce rows missing a column the readers expect.
@@ -247,6 +249,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     requireCollection(name)
     invalidateTextIndex(name)
     invalidateMinhashIndex(name)
+    invalidateWinsigIndex(name)
     val current = read(name)
     val hasIndex = current.columns.contains("cluster_id")
     val hasQuant = current.columns.contains(QuantCol)
@@ -290,6 +293,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     requireCollection(name)
     invalidateTextIndex(name)
     invalidateMinhashIndex(name)
+    invalidateWinsigIndex(name)
     rewrite(name, graft.operators.Mutations.deleteWhere(read(name), predicate))
   }
 
@@ -318,6 +322,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     requireCollection(name)
     invalidateTextIndex(name)
     invalidateMinhashIndex(name)
+    invalidateWinsigIndex(name)
     import spark.implicits._
     val next = align(name, snapshot)
     val current = read(name)
@@ -901,6 +906,95 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
 
   private def deleteMinhashIndex(name: String): Unit = {
     val dir = minhashDir(name)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+
+  // ---- window-signature artifact (exact-substring ingest screening) ------
+
+  private def winsigDir(name: String): Path =
+    new Path(root, s"${ReservedPrefix}winsig_$name")
+
+  private def winsigStaleMarker(name: String): Path =
+    new Path(winsigDir(name), "stale")
+
+  /** REINDEX type=winsig — materialize the collection's DISTINCT
+    * overlapping `minTokens`-token window signature table
+    * ([[graft.operators.Dedup.windowSigs]] over the payload column) as a
+    * managed artifact: the corpus side of [[screenSubstrings]], computed
+    * once instead of per arriving batch. meta.json records minTokens so
+    * the probe always windows with the width the artifact was built with
+    * (md5 sigs from different widths never collide — a mixed-width probe
+    * would silently match nothing).
+    */
+  def reindexWinsig(name: String, minTokens: Int = 15): Unit = {
+    requireCollection(name)
+    require(minTokens >= 2, s"bad winsig minTokens: $minTokens")
+    val cur = read(name)
+    require(cur.columns.contains("payload"),
+      s"REINDEX type=winsig needs a payload column on $name")
+    val dir = winsigDir(name)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    graft.operators.Dedup.windowSigs(cur, "id", "payload", minTokens)
+      .write.option("compression", Compression)
+      .parquet(new Path(dir, "sigs").toString)
+    writeString(fs, new Path(dir, "meta.json"),
+      s"""{"type":"winsig","minTokens":$minTokens}""")
+  }
+
+  /** Scrub an arriving batch (`id`, `payload`) of every token position
+    * covered by a >= minTokens-token window already present in the
+    * collection — [[graft.operators.Dedup.incomingCoveredText]] through
+    * the managed surface. With a LIVE winsig artifact the corpus side is
+    * the stored signature table (the batch pays only its own windows +
+    * one semi-join); without one — or when a mutation has marked it
+    * stale — the signatures recompute from the collection in the same
+    * query (identical md5-pure values, so results never change, only
+    * cost). Width comes from the artifact's meta whenever one exists,
+    * EVEN STALE ([[screenDupes]]'s recorded-parameters rule); the
+    * default applies only when no artifact was ever built. Output:
+    * `(id, n_tokens, n_kept, text)` per arriving doc with >= 1 token.
+    */
+  def screenSubstrings(name: String, batch: DataFrame,
+      defaultMinTokens: Int = 15): DataFrame = {
+    requireCollection(name)
+    val cur = read(name)
+    require(cur.columns.contains("payload"),
+      s"substring screening needs a payload column on $name")
+    require(batch.columns.contains("id") && batch.columns.contains("payload"),
+      s"screen batch needs (id, payload) columns — got " +
+        batch.columns.mkString("(", ", ", ")"))
+    val dir = winsigDir(name)
+    val hasMeta = fs.exists(new Path(dir, "meta.json"))
+    val live = hasMeta && !fs.exists(winsigStaleMarker(name))
+    val minTokens =
+      if (hasMeta) {
+        val meta = readString(fs, new Path(dir, "meta.json"))
+        """"minTokens"\s*:\s*(\d+)""".r.findFirstMatchIn(meta)
+          .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+            s"winsig meta has no minTokens field: $meta"))
+      } else defaultMinTokens
+    val sigs =
+      // explicit schema: an artifact built over an empty (or
+      // all-too-short-payload) collection still reads as an empty frame
+      if (live) spark.read
+        .schema(StructType.fromDDL("win_sig STRING"))
+        .parquet(new Path(dir, "sigs").toString)
+      else graft.operators.Dedup.windowSigs(cur, "id", "payload", minTokens)
+    graft.operators.Dedup.incomingCoveredText(sigs, batch,
+      "id", "payload", minTokens)
+  }
+
+  /** Mark the winsig artifact stale (mutations — a stale signature table
+    * must never screen; [[screenSubstrings]] falls back to the in-query
+    * recompute). No-op when absent.
+    */
+  private def invalidateWinsigIndex(name: String): Unit = {
+    if (fs.exists(new Path(winsigDir(name), "meta.json")))
+      writeString(fs, winsigStaleMarker(name), "stale")
+  }
+
+  private def deleteWinsigIndex(name: String): Unit = {
+    val dir = winsigDir(name)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
   }
 

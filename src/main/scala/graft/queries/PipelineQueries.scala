@@ -904,6 +904,32 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Exact-substring screening through the MANAGED surface: REINDEX
+    // type=winsig materializes the collection's distinct window
+    // signatures as an artifact (q213's corpus side, stored once), and
+    // screenSubstrings scrubs the arriving batch against it. Same
+    // derived batch and corpus content as q213 → its oracle verbatim.
+    "q215_screen_substrings" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q215")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "REINDEX",
+          Some("type=winsig"))
+          .fold(e => throw new IllegalArgumentException(e.message), identity))
+        .collect()
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("id"),
+          concat(lit("fb1 fb2 "), col("text"), lit(" fe1")).as("payload"))
+      db.screenSubstrings("docs", batch)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("text")).as("text_sig"))
+        .orderBy("doc_id")
+    }),
+
     // Exact phrase retrieval over the STORED positional artifact:
     // REINDEX type=postings;positions=true materializes (term, id, pos)
     // rows in the same bucket/segment layout, and SEARCHPHRASE answers
@@ -1482,6 +1508,7 @@ object PipelineQueries {
 
     // the managed screen equals the raw operator: q204's oracle verbatim
     "q207_screen_dupes" -> DedupQueries.oracles("q204_incoming_dedup"),
+    "q215_screen_substrings" -> DedupQueries.oracles("q213_incoming_substring"),
 
     // the cached-artifact phrase serve must equal the from-text
     // recompute over the hybrid collection's rows

@@ -452,6 +452,74 @@ class GraftDatabaseSpec extends AnyFunSuite {
     assert(!new java.io.File(s"${db.root}/graft_minhash_docs").exists())
   }
 
+  test("winsig screen: stored sigs, stale fallback, recorded width, drop") {
+    val db = freshDb()
+    db.createCollection("docs")
+    db.bulkInsert("docs", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f),
+        (0 until 20).map(i => s"alpha$i").mkString(" ")),
+      VectorRecord(2L, Array(0.0f, 1.0f),
+        (0 until 20).map(i => s"beta$i").mkString(" "))).toDF())
+    graft.commands.CommandExecutor.execute(db,
+      graft.commands.CommandParser.parse(Some("docs"), "REINDEX",
+        Some("type=winsig"))
+        .fold(e => throw new IllegalArgumentException(e.message), identity))
+    // the alpha run is covered exactly (windows spanning fresh tokens
+    // are not stored sigs, but every alpha position lies in SOME stored
+    // 15-window); fresh wrap tokens survive
+    val batch = Seq((100L,
+      "x0 x1 " + (0 until 20).map(i => s"alpha$i").mkString(" ") + " y0"))
+      .toDF("id", "payload")
+    val got = db.screenSubstrings("docs", batch)
+      .select("id", "n_tokens", "n_kept", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((100L, 23L, 3L, "x0 x1 y0")),
+      s"stored-path screening diverged: $got")
+    // a mutation marks the artifact stale; the fallback recomputes from
+    // the LIVE collection, so just-inserted content screens immediately
+    db.bulkInsert("docs", Seq(VectorRecord(3L, Array(0.5f, 0.5f),
+      (0 until 20).map(i => s"gamma$i").mkString(" "))).toDF())
+    val batch2 = Seq((101L,
+      (0 until 20).map(i => s"gamma$i").mkString(" ") + " z"))
+      .toDF("id", "payload")
+    val got2 = db.screenSubstrings("docs", batch2)
+      .select("id", "n_tokens", "n_kept", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got2 == Seq((101L, 21L, 1L, "z")),
+      "stale fallback must screen against the LIVE collection")
+    // re-materialize: the stored path serves the same answer
+    db.reindexWinsig("docs")
+    assert(db.screenSubstrings("docs", batch2)
+      .select("id", "n_tokens", "n_kept", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq == got2)
+    // width persistence across the stale window: a non-default width (5)
+    // must govern the FALLBACK too — under the default 15 this 6-token
+    // batch has no windows at all and nothing would be screened
+    db.reindexWinsig("docs", minTokens = 5)
+    db.bulkInsert("docs", Seq(VectorRecord(5L, Array(0.0f, 1.0f),
+      (0 until 10).map(i => s"delta$i").mkString(" "))).toDF()) // → stale
+    val b3 = Seq((102L,
+      (0 until 5).map(i => s"delta$i").mkString(" ") + " zz"))
+      .toDF("id", "payload")
+    val viaFallback = db.screenSubstrings("docs", b3)
+      .select("id", "n_tokens", "n_kept", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(viaFallback == Seq((102L, 6L, 1L, "zz")),
+      "stale fallback must screen with the artifact's recorded width")
+    db.reindexWinsig("docs", minTokens = 5)
+    assert(db.screenSubstrings("docs", b3)
+      .select("id", "n_tokens", "n_kept", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq == viaFallback)
+    // batch contract is loud
+    val e = intercept[IllegalArgumentException] {
+      db.screenSubstrings("docs", Seq((1L, "x")).toDF("id", "text"))
+    }
+    assert(e.getMessage.contains("payload"))
+    // drop removes the artifact directory
+    db.dropCollection("docs")
+    assert(!new java.io.File(s"${db.root}/graft_winsig_docs").exists())
+  }
+
   test("searchSimilar returns nearest by cosine") {
     val db = freshDb()
     db.createCollection("vecs")
