@@ -89,5 +89,10 @@ object SparkEntry {
     // partition-pruned postings join with NO corpus scan — and phrase
     // retrieval over the stored POSITIONAL rows (m−1 keyed positional
     // joins), shapes no other bench entry has.
-    "q201_searchtext_stored", "q210_phrase_bench")
+    "q201_searchtext_stored", "q210_phrase_bench",
+    // round-11 session-2 addition: the exact-substring corpus pass — an
+    // OVERLAPPING window census (~n windows/doc vs q131's n/20 spans)
+    // with a covered-position union and a token-grain anti-coverage
+    // join, the heaviest text-dedup shape in the repo.
+    "q211_exact_substring")
 }

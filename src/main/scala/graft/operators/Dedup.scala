@@ -1143,6 +1143,51 @@ object Dedup {
     removeCoveredTokens(tokenRows(df, idCol, textCol), covered, idCol)
   }
 
+  /** Per-document duplication profile for [[exactSubstringDedup]] — the
+    * report that picks `minTokens` before committing to a removal pass:
+    * for every doc with >= 1 token, how many token positions a
+    * duplicated >= L-window covers (`n_covered`), in how many maximal
+    * runs (`n_runs`), the longest such run (`max_run` — the length of
+    * the doc's longest duplicated substring, floored at L), and the
+    * covered fraction (a SINGLE division of exact integer counts —
+    * engine-exact, no rounding needed).
+    *
+    * Scale shape: shares the window census + covered-position collapse
+    * with [[exactSubstringDedup]]; run detection is the classic
+    * `pos − row_number()` gaps-and-islands trick under a window
+    * PARTITIONED BY doc (state bounded by the doc's own length, never
+    * corpus-wide); doc token counts ride in from a narrow scan.
+    */
+  def exactSubstringStats(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val wins = overlappingWindows(df, idCol, textCol, minTokens)
+    val dupSigs = wins.groupBy("win_sig").agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).select("win_sig")
+    val covered = coveredPositions(
+      wins.join(dupSigs, Seq("win_sig"), "left_semi"), idCol, minTokens)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val runs = covered
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(idCol, "__grp").agg(count(lit(1)).as("__len"))
+    val perDoc = runs.groupBy(idCol).agg(
+      sum("__len").as("n_covered"),
+      count(lit(1)).as("n_runs"),
+      max("__len").as("max_run"))
+    val docs = df.select(col(idCol),
+        size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+          .cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+    docs.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"),
+        (coalesce(col("n_covered"), lit(0L)) / col("n_tokens"))
+          .as("covered_frac"))
+  }
+
   /** `(idCol, pos, tok)` — whitespace tokens with 0-based positions;
     * zero-token docs emit nothing (the [[exactSubstringDedup]] grain). */
   private[operators] def tokenRows(df: DataFrame, idCol: String,

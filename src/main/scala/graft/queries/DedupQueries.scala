@@ -68,6 +68,16 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Per-doc exact-substring duplication profile at the q211 width:
+    // covered positions, maximal duplicated runs (gaps-and-islands),
+    // longest duplicated substring length, covered fraction.
+    "q216_substring_stats" -> ((s, dir) => {
+      Dedup.exactSubstringStats(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", minTokens = 15)
+        .orderBy("doc_id")
+    }),
+
     // Keep-first span dedup (CCNet's keep-one-copy convention): the
     // first corpus-order occurrence of every repeated 20-token span
     // survives, later copies drop. min(struct) census — no corpus
@@ -627,6 +637,41 @@ object DedupQueries {
         |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
         |GROUP BY tok.doc_id
         |ORDER BY tok.doc_id""".stripMargin,
+
+    "q216_substring_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(s AS BIGINT) AS s,
+        |    md5(array_to_string(toks[s+1 : s+15], ' ')) AS sig
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 15 + 1)) AS s
+        |        FROM t WHERE len(toks) >= 15)),
+        |dup AS (SELECT sig FROM w GROUP BY sig HAVING count(*) > 1),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+        |  FROM (SELECT w.doc_id, unnest(range(w.s, w.s + 15)) AS p
+        |        FROM w JOIN dup ON w.sig = dup.sig)),
+        |runs AS (
+        |  SELECT doc_id,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM cov),
+        |rl AS (SELECT doc_id, grp, count(*) AS len
+        |       FROM runs GROUP BY doc_id, grp),
+        |pd AS (
+        |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_covered,
+        |    count(*) AS n_runs, CAST(max(len) AS BIGINT) AS max_run
+        |  FROM rl GROUP BY doc_id),
+        |d AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT d.doc_id AS doc_id, d.n_tokens,
+        |  coalesce(pd.n_covered, 0) AS n_covered,
+        |  coalesce(pd.n_runs, 0) AS n_runs,
+        |  coalesce(pd.max_run, 0) AS max_run,
+        |  coalesce(pd.n_covered, 0) / d.n_tokens AS covered_frac
+        |FROM d LEFT JOIN pd ON d.doc_id = pd.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q212_span_keep_first" ->
       """WITH t AS (

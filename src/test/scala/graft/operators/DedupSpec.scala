@@ -331,6 +331,30 @@ class DedupSpec extends AnyFunSuite {
       s"exact-substring semantics diverged: $out")
   }
 
+  test("exactSubstringStats: run merging, self-repeat, zero-coverage doc") {
+    val docs = Seq(
+      (1L, "a b c d e f g"),   // shares exactly "c d e" with doc 2
+      (2L, "x c d e y z w"),
+      (3L, "p q r p q r"),     // self-repeat: fully covered, ONE run
+      (4L, "a b"),             // shorter than L: zero coverage
+      (5L, "m1 m2 m3 z1 z2 z3 z4 n1 n2 n3"), // TWO disjoint shared runs
+      (6L, "m1 m2 m3 o n1 n2 n3 oo pp qq")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringStats(docs, "doc_id", "text", minTokens = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_covered", "n_runs", "max_run",
+        "covered_frac")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 7L, 3L, 1L, 3L, 3.0 / 7),
+      (2L, 7L, 3L, 1L, 3L, 3.0 / 7),
+      (3L, 6L, 6L, 1L, 6L, 1.0),
+      (4L, 2L, 0L, 0L, 0L, 0.0),
+      (5L, 10L, 6L, 2L, 3L, 0.6),
+      (6L, 10L, 6L, 2L, 3L, 0.6)),
+      s"duplication profile diverged: $out")
+  }
+
   test("spanDedupKeepFirst: first corpus-order copy survives, later drop") {
     // "c d" occurs 3x — first occurrence is doc 1 chunk 1, so doc 1 is
     // untouched while docs 2/3 lose their copies; a WITHIN-doc repeat
