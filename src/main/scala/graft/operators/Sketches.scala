@@ -170,6 +170,82 @@ object Sketches {
             col("kth").cast("double")))
   }
 
+  /** The bottom-k sketch itself as a sorted ARRAY per group — the
+    * mergeable form [[kmvSetOps]] combines ([[kmvDistinct]] reports the
+    * scalar estimate; this keeps the hashes). Ascending by hash: the
+    * heap keeps the k largest of score = −h, emitted largest-score
+    * first = smallest hash first.
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64, seed: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df
+      .select(col(groupCol).cast("string").as("__g"),
+        kmvHash(col(valueCol), seed).as("__h"))
+      .distinct()
+    val topk = new TopKAggregator(k).toColumn
+    hashed.as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, -t._2.toDouble))
+      .agg(topk)
+      .toDF("__g", "__bk")
+      .select(col("__g").as(groupCol),
+        transform(col("__bk"), s => s.getField("_1")).as("sketch"))
+  }
+
+  /** KMV set operations (Beyer et al. 2007, "On Synopses for
+    * Distinct-Value Estimation Under Multiset Operations" — the
+    * theta-sketch idea): estimate |A ∪ B|, Jaccard, and |A ∩ B| for
+    * every PAIR of groups from their bottom-k sketches alone, never
+    * re-reading the data. The k smallest hashes of A ∪ B all live in
+    * A's or B's own bottom-k, so the merged bottom-k is exact; ρ = how
+    * many of those combined bottom-k' hashes appear in BOTH sketches
+    * estimates Jaccard as ρ/k', and |A ∩ B| ≈ (ρ/k')·|A ∪ B|. When the
+    * merged set has fewer than k hashes, both sketches were complete
+    * and every output is EXACT by construction.
+    *
+    * Every number is md5-derived and the per-pair math is HOFs over
+    * ≤ k-element arrays — any engine replays it bit-for-bit: single
+    * exact-integer divisions and one product of exactly-representable
+    * doubles (48-bit hashes keep all arithmetic under 2^53).
+    *
+    * Scale shape: the corpus is touched ONCE (the sketch build — the
+    * kmvDistinct dedup + bounded-heap shape); pairing joins the
+    * group-catalog-sized sketch frame against itself (|groups|² pairs
+    * of k-long arrays — sketch-sized, nothing data-sized).
+    *
+    * Output per pair (a < b): `(a_<group>, b_<group>, kp, rho,
+    * est_union, est_jaccard, est_intersection)`.
+    */
+  def kmvSetOps(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int = 64, seed: String = "kmv"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val sk = kmvSketch(df, groupCol, valueCol, k, seed)
+    val aG = s"a_$groupCol"
+    val bG = s"b_$groupCol"
+    val left = sk.select(col(groupCol).as(aG), col("sketch").as("__ask"))
+    val right = sk.select(col(groupCol).as(bG), col("sketch").as("__bsk"))
+    left.join(right, col(aG) < col(bG))
+      .withColumn("__mall",
+        array_sort(array_union(col("__ask"), col("__bsk"))))
+      .withColumn("__mk", slice(col("__mall"), 1, k))
+      .withColumn("kp", size(col("__mk")).cast("long"))
+      .withColumn("rho", size(filter(col("__mk"),
+        h => array_contains(col("__ask"), h) &&
+          array_contains(col("__bsk"), h))).cast("long"))
+      .withColumn("est_union",
+        when(size(col("__mall")) < k, size(col("__mall")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(281474976710656.0) /
+            element_at(col("__mk"), k).cast("double")))
+      .withColumn("est_jaccard", col("rho").cast("double") / col("kp"))
+      .withColumn("est_intersection",
+        col("est_jaccard") * col("est_union"))
+      .select(col(aG), col(bG), col("kp"), col("rho"),
+        col("est_union"), col("est_jaccard"), col("est_intersection"))
+  }
+
   /** HyperLogLog registers (Flajolet, Fusy, Gandouet, Meunier 2007) with
     * md5-derived hashing — the register-based sibling of [[kmvDistinct]]
     * (Spark's own `approx_count_distinct` IS HLL++, but its bytes hash

@@ -303,6 +303,23 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // KMV set operations: cross-source vocabulary overlap (union /
+    // Jaccard / intersection estimates) for every source pair from the
+    // stored bottom-64 sketches alone — the corpus is read once for the
+    // sketch build, the 190 pair combinations are HOFs over 64-long
+    // arrays.
+    "q217_kmv_setops" -> ((s, dir) => {
+      val toks = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .select(col("source"),
+          explode(TextAnalysis.normalizedTokens(col("text"))).as("token"))
+      graft.operators.Sketches.kmvSetOps(toks, "source", "token", k = 64)
+        .select(col("a_source"), col("b_source"), col("kp"), col("rho"),
+          round(col("est_union") + lit(1e-9), 4).as("est_union"),
+          round(col("est_jaccard") + lit(1e-9), 6).as("est_jaccard"),
+          round(col("est_intersection") + lit(1e-9), 4).as("est_intersection"))
+        .orderBy("a_source", "b_source")
+    }),
+
     // The RAW harmonic branch of the HLL (q174's corpus vocabulary is so
     // small every source linear-counts): thousands of distinct order keys
     // per return flag fill all 64 registers, so the α·m²/S path runs —
@@ -1765,6 +1782,53 @@ object TextQueries {
         |    ELSE 63.0 * 281474976710656.0 / CAST(kth AS DOUBLE) END + 1e-9, 4) AS est
         |FROM ex JOIN sk USING (source)
         |ORDER BY source""".stripMargin,
+
+    // KMV set-op replay: per-source bottom-64 hash lists, pair merge via
+    // list_sort(list_distinct(list_concat(...))) (list_distinct does NOT
+    // preserve order — the sort re-establishes it), rho via list_filter
+    // + list_contains, the same single-division/product chain.
+    "q217_kmv_setops" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |hx AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x'||substring(md5('kmv:'||token), 1, 12)) AS BIGINT) AS h
+        |  FROM toks),
+        |bk AS (
+        |  SELECT source, h, row_number() OVER (
+        |    PARTITION BY source ORDER BY h) AS rn
+        |  FROM hx),
+        |sk AS (
+        |  SELECT source, list(h ORDER BY h) AS skl
+        |  FROM bk WHERE rn <= 64 GROUP BY source),
+        |p AS (
+        |  SELECT a.source AS a_source, b.source AS b_source,
+        |    a.skl AS ask, b.skl AS bsk
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |m AS (
+        |  SELECT a_source, b_source, ask, bsk,
+        |    list_sort(list_distinct(list_concat(ask, bsk))) AS mall
+        |  FROM p),
+        |mm AS (
+        |  SELECT a_source, b_source, ask, bsk, mall,
+        |    mall[1:64] AS mk, len(mall) AS nall
+        |  FROM m),
+        |e AS (
+        |  SELECT a_source, b_source,
+        |    CAST(len(mk) AS BIGINT) AS kp,
+        |    CAST(len(list_filter(mk, h -> list_contains(ask, h)
+        |      AND list_contains(bsk, h))) AS BIGINT) AS rho,
+        |    CASE WHEN nall < 64 THEN CAST(nall AS DOUBLE)
+        |      ELSE 63.0 * 281474976710656.0 / CAST(mk[64] AS DOUBLE)
+        |    END AS u
+        |  FROM mm)
+        |SELECT a_source, b_source, kp, rho,
+        |  round(u + 1e-9, 4) AS est_union,
+        |  round(CAST(rho AS DOUBLE) / kp + 1e-9, 6) AS est_jaccard,
+        |  round(CAST(rho AS DOUBLE) / kp * u + 1e-9, 4) AS est_intersection
+        |FROM e
+        |ORDER BY a_source, b_source""".stripMargin,
 
     // HLL replay: md5 bucket (first 2 hex chars % 64), rank by a CASE
     // ladder of exact integer thresholds (no float log), register

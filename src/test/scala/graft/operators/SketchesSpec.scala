@@ -87,6 +87,49 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv set ops: exact when unsaturated, self-consistent when saturated") {
+    // UNSATURATED (union smaller than k): every estimate is exact by
+    // construction — A={a,b,c}, B={b,c,d}: union 4, intersection 2
+    val small = (Seq("a", "b", "c").map(("A", _)) ++
+      Seq("b", "c", "d").map(("B", _))).toDF("g", "v")
+    val ex = Sketches.kmvSetOps(small, "g", "v", k = 64)
+      .select("a_g", "b_g", "kp", "rho", "est_union", "est_jaccard",
+        "est_intersection")
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(ex == Seq(("A", "B", 4L, 2L, 4.0, 0.5, 2.0)),
+      s"unsaturated set ops must be exact: $ex")
+
+    // SATURATED with identical value sets: the merged bottom-k is each
+    // side's own, rho = kp = k, Jaccard exactly 1, intersection = union
+    // = the single-group kmvDistinct estimate
+    val vals = (0 until 200).map(i => s"x$i")
+    val same = (vals.map(("P", _)) ++ vals.map(("Q", _))).toDF("g", "v")
+    val sat = Sketches.kmvSetOps(same, "g", "v", k = 8)
+      .select("a_g", "b_g", "kp", "rho", "est_union", "est_jaccard",
+        "est_intersection")
+      .as[(String, String, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(sat.size == 1)
+    val (_, _, kp, rho, u, j, inter) = sat.head
+    assert(kp == 8L && rho == 8L && j == 1.0 && inter == u)
+    val single = Sketches.kmvDistinct(same.filter($"g" === "P"), "g", "v",
+      k = 8).select("est_distinct").as[Double].collect().head
+    assert(u == single,
+      "identical groups' union estimate must equal the single-group estimate")
+
+    // pair enumeration: 3 groups -> 3 ordered pairs, a < b
+    val tri = (Seq("a", "b").map(("G1", _)) ++ Seq("b", "c").map(("G2", _))
+      ++ Seq("c", "d").map(("G3", _))).toDF("g", "v")
+    val pairs = Sketches.kmvSetOps(tri, "g", "v", k = 64)
+      .select("a_g", "b_g").as[(String, String)].collect().toSeq.sorted
+    assert(pairs == Seq(("G1", "G2"), ("G1", "G3"), ("G2", "G3")))
+
+    intercept[IllegalArgumentException] {
+      Sketches.kmvSetOps(small, "g", "v", k = 1)
+    }
+  }
+
   test("table is bounded by depth x width; unseen tokens estimate zero") {
     val toks = tokens(Seq.fill(500)("a") ++ Seq.fill(300)("b"))
     val table = Sketches.countMinTable(toks, "token", depth = 4, width = 16)
