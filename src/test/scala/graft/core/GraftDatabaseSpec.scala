@@ -518,6 +518,21 @@ class GraftDatabaseSpec extends AnyFunSuite {
     // drop removes the artifact directory
     db.dropCollection("docs")
     assert(!new java.io.File(s"${db.root}/graft_winsig_docs").exists())
+    // an artifact built over a collection with NO window-bearing payloads
+    // (every doc shorter than the width) reads back empty and screens
+    // nothing — the zero-row-artifact lifecycle must round-trip
+    db.createCollection("docs")
+    db.bulkInsert("docs",
+      Seq(VectorRecord(1L, Array(1.0f, 0.0f), "just three tokens")).toDF())
+    db.reindexWinsig("docs")
+    val untouched = db.screenSubstrings("docs",
+        Seq((200L, (0 until 20).map(i => s"w$i").mkString(" ")))
+          .toDF("id", "payload"))
+      .select("id", "n_tokens", "n_kept", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(untouched ==
+      Seq((200L, 20L, 20L, (0 until 20).map(i => s"w$i").mkString(" "))),
+      "an empty window artifact must screen nothing")
   }
 
   test("searchSimilar returns nearest by cosine") {
