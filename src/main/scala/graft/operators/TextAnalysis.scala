@@ -737,6 +737,78 @@ object TextAnalysis {
     * their own projections (a generator re-evaluates nested expressions
     * per reference — the [[ngramsFromTokens]] lesson).
     */
+  /** Good-Turing frequency spectrum (Gale & Sampson 1995) per group:
+    * how many distinct tokens occur exactly r times (`n_r`), and the
+    * Turing adjusted count r* = (r+1)·N_{r+1}/N_r — the quantity
+    * Good-Turing smoothing discounts LM counts by (null when no token
+    * occurs r+1 times: the raw spectrum is reported, not an
+    * interpolated fit — smoothing choices belong to the caller).
+    * Exact integer products and ONE division per row — engine-exact
+    * with no rounding.
+    *
+    * Scale shape: one explode + two count aggregations (token counts,
+    * then count-of-counts) and a spectrum-sized self-join on
+    * (group, r+1) — the spectrum has at most max-frequency rows per
+    * group, catalog-sized next to the corpus.
+    */
+  def frequencySpectrum(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val counts = df
+      .select(col(groupCol), explode(normalizedTokens(col(textCol)))
+        .as("token"))
+      .groupBy(groupCol, "token").agg(count(lit(1)).as("r"))
+    val spec = counts.groupBy(groupCol, "r")
+      .agg(count(lit(1)).as("n_r"))
+    val next = spec.select(col(groupCol), (col("r") - 1).as("r"),
+      col("n_r").as("__n_next"))
+    spec.join(next, Seq(groupCol, "r"), "left")
+      .select(col(groupCol), col("r"), col("n_r"),
+        ((col("r") + 1) * col("__n_next") / col("n_r")).as("gt_rstar"))
+  }
+
+  /** Zipf rank–frequency slope per group (Zipf 1949; the standard
+    * least-squares fit of ln freq against ln rank over the top `topR`
+    * tokens): the corpus-health number that flags template-heavy or
+    * degenerate sources (natural text sits near −1). Ranks break count
+    * ties by token ascending (deterministic under any partitioning);
+    * the fit runs over ≤ topR rows per group, outputs rounded 6dp (+1e-9
+    * first — the ln-sum doctrine: accumulation-order ulps must not flip
+    * the hash).
+    *
+    * Scale shape: the token count table shuffles once; ranking is a
+    * window PARTITIONED by group over the vocabulary (per-group state,
+    * never corpus-global); the regression is one 5-sum aggregation over
+    * ≤ topR rows per group.
+    */
+  def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
+      topR: Int = 100): DataFrame = {
+    require(topR >= 2, s"topR must be >= 2, got $topR")
+    val counts = df
+      .select(col(groupCol), explode(normalizedTokens(col(textCol)))
+        .as("token"))
+      .groupBy(groupCol, "token").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("cnt").desc, col("token"))
+    val ranked = counts
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topR)
+      .withColumn("__x", log(col("rank").cast("double")))
+      .withColumn("__y", log(col("cnt").cast("double")))
+    ranked.groupBy(groupCol)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .withColumn("__slope",
+        (col("__sxy") - col("__sx") * col("__sy") / col("__n")) /
+          (col("__sxx") - col("__sx") * col("__sx") / col("__n")))
+      .select(col(groupCol), col("__n").cast("long").as("n_terms"),
+        round(col("__slope") + lit(1e-9), 6).as("slope"),
+        round(col("__sy") / col("__n") -
+          col("__slope") * (col("__sx") / col("__n")) + lit(1e-9), 6)
+          .as("intercept"))
+  }
+
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be positive, got $chunkSize")

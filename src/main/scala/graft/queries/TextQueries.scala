@@ -320,6 +320,26 @@ object TextQueries {
         .orderBy("a_source", "b_source")
     }),
 
+    // Good-Turing frequency spectrum per source: N_r (tokens seen exactly
+    // r times) and the Turing adjusted count (r+1)N_{r+1}/N_r — exact
+    // integer math + one division, unrounded.
+    "q218_freq_spectrum" -> ((s, dir) => {
+      TextAnalysis.frequencySpectrum(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "source", "text")
+        .orderBy("source", "r")
+    }),
+
+    // Zipf rank-frequency fit per source over the top-100 tokens: the
+    // corpus-health slope/intercept (template-heavy sources drift from
+    // the natural-text slope).
+    "q219_zipf_slope" -> ((s, dir) => {
+      TextAnalysis.zipfSlope(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "source", "text", topR = 100)
+        .orderBy("source")
+    }),
+
     // The RAW harmonic branch of the HLL (q174's corpus vocabulary is so
     // small every source linear-counts): thousands of distinct order keys
     // per return flag fill all 64 registers, so the α·m²/S path runs —
@@ -1829,6 +1849,50 @@ object TextQueries {
         |  round(CAST(rho AS DOUBLE) / kp * u + 1e-9, 4) AS est_intersection
         |FROM e
         |ORDER BY a_source, b_source""".stripMargin,
+
+    "q218_freq_spectrum" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, token, count(*) AS r FROM toks GROUP BY source, token),
+        |s AS (
+        |  SELECT source, r, CAST(count(*) AS BIGINT) AS n_r
+        |  FROM c GROUP BY source, r)
+        |SELECT s.source AS source, s.r AS r, s.n_r AS n_r,
+        |  (s.r + 1) * n2.n_r / s.n_r AS gt_rstar
+        |FROM s LEFT JOIN s n2
+        |  ON n2.source = s.source AND n2.r = s.r + 1
+        |ORDER BY s.source, s.r""".stripMargin,
+
+    "q219_zipf_slope" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, token, count(*) AS cnt FROM toks GROUP BY source, token),
+        |rk AS (
+        |  SELECT source, token, cnt, row_number() OVER (
+        |    PARTITION BY source ORDER BY cnt DESC, token) AS rank
+        |  FROM c),
+        |xy AS (
+        |  SELECT source, ln(CAST(rank AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM rk WHERE rank <= 100),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM xy GROUP BY source),
+        |b AS (
+        |  SELECT source, n, sx, sy,
+        |    (sxy - sx*sy/n) / (sxx - sx*sx/n) AS slope
+        |  FROM a)
+        |SELECT source, CAST(n AS BIGINT) AS n_terms,
+        |  round(slope + 1e-9, 6) AS slope,
+        |  round(sy/n - slope*(sx/n) + 1e-9, 6) AS intercept
+        |FROM b
+        |ORDER BY source""".stripMargin,
 
     // HLL replay: md5 bucket (first 2 hex chars % 64), rank by a CASE
     // ladder of exact integer thresholds (no float log), register

@@ -486,6 +486,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(seg == Seq("61626162"), s"byte encoder diverged: $seg")
   }
 
+  test("frequencySpectrum: hand-checked N_r and Turing adjusted counts") {
+    // counts a:3 b:2 c:1 → N_1=N_2=N_3=1; r*(1)=2·N_2/N_1=2, r*(2)=3,
+    // r*(3)=null (no token occurs 4 times)
+    val df = Seq(("g", "a a a b b c")).toDF("src", "text")
+    val out = TextAnalysis.frequencySpectrum(df, "src", "text")
+      .orderBy("r")
+      .select("src", "r", "n_r", "gt_rstar")
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      ("g", 1L, 1L, Some(2.0)),
+      ("g", 2L, 1L, Some(3.0)),
+      ("g", 3L, 1L, None)),
+      s"spectrum diverged: $out")
+  }
+
+  test("zipfSlope: an exact-Zipf group fits slope -1, topR caps the fit") {
+    // counts 6, 3, 2 = 6/rank at ranks 1..3 — ln-ln exactly linear with
+    // slope −1 and intercept ln 6
+    val text = (Seq.fill(6)("t1") ++ Seq.fill(3)("t2") ++ Seq.fill(2)("t3"))
+      .mkString(" ")
+    val df = Seq(("g", text)).toDF("src", "text")
+    val fit = TextAnalysis.zipfSlope(df, "src", "text", topR = 100)
+      .select("src", "n_terms", "slope", "intercept")
+      .as[(String, Long, Double, Double)].collect().head
+    assert(fit._2 == 3L)
+    assert(math.abs(fit._3 - (-1.0)) < 1e-6, s"slope ${fit._3}")
+    assert(math.abs(fit._4 - math.log(6.0)) < 1e-5, s"intercept ${fit._4}")
+    // topR=2 keeps only the first two ranks
+    val capped = TextAnalysis.zipfSlope(df, "src", "text", topR = 2)
+      .select("n_terms").as[Long].collect().head
+    assert(capped == 2L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.zipfSlope(df, "src", "text", topR = 1)
+    }
+  }
+
   test("packBinsByCount: greedy boundaries, oversized rows isolate, loud budget") {
     val rows = Seq((1L, "s", 3L), (2L, "s", 3L), (3L, "s", 3L))
       .toDF("id", "source", "cnt")
