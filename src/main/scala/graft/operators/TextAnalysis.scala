@@ -794,7 +794,21 @@ object TextAnalysis {
       .where(col("rank") <= topR)
       .withColumn("__x", log(col("rank").cast("double")))
       .withColumn("__y", log(col("cnt").cast("double")))
-    ranked.groupBy(groupCol)
+    lnLeastSquares(ranked, groupCol)
+      .select(col(groupCol), col("__n").cast("long").as("n_terms"),
+        round(col("__slope") + lit(1e-9), 6).as("slope"),
+        round(col("__icept") + lit(1e-9), 6).as("intercept"))
+  }
+
+  /** Per-group least squares of `__y` on `__x` — the shared fit of
+    * [[zipfSlope]] and [[heapsFit]]. Returns the raw (unrounded)
+    * `(__n, __slope, __icept)` per group; callers round at their output
+    * boundary (the ln-sum doctrine). One 5-sum aggregation; the slope
+    * and intercept expressions are parenthesized exactly as the oracles
+    * write them.
+    */
+  private def lnLeastSquares(df: DataFrame, groupCol: String): DataFrame =
+    df.groupBy(groupCol)
       .agg(count(lit(1)).cast("double").as("__n"),
         sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
         sum(col("__x") * col("__y")).as("__sxy"),
@@ -802,11 +816,86 @@ object TextAnalysis {
       .withColumn("__slope",
         (col("__sxy") - col("__sx") * col("__sy") / col("__n")) /
           (col("__sxx") - col("__sx") * col("__sx") / col("__n")))
-      .select(col(groupCol), col("__n").cast("long").as("n_terms"),
-        round(col("__slope") + lit(1e-9), 6).as("slope"),
-        round(col("__sy") / col("__n") -
-          col("__slope") * (col("__sx") / col("__n")) + lit(1e-9), 6)
-          .as("intercept"))
+      .withColumn("__icept",
+        col("__sy") / col("__n") - col("__slope") * (col("__sx") / col("__n")))
+
+  /** Heaps'-law vocabulary growth per group: after each document (in
+    * `idCol` order within the group), the cumulative token count and the
+    * cumulative DISTINCT-token count. A token's first occurrence is its
+    * minimum doc id (set once by an aggregation, not a scan order); the
+    * running totals use the two-phase chunked-cumsum discipline
+    * (sliceSequences' pattern with the doc id itself as the order key:
+    * the chunk `id DIV chunkSize` is a prefix of the order, so per-chunk
+    * windows + a per-group chunk-catalog stitch reproduce the global
+    * cumsum exactly — no corpus-scale window partition). `chunkSize`
+    * bounds the local window's partition; raise it only with the id
+    * range (the SNM chunkChars knob doctrine).
+    *
+    * Output: one row per (group, doc with >= 1 token):
+    * `(groupCol, idCol, n_tokens, n_new, cum_tokens, cum_vocab)`.
+    */
+  def heapsGrowth(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, chunkSize: Long = 4096): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(df.schema(idCol).dataType),
+      s"heapsGrowth needs an integral id column, got " +
+        df.schema(idCol).dataType.simpleString)
+    val toks = df.select(col(groupCol), col(idCol),
+      explode(normalizedTokens(col(textCol))).as("__tok"))
+    val perDoc = toks.groupBy(groupCol, idCol)
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstDoc = toks.groupBy(groupCol, "__tok")
+      .agg(min(col(idCol)).as("__fd"))
+    val perDocNew = firstDoc.groupBy(groupCol, "__fd")
+      .agg(count(lit(1)).as("n_new"))
+      .withColumnRenamed("__fd", idCol)
+    val joined = perDoc.join(perDocNew, Seq(groupCol, idCol), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("__chunk", expr(s"$idCol DIV $chunkSize"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), col("__chunk")).orderBy(col(idCol))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val local = joined
+      .withColumn("__lt", sum("n_tokens").over(wLocal))
+      .withColumn("__ln", sum("n_new").over(wLocal))
+    // per-group chunk catalog: bounded by id-range/chunkSize, never
+    // corpus-row-sized
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__chunk"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = joined.groupBy(groupCol, "__chunk")
+      .agg(sum("n_tokens").as("__ct"), sum("n_new").as("__cn"))
+      .withColumn("__ot", coalesce(sum("__ct").over(wOff), lit(0L)))
+      .withColumn("__on", coalesce(sum("__cn").over(wOff), lit(0L)))
+      .select(col(groupCol), col("__chunk"), col("__ot"), col("__on"))
+    local.join(broadcast(offsets), Seq(groupCol, "__chunk"))
+      .select(col(groupCol), col(idCol), col("n_tokens"), col("n_new"),
+        (col("__ot") + col("__lt")).as("cum_tokens"),
+        (col("__on") + col("__ln")).as("cum_vocab"))
+  }
+
+  /** Heaps'-law fit per group: V = K·n^β ⇒ ln V = ln K + β·ln n, least
+    * squares over the [[heapsGrowth]] curve's per-doc points. Natural
+    * text sits at β ≈ 0.4–0.6; β near 0 flags a closed vocabulary
+    * (template corpus), β near 1 flags near-unique tokens (ids, hashes).
+    * Output: `(groupCol, n_points, beta, ln_k)`, rounded 6dp.
+    */
+  def heapsFit(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String, chunkSize: Long = 4096): DataFrame = {
+    val curve = heapsGrowth(df, groupCol, idCol, textCol, chunkSize)
+      .withColumn("__x", log(col("cum_tokens").cast("double")))
+      .withColumn("__y", log(col("cum_vocab").cast("double")))
+    lnLeastSquares(curve, groupCol)
+      .select(col(groupCol), col("__n").cast("long").as("n_points"),
+        round(col("__slope") + lit(1e-9), 6).as("beta"),
+        round(col("__icept") + lit(1e-9), 6).as("ln_k"))
   }
 
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,

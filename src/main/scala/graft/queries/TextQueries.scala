@@ -340,6 +340,23 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Heaps'-law vocabulary growth per source: cumulative tokens vs
+    // cumulative distinct tokens after each doc (two-phase chunked
+    // cumsum — no corpus-scale window partition), then the ln-ln fit.
+    "q220_heaps_growth" -> ((s, dir) => {
+      TextAnalysis.heapsGrowth(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "source", "doc_id", "text", chunkSize = 256)
+        .orderBy("source", "doc_id")
+    }),
+
+    "q221_heaps_fit" -> ((s, dir) => {
+      TextAnalysis.heapsFit(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "source", "doc_id", "text", chunkSize = 256)
+        .orderBy("source")
+    }),
+
     // The RAW harmonic branch of the HLL (q174's corpus vocabulary is so
     // small every source linear-counts): thousands of distinct order keys
     // per return flag fill all 64 registers, so the α·m²/S path runs —
@@ -1891,6 +1908,71 @@ object TextQueries {
         |SELECT source, CAST(n AS BIGINT) AS n_terms,
         |  round(slope + 1e-9, 6) AS slope,
         |  round(sy/n - slope*(sx/n) + 1e-9, 6) AS intercept
+        |FROM b
+        |ORDER BY source""".stripMargin,
+
+    "q220_heaps_growth" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |nd AS (
+        |  SELECT source, doc_id, count(*) AS n_tokens
+        |  FROM toks GROUP BY source, doc_id),
+        |fd AS (
+        |  SELECT source, token, min(doc_id) AS fdoc
+        |  FROM toks GROUP BY source, token),
+        |nn AS (
+        |  SELECT source, fdoc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fd GROUP BY source, fdoc),
+        |c AS (
+        |  SELECT nd.source AS source, nd.doc_id AS doc_id, nd.n_tokens,
+        |    coalesce(nn.n_new, 0) AS n_new
+        |  FROM nd LEFT JOIN nn
+        |    ON nd.source = nn.source AND nd.doc_id = nn.doc_id)
+        |SELECT source, doc_id, n_tokens, n_new,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+        |    AS BIGINT) AS cum_tokens,
+        |  CAST(sum(n_new) OVER (PARTITION BY source ORDER BY doc_id)
+        |    AS BIGINT) AS cum_vocab
+        |FROM c
+        |ORDER BY source, doc_id""".stripMargin,
+
+    "q221_heaps_fit" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |nd AS (
+        |  SELECT source, doc_id, count(*) AS n_tokens
+        |  FROM toks GROUP BY source, doc_id),
+        |fd AS (
+        |  SELECT source, token, min(doc_id) AS fdoc
+        |  FROM toks GROUP BY source, token),
+        |nn AS (
+        |  SELECT source, fdoc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+        |  FROM fd GROUP BY source, fdoc),
+        |c AS (
+        |  SELECT nd.source AS source, nd.doc_id AS doc_id, nd.n_tokens,
+        |    coalesce(nn.n_new, 0) AS n_new
+        |  FROM nd LEFT JOIN nn
+        |    ON nd.source = nn.source AND nd.doc_id = nn.doc_id),
+        |g AS (
+        |  SELECT source,
+        |    ln(CAST(sum(n_tokens) OVER w AS DOUBLE)) AS x,
+        |    ln(CAST(sum(n_new) OVER w AS DOUBLE)) AS y
+        |  FROM c
+        |  WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx
+        |  FROM g GROUP BY source),
+        |b AS (
+        |  SELECT source, n, sx, sy,
+        |    (sxy - sx*sy/n) / (sxx - sx*sx/n) AS slope
+        |  FROM a)
+        |SELECT source, CAST(n AS BIGINT) AS n_points,
+        |  round(slope + 1e-9, 6) AS beta,
+        |  round(sy/n - slope*(sx/n) + 1e-9, 6) AS ln_k
         |FROM b
         |ORDER BY source""".stripMargin,
 

@@ -522,6 +522,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("heapsGrowth: hand-checked curve, chunk-invariant, loud id contract") {
+    // docs: "a b a" (2 new), "b c" (1 new), "a d d" (1 new)
+    val df = Seq((1L, "g", "a b a"), (2L, "g", "b c"), (3L, "g", "a d d"))
+      .toDF("doc_id", "src", "text")
+    val out = TextAnalysis.heapsGrowth(df, "src", "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_new", "cum_tokens", "cum_vocab")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, 3L, 2L),
+      (2L, 2L, 1L, 5L, 3L),
+      (3L, 3L, 1L, 8L, 4L)),
+      s"growth curve diverged: $out")
+    // the two-phase cumsum must be chunk-size invariant (the q155
+    // pattern: the knob changes the plan, never the answer)
+    val narrow = TextAnalysis.heapsGrowth(df, "src", "doc_id", "text",
+        chunkSize = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_new", "cum_tokens", "cum_vocab")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(narrow == out, "chunkSize must not change the curve")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.heapsGrowth(df.withColumn("doc_id",
+        col("doc_id").cast("string")), "src", "doc_id", "text")
+    }
+  }
+
+  test("heapsFit: a closed vocabulary fits beta 0, ln_k 0") {
+    // one distinct token ever: cum_vocab stays 1, ln V = 0 everywhere
+    val df = Seq((1L, "g", "z"), (2L, "g", "z z"), (3L, "g", "z"))
+      .toDF("doc_id", "src", "text")
+    val fit = TextAnalysis.heapsFit(df, "src", "doc_id", "text")
+      .select("src", "n_points", "beta", "ln_k")
+      .as[(String, Long, Double, Double)].collect().head
+    assert(fit == (("g", 3L, 0.0, 0.0)), s"closed-vocab fit diverged: $fit")
+  }
+
   test("packBinsByCount: greedy boundaries, oversized rows isolate, loud budget") {
     val rows = Seq((1L, "s", 3L), (2L, "s", 3L), (3L, "s", 3L))
       .toDF("id", "source", "cnt")
