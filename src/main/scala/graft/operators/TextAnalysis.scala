@@ -819,6 +819,53 @@ object TextAnalysis {
       .withColumn("__icept",
         col("__sy") / col("__n") - col("__slope") * (col("__sx") / col("__n")))
 
+  /** Distinctive-term extraction per group ("Fightin' Words": Monroe,
+    * Colaresi & Quinn 2008 — log-odds with an informative Dirichlet
+    * prior): for each (group, token), the z-scored log-odds of the token
+    * in the group vs the REST of the corpus under a uniform prior
+    * `alpha` per token, top-`topK` tokens per group by the ROUNDED z
+    * (ranks must never hang on accumulation ulps — and here there is no
+    * accumulation at all: every z is a per-row chain of ln/sqrt over
+    * exact integer counts, identical on any engine).
+    *
+    * Scale shape: three count tables off one explode (per-group-token,
+    * per-token, per-group), joined back token-keyed; corpus totals ride
+    * in as a single-row broadcast; the top-k is a window PARTITIONED by
+    * group over the group's vocabulary.
+    *
+    * Output: `(groupCol, rank, token, cnt, z)`, topK rows per group.
+    */
+  def keynessScores(df: DataFrame, groupCol: String, textCol: String,
+      alpha: Double = 0.01, topK: Int = 10): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = df.select(col(groupCol),
+      explode(normalizedTokens(col(textCol))).as("token"))
+    val c = toks.groupBy(groupCol, "token").agg(count(lit(1)).as("y"))
+    val tt = toks.groupBy("token").agg(count(lit(1)).as("yall"))
+    val gt = toks.groupBy(groupCol).agg(count(lit(1)).as("ng"))
+    val tot = toks.agg(count(lit(1)).as("n"),
+      countDistinct(col("token")).as("v"))
+    val s = c.join(tt, "token").join(gt, Seq(groupCol))
+      .crossJoin(broadcast(tot))
+    val a = lit(alpha)
+    val delta =
+      log((col("y") + a) / (col("ng") + a * col("v") - col("y") - a)) -
+        log((col("yall") - col("y") + a) /
+          (col("n") - col("ng") + a * col("v") -
+            (col("yall") - col("y")) - a))
+    val sigma2 = lit(1.0) / (col("y") + a) +
+      lit(1.0) / (col("yall") - col("y") + a)
+    val scored = s.withColumn("z",
+      round(delta / sqrt(sigma2) + lit(1e-9), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("z").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col(groupCol), col("rank").cast("long").as("rank"),
+        col("token"), col("y").as("cnt"), col("z"))
+  }
+
   /** Heaps'-law vocabulary growth per group: after each document (in
     * `idCol` order within the group), the cumulative token count and the
     * cumulative DISTINCT-token count. A token's first occurrence is its

@@ -357,6 +357,16 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Fightin' Words: the 10 most DISTINCTIVE tokens per source by
+    // Dirichlet-prior log-odds z-score vs the rest of the corpus —
+    // per-row ln/sqrt chains over exact counts, ranked on the rounded z.
+    "q222_keyness" -> ((s, dir) => {
+      TextAnalysis.keynessScores(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "source", "text", alpha = 0.01, topK = 10)
+        .orderBy("source", "rank")
+    }),
+
     // The RAW harmonic branch of the HLL (q174's corpus vocabulary is so
     // small every source linear-counts): thousands of distinct order keys
     // per return flag fill all 64 registers, so the α·m²/S path runs —
@@ -1866,6 +1876,36 @@ object TextQueries {
         |  round(CAST(rho AS DOUBLE) / kp * u + 1e-9, 4) AS est_intersection
         |FROM e
         |ORDER BY a_source, b_source""".stripMargin,
+
+    "q222_keyness" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, token, count(*) AS y FROM toks GROUP BY source, token),
+        |tt AS (SELECT token, count(*) AS yall FROM toks GROUP BY token),
+        |gt AS (SELECT source, count(*) AS ng FROM toks GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT token) AS BIGINT) AS v
+        |  FROM toks),
+        |s AS (
+        |  SELECT c.source, c.token, c.y, tt.yall, gt.ng, tot.n, tot.v
+        |  FROM c JOIN tt USING (token) JOIN gt USING (source) CROSS JOIN tot),
+        |z AS (
+        |  SELECT source, token, y,
+        |    round((ln((y + 0.01) / (ng + 0.01*v - y - 0.01))
+        |      - ln((yall - y + 0.01) / (n - ng + 0.01*v - (yall - y) - 0.01)))
+        |      / sqrt(1.0/(y + 0.01) + 1.0/(yall - y + 0.01)) + 1e-9, 6) AS z
+        |  FROM s),
+        |r AS (
+        |  SELECT source, token, y, z, row_number() OVER (
+        |    PARTITION BY source ORDER BY z DESC, token) AS rn
+        |  FROM z)
+        |SELECT source, CAST(rn AS BIGINT) AS rank, token,
+        |  CAST(y AS BIGINT) AS cnt, z
+        |FROM r WHERE rn <= 10
+        |ORDER BY source, rank""".stripMargin,
 
     "q218_freq_spectrum" ->
       """WITH toks AS (

@@ -549,6 +549,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("keynessScores: exclusive tokens rank top, z matches the closed form") {
+    // A: x x x y  |  B: y y z — x is A's signature, z is B's
+    val df = Seq(("A", "x x x y"), ("B", "y y z")).toDF("src", "text")
+    val out = TextAnalysis.keynessScores(df, "src", "text",
+        alpha = 0.01, topK = 10)
+      .orderBy("src", "rank")
+      .select("src", "rank", "token", "cnt", "z")
+      .as[(String, Long, String, Long, Double)].collect().toSeq
+    val byGroup = out.groupBy(_._1)
+    // A's signature is its exclusive majority token x; B's is y (2/3 of
+    // B's tokens vs 1/4 of A's — a dominant SHARE beats the exclusive
+    // but rare z, which still scores positive)
+    assert(byGroup("A").head._3 == "x" && byGroup("B").head._3 == "y",
+      s"signature tokens must rank first: $out")
+    assert(out.find(r => r._1 == "B" && r._3 == "z").get._5 > 0 &&
+      out.find(r => r._1 == "A" && r._3 == "y").get._5 < 0,
+      s"sign must follow over/under-representation: $out")
+    assert(byGroup("A").map(_._2) == Seq(1L, 2L) &&
+      byGroup("B").map(_._2) == Seq(1L, 2L))
+    // closed form for (A, x): y=3, yall=3, ng=4, n=7, v=3, alpha=0.01
+    val delta = math.log((3 + 0.01) / (4 + 0.01 * 3 - 3 - 0.01)) -
+      math.log((3 - 3 + 0.01) / (7 - 4 + 0.01 * 3 - (3 - 3) - 0.01))
+    val sigma2 = 1.0 / (3 + 0.01) + 1.0 / (3 - 3 + 0.01)
+    val expected = BigDecimal(delta / math.sqrt(sigma2) + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gotZ = out.find(r => r._1 == "A" && r._3 == "x").get._5
+    assert(gotZ == expected, s"z $gotZ != closed form $expected")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.keynessScores(df, "src", "text", alpha = 0.0)
+    }
+  }
+
   test("heapsFit: a closed vocabulary fits beta 0, ln_k 0") {
     // one distinct token ever: cum_vocab stays 1, ln V = 0 everywhere
     val df = Seq((1L, "g", "z"), (2L, "g", "z z"), (3L, "g", "z"))
