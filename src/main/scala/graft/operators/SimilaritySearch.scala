@@ -428,4 +428,41 @@ object SimilaritySearch {
       .orderBy(desc("rrf"), col(idCol))
       .limit(k)
   }
+
+  /** Embedding diversity per group: the mean pairwise cosine similarity
+    * over all ordered pairs, computed WITHOUT any pair enumeration via
+    * the sum-vector identity Σ_{i≠j} v̂_i·v̂_j = ‖Σ v̂‖² − Σ‖v̂‖² (≈ n for
+    * unit vectors) ⇒ avg = (‖S‖² − n)/(n(n−1)). LOW values flag a
+    * diverse (spread-out) group, values near 1 a near-duplicate cluster
+    * — the data-selection diversity diagnostic at O(n·d) instead of
+    * O(n²·d). All math in double ([[graft.Tables]] vector-parity
+    * doctrine); the output rounds at 6dp (+1e-9: per-dimension sums are
+    * accumulation-ordered).
+    *
+    * Scale shape: one projection normalizes (the unit array materialized
+    * in its own projection — every lambda below reads it), one explode
+    * to (group, dim) partial sums — 64·|groups| rows out of any corpus —
+    * then a |groups|-sized fold. Groups with one vector emit null
+    * (no pairs).
+    */
+  def embeddingDiversity(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    val vd = df.select(col(groupCol),
+      col(vecCol).cast("array<double>").as("__vd"))
+    val normed = vd
+      .withColumn("__norm", sqrt(aggregate(
+        transform(col("__vd"), x => x * x), lit(0.0), (a, x) => a + x)))
+      .withColumn("__unit", transform(col("__vd"), x => x / col("__norm")))
+    val dims = normed
+      .select(col(groupCol), posexplode(col("__unit")).as(Seq("dim", "x")))
+      .groupBy(groupCol, "dim").agg(sum("x").as("__s"))
+      .groupBy(groupCol).agg(sum(col("__s") * col("__s")).as("__ss"))
+    val counts = vd.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    counts.join(dims, Seq(groupCol))
+      .select(col(groupCol), col("n"),
+        when(col("n") > 1, round(
+          (col("__ss") - col("n")) / (col("n") * (col("n") - 1))
+            + lit(1e-9), 6))
+          .as("avg_cos"))
+  }
 }

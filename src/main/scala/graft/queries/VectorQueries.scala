@@ -15,6 +15,16 @@ object VectorQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Mean pairwise cosine per label WITHOUT pair enumeration (the
+    // sum-vector identity): the diversity diagnostic over each label's
+    // embedding cloud.
+    "q223_embed_diversity" -> ((s, dir) => {
+      graft.operators.SimilaritySearch.embeddingDiversity(
+          graft.operators.Parallelism.ensure(Tables.embeddings(s, dir)),
+          "label", "embedding")
+        .orderBy("label")
+    }),
+
     // Label-centroid similarity matrix: per-label mean embeddings
     // (rounded per-dim, double math) pairwise-cosined — the embedding-
     // space view of how separable the labels are (the token-space
@@ -1061,6 +1071,29 @@ object VectorQueries {
       |  GROUP BY c1.s, c1.cid)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "q223_embed_diversity" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nrm AS (
+        |  SELECT label, v,
+        |    sqrt(list_sum(list_transform(v, x -> x*x))) AS nm
+        |  FROM e),
+        |u AS (
+        |  SELECT label, list_transform(v, x -> x/nm) AS uv FROM nrm),
+        |d AS (
+        |  SELECT label, CAST(i AS BIGINT) AS dim, uv[i+1] AS x
+        |  FROM (SELECT label, uv, unnest(range(0, len(uv))) AS i FROM u)),
+        |s AS (SELECT label, dim, sum(x) AS sv FROM d GROUP BY label, dim),
+        |ss AS (SELECT label, sum(sv*sv) AS ssq FROM s GROUP BY label),
+        |c AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY label)
+        |SELECT c.label AS label, c.n AS n,
+        |  CASE WHEN c.n > 1 THEN
+        |    round((ssq - n) / (n * (n - 1)) + 1e-9, 6)
+        |  END AS avg_cos
+        |FROM c JOIN ss ON c.label = ss.label
+        |ORDER BY c.label""".stripMargin,
 
     "q156_label_centroids" ->
       """WITH pos AS (

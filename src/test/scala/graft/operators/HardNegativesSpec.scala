@@ -64,4 +64,31 @@ class HardNegativesSpec extends AnyFunSuite {
     assert(out == Seq((1L, both, 2L), (2L, both, 2L), (3L, solo, 1L)),
       s"fusion diverged: $out")
   }
+
+  test("embeddingDiversity: matches brute-force pairwise, singleton null") {
+    val df = Seq(
+      ("g", Array(1.0f, 0.0f)),
+      ("g", Array(0.0f, 1.0f)),
+      ("g", Array(1.0f, 1.0f)),
+      ("solo", Array(3.0f, 4.0f)),
+      ("dup", Array(2.0f, 0.0f)),
+      ("dup", Array(5.0f, 0.0f))
+    ).toDF("label", "embedding")
+    val out = SimilaritySearch.embeddingDiversity(df, "label", "embedding")
+      .orderBy("label")
+      .select("label", "n", "avg_cos")
+      .as[(String, Long, Option[Double])].collect().toSeq
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // brute force over g's three unit vectors: cos12=0, cos13=cos23=1/√2
+    val expected = BigDecimal(
+        (0.0 + 1.0 / math.sqrt(2) + 1.0 / math.sqrt(2)) / 3.0 + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("g") == ((3L, Some(expected))),
+      s"diversity ${out("g")} != brute force $expected")
+    // a singleton has no pairs: null, not 0 (and not a crash)
+    assert(out("solo") == ((1L, None)))
+    // collinear vectors: mean pairwise cosine exactly 1
+    assert(out("dup")._1 == 2L &&
+      math.abs(out("dup")._2.get - 1.0) < 1e-6)
+  }
 }
