@@ -36,6 +36,9 @@ object CommandExecutor {
       case ListCollections =>
         db.listCollections()
 
+      case ListIndexes(coll) =>
+        db.listIndexes(coll)
+
       case TruncateWal(target) =>
         db.compact(target); status("TRUNCATEWAL", target.getOrElse("<database>"))
 

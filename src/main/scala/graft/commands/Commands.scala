@@ -54,6 +54,7 @@ object GraftCommand {
   final case class CreateCollection(name: String) extends GraftCommand
   final case class DropCollection(name: String) extends GraftCommand
   final case object ListCollections extends GraftCommand
+  final case class ListIndexes(collection: String) extends GraftCommand
   final case class TruncateWal(target: Option[String]) extends GraftCommand
   final case class Insert(collection: String, arg: String) extends GraftCommand
   final case class BulkInsert(collection: String, arg: String) extends GraftCommand
@@ -106,6 +107,7 @@ object CommandParser {
       case "CREATE" => arg.toRight(MissingArg("CREATE")).map(CreateCollection(_))
       case "DROP" => arg.toRight(MissingArg("DROP")).map(DropCollection(_))
       case "LISTCOLLECTIONS" => Right(ListCollections)
+      case "LISTINDEXES" => needColl("LISTINDEXES")(ListIndexes(_))
       case "TRUNCATEWAL" => Right(TruncateWal(collection))
       case "INSERT" => needBoth("INSERT")(Insert(_, _))
       case "BULKINSERT" => needBoth("BULKINSERT")(BulkInsert(_, _))

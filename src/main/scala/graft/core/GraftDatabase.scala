@@ -86,6 +86,33 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .map(_.getPath.getName)
       .sorted
 
+  /** LISTINDEXES — the artifact inventory of one collection: every
+    * managed index/sidecar with its serving state. `stale` means a
+    * mutation invalidated the artifact and its reader currently falls
+    * back (rescan / in-query recompute) until the next REINDEX — the
+    * operational answer to "why is retrieval slow right now". The
+    * vector-layout and tokenizer sidecars ride every rewrite, so they
+    * are always `live` while present.
+    */
+  def listIndexes(name: String): DataFrame = {
+    requireCollection(name)
+    import spark.implicits._
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    indexType(name).foreach(t => rows += ((s"vector:$t", "live")))
+    if (fs.exists(new Path(collDir(name), TokenizerMetaFile)))
+      rows += (("tokenizer", "live"))
+    if (fs.exists(textIndexMetaPath(name)))
+      rows += (("postings",
+        if (fs.exists(textIndexStaleMarker(name))) "stale" else "live"))
+    if (fs.exists(new Path(minhashDir(name), "meta.json")))
+      rows += (("minhash",
+        if (fs.exists(minhashStaleMarker(name))) "stale" else "live"))
+    if (fs.exists(new Path(winsigDir(name), "meta.json")))
+      rows += (("winsig",
+        if (fs.exists(winsigStaleMarker(name))) "stale" else "live"))
+    rows.sortBy(_._1).toSeq.toDF("index_type", "state")
+  }
+
   def hasCollection(name: String): Boolean = fs.exists(metaPath(name))
 
   private def schemaOf(name: String): StructType =

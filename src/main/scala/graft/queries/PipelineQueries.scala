@@ -904,6 +904,32 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // The artifact inventory surface: LISTINDEXES reports every managed
+    // index with its serving state — live after the REINDEXes, the
+    // stale-able three flip to stale after a mutation while the vector
+    // sidecar (rewrite-riding) stays live. Oracle = the literal expected
+    // inventory (the q41 VALUES convention for command surfaces).
+    "q224_list_indexes" -> ((s, dir) => {
+      val db = hybridCollection(s, dir, "graft_q224")
+      Seq("type=postings", "type=minhash", "type=winsig", "type=sign")
+        .foreach { a =>
+          CommandExecutor.execute(db,
+            graft.commands.CommandParser.parse(Some("docs"), "REINDEX",
+              Some(a))
+              .fold(e => throw new IllegalArgumentException(e.message),
+                identity))
+            .collect()
+        }
+      db.bulkInsert("docs", Tables.documents(s, dir).limit(1)
+        .select((col("doc_id") + 900000L).as("id"),
+          col("text").as("payload"))
+        .crossJoin(Tables.embeddings(s, dir).limit(1).select("embedding")))
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "LISTINDEXES", None)
+          .fold(e => throw new IllegalArgumentException(e.message), identity))
+        .orderBy("index_type")
+    }),
+
     // Exact-substring screening through the MANAGED surface: REINDEX
     // type=winsig materializes the collection's distinct window
     // signatures as an artifact (q213's corpus side, stored once), and
@@ -1232,6 +1258,14 @@ object PipelineQueries {
     "q41_listcollections" ->
       """SELECT name FROM (VALUES ('alpha'), ('beta'), ('gamma')) t(name)
         |ORDER BY name""".stripMargin,
+
+    "q224_list_indexes" ->
+      """SELECT index_type, state FROM (VALUES
+        |  ('minhash', 'stale'),
+        |  ('postings', 'stale'),
+        |  ('vector:sign_bucket', 'live'),
+        |  ('winsig', 'stale')) t(index_type, state)
+        |ORDER BY index_type""".stripMargin,
 
     "q158_ingest_normalize" ->
       """SELECT vec_id AS id,

@@ -33,6 +33,36 @@ class CommandsSpec extends AnyFunSuite {
       Right(SearchHybrid("c1", "x")))
     assert(CommandParser.parse(None, "SEARCHTEXT", Some("terms=a")) ==
       Left(CommandError.MissingCollection("SEARCHTEXT")))
+    assert(CommandParser.parse(Some("c1"), "listindexes", None) ==
+      Right(ListIndexes("c1")))
+    assert(CommandParser.parse(None, "LISTINDEXES", None) ==
+      Left(CommandError.MissingCollection("LISTINDEXES")))
+  }
+
+  test("executor: LISTINDEXES inventory tracks the stale/rebuild lifecycle") {
+    import graft.model.VectorRecord
+    val parent = java.nio.file.Files.createTempDirectory("graft_cmd_li").toString
+    val db = graft.core.GraftDatabase.create(spark, parent, "lidb")
+    db.createCollection("docs")
+    db.bulkInsert("docs", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f),
+        (0 until 20).map(i => s"tok$i").mkString(" "))).toDF())
+    def inventory(): Seq[(String, String)] =
+      CommandExecutor.execute(db,
+        CommandParser.parse(Some("docs"), "LISTINDEXES", None)
+          .fold(e => throw new IllegalArgumentException(e.message), identity))
+        .orderBy("index_type")
+        .as[(String, String)].collect().toSeq
+    assert(inventory().isEmpty, "a fresh collection has no artifacts")
+    db.reindexPostings("docs")
+    db.reindexWinsig("docs")
+    assert(inventory() == Seq("postings" -> "live", "winsig" -> "live"))
+    db.delete("docs",
+      org.apache.spark.sql.functions.col("id") === 99L) // no-op content-wise, still stales
+    assert(inventory() == Seq("postings" -> "stale", "winsig" -> "stale"))
+    db.reindexWinsig("docs")
+    assert(inventory() == Seq("postings" -> "stale", "winsig" -> "live"),
+      "rebuilds flip only their own artifact back to live")
   }
 
   test("executor: SEARCHTEXT and SEARCHHYBRID retrieve through the grammar") {
