@@ -213,8 +213,15 @@ object CommandExecutor {
               numHashes = opts.getOrElse("hashes", "8").toInt,
               rowsPerBand = opts.getOrElse("rows", "2").toInt)
           case "winsig" =>
-            db.reindexWinsig(coll,
-              minTokens = opts.getOrElse("mintokens", "15").toInt)
+            opts.getOrElse("mode", "full") match {
+              case "full" => db.reindexWinsig(coll,
+                minTokens = opts.getOrElse("mintokens", "15").toInt)
+              case "refresh" => db.refreshWinsig(coll)
+              case "compact" => db.compactWinsig(coll)
+              case other => throw new IllegalArgumentException(
+                "REINDEX type=winsig mode must be full, refresh, or " +
+                  s"compact, got: $other")
+            }
           case "tokenizer" =>
             // the trained-artifact family: like zorder this records intent
             // in a sidecar rather than a cluster_id partition layout

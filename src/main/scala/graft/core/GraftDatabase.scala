@@ -937,21 +937,72 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   }
 
   // ---- window-signature artifact (exact-substring ingest screening) ------
+  //
+  // Same lifecycle machinery as the text index: id-attributed rows in
+  // SEGMENTS under a GENERATION pointer, (id, seg) tombstones, a docs
+  // diff base keyed by payload_md5 — so the artifact refreshes at
+  // delta price, compacts online, and a signature keeps screening as
+  // long as ANY live document carries it.
 
   private def winsigDir(name: String): Path =
     new Path(root, s"${ReservedPrefix}winsig_$name")
 
+  private def winsigMetaPath(name: String): Path =
+    new Path(winsigDir(name), "meta.json")
+
   private def winsigStaleMarker(name: String): Path =
     new Path(winsigDir(name), "stale")
 
-  /** REINDEX type=winsig — materialize the collection's DISTINCT
-    * overlapping `minTokens`-token window signature table
-    * ([[graft.operators.Dedup.windowSigs]] over the payload column) as a
-    * managed artifact: the corpus side of [[screenSubstrings]], computed
-    * once instead of per arriving batch. meta.json records minTokens so
-    * the probe always windows with the width the artifact was built with
-    * (md5 sigs from different widths never collide — a mixed-width probe
-    * would silently match nothing).
+  private def winsigGen(name: String): Int =
+    """"gen"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readString(fs, winsigMetaPath(name)))
+      .map(_.group(1).toInt).getOrElse(0)
+
+  private def winsigGenDir(name: String): Path =
+    new Path(winsigDir(name), s"gen_${winsigGen(name)}")
+
+  private val WinsigSigsSchema = StructType.fromDDL(
+    "id BIGINT, win_sig STRING, seg INT")
+  private val WinsigDocsSchema = StructType.fromDDL(
+    "id BIGINT, payload_md5 STRING, seg INT")
+
+  private def winsigTombstones(name: String): DataFrame =
+    readArtifact(new Path(winsigGenDir(name), "tombstones"),
+      TombstonesSchema)
+
+  /** Live (untombstoned) stored signature rows. */
+  private def liveWinsigSigs(name: String): DataFrame =
+    readArtifact(new Path(winsigGenDir(name), "sigs"), WinsigSigsSchema)
+      .join(broadcast(winsigTombstones(name)), Seq("id", "seg"), "left_anti")
+
+  private def liveWinsigDocs(name: String): DataFrame =
+    readArtifact(new Path(winsigGenDir(name), "docs"), WinsigDocsSchema)
+      .join(broadcast(winsigTombstones(name)), Seq("id", "seg"), "left_anti")
+
+  /** One segment append: per-doc distinct window sigs + the (id,
+    * payload_md5) diff-base rows for EVERY doc in `rows` (window-less
+    * short docs included — the diff must see them or they re-arrive on
+    * every refresh).
+    */
+  private def writeWinsigSegment(name: String, rows: DataFrame,
+      minTokens: Int, seg: Int, genDir: Path): Unit = {
+    graft.operators.Dedup.windowSigRows(rows, "id", "payload", minTokens)
+      .withColumn("seg", lit(seg))
+      .write.mode("append").option("compression", Compression)
+      .parquet(new Path(genDir, "sigs").toString)
+    rows.select(col("id"), md5(col("payload")).as("payload_md5"))
+      .withColumn("seg", lit(seg))
+      .write.mode("append").option("compression", Compression)
+      .parquet(new Path(genDir, "docs").toString)
+  }
+
+  /** REINDEX type=winsig — materialize the collection's per-doc window
+    * signatures ([[graft.operators.Dedup.windowSigRows]] over the
+    * payload column) as a managed artifact: the corpus side of
+    * [[screenSubstrings]], computed once instead of per arriving batch.
+    * meta.json records minTokens so the probe always windows with the
+    * width the artifact was built with (md5 sigs from different widths
+    * never collide — a mixed-width probe would silently match nothing).
     */
   def reindexWinsig(name: String, minTokens: Int = 15): Unit = {
     requireCollection(name)
@@ -961,12 +1012,98 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       s"REINDEX type=winsig needs a payload column on $name")
     val dir = winsigDir(name)
     if (fs.exists(dir)) fs.delete(dir, true)
-    graft.operators.Dedup.windowSigs(cur, "id", "payload", minTokens)
-      .write.option("compression", Compression)
-      .parquet(new Path(dir, "sigs").toString)
-    writeString(fs, new Path(dir, "meta.json"),
-      s"""{"type":"winsig","minTokens":$minTokens}""")
+    writeWinsigSegment(name, cur, minTokens, seg = 0,
+      genDir = new Path(dir, "gen_0"))
+    writeString(fs, winsigMetaPath(name),
+      s"""{"type":"winsig","minTokens":$minTokens,"gen":0}""")
   }
+
+  /** REINDEX type=winsig;mode=refresh — incremental screening-artifact
+    * maintenance ([[refreshPostings]]'s discipline on the winsig
+    * layout): diff the collection against the stored docs rows by
+    * `(id, payload_md5)`, window ONLY the new/changed documents into a
+    * fresh segment, tombstone the replaced/deleted versions, clear the
+    * stale marker. The expensive pass (tokenize + window md5s) touches
+    * changed docs only; the diff is two anti-joins of doc-count-sized
+    * (id, md5) frames, both delta-sized and checkpointed ONCE.
+    */
+  def refreshWinsig(name: String): Unit = {
+    requireCollection(name)
+    require(fs.exists(winsigMetaPath(name)),
+      s"no winsig artifact on $name to refresh — run REINDEX type=winsig first")
+    val minTokens = winsigMinTokens(name)
+    val genDir = winsigGenDir(name)
+    val cur = read(name)
+    require(cur.columns.contains("payload"),
+      s"REINDEX type=winsig needs a payload column on $name")
+    val curKeys = cur.select(col("id"), md5(col("payload")).as("payload_md5"))
+    val indexed = liveWinsigDocs(name)
+    val arrivals = curKeys.join(indexed.select("id", "payload_md5"),
+      Seq("id", "payload_md5"), "left_anti").localCheckpoint(true)
+    val departures = indexed.join(curKeys, Seq("id", "payload_md5"),
+      "left_anti").select(col("id"), col("seg")).localCheckpoint(true)
+    if (!arrivals.isEmpty) {
+      val newRows = cur.join(broadcast(arrivals.select("id")), Seq("id"))
+      val nextSeg = readArtifact(new Path(genDir, "docs"), WinsigDocsSchema)
+        .agg(coalesce(max("seg"), lit(0)).as("m")).head().getInt(0) + 1
+      writeWinsigSegment(name, newRows, minTokens, nextSeg, genDir)
+    }
+    val tombPath = new Path(genDir, "tombstones")
+    if (!departures.isEmpty) {
+      val newTombs = winsigTombstones(name).union(departures)
+      val tmp = new Path(genDir, "tombstones_tmp")
+      newTombs.write.mode("overwrite").option("compression", Compression)
+        .parquet(tmp.toString)
+      if (fs.exists(tombPath)) fs.delete(tombPath, true)
+      if (!fs.rename(tmp, tombPath))
+        throw new IllegalStateException(s"winsig tombstone swap failed for $name")
+    }
+    GraftSqlShims.unpersistCheckpoint(arrivals)
+    GraftSqlShims.unpersistCheckpoint(departures)
+    fs.delete(winsigStaleMarker(name), false)
+    ()
+  }
+
+  /** REINDEX type=winsig;mode=compact — merge the segmented artifact to
+    * ONE flat generation without re-windowing any text (tombstones
+    * apply, rows rewrite as seg 0), committed by the single meta.json
+    * generation-pointer flip ([[compactPostings]]'s online crash
+    * discipline). Requires a LIVE artifact — compacting a stale one
+    * would launder staleness.
+    */
+  def compactWinsig(name: String): Unit = {
+    requireCollection(name)
+    require(fs.exists(winsigMetaPath(name)),
+      s"no winsig artifact on $name to compact")
+    require(!fs.exists(winsigStaleMarker(name)),
+      s"winsig artifact on $name is stale — REINDEX type=winsig " +
+        "(or mode=refresh) first, then compact")
+    val dir = winsigDir(name)
+    val g = winsigGen(name)
+    val nextDir = new Path(dir, s"gen_${g + 1}")
+    if (fs.exists(nextDir)) fs.delete(nextDir, true)
+    val minTokens = winsigMinTokens(name)
+    liveWinsigSigs(name).withColumn("seg", lit(0))
+      .write.mode("overwrite").option("compression", Compression)
+      .parquet(new Path(nextDir, "sigs").toString)
+    liveWinsigDocs(name).withColumn("seg", lit(0))
+      .write.mode("overwrite").option("compression", Compression)
+      .parquet(new Path(nextDir, "docs").toString)
+    writeString(fs, winsigMetaPath(name),
+      s"""{"type":"winsig","minTokens":$minTokens,"gen":${g + 1}}""")
+    Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("gen_") && n != s"gen_${g + 1}")
+        fs.delete(st.getPath, true)
+    }
+    ()
+  }
+
+  private def winsigMinTokens(name: String): Int =
+    """"minTokens"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readString(fs, winsigMetaPath(name)))
+      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+        s"winsig meta has no minTokens field on $name"))
 
   /** Scrub an arriving batch (`id`, `payload`) of every token position
     * covered by a >= minTokens-token window already present in the
@@ -990,22 +1127,15 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     require(batch.columns.contains("id") && batch.columns.contains("payload"),
       s"screen batch needs (id, payload) columns — got " +
         batch.columns.mkString("(", ", ", ")"))
-    val dir = winsigDir(name)
-    val hasMeta = fs.exists(new Path(dir, "meta.json"))
+    val hasMeta = fs.exists(winsigMetaPath(name))
     val live = hasMeta && !fs.exists(winsigStaleMarker(name))
     val minTokens =
-      if (hasMeta) {
-        val meta = readString(fs, new Path(dir, "meta.json"))
-        """"minTokens"\s*:\s*(\d+)""".r.findFirstMatchIn(meta)
-          .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
-            s"winsig meta has no minTokens field: $meta"))
-      } else defaultMinTokens
+      if (hasMeta) winsigMinTokens(name) else defaultMinTokens
     val sigs =
-      // explicit schema: an artifact built over an empty (or
-      // all-too-short-payload) collection still reads as an empty frame
-      if (live) spark.read
-        .schema(StructType.fromDDL("win_sig STRING"))
-        .parquet(new Path(dir, "sigs").toString)
+      // explicit schemas throughout the artifact reads: an artifact
+      // built over an empty (or all-too-short-payload) collection still
+      // reads as an empty frame
+      if (live) liveWinsigSigs(name).select("win_sig")
       else graft.operators.Dedup.windowSigs(cur, "id", "payload", minTokens)
     graft.operators.Dedup.incomingCoveredText(sigs, batch,
       "id", "payload", minTokens)

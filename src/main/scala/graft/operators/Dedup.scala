@@ -1250,8 +1250,18 @@ object Dedup {
     * it at ingest time without touching corpus text. */
   def windowSigs(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int): DataFrame =
-    overlappingWindows(df, idCol, textCol, minTokens)
+    windowSigRows(df, idCol, textCol, minTokens)
       .select("win_sig").distinct()
+
+  /** Per-document DISTINCT window signatures `(idCol, win_sig)` — the
+    * id-attributed form an INCREMENTALLY MAINTAINED screening artifact
+    * stores: deleting a document tombstones its rows, and a signature
+    * keeps screening as long as ANY live document still carries it
+    * (the flat distinct table of [[windowSigs]] cannot express that). */
+  def windowSigRows(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame =
+    overlappingWindows(df, idCol, textCol, minTokens)
+      .select(col(idCol), col("win_sig")).distinct()
 
   /** Ingest-time exact-substring screening (the [[incomingNearDups]]
     * counterpart for [[exactSubstringDedup]]): scrub from each ARRIVING

@@ -904,6 +904,77 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Incremental winsig maintenance: insert + update + delete, then
+    // REINDEX type=winsig;mode=refresh windows only the delta into a
+    // fresh segment (tombstoning replaced/deleted versions), and the
+    // STORED path screens the arriving batch against the final corpus
+    // state. Oracle replays the mutated corpus and the screening.
+    "q225_winsig_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val db = scratchDb(s, "graft_q225")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      def run(cmd: String, arg: String) =
+        CommandExecutor.execute(db,
+          graft.commands.CommandParser.parse(Some("docs"), cmd, Some(arg))
+            .fold(e => throw new IllegalArgumentException(e.message),
+              identity))
+      run("REINDEX", "type=winsig").collect()
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(col("text"), lit(" graftrefresh")).as("payload")))
+      db.update("docs",
+        Seq((0L, "graftrefresh vector data payload")).toDF("id", "payload"))
+      db.delete("docs", col("id") % 97 === 3)
+      run("REINDEX", "type=winsig;mode=refresh").collect()
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("id"),
+          concat(lit("fb1 fb2 "), col("text"), lit(" fe1")).as("payload"))
+      db.screenSubstrings("docs", batch)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("text")).as("text_sig"))
+        .orderBy("doc_id")
+    }),
+
+    // Winsig compaction is content-preserving: the q225 pipeline plus
+    // mode=compact (segments merge to one generation, tombstones clear,
+    // no text re-windowed) — same oracle verbatim.
+    "q226_winsig_compact" -> ((s, dir) => {
+      import s.implicits._
+      val db = scratchDb(s, "graft_q226")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      def run(cmd: String, arg: String) =
+        CommandExecutor.execute(db,
+          graft.commands.CommandParser.parse(Some("docs"), cmd, Some(arg))
+            .fold(e => throw new IllegalArgumentException(e.message),
+              identity))
+      run("REINDEX", "type=winsig").collect()
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(col("text"), lit(" graftrefresh")).as("payload")))
+      db.update("docs",
+        Seq((0L, "graftrefresh vector data payload")).toDF("id", "payload"))
+      db.delete("docs", col("id") % 97 === 3)
+      run("REINDEX", "type=winsig;mode=refresh").collect()
+      run("REINDEX", "type=winsig;mode=compact").collect()
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("id"),
+          concat(lit("fb1 fb2 "), col("text"), lit(" fe1")).as("payload"))
+      db.screenSubstrings("docs", batch)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_kept"),
+          md5(col("text")).as("text_sig"))
+        .orderBy("doc_id")
+    }),
+
     // The artifact inventory surface: LISTINDEXES reports every managed
     // index with its serving state — live after the REINDEXes, the
     // stale-able three flip to stale after a mutation while the vector
@@ -1109,6 +1180,60 @@ object PipelineQueries {
     * arithmetic (compaction is content-preserving, so both gates share
     * this text verbatim).
     */
+  /** q225/q226 oracle: replay the scripted mutations (insert the %10=7
+    * twins, update id 0, delete id%97=3), rebuild the window-signature
+    * set from the FINAL corpus, and screen the q213-style batch — the
+    * refreshed (and compacted) artifact must serve exactly this.
+    */
+  private lazy val winsigRefreshSql: String =
+    """WITH base AS (
+      |  SELECT doc_id AS id, text AS payload FROM documents
+      |  WHERE doc_id <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS id, text || ' graftrefresh' AS payload
+      |  FROM documents WHERE doc_id % 10 = 7
+      |  UNION ALL
+      |  SELECT 0 AS id, 'graftrefresh vector data payload' AS payload),
+      |corpus AS (SELECT id, payload FROM base WHERE id % 97 <> 3),
+      |t AS (
+      |  SELECT id, regexp_extract_all(payload, '\S+') AS toks FROM corpus),
+      |cs AS (
+      |  SELECT DISTINCT md5(array_to_string(toks[s+1 : s+15], ' ')) AS sig
+      |  FROM (SELECT toks, unnest(range(0, len(toks) - 15 + 1)) AS s
+      |        FROM t WHERE len(toks) >= 15)),
+      |b AS (
+      |  SELECT doc_id + 500000 AS doc_id,
+      |    'fb1 fb2 ' || text || ' fe1' AS text
+      |  FROM documents WHERE doc_id % 7 = 3),
+      |bt AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM b),
+      |tok AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS tok
+      |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i
+      |        FROM bt)),
+      |w AS (
+      |  SELECT doc_id, CAST(s AS BIGINT) AS s,
+      |    md5(array_to_string(toks[s+1 : s+15], ' ')) AS sig
+      |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 15 + 1)) AS s
+      |        FROM bt WHERE len(toks) >= 15)),
+      |hit AS (SELECT w.doc_id, w.s FROM w JOIN cs ON w.sig = cs.sig),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+      |  FROM (SELECT hit.doc_id, unnest(range(hit.s, hit.s + 15)) AS p
+      |        FROM hit))
+      |SELECT tok.doc_id AS doc_id,
+      |  count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN cov.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  md5(coalesce(
+      |    string_agg(tok.tok, ' ' ORDER BY tok.pos)
+      |      FILTER (WHERE cov.pos IS NULL),
+      |    '')) AS text_sig
+      |FROM tok LEFT JOIN cov
+      |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+      |GROUP BY tok.doc_id
+      |ORDER BY tok.doc_id""".stripMargin
+
   private lazy val postingsRefreshSql: String =
       """WITH cur AS (
         |  SELECT doc_id AS id, text AS payload FROM documents
@@ -1543,6 +1668,9 @@ object PipelineQueries {
     // the managed screen equals the raw operator: q204's oracle verbatim
     "q207_screen_dupes" -> DedupQueries.oracles("q204_incoming_dedup"),
     "q215_screen_substrings" -> DedupQueries.oracles("q213_incoming_substring"),
+    "q225_winsig_refresh" -> winsigRefreshSql,
+    // winsig compaction is content-preserving: q225's oracle verbatim
+    "q226_winsig_compact" -> winsigRefreshSql,
 
     // the cached-artifact phrase serve must equal the from-text
     // recompute over the hybrid collection's rows

@@ -535,6 +535,57 @@ class GraftDatabaseSpec extends AnyFunSuite {
       "an empty window artifact must screen nothing")
   }
 
+  test("winsig refresh: delta segments, shared-sig survival, compaction") {
+    val db = freshDb()
+    db.createCollection("docs")
+    val run = (0 until 15).map(i => s"sh$i").mkString(" ")
+    val gamma = (0 until 20).map(i => s"gm$i").mkString(" ")
+    db.bulkInsert("docs", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f), run + " a1 a2 a3"),
+      VectorRecord(2L, Array(0.0f, 1.0f), "b1 b2 " + run),
+      VectorRecord(3L, Array(0.5f, 0.5f), gamma)).toDF())
+    db.reindexWinsig("docs")
+    def kept(text: String): Long =
+      db.screenSubstrings("docs", Seq((900L, text)).toDF("id", "payload"))
+        .select("n_kept").as[Long].collect().head
+    assert(kept(run + " zz") == 1L, "the shared run must screen")
+    // doc 1 deleted: the run sig survives via doc 2 (per-id attribution
+    // — a flat distinct table could not distinguish this from full loss)
+    db.delete("docs", col("id") === 1L)
+    db.refreshWinsig("docs")
+    assert(kept(run + " zz") == 1L,
+      "a sig carried by a surviving doc must keep screening")
+    // last carrier deleted: the sig is gone
+    db.delete("docs", col("id") === 2L)
+    db.refreshWinsig("docs")
+    assert(kept(run + " zz") == 16L,
+      "a sig with no live carrier must stop screening")
+    // update re-windows only the changed doc: new content screens, the
+    // replaced version's windows are tombstoned
+    val nu = (0 until 15).map(i => s"nu$i").mkString(" ")
+    db.update("docs",
+      Seq(VectorRecord(3L, Array(0.5f, 0.5f), nu)).toDF())
+    db.refreshWinsig("docs")
+    assert(kept(nu + " q") == 1L, "refreshed content must screen")
+    assert(kept(gamma + " q") == 21L,
+      "the replaced version's windows must stop screening")
+    // compaction: same answers through the generation flip, old gen gone
+    db.compactWinsig("docs")
+    assert(kept(nu + " q") == 1L && kept(gamma + " q") == 21L,
+      "compaction must preserve screening content")
+    val gens = new java.io.File(s"${db.root}/graft_winsig_docs")
+      .listFiles().map(_.getName).filter(_.startsWith("gen_")).toSeq
+    assert(gens == Seq("gen_1"), s"only the live generation survives: $gens")
+    // loud guards: refresh needs an artifact; compact refuses stale
+    db.createCollection("bare")
+    db.bulkInsert("bare",
+      Seq(VectorRecord(9L, Array(1.0f, 0.0f), "x y z")).toDF())
+    intercept[IllegalArgumentException] { db.refreshWinsig("bare") }
+    db.bulkInsert("docs",
+      Seq(VectorRecord(4L, Array(1.0f, 0.0f), "p q r")).toDF()) // → stale
+    intercept[IllegalArgumentException] { db.compactWinsig("docs") }
+  }
+
   test("searchSimilar returns nearest by cosine") {
     val db = freshDb()
     db.createCollection("vecs")
