@@ -208,10 +208,17 @@ object CommandExecutor {
                   s"compact, got: $other")
             }
           case "minhash" =>
-            db.reindexMinhash(coll,
-              shingleN = opts.getOrElse("shingles", "5").toInt,
-              numHashes = opts.getOrElse("hashes", "8").toInt,
-              rowsPerBand = opts.getOrElse("rows", "2").toInt)
+            opts.getOrElse("mode", "full") match {
+              case "full" => db.reindexMinhash(coll,
+                shingleN = opts.getOrElse("shingles", "5").toInt,
+                numHashes = opts.getOrElse("hashes", "8").toInt,
+                rowsPerBand = opts.getOrElse("rows", "2").toInt)
+              case "refresh" => db.refreshMinhash(coll)
+              case "compact" => db.compactMinhash(coll)
+              case other => throw new IllegalArgumentException(
+                "REINDEX type=minhash mode must be full, refresh, or " +
+                  s"compact, got: $other")
+            }
           case "winsig" =>
             opts.getOrElse("mode", "full") match {
               case "full" => db.reindexWinsig(coll,

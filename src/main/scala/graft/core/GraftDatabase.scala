@@ -836,13 +836,74 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   private def minhashStaleMarker(name: String): Path =
     new Path(minhashDir(name), "stale")
 
+  private def minhashMetaPath(name: String): Path =
+    new Path(minhashDir(name), "meta.json")
+
+  private def minhashGen(name: String): Int =
+    """"gen"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readString(fs, minhashMetaPath(name)))
+      .map(_.group(1).toInt).getOrElse(0)
+
+  private def minhashGenDir(name: String): Path =
+    new Path(minhashDir(name), s"gen_${minhashGen(name)}")
+
+  private val MinhashBandsSchema = StructType.fromDDL(
+    "id BIGINT, band_key STRING, seg INT, band INT")
+
+  private def minhashTombstones(name: String): DataFrame =
+    readArtifact(new Path(minhashGenDir(name), "tombstones"),
+      TombstonesSchema)
+
+  private def liveMinhashBands(name: String): DataFrame =
+    readArtifact(new Path(minhashGenDir(name), "bands"), MinhashBandsSchema)
+      .join(broadcast(minhashTombstones(name)), Seq("id", "seg"), "left_anti")
+      .select("id", "band", "band_key")
+
+  private def liveMinhashDocs(name: String): DataFrame =
+    readArtifact(new Path(minhashGenDir(name), "docs"), WinsigDocsSchema)
+      .join(broadcast(minhashTombstones(name)), Seq("id", "seg"), "left_anti")
+
+  private def minhashParams(name: String): (Int, Int, Int) = {
+    val meta = readString(fs, minhashMetaPath(name))
+    def intOf(k: String): Int =
+      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(meta)
+        .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+          s"minhash meta has no $k field: $meta"))
+    (intOf("shingleN"), intOf("numHashes"), intOf("rowsPerBand"))
+  }
+
+  /** One segment append: banded signatures + the (id, payload_md5)
+    * diff-base rows for every doc in `rows` (short docs with no
+    * shingles included — the diff must see them).
+    */
+  private def writeMinhashSegment(name: String, rows: DataFrame,
+      shingleN: Int, numHashes: Int, rowsPerBand: Int, seg: Int,
+      genDir: Path): Unit = {
+    graft.operators.Dedup.bandKeys(
+        graft.operators.Dedup.minhashSignatures(
+          graft.operators.Dedup.explodeShingles(
+            rows, "id", "payload", shingleN),
+          "id", numHashes),
+        "id", numHashes, rowsPerBand)
+      .withColumn("seg", lit(seg))
+      .write.mode("append").option("compression", Compression)
+      .partitionBy("band")
+      .parquet(new Path(genDir, "bands").toString)
+    rows.select(col("id"), md5(col("payload")).as("payload_md5"))
+      .withColumn("seg", lit(seg))
+      .write.mode("append").option("compression", Compression)
+      .parquet(new Path(genDir, "docs").toString)
+  }
+
   /** REINDEX type=minhash — materialize the collection's banded MinHash
     * signatures ([[graft.operators.Dedup.bandKeys]] over the payload
     * column) as a managed artifact partitioned by `band`: the corpus
     * side of [[screenDupes]], computed once instead of per arriving
     * batch. meta.json records (shingleN, numHashes, rowsPerBand) so the
     * probe always hashes with the parameters the artifact was built
-    * with (md5 keys from different parameters never collide).
+    * with (md5 keys from different parameters never collide). Same
+    * segment/tombstone/generation lifecycle as the winsig and postings
+    * artifacts — [[refreshMinhash]] maintains it at delta price.
     */
   def reindexMinhash(name: String, shingleN: Int = 5, numHashes: Int = 8,
       rowsPerBand: Int = 2): Unit = {
@@ -855,17 +916,91 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       s"REINDEX type=minhash needs a payload column on $name")
     val dir = minhashDir(name)
     if (fs.exists(dir)) fs.delete(dir, true)
-    graft.operators.Dedup.bandKeys(
-        graft.operators.Dedup.minhashSignatures(
-          graft.operators.Dedup.explodeShingles(
-            cur, "id", "payload", shingleN),
-          "id", numHashes),
-        "id", numHashes, rowsPerBand)
-      .write.option("compression", Compression)
+    writeMinhashSegment(name, cur, shingleN, numHashes, rowsPerBand,
+      seg = 0, genDir = new Path(dir, "gen_0"))
+    writeString(fs, minhashMetaPath(name),
+      s"""{"type":"minhash","shingleN":$shingleN,"numHashes":$numHashes,"rowsPerBand":$rowsPerBand,"gen":0}""")
+  }
+
+  /** REINDEX type=minhash;mode=refresh — incremental signature
+    * maintenance ([[refreshWinsig]]'s discipline on the band layout):
+    * diff by `(id, payload_md5)`, shingle + minhash ONLY the
+    * new/changed docs into a fresh segment, tombstone replaced/deleted
+    * versions, clear the stale marker. Parameters come from the meta —
+    * the segment must hash in the family the artifact was built with.
+    */
+  def refreshMinhash(name: String): Unit = {
+    requireCollection(name)
+    require(fs.exists(minhashMetaPath(name)),
+      s"no minhash artifact on $name to refresh — run REINDEX type=minhash first")
+    val (shingleN, numHashes, rowsPerBand) = minhashParams(name)
+    val genDir = minhashGenDir(name)
+    val cur = read(name)
+    require(cur.columns.contains("payload"),
+      s"REINDEX type=minhash needs a payload column on $name")
+    val curKeys = cur.select(col("id"), md5(col("payload")).as("payload_md5"))
+    val indexed = liveMinhashDocs(name)
+    val arrivals = curKeys.join(indexed.select("id", "payload_md5"),
+      Seq("id", "payload_md5"), "left_anti").localCheckpoint(true)
+    val departures = indexed.join(curKeys, Seq("id", "payload_md5"),
+      "left_anti").select(col("id"), col("seg")).localCheckpoint(true)
+    if (!arrivals.isEmpty) {
+      val newRows = cur.join(broadcast(arrivals.select("id")), Seq("id"))
+      val nextSeg = readArtifact(new Path(genDir, "docs"), WinsigDocsSchema)
+        .agg(coalesce(max("seg"), lit(0)).as("m")).head().getInt(0) + 1
+      writeMinhashSegment(name, newRows, shingleN, numHashes, rowsPerBand,
+        nextSeg, genDir)
+    }
+    val tombPath = new Path(genDir, "tombstones")
+    if (!departures.isEmpty) {
+      val newTombs = minhashTombstones(name).union(departures)
+      val tmp = new Path(genDir, "tombstones_tmp")
+      newTombs.write.mode("overwrite").option("compression", Compression)
+        .parquet(tmp.toString)
+      if (fs.exists(tombPath)) fs.delete(tombPath, true)
+      if (!fs.rename(tmp, tombPath))
+        throw new IllegalStateException(s"minhash tombstone swap failed for $name")
+    }
+    GraftSqlShims.unpersistCheckpoint(arrivals)
+    GraftSqlShims.unpersistCheckpoint(departures)
+    fs.delete(minhashStaleMarker(name), false)
+    ()
+  }
+
+  /** REINDEX type=minhash;mode=compact — merge segments to one flat
+    * generation without re-hashing any text, committed by the single
+    * meta.json generation-pointer flip ([[compactPostings]]'s online
+    * crash discipline). Requires a LIVE artifact.
+    */
+  def compactMinhash(name: String): Unit = {
+    requireCollection(name)
+    require(fs.exists(minhashMetaPath(name)),
+      s"no minhash artifact on $name to compact")
+    require(!fs.exists(minhashStaleMarker(name)),
+      s"minhash artifact on $name is stale — REINDEX type=minhash " +
+        "(or mode=refresh) first, then compact")
+    val dir = minhashDir(name)
+    val g = minhashGen(name)
+    val nextDir = new Path(dir, s"gen_${g + 1}")
+    if (fs.exists(nextDir)) fs.delete(nextDir, true)
+    val (shingleN, numHashes, rowsPerBand) = minhashParams(name)
+    readArtifact(new Path(minhashGenDir(name), "bands"), MinhashBandsSchema)
+      .join(broadcast(minhashTombstones(name)), Seq("id", "seg"), "left_anti")
+      .withColumn("seg", lit(0))
+      .write.mode("overwrite").option("compression", Compression)
       .partitionBy("band")
-      .parquet(new Path(dir, "bands").toString)
-    writeString(fs, new Path(dir, "meta.json"),
-      s"""{"type":"minhash","shingleN":$shingleN,"numHashes":$numHashes,"rowsPerBand":$rowsPerBand}""")
+      .parquet(new Path(nextDir, "bands").toString)
+    liveMinhashDocs(name).withColumn("seg", lit(0))
+      .write.mode("overwrite").option("compression", Compression)
+      .parquet(new Path(nextDir, "docs").toString)
+    writeString(fs, minhashMetaPath(name),
+      s"""{"type":"minhash","shingleN":$shingleN,"numHashes":$numHashes,"rowsPerBand":$rowsPerBand,"gen":${g + 1}}""")
+    Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("gen_") && n != s"gen_${g + 1}")
+        fs.delete(st.getPath, true)
+    }
+    ()
   }
 
   /** Screen an arriving batch (`id`, `payload`) for near-duplicates of
@@ -887,8 +1022,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     require(batch.columns.contains("id") && batch.columns.contains("payload"),
       s"screen batch needs (id, payload) columns — got " +
         batch.columns.mkString("(", ", ", ")"))
-    val dir = minhashDir(name)
-    val hasMeta = fs.exists(new Path(dir, "meta.json"))
+    val hasMeta = fs.exists(minhashMetaPath(name))
     val live = hasMeta && !fs.exists(minhashStaleMarker(name))
     // parameters come from the artifact's meta whenever one exists —
     // EVEN STALE: the fallback must screen with the same (shingleN,
@@ -896,21 +1030,13 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     // would silently change shape across the stale window. Defaults
     // apply only when no artifact was ever built.
     val (shingleN, numHashes, rowsPerBand) =
-      if (hasMeta) {
-        val meta = readString(fs, new Path(dir, "meta.json"))
-        def intOf(k: String): Int =
-          s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(meta)
-            .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
-              s"minhash meta has no $k field: $meta"))
-        (intOf("shingleN"), intOf("numHashes"), intOf("rowsPerBand"))
-      } else (5, 8, 2)
+      if (hasMeta) minhashParams(name) else (5, 8, 2)
     val bands =
-      // explicit schema: a minhash artifact built over an empty (or
-      // all-too-short-payload) collection has a schemaless partitioned
-      // dir — inference would fail, the declared schema reads it empty
-      if (live) spark.read
-        .schema(StructType.fromDDL("id BIGINT, band_key STRING, band INT"))
-        .parquet(new Path(dir, "bands").toString)
+      // explicit schemas throughout the artifact reads: an artifact
+      // built over an empty (or all-too-short-payload) collection has a
+      // schemaless partitioned dir — inference would fail, the declared
+      // schema reads it empty
+      if (live) liveMinhashBands(name)
       else graft.operators.Dedup.bandKeys(
         graft.operators.Dedup.minhashSignatures(
           graft.operators.Dedup.explodeShingles(

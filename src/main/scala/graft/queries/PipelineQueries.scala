@@ -975,6 +975,71 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental minhash maintenance: the q225 mutation script, but the
+    // artifact is the banded-signature table and the probe is
+    // screenDupes — refresh hashes only the delta, the stored path
+    // screens against the final corpus state.
+    "q227_minhash_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val db = scratchDb(s, "graft_q227")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      def run(cmd: String, arg: String) =
+        CommandExecutor.execute(db,
+          graft.commands.CommandParser.parse(Some("docs"), cmd, Some(arg))
+            .fold(e => throw new IllegalArgumentException(e.message),
+              identity))
+      run("REINDEX", "type=minhash").collect()
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(col("text"), lit(" graftrefresh")).as("payload")))
+      db.update("docs",
+        Seq((0L, "graftrefresh vector data payload")).toDF("id", "payload"))
+      db.delete("docs", col("id") % 97 === 3)
+      run("REINDEX", "type=minhash;mode=refresh").collect()
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("id"),
+          concat(col("text"), lit(" tm1 tm2")).as("payload"))
+      db.screenDupes("docs", batch)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Minhash compaction is content-preserving: q227 plus mode=compact —
+    // same oracle verbatim.
+    "q228_minhash_compact" -> ((s, dir) => {
+      import s.implicits._
+      val db = scratchDb(s, "graft_q228")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      def run(cmd: String, arg: String) =
+        CommandExecutor.execute(db,
+          graft.commands.CommandParser.parse(Some("docs"), cmd, Some(arg))
+            .fold(e => throw new IllegalArgumentException(e.message),
+              identity))
+      run("REINDEX", "type=minhash").collect()
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(col("text"), lit(" graftrefresh")).as("payload")))
+      db.update("docs",
+        Seq((0L, "graftrefresh vector data payload")).toDF("id", "payload"))
+      db.delete("docs", col("id") % 97 === 3)
+      run("REINDEX", "type=minhash;mode=refresh").collect()
+      run("REINDEX", "type=minhash;mode=compact").collect()
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("id"),
+          concat(col("text"), lit(" tm1 tm2")).as("payload"))
+      db.screenDupes("docs", batch)
+        .orderBy("a_id", "b_id")
+    }),
+
     // The artifact inventory surface: LISTINDEXES reports every managed
     // index with its serving state — live after the REINDEXes, the
     // stale-able three flip to stale after a mutation while the vector
@@ -1233,6 +1298,57 @@ object PipelineQueries {
       |  ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
       |GROUP BY tok.doc_id
       |ORDER BY tok.doc_id""".stripMargin
+
+  /** q227/q228 oracle: the q225 mutation replay feeding q204's minhash
+    * screening chain — the refreshed (and compacted) band artifact must
+    * screen exactly as a from-scratch build over the final corpus.
+    */
+  private lazy val minhashRefreshSql: String = {
+    val mutatedCorpus =
+      """SELECT id AS doc_id, payload AS text FROM (
+        |  SELECT id, payload FROM (
+        |    SELECT doc_id AS id, text AS payload FROM documents
+        |    WHERE doc_id <> 0
+        |    UNION ALL
+        |    SELECT doc_id + 1000000 AS id, text || ' graftrefresh' AS payload
+        |    FROM documents WHERE doc_id % 10 = 7
+        |    UNION ALL
+        |    SELECT 0 AS id, 'graftrefresh vector data payload' AS payload
+        |  ) mb WHERE id % 97 <> 3
+        |) mc""".stripMargin
+    val corpusChain = DedupQueries.minhashChainSql(mutatedCorpus, "c")
+    val batchChain = DedupQueries.minhashChainSql(
+      "SELECT doc_id + 500000 AS doc_id, text || ' tm1 tm2' AS text " +
+        "FROM documents WHERE doc_id % 7 = 3", "b")
+    s"""WITH $corpusChain,
+       |$batchChain,
+       |ok AS (
+       |  SELECT band, band_key FROM bandsc
+       |  GROUP BY band, band_key HAVING count(*) <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT bb.doc_id AS a_id, bc.doc_id AS b_id
+       |  FROM bandsb bb
+       |  JOIN bandsc bc ON bb.band = bc.band AND bb.band_key = bc.band_key
+       |  JOIN ok ON bc.band = ok.band AND bc.band_key = ok.band_key),
+       |an AS (SELECT doc_id, count(*) AS an FROM shb GROUP BY doc_id),
+       |bn AS (SELECT doc_id, count(*) AS bn FROM shc GROUP BY doc_id),
+       |shared AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS s
+       |  FROM cand c
+       |  JOIN shb a ON a.doc_id = c.a_id
+       |  JOIN shc b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+       |  GROUP BY c.a_id, c.b_id)
+       |SELECT a_id, b_id, jaccard FROM (
+       |  SELECT c.a_id AS a_id, c.b_id AS b_id,
+       |    CAST(COALESCE(s.s, 0) AS DOUBLE)
+       |      / (an.an + bn.bn - COALESCE(s.s, 0)) AS jaccard
+       |  FROM cand c
+       |  LEFT JOIN shared s ON s.a_id = c.a_id AND s.b_id = c.b_id
+       |  JOIN an ON an.doc_id = c.a_id
+       |  JOIN bn ON bn.doc_id = c.b_id)
+       |WHERE jaccard >= 0.5
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   private lazy val postingsRefreshSql: String =
       """WITH cur AS (
@@ -1671,6 +1787,9 @@ object PipelineQueries {
     "q225_winsig_refresh" -> winsigRefreshSql,
     // winsig compaction is content-preserving: q225's oracle verbatim
     "q226_winsig_compact" -> winsigRefreshSql,
+    "q227_minhash_refresh" -> minhashRefreshSql,
+    // minhash compaction is content-preserving: q227's oracle verbatim
+    "q228_minhash_compact" -> minhashRefreshSql,
 
     // the cached-artifact phrase serve must equal the from-text
     // recompute over the hybrid collection's rows

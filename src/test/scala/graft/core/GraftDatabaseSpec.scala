@@ -586,6 +586,47 @@ class GraftDatabaseSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { db.compactWinsig("docs") }
   }
 
+  test("minhash refresh: delta segments, tombstoned versions, compaction") {
+    val db = freshDb()
+    db.createCollection("docs")
+    def words(p: String) = (0 until 20).map(i => s"$p$i").mkString(" ")
+    db.bulkInsert("docs", Seq(
+      VectorRecord(1L, Array(1.0f, 0.0f), words("al")),
+      VectorRecord(2L, Array(0.0f, 1.0f), words("be"))).toDF())
+    db.reindexMinhash("docs")
+    def pairsOf(text: String): Seq[(Long, Long)] =
+      db.screenDupes("docs", Seq((900L, text)).toDF("id", "payload"))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(pairsOf(words("al") + " x") == Seq((900L, 1L)))
+    // new doc arrives; refresh indexes ONLY it; the stored path pairs it
+    db.bulkInsert("docs", Seq(
+      VectorRecord(3L, Array(0.5f, 0.5f), words("ga"))).toDF())
+    db.refreshMinhash("docs")
+    assert(pairsOf(words("ga") + " y") == Seq((900L, 3L)),
+      "refreshed content must pair from the stored path")
+    // replace doc 1: its old bands must stop pairing, the new ones start
+    db.update("docs",
+      Seq(VectorRecord(1L, Array(1.0f, 0.0f), words("nu"))).toDF())
+    db.refreshMinhash("docs")
+    assert(pairsOf(words("al") + " x").isEmpty,
+      "a replaced version's bands must stop pairing")
+    assert(pairsOf(words("nu") + " x") == Seq((900L, 1L)))
+    // compaction preserves answers, sweeps old generations
+    db.compactMinhash("docs")
+    assert(pairsOf(words("nu") + " x") == Seq((900L, 1L)) &&
+      pairsOf(words("ga") + " y") == Seq((900L, 3L)))
+    val gens = new java.io.File(s"${db.root}/graft_minhash_docs")
+      .listFiles().map(_.getName).filter(_.startsWith("gen_")).toSeq
+    assert(gens == Seq("gen_1"), s"only the live generation survives: $gens")
+    // loud guards
+    db.createCollection("bare")
+    db.bulkInsert("bare",
+      Seq(VectorRecord(9L, Array(1.0f, 0.0f), "x y z")).toDF())
+    intercept[IllegalArgumentException] { db.refreshMinhash("bare") }
+    db.delete("docs", col("id") === 2L) // → stale
+    intercept[IllegalArgumentException] { db.compactMinhash("docs") }
+  }
+
   test("searchSimilar returns nearest by cosine") {
     val db = freshDb()
     db.createCollection("vecs")
