@@ -142,4 +142,115 @@ object NgramLm {
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         avg(log(col("__s"))).as("raw_lp"))
   }
+
+  /** Katz back-off bigram scoring with Good-Turing discounting (Katz
+    * 1987; discounts from the Gale–Sampson Turing estimate — the
+    * [[graft.operators.TextAnalysis.frequencySpectrum]] quantity
+    * applied to the BIGRAM count spectrum): the second smoothing family
+    * beside [[lmScores]]' stupid backoff, with an actual probability
+    * model — seen mass is discounted and the leftover is redistributed
+    * over unseen continuations in proportion to a smoothed unigram.
+    *
+    * Per bigram (w1, w2), counts from the TRAIN slice:
+    *  - seen (c > 0):  p = d_c · c / ctx(w1), where for c ≤ kCut
+    *    d_c = (cstar / c − A) / (1 − A) with cstar = (c+1)·N_{c+1}/N_c
+    *    and A = (kCut+1)·N_{kCut+1}/N_1 (counts above kCut are
+    *    reliable: d = 1); a degenerate spectrum cell (missing
+    *    N_{c+1}/N_1/N_{kCut+1}, or d outside (0, 1]) falls back to
+    *    d = 1 — the standard guard, mirrored in the oracle.
+    *  - unseen:        p = α(w1) · q(w2), with q(w) = (c1(w) + 0.5) /
+    *    (N + 0.5·V) the half-smoothed train unigram (the +0.5 floor
+    *    keeps OOV tokens finite — documented deviation from the pure ML
+    *    unigram) and α(w1) = (1 − Σ_seen p) / (1 − Σ_seen q) the Katz
+    *    leftover-mass ratio (α = 1 for an unseen history: pure q).
+    *
+    * Cross-engine determinism: every discount is a per-row chain over
+    * exact integer counts (no rounding needed); the TWO per-history
+    * accumulations (Σ_seen p, Σ_seen q) round at 12 dp (+1e-15 — the
+    * pageRank re-entry idiom) before the α division, so
+    * accumulation-order ulps cannot compound into the score; the
+    * per-doc mean ln p rounds at the gate like every LM score.
+    *
+    * Scale shape: the same one-explode count tables as [[lmScores]];
+    * the discount table is SPECTRUM-sized (≤ max bigram count rows),
+    * α is vocabulary-shaped, and doc scoring is the identical
+    * left-join chain plus two catalog joins.
+    */
+  def katzScores(df: DataFrame, idCol: String, textCol: String,
+      isTrain: Column, kCut: Int = 5): DataFrame = {
+    require(kCut >= 1, s"kCut must be positive, got $kCut")
+    val base = df.select(col(idCol), isTrain.as("__train"),
+      TextAnalysis.normalizedTokens(col(textCol)).as("__toks"))
+    val bg = base
+      .select(col(idCol), col("__train"),
+        explode(bigramStructs(col("__toks"))).as("__bg"))
+      .select(col(idCol), col("__train"),
+        col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val c2 = bg.filter(col("__train"))
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
+    val ctx = c2.groupBy("__w1").agg(sum("__c2").as("__ctx"))
+    val uni = base.filter(col("__train"))
+      .select(explode(col("__toks")).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__c1"))
+    val utot = uni.agg(sum("__c1").cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
+    // bigram-count spectrum → the GT discount table (spectrum-sized)
+    val spec = c2.groupBy("__c2").agg(count(lit(1)).as("__nr"))
+    val consts = spec.agg(
+      sum(when(col("__c2") === 1, col("__nr"))).as("__n1"),
+      sum(when(col("__c2") === (kCut + 1).toLong, col("__nr"))).as("__nk1"))
+    val disc = spec.filter(col("__c2") <= kCut)
+      .join(spec.select((col("__c2") - 1).as("__c2"),
+        col("__nr").as("__nr1")), Seq("__c2"), "left")
+      .crossJoin(broadcast(consts))
+      .withColumn("__a",
+        (lit((kCut + 1).toLong) * col("__nk1")) / col("__n1"))
+      .withColumn("__rstar",
+        (col("__c2") + 1) * col("__nr1") / col("__nr"))
+      .withColumn("__draw",
+        (col("__rstar") / col("__c2") - col("__a")) / (lit(1.0) - col("__a")))
+      .withColumn("__d",
+        when(col("__draw").isNull || isnan(col("__draw")) ||
+          col("__draw") <= 0.0 || col("__draw") > 1.0, lit(1.0))
+          .otherwise(col("__draw")))
+      .select(col("__c2"), col("__d"))
+    // per-history leftover mass: both seen-sums rounded BEFORE the ratio
+    val uniAsW2 = uni.select(col("__w").as("__w2"), col("__c1"))
+    val alpha = c2
+      .join(ctx, Seq("__w1"))
+      .join(disc, Seq("__c2"), "left")
+      .join(uniAsW2, Seq("__w2"))
+      .crossJoin(broadcast(utot))
+      .withColumn("__pkz",
+        coalesce(col("__d"), lit(1.0)) * col("__c2") / col("__ctx"))
+      .withColumn("__q",
+        (col("__c1") + lit(0.5)) / (col("__n") + lit(0.5) * col("__v")))
+      .groupBy("__w1")
+      .agg(round(sum("__pkz") + lit(1e-15), 12).as("__skz"),
+        round(sum("__q") + lit(1e-15), 12).as("__sq"))
+      .withColumn("__alpha",
+        // degenerate histories (seen set saturates the vocabulary, or
+        // no leftover mass after rounding) pass through undiscounted:
+        // alpha = 1 keeps every unseen continuation finite — a zero
+        // here would put ln(0) on any OOV after a saturated history
+        when(col("__sq") >= 1.0 || col("__skz") >= 1.0, lit(1.0))
+          .otherwise((lit(1.0) - col("__skz")) / (lit(1.0) - col("__sq"))))
+      .select(col("__w1"), col("__alpha"))
+    bg
+      .join(c2, Seq("__w1", "__w2"), "left")
+      .join(ctx, Seq("__w1"), "left")
+      .join(disc, Seq("__c2"), "left")
+      .join(alpha, Seq("__w1"), "left")
+      .join(uniAsW2, Seq("__w2"), "left")
+      .crossJoin(broadcast(utot))
+      .withColumn("__q",
+        (coalesce(col("__c1"), lit(0L)) + lit(0.5)) /
+          (col("__n") + lit(0.5) * col("__v")))
+      .withColumn("__p", when(col("__c2").isNotNull,
+          coalesce(col("__d"), lit(1.0)) * col("__c2") / col("__ctx"))
+        .otherwise(coalesce(col("__alpha"), lit(1.0)) * col("__q")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        avg(log(col("__p"))).as("raw_kp"))
+  }
 }

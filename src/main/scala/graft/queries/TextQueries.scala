@@ -1181,6 +1181,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Katz back-off LM scoring with Good-Turing discounts (the second
+    // smoothing family beside q100's stupid backoff): seen-bigram mass
+    // discounted by the Turing estimate over the bigram count spectrum,
+    // leftover redistributed per history over a half-smoothed unigram.
+    "q229_katz_lm" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 10
+      graft.operators.NgramLm.katzScores(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", isTrain = bucket < 8)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("raw_kp") + lit(1e-9), 6).as("kp"))
+        .orderBy("doc_id")
+    }),
+
     // Count-pruned LM scoring (q100 with minCount=2): the production
     // deviation the NgramLm docs describe — KenLM-style support pruning —
     // made gate-checkable instead of prose. The pruned model is
@@ -1587,6 +1602,70 @@ object TextQueries {
         |  CROSS JOIN tot)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(avg(ln(s)) + 1e-9, 6) AS lp
+        |FROM sc
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Katz replay: discount table from the bigram spectrum (every
+    // division chain parenthesized exactly as the Spark side), per-w1
+    // seen-mass sums rounded 12dp (+1e-15) BEFORE the alpha ratio.
+    "q229_katz_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+        |    CAST(('0x'||substring(md5('split:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 < 8 AS train
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, train, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, train, t, unnest(range(1, len(t))) AS i FROM d)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE train GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx FROM c2 GROUP BY w1),
+        |uni AS (SELECT w, count(*) AS c1
+        |        FROM (SELECT unnest(t) AS w FROM d WHERE train) GROUP BY w),
+        |ut AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,
+        |              CAST(count(*) AS DOUBLE) AS v FROM uni),
+        |spec AS (SELECT c2 AS r, CAST(count(*) AS BIGINT) AS nr
+        |         FROM c2 GROUP BY c2),
+        |km AS (SELECT sum(CASE WHEN r = 1 THEN nr END) AS n1,
+        |              sum(CASE WHEN r = 6 THEN nr END) AS nk1 FROM spec),
+        |disc0 AS (
+        |  SELECT s.r AS r, s.nr AS nr, s2.nr AS nr1,
+        |    (6 * km.nk1) / km.n1 AS a
+        |  FROM spec s LEFT JOIN spec s2 ON s2.r = s.r + 1 CROSS JOIN km
+        |  WHERE s.r <= 5),
+        |disc1 AS (SELECT r, (r + 1) * nr1 / nr AS rstar, a FROM disc0),
+        |disc AS (
+        |  SELECT r, CASE WHEN draw IS NULL OR isnan(draw)
+        |      OR draw <= 0.0 OR draw > 1.0 THEN 1.0 ELSE draw END AS d
+        |  FROM (SELECT r, (rstar / r - a) / (1.0 - a) AS draw FROM disc1) x),
+        |al0 AS (
+        |  SELECT c2.w1, COALESCE(disc.d, 1.0) * c2.c2 / ctx.ctx AS pkz,
+        |    (uni.c1 + 0.5) / (ut.n + 0.5 * ut.v) AS q
+        |  FROM c2 JOIN ctx ON c2.w1 = ctx.w1
+        |  LEFT JOIN disc ON disc.r = c2.c2
+        |  JOIN uni ON uni.w = c2.w2
+        |  CROSS JOIN ut),
+        |al AS (
+        |  SELECT w1,
+        |    CASE WHEN sq >= 1.0 OR skz >= 1.0 THEN 1.0
+        |         ELSE (1.0 - skz) / (1.0 - sq) END AS alpha
+        |  FROM (SELECT w1, round(sum(pkz) + 1e-15, 12) AS skz,
+        |               round(sum(q) + 1e-15, 12) AS sq
+        |        FROM al0 GROUP BY w1) y),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN c2.c2 IS NOT NULL
+        |      THEN COALESCE(disc.d, 1.0) * c2.c2 / ctx.ctx
+        |      ELSE COALESCE(al.alpha, 1.0) *
+        |        ((COALESCE(uni.c1, 0) + 0.5) / (ut.n + 0.5 * ut.v)) END AS p
+        |  FROM bg b
+        |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  LEFT JOIN ctx ON b.w1 = ctx.w1
+        |  LEFT JOIN disc ON disc.r = c2.c2
+        |  LEFT JOIN al ON b.w1 = al.w1
+        |  LEFT JOIN uni ON b.w2 = uni.w
+        |  CROSS JOIN ut)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(p)) + 1e-9, 6) AS kp
         |FROM sc
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,

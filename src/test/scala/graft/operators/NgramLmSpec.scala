@@ -71,4 +71,38 @@ class NgramLmSpec extends AnyFunSuite {
     val expected = math.log(0.4 * (1 + 0.5) / 3)
     assert(math.abs(got - expected) < 1e-12, s"$got vs $expected")
   }
+
+  test("katzScores: hand-built spectrum halves the r=1 mass, backoff finite") {
+    // two-token train docs = exactly one bigram each. Counts:
+    // (a,b)=1 (b,c)=1 (c,d)=2 (d,e)=2 (e,f)=6 (a,c)=7
+    // → spectrum N1=2, N2=2, N6=1, N7=1; kCut=5:
+    //   A = 6·N6/N1 = 3;  d1 = (2·N2/N1/1 − 3)/(1 − 3) = 0.5;
+    //   d2 = 1 (N3 absent);  counts > 5 undiscounted.
+    val train = (Seq("a b", "b c") ++ Seq.fill(2)("c d") ++
+      Seq.fill(2)("d e") ++ Seq.fill(6)("e f") ++ Seq.fill(7)("a c"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, true) }
+    val test = Seq((100L, "a b", false), (101L, "a z", false))
+    val df = (train ++ test).toDF("doc_id", "text", "train")
+    val out = NgramLm.katzScores(df, "doc_id", "text",
+        isTrain = col("train"))
+      .filter(col("doc_id") >= 100L).orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "raw_kp")
+      .as[(Long, Long, Double)].collect().toSeq
+    // seen: p(b|a) = d1 · 1/ctx(a) = 0.5/8 — HALF the ML estimate
+    assert(out.head._2 == 1L &&
+      math.abs(out.head._3 - math.log(0.0625)) < 1e-9,
+      s"discounted seen prob diverged: ${out.head}")
+    // unseen z after a: alpha(a)·q(z), finite. Tokens N=38, V=6:
+    // q(z)=0.5/41; skz = 0.0625 + 7/8; sq = q(b)+q(c) = 2.5/41+10.5/41
+    def r12(x: Double): Double = BigDecimal(x + 1e-15)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val alpha = (1.0 - r12(0.0625 + 7.0 / 8)) /
+      (1.0 - r12(2.5 / 41 + 10.5 / 41))
+    val pz = alpha * (0.5 / 41)
+    assert(math.abs(out(1)._3 - math.log(pz)) < 1e-9,
+      s"backoff prob diverged: ${out(1)._3} vs ${math.log(pz)}")
+    intercept[IllegalArgumentException] {
+      NgramLm.katzScores(df, "doc_id", "text", col("train"), kCut = 0)
+    }
+  }
 }
