@@ -56,8 +56,41 @@ object RefreshBench {
       .collect().map(_.toString).toSeq
     require(got == expected, "refreshed index diverged from the rescan")
     val tFull = time(db.reindexPostings("docs", buckets = 64))
-    println(f"[refreshbench] sf=$sfDir inflate=$inflate%d full=$tFull%.3f s refresh=$tRefresh%.3f s " +
+    println(f"[refreshbench] postings sf=$sfDir inflate=$inflate%d full=$tFull%.3f s refresh=$tRefresh%.3f s " +
       f"ratio=${tRefresh / tFull}%.2f")
+
+    // ---- winsig: the same 1%-delta discipline on the screening artifact
+    val probe = corpus.filter(col("id") % 997 === 0)
+      .select((col("id") + 900000000L).as("id"),
+        concat(lit("pr1 pr2 "), col("payload"), lit(" pr3")).as("payload"))
+    db.reindexWinsig("docs")
+    db.update("docs", corpus.filter(col("id") % 100 === 1)
+      .select(col("id"),
+        concat(col("payload"), lit(" wref")).as("payload")))
+    val expW = db.screenSubstrings("docs", probe)
+      .collect().map(_.toString).sorted.toSeq // stale → recompute = truth
+    val tRefW = time(db.refreshWinsig("docs"))
+    val gotW = db.screenSubstrings("docs", probe)
+      .collect().map(_.toString).sorted.toSeq
+    require(gotW == expW, "refreshed winsig diverged from the fallback")
+    val tFullW = time(db.reindexWinsig("docs"))
+    println(f"[refreshbench] winsig sf=$sfDir inflate=$inflate%d full=$tFullW%.3f s refresh=$tRefW%.3f s " +
+      f"ratio=${tRefW / tFullW}%.2f")
+
+    // ---- minhash: same again on the banded signatures
+    db.reindexMinhash("docs")
+    db.update("docs", corpus.filter(col("id") % 100 === 2)
+      .select(col("id"),
+        concat(col("payload"), lit(" mref")).as("payload")))
+    val expM = db.screenDupes("docs", probe)
+      .collect().map(_.toString).sorted.toSeq
+    val tRefM = time(db.refreshMinhash("docs"))
+    val gotM = db.screenDupes("docs", probe)
+      .collect().map(_.toString).sorted.toSeq
+    require(gotM == expM, "refreshed minhash diverged from the fallback")
+    val tFullM = time(db.reindexMinhash("docs"))
+    println(f"[refreshbench] minhash sf=$sfDir inflate=$inflate%d full=$tFullM%.3f s refresh=$tRefM%.3f s " +
+      f"ratio=${tRefM / tFullM}%.2f")
     spark.stop()
   }
 }
