@@ -178,22 +178,43 @@ object NgramLm {
     */
   def katzScores(df: DataFrame, idCol: String, textCol: String,
       isTrain: Column, kCut: Int = 5): DataFrame = {
-    require(kCut >= 1, s"kCut must be positive, got $kCut")
-    val base = df.select(col(idCol), isTrain.as("__train"),
+    val base = df.select(col(idCol),
       TextAnalysis.normalizedTokens(col(textCol)).as("__toks"))
     val bg = base
-      .select(col(idCol), col("__train"),
-        explode(bigramStructs(col("__toks"))).as("__bg"))
-      .select(col(idCol), col("__train"),
+      .select(col(idCol), explode(bigramStructs(col("__toks"))).as("__bg"))
+      .select(col(idCol),
         col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
-    val c2 = bg.filter(col("__train"))
-      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
+    katzScoreBigrams(bg, idCol,
+      katzModel(df, textCol, isTrain, kCut))
+  }
+
+  /** The static Katz model frames [[katzScores]] builds from the train
+    * slice — exposed so the STREAMING twin can train once in batch and
+    * join the arriving stream against the identical model. `n`/`v`
+    * (train token total, vocabulary size) are collected to plan
+    * literals (the centroids precedent: a two-number model rides in the
+    * plan, not a join).
+    */
+  private[graft] final case class KatzModel(c2: DataFrame, ctx: DataFrame,
+    disc: DataFrame, alpha: DataFrame, uni: DataFrame,
+    n: Double, v: Double)
+
+  private[graft] def katzModel(df: DataFrame, textCol: String,
+      isTrain: Column, kCut: Int): KatzModel = {
+    require(kCut >= 1, s"kCut must be positive, got $kCut")
+    val base = df.filter(isTrain)
+      .select(TextAnalysis.normalizedTokens(col(textCol)).as("__toks"))
+    val bg = base
+      .select(explode(bigramStructs(col("__toks"))).as("__bg"))
+      .select(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val c2 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
     val ctx = c2.groupBy("__w1").agg(sum("__c2").as("__ctx"))
-    val uni = base.filter(col("__train"))
+    val uni = base
       .select(explode(col("__toks")).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c1"))
-    val utot = uni.agg(sum("__c1").cast("double").as("__n"),
-      count(lit(1)).cast("double").as("__v"))
+    val Array(nRow) = uni.agg(coalesce(sum("__c1").cast("double"), lit(0.0)),
+      count(lit(1)).cast("double")).collect()
+    val (n, v) = (nRow.getDouble(0), nRow.getDouble(1))
     // bigram-count spectrum → the GT discount table (spectrum-sized)
     val spec = c2.groupBy("__c2").agg(count(lit(1)).as("__nr"))
     val consts = spec.agg(
@@ -220,11 +241,10 @@ object NgramLm {
       .join(ctx, Seq("__w1"))
       .join(disc, Seq("__c2"), "left")
       .join(uniAsW2, Seq("__w2"))
-      .crossJoin(broadcast(utot))
       .withColumn("__pkz",
         coalesce(col("__d"), lit(1.0)) * col("__c2") / col("__ctx"))
       .withColumn("__q",
-        (col("__c1") + lit(0.5)) / (col("__n") + lit(0.5) * col("__v")))
+        (col("__c1") + lit(0.5)) / (lit(n) + lit(0.5) * lit(v)))
       .groupBy("__w1")
       .agg(round(sum("__pkz") + lit(1e-15), 12).as("__skz"),
         round(sum("__q") + lit(1e-15), 12).as("__sq"))
@@ -236,21 +256,28 @@ object NgramLm {
         when(col("__sq") >= 1.0 || col("__skz") >= 1.0, lit(1.0))
           .otherwise((lit(1.0) - col("__skz")) / (lit(1.0) - col("__sq"))))
       .select(col("__w1"), col("__alpha"))
+    KatzModel(c2, ctx, disc, alpha, uniAsW2, n, v)
+  }
+
+  /** Score a bigram frame `(idCol, __w1, __w2)` against a [[KatzModel]]
+    * — the join chain is stream-safe (generator upstream, stream-static
+    * left joins, ONE final aggregation), so batch and stream share the
+    * identical math. */
+  private[graft] def katzScoreBigrams(bg: DataFrame, idCol: String,
+      m: KatzModel): DataFrame =
     bg
-      .join(c2, Seq("__w1", "__w2"), "left")
-      .join(ctx, Seq("__w1"), "left")
-      .join(disc, Seq("__c2"), "left")
-      .join(alpha, Seq("__w1"), "left")
-      .join(uniAsW2, Seq("__w2"), "left")
-      .crossJoin(broadcast(utot))
+      .join(m.c2, Seq("__w1", "__w2"), "left")
+      .join(m.ctx, Seq("__w1"), "left")
+      .join(m.disc, Seq("__c2"), "left")
+      .join(m.alpha, Seq("__w1"), "left")
+      .join(m.uni, Seq("__w2"), "left")
       .withColumn("__q",
         (coalesce(col("__c1"), lit(0L)) + lit(0.5)) /
-          (col("__n") + lit(0.5) * col("__v")))
+          (lit(m.n) + lit(0.5) * lit(m.v)))
       .withColumn("__p", when(col("__c2").isNotNull,
           coalesce(col("__d"), lit(1.0)) * col("__c2") / col("__ctx"))
         .otherwise(coalesce(col("__alpha"), lit(1.0)) * col("__q")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         avg(log(col("__p"))).as("raw_kp"))
-  }
 }

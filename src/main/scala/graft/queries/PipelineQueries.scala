@@ -303,6 +303,17 @@ object PipelineQueries {
         .orderBy("source", "pred")
     }),
 
+    // Streaming Katz scoring: batch-trained model (discounts + alphas +
+    // unigram) joined stream-static, one aggregation. Same oracle text
+    // as q229 — stream ≡ batch row-for-row.
+    "q230_stream_katz" -> ((s, dir) => {
+      StreamingIngest
+        .streamKatz(s, dir, queryName = Scratch.name("stream_katz"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("raw_kp") + lit(1e-9), 6).as("kp"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming repetition filter: the per-row Gopher table over documents
     // arriving as a stream (the batch operator's chained aggs can't
     // stream; the stateless reformulation can). Same oracle text as q166.
@@ -1591,6 +1602,8 @@ object PipelineQueries {
     // the streamed span-dedup must equal the batch pass row-for-row
     "q134_stream_span_dedup" -> DedupQueries.oracles("q131_span_dedup"),
     "q147_stream_classify" -> TextQueries.pipelineOracles("q145_nb_classify"),
+    // the streamed Katz scores must equal the batch pass row-for-row
+    "q230_stream_katz" -> TextQueries.pipelineOracles("q229_katz_lm"),
     "q185_stream_bins" -> TextQueries.pipelineOracles("q182_quantile_bins"),
 
     // the streamed count-min table must be cell-identical to a batch build

@@ -447,6 +447,49 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Streaming Katz scoring — [[graft.operators.NgramLm.katzScores]]
+    * with the model TRAINED ONCE in batch (the q145→q147 classifier
+    * precedent): discount table, per-history alpha, and unigram frames
+    * are static; arriving docs explode their bigrams (a generator),
+    * join the model stream-static, and ONE aggregation produces the
+    * per-doc mean — the identical [[graft.operators.NgramLm
+    * .katzScoreBigrams]] chain, so stream ≡ batch and the gate reuses
+    * q229's oracle verbatim.
+    */
+  def streamKatz(spark: SparkSession, sfDir: String, kCut: Int = 5,
+      queryName: String = "stream_katz"): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val bucket = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 10
+    val model = graft.operators.NgramLm.katzModel(
+      spark.read.parquet(path).select(col("doc_id"), col("text")),
+      "text", isTrain = bucket < 8, kCut = kCut)
+
+    val arriving = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(col("doc_id"), graft.operators.TextAnalysis
+        .normalizedTokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        explode(graft.operators.NgramLm.bigramStructs(col("__toks")))
+          .as("__bg"))
+      .select(col("doc_id"),
+        col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val out = graft.operators.NgramLm
+      .katzScoreBigrams(arriving, "doc_id", model)
+
+    val q = out.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming document chunking: [[graft.operators.TextAnalysis
     * .chunkDocuments]] applied to documents arriving as a stream — the
     * ingest-time segmentation path of a continuously-fed corpus. The
