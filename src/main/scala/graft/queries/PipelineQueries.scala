@@ -1161,6 +1161,54 @@ object PipelineQueries {
       run("SEARCHTEXT", "terms=vector,data,graftnovel;k=20")
     }),
 
+    // Ingest capstone v2 — the full modern pipeline over the MANAGED
+    // artifacts: arriving batch → doc-level near-dup screen (stored
+    // minhash bands) drops whole copies → exact-substring scrub (stored
+    // window sigs) cuts corpus-copied runs OUT of the survivors (a
+    // third batch class carries a 20-token corpus run inside novel
+    // filler: J ≈ 0.22–0.44 passes the dedup screen, the run still
+    // vanishes) → insert the scrubbed survivors → postings refresh →
+    // SEARCHTEXT. The oracle replays every stage.
+    "q231_ingest_pipeline2" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q231")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      def run(cmd: String, arg: String) =
+        CommandExecutor.execute(db,
+          graft.commands.CommandParser.parse(Some("docs"), cmd, Some(arg))
+            .fold(e => throw new IllegalArgumentException(e.message), identity))
+      run("REINDEX", "type=minhash").collect()
+      run("REINDEX", "type=winsig").collect()
+      run("REINDEX", "type=postings;buckets=64").collect()
+      val base = Tables.documents(s, dir)
+      val toks = regexp_extract_all(col("text"), lit("\\S+"), lit(0))
+      val batch = base.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("id"),
+          concat(col("text"), lit(" tm1 tm2")).as("payload"))
+        .unionByName(base.filter(col("doc_id") % 13 === 5)
+          .select((col("doc_id") + 900000L).as("id"),
+            concat(lit("graftnovel entry "), col("doc_id").cast("string"),
+              lit(" vector data payload alpha beta gamma delta epsilon zeta"))
+              .as("payload")))
+        .unionByName(base
+          .filter(col("doc_id") % 11 === 2 && size(toks) >= 20)
+          .select((col("doc_id") + 1300000L).as("id"),
+            concat(lit("graftscrub zq"), col("doc_id").cast("string"),
+              lit(" f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12 f13 f14 f15 f16 f17 f18 "),
+              array_join(slice(toks, 1, 20), " ")).as("payload")))
+      val dupIds = db.screenDupes("docs", batch)
+        .select(col("a_id").as("id")).distinct()
+      val survivors = batch.join(dupIds, Seq("id"), "left_anti")
+      val scrubbed = db.screenSubstrings("docs", survivors)
+        .select(col("id"), col("text").as("payload"))
+      db.bulkInsert("docs", scrubbed)
+      run("REINDEX", "type=postings;mode=refresh").collect()
+      run("SEARCHTEXT", "terms=vector,data,graftnovel,graftscrub;k=60")
+    }),
+
     // the LSM story's last step: q202's churn (build → mutate → refresh)
     // followed by mode=compact — live rows merge to one flat generation
     // WITHOUT re-tokenizing, tombstones clear, and SEARCHTEXT must be
@@ -1905,6 +1953,120 @@ object PipelineQueries {
          |WHERE tf0 + tf1 + tf2 > 0
          |ORDER BY bm25 DESC, id
          |LIMIT 20""".stripMargin
+    },
+
+    "q231_ingest_pipeline2" -> {
+      val batchSrc =
+        "SELECT doc_id + 500000 AS doc_id, text || ' tm1 tm2' AS text " +
+          "FROM documents WHERE doc_id % 7 = 3 " +
+          "UNION ALL SELECT doc_id + 900000, 'graftnovel entry ' || " +
+          "CAST(doc_id AS VARCHAR) || " +
+          "' vector data payload alpha beta gamma delta epsilon zeta' " +
+          "FROM documents WHERE doc_id % 13 = 5 " +
+          "UNION ALL SELECT doc_id + 1300000, 'graftscrub zq' || " +
+          "CAST(doc_id AS VARCHAR) || " +
+          "' f1 f2 f3 f4 f5 f6 f7 f8 f9 f10 f11 f12 f13 f14 f15 f16 f17 f18 ' || " +
+          "array_to_string(regexp_extract_all(text, '\\S+')[1:20], ' ') " +
+          "FROM documents WHERE doc_id % 11 = 2 " +
+          "AND len(regexp_extract_all(text, '\\S+')) >= 20"
+      val corpusChain = DedupQueries.minhashChainSql(
+        "SELECT doc_id, text FROM documents", "c")
+      val batchChain = DedupQueries.minhashChainSql(batchSrc, "b")
+      s"""WITH $corpusChain,
+         |$batchChain,
+         |ok AS (
+         |  SELECT band, band_key FROM bandsc
+         |  GROUP BY band, band_key HAVING count(*) <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT bb.doc_id AS a_id, bc.doc_id AS b_id
+         |  FROM bandsb bb
+         |  JOIN bandsc bc ON bb.band = bc.band AND bb.band_key = bc.band_key
+         |  JOIN ok ON bc.band = ok.band AND bc.band_key = ok.band_key),
+         |an AS (SELECT doc_id, count(*) AS an FROM shb GROUP BY doc_id),
+         |bn AS (SELECT doc_id, count(*) AS bn FROM shc GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS s
+         |  FROM cand c
+         |  JOIN shb a ON a.doc_id = c.a_id
+         |  JOIN shc b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+         |  GROUP BY c.a_id, c.b_id),
+         |dup AS (
+         |  SELECT DISTINCT c.a_id
+         |  FROM cand c
+         |  JOIN shared s ON s.a_id = c.a_id AND s.b_id = c.b_id
+         |  JOIN an ON an.doc_id = c.a_id
+         |  JOIN bn ON bn.doc_id = c.b_id
+         |  WHERE CAST(s.s AS DOUBLE) / (an.an + bn.bn - s.s) >= 0.5),
+         |surv AS (
+         |  SELECT doc_id, text FROM ($batchSrc)
+         |  WHERE doc_id NOT IN (SELECT a_id FROM dup)),
+         |ct AS (SELECT regexp_extract_all(text, '\\S+') AS toks
+         |       FROM documents),
+         |cs AS (
+         |  SELECT DISTINCT md5(array_to_string(toks[s+1 : s+15], ' ')) AS sig
+         |  FROM (SELECT toks, unnest(range(0, len(toks) - 15 + 1)) AS s
+         |        FROM ct WHERE len(toks) >= 15)),
+         |bt2 AS (
+         |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM surv),
+         |tok2 AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i+1] AS tok
+         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i
+         |        FROM bt2)),
+         |w2 AS (
+         |  SELECT doc_id, CAST(s AS BIGINT) AS s,
+         |    md5(array_to_string(toks[s+1 : s+15], ' ')) AS sig
+         |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 15 + 1)) AS s
+         |        FROM bt2 WHERE len(toks) >= 15)),
+         |hit2 AS (SELECT w2.doc_id, w2.s FROM w2 JOIN cs ON w2.sig = cs.sig),
+         |cov2 AS (
+         |  SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+         |  FROM (SELECT hit2.doc_id, unnest(range(hit2.s, hit2.s + 15)) AS p
+         |        FROM hit2)),
+         |scr AS (
+         |  SELECT tok2.doc_id AS doc_id,
+         |    coalesce(string_agg(tok2.tok, ' ' ORDER BY tok2.pos)
+         |      FILTER (WHERE cov2.pos IS NULL), '') AS text
+         |  FROM tok2 LEFT JOIN cov2
+         |    ON tok2.doc_id = cov2.doc_id AND tok2.pos = cov2.pos
+         |  GROUP BY tok2.doc_id),
+         |cur AS (
+         |  SELECT doc_id AS id, text AS payload FROM documents
+         |  UNION ALL SELECT doc_id, text FROM scr),
+         |toks2 AS (
+         |  SELECT id, regexp_extract_all(lower(payload), '[a-z0-9]+') AS t
+         |  FROM cur),
+         |pd AS (
+         |  SELECT id, CAST(len(t) AS BIGINT) AS dl,
+         |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf0,
+         |    CAST(len(list_filter(t, x -> x = 'data')) AS BIGINT) AS tf1,
+         |    CAST(len(list_filter(t, x -> x = 'graftnovel')) AS BIGINT) AS tf2,
+         |    CAST(len(list_filter(t, x -> x = 'graftscrub')) AS BIGINT) AS tf3
+         |  FROM toks2),
+         |st AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+         |    sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+         |  FROM pd)
+         |SELECT id, round(
+         |    (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+         |      * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |      ELSE 0.0 END)
+         |  + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+         |      * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |      ELSE 0.0 END)
+         |  + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
+         |      * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |      ELSE 0.0 END)
+         |  + (CASE WHEN tf3 > 0 THEN ln((n - df3 + 0.5)/(df3 + 0.5) + 1)
+         |      * (tf3 * (1.2 + 1)) / (tf3 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+         |      ELSE 0.0 END) + 1e-9, 6) AS bm25, dl
+         |FROM pd CROSS JOIN st
+         |WHERE tf0 + tf1 + tf2 + tf3 > 0
+         |ORDER BY bm25 DESC, id
+         |LIMIT 60""".stripMargin
     },
 
     // Hybrid replay: the q194 BM25 ranking and the cosine ranking over
