@@ -90,9 +90,13 @@ object SparkEntry {
     // retrieval over the stored POSITIONAL rows (m−1 keyed positional
     // joins), shapes no other bench entry has.
     "q201_searchtext_stored", "q210_phrase_bench",
-    // round-11 session-2 addition: the exact-substring corpus pass — an
+    // round-11 session-2 additions: the exact-substring corpus pass — an
     // OVERLAPPING window census (~n windows/doc vs q131's n/20 spans)
     // with a covered-position union and a token-grain anti-coverage
-    // join, the heaviest text-dedup shape in the repo.
-    "q211_exact_substring")
+    // join, the heaviest text-dedup shape in the repo — and Katz
+    // scoring, which stacks the spectrum/discount/alpha catalog joins
+    // on top of q100's LM chain (q212-q228's shapes are covered: span
+    // census by q131, screening probes by q31/q81, command round-trips
+    // are scratch-dominated by design).
+    "q211_exact_substring", "q229_katz_lm")
 }
