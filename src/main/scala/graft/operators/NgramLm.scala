@@ -280,4 +280,122 @@ object NgramLm {
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         avg(log(col("__p"))).as("raw_kp"))
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated variant with a single absolute
+    * discount) — the third smoothing family beside [[lmScores]]' stupid
+    * backoff and [[katzScores]]' Good–Turing Katz, and the one modern
+    * toolkits default to (KenLM trains modified KN): seen mass loses a
+    * FIXED discount D per bigram type and the freed mass interpolates
+    * with the CONTINUATION unigram — a word scores high in backoff for
+    * appearing after many different histories, not for being frequent
+    * (the "San Francisco" argument: "Francisco" is frequent but follows
+    * only "San").
+    *
+    * Per bigram (w1, w2), counts from the TRAIN slice's bigram table:
+    *  - D = n1 / (n1 + 2·n2) from the bigram count spectrum (the
+    *    Ney–Essen–Kneser leave-one-out estimate; n_r = #bigram types
+    *    with count r). Degenerate spectrum (n1 + 2·n2 = 0) falls back
+    *    to D = 0.5 — mirrored in the oracle.
+    *  - continuation probability: pc(w2) = (N1+(·,w2) + 0.5) /
+    *    (B + 0.5·V), where N1+(·,w2) = #distinct histories preceding
+    *    w2, B = #distinct bigram types, V = train vocabulary size. The
+    *    +0.5 half-smoothing keeps OOV continuations finite (the
+    *    [[katzScores]] unigram-floor precedent — documented deviation
+    *    from the pure N1+/B continuation distribution).
+    *  - seen history w1 (ctx(w1) = Σ_w c(w1,w) > 0), with
+    *    λ(w1) = (D · N1+(w1,·)) / ctx(w1) the interpolation weight:
+    *      seen bigram:   p = (c − D)/ctx(w1) + λ(w1)·pc(w2)
+    *      unseen bigram: p = λ(w1)·pc(w2)
+    *    (c ≥ 1 and D ≤ 1 keep the discounted term non-negative).
+    *  - unseen history: p = pc(w2) — no seen mass to discount.
+    *
+    * Cross-engine determinism: D is a single division of exact integer
+    * spectrum counts (engine-exact, no rounding — the q120 doctrine);
+    * λ and every per-bigram p are per-row chains over exact counts and
+    * the scalar D with ONE two-term addition (a single correctly-rounded
+    * IEEE op on identical operands — no accumulation anywhere before
+    * the per-doc mean, which rounds at the gate like every LM score).
+    * B/V/n1/n2 collect to plan literals (the centroids precedent), so
+    * the model is three frames + three scalars and the score chain is
+    * stream-safe.
+    *
+    * Scale shape: identical to [[lmScores]] — one explode + partial agg
+    * builds the bigram table; histories, continuation counts, and the
+    * spectrum all re-aggregate THAT table (vocabulary-shaped); scoring
+    * is the same left-join chain with ONE final aggregation.
+    */
+  def knScores(df: DataFrame, idCol: String, textCol: String,
+      isTrain: Column): DataFrame = {
+    val base = df.select(col(idCol),
+      TextAnalysis.normalizedTokens(col(textCol)).as("__toks"))
+    val bg = base
+      .select(col(idCol), explode(bigramStructs(col("__toks"))).as("__bg"))
+      .select(col(idCol),
+        col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    knScoreBigrams(bg, idCol, knModel(df, textCol, isTrain))
+  }
+
+  /** The static KN model [[knScores]] builds from the train slice —
+    * exposed so the streaming twin trains once in batch and joins the
+    * arriving stream against the identical frames. `hist` carries the
+    * per-history λ; `contd` the distinct-history counts; `d`/`b`/`v`
+    * ride as plan literals.
+    */
+  private[graft] final case class KnModel(c2: DataFrame, hist: DataFrame,
+    contd: DataFrame, d: Double, b: Double, v: Double)
+
+  private[graft] def knModel(df: DataFrame, textCol: String,
+      isTrain: Column): KnModel = {
+    val base = df.filter(isTrain)
+      .select(TextAnalysis.normalizedTokens(col(textCol)).as("__toks"))
+    val bg = base
+      .select(explode(bigramStructs(col("__toks"))).as("__bg"))
+      .select(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val c2 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
+    // ONE spectrum pass yields B, n1, n2; V from the unigram table —
+    // four exact scalars to the driver (bounded model state)
+    val Array(specRow) = c2.agg(
+      count(lit(1)).cast("long"),
+      coalesce(sum(when(col("__c2") === 1L, lit(1L))), lit(0L)),
+      coalesce(sum(when(col("__c2") === 2L, lit(1L))), lit(0L))).collect()
+    val (bCnt, n1, n2) =
+      (specRow.getLong(0), specRow.getLong(1), specRow.getLong(2))
+    require(bCnt > 0, "KN model: train slice produced no bigrams")
+    val vCnt = base.select(explode(col("__toks")).as("__w"))
+      .agg(countDistinct(col("__w")).cast("long")).collect()(0).getLong(0)
+    // leave-one-out discount — a single exact-integer division (both
+    // engines' correctly-rounded double division of exact operands)
+    val d = if (n1 + 2 * n2 == 0) 0.5
+      else n1.toDouble / (n1 + 2 * n2)
+    val hist = c2.groupBy("__w1")
+      .agg(sum("__c2").as("__ctx"), count(lit(1)).as("__n1p"))
+      .withColumn("__lam", (lit(d) * col("__n1p")) / col("__ctx"))
+      .select(col("__w1"), col("__ctx"), col("__lam"))
+    val contd = c2.groupBy("__w2").agg(count(lit(1)).as("__cd"))
+    KnModel(c2, hist, contd, d, bCnt.toDouble, vCnt.toDouble)
+  }
+
+  /** Score a bigram frame `(idCol, __w1, __w2)` against a [[KnModel]] —
+    * stream-safe like [[katzScoreBigrams]] (left joins + ONE final
+    * aggregation; the arithmetic chain is mirrored token-for-token in
+    * the q232 oracle). */
+  private[graft] def knScoreBigrams(bg: DataFrame, idCol: String,
+      m: KnModel): DataFrame =
+    bg
+      .join(m.c2, Seq("__w1", "__w2"), "left")
+      .join(m.hist, Seq("__w1"), "left")
+      .join(m.contd, Seq("__w2"), "left")
+      .withColumn("__pc",
+        (coalesce(col("__cd"), lit(0L)) + lit(0.5)) /
+          (lit(m.b) + lit(0.5) * lit(m.v)))
+      .withColumn("__p", when(col("__ctx").isNotNull,
+          when(col("__c2").isNotNull,
+            (col("__c2") - lit(m.d)) / col("__ctx") +
+              col("__lam") * col("__pc"))
+          .otherwise(col("__lam") * col("__pc")))
+        .otherwise(col("__pc")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        avg(log(col("__p"))).as("raw_knp"))
 }

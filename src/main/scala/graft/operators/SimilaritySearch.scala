@@ -465,4 +465,72 @@ object SimilaritySearch {
             + lit(1e-9), 6))
           .as("avg_cos"))
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — diversified top-k: greedily pick the candidate maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), the standard
+    * redundancy-penalized retrieval head (RAG context assembly wants k
+    * DIFFERENT passages, not k near-copies of the best one).
+    *
+    * λ is fixed at 1/2 — dyadic, so 0.5·x is an EXACT scaling and the
+    * two-term score is a single correctly-rounded subtraction over
+    * engine-identical operands. Both rel and every pairwise sim are
+    * ROUNDED cosines (+1e-9, 6 — the house rank rule) so selection
+    * boundaries never ride accumulation ulps; ties break on the smaller
+    * id. The greedy argmax chain is inherently sequential, so it runs on
+    * the DRIVER over the collected shortlist (the cap-and-switch
+    * precedent: m is bounded by `require`), with the distributed part —
+    * scoring the corpus and cutting the top-m shortlist — a single
+    * TakeOrdered pass. The driver cosine replays [[graft.functions
+    * .cosine_sim]]'s index-order accumulation exactly.
+    *
+    * Scale shape: one corpus scan + TakeOrdered(m); the O(k·m) greedy
+    * tail touches m rows of driver state. At 100 TB the shortlist cut
+    * would ride an ANN probe instead of the exact scan — the MMR head is
+    * identical either way.
+    */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, m: Int = 50, k: Int = 10): DataFrame = {
+    require(k >= 1 && m >= k, s"need m >= k >= 1, got m=$m k=$k")
+    require(m <= 10000, s"shortlist cap m=$m exceeds the driver bound")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qv = broadcast(query.limit(1)
+      .select(col(query.columns.head).cast("array<double>").as("__qv")))
+    val short = df
+      .select(col(idCol).cast("long").as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(qv)
+      .withColumn("__rel",
+        round(cosine_sim(col("__v"), col("__qv")) + lit(1e-9), 6))
+      .orderBy(desc("__rel"), col("__id")).limit(m)
+      .select("__id", "__v", "__rel").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .toVector
+    // index-order accumulation — the cosine_sim evalLoop verbatim
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): Double = BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var selected = Vector.empty[(Long, Array[Double], Double, Double)]
+    var remaining = short
+    while (selected.size < k && remaining.nonEmpty) {
+      val best = remaining.map { case (id, v, rel) =>
+        val div = if (selected.isEmpty) 0.0
+          else selected.map(s => r6(cos(v, s._2))).max
+        (id, v, rel, 0.5 * rel - 0.5 * div)
+      }.minBy { case (id, _, _, score) => (-score, id) }
+      selected :+= best
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, rel, score), i) => (i + 1L, id, rel, score) }
+      .toDF("rank", "sel_id", "rel", "mmr")
+  }
 }

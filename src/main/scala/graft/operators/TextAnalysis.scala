@@ -328,6 +328,54 @@ object TextAnalysis {
     least(greatest(lenFit * (lit(1.0) - punct) * (lit(0.5) + stop), lit(0.0)), lit(1.0))
   }
 
+  /** Readability scoring — Flesch Reading Ease (Flesch 1948) and the
+    * Flesch–Kincaid grade level (Kincaid et al. 1975), the length-class
+    * quality signals corpus pipelines bucket prose by (alongside the
+    * Gopher rules' ratios): both are fixed linear forms over
+    * words-per-sentence and syllables-per-word.
+    *
+    * Engine-replayable definitions (the heuristics themselves, pinned):
+    *  - words: `[a-z]+` runs of the lowercased text (numbers carry no
+    *    syllables, so the word list is alphabetic-only);
+    *  - sentences: `[.!?]+` terminator runs, floored at 1 (a fragment is
+    *    one sentence);
+    *  - syllables per word: `[aeiouy]+` vowel-group runs, floored at 1
+    *    (the standard one-pass approximation — no silent-e handling,
+    *    deliberately, so SQL replays it verbatim).
+    *
+    * Determinism: word/sentence/syllable totals are exact integer sums
+    * (the syllable fold adds bounded ints — no float accumulation);
+    * W/S and Syl/W are single exact-integer divisions; the two linear
+    * forms are fixed-order chains over those with the coefficients
+    * written as literals on BOTH sides (never pre-folded — the q136
+    * doctrine). Wordless docs emit NULL scores rather than a division
+    * by zero. One projection, no shuffle — pure codegen column math.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0))
+    val out = df
+      .select(col(idCol), col(textCol).as("__t"), words.as("__w"))
+      .withColumn("n_words", size(col("__w")).cast("long"))
+      .withColumn("n_sents",
+        greatest(lit(1L),
+          size(regexp_extract_all(col("__t"), lit("[.!?]+"), lit(0)))
+            .cast("long")))
+      .withColumn("n_syll", aggregate(col("__w"), lit(0L),
+        (acc, w) => acc + greatest(lit(1),
+          size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0)))).cast("long")))
+    val ws = col("n_words").cast("double") / col("n_sents")
+    val sw = col("n_syll").cast("double") / col("n_words")
+    out
+      .withColumn("fk_grade", when(col("n_words") === 0L, lit(null)
+          .cast("double"))
+        .otherwise(lit(0.39) * ws + lit(11.8) * sw - lit(15.59)))
+      .withColumn("reading_ease", when(col("n_words") === 0L, lit(null)
+          .cast("double"))
+        .otherwise(lit(206.835) - lit(1.015) * ws - lit(84.6) * sw))
+      .select(col(idCol), col("n_words"), col("n_sents"), col("n_syll"),
+        col("fk_grade"), col("reading_ease"))
+  }
+
   /** Language-ID by signature-token voting: per language, count hits of its
     * signature tokens; predict the argmax (ties broken by language code
     * order). N-gram-profile language ID reduced to its decision core so the

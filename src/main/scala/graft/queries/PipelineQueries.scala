@@ -314,6 +314,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming Kneser–Ney scoring: batch-trained model (bigram +
+    // per-history-λ + continuation frames, D/B/V as plan literals)
+    // joined stream-static, one aggregation. Same oracle text as q232
+    // — stream ≡ batch row-for-row.
+    "q234_stream_kn" -> ((s, dir) => {
+      StreamingIngest
+        .streamKneserNey(s, dir, queryName = Scratch.name("stream_kn"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("raw_knp") + lit(1e-9), 6).as("knp"))
+        .orderBy("doc_id")
+    }),
+
     // Streaming repetition filter: the per-row Gopher table over documents
     // arriving as a stream (the batch operator's chained aggs can't
     // stream; the stateless reformulation can). Same oracle text as q166.
@@ -1652,6 +1664,7 @@ object PipelineQueries {
     "q147_stream_classify" -> TextQueries.pipelineOracles("q145_nb_classify"),
     // the streamed Katz scores must equal the batch pass row-for-row
     "q230_stream_katz" -> TextQueries.pipelineOracles("q229_katz_lm"),
+    "q234_stream_kn" -> TextQueries.pipelineOracles("q232_kneser_ney"),
     "q185_stream_bins" -> TextQueries.pipelineOracles("q182_quantile_bins"),
 
     // the streamed count-min table must be cell-identical to a batch build

@@ -1196,6 +1196,59 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Interpolated Kneser–Ney scoring (the third smoothing family):
+    // absolute discount D from the bigram spectrum's leave-one-out
+    // estimate, freed mass interpolated with the half-smoothed
+    // CONTINUATION unigram (distinct-history counts, not frequency).
+    "q232_kneser_ney" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 10
+      graft.operators.NgramLm.knScores(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", isTrain = bucket < 8)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("raw_knp") + lit(1e-9), 6).as("knp"))
+        .orderBy("doc_id")
+    }),
+
+    // CCNet's perplexity buckets (Wenzek et al. 2020): rank every scored
+    // doc per source by its LM score and cut head/middle/tail at exact
+    // integer thirds (rn·3 ≤ n / rn·3 ≤ 2n — never a double fraction).
+    // Ranking is on the ROUNDED lp with a doc_id tie-break (ulps must
+    // not decide a bucket boundary) via the de-skewed chunked rank — no
+    // global window. Docs under 2 tokens score nothing and drop out,
+    // as in lmScores.
+    "q233_ppl_buckets" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 10
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      val scored = graft.operators.NgramLm.lmScores(
+          docs, "doc_id", "text", isTrain = bucket < 8)
+        .select(col("doc_id"), round(col("raw_lp") + lit(1e-9), 6).as("lp"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      graft.operators.TrainExport
+        .scoreRankChunked(scored, "doc_id", "lp", Seq("source"))
+        .select(col("doc_id"), col("source"), col("lp"),
+          when(col("rn") * 3 <= col("__n"), lit("head"))
+            .when(col("rn") * 3 <= col("__n") * 2, lit("middle"))
+            .otherwise(lit("tail")).as("ppl_bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // Readability scoring: Flesch Reading Ease + Flesch–Kincaid grade
+    // over pinned engine-replayable word/sentence/syllable heuristics —
+    // integer totals, single divisions, fixed-order linear forms with
+    // literal coefficients on both sides (never pre-folded).
+    "q235_readability" -> ((s, dir) => {
+      graft.operators.TextAnalysis.readability(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+          round(col("fk_grade") + lit(1e-9), 6).as("fk_grade"),
+          round(col("reading_ease") + lit(1e-9), 6).as("reading_ease"))
+        .orderBy("doc_id")
+    }),
+
     // Count-pruned LM scoring (q100 with minCount=2): the production
     // deviation the NgramLm docs describe — KenLM-style support pruning —
     // made gate-checkable instead of prose. The pruned model is
@@ -1666,6 +1719,125 @@ object TextQueries {
         |  CROSS JOIN ut)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |  round(avg(ln(p)) + 1e-9, 6) AS kp
+        |FROM sc
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // CCNet bucket replay: the q100 score chain verbatim, then a
+    // per-source rank on the rounded lp (DESC, doc_id tie-break) with
+    // the thirds cut in exact integer arithmetic.
+    "q233_ppl_buckets" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+        |    CAST(('0x'||substring(md5('split:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 < 8 AS train
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, train, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, train, t, unnest(range(1, len(t))) AS i FROM d)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE train GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx FROM c2 GROUP BY w1),
+        |cont AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cont FROM c2 GROUP BY w2),
+        |tot AS (SELECT CAST(sum(c2) AS DOUBLE) AS t FROM c2),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN c2.c2 IS NOT NULL
+        |      THEN CAST(c2.c2 AS DOUBLE) / ctx.ctx
+        |      ELSE 0.4 * (COALESCE(cont.cont, 0) + 0.5) / tot.t END AS s
+        |  FROM bg b
+        |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  LEFT JOIN ctx ON b.w1 = ctx.w1
+        |  LEFT JOIN cont ON b.w2 = cont.w2
+        |  CROSS JOIN tot),
+        |scored AS (
+        |  SELECT sc.doc_id, docs.source,
+        |    round(avg(ln(s)) + 1e-9, 6) AS lp
+        |  FROM sc JOIN documents docs ON sc.doc_id = docs.doc_id
+        |  GROUP BY sc.doc_id, docs.source),
+        |r AS (
+        |  SELECT doc_id, source, lp,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY lp DESC, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM scored)
+        |SELECT doc_id, source, lp,
+        |  CASE WHEN rn * 3 <= n THEN 'head'
+        |       WHEN rn * 3 <= n * 2 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
+
+    // Readability replay: the same [a-z]+ / [.!?]+ / [aeiouy]+ run
+    // counts (list_sum of an empty list is NULL in DuckDB — coalesce to
+    // Spark's fold-over-empty 0), linear forms token-for-token.
+    "q235_readability" ->
+      """WITH w AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS wl
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(wl) AS BIGINT) AS n_words,
+        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sents,
+        |    CAST(coalesce(list_sum(list_transform(wl,
+        |      x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0) AS BIGINT) AS n_syll
+        |  FROM w)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |    ELSE round(0.39 * (CAST(n_words AS DOUBLE) / n_sents) +
+        |      11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59 + 1e-9, 6)
+        |    END AS fk_grade,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |    ELSE round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents) -
+        |      84.6 * (CAST(n_syll AS DOUBLE) / n_words) + 1e-9, 6)
+        |    END AS reading_ease
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+
+    // Kneser–Ney replay: D and the per-history λ chain parenthesized
+    // exactly as the Spark side ((D·n1p)/ctx; (c−D)/ctx + λ·pc); the
+    // continuation probability is the half-smoothed distinct-history
+    // ratio. No rounding anywhere before the per-doc mean (single
+    // divisions + one two-term addition per row — exact-operand IEEE).
+    "q232_kneser_ney" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+        |    CAST(('0x'||substring(md5('split:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 < 8 AS train
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, train, t[i] AS w1, t[i+1] AS w2
+        |  FROM (SELECT doc_id, train, t, unnest(range(1, len(t))) AS i FROM d)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE train GROUP BY w1, w2),
+        |km AS (SELECT
+        |    CAST((SELECT count(*) FROM c2) AS DOUBLE) AS b,
+        |    CAST((SELECT count(DISTINCT w)
+        |          FROM (SELECT unnest(t) AS w FROM d WHERE train)) AS DOUBLE) AS v,
+        |    (SELECT CAST(coalesce(sum(CASE WHEN c2 = 1 THEN 1 END), 0) AS BIGINT) FROM c2) AS n1,
+        |    (SELECT CAST(coalesce(sum(CASE WHEN c2 = 2 THEN 1 END), 0) AS BIGINT) FROM c2) AS n2),
+        |dd AS (SELECT b, v,
+        |    CASE WHEN n1 + 2 * n2 = 0 THEN 0.5
+        |         ELSE CAST(n1 AS DOUBLE) / (n1 + 2 * n2) END AS dsc
+        |  FROM km),
+        |hist AS (
+        |  SELECT w1, ctx, (dd.dsc * n1p) / ctx AS lam
+        |  FROM (SELECT w1, CAST(sum(c2) AS BIGINT) AS ctx,
+        |               CAST(count(*) AS BIGINT) AS n1p
+        |        FROM c2 GROUP BY w1) h CROSS JOIN dd),
+        |contd AS (SELECT w2, CAST(count(*) AS BIGINT) AS cd FROM c2 GROUP BY w2),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    CASE WHEN h.ctx IS NOT NULL THEN
+        |      CASE WHEN c2.c2 IS NOT NULL
+        |        THEN (c2.c2 - dd.dsc) / h.ctx +
+        |          h.lam * ((COALESCE(cd.cd, 0) + 0.5) / (dd.b + 0.5 * dd.v))
+        |        ELSE h.lam * ((COALESCE(cd.cd, 0) + 0.5) / (dd.b + 0.5 * dd.v)) END
+        |    ELSE (COALESCE(cd.cd, 0) + 0.5) / (dd.b + 0.5 * dd.v) END AS p
+        |  FROM bg b
+        |  LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        |  LEFT JOIN hist h ON b.w1 = h.w1
+        |  LEFT JOIN contd cd ON b.w2 = cd.w2
+        |  CROSS JOIN dd)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(ln(p)) + 1e-9, 6) AS knp
         |FROM sc
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,

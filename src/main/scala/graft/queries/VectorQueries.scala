@@ -25,6 +25,23 @@ object VectorQueries {
         .orderBy("label")
     }),
 
+    // MMR diversified retrieval: top-50 cosine shortlist for the
+    // vec_id=0 query (q20's convention), then greedy λ=1/2 marginal-
+    // relevance selection of 10 — every rel and pairwise sim a ROUNDED
+    // cosine, the redundancy penalty exact dyadic math. The oracle
+    // replays the greedy chain as 10 generated MATERIALIZED layers
+    // (the q203 precedent).
+    "q236_mmr_select" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+      graft.operators.SimilaritySearch.mmrSelect(
+          e.filter(col("vec_id") =!= 0), "vec_id", "embedding", q,
+          m = 50, k = 10)
+        .select(col("rank"), col("sel_id").as("vec_id"), col("rel"),
+          round(col("mmr") + lit(1e-9), 6).as("mmr"))
+        .orderBy("rank")
+    }),
+
     // Label-centroid similarity matrix: per-label mean embeddings
     // (rounded per-dim, double math) pairwise-cosined — the embedding-
     // space view of how separable the labels are (the token-space
@@ -1070,7 +1087,57 @@ object VectorQueries {
       |  FROM c1 CROSS JOIN ii CROSS JOIN q
       |  GROUP BY c1.s, c1.cid)""".stripMargin
 
+  /** The q236 oracle's rounded explicit cosine (index-order list fold —
+    * the cosine_sim accumulation replayed in SQL). */
+  private def mmrCos(a: String, b: String): String =
+    s"round(list_sum(list_transform(range(1, len($a)+1), i -> $a[i] * $b[i])) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> x*x))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> x*x)))) + 1e-9, 6)"
+
+  /** Greedy MMR replayed as k generated MATERIALIZED layers (the q203
+    * iterative-oracle precedent): layer t picks the score-argmax among
+    * shortlist rows not yet selected, with the redundancy penalty the
+    * max ROUNDED cosine against the running selection. */
+  private def mmrOracle(m: Int, k: Int): String = {
+    val layers = (2 to k).map { t =>
+      s"""p$t AS MATERIALIZED (
+         |  SELECT c.vec_id, c.v, c.rel, 0.5 * c.rel - 0.5 * c.div AS score
+         |  FROM (
+         |    SELECT s.vec_id, s.v, s.rel,
+         |      (SELECT max(${mmrCos("s.v", "p.v")}) FROM sel${t - 1} p) AS div
+         |    FROM s
+         |    WHERE s.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})) c
+         |  ORDER BY score DESC, c.vec_id LIMIT 1),
+         |sel$t AS MATERIALIZED (
+         |  SELECT vec_id, v, rel, score, rnk FROM sel${t - 1}
+         |  UNION ALL SELECT vec_id, v, rel, score, $t AS rnk FROM p$t),""".stripMargin
+    }.mkString("\n")
+    s"""WITH q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+       |  WHERE vec_id = 0),
+       |e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  WHERE vec_id <> 0),
+       |s AS MATERIALIZED (
+       |  SELECT vec_id, v, ${mmrCos("v", "qv")} AS rel
+       |  FROM e CROSS JOIN q
+       |  ORDER BY rel DESC, vec_id LIMIT $m),
+       |p1 AS MATERIALIZED (
+       |  SELECT vec_id, v, rel, 0.5 * rel - 0.5 * 0.0 AS score
+       |  FROM s ORDER BY score DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (
+       |  SELECT vec_id, v, rel, score, 1 AS rnk FROM p1),
+       |$layers
+       |fin AS (SELECT * FROM sel$k)
+       |SELECT CAST(rnk AS BIGINT) AS rank, vec_id,
+       |  rel, round(score + 1e-9, 6) AS mmr
+       |FROM fin
+       |ORDER BY rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q236_mmr_select" -> mmrOracle(m = 50, k = 10),
 
     "q223_embed_diversity" ->
       """WITH e AS (

@@ -490,6 +490,47 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Streaming Kneser–Ney scoring — [[graft.operators.NgramLm
+    * .knScores]] with the model trained once in batch: the bigram,
+    * per-history-λ, and continuation frames are static (D/B/V ride as
+    * plan literals — the centroids precedent), arriving docs explode
+    * their bigrams and join the model stream-static, ONE aggregation.
+    * Stream ≡ batch, so the q234 gate reuses q232's oracle verbatim.
+    */
+  def streamKneserNey(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_kn"): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val bucket = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 10
+    val model = graft.operators.NgramLm.knModel(
+      spark.read.parquet(path).select(col("doc_id"), col("text")),
+      "text", isTrain = bucket < 8)
+
+    val arriving = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .select(col("doc_id"), graft.operators.TextAnalysis
+        .normalizedTokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        explode(graft.operators.NgramLm.bigramStructs(col("__toks")))
+          .as("__bg"))
+      .select(col("doc_id"),
+        col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val out = graft.operators.NgramLm
+      .knScoreBigrams(arriving, "doc_id", model)
+
+    val q = out.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming document chunking: [[graft.operators.TextAnalysis
     * .chunkDocuments]] applied to documents arriving as a stream — the
     * ingest-time segmentation path of a continuously-fed corpus. The

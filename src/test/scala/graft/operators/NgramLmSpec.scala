@@ -105,4 +105,38 @@ class NgramLmSpec extends AnyFunSuite {
       NgramLm.katzScores(df, "doc_id", "text", col("train"), kCut = 0)
     }
   }
+
+  test("knScores: absolute discount, continuation backoff, unseen history") {
+    // train bigrams: (a,b)=1 (b,c)=1 (c,d)=2 → spectrum n1=2, n2=1 →
+    // D = 2/(2+2) = 0.5 exactly. B=3 types, V=4 (a b c d).
+    // λ(a) = (0.5·1)/1 = 0.5; pc denominator B + 0.5·V = 5:
+    // pc(b) = 1.5/5 = 0.3, OOV pc = 0.5/5 = 0.1, pc(a) = 0.1 (a is
+    // never a continuation).
+    val train = Seq("a b", "b c", "c d", "c d")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t, true) }
+    val test = Seq((100L, "a b", false), // seen: (1−D)/1 + λ(a)·pc(b)
+      (101L, "a z", false), // unseen bigram, seen history: λ(a)·pc(z)
+      (102L, "z a", false)) // unseen history: pc(a)
+    val df = (train ++ test).toDF("doc_id", "text", "train")
+    val got = NgramLm.knScores(df, "doc_id", "text", isTrain = col("train"))
+      .filter(col("doc_id") >= 100L).orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "raw_knp")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 1L, 1L))
+    val exp = Seq(
+      math.log((1 - 0.5) / 1.0 + 0.5 * 0.3), // 0.65
+      math.log(0.5 * 0.1), // 0.05
+      math.log(0.1))
+    got.map(_._3).zip(exp).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) < 1e-12, s"case $i: $g vs $e")
+    }
+    // quality-filter property: the in-distribution doc outscores both
+    // backoff docs, and the seen-history backoff beats the unseen one
+    // only through λ vs pc (here 0.05 < 0.1 — λ halves the mass)
+    assert(got(0)._3 > got(2)._3 && got(2)._3 > got(1)._3)
+    // empty train slice must fail loudly, not emit ln(inf)
+    intercept[IllegalArgumentException] {
+      NgramLm.knScores(df, "doc_id", "text", isTrain = lit(false))
+    }
+  }
 }

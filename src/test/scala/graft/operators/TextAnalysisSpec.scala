@@ -612,4 +612,26 @@ class TextAnalysisSpec extends AnyFunSuite {
         partitionCol = "source")
     }
   }
+
+  test("readability: pinned word/sentence/syllable heuristics + linear forms") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 words, 2 sents, 6 syllables
+      (2L, "beautiful"), // eau-i-u → 3 syllables; no terminator → 1 sent
+      (3L, "123 456.") // no alphabetic words → NULL scores
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_words", "n_sents", "n_syll", "fk_grade", "reading_ease")
+      .collect()
+    assert(got(0).getLong(0) == 6L && got(0).getLong(1) == 2L &&
+      got(0).getLong(2) == 6L)
+    val fk1 = 0.39 * 3.0 + 11.8 * 1.0 - 15.59
+    val re1 = 206.835 - 1.015 * 3.0 - 84.6 * 1.0
+    assert(math.abs(got(0).getDouble(3) - fk1) < 1e-12)
+    assert(math.abs(got(0).getDouble(4) - re1) < 1e-12)
+    assert(got(1).getLong(0) == 1L && got(1).getLong(1) == 1L &&
+      got(1).getLong(2) == 3L)
+    assert(got(2).getLong(0) == 0L && got(2).isNullAt(3) && got(2).isNullAt(4),
+      "wordless docs must emit NULL scores, not a division by zero")
+  }
 }
