@@ -259,6 +259,99 @@ object Graph {
     * Output: one row per surviving node — (id, core_deg BIGINT), the
     * degree INSIDE the k-core. Empty when no k-core exists.
     */
+  /** HITS hubs and authorities (Kleinberg 1999) over a DIRECTED edge
+    * table — the centrality pair for asymmetric graphs, where
+    * [[pageRank]]'s symmetrized formulation cannot distinguish pointing
+    * from being pointed at. The natural substrate here is the kNN graph
+    * ([[Dedup.knnEdges]]): an AUTHORITY is a document many others choose
+    * as a nearest neighbor (a central exemplar of its region — the
+    * principled pick for a dedup representative or a few-shot seed),
+    * while a HUB's neighborhood concentrates on authorities (a document
+    * sitting between exemplars). On an undirected graph hubs ≡
+    * authorities ≡ eigenvector centrality, which is why this operator
+    * takes the directed edge list raw and never symmetrizes.
+    *
+    * Round semantics (fixed `iters` rounds):
+    * `auth_i(v) = Σ_{u→v} hub_{i-1}(u)`, then
+    * `hub_i(u)  = Σ_{u→v} auth_i(v)`, each MAX-normalized.
+    *
+    * Cross-engine exactness — a STRONGER scheme than [[pageRank]]'s:
+    * only the two accumulation points (the in-sum and the out-sum) are
+    * rounded (+1e-15, `scaleDigits`); normalization divides by the MAX
+    * of the rounded sums, which is order-independent (unlike the L1/L2
+    * norms of the textbook formulation, whose global sum would be a
+    * second accumulation), so the normalized scores are bit-identical
+    * single-division quotients in both engines and re-enter the next
+    * round exact with NO second rounding. hub_0 = 1.0 for every node —
+    * already normalized, exactly representable.
+    *
+    * Scale shape: per round two edge-keyed join+sum shuffles (each the
+    * size of the edge table) and one single-row max broadcast into the
+    * normalizing projection — nothing quadratic, frames node-sized; the
+    * loop keeps the [[pageRank]] checkpoint discipline (localCheckpoint
+    * per round, one materializing action, superseded rounds freed).
+    *
+    * Output: one row per graph node — (id, auth, hub), both rounded
+    * (+1e-15, 10) at the boundary; nodes with no in-edges score auth 0,
+    * no out-edges hub 0.
+    */
+  def hits(edges: DataFrame, srcCol: String = "src_id",
+      dstCol: String = "dst_id", iters: Int = 4,
+      scaleDigits: Int = 12): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    if (nodes.isEmpty) {
+      GraftSqlShims.unpersistCheckpoint(e)
+      GraftSqlShims.unpersistCheckpoint(nodes)
+      return nodes.select(col("id"), lit(0.0).as("auth"),
+        lit(0.0).as("hub"))
+    }
+    var hub = nodes.select(col("id"), lit(1.0).as("hub"))
+      .localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val ar = e
+        .join(hub.select(col("id").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(round(sum("hub") + lit(1e-15), scaleDigits).as("__v"))
+      val nextAuth = ar
+        .crossJoin(broadcast(ar.agg(max("__v").as("__m"))))
+        .select(col("id"), (col("__v") / col("__m")).as("auth"))
+        .localCheckpoint(false)
+      nextAuth.count()
+      if (auth != null) GraftSqlShims.unpersistCheckpoint(auth)
+      auth = nextAuth
+      val hr = e
+        .join(auth.select(col("id").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(round(sum("auth") + lit(1e-15), scaleDigits).as("__v"))
+      val nextHub = hr
+        .crossJoin(broadcast(hr.agg(max("__v").as("__m"))))
+        .select(col("id"), (col("__v") / col("__m")).as("hub"))
+        .localCheckpoint(false)
+      nextHub.count()
+      GraftSqlShims.unpersistCheckpoint(hub)
+      hub = nextHub
+    }
+    val out = nodes
+      .join(auth, Seq("id"), "left_outer")
+      .join(hub, Seq("id"), "left_outer")
+      .select(col("id"),
+        round(coalesce(col("auth"), lit(0.0)) + lit(1e-15), 10).as("auth"),
+        round(coalesce(col("hub"), lit(0.0)) + lit(1e-15), 10).as("hub"))
+      .localCheckpoint(true)
+    GraftSqlShims.unpersistCheckpoint(auth)
+    GraftSqlShims.unpersistCheckpoint(hub)
+    GraftSqlShims.unpersistCheckpoint(e)
+    GraftSqlShims.unpersistCheckpoint(nodes)
+    out
+  }
+
   def kCore(pairs: DataFrame, k: Int, aCol: String = "a_id",
       bCol: String = "b_id", maxRounds: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -414,6 +414,22 @@ object DedupQueries {
         .orderBy("vec_id")
     }),
 
+    // HITS over the DIRECTED q198 kNN graph: authorities = vectors many
+    // others pick as a nearest neighbor (central exemplars), hubs =
+    // vectors whose neighborhoods concentrate on authorities. Four
+    // rounds; only the two accumulation points round (+1e-15, 12) — the
+    // MAX normalizer is order-independent, so the normalized scores
+    // re-enter each round bit-identical with no second rounding (a
+    // stronger exactness scheme than q177's). The oracle unrolls the
+    // rounds as MATERIALIZED CTEs over the same kNN chain.
+    "q237_hits" -> ((s, dir) => {
+      val e = Dedup.knnEdges(Tables.embeddings(s, dir), "vec_id",
+        "embedding", k = 5, nBits = 8)
+      graft.operators.Graph.hits(e)
+        .select(col("id").as("vec_id"), col("auth"), col("hub"))
+        .orderBy("vec_id")
+    }),
+
     // INCREMENTAL ingest-time dedup: the corpus's banded minhash
     // signatures are a STORED artifact (written once, partitioned by
     // band, read back from parquet — the round-trip is part of the
@@ -1306,6 +1322,41 @@ object DedupQueries {
         |ORDER BY vec_id""".stripMargin),
 
     "q203_kcore" -> kCoreSql(k = 3, layers = 8),
+
+    // HITS replay: the kNN chain, then four unrolled rounds. Each
+    // round's in/out sum rounds (+1e-15, 12); the max-of-rounded-sums
+    // normalizer and its division are order-independent and engine-
+    // exact, so only the sums ever round. MATERIALIZED pins one
+    // evaluation per layer (the q203 CTE-inlining rule — each layer is
+    // referenced twice: by its normalizer and by the next round).
+    "q237_hits" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""a${i}r AS MATERIALIZED (
+           |  SELECT e.dst AS id, round(sum(h.hub) + 1e-15, 12) AS v
+           |  FROM knn e JOIN h${i - 1} h ON h.id = e.src GROUP BY e.dst),
+           |a$i AS MATERIALIZED (
+           |  SELECT id, v / (SELECT max(v) FROM a${i}r) AS auth FROM a${i}r),
+           |h${i}r AS MATERIALIZED (
+           |  SELECT e.src AS id, round(sum(a.auth) + 1e-15, 12) AS v
+           |  FROM knn e JOIN a$i a ON a.id = e.dst GROUP BY e.src),
+           |h$i AS MATERIALIZED (
+           |  SELECT id, v / (SELECT max(v) FROM h${i}r) AS hub FROM h${i}r)"""
+          .stripMargin
+      }.mkString(",\n")
+      knnChainSql.trim + s""",
+         |knn AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM ranked WHERE rn <= 5),
+         |nodes AS (SELECT src AS id FROM knn UNION SELECT dst FROM knn),
+         |h0 AS (SELECT id, CAST(1 AS DOUBLE) AS hub FROM nodes),
+         |$rounds
+         |SELECT n.id AS vec_id,
+         |  round(coalesce(a4.auth, 0) + 1e-15, 10) AS auth,
+         |  round(coalesce(h4.hub, 0) + 1e-15, 10) AS hub
+         |FROM nodes n
+         |LEFT JOIN a4 ON a4.id = n.id
+         |LEFT JOIN h4 ON h4.id = n.id
+         |ORDER BY n.id""".stripMargin
+    },
 
     "q204_incoming_dedup" -> {
       val corpusChain = minhashChainSql(

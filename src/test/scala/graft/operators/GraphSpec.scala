@@ -54,6 +54,54 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1L)._2 == got(4L)._2 && got(2L)._2 == got(3L)._2)
   }
 
+  // replay hits' per-round arithmetic: only the two sums round
+  // (+1e-15, 12); max-normalization and the final (+1e-15, 10) are
+  // plain IEEE ops on the already-identical values
+  private def replayHits(edges: Seq[(Long, Long)],
+      iters: Int): Map[Long, (Double, Double)] = {
+    def rnd(x: Double, s: Int) =
+      BigDecimal(x + 1e-15).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val in = edges.groupBy(_._2)
+    val out = edges.groupBy(_._1)
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = Map.empty[Long, Double]
+    for (_ <- 1 to iters) {
+      val ar = in.map { case (v, es) =>
+        v -> rnd(es.map { case (u, _) => hub.getOrElse(u, 0.0) }.sum, 12) }
+      val am = ar.values.max
+      auth = ar.view.mapValues(_ / am).toMap
+      val hr = out.map { case (u, es) =>
+        u -> rnd(es.map { case (_, v) => auth.getOrElse(v, 0.0) }.sum, 12) }
+      val hm = hr.values.max
+      hub = hr.view.mapValues(_ / hm).toMap
+    }
+    nodes.map(v => v -> (rnd(auth.getOrElse(v, 0.0), 10),
+      rnd(hub.getOrElse(v, 0.0), 10))).toMap
+  }
+
+  test("hits: directed star, replay match, sink/source scores, empty") {
+    // 2,3,4 all point at 1; 1 points back at 2; 5→4 adds a second-tier
+    // authority. Asymmetric on purpose — hubs and authorities differ.
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L), (5L, 4L))
+    val got = Graph.hits(edges.toDF("src_id", "dst_id"))
+      .as[(Long, Double, Double)].collect()
+      .map { case (id, a, h) => id -> (a, h) }.toMap
+    val want = replayHits(edges, 4)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, (a, h)) =>
+      assert(got(id) == ((a, h)), s"node $id: got ${got(id)}, want ($a, $h)") }
+    // node 1 collects three hubs — the max-normalized authority is 1.0
+    assert(got(1L)._1 == 1.0)
+    // 3 and 5 have no in-edges: auth exactly 0; 2 and 3 point at the top
+    // authority, so they out-hub 5 (whose target is second-tier)
+    assert(got(3L)._1 == 0.0 && got(5L)._1 == 0.0)
+    assert(got(2L)._2 > got(5L)._2 && got(3L)._2 > got(5L)._2)
+    assert(Graph.hits(Seq.empty[(Long, Long)].toDF("src_id", "dst_id"))
+      .isEmpty)
+  }
+
   test("label propagation: spread, clamping, tie-break, unreached nodes") {
     // component A: path 1-2-3 with seed 1='en' (3 is reached in round 2);
     // component B: 10-11 with no seeds (stays 'none');
