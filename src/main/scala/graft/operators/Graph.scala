@@ -352,6 +352,59 @@ object Graph {
     out
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar 2003) over an
+    * undirected pair table: score every NON-adjacent pair at distance 2
+    * by Σ_z 1/ln(deg(z)) over their common neighbors z — rare shared
+    * neighbors count more than hub ones. Over a near-dup or mutual-kNN
+    * graph this surfaces the links the discovery pass MISSED: two
+    * documents never bucketed together but sharing several low-degree
+    * neighbors are a near-dup pair to re-verify (the recall audit's
+    * candidate list), and in curation it ranks which clusters are about
+    * to merge.
+    *
+    * Semantics: wedges enumerate at their CENTER (u—z—v, u < v), the
+    * existing-edge anti-join keeps only unlinked pairs, and the score
+    * sums 1/ln(deg z) — deg ≥ 2 for any wedge center, so ln > 0. Each
+    * 1/ln(deg) is a single division of a correctly-rounded ln over an
+    * exact integer (identical in both engines); only the per-pair SUM
+    * accumulates, so it rounds (+1e-9, 6) and the top-k ranks on the
+    * ROUNDED score with (a, b) tie-break (the q97 ln doctrine).
+    *
+    * Scale shape: the center self-join is quadratic per center, so
+    * centers over `maxCenterDeg` are SKIPPED whole (the hot-bucket
+    * convention — an oracle mirrors it with a count filter; a hub
+    * shared by thousands contributes ~1/ln(huge) ≈ noise anyway); all
+    * shuffles are edge- or wedge-keyed; the top-k is one TakeOrdered
+    * pass, never a global sort.
+    *
+    * Output: top `topK` rows — (a_id, b_id, common BIGINT, aa_score).
+    */
+  def adamicAdar(pairs: DataFrame, aCol: String = "a_id",
+      bCol: String = "b_id", topK: Int = 100,
+      maxCenterDeg: Int = 1000): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(maxCenterDeg >= 2, s"maxCenterDeg must be >= 2, got $maxCenterDeg")
+    val p = pairs.select(col(aCol).cast("long").as("a"),
+      col(bCol).cast("long").as("b")).distinct()
+    val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
+    val centers = edges.groupBy(col("a").as("z"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") <= maxCenterDeg)
+    val nbrs = edges.select(col("a").as("z"), col("b").as("n"))
+      .join(centers, Seq("z"))
+    val wedges = nbrs.select(col("z"), col("deg"), col("n").as("u"))
+      .join(nbrs.select(col("z"), col("n").as("v")), Seq("z"))
+      .filter(col("u") < col("v"))
+    wedges
+      .join(p.select(col("a").as("u"), col("b").as("v")),
+        Seq("u", "v"), "left_anti")
+      .groupBy(col("u").as("a_id"), col("v").as("b_id"))
+      .agg(count(lit(1)).as("common"),
+        round(sum(lit(1.0) / log(col("deg"))) + lit(1e-9), 6).as("aa_score"))
+      .orderBy(desc("aa_score"), col("a_id"), col("b_id"))
+      .limit(topK)
+  }
+
   def kCore(pairs: DataFrame, k: Int, aCol: String = "a_id",
       bCol: String = "b_id", maxRounds: Int = 30): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -430,6 +430,21 @@ object DedupQueries {
         .orderBy("vec_id")
     }),
 
+    // Adamic–Adar link prediction over the q199 mutual-kNN graph: the
+    // top-100 NON-adjacent pairs ranked by Σ 1/ln(deg) over common
+    // neighbors — the near-dup links the discovery pass missed, rare
+    // shared neighbors weighted above hubs. Each 1/ln(deg) is engine-
+    // exact (single division over ln of an exact integer); only the
+    // per-pair sum rounds (+1e-9, 6) and the rank is on the ROUNDED
+    // score (the q97 ln doctrine).
+    "q238_link_pred" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Graph.adamicAdar(
+          Dedup.mutualKnnEdges(e, "vec_id", "embedding", k = 5, nBits = 8),
+          topK = 100)
+        .orderBy(desc("aa_score"), col("a_id"), col("b_id"))
+    }),
+
     // INCREMENTAL ingest-time dedup: the corpus's banded minhash
     // signatures are a STORED artifact (written once, partitioned by
     // band, read back from parquet — the round-trip is part of the
@@ -1322,6 +1337,38 @@ object DedupQueries {
         |ORDER BY vec_id""".stripMargin),
 
     "q203_kcore" -> kCoreSql(k = 3, layers = 8),
+
+    // Adamic–Adar replay: the q199 mutual-kNN edges, center-enumerated
+    // wedges under the <= 1000 hot-center cap (mirrored from the
+    // operator), existing-edge anti-join, rounded-sum rank.
+    "q238_link_pred" -> ("WITH " + knnChainBody +
+      """,
+        |knn AS (SELECT a, b, s FROM ranked WHERE rn <= 5),
+        |mut AS (
+        |  SELECT f.a AS a_id, f.b AS b_id
+        |  FROM knn f JOIN knn r ON r.a = f.b AND r.b = f.a
+        |  WHERE f.a < f.b),
+        |edges AS (
+        |  SELECT a_id AS a, b_id AS b FROM mut
+        |  UNION ALL SELECT b_id, a_id FROM mut),
+        |centers AS (
+        |  SELECT a AS z, count(*) AS deg FROM edges
+        |  GROUP BY a HAVING count(*) <= 1000),
+        |nbrs AS (
+        |  SELECT e.a AS z, e.b AS n, c.deg
+        |  FROM edges e JOIN centers c ON c.z = e.a),
+        |wedges AS (
+        |  SELECT x.z, x.deg, x.n AS u, y.n AS v
+        |  FROM nbrs x JOIN nbrs y ON x.z = y.z AND x.n < y.n),
+        |nonadj AS (
+        |  SELECT w.* FROM wedges w
+        |  LEFT JOIN mut m ON m.a_id = w.u AND m.b_id = w.v
+        |  WHERE m.a_id IS NULL)
+        |SELECT u AS a_id, v AS b_id, CAST(count(*) AS BIGINT) AS common,
+        |  round(sum(1.0 / ln(deg)) + 1e-9, 6) AS aa_score
+        |FROM nonadj GROUP BY u, v
+        |ORDER BY aa_score DESC, a_id, b_id
+        |LIMIT 100""".stripMargin),
 
     // HITS replay: the kNN chain, then four unrolled rounds. Each
     // round's in/out sum rounds (+1e-15, 12); the max-of-rounded-sums

@@ -102,6 +102,26 @@ class GraphSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("adamicAdar: common-neighbor scoring, adjacency anti-join, cap") {
+    // square 2-3-4 plus diagonal (2,3): the only distance-2 non-edge is
+    // (1,4), seen through both center 2 (deg 3) and center 3 (deg 3)
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a_id", "b_id")
+    val got = Graph.adamicAdar(pairs)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val v = 1.0 / math.log(3.0)
+    val want = BigDecimal(v + v + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head == ((1L, 4L, 2L, want)), s"got ${got.head}")
+    // hot-center cap: with maxCenterDeg = 2 both wedge centers are
+    // skipped and nothing is predicted
+    assert(Graph.adamicAdar(pairs, maxCenterDeg = 2).isEmpty)
+    // adjacent pairs never appear even when they share neighbors:
+    // (2,3) shares 1 and 4 but is an existing edge
+    assert(!got.exists(r => r._1 == 2L && r._2 == 3L))
+  }
+
   test("label propagation: spread, clamping, tie-break, unreached nodes") {
     // component A: path 1-2-3 with seed 1='en' (3 is reached in round 2);
     // component B: 10-11 with no seeds (stays 'none');
