@@ -710,6 +710,88 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** WordPiece-style tokenizer training (Schuster & Nakajima 2012; the
+    * scoring Wu et al. 2016 describe): the merge loop of [[bpeTrain]]
+    * with LIKELIHOOD selection — each round merges the pair maximizing
+    * `count(ab) / (count(a) · count(b))`, the unigram-LM likelihood gain
+    * of fusing the pair, where BPE takes the raw count. Rare-but-always-
+    * together symbol pairs merge before frequent-but-promiscuous ones
+    * (the suffix/stem behavior WordPiece is chosen for). Same
+    * symbolization and merge mechanics as [[bpeTrain]] (lowercase
+    * [a-z0-9]+ words, space-wrapped segment strings, full recount per
+    * round — the regime the round-9 A/B picked); ## continuation
+    * markers are presentation, not mechanics, and are deliberately not
+    * modeled.
+    *
+    * Determinism: all three counts are exact frequency-weighted
+    * integers; the score is ONE division of exact integers (the q120
+    * doctrine — engine-exact, never rounded); ties break on (a, b).
+    *
+    * Scale shape: per round one explode-count over the vocabulary table
+    * (word-type-sized, not corpus-sized), two symbol-keyed joins onto a
+    * symbol-type-sized count frame, one TakeOrdered pick. The corpus is
+    * read ONCE to build the vocabulary.
+    *
+    * Output: the merge sequence in order —
+    * (a, b, n, ca, cb, score) per round.
+    */
+  def wordPieceTrain(df: DataFrame, textCol: String, nMerges: Int)
+      : Seq[(String, String, Long, Long, Long, Double)] = {
+    require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    val chars = baseSymbols(col("word"), byteLevel = false)
+    var vocab = df
+      .select(explode(normalizedTokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit(" "), array_join(chars, "  "), lit(" ")).as("seg"))
+      .localCheckpoint(false)
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(String, String, Long, Long, Long, Double)]()
+    var prev: Option[DataFrame] = None
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val syms = segSymbolCounts(vocab)
+      val best = segPairCounts(vocab)
+        .join(syms.select(col("sym").as("a"), col("c").as("ca")), Seq("a"))
+        .join(syms.select(col("sym").as("b"), col("c").as("cb")), Seq("b"))
+        .select(col("a"), col("b"), col("n"), col("ca"), col("cb"),
+          (col("n") / (col("ca") * col("cb"))).as("score"))
+        .orderBy(desc("score"), col("a"), col("b")).limit(1)
+        .collect()
+      prev.foreach(GraftSqlShims.unpersistCheckpoint)
+      prev = None
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        val (a, b) = (row.getString(0), row.getString(1))
+        merges += ((a, b, row.getLong(2), row.getLong(3), row.getLong(4),
+          row.getDouble(5)))
+        r += 1
+        if (r < nMerges) {
+          val updated = vocab.withColumn("seg",
+              org.apache.spark.sql.functions.replace(col("seg"),
+                lit(s" $a  $b "), lit(s" $a$b ")))
+            .localCheckpoint(false)
+          prev = Some(vocab)
+          vocab = updated
+        }
+      }
+    }
+    GraftSqlShims.unpersistCheckpoint(vocab)
+    prev.foreach(GraftSqlShims.unpersistCheckpoint)
+    merges.toSeq
+  }
+
+  /** Frequency-weighted symbol counts of a segmented vocabulary frame —
+    * [[wordPieceTrain]]'s denominator primitive. Output: (sym, c).
+    */
+  private def segSymbolCounts(segs: DataFrame): DataFrame =
+    segs
+      .select(col("freq"), split(trim(col("seg")), "  ").as("__l"))
+      .select(explode(col("__l")).as("sym"), col("freq"))
+      .groupBy("sym").agg(sum("freq").as("c"))
+
   /** Frequency-weighted adjacent-pair counts of a segmented vocabulary
     * frame (`freq`, `seg` in [[bpeTrain]]'s wrapped representation) —
     * the per-round primitive shared by the full-recount and incremental

@@ -556,6 +556,25 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // WordPiece training: the q129 merge loop with LIKELIHOOD selection
+    // — each round fuses the pair maximizing n/(ca·cb) instead of raw n,
+    // so rare-but-always-together pairs (stems, suffixes) merge first.
+    // The score is ONE division of exact frequency-weighted integers
+    // (engine-exact, unrounded); ties break (a, b); the oracle replays
+    // all 10 layers with MATERIALIZED CTEs (each layer is referenced by
+    // three downstream frames — the q203 inlining rule).
+    "q239_wordpiece" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.wordPieceTrain(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "text", nMerges = 10)
+        .zipWithIndex
+        .map { case ((a, b, n, ca, cb, sc), i) =>
+          (i + 1L, a, b, n, ca, cb, sc) }
+        .toDF("rank", "a", "b", "n", "ca", "cb", "score")
+        .orderBy("rank")
+    }),
+
     // BYTE-level BPE training (the GPT-2 setup): raw \S+ pre-tokenization
     // (case and punctuation kept — the closed 256-byte alphabet needs no
     // normalization for coverage), symbols = UTF-8 bytes as uppercase hex
@@ -1394,6 +1413,48 @@ object TextQueries {
         |  GROUP BY a, b),
         |b$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
         |v$i AS (
+        |  SELECT freq,
+        |    replace(seg, ' '||b$i.a||'  '||b$i.b||' ', ' '||b$i.a||b$i.b||' ') AS seg
+        |  FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** The generated WordPiece-training CTE prefix (q239): the q129
+    * vocabulary wrap, but each layer picks the pair maximizing
+    * `n / (ca · cb)` — pair count over the product of symbol counts.
+    * Every layer frame is MATERIALIZED: v/s are each referenced by
+    * multiple downstream CTEs per layer, and inlining would expand the
+    * chain 3^layers times (the q203 rule).
+    */
+  private def wordPieceLayersSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH v0 AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS freq,
+      |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seg
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |        FROM documents)
+      |  GROUP BY word)""".stripMargin
+    for (i <- 1 to nMerges) {
+      sb ++= s""",
+        |s$i AS MATERIALIZED (
+        |  SELECT freq, str_split(trim(seg), '  ') AS l FROM v${i - 1}),
+        |p$i AS MATERIALIZED (
+        |  SELECT l[i] AS a, l[i+1] AS b, CAST(sum(freq) AS BIGINT) AS n
+        |  FROM (SELECT freq, l, unnest(range(1, len(l))) AS i FROM s$i)
+        |  GROUP BY a, b),
+        |c$i AS MATERIALIZED (
+        |  SELECT sym, CAST(sum(freq) AS BIGINT) AS c
+        |  FROM (SELECT unnest(l) AS sym, freq FROM s$i)
+        |  GROUP BY sym),
+        |b$i AS MATERIALIZED (
+        |  SELECT p.a, p.b, p.n, ca.c AS ca, cb.c AS cb,
+        |    CAST(p.n AS DOUBLE) / (ca.c * cb.c) AS score
+        |  FROM p$i p
+        |  JOIN c$i ca ON ca.sym = p.a
+        |  JOIN c$i cb ON cb.sym = p.b
+        |  ORDER BY score DESC, p.a, p.b LIMIT 1),
+        |v$i AS MATERIALIZED (
         |  SELECT freq,
         |    replace(seg, ' '||b$i.a||'  '||b$i.b||' ', ' '||b$i.a||b$i.b||' ') AS seg
         |  FROM v${i - 1} CROSS JOIN b$i)""".stripMargin
@@ -2954,6 +3015,12 @@ object TextQueries {
     "q129_bpe_merges" -> {
       bpeLayersSql(10) + "\n" + (1 to 10)
         .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, n FROM b$i")
+        .mkString(" UNION ALL ") + "\nORDER BY rank"
+    },
+
+    "q239_wordpiece" -> {
+      wordPieceLayersSql(10) + "\n" + (1 to 10)
+        .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, n, ca, cb, score FROM b$i")
         .mkString(" UNION ALL ") + "\nORDER BY rank"
     },
 

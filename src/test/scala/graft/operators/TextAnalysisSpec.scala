@@ -613,6 +613,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("wordPieceTrain: likelihood selection diverges from BPE's count") {
+    // x,y occur ONLY together (n=2, ca=cb=2 → score 0.5); (a,b) has the
+    // far higher raw count 10 but 'a' is promiscuous (ca=100 → score
+    // 0.01). BPE must take (a,b) first; WordPiece must take (x,y).
+    val text = ("xy " * 2) + ("ab " * 10) + ("a " * 90)
+    val df = Seq((1L, text.trim)).toDF("doc_id", "text")
+    val wp = TextAnalysis.wordPieceTrain(df, "text", nMerges = 2)
+    assert(wp.head == (("x", "y", 2L, 2L, 2L, 0.5)), s"got ${wp.head}")
+    assert(wp(1) == (("a", "b", 10L, 100L, 10L, 0.01)), s"got ${wp(1)}")
+    val bpe = TextAnalysis.bpeTrain(df, "text", nMerges = 1)
+    assert(bpe.head == (("a", "b", 10L)), s"got ${bpe.head}")
+    // exhaustion: single-symbol vocabulary has no pairs to merge
+    val none = TextAnalysis.wordPieceTrain(
+      Seq((1L, "a a a")).toDF("doc_id", "text"), "text", nMerges = 3)
+    assert(none.isEmpty)
+  }
+
   test("readability: pinned word/sentence/syllable heuristics + linear forms") {
     val docs = Seq(
       (1L, "The cat sat. The dog ran!"), // 6 words, 2 sents, 6 syllables
