@@ -1153,6 +1153,108 @@ object TextAnalysis {
       .select(col(idCol), col("bm25"), col("dl"))
   }
 
+  /** WEIGHTED BM25 over a DATA-SIZED term set — the join-based sibling
+    * of [[bm25]] for queries whose terms are not compile-time literals
+    * (relevance-feedback expansion, query logs, learned term weights).
+    * [[bm25]] pivots each term into its own column — right for a
+    * handful of literal terms, wrong for a term FRAME; here the terms
+    * ride in as a broadcast (term, w) join against the exploded
+    * token-frequency table, so hundreds of weighted terms cost one
+    * hash probe per posting, not one column each.
+    *
+    * Arithmetic parity: the per-term contribution is [[bm25]]'s chain
+    * verbatim with the weight multiplied on the LEFT; the per-doc sum
+    * accumulates join rows in engine order, so it rounds (+1e-9, 6) —
+    * the q97 identical-inputs-then-round doctrine (where [[bm25]]'s
+    * fixed column order made rounding belt-and-braces, here it is the
+    * load-bearing convention, mirrored by any oracle).
+    */
+  def bm25Weighted(df: DataFrame, idCol: String, textCol: String,
+      weightedTerms: Seq[(String, Double)], k1: Double = 1.2,
+      b: Double = 0.75, k: Int = 20): DataFrame = {
+    require(weightedTerms.nonEmpty, "bm25Weighted: empty term list")
+    require(weightedTerms.map(_._1).distinct.size == weightedTerms.size,
+      s"bm25Weighted: duplicate terms in ${weightedTerms.map(_._1)}")
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol),
+      normalizedTokens(col(textCol)).as("__t"))
+    val stats = toks
+      .select(size(col("__t")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("__n"),
+        (sum("dl").cast("double") / count(lit(1))).as("__avgdl"))
+    val tf = toks
+      .select(col(idCol), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val hits = tf.join(
+      broadcast(weightedTerms.toDF("term", "w")), Seq("term"))
+    val dfq = hits.groupBy("term").agg(count(lit(1)).as("__dfq"))
+    val c = col("w") *
+      log((col("__n") - col("__dfq") + 0.5) / (col("__dfq") + 0.5) + 1) *
+      (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - b + lit(b) * col("dl") / col("__avgdl")))
+    hits.join(broadcast(dfq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"), c.as("__c"))
+      .groupBy(col(idCol), col("dl"))
+      .agg(round(sum("__c") + lit(1e-9), 6).as("bm25"))
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("bm25"), col("dl"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971; the
+    * RM-style term weighting of Lavrenko & Croft 2001): retrieve a
+    * feedback set with the original query, mine its strongest terms,
+    * re-retrieve with the expanded weighted query — the classic fix for
+    * vocabulary mismatch (a query about "vectors" also pulling docs
+    * that say "embedding"), and the sparse sibling of q236's dense MMR
+    * post-processing.
+    *
+    * Stages: (1) feedback set = [[bm25]] top `fbK` on the original
+    * terms (literal terms — the fixed-order column formulation);
+    * (2) expansion score per candidate term = Σ_{d ∈ fb} tf(t,d)/dl(d)
+    * — each addend ONE exact-integer division, the sum over ≤ fbK docs
+    * rounded (+1e-9, 6), rank on the ROUNDED score with term-asc
+    * tie-break, original terms excluded, top `nExpand` taken (a
+    * bounded driver collect — the cap-and-switch precedent);
+    * (3) final retrieval = [[bm25Weighted]] with originals at weight
+    * 1.0 and expansion terms at `expWeight` (default 1/2 — dyadic).
+    *
+    * Scale shape: stage 1/3 are corpus scans with broadcast term sets
+    * (or swap in the stored-postings index for both); stage 2 touches
+    * ONLY the fbK feedback documents.
+    */
+  def prfExpandedBm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], fbK: Int = 10, nExpand: Int = 5,
+      expWeight: Double = 0.5, k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 20): DataFrame = {
+    require(nExpand >= 1, s"nExpand must be positive, got $nExpand")
+    require(fbK >= 1, s"fbK must be positive, got $fbK")
+    val fb = bm25(df, idCol, textCol, terms, k1, b, fbK)
+      .select(col(idCol))
+    val expansion = df
+      .select(col(idCol), normalizedTokens(col(textCol)).as("__t"))
+      .join(broadcast(fb), Seq(idCol), "left_semi")
+      .select(col(idCol), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .filter(!col("term").isin(terms: _*))
+      .groupBy("term")
+      .agg(round(sum(col("tf").cast("double") / col("dl")) + lit(1e-9), 6)
+        .as("__es"))
+      .orderBy(desc("__es"), col("term"))
+      .limit(nExpand)
+      .collect().map(_.getString(0)).toSeq
+    bm25Weighted(df, idCol, textCol,
+      terms.map((_, 1.0)) ++ expansion.map((_, expWeight)), k1, b, k)
+  }
+
   /** Inverted index build — the sparse-retrieval sibling of the vector
     * side's stored codes: one corpus pass materializes term-grain
     * postings `(term, idCol, tf)` (tf ≥ 1 by construction — absent

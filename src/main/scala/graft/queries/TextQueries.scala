@@ -650,6 +650,20 @@ object TextQueries {
         k1 = 1.2, b = 0.75, k = 20)
     }),
 
+    // Pseudo-relevance-feedback expansion: BM25 top-10 on the original
+    // terms feeds a per-term Σ tf/dl mining pass (each addend ONE exact
+    // division, sum rounded, term-asc tie-break), and the top-5 mined
+    // terms re-retrieve at weight 1/2 beside the originals at 1.0
+    // through the join-based weighted BM25. The oracle replays all
+    // three stages — the expansion terms are DATA-dependent, so the
+    // final list pins them transitively.
+    "q240_prf_expand" -> ((s, dir) => {
+      TextAnalysis.prfExpandedBm25(
+        graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+        "doc_id", "text", terms = Seq("vector", "data"),
+        fbK = 10, nExpand = 5, expWeight = 0.5, k = 20)
+    }),
+
     // Exact phrase query over POSITIONAL postings: term-filtered
     // postings lists join on (doc, pos + i) — the documents are never
     // touched. The oracle recomputes occurrences from the token windows
@@ -3183,6 +3197,80 @@ object TextQueries {
     "q193_bm25_index" -> q136Oracle,
 
     "q136_bm25" -> q136Oracle,
+
+    // PRF replay: stage 1 is bm25()'s fixed-order CASE chain over the
+    // original terms (the q136 arithmetic verbatim, top-10); stage 2
+    // mines Σ tf/dl over the feedback docs on the rounded score; stage
+    // 3 is the JOIN-based weighted sum — per-term contributions are
+    // engine-identical and the per-doc sum rounds (+1e-9, 6), the
+    // load-bearing convention for data-sized term sets.
+    "q240_prf_expand" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |pd AS MATERIALIZED (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(t, x -> x = 'data')) AS BIGINT) AS tf1
+        |  FROM toks),
+        |st AS MATERIALIZED (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+        |  FROM pd),
+        |fbs AS (
+        |  SELECT doc_id, round(
+        |      (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+        |        * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |        ELSE 0.0 END)
+        |    + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+        |        * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |        ELSE 0.0 END) + 1e-9, 6) AS bm25
+        |  FROM pd CROSS JOIN st
+        |  WHERE tf0 + tf1 > 0),
+        |fb AS MATERIALIZED (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        |    FROM fbs) WHERE rn <= 10),
+        |fd AS (
+        |  SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term
+        |  FROM toks JOIN fb USING (doc_id)),
+        |ftf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM fd GROUP BY doc_id, dl, term),
+        |ex AS (
+        |  SELECT term, round(sum(CAST(tf AS DOUBLE) / dl) + 1e-9, 6) AS es
+        |  FROM ftf WHERE term NOT IN ('vector', 'data') GROUP BY term),
+        |exp5 AS MATERIALIZED (
+        |  SELECT term FROM (
+        |    SELECT term, row_number() OVER (ORDER BY es DESC, term) AS rn
+        |    FROM ex) WHERE rn <= 5),
+        |terms2 AS MATERIALIZED (
+        |  SELECT 'vector' AS term, CAST(1 AS DOUBLE) AS w
+        |  UNION ALL SELECT 'data', CAST(1 AS DOUBLE)
+        |  UNION ALL SELECT term, 0.5 FROM exp5),
+        |ad AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term
+        |  FROM toks),
+        |tf2 AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM ad GROUP BY doc_id, dl, term),
+        |hits AS MATERIALIZED (
+        |  SELECT tf2.doc_id, tf2.dl, tf2.term, tf2.tf, terms2.w
+        |  FROM tf2 JOIN terms2 USING (term)),
+        |dfq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS dfq FROM hits GROUP BY term),
+        |sc AS (
+        |  SELECT h.doc_id, h.dl,
+        |    h.w * ln((st.n - d.dfq + 0.5)/(d.dfq + 0.5) + 1)
+        |      * (h.tf * (1.2 + 1))
+        |      / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * h.dl / st.avgdl)) AS c
+        |  FROM hits h JOIN dfq d USING (term) CROSS JOIN st)
+        |SELECT doc_id, round(sum(c) + 1e-9, 6) AS bm25, dl
+        |FROM sc GROUP BY doc_id, dl
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 20""".stripMargin,
 
 
     // BM25 and dense lists re-ranked in SQL (both on rounded scores),

@@ -630,6 +630,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(none.isEmpty)
   }
 
+  test("prfExpandedBm25: mined terms retrieve docs the originals cannot") {
+    val docs = Seq(
+      (1L, "vector apple apple apple"),
+      (2L, "vector banana"),
+      (3L, "apple apple orange"),
+      (4L, "kiwi kiwi kiwi")).toDF("doc_id", "text")
+    // single-term parity: the join-based weighted formulation must equal
+    // the fixed-column bm25 exactly (one addend — no accumulation at all)
+    val a = TextAnalysis.bm25(docs, "doc_id", "text", Seq("apple"), k = 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    val b = TextAnalysis.bm25Weighted(docs, "doc_id", "text",
+      Seq(("apple", 1.0)), k = 10).as[(Long, Double, Long)].collect().toSeq
+    assert(a == b, s"weighted/fixed mismatch: $a vs $b")
+    // feedback = {1, 2} (the only 'vector' docs); mining scores apple
+    // 3/4 over banana 1/2, so the expanded query reaches doc 3 (which
+    // never says 'vector'), and doc 4 stays unreachable
+    val got = TextAnalysis.prfExpandedBm25(docs, "doc_id", "text",
+        Seq("vector"), fbK = 2, nExpand = 1, k = 10)
+      .as[(Long, Double, Long)].collect().map(_._1).toSet
+    assert(got == Set(1L, 2L, 3L), s"got $got")
+  }
+
   test("readability: pinned word/sentence/syllable heuristics + linear forms") {
     val docs = Seq(
       (1L, "The cat sat. The dog ran!"), // 6 words, 2 sents, 6 syllables
