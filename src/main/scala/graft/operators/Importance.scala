@@ -157,4 +157,67 @@ object Importance {
         round(exp(col("excess") * eta) / col("__z") + lit(1e-9), 6)
           .as("weight"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance between every pair of
+    * sources over an INTEGER per-row statistic (token count, byte
+    * length, a quantized score) — the distribution-drift monitor
+    * beside [[sourceDivergence]]'s token-mixture KL: KL asks "do the
+    * sources use different WORDS", KS asks "are the documents SHAPED
+    * differently", and a nightly snapshot-vs-snapshot KS is the
+    * canonical "did the crawler change under us" alarm.
+    *
+    * KS(a, b) = max_v |F_a(v) − F_b(v)| over the pooled distinct
+    * values. Everything is engine-exact with ZERO rounding: counts and
+    * cumulative counts are exact integers, each ECDF value is ONE
+    * division of exact integers (q120 doctrine), and |·|/max of
+    * bit-identical doubles are order-independent.
+    *
+    * Scale shape: one doc-grain groupBy collapses to (source, value)
+    * grain; every window after that is VALUE-grain (distinct statistic
+    * values — bounded by the statistic's range, not the corpus), as is
+    * the source-pair self-join. The integer-statistic requirement is
+    * loud: float statistics must be quantized first (exact decimal
+    * grids only — the md5-recomputable rule's sibling).
+    *
+    * Output: (source_a, source_b, n_a, n_b, ks) for source_a <
+    * source_b, ordered.
+    */
+  def ksDrift(df: DataFrame, sourceCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vType = df.schema(valueCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(vType),
+      s"ksDrift requires an integral statistic column; '$valueCol' is " +
+        s"$vType — quantize float scores to an exact grid first")
+    val base = df.select(col(sourceCol).as("src"),
+      col(valueCol).cast("long").as("v"))
+    val svc = base.groupBy("src", "v").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("src").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = svc.withColumn("cum", sum("c").over(wCum))
+      .select("src", "v", "cum")
+    val srcs = base.groupBy("src").agg(count(lit(1)).as("n"))
+    val grid = svc.select("v").distinct()
+      .crossJoin(broadcast(srcs.select("src")))
+    val ecdf = grid
+      .join(cum, Seq("src", "v"), "left_outer")
+      .withColumn("__cum",
+        coalesce(last("cum", ignoreNulls = true).over(wCum), lit(0L)))
+      .join(broadcast(srcs), Seq("src"))
+      .select(col("src"), col("v"), col("n"),
+        (col("__cum").cast("double") / col("n")).as("f"))
+    ecdf.select(col("src").as("source_a"), col("v"),
+        col("f").as("f_a"), col("n").as("n_a"))
+      .join(ecdf.select(col("src").as("source_b"), col("v"),
+        col("f").as("f_b"), col("n").as("n_b")), Seq("v"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b", "n_a", "n_b")
+      .agg(max(abs(col("f_a") - col("f_b"))).as("ks"))
+      .select("source_a", "source_b", "n_a", "n_b", "ks")
+      .orderBy("source_a", "source_b")
+  }
 }

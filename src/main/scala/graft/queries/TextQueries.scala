@@ -1332,6 +1332,20 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Two-sample KS drift between every source pair over the per-doc
+    // token count: max |ECDF_a − ECDF_b| at pooled distinct values.
+    // ZERO rounding — counts exact, each ECDF one exact-integer
+    // division, |·|/max order-independent (q157's KL asks "different
+    // words?", this asks "differently shaped documents?").
+    "q241_ks_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Importance.ksDrift(
+        docs.select(col("source"),
+          size(TextAnalysis.normalizedTokens(col("text"))).cast("long")
+            .as("n_tokens")),
+        "source", "n_tokens")
+    }),
+
     // Cross-source score calibration: per-source DESCENDING quality
     // rank via the chunked two-phase pattern (rank within (source,
     // score band), stitch with higher-band counts — no single-task-per-
@@ -1983,6 +1997,37 @@ object TextQueries {
         |WHERE rn * 5 <= n + 4
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+
+    // KS replay: (source, value) counts, per-source cumulative window,
+    // the pooled value grid filled with last_value IGNORE NULLS, one
+    // exact division per ECDF point, max |diff| per source pair.
+    "q241_ks_drift" ->
+      """WITH base AS (
+        |  SELECT source AS src,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS v
+        |  FROM documents),
+        |svc AS (SELECT src, v, count(*) AS c FROM base GROUP BY src, v),
+        |cum AS (
+        |  SELECT src, v, sum(c) OVER (PARTITION BY src ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM svc),
+        |srcs AS (SELECT src, count(*) AS n FROM base GROUP BY src),
+        |grid AS (
+        |  SELECT vals.v, srcs.src, srcs.n
+        |  FROM (SELECT DISTINCT v FROM svc) vals CROSS JOIN srcs),
+        |f AS (
+        |  SELECT g.src, g.v, g.n,
+        |    CAST(coalesce(last_value(cum.cum IGNORE NULLS) OVER (
+        |      PARTITION BY g.src ORDER BY g.v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS DOUBLE)
+        |      / g.n AS fv
+        |  FROM grid g LEFT JOIN cum ON cum.src = g.src AND cum.v = g.v)
+        |SELECT a.src AS source_a, b.src AS source_b,
+        |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  max(abs(a.fv - b.fv)) AS ks
+        |FROM f a JOIN f b ON a.v = b.v AND a.src < b.src
+        |GROUP BY a.src, b.src, a.n, b.n
+        |ORDER BY source_a, source_b""".stripMargin,
 
     "q157_source_kl" ->
       """WITH toks AS (

@@ -652,6 +652,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 3L), s"got $got")
   }
 
+  test("ksDrift: hand ECDFs, identical-source zero, loud float guard") {
+    // A = {1,2,3}, B = {2,3,3,4}: KS = |2/3 - 1/4| at v=2; C clones A
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 3L), ("b", 4L),
+      ("c", 1L), ("c", 2L), ("c", 3L)).toDF("source", "v")
+    val got = Importance.ksDrift(rows, "source", "v")
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got(("a", "b")) == ((3L, 4L, 2.0 / 3 - 1.0 / 4)),
+      s"got ${got(("a", "b"))}")
+    assert(got(("a", "c")) == ((3L, 3L, 0.0)))
+    assert(got(("b", "c"))._3 == 2.0 / 3 - 1.0 / 4)
+    val e = intercept[IllegalArgumentException] {
+      Importance.ksDrift(Seq(("a", 1.5)).toDF("source", "v"), "source", "v")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("readability: pinned word/sentence/syllable heuristics + linear forms") {
     val docs = Seq(
       (1L, "The cat sat. The dog ran!"), // 6 words, 2 sents, 6 syllables
