@@ -202,6 +202,81 @@ object Multimodal {
       .withColumn("height", col("__meta.height"))
       .drop("__meta")
 
+  /** 56-bit difference hash (dHash — the gradient perceptual hash of
+    * Krawetz 2013's writeup) over a decoded 7×9 grayscale grid: bit
+    * (i·8+j) is set iff pixel (i,j) < pixel (i,j+1) — the hash encodes
+    * horizontal GRADIENTS, so re-encoded/brightness-shifted copies of
+    * one image land within a few bits. 56 bits (not the classic 64)
+    * keeps the signature strictly positive in a signed 64-bit engine —
+    * `1 << 63` overflows DuckDB-class integer arithmetic, and 4×14-bit
+    * bands split evenly.
+    *
+    * DECODE IS THE STUB BOUNDARY: a real codec would resize+grayscale
+    * the payload to 7×9; here the grid IS the payload — one byte per
+    * cell after a 2-byte magic, read via ONE bounded 65-byte prefix hex
+    * (the imageMeta convention: never hex whole blobs). Pure codegen
+    * column math inside the scan; payloads shorter than 65 bytes yield
+    * NULL (conv of an empty slice), which callers must filter or feed
+    * complete grids.
+    */
+  def dHash56(bin: Column): Column = {
+    val h = hex(substring(bin, 1, 65))
+    def px(i: Int, j: Int): Column =
+      conv(substring(h, 5 + 2 * (i * 9 + j), 2), 16, 10).cast("long")
+    (for (i <- 0 until 7; j <- 0 until 8) yield
+      when(px(i, j) < px(i, j + 1), shiftleft(lit(1L), i * 8 + j))
+        .otherwise(lit(0L))).reduce(_ + _)
+  }
+
+  /** Perceptual near-duplicate image pairs by banded [[dHash56]] —
+    * the multimodal member of the dedup family (exact/minhash/simhash/
+    * embedding text dedup ↔ THIS for images): two payloads whose decoded
+    * grids differ in a few cells hash within `maxHamming` bits and are
+    * caught without any pairwise scan of the corpus.
+    *
+    * Shape is the SimHash-banding discipline: 4 bands of 14 bits each —
+    * a pair within Hamming distance 3 shares at least one band exactly
+    * (pigeonhole), larger distances degrade gracefully; candidates join
+    * per (band, key) with the hot-bucket count cap (2..maxBucketSize,
+    * mirrored by any oracle); each pair is emitted ONLY in its FIRST
+    * matching band (the q103 one-emission rule — no distinct() stage);
+    * verification is one `bit_count(xor)` over the rode-along
+    * signatures. All exact integer math, nothing rounded.
+    *
+    * Output: (a_id, b_id, hamming BIGINT) for verified pairs.
+    */
+  def dhashNearDups(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 6, maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(maxBucketSize >= 2,
+      s"maxBucketSize must be >= 2, got $maxBucketSize")
+    def bandKey(sig: Column, b: Int): Column =
+      shiftright(sig, 14 * b).bitwiseAND(lit(16383L))
+    val sigs = df.select(col(idCol).cast("long").as("id"),
+      dHash56(col(binCol)).as("sig"))
+    val bands = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b => bandKey(col("sig"), b)): _*))
+        .as(Seq("band", "key")))
+    val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2 && col("__c") <= maxBucketSize)
+      .select("band", "key")
+    val el = bands.join(ok, Seq("band", "key"))
+    val firstBandOnly = (0 until 3).map { bp =>
+      (col("band") <= bp) ||
+        (bandKey(col("__sa"), bp) =!= bandKey(col("__sb"), bp))
+    }.reduce(_ && _)
+    el.select(col("band"), col("key"), col("id").as("a_id"),
+        col("sig").as("__sa"))
+      .join(el.select(col("band"), col("key"), col("id").as("b_id"),
+        col("sig").as("__sb")), Seq("band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(firstBandOnly)
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // =====================================================================
   // STUB DECODER — replace with a real codec (JNI/ffmpeg/ImageIO) when the
   // runtime has one. Deterministic by construction: every value derives

@@ -397,6 +397,29 @@ object PipelineQueries {
       db.read("vecs").select("vec_id", "label").orderBy("vec_id")
     }),
 
+    // Perceptual image near-dup: synthetic 7×9 grayscale grids — docs
+    // sharing a scene (doc_id % 200) carry the scene's md5-derived
+    // pixels with ONE per-doc variant cell, so same-scene pairs sit
+    // within a few dHash bits while cross-scene pairs are ~28 apart.
+    // Banded 56-bit dHash (4×14-bit bands, hot-bucket cap, first-
+    // matching-band emission), bit_count(xor) ≤ 6 verification — the
+    // multimodal member of the dedup family, all exact integer math.
+    "q242_phash_neardup" -> ((s, dir) => {
+      val scene = (col("doc_id") % 200).cast("string")
+      val cells = for (i <- 0 until 7; j <- 0 until 9) yield
+        when(col("doc_id") % 7 === i && col("doc_id") % 9 === j,
+          substring(md5(concat(lit("pv:"), col("doc_id").cast("string"))),
+            1, 2))
+          .otherwise(substring(md5(concat(lit("px:"), scene,
+            lit(s":$i:$j"))), 1, 2))
+      val payload = unhex(concat((lit("4752") +: cells.toSeq): _*))
+      Multimodal.dhashNearDups(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+            .select(col("doc_id"), payload.as("media")),
+          "doc_id", "media", maxHamming = 6)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Real header decode, oracle-gated: deterministic synthetic image
     // headers (PNG/GIF/BMP/JPEG/BITMAPCOREHEADER by doc_id % 5, dimensions
     // derived from doc_id and text length) are built as hex, round-tripped
@@ -1462,6 +1485,46 @@ object PipelineQueries {
         |LIMIT 20""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    // dHash replay: the 63 scene/variant pixels, the 56 gradient bits
+    // summed as shifted BIGINTs (bit 55 max — 1<<63 overflows), the
+    // band/cap/first-band/verify chain verbatim.
+    "q242_phash_neardup" -> {
+      def pxSql(i: Int, j: Int) =
+        s"CASE WHEN doc_id % 7 = $i AND doc_id % 9 = $j" +
+          s" THEN CAST(('0x'||substring(md5('pv:'||CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)" +
+          s" ELSE CAST(('0x'||substring(md5('px:'||CAST(doc_id % 200 AS VARCHAR)||':$i:$j'), 1, 2)) AS BIGINT) END"
+      val pxCols = (for (i <- 0 until 7; j <- 0 until 9)
+        yield s"${pxSql(i, j)} AS p_${i}_$j").mkString(",\n  ")
+      val sigTerms = (for (i <- 0 until 7; j <- 0 until 8)
+        yield s"(CASE WHEN p_${i}_$j < p_${i}_${j + 1}" +
+          s" THEN (CAST(1 AS BIGINT) << ${i * 8 + j}) ELSE CAST(0 AS BIGINT) END)")
+        .mkString("\n   + ")
+      val firstBand = (0 until 3).map(bp =>
+        s"(a.band <= $bp OR ((a.sig >> ${14 * bp}) & 16383) <> ((b.sig >> ${14 * bp}) & 16383))")
+        .mkString("\n  AND ")
+      s"""WITH px AS MATERIALIZED (
+         |  SELECT doc_id,
+         |  $pxCols
+         |  FROM documents),
+         |sg AS MATERIALIZED (
+         |  SELECT doc_id,
+         |   $sigTerms AS sig
+         |  FROM px),
+         |bands AS MATERIALIZED (
+         |  SELECT doc_id, sig, band, (sig >> (14 * band)) & 16383 AS key
+         |  FROM sg CROSS JOIN (VALUES (0), (1), (2), (3)) bl(band)),
+         |ok AS (SELECT band, key FROM bands GROUP BY band, key
+         |  HAVING count(*) BETWEEN 2 AND 1000),
+         |el AS (SELECT bands.* FROM bands JOIN ok USING (band, key))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM el a JOIN el b ON a.band = b.band AND a.key = b.key
+         |  AND a.doc_id < b.doc_id
+         |WHERE $firstBand
+         |  AND bit_count(xor(a.sig, b.sig)) <= 6
+         |ORDER BY a_id, b_id""".stripMargin
+    },
 
     // q132's replay (training, codes, lut, ball pruning, ADC shortlist,
     // exact rerank) WITHOUT the self-exclusion: the managed collection

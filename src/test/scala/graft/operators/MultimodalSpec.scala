@@ -19,6 +19,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.forall(_.media_type == "text/plain"))
   }
 
+  test("dHash56: closed-form gradients; near-dups pair, distinct images don't") {
+    import org.apache.spark.sql.functions.col
+    def grid(px: Int => Int): Array[Byte] =
+      (Array(0x47, 0x52) ++ (0 until 63).map(px)).map(_.toByte)
+    // strictly increasing pixels: every gradient bit set → 2^56 − 1;
+    // strictly decreasing: none set → 0
+    val sigs = Seq((1L, grid(identity)), (2L, grid(k => 200 - k)))
+      .toDF("id", "media")
+      .select(col("id"), Multimodal.dHash56(col("media")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == (1L << 56) - 1, s"got ${sigs(1L)}")
+    assert(sigs(2L) == 0L)
+    // base grid alternates 10/20; clones 11/12 flip one interior cell
+    // (≤ 2 bits away); 13 is the reversed ramp (far from everything)
+    def alt(k: Int) = if (k % 2 == 0) 10 else 20
+    val rows = Seq(
+      (10L, grid(alt)),
+      (11L, grid(k => if (k == 30) 25 else alt(k))),
+      (12L, grid(k => if (k == 40) 25 else alt(k))),
+      (13L, grid(k => 200 - k))).toDF("id", "media")
+    val pairs = Multimodal.dhashNearDups(rows, "id", "media",
+        maxHamming = 6)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3)
+      .toMap
+    assert(pairs.keySet == Set((10L, 11L), (10L, 12L), (11L, 12L)),
+      s"got ${pairs.keySet}")
+    assert(pairs.values.forall(h => h >= 1 && h <= 4), s"got $pairs")
+  }
+
   test("imageMeta parses real PNG/GIF/BMP headers; classifies JPEG; rejects junk") {
     def bytes(hex: String): Array[Byte] =
       hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
