@@ -376,6 +376,115 @@ object TextAnalysis {
         col("fk_grade"), col("reading_ease"))
   }
 
+  /** TextRank extractive summarization (Mihalcea & Tarau 2004): rank
+    * each document's sentences by weighted PageRank over the sentence-
+    * similarity graph and emit the top sentence — the model-free
+    * summary/teaser extractor of a curation pipeline (and the
+    * text-side sibling of the dedup-cluster representative picks:
+    * q177 chooses among DOCUMENTS, this chooses within one).
+    *
+    * Sentences split on `[.!?]+` runs at their original positions (the
+    * [[readability]] convention); a sentence participates iff it has
+    * ≥ 1 distinct `[a-z0-9]+` word; positions ≥ `maxSents` are dropped
+    * (the hot-cell rule — the per-doc pair enumeration is quadratic in
+    * sentence count, so it is CAPPED, mirrored by any oracle).
+    * Similarity = Jaccard of the distinct word sets, computed as
+    * i / (na + nb − i) — exact integers, ONE division (the ln-free
+    * variant of the paper's overlap/log-length weight, chosen because
+    * it is engine-exact).
+    *
+    * Weighted PageRank, the q177 exactness scheme per doc:
+    * out-weight sums round once (+1e-15, `scaleDigits`); each edge's
+    * normalized weight w/W is then a bit-identical single division;
+    * per round r'(i) = round((1−d)/n + d·Σ enorm·r(j) + 1e-15, ·) —
+    * only the accumulation points ever round, both engines re-enter
+    * every round bit-identical. Sentences with no edges keep base
+    * rank (still summarizable: a one-sentence doc emits it).
+    *
+    * Scale shape: everything is keyed by (doc, sentence) — the pair
+    * join, the per-round contribution join+sum, and the final
+    * per-doc argmax window are all doc-partitioned with `maxSents`-
+    * bounded cells; the loop keeps the [[Graph.pageRank]] checkpoint
+    * discipline.
+    *
+    * Output: (idCol, sent_idx, rank, sent) — one row per document
+    * with ≥ 1 eligible sentence; ties break to the EARLIEST sentence.
+    */
+  def textRankSummary(df: DataFrame, idCol: String, textCol: String,
+      iters: Int = 5, damping: Double = 0.85, maxSents: Int = 64,
+      scaleDigits: Int = 12): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1,
+      s"damping must be in (0, 1), got $damping")
+    require(maxSents >= 1, s"maxSents must be >= 1, got $maxSents")
+    val sentsRaw = df
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), "[.!?]+")).as(Seq("sidx", "__s")))
+      .filter(col("sidx") < maxSents)
+      .select(col("doc"), col("sidx").cast("long").as("sidx"),
+        trim(col("__s")).as("sent"),
+        array_distinct(regexp_extract_all(lower(col("__s")),
+          lit("[a-z0-9]+"), lit(0))).as("__w"))
+      .filter(size(col("__w")) >= 1)
+    val sents = sentsRaw
+      .join(sentsRaw.groupBy("doc").agg(count(lit(1)).as("n")), Seq("doc"))
+      .localCheckpoint(true)
+    val half = sents.select(col("doc"), col("sidx").as("src"),
+        col("__w").as("__wa"))
+      .join(sents.select(col("doc"), col("sidx").as("dst"),
+        col("__w").as("__wb")), Seq("doc"))
+      .filter(col("src") < col("dst"))
+      .select(col("doc"), col("src"), col("dst"),
+        size(array_intersect(col("__wa"), col("__wb"))).cast("long")
+          .as("__i"),
+        (size(col("__wa")) + size(col("__wb"))).cast("long").as("__ab"))
+      .filter(col("__i") >= 1)
+      .select(col("doc"), col("src"), col("dst"),
+        (col("__i").cast("double") / (col("__ab") - col("__i"))).as("w"))
+    val sym = half.unionByName(half.select(col("doc"),
+      col("dst").as("src"), col("src").as("dst"), col("w")))
+    val edges = sym
+      .join(sym.groupBy("doc", "src")
+        .agg(round(sum("w") + lit(1e-15), scaleDigits).as("__ws")),
+        Seq("doc", "src"))
+      .select(col("doc"), col("src"), col("dst"),
+        (col("w") / col("__ws")).as("enorm"))
+      .localCheckpoint(true)
+    var ranks = sents.select(col("doc"), col("sidx"),
+        (lit(1.0) / col("n")).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.select(col("doc"), col("sidx").as("src"), col("rank")),
+          Seq("doc", "src"))
+        .groupBy(col("doc"), col("dst").as("sidx"))
+        .agg(sum(col("enorm") * col("rank")).as("__c"))
+      val next = sents.select(col("doc"), col("sidx"), col("n"))
+        .join(contrib, Seq("doc", "sidx"), "left_outer")
+        .select(col("doc"), col("sidx"),
+          round((lit(1.0) - damping) / col("n") +
+            lit(damping) * coalesce(col("__c"), lit(0.0)) + lit(1e-15),
+            scaleDigits).as("rank"))
+        .localCheckpoint(false)
+      next.count()
+      GraftSqlShims.unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    val byDoc = Window.partitionBy("doc").orderBy(desc("rank"), col("sidx"))
+    val out = ranks
+      .join(sents.select(col("doc"), col("sidx"), col("sent")),
+        Seq("doc", "sidx"))
+      .withColumn("__rn", row_number().over(byDoc))
+      .filter(col("__rn") === 1)
+      .select(col("doc").as(idCol), col("sidx").as("sent_idx"),
+        col("rank"), col("sent"))
+      .localCheckpoint(true)
+    GraftSqlShims.unpersistCheckpoint(ranks)
+    GraftSqlShims.unpersistCheckpoint(edges)
+    GraftSqlShims.unpersistCheckpoint(sents)
+    out
+  }
+
   /** Language-ID by signature-token voting: per language, count hits of its
     * signature tokens; predict the argmax (ties broken by language code
     * order). N-gram-profile language ID reduced to its decision core so the

@@ -670,6 +670,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("textRankSummary: path center wins, ties go earliest, wordless drop") {
+    val docs = Seq(
+      // sentence chain s0–s1–s2: the center of the path out-ranks the ends
+      (1L, "alpha beta. beta gamma! gamma delta."),
+      // identical sentences tie exactly — the earliest is emitted
+      (2L, "same words here. same words here."),
+      // single sentence: base rank (1-0.85)/1, still summarized
+      (3L, "only one sentence"),
+      // no [a-z0-9] words at all: no output row
+      (4L, "!!! ...")).toDF("doc_id", "text")
+    val got = TextAnalysis.textRankSummary(docs, "doc_id", "text")
+      .as[(Long, Long, Double, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L)._1 == 1L, s"center sentence must win, got ${got(1L)}")
+    assert(got(1L)._3 == "beta gamma")
+    assert(got(2L)._1 == 0L, s"tie must break earliest, got ${got(2L)}")
+    assert(got(3L) == ((0L,
+      BigDecimal((1.0 - 0.85) / 1 + 1e-15)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "only one sentence")), s"got ${got(3L)}")
+  }
+
   test("readability: pinned word/sentence/syllable heuristics + linear forms") {
     val docs = Seq(
       (1L, "The cat sat. The dog ran!"), // 6 words, 2 sents, 6 syllables
