@@ -245,32 +245,81 @@ object Multimodal {
     *
     * Output: (a_id, b_id, hamming BIGINT) for verified pairs.
     */
+  private def dhashBandKey(sig: Column, b: Int): Column =
+    shiftright(sig, 14 * b).bitwiseAND(lit(16383L))
+
+  private def dhashFirstBandOnly: Column = (0 until 3).map { bp =>
+    (col("band") <= bp) ||
+      (dhashBandKey(col("__sa"), bp) =!= dhashBandKey(col("__sb"), bp))
+  }.reduce(_ && _)
+
+  /** Banded [[dHash56]] rows — (id, sig, band, key), 4 bands × 14 bits:
+    * the storable screening artifact (write partitioned by `band`; an
+    * incoming probe then touches only its own bands' partitions) and
+    * the shared first stage of [[dhashNearDups]] / [[incomingDhashDups]].
+    */
+  def dhashBands(df: DataFrame, idCol: String, binCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+        dHash56(col(binCol)).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until 4).map(b =>
+          dhashBandKey(col("sig"), b)): _*)).as(Seq("band", "key")))
+
   def dhashNearDups(df: DataFrame, idCol: String, binCol: String,
       maxHamming: Int = 6, maxBucketSize: Int = 1000): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     require(maxBucketSize >= 2,
       s"maxBucketSize must be >= 2, got $maxBucketSize")
-    def bandKey(sig: Column, b: Int): Column =
-      shiftright(sig, 14 * b).bitwiseAND(lit(16383L))
-    val sigs = df.select(col(idCol).cast("long").as("id"),
-      dHash56(col(binCol)).as("sig"))
-    val bands = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(b => bandKey(col("sig"), b)): _*))
-        .as(Seq("band", "key")))
+    val bands = dhashBands(df, idCol, binCol)
     val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2 && col("__c") <= maxBucketSize)
       .select("band", "key")
     val el = bands.join(ok, Seq("band", "key"))
-    val firstBandOnly = (0 until 3).map { bp =>
-      (col("band") <= bp) ||
-        (bandKey(col("__sa"), bp) =!= bandKey(col("__sb"), bp))
-    }.reduce(_ && _)
     el.select(col("band"), col("key"), col("id").as("a_id"),
         col("sig").as("__sa"))
       .join(el.select(col("band"), col("key"), col("id").as("b_id"),
         col("sig").as("__sb")), Seq("band", "key"))
       .filter(col("a_id") < col("b_id"))
-      .filter(firstBandOnly)
+      .filter(dhashFirstBandOnly)
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Ingest-time perceptual screening of an incoming image batch
+    * against STORED [[dhashBands]] — the multimodal member of the
+    * q204 incremental-dedup family: the corpus's banded signatures are
+    * a parquet artifact partitioned by `band`, and an arriving batch
+    * pays only its own hashing plus a band-keyed probe — the corpus
+    * bytes are never re-decoded.
+    *
+    * Stored buckets over `maxBucketSize` are dropped WHOLE at probe
+    * time (the hot-bucket rule — a degenerate bucket carries no
+    * near-dup signal and would make the probe quadratic); each
+    * (incoming, stored) pair is emitted only in its FIRST matching
+    * band; verification is one bit_count(xor). Exact integer math
+    * throughout.
+    *
+    * Output: (a_id = incoming, b_id = stored, hamming BIGINT).
+    */
+  def incomingDhashDups(stored: DataFrame, batch: DataFrame,
+      idCol: String, binCol: String, maxHamming: Int = 6,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(maxBucketSize >= 2,
+      s"maxBucketSize must be >= 2, got $maxBucketSize")
+    val okStored = stored.groupBy("band", "key")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") <= maxBucketSize)
+      .select("band", "key")
+    val el = stored.join(okStored, Seq("band", "key"))
+    dhashBands(batch, idCol, binCol)
+      .select(col("band"), col("key"), col("id").as("a_id"),
+        col("sig").as("__sa"))
+      .join(el.select(col("band").cast("int").as("band"), col("key"),
+        col("id").as("b_id"), col("sig").as("__sb")), Seq("band", "key"))
+      .filter(dhashFirstBandOnly)
       .select(col("a_id"), col("b_id"),
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long")
           .as("hamming"))

@@ -405,18 +405,35 @@ object PipelineQueries {
     // matching-band emission), bit_count(xor) ≤ 6 verification — the
     // multimodal member of the dedup family, all exact integer math.
     "q242_phash_neardup" -> ((s, dir) => {
-      val scene = (col("doc_id") % 200).cast("string")
-      val cells = for (i <- 0 until 7; j <- 0 until 9) yield
-        when(col("doc_id") % 7 === i && col("doc_id") % 9 === j,
-          substring(md5(concat(lit("pv:"), col("doc_id").cast("string"))),
-            1, 2))
-          .otherwise(substring(md5(concat(lit("px:"), scene,
-            lit(s":$i:$j"))), 1, 2))
-      val payload = unhex(concat((lit("4752") +: cells.toSeq): _*))
       Multimodal.dhashNearDups(
           graft.operators.Parallelism.ensure(Tables.documents(s, dir))
-            .select(col("doc_id"), payload.as("media")),
+            .select(col("doc_id"),
+              gridPayload(col("doc_id"), col("doc_id")).as("media")),
           "doc_id", "media", maxHamming = 6)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // Ingest-time image screening against the STORED dHash artifact
+    // (the q204 pattern for the image modality): corpus bands written
+    // partitioned by band and read back; an arriving batch (1/7 slice,
+    // ids +500000, same scene grid but a NEW per-doc variant cell —
+    // perceptual near-dups of their originals) pays only its own
+    // hashing + the band-keyed probe. The oracle replays BOTH
+    // signature chains.
+    "q244_incoming_phash" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      val bandsPath = Scratch.dir("graft_q244") + "/bands"
+      Multimodal.dhashBands(
+          docs.select(col("doc_id"),
+            gridPayload(col("doc_id"), col("doc_id")).as("media")),
+          "doc_id", "media")
+        .write.mode("overwrite").partitionBy("band").parquet(bandsPath)
+      val stored = s.read.parquet(bandsPath)
+      val batch = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          gridPayload(col("doc_id"), col("doc_id") + 500000L).as("media"))
+      Multimodal.incomingDhashDups(stored, batch, "doc_id", "media",
+          maxHamming = 6)
         .orderBy("a_id", "b_id")
     }),
 
@@ -1484,47 +1501,97 @@ object PipelineQueries {
         |ORDER BY bm25 DESC, id
         |LIMIT 20""".stripMargin
 
+  /** The q242/q244 synthetic image: a 7×9 grayscale grid as a 65-byte
+    * payload ("GR" magic + one byte per cell) — scene pixels are md5 of
+    * (sceneId % 200, cell), ONE variant cell (position and content from
+    * `variantId`) perturbs each image, so same-scene images sit a few
+    * dHash bits apart. Fully md5-recomputable by the oracle.
+    */
+  private def gridPayload(sceneId: Column, variantId: Column): Column = {
+    val scene = (sceneId % 200).cast("string")
+    val cells = for (i <- 0 until 7; j <- 0 until 9) yield
+      when(variantId % 7 === i && variantId % 9 === j,
+        substring(md5(concat(lit("pv:"), variantId.cast("string"))), 1, 2))
+        .otherwise(substring(md5(concat(lit("px:"), scene,
+          lit(s":$i:$j"))), 1, 2))
+    unhex(concat((lit("4752") +: cells.toSeq): _*))
+  }
+
+  /** Generated dHash56 signature chain over `documents` — px$tag (the
+    * 63 scene/variant pixels) and sg$tag (the 56 gradient bits summed
+    * as shifted BIGINTs; bit 55 max — 1<<63 overflows signed engines).
+    * Scene/variant/id are SQL snippets so the corpus and shifted-batch
+    * chains share one generator (q242/q244).
+    */
+  private def dhashSigCtes(tag: String, where: String, sceneSql: String,
+      variantSql: String, idSql: String): String = {
+    def pxSql(i: Int, j: Int) =
+      s"CASE WHEN ($variantSql) % 7 = $i AND ($variantSql) % 9 = $j" +
+        s" THEN CAST(('0x'||substring(md5('pv:'||CAST(($variantSql) AS VARCHAR)), 1, 2)) AS BIGINT)" +
+        s" ELSE CAST(('0x'||substring(md5('px:'||CAST(($sceneSql) % 200 AS VARCHAR)||':$i:$j'), 1, 2)) AS BIGINT) END"
+    val pxCols = (for (i <- 0 until 7; j <- 0 until 9)
+      yield s"${pxSql(i, j)} AS p_${i}_$j").mkString(",\n  ")
+    val sigTerms = (for (i <- 0 until 7; j <- 0 until 8)
+      yield s"(CASE WHEN p_${i}_$j < p_${i}_${j + 1}" +
+        s" THEN (CAST(1 AS BIGINT) << ${i * 8 + j}) ELSE CAST(0 AS BIGINT) END)")
+      .mkString("\n   + ")
+    s"""px$tag AS MATERIALIZED (
+       |  SELECT ($idSql) AS id,
+       |  $pxCols
+       |  FROM documents$where),
+       |sg$tag AS MATERIALIZED (
+       |  SELECT id,
+       |   $sigTerms AS sig
+       |  FROM px$tag)""".stripMargin
+  }
+
+  private val dhashFirstBandSql = (0 until 3).map(bp =>
+    s"(a.band <= $bp OR ((a.sig >> ${14 * bp}) & 16383) <> ((b.sig >> ${14 * bp}) & 16383))")
+    .mkString("\n  AND ")
+
+  private val dhashBandsCte =
+    "SELECT id, sig, band, (sig >> (14 * band)) & 16383 AS key\n" +
+      "  FROM %s CROSS JOIN (VALUES (0), (1), (2), (3)) bl(band)"
+
   val oracles: Map[String, String] = Map(
 
-    // dHash replay: the 63 scene/variant pixels, the 56 gradient bits
-    // summed as shifted BIGINTs (bit 55 max — 1<<63 overflows), the
-    // band/cap/first-band/verify chain verbatim.
-    "q242_phash_neardup" -> {
-      def pxSql(i: Int, j: Int) =
-        s"CASE WHEN doc_id % 7 = $i AND doc_id % 9 = $j" +
-          s" THEN CAST(('0x'||substring(md5('pv:'||CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT)" +
-          s" ELSE CAST(('0x'||substring(md5('px:'||CAST(doc_id % 200 AS VARCHAR)||':$i:$j'), 1, 2)) AS BIGINT) END"
-      val pxCols = (for (i <- 0 until 7; j <- 0 until 9)
-        yield s"${pxSql(i, j)} AS p_${i}_$j").mkString(",\n  ")
-      val sigTerms = (for (i <- 0 until 7; j <- 0 until 8)
-        yield s"(CASE WHEN p_${i}_$j < p_${i}_${j + 1}" +
-          s" THEN (CAST(1 AS BIGINT) << ${i * 8 + j}) ELSE CAST(0 AS BIGINT) END)")
-        .mkString("\n   + ")
-      val firstBand = (0 until 3).map(bp =>
-        s"(a.band <= $bp OR ((a.sig >> ${14 * bp}) & 16383) <> ((b.sig >> ${14 * bp}) & 16383))")
-        .mkString("\n  AND ")
-      s"""WITH px AS MATERIALIZED (
-         |  SELECT doc_id,
-         |  $pxCols
-         |  FROM documents),
-         |sg AS MATERIALIZED (
-         |  SELECT doc_id,
-         |   $sigTerms AS sig
-         |  FROM px),
+    // dHash replay: the 63 scene/variant pixels, the 56 gradient bits,
+    // the band/cap/first-band/verify chain verbatim.
+    "q242_phash_neardup" ->
+      s"""WITH ${dhashSigCtes("c", "", "doc_id", "doc_id", "doc_id")},
          |bands AS MATERIALIZED (
-         |  SELECT doc_id, sig, band, (sig >> (14 * band)) & 16383 AS key
-         |  FROM sg CROSS JOIN (VALUES (0), (1), (2), (3)) bl(band)),
+         |  ${dhashBandsCte.format("sgc")}),
          |ok AS (SELECT band, key FROM bands GROUP BY band, key
          |  HAVING count(*) BETWEEN 2 AND 1000),
          |el AS (SELECT bands.* FROM bands JOIN ok USING (band, key))
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |SELECT a.id AS a_id, b.id AS b_id,
          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
          |FROM el a JOIN el b ON a.band = b.band AND a.key = b.key
-         |  AND a.doc_id < b.doc_id
-         |WHERE $firstBand
+         |  AND a.id < b.id
+         |WHERE $dhashFirstBandSql
          |  AND bit_count(xor(a.sig, b.sig)) <= 6
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Incoming-batch dHash screen: corpus chain + shifted-batch chain
+    // (scene from the ORIGINAL id, variant from the shifted one), the
+    // stored-bucket cap, the probe join, first-band emission, verify.
+    "q244_incoming_phash" ->
+      s"""WITH ${dhashSigCtes("c", "", "doc_id", "doc_id", "doc_id")},
+         |${dhashSigCtes("b", " WHERE doc_id % 7 = 3", "doc_id",
+            "doc_id + 500000", "doc_id + 500000")},
+         |bandsc AS MATERIALIZED (
+         |  ${dhashBandsCte.format("sgc")}),
+         |okc AS (SELECT band, key FROM bandsc GROUP BY band, key
+         |  HAVING count(*) <= 1000),
+         |elc AS (SELECT bandsc.* FROM bandsc JOIN okc USING (band, key)),
+         |bandsb AS MATERIALIZED (
+         |  ${dhashBandsCte.format("sgb")})
+         |SELECT a.id AS a_id, b.id AS b_id,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM bandsb a JOIN elc b ON a.band = b.band AND a.key = b.key
+         |WHERE $dhashFirstBandSql
+         |  AND bit_count(xor(a.sig, b.sig)) <= 6
+         |ORDER BY a_id, b_id""".stripMargin,
 
     // q132's replay (training, codes, lut, ball pruning, ADC shortlist,
     // exact rerank) WITHOUT the self-exclusion: the managed collection

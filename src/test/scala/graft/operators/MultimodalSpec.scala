@@ -48,6 +48,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.values.forall(h => h >= 1 && h <= 4), s"got $pairs")
   }
 
+  test("incomingDhashDups: stored-band probe, first-band dedup, bucket cap") {
+    import org.apache.spark.sql.functions.col
+    def grid(px: Int => Int): Array[Byte] =
+      (Array(0x47, 0x52) ++ (0 until 63).map(px)).map(_.toByte)
+    def alt(k: Int) = if (k % 2 == 0) 10 else 20
+    val stored = Multimodal.dhashBands(
+      Seq((1L, grid(alt)), (2L, grid(k => 200 - k))).toDF("id", "media"),
+      "id", "media")
+    // incoming 100 is one cell off the stored base; 101 matches nothing
+    val batch = Seq(
+      (100L, grid(k => if (k == 30) 25 else alt(k))),
+      (101L, grid(k => (k * 37) % 251))).toDF("id", "media")
+    val got = Multimodal.incomingDhashDups(stored, batch, "id", "media",
+        maxHamming = 6)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == Set((100L, 1L)), s"got ${got.toSeq}")
+    assert(got.head._3 >= 1 && got.head._3 <= 4)
+    // a stored bucket over the cap is dropped whole: three identical
+    // stored images (bucket size 3) vanish at maxBucketSize = 2
+    val hot = Multimodal.dhashBands(
+      Seq((1L, grid(alt)), (2L, grid(alt)), (3L, grid(alt)))
+        .toDF("id", "media"), "id", "media")
+    assert(Multimodal.incomingDhashDups(hot,
+      batch.filter(col("id") === 100L), "id", "media",
+      maxHamming = 6, maxBucketSize = 2).isEmpty)
+  }
+
   test("imageMeta parses real PNG/GIF/BMP headers; classifies JPEG; rejects junk") {
     def bytes(hex: String): Array[Byte] =
       hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
