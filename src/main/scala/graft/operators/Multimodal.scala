@@ -245,6 +245,24 @@ object Multimodal {
     *
     * Output: (a_id, b_id, hamming BIGINT) for verified pairs.
     */
+  /** Deterministic synthetic image FIXTURE for the dHash gates: a 7×9
+    * grayscale grid as a 65-byte payload ("GR" magic + one byte per
+    * cell) — scene pixels are md5 of (sceneId % 200, cell), ONE variant
+    * cell (position and content from `variantId`) perturbs each image,
+    * so same-scene images sit a few dHash bits apart. Fully
+    * md5-recomputable by a SQL oracle; shared by the batch (q242/q244)
+    * and streaming (q245) gates.
+    */
+  def sceneGridPayload(sceneId: Column, variantId: Column): Column = {
+    val scene = (sceneId % 200).cast("string")
+    val cells = for (i <- 0 until 7; j <- 0 until 9) yield
+      when(variantId % 7 === i && variantId % 9 === j,
+        substring(md5(concat(lit("pv:"), variantId.cast("string"))), 1, 2))
+        .otherwise(substring(md5(concat(lit("px:"), scene,
+          lit(s":$i:$j"))), 1, 2))
+    unhex(concat((lit("4752") +: cells.toSeq): _*))
+  }
+
   private def dhashBandKey(sig: Column, b: Int): Column =
     shiftright(sig, 14 * b).bitwiseAND(lit(16383L))
 

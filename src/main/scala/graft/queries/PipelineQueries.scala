@@ -437,6 +437,15 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // STREAMING twin of q244: the stateless dHash probe (hash →
+    // posexplode → stream-static join → filters — zero aggregations,
+    // append mode, no state store) over the same arriving batch; gated
+    // on q244's oracle verbatim.
+    "q245_stream_phash" -> ((s, dir) => {
+      StreamingIngest.streamIncomingDhash(s, dir)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Real header decode, oracle-gated: deterministic synthetic image
     // headers (PNG/GIF/BMP/JPEG/BITMAPCOREHEADER by doc_id % 5, dimensions
     // derived from doc_id and text length) are built as hex, round-tripped
@@ -1501,21 +1510,8 @@ object PipelineQueries {
         |ORDER BY bm25 DESC, id
         |LIMIT 20""".stripMargin
 
-  /** The q242/q244 synthetic image: a 7×9 grayscale grid as a 65-byte
-    * payload ("GR" magic + one byte per cell) — scene pixels are md5 of
-    * (sceneId % 200, cell), ONE variant cell (position and content from
-    * `variantId`) perturbs each image, so same-scene images sit a few
-    * dHash bits apart. Fully md5-recomputable by the oracle.
-    */
-  private def gridPayload(sceneId: Column, variantId: Column): Column = {
-    val scene = (sceneId % 200).cast("string")
-    val cells = for (i <- 0 until 7; j <- 0 until 9) yield
-      when(variantId % 7 === i && variantId % 9 === j,
-        substring(md5(concat(lit("pv:"), variantId.cast("string"))), 1, 2))
-        .otherwise(substring(md5(concat(lit("px:"), scene,
-          lit(s":$i:$j"))), 1, 2))
-    unhex(concat((lit("4752") +: cells.toSeq): _*))
-  }
+  private def gridPayload(sceneId: Column, variantId: Column): Column =
+    Multimodal.sceneGridPayload(sceneId, variantId)
 
   /** Generated dHash56 signature chain over `documents` — px$tag (the
     * 63 scene/variant pixels) and sg$tag (the 56 gradient bits summed
@@ -1553,6 +1549,24 @@ object PipelineQueries {
     "SELECT id, sig, band, (sig >> (14 * band)) & 16383 AS key\n" +
       "  FROM %s CROSS JOIN (VALUES (0), (1), (2), (3)) bl(band)"
 
+  private lazy val q244OracleSql =
+    s"""WITH ${dhashSigCtes("c", "", "doc_id", "doc_id", "doc_id")},
+       |${dhashSigCtes("b", " WHERE doc_id % 7 = 3", "doc_id",
+          "doc_id + 500000", "doc_id + 500000")},
+       |bandsc AS MATERIALIZED (
+       |  ${dhashBandsCte.format("sgc")}),
+       |okc AS (SELECT band, key FROM bandsc GROUP BY band, key
+       |  HAVING count(*) <= 1000),
+       |elc AS (SELECT bandsc.* FROM bandsc JOIN okc USING (band, key)),
+       |bandsb AS MATERIALIZED (
+       |  ${dhashBandsCte.format("sgb")})
+       |SELECT a.id AS a_id, b.id AS b_id,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM bandsb a JOIN elc b ON a.band = b.band AND a.key = b.key
+       |WHERE $dhashFirstBandSql
+       |  AND bit_count(xor(a.sig, b.sig)) <= 6
+       |ORDER BY a_id, b_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     // dHash replay: the 63 scene/variant pixels, the 56 gradient bits,
@@ -1575,23 +1589,11 @@ object PipelineQueries {
     // Incoming-batch dHash screen: corpus chain + shifted-batch chain
     // (scene from the ORIGINAL id, variant from the shifted one), the
     // stored-bucket cap, the probe join, first-band emission, verify.
-    "q244_incoming_phash" ->
-      s"""WITH ${dhashSigCtes("c", "", "doc_id", "doc_id", "doc_id")},
-         |${dhashSigCtes("b", " WHERE doc_id % 7 = 3", "doc_id",
-            "doc_id + 500000", "doc_id + 500000")},
-         |bandsc AS MATERIALIZED (
-         |  ${dhashBandsCte.format("sgc")}),
-         |okc AS (SELECT band, key FROM bandsc GROUP BY band, key
-         |  HAVING count(*) <= 1000),
-         |elc AS (SELECT bandsc.* FROM bandsc JOIN okc USING (band, key)),
-         |bandsb AS MATERIALIZED (
-         |  ${dhashBandsCte.format("sgb")})
-         |SELECT a.id AS a_id, b.id AS b_id,
-         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-         |FROM bandsb a JOIN elc b ON a.band = b.band AND a.key = b.key
-         |WHERE $dhashFirstBandSql
-         |  AND bit_count(xor(a.sig, b.sig)) <= 6
-         |ORDER BY a_id, b_id""".stripMargin,
+    "q244_incoming_phash" -> q244OracleSql,
+
+    // Stream ≡ batch: the stateless dHash probe gates on q244's oracle
+    // verbatim (the q205/q214 convention).
+    "q245_stream_phash" -> q244OracleSql,
 
     // q132's replay (training, codes, lut, ball pruning, ADC shortlist,
     // exact rerank) WITHOUT the self-exclusion: the managed collection

@@ -376,6 +376,50 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Streaming ingest-time PERCEPTUAL image screening — the q244 dHash
+    * probe as a stream: the corpus's banded signatures
+    * ([[graft.operators.Multimodal.dhashBands]]) are the static side,
+    * and each arriving image is hashed, band-exploded, and screened
+    * through [[graft.operators.Multimodal.incomingDhashDups]] UNCHANGED
+    * — the operator is fully stateless (hash → posexplode → stream-
+    * static join → filters, not one aggregation), so it runs in append
+    * mode with zero state store and the gate reuses q244's oracle
+    * VERBATIM (stream ≡ batch, the q205/q214 pattern).
+    *
+    * The streamed batch is q244's: the %7=3 slice, ids +500000, the
+    * same scene grid with a fresh per-doc variant cell.
+    */
+  def streamIncomingDhash(spark: SparkSession, sfDir: String,
+      maxHamming: Int = 6, maxBucketSize: Int = 1000,
+      queryName: String = "stream_phash"): DataFrame = {
+    import graft.operators.Multimodal
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val stored = Multimodal.dhashBands(
+      spark.read.parquet(path).select(col("doc_id"),
+        Multimodal.sceneGridPayload(col("doc_id"), col("doc_id"))
+          .as("media")),
+      "doc_id", "media")
+    val arriving = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        Multimodal.sceneGridPayload(col("doc_id"),
+          col("doc_id") + 500000L).as("media"))
+    val out = Multimodal.incomingDhashDups(stored, arriving,
+      "doc_id", "media", maxHamming, maxBucketSize)
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest-time exact-substring screening — [[graft.operators
     * .Dedup.incomingCoveredText]] reformulated for a stream: the corpus
     * window-signature table ([[graft.operators.Dedup.windowSigs]]) is
