@@ -98,5 +98,15 @@ object SparkEntry {
     // on top of q100's LM chain (q212-q228's shapes are covered: span
     // census by q131, screening probes by q31/q81, command round-trips
     // are scratch-dominated by design).
-    "q211_exact_substring", "q229_katz_lm")
+    "q211_exact_substring", "q229_katz_lm",
+    // round-11 session-4 additions: TextRank — the only PER-GROUP
+    // iterative graph shape (sentence pair enumeration + five driver
+    // rounds of doc-keyed join+sum, where q65/q177 iterate globally) —
+    // and the banded dHash pass, the only bench entry whose scan builds
+    // and hashes BINARY payloads (63 codegen'd md5 cells + bit math +
+    // band self-join). q237-q241/q244-q245 shapes are covered: HITS by
+    // q177's loop, link-pred wedges by q186, WordPiece by q129's merge
+    // loop cost, PRF by q136+q97, KS by q155's rank family, the probe
+    // twins by q31/q81.
+    "q243_textrank", "q242_phash_neardup")
 }

@@ -405,6 +405,71 @@ object Dedup {
     (cands, verified)
   }
 
+  /** DIRECTED shingle-containment join — asymmetric near-dup detection:
+    * C(A→B) = |A∩B| / |A| ≥ num/den over the filtered shingle universe
+    * finds documents mostly CONTAINED in another (quotes, excerpts,
+    * partial copies, page-of-a-site duplicates) that symmetric Jaccard
+    * misses entirely: a 30-token snippet inside a 500-token page has
+    * J ≈ 0.06 but containment 1.0. The scrub rule that follows is
+    * "drop the contained copy, keep the container".
+    *
+    * Prefix-filter recall theorem (the [[prefixJaccardPairs]] family,
+    * containment-adapted): C ≥ t needs overlap α = ⌈t·|A|⌉, so any
+    * qualifying B shares at least one of A's |A| − α + 1 globally-
+    * rarest shingles — A-side prefixes probe the FULL rare-shingle
+    * table (the container side cannot be prefixed: containment does
+    * not bound |B| from above, only below via den·|B| ≥ num·|A|, the
+    * length filter applied before the distinct). Xiao-style positional
+    * pruning needs both sides ranked and is deliberately not applied.
+    *
+    * Universe convention: shingles over `maxShingleFreq` corpus
+    * frequency are dropped FIRST (identical to [[ngramJaccardPairs]]);
+    * an exhaustive oracle over the same universe must hash-match —
+    * recall is proven, not self-reported. All exact integer math; the
+    * emitted containment is ONE exact-integer division (q120).
+    *
+    * Scale shape: prefixes via one doc-partitioned window; the probe
+    * join keys on rare shingles (bucket size ≤ maxShingleFreq);
+    * verification touches candidates only. Output: directed
+    * (a_id contained, b_id container, shared BIGINT, containment).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5, num: Int = 3, den: Int = 4,
+      maxShingleFreq: Int = 1000): DataFrame = {
+    require(num >= 1 && den >= 1 && num <= den,
+      s"threshold must be a rational in (0, 1]: got $num/$den")
+    val sh = explodeShingles(df, idCol, textCol, shingleN)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__f"))
+      .filter(col("__f") <= maxShingleFreq)
+    val rare = sh.join(freq, Seq("shingle"))
+    val sized = rare.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val prefix = rare
+      .withColumn("__pos", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("__f"), col("shingle"))))
+      .join(sized, Seq(idCol))
+      .filter(col("__pos") <=
+        col("__n") - expr(s"(__n * $num + ${den - 1}) DIV $den") + 1)
+    val cands = prefix
+      .select(col(idCol).as("a_id"), col("shingle"), col("__n").as("__na"))
+      .join(rare.select(col(idCol).as("b_id"), col("shingle")),
+        Seq("shingle"))
+      .filter(col("a_id") =!= col("b_id"))
+      .join(sized.select(col(idCol).as("b_id"), col("__n").as("__nb")),
+        Seq("b_id"))
+      .filter(lit(den) * col("__nb") >= lit(num) * col("__na"))
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(rare.select(col(idCol).as("a_id"), col("shingle")), Seq("a_id"))
+      .join(rare.select(col(idCol).as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+      .join(sized.select(col(idCol).as("a_id"), col("__n").as("__na")),
+        Seq("a_id"))
+      .filter(col("shared") * den >= lit(num) * col("__na"))
+      .select(col("a_id"), col("b_id"), col("shared"),
+        (col("shared") / col("__na")).as("containment"))
+  }
+
   /** Eval-set contamination detection — the decontamination pass every
     * training-data pipeline runs before a model ever sees the corpus:
     * find corpus documents sharing at least `minShared` distinct

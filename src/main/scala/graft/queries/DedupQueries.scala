@@ -430,6 +430,27 @@ object DedupQueries {
         .orderBy("vec_id")
     }),
 
+    // DIRECTED containment join: snippets (first 30 tokens of every
+    // ≥ 40-token doc, ids +500000) ride beside the corpus, and the
+    // prefix-probed containment pass must find every (contained,
+    // container) pair at C = |A∩B|/|A| ≥ 3/4 — the asymmetric near-dup
+    // class symmetric Jaccard misses (a snippet in a page has J ≈ 0.06
+    // but containment 1). The oracle is EXHAUSTIVE over the same
+    // filtered universe, so the hash match proves prefix recall.
+    "q246_containment" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      val snips = docs
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("\\S+"), lit(0)).as("__w"))
+        .filter(size(col("__w")) >= 40)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          array_join(slice(col("__w"), 1, 30), " ").as("text"))
+      Dedup.containmentPairs(
+          docs.select(col("doc_id"), col("text")).unionByName(snips),
+          "doc_id", "text", shingleN = 5, num = 3, den = 4)
+        .orderBy("a_id", "b_id")
+    }),
+
     // Adamic–Adar link prediction over the q199 mutual-kNN graph: the
     // top-100 NON-adjacent pairs ranked by Σ 1/ln(deg) over common
     // neighbors — the near-dup links the discovery pass missed, rare
@@ -1337,6 +1358,43 @@ object DedupQueries {
         |ORDER BY vec_id""".stripMargin),
 
     "q203_kcore" -> kCoreSql(k = 3, layers = 8),
+
+    // Containment replay — EXHAUSTIVE directed all-pairs over the same
+    // snippet-extended corpus and filtered universe (the q187 gate
+    // design: oracle exhaustive, operator prefix-filtered — the hash
+    // match proves zero false negatives).
+    "q246_containment" ->
+      """WITH corpus2 AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id,
+        |    array_to_string(w[1:30], ' ') AS text
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+        |        FROM documents)
+        |  WHERE len(w) >= 40),
+        |toks2 AS (SELECT doc_id, regexp_extract_all(text, '\S+') w
+        |          FROM corpus2),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+        |        FROM toks2)),
+        |rare AS MATERIALIZED (
+        |  SELECT sh.* FROM sh
+        |  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        |        HAVING count(*) <= 1000) f USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM rare GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM rare a JOIN rare b
+        |    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, shared,
+        |  CAST(shared AS DOUBLE) / sa.n_sh AS containment
+        |FROM shared JOIN sizes sa ON sa.doc_id = a_id
+        |WHERE shared * 4 >= 3 * sa.n_sh
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // Adamic–Adar replay: the q199 mutual-kNN edges, center-enumerated
     // wedges under the <= 1000 hot-center cap (mirrored from the

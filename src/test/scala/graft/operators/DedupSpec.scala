@@ -437,6 +437,26 @@ class DedupSpec extends AnyFunSuite {
     assert(rebuilt == base, "span reassembly must reproduce the document")
   }
 
+  test("containmentPairs: directed snippets, exact 3/4 boundary, no reverse") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 6 shingles
+      (2L, "a b c d e f g h"),     // 4 shingles, all inside doc 1
+      (3L, "z y x w v u t s"),     // unrelated
+      (4L, "a b c d e f g q"))     // 4 shingles, 3 inside doc 1
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 5, num = 3, den = 4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // doc 2 fully contained in 1; doc 4 exactly at the 3/4 boundary;
+    // 2 and 4 mutually share 3 of their 4 shingles (both directions);
+    // C(1→2) = 4/6 < 3/4 so the reverse row never appears
+    assert(got == Set(
+      (2L, 1L, 4L, 1.0),
+      (4L, 1L, 3L, 0.75),
+      (2L, 4L, 3L, 0.75),
+      (4L, 2L, 3L, 0.75)), s"got $got")
+  }
+
   test("prefixJaccardPairs: finds every qualifying pair, exact threshold") {
     // same universe conventions as ngramJaccardPairs → identical output
     // at the same rational threshold (1/2 here)
