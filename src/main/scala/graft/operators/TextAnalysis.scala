@@ -485,6 +485,40 @@ object TextAnalysis {
     out
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * shingles whose corpus-wide FIRST OCCURRENCE (min doc id) is this
+    * document — the ordering/selection signal behind dedup-aware
+    * curriculum: high-novelty documents introduce new text, low-novelty
+    * ones restate what earlier documents already contributed (boiler-
+    * plate, syndication, near-copies downstream of span dedup's
+    * threshold). The id order stands in for ingestion order — callers
+    * with a true timestamp should re-key first.
+    *
+    * Exactness: ownership is min over exact ids; both counts are exact
+    * integers; novelty is ONE exact-integer division (q120 doctrine,
+    * unrounded).
+    *
+    * Scale shape: one explode, one gram-keyed min agg (map-side
+    * combined), one gram-keyed join back, one doc-keyed count — all
+    * linear, no windows, no caps needed (the min agg is insensitive to
+    * gram frequency).
+    *
+    * Output: (idCol, n_shingles BIGINT, n_first BIGINT, novelty).
+    */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 5): DataFrame = {
+    val sh = Dedup.explodeShingles(df, idCol, textCol, shingleN)
+    val own = sh.groupBy("shingle")
+      .agg(min(col(idCol)).as("__owner"))
+    sh.join(own, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__owner") === col(idCol), 1L).otherwise(0L))
+          .as("n_first"))
+      .select(col(idCol), col("n_shingles"), col("n_first"),
+        (col("n_first") / col("n_shingles")).as("novelty"))
+  }
+
   /** Language-ID by signature-token voting: per language, count hits of its
     * signature tokens; predict the argmax (ties broken by language code
     * order). N-gram-profile language ID reduced to its decision core so the

@@ -430,6 +430,17 @@ object DedupQueries {
         .orderBy("vec_id")
     }),
 
+    // N-gram novelty: per doc, the fraction of its distinct shingles
+    // whose corpus-wide first occurrence (min doc_id) is this doc —
+    // the dedup-aware curriculum/ordering signal. Exact counts, one
+    // exact-integer division, no caps (the min agg is frequency-
+    // insensitive).
+    "q247_novelty" -> ((s, dir) => {
+      graft.operators.TextAnalysis.noveltyScores(
+          Tables.documents(s, dir), "doc_id", "text", shingleN = 5)
+        .orderBy("doc_id")
+    }),
+
     // DIRECTED containment join: snippets (first 30 tokens of every
     // ≥ 40-token doc, ids +500000) ride beside the corpus, and the
     // prefix-probed containment pass must find every (contained,
@@ -1358,6 +1369,23 @@ object DedupQueries {
         |ORDER BY vec_id""".stripMargin),
 
     "q203_kcore" -> kCoreSql(k = 3, layers = 8),
+
+    // Novelty replay: the shared shingle chain, min-id ownership, two
+    // exact counts, one exact division.
+    "q247_novelty" -> {
+      s"""WITH $shinglesCte,
+         |own AS (SELECT shingle, min(doc_id) AS owner FROM sh GROUP BY shingle),
+         |sel AS (
+         |  SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |    CAST(sum(CASE WHEN own.owner = sh.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_first
+         |  FROM sh JOIN own USING (shingle)
+         |  GROUP BY sh.doc_id)
+         |SELECT doc_id, n_shingles, n_first,
+         |  CAST(n_first AS DOUBLE) / n_shingles AS novelty
+         |FROM sel
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Containment replay — EXHAUSTIVE directed all-pairs over the same
     // snippet-extended corpus and filtered universe (the q187 gate

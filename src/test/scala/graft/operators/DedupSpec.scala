@@ -457,6 +457,20 @@ class DedupSpec extends AnyFunSuite {
       (4L, 2L, 3L, 0.75)), s"got $got")
   }
 
+  test("noveltyScores: min-id ownership, shared grams charge the later doc") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // 2 shingles, both first here
+      (2L, "a b c d e f g"),     // 3 shingles: 2 owned by doc 1, 1 new
+      (3L, "q r s t u v"))       // 2 shingles, all its own
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScores(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((2L, 2L, 1.0)), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 1L, 1.0 / 3)), s"got ${got(2L)}")
+    assert(got(3L) == ((2L, 2L, 1.0)))
+  }
+
   test("prefixJaccardPairs: finds every qualifying pair, exact threshold") {
     // same universe conventions as ngramJaccardPairs → identical output
     // at the same rational threshold (1/2 here)
