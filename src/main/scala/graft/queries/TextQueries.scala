@@ -650,6 +650,19 @@ object TextQueries {
         k1 = 1.2, b = 0.75, k = 20)
     }),
 
+    // Retrieve-then-rerank: BM25 top-20 shortlist crosses the batched
+    // cross-encoder boundary (partition-local mapPartitions batches —
+    // the multimodal extract-boundary shape for text); the stub score
+    // is md5-derived over (query, doc, md5(text)) with an EXACT dyadic
+    // /2^32, so the gate proves the text rode through the boundary and
+    // the rank math is engine-exact.
+    "q248_ce_rerank" -> ((s, dir) => {
+      graft.operators.Rerank.rerankBm25(
+        graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+        "doc_id", "text", queryId = 1L, terms = Seq("vector", "data"),
+        fbK = 20, k = 10)
+    }),
+
     // TextRank extractive summary: per-doc weighted PageRank over the
     // sentence-Jaccard graph (exact-integer Jaccard, the q177 rounding
     // scheme per round), top sentence per doc with earliest-sentence
@@ -3254,6 +3267,51 @@ object TextQueries {
     "q193_bm25_index" -> q136Oracle,
 
     "q136_bm25" -> q136Oracle,
+
+    // Rerank replay: the q136 fixed-order BM25 chain (terms vector/
+    // data, top-20), then the md5 stub score and the ce rank.
+    "q248_ce_rerank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        |  FROM documents),
+        |pd AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(t, x -> x = 'data')) AS BIGINT) AS tf1
+        |  FROM toks),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1
+        |  FROM pd),
+        |fbs AS (
+        |  SELECT doc_id, round(
+        |      (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+        |        * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |        ELSE 0.0 END)
+        |    + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+        |        * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |        ELSE 0.0 END) + 1e-9, 6) AS bm25
+        |  FROM pd CROSS JOIN st
+        |  WHERE tf0 + tf1 > 0),
+        |fb AS (
+        |  SELECT doc_id, bm25 FROM (
+        |    SELECT doc_id, bm25,
+        |      row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+        |    FROM fbs) WHERE rn <= 20),
+        |sc AS (
+        |  SELECT CAST(1 AS BIGINT) AS query_id, fb.doc_id, fb.bm25,
+        |    CAST(('0x'||substring(md5('ce:1:'||CAST(fb.doc_id AS VARCHAR)
+        |      ||':'||md5(d.text)), 1, 8)) AS BIGINT)
+        |      / CAST(4294967296 AS DOUBLE) AS ce_score
+        |  FROM fb JOIN toks d USING (doc_id))
+        |SELECT query_id, doc_id, bm25, ce_score FROM (
+        |  SELECT *, row_number() OVER (ORDER BY ce_score DESC, doc_id) AS rn
+        |  FROM sc)
+        |WHERE rn <= 10
+        |ORDER BY ce_score DESC, doc_id""".stripMargin,
 
     // TextRank replay: positional sentence split (both engines keep
     // leading/trailing empties — verified parity), the 64-position cap,
