@@ -485,6 +485,52 @@ object TextAnalysis {
     out
   }
 
+  /** Corpus-wide SENTENCE dedup — the C4 "discard every repeated
+    * three-sentence span"/MassiveText line-dedup rule at sentence
+    * grain: every occurrence of a sentence EXCEPT its corpus-first one
+    * ((min doc, min pos) under the exact integer order) is dropped,
+    * and each document reassembles from its kept sentences in original
+    * order. This is the boilerplate killer ("subscribe to our
+    * newsletter" survives exactly once corpus-wide) complementing
+    * span dedup's within-pair scrub.
+    *
+    * Conventions: sentences split positionally on `[.!?]+` (the
+    * readability/TextRank rule), trimmed, empties dropped BEFORE
+    * counting; the dedup key is the trimmed sentence string (exact
+    * match — near-dup sentences are [[Dedup]]'s job). Reassembly is
+    * the order-preserving parity pattern (collect_list skips the
+    * non-kept nulls ≡ a FILTER'd ordered string_agg; "" for docs that
+    * keep nothing). All exact integer math.
+    *
+    * Scale shape: one explode, one sentence-keyed min agg (map-side
+    * combined — a repeated sentence's partial min is one struct), one
+    * sentence-keyed join back, one doc-keyed reassembly agg. Nothing
+    * quadratic, no windows over the corpus.
+    *
+    * Output: (idCol, n_sents, n_kept, cleaned_text).
+    */
+  def sentenceDedup(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val sents = df
+      .select(col(idCol).as("__doc"),
+        posexplode(split(col(textCol), "[.!?]+")).as(Seq("__p", "__s")))
+      .select(col("__doc"), col("__p").cast("long").as("__p"),
+        trim(col("__s")).as("__sent"))
+      .filter(col("__sent") =!= "")
+    val first = sents.groupBy("__sent")
+      .agg(min(struct(col("__doc"), col("__p"))).as("__f"))
+    sents.join(first, Seq("__sent"))
+      .withColumn("__keep",
+        col("__f.__doc") === col("__doc") && col("__f.__p") === col("__p"))
+      .groupBy(col("__doc").as(idCol))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__p"), col("__sent"))))),
+          x => x.getField("__sent")), " ").as("cleaned_text"))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a document's distinct
     * shingles whose corpus-wide FIRST OCCURRENCE (min doc id) is this
     * document — the ordering/selection signal behind dedup-aware

@@ -650,6 +650,18 @@ object TextQueries {
         k1 = 1.2, b = 0.75, k = 20)
     }),
 
+    // Corpus-wide sentence dedup: every repeated sentence keeps only
+    // its corpus-first occurrence ((min doc, min pos) exact order);
+    // docs reassemble from kept sentences in original order (the
+    // round-6 reassembly parity pattern). The boilerplate killer at
+    // sentence grain.
+    "q249_sentence_dedup" -> ((s, dir) => {
+      TextAnalysis.sentenceDedup(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Retrieve-then-rerank: BM25 top-20 shortlist crosses the batched
     // cross-encoder boundary (partition-local mapPartitions batches —
     // the multimodal extract-boundary shape for text); the stub score
@@ -3267,6 +3279,36 @@ object TextQueries {
     "q193_bm25_index" -> q136Oracle,
 
     "q136_bm25" -> q136Oracle,
+
+    // Sentence-dedup replay: positional split, trimmed nonempty
+    // sentences, first occurrence via the (doc, pos) rank window ≡
+    // Spark's min(struct), FILTER'd ordered string_agg ≡ the
+    // collect-list reassembly (round-6 parity pattern).
+    "q249_sentence_dedup" ->
+      """WITH parts AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS p
+        |  FROM documents),
+        |el AS MATERIALIZED (
+        |  SELECT * FROM (
+        |    SELECT doc_id, CAST(i - 1 AS BIGINT) AS sidx, trim(p[i]) AS sent
+        |    FROM (SELECT doc_id, p, unnest(range(1, len(p) + 1)) AS i
+        |          FROM parts))
+        |  WHERE sent <> ''),
+        |first AS (
+        |  SELECT sent, doc_id AS fdoc, sidx AS fpos FROM (
+        |    SELECT sent, doc_id, sidx, row_number() OVER (
+        |      PARTITION BY sent ORDER BY doc_id, sidx) AS rn
+        |    FROM el) WHERE rn = 1),
+        |m AS (
+        |  SELECT el.doc_id, el.sidx, el.sent,
+        |    (el.doc_id = f.fdoc AND el.sidx = f.fpos) AS keep
+        |  FROM el JOIN first f USING (sent))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(sent, ' ' ORDER BY sidx) FILTER (WHERE keep),
+        |    '') AS cleaned_text
+        |FROM m GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // Rerank replay: the q136 fixed-order BM25 chain (terms vector/
     // data, top-20), then the md5 stub score and the ce rank.

@@ -693,6 +693,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       "only one sentence")), s"got ${got(3L)}")
   }
 
+  test("sentenceDedup: corpus-first keep, in-doc repeats, order, empties") {
+    val docs = Seq(
+      (1L, "subscribe now. unique alpha. subscribe now."), // in-doc repeat
+      (2L, "subscribe now! unique beta."),                 // cross-doc repeat
+      (3L, "unique gamma"),
+      (4L, "...")).toDF("doc_id", "text")                  // only empties
+    val got = TextAnalysis.sentenceDedup(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc 1 owns "subscribe now" (pos 0) and drops its pos-2 repeat
+    assert(got(1L) == ((3L, 2L, "subscribe now unique alpha")), s"${got(1L)}")
+    // doc 2's copy is dropped; its unique sentence survives
+    assert(got(2L) == ((2L, 1L, "unique beta")), s"${got(2L)}")
+    assert(got(3L) == ((1L, 1L, "unique gamma")))
+    // a doc with only empty sentences has no rows at all
+    assert(!got.contains(4L))
+  }
+
   test("readability: pinned word/sentence/syllable heuristics + linear forms") {
     val docs = Seq(
       (1L, "The cat sat. The dog ran!"), // 6 words, 2 sents, 6 syllables
