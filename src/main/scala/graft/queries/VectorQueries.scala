@@ -307,6 +307,36 @@ object VectorQueries {
     // (recall characterization is usually a side report; here the oracle
     // recomputes both rankings and the hit counts, so the recall numbers
     // are provably right, not self-reported).
+    // Full ranking evaluation of the q126 probe-vs-exact pair: per
+    // query recall@10, reciprocal rank (1/system-rank of the gold
+    // top-1, an exact division), and nDCG@10 with exact integer gains
+    // 11−gold_rank and ln-parity discount terms (rel·ln(2)/ln(r+1)) —
+    // only the per-query sums round (+1e-9, 6).
+    "q250_rank_eval" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .withColumn("cluster_id",
+          graft.operators.VectorIndex.signBucket(col("embedding"), 8))
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
+          col("cluster_id").as("__qc"))
+      val scored = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("__score",
+          round(graft.functions.cosine_sim(col("embedding"), col("__qv")), 6))
+      def top(df: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("__score"), col("vec_id"))
+        df.withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      }
+      graft.operators.RankEval.rankingMetrics(
+          sys = top(scored.filter(
+            bit_count(col("cluster_id").bitwiseXOR(col("__qc"))) <= 1)),
+          gold = top(scored), k = 10)
+        .orderBy("query_id")
+    }),
+
     "q126_probe_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .withColumn("cluster_id",
@@ -1180,6 +1210,60 @@ object VectorQueries {
         |  round(dot / (sqrt(na) * sqrt(nb)) + 1e-9, 6) AS cos
         |FROM pr
         |ORDER BY la, lb""".stripMargin,
+
+    // Rank-eval replay: the q126 chain with ranks kept, then the three
+    // metrics — exact recall division, exact 1/rank RR, ln-parity DCG
+    // terms with rounded per-query sums, nDCG over the rounded pair.
+    "q250_rank_eval" -> {
+      s"""WITH coded AS (
+         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS c
+         |  FROM embeddings),
+         |qs AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, c AS qc
+         |  FROM coded WHERE vec_id < 5),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id, e.c, q.qc,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.qv AS DOUBLE[])), 6) AS score
+         |  FROM coded e CROSS JOIN qs q WHERE e.vec_id <> q.query_id),
+         |exact AS (
+         |  SELECT query_id, vec_id, CAST(rn AS BIGINT) AS r FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM scored) WHERE rn <= 10),
+         |probe AS (
+         |  SELECT query_id, vec_id, CAST(rn AS BIGINT) AS r FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+         |    FROM scored
+         |    WHERE bit_count(xor(CAST(c AS BIGINT), CAST(qc AS BIGINT))) <= 1)
+         |  WHERE rn <= 10),
+         |gst AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_gold,
+         |    round(sum((10 + 1 - r) * ln(2) / ln(r + 1)) + 1e-9, 6) AS idcg
+         |  FROM exact GROUP BY query_id),
+         |j AS (
+         |  SELECT p.query_id, p.r AS sr, e.r AS gr
+         |  FROM probe p LEFT JOIN exact e
+         |    ON e.query_id = p.query_id AND e.vec_id = p.vec_id),
+         |sst AS (
+         |  SELECT query_id,
+         |    CAST(sum(CASE WHEN gr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hit,
+         |    round(sum(CASE WHEN gr IS NOT NULL
+         |        THEN (10 + 1 - gr) * ln(2) / ln(sr + 1)
+         |        ELSE 0.0 END) + 1e-9, 6) AS dcg,
+         |    max(CASE WHEN gr = 1 THEN sr END) AS top1r
+         |  FROM j GROUP BY query_id)
+         |SELECT g.query_id, g.n_gold,
+         |  CAST(coalesce(s.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(coalesce(s.n_hit, 0) AS DOUBLE) / g.n_gold AS recall,
+         |  coalesce(CAST(1 AS DOUBLE) / s.top1r, 0.0) AS rr,
+         |  coalesce(s.dcg, 0.0) AS dcg, g.idcg,
+         |  round(coalesce(s.dcg, 0.0) / g.idcg + 1e-9, 6) AS ndcg
+         |FROM gst g LEFT JOIN sst s USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    },
 
     "q126_probe_recall" -> {
       s"""WITH coded AS (
