@@ -650,6 +650,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus side must be cut to candidates before shingling:\n${p.take(2000)}")
   }
 
+  test("q242 dhash: band-keyed joins only, no UDF, no cartesian") {
+    val p = plan("q242_phash_neardup")
+    assert(!p.contains("ScalaUDF"), "hashing must be pure column math")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair join must key on (band, key):\n${p.take(2000)}")
+    assert(p.contains("hashpartitioning(band") ||
+      p.contains("BroadcastHashJoin"),
+      s"band-keyed candidate join expected:\n${p.take(2000)}")
+  }
+
+  test("q246 containment: keyed joins, doc-bounded window, no cartesian") {
+    val p = plan("q246_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix probe and verification must be keyed:\n${p.take(2000)}")
+    // the prefix rank is a doc-partitioned window, never a global sort
+    assert(p.contains("Window") && !p.contains("Sort [__f"),
+      s"prefix window must partition by doc:\n${p.take(2000)}")
+  }
+
+  test("bm25Weighted: term frame broadcasts, stats broadcast, no cartesian on data") {
+    // audited standalone: the q240 gate collects its expansion terms at
+    // construction time (the round-10 loop-audit rule), so the lazy
+    // component is what gets the plan assert
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val p = graft.operators.TextAnalysis.bm25Weighted(
+      docs, "doc_id", "text", Seq(("vector", 1.0), ("data", 0.5)))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (term, w) frame must broadcast into the tf table:\n${p.take(2000)}")
+    assert(!p.contains("ScalaUDF"), "scoring must be pure column math")
+  }
+
   test("q146 url canon: canonicalization runs scan-side, no UDF, no pre-agg shuffle") {
     val p = plan("q146_url_canon")
     assert(!p.contains("ScalaUDF"), "pure column math expected")
