@@ -511,12 +511,7 @@ object TextAnalysis {
     */
   def sentenceDedup(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val sents = df
-      .select(col(idCol).as("__doc"),
-        posexplode(split(col(textCol), "[.!?]+")).as(Seq("__p", "__s")))
-      .select(col("__doc"), col("__p").cast("long").as("__p"),
-        trim(col("__s")).as("__sent"))
-      .filter(col("__sent") =!= "")
+    val sents = sentenceRows(df, idCol, textCol)
     val first = sents.groupBy("__sent")
       .agg(min(struct(col("__doc"), col("__p"))).as("__f"))
     sents.join(first, Seq("__sent"))
@@ -530,6 +525,48 @@ object TextAnalysis {
             struct(col("__p"), col("__sent"))))),
           x => x.getField("__sent")), " ").as("cleaned_text"))
   }
+
+  /** The positional sentence table shared by [[sentenceDedup]] and
+    * [[incomingSentenceScreen]]: `[.!?]+` split at original positions,
+    * trimmed, empties dropped. Output: (__doc, __p, __sent).
+    */
+  private def sentenceRows(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("__doc"),
+        posexplode(split(col(textCol), "[.!?]+")).as(Seq("__p", "__s")))
+      .select(col("__doc"), col("__p").cast("long").as("__p"),
+        trim(col("__s")).as("__sent"))
+      .filter(col("__sent") =!= "")
+
+  /** Ingest-time sentence screening — [[sentenceDedup]]'s rule at the
+    * ingest boundary (the q204 incremental family at SENTENCE grain):
+    * the corpus's distinct sentences are a STORED artifact, and each
+    * arriving document drops the sentences the corpus already owns,
+    * keeping only its genuinely new ones — the streaming-ingest
+    * boilerplate filter.
+    *
+    * Shape: one stream-compatible LEFT OUTER join against the stored
+    * set (the marker pattern — an anti-join would lose the rows the
+    * per-doc counts need), then ONE aggregation doing counts and the
+    * order-preserving reassembly together (streaming cannot chain
+    * aggregations; this has exactly one, so the same operator body
+    * serves batch and stream). All exact integer math.
+    *
+    * `stored` carries one `sent` column (distinct trimmed sentences).
+    * Output: (idCol, n_sents, n_kept, cleaned_text).
+    */
+  def incomingSentenceScreen(stored: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    sentenceRows(batch, idCol, textCol)
+      .join(stored.select(col("sent").as("__sent"),
+        lit(true).as("__known")), Seq("__sent"), "left_outer")
+      .groupBy(col("__doc").as(idCol))
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__known").isNull,
+            struct(col("__p"), col("__sent"))))),
+          x => x.getField("__sent")), " ").as("cleaned_text"))
 
   /** Per-document n-gram NOVELTY: the fraction of a document's distinct
     * shingles whose corpus-wide FIRST OCCURRENCE (min doc id) is this

@@ -650,6 +650,34 @@ object TextQueries {
         k1 = 1.2, b = 0.75, k = 20)
     }),
 
+    // Ingest-time sentence screening: the corpus's distinct sentences
+    // are a STORED artifact; an arriving batch (%7=3, ids +500000, one
+    // fresh per-doc sentence appended) drops every sentence the corpus
+    // owns and reassembles from the genuinely new ones. One left join
+    // + ONE aggregation — the same body serves batch and stream.
+    "q251_sentence_screen" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      val knownPath = Scratch.dir("graft_q251") + "/sents"
+      docs.select(explode(split(col("text"), "[.!?]+")).as("__s"))
+        .select(trim(col("__s")).as("sent"))
+        .filter(col("sent") =!= "").distinct()
+        .write.mode("overwrite").parquet(knownPath)
+      val stored = s.read.parquet(knownPath)
+      val batch = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(". fresh "),
+            (col("doc_id") + 500000L).cast("string")).as("text"))
+      TextAnalysis.incomingSentenceScreen(stored, batch, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // STREAMING twin of q251 (stream-static left join + one agg — the
+    // operator body unchanged); gated on q251's oracle verbatim.
+    "q252_stream_sentscreen" -> ((s, dir) => {
+      graft.streaming.StreamingIngest.streamSentenceScreen(s, dir)
+        .orderBy("doc_id")
+    }),
+
     // Corpus-wide sentence dedup: every repeated sentence keeps only
     // its corpus-first occurrence ((min doc, min pos) exact order);
     // docs reassemble from kept sentences in original order (the
@@ -1484,6 +1512,36 @@ object TextQueries {
     }
     sb.toString
   }
+
+  private lazy val q251OracleSql =
+    """WITH kel AS (
+      |  SELECT trim(s) AS sent
+      |  FROM (SELECT unnest(regexp_split_to_array(text, '[.!?]+')) AS s
+      |        FROM documents)
+      |  WHERE trim(s) <> ''),
+      |known AS MATERIALIZED (SELECT DISTINCT sent FROM kel),
+      |b AS (
+      |  SELECT doc_id + 500000 AS doc_id,
+      |    text || '. fresh ' || CAST(doc_id + 500000 AS VARCHAR) AS text
+      |  FROM documents WHERE doc_id % 7 = 3),
+      |bparts AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS p FROM b),
+      |bel AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, CAST(i - 1 AS BIGINT) AS sidx, trim(p[i]) AS sent
+      |    FROM (SELECT doc_id, p, unnest(range(1, len(p) + 1)) AS i
+      |          FROM bparts))
+      |  WHERE sent <> ''),
+      |m AS (
+      |  SELECT bel.doc_id, bel.sidx, bel.sent, k.sent AS known
+      |  FROM bel LEFT JOIN known k ON k.sent = bel.sent)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+      |  CAST(sum(CASE WHEN known IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  coalesce(string_agg(sent, ' ' ORDER BY sidx)
+      |    FILTER (WHERE known IS NULL), '') AS cleaned_text
+      |FROM m GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   /** The generated WordPiece-training CTE prefix (q239): the q129
     * vocabulary wrap, but each layer picks the pair maximizing
@@ -3279,6 +3337,12 @@ object TextQueries {
     "q193_bm25_index" -> q136Oracle,
 
     "q136_bm25" -> q136Oracle,
+
+    // Sentence-screen replay (shared by the batch and streaming gates):
+    // corpus distinct sentences, the appended-fresh batch, the marker
+    // left join, FILTER'd ordered reassembly.
+    "q251_sentence_screen" -> q251OracleSql,
+    "q252_stream_sentscreen" -> q251OracleSql,
 
     // Sentence-dedup replay: positional split, trimmed nonempty
     // sentences, first occurrence via the (doc, pos) rank window ≡

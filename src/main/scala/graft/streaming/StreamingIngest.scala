@@ -420,6 +420,48 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Streaming ingest-time SENTENCE screening — [[graft.operators
+    * .TextAnalysis.incomingSentenceScreen]] as a stream: the corpus's
+    * distinct sentences are the static side, each arriving document
+    * drops the sentences the corpus already owns and reassembles from
+    * its genuinely new ones. The operator body is ONE stream-static
+    * left join + ONE aggregation, so it runs UNCHANGED on the
+    * streaming frame; the gate reuses the batch oracle verbatim
+    * (stream ≡ batch).
+    *
+    * The streamed batch: the %7=3 slice, ids +500000, one fresh
+    * per-doc sentence appended — so every original sentence drops and
+    * exactly the fresh one survives.
+    */
+  def streamSentenceScreen(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_sentscreen"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val known = spark.read.parquet(path)
+      .select(explode(split(col("text"), "[.!?]+")).as("__s"))
+      .select(trim(col("__s")).as("sent"))
+      .filter(col("sent") =!= "").distinct()
+    val arriving = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(". fresh "),
+          (col("doc_id") + 500000L).cast("string")).as("text"))
+    val out = TextAnalysis.incomingSentenceScreen(known, arriving,
+      "doc_id", "text")
+    val q = out.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest-time exact-substring screening — [[graft.operators
     * .Dedup.incomingCoveredText]] reformulated for a stream: the corpus
     * window-signature table ([[graft.operators.Dedup.windowSigs]]) is

@@ -711,6 +711,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got.contains(4L))
   }
 
+  test("incomingSentenceScreen: known drop, fresh keep, order, all-known doc") {
+    val stored = Seq("subscribe now", "old news").toDF("sent")
+    val batch = Seq(
+      (1L, "subscribe now. brand new thing. old news! another fresh one."),
+      (2L, "subscribe now. old news.")).toDF("doc_id", "text")
+    val got = TextAnalysis.incomingSentenceScreen(stored, batch,
+        "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((4L, 2L, "brand new thing another fresh one")),
+      s"got ${got(1L)}")
+    // a doc whose every sentence is known keeps nothing but still reports
+    assert(got(2L) == ((2L, 0L, "")), s"got ${got(2L)}")
+  }
+
   test("readability: pinned word/sentence/syllable heuristics + linear forms") {
     val docs = Seq(
       (1L, "The cat sat. The dog ran!"), // 6 words, 2 sents, 6 syllables
