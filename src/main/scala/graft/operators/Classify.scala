@@ -200,4 +200,45 @@ object Classify {
         element_at(lit(model.labels), col("__best") + 1).as("pred"),
         element_at(col("__scores"), col("__best") + 1).as("score"))
   }
+
+  /** Per-label classifier evaluation from doc-grain (true, predicted)
+    * pairs — precision, recall, F1 beside the raw confusion counts:
+    * the trust measurement every filtering classifier (q145's
+    * source NB, a quality gate, a lang-ID check) needs before its
+    * threshold decides what 100 TB keeps.
+    *
+    * Exactness: all counts exact integers; precision and recall are
+    * single exact-integer divisions (q120); F1 = 2·P·R/(P+R) is
+    * products/sums/one division of bit-identical doubles — fully
+    * deterministic, nothing rounded. Labels appearing only as
+    * predictions (or only as truth) still get a row (full outer
+    * merge); zero denominators score 0.
+    *
+    * Scale shape: three label-keyed aggregations off one doc-grain
+    * frame and a label-sized merge — linear, broadcastable.
+    *
+    * Output: (label, n_true, n_pred, tp, precision, recall, f1).
+    */
+  def classifierMetrics(preds: DataFrame, labelCol: String = "label",
+      predCol: String = "pred"): DataFrame = {
+    val bt = preds.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_true"))
+    val bp = preds.groupBy(col(predCol).as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val tp = preds.filter(col(labelCol) === col(predCol))
+      .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("tp"))
+    bt.join(bp, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left_outer")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", when(col("n_pred") === 0L, lit(0.0))
+        .otherwise(col("tp") / col("n_pred")))
+      .withColumn("recall", when(col("n_true") === 0L, lit(0.0))
+        .otherwise(col("tp") / col("n_true")))
+      .withColumn("f1", when(col("tp") === 0L, lit(0.0))
+        .otherwise(lit(2) * col("precision") * col("recall") /
+          (col("precision") + col("recall"))))
+  }
 }

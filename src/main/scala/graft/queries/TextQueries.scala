@@ -529,6 +529,20 @@ object TextQueries {
         .orderBy("source", "pred")
     }),
 
+    // Per-label precision/recall/F1 of the q145 NB classifier — the
+    // trust measurement before a filtering threshold decides what the
+    // corpus keeps. Exact counts, exact P/R divisions, deterministic
+    // 2·P·R/(P+R) F1; labels seen only as predictions still row.
+    "q253_classifier_metrics" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 10
+      graft.operators.Classify.classifierMetrics(
+          graft.operators.Classify.nbPredict(
+            graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+            "doc_id", "text", "source", isTrain = bucket < 8))
+        .orderBy("label")
+    }),
+
     // BPE merge-candidate table (tokenizer training, first merge): the
     // most frequent adjacent character pairs weighted by word frequency.
     // Pairs explode off the vocabulary, never the corpus; top-20 cut is
@@ -1513,6 +1527,48 @@ object TextQueries {
     sb.toString
   }
 
+  /** The q145 NB prediction chain (split, train counts, label stats,
+    * per-doc scores, argmax) through `rk` — shared by the confusion
+    * gate (q145) and the metrics gate (q253).
+    */
+  private lazy val nbChainSql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    coalesce(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |      CAST([] AS VARCHAR[])) AS t,
+      |    CAST(('0x'||substring(md5('split:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 < 8 AS train
+      |  FROM documents),
+      |tok AS (SELECT doc_id, source, train, unnest(t) AS token FROM d),
+      |c AS (SELECT source AS label, token, CAST(count(*) AS BIGINT) AS c
+      |      FROM tok WHERE train GROUP BY 1, 2),
+      |ls AS (SELECT label, CAST(sum(c) AS BIGINT) AS ns FROM c GROUP BY 1),
+      |ds AS (SELECT source AS label, CAST(count(*) AS BIGINT) AS dsn
+      |       FROM d WHERE train GROUP BY 1),
+      |vv AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
+      |       FROM tok WHERE train),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS dtot FROM d WHERE train),
+      |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok WHERE NOT train GROUP BY 1, 2),
+      |td AS (SELECT doc_id, source AS label_true,
+      |         CAST(len(t) AS BIGINT) AS ntok
+      |       FROM d WHERE NOT train),
+      |part AS (
+      |  SELECT tf.doc_id, c.label, sum(tf * ln(CAST(c AS DOUBLE) + 1.0)) AS p
+      |  FROM tf JOIN c USING (token) GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT td.doc_id, td.label_true, l.label,
+      |    round(ln(CAST(l.dsn AS DOUBLE) / tt.dtot)
+      |      - td.ntok * ln(CAST(l.ns + vv.v AS DOUBLE))
+      |      + COALESCE(part.p, 0.0) + 1e-9, 6) AS score
+      |  FROM td
+      |  CROSS JOIN (SELECT label, ns, dsn FROM ls JOIN ds USING (label)) l
+      |  CROSS JOIN vv CROSS JOIN tt
+      |  LEFT JOIN part ON part.doc_id = td.doc_id AND part.label = l.label),
+      |rk AS (
+      |  SELECT doc_id, label_true, label AS pred, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+      |  FROM grid)""".stripMargin
+
   private lazy val q251OracleSql =
     """WITH kel AS (
       |  SELECT trim(s) AS sent
@@ -2229,47 +2285,47 @@ object TextQueries {
         |FROM c GROUP BY canon
         |ORDER BY canon""".stripMargin),
 
-    "q145_nb_classify" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    coalesce(regexp_extract_all(lower(text), '[a-z0-9]+'),
-        |      CAST([] AS VARCHAR[])) AS t,
-        |    CAST(('0x'||substring(md5('split:'||CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 < 8 AS train
-        |  FROM documents),
-        |tok AS (SELECT doc_id, source, train, unnest(t) AS token FROM d),
-        |c AS (SELECT source AS label, token, CAST(count(*) AS BIGINT) AS c
-        |      FROM tok WHERE train GROUP BY 1, 2),
-        |ls AS (SELECT label, CAST(sum(c) AS BIGINT) AS ns FROM c GROUP BY 1),
-        |ds AS (SELECT source AS label, CAST(count(*) AS BIGINT) AS dsn
-        |       FROM d WHERE train GROUP BY 1),
-        |vv AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v
-        |       FROM tok WHERE train),
-        |tt AS (SELECT CAST(count(*) AS BIGINT) AS dtot FROM d WHERE train),
-        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-        |       FROM tok WHERE NOT train GROUP BY 1, 2),
-        |td AS (SELECT doc_id, source AS label_true,
-        |         CAST(len(t) AS BIGINT) AS ntok
-        |       FROM d WHERE NOT train),
-        |part AS (
-        |  SELECT tf.doc_id, c.label, sum(tf * ln(CAST(c AS DOUBLE) + 1.0)) AS p
-        |  FROM tf JOIN c USING (token) GROUP BY 1, 2),
-        |grid AS (
-        |  SELECT td.doc_id, td.label_true, l.label,
-        |    round(ln(CAST(l.dsn AS DOUBLE) / tt.dtot)
-        |      - td.ntok * ln(CAST(l.ns + vv.v AS DOUBLE))
-        |      + COALESCE(part.p, 0.0) + 1e-9, 6) AS score
-        |  FROM td
-        |  CROSS JOIN (SELECT label, ns, dsn FROM ls JOIN ds USING (label)) l
-        |  CROSS JOIN vv CROSS JOIN tt
-        |  LEFT JOIN part ON part.doc_id = td.doc_id AND part.label = l.label),
-        |rk AS (
-        |  SELECT doc_id, label_true, label AS pred, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY score DESC, label) AS rn
-        |  FROM grid)
+    "q145_nb_classify" -> (nbChainSql +
+      """
         |SELECT label_true AS source, pred, CAST(count(*) AS BIGINT) AS n
         |FROM rk WHERE rn = 1
         |GROUP BY 1, 2
-        |ORDER BY source, pred""".stripMargin,
+        |ORDER BY source, pred""".stripMargin),
+
+    // Classifier metrics replay: the q145 prediction chain, then
+    // label-keyed counts, exact precision/recall divisions, and the
+    // deterministic 2·P·R/(P+R) F1 — nothing rounded.
+    "q253_classifier_metrics" -> (nbChainSql +
+      """,
+        |pr AS (SELECT doc_id, label_true, pred FROM rk WHERE rn = 1),
+        |bt AS (SELECT label_true AS label, CAST(count(*) AS BIGINT) AS n_true
+        |       FROM pr GROUP BY 1),
+        |bp AS (SELECT pred AS label, CAST(count(*) AS BIGINT) AS n_pred
+        |       FROM pr GROUP BY 1),
+        |tpx AS (SELECT label_true AS label, CAST(count(*) AS BIGINT) AS tp
+        |        FROM pr WHERE label_true = pred GROUP BY 1),
+        |mg AS (
+        |  SELECT coalesce(bt.label, bp.label) AS label,
+        |    coalesce(bt.n_true, 0) AS n_true,
+        |    coalesce(bp.n_pred, 0) AS n_pred
+        |  FROM bt FULL OUTER JOIN bp ON bp.label = bt.label),
+        |mm AS (
+        |  SELECT mg.label, CAST(mg.n_true AS BIGINT) AS n_true,
+        |    CAST(mg.n_pred AS BIGINT) AS n_pred,
+        |    CAST(coalesce(tpx.tp, 0) AS BIGINT) AS tp
+        |  FROM mg LEFT JOIN tpx ON tpx.label = mg.label),
+        |mx AS (
+        |  SELECT label, n_true, n_pred, tp,
+        |    CASE WHEN n_pred = 0 THEN 0.0
+        |      ELSE CAST(tp AS DOUBLE) / n_pred END AS precision,
+        |    CASE WHEN n_true = 0 THEN 0.0
+        |      ELSE CAST(tp AS DOUBLE) / n_true END AS recall
+        |  FROM mm)
+        |SELECT label, n_true, n_pred, tp, precision, recall,
+        |  CASE WHEN tp = 0 THEN 0.0
+        |    ELSE 2 * precision * recall / (precision + recall) END AS f1
+        |FROM mx
+        |ORDER BY label""".stripMargin),
 
     "q143_kmv_distinct" ->
       """WITH toks AS (

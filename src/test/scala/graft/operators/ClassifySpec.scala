@@ -6,6 +6,25 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
 class ClassifySpec extends AnyFunSuite {
+
+  test("classifierMetrics: hand confusion, pred-only label, zero-tp f1") {
+    val spark0 = graft.TestSpark.spark
+    import spark0.implicits._
+    // truth: a,a,a,b,b — predictions: a,a,b,b,c
+    val preds = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "c")).toDF("label", "pred")
+    val got = Classify.classifierMetrics(preds)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // a: tp 2, pred 2, true 3 → P 1, R 2/3, F1 = 2·1·(2/3)/(1+2/3)
+    val (pa, ra) = (1.0, 2.0 / 3)
+    assert(got("a") == (("a", 3L, 2L, 2L, pa, ra,
+      2 * pa * ra / (pa + ra))), s"got ${got("a")}")
+    // b: tp 1, pred 2, true 2 → P 1/2, R 1/2, F1 1/2
+    assert(got("b") == (("b", 2L, 2L, 1L, 0.5, 0.5, 0.5)))
+    // c never occurs as truth: n_true 0, tp 0 → all-zero rates
+    assert(got("c") == (("c", 0L, 1L, 0L, 0.0, 0.0, 0.0)))
+  }
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
