@@ -158,6 +158,58 @@ object Importance {
           .as("weight"))
   }
 
+  /** EXACT Pearson correlation between two INTEGER per-row statistics,
+    * per group — "does quality track length", "does repetition track
+    * perplexity": the screening-signal redundancy check run before
+    * adding yet another filter to a pipeline. Everything stays in
+    * exact 64-bit integer arithmetic through the five sums, the
+    * covariance/variance cross-products are integer subtractions, and
+    * the result is deterministic IEEE (two correctly-rounded sqrts +
+    * one division over identical bits) — ZERO rounding anywhere, the
+    * [[ksDrift]] exactness philosophy for correlation.
+    *
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²))
+    *
+    * Overflow contract (loud in the doc, not silently wrong): the
+    * integer cross-products must fit signed 64-bit — safe when
+    * n·max|x|·max|y|, n·max(x²), n·max(y²) < 2⁶³ (e.g. a billion rows
+    * of statistics under ~3M). Zero-variance groups emit NULL r.
+    *
+    * Scale shape: ONE map-side-combined aggregation per group. Output:
+    * (groupCol, n BIGINT, r).
+    */
+  def pearsonByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val intTypes = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    Seq(xCol, yCol).foreach { c =>
+      require(intTypes.contains(df.schema(c).dataType),
+        s"pearsonByGroup requires integral statistics; '$c' is " +
+          s"${df.schema(c).dataType} — quantize to an exact grid first")
+    }
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"),
+        sum(x * y).as("__sxy"))
+      .withColumn("__num", col("n") * col("__sxy") -
+        col("__sx") * col("__sy"))
+      .withColumn("__vx", col("n") * col("__sxx") -
+        col("__sx") * col("__sx"))
+      .withColumn("__vy", col("n") * col("__syy") -
+        col("__sy") * col("__sy"))
+      .select(col(groupCol), col("n"),
+        when(col("__vx") === 0L || col("__vy") === 0L,
+          lit(null).cast("double"))
+          .otherwise(col("__num") /
+            (sqrt(col("__vx").cast("double")) *
+             sqrt(col("__vy").cast("double")))).as("r"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance between every pair of
     * sources over an INTEGER per-row statistic (token count, byte
     * length, a quantized score) — the distribution-drift monitor

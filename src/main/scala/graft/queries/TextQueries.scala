@@ -1411,6 +1411,18 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // EXACT per-source Pearson correlation between token count and
+    // char length — the screening-signal redundancy check, all in
+    // 64-bit integer sums with two correctly-rounded sqrts and one
+    // division: ZERO rounding (the ksDrift exactness class).
+    "q254_pearson" -> ((s, dir) => {
+      graft.operators.Importance.pearsonByGroup(
+        Tables.documents(s, dir).select(col("source"),
+          size(TextAnalysis.normalizedTokens(col("text"))).as("n_tokens"),
+          length(col("text")).as("n_chars")),
+        "source", "n_tokens", "n_chars").orderBy("source")
+    }),
+
     // Two-sample KS drift between every source pair over the per-doc
     // token count: max |ECDF_a − ECDF_b| at pooled distinct values.
     // ZERO rounding — counts exact, each ECDF one exact-integer
@@ -2147,6 +2159,32 @@ object TextQueries {
         |FROM rk
         |WHERE rn * 5 <= n + 4
         |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // Pearson replay: integer sums, integer cross-products, two sqrts,
+    // one division — nothing rounded.
+    "q254_pearson" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS x,
+        |    CAST(length(text) AS BIGINT) AS y
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM b GROUP BY source),
+        |c AS (
+        |  SELECT source, n, n*sxy - sx*sy AS num,
+        |    n*sxx - sx*sx AS vx, n*syy - sy*sy AS vy
+        |  FROM a)
+        |SELECT source, n,
+        |  CASE WHEN vx = 0 OR vy = 0 THEN NULL
+        |    ELSE num / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
+        |    END AS r
+        |FROM c
         |ORDER BY source""".stripMargin,
 
     // KS replay: (source, value) counts, per-source cumulative window,

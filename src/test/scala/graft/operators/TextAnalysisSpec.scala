@@ -652,6 +652,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 3L), s"got $got")
   }
 
+  test("pearsonByGroup: exact ±1 lines, hand value, zero-variance null") {
+    val rows = Seq(
+      ("up", 1L, 10L), ("up", 2L, 20L), ("up", 3L, 30L),   // r = 1
+      ("dn", 1L, 9L), ("dn", 2L, 6L), ("dn", 3L, 3L),      // r = -1
+      ("mx", 1L, 1L), ("mx", 2L, 3L), ("mx", 3L, 2L),      // r = 1/2
+      ("fl", 5L, 1L), ("fl", 5L, 2L)                       // x constant
+    ).toDF("source", "x", "y")
+    val got = Importance.pearsonByGroup(rows, "source", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    // the operator is IEEE-deterministic, not algebraic: replay the
+    // exact formula (num / (sqrt(vx)·sqrt(vy))) on the integer sums
+    def ieee(num: Long, vx: Long, vy: Long): Double =
+      num / (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble))
+    assert(got("up") == ((3L, Some(ieee(60, 6, 600)))), s"got ${got("up")}")
+    assert(got("up")._2.get > 0.999999999 && got("dn")._2.get < -0.999999999)
+    assert(got("dn") == ((3L, Some(ieee(-18, 6, 54)))), s"got ${got("dn")}")
+    assert(got("mx") == ((3L, Some(ieee(3, 6, 6)))), s"got ${got("mx")}")
+    assert(got("fl") == ((2L, None)), "zero variance must be NULL")
+    val e = intercept[IllegalArgumentException] {
+      Importance.pearsonByGroup(Seq(("a", 1.5, 1L)).toDF("source", "x", "y"),
+        "source", "x", "y")
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("ksDrift: hand ECDFs, identical-source zero, loud float guard") {
     // A = {1,2,3}, B = {2,3,3,4}: KS = |2/3 - 1/4| at v=2; C clones A
     val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L),
