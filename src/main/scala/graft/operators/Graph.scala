@@ -259,6 +259,93 @@ object Graph {
     * Output: one row per surviving node — (id, core_deg BIGINT), the
     * degree INSIDE the k-core. Empty when no k-core exists.
     */
+  /** Personalized PageRank (the topic-sensitive variant of Haveliwala
+    * 2002) over an undirected pair table: random walks RESTART at a
+    * seed set instead of uniformly, so rank measures proximity to the
+    * seeds through the graph — the curation move behind "expand a
+    * trusted set": seed the docs a human audited (or the wiki-linked
+    * pages), and high-PPR unvisited documents are the ones the
+    * near-dup/similarity structure vouches for. [[pageRank]] answers
+    * "globally central"; this answers "central FROM HERE".
+    *
+    * Semantics: edges symmetrized; `r₀(v) = s(v)` where s(v) = 1/|S|
+    * for seeds (restricted to graph nodes, LOUDLY nonempty) else 0;
+    * each of the fixed `iters` rounds runs
+    * `r'(v) = (1−d)·s(v) + d·Σ_{u→v} r(u)/deg(u)`. Symmetry means no
+    * dangling-mass term; nodes the walk never reaches stay at 0.
+    *
+    * Cross-engine exactness: the q177 scheme verbatim — 1/|S| and
+    * r/deg are exact single divisions, the restart coefficient stays
+    * written `(1 − 0.85)·s` (never the pre-folded 0.15), and each
+    * round's rank rounds (+1e-15, `scaleDigits`) on both sides so
+    * accumulation ulps cannot compound.
+    *
+    * Scale shape and checkpoint discipline: identical to [[pageRank]]
+    * (edge-keyed join+sum per round, node-sized rank frames,
+    * localCheckpoint per round with eager frees).
+    *
+    * Output: (id, deg BIGINT, is_seed, rank).
+    */
+  def personalizedPageRank(pairs: DataFrame, seeds: DataFrame,
+      idCol: String = "id", iters: Int = 5, damping: Double = 0.85,
+      scaleDigits: Int = 12): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1,
+      s"damping must be in (0, 1), got $damping")
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .cache()
+    val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    fwd.unpersist()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+      .localCheckpoint(true)
+    val seedIds = seeds.select(col(idCol).cast("long").as("id"))
+      .distinct().join(deg.select("id"), Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    val nSeeds = seedIds.count()
+    require(nSeeds > 0,
+      "personalizedPageRank: no seed is a graph node — nothing to restart from")
+    val base = deg
+      .join(seedIds.select(col("id"), lit(true).as("__seed")),
+        Seq("id"), "left_outer")
+      .select(col("id"), col("deg"),
+        col("__seed").isNotNull.as("is_seed"),
+        when(col("__seed").isNotNull, lit(1.0) / nSeeds)
+          .otherwise(lit(0.0)).as("__s"))
+      .localCheckpoint(true)
+    var ranks = base.select(col("id"), col("__s").as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(deg.select(col("id").as("src"), col("deg").as("__sd")),
+          Seq("src"))
+        .select(col("dst").as("id"), (col("rank") / col("__sd")).as("__c"))
+        .groupBy("id").agg(sum("__c").as("__cs"))
+      val nr = base
+        .join(contrib, Seq("id"), "left_outer")
+        .select(col("id"),
+          round((lit(1.0) - damping) * col("__s") +
+            lit(damping) * coalesce(col("__cs"), lit(0.0)) + lit(1e-15),
+            scaleDigits).as("rank"))
+        .localCheckpoint(false)
+      nr.count()
+      GraftSqlShims.unpersistCheckpoint(ranks)
+      ranks = nr
+    }
+    val out = base.select(col("id"), col("deg"), col("is_seed"))
+      .join(ranks, Seq("id"))
+      .localCheckpoint(true)
+    GraftSqlShims.unpersistCheckpoint(ranks)
+    GraftSqlShims.unpersistCheckpoint(edges)
+    GraftSqlShims.unpersistCheckpoint(deg)
+    GraftSqlShims.unpersistCheckpoint(seedIds)
+    GraftSqlShims.unpersistCheckpoint(base)
+    out
+  }
+
   /** HITS hubs and authorities (Kleinberg 1999) over a DIRECTED edge
     * table — the centrality pair for asymmetric graphs, where
     * [[pageRank]]'s symmetrized formulation cannot distinguish pointing

@@ -200,6 +200,27 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Personalized PageRank over the q31 graph: walks restart at an
+    // md5-class 10% seed set, so rank measures proximity to the seeds
+    // (expand-a-trusted-set curation) — q177 answers "globally
+    // central", this answers "central FROM HERE". Same per-round
+    // rounding scheme; the restart coefficient stays written
+    // (1 − 0.85)·s; unreached nodes hold exactly 0.
+    "q255_ppr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs,
+        idCol = "doc_id", textCol = "text",
+        shingleN = 5, numHashes = 8, rowsPerBand = 2)
+      val seeds = docs.filter(conv(substring(md5(concat(lit("pprseed:"),
+          col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long")
+          % 10 === 0)
+        .select(col("doc_id"))
+      graft.operators.Graph.personalizedPageRank(pairs, seeds, "doc_id")
+        .select(col("id").as("doc_id"), col("deg"), col("is_seed"),
+          col("rank"))
+        .orderBy("doc_id")
+    }),
+
     // Clamped-seed label propagation over the q31 graph: the lang tag of
     // an md5-class 25% seed set spreads to unlabeled neighbors by
     // iterated neighbor-majority (3 rounds, exact integer votes, greatest
@@ -905,6 +926,55 @@ object DedupQueries {
          |$rounds
          |SELECT id AS doc_id, CAST(deg AS BIGINT) AS deg, rank
          |FROM r5
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // PPR replay: the q31/q65 edge chain, the md5-class seed set
+    // restricted to graph nodes, five unrolled restart rounds — the
+    // q177 arithmetic with (1 − 0.85)·s in place of the uniform base.
+    "q255_ppr" -> {
+      val rounds = (1 to 5).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT b.id,
+           |    round((CAST(1 AS DOUBLE) - 0.85) * b.s
+           |      + 0.85 * coalesce(c.cs, 0) + 1e-15, 12) AS rank
+           |  FROM base b LEFT JOIN (
+           |    SELECT e.dst AS id, sum(r.rank / d.deg) AS cs
+           |    FROM edges e JOIN r${i - 1} r ON r.id = e.src
+           |    JOIN deg d ON d.id = e.src
+           |    GROUP BY e.dst) c ON c.id = b.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $shinglesCte,
+         |$signaturesCte,
+         |$bandsCte,
+         |ok_buckets AS (
+         |  SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |eligible AS (
+         |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM eligible a JOIN eligible b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS MATERIALIZED (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+         |seeds AS (
+         |  SELECT deg.id FROM deg JOIN documents ON documents.doc_id = deg.id
+         |  WHERE CAST(('0x'||substring(md5('pprseed:'||CAST(documents.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10 = 0),
+         |ns AS (SELECT count(*) AS n FROM seeds),
+         |base AS MATERIALIZED (
+         |  SELECT deg.id, deg.deg, (seeds.id IS NOT NULL) AS is_seed,
+         |    CASE WHEN seeds.id IS NOT NULL THEN CAST(1 AS DOUBLE) / ns.n
+         |      ELSE 0.0 END AS s
+         |  FROM deg LEFT JOIN seeds ON seeds.id = deg.id CROSS JOIN ns),
+         |r0 AS (SELECT id, s AS rank FROM base),
+         |$rounds
+         |SELECT b.id AS doc_id, CAST(b.deg AS BIGINT) AS deg, b.is_seed,
+         |  r5.rank
+         |FROM base b JOIN r5 ON r5.id = b.id
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -54,6 +54,48 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1L)._2 == got(4L)._2 && got(2L)._2 == got(3L)._2)
   }
 
+  // replay personalizedPageRank's per-round arithmetic
+  private def replayPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Double] = {
+    val sym = edges ++ edges.map(_.swap)
+    val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+    val in = sym.groupBy(_._2)
+    val sv = deg.keys.map(v =>
+      v -> (if (seeds(v)) 1.0 / seeds.count(deg.contains) else 0.0)).toMap
+    var r = sv
+    for (_ <- 1 to iters) {
+      r = deg.keys.map { v =>
+        val cs = in(v).map { case (u, _) => r(u) / deg(u) }.sum
+        v -> BigDecimal((1.0 - 0.85) * sv(v) + 0.85 * cs + 1e-15)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank: seed-proximity decay, replay match, loud guard") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val got = Graph.personalizedPageRank(edges.toDF("a_id", "b_id"),
+        Seq(Tuple1(1L)).toDF("id"))
+      .as[(Long, Long, Boolean, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val want = replayPpr(edges, Set(1L), 5)
+    want.foreach { case (id, r) =>
+      assert(got(id)._3 == r, s"node $id: got ${got(id)._3}, want $r") }
+    assert(got(1L)._2 && !got(2L)._2)
+    // after 5 rounds the seed's sole neighbor has absorbed the most
+    // mass (a path oscillates under power iteration — no monotone
+    // decay), and the far end trails the seed side
+    assert(got(2L)._3 == got.values.map(_._3).max, s"got $got")
+    assert(got(1L)._3 + got(2L)._3 > got(3L)._3 + got(4L)._3, s"got $got")
+    // a seed set with no graph node is loud
+    val e = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges.toDF("a_id", "b_id"),
+        Seq(Tuple1(99L)).toDF("id"))
+    }
+    assert(e.getMessage.contains("no seed"))
+  }
+
   // replay hits' per-round arithmetic: only the two sums round
   // (+1e-15, 12); max-normalization and the final (+1e-15, 10) are
   // plain IEEE ops on the already-identical values
