@@ -490,6 +490,30 @@ object RelationalQueries {
             .as("conversion"))
     }),
 
+    // Top event PATHS (3-step sequences): q104's Markov matrix says
+    // which single hop is common; this ranks whole 3-step journeys —
+    // the product-analytics "what do users actually do" query. Two
+    // leads over the user-keyed window, counts per path, share = one
+    // exact division by the path total (the normalizing window runs
+    // over the ≤ |types|³ aggregate, never the event stream).
+    "q256_event_paths" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("step2", lead("event_type", 1).over(w))
+        .withColumn("step3", lead("event_type", 2).over(w))
+        .filter(col("step3").isNotNull)
+        .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", col("n") /
+          sum("n").over(org.apache.spark.sql.expressions.Window
+            .partitionBy()))
+        .orderBy(desc("n"), col("step1"), col("step2"), col("step3"))
+        .limit(20)
+    }),
+
     // Event-transition matrix (per-user Markov counts): each user's
     // event stream paired with its successor via lead() — one shuffle on
     // user_id for the window, a partial-agg count of (from, to) pairs,
@@ -847,6 +871,26 @@ object RelationalQueries {
         |  CAST(count(conv_us) AS BIGINT) AS n_converted,
         |  round(CAST(count(conv_us) AS DOUBLE) / count(*) + 1e-9, 4) AS conversion
         |FROM fs LEFT JOIN fc USING (user_id)""".stripMargin,
+
+    // Path replay: two leads over the same user-keyed order, path
+    // counts, one exact division by the total.
+    "q256_event_paths" ->
+      """WITH nxt AS (
+        |  SELECT event_type AS step1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS step2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS step3
+        |  FROM events),
+        |m AS (
+        |  SELECT step1, step2, step3, count(*) AS n
+        |  FROM nxt WHERE step3 IS NOT NULL
+        |  GROUP BY 1, 2, 3)
+        |SELECT step1, step2, step3, n,
+        |  CAST(n AS DOUBLE) / sum(n) OVER () AS share
+        |FROM m
+        |ORDER BY n DESC, step1, step2, step3
+        |LIMIT 20""".stripMargin,
 
     "q104_transitions" ->
       """WITH nxt AS (
