@@ -514,6 +514,40 @@ object RelationalQueries {
         .limit(20)
     }),
 
+    // Time-to-convert distribution: q73's converters, delay quantized
+    // to HOURS (exact modulus-free floor division — the quantization
+    // bounds the value grain at 168 rows, so the cumulative window and
+    // nearest-rank picks never touch user-grain data), and EXACT
+    // nearest-rank percentiles k = ⌈p·n/100⌉ in pure integer math —
+    // zero floats anywhere (the q53 interpolated percentiles' exact
+    // integer sibling).
+    "q257_convert_time" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val firstSignup = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("signup_us"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+        .join(firstSignup, Seq("user_id"))
+        .filter(col("p_us") >= col("signup_us") &&
+          col("p_us") < col("signup_us") + lit(7L * 86400L * 1000000L))
+        .groupBy("user_id", "signup_us").agg(min(col("p_us")).as("conv_us"))
+      val hrs = conv.select(
+        expr("(conv_us - signup_us) DIV 3600000000").as("h"))
+      val cum = hrs.groupBy("h").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(
+          org.apache.spark.sql.expressions.Window.orderBy("h")
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, 0)))
+      cum.crossJoin(broadcast(hrs.agg(count(lit(1)).as("n"))))
+        .crossJoin(broadcast(Seq(25L, 50L, 75L, 90L).toDF("p")))
+        .withColumn("k", expr("(n * p + 99) DIV 100"))
+        .filter(col("cum") >= col("k"))
+        .groupBy("p", "n", "k").agg(min("h").as("hours"))
+        .select(col("p"), col("n"), col("k"), col("hours"))
+        .orderBy("p")
+    }),
+
     // Event-transition matrix (per-user Markov counts): each user's
     // event stream paired with its successor via lead() — one shuffle on
     // user_id for the window, a partial-agg count of (from, to) pairs,
@@ -871,6 +905,40 @@ object RelationalQueries {
         |  CAST(count(conv_us) AS BIGINT) AS n_converted,
         |  round(CAST(count(conv_us) AS DOUBLE) / count(*) + 1e-9, 4) AS conversion
         |FROM fs LEFT JOIN fc USING (user_id)""".stripMargin,
+
+    // Convert-time replay: the q73 funnel chain carrying signup_us,
+    // modulus-free hour floor-division (// is unsupported here), the
+    // value-grain cumulative window, exact ⌈p·n/100⌉ ranks.
+    "q257_convert_time" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS signup_us
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |fc AS (
+        |  SELECT e.user_id, fs.signup_us, min(epoch_us(e.ts)) AS conv_us
+        |  FROM events e JOIN fs USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= fs.signup_us
+        |    AND epoch_us(e.ts) < fs.signup_us + 604800000000
+        |  GROUP BY 1, 2),
+        |hrs AS (
+        |  SELECT CAST(((conv_us - signup_us)
+        |    - ((conv_us - signup_us) % 3600000000)) / 3600000000 AS BIGINT)
+        |    AS h
+        |  FROM fc),
+        |cum AS (
+        |  SELECT h, sum(c) OVER (ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT h, count(*) AS c FROM hrs GROUP BY h)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM hrs),
+        |kv AS (
+        |  SELECT CAST(ps.p AS BIGINT) AS p, nn.n AS n,
+        |    CAST(((nn.n * ps.p + 99) - ((nn.n * ps.p + 99) % 100)) / 100
+        |      AS BIGINT) AS k
+        |  FROM (SELECT unnest([25, 50, 75, 90]) AS p) ps CROSS JOIN nn)
+        |SELECT kv.p, kv.n, kv.k, min(cum.h) AS hours
+        |FROM kv JOIN cum ON cum.cum >= kv.k
+        |GROUP BY kv.p, kv.n, kv.k
+        |ORDER BY p""".stripMargin,
 
     // Path replay: two leads over the same user-keyed order, path
     // counts, one exact division by the total.
