@@ -1022,6 +1022,68 @@ object Dedup {
         graft.functions.cosine_sim(col("a_vec"), col("b_vec")).as("score"))
   }
 
+  /** Density-based clustering (DBSCAN, Ester et al. 1996) over the
+    * BUCKETED similarity graph — the clustering family member kmeans
+    * (centroid), mutual-kNN components (connectivity), and SemDeDup
+    * (in-cell pairs) don't cover: clusters are DENSITY-reachable
+    * regions of arbitrary shape, and points in no dense region are
+    * NOISE rather than force-assigned — the right tool for "find the
+    * organic content groups and leave the stragglers alone".
+    *
+    * Neighborhoods come from [[embeddingPairs]]' sign-bucket candidates
+    * (the documented LSH recall contract — a neighbor in a different
+    * bucket is not seen, exactly as every bucketed operator here), with
+    * similarity ≥ `minSim` on the ROUNDED cosine. A point is CORE with
+    * ≥ `minPts` such neighbors; clusters are connected components over
+    * core–core edges (min-id representative, isolated cores their own
+    * singleton); a non-core point with a core neighbor is a BORDER of
+    * the smallest rep among its core neighbors (deterministic
+    * tie-break); everything else is NOISE (rep NULL).
+    *
+    * Scale shape: bucket-capped pair enumeration, edge-keyed degree
+    * count, the q65 component machinery on the (much sparser) core
+    * subgraph, one join-back for borders. All exact integer/rounded-
+    * compare math.
+    *
+    * Output: one row per input id — (idCol, role, cluster_rep).
+    */
+  def dbscanClusters(df: DataFrame, idCol: String, vecCol: String,
+      minSim: Double, minPts: Int = 2, nBits: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    val pairs = embeddingPairs(df, idCol, vecCol, nBits, maxBucketSize)
+      .select(col("a_id"), col("b_id"),
+        round(col("score") + lit(1e-9), 6).as("__s"))
+      .filter(col("__s") >= minSim)
+      .select("a_id", "b_id")
+    val sym = pairs.unionByName(pairs.select(col("b_id").as("a_id"),
+      col("a_id").as("b_id")))
+    val core = sym.groupBy(col("a_id").as("id"))
+      .agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= minPts).select("id")
+    val coreEdges = pairs
+      .join(core.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
+      .join(core.select(col("id").as("b_id")), Seq("b_id"), "left_semi")
+      .select("a_id", "b_id")
+    val cc = connectedComponents(coreEdges)
+    val coreAll = core.join(cc, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("cluster_rep"), col("id")).as("__rep"))
+    val borders = sym
+      .join(core.select(col("id").as("a_id")), Seq("a_id"), "left_anti")
+      .join(coreAll.select(col("id").as("b_id"), col("__rep")),
+        Seq("b_id"))
+      .groupBy(col("a_id").as("id")).agg(min("__rep").as("__brep"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(coreAll, Seq("id"), "left_outer")
+      .join(borders, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        when(col("__rep").isNotNull, "core")
+          .when(col("__brep").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("__rep"), col("__brep")).as("cluster_rep"))
+  }
+
   /** k-nearest-neighbor graph over an embedding column — the curation
     * primitive behind cluster discovery, SemDeDup-style pruning, and
     * manifold methods: each node keeps its `k` highest-cosine IN-BUCKET

@@ -451,6 +451,18 @@ object DedupQueries {
         .orderBy("vec_id")
     }),
 
+    // Density-based clustering (DBSCAN over the bucketed similarity
+    // graph): cores have ≥ 2 in-bucket neighbors at rounded cosine ≥
+    // 0.15, clusters = min-id components over core–core edges, borders
+    // attach to the smallest core neighbor's rep, everything else is
+    // NOISE with a NULL rep — the arbitrary-shape clustering kmeans
+    // and mutual-kNN components don't give.
+    "q258_dbscan" -> ((s, dir) => {
+      Dedup.dbscanClusters(Tables.embeddings(s, dir), "vec_id",
+          "embedding", minSim = 0.15, minPts = 2, nBits = 8)
+        .orderBy("vec_id")
+    }),
+
     // N-gram novelty: per doc, the fraction of its distinct shingles
     // whose corpus-wide first occurrence (min doc_id) is this doc —
     // the dedup-aware curriculum/ordering signal. Exact counts, one
@@ -1439,6 +1451,62 @@ object DedupQueries {
         |ORDER BY vec_id""".stripMargin),
 
     "q203_kcore" -> kCoreSql(k = 3, layers = 8),
+
+    // DBSCAN replay: the q34 bucketed-pair chain thresholded on the
+    // rounded cosine, degree-based cores, recursive closure over
+    // core–core edges, border min-rep attach, noise NULL.
+    "q258_dbscan" -> {
+      val bucket = (0 until 8)
+        .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH RECURSIVE coded AS (
+         |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |keep AS (
+         |  SELECT bucket FROM coded GROUP BY bucket
+         |  HAVING count(DISTINCT vec_id) BETWEEN 2 AND 1000),
+         |prs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM coded a JOIN coded b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN keep k ON a.bucket = k.bucket
+         |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |    CAST(b.embedding AS DOUBLE[])) + 1e-9, 6) >= 0.15),
+         |sym AS (
+         |  SELECT a_id AS src, b_id AS dst FROM prs
+         |  UNION ALL SELECT b_id, a_id FROM prs),
+         |core AS (SELECT src AS id FROM sym GROUP BY src
+         |  HAVING count(*) >= 2),
+         |ce AS (
+         |  SELECT p.a_id, p.b_id FROM prs p
+         |  JOIN core ca ON ca.id = p.a_id
+         |  JOIN core cb ON cb.id = p.b_id),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM ce
+         |  UNION SELECT b_id, a_id FROM ce),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |comp AS (SELECT id, CAST(min(r) AS BIGINT) AS rep
+         |  FROM reach GROUP BY id),
+         |coreall AS (
+         |  SELECT core.id, coalesce(comp.rep, core.id) AS rep
+         |  FROM core LEFT JOIN comp ON comp.id = core.id),
+         |borders AS (
+         |  SELECT s.src AS id, min(ca.rep) AS brep
+         |  FROM sym s JOIN coreall ca ON ca.id = s.dst
+         |  WHERE s.src NOT IN (SELECT id FROM core)
+         |  GROUP BY s.src)
+         |SELECT e.vec_id,
+         |  CASE WHEN ca.id IS NOT NULL THEN 'core'
+         |       WHEN b.id IS NOT NULL THEN 'border'
+         |       ELSE 'noise' END AS role,
+         |  CAST(coalesce(ca.rep, b.brep) AS BIGINT) AS cluster_rep
+         |FROM embeddings e
+         |LEFT JOIN coreall ca ON ca.id = e.vec_id
+         |LEFT JOIN borders b ON b.id = e.vec_id
+         |ORDER BY e.vec_id""".stripMargin
+    },
 
     // Novelty replay: the shared shingle chain, min-id ownership, two
     // exact counts, one exact division.

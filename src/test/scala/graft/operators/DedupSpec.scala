@@ -457,6 +457,32 @@ class DedupSpec extends AnyFunSuite {
       (4L, 2L, 3L, 0.75)), s"got $got")
   }
 
+  test("dbscanClusters: core/border/noise roles, min-rep clusters") {
+    // all vectors share sign bucket (+,+); similarities controlled by
+    // direction: 1,2,3 tightly aligned (each ≥ 2 close neighbors →
+    // core); 4 near only 3 (one neighbor → border of 3's cluster);
+    // 5 orthogonal-ish to all (noise)
+    def v8(x: Float, y: Float) =
+      Array(x, y, 0f, 0f, 0f, 0f, 0f, 0f)
+    val vecs = Seq(
+      (1L, v8(1.0f, 0.10f)),
+      (2L, v8(1.0f, 0.12f)),
+      (3L, v8(1.0f, 0.14f)),
+      (4L, v8(1.0f, 0.60f)),
+      (5L, v8(0.05f, 1.0f))).toDF("vec_id", "embedding")
+    // at 0.92: 1-2/1-3/2-3 and 3-4 are edges (3-4 = 0.9205); 4's only
+    // neighbor is 3 → border; 5 peaks at 0.557 → noise
+    val got = Dedup.dbscanClusters(vecs, "vec_id", "embedding",
+        minSim = 0.92, minPts = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got(1L) == (("core", Some(1L))), s"got $got")
+    assert(got(2L) == (("core", Some(1L))))
+    assert(got(3L) == (("core", Some(1L))))
+    assert(got(4L) == (("border", Some(1L))), s"got ${got(4L)}")
+    assert(got(5L) == (("noise", None)))
+  }
+
   test("noveltyScores: min-id ownership, shared grams charge the later doc") {
     val docs = Seq(
       (1L, "a b c d e f"),       // 2 shingles, both first here
