@@ -1361,6 +1361,14 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // STREAMING readability: the operator is a pure per-row projection
+    // (no aggregation, no state) so the batch body runs UNCHANGED in
+    // append mode; gated on q235's oracle verbatim.
+    "q259_stream_readability" -> ((s, dir) => {
+      graft.streaming.StreamingIngest.streamReadability(s, dir)
+        .orderBy("doc_id")
+    }),
+
     // Count-pruned LM scoring (q100 with minCount=2): the production
     // deviation the NgramLm docs describe — KenLM-style support pruning —
     // made gate-checkable instead of prose. The pruned model is
@@ -1580,6 +1588,30 @@ object TextQueries {
       |  SELECT doc_id, label_true, label AS pred, row_number() OVER (
       |    PARTITION BY doc_id ORDER BY score DESC, label) AS rn
       |  FROM grid)""".stripMargin
+
+  private lazy val q235OracleSql =
+    """WITH w AS (
+      |  SELECT doc_id, text,
+      |    regexp_extract_all(lower(text), '[a-z]+') AS wl
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(wl) AS BIGINT) AS n_words,
+      |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sents,
+      |    CAST(coalesce(list_sum(list_transform(wl,
+      |      x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0) AS BIGINT) AS n_syll
+      |  FROM w)
+      |SELECT doc_id, n_words, n_sents, n_syll,
+      |  CASE WHEN n_words = 0 THEN NULL
+      |    ELSE round(0.39 * (CAST(n_words AS DOUBLE) / n_sents) +
+      |      11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59 + 1e-9, 6)
+      |    END AS fk_grade,
+      |  CASE WHEN n_words = 0 THEN NULL
+      |    ELSE round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents) -
+      |      84.6 * (CAST(n_syll AS DOUBLE) / n_words) + 1e-9, 6)
+      |    END AS reading_ease
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
 
   private lazy val q251OracleSql =
     """WITH kel AS (
@@ -2021,29 +2053,11 @@ object TextQueries {
     // Readability replay: the same [a-z]+ / [.!?]+ / [aeiouy]+ run
     // counts (list_sum of an empty list is NULL in DuckDB — coalesce to
     // Spark's fold-over-empty 0), linear forms token-for-token.
-    "q235_readability" ->
-      """WITH w AS (
-        |  SELECT doc_id, text,
-        |    regexp_extract_all(lower(text), '[a-z]+') AS wl
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id,
-        |    CAST(len(wl) AS BIGINT) AS n_words,
-        |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sents,
-        |    CAST(coalesce(list_sum(list_transform(wl,
-        |      x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0) AS BIGINT) AS n_syll
-        |  FROM w)
-        |SELECT doc_id, n_words, n_sents, n_syll,
-        |  CASE WHEN n_words = 0 THEN NULL
-        |    ELSE round(0.39 * (CAST(n_words AS DOUBLE) / n_sents) +
-        |      11.8 * (CAST(n_syll AS DOUBLE) / n_words) - 15.59 + 1e-9, 6)
-        |    END AS fk_grade,
-        |  CASE WHEN n_words = 0 THEN NULL
-        |    ELSE round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents) -
-        |      84.6 * (CAST(n_syll AS DOUBLE) / n_words) + 1e-9, 6)
-        |    END AS reading_ease
-        |FROM c
-        |ORDER BY doc_id""".stripMargin,
+    "q235_readability" -> q235OracleSql,
+
+    // Stream ≡ batch: the stateless readability projection gates on
+    // q235's oracle verbatim.
+    "q259_stream_readability" -> q235OracleSql,
 
     // Kneser–Ney replay: D and the per-history λ chain parenthesized
     // exactly as the Spark side ((D·n1p)/ctx; (c−D)/ctx + λ·pc); the

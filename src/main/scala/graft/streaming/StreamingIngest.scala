@@ -420,6 +420,35 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Streaming readability scoring — [[graft.operators.TextAnalysis
+    * .readability]] is a pure per-row projection (counts, exact
+    * divisions, fixed-order linear forms; no aggregation, no state), so
+    * the batch operator runs UNCHANGED on the stream in append mode and
+    * the gate reuses q235's oracle verbatim (stream ≡ batch, the
+    * stateless-twin rule).
+    */
+  def streamReadability(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_readability"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val arriving = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val out = TextAnalysis.readability(arriving, "doc_id", "text")
+      .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+        round(col("fk_grade") + lit(1e-9), 6).as("fk_grade"),
+        round(col("reading_ease") + lit(1e-9), 6).as("reading_ease"))
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest-time SENTENCE screening — [[graft.operators
     * .TextAnalysis.incomingSentenceScreen]] as a stream: the corpus's
     * distinct sentences are the static side, each arriving document
