@@ -1398,10 +1398,25 @@ object TextAnalysis {
   def bm25Weighted(df: DataFrame, idCol: String, textCol: String,
       weightedTerms: Seq[(String, Double)], k1: Double = 1.2,
       b: Double = 0.75, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    bm25WeightedScores(df, idCol, textCol, weightedTerms, k1, b)
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("bm25"), col("dl"))
+  }
+
+  /** [[bm25Weighted]] WITHOUT the top-k cut — every row with ≥ 1 term
+    * hit and its rounded score: the building block for aggregations
+    * OVER the scored set (per-document max-pooling of passage scores,
+    * score histograms) where a shortlist would lose rows. Output:
+    * (idCol, dl, bm25).
+    */
+  def bm25WeightedScores(df: DataFrame, idCol: String, textCol: String,
+      weightedTerms: Seq[(String, Double)], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
     require(weightedTerms.nonEmpty, "bm25Weighted: empty term list")
     require(weightedTerms.map(_._1).distinct.size == weightedTerms.size,
       s"bm25Weighted: duplicate terms in ${weightedTerms.map(_._1)}")
-    require(k >= 1, s"k must be positive, got $k")
     val spark = df.sparkSession
     import spark.implicits._
     val toks = df.select(col(idCol),
@@ -1428,9 +1443,7 @@ object TextAnalysis {
       .select(col(idCol), col("dl"), c.as("__c"))
       .groupBy(col(idCol), col("dl"))
       .agg(round(sum("__c") + lit(1e-9), 6).as("bm25"))
-      .orderBy(desc("bm25"), col(idCol))
-      .limit(k)
-      .select(col(idCol), col("bm25"), col("dl"))
+      .select(col(idCol), col("dl"), col("bm25"))
   }
 
   /** Pseudo-relevance-feedback query expansion (Rocchio 1971; the

@@ -1361,6 +1361,32 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Passage retrieval with document max-pooling: the q96 sliding
+    // chunks become the retrieval corpus (pid = doc·10000 + chunk),
+    // join-based BM25 scores EVERY matching passage (the un-cut
+    // bm25WeightedScores — a shortlist would lose the pooling rows),
+    // each doc takes its best passage (rounded score, earliest-chunk
+    // tie-break), top-10 docs — the RAG shape where long documents
+    // match on their best window, not their diluted whole.
+    "q260_passage_retrieval" -> ((s, dir) => {
+      val chunks = TextAnalysis.chunkDocuments(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", chunkSize = 40, stride = 30)
+        .select(col("doc_id"), col("chunk_id"), col("chunk"),
+          (col("doc_id") * 10000L + col("chunk_id")).as("pid"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(desc("bm25"), col("chunk_id"))
+      TextAnalysis.bm25WeightedScores(chunks, "pid", "chunk",
+          Seq(("vector", 1.0), ("data", 1.0)))
+        .join(chunks.select("pid", "doc_id", "chunk_id"), Seq("pid"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("chunk_id").as("best_chunk"),
+          col("bm25"))
+        .orderBy(desc("bm25"), col("doc_id"))
+        .limit(10)
+    }),
+
     // STREAMING readability: the operator is a pure per-row projection
     // (no aggregation, no state) so the batch body runs UNCHANGED in
     // append mode; gated on q235's oracle verbatim.
@@ -3445,6 +3471,68 @@ object TextQueries {
     "q193_bm25_index" -> q136Oracle,
 
     "q136_bm25" -> q136Oracle,
+
+    // Passage-retrieval replay: the q96 chunk chain carrying chunk
+    // text, the generic join-based BM25 (per-passage sums rounded —
+    // the q240 stage-3 convention), per-doc best-passage window,
+    // top-10 on the rounded score.
+    "q260_passage_retrieval" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 0 THEN 0
+        |         ELSE 1 + greatest((len(toks) - 40 + 29) // 30, 0)
+        |    END AS nc
+        |  FROM t),
+        |ch AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |    doc_id * 10000 + i AS pid,
+        |    array_to_string(toks[i*30+1 : i*30+40], ' ') AS chunk
+        |  FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)),
+        |toks2 AS MATERIALIZED (
+        |  SELECT pid, doc_id, chunk_id,
+        |    regexp_extract_all(lower(chunk), '[a-z0-9]+') AS t
+        |  FROM ch),
+        |st AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM toks2),
+        |ad AS (
+        |  SELECT pid, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term
+        |  FROM toks2),
+        |tf2 AS (
+        |  SELECT pid, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM ad GROUP BY pid, dl, term),
+        |terms2 AS (
+        |  SELECT 'vector' AS term, CAST(1 AS DOUBLE) AS w
+        |  UNION ALL SELECT 'data', CAST(1 AS DOUBLE)),
+        |hits AS MATERIALIZED (
+        |  SELECT tf2.pid, tf2.dl, tf2.term, tf2.tf, terms2.w
+        |  FROM tf2 JOIN terms2 USING (term)),
+        |dfq AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS dfq FROM hits GROUP BY term),
+        |sc AS (
+        |  SELECT h.pid, h.dl,
+        |    h.w * ln((st.n - d.dfq + 0.5)/(d.dfq + 0.5) + 1)
+        |      * (h.tf * (1.2 + 1))
+        |      / (h.tf + 1.2 * (1.0 - 0.75 + 0.75 * h.dl / st.avgdl)) AS cc
+        |  FROM hits h JOIN dfq d USING (term) CROSS JOIN st),
+        |ps AS (
+        |  SELECT pid, round(sum(cc) + 1e-9, 6) AS bm25
+        |  FROM sc GROUP BY pid),
+        |best AS (
+        |  SELECT doc_id, chunk_id AS best_chunk, bm25 FROM (
+        |    SELECT ch.doc_id, ch.chunk_id, ps.bm25,
+        |      row_number() OVER (PARTITION BY ch.doc_id
+        |        ORDER BY ps.bm25 DESC, ch.chunk_id) AS rn
+        |    FROM ps JOIN ch ON ch.pid = ps.pid)
+        |  WHERE rn = 1)
+        |SELECT doc_id, best_chunk, bm25
+        |FROM best
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 10""".stripMargin,
 
     // Sentence-screen replay (shared by the batch and streaming gates):
     // corpus distinct sentences, the appended-fresh batch, the marker
