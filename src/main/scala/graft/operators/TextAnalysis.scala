@@ -568,6 +568,38 @@ object TextAnalysis {
             struct(col("__p"), col("__sent"))))),
           x => x.getField("__sent")), " ").as("cleaned_text"))
 
+  /** Ingest-time NOVELTY of an arriving batch against the corpus's
+    * STORED distinct-shingle set — "how much genuinely new text does
+    * this batch bring": per arriving doc, the fraction of its distinct
+    * shingles absent from the stored set. The admission-decision
+    * companion of [[noveltyScores]] (which ranks WITHIN a corpus) and
+    * the q204 family's metric member.
+    *
+    * Shape: shingle projection (stream-safe — no Parallelism probe, no
+    * window), ONE marker left join against the stored set, ONE
+    * aggregation — the same body serves batch and stream (the
+    * incomingSentenceScreen discipline). Exact counts, novelty ONE
+    * exact-integer division.
+    *
+    * `stored` carries one `shingle` column. Output:
+    * (idCol, n_shingles, n_new, novelty).
+    */
+  def incomingNovelty(stored: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 5): DataFrame =
+    batch
+      .select(col(idCol).as("__doc"),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
+      .select(col("__doc"),
+        explode(array_distinct(
+          ngramsFromTokens(col("__toks"), shingleN))).as("__sh"))
+      .join(stored.select(col("shingle").as("__sh"),
+        lit(true).as("__known")), Seq("__sh"), "left_outer")
+      .groupBy(col("__doc").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__known").isNull, 1L).otherwise(0L)).as("n_new"))
+      .select(col(idCol), col("n_shingles"), col("n_new"),
+        (col("n_new") / col("n_shingles")).as("novelty"))
+
   /** Per-document n-gram NOVELTY: the fraction of a document's distinct
     * shingles whose corpus-wide FIRST OCCURRENCE (min doc id) is this
     * document — the ordering/selection signal behind dedup-aware

@@ -451,6 +451,32 @@ object DedupQueries {
         .orderBy("vec_id")
     }),
 
+    // Ingest-time batch novelty vs the STORED corpus shingle set: per
+    // arriving doc, the fraction of its distinct shingles the corpus
+    // has never seen — the admission metric beside q204's dedup screen
+    // (one marker left join + one agg, the same body serving stream).
+    "q261_incoming_novelty" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      val shPath = Scratch.dir("graft_q261") + "/shingles"
+      Dedup.explodeShingles(docs, "doc_id", "text", 5)
+        .select("shingle").distinct()
+        .write.mode("overwrite").parquet(shPath)
+      val stored = s.read.parquet(shPath)
+      val batch = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" tm1 tm2")).as("text"))
+      graft.operators.TextAnalysis.incomingNovelty(stored, batch,
+          "doc_id", "text", shingleN = 5)
+        .orderBy("doc_id")
+    }),
+
+    // STREAMING twin of q261 (stream-static marker join + one agg);
+    // gated on q261's oracle verbatim.
+    "q262_stream_novelty" -> ((s, dir) => {
+      graft.streaming.StreamingIngest.streamIncomingNovelty(s, dir)
+        .orderBy("doc_id")
+    }),
+
     // Density-based clustering (DBSCAN over the bucketed similarity
     // graph): cores have ≥ 2 in-bucket neighbors at rounded cosine ≥
     // 0.15, clusters = min-id components over core–core edges, borders
@@ -1452,6 +1478,12 @@ object DedupQueries {
 
     "q203_kcore" -> kCoreSql(k = 3, layers = 8),
 
+    // Incoming-novelty replay (shared by the batch and streaming
+    // gates): corpus distinct shingles, the q204 batch, the marker
+    // left join, exact counts, one exact division.
+    "q261_incoming_novelty" -> incomingNoveltyOracleSql,
+    "q262_stream_novelty" -> incomingNoveltyOracleSql,
+
     // DBSCAN replay: the q34 bucketed-pair chain thresholded on the
     // rounded cosine, degree-based cores, recursive closure over
     // core–core edges, border min-rep attach, noise NULL.
@@ -1828,6 +1860,33 @@ object DedupQueries {
   // must share one), exact set Jaccard >= 0.5. Shared by q33 (the direct
   // shared-shingle join) and q187 (the prefix-filtered join, whose
   // guarantee makes the outputs identical).
+  private lazy val incomingNoveltyOracleSql =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') w FROM documents),
+      |ksh AS MATERIALIZED (
+      |  SELECT DISTINCT
+      |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+      |  FROM (SELECT w, unnest(range(1, len(w) - 3)) AS i FROM toks)),
+      |b AS (
+      |  SELECT doc_id + 500000 AS doc_id, text || ' tm1 tm2' AS text
+      |  FROM documents WHERE doc_id % 7 = 3),
+      |btoks AS (SELECT doc_id, regexp_extract_all(text, '\S+') w FROM b),
+      |bsh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4] AS shingle
+      |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+      |        FROM btoks)),
+      |sel AS (
+      |  SELECT bsh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+      |    CAST(sum(CASE WHEN k.shingle IS NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_new
+      |  FROM bsh LEFT JOIN ksh k ON k.shingle = bsh.shingle
+      |  GROUP BY bsh.doc_id)
+      |SELECT doc_id, n_shingles, n_new,
+      |  CAST(n_new AS DOUBLE) / n_shingles AS novelty
+      |FROM sel
+      |ORDER BY doc_id""".stripMargin
+
   private lazy val ngramJaccardOracle =
     s"""WITH $shinglesCte,
        |rare AS (

@@ -449,6 +449,43 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Streaming ingest-time NOVELTY metric — [[graft.operators
+    * .TextAnalysis.incomingNovelty]] on the stream: the corpus's
+    * distinct shingles are the static side; one marker left join + one
+    * aggregation, so the batch body runs UNCHANGED and the gate reuses
+    * the batch oracle verbatim. The streamed batch: the %7=3 slice,
+    * ids +500000, two fresh tokens appended (the q204 batch).
+    */
+  def streamIncomingNovelty(spark: SparkSession, sfDir: String,
+      shingleN: Int = 5,
+      queryName: String = "stream_novelty"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val known = spark.read.parquet(path)
+      .select(explode(array_distinct(TextAnalysis.ngramsFromTokens(
+        regexp_extract_all(col("text"), lit("\\S+"), lit(0)), shingleN)))
+        .as("shingle"))
+      .distinct()
+    val arriving = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" tm1 tm2")).as("text"))
+    val out = TextAnalysis.incomingNovelty(known, arriving,
+      "doc_id", "text", shingleN)
+    val q = out.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest-time SENTENCE screening — [[graft.operators
     * .TextAnalysis.incomingSentenceScreen]] as a stream: the corpus's
     * distinct sentences are the static side, each arriving document

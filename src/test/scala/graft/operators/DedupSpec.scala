@@ -483,6 +483,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got(5L) == (("noise", None)))
   }
 
+  test("incomingNovelty: known shingles don't count, fresh ones do") {
+    val stored = Seq("a b c d e", "b c d e f").toDF("shingle")
+    val batch = Seq(
+      (1L, "a b c d e f"),       // both shingles known → novelty 0
+      (2L, "a b c d e f g"),     // 2 known + 1 new → 1/3
+      (3L, "v w x y z")).toDF("doc_id", "text") // all new → 1
+    val got = TextAnalysis.incomingNovelty(stored, batch, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == ((2L, 0L, 0.0)), s"got ${got(1L)}")
+    assert(got(2L) == ((3L, 1L, 1.0 / 3)), s"got ${got(2L)}")
+    assert(got(3L) == ((1L, 1L, 1.0)))
+  }
+
   test("noveltyScores: min-id ownership, shared grams charge the later doc") {
     val docs = Seq(
       (1L, "a b c d e f"),       // 2 shingles, both first here
