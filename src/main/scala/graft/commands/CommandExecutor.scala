@@ -160,6 +160,12 @@ object CommandExecutor {
           kf = opts.getOrElse("kf", "20").toInt,
           kRrf = opts.getOrElse("krrf", "60").toInt)
 
+      case Summarize(coll, arg) =>
+        val opts = arg.map(parseKv).getOrElse(Map.empty)
+        db.summarize(coll,
+          iters = opts.getOrElse("iters", "5").toInt,
+          maxSents = opts.getOrElse("maxsents", "64").toInt)
+
       case SearchPhrase(coll, arg) =>
         val opts = parseKv(arg)
         db.searchPhrase(coll,

@@ -450,6 +450,23 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * the rescan. Without one it falls back to the one-pass
     * [[graft.operators.TextAnalysis.bm25]] corpus scan.
     */
+  /** SUMMARIZE (extension command, the LISTINDEXES/SEARCHTEXT
+    * precedent): TextRank extractive top sentence per document over the
+    * collection's payload — `SUMMARIZE [-a "iters=5;maxsents=64"]`.
+    * One row per document with ≥ 1 eligible sentence:
+    * (id, sent_idx, rank, sent). See
+    * [[graft.operators.TextAnalysis.textRankSummary]] for semantics
+    * and the cross-engine exactness scheme.
+    */
+  def summarize(name: String, iters: Int = 5,
+      maxSents: Int = 64): DataFrame = {
+    requireCollection(name)
+    graft.operators.TextAnalysis.textRankSummary(
+        read(name).select(col("id"), col("payload")),
+        "id", "payload", iters = iters, maxSents = maxSents)
+      .orderBy("id")
+  }
+
   def searchText(name: String, rawTerms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75, k: Int = 20): DataFrame = {
     requireCollection(name)

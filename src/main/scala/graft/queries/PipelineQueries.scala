@@ -1222,6 +1222,24 @@ object PipelineQueries {
       run("SEARCHTEXT", "terms=vector,data,graftnovel;k=20")
     }),
 
+    // SUMMARIZE at the command surface: TextRank top sentence per
+    // document over the collection payloads — the q243 operator
+    // reached through the CLI grammar (LISTINDEXES/SEARCHTEXT
+    // extension precedent). The oracle replays the q243 chain with
+    // the command's id alias.
+    "q263_summarize_cmd" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q263")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "SUMMARIZE", None)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+    }),
+
     // Ingest capstone v2 — the full modern pipeline over the MANAGED
     // artifacts: arriving batch → doc-level near-dup screen (stored
     // minhash bands) drops whole copies → exact-substring scrub (stored

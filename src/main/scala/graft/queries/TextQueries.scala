@@ -1577,6 +1577,66 @@ object TextQueries {
     * per-doc scores, argmax) through `rk` — shared by the confusion
     * gate (q145) and the metrics gate (q253).
     */
+  /** The q243 TextRank oracle chain, parameterized on the output id
+    * alias so the operator gate (doc_id) and the SUMMARIZE command
+    * gate (id) share one generator.
+    */
+  private def textRankOracleSql(idOut: String): String = {
+      val rounds = (1 to 5).map { k =>
+        s"""r$k AS MATERIALIZED (
+           |  SELECT s.doc_id, s.sidx,
+           |    round((CAST(1 AS DOUBLE) - 0.85) / nn.n
+           |      + 0.85 * coalesce(c.cs, 0) + 1e-15, 12) AS rank
+           |  FROM el s JOIN nn ON nn.doc_id = s.doc_id
+           |  LEFT JOIN (
+           |    SELECT e.doc_id, e.dst AS sidx, sum(e.enorm * r.rank) AS cs
+           |    FROM edges e JOIN r${k - 1} r
+           |      ON r.doc_id = e.doc_id AND r.sidx = e.src
+           |    GROUP BY e.doc_id, e.dst) c
+           |  ON c.doc_id = s.doc_id AND c.sidx = s.sidx)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH parts AS MATERIALIZED (
+         |  SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS p
+         |  FROM documents),
+         |el AS MATERIALIZED (
+         |  SELECT * FROM (
+         |    SELECT doc_id, CAST(i - 1 AS BIGINT) AS sidx, trim(p[i]) AS sent,
+         |      list_distinct(regexp_extract_all(lower(p[i]), '[a-z0-9]+')) AS w
+         |    FROM (SELECT doc_id, p, unnest(range(1, len(p) + 1)) AS i
+         |          FROM parts)
+         |    WHERE i - 1 < 64)
+         |  WHERE len(w) >= 1),
+         |nn AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM el GROUP BY doc_id),
+         |hw AS (
+         |  SELECT doc_id, src, dst, CAST(i2 AS DOUBLE) / (ab - i2) AS w
+         |  FROM (
+         |    SELECT a.doc_id, a.sidx AS src, b.sidx AS dst,
+         |      CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS i2,
+         |      CAST(len(a.w) + len(b.w) AS BIGINT) AS ab
+         |    FROM el a JOIN el b ON a.doc_id = b.doc_id AND a.sidx < b.sidx)
+         |  WHERE i2 >= 1),
+         |sym AS MATERIALIZED (
+         |  SELECT doc_id, src, dst, w FROM hw
+         |  UNION ALL SELECT doc_id, dst, src, w FROM hw),
+         |edges AS MATERIALIZED (
+         |  SELECT sym.doc_id, sym.src, sym.dst, sym.w / ws.wsum AS enorm
+         |  FROM sym JOIN (
+         |    SELECT doc_id, src, round(sum(w) + 1e-15, 12) AS wsum
+         |    FROM sym GROUP BY doc_id, src) ws
+         |  ON ws.doc_id = sym.doc_id AND ws.src = sym.src),
+         |r0 AS MATERIALIZED (
+         |  SELECT el.doc_id, el.sidx, CAST(1 AS DOUBLE) / nn.n AS rank
+         |  FROM el JOIN nn ON nn.doc_id = el.doc_id),
+         |$rounds
+         |SELECT doc_id AS $idOut, sidx AS sent_idx, rank, sent FROM (
+         |  SELECT r5.doc_id, r5.sidx, r5.rank, el.sent,
+         |    row_number() OVER (PARTITION BY r5.doc_id
+         |      ORDER BY r5.rank DESC, r5.sidx) AS rn
+         |  FROM r5 JOIN el ON el.doc_id = r5.doc_id AND el.sidx = r5.sidx)
+         |WHERE rn = 1
+         |ORDER BY $idOut""".stripMargin
+    }
+
   private lazy val nbChainSql =
     """WITH d AS (
       |  SELECT doc_id, source,
@@ -3620,61 +3680,12 @@ object TextQueries {
     // the exact-integer Jaccard edges, rounded out-weight sums, five
     // unrolled weighted-PageRank rounds (all frames MATERIALIZED — each
     // layer is referenced twice), per-doc argmax window.
-    "q243_textrank" -> {
-      val rounds = (1 to 5).map { k =>
-        s"""r$k AS MATERIALIZED (
-           |  SELECT s.doc_id, s.sidx,
-           |    round((CAST(1 AS DOUBLE) - 0.85) / nn.n
-           |      + 0.85 * coalesce(c.cs, 0) + 1e-15, 12) AS rank
-           |  FROM el s JOIN nn ON nn.doc_id = s.doc_id
-           |  LEFT JOIN (
-           |    SELECT e.doc_id, e.dst AS sidx, sum(e.enorm * r.rank) AS cs
-           |    FROM edges e JOIN r${k - 1} r
-           |      ON r.doc_id = e.doc_id AND r.sidx = e.src
-           |    GROUP BY e.doc_id, e.dst) c
-           |  ON c.doc_id = s.doc_id AND c.sidx = s.sidx)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH parts AS MATERIALIZED (
-         |  SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS p
-         |  FROM documents),
-         |el AS MATERIALIZED (
-         |  SELECT * FROM (
-         |    SELECT doc_id, CAST(i - 1 AS BIGINT) AS sidx, trim(p[i]) AS sent,
-         |      list_distinct(regexp_extract_all(lower(p[i]), '[a-z0-9]+')) AS w
-         |    FROM (SELECT doc_id, p, unnest(range(1, len(p) + 1)) AS i
-         |          FROM parts)
-         |    WHERE i - 1 < 64)
-         |  WHERE len(w) >= 1),
-         |nn AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM el GROUP BY doc_id),
-         |hw AS (
-         |  SELECT doc_id, src, dst, CAST(i2 AS DOUBLE) / (ab - i2) AS w
-         |  FROM (
-         |    SELECT a.doc_id, a.sidx AS src, b.sidx AS dst,
-         |      CAST(len(list_intersect(a.w, b.w)) AS BIGINT) AS i2,
-         |      CAST(len(a.w) + len(b.w) AS BIGINT) AS ab
-         |    FROM el a JOIN el b ON a.doc_id = b.doc_id AND a.sidx < b.sidx)
-         |  WHERE i2 >= 1),
-         |sym AS MATERIALIZED (
-         |  SELECT doc_id, src, dst, w FROM hw
-         |  UNION ALL SELECT doc_id, dst, src, w FROM hw),
-         |edges AS MATERIALIZED (
-         |  SELECT sym.doc_id, sym.src, sym.dst, sym.w / ws.wsum AS enorm
-         |  FROM sym JOIN (
-         |    SELECT doc_id, src, round(sum(w) + 1e-15, 12) AS wsum
-         |    FROM sym GROUP BY doc_id, src) ws
-         |  ON ws.doc_id = sym.doc_id AND ws.src = sym.src),
-         |r0 AS MATERIALIZED (
-         |  SELECT el.doc_id, el.sidx, CAST(1 AS DOUBLE) / nn.n AS rank
-         |  FROM el JOIN nn ON nn.doc_id = el.doc_id),
-         |$rounds
-         |SELECT doc_id, sidx AS sent_idx, rank, sent FROM (
-         |  SELECT r5.doc_id, r5.sidx, r5.rank, el.sent,
-         |    row_number() OVER (PARTITION BY r5.doc_id
-         |      ORDER BY r5.rank DESC, r5.sidx) AS rn
-         |  FROM r5 JOIN el ON el.doc_id = r5.doc_id AND el.sidx = r5.sidx)
-         |WHERE rn = 1
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q243_textrank" -> textRankOracleSql("doc_id"),
+
+    // SUMMARIZE command replay: the collection holds documents
+    // verbatim (id = doc_id, payload = text), so the q243 chain
+    // replays with the command surface's id alias.
+    "q263_summarize_cmd" -> textRankOracleSql("id"),
 
     // PRF replay: stage 1 is bm25()'s fixed-order CASE chain over the
     // original terms (the q136 arithmetic verbatim, top-10); stage 2

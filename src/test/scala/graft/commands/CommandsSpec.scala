@@ -37,6 +37,13 @@ class CommandsSpec extends AnyFunSuite {
       Right(ListIndexes("c1")))
     assert(CommandParser.parse(None, "LISTINDEXES", None) ==
       Left(CommandError.MissingCollection("LISTINDEXES")))
+    // SUMMARIZE: collection required, arg optional (iters/maxsents kv)
+    assert(CommandParser.parse(Some("c1"), "summarize", None) ==
+      Right(Summarize("c1", None)))
+    assert(CommandParser.parse(Some("c1"), "SUMMARIZE", Some("iters=3")) ==
+      Right(Summarize("c1", Some("iters=3"))))
+    assert(CommandParser.parse(None, "SUMMARIZE", None) ==
+      Left(CommandError.MissingCollection("SUMMARIZE")))
   }
 
   test("executor: LISTINDEXES inventory tracks the stale/rebuild lifecycle") {
