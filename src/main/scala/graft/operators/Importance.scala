@@ -210,6 +210,69 @@ object Importance {
              sqrt(col("__vy").cast("double")))).as("r"))
   }
 
+  /** EXACT Spearman rank correlation between two INTEGER per-row
+    * statistics, per group — [[pearsonByGroup]] asks "linear?", this
+    * asks "MONOTONE?" (robust to the heavy tails every length/score
+    * statistic has). Zero rounding anywhere: tie-averaged ranks are
+    * exact half-integers (cum_before + (c+1)/2 — one dyadic division),
+    * so every d² is an exact quarter-integer and their sum is
+    * order-independent in double out to 2⁵¹; the classical
+    * ρ = 1 − 6·Σd²/(n·(n²−1)) then costs one exact-integer product
+    * and one division of bit-identical values.
+    *
+    * Conventions pinned: AVERAGE ranks for ties (the d²-formula
+    * variant — the tie-corrected Pearson-on-ranks differs and is
+    * deliberately not this operator); groups where either statistic is
+    * constant emit NULL (ρ undefined); the n·(n²−1) product bounds n
+    * at ~2M rows per group (2⁶³) — loud in the doc, the q254 contract
+    * style.
+    *
+    * Scale shape: per variable one (group, value)-grain count + a
+    * value-grain cumulative window (bounded by distinct values, the
+    * [[ksDrift]] shape), one join back to rows, one group aggregation.
+    *
+    * Output: (groupCol, n BIGINT, rho).
+    */
+  def spearmanByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val intTypes = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    Seq(xCol, yCol).foreach { c =>
+      require(intTypes.contains(df.schema(c).dataType),
+        s"spearmanByGroup requires integral statistics; '$c' is " +
+          s"${df.schema(c).dataType} — quantize to an exact grid first")
+    }
+    val base = df.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    def avgRanks(vCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("__g").orderBy(vCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      base.groupBy(col("__g"), col(vCol)).agg(count(lit(1)).as("__c"))
+        .withColumn("__cum", sum("__c").over(w))
+        .select(col("__g"), col(vCol),
+          ((col("__cum") - col("__c")) +
+            (col("__c") + 1) / lit(2.0)).as(out))
+    }
+    val withRanks = base
+      .join(avgRanks("__x", "__rx"), Seq("__g", "__x"))
+      .join(avgRanks("__y", "__ry"), Seq("__g", "__y"))
+      .select(col("__g"),
+        ((col("__rx") - col("__ry")) * (col("__rx") - col("__ry")))
+          .as("__d2"), col("__x"), col("__y"))
+    withRanks.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n"), sum("__d2").as("__s"),
+        countDistinct("__x").as("__dx"), countDistinct("__y").as("__dy"))
+      .select(col(groupCol), col("n"),
+        when(col("__dx") <= 1 || col("__dy") <= 1,
+          lit(null).cast("double"))
+          .otherwise(lit(1.0) - lit(6.0) * col("__s") /
+            (col("n") * (col("n") * col("n") - 1))).as("rho"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov distance between every pair of
     * sources over an INTEGER per-row statistic (token count, byte
     * length, a quantized score) — the distribution-drift monitor

@@ -1445,6 +1445,19 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // EXACT per-source Spearman rank correlation over the same pair of
+    // statistics as q254 — monotone association where Pearson asks
+    // linear: tie-averaged ranks are exact half-integers, d² exact
+    // quarters (order-independent sums), ρ one exact product + one
+    // division. ZERO rounding.
+    "q264_spearman" -> ((s, dir) => {
+      graft.operators.Importance.spearmanByGroup(
+        Tables.documents(s, dir).select(col("source"),
+          size(TextAnalysis.normalizedTokens(col("text"))).as("n_tokens"),
+          length(col("text")).as("n_chars")),
+        "source", "n_tokens", "n_chars").orderBy("source")
+    }),
+
     // EXACT per-source Pearson correlation between token count and
     // char length — the screening-signal redundancy check, all in
     // 64-bit integer sums with two correctly-rounded sqrts and one
@@ -2259,6 +2272,43 @@ object TextQueries {
         |FROM rk
         |WHERE rn * 5 <= n + 4
         |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // Spearman replay: per-variable value-grain cumulative ranks with
+    // the exact half-integer tie average, quarter-exact d² sums, the
+    // classical closed form — nothing rounded.
+    "q264_spearman" ->
+      """WITH b AS (
+        |  SELECT source AS g,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS x,
+        |    CAST(length(text) AS BIGINT) AS y
+        |  FROM documents),
+        |rx AS (
+        |  SELECT g, x, (cum - c) + (c + 1) / CAST(2 AS DOUBLE) AS rxv
+        |  FROM (
+        |    SELECT g, x, c, sum(c) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT g, x, count(*) AS c FROM b GROUP BY g, x))),
+        |ry AS (
+        |  SELECT g, y, (cum - c) + (c + 1) / CAST(2 AS DOUBLE) AS ryv
+        |  FROM (
+        |    SELECT g, y, c, sum(c) OVER (PARTITION BY g ORDER BY y
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM (SELECT g, y, count(*) AS c FROM b GROUP BY g, y))),
+        |r AS (
+        |  SELECT b.g, b.x, b.y,
+        |    (rx.rxv - ry.ryv) * (rx.rxv - ry.ryv) AS d2
+        |  FROM b
+        |  JOIN rx ON rx.g = b.g AND rx.x = b.x
+        |  JOIN ry ON ry.g = b.g AND ry.y = b.y),
+        |a AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n, sum(d2) AS s,
+        |    count(DISTINCT x) AS dx, count(DISTINCT y) AS dy
+        |  FROM r GROUP BY g)
+        |SELECT g AS source, n,
+        |  CASE WHEN dx <= 1 OR dy <= 1 THEN NULL
+        |    ELSE 1.0 - 6.0 * s / (n * (n*n - 1)) END AS rho
+        |FROM a
         |ORDER BY source""".stripMargin,
 
     // Pearson replay: integer sums, integer cross-products, two sqrts,

@@ -679,6 +679,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("spearmanByGroup: perfect monotone ±1, tie average ranks, constants") {
+    val rows = Seq(
+      // monotone but NONLINEAR (1,10),(2,1000),(3,1001): ρ exactly 1
+      ("up", 1L, 10L), ("up", 2L, 1000L), ("up", 3L, 1001L),
+      ("dn", 1L, 9L), ("dn", 2L, 5L), ("dn", 3L, 1L),       // ρ = -1
+      // a tie in x: ranks (1.5, 1.5, 3); y ranks (1, 2, 3):
+      // d² = .25 + .25 + 0 = .5 → ρ = 1 − 6·0.5/24 = 0.875
+      ("tie", 5L, 1L), ("tie", 5L, 2L), ("tie", 7L, 3L),
+      ("fl", 4L, 1L), ("fl", 4L, 2L))                       // x constant
+    .toDF("source", "x", "y")
+    val got = Importance.spearmanByGroup(rows, "source", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(got("up") == ((3L, Some(1.0))), s"got ${got("up")}")
+    assert(got("dn") == ((3L, Some(-1.0))), s"got ${got("dn")}")
+    assert(got("tie") == ((3L, Some(0.875))), s"got ${got("tie")}")
+    assert(got("fl") == ((2L, None)), "constant statistic must be NULL")
+  }
+
   test("ksDrift: hand ECDFs, identical-source zero, loud float guard") {
     // A = {1,2,3}, B = {2,3,3,4}: KS = |2/3 - 1/4| at v=2; C clones A
     val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L),
