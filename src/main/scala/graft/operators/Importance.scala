@@ -158,6 +158,37 @@ object Importance {
           .as("weight"))
   }
 
+  /** Per-source OUT-OF-VOCABULARY rate under the corpus's deterministic
+    * top-V vocabulary — the coverage check run before freezing a
+    * tokenizer or embedding table: a source whose tokens routinely fall
+    * outside the corpus head will fragment under the trained vocab (the
+    * fertility blow-up q130 then measures). Vocabulary = the top
+    * `vocabSize` tokens by corpus count with token-asc tie-break (the
+    * [[sourceDivergence]] cut, so both operators speak the same
+    * vocabulary); rates are ONE exact-integer division per source —
+    * nothing rounded.
+    *
+    * Scale shape: one token-grain count (map-side combined), one
+    * bounded top-V, one broadcast marker join, one source-keyed agg.
+    *
+    * Output: (sourceCol, n_tokens, n_oov, oov_rate).
+    */
+  def oovRates(df: DataFrame, sourceCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive, got $vocabSize")
+    val toks = df.select(col(sourceCol).as("__src"),
+        explode(TextAnalysis.normalizedTokens(col(textCol))).as("__tok"))
+    val vocab = toks.groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .orderBy(desc("__c"), col("__tok")).limit(vocabSize)
+      .select(col("__tok"), lit(true).as("__in"))
+    toks.join(broadcast(vocab), Seq("__tok"), "left_outer")
+      .groupBy(col("__src").as(sourceCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(sourceCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov") / col("n_tokens")).as("oov_rate"))
+  }
+
   /** EXACT Pearson correlation between two INTEGER per-row statistics,
     * per group — "does quality track length", "does repetition track
     * perplexity": the screening-signal redundancy check run before

@@ -1445,6 +1445,17 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Per-source OOV rate under the corpus top-1000 vocabulary (the
+    // q157 cut convention — count desc, token asc): the coverage check
+    // before freezing a tokenizer/embedding table. One exact division
+    // per source, nothing rounded.
+    "q265_oov_rates" -> ((s, dir) => {
+      graft.operators.Importance.oovRates(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "source", "text", vocabSize = 1000)
+        .orderBy("source")
+    }),
+
     // EXACT per-source Spearman rank correlation over the same pair of
     // statistics as q254 — monotone association where Pearson asks
     // linear: tie-averaged ranks are exact half-integers, d² exact
@@ -2272,6 +2283,28 @@ object TextQueries {
         |FROM rk
         |WHERE rn * 5 <= n + 4
         |GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    // OOV replay: the same top-1000 cut (row_number over count desc,
+    // token asc), marker join, exact counts and division.
+    "q265_oov_rates" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        |  FROM documents),
+        |vc AS (
+        |  SELECT token FROM (
+        |    SELECT token, row_number() OVER (
+        |      ORDER BY count(*) DESC, token) AS rn
+        |    FROM toks GROUP BY token) WHERE rn <= 1000),
+        |m AS (
+        |  SELECT toks.source, vc.token AS hit
+        |  FROM toks LEFT JOIN vc ON vc.token = toks.token)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS oov_rate
+        |FROM m GROUP BY source
         |ORDER BY source""".stripMargin,
 
     // Spearman replay: per-variable value-grain cumulative ranks with

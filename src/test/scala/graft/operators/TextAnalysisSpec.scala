@@ -679,6 +679,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integral"))
   }
 
+  test("oovRates: top-V cut with token-asc ties, exact per-source rates") {
+    // counts: aa×3, bb×2, cc×2, zz×1 — V=2 keeps aa and bb (bb beats cc
+    // on the token-asc tie-break)
+    val docs = Seq(
+      ("s1", "aa aa bb cc"),
+      ("s2", "aa bb cc zz")).toDF("source", "text")
+    val got = Importance.oovRates(docs, "source", "text", vocabSize = 2)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got("s1") == ((4L, 1L, 0.25)), s"got ${got("s1")}")
+    assert(got("s2") == ((4L, 2L, 0.5)), s"got ${got("s2")}")
+  }
+
   test("spearmanByGroup: perfect monotone ±1, tie average ranks, constants") {
     val rows = Seq(
       // monotone but NONLINEAR (1,10),(2,1000),(3,1001): ρ exactly 1
