@@ -106,9 +106,14 @@ object Bench {
       .mkString("{", ",", "}")
     val gcPairs = SparkEntry.benchQueries.zip(gcs)
       .filter { case (name, _) => !broken.contains(name) }
-    val gcJson = gcPairs.filter(_._2 >= 0.0005)
+    // printed line carries only the GC entries big enough to adjudicate a
+    // rise (>= 0.1 s inside a min rep); the full map lives in
+    // BENCH_LOCAL.json. Keeps the line under the driver's ~2 KB tail window
+    // with room to spare (the r11 line was ~1.9 KB and parse-fragile).
+    val gcJson = gcPairs.filter(_._2 >= 0.1)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    val gcTotal = gcPairs.map(_._2).sum
     val heapGb = Runtime.getRuntime.maxMemory / 1024.0 / 1024.0 / 1024.0
     val total = results.map(_._2).sum
     // delta vs the previous artifact, NET of box drift: when the previous
@@ -130,7 +135,7 @@ object Bench {
     // summary fields LAST: the tail capture truncates the FRONT of an
     // oversized line, so `value`/`calibration` survive even if the
     // per-query map gets clipped
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"gc_in_min_rep":$gcJson,"broken":$errs,"heap_gb":${fmt(heapGb, 1)},"cal_ratio_vs_prev":${r3(ratio)},"calibration":${fmt(calib, 4)},"value":${r3(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"gc_in_min_rep":$gcJson,"gc_total":${r3(gcTotal)},"broken":$errs,"heap_gb":${fmt(heapGb, 1)},"cal_ratio_vs_prev":${r3(ratio)},"calibration":${fmt(calib, 4)},"value":${r3(total)}}"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullGc = gcPairs.map { case (k, v) => "\"" + k + "\":" + v }
@@ -138,7 +143,13 @@ object Bench {
     val full = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"cal_ratio_vs_prev":$ratio,"heap_gb":$heapGb,"queries":$fullQs,"gc_in_min_rep":$fullGc,"broken":$errs,"delta_vs_prev":$deltas,"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
       (full + "\n").getBytes("UTF-8"))
+    // The metric line must be the FINAL stdout line: silence every Spark
+    // logger first (the end-of-run localCheckpoint-unpersist WARNs from the
+    // last sweep otherwise interleave after it in a merged capture), print,
+    // flush, and only then stop the session.
+    spark.sparkContext.setLogLevel("OFF")
     println(line)
+    System.out.flush()
     spark.stop()
   }
 

@@ -72,11 +72,14 @@ object SparkEntry {
     "q145_nb_classify",
     // round-9 additions: the nine-way n-gram repetition table (the widest
     // single explode + doc-keyed conditional agg in the repo) and the
-    // kmeans-residual batch probe (coarse assign + residual train + union
-    // scan + per-(query, cell) ADC — the deepest managed ANN shape).
+    // kmeans-residual batch probe — SWAPPED in round 12 for its
+    // stored-artifact steady-state twin q266 (the q201 pattern): q170's
+    // wall clock was ~90% in-query codebook training, so the bench's most
+    // expensive vector entry measured training, not retrieval. q170's
+    // correctness gate still pins the in-query training chain.
     // q165-q168/q171 are fixture/command round-trips dominated by scratch
     // setup, not steady-state operator cost.
-    "q166_repetition", "q170_kmeans_batch",
+    "q166_repetition", "q266_ivfpq_stored",
     // round-10 session-2 additions: the triangle wedge join (edge-keyed
     // self-joins over the near-dup graph — a join shape no other bench
     // query has) and the SNM discover+verify pass (chunked string-key
@@ -108,5 +111,17 @@ object SparkEntry {
     // q177's loop, link-pred wedges by q186, WordPiece by q129's merge
     // loop cost, PRF by q136+q97, KS by q155's rank family, the probe
     // twins by q31/q81.
-    "q243_textrank", "q242_phash_neardup")
+    "q243_textrank", "q242_phash_neardup",
+    // round-12 addition: SEARCHHYBRID at serving steady state — the one
+    // retrieval command class that had correctness gates only. BOTH
+    // branches answer from stored artifacts in ONE plan (term-bucket-
+    // pruned postings join + sign-bucket-pruned SQ8 probe + RRF), the
+    // query shape a real retrieval deployment runs.
+    "q267_hybrid_stored",
+    // round-12 addition: the pretraining-export capstone — curation →
+    // exact dedup → span dedup → mixture select → pack → shard in ONE
+    // query (every stage's isolated gate already green: q61, q131,
+    // q200, q139, q82). Its time is the honest "pipeline number" for
+    // the full corpus-build chain.
+    "q269_pretrain_capstone")
 }

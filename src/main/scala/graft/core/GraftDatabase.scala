@@ -1362,7 +1362,8 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * exact-integer-division sum.
     */
   def searchHybrid(name: String, terms: Seq[String], query: Array[Float],
-      k: Int = 10, kf: Int = 20, kRrf: Int = 60): DataFrame = {
+      k: Int = 10, kf: Int = 20, kRrf: Int = 60,
+      probeRadius: Int = -1, shortlist: Int = -1): DataFrame = {
     requireCollection(name)
     val wS = org.apache.spark.sql.expressions.Window
       .orderBy(org.apache.spark.sql.functions.desc("bm25"), col("id"))
@@ -1371,10 +1372,24 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .select("id", "rank")
     val wD = org.apache.spark.sql.expressions.Window
       .orderBy(org.apache.spark.sql.functions.desc("__cs"), col("id"))
-    val dense = read(name)
-      .select(col("id"),
-        round(graft.functions.cosine_sim(col("embedding"), lit(query)), 6)
-          .as("__cs"))
+    // dense branch: `probeRadius >= 0` + `shortlist >= 1` opts into the
+    // stored ANN composition (IVF cell probe × SQ8 shortlist × exact
+    // rerank — [[searchSimilarSq8]]'s dispatch): the serving shape where
+    // BOTH retrieval branches answer from stored artifacts. The internal
+    // k = shortlist keeps the only engine-side cut on the INTEGER-exact
+    // int8 score (the q79 discipline); the kf cut below is on the
+    // ROUNDED exact score — never a raw float both engines compute with
+    // their own op order. Default (-1) stays the exact corpus scan.
+    val denseScored =
+      if (probeRadius >= 0 && shortlist >= 1)
+        searchSimilarSq8(name, query, k = shortlist, shortlist = shortlist,
+            probeRadius = probeRadius)
+          .select(col("id"), round(col("score"), 6).as("__cs"))
+      else
+        read(name).select(col("id"),
+          round(graft.functions.cosine_sim(col("embedding"), lit(query)), 6)
+            .as("__cs"))
+    val dense = denseScored
       .orderBy(org.apache.spark.sql.functions.desc("__cs"), col("id"))
       .limit(kf)
       .withColumn("rank", row_number().over(wD).cast("long"))

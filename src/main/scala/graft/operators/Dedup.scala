@@ -745,12 +745,15 @@ object Dedup {
   def incomingNearDups(corpusBands: DataFrame, corpus: DataFrame,
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleN: Int = 5, numHashes: Int = 8,
-      rowsPerBand: Int = 2, maxBucketSize: Int = 1000): DataFrame = {
+      rowsPerBand: Int = 2, maxBucketSize: Int = 1000,
+      materialize: Boolean = true): DataFrame = {
     // the batch's shingles feed BOTH candidate generation and
     // verification: materialize them ONCE (eager, delta-sized — the
     // refreshPostings arrivals discipline) so neither subtree re-runs
-    // the tokenization chain. The checkpoint stays alive deliberately:
-    // the returned frame's lineage depends on it.
+    // the tokenization chain. Released before returning — the OUTPUT is
+    // checkpointed instead (below), so a long-lived serving session
+    // screening many batches doesn't accumulate one shingle-table cache
+    // per call.
     val shA = explodeShingles(batch, idCol, textCol, shingleN)
       .localCheckpoint(true)
     val batchBands = bandKeys(
@@ -767,11 +770,24 @@ object Dedup {
         .join(okKeys, Seq("band", "band_key"), "left_semi"),
         Seq("band", "band_key"))
       .select("a_id", "b_id").distinct()
-    crossJaccardWithShingles(corpus, shA, idCol, textCol, pairs, shingleN)
+    val raw = crossJaccardWithShingles(corpus, shA, idCol, textCol, pairs,
+        shingleN)
       .filter(col("jaccard") >= threshold)
       // using-column joins float their keys to the front in join order
       // (b_id ends up first) — pin the documented column order
       .select(col("a_id"), col("b_id"), col("jaccard"))
+    // materialize=false is for PLAN INSPECTION only (PlanAuditSpec reads
+    // the probe/verification join shapes, which a checkpointed result
+    // would hide behind a flat block scan); it leaves shA's checkpoint
+    // live because the returned lineage still reads it
+    if (!materialize) raw
+    else {
+      // materialize the (verified-pairs-sized) result so shA can be freed
+      // NOW rather than leaking one checkpoint per screened batch
+      val out = raw.localCheckpoint(true)
+      GraftSqlShims.unpersistCheckpoint(shA)
+      out
+    }
   }
 
   def verifiedNearDups(df: DataFrame, idCol: String, textCol: String,

@@ -393,10 +393,16 @@ object Graph {
       .unionByName(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
     if (nodes.isEmpty) {
+      // materialize the empty result BEFORE releasing the checkpoints: the
+      // returned frame's lineage reads nodes' checkpoint blocks, a
+      // localCheckpointed RDD cannot recompute once its blocks are gone,
+      // and unpersist is async — returning an unmaterialized frame races
+      // the block removal (intermittent 'Checkpoint block not found')
+      val out = nodes.select(col("id"), lit(0.0).as("auth"),
+        lit(0.0).as("hub")).localCheckpoint(true)
       GraftSqlShims.unpersistCheckpoint(e)
       GraftSqlShims.unpersistCheckpoint(nodes)
-      return nodes.select(col("id"), lit(0.0).as("auth"),
-        lit(0.0).as("hub"))
+      return out
     }
     var hub = nodes.select(col("id"), lit(1.0).as("hub"))
       .localCheckpoint(true)
@@ -471,8 +477,15 @@ object Graph {
       maxCenterDeg: Int = 1000): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(maxCenterDeg >= 2, s"maxCenterDeg must be >= 2, got $maxCenterDeg")
-    val p = pairs.select(col(aCol).cast("long").as("a"),
-      col(bCol).cast("long").as("b")).distinct()
+    // canonicalize defensively (a < b, one orientation): an edge supplied
+    // as (b, a) with b > a would otherwise escape the u<v existing-edge
+    // anti-join, and a pair present in BOTH orientations would
+    // double-count degrees — current callers (mutualKnnEdges) already
+    // satisfy the convention, so this is a no-op for them
+    val p = pairs.select(
+      least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+      greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .distinct()
     val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
     val centers = edges.groupBy(col("a").as("z"))
       .agg(count(lit(1)).as("deg"))

@@ -493,9 +493,14 @@ object SimilaritySearch {
       query: DataFrame, m: Int = 50, k: Int = 10): DataFrame = {
     require(k >= 1 && m >= k, s"need m >= k >= 1, got m=$m k=$k")
     require(m <= 10000, s"shortlist cap m=$m exceeds the driver bound")
+    // loud single-row contract (the repo convention): limit(1) on a
+    // multi-row frame picks a PLAN-dependent row and the whole MMR
+    // ranking would be silently nondeterministic
+    require(query.limit(2).count() == 1L,
+      "mmrSelect needs a single-row query frame")
     val spark = df.sparkSession
     import spark.implicits._
-    val qv = broadcast(query.limit(1)
+    val qv = broadcast(query
       .select(col(query.columns.head).cast("array<double>").as("__qv")))
     val short = df
       .select(col(idCol).cast("long").as("__id"),

@@ -1619,7 +1619,10 @@ object TextAnalysis {
       terms.zipWithIndex.tail.map { case (t, i) =>
         sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__df_$i")
       }: _*)
-    val stats = base.crossJoin(dfs)
+    // explicit broadcast: the 1×1 stats cross must never plan as a
+    // CartesianProduct when auto-broadcast is disabled (hint survives
+    // spark.sql.autoBroadcastJoinThreshold = -1)
+    val stats = base.crossJoin(broadcast(dfs))
     // the contribution chain is copied from bm25() operation-for-
     // operation (the q136 never-pre-fold rule: identical ARITHMETIC)
     val contrib = terms.indices.map { i =>

@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, GraftSqlShims}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training (Kudo 2018, "Subword Regularization" —
+  * the SentencePiece unigram model), the third major published tokenizer
+  * family beside [[TextAnalysis.bpeTrain]] (count-scored merges) and
+  * [[TextAnalysis.wordPieceTrain]] (likelihood-scored merges): instead of
+  * growing a vocabulary bottom-up by merging, unigram-LM starts from a
+  * LARGE seed vocabulary of candidate pieces and fits a unigram language
+  * model over segmentations, pruning down to the target size.
+  *
+  * Deterministic hard-EM variant (every step engine-replayable, the house
+  * doctrine — full EM's forward-backward expected counts would make the
+  * E-step a float-accumulation surface no oracle could reproduce):
+  *
+  *  1. SEED: all substrings of length 1..`maxPieceLen` of the corpus's
+  *     normalized words (lowercase [a-z0-9]+ runs, the q129 BPE
+  *     convention; words longer than `maxWordLen` chars are excluded
+  *     whole — mirrored in the oracle). Seed vocabulary = every single
+  *     character ∪ the top `vocabTarget·seedMultiplier` multi-char
+  *     substrings by (freq-weighted occurrence count DESC, piece ASC).
+  *  2. E-step (Viterbi): segment every DISTINCT word into the maximum-
+  *     likelihood piece sequence under the current piece log-probs — a
+  *     driver-loop DP over character positions (vocabulary-sized frames,
+  *     never corpus-sized; the connectedComponents localCheckpoint
+  *     discipline). Piece usage counts are word-frequency-weighted.
+  *  3. M-step: logp(piece) = round(ln(count′ / total), 12) where count′
+  *     adds +1 to every single character (char backstop: characters never
+  *     leave the vocabulary, so every word stays segmentable) and total =
+  *     Σ count′ over the round's vocabulary. Multi-char pieces with zero
+  *     Viterbi count drop — the EM pruning pressure.
+  *  4. After `emRounds` E/M rounds: prune multi-char pieces to the top
+  *     (`vocabTarget` − #chars) by (count DESC, piece ASC), then one
+  *     final M-step over the pruned set (SentencePiece also re-estimates
+  *     after pruning).
+  *
+  * Cross-engine exactness: counts and totals are exact integers;
+  * count′/total is a SINGLE division of exact integers (engine-identical
+  * double); ln of an identical double is identical (the q97 doctrine);
+  * logp rounds at 12 so every DP input re-enters bit-identical. DP scores
+  * are sums of rounded logps built in the identical structural order on
+  * both engines (induction over positions), so Viterbi argmax comparisons
+  * can never disagree; score ties break on the smaller start position
+  * (= the longer final piece), a total order because each (start, end)
+  * pair names exactly one piece.
+  *
+  * Scale shape: everything after the one corpus tokenization pass is
+  * vocabulary-grain — the word-frequency table, the substring census
+  * (≤ |words| · maxWordLen · maxPieceLen rows), and the DP frames
+  * (|words| · maxWordLen). The driver loop runs maxWordLen position
+  * layers + maxWordLen backtrace hops per EM round, each a small keyed
+  * join; at 100 TB the corpus pass dominates and the training tail is
+  * constant-sized.
+  */
+object UnigramLm {
+
+  /** One row per surviving piece: `piece`, `is_char` (1/0 BIGINT),
+    * `count` (the smoothed count′ entering the final M-step, BIGINT),
+    * `logp` (rounded 12). Callers order; the frame is materialized.
+    */
+  def train(df: DataFrame, textCol: String, vocabTarget: Int = 64,
+      emRounds: Int = 2, seedMultiplier: Int = 4, maxPieceLen: Int = 8,
+      maxWordLen: Int = 16): DataFrame = {
+    require(vocabTarget >= 1, s"vocabTarget must be >= 1, got $vocabTarget")
+    require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
+    require(maxPieceLen >= 1 && maxPieceLen <= maxWordLen,
+      s"need 1 <= maxPieceLen <= maxWordLen, got $maxPieceLen/$maxWordLen")
+    val words = wordFreqs(df, textCol, maxWordLen).localCheckpoint(true)
+    require(!words.isEmpty,
+      "unigramLmTrain: no eligible words (empty corpus after filtering)")
+    val occ = substrings(words, maxPieceLen).localCheckpoint(true)
+    val census = occ.groupBy("piece").agg(sum("freq").as("c"))
+      .localCheckpoint(true)
+    val chars = census.filter(length(col("piece")) === 1)
+      .select(col("piece"), col("c"))
+    val seedMulti = census.filter(length(col("piece")) > 1)
+      .orderBy(desc("c"), col("piece"))
+      .limit(vocabTarget * seedMultiplier)
+      .select(col("piece"), col("c"))
+    var vocab = withLogp(
+      chars.select(col("piece"), (col("c") + 1L).as("cnt"),
+          lit(1L).as("is_char"))
+        .unionByName(seedMulti.select(col("piece"), col("c").as("cnt"),
+          lit(0L).as("is_char"))))
+      .localCheckpoint(true)
+    for (_ <- 1 to emRounds) {
+      val counts = viterbiCounts(words, occ, vocab)
+      val next = withLogp(
+        chars.join(counts, Seq("piece"), "left_outer")
+          .select(col("piece"),
+            (coalesce(col("c2"), lit(0L)) + 1L).as("cnt"),
+            lit(1L).as("is_char"))
+          .unionByName(counts.filter(length(col("piece")) > 1)
+            .select(col("piece"), col("c2").as("cnt"),
+              lit(0L).as("is_char"))))
+        .localCheckpoint(true)
+      GraftSqlShims.unpersistCheckpoint(vocab)
+      GraftSqlShims.unpersistCheckpoint(counts)
+      vocab = next
+    }
+    // final prune: every char survives; multi-char pieces cut to the
+    // remaining budget by (count DESC, piece ASC); one last M-step over
+    // the pruned set
+    val nChars = vocab.filter(col("is_char") === 1L).count().toInt
+    val keepMulti = math.max(vocabTarget - nChars, 0)
+    val pruned = vocab.filter(col("is_char") === 1L)
+      .select("piece", "cnt", "is_char")
+      .unionByName(vocab.filter(col("is_char") === 0L)
+        .orderBy(desc("cnt"), col("piece")).limit(keepMulti)
+        .select("piece", "cnt", "is_char"))
+    val out = withLogp(pruned)
+      .select(col("piece"), col("is_char"), col("cnt").as("count"),
+        col("logp"))
+      .localCheckpoint(true)
+    GraftSqlShims.unpersistCheckpoint(vocab)
+    GraftSqlShims.unpersistCheckpoint(words)
+    GraftSqlShims.unpersistCheckpoint(occ)
+    GraftSqlShims.unpersistCheckpoint(census)
+    out
+  }
+
+  /** Maximum-likelihood (Viterbi) segmentation of `words` (one `word`
+    * column, distinct applied here) under `vocab`'s (piece, logp) — one
+    * row per (word, ordinal piece): (word, pos start offset, piece).
+    * Exposed for specs and encode-time use; [[train]] consumes the
+    * freq-weighted counts of the same DP.
+    */
+  def segment(words: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int = 8): DataFrame = {
+    val w = words.select(col("word")).distinct()
+      .withColumn("freq", lit(1L))
+    val occ = substrings(w, maxPieceLen)
+    val em = emissions(w, occ, vocab)
+    val out = em.select(col("word"), col("s").cast("long").as("pos"),
+        col("piece"))
+      .orderBy("word", "pos")
+      .localCheckpoint(true)
+    GraftSqlShims.unpersistCheckpoint(em)
+    out
+  }
+
+  // ---- internals ----------------------------------------------------
+
+  private def wordFreqs(df: DataFrame, textCol: String,
+      maxWordLen: Int): DataFrame =
+    df.select(explode(TextAnalysis.normalizedTokens(col(textCol)))
+        .as("word"))
+      .filter(length(col("word")) <= maxWordLen)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** All (word, freq, s, e, piece) substring occurrences, 0-based
+    * [s, e) — every piece length 1..maxPieceLen at every start.
+    */
+  private def substrings(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words
+      .withColumn("s",
+        explode(sequence(lit(0), length(col("word")) - 1)))
+      .withColumn("l", explode(sequence(lit(1),
+        least(lit(maxPieceLen), length(col("word")) - col("s")))))
+      .select(col("word"), col("freq"), col("s"),
+        (col("s") + col("l")).as("e"),
+        col("word").substr(col("s") + 1, col("l")).as("piece"))
+
+  /** logp = round(ln(cnt / total), 12) appended to a (piece, cnt,
+    * is_char) vocabulary frame — total is the frame's Σ cnt; the single
+    * integer division is engine-exact, ln of an identical double is
+    * identical.
+    */
+  private def withLogp(vocab: DataFrame): DataFrame =
+    vocab
+      .crossJoin(broadcast(vocab.agg(sum("cnt").as("__tot"))))
+      .withColumn("logp", round(log(col("cnt") / col("__tot")), 12))
+      .drop("__tot")
+
+  /** Freq-weighted Viterbi piece-usage counts: (piece, c2),
+    * materialized; intermediate emissions released.
+    */
+  private def viterbiCounts(words: DataFrame, occ: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val em = emissions(words, occ, vocab)
+    val counts = em.groupBy("piece").agg(sum("freq").as("c2"))
+      .localCheckpoint(true)
+    GraftSqlShims.unpersistCheckpoint(em)
+    counts
+  }
+
+  /** Viterbi DP + backtrace — one emission row per (word, used piece
+    * occurrence): (word, freq, s, piece), materialized. Driver loop over
+    * character positions; every intermediate is vocabulary-sized and
+    * localCheckpointed so rounds plan against flat scans (the
+    * connectedComponents discipline), then released before returning.
+    */
+  private def emissions(words: DataFrame, occ: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val m = occ
+      .join(broadcast(vocab.select(col("piece"), col("logp"))), Seq("piece"))
+      .select(col("word"), col("s"), col("e"), col("piece"), col("logp"))
+      .localCheckpoint(true)
+    val maxLen = words.agg(max(length(col("word"))).as("m"))
+      .head().getInt(0)
+    // dp rows: (word, pos, score, bestj, piece); pos 0 = empty prefix.
+    // Every position 1..len(word) is reachable because all single chars
+    // are in the vocabulary every round.
+    var dp = words.select(col("word"), lit(0).as("pos"),
+        lit(0.0).as("score"), lit(-1).as("bestj"),
+        lit(null).cast("string").as("piece"))
+      .localCheckpoint(true)
+    val wBest = Window.partitionBy("word")
+      .orderBy(desc("__sc"), col("s"))
+    for (i <- 1 to maxLen) {
+      val layer = m.filter(col("e") === i)
+        .join(dp.select(col("word"), col("pos").as("s"), col("score")),
+          Seq("word", "s"))
+        .withColumn("__sc", col("score") + col("logp"))
+        .withColumn("__rn", row_number().over(wBest))
+        .filter(col("__rn") === 1)
+        .select(col("word"), lit(i).as("pos"), col("__sc").as("score"),
+          col("s").as("bestj"), col("piece"))
+      val next = dp.unionByName(layer).localCheckpoint(true)
+      GraftSqlShims.unpersistCheckpoint(dp)
+      dp = next
+    }
+    // backtrace from pos = len(word): each hop emits the used piece and
+    // jumps to its start; at most maxLen hops, words exit at pos 0
+    var cur = words.select(col("word"), col("freq"),
+        length(col("word")).as("pos"))
+      .localCheckpoint(true)
+    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var hop = 0
+    while (hop < maxLen && !cur.isEmpty) {
+      val step = cur.filter(col("pos") > 0)
+        .join(dp.filter(col("pos") > 0)
+            .select(col("word"), col("pos"), col("bestj"), col("piece")),
+          Seq("word", "pos"))
+        .localCheckpoint(true)
+      steps += step
+      val nxt = step.filter(col("bestj") > 0)
+        .select(col("word"), col("freq"), col("bestj").as("pos"))
+        .localCheckpoint(true)
+      GraftSqlShims.unpersistCheckpoint(cur)
+      cur = nxt
+      hop += 1
+    }
+    val out = steps
+      .map(_.select(col("word"), col("freq"), col("bestj").as("s"),
+        col("piece")))
+      .reduceOption(_ unionByName _)
+      .getOrElse(words.select(col("word"), col("freq"),
+        lit(0).as("s"), lit("").as("piece")).limit(0))
+      .localCheckpoint(true)
+    GraftSqlShims.unpersistCheckpoint(cur)
+    GraftSqlShims.unpersistCheckpoint(dp)
+    GraftSqlShims.unpersistCheckpoint(m)
+    steps.foreach(GraftSqlShims.unpersistCheckpoint)
+    out
+  }
+}

@@ -58,6 +58,46 @@ object PipelineQueries {
         db
       })
 
+  // q266's steady-state artifact (the q201 pattern for the RESIDUAL ANN
+  // layout): one ivfpq_kmeans-indexed collection per (session, sfDir) —
+  // warmup pays the two codebook trainings + layout rewrite ONCE, timed
+  // bench reps then measure pure retrieval (pruned union scan + broadcast
+  // residual LUTs + bounded heap), the serving shape q170's in-query
+  // training round-trip can't isolate.
+  private val ivfPqDbCache =
+    scala.collection.concurrent.TrieMap.empty[String, GraftDatabase]
+  private def storedIvfPqDb(s: SparkSession, dir: String): GraftDatabase =
+    ivfPqDbCache.getOrElseUpdate(
+      s"${System.identityHashCode(s)}:$dir", {
+        val db = scratchDb(s, "graft_q266")
+        db.createCollection("vecs", StructType(Seq(
+          StructField("id", LongType),
+          StructField("embedding", ArrayType(FloatType, containsNull = false)),
+          StructField("label", IntegerType))))
+        db.bulkInsert("vecs",
+          Tables.embeddings(s, dir).withColumnRenamed("vec_id", "id"))
+        db.reindexIvfPq("vecs", m = 8, ksub = 16, rounds = 1, kCells = 8)
+        db
+      })
+
+  // q267's steady-state artifact: ONE hybrid collection carrying BOTH
+  // retrieval artifacts — the sign-bucket cell layout + stored int8 copy
+  // (the dense ANN side) and the term-bucket postings (the sparse side).
+  // Build order matters: the vector REINDEX rewrites collection files, so
+  // it runs before the postings build (a rewrite after would mark the
+  // text artifact stale and SEARCHTEXT would fall back to the rescan).
+  private val hybridAnnDbCache =
+    scala.collection.concurrent.TrieMap.empty[String, GraftDatabase]
+  private def storedHybridDb(s: SparkSession, dir: String): GraftDatabase =
+    hybridAnnDbCache.getOrElseUpdate(
+      s"${System.identityHashCode(s)}:$dir", {
+        val db = hybridCollection(s, dir, "graft_q267")
+        db.reindex("docs", nBits = 8)
+        db.quantize("docs")
+        db.reindexPostings("docs", buckets = 64)
+        db
+      })
+
   // hex-string builders for the synthetic-header gates (q80/q86): fixed
   // widths, big-/little-endian byte order
   private def beHex32(c: Column): Column = lpad(hex(c), 8, "0")
@@ -917,6 +957,43 @@ object PipelineQueries {
     "q210_phrase_bench" -> ((s, dir) => {
       storedPostingsDb(s, dir)
         .searchPhrase("docs", Seq("stream", "data"), k = 20)
+    }),
+
+    // Steady-state RESIDUAL-ANN batch retrieval over the STORED
+    // ivfpq_kmeans layout (q170's serving twin — the q201 pattern):
+    // codebooks train once into the cached artifact, every call answers
+    // the 3-query batch from the sidecar models in ONE pruned union
+    // scan. Gated against q173's oracle VERBATIM (same seeds, same
+    // projection — stored ≡ command ≡ raw); benched in place of q170 so
+    // the set's most expensive vector entry measures retrieval, not
+    // in-query training (q170's correctness gate still pins training).
+    "q266_ivfpq_stored" -> ((s, dir) => {
+      val db = storedIvfPqDb(s, dir)
+      val qs = Tables.embeddings(s, dir).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_vec"))
+      db.searchSimilarBatch("vecs", qs, k = 5, probeRadius = 1,
+          shortlist = 20)
+        .select(col("query_id"), col("id").as("vec_id"),
+          col("approx_score").as("adc_dist"), col("score").as("dist"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // SEARCHHYBRID at serving steady state — BOTH branches answer from
+    // STORED artifacts in one plan: BM25 from the term-bucket-pruned
+    // postings (q201's shape) fused by RRF with the dense branch's
+    // IVF × SQ8 composition (sign-bucket cell probe, int8 shortlist cut
+    // on the INTEGER-exact score, exact rerank, kf cut on the ROUNDED
+    // score — the q79 discipline). The oracle replays the whole fused
+    // chain: q195's BM25/RRF arithmetic + q79's probe/quantize replay,
+    // over the hybrid collection's rows.
+    "q267_hybrid_stored" -> ((s, dir) => {
+      val db = storedHybridDb(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0).toArray
+      db.searchHybrid("docs", Seq("vector", "data", "merge"), qv,
+        k = 10, kf = 20, probeRadius = 1, shortlist = 100)
     }),
 
     // INCREMENTAL index maintenance end to end (the nightly-delta story):
@@ -2030,6 +2107,73 @@ object PipelineQueries {
         |GROUP BY id
         |ORDER BY n_hits DESC, id
         |LIMIT 20""".stripMargin,
+
+    // the q170/q173 chain under the reindex seeds: the stored-artifact
+    // steady-state serve must equal the command round-trip row-for-row
+    "q266_ivfpq_stored" ->
+      VectorQueries.kmeansBatchSql("rpq:coarse", "rpq"),
+
+    // the fused serving chain end to end: q195's BM25 branch + RRF
+    // arithmetic with the dense branch replaced by q79's IVF × SQ8
+    // replay (sign-bucket cells, radius-1 hamming probe, int8 cosine
+    // written out explicitly for the integer-exact shortlist cut, exact
+    // rerank, kf cut on the ROUNDED score) over the hybrid collection
+    "q267_hybrid_stored" -> (hybridBmPrefix +
+      s""",
+        |bm AS (
+        |  SELECT id, round(
+        |      (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+        |        * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |        ELSE 0.0 END)
+        |    + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+        |        * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |        ELSE 0.0 END)
+        |    + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
+        |        * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+        |        ELSE 0.0 END) + 1e-9, 6) AS bm25
+        |  FROM pd CROSS JOIN st
+        |  WHERE tf0 + tf1 + tf2 > 0),
+        |sp AS (
+        |  SELECT id, CAST(rn AS BIGINT) AS r FROM (
+        |    SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS rn
+        |    FROM bm)
+        |  WHERE rn <= 20),
+        |cod AS (
+        |  SELECT b.id, e.embedding,
+        |    ${VectorQueries.duckBucket("e.embedding")} AS c,
+        |    list_transform(CAST(e.embedding AS DOUBLE[]),
+        |      x -> greatest(-127.0, least(127.0, floor(x * 127 + 0.5)))) AS qv
+        |  FROM base b JOIN embeddings e ON e.vec_id = b.id),
+        |q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qemb,
+        |    ${VectorQueries.duckBucket("embedding")} AS qc,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> greatest(-127.0, least(127.0, floor(x * 127 + 0.5)))) AS qqv
+        |  FROM embeddings WHERE vec_id = 0),
+        |probed AS (
+        |  SELECT cod.id, cod.embedding, cod.qv, q.qqv, q.qemb
+        |  FROM cod, q
+        |  WHERE bit_count(xor(CAST(cod.c AS BIGINT), CAST(q.qc AS BIGINT))) <= 1),
+        |approx AS (
+        |  SELECT id, embedding, qemb,
+        |    list_inner_product(qv, qqv)
+        |      / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(qqv, qqv))) AS a
+        |  FROM probed),
+        |short AS (SELECT * FROM approx ORDER BY a DESC, id LIMIT 100),
+        |dn AS (
+        |  SELECT id,
+        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qemb), 6) AS cs
+        |  FROM short),
+        |de AS (
+        |  SELECT id, CAST(rn AS BIGINT) AS r FROM (
+        |    SELECT id, row_number() OVER (ORDER BY cs DESC, id) AS rn FROM dn)
+        |  WHERE rn <= 20),
+        |u AS (SELECT id, r FROM sp UNION ALL SELECT id, r FROM de)
+        |SELECT id, round(sum(1.0/(60 + r)) + 1e-9, 6) AS rrf,
+        |  CAST(count(*) AS BIGINT) AS n_lists
+        |FROM u GROUP BY id
+        |ORDER BY rrf DESC, id
+        |LIMIT 10""".stripMargin),
 
     // the stored positional path must equal the from-text recompute
     "q209_phrase_stored" ->

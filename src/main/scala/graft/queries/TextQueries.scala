@@ -570,6 +570,24 @@ object TextQueries {
         .orderBy("rank")
     }),
 
+    // Unigram-LM tokenizer training (SentencePiece's model, hard-EM
+    // variant): seed substring census → top-256 multi-char seeds + all
+    // chars → 2 Viterbi E/M rounds → prune to 64 pieces → final M-step.
+    // The oracle replays the WHOLE loop — seed selection, every DP
+    // position layer, every backtrace hop, both re-estimations, the
+    // prune — as generated MATERIALIZED CTEs (the q129/q203 pattern).
+    // Closes the third published tokenizer family beside BPE (q129) and
+    // WordPiece (q239).
+    "q268_unigram_lm" -> ((s, dir) => {
+      graft.operators.UnigramLm.train(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "text", vocabTarget = 64, emRounds = 2, seedMultiplier = 4,
+          maxPieceLen = 8, maxWordLen = 16)
+        .select(col("piece"), col("is_char"), col("count").as("cnt"),
+          col("logp"))
+        .orderBy("piece")
+    }),
+
     // WordPiece training: the q129 merge loop with LIKELIHOOD selection
     // — each round fuses the pair maximizing n/(ca·cb) instead of raw n,
     // so rare-but-always-together pairs (stems, suffixes) merge first.
@@ -1542,6 +1560,79 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // THE pretraining-export capstone at bench grain (round-12 verdict
+    // item 7): the full curation → exact-dedup → span-dedup → mixture →
+    // pack → shard chain in ONE query — every stage an operator whose
+    // isolated gate already passes (q61, q131, q200, q139, q82), chained
+    // the way a production corpus build runs, so this entry's time IS
+    // "the pipeline number". Output: per (source, shard) bin/chunk/token
+    // totals — the training-layout audit a data engineer ships.
+    "q269_pretrain_capstone" -> ((s, dir) => {
+      import graft.operators.{Dedup, Importance, TrainExport}
+      val w = org.apache.spark.sql.expressions.Window
+      // 1-2. quality curation + exact-content dedup (the q61 chain).
+      // Stage outputs are EAGERLY localCheckpointed (the refreshPostings
+      // arrivals discipline): each feeds several downstream subtrees —
+      // mixture weights, the md5 rank, the selection join, the chunk
+      // join — which would otherwise re-run the whole upstream chain per
+      // consumer (measured ~10× the honest pipeline time). At 100 TB the
+      // same boundaries are where a production build persists stage
+      // tables.
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+        .withColumn("__punct", TextAnalysis.punctRatio(col("text")))
+        .withColumn("__stop", TextAnalysis.stopwordRatio(col("text")))
+        .withColumn("__q", TextAnalysis.qualityScoreFrom(
+          col("text"), col("__punct"), col("__stop")))
+        .filter(col("lang") === "en" && col("__q") > 0.3)
+        .withColumn("__fp", TextAnalysis.fingerprint(col("text")))
+      val kept = docs
+        .withColumn("__keep", min("doc_id").over(w.partitionBy("__fp")))
+        .filter(col("doc_id") === col("__keep"))
+        .select("doc_id", "source", "text")
+        .localCheckpoint(true)
+      // 3. repeated-span removal over the survivors (the q131 pass;
+      //    span census runs on the CURATED corpus, not raw documents)
+      val sd = Dedup.spanDedup(kept, "doc_id", "text",
+          spanSize = 20, maxFreq = 1)
+        .select("doc_id", "text")
+        .join(kept.select("doc_id", "source"), Seq("doc_id"))
+        .localCheckpoint(true)
+      // 4. mixture selection over the deduped corpus (the q200 machinery,
+      //    at doc grain: quotas + md5-rank pick of the actual subset)
+      val wts = Importance.mixtureWeights(sd, "doc_id", "text", "source")
+        .localCheckpoint(true)
+      val quotas = TrainExport.hamiltonQuotas(wts, n = 400, "source")
+      val selIds = TrainExport.md5RankChunked(
+          sd.select("doc_id", "source"), "doc_id", Seq("source"), "cap")
+        .join(quotas.select(col("source"), col("quota")), Seq("source"))
+        .filter(col("rn") <= col("quota"))
+        .select("doc_id")
+      val sel = sd.join(selIds, Seq("doc_id")).localCheckpoint(true)
+      // 5. context-window chunking + greedy per-source packing (q139)
+      val chunks = TextAnalysis.chunkDocuments(sel, "doc_id", "text",
+          chunkSize = 40, stride = 30)
+        .withColumn("uid", col("doc_id") * 1000 +
+          when(col("chunk_id") >= 1000, raise_error(concat(
+              lit("q269: doc_id "), col("doc_id").cast("string"),
+              lit(" produced >= 1000 chunks — uid packing would collide"))))
+            .otherwise(col("chunk_id")))
+        .join(sel.select("doc_id", "source"), Seq("doc_id"))
+      val bins = TextAnalysis.packBins(chunks, "uid", "chunk",
+          budget = 512L, partitionCol = "source")
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_chunks"), sum("n_tokens").as("bin_tokens"))
+      // 6. deterministic shard assignment at bin grain (the q82 rule:
+      //    16-bit md5 slice, nShards divides 65536 — no modulo bias)
+      bins
+        .withColumn("shard", conv(substring(md5(concat(lit("capshard:"),
+            col("source"), lit(":"), col("bin").cast("string"))), 1, 4),
+          16, 10).cast("long") % 8)
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_bins"), sum("n_chunks").as("n_chunks"),
+          sum("bin_tokens").as("n_tokens"))
+        .orderBy("source", "shard")
+    }),
+
     // DSIR importance scoring: raw = the whole corpus, target = the
     // English slice, top-20 most target-like docs by hashed-unigram log
     // likelihood ratio. Ranking happens on the ROUNDED score (then doc_id)
@@ -1807,10 +1898,16 @@ object TextQueries {
     * normalizer `zz`; each consumer inlines the rounded weight expression
     * (q148 reports it, q200 feeds it into the Hamilton-quota replay).
     */
-  private val mixtureWeightsCteSql: String =
-    """WITH d AS (
+  /** The mixture-weight CTE chain (bigram-LM per-source log-perplexity →
+    * softmax weights) parameterized on the corpus CTE/table it reads —
+    * `documents` for the standalone gates (q148/q200), the span-deduped
+    * intermediate for the pipeline capstone (q269).
+    */
+  private def mixtureWeightsCteBody(from: String): String =
+    s"""d AS (
       |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-      |  FROM documents),
+      |  FROM $from),""".stripMargin +
+    """
       |bg AS (
       |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
       |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM d)),
@@ -1840,6 +1937,9 @@ object TextQueries {
       |  SELECT source, n_docs, lp, round((-lp) - m + 1e-9, 6) AS excess
       |  FROM ps CROSS JOIN mn),
       |zz AS (SELECT sum(exp(excess * 1.0)) AS z FROM ex)""".stripMargin
+
+  private val mixtureWeightsCteSql: String =
+    "WITH " + mixtureWeightsCteBody("documents")
 
   val pipelineOracles: Map[String, String] = Map(
 
@@ -2499,6 +2599,121 @@ object TextQueries {
         |FROM qk LEFT JOIN sel ON qk.source = sel.source
         |ORDER BY qk.source""".stripMargin),
 
+    // The capstone replay, stage for stage: q61's curation/exact-dedup
+    // chain, q131's span census + reassembly OVER THE SURVIVORS, the
+    // mixture CTEs over the deduped corpus (seed 'cap:', n = 400), the
+    // q139 chunk/pack windows over the selected subset, and the q82
+    // 16-bit md5 shard rule at bin grain.
+    "q269_pretrain_capstone" -> (
+      """WITH scored AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN length(text) = 0 THEN 0.0
+        |      ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+        |    CASE WHEN len(regexp_extract_all(lower(text), '\S+')) = 0 THEN 0.0
+        |      ELSE CAST(len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |             t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |           / len(regexp_extract_all(lower(text), '\S+')) END AS stop
+        |  FROM documents WHERE lang = 'en'),
+        |filtered AS (
+        |  SELECT doc_id, source, text,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        |  FROM scored
+        |  WHERE least(greatest(
+        |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+        |    * (1.0 - punct) * (0.5 + stop), 0.0), 1.0) > 0.3),
+        |kept AS (
+        |  SELECT f.doc_id, f.source, f.text FROM filtered f
+        |  JOIN (SELECT fp, min(doc_id) AS doc_id FROM filtered GROUP BY fp) k
+        |    ON f.fp = k.fp AND f.doc_id = k.doc_id),
+        |t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM kept),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) <= 0 THEN 0
+        |         ELSE 1 + greatest((len(toks) - 20 + 19) // 20, 0)
+        |    END AS nc
+        |  FROM t),
+        |spans AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |    array_to_string(toks[i*20+1 : i*20+20], ' ') AS chunk
+        |  FROM (SELECT doc_id, toks, unnest(range(0, nc)) AS i FROM c)),
+        |f AS (SELECT md5(chunk) AS sig, count(*) AS n
+        |      FROM spans GROUP BY md5(chunk)),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    coalesce(
+        |      string_agg(chunk, ' ' ORDER BY chunk_id) FILTER (WHERE f.n <= 1),
+        |      '') AS text
+        |  FROM spans JOIN f ON md5(chunk) = f.sig
+        |  GROUP BY doc_id),
+        |sdoc AS (
+        |  SELECT cl.doc_id, k.source, cl.text
+        |  FROM cleaned cl JOIN kept k ON k.doc_id = cl.doc_id),
+        |""".stripMargin +
+      mixtureWeightsCteBody("sdoc") +
+      """,
+        |wts AS (
+        |  SELECT source, n_docs,
+        |    round(exp(excess * 1.0) / z + 1e-9, 6) AS weight
+        |  FROM ex CROSS JOIN zz),
+        |q0 AS (
+        |  SELECT source, weight,
+        |    CAST(floor(weight * 400) AS BIGINT) AS q0,
+        |    weight * 400 - floor(weight * 400) AS rem
+        |  FROM wts),
+        |rr AS (SELECT 400 - CAST(sum(q0) AS BIGINT) AS r FROM q0),
+        |qk AS (
+        |  SELECT source,
+        |    q0 + CASE WHEN CAST(row_number() OVER (ORDER BY rem DESC, source)
+        |        AS BIGINT) <= r THEN 1 ELSE 0 END AS quota
+        |  FROM q0 CROSS JOIN rr),
+        |rk AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('cap:'||CAST(doc_id AS VARCHAR)), doc_id)
+        |      AS BIGINT) AS rn
+        |  FROM sdoc),
+        |sel AS (
+        |  SELECT sdoc.doc_id, sdoc.source, sdoc.text
+        |  FROM sdoc
+        |  JOIN rk ON rk.doc_id = sdoc.doc_id
+        |  JOIN qk ON qk.source = rk.source
+        |  WHERE rk.rn <= qk.quota),
+        |ct AS (
+        |  SELECT doc_id, source, regexp_extract_all(text, '\S+') AS tk
+        |  FROM sel),
+        |cc AS (
+        |  SELECT doc_id, source, tk,
+        |    CASE WHEN len(tk) <= 0 THEN 0
+        |         ELSE 1 + greatest((len(tk) - 40 + 29) // 30, 0) END AS nc
+        |  FROM ct),
+        |cx AS (SELECT doc_id, source, tk, unnest(range(0, nc)) AS i FROM cc),
+        |chunks AS (
+        |  SELECT doc_id * 1000 + i AS uid, source,
+        |    CAST(len(tk[i*30+1 : i*30+40]) AS BIGINT) AS n_tokens
+        |  FROM cx),
+        |packed AS (
+        |  SELECT source, uid, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY source ORDER BY uid
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM chunks),
+        |bins AS (
+        |  SELECT source, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_chunks,
+        |    CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |  FROM packed
+        |  GROUP BY 1, 2)
+        |SELECT source, shard,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(sum(bin_tokens) AS BIGINT) AS n_tokens
+        |FROM (
+        |  SELECT source, bin, n_chunks, bin_tokens,
+        |    CAST(('0x'||substring(md5('capshard:'||source||':'||CAST(bin AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS shard
+        |  FROM bins)
+        |GROUP BY source, shard
+        |ORDER BY source, shard""".stripMargin),
+
     "q146_url_canon" -> (urlCanonSql("doc_id") +
       """
         |SELECT canon, CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
@@ -3012,6 +3227,114 @@ object TextQueries {
   )
 
   // the q136 BM25 oracle, shared with q193 (stored-index path)
+  /** The q268 unigram-LM replay: seed census, seed vocabulary, and for
+    * each EM round the Viterbi DP as one MATERIALIZED CTE per character
+    * position (each layer is read by up to `maxPieceLen` later layers
+    * AND the backtrace — the q203 inlining rule), the freq-weighted
+    * backtrace counts, and the char-backstop re-estimation; then the
+    * final prune + M-step. Score comparisons replay Spark's exact op
+    * order (u.score + m.logp on bit-identical inputs), so the per-word
+    * row_number argmax can never disagree.
+    */
+  private def unigramLayersSql(vocabTarget: Int, emRounds: Int,
+      seedSize: Int, maxPieceLen: Int, maxWordLen: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w0 AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |        FROM documents)
+      |  WHERE length(word) <= $maxWordLen
+      |  GROUP BY word),
+      |occ AS MATERIALIZED (
+      |  SELECT word, freq, s, s + l AS e, substring(word, s + 1, l) AS piece
+      |  FROM (
+      |    SELECT word, freq, s,
+      |      unnest(range(1, least($maxPieceLen, length(word) - s) + 1)) AS l
+      |    FROM (SELECT word, freq, unnest(range(0, length(word))) AS s
+      |          FROM w0))),
+      |census AS MATERIALIZED (
+      |  SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM occ GROUP BY piece),
+      |chars AS (SELECT piece, c FROM census WHERE length(piece) = 1),
+      |seedm AS (SELECT piece, c FROM census WHERE length(piece) > 1
+      |          ORDER BY c DESC, piece LIMIT $seedSize),
+      |v0p AS (
+      |  SELECT piece, c + 1 AS cnt, CAST(1 AS BIGINT) AS is_char FROM chars
+      |  UNION ALL
+      |  SELECT piece, c AS cnt, CAST(0 AS BIGINT) AS is_char FROM seedm),
+      |v0 AS MATERIALIZED (
+      |  SELECT piece, cnt, is_char,
+      |    round(ln(CAST(cnt AS DOUBLE) / t), 12) AS logp
+      |  FROM v0p CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v0p))""".stripMargin
+    for (r <- 1 to emRounds) {
+      sb ++= s""",
+        |m$r AS MATERIALIZED (
+        |  SELECT o.word, o.s, o.e, o.piece, v.logp
+        |  FROM occ o JOIN v${r - 1} v ON v.piece = o.piece),
+        |u${r}_0 AS (
+        |  SELECT word, 0 AS pos, CAST(0 AS DOUBLE) AS score,
+        |    -1 AS bestj, CAST(NULL AS VARCHAR) AS piece FROM w0)""".stripMargin
+      for (i <- 1 to maxWordLen) {
+        sb ++= s""",
+          |d${r}_$i AS MATERIALIZED (
+          |  SELECT word, $i AS pos, sc AS score, s AS bestj, piece FROM (
+          |    SELECT m.word, m.s, m.piece, u.score + m.logp AS sc,
+          |      row_number() OVER (PARTITION BY m.word
+          |        ORDER BY (u.score + m.logp) DESC, m.s) AS rn
+          |    FROM m$r m JOIN u${r}_${i - 1} u
+          |      ON u.word = m.word AND u.pos = m.s
+          |    WHERE m.e = $i)
+          |  WHERE rn = 1),
+          |u${r}_$i AS MATERIALIZED (
+          |  SELECT * FROM u${r}_${i - 1} UNION ALL SELECT * FROM d${r}_$i)""".stripMargin
+      }
+      sb ++= s""",
+        |b${r}_0 AS (SELECT word, freq, length(word) AS pos FROM w0)""".stripMargin
+      for (k <- 1 to maxWordLen) {
+        sb ++= s""",
+          |b${r}_$k AS MATERIALIZED (
+          |  SELECT b.word, b.freq, u.bestj AS pos, u.piece
+          |  FROM b${r}_${k - 1} b JOIN u${r}_$maxWordLen u
+          |    ON u.word = b.word AND u.pos = b.pos
+          |  WHERE b.pos > 0)""".stripMargin
+      }
+      val emUnion = (1 to maxWordLen)
+        .map(k => s"SELECT word, freq, piece FROM b${r}_$k")
+        .mkString("\n  UNION ALL\n  ")
+      sb ++= s""",
+        |em$r AS (
+        |  $emUnion),
+        |cnt$r AS MATERIALIZED (
+        |  SELECT piece, CAST(sum(freq) AS BIGINT) AS c2
+        |  FROM em$r GROUP BY piece),
+        |v${r}p AS (
+        |  SELECT ch.piece, CAST(coalesce(c.c2, 0) + 1 AS BIGINT) AS cnt,
+        |    CAST(1 AS BIGINT) AS is_char
+        |  FROM chars ch LEFT JOIN cnt$r c ON c.piece = ch.piece
+        |  UNION ALL
+        |  SELECT piece, c2 AS cnt, CAST(0 AS BIGINT) AS is_char
+        |  FROM cnt$r WHERE length(piece) > 1),
+        |v$r AS MATERIALIZED (
+        |  SELECT piece, cnt, is_char,
+        |    round(ln(CAST(cnt AS DOUBLE) / t), 12) AS logp
+        |  FROM v${r}p CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v${r}p))""".stripMargin
+    }
+    sb ++= s""",
+      |pr AS (
+      |  SELECT piece, cnt, is_char FROM v$emRounds WHERE is_char = 1
+      |  UNION ALL
+      |  SELECT piece, cnt, is_char FROM (
+      |    SELECT piece, cnt, is_char,
+      |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+      |    FROM v$emRounds WHERE is_char = 0)
+      |  WHERE rn <= $vocabTarget -
+      |    (SELECT count(*) FROM v$emRounds WHERE is_char = 1))
+      |SELECT piece, is_char, cnt,
+      |  round(ln(CAST(cnt AS DOUBLE) / t), 12) AS logp
+      |FROM pr CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM pr)
+      |ORDER BY piece""".stripMargin
+    sb.toString
+  }
+
   private lazy val q136Oracle =
       """WITH toks AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
@@ -3454,6 +3777,12 @@ object TextQueries {
         .map(i => s"SELECT CAST($i AS BIGINT) AS rank, a, b, n, ca, cb, score FROM b$i")
         .mkString(" UNION ALL ") + "\nORDER BY rank"
     },
+
+    // the full unigram-LM training replay (seed → 2 Viterbi EM rounds →
+    // prune → final M-step) as generated MATERIALIZED layers
+    "q268_unigram_lm" ->
+      unigramLayersSql(vocabTarget = 64, emRounds = 2, seedSize = 256,
+        maxPieceLen = 8, maxWordLen = 16),
 
     // Same 10 replayed layers over the byte-level symbolization (raw \S+
     // words, hex-pair byte symbols).

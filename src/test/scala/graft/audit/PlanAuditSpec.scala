@@ -488,6 +488,67 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the batch probe must prune to the probed-cell union:\n${p.take(2000)}")
   }
 
+  test("q266 stored ivfpq batch: pruned cell partitions, code-only ADC scan") {
+    // the steady-state twin of q170: codebooks live in the cached
+    // artifact's sidecar, so THIS plan must show the serving shape the
+    // in-query-training gate cannot — partition pruning on the stored
+    // layout and an ADC scan that reads codes, not float vectors
+    val p = plan("q266_ivfpq_stored")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("PartitionFilters") && p.contains("cluster_id"),
+      s"the stored layout must prune to the probed-cell partitions:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange"),
+      "per-(query, cell) LUTs and the shortlist must broadcast")
+    assert(p.contains("ObjectHashAggregate"),
+      s"the ADC shortlist must be the bounded heap aggregator:\n${p.take(2000)}")
+    // at least one scan reads the stored codes WITHOUT the embedding
+    // column (the ADC pass); the rerank's embedding scan is separate and
+    // shortlist-bounded
+    val codeOnlyScan = "ReadSchema: struct<[^>]*pq_code[^>]*>".r
+      .findAllIn(p).exists(s => !s.contains("embedding"))
+    assert(codeOnlyScan,
+      s"the ADC pass must scan codes, never the float vectors:\n${p.take(2000)}")
+  }
+
+  test("q267 stored hybrid: postings-pruned sparse branch + cell-pruned SQ8 dense branch in ONE plan") {
+    val p = plan("q267_hybrid_stored")
+    // sparse branch: the postings scan prunes to the query terms'
+    // term_bucket partitions (q201's property, inside the fused plan)
+    assert(p.contains("term_bucket"),
+      s"the BM25 branch must read the stored postings:\n${p.take(2000)}")
+    assert(p.contains("PartitionFilters"),
+      s"both artifact scans must partition-prune:\n${p.take(2000)}")
+    // dense branch: the SQ8 probe prunes to the hamming-ball cells; the
+    // int8 ranking itself runs in the eager shortlist job (cap-and-
+    // switch pushes the shortlist ids back as an In filter — its
+    // quantized-column-only ReadSchema is pinned by the stored-sq8
+    // audit above), so the final plan shows the rerank scan: pruned
+    // cell partitions + pushed shortlist ids
+    assert(p.contains("PartitionFilters: [cluster_id"),
+      s"the dense rerank must prune sign-bucket cells:\n${p.take(2000)}")
+    assert(p.contains("In(id") || p.contains("INSET"),
+      s"the rerank must push the shortlist id filter to the scan:\n${p.take(2000)}")
+    // no corpus re-tokenization anywhere in the fused plan
+    assert(!p.contains("regexp"),
+      s"stored path must not re-tokenize the corpus:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q269 pretrain capstone: keyed shuffles only, source-partitioned packing") {
+    // stage boundaries are eagerly checkpointed (multi-consumer frames),
+    // so the inspectable plan is the chunk→pack→shard tail; the upstream
+    // stages' shapes are pinned by their own gates' audits (q61/q131/
+    // q200's machinery)
+    val p = plan("q269_pretrain_capstone")
+    assert(!p.contains("CartesianProduct"),
+      s"every join must be keyed:\n${p.take(2000)}")
+    assert(!p.contains("ScalaUDF"), "the whole chain must be column math")
+    // packing windows partition by source — never a global unpartitioned
+    // window over the corpus
+    assert(p.contains("hashpartitioning(source"),
+      s"pack/chunk windows must partition by source:\n${p.take(2000)}")
+  }
+
   test("q143 kmv sketch: bounded heap per group, no per-group sort window") {
     val p = plan("q143_kmv_distinct")
     assert(!p.contains("Window"),
@@ -638,9 +699,23 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("q204 incoming dedup: band-keyed probe, keyed verification, no cartesian") {
-    // construction writes the stored-band artifact once (scratch); the
-    // audited plan is the probe + verification
-    val p = plan("q204_incoming_dedup")
+    // the gate's operator call materializes (serving sessions must not
+    // leak the batch-shingle checkpoint — ADVICE r11), which hides the
+    // join shapes behind a flat block scan; audit the LAZY component
+    // instead (materialize = false, the round-10 loop-audit rule)
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val bands = graft.operators.Dedup.bandKeys(
+      graft.operators.Dedup.minhashSignatures(
+        graft.operators.Dedup.explodeShingles(docs, "doc_id", "text", 5),
+        "doc_id", 8),
+      "doc_id", 8, 2)
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 500000L).as("doc_id"),
+        concat(col("text"), lit(" tm1 tm2")).as("text"))
+    val p = graft.operators.Dedup.incomingNearDups(bands, docs, batch,
+        "doc_id", "text", materialize = false)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"every join must be keyed:\n${p.take(2000)}")
     assert(p.contains("hashpartitioning(band") || p.contains("BroadcastHashJoin"),
