@@ -204,8 +204,10 @@ object CommandExecutor {
               kCells = opts.getOrElse("k", "8").toInt)
           case "postings" =>
             opts.getOrElse("mode", "full") match {
+              // buckets default -1 = derived from the collection's size
+              // (ScaleKnobs.postingsBuckets); explicit values honored
               case "full" => db.reindexPostings(coll,
-                buckets = opts.getOrElse("buckets", "64").toInt,
+                buckets = opts.getOrElse("buckets", "-1").toInt,
                 positions = opts.getOrElse("positions", "false").toBoolean)
               case "refresh" => db.refreshPostings(coll)
               case "compact" => db.compactPostings(coll)

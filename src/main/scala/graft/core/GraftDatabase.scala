@@ -513,7 +513,10 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * `term_bucket` (md5 16-bit slice mod `buckets`, which must divide
     * 65536 — the house no-modulo-bias rule) plus the doc-length
     * companion frame. SEARCHTEXT then reads ≤ |terms| partitions
-    * instead of re-tokenizing the corpus per query.
+    * instead of re-tokenizing the corpus per query. `buckets = -1` (the
+    * default) derives the count from the collection's optimizer size
+    * estimate ([[graft.operators.ScaleKnobs.postingsBuckets]]) — the
+    * knob that used to be a doc note a 100 TB user had to remember.
     *
     * SEGMENTED layout (round 11 — the Lucene model, Spark-first): every
     * row carries a `seg` generation number (full build = seg 0), the
@@ -532,20 +535,31 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * the collection). Compaction (content-preserving) keeps the
     * artifact live; DROP deletes it.
     */
-  def reindexPostings(name: String, buckets: Int = 64,
+  def reindexPostings(name: String, buckets: Int = -1,
       positions: Boolean = false): Unit = {
     requireCollection(name)
-    require(buckets >= 1 && 65536 % buckets == 0,
-      s"buckets must divide 65536 (no modulo bias), got $buckets")
+    // -1 (the default) derives the bucket count from the collection's
+    // optimizer-estimated size (ScaleKnobs.postingsBuckets — power of
+    // two in [16, 4096], ~8 MB of source text per bucket) so the layout
+    // right-sizes itself from testdata to 100 TB; the derived count is
+    // recorded in meta.json, so probes are self-describing either way.
+    // Bucket count is RESULT-invariant (it only partitions the term
+    // space — ScaleKnobsSpec pins SEARCHTEXT equality at two widths).
+    val nBuckets =
+      if (buckets == -1)
+        graft.operators.ScaleKnobs.postingsBuckets(read(name))
+      else buckets
+    require(nBuckets >= 1 && 65536 % nBuckets == 0,
+      s"buckets must divide 65536 (no modulo bias), got $nBuckets")
     val cur = read(name)
     require(cur.columns.contains("payload"),
       s"REINDEX type=postings needs a payload column on $name")
     val dir = textIndexDir(name)
     if (fs.exists(dir)) fs.delete(dir, true)
-    writeTextSegment(name, cur, seg = 0, buckets = buckets,
+    writeTextSegment(name, cur, seg = 0, buckets = nBuckets,
       positions = positions, genDir = new Path(dir, "gen_0"))
     writeString(fs, textIndexMetaPath(name),
-      s"""{"type":"postings","buckets":$buckets,"positions":$positions,"gen":0}""")
+      s"""{"type":"postings","buckets":$nBuckets,"positions":$positions,"gen":0}""")
   }
 
   /** One index segment: postings (term-bucket-partitioned, `seg`-tagged)

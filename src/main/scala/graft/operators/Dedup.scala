@@ -236,21 +236,28 @@ object Dedup {
     *
     * `chunkChars` is the rank-phase parallelism knob: the sort fans out
     * over ~36^chunkChars key-prefix chunks (after normalization the
-    * first characters are [a-z0-9 ]), so the default 1 caps the rank
-    * phase at ≲37 reducers — right-sized for the testdata, NOT for a
-    * corpus. At scale set chunkChars so 36^chunkChars ≳ the cluster's
-    * task slots (2 → ~1.3k chunks, 3 → ~47k); output is
-    * chunk-invariant — the chunk is a PREFIX of the sort key, so any
-    * width yields the identical global rank (DedupSpec proves 1 ≡ 2
-    * row-for-row), and skew within a chunk is bounded by how many keys
-    * share that prefix, not by corpus size.
+    * first characters are [a-z0-9 ]). The default (-1) DERIVES the
+    * width from the session's task slots ([[ScaleKnobs.snmChunkChars]]:
+    * 1 below ~37 slots, 2 up to ~1.3k, 3 beyond) so a 100 TB user no
+    * longer has to remember the 36^c rule; pass an explicit width to
+    * override. Output is chunk-invariant — the chunk is a PREFIX of the
+    * sort key, so any width yields the identical global rank (DedupSpec
+    * proves 1 ≡ 2 ≡ derived row-for-row), and skew within a chunk is
+    * bounded by how many keys share that prefix, not by corpus size.
     */
   def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
       window: Int = 10, keyLen: Int = 40,
-      chunkChars: Int = 1): DataFrame = {
+      chunkChars: Int = -1): DataFrame = {
     require(window >= 2, s"window must be >= 2, got $window")
-    require(keyLen >= 1 && chunkChars >= 1 && chunkChars <= keyLen,
-      s"need 1 <= chunkChars <= keyLen, got $chunkChars/$keyLen")
+    // -1 (the default) derives the width from the session's task slots
+    // (ScaleKnobs.snmChunkChars) — result-invariant because the chunk is
+    // a PREFIX of the sort key (DedupSpec proves width 1 ≡ 2 ≡ derived
+    // row-for-row), so the knob is pure parallelism
+    val chunks =
+      if (chunkChars == -1) ScaleKnobs.snmChunkChars(df, keyLen)
+      else chunkChars
+    require(keyLen >= 1 && chunks >= 1 && chunks <= keyLen,
+      s"need 1 <= chunkChars <= keyLen, got $chunks/$keyLen")
     // NULL-text rows are excluded EXPLICITLY (pinned convention, mirrored
     // by the q190/q192 oracles and DedupSpec): a NULL sort key has no
     // locality to preserve, and leaving it implicit made the exclusion an
@@ -262,7 +269,7 @@ object Dedup {
       lower(col(textCol)), "[^a-z0-9\\s]", " "), "\\s+", " ")), 1, keyLen)
     val keyed = df.filter(col(textCol).isNotNull)
       .select(col(idCol), key.as("__key"))
-      .withColumn("__chunk", substring(col("__key"), 1, chunkChars))
+      .withColumn("__chunk", substring(col("__key"), 1, chunks))
     val wLocal = Window.partitionBy(col("__chunk"))
       .orderBy(col("__key"), col(idCol))
     val local = keyed.withColumn("__lrn",

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Derived defaults for the scale knobs that were previously
+  * documentation a 100 TB user had to remember (round-12 verdict item 6):
+  * the [[Parallelism.ensure]] precedent — read what the optimizer/session
+  * already knows instead of shipping a magic number.
+  *
+  * Every knob derived here is RESULT-INVARIANT by construction (a
+  * chunk/bucket count changes layout and parallelism, never rows —
+  * ScaleKnobsSpec pins this at two derived widths), so the derivation can
+  * be a heuristic without touching any oracle.
+  */
+object ScaleKnobs {
+
+  /** Sorted-neighborhood rank-phase chunk width: the sort fans out over
+    * ~36^chunkChars key-prefix chunks ([a-z0-9 ] after normalization), so
+    * pick the smallest width whose fan-out covers the session's task
+    * slots — 1 below ~37 slots (the local default), 2 up to ~1.3k, 3 for
+    * the tens-of-thousands range. Clamped to `keyLen` (a chunk is a key
+    * prefix) and to 3 (36³ ≈ 47k chunks covers any current cluster; wider
+    * only shrinks chunks without adding usable parallelism).
+    */
+  def snmChunkChars(df: DataFrame, keyLen: Int): Int = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val c = math.ceil(math.log(math.max(slots, 2).toDouble) /
+      math.log(36.0)).toInt
+    math.max(1, math.min(c, math.min(3, keyLen)))
+  }
+
+  /** Postings `term_bucket` count: one partition directory should hold a
+    * healthy parquet file, not a sliver — target ~8 MB of source text per
+    * bucket (postings rows are term-grain and compress well below the
+    * text they index, so this overestimates bucket size, which only makes
+    * buckets larger — the safe direction). Power of two (divides 65536 —
+    * the no-modulo-bias rule), clamped to [16, 4096]; a stat-less plan
+    * falls back to the historical default 64.
+    */
+  def postingsBuckets(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val statless = size >= spark.sessionState.conf.defaultSizeInBytes
+    if (statless) 64
+    else {
+      val want = (size / (8L * 1024 * 1024)).toLong + 1
+      var b = 16
+      while (b < 4096 && b < want) b *= 2
+      b
+    }
+  }
+}

@@ -669,6 +669,146 @@ object TextAnalysis {
   def normalizedTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
+  /** Per-phrase hit-count expressions over ONE document's own normalized
+    * tokens — pure column math (an HOF filter over start positions with a
+    * conjunction of element_at probes), so both consumers stay stateless:
+    * the census explodes them to rows, the scrub filters on their sum,
+    * and the SAME operator runs unchanged on a streaming frame (the
+    * q245/q252 stream-twin shape). The `sequence(1, 0)` descending trap
+    * is guarded by the n ≥ m gate.
+    */
+  private def phraseHitExprs(toks: Column, n: Column,
+      phrases: Seq[Seq[String]]): Seq[(String, Column)] =
+    phrases.map { ps =>
+      val m = ps.length
+      val matchAt = (i: Column) => ps.zipWithIndex.map { case (p, j) =>
+        element_at(toks, (i + lit(j + 1)).cast("int")) === lit(p)
+      }.reduce(_ && _)
+      ps.mkString(" ") ->
+        when(n >= m,
+          size(filter(sequence(lit(0), (n - m).cast("int")), matchAt)))
+          .otherwise(lit(0)).cast("long")
+    }
+
+  /** Multi-token blocklist/keyword census (the C4 "bad words" pass at
+    * PHRASE grain): occurrences of each normalized phrase (consecutive
+    * [[normalizedTokens]] match) per document — one row per
+    * (document, phrase), zero-hit rows included so the census pins
+    * absence too. Scale shape: per-row column math inside the scan, no
+    * shuffle before the caller's aggregation; the phrase list is a plan
+    * literal (compliance lists are small — thousands at most).
+    */
+  def phraseHits(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "phraseHits: need at least one non-empty phrase")
+    require(phrases.map(_.mkString(" ")).distinct.size == phrases.size,
+      "phraseHits: duplicate phrases")
+    // materialize the token array in its OWN projection (the round-4
+    // CollapseProject rule): every phrase expression reads it
+    val base = df
+      .select(col(idCol), normalizedTokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("__n"))
+    val structs = phraseHitExprs(col("__toks"), col("__n"), phrases)
+      .map { case (p, e) =>
+        struct(lit(p).as("phrase"), e.as("n_hits"))
+      }
+    base.select(col(idCol), explode(array(structs: _*)).as("__ph"))
+      .select(col(idCol), col("__ph.phrase").as("phrase"),
+        col("__ph.n_hits").as("n_hits"))
+  }
+
+  /** Blocklist scrub: drop every document containing ANY of the phrases
+    * (whole-doc removal — the C4 rule). STATELESS per-row math (the
+    * doc's own tokens decide), so the identical operator screens a
+    * stream with no watermark or state (gated stream ≡ batch).
+    */
+  def blocklistScrub(df: DataFrame, idCol: String, textCol: String,
+      phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "blocklistScrub: need at least one non-empty phrase")
+    val toks = normalizedTokens(col(textCol))
+    val withToks = df.withColumn("__toks", toks)
+      .withColumn("__bn", size(col("__toks")).cast("long"))
+    val total = phraseHitExprs(col("__toks"), col("__bn"), phrases)
+      .map(_._2).reduce(_ + _)
+    withToks.filter(total === 0L).drop("__toks", "__bn")
+  }
+
+  /** Deterministic T5 span corruption (Raffel et al. 2020 §3.1.4's
+    * denoising objective, derandomized the house way): a whitespace
+    * token at position p STARTS a corruption span when its seeded
+    * 16-bit md5 slice ≡ 0 (mod `divisor`), the span covers `spanLen`
+    * positions (clipped at the doc end), overlapping spans merge, and
+    * each maximal masked run k is replaced by the sentinel
+    * `<extra_id_k>` in the input while the target lists
+    * `<extra_id_k> …masked tokens…` per run plus the closing sentinel
+    * `<extra_id_K>` (K = run count; zero-run docs target exactly
+    * `<extra_id_0>`). Defaults divisor=20, spanLen=3 ≈ the paper's 15%
+    * noise density with mean span 3.
+    *
+    * Output per document with ≥ 1 token: (id, n_tokens, n_masked,
+    * n_spans, input_sig, target_sig) — the md5 signatures pin the FULL
+    * reconstructed input/target strings (the q96 convention: the
+    * signature carries the text, keeping the gate payload bounded).
+    *
+    * Scale shape: one explode + doc-partitioned windows (coverage,
+    * island numbering) + one aggregation — no corpus-scale window, no
+    * shuffle beyond the doc key.
+    */
+  def spanCorruption(df: DataFrame, idCol: String, textCol: String,
+      divisor: Int = 20, spanLen: Int = 3,
+      seed: String = "t5"): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    require(spanLen >= 1, s"spanLen must be >= 1, got $spanLen")
+    val toks = df.select(col(idCol),
+        regexp_extract_all(col(textCol), lit("\\S+"), lit(0)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("__nt"),
+        posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val started = toks.withColumn("__start",
+      conv(substring(md5(concat(lit(seed + ":"),
+        col(idCol).cast("string"), lit(":"), col("pos").cast("string"))),
+        1, 4), 16, 10).cast("long") % divisor === 0L)
+    val wCov = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(-(spanLen - 1), 0)
+    val wPos = Window.partitionBy(idCol).orderBy("pos")
+    val wCum = wPos.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val marked = started
+      .withColumn("__cov",
+        max(when(col("__start"), 1).otherwise(0)).over(wCov) === 1)
+      .withColumn("__prev",
+        coalesce(lag(col("__cov"), 1).over(wPos), lit(false)))
+      .withColumn("__ist", col("__cov") && !col("__prev"))
+      .withColumn("__k",
+        sum(when(col("__ist"), 1L).otherwise(0L)).over(wCum) - 1L)
+      .withColumn("__ip",
+        when(!col("__cov"), col("tok"))
+          .when(col("__ist"),
+            concat(lit("<extra_id_"), col("__k").cast("string"), lit(">"))))
+      .withColumn("__tp",
+        when(col("__cov") && col("__ist"),
+          concat(lit("<extra_id_"), col("__k").cast("string"), lit("> "),
+            col("tok")))
+          .when(col("__cov"), col("tok")))
+    def body(piece: String) = array_join(transform(array_sort(
+      collect_list(when(col(piece).isNotNull,
+        struct(col("pos"), col(piece).as("p"))))), x => x.getField("p")),
+      " ")
+    marked.groupBy(col(idCol))
+      .agg(max(col("__nt")).as("n_tokens"),
+        sum(when(col("__cov"), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("__ist"), 1L).otherwise(0L)).as("n_spans"),
+        md5(body("__ip")).as("input_sig"),
+        body("__tp").as("__tbody"))
+      .withColumn("target_sig", md5(
+        when(col("n_spans") === 0L, lit("<extra_id_0>"))
+          .otherwise(concat(col("__tbody"), lit(" <extra_id_"),
+            col("n_spans").cast("string"), lit(">")))))
+      .drop("__tbody")
+  }
+
   /** PII redaction patterns: (class, regex, replacement token). The regexes
     * deliberately use only the syntax subset where Java regex (Spark) and
     * RE2 (DuckDB, Go, etc.) agree — character classes, bounded repetition,

@@ -122,6 +122,32 @@ object UnigramLm {
     out
   }
 
+  /** Encode-time usage statistics: train on the corpus, then Viterbi-
+    * segment every distinct word under the FINAL vocabulary and report
+    * per piece — `piece`, `n_words` (distinct words whose best
+    * segmentation uses it), `uses` (word-frequency-weighted occurrence
+    * count). The tokenizer-health table a pipeline reads before
+    * committing to a vocabulary (dead pieces, fertility drivers).
+    */
+  def encodeStats(df: DataFrame, textCol: String, vocabTarget: Int = 64,
+      emRounds: Int = 2, seedMultiplier: Int = 4, maxPieceLen: Int = 8,
+      maxWordLen: Int = 16): DataFrame = {
+    val vocab = train(df, textCol, vocabTarget, emRounds, seedMultiplier,
+      maxPieceLen, maxWordLen)
+    val words = wordFreqs(df, textCol, maxWordLen).localCheckpoint(true)
+    val occ = substrings(words, maxPieceLen).localCheckpoint(true)
+    val em = emissions(words, occ, vocab.select(col("piece"), col("logp")))
+    val out = em.groupBy("piece")
+      .agg(countDistinct(col("word")).as("n_words"),
+        sum("freq").as("uses"))
+      .localCheckpoint(true)
+    GraftSqlShims.unpersistCheckpoint(em)
+    GraftSqlShims.unpersistCheckpoint(words)
+    GraftSqlShims.unpersistCheckpoint(occ)
+    GraftSqlShims.unpersistCheckpoint(vocab)
+    out
+  }
+
   /** Maximum-likelihood (Viterbi) segmentation of `words` (one `word`
     * column, distinct applied here) under `vocab`'s (piece, logp) — one
     * row per (word, ordinal piece): (word, pos start offset, piece).

@@ -588,6 +588,60 @@ object TextQueries {
         .orderBy("piece")
     }),
 
+    // Multi-token phrase census — the C4 "bad words" compliance pass at
+    // PHRASE grain: per blocklist phrase, how many docs contain it and
+    // how many total (consecutive normalized-token) occurrences. Pure
+    // per-row HOF math in the scan; the fourth phrase never occurs, so
+    // the zero row pins absence.
+    "q270_phrase_census" -> ((s, dir) => {
+      TextAnalysis.phraseHits(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", blocklistPhrases)
+        .groupBy("phrase")
+        .agg(sum(when(col("n_hits") > 0L, 1L).otherwise(0L)).as("n_docs"),
+          sum("n_hits").as("n_hits"))
+        .orderBy("phrase")
+    }),
+
+    // Blocklist scrub: drop every doc containing ANY census phrase
+    // (whole-doc removal, the C4 rule); per-source survivor stats pin
+    // the cut. STATELESS per-row math — q274 runs the identical body on
+    // a stream against this oracle verbatim.
+    "q271_blocklist_scrub" -> ((s, dir) => {
+      TextAnalysis.blocklistScrub(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", blocklistPhrases)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(length(col("text"))).as("n_chars"))
+        .orderBy("source")
+    }),
+
+    // Deterministic T5 span corruption (Raffel 2020 §3.1.4 derandomized):
+    // md5-seeded span starts (~5% × len-3 spans ≈ 15% noise), overlapping
+    // spans merge, sentinel numbering in position order, and the md5
+    // signatures pin the FULL reconstructed input/target strings —
+    // the denoising-objective export, gate-checked end to end.
+    "q272_t5_spans" -> ((s, dir) => {
+      TextAnalysis.spanCorruption(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Encode-time usage census of the q268 unigram-LM vocabulary: train,
+    // then Viterbi-segment every distinct word under the FINAL pieces —
+    // per piece, distinct words using it and freq-weighted uses. The
+    // oracle replays the whole training chain PLUS one more generated DP
+    // pass under the pruned vocabulary.
+    "q273_unigram_encode" -> ((s, dir) => {
+      graft.operators.UnigramLm.encodeStats(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "text", vocabTarget = 64, emRounds = 2, seedMultiplier = 4,
+          maxPieceLen = 8, maxWordLen = 16)
+        .orderBy("piece")
+    }),
+
     // WordPiece training: the q129 merge loop with LIKELIHOOD selection
     // — each round fuses the pair maximizing n/(ca·cb) instead of raw n,
     // so rare-but-always-together pairs (stems, suffixes) merge first.
@@ -1411,6 +1465,19 @@ object TextQueries {
     "q259_stream_readability" -> ((s, dir) => {
       graft.streaming.StreamingIngest.streamReadability(s, dir)
         .orderBy("doc_id")
+    }),
+
+    // STREAMING blocklist scrub: the per-phrase hit counts are per-row
+    // column math over the doc's own tokens, so q271's body runs
+    // UNCHANGED on the stream (append, no state) — gated on q271's
+    // oracle verbatim.
+    "q274_stream_blocklist" -> ((s, dir) => {
+      graft.streaming.StreamingIngest.streamBlocklistScrub(s, dir,
+          blocklistPhrases, queryName = Scratch.name("stream_blk"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(length(col("text"))).as("n_chars"))
+        .orderBy("source")
     }),
 
     // Count-pruned LM scoring (q100 with minCount=2): the production
@@ -2268,6 +2335,8 @@ object TextQueries {
     // Stream ≡ batch: the stateless readability projection gates on
     // q235's oracle verbatim.
     "q259_stream_readability" -> q235OracleSql,
+    // stream ≡ batch: q271's oracle verbatim
+    "q274_stream_blocklist" -> blocklistScrubSql,
 
     // Kneser–Ney replay: D and the per-history λ chain parenthesized
     // exactly as the Spark side ((D·n1p)/ctx; (c−D)/ctx + λ·pc); the
@@ -3227,6 +3296,52 @@ object TextQueries {
   )
 
   // the q136 BM25 oracle, shared with q193 (stored-index path)
+  /** The q270/q271/q274 blocklist: three phrases that occur in the
+    * corpus (top bigrams/trigram of the synthetic text) and one that
+    * never does — the census must pin absence as a zero row.
+    */
+  // lazy: referenced by pipelineOracles, which initializes before this
+  // point in the object body
+  private lazy val blocklistPhrases: Seq[Seq[String]] = Seq(
+    Seq("window", "join"), Seq("stream", "column"),
+    Seq("big", "order", "scan"), Seq("graft", "blocked", "phrase"))
+
+  /** Shared CTE prefix: per-(doc, phrase) hit counts — one list_filter
+    * over start positions per phrase, the exact mirror of
+    * [[graft.operators.TextAnalysis.phraseHits]]' HOF (DuckDB's 1-based
+    * range/list indexing vs Spark's 0-based sequence + element_at(i+j+1)
+    * enumerate the identical starts; `range(1, n)` with n <= 1 is empty,
+    * so short docs count 0 without a guard).
+    */
+  private def phraseCensusSql: String = {
+    val blocks = blocklistPhrases.map { ps =>
+      val m = ps.length
+      val cond = ps.zipWithIndex
+        .map { case (p, j) => s"w[i+$j] = '$p'" }.mkString(" AND ")
+      s"""SELECT doc_id, '${ps.mkString(" ")}' AS phrase,
+         |    CAST(len(list_filter(range(1, len(w) - $m + 2),
+         |      i -> $cond)) AS BIGINT) AS n_hits
+         |  FROM t""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text,
+       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM documents),
+       |h AS (
+       |  $blocks)""".stripMargin
+  }
+
+  /** q271's oracle, reused verbatim by the q274 stream twin. */
+  private lazy val blocklistScrubSql: String = phraseCensusSql +
+    """,
+      |tot AS (SELECT doc_id, sum(n_hits) AS th FROM h GROUP BY doc_id)
+      |SELECT d.source AS source, count(*) AS n_kept,
+      |  CAST(sum(length(d.text)) AS BIGINT) AS n_chars
+      |FROM documents d JOIN tot ON tot.doc_id = d.doc_id
+      |WHERE th = 0
+      |GROUP BY d.source
+      |ORDER BY source""".stripMargin
+
   /** The q268 unigram-LM replay: seed census, seed vocabulary, and for
     * each EM round the Viterbi DP as one MATERIALIZED CTE per character
     * position (each layer is read by up to `maxPieceLen` later layers
@@ -3237,8 +3352,51 @@ object TextQueries {
     * row_number argmax can never disagree.
     */
   private def unigramLayersSql(vocabTarget: Int, emRounds: Int,
-      seedSize: Int, maxPieceLen: Int, maxWordLen: Int): String = {
+      seedSize: Int, maxPieceLen: Int, maxWordLen: Int,
+      encodePass: Boolean = false): String = {
     val sb = new StringBuilder
+    // one Viterbi DP block (match table, position layers, backtrace,
+    // emissions) under a given vocabulary CTE — shared by every EM round
+    // and by the final encode pass
+    def dpLayers(tag: String, vocabCte: String): Unit = {
+      sb ++= s""",
+        |m$tag AS MATERIALIZED (
+        |  SELECT o.word, o.s, o.e, o.piece, v.logp
+        |  FROM occ o JOIN $vocabCte v ON v.piece = o.piece),
+        |u${tag}_0 AS (
+        |  SELECT word, 0 AS pos, CAST(0 AS DOUBLE) AS score,
+        |    -1 AS bestj, CAST(NULL AS VARCHAR) AS piece FROM w0)""".stripMargin
+      for (i <- 1 to maxWordLen) {
+        sb ++= s""",
+          |d${tag}_$i AS MATERIALIZED (
+          |  SELECT word, $i AS pos, sc AS score, s AS bestj, piece FROM (
+          |    SELECT m.word, m.s, m.piece, u.score + m.logp AS sc,
+          |      row_number() OVER (PARTITION BY m.word
+          |        ORDER BY (u.score + m.logp) DESC, m.s) AS rn
+          |    FROM m$tag m JOIN u${tag}_${i - 1} u
+          |      ON u.word = m.word AND u.pos = m.s
+          |    WHERE m.e = $i)
+          |  WHERE rn = 1),
+          |u${tag}_$i AS MATERIALIZED (
+          |  SELECT * FROM u${tag}_${i - 1} UNION ALL SELECT * FROM d${tag}_$i)""".stripMargin
+      }
+      sb ++= s""",
+        |b${tag}_0 AS (SELECT word, freq, length(word) AS pos FROM w0)""".stripMargin
+      for (k <- 1 to maxWordLen) {
+        sb ++= s""",
+          |b${tag}_$k AS MATERIALIZED (
+          |  SELECT b.word, b.freq, u.bestj AS pos, u.piece
+          |  FROM b${tag}_${k - 1} b JOIN u${tag}_$maxWordLen u
+          |    ON u.word = b.word AND u.pos = b.pos
+          |  WHERE b.pos > 0)""".stripMargin
+      }
+      val emUnion = (1 to maxWordLen)
+        .map(k => s"SELECT word, freq, piece FROM b${tag}_$k")
+        .mkString("\n  UNION ALL\n  ")
+      sb ++= s""",
+        |em$tag AS (
+        |  $emUnion)""".stripMargin
+    }
     sb ++= s"""WITH w0 AS MATERIALIZED (
       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
@@ -3266,43 +3424,8 @@ object TextQueries {
       |    round(ln(CAST(cnt AS DOUBLE) / t), 12) AS logp
       |  FROM v0p CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM v0p))""".stripMargin
     for (r <- 1 to emRounds) {
+      dpLayers(r.toString, s"v${r - 1}")
       sb ++= s""",
-        |m$r AS MATERIALIZED (
-        |  SELECT o.word, o.s, o.e, o.piece, v.logp
-        |  FROM occ o JOIN v${r - 1} v ON v.piece = o.piece),
-        |u${r}_0 AS (
-        |  SELECT word, 0 AS pos, CAST(0 AS DOUBLE) AS score,
-        |    -1 AS bestj, CAST(NULL AS VARCHAR) AS piece FROM w0)""".stripMargin
-      for (i <- 1 to maxWordLen) {
-        sb ++= s""",
-          |d${r}_$i AS MATERIALIZED (
-          |  SELECT word, $i AS pos, sc AS score, s AS bestj, piece FROM (
-          |    SELECT m.word, m.s, m.piece, u.score + m.logp AS sc,
-          |      row_number() OVER (PARTITION BY m.word
-          |        ORDER BY (u.score + m.logp) DESC, m.s) AS rn
-          |    FROM m$r m JOIN u${r}_${i - 1} u
-          |      ON u.word = m.word AND u.pos = m.s
-          |    WHERE m.e = $i)
-          |  WHERE rn = 1),
-          |u${r}_$i AS MATERIALIZED (
-          |  SELECT * FROM u${r}_${i - 1} UNION ALL SELECT * FROM d${r}_$i)""".stripMargin
-      }
-      sb ++= s""",
-        |b${r}_0 AS (SELECT word, freq, length(word) AS pos FROM w0)""".stripMargin
-      for (k <- 1 to maxWordLen) {
-        sb ++= s""",
-          |b${r}_$k AS MATERIALIZED (
-          |  SELECT b.word, b.freq, u.bestj AS pos, u.piece
-          |  FROM b${r}_${k - 1} b JOIN u${r}_$maxWordLen u
-          |    ON u.word = b.word AND u.pos = b.pos
-          |  WHERE b.pos > 0)""".stripMargin
-      }
-      val emUnion = (1 to maxWordLen)
-        .map(k => s"SELECT word, freq, piece FROM b${r}_$k")
-        .mkString("\n  UNION ALL\n  ")
-      sb ++= s""",
-        |em$r AS (
-        |  $emUnion),
         |cnt$r AS MATERIALIZED (
         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS c2
         |  FROM em$r GROUP BY piece),
@@ -3327,11 +3450,28 @@ object TextQueries {
       |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
       |    FROM v$emRounds WHERE is_char = 0)
       |  WHERE rn <= $vocabTarget -
-      |    (SELECT count(*) FROM v$emRounds WHERE is_char = 1))
-      |SELECT piece, is_char, cnt,
-      |  round(ln(CAST(cnt AS DOUBLE) / t), 12) AS logp
-      |FROM pr CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM pr)
-      |ORDER BY piece""".stripMargin
+      |    (SELECT count(*) FROM v$emRounds WHERE is_char = 1))""".stripMargin
+    if (!encodePass) {
+      sb ++= s"""
+        |SELECT piece, is_char, cnt,
+        |  round(ln(CAST(cnt AS DOUBLE) / t), 12) AS logp
+        |FROM pr CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM pr)
+        |ORDER BY piece""".stripMargin
+    } else {
+      // final M-step vocabulary, then one more Viterbi pass over every
+      // distinct word under it — the encode-time usage census
+      sb ++= s""",
+        |vf AS MATERIALIZED (
+        |  SELECT piece, round(ln(CAST(cnt AS DOUBLE) / t), 12) AS logp
+        |  FROM pr CROSS JOIN (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM pr))""".stripMargin
+      dpLayers("e", "vf")
+      sb ++= s"""
+        |SELECT piece,
+        |  CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+        |  CAST(sum(freq) AS BIGINT) AS uses
+        |FROM eme GROUP BY piece
+        |ORDER BY piece""".stripMargin
+    }
     sb.toString
   }
 
@@ -3783,6 +3923,75 @@ object TextQueries {
     "q268_unigram_lm" ->
       unigramLayersSql(vocabTarget = 64, emRounds = 2, seedSize = 256,
         maxPieceLen = 8, maxWordLen = 16),
+
+    // the training replay PLUS one more generated Viterbi pass under the
+    // pruned vocabulary — the encode-time usage census
+    "q273_unigram_encode" ->
+      unigramLayersSql(vocabTarget = 64, emRounds = 2, seedSize = 256,
+        maxPieceLen = 8, maxWordLen = 16, encodePass = true),
+
+    "q270_phrase_census" -> (phraseCensusSql +
+      """
+        |SELECT phrase,
+        |  CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_hits) AS BIGINT) AS n_hits
+        |FROM h GROUP BY phrase
+        |ORDER BY phrase""".stripMargin),
+
+    "q271_blocklist_scrub" -> blocklistScrubSql,
+
+    // deterministic T5 span corruption: seeded span starts, backward-
+    // looking coverage window (clips at the doc end for free), island
+    // numbering via the gaps-and-islands cumsum, sentinel-spliced
+    // input/target reassembly under the collect-skips-nulls ≡ FILTER
+    // string_agg parity (round-6 convention)
+    "q272_t5_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n,
+        |    CAST(i AS BIGINT) AS pos, toks[i+1] AS tok
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks))) AS i
+        |        FROM t)),
+        |st AS (
+        |  SELECT *, (CAST(('0x'||substring(md5('t5:'||CAST(doc_id AS VARCHAR)||':'||CAST(pos AS VARCHAR)), 1, 4)) AS BIGINT) % 20 = 0) AS s
+        |  FROM tok),
+        |cv AS (
+        |  SELECT *, max(CASE WHEN s THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS cov
+        |  FROM st),
+        |il AS (
+        |  SELECT *, coalesce(lag(cov) OVER (PARTITION BY doc_id ORDER BY pos),
+        |    false) AS prev
+        |  FROM cv),
+        |ik AS (
+        |  SELECT *, (cov AND NOT prev) AS ist,
+        |    sum(CASE WHEN cov AND NOT prev THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) - 1 AS k
+        |  FROM il),
+        |pieces AS (
+        |  SELECT doc_id, n, pos, cov, ist,
+        |    CASE WHEN NOT cov THEN tok
+        |         WHEN ist THEN '<extra_id_'||CAST(k AS VARCHAR)||'>' END AS ip,
+        |    CASE WHEN cov AND ist THEN '<extra_id_'||CAST(k AS VARCHAR)||'> '||tok
+        |         WHEN cov THEN tok END AS tp
+        |  FROM ik),
+        |agg AS (
+        |  SELECT doc_id, max(n) AS n_tokens,
+        |    CAST(sum(CASE WHEN cov THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |    CAST(sum(CASE WHEN ist THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |    coalesce(string_agg(ip, ' ' ORDER BY pos) FILTER (WHERE ip IS NOT NULL), '') AS ibody,
+        |    coalesce(string_agg(tp, ' ' ORDER BY pos) FILTER (WHERE tp IS NOT NULL), '') AS tbody
+        |  FROM pieces GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_masked, n_spans,
+        |  md5(ibody) AS input_sig,
+        |  md5(CASE WHEN n_spans = 0 THEN '<extra_id_0>'
+        |       ELSE tbody||' <extra_id_'||CAST(n_spans AS VARCHAR)||'>' END) AS target_sig
+        |FROM agg
+        |ORDER BY doc_id""".stripMargin,
 
     // Same 10 replayed layers over the byte-level symbolization (raw \S+
     // words, hex-pair byte symbols).

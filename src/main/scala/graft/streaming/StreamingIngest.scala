@@ -449,6 +449,34 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Streaming blocklist scrub — [[graft.operators.TextAnalysis
+    * .blocklistScrub]] on the stream: the hit counts are pure per-row
+    * column math over the document's own tokens (no aggregation, no
+    * state, no watermark), so the batch body runs UNCHANGED in append
+    * mode and the gate reuses the batch oracle verbatim (the q259
+    * stream-twin economics).
+    */
+  def streamBlocklistScrub(spark: SparkSession, sfDir: String,
+      phrases: Seq[Seq[String]],
+      queryName: String = "stream_blocklist"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val arriving = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val out = TextAnalysis.blocklistScrub(arriving, "doc_id", "text",
+      phrases)
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest-time NOVELTY metric — [[graft.operators
     * .TextAnalysis.incomingNovelty]] on the stream: the corpus's
     * distinct shingles are the static side; one marker left join + one
