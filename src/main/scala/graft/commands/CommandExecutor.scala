@@ -158,7 +158,12 @@ object CommandExecutor {
           query = vec,
           k = opts.getOrElse("k", "10").toInt,
           kf = opts.getOrElse("kf", "20").toInt,
-          kRrf = opts.getOrElse("krrf", "60").toInt)
+          kRrf = opts.getOrElse("krrf", "60").toInt,
+          // radius + shortlist opt the dense branch into the stored ANN
+          // composition (cell probe × SQ8 × exact rerank) — the same
+          // option names SEARCHSIMILAR uses
+          probeRadius = opts.getOrElse("radius", "-1").toInt,
+          shortlist = opts.getOrElse("shortlist", "-1").toInt)
 
       case Summarize(coll, arg) =>
         val opts = arg.map(parseKv).getOrElse(Map.empty)
@@ -173,6 +178,12 @@ object CommandExecutor {
             throw new IllegalArgumentException(
               "SEARCHPHRASE arg must include phrase=word word ..."))
             .split("\\s+").toSeq.filter(_.nonEmpty),
+          k = opts.getOrElse("k", "20").toInt)
+
+      case SearchProximity(coll, arg) =>
+        val opts = parseKv(arg)
+        db.searchProximity(coll,
+          rawTerms = splitTerms(opts, "SEARCHPROX"),
           k = opts.getOrElse("k", "20").toInt)
 
       case Reindex(coll, arg) =>

@@ -67,6 +67,7 @@ object GraftCommand {
   final case class SearchText(collection: String, arg: String) extends GraftCommand
   final case class SearchHybrid(collection: String, arg: String) extends GraftCommand
   final case class SearchPhrase(collection: String, arg: String) extends GraftCommand
+  final case class SearchProximity(collection: String, arg: String) extends GraftCommand
   final case class Summarize(collection: String, arg: Option[String]) extends GraftCommand
 }
 
@@ -121,6 +122,7 @@ object CommandParser {
       case "SEARCHTEXT" => needBoth("SEARCHTEXT")(SearchText(_, _))
       case "SEARCHHYBRID" => needBoth("SEARCHHYBRID")(SearchHybrid(_, _))
       case "SEARCHPHRASE" => needBoth("SEARCHPHRASE")(SearchPhrase(_, _))
+      case "SEARCHPROX" => needBoth("SEARCHPROX")(SearchProximity(_, _))
       case "SUMMARIZE" => needColl("SUMMARIZE")(Summarize(_, arg))
       case other => Left(UnrecognizedCommand(other))
     }

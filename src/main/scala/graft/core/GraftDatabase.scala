@@ -799,6 +799,49 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .limit(k)
   }
 
+  /** SEARCHPROXIMITY — minimal-cover-span ranking (the positional-index
+    * signal between BM25 and exact phrase): documents containing ALL
+    * query terms, ranked by the width of the smallest token window
+    * holding one occurrence of each ([[graft.operators.TextAnalysis
+    * .minCoverSpans]]). Same artifact dispatch as [[searchPhrase]]: a
+    * LIVE positional artifact serves from ≤ |terms| pruned
+    * `term_bucket=` partitions; otherwise the exact rescan recomputes
+    * positional postings in-query (same rows, corpus-scan price).
+    * Output: (id, min_span, n_occs), smallest window first, id
+    * tie-break, top `k` — exact integer ranks, never a float cut.
+    */
+  def searchProximity(name: String, rawTerms: Seq[String],
+      k: Int = 20): DataFrame = {
+    requireCollection(name)
+    require(k >= 1, s"k must be positive, got $k")
+    val terms = normalizeTerms(rawTerms)
+    require(terms.size >= 2,
+      s"SEARCHPROXIMITY needs >= 2 distinct terms after normalization " +
+        s"(got: ${rawTerms.mkString(", ")})")
+    val tDir = textIndexDir(name)
+    val positional =
+      if (textIndexHasPositions(name) &&
+          !fs.exists(textIndexStaleMarker(name))) {
+        val buckets = parseTextIndexBuckets(
+          readString(fs, new Path(tDir, "meta.json")))
+        val wanted = terms.map(bucketOfTerm(_, buckets)).distinct
+        readArtifact(new Path(textGenDir(name), "positions"),
+            PositionsSchema)
+          .filter(col("term_bucket").isin(wanted: _*) &&
+            col("term").isin(terms: _*))
+          .join(broadcast(tombstones(name)), Seq("id", "seg"), "left_anti")
+      } else {
+        val cur = read(name)
+        require(cur.columns.contains("payload"),
+          s"SEARCHPROXIMITY needs a payload column on $name")
+        graft.operators.TextAnalysis
+          .invertedIndexPositional(cur, "id", "payload")
+      }
+    graft.operators.TextAnalysis.minCoverSpans(positional, "id", terms)
+      .orderBy(col("min_span"), col("id"))
+      .limit(k)
+  }
+
   /** The tombstones frame `(id, seg)` — empty when no version was ever
     * replaced or deleted (anti-joining against it is then free).
     */

@@ -698,7 +698,7 @@ object TextAnalysis {
     * shuffle before the caller's aggregation; the phrase list is a plan
     * literal (compliance lists are small — thousands at most).
     */
-  def phraseHits(df: DataFrame, idCol: String, textCol: String,
+  def blocklistCensus(df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[Seq[String]]): DataFrame = {
     require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
       "phraseHits: need at least one non-empty phrase")
@@ -1692,6 +1692,53 @@ object TextAnalysis {
     df.select(col(idCol),
         posexplode(normalizedTokens(col(textCol))).as(Seq("pos", "term")))
       .select(col("term"), col(idCol), col("pos").cast("long").as("pos"))
+
+  /** PROXIMITY retrieval over POSITIONAL postings — the classic minimal
+    * cover span: for every document containing ALL `terms`, the width of
+    * the smallest token window holding at least one occurrence of each
+    * (the positional-index ranking signal between pure BM25 and exact
+    * phrase match). The optimal window starts at some term occurrence,
+    * so per doc: sorted position arrays per term (one aggregation over
+    * the ≤ |terms| pruned postings lists), then pure HOF math —
+    * span(p) = max_t min{x ∈ A_t : x ≥ p} − p + 1 over every occurrence
+    * p, minimized. All exact integer math (rank cuts can never flip);
+    * per-doc cost O(occ² · m) with occ bounded by doc length, constant
+    * at corpus scale.
+    *
+    * Output: (idCol, min_span BIGINT, n_occs BIGINT = total term
+    * occurrences); callers rank (min_span ASC, id) and cut.
+    */
+  def minCoverSpans(positional: DataFrame, idCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2 && terms.distinct == terms,
+      s"minCoverSpans needs >= 2 distinct terms, got $terms")
+    val idx = terms.indices
+    val arrs = positional.filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(when(col("term") === terms.head,
+          col("pos")))).as("__p0"),
+        idx.tail.map(i => sort_array(collect_list(when(
+          col("term") === terms(i), col("pos")))).as(s"__p$i")): _*)
+      .filter(idx.map(i => size(col(s"__p$i")) > 0).reduce(_ && _))
+      // the starts array materializes in its OWN projection (round-4
+      // CollapseProject rule: the span transform reads it per element)
+      .withColumn("__starts",
+        flatten(array(idx.map(i => col(s"__p$i")): _*)))
+    def minGE(i: Int, p: Column) =
+      array_min(filter(col(s"__p$i"), x => x >= p))
+    val span = (p: Column) => {
+      val mins = idx.map(i => minGE(i, p))
+      when(mins.map(_.isNotNull).reduce(_ && _),
+        mins.reduce((a, b) => greatest(a, b)) - p + 1)
+    }
+    arrs
+      .withColumn("min_span",
+        array_min(filter(transform(col("__starts"), span),
+          x => x.isNotNull)).cast("long"))
+      .select(col(idCol), col("min_span"),
+        size(col("__starts")).cast("long").as("n_occs"))
+  }
 
   /** Exact phrase match over POSITIONAL postings: docs containing the
     * consecutive normalized-token sequence `phrase`, with occurrence

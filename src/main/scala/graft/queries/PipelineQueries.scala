@@ -959,6 +959,38 @@ object PipelineQueries {
         .searchPhrase("docs", Seq("stream", "data"), k = 20)
     }),
 
+    // PROXIMITY retrieval over the STORED positional artifact (the q201
+    // cached build): min-cover-span ranking served from ≤ |terms| pruned
+    // term_bucket partitions — stored ≡ rescan gated against the
+    // recompute-from-text oracle over the hybrid collection's rows.
+    "q276_prox_stored" -> ((s, dir) => {
+      storedPostingsDb(s, dir)
+        .searchProximity("docs", Seq("order", "fast", "scan"), k = 20)
+    }),
+
+    // SEARCHPROX through the command grammar — command ≡ API, gated on
+    // q276's oracle verbatim.
+    "q277_prox_cmd" -> ((s, dir) => {
+      CommandExecutor.execute(storedPostingsDb(s, dir),
+        graft.commands.CommandParser.parse(Some("docs"), "SEARCHPROX",
+          Some("terms=order,fast,scan;k=20"))
+          .fold(e => throw new IllegalArgumentException(e.message), identity))
+    }),
+
+    // SEARCHHYBRID with radius/shortlist through the grammar: the dense
+    // branch opts into the stored ANN composition — command ≡ API,
+    // gated on q267's oracle verbatim.
+    "q278_hybrid_ann_cmd" -> ((s, dir) => {
+      val db = storedHybridDb(s, dir)
+      val qv = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "SEARCHHYBRID",
+          Some(s"terms=vector,data,merge;k=10;kf=20;radius=1;" +
+            s"shortlist=100;vec=${qv.mkString(",")}"))
+          .fold(e => throw new IllegalArgumentException(e.message), identity))
+    }),
+
     // Steady-state RESIDUAL-ANN batch retrieval over the STORED
     // ivfpq_kmeans layout (q170's serving twin — the q201 pattern):
     // codebooks train once into the cached artifact, every call answers
@@ -1418,6 +1450,66 @@ object PipelineQueries {
   // oracle of both q196 (build-included round-trip) and q201
   // (steady-state retrieval): identical rows by the stored ≡ rescan
   // contract
+  // the q267/q278 oracle: q195's BM25/RRF arithmetic with the dense
+  // branch replaced by q79's IVF × SQ8 replay over the hybrid
+  // collection's rows (see the q267 entry for the full reasoning)
+  private lazy val hybridAnnSql: String = hybridBmPrefix +
+    s""",
+      |bm AS (
+      |  SELECT id, round(
+      |      (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
+      |        * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |        ELSE 0.0 END)
+      |    + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
+      |        * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |        ELSE 0.0 END)
+      |    + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
+      |        * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      |        ELSE 0.0 END) + 1e-9, 6) AS bm25
+      |  FROM pd CROSS JOIN st
+      |  WHERE tf0 + tf1 + tf2 > 0),
+      |sp AS (
+      |  SELECT id, CAST(rn AS BIGINT) AS r FROM (
+      |    SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS rn
+      |    FROM bm)
+      |  WHERE rn <= 20),
+      |cod AS (
+      |  SELECT b.id, e.embedding,
+      |    ${VectorQueries.duckBucket("e.embedding")} AS c,
+      |    list_transform(CAST(e.embedding AS DOUBLE[]),
+      |      x -> greatest(-127.0, least(127.0, floor(x * 127 + 0.5)))) AS qv
+      |  FROM base b JOIN embeddings e ON e.vec_id = b.id),
+      |q AS (
+      |  SELECT CAST(embedding AS DOUBLE[]) AS qemb,
+      |    ${VectorQueries.duckBucket("embedding")} AS qc,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> greatest(-127.0, least(127.0, floor(x * 127 + 0.5)))) AS qqv
+      |  FROM embeddings WHERE vec_id = 0),
+      |probed AS (
+      |  SELECT cod.id, cod.embedding, cod.qv, q.qqv, q.qemb
+      |  FROM cod, q
+      |  WHERE bit_count(xor(CAST(cod.c AS BIGINT), CAST(q.qc AS BIGINT))) <= 1),
+      |approx AS (
+      |  SELECT id, embedding, qemb,
+      |    list_inner_product(qv, qqv)
+      |      / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(qqv, qqv))) AS a
+      |  FROM probed),
+      |short AS (SELECT * FROM approx ORDER BY a DESC, id LIMIT 100),
+      |dn AS (
+      |  SELECT id,
+      |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qemb), 6) AS cs
+      |  FROM short),
+      |de AS (
+      |  SELECT id, CAST(rn AS BIGINT) AS r FROM (
+      |    SELECT id, row_number() OVER (ORDER BY cs DESC, id) AS rn FROM dn)
+      |  WHERE rn <= 20),
+      |u AS (SELECT id, r FROM sp UNION ALL SELECT id, r FROM de)
+      |SELECT id, round(sum(1.0/(60 + r)) + 1e-9, 6) AS rrf,
+      |  CAST(count(*) AS BIGINT) AS n_lists
+      |FROM u GROUP BY id
+      |ORDER BY rrf DESC, id
+      |LIMIT 10""".stripMargin
+
   private lazy val postingsBmSql = hybridBmPrefix +
     """SELECT id, round(
       |    (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
@@ -2113,67 +2205,28 @@ object PipelineQueries {
     "q266_ivfpq_stored" ->
       VectorQueries.kmeansBatchSql("rpq:coarse", "rpq"),
 
+    // stored positional proximity ≡ from-text recompute over the hybrid
+    // collection's rows
+    "q276_prox_stored" -> TextQueries.proximitySql(
+      "(SELECT d.doc_id, d.text FROM documents d " +
+        "JOIN embeddings e ON e.vec_id = d.doc_id)",
+      Seq("order", "fast", "scan"), 20),
+
+    // command ≡ API: q276's oracle verbatim
+    "q277_prox_cmd" -> TextQueries.proximitySql(
+      "(SELECT d.doc_id, d.text FROM documents d " +
+        "JOIN embeddings e ON e.vec_id = d.doc_id)",
+      Seq("order", "fast", "scan"), 20),
+
     // the fused serving chain end to end: q195's BM25 branch + RRF
     // arithmetic with the dense branch replaced by q79's IVF × SQ8
     // replay (sign-bucket cells, radius-1 hamming probe, int8 cosine
     // written out explicitly for the integer-exact shortlist cut, exact
     // rerank, kf cut on the ROUNDED score) over the hybrid collection
-    "q267_hybrid_stored" -> (hybridBmPrefix +
-      s""",
-        |bm AS (
-        |  SELECT id, round(
-        |      (CASE WHEN tf0 > 0 THEN ln((n - df0 + 0.5)/(df0 + 0.5) + 1)
-        |        * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |        ELSE 0.0 END)
-        |    + (CASE WHEN tf1 > 0 THEN ln((n - df1 + 0.5)/(df1 + 0.5) + 1)
-        |        * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |        ELSE 0.0 END)
-        |    + (CASE WHEN tf2 > 0 THEN ln((n - df2 + 0.5)/(df2 + 0.5) + 1)
-        |        * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-        |        ELSE 0.0 END) + 1e-9, 6) AS bm25
-        |  FROM pd CROSS JOIN st
-        |  WHERE tf0 + tf1 + tf2 > 0),
-        |sp AS (
-        |  SELECT id, CAST(rn AS BIGINT) AS r FROM (
-        |    SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS rn
-        |    FROM bm)
-        |  WHERE rn <= 20),
-        |cod AS (
-        |  SELECT b.id, e.embedding,
-        |    ${VectorQueries.duckBucket("e.embedding")} AS c,
-        |    list_transform(CAST(e.embedding AS DOUBLE[]),
-        |      x -> greatest(-127.0, least(127.0, floor(x * 127 + 0.5)))) AS qv
-        |  FROM base b JOIN embeddings e ON e.vec_id = b.id),
-        |q AS (
-        |  SELECT CAST(embedding AS DOUBLE[]) AS qemb,
-        |    ${VectorQueries.duckBucket("embedding")} AS qc,
-        |    list_transform(CAST(embedding AS DOUBLE[]),
-        |      x -> greatest(-127.0, least(127.0, floor(x * 127 + 0.5)))) AS qqv
-        |  FROM embeddings WHERE vec_id = 0),
-        |probed AS (
-        |  SELECT cod.id, cod.embedding, cod.qv, q.qqv, q.qemb
-        |  FROM cod, q
-        |  WHERE bit_count(xor(CAST(cod.c AS BIGINT), CAST(q.qc AS BIGINT))) <= 1),
-        |approx AS (
-        |  SELECT id, embedding, qemb,
-        |    list_inner_product(qv, qqv)
-        |      / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(qqv, qqv))) AS a
-        |  FROM probed),
-        |short AS (SELECT * FROM approx ORDER BY a DESC, id LIMIT 100),
-        |dn AS (
-        |  SELECT id,
-        |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qemb), 6) AS cs
-        |  FROM short),
-        |de AS (
-        |  SELECT id, CAST(rn AS BIGINT) AS r FROM (
-        |    SELECT id, row_number() OVER (ORDER BY cs DESC, id) AS rn FROM dn)
-        |  WHERE rn <= 20),
-        |u AS (SELECT id, r FROM sp UNION ALL SELECT id, r FROM de)
-        |SELECT id, round(sum(1.0/(60 + r)) + 1e-9, 6) AS rrf,
-        |  CAST(count(*) AS BIGINT) AS n_lists
-        |FROM u GROUP BY id
-        |ORDER BY rrf DESC, id
-        |LIMIT 10""".stripMargin),
+    "q267_hybrid_stored" -> hybridAnnSql,
+
+    // command ≡ API: q267's oracle verbatim
+    "q278_hybrid_ann_cmd" -> hybridAnnSql,
 
     // the stored positional path must equal the from-text recompute
     "q209_phrase_stored" ->

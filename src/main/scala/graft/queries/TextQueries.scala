@@ -594,7 +594,7 @@ object TextQueries {
     // per-row HOF math in the scan; the fourth phrase never occurs, so
     // the zero row pins absence.
     "q270_phrase_census" -> ((s, dir) => {
-      TextAnalysis.phraseHits(
+      TextAnalysis.blocklistCensus(
           graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
           "doc_id", "text", blocklistPhrases)
         .groupBy("phrase")
@@ -627,6 +627,21 @@ object TextQueries {
           graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
           "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // PROXIMITY retrieval (minimal cover span): docs containing all
+    // three terms ranked by the smallest token window holding one
+    // occurrence of each — the positional-index signal between BM25 and
+    // exact phrase. Exact integer ranks; q276 serves the same query from
+    // the STORED positional artifact against the subset oracle.
+    "q275_prox_search" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      TextAnalysis.minCoverSpans(
+          TextAnalysis.invertedIndexPositional(docs, "doc_id", "text"),
+          "doc_id", Seq("order", "fast", "scan"))
+        .select(col("doc_id").as("id"), col("min_span"), col("n_occs"))
+        .orderBy("min_span", "id")
+        .limit(20)
     }),
 
     // Encode-time usage census of the q268 unigram-LM vocabulary: train,
@@ -3331,6 +3346,48 @@ object TextQueries {
        |  $blocks)""".stripMargin
   }
 
+  /** The q275/q276 proximity oracle: per-term 0-based position lists,
+    * docs holding all terms, min-cover-span via the same start-anchored
+    * HOF math as [[graft.operators.TextAnalysis.minCoverSpans]]
+    * (list_min of an empty filter is NULL on both engines; the all-mins-
+    * non-null CASE mirrors Spark's `when` exactly — never DuckDB's
+    * null-skipping greatest alone). Parameterized on the doc source so
+    * the rescan gate (documents) and the stored-artifact gate (the
+    * hybrid collection's rows) share one text.
+    */
+  private[queries] def proximitySql(from: String, terms: Seq[String],
+      k: Int): String = {
+    val idx = terms.indices
+    val pCols = idx.map(i =>
+      s"list_filter(range(0, len(w)), i -> w[i+1] = '${terms(i)}') AS p$i")
+      .mkString(",\n    ")
+    val mins = idx.map(i => s"list_min(list_filter(p$i, x -> x >= p))")
+    val nullChecks = mins.map(m => s"$m IS NULL").mkString(" OR ")
+    val great = mins.reduce((a, b) => s"greatest($a, $b)")
+    val nonEmpty = idx.map(i => s"len(p$i) > 0").mkString(" AND ")
+    val flat = idx.map(i => s"p$i").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM $from),
+       |p AS (
+       |  SELECT doc_id,
+       |    $pCols
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, ${idx.map(i => s"p$i").mkString(", ")},
+       |    flatten([$flat]) AS starts
+       |  FROM p WHERE $nonEmpty)
+       |SELECT doc_id AS id,
+       |  CAST(list_min(list_filter(list_transform(starts, p ->
+       |    CASE WHEN $nullChecks THEN NULL
+       |         ELSE $great - p + 1 END), x -> x IS NOT NULL)) AS BIGINT)
+       |    AS min_span,
+       |  CAST(len(starts) AS BIGINT) AS n_occs
+       |FROM q
+       |ORDER BY min_span, id
+       |LIMIT $k""".stripMargin
+  }
+
   /** q271's oracle, reused verbatim by the q274 stream twin. */
   private lazy val blocklistScrubSql: String = phraseCensusSql +
     """,
@@ -3939,6 +3996,9 @@ object TextQueries {
         |ORDER BY phrase""".stripMargin),
 
     "q271_blocklist_scrub" -> blocklistScrubSql,
+
+    "q275_prox_search" ->
+      proximitySql("documents", Seq("order", "fast", "scan"), 20),
 
     // deterministic T5 span corruption: seeded span starts, backward-
     // looking coverage window (clips at the doc end for free), island

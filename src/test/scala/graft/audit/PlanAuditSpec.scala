@@ -698,6 +698,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the (doc, pos+i) legs must be keyed equi-joins:\n${p.take(2000)}")
   }
 
+  test("q276 stored proximity: pruned positional partitions, no corpus tokenization") {
+    val p = plan("q276_prox_stored")
+    assert(p.contains("PartitionFilters") && p.contains("term_bucket"),
+      s"the positions scan must prune to the query terms' buckets:\n${p.take(2000)}")
+    assert(!p.contains("regexp"),
+      s"stored proximity must not re-tokenize the corpus:\n${p.take(2000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the k-cut must be a bounded top-k:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q204 incoming dedup: band-keyed probe, keyed verification, no cartesian") {
     // the gate's operator call materializes (serving sessions must not
     // leak the batch-shingle checkpoint — ADVICE r11), which hides the
