@@ -142,11 +142,22 @@ object CommandExecutor {
 
       case SearchText(coll, arg) =>
         val opts = parseKv(arg)
-        db.searchText(coll,
-          rawTerms = splitTerms(opts, "SEARCHTEXT"),
-          k1 = opts.getOrElse("k1", "1.2").toDouble,
-          b = opts.getOrElse("b", "0.75").toDouble,
-          k = opts.getOrElse("k", "20").toInt)
+        opts.getOrElse("score", "bm25") match {
+          case "bm25" =>
+            db.searchText(coll,
+              rawTerms = splitTerms(opts, "SEARCHTEXT"),
+              k1 = opts.getOrElse("k1", "1.2").toDouble,
+              b = opts.getOrElse("b", "0.75").toDouble,
+              k = opts.getOrElse("k", "20").toInt)
+          // score=ql: Dirichlet-smoothed query likelihood (mu= smoothing)
+          case "ql" =>
+            db.searchTextQL(coll,
+              rawTerms = splitTerms(opts, "SEARCHTEXT"),
+              mu = opts.getOrElse("mu", "2000").toDouble,
+              k = opts.getOrElse("k", "20").toInt)
+          case other => throw new IllegalArgumentException(
+            s"SEARCHTEXT score must be bm25 or ql, got: $other")
+        }
 
       case SearchHybrid(coll, arg) =>
         val opts = parseKv(arg)

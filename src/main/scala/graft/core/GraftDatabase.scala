@@ -508,6 +508,44 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     }
   }
 
+  /** SEARCHTEXT score=ql — Dirichlet-smoothed query-likelihood ranking
+    * ([[graft.operators.TextAnalysis.dirichletQL]], the language-model
+    * retrieval family beside BM25), with [[searchText]]'s exact
+    * artifact dispatch: a LIVE postings artifact serves tf/ctf from
+    * ≤ |terms| pruned partitions and |C| from the doclens companion;
+    * otherwise the one-pass rescan. Stored ≡ rescan bit-identically.
+    */
+  def searchTextQL(name: String, rawTerms: Seq[String],
+      mu: Double = 2000.0, k: Int = 20): DataFrame = {
+    requireCollection(name)
+    val terms = normalizeTerms(rawTerms)
+    require(terms.nonEmpty,
+      s"no searchable terms after normalization (got: ${rawTerms.mkString(", ")})")
+    val tDir = textIndexDir(name)
+    if (fs.exists(new Path(tDir, "meta.json")) &&
+        !fs.exists(textIndexStaleMarker(name))) {
+      val buckets = parseTextIndexBuckets(
+        readString(fs, new Path(tDir, "meta.json")))
+      val wanted = terms.map(bucketOfTerm(_, buckets)).distinct
+      val postings = readArtifact(
+          new Path(textGenDir(name), "postings"), PostingsSchema)
+        .filter(col("term_bucket").isin(wanted: _*) &&
+          col("term").isin(terms: _*))
+      val livePostings = postings
+        .join(broadcast(tombstones(name)), Seq("id", "seg"), "left_anti")
+      val doclens = liveDoclens(name).select(col("id"), col("dl"))
+      graft.operators.TextAnalysis.dirichletQLFromIndex(livePostings,
+        doclens, "id", terms, mu, k)
+    } else {
+      val cur = read(name)
+      require(cur.columns.contains("payload"),
+        s"SEARCHTEXT needs a payload column on $name " +
+          s"(has: ${cur.columns.mkString(", ")})")
+      graft.operators.TextAnalysis.dirichletQL(cur, "id", "payload", terms,
+        mu, k)
+    }
+  }
+
   /** REINDEX type=postings — materialize the text index as a managed
     * artifact beside the collection: term-grain postings partitioned by
     * `term_bucket` (md5 16-bit slice mod `buckets`, which must divide

@@ -1551,6 +1551,94 @@ object TextAnalysis {
       .select(col(idCol), col("bm25"), col("dl"))
   }
 
+  /** Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001)
+    * — the language-model retrieval family beside [[bm25]]'s
+    * probabilistic one: score(d) = Σ_t ln((tf_t + μ·(ctf_t/|C|)) /
+    * (dl + μ)) over the query terms, where ctf_t is the term's
+    * collection frequency and |C| the total token count. Unlike BM25,
+    * ZERO-tf terms still contribute (the smoothing mass) — only docs
+    * with at least one query-term occurrence rank (the standard
+    * implementation cut).
+    *
+    * Determinism: tf/ctf/|C|/dl are exact integers; ctf/|C| is a single
+    * exact division; the μ arithmetic is written in ONE fixed op order
+    * mirrored verbatim by the oracle (the q136 never-pre-fold rule);
+    * the ≤|terms| ln-sum accumulates in fixed column order and rounds
+    * (+1e-9, 6) — ranks can never flip on ulps (the q97 doctrine).
+    * Scale shape = [[bm25]]'s: one corpus pass, single-row stats
+    * broadcast, bounded top-k.
+    */
+  def dirichletQL(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], mu: Double = 2000.0, k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "dirichletQL: empty term list")
+    require(terms.distinct == terms, s"dirichletQL: duplicate terms in $terms")
+    require(k >= 1, s"k must be positive, got $k")
+    require(mu > 0, s"mu must be positive, got $mu")
+    val perDoc = df
+      .select(col(idCol), normalizedTokens(col(textCol)).as("__toks"))
+      .select(col(idCol) +:
+        size(col("__toks")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__toks"), x => x === t)).cast("long").as(s"__tf_$i")
+        }: _*)
+    val stats = perDoc.agg(
+      sum("dl").as("__cs"),
+      terms.indices.map(i => sum(col(s"__tf_$i")).as(s"__ctf_$i")): _*)
+    qlRank(perDoc, stats, idCol, terms.size, mu, k)
+  }
+
+  /** [[dirichletQL]] over a STORED postings artifact ([[bm25FromIndex]]'s
+    * sibling): tf per (doc, term) from ≤|terms| pruned partitions, ctf as
+    * their sums, |C| from the doclens companion — no corpus scan,
+    * bit-identical to the rescan.
+    */
+  def dirichletQLFromIndex(postings: DataFrame, doclens: DataFrame,
+      idCol: String, terms: Seq[String], mu: Double = 2000.0,
+      k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "dirichletQLFromIndex: empty term list")
+    require(terms.distinct == terms,
+      s"dirichletQLFromIndex: duplicate terms in $terms")
+    require(k >= 1 && mu > 0, s"bad k/mu: $k/$mu")
+    val hits = postings.filter(col("term").isin(terms: _*))
+    val perDoc = hits.groupBy(col(idCol))
+      .agg(terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf_$i")
+        }.head,
+        terms.zipWithIndex.tail.map { case (t, i) =>
+          sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf_$i")
+        }: _*)
+      .join(doclens, Seq(idCol))
+    val cs = doclens.agg(sum("dl").as("__cs"))
+    val ctfs = hits.agg(
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__ctf_$i")
+      }.head,
+      terms.zipWithIndex.tail.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__ctf_$i")
+      }: _*)
+    // explicit broadcast on the 1×1 stats cross (the bm25FromIndex rule)
+    qlRank(perDoc, cs.crossJoin(broadcast(ctfs)), idCol, terms.size, mu, k)
+  }
+
+  /** Shared QL scoring tail: per-doc tf columns × broadcast (cs, ctf)
+    * stats → rounded ln-sum → bounded top-k. The stored path's perDoc
+    * only holds docs with Σtf > 0 already; the rescan filters here —
+    * both end on the identical eligible set.
+    */
+  private def qlRank(perDoc: DataFrame, stats: DataFrame, idCol: String,
+      nTerms: Int, mu: Double, k: Int): DataFrame = {
+    val contrib = (0 until nTerms).map { i =>
+      log((col(s"__tf_$i") + lit(mu) * (col(s"__ctf_$i") / col("__cs"))) /
+        (col("dl") + lit(mu)))
+    }.reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .filter((0 until nTerms).map(i => col(s"__tf_$i")).reduce(_ + _) > 0)
+      .withColumn("ql", round(contrib + lit(1e-9), 6))
+      .orderBy(desc("ql"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("ql"), col("dl"))
+  }
+
   /** WEIGHTED BM25 over a DATA-SIZED term set — the join-based sibling
     * of [[bm25]] for queries whose terms are not compile-time literals
     * (relevance-feedback expansion, query logs, learned term weights).

@@ -968,6 +968,17 @@ object PipelineQueries {
         .searchProximity("docs", Seq("order", "fast", "scan"), k = 20)
     }),
 
+    // Query-likelihood retrieval over the STORED postings through the
+    // command grammar (SEARCHTEXT score=ql): tf/ctf from pruned
+    // partitions, |C| from doclens — stored ≡ rescan ≡ command against
+    // the recompute-from-text oracle over the hybrid collection's rows.
+    "q280_ql_stored" -> ((s, dir) => {
+      CommandExecutor.execute(storedPostingsDb(s, dir),
+        graft.commands.CommandParser.parse(Some("docs"), "SEARCHTEXT",
+          Some("terms=vector,data,merge;score=ql;mu=2000;k=20"))
+          .fold(e => throw new IllegalArgumentException(e.message), identity))
+    }),
+
     // SEARCHPROX through the command grammar — command ≡ API, gated on
     // q276's oracle verbatim.
     "q277_prox_cmd" -> ((s, dir) => {
@@ -2217,6 +2228,12 @@ object PipelineQueries {
       "(SELECT d.doc_id, d.text FROM documents d " +
         "JOIN embeddings e ON e.vec_id = d.doc_id)",
       Seq("order", "fast", "scan"), 20),
+
+    // stored QL ≡ from-text recompute over the hybrid collection's rows
+    "q280_ql_stored" -> TextQueries.qlSql(
+      "(SELECT d.doc_id, d.text FROM documents d " +
+        "JOIN embeddings e ON e.vec_id = d.doc_id)",
+      Seq("vector", "data", "merge"), "2000.0", 20),
 
     // the fused serving chain end to end: q195's BM25 branch + RRF
     // arithmetic with the dense branch replaced by q79's IVF × SQ8

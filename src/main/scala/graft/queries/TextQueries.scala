@@ -629,6 +629,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Dirichlet-smoothed query-likelihood ranking (Zhai & Lafferty 2001)
+    // — the LM-retrieval family beside BM25: zero-tf query terms still
+    // contribute smoothing mass, ranked on the rounded ln-sum. q280
+    // serves the same query from the STORED postings through the command
+    // grammar (score=ql) — stored ≡ rescan ≡ command.
+    "q279_ql_rank" -> ((s, dir) => {
+      TextAnalysis.dirichletQL(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+            .select(col("doc_id").as("id"), col("text")),
+          "id", "text", Seq("vector", "data", "merge"), mu = 2000.0, k = 20)
+    }),
+
     // PROXIMITY retrieval (minimal cover span): docs containing all
     // three terms ranked by the smallest token window holding one
     // occurrence of each — the positional-index signal between BM25 and
@@ -3388,6 +3400,39 @@ object TextQueries {
        |LIMIT $k""".stripMargin
   }
 
+  /** The q279/q280 query-likelihood oracle: per-doc tf columns,
+    * collection stats (ctf per term, |C|), and the μ arithmetic written
+    * in [[graft.operators.TextAnalysis.dirichletQL]]'s exact op order
+    * (never pre-folded — the q136 rule); the ln-sum accumulates in the
+    * same fixed term order and rounds (+1e-9, 6).
+    */
+  private[queries] def qlSql(from: String, terms: Seq[String],
+      mu: String, k: Int): String = {
+    val idx = terms.indices
+    val tfCols = idx.map(i =>
+      s"CAST(len(list_filter(w, x -> x = '${terms(i)}')) AS BIGINT) AS tf$i")
+      .mkString(",\n    ")
+    val ctfCols = idx.map(i => s"CAST(sum(tf$i) AS BIGINT) AS ctf$i")
+      .mkString(", ")
+    val contrib = idx.map(i =>
+      s"ln((tf$i + $mu * (CAST(ctf$i AS DOUBLE) / CAST(cs AS DOUBLE))) / (dl + $mu))")
+      .mkString("\n    + ")
+    val anyTf = idx.map(i => s"tf$i").mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM $from),
+       |pd AS (
+       |  SELECT id, CAST(len(w) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM t),
+       |st AS (SELECT CAST(sum(dl) AS BIGINT) AS cs, $ctfCols FROM pd)
+       |SELECT id, round(($contrib) + 1e-9, 6) AS ql, dl
+       |FROM pd CROSS JOIN st
+       |WHERE $anyTf > 0
+       |ORDER BY ql DESC, id
+       |LIMIT $k""".stripMargin
+  }
+
   /** q271's oracle, reused verbatim by the q274 stream twin. */
   private lazy val blocklistScrubSql: String = phraseCensusSql +
     """,
@@ -3999,6 +4044,9 @@ object TextQueries {
 
     "q275_prox_search" ->
       proximitySql("documents", Seq("order", "fast", "scan"), 20),
+
+    "q279_ql_rank" ->
+      qlSql("documents", Seq("vector", "data", "merge"), "2000.0", 20),
 
     // deterministic T5 span corruption: seeded span starts, backward-
     // looking coverage window (clips at the doc end for free), island
