@@ -155,8 +155,14 @@ object CommandExecutor {
               rawTerms = splitTerms(opts, "SEARCHTEXT"),
               mu = opts.getOrElse("mu", "2000").toDouble,
               k = opts.getOrElse("k", "20").toInt)
+          // score=jm: Jelinek–Mercer query likelihood (lambda= mixing)
+          case "jm" =>
+            db.searchTextJM(coll,
+              rawTerms = splitTerms(opts, "SEARCHTEXT"),
+              lambda = opts.getOrElse("lambda", "0.7").toDouble,
+              k = opts.getOrElse("k", "20").toInt)
           case other => throw new IllegalArgumentException(
-            s"SEARCHTEXT score must be bm25 or ql, got: $other")
+            s"SEARCHTEXT score must be bm25, ql, or jm, got: $other")
         }
 
       case SearchHybrid(coll, arg) =>

@@ -546,6 +546,43 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     }
   }
 
+  /** SEARCHTEXT score=jm — Jelinek–Mercer query-likelihood ranking
+    * ([[graft.operators.TextAnalysis.jelinekMercerQL]], the linear-
+    * interpolation smoother beside score=ql's Dirichlet prior), with
+    * [[searchText]]'s exact artifact dispatch. Stored ≡ rescan
+    * bit-identically.
+    */
+  def searchTextJM(name: String, rawTerms: Seq[String],
+      lambda: Double = 0.7, k: Int = 20): DataFrame = {
+    requireCollection(name)
+    val terms = normalizeTerms(rawTerms)
+    require(terms.nonEmpty,
+      s"no searchable terms after normalization (got: ${rawTerms.mkString(", ")})")
+    val tDir = textIndexDir(name)
+    if (fs.exists(new Path(tDir, "meta.json")) &&
+        !fs.exists(textIndexStaleMarker(name))) {
+      val buckets = parseTextIndexBuckets(
+        readString(fs, new Path(tDir, "meta.json")))
+      val wanted = terms.map(bucketOfTerm(_, buckets)).distinct
+      val postings = readArtifact(
+          new Path(textGenDir(name), "postings"), PostingsSchema)
+        .filter(col("term_bucket").isin(wanted: _*) &&
+          col("term").isin(terms: _*))
+      val livePostings = postings
+        .join(broadcast(tombstones(name)), Seq("id", "seg"), "left_anti")
+      val doclens = liveDoclens(name).select(col("id"), col("dl"))
+      graft.operators.TextAnalysis.jelinekMercerQLFromIndex(livePostings,
+        doclens, "id", terms, lambda, k)
+    } else {
+      val cur = read(name)
+      require(cur.columns.contains("payload"),
+        s"SEARCHTEXT needs a payload column on $name " +
+          s"(has: ${cur.columns.mkString(", ")})")
+      graft.operators.TextAnalysis.jelinekMercerQL(cur, "id", "payload",
+        terms, lambda, k)
+    }
+  }
+
   /** REINDEX type=postings — materialize the text index as a managed
     * artifact beside the collection: term-grain postings partitioned by
     * `term_bucket` (md5 16-bit slice mod `buckets`, which must divide

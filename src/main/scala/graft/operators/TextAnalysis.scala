@@ -376,6 +376,56 @@ object TextAnalysis {
         col("fk_grade"), col("reading_ease"))
   }
 
+  /** MATTR — moving-average type-token ratio (Covington & McFall 2010),
+    * the length-robust lexical-diversity score: plain TTR (types/tokens)
+    * falls with document length by Heaps' law, so corpora can't be
+    * compared on it; MATTR slides a fixed `window` over the token stream
+    * and averages the per-window TTR, making the score length-invariant.
+    * The quality-filtering signal beside the Gopher repetition table:
+    * low MATTR = templated/looping text even when no single n-gram
+    * repeats enough to trip the duplicate-gram fractions.
+    *
+    * Determinism (the q120 doctrine): every per-window distinct count is
+    * an exact integer; their sum over windows is exact-integer; mattr =
+    * d_sum / (n_windows · window) is ONE division of exact integers —
+    * engine-exact, NO rounding anywhere. Docs shorter than the window
+    * fall back to whole-doc TTR (d_sum = distinct types, n_windows = 0
+    * flags the fallback); empty docs emit NULL.
+    *
+    * Scale shape: pure per-row column math over a SELF-materialized
+    * token array (the round-4 HOF rule — the window transform references
+    * the array n times, so it gets its own projection) — zero shuffle,
+    * embarrassingly parallel, and the SAME body runs unchanged on a
+    * streaming frame (the q245/q252 stream-twin shape). Per-row cost is
+    * O(n · window); window is a constant.
+    */
+  def mattr(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 25): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val toks = df.select(col(idCol),
+      normalizedTokens(col(textCol)).as("__toks"))
+    toks
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("n_tokens"))
+      .select(col(idCol), col("n_tokens"),
+        when(col("n_tokens") >= window,
+            aggregate(
+              transform(
+                sequence(lit(1), col("n_tokens").cast("int") - (window - 1)),
+                i => size(array_distinct(
+                    slice(col("__toks"), i, lit(window)))).cast("long")),
+              lit(0L), (acc, x) => acc + x))
+          .otherwise(size(array_distinct(col("__toks"))).cast("long"))
+          .as("d_sum"),
+        when(col("n_tokens") >= window, col("n_tokens") - (window - 1))
+          .otherwise(lit(0L)).as("n_windows"))
+      .withColumn("mattr",
+        when(col("n_tokens") === 0L, lit(null).cast("double"))
+          .when(col("n_windows") > 0L,
+            col("d_sum") / (col("n_windows") * window))
+          .otherwise(col("d_sum") / col("n_tokens")))
+  }
+
   /** TextRank extractive summarization (Mihalcea & Tarau 2004): rank
     * each document's sentences by weighted PageRank over the sentence-
     * similarity graph and emit the top sentence — the model-free
@@ -807,6 +857,68 @@ object TextAnalysis {
           .otherwise(concat(col("__tbody"), lit(" <extra_id_"),
             col("n_spans").cast("string"), lit(">")))))
       .drop("__tbody")
+  }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022 "Efficient
+    * Training of Language Models to Fill in the Middle", derandomized):
+    * split each selected document at two character positions into
+    * (prefix, middle, suffix) and emit the PSM rearrangement
+    * `<PRE>prefix<SUF>suffix<MID>middle` — the infilling-objective
+    * export beside [[spanCorruption]]'s T5 denoising objective. The
+    * paper applies FIM to a fixed fraction of documents (its "FIM
+    * rate") and keeps the rest verbatim for left-to-right learning.
+    *
+    * Derandomization (the [[spanCorruption]] precedent, all
+    * SQL-recomputable): the rate coin is a 16-bit md5 slice
+    * `< rate16` (rates are exact multiples of 1/65536 — the q82
+    * convention); the two cut points are independent 32-bit md5 slices
+    * mod (n+1), so every boundary (empty prefix/middle/suffix) is
+    * reachable. The residual modulo bias is ≤ n/2³² per point —
+    * documented, deterministic, and identical in both engines.
+    * Character positions are code-point-grain; the ASCII corpus keeps
+    * both engines' `length`/`substr` trivially aligned (non-BMP input
+    * would diverge on Spark's UTF-16 units — a documented boundary).
+    *
+    * Output: (id, n_chars, fimmed, lo, hi, out_len, out_sig) — the md5
+    * signature pins the FULL transformed string (the q96 bounded-
+    * payload convention); lo/hi are NULL on pass-through rows.
+    *
+    * Scale shape: pure per-row column math, zero shuffle — the SAME
+    * body runs unchanged on a streaming frame (the q245/q252 twin
+    * shape).
+    */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      rate16: Int = 32768, seed: String = "fim"): DataFrame = {
+    require(rate16 >= 0 && rate16 <= 65536,
+      s"rate16 must be in [0, 65536], got $rate16")
+    def slice(tag: String, width: Int) =
+      conv(substring(md5(concat(lit(s"$seed:$tag:"),
+        col(idCol).cast("string"))), 1, width), 16, 10).cast("long")
+    val n = length(col(textCol)).cast("long")
+    val base = df.select(col(idCol), col(textCol).as("__t"),
+        n.as("n_chars"),
+        (slice("coin", 4) < rate16 && n >= 2L).as("fimmed"),
+        slice("a", 8).as("__ua"), slice("b", 8).as("__ub"))
+      .withColumn("lo", when(col("fimmed"),
+        least(col("__ua") % (col("n_chars") + 1L),
+          col("__ub") % (col("n_chars") + 1L))))
+      .withColumn("hi", when(col("fimmed"),
+        greatest(col("__ua") % (col("n_chars") + 1L),
+          col("__ub") % (col("n_chars") + 1L))))
+    val psm = concat(lit("<PRE>"),
+      col("__t").substr(lit(1), col("lo").cast("int")),
+      lit("<SUF>"),
+      col("__t").substr((col("hi") + 1L).cast("int"),
+        (col("n_chars") - col("hi")).cast("int")),
+      lit("<MID>"),
+      col("__t").substr((col("lo") + 1L).cast("int"),
+        (col("hi") - col("lo")).cast("int")))
+    base
+      .withColumn("__out", when(col("fimmed"), psm).otherwise(col("__t")))
+      .select(col(idCol), col("n_chars"),
+        col("fimmed").cast("long").as("fimmed"), col("lo"), col("hi"),
+        length(col("__out")).cast("long").as("out_len"),
+        md5(col("__out")).as("out_sig"))
   }
 
   /** PII redaction patterns: (class, regex, replacement token). The regexes
@@ -1335,6 +1447,95 @@ object TextAnalysis {
     * and intercept expressions are parenthesized exactly as the oracles
     * write them.
     */
+  /** Gries' DP dispersion ("deviation of proportions", Gries 2008) for
+    * the corpus's top-N terms across parts (sources): DP_t = ½ Σ_p
+    * |obs_{t,p} − exp_p| where exp_p is part p's share of all tokens
+    * and obs_{t,p} is the term's share of its own occurrences falling
+    * in p. DP ≈ 0 = the term is spread exactly like the corpus (a
+    * function word); DP → 1 = the term lives in one part (a topical /
+    * bursty term) — the dispersion axis the raw frequency spectrum
+    * can't see, and a mixture-weighting input beside [[keynessScores]]
+    * (which contrasts ONE part against the rest; DP summarizes all
+    * parts at once).
+    *
+    * Zero-count parts are folded in algebraically instead of generated:
+    * Σ_p |obs−exp| = 1 + Σ_{p: c>0} (|obs−exp| − exp), so the sum runs
+    * over EXISTING (term, part) rows only — no part×vocab grid
+    * materializes. Each row's contribution is exact-division IEEE math
+    * in ONE fixed op order; only the cross-part accumulation rounds
+    * (+1e-9, 6 — the q97 doctrine). Top-N selection is by exact counts
+    * with a term tie-break.
+    *
+    * Scale shape: one token-count shuffle keyed (part, term); the
+    * part-size and top-N frames are catalog/constant sized and
+    * broadcast. Output is topN rows.
+    */
+  def dispersionDP(df: DataFrame, groupCol: String, textCol: String,
+      topN: Int = 30): DataFrame = {
+    require(topN >= 1, s"topN must be positive, got $topN")
+    val tok = df.select(col(groupCol).as("__p"),
+      explode(normalizedTokens(col(textCol))).as("term"))
+    val ctp = tok.groupBy("__p", "term").agg(count(lit(1)).as("__c"))
+    val ct = ctp.groupBy("term").agg(sum("__c").as("n_total"))
+    val sp = ctp.groupBy("__p").agg(sum("__c").as("__s"))
+    val tot = sp.agg(sum("__s").as("__tot"))
+    val top = ct.orderBy(desc("n_total"), col("term")).limit(topN)
+    ctp
+      .join(broadcast(top), Seq("term"))
+      .join(broadcast(sp), Seq("__p"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__contrib",
+        abs(col("__c") / col("n_total") - col("__s") / col("__tot")) -
+          col("__s") / col("__tot"))
+      .groupBy("term")
+      .agg(max("n_total").as("n_total"),
+        round(((lit(1.0) + sum(col("__contrib"))) / 2) + lit(1e-9), 6)
+          .as("dp"))
+      .orderBy("term")
+  }
+
+  /** Pairwise cross-group VOCABULARY overlap — the source-composition
+    * diagnostic of a corpus-mixing pipeline (Kilgarriff 2001's corpus-
+    * similarity question at type grain): for every group pair a < b,
+    * the distinct-type intersection, both vocabulary sizes, Jaccard,
+    * and both directed containments. Near-identical crawls show as
+    * high containment of the smaller vocabulary; a genuinely new
+    * source shows low Jaccard against every incumbent — the
+    * mixture-design signal q200's gated selection consumes upstream.
+    *
+    * Determinism (the q120 doctrine): every count is exact-integer;
+    * Jaccard = i/(|Va|+|Vb|−i) and each containment are ONE division
+    * of exact integers — engine-exact, no rounding.
+    *
+    * Scale shape: one distinct (group, type) pass (map-side
+    * combinable), then a type-keyed self-join whose per-type fan-out
+    * is bounded by (#groups choose 2) — #groups is source-catalog
+    * sized, never corpus sized, so the join output is ≤ |V_union| ·
+    * #groups². Pairs sharing zero types drop out (inner join) —
+    * callers wanting the zero rows outer-join against the group
+    * catalog. Output column order pinned by an explicit final select
+    * (the round-11 using-join rule).
+    */
+  def vocabularyOverlap(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val d = df.select(col(groupCol).as("__g"),
+        explode(normalizedTokens(col(textCol))).as("__tok"))
+      .distinct()
+    val sizes = d.groupBy("__g").agg(count(lit(1)).as("__v"))
+    val inter = d.select(col("__g").as("a"), col("__tok"))
+      .join(d.select(col("__g").as("b"), col("__tok")), Seq("__tok"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("__g").as("a"), col("__v").as("n_a")), Seq("a"))
+      .join(sizes.select(col("__g").as("b"), col("__v").as("n_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
+          .as("jaccard"),
+        (col("n_common") / col("n_a")).as("containment_a"),
+        (col("n_common") / col("n_b")).as("containment_b"))
+  }
+
   private def lnLeastSquares(df: DataFrame, groupCol: String): DataFrame =
     df.groupBy(groupCol)
       .agg(count(lit(1)).cast("double").as("__n"),
@@ -1574,18 +1775,55 @@ object TextAnalysis {
     require(terms.distinct == terms, s"dirichletQL: duplicate terms in $terms")
     require(k >= 1, s"k must be positive, got $k")
     require(mu > 0, s"mu must be positive, got $mu")
-    val perDoc = df
-      .select(col(idCol), normalizedTokens(col(textCol)).as("__toks"))
-      .select(col(idCol) +:
-        size(col("__toks")).cast("long").as("dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(col("__toks"), x => x === t)).cast("long").as(s"__tf_$i")
-        }: _*)
-    val stats = perDoc.agg(
-      sum("dl").as("__cs"),
-      terms.indices.map(i => sum(col(s"__tf_$i")).as(s"__ctf_$i")): _*)
-    qlRank(perDoc, stats, idCol, terms.size, mu, k)
+    val perDoc = qlPerDocRescan(df, idCol, textCol, terms)
+    qlRank(perDoc, qlStatsOf(perDoc, terms.size), idCol, terms.size,
+      k)(dirichletContrib(mu))
   }
+
+  /** Jelinek–Mercer-smoothed query likelihood (Zhai & Lafferty 2001's
+    * other smoother — linear interpolation instead of [[dirichletQL]]'s
+    * Dirichlet prior): score(q,d) = Σ_t ln(λ·tf_t/dl + (1−λ)·ctf_t/|C|).
+    * JM mixes a FIXED collection-model weight per term regardless of
+    * document length (favors verbose queries; Dirichlet's length-adaptive
+    * prior favors keyword queries — Zhai & Lafferty §5's finding), so the
+    * two families legitimately rank differently on the same corpus.
+    *
+    * Determinism: tf/dl and ctf/|C| are each ONE division of exact
+    * integers (engine-exact, the q120 doctrine); λ and (1 − λ) are
+    * written unfolded in the oracle (the q136 rule); the ln-sum
+    * accumulates in fixed column order and rounds (+1e-9, 6). Scale
+    * shape = [[bm25]]'s: one corpus pass, single-row broadcast stats,
+    * bounded top-k.
+    */
+  def jelinekMercerQL(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], lambda: Double = 0.7, k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "jelinekMercerQL: empty term list")
+    require(terms.distinct == terms,
+      s"jelinekMercerQL: duplicate terms in $terms")
+    require(k >= 1, s"k must be positive, got $k")
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val perDoc = qlPerDocRescan(df, idCol, textCol, terms)
+    qlRank(perDoc, qlStatsOf(perDoc, terms.size), idCol, terms.size,
+      k)(jmContrib(lambda))
+  }
+
+  /** Rescan per-doc frame shared by the QL family: dl + one exact tf
+    * column per query term, in term order.
+    */
+  private def qlPerDocRescan(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = df
+    .select(col(idCol), normalizedTokens(col(textCol)).as("__toks"))
+    .select(col(idCol) +:
+      size(col("__toks")).cast("long").as("dl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        size(filter(col("__toks"), x => x === t)).cast("long").as(s"__tf_$i")
+      }: _*)
+
+  /** Collection stats for the QL family: |C| + one ctf column per term. */
+  private def qlStatsOf(perDoc: DataFrame, nTerms: Int): DataFrame =
+    perDoc.agg(
+      sum("dl").as("__cs"),
+      (0 until nTerms).map(i => sum(col(s"__tf_$i")).as(s"__ctf_$i")): _*)
 
   /** [[dirichletQL]] over a STORED postings artifact ([[bm25FromIndex]]'s
     * sibling): tf per (doc, term) from ≤|terms| pruned partitions, ctf as
@@ -1599,6 +1837,13 @@ object TextAnalysis {
     require(terms.distinct == terms,
       s"dirichletQLFromIndex: duplicate terms in $terms")
     require(k >= 1 && mu > 0, s"bad k/mu: $k/$mu")
+    val (perDoc, stats) = qlStoredFrames(postings, doclens, idCol, terms)
+    qlRank(perDoc, stats, idCol, terms.size, k)(dirichletContrib(mu))
+  }
+
+  /** Stored-artifact (perDoc, stats) frames shared by the QL family. */
+  private def qlStoredFrames(postings: DataFrame, doclens: DataFrame,
+      idCol: String, terms: Seq[String]): (DataFrame, DataFrame) = {
     val hits = postings.filter(col("term").isin(terms: _*))
     val perDoc = hits.groupBy(col(idCol))
       .agg(terms.zipWithIndex.map { case (t, i) =>
@@ -1617,7 +1862,24 @@ object TextAnalysis {
         sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__ctf_$i")
       }: _*)
     // explicit broadcast on the 1×1 stats cross (the bm25FromIndex rule)
-    qlRank(perDoc, cs.crossJoin(broadcast(ctfs)), idCol, terms.size, mu, k)
+    (perDoc, cs.crossJoin(broadcast(ctfs)))
+  }
+
+  /** [[jelinekMercerQL]] over a STORED postings artifact — the
+    * [[dirichletQLFromIndex]] frames with the JM contribution: tf per
+    * (doc, term) from ≤ |terms| pruned partitions, ctf as their sums,
+    * |C| from the doclens companion. Bit-identical to the rescan.
+    */
+  def jelinekMercerQLFromIndex(postings: DataFrame, doclens: DataFrame,
+      idCol: String, terms: Seq[String], lambda: Double = 0.7,
+      k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "jelinekMercerQLFromIndex: empty term list")
+    require(terms.distinct == terms,
+      s"jelinekMercerQLFromIndex: duplicate terms in $terms")
+    require(k >= 1, s"k must be positive, got $k")
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val (perDoc, stats) = qlStoredFrames(postings, doclens, idCol, terms)
+    qlRank(perDoc, stats, idCol, terms.size, k)(jmContrib(lambda))
   }
 
   /** Shared QL scoring tail: per-doc tf columns × broadcast (cs, ctf)
@@ -1626,11 +1888,8 @@ object TextAnalysis {
     * both end on the identical eligible set.
     */
   private def qlRank(perDoc: DataFrame, stats: DataFrame, idCol: String,
-      nTerms: Int, mu: Double, k: Int): DataFrame = {
-    val contrib = (0 until nTerms).map { i =>
-      log((col(s"__tf_$i") + lit(mu) * (col(s"__ctf_$i") / col("__cs"))) /
-        (col("dl") + lit(mu)))
-    }.reduce(_ + _)
+      nTerms: Int, k: Int)(contribOf: Int => Column): DataFrame = {
+    val contrib = (0 until nTerms).map(contribOf).reduce(_ + _)
     perDoc.crossJoin(broadcast(stats))
       .filter((0 until nTerms).map(i => col(s"__tf_$i")).reduce(_ + _) > 0)
       .withColumn("ql", round(contrib + lit(1e-9), 6))
@@ -1638,6 +1897,20 @@ object TextAnalysis {
       .limit(k)
       .select(col(idCol), col("ql"), col("dl"))
   }
+
+  /** The Dirichlet per-term ln contribution — μ arithmetic in ONE fixed
+    * op order mirrored verbatim by the oracle (the q136 rule).
+    */
+  private def dirichletContrib(mu: Double)(i: Int): Column =
+    log((col(s"__tf_$i") + lit(mu) * (col(s"__ctf_$i") / col("__cs"))) /
+      (col("dl") + lit(mu)))
+
+  /** The Jelinek–Mercer per-term ln contribution: λ·tf/dl + (1−λ)·ctf/|C|,
+    * each ratio ONE exact-integer division, (1 − λ) never pre-folded.
+    */
+  private def jmContrib(lambda: Double)(i: Int): Column =
+    log(lit(lambda) * (col(s"__tf_$i") / col("dl")) +
+      (lit(1.0) - lit(lambda)) * (col(s"__ctf_$i") / col("__cs")))
 
   /** WEIGHTED BM25 over a DATA-SIZED term set — the join-based sibling
     * of [[bm25]] for queries whose terms are not compile-time literals

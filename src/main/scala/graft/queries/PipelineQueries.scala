@@ -979,6 +979,17 @@ object PipelineQueries {
           .fold(e => throw new IllegalArgumentException(e.message), identity))
     }),
 
+    // Jelinek–Mercer QL over the STORED postings through the command
+    // grammar (SEARCHTEXT score=jm): tf/ctf from pruned partitions, |C|
+    // from doclens — stored ≡ rescan ≡ command against the
+    // recompute-from-text oracle over the hybrid collection's rows.
+    "q282_jm_stored" -> ((s, dir) => {
+      CommandExecutor.execute(storedPostingsDb(s, dir),
+        graft.commands.CommandParser.parse(Some("docs"), "SEARCHTEXT",
+          Some("terms=vector,data,merge;score=jm;lambda=0.7;k=20"))
+          .fold(e => throw new IllegalArgumentException(e.message), identity))
+    }),
+
     // SEARCHPROX through the command grammar — command ≡ API, gated on
     // q276's oracle verbatim.
     "q277_prox_cmd" -> ((s, dir) => {
@@ -2234,6 +2245,11 @@ object PipelineQueries {
       "(SELECT d.doc_id, d.text FROM documents d " +
         "JOIN embeddings e ON e.vec_id = d.doc_id)",
       Seq("vector", "data", "merge"), "2000.0", 20),
+
+    "q282_jm_stored" -> TextQueries.jmSql(
+      "(SELECT d.doc_id, d.text FROM documents d " +
+        "JOIN embeddings e ON e.vec_id = d.doc_id)",
+      Seq("vector", "data", "merge"), "0.7", 20),
 
     // the fused serving chain end to end: q195's BM25 branch + RRF
     // arithmetic with the dense branch replaced by q79's IVF × SQ8

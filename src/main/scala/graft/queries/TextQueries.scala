@@ -641,6 +641,71 @@ object TextQueries {
           "id", "text", Seq("vector", "data", "merge"), mu = 2000.0, k = 20)
     }),
 
+    // Jelinek–Mercer query likelihood (Zhai & Lafferty 2001's linear-
+    // interpolation smoother beside q279's Dirichlet prior): a FIXED
+    // collection-model weight per term regardless of doc length, so the
+    // two families legitimately rank differently. q282 serves the same
+    // query from the STORED postings through the command grammar
+    // (score=jm) — stored ≡ rescan ≡ command.
+    "q281_jm_rank" -> ((s, dir) => {
+      TextAnalysis.jelinekMercerQL(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+            .select(col("doc_id").as("id"), col("text")),
+          "id", "text", Seq("vector", "data", "merge"), lambda = 0.7, k = 20)
+    }),
+
+    // Fill-in-the-middle transform (Bavarian et al. 2022, derandomized):
+    // md5-coin doc selection at the paper's FIM rate (1/2 exact in
+    // 65536), two 32-bit md5 cut points, PSM reassembly
+    // <PRE>p<SUF>s<MID>m — the infilling-objective export beside q272's
+    // T5 spans; out_sig pins the FULL transformed string. STATELESS
+    // per-row math — q286 runs the identical body on a stream against
+    // this oracle verbatim.
+    "q285_fim" -> ((s, dir) => {
+      TextAnalysis.fimTransform(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // MATTR lexical diversity (Covington & McFall 2010): per-doc moving-
+    // window type-token ratio — the length-invariant diversity score
+    // beside the Gopher repetition table. Every value is exact-integer
+    // math; mattr is ONE division (no rounding anywhere — the q120
+    // doctrine). STATELESS per-row math — q284 runs the identical body
+    // on a stream against this oracle verbatim.
+    "q283_mattr" -> ((s, dir) => {
+      TextAnalysis.mattr(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text", window = 25)
+        .orderBy("doc_id")
+    }),
+
+    // Gries' DP dispersion (2008) for the top-30 terms across sources:
+    // the burstiness axis beside the frequency spectrum — DP≈0 spread
+    // like the corpus, DP→1 concentrated in one source. Zero-count
+    // parts folded in algebraically (1 + Σ(|obs−exp|−exp) over existing
+    // rows); per-row math is exact divisions in one fixed op order;
+    // only the cross-part sum rounds (+1e-9, 6).
+    "q288_dispersion" -> ((s, dir) => {
+      TextAnalysis.dispersionDP(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "source", "text", topN = 30)
+    }),
+
+    // Pairwise cross-source VOCABULARY overlap (Kilgarriff 2001's
+    // corpus-similarity question at type grain): distinct-type
+    // intersection, Jaccard, and both directed containments per source
+    // pair — every value exact-integer math with single divisions (no
+    // rounding, the q120 doctrine). The mixture-design diagnostic
+    // upstream of q200's gated selection.
+    "q287_vocab_overlap" -> ((s, dir) => {
+      TextAnalysis.vocabularyOverlap(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "source", "text")
+        .orderBy("a", "b")
+    }),
+
     // PROXIMITY retrieval (minimal cover span): docs containing all
     // three terms ranked by the smallest token window holding one
     // occurrence of each — the positional-index signal between BM25 and
@@ -1507,6 +1572,25 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // STREAMING MATTR: the sliding-window distinct counts are per-row
+    // column math over the doc's own tokens, so q283's body runs
+    // UNCHANGED on the stream (append, no state) — gated on q283's
+    // oracle verbatim.
+    "q284_stream_mattr" -> ((s, dir) => {
+      graft.streaming.StreamingIngest.streamMattr(s, dir,
+          queryName = Scratch.name("stream_mattr"))
+        .orderBy("doc_id")
+    }),
+
+    // STREAMING FIM transform: coin, cut points, and PSM reassembly are
+    // per-row md5/substr math, so q285's body runs UNCHANGED on the
+    // stream (append, no state) — gated on q285's oracle verbatim.
+    "q286_stream_fim" -> ((s, dir) => {
+      graft.streaming.StreamingIngest.streamFim(s, dir,
+          queryName = Scratch.name("stream_fim"))
+        .orderBy("doc_id")
+    }),
+
     // Count-pruned LM scoring (q100 with minCount=2): the production
     // deviation the NgramLm docs describe — KenLM-style support pruning —
     // made gate-checkable instead of prose. The pruned model is
@@ -2364,6 +2448,10 @@ object TextQueries {
     "q259_stream_readability" -> q235OracleSql,
     // stream ≡ batch: q271's oracle verbatim
     "q274_stream_blocklist" -> blocklistScrubSql,
+
+    "q284_stream_mattr" -> mattrSql("documents"),
+
+    "q286_stream_fim" -> fimSql("documents"),
 
     // Kneser–Ney replay: D and the per-history λ chain parenthesized
     // exactly as the Spark side ((D·n1p)/ctx; (c−D)/ctx + λ·pc); the
@@ -3407,16 +3495,107 @@ object TextQueries {
     * same fixed term order and rounds (+1e-9, 6).
     */
   private[queries] def qlSql(from: String, terms: Seq[String],
-      mu: String, k: Int): String = {
+      mu: String, k: Int): String =
+    qlFamilySql(from, terms, i =>
+      s"ln((tf$i + $mu * (CAST(ctf$i AS DOUBLE) / CAST(cs AS DOUBLE))) / (dl + $mu))",
+      k)
+
+  /** The q281/q282 Jelinek–Mercer oracle: [[qlSql]]'s frames with the JM
+    * contribution. EVERY operand is cast to DOUBLE explicitly — DuckDB
+    * evaluates `(1 - 0.7)` in exact DECIMAL (0.3 decimal → double ≠
+    * Spark's `1.0 - 0.7` IEEE subtraction, verified divergent), so the
+    * casts force the engine into Spark's exact op order on doubles (the
+    * q136 never-pre-fold rule, decimal-literal edition).
+    */
+  private[queries] def jmSql(from: String, terms: Seq[String],
+      lambda: String, k: Int): String =
+    qlFamilySql(from, terms, i =>
+      s"ln(CAST($lambda AS DOUBLE) * (CAST(tf$i AS DOUBLE) / CAST(dl AS DOUBLE)) " +
+        s"+ (CAST(1 AS DOUBLE) - CAST($lambda AS DOUBLE)) " +
+        s"* (CAST(ctf$i AS DOUBLE) / CAST(cs AS DOUBLE)))",
+      k)
+
+  /** The q283/q284 MATTR oracle: per-doc sliding-window distinct counts
+    * via list slices (`w[i : i+w-1]` is 1-based inclusive = Spark's
+    * `slice(toks, i, w)`), whole-doc-TTR fallback under the window, and
+    * mattr as ONE exact-integer division — no rounding (q120 doctrine).
+    * list_distinct's order instability is harmless here: only its
+    * LENGTH is consumed (the round-10 rule).
+    */
+  private[queries] def mattrSql(from: String, window: Int = 25): String = {
+    val wm1 = window - 1
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM $from),
+       |p AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, w FROM t),
+       |x AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN n_tokens >= $window THEN
+       |      CAST(list_sum(list_transform(
+       |        range(1, CAST(n_tokens AS INTEGER) - ${wm1 - 1}),
+       |        i -> len(list_distinct(w[i : i + $wm1])))) AS BIGINT)
+       |    ELSE CAST(len(list_distinct(w)) AS BIGINT) END AS d_sum,
+       |    CASE WHEN n_tokens >= $window THEN n_tokens - $wm1
+       |         ELSE CAST(0 AS BIGINT) END AS n_windows
+       |  FROM p)
+       |SELECT doc_id, n_tokens, d_sum, n_windows,
+       |  CASE WHEN n_tokens = 0 THEN NULL
+       |       WHEN n_windows > 0
+       |         THEN CAST(d_sum AS DOUBLE) / CAST(n_windows * $window AS DOUBLE)
+       |       ELSE CAST(d_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS mattr
+       |FROM x
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The q285/q286 FIM oracle: the md5 coin and the two 32-bit cut
+    * points replayed verbatim (the q82 hex-slice idiom), PSM reassembly
+    * with 1-based substr on both engines, md5 signature of the FULL
+    * transformed string.
+    */
+  private[queries] def fimSql(from: String, rate16: Int = 32768,
+      seed: String = "fim"): String =
+    s"""WITH p AS (
+       |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(('0x' || substring(md5('$seed:coin:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS c,
+       |    CAST(('0x' || substring(md5('$seed:a:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS ua,
+       |    CAST(('0x' || substring(md5('$seed:b:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS ub
+       |  FROM $from),
+       |x AS (
+       |  SELECT doc_id, text, n_chars,
+       |    CASE WHEN c < $rate16 AND n_chars >= 2 THEN 1 ELSE 0 END AS fimmed,
+       |    CASE WHEN c < $rate16 AND n_chars >= 2
+       |      THEN least(ua % (n_chars + 1), ub % (n_chars + 1)) END AS lo,
+       |    CASE WHEN c < $rate16 AND n_chars >= 2
+       |      THEN greatest(ua % (n_chars + 1), ub % (n_chars + 1)) END AS hi
+       |  FROM p),
+       |y AS (
+       |  SELECT doc_id, n_chars, fimmed, lo, hi,
+       |    CASE WHEN fimmed = 1 THEN
+       |      '<PRE>' || substr(text, 1, CAST(lo AS INTEGER))
+       |      || '<SUF>' || substr(text, CAST(hi + 1 AS INTEGER),
+       |           CAST(n_chars - hi AS INTEGER))
+       |      || '<MID>' || substr(text, CAST(lo + 1 AS INTEGER),
+       |           CAST(hi - lo AS INTEGER))
+       |    ELSE text END AS out
+       |  FROM x)
+       |SELECT doc_id, n_chars, CAST(fimmed AS BIGINT) AS fimmed, lo, hi,
+       |  CAST(length(out) AS BIGINT) AS out_len, md5(out) AS out_sig
+       |FROM y
+       |ORDER BY doc_id""".stripMargin
+
+  /** Shared QL-family oracle frames (per-doc tf columns, collection
+    * stats, eligibility filter, rounded ln-sum rank) under a pluggable
+    * per-term contribution — the SQL twin of TextAnalysis.qlRank.
+    */
+  private def qlFamilySql(from: String, terms: Seq[String],
+      contribOf: Int => String, k: Int): String = {
     val idx = terms.indices
     val tfCols = idx.map(i =>
       s"CAST(len(list_filter(w, x -> x = '${terms(i)}')) AS BIGINT) AS tf$i")
       .mkString(",\n    ")
     val ctfCols = idx.map(i => s"CAST(sum(tf$i) AS BIGINT) AS ctf$i")
       .mkString(", ")
-    val contrib = idx.map(i =>
-      s"ln((tf$i + $mu * (CAST(ctf$i AS DOUBLE) / CAST(cs AS DOUBLE))) / (dl + $mu))")
-      .mkString("\n    + ")
+    val contrib = idx.map(contribOf).mkString("\n    + ")
     val anyTf = idx.map(i => s"tf$i").mkString(" + ")
     s"""WITH t AS (
        |  SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
@@ -4047,6 +4226,58 @@ object TextQueries {
 
     "q279_ql_rank" ->
       qlSql("documents", Seq("vector", "data", "merge"), "2000.0", 20),
+
+    "q281_jm_rank" ->
+      jmSql("documents", Seq("vector", "data", "merge"), "0.7", 20),
+
+    "q283_mattr" -> mattrSql("documents"),
+
+    "q285_fim" -> fimSql("documents"),
+
+    "q288_dispersion" ->
+      """WITH tok AS (
+        |  SELECT source AS p,
+        |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |ctp AS (SELECT p, term, CAST(count(*) AS BIGINT) AS c
+        |        FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT term, CAST(sum(c) AS BIGINT) AS n_total
+        |       FROM ctp GROUP BY 1),
+        |sp AS (SELECT p, CAST(sum(c) AS BIGINT) AS s FROM ctp GROUP BY 1),
+        |tot AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM sp),
+        |top AS (SELECT term, n_total FROM ct
+        |        ORDER BY n_total DESC, term LIMIT 30)
+        |SELECT top.term AS term, top.n_total AS n_total,
+        |  round((1.0 + sum(
+        |      abs(CAST(c.c AS DOUBLE) / CAST(top.n_total AS DOUBLE)
+        |        - CAST(sp.s AS DOUBLE) / CAST(tot.t AS DOUBLE))
+        |      - CAST(sp.s AS DOUBLE) / CAST(tot.t AS DOUBLE))) / 2
+        |    + 1e-9, 6) AS dp
+        |FROM ctp c
+        |JOIN top ON top.term = c.term
+        |JOIN sp ON sp.p = c.p
+        |CROSS JOIN tot
+        |GROUP BY 1, 2
+        |ORDER BY term""".stripMargin,
+
+    "q287_vocab_overlap" ->
+      """WITH d AS (
+        |  SELECT DISTINCT g, tok FROM (
+        |    SELECT source AS g,
+        |      unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        |    FROM documents)),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) AS v FROM d GROUP BY g),
+        |i AS (
+        |  SELECT da.g AS a, db.g AS b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM d da JOIN d db ON da.tok = db.tok AND da.g < db.g
+        |  GROUP BY 1, 2)
+        |SELECT i.a, i.b, i.n_common, sa.v AS n_a, sb.v AS n_b,
+        |  CAST(i.n_common AS DOUBLE)
+        |    / CAST(sa.v + sb.v - i.n_common AS DOUBLE) AS jaccard,
+        |  CAST(i.n_common AS DOUBLE) / CAST(sa.v AS DOUBLE) AS containment_a,
+        |  CAST(i.n_common AS DOUBLE) / CAST(sb.v AS DOUBLE) AS containment_b
+        |FROM i JOIN s sa ON sa.g = i.a JOIN s sb ON sb.g = i.b
+        |ORDER BY i.a, i.b""".stripMargin,
 
     // deterministic T5 span corruption: seeded span starts, backward-
     // looking coverage window (clips at the doc end for free), island

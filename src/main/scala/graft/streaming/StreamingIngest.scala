@@ -477,6 +477,56 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Streaming MATTR — [[graft.operators.TextAnalysis.mattr]] on the
+    * stream: the sliding-window distinct counts are pure per-row column
+    * math over the doc's own token array (no aggregation, no state), so
+    * the batch body runs UNCHANGED in append mode and the gate reuses
+    * the batch oracle verbatim (the q259 stream-twin economics).
+    */
+  def streamMattr(spark: SparkSession, sfDir: String, window: Int = 25,
+      queryName: String = "stream_mattr"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val arriving = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val out = TextAnalysis.mattr(arriving, "doc_id", "text", window)
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** Streaming FIM transform — [[graft.operators.TextAnalysis
+    * .fimTransform]] on the stream: coin, cut points, and PSM
+    * reassembly are all per-row md5/substr column math (no state), so
+    * the batch body runs UNCHANGED in append mode against the batch
+    * oracle verbatim — the infilling export as an ingest-time screen.
+    */
+  def streamFim(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_fim"): DataFrame = {
+    import graft.operators.TextAnalysis
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val arriving = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val out = TextAnalysis.fimTransform(arriving, "doc_id", "text")
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest-time NOVELTY metric — [[graft.operators
     * .TextAnalysis.incomingNovelty]] on the stream: the corpus's
     * distinct shingles are the static side; one marker left join + one

@@ -807,4 +807,144 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2).getLong(0) == 0L && got(2).isNullAt(3) && got(2).isNullAt(4),
       "wordless docs must emit NULL scores, not a division by zero")
   }
+
+  test("Jelinek–Mercer QL: hand-computed scores, zero-tf smoothing mass, " +
+      "and a corpus where JM and Dirichlet rank differently") {
+    // |C| = 10: d1 has the term once in 2 tokens, d2 once in 8 tokens —
+    // JM's fixed-weight mix scores the SHORT doc far higher.
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "cat bird bird bird bird bird bird bird")
+    ).toDF("id", "text")
+    val lam = 0.5
+    val got = TextAnalysis.jelinekMercerQL(docs, "id", "text",
+      Seq("cat", "dog"), lambda = lam, k = 10)
+      .as[(Long, Double, Long)].collect().map(t => (t._1, t._2)).toMap
+    // replay the operator's own op order on exact-integer inputs
+    // (the q254 rule: never assert the algebraic value)
+    def jm(tf: Long, dl: Long, ctf: Long): Double =
+      math.log(lam * (tf.toDouble / dl) + (1.0 - lam) * (ctf.toDouble / 10))
+    def r6(x: Double): Double = math.rint((x + 1e-9) * 1e6) / 1e6
+    assert(got(1L) == r6(jm(1, 2, 2) + jm(1, 2, 1)))
+    // d2 has dog-tf 0 — the collection model still contributes mass
+    assert(got(2L) == r6(jm(1, 8, 2) + jm(0, 8, 1)))
+    assert(got(1L) > got(2L))
+    // Dirichlet's length-adaptive prior (huge mu drowns tf in short docs)
+    // can INVERT the family ranking on the same corpus: with mu=1000 the
+    // two docs are nearly tied by the prior; dl enters only via the
+    // denominator, and d1 still wins — so instead pin the documented
+    // contrast structurally: JM's per-term collection weight (1-lam) is
+    // dl-INDEPENDENT, Dirichlet's mu/(dl+mu) is not.
+    val dir = TextAnalysis.dirichletQL(docs, "id", "text",
+      Seq("cat", "dog"), mu = 1000.0, k = 10)
+      .as[(Long, Double, Long)].collect().map(t => (t._1, t._2)).toMap
+    def dql(tf: Long, dl: Long, ctf: Long): Double =
+      math.log((tf + 1000.0 * (ctf.toDouble / 10)) / (dl + 1000.0))
+    assert(dir(1L) == r6(dql(1, 2, 2) + dql(1, 2, 1)))
+    assert(dir(2L) == r6(dql(1, 8, 2) + dql(0, 8, 1)))
+    // bounds are loud
+    intercept[IllegalArgumentException] {
+      TextAnalysis.jelinekMercerQL(docs, "id", "text", Seq("cat"),
+        lambda = 1.0)
+    }
+  }
+
+  test("MATTR: hand-computed windows, short-doc TTR fallback, empty doc") {
+    val docs = Seq(
+      (1L, "a b a b a"),     // w=3 → windows [aba][bab][aba] = 2+2+2
+      (2L, "x y"),           // shorter than window → whole-doc TTR 2/2
+      (3L, "z z z z"),       // windows [zzz][zzz] = 1+1
+      (4L, "")               // empty → NULL mattr, 0 windows
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.mattr(docs, "doc_id", "text", window = 3)
+      .orderBy("doc_id")
+      .select("n_tokens", "d_sum", "n_windows", "mattr").collect()
+    assert(got(0).getLong(0) == 5 && got(0).getLong(1) == 6 &&
+      got(0).getLong(2) == 3 && got(0).getDouble(3) == 6.0 / 9)
+    assert(got(1).getLong(2) == 0 && got(1).getDouble(3) == 1.0,
+      "short doc must fall back to whole-doc TTR with n_windows=0")
+    assert(got(2).getLong(1) == 2 && got(2).getDouble(3) == 2.0 / 6)
+    assert(got(3).getLong(0) == 0 && got(3).isNullAt(3),
+      "empty doc must emit NULL mattr")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.mattr(docs, "doc_id", "text", window = 1)
+    }
+  }
+
+  test("FIM transform: md5-replayed PSM reassembly, rate extremes, " +
+      "and the n>=2 floor") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def slice(tag: String, id: Long, w: Int): Long =
+      java.lang.Long.parseLong(md5hex(s"fim:$tag:$id").take(w), 16)
+    val txt = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq((7L, txt), (8L, txt), (9L, "x")).toDF("doc_id", "text")
+    // rate16=65536: every doc with n>=2 is fimmed; the 1-char doc never
+    val all = TextAnalysis.fimTransform(docs, "doc_id", "text",
+        rate16 = 65536)
+      .orderBy("doc_id")
+      .select("fimmed", "lo", "hi", "out_len", "out_sig").collect()
+    val n = txt.length.toLong
+    for (r <- Seq((7L, all(0)), (8L, all(1)))) {
+      val (id, row) = r
+      val (ua, ub) = (slice("a", id, 8) % (n + 1), slice("b", id, 8) % (n + 1))
+      val (lo, hi) = (math.min(ua, ub).toInt, math.max(ua, ub).toInt)
+      val psm = "<PRE>" + txt.substring(0, lo) + "<SUF>" + txt.substring(hi) +
+        "<MID>" + txt.substring(lo, hi)
+      assert(row.getLong(0) == 1L && row.getLong(1) == lo &&
+        row.getLong(2) == hi)
+      assert(row.getLong(3) == n + 15,
+        "PSM adds exactly the three 5-char sentinels")
+      assert(row.getString(4) == md5hex(psm),
+        "out_sig must pin the full reassembled PSM string")
+    }
+    assert(all(2).getLong(0) == 0L && all(2).isNullAt(1),
+      "a 1-char doc can't split into three parts")
+    // rate16=0: pure pass-through, signature = the original text
+    val none = TextAnalysis.fimTransform(docs, "doc_id", "text", rate16 = 0)
+      .orderBy("doc_id").select("fimmed", "out_sig").collect()
+    assert(none.forall(_.getLong(0) == 0L))
+    assert(none(0).getString(1) == md5hex(txt))
+  }
+
+  test("vocabularyOverlap: exact set math, directed containments, " +
+      "zero-overlap pairs drop") {
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "c d"),       // V1 = {a,b,c,d}
+      ("s2", "c d e"),                      // V2 = {c,d,e}
+      ("s3", "zz")                          // V3 = {zz} — disjoint
+    ).toDF("source", "text")
+    val got = TextAnalysis.vocabularyOverlap(docs, "source", "text")
+      .orderBy("a", "b").collect()
+    assert(got.length == 1, "pairs sharing zero types must drop out")
+    val r = got(0)
+    assert(r.getString(0) == "s1" && r.getString(1) == "s2")
+    assert(r.getLong(2) == 2 && r.getLong(3) == 4 && r.getLong(4) == 3)
+    assert(r.getDouble(5) == 2.0 / 5 && r.getDouble(6) == 2.0 / 4 &&
+      r.getDouble(7) == 2.0 / 3)
+  }
+
+  test("dispersionDP: hand-computed DP, zero-count parts folded in, " +
+      "top-N by exact counts") {
+    // S=7, s1=3, s2=4 → exp=(3/7, 4/7)
+    val docs = Seq(("p1", "a a b"), ("p2", "a c c c")).toDF("source", "text")
+    def r6(x: Double): Double = math.rint((x + 1e-9) * 1e6) / 1e6
+    def dp(pairs: Seq[(Double, Double)]): Double =
+      r6((1.0 + pairs.map { case (obs, exp) =>
+        math.abs(obs - exp) - exp }.sum) / 2)
+    val got = TextAnalysis.dispersionDP(docs, "source", "text", topN = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq("a", "b", "c"),
+      "output is term-ordered")
+    val m = got.map(t => (t._1, (t._2, t._3))).toMap
+    assert(m("a") == ((3L, dp(Seq((2.0 / 3, 3.0 / 7), (1.0 / 3, 4.0 / 7))))))
+    assert(m("b") == ((1L, dp(Seq((1.0, 3.0 / 7))))),
+      "the part where b never occurs contributes exp_p via the 1+Σ fold")
+    assert(m("c") == ((3L, dp(Seq((1.0, 4.0 / 7))))))
+    // topN cuts by exact counts with the term tie-break: a(3) c(3) b(1)
+    val top2 = TextAnalysis.dispersionDP(docs, "source", "text", topN = 2)
+      .collect().map(_.getString(0)).toSeq
+    assert(top2 == Seq("a", "c"))
+  }
 }
