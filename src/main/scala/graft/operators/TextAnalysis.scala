@@ -1447,6 +1447,67 @@ object TextAnalysis {
     * and intercept expressions are parenthesized exactly as the oracles
     * write them.
     */
+  /** RAKE keyword extraction (Rose et al. 2010 "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are the
+    * maximal runs of non-stopword tokens; each word scores
+    * deg(w)/freq(w) over the document's own candidates (deg counts the
+    * full length of every phrase the occurrence sits in, so words that
+    * travel in long collocations outscore isolated ones); a phrase
+    * scores the sum of its words' scores; the document's keyword is the
+    * top phrase. The model-free keyword/topic tagger beside
+    * [[textRankSummary]] (which ranks whole sentences) — per-doc
+    * document tagging for corpus triage, dataset cards, and mixture
+    * diagnostics.
+    *
+    * Determinism: deg/freq are exact integers and each word score is
+    * ONE division (engine-exact); the per-phrase sum accumulates in
+    * engine order so it rounds (+1e-9, 6 — the q97 doctrine); rank ties
+    * break to the EARLIEST phrase (min token position, unique within a
+    * doc). Phrase text reassembles under the collect-skips-nulls ≡
+    * ordered string_agg parity (round-6 convention). Docs whose tokens
+    * are all stopwords (or empty) emit nothing.
+    *
+    * Scale shape: every window and aggregation is doc-keyed (the q272
+    * islands pattern) — phrase ids via one cumsum window, lengths and
+    * word stats as doc-grain aggs, the final argmax a doc-partitioned
+    * row_number. No corpus-scale shuffle beyond the doc key; stopwords
+    * ride as literals.
+    */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+      stops: Seq[String] = stopwords): DataFrame = {
+    require(stops.nonEmpty, "rakeKeywords: empty stopword list")
+    val tok = df.select(col(idCol),
+        posexplode(normalizedTokens(col(textCol))).as(Seq("pos", "word")))
+      .withColumn("__stop", col("word").isin(stops: _*))
+    val wCum = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val body = tok
+      .withColumn("__pid",
+        sum(when(col("__stop"), 1L).otherwise(0L)).over(wCum))
+      .filter(!col("__stop"))
+      .select(col(idCol), col("__pid"), col("pos"), col("word"))
+    val plen = body.groupBy(col(idCol), col("__pid"))
+      .agg(count(lit(1)).as("__plen"))
+    val occ = body.join(plen, Seq(idCol, "__pid"))
+    val ws = occ.groupBy(col(idCol), col("word"))
+      .agg(sum("__plen").as("__deg"), count(lit(1)).as("__freq"))
+    val phrases = occ.join(ws, Seq(idCol, "word"))
+      .withColumn("__wscore", col("__deg") / col("__freq"))
+      .groupBy(col(idCol), col("__pid"))
+      .agg(round(sum(col("__wscore")) + lit(1e-9), 6).as("score"),
+        count(lit(1)).as("n_words"),
+        min("pos").as("__ppos"),
+        array_join(transform(array_sort(collect_list(
+            struct(col("pos"), col("word").as("w")))),
+          x => x.getField("w")), " ").as("phrase"))
+    val wTop = Window.partitionBy(idCol).orderBy(desc("score"),
+      col("__ppos"))
+    phrases
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("phrase"), col("score"), col("n_words"))
+  }
+
   /** Gries' DP dispersion ("deviation of proportions", Gries 2008) for
     * the corpus's top-N terms across parts (sources): DP_t = ½ Σ_p
     * |obs_{t,p} − exp_p| where exp_p is part p's share of all tokens

@@ -681,6 +681,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // RAKE keyword extraction (Rose et al. 2010): per-doc top candidate
+    // phrase by summed deg/freq word scores over stopword-delimited
+    // runs — the model-free document tagger beside TextRank's sentence
+    // ranking. Word scores are exact single divisions; the per-phrase
+    // sum rounds (+1e-9, 6); ties break to the earliest phrase.
+    "q289_rake" -> ((s, dir) => {
+      TextAnalysis.rakeKeywords(
+          graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Gries' DP dispersion (2008) for the top-30 terms across sources:
     // the burstiness axis beside the frequency spectrum — DP≈0 spread
     // like the corpus, DP→1 concentrated in one source. Zero-count
@@ -3547,6 +3559,54 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The q289 RAKE oracle: stopword-run islands via the doc-keyed
+    * cumsum (the q272 pattern, positions from the zipped unnest —
+    * round-11 convention), deg/freq word scores as explicit double
+    * casts, ordered string_agg reassembly, rounded phrase sums, and
+    * the earliest-phrase tie-break. The stopword list interpolates
+    * from [[graft.operators.TextAnalysis.stopwords]] so the two sides
+    * can never drift.
+    */
+  private[queries] def rakeSql(from: String): String = {
+    val stops = graft.operators.TextAnalysis.stopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+       |  FROM $from),
+       |tok AS (
+       |  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS word
+       |  FROM t),
+       |ph AS (
+       |  SELECT doc_id, i, word,
+       |    word IN ($stops) AS stop,
+       |    sum(CASE WHEN word IN ($stops) THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i) AS pid
+       |  FROM tok),
+       |body AS (SELECT doc_id, pid, i, word FROM ph WHERE NOT stop),
+       |plen AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS plen
+       |         FROM body GROUP BY 1, 2),
+       |occ AS (SELECT b.doc_id, b.pid, b.i, b.word, p.plen
+       |        FROM body b JOIN plen p
+       |          ON p.doc_id = b.doc_id AND p.pid = b.pid),
+       |ws AS (SELECT doc_id, word, CAST(sum(plen) AS BIGINT) AS deg,
+       |         CAST(count(*) AS BIGINT) AS freq
+       |       FROM occ GROUP BY 1, 2),
+       |sc AS (SELECT o.doc_id, o.pid, o.i, o.word,
+       |         CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE) AS wscore
+       |       FROM occ o JOIN ws ON ws.doc_id = o.doc_id AND ws.word = o.word),
+       |phr AS (
+       |  SELECT doc_id, pid, round(sum(wscore) + 1e-9, 6) AS score,
+       |    CAST(count(*) AS BIGINT) AS n_words, min(i) AS ppos,
+       |    string_agg(word, ' ' ORDER BY i) AS phrase
+       |  FROM sc GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number()
+       |         OVER (PARTITION BY doc_id ORDER BY score DESC, ppos) AS rn
+       |       FROM phr)
+       |SELECT doc_id, phrase, score, n_words
+       |FROM rk WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The q285/q286 FIM oracle: the md5 coin and the two 32-bit cut
     * points replayed verbatim (the q82 hex-slice idiom), PSM reassembly
     * with 1-based substr on both engines, md5 signature of the FULL
@@ -4233,6 +4293,8 @@ object TextQueries {
     "q283_mattr" -> mattrSql("documents"),
 
     "q285_fim" -> fimSql("documents"),
+
+    "q289_rake" -> rakeSql("documents"),
 
     "q288_dispersion" ->
       """WITH tok AS (

@@ -925,6 +925,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       r.getDouble(7) == 2.0 / 3)
   }
 
+  test("RAKE: hand-computed deg/freq phrase scores, earliest-phrase " +
+      "tie-break, all-stopword docs emit nothing") {
+    // stops contain "of": phrases = [deep learning], [deep models]
+    // freq: deep=2 learning=1 models=1; deg: deep=4 learning=2 models=2
+    // wscore: deep=2 learning=2 models=2 → both phrases score 4.0 →
+    // tie breaks to the earlier phrase
+    val docs = Seq(
+      (1L, "deep learning of deep models"),
+      (2L, "the of a"),                      // all stopwords → no row
+      (3L, "solo")                           // single word: deg=freq=1
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeywords(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.length == 2, "all-stopword docs must emit nothing")
+    assert(got(0).getLong(0) == 1L && got(0).getString(1) == "deep learning")
+    assert(got(0).getDouble(2) == 4.0 && got(0).getLong(3) == 2L)
+    assert(got(1).getString(1) == "solo" && got(1).getDouble(2) == 1.0)
+    // a longer collocation outscores a shorter one sharing no words
+    val two = Seq((9L, "alpha beta gamma of tiny")).toDF("doc_id", "text")
+    val r = TextAnalysis.rakeKeywords(two, "doc_id", "text").collect()(0)
+    assert(r.getString(1) == "alpha beta gamma" && r.getDouble(2) == 9.0)
+  }
+
   test("dispersionDP: hand-computed DP, zero-count parts folded in, " +
       "top-N by exact counts") {
     // S=7, s1=3, s2=4 → exp=(3/7, 4/7)
