@@ -188,6 +188,9 @@ object CommandExecutor {
           iters = opts.getOrElse("iters", "5").toInt,
           maxSents = opts.getOrElse("maxsents", "64").toInt)
 
+      case Keywords(coll, _) =>
+        db.keywords(coll)
+
       case SearchPhrase(coll, arg) =>
         val opts = parseKv(arg)
         db.searchPhrase(coll,

@@ -69,6 +69,7 @@ object GraftCommand {
   final case class SearchPhrase(collection: String, arg: String) extends GraftCommand
   final case class SearchProximity(collection: String, arg: String) extends GraftCommand
   final case class Summarize(collection: String, arg: Option[String]) extends GraftCommand
+  final case class Keywords(collection: String, arg: Option[String]) extends GraftCommand
 }
 
 /** Build failure surface, mirroring `CommandBuilderError`
@@ -124,6 +125,7 @@ object CommandParser {
       case "SEARCHPHRASE" => needBoth("SEARCHPHRASE")(SearchPhrase(_, _))
       case "SEARCHPROX" => needBoth("SEARCHPROX")(SearchProximity(_, _))
       case "SUMMARIZE" => needColl("SUMMARIZE")(Summarize(_, arg))
+      case "KEYWORDS" => needColl("KEYWORDS")(Keywords(_, arg))
       case other => Left(UnrecognizedCommand(other))
     }
   }

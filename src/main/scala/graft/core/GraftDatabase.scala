@@ -467,6 +467,18 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .orderBy("id")
   }
 
+  /** KEYWORDS — RAKE top phrase per document over the collection
+    * payloads ([[graft.operators.TextAnalysis.rakeKeywords]]), the
+    * keyword tagger beside [[summarize]]'s sentence extraction.
+    */
+  def keywords(name: String): DataFrame = {
+    requireCollection(name)
+    graft.operators.TextAnalysis.rakeKeywords(
+        read(name).select(col("id"), col("payload")),
+        "id", "payload")
+      .orderBy("id")
+  }
+
   def searchText(name: String, rawTerms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75, k: Int = 20): DataFrame = {
     requireCollection(name)

@@ -1371,6 +1371,23 @@ object PipelineQueries {
             identity))
     }),
 
+    // KEYWORDS at the command surface: RAKE top phrase per document
+    // over the collection payloads — q289's operator reached through
+    // the CLI grammar (the SUMMARIZE precedent). The oracle replays
+    // the q289 chain with the command's id alias.
+    "q290_keywords_cmd" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q290")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "KEYWORDS", None)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+    }),
+
     // Ingest capstone v2 — the full modern pipeline over the MANAGED
     // artifacts: arriving batch → doc-level near-dup screen (stored
     // minhash bands) drops whole copies → exact-substring scrub (stored

@@ -3567,7 +3567,8 @@ object TextQueries {
     * from [[graft.operators.TextAnalysis.stopwords]] so the two sides
     * can never drift.
     */
-  private[queries] def rakeSql(from: String): String = {
+  private[queries] def rakeSql(from: String,
+      idOut: String = "doc_id"): String = {
     val stops = graft.operators.TextAnalysis.stopwords
       .map(s => s"'$s'").mkString(", ")
     s"""WITH t AS (
@@ -3602,9 +3603,9 @@ object TextQueries {
        |rk AS (SELECT *, row_number()
        |         OVER (PARTITION BY doc_id ORDER BY score DESC, ppos) AS rn
        |       FROM phr)
-       |SELECT doc_id, phrase, score, n_words
+       |SELECT doc_id AS $idOut, phrase, score, n_words
        |FROM rk WHERE rn = 1
-       |ORDER BY doc_id""".stripMargin
+       |ORDER BY $idOut""".stripMargin
   }
 
   /** The q285/q286 FIM oracle: the md5 coin and the two 32-bit cut
@@ -4708,6 +4709,11 @@ object TextQueries {
     // verbatim (id = doc_id, payload = text), so the q243 chain
     // replays with the command surface's id alias.
     "q263_summarize_cmd" -> textRankOracleSql("id"),
+
+    // KEYWORDS command replay: the collection holds documents verbatim
+    // (id = doc_id, payload = text), so the q289 RAKE chain replays
+    // with the command surface's id alias.
+    "q290_keywords_cmd" -> rakeSql("documents", "id"),
 
     // PRF replay: stage 1 is bm25()'s fixed-order CASE chain over the
     // original terms (the q136 arithmetic verbatim, top-10); stage 2

@@ -44,6 +44,11 @@ class CommandsSpec extends AnyFunSuite {
       Right(Summarize("c1", Some("iters=3"))))
     assert(CommandParser.parse(None, "SUMMARIZE", None) ==
       Left(CommandError.MissingCollection("SUMMARIZE")))
+    // KEYWORDS: collection required, arg optional (reserved)
+    assert(CommandParser.parse(Some("c1"), "keywords", None) ==
+      Right(Keywords("c1", None)))
+    assert(CommandParser.parse(None, "KEYWORDS", None) ==
+      Left(CommandError.MissingCollection("KEYWORDS")))
   }
 
   test("executor: LISTINDEXES inventory tracks the stale/rebuild lifecycle") {
