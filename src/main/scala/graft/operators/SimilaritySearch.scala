@@ -538,4 +538,72 @@ object SimilaritySearch {
       .map { case ((id, _, rel, score), i) => (i + 1L, id, rel, score) }
       .toDF("rank", "sel_id", "rel", "mmr")
   }
+
+  /** Sign-bucket probe RECALL CURVE — the tuning-curve generator an ANN
+    * deployment reads to pick its operating point: for every Hamming
+    * probe radius r in 0..`maxRadius`, recall@k of the radius-r probe
+    * against the exact ranking, with the candidate volume alongside as
+    * the cost axis. q126/q138 pin SINGLE operating points under the
+    * exactness gate; this emits the whole recall/cost frontier in ONE
+    * pass — the number a capacity plan trades against latency.
+    *
+    * One scan, no per-radius rescans: each scored row computes its
+    * bucket distance d once and fans out to every radius ≥ d (explode
+    * factor ≤ maxRadius+1 — `sequence`'s descending trap is excluded by
+    * the d ≤ maxRadius filter), then one per-(query, radius) top-k
+    * window. The query side broadcasts (bounded by construction, the
+    * batch-probe rule); radii with zero candidates still emit via the
+    * radius catalog.
+    *
+    * Determinism: scores round (+0, 6 — the q126 parity), ranks
+    * tie-break on id, hits/candidates are exact integers, and recall =
+    * n_hit / (nq·k) is ONE division of exact integers (no rounding, the
+    * q120 doctrine).
+    */
+  def signRecallCurve(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      nBits: Int = 8, k: Int = 10, maxRadius: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(nBits >= 1 && nBits <= 30, s"nBits must be in [1,30], got $nBits")
+    require(maxRadius >= 0 && maxRadius <= nBits,
+      s"maxRadius must be in [0,$nBits], got $maxRadius")
+    val coded = vectors.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      VectorIndex.signBucket(col(vecCol), nBits).as("__c"))
+    val qs = queries.select(col(qidCol).as("__qid"),
+      col(qvecCol).as("__qv"),
+      VectorIndex.signBucket(col(qvecCol), nBits).as("__qc"))
+    val scored = coded.crossJoin(broadcast(qs))
+      .filter(col("__id") =!= col("__qid"))
+      .withColumn("__score", round(cosine_sim(col("__v"), col("__qv")), 6))
+      .withColumn("__d", bit_count(col("__c").cast("long")
+        .bitwiseXOR(col("__qc").cast("long"))))
+    val wq = Window.partitionBy("__qid").orderBy(desc("__score"),
+      col("__id"))
+    val gold = scored.withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= k).select(col("__qid"), col("__id"))
+    val fanned = scored.filter(col("__d") <= maxRadius)
+      .withColumn("radius",
+        explode(sequence(col("__d").cast("int"), lit(maxRadius))))
+    val wr = Window.partitionBy("__qid", "radius")
+      .orderBy(desc("__score"), col("__id"))
+    val probe = fanned.withColumn("__rn", row_number().over(wr))
+      .filter(col("__rn") <= k)
+      .select(col("__qid"), col("__id"), col("radius"))
+    val nCand = fanned.groupBy("radius")
+      .agg(count(lit(1)).as("n_candidates"))
+    val nHit = probe.join(gold, Seq("__qid", "__id"))
+      .groupBy("radius").agg(count(lit(1)).as("n_hit"))
+    val nqf = qs.agg(count(lit(1)).as("__nq"))
+    val radii = queries.sparkSession.range(0, maxRadius + 1)
+      .select(col("id").cast("int").as("radius"))
+    radii
+      .join(nCand, Seq("radius"), "left")
+      .join(nHit, Seq("radius"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_hit"))
+      .crossJoin(broadcast(nqf))
+      .select(col("radius").cast("long").as("radius"),
+        col("n_candidates"), col("n_hit"),
+        (col("n_hit") / (col("__nq") * k)).as("recall"))
+      .orderBy("radius")
+  }
 }

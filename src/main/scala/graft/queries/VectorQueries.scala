@@ -337,6 +337,20 @@ object VectorQueries {
         .orderBy("query_id")
     }),
 
+    // Sign-probe RECALL CURVE: the full recall/cost frontier (radius 0..3)
+    // in one pass — q126 pins one operating point, this emits the table a
+    // deployment reads to pick nprobe. Exact-integer hits/candidates;
+    // recall is ONE division (no rounding); the oracle recomputes both
+    // rankings at every radius.
+    "q291_recall_curve" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.SimilaritySearch.signRecallCurve(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding")),
+        "query_id", "embedding", nBits = 8, k = 10, maxRadius = 3)
+    }),
+
     "q126_probe_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
         .withColumn("cluster_id",
@@ -1263,6 +1277,53 @@ object VectorQueries {
          |  round(coalesce(s.dcg, 0.0) / g.idcg + 1e-9, 6) AS ndcg
          |FROM gst g LEFT JOIN sst s USING (query_id)
          |ORDER BY query_id""".stripMargin
+    },
+
+    "q291_recall_curve" -> {
+      s"""WITH coded AS (
+         |  SELECT vec_id, embedding, ${duckBucket("embedding")} AS c
+         |  FROM embeddings),
+         |qs AS (
+         |  SELECT vec_id AS qid, embedding AS qv, c AS qc
+         |  FROM coded WHERE vec_id < 5),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qs),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.qv AS DOUBLE[])), 6) AS score,
+         |    bit_count(xor(CAST(e.c AS BIGINT), CAST(q.qc AS BIGINT))) AS d
+         |  FROM coded e CROSS JOIN qs q WHERE e.vec_id <> q.qid),
+         |gold AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+         |    FROM scored) WHERE rn <= 10),
+         |fanned AS (
+         |  SELECT qid, vec_id, score, unnest(range(CAST(d AS BIGINT), 4))
+         |    AS radius
+         |  FROM scored WHERE d <= 3),
+         |probe AS (
+         |  SELECT qid, vec_id, radius FROM (
+         |    SELECT qid, vec_id, radius, row_number() OVER (
+         |      PARTITION BY qid, radius ORDER BY score DESC, vec_id) AS rn
+         |    FROM fanned) WHERE rn <= 10),
+         |cand AS (SELECT radius, CAST(count(*) AS BIGINT) AS n_candidates
+         |         FROM fanned GROUP BY 1),
+         |hit AS (
+         |  SELECT p.radius, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM probe p JOIN gold g
+         |    ON g.qid = p.qid AND g.vec_id = p.vec_id
+         |  GROUP BY 1),
+         |radii AS (SELECT unnest(range(0, 4)) AS radius)
+         |SELECT CAST(r.radius AS BIGINT) AS radius,
+         |  CAST(COALESCE(c.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+         |    / CAST(nq.n * 10 AS DOUBLE) AS recall
+         |FROM radii r CROSS JOIN nq
+         |LEFT JOIN cand c ON c.radius = r.radius
+         |LEFT JOIN hit h ON h.radius = r.radius
+         |ORDER BY radius""".stripMargin
     },
 
     "q126_probe_recall" -> {

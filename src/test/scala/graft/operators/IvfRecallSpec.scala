@@ -178,4 +178,30 @@ class IvfRecallSpec extends AnyFunSuite {
     val recall = a.map(_._1).count(exact.contains) / 10.0
     assert(recall >= 0.7, f"BRP-LSH recall@10 $recall%.2f < 0.7")
   }
+
+  test("signRecallCurve: monotone frontier, full-radius recall = 1, " +
+      "empty radii still emit") {
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+    val qs = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val curve = SimilaritySearch.signRecallCurve(
+        e, "vec_id", "embedding", qs, "query_id", "embedding",
+        nBits = 8, k = 10, maxRadius = 8)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(curve.map(_._1).toSeq == (0L to 8L),
+      "every radius must emit a row, including empty ones")
+    assert(curve.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      "candidate volume must be monotone non-decreasing in radius")
+    assert(curve.sliding(2).forall(p => p(0)._3 <= p(1)._3),
+      "hits must be monotone non-decreasing in radius")
+    val full = curve.last
+    assert(full._3 == 50L && full._4 == 1.0,
+      "radius = nBits probes everything: recall@10 must be exactly 1")
+    // recall is the exact division n_hit/(nq*k) — replay it
+    assert(curve.forall(r => r._4 == r._3.toDouble / 50.0))
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.signRecallCurve(e, "vec_id", "embedding",
+        qs, "query_id", "embedding", nBits = 8, maxRadius = 9)
+    }
+  }
 }
