@@ -109,6 +109,42 @@ object EventStats {
         col("offset"), col("n_users"), col("cohort_size"))
   }
 
+  /** Engagement stickiness: per active day, DAU / rolling-window WAU
+    * (users active in the `window` days ENDING that day) — the classic
+    * DAU/WAU engagement ratio, the day-grain companion of
+    * [[cohortRetention]]'s week triangle. Stickiness → 1 means every
+    * weekly user shows up daily; → 1/window means users touch once a
+    * window.
+    *
+    * Rolling distinct counts don't exist as window functions, so the
+    * window is a FAN-OUT: each distinct (user, day) activity row emits
+    * the `window` target days it keeps the user "weekly-active" for,
+    * then one count-distinct per target day — exact, shuffle-bounded by
+    * window × |active (user, day)| (the q103 interval-bucket shape).
+    * Days are exact epoch-day integers (datediff — no timezone
+    * arithmetic); DAU/WAU is ONE division of exact integers (the q120
+    * doctrine). Only days with ≥ 1 event emit (the activity calendar).
+    */
+  def stickiness(events: DataFrame, userCol: String, tsCol: String,
+      window: Int = 7): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    val ud = events.select(col(userCol).as("__u"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).cast("long")
+          .as("__d"))
+      .distinct()
+    val dau = ud.groupBy("__d").agg(count(lit(1)).as("dau"))
+    val wau = ud.select(col("__u"),
+        explode(sequence(col("__d"), col("__d") + (window - 1))).as("__t"))
+      .groupBy("__t").agg(countDistinct(col("__u")).as("wau"))
+    dau.join(wau, col("__d") === col("__t"))
+      .select(
+        date_format(date_add(to_date(lit("1970-01-01")),
+          col("__d").cast("int")), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        (col("dau") / col("wau")).as("stickiness"))
+      .orderBy("day")
+  }
+
   def hourlyAnomalies(events: DataFrame, tsCol: String, typeCol: String,
       zThreshold: Double = 2.0): DataFrame = {
     require(zThreshold > 0.0, s"zThreshold must be positive, got $zThreshold")

@@ -588,6 +588,14 @@ object RelationalQueries {
         .orderBy("cohort_week", "week_offset")
     }),
 
+    // Engagement stickiness: per active day, DAU / rolling-7-day WAU —
+    // rolling distinct via the (user, day) fan-out (no window-distinct
+    // exists), exact epoch-day integers, ONE division per row.
+    "q292_stickiness" -> ((s, dir) => {
+      graft.operators.EventStats.stickiness(
+        Tables.events(s, dir), "user_id", "ts", window = 7)
+    }),
+
     "q54_running_sum" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey")
@@ -975,6 +983,22 @@ object RelationalQueries {
         |    + 1e-9, 6) AS p
         |FROM m
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q292_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id AS u,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        |  FROM events),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |fan AS (SELECT u, unnest(range(d, d + 7)) AS t FROM ud),
+        |wau AS (SELECT t, CAST(count(DISTINCT u) AS BIGINT) AS wau
+        |        FROM fan GROUP BY 1)
+        |SELECT strftime(DATE '1970-01-01' + CAST(dau.d AS INTEGER), '%Y-%m-%d')
+        |    AS day,
+        |  dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON wau.t = dau.d
+        |ORDER BY day""".stripMargin,
 
     "q74_retention" ->
       """WITH cohort AS (

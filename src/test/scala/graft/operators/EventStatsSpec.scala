@@ -90,4 +90,29 @@ class EventStatsSpec extends AnyFunSuite {
     assert(got.map(_._1) == Seq("2026-01-01 04"))
     assert(got.head._2 < 0, "a collapse must flag with negative z")
   }
+
+  test("stickiness: hand-computed DAU/rolling-WAU, window membership, " +
+      "only active days emit") {
+    def day(d: Int, h: Int = 9) =
+      Timestamp.valueOf(f"2026-01-${d + 1}%02d $h%02d:00:00")
+    // u1: days 0,1; u2: day 0 (twice — distinct must dedup); u3: day 7
+    val ev = Seq(
+      (1L, day(0)), (1L, day(1)),
+      (2L, day(0)), (2L, day(0, 15)),
+      (3L, day(7))
+    ).toDF("user_id", "ts")
+    val got = EventStats.stickiness(ev, "user_id", "ts", window = 7)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // day0: DAU {u1,u2}; WAU[-6..0] {u1,u2} → 1.0
+    // day1: DAU {u1}; WAU[-5..1] {u1,u2} → 0.5
+    // day7: DAU {u3}; WAU[1..7] {u1(day1), u3} → 0.5
+    assert(got == Seq(
+      ("2026-01-01", 2L, 2L, 1.0),
+      ("2026-01-02", 1L, 2L, 0.5),
+      ("2026-01-08", 1L, 2L, 0.5)),
+      s"got $got")
+    // a day-8 reading would drop u1's day-1 activity out of the window —
+    // no event on day 8, so no row (the activity-calendar contract)
+    assert(!got.exists(_._1 == "2026-01-09"))
+  }
 }
