@@ -400,4 +400,57 @@ object Sketches {
         round(est + lit(1e-9), 4).as("n_hll")
       })
   }
+
+  /** EXACT heavy hitters through a Misra–Gries candidate pass (Misra &
+    * Gries 1982; mergeability per Agarwal et al. 2013): all values with
+    * frequency STRICTLY above N/k, found without ever shuffling the full
+    * distinct-value table. Phase 1 runs a k-counter MG summary inside
+    * each partition (bounded memory, one pass); any value with global
+    * freq > N/k must exceed N_p/k in at least one partition (averaging
+    * argument) and a k-counter summary keeps everything above
+    * N_p/(k+1) ⊇ that, so the union of partition survivors is a
+    * guaranteed SUPERSET of the true heavy hitters — at most
+    * k × partitions candidates. Phase 2 exactly recounts candidates
+    * only (a broadcast semi-join — the full value space never shuffles)
+    * and applies the strict threshold as exact-integer math
+    * (n·k > N — no division anywhere).
+    *
+    * Phase 1's survivor set depends on partition order; phase 2's
+    * OUTPUT does not (the superset guarantee makes the recount
+    * order-blind) — the determinism boundary the spec pins by
+    * re-running under hostile repartitions.
+    *
+    * At 100 TB this is the "top terms without a vocabulary shuffle"
+    * shape: the only wide exchange is the candidate recount, whose key
+    * space is ≤ k × partitions regardless of the real vocabulary.
+    */
+  def heavyHitters(df: DataFrame, termCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val terms = df.select(col(termCol).cast("string").as("term"))
+    val cands = terms.as[String].mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        if (counters.contains(t)) counters(t) += 1L
+        else if (counters.size < k) counters(t) = 1L
+        else {
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          counters.foreach { case (key, c) =>
+            if (c == 1L) dead += key else counters(key) = c - 1L
+          }
+          dead.foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("term").distinct()
+    val tot = terms.agg(count(lit(1)).as("__n"))
+    terms
+      .join(broadcast(cands), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .filter(col("n") * k > col("__n"))
+      .select(col("term"), col("n"))
+      .orderBy(desc("n"), col("term"))
+  }
 }

@@ -263,6 +263,19 @@ object TextQueries {
         .orderBy(desc("n_true"), col("token"))
     }),
 
+    // EXACT heavy hitters via the Misra-Gries candidate pass (q112's CMS
+    // estimates; this one PROVES): all tokens with freq STRICTLY > N/32,
+    // candidates from bounded per-partition k-counter summaries (superset
+    // guarantee), then an exact broadcast recount — the full vocabulary
+    // never shuffles. Threshold as exact-integer n*k > N, no division.
+    "q293_mg_heavyhitters" -> ((s, dir) => {
+      graft.operators.Sketches.heavyHitters(
+        graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+          .select(explode(TextAnalysis.normalizedTokens(col("text")))
+            .as("token")),
+        "token", k = 32)
+    }),
+
     // KMV bottom-k distinct sketch: per-source vocabulary-size estimates
     // beside the exact counts — the distinct-count diagnostic the CMS
     // (frequencies, q112) and Bloom (membership, q113) sketches don't
@@ -4218,6 +4231,17 @@ object TextQueries {
         |WHERE n_chars > 0
         |ORDER BY skey DESC, doc_id
         |LIMIT 20""".stripMargin,
+
+    "q293_mg_heavyhitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1)
+        |SELECT c.term, c.n
+        |FROM c CROSS JOIN tot
+        |WHERE c.n * 32 > tot.n
+        |ORDER BY c.n DESC, c.term""".stripMargin,
 
     "q112_cms_heavyhitters" ->
       """WITH toks AS (

@@ -242,4 +242,32 @@ class SketchesSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("MG heavy hitters: exact output above the strict threshold, " +
+      "boundary excluded, superset guarantee under hostile order") {
+    // N=21, k=2 → strict threshold 10.5: a(11) qualifies, b(5) doesn't
+    val terms = Seq.fill(11)("a") ++ Seq.fill(5)("b") ++
+      Seq("c", "d", "e", "f", "g")
+    val df = terms.toDF("t")
+    val got = Sketches.heavyHitters(df, "t", k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 11L)))
+    // boundary: n·k == N must NOT qualify (strictly-above contract)
+    val tie = (Seq.fill(10)("x") ++ Seq.fill(10)("y")).toDF("t")
+    assert(Sketches.heavyHitters(tie, "t", k = 2).count() == 0L)
+    // superset guarantee: ONE true heavy hitter buried under 1000
+    // distinct singletons, k=3 counters, and the worst ordering (all
+    // hot occurrences first, so the singleton tail decrements its
+    // counter all the way down) — the exact recount must still find it
+    val hostile = (Seq.fill(600)("hot") ++ (1 to 1000).map(i => s"s$i"))
+      .toDF("t").coalesce(1)
+    val hh = Sketches.heavyHitters(hostile, "t", k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(hh == Seq(("hot", 600L)))
+    // partition-order independence of the OUTPUT: hostile repartitions
+    // change phase-1 survivors, never the result
+    val re = Sketches.heavyHitters(hostile.repartition(7), "t", k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(re == hh)
+  }
 }
