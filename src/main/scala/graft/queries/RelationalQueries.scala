@@ -596,6 +596,17 @@ object RelationalQueries {
         Tables.events(s, dir), "user_id", "ts", window = 7)
     }),
 
+    // Benford first-digit audit of the money column per return flag:
+    // digit from the exact integer cents rendering (never float
+    // formatting or log10 floors), groups×9 catalog grid with
+    // zero-count digits contributing their expected mass, chi-squared
+    // as the only rounded accumulation. The numeric forensic screen
+    // beside the text-side quality family.
+    "q294_benford" -> ((s, dir) => {
+      graft.operators.NumericAudit.benfordDigits(
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
+    }),
+
     "q54_running_sum" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey")
@@ -983,6 +994,30 @@ object RelationalQueries {
         |    + 1e-9, 6) AS p
         |FROM m
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q294_benford" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        |counts AS (SELECT grp, digit, CAST(count(*) AS BIGINT) AS n_d
+        |           FROM base GROUP BY 1, 2),
+        |totals AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+        |           FROM base GROUP BY 1),
+        |grid AS (
+        |  SELECT t.grp, d.digit, COALESCE(c.n_d, 0) AS n_d, t.n,
+        |    ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(d.digit AS DOUBLE))
+        |      / ln(CAST(10 AS DOUBLE)) * CAST(t.n AS DOUBLE) AS e
+        |  FROM totals t
+        |  CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
+        |  LEFT JOIN counts c ON c.grp = t.grp AND c.digit = d.digit)
+        |SELECT grp, CAST(digit AS BIGINT) AS digit,
+        |  CAST(n_d AS BIGINT) AS n_d, n,
+        |  round(sum((CAST(n_d AS DOUBLE) - e) * (CAST(n_d AS DOUBLE) - e) / e)
+        |    OVER (PARTITION BY grp) + 1e-9, 6) AS chi2
+        |FROM grid
+        |ORDER BY grp, digit""".stripMargin,
 
     "q292_stickiness" ->
       """WITH ud AS (
