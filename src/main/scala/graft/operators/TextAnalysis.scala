@@ -1588,8 +1588,10 @@ object TextAnalysis {
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
     inter
-      .join(sizes.select(col("__g").as("a"), col("__v").as("n_a")), Seq("a"))
-      .join(sizes.select(col("__g").as("b"), col("__v").as("n_b")), Seq("b"))
+      .join(broadcast(sizes.select(col("__g").as("a"), col("__v").as("n_a"))),
+        Seq("a"))
+      .join(broadcast(sizes.select(col("__g").as("b"), col("__v").as("n_b"))),
+        Seq("b"))
       .select(col("a"), col("b"), col("n_common"), col("n_a"), col("n_b"),
         (col("n_common") / (col("n_a") + col("n_b") - col("n_common")))
           .as("jaccard"),

@@ -770,6 +770,51 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "scoring must be pure column math")
   }
 
+  test("q287 vocab overlap: pair join is a token equi-join, sizes broadcast, no cartesian") {
+    val p = plan("q287_vocab_overlap")
+    assert(!p.contains("CartesianProduct"),
+      s"the source-pair enumeration must ride the token equi-join:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the catalog-sized vocabulary counts must broadcast:\n${p.take(2000)}")
+  }
+
+  test("q288 dispersion: top-N/part-size/total frames broadcast, one sanctioned 1-row cross") {
+    val p = plan("q288_dispersion")
+    assert(p.contains("BroadcastHashJoin"),
+      s"topN and part sizes must broadcast into the count table:\n${p.take(2000)}")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 1,
+      s"only the 1-row total may cross-join (got $bnl):\n${p.take(2000)}")
+    assert(!p.contains("ScalaUDF"), "pure column math expected")
+  }
+
+  test("q291 recall curve: query side broadcasts, ranking windows key on the query") {
+    val p = plan("q291_recall_curve")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"the bounded query side must broadcast:\n${p.take(2000)}")
+    assert(p.contains("Window"), "per-(query, radius) top-k is a window")
+    assert("Exchange hashpartitioning\\(__qid".r.findAllIn(p).nonEmpty,
+      s"rank shuffles must key on the query id:\n${p.take(2000)}")
+  }
+
+  test("q293 MG heavy hitters: candidate recount is a broadcast semi-join") {
+    val p = plan("q293_mg_heavyhitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded candidate set must broadcast into the recount:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q294 benford: digit catalog broadcasts, chi2 window keys on the group") {
+    val p = plan("q294_benford")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 9-digit catalog must broadcast:\n${p.take(2000)}")
+    assert("Exchange hashpartitioning\\(grp".r.findAllIn(p).nonEmpty,
+      s"the chi2 window must key on the group:\n${p.take(2000)}")
+    assert(!p.contains("ScalaUDF"), "pure column math expected")
+  }
+
   test("q146 url canon: canonicalization runs scan-side, no UDF, no pre-agg shuffle") {
     val p = plan("q146_url_canon")
     assert(!p.contains("ScalaUDF"), "pure column math expected")
