@@ -61,4 +61,83 @@ object NumericAudit {
         col("n_d"), col("n"), col("chi2"))
       .orderBy("grp", "digit")
   }
+
+  /** Two-sided CUSUM drift detection (Page 1954) over an INTEGER metric
+    * in ingest order: per group, the classic change-point screen for
+    * "did this source's docs get shorter / this feed's values shift
+    * mid-crawl" — sensitive to small sustained shifts that per-row
+    * thresholds (z-scores, [[benfordDigits]]) never see. Upper CUSUM
+    * S_i = max(0, S_{i-1} + (x_i − target)); lower is symmetric; alarm
+    * when either exceeds `h`.
+    *
+    * The recursion isn't a prefix sum (it clamps), but it FACTORS into
+    * one: S_i = P_i − min(0, min_{j≤i} P_j) with P the running
+    * deviation sum (and the lower side mirrored with max) — so the
+    * whole computation is cumulative sums and running extremes,
+    * CHUNKED two-phase (the heapsGrowth pattern): per-(group, chunk)
+    * ordered windows plus a bounded chunk catalog carrying offsets and
+    * prior-chunk extremes. No corpus-scale window partition anywhere;
+    * results are chunk-width invariant (spec-pinned).
+    *
+    * Exactness: the metric is integral by contract, so every P, S, and
+    * alarm is EXACT integer math — no rounding anywhere (the q120
+    * doctrine at its strongest).
+    *
+    * Output per group: (grp, n, max_s_hi, max_s_lo, n_alarms_hi,
+    * n_alarms_lo, first_alarm_hi, first_alarm_lo) — first-alarm ids
+    * NULL when that side never fires.
+    */
+  def cusumDrift(df: DataFrame, groupCol: String, idCol: String,
+      valCol: String, target: Long, h: Long,
+      chunkSize: Long = 4096): DataFrame = {
+    require(h >= 1, s"h must be positive, got $h")
+    require(chunkSize >= 1, s"chunkSize must be positive, got $chunkSize")
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    require(integral.contains(df.schema(idCol).dataType),
+      s"cusumDrift needs an integral id column, got " +
+        df.schema(idCol).dataType.simpleString)
+    require(integral.contains(df.schema(valCol).dataType),
+      s"cusumDrift needs an integral value column (exactness contract), " +
+        s"got ${df.schema(valCol).dataType.simpleString}")
+    val base = df.select(col(groupCol).as("grp"),
+        col(idCol).cast("long").as("__id"),
+        (col(valCol).cast("long") - target).as("__dev"))
+      .withColumn("__chunk", expr(s"__id DIV $chunkSize"))
+    val wLoc = Window.partitionBy("grp", "__chunk").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base
+      .withColumn("__lp", sum("__dev").over(wLoc))
+      .withColumn("__lmin", min(col("__lp")).over(wLoc))
+      .withColumn("__lmax", max(col("__lp")).over(wLoc))
+    val wPrev = Window.partitionBy("grp").orderBy("__chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cat = local.groupBy("grp", "__chunk")
+      .agg(sum("__dev").as("__cs"), min("__lp").as("__cmin"),
+        max("__lp").as("__cmax"))
+      .withColumn("__ot", coalesce(sum("__cs").over(wPrev), lit(0L)))
+      .withColumn("__pmin", min(col("__ot") + col("__cmin")).over(wPrev))
+      .withColumn("__pmax", max(col("__ot") + col("__cmax")).over(wPrev))
+      .select("grp", "__chunk", "__ot", "__pmin", "__pmax")
+    local.join(broadcast(cat), Seq("grp", "__chunk"))
+      .withColumn("__p", col("__ot") + col("__lp"))
+      // least/greatest skip NULLs: a first chunk has no prior extreme
+      .withColumn("__rmin",
+        least(col("__pmin"), col("__ot") + col("__lmin")))
+      .withColumn("__rmax",
+        greatest(col("__pmax"), col("__ot") + col("__lmax")))
+      .withColumn("__shi", col("__p") - least(lit(0L), col("__rmin")))
+      .withColumn("__slo", greatest(lit(0L), col("__rmax")) - col("__p"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        max("__shi").as("max_s_hi"), max("__slo").as("max_s_lo"),
+        sum(when(col("__shi") > h, 1L).otherwise(0L)).as("n_alarms_hi"),
+        sum(when(col("__slo") > h, 1L).otherwise(0L)).as("n_alarms_lo"),
+        min(when(col("__shi") > h, col("__id"))).as("first_alarm_hi"),
+        min(when(col("__slo") > h, col("__id"))).as("first_alarm_lo"))
+      .orderBy("grp")
+  }
 }

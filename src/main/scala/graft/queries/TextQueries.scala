@@ -706,6 +706,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Two-sided CUSUM drift over doc token counts in ingest order per
+    // source (Page 1954): the change-point screen for "did this source
+    // get shorter mid-crawl" — the clamped recursion factored into
+    // chunked prefix sums + running extremes, EXACT integer math end to
+    // end (no rounding anywhere).
+    "q295_cusum_drift" -> ((s, dir) => {
+      graft.operators.NumericAudit.cusumDrift(
+        graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+          .select(col("source"), col("doc_id"),
+            size(TextAnalysis.normalizedTokens(col("text"))).cast("long")
+              .as("n_tokens")),
+        "source", "doc_id", "n_tokens", target = 50L, h = 200L)
+    }),
+
     // Gries' DP dispersion (2008) for the top-30 terms across sources:
     // the burstiness axis beside the frequency spectrum — DP≈0 spread
     // like the corpus, DP→1 concentrated in one source. Zero-count
@@ -4320,6 +4334,35 @@ object TextQueries {
     "q285_fim" -> fimSql("documents"),
 
     "q289_rake" -> rakeSql("documents"),
+
+    "q295_cusum_drift" ->
+      """WITH base AS (
+        |  SELECT source AS grp, doc_id AS id,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+        |      - 50 AS dev
+        |  FROM documents),
+        |p AS (SELECT grp, id,
+        |        sum(dev) OVER (PARTITION BY grp ORDER BY id) AS pf
+        |      FROM base),
+        |r AS (SELECT grp, id, pf,
+        |        min(pf) OVER (PARTITION BY grp ORDER BY id) AS rmin,
+        |        max(pf) OVER (PARTITION BY grp ORDER BY id) AS rmax
+        |      FROM p),
+        |s AS (SELECT grp, id, pf - least(0, rmin) AS s_hi,
+        |        greatest(0, rmax) - pf AS s_lo
+        |      FROM r)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(max(s_hi) AS BIGINT) AS max_s_hi,
+        |  CAST(max(s_lo) AS BIGINT) AS max_s_lo,
+        |  CAST(sum(CASE WHEN s_hi > 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms_hi,
+        |  CAST(sum(CASE WHEN s_lo > 200 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alarms_lo,
+        |  CAST(min(CASE WHEN s_hi > 200 THEN id END) AS BIGINT)
+        |    AS first_alarm_hi,
+        |  CAST(min(CASE WHEN s_lo > 200 THEN id END) AS BIGINT)
+        |    AS first_alarm_lo
+        |FROM s GROUP BY grp ORDER BY grp""".stripMargin,
 
     "q288_dispersion" ->
       """WITH tok AS (

@@ -32,4 +32,42 @@ class NumericAuditSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.forall(_._5 == r6), s"chi2 ${got.head._5} != replay $r6")
   }
+
+  private def cusumRows(vals: Seq[(String, Long, Long)], h: Long,
+      chunk: Long = 4096) = {
+    val df = vals.toDF("grp", "id", "v")
+    NumericAudit.cusumDrift(df, "grp", "id", "v", target = 5L, h = h,
+        chunkSize = chunk)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6),
+        if (r.isNullAt(7)) -1L else r.getLong(7))).toSeq
+  }
+
+  test("cusumDrift: hand-computed upward/downward shifts, clamp reset, " +
+      "chunk-width invariance, integral contract") {
+    // upward: devs 0,0,0,+4,+4,+4 → S_hi 0,0,0,4,8,12; lower side silent
+    val up = (1L to 3L).map(i => ("g", i, 5L)) ++
+      (4L to 6L).map(i => ("g", i, 9L))
+    assert(cusumRows(up, h = 3) ==
+      Seq(("g", 6L, 12L, 0L, 3L, 0L, 4L, -1L)))
+    // downward: devs 0,0,-4,-4,-4 → S_lo 0,0,4,8,12; upper side silent
+    val down = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 1L),
+      ("g", 4L, 1L), ("g", 5L, 1L))
+    assert(cusumRows(down, h = 3) ==
+      Seq(("g", 5L, 0L, 12L, 0L, 3L, -1L, 3L)))
+    // clamp: +4/-4 oscillation resets S to 0 each cycle, never alarms
+    val osc = (1L to 8L).map(i => ("g", i, if (i % 2 == 1) 9L else 1L))
+    assert(cusumRows(osc, h = 5) ==
+      Seq(("g", 8L, 4L, 4L, 0L, 0L, -1L, -1L)))
+    // chunk invariance: a 2-row chunk width must not change anything
+    assert(cusumRows(up, h = 3, chunk = 2) == cusumRows(up, h = 3))
+    assert(cusumRows(osc, h = 5, chunk = 2) == cusumRows(osc, h = 5))
+    // exactness contract: float metric refused loudly
+    val e = intercept[IllegalArgumentException] {
+      NumericAudit.cusumDrift(Seq(("g", 1L, 1.5)).toDF("grp", "id", "v"),
+        "grp", "id", "v", target = 1L, h = 1L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }
