@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream statistics beyond sessionization ([[Sessionize]]): the
@@ -63,6 +64,78 @@ object EventStats {
           col("n_users"))
     }
     perStep.reduce(_ unionByName _)
+  }
+
+  /** Time-constrained k-step funnel — [[funnel]] with a conversion
+    * window: step i counts users whose earliest qualifying `steps(i)`
+    * event falls STRICTLY after their step-(i−1) time AND within
+    * `maxGapMicros` of it. The product form of the funnel question
+    * ("signed up, viewed within a day, bought within a day of that"),
+    * where [[funnel]]'s unconstrained form answers the lifetime one.
+    * Gap arithmetic is exact epoch-microsecond integers
+    * (unix_micros — the stream-join precedent: never interval math).
+    * Same scale shape as [[funnel]]: one bounded join+agg per step,
+    * user-keyed.
+    */
+  def windowedFunnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      maxGapMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "windowedFunnel needs at least one step")
+    require(maxGapMicros >= 1, s"maxGapMicros must be positive, got $maxGapMicros")
+    var cur: DataFrame = null
+    val perStep = steps.zipWithIndex.map { case (st, i) =>
+      val evs = events.filter(col(typeCol) === st)
+        .select(col(userCol), col(tsCol))
+      cur =
+        if (i == 0) evs.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        else evs
+          .join(cur.select(col(userCol), col("__t").as("__prev")),
+            Seq(userCol))
+          .filter(col(tsCol) > col("__prev") &&
+            unix_micros(col(tsCol)) <=
+              unix_micros(col("__prev")) + maxGapMicros)
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      cur.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }
+    perStep.reduce(_ unionByName _)
+  }
+
+  /** Behavioral-prefix duplicate detection — the bot/script screen: two
+    * accounts whose first-k event-type sequences are IDENTICAL are
+    * behaving like the same automation. Fingerprint = the raw ordered
+    * type prefix itself (readable, engine-recomputable — no hash
+    * needed); groups with ≥ `minUsers` members emit with the smallest
+    * member as canonical. Users with fewer than k events fingerprint
+    * their full stream (a short bot script still groups). The
+    * dedup-family move applied to EVENTS instead of text.
+    *
+    * Order needs a unique tie-break (`tieCol`) under equal timestamps —
+    * the house total-order rule. Prefix assembly uses the
+    * collect-skips-nulls ≡ ordered string_agg parity (round-6
+    * convention). Scale shape: one user-keyed rank window cut at k
+    * (the q19 sessionize class), then a prefix-keyed count.
+    */
+  def behaviorPrefixGroups(events: DataFrame, userCol: String,
+      tsCol: String, tieCol: String, typeCol: String, k: Int = 5,
+      minUsers: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    require(minUsers >= 2, s"minUsers must be >= 2, got $minUsers")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val seq = events
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col(userCol))
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("__rn"), col(typeCol).as("t")))),
+        x => x.getField("t")), "|").as("prefix"))
+    seq.groupBy("prefix")
+      .agg(count(lit(1)).as("n_users"),
+        min(col(userCol)).as("canonical_user"))
+      .filter(col("n_users") >= minUsers)
+      .orderBy(desc("n_users"), col("prefix"))
   }
 
   /** Weekly cohort retention: cohort = ISO week of a user's first

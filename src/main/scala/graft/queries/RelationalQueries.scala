@@ -596,6 +596,26 @@ object RelationalQueries {
         Tables.events(s, dir), "user_id", "ts", window = 7)
     }),
 
+    // Time-constrained funnel: signup → view → purchase, each step
+    // within 6 hours of the previous — the conversion-window form of
+    // q-funnel's lifetime question. Exact epoch-microsecond gap math.
+    "q297_windowed_funnel" -> ((s, dir) => {
+      graft.operators.EventStats.windowedFunnel(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"), maxGapMicros = 21600000000L)
+        .orderBy("step")
+    }),
+
+    // Behavioral-prefix duplicate detection: accounts whose first-3
+    // event-type sequences are identical group together (the bot
+    // screen — dedup applied to EVENT streams). The raw ordered prefix
+    // is the key (no hash), (ts, event_id) the total order.
+    "q296_behavior_prefix" -> ((s, dir) => {
+      graft.operators.EventStats.behaviorPrefixGroups(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+        k = 3, minUsers = 2)
+    }),
+
     // Benford first-digit audit of the money column per return flag:
     // digit from the exact integer cents rendering (never float
     // formatting or log10 floors), groups×9 catalog grid with
@@ -994,6 +1014,47 @@ object RelationalQueries {
         |    + 1e-9, 6) AS p
         |FROM m
         |ORDER BY from_type, to_type""".stripMargin,
+
+    "q297_windowed_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t
+        |    AND epoch_us(e.ts) <= epoch_us(s1.t) + 21600000000
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |    AND epoch_us(e.ts) <= epoch_us(s2.t) + 21600000000
+        |  GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'view',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s3)
+        |ORDER BY step""".stripMargin,
+
+    "q296_behavior_prefix" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |seq AS (
+        |  SELECT user_id, string_agg(event_type, '|' ORDER BY rn) AS prefix
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT prefix, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(user_id) AS BIGINT) AS canonical_user
+        |FROM seq GROUP BY prefix
+        |HAVING count(*) >= 2
+        |ORDER BY n_users DESC, prefix""".stripMargin,
 
     "q294_benford" ->
       """WITH base AS (

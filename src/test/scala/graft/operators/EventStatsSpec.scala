@@ -115,4 +115,50 @@ class EventStatsSpec extends AnyFunSuite {
     // no event on day 8, so no row (the activity-calendar contract)
     assert(!got.exists(_._1 == "2026-01-09"))
   }
+
+  test("windowedFunnel: in-window conversions count, late and equal-time " +
+      "ones don't, order is strict") {
+    def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val gap = 10L * 60L * 1000000L // 10 minutes in micros
+    val ev = Seq(
+      // u1: signup 10:00 → view 10:05 → purchase 10:10 — all in window
+      (1L, t(0), "signup"), (1L, t(5), "view"), (1L, t(10), "purchase"),
+      // u2: view 11 min after signup — too late for step 2
+      (2L, t(0), "signup"), (2L, t(11), "view"),
+      // u3: view at the SAME ts as signup — strict > excludes it
+      (3L, t(0), "signup"), (3L, t(0), "view"),
+      // u4: purchase BEFORE view — order matters
+      (4L, t(0), "signup"), (4L, t(2), "purchase"), (4L, t(4), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventStats.windowedFunnel(ev, "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"), maxGapMicros = gap)
+      .orderBy("step")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "signup", 4L), (2L, "view", 2L),
+      (3L, "purchase", 1L)), s"got $got")
+  }
+
+  test("behaviorPrefixGroups: identical prefixes group, tie-break orders " +
+      "equal timestamps, short streams fingerprint whole") {
+    def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val ev = Seq(
+      // bots 1 and 2: identical signup|view|click prefix (then diverge)
+      (1L, t(0), 10L, "signup"), (1L, t(1), 11L, "view"),
+      (1L, t(2), 12L, "click"), (1L, t(3), 13L, "purchase"),
+      (2L, t(0), 20L, "signup"), (2L, t(1), 21L, "view"),
+      (2L, t(2), 22L, "click"), (2L, t(3), 23L, "error"),
+      // user 3: same types but equal timestamps — event_id decides the
+      // order (view before click because 31 < 32)
+      (3L, t(0), 30L, "signup"), (3L, t(1), 31L, "view"),
+      (3L, t(1), 32L, "click"),
+      // users 4 and 5: short two-event streams, identical → group
+      (4L, t(0), 40L, "error"), (4L, t(1), 41L, "error"),
+      (5L, t(0), 50L, "error"), (5L, t(1), 51L, "error")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventStats.behaviorPrefixGroups(ev, "user_id", "ts",
+        "event_id", "event_type", k = 3, minUsers = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("signup|view|click", 3L, 1L), ("error|error", 2L, 4L)),
+      s"got $got")
+  }
 }
