@@ -1508,6 +1508,69 @@ object TextAnalysis {
       .select(col(idCol), col("phrase"), col("score"), col("n_words"))
   }
 
+  /** Windowed PPMI word associations (Church & Hanks 1990; the
+    * count-based distributional-semantics prep of Levy & Goldberg
+    * 2014): co-occurrence counts over a ±`window` token context,
+    * PMI = ln(p(a,b) / (p(a)·p(b))) over the pair multiset, top-k
+    * positive associations above a support floor. [[graft.operators
+    * .NgramLm.collocations]] mines ADJACENT pairs; this is the
+    * skip-gram generalization whose margins are exactly the counts a
+    * PPMI vector model factorizes.
+    *
+    * Pairs generate as per-row HOF math over a self-materialized token
+    * array (no self-join): anchor i pairs with positions i+1..i+window,
+    * unordered (lexicographic canonicalization; both CASE branches
+    * alias identical struct field names — the round-10 trap). Margins
+    * count each pair at BOTH endpoints (M = 2T by construction;
+    * same-word pairs contribute twice to their word, correctly).
+    *
+    * Determinism: every count is exact-integer; pmi computes three
+    * exact divisions + one multiply + one divide in ONE fixed op order
+    * inside the ln (the q97 parity doctrine), rounds (+1e-9, 6), and
+    * ranks on the ROUNDED value with the (a, b) tie-break.
+    *
+    * Scale shape: one explode into a (a, b)-keyed count (map-side
+    * combinable), vocabulary-keyed margin joins (the q100 class),
+    * 1×1 totals broadcast, bounded top-k.
+    */
+  def ppmiAssociations(df: DataFrame, textCol: String, window: Int = 2,
+      minCount: Long = 5, k: Int = 30): DataFrame = {
+    require(window >= 1, s"window must be positive, got $window")
+    require(minCount >= 1, s"minCount must be positive, got $minCount")
+    require(k >= 1, s"k must be positive, got $k")
+    val toks = df.select(normalizedTokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val pairStructs = flatten(transform(
+      sequence(lit(1), size(col("__toks")) - 1),
+      i => transform(slice(col("__toks"), i + 1, lit(window)), x =>
+        when(element_at(col("__toks"), i) <= x,
+          struct(element_at(col("__toks"), i).as("a"), x.as("b")))
+        .otherwise(
+          struct(x.as("a"), element_at(col("__toks"), i).as("b"))))))
+    val pairs = toks.select(explode(pairStructs).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+    val nab = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val margins = nab.select(col("a").as("w"), col("n_ab"))
+      .unionByName(nab.select(col("b").as("w"), col("n_ab")))
+      .groupBy("w").agg(sum("n_ab").as("n_w"))
+    val tot = nab.agg(sum("n_ab").as("__t"))
+    val m = margins.agg(sum("n_w").as("__m"))
+    nab.filter(col("n_ab") >= minCount)
+      .join(margins.select(col("w").as("a"), col("n_w").as("n_a")),
+        Seq("a"))
+      .join(margins.select(col("w").as("b"), col("n_w").as("n_b")),
+        Seq("b"))
+      .crossJoin(broadcast(tot.crossJoin(broadcast(m))))
+      .withColumn("pmi", round(log(
+        (col("n_ab") / col("__t")) /
+          ((col("n_a") / col("__m")) * (col("n_b") / col("__m"))))
+        + lit(1e-9), 6))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("pmi"))
+      .orderBy(desc("pmi"), col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Gries' DP dispersion ("deviation of proportions", Gries 2008) for
     * the corpus's top-N terms across parts (sources): DP_t = ½ Σ_p
     * |obs_{t,p} − exp_p| where exp_p is part p's share of all tokens

@@ -706,6 +706,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Windowed PPMI associations (Church & Hanks 1990): skip-gram
+    // co-occurrence over a ±2 window, PMI in one fixed-op-order ln,
+    // top-30 above the support floor — the count-based embedding prep
+    // whose margins a PPMI vector model factorizes. Pairs are per-row
+    // HOF math; margins are vocabulary-keyed joins; no self-join.
+    "q298_ppmi" -> ((s, dir) => {
+      TextAnalysis.ppmiAssociations(
+        graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+        "text", window = 2, minCount = 5, k = 30)
+    }),
+
     // Two-sided CUSUM drift over doc token counts in ingest order per
     // source (Page 1954): the change-point screen for "did this source
     // get shorter mid-crawl" — the clamped recursion factored into
@@ -4334,6 +4345,43 @@ object TextQueries {
     "q285_fim" -> fimSql("documents"),
 
     "q289_rake" -> rakeSql("documents"),
+
+    // the q298 PPMI replay: pair explode via the SELECT-list unnest of a
+    // column-bounded slice (the round-5 lateral rule), unordered CASE
+    // canonicalization, UNION ALL margins, 1-row totals, the ln in the
+    // operator's exact op order.
+    "q298_ppmi" ->
+      """WITH t AS (
+        |  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+        |  FROM documents),
+        |f AS (SELECT w FROM t WHERE len(w) >= 2),
+        |p0 AS (SELECT w, unnest(range(1, len(w))) AS i FROM f),
+        |p1 AS (SELECT w, i, unnest(w[i + 1 : i + 2]) AS x FROM p0),
+        |pr AS (
+        |  SELECT CASE WHEN w[i] <= x THEN w[i] ELSE x END AS a,
+        |         CASE WHEN w[i] <= x THEN x ELSE w[i] END AS b
+        |  FROM p1),
+        |nab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+        |        FROM pr GROUP BY 1, 2),
+        |mg AS (
+        |  SELECT w, CAST(sum(n_ab) AS BIGINT) AS n_w FROM (
+        |    SELECT a AS w, n_ab FROM nab
+        |    UNION ALL SELECT b AS w, n_ab FROM nab)
+        |  GROUP BY w),
+        |tt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t FROM nab),
+        |mm AS (SELECT CAST(sum(n_w) AS BIGINT) AS m FROM mg)
+        |SELECT n.a, n.b, n.n_ab, ma.n_w AS n_a, mb.n_w AS n_b,
+        |  round(ln((CAST(n.n_ab AS DOUBLE) / CAST(tt.t AS DOUBLE))
+        |    / ((CAST(ma.n_w AS DOUBLE) / CAST(mm.m AS DOUBLE))
+        |       * (CAST(mb.n_w AS DOUBLE) / CAST(mm.m AS DOUBLE)))) + 1e-9, 6)
+        |    AS pmi
+        |FROM nab n
+        |JOIN mg ma ON ma.w = n.a
+        |JOIN mg mb ON mb.w = n.b
+        |CROSS JOIN tt CROSS JOIN mm
+        |WHERE n.n_ab >= 5
+        |ORDER BY pmi DESC, a, b
+        |LIMIT 30""".stripMargin,
 
     "q295_cusum_drift" ->
       """WITH base AS (

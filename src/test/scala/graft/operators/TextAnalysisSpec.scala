@@ -948,6 +948,35 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getString(1) == "alpha beta gamma" && r.getDouble(2) == 9.0)
   }
 
+  test("PPMI associations: hand-computed pmi, window reach, same-word " +
+      "margins, support floor") {
+    def r6(x: Double): Double = BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // pairs: (p,q)x2, (p,r)x1 → margins p=3 q=2 r=1, T=3, M=6
+    val docs = Seq("p q", "p q", "p r").toDF("text")
+    val got = TextAnalysis.ppmiAssociations(docs, "text", window = 2,
+        minCount = 1, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    val exp = Seq(
+      ("p", "q", 2L, 3L, 2L, r6(math.log((2.0 / 3) / ((3.0 / 6) * (2.0 / 6))))),
+      ("p", "r", 1L, 3L, 1L, r6(math.log((1.0 / 3) / ((3.0 / 6) * (1.0 / 6))))))
+    assert(got.sortBy(t => (t._1, t._2)) == exp, s"got $got")
+    // window=2 reaches two ahead; window=1 is adjacent-only
+    val tri = Seq("a b c").toDF("text")
+    assert(TextAnalysis.ppmiAssociations(tri, "text", window = 2,
+      minCount = 1, k = 10).count() == 3L)
+    assert(TextAnalysis.ppmiAssociations(tri, "text", window = 1,
+      minCount = 1, k = 10).count() == 2L)
+    // a same-word pair margins its word TWICE
+    val zz = TextAnalysis.ppmiAssociations(Seq("z z").toDF("text"), "text",
+        window = 1, minCount = 1, k = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().head
+    assert(zz == (("z", "z", 1L, 2L, 2L, r6(math.log(1.0)))))
+    // support floor cuts
+    assert(TextAnalysis.ppmiAssociations(docs, "text", window = 2,
+      minCount = 2, k = 10).count() == 1L)
+  }
+
   test("dispersionDP: hand-computed DP, zero-count parts folded in, " +
       "top-N by exact counts") {
     // S=7, s1=3, s2=4 → exp=(3/7, 4/7)
