@@ -294,6 +294,11 @@ object CommandExecutor {
   private def readBulkSource(spark: SparkSession, path: String): DataFrame =
     if (path.endsWith(".parquet") || path.endsWith(".pq"))
       spark.read.parquet(path)
+    else if (path.endsWith(".orc"))
+      // ORC is Spark-native (columnar, predicate-pushdown-capable) — the
+      // lakehouse interchange format beside parquet; schema rides in the
+      // file like parquet's, so no vector re-parsing is involved
+      spark.read.orc(path)
     else if (path.endsWith(".csv"))
       graft.sources.CsvVectorFormat.read(spark, path)
     else if (path.endsWith(".jsonl") || path.endsWith(".json"))

@@ -195,6 +195,28 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // ORC ingest through the command grammar — the fifth bulk-insert
+    // format (parquet/text/CSV/JSONL/ORC), Spark-native columnar like
+    // parquet so vectors round-trip bit-exact; gated on dims + l2 norm
+    // like q183.
+    "q299_orc_ingest" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q299")
+      db.createCollection("recs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("payload", StringType))))
+      val src = Tables.embeddings(s, dir).filter(col("vec_id") % 3 === 1)
+        .select(col("vec_id").as("id"), col("embedding"),
+          concat(lit("o:"), col("label").cast("string")).as("payload"))
+      val orcPath = Scratch.dir("graft_q299") + "/recs.orc"
+      src.write.mode("overwrite").orc(orcPath)
+      CommandExecutor.execute(db, GraftCommand.BulkInsert("recs", orcPath))
+      db.read("recs").select(col("id"), col("payload"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(graft.functions.l2_norm(col("embedding")), 6).as("norm"))
+        .orderBy("id")
+    }),
+
     // Ingest-side normalization through the command grammar:
     // `BULKINSERT <path>;normalize=fold` canonicalizes payloads (NFC +
     // accent fold) during the write, so byte-variant payloads land
@@ -1923,6 +1945,15 @@ object PipelineQueries {
         |    CAST(embedding AS DOUBLE[]))), 6) AS norm
         |FROM embeddings
         |WHERE vec_id % 3 = 0
+        |ORDER BY id""".stripMargin,
+
+    "q299_orc_ingest" ->
+      """SELECT vec_id AS id, 'o:' || CAST(label AS VARCHAR) AS payload,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[]))), 6) AS norm
+        |FROM embeddings
+        |WHERE vec_id % 3 = 1
         |ORDER BY id""".stripMargin,
 
     "q41_listcollections" ->
