@@ -1072,6 +1072,39 @@ object PipelineQueries {
         k = 10, kf = 20, probeRadius = 1, shortlist = 100)
     }),
 
+    // SERVING-QUALITY capstone: the stored-artifact SEARCHHYBRID answer
+    // (q267's exact chain) EVALUATED against the exact dense gold with
+    // q250's ranking metrics — recall@10 / RR / nDCG of what the
+    // serving path actually returns, the closed loop a deployment
+    // reads before turning approximate retrieval on. The oracle
+    // replays the whole fused hybrid chain AND the exact ranking AND
+    // the metric arithmetic.
+    "q300_serving_eval" -> ((s, dir) => {
+      val db = storedHybridDb(s, dir)
+      val qf = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      val qv = qf.select("embedding").head().getSeq[Float](0).toArray
+      val wSys = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("rrf"), col("id"))
+      val sys = db.searchHybrid("docs", Seq("vector", "data", "merge"),
+          qv, k = 10, kf = 20, probeRadius = 1, shortlist = 100)
+        .withColumn("query_id", lit(0L))
+        .withColumn("rank", row_number().over(wSys).cast("long"))
+        .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+      val wGold = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("__score"), col("id"))
+      val gold = db.read("docs")
+        .crossJoin(broadcast(qf.select(col("embedding").as("__qv"))))
+        .withColumn("query_id", lit(0L))
+        .withColumn("__score",
+          round(graft.functions.cosine_sim(col("embedding"), col("__qv")),
+            6))
+        .withColumn("rank", row_number().over(wGold).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+      graft.operators.RankEval.rankingMetrics(sys, gold, k = 10)
+        .orderBy("query_id")
+    }),
+
     // INCREMENTAL index maintenance end to end (the nightly-delta story):
     // build the postings artifact, mutate the collection (insert a 10%
     // slice re-tagged with a marker term, rewrite one doc, delete an id
@@ -2305,6 +2338,52 @@ object PipelineQueries {
     // written out explicitly for the integer-exact shortlist cut, exact
     // rerank, kf cut on the ROUNDED score) over the hybrid collection
     "q267_hybrid_stored" -> hybridAnnSql,
+
+    // the q300 serving-eval replay: the FULL q267 hybrid chain as a
+    // derived table (DuckDB allows WITH inside a subquery), the exact
+    // dense gold ranking, and q250's metric arithmetic for one query
+    "q300_serving_eval" ->
+      s"""WITH sys0 AS (
+         |  SELECT * FROM (
+         |$hybridAnnSql
+         |  ) hy),
+         |sys AS (
+         |  SELECT id, CAST(row_number() OVER (ORDER BY rrf DESC, id)
+         |    AS BIGINT) AS sr
+         |  FROM sys0),
+         |qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+         |g0 AS (
+         |  SELECT d.doc_id AS id,
+         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         |      CAST(q.v AS DOUBLE[])), 6) AS cs
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |  CROSS JOIN qv q),
+         |gold AS (
+         |  SELECT id, CAST(rn AS BIGINT) AS gr FROM (
+         |    SELECT id, row_number() OVER (ORDER BY cs DESC, id) AS rn
+         |    FROM g0)
+         |  WHERE rn <= 10),
+         |gst AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_gold,
+         |    round(sum((10 + 1 - gr) * ln(2) / ln(gr + 1)) + 1e-9, 6)
+         |      AS idcg
+         |  FROM gold),
+         |j AS (SELECT s.sr, g.gr FROM sys s LEFT JOIN gold g ON g.id = s.id),
+         |sst AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN gr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_hit,
+         |    round(sum(CASE WHEN gr IS NOT NULL
+         |        THEN (10 + 1 - gr) * ln(2) / ln(sr + 1) ELSE 0.0 END)
+         |      + 1e-9, 6) AS dcg,
+         |    max(CASE WHEN gr = 1 THEN sr END) AS top1r
+         |  FROM j)
+         |SELECT CAST(0 AS BIGINT) AS query_id, g.n_gold, s.n_hit,
+         |  CAST(s.n_hit AS DOUBLE) / CAST(g.n_gold AS DOUBLE) AS recall,
+         |  COALESCE(CAST(1 AS DOUBLE) / top1r, 0.0) AS rr,
+         |  s.dcg, g.idcg,
+         |  round(s.dcg / g.idcg + 1e-9, 6) AS ndcg
+         |FROM gst g CROSS JOIN sst s""".stripMargin,
 
     // command ≡ API: q267's oracle verbatim
     "q278_hybrid_ann_cmd" -> hybridAnnSql,
