@@ -191,6 +191,9 @@ object CommandExecutor {
       case Keywords(coll, _) =>
         db.keywords(coll)
 
+      case Stats(coll) =>
+        db.stats(coll)
+
       case SearchPhrase(coll, arg) =>
         val opts = parseKv(arg)
         db.searchPhrase(coll,

@@ -70,6 +70,7 @@ object GraftCommand {
   final case class SearchProximity(collection: String, arg: String) extends GraftCommand
   final case class Summarize(collection: String, arg: Option[String]) extends GraftCommand
   final case class Keywords(collection: String, arg: Option[String]) extends GraftCommand
+  final case class Stats(collection: String) extends GraftCommand
 }
 
 /** Build failure surface, mirroring `CommandBuilderError`
@@ -126,6 +127,7 @@ object CommandParser {
       case "SEARCHPROX" => needBoth("SEARCHPROX")(SearchProximity(_, _))
       case "SUMMARIZE" => needColl("SUMMARIZE")(Summarize(_, arg))
       case "KEYWORDS" => needColl("KEYWORDS")(Keywords(_, arg))
+      case "STATS" => needColl("STATS")(Stats(_))
       case other => Left(UnrecognizedCommand(other))
     }
   }

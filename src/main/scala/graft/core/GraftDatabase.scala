@@ -113,6 +113,35 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     rows.sortBy(_._1).toSeq.toDF("index_type", "state")
   }
 
+  /** STATS — collection statistics at command grain: row count, column
+    * count, embedding dimension (max over rows; −1 when the collection
+    * has no vector column), and total payload characters (−1 without a
+    * payload column). One aggregation pass; every value an exact
+    * BIGINT, so the surface is gate-checkable as-is.
+    */
+  def stats(name: String): DataFrame = {
+    requireCollection(name)
+    import spark.implicits._
+    val cur = read(name)
+    val aggs = scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Column](count(lit(1)).as("__n"))
+    if (cur.columns.contains("embedding"))
+      aggs += coalesce(max(size(col("embedding"))).cast("long"), lit(-1L))
+        .as("__dim")
+    else aggs += lit(-1L).as("__dim")
+    if (cur.columns.contains("payload"))
+      aggs += coalesce(sum(length(col("payload"))), lit(-1L))
+        .as("__chars")
+    else aggs += lit(-1L).as("__chars")
+    val r = cur.agg(aggs.head, aggs.tail.toSeq: _*).head()
+    Seq(
+      ("dim", r.getLong(1)),
+      ("n_cols", cur.columns.length.toLong),
+      ("n_rows", r.getLong(0)),
+      ("payload_chars", r.getLong(2))
+    ).toDF("stat", "value").orderBy("stat")
+  }
+
   def hasCollection(name: String): Boolean = fs.exists(metaPath(name))
 
   private def schemaOf(name: String): StructType =

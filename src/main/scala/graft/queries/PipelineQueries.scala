@@ -1072,6 +1072,26 @@ object PipelineQueries {
         k = 10, kf = 20, probeRadius = 1, shortlist = 100)
     }),
 
+    // STATS at the command surface: row/column counts, embedding dim,
+    // total payload chars — the collection-inventory number a user
+    // checks after every ingest; every value an exact BIGINT.
+    "q301_stats_cmd" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q301")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .join(Tables.embeddings(s, dir),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("id"), col("embedding"),
+          col("text").as("payload")))
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "STATS", None)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+    }),
+
     // SERVING-QUALITY capstone: the stored-artifact SEARCHHYBRID answer
     // (q267's exact chain) EVALUATED against the exact dense gold with
     // q250's ranking metrics — recall@10 / RR / nDCG of what the
@@ -2338,6 +2358,20 @@ object PipelineQueries {
     // written out explicitly for the integer-exact shortlist cut, exact
     // rerank, kf cut on the ROUNDED score) over the hybrid collection
     "q267_hybrid_stored" -> hybridAnnSql,
+
+    "q301_stats_cmd" ->
+      """SELECT stat, value FROM (
+        |  SELECT 'n_rows' AS stat, CAST(count(*) AS BIGINT) AS value
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |  UNION ALL
+        |  SELECT 'n_cols', CAST(3 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'dim', CAST(max(len(e.embedding)) AS BIGINT)
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |  UNION ALL
+        |  SELECT 'payload_chars', CAST(sum(length(d.text)) AS BIGINT)
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id)
+        |ORDER BY stat""".stripMargin,
 
     // the q300 serving-eval replay: the FULL q267 hybrid chain as a
     // derived table (DuckDB allows WITH inside a subquery), the exact

@@ -49,6 +49,11 @@ class CommandsSpec extends AnyFunSuite {
       Right(Keywords("c1", None)))
     assert(CommandParser.parse(None, "KEYWORDS", None) ==
       Left(CommandError.MissingCollection("KEYWORDS")))
+    // STATS: collection required, no arg
+    assert(CommandParser.parse(Some("c1"), "stats", None) ==
+      Right(Stats("c1")))
+    assert(CommandParser.parse(None, "STATS", None) ==
+      Left(CommandError.MissingCollection("STATS")))
   }
 
   test("executor: LISTINDEXES inventory tracks the stale/rebuild lifecycle") {
