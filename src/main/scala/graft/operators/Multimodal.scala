@@ -454,4 +454,50 @@ object Multimodal {
     val media = withMediaColumn(df, idCol, payloadCol).as[MediaRecord]
     extractMetadata(media).toDF()
   }
+
+  /** Byte-entropy audit of a binary column — the blob-side quality
+    * screen beside [[imageMeta]]'s header decode: Shannon entropy (nats)
+    * of the byte histogram over a BOUNDED prefix. Compressed/encrypted
+    * payloads sit near ln 256 ≈ 5.55; truncated/zero-padded or
+    * constant-fill corruption collapses toward 0 — the "is this blob
+    * real media or filler" number a multimodal ingest checks per batch.
+    *
+    * Only `prefixBytes` are hexed (the [[imageMeta]] allocation rule).
+    * Per-row HOF math over self-materialized arrays (round-4 rule):
+    * byte list from hex pairs, SORTED distinct values (fixed ascending
+    * accumulation order on both engines), per-byte exact counts, and a
+    * sequential fold of −(c/n)·ln(c/n) that rounds once (+1e-9, 6 — the
+    * q97 doctrine). Empty/NULL blobs emit NULL entropy. Zero shuffle.
+    *
+    * Output: (idCol, n_bytes, n_distinct, entropy).
+    */
+  def byteEntropy(df: DataFrame, idCol: String, binCol: String,
+      prefixBytes: Int = 64): DataFrame = {
+    require(prefixBytes >= 1, s"prefixBytes must be positive, got $prefixBytes")
+    val hexed = upper(hex(substring(col(binCol), 1, prefixBytes)))
+    val withBytes = df
+      .select(col(idCol), hexed.as("__h"))
+      .select(col(idCol),
+        (length(col("__h")) / 2).cast("long").as("n_bytes"),
+        col("__h"))
+      .select(col(idCol), col("n_bytes"),
+        // sequence(1, 0) counts DOWN — empty/NULL blobs get the typed
+        // empty array instead
+        when(col("n_bytes") > 0,
+            transform(sequence(lit(1), col("n_bytes").cast("int")),
+              i => col("__h").substr(i * 2 - 1, lit(2))))
+          .otherwise(array().cast("array<string>")).as("__b"))
+      .select(col(idCol), col("n_bytes"), col("__b"),
+        array_sort(array_distinct(col("__b"))).as("__d"))
+      .select(col(idCol), col("n_bytes"), col("__d"),
+        transform(col("__d"), b =>
+          size(filter(col("__b"), x => x === b)).cast("double")).as("__c"))
+    withBytes.select(col(idCol), col("n_bytes"),
+      size(col("__d")).cast("long").as("n_distinct"),
+      when(col("n_bytes") > 0, round(
+          aggregate(col("__c"), lit(0.0), (acc, c) =>
+            acc - (c / col("n_bytes")) * log(c / col("n_bytes")))
+          + lit(1e-9), 6))
+        .otherwise(lit(null).cast("double")).as("entropy"))
+  }
 }

@@ -434,6 +434,25 @@ object PipelineQueries {
     // Multimodal plumbing: text → binary media column → batched
     // partition-local decode (stubbed codec, deterministic metadata) →
     // ordinary columns. Oracle recomputes byte length + md5 from the text.
+    // Byte-entropy audit of binary payloads: Shannon entropy over the
+    // hexed 64-byte prefix — three synthesized blob classes (md5
+    // pseudo-random ≈ ln 256, constant fill = 0, two-byte alternation
+    // = ln 2) must each read back exactly. The "is this blob real
+    // media or filler" screen beside the header decoders.
+    "q302_byte_entropy" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val hexStr = when(col("doc_id") % 3 === 0,
+          concat(md5(concat(lit("be1:"), id)), md5(concat(lit("be2:"), id)),
+            md5(concat(lit("be3:"), id)), md5(concat(lit("be4:"), id))))
+        .when(col("doc_id") % 3 === 1, lit("AB" * 64))
+        .otherwise(lit("00FF" * 32))
+      Multimodal.byteEntropy(
+        graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+          .select(col("doc_id"), unhex(hexStr).as("blob")),
+        "doc_id", "blob", prefixBytes = 64)
+        .orderBy("doc_id")
+    }),
+
     "q44_multimodal_meta" -> ((s, dir) => {
       Multimodal.decodePipeline(s, Tables.documents(s, dir), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_bytes"), col("checksum"),
@@ -2075,6 +2094,41 @@ object PipelineQueries {
         |  AND epoch_us(v.ts) <= epoch_us(c.ts)
         |  AND epoch_us(v.ts) > epoch_us(c.ts) - 1800000000
         |ORDER BY click_id, view_id""".stripMargin,
+
+    // the q302 replay: blob synthesis, hex-prefix byte list, sorted
+    // distinct histogram, the −Σ(c/n)·ln(c/n) fold rounded once
+    "q302_byte_entropy" ->
+      """WITH blob AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN unhex(md5('be1:' || CAST(doc_id AS VARCHAR))
+        |        || md5('be2:' || CAST(doc_id AS VARCHAR))
+        |        || md5('be3:' || CAST(doc_id AS VARCHAR))
+        |        || md5('be4:' || CAST(doc_id AS VARCHAR)))
+        |      WHEN 1 THEN unhex(repeat('AB', 64))
+        |      ELSE unhex(repeat('00FF', 32)) END AS bin
+        |  FROM documents),
+        |hx AS (SELECT doc_id, substring(upper(hex(bin)), 1, 128) AS h
+        |       FROM blob),
+        |bs AS (
+        |  SELECT doc_id, len(h) // 2 AS n_bytes,
+        |    list_transform(range(1, CAST(len(h) // 2 AS INTEGER) + 1),
+        |      i -> substring(h, i * 2 - 1, 2)) AS b
+        |  FROM hx),
+        |ds AS (
+        |  SELECT doc_id, n_bytes, b, list_sort(list_distinct(b)) AS d
+        |  FROM bs),
+        |cs AS (
+        |  SELECT doc_id, n_bytes,
+        |    CAST(len(d) AS BIGINT) AS n_distinct,
+        |    list_transform(d, v ->
+        |      CAST(len(list_filter(b, x -> x = v)) AS DOUBLE)) AS c
+        |  FROM ds)
+        |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, n_distinct,
+        |  round(-(list_sum(list_transform(c, x ->
+        |      (x / n_bytes) * ln(x / n_bytes)))) + 1e-9, 6) AS entropy
+        |FROM cs
+        |ORDER BY doc_id""".stripMargin,
 
     "q44_multimodal_meta" ->
       """SELECT doc_id,

@@ -256,4 +256,37 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.FrameRecord(8L, media.take(40), 2L))
     assert(short.ts_usec == 0L)
   }
+
+  test("byteEntropy: constant = 0, alternation = ln 2, uniform = ln n, " +
+      "prefix bound, empty and NULL blobs") {
+    def r6(x: Double): Double = BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = Seq(
+      (1L, Array.fill[Byte](64)(0xAB.toByte)),              // constant
+      (2L, Array.tabulate[Byte](64)(i =>                    // 00/FF alt
+        if (i % 2 == 0) 0x00.toByte else 0xFF.toByte)),
+      (3L, Array.tabulate[Byte](64)(i => i.toByte)),        // 64 distinct
+      // 100 bytes: first 64 constant, tail varied — the bound must hide
+      // the tail
+      (4L, Array.fill[Byte](64)(0x11.toByte) ++
+        Array.tabulate[Byte](36)(i => i.toByte)),
+      (5L, Array.empty[Byte]),
+      (6L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "blob")
+    val got = Multimodal.byteEntropy(rows, "id", "blob", prefixBytes = 64)
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == 64L && got(0).getLong(2) == 1L &&
+      got(0).getDouble(3) == 0.0)
+    assert(got(1).getDouble(3) ==
+      r6(-(32.0 / 64 * math.log(32.0 / 64)) * 2))
+    assert(got(2).getLong(2) == 64L &&
+      got(2).getDouble(3) == r6((0 until 64).map(_ =>
+        -(1.0 / 64) * math.log(1.0 / 64)).sum))
+    assert(got(3).getLong(1) == 64L && got(3).getLong(2) == 1L &&
+      got(3).getDouble(3) == 0.0,
+      "the prefix bound must hide the varied tail")
+    assert(got(4).getLong(1) == 0L && got(4).getLong(2) == 0L &&
+      got(4).isNullAt(3), "empty blob emits NULL entropy")
+    assert(got(5).isNullAt(3), "NULL blob emits NULL entropy")
+  }
 }
