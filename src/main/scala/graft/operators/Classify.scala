@@ -56,6 +56,73 @@ object Classify {
     */
   def nbPredict(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, isTrain: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(desc("__score"), col("__label"))
+    nbScoredGrid(df, idCol, textCol, labelCol, isTrain)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("label"), col("__label").as("pred"),
+        col("__score").as("score"))
+  }
+
+  /** Margin-based calibration table for [[nbPredict]] (the exp-free
+    * reliability diagram): per test doc, the margin between the winning
+    * and runner-up ROUNDED scores (a log-odds gap — pure ln sums, no
+    * cross-engine exp), bucketed into `nBins` width-`binWidth`
+    * bins (overflow clamps into the top bin; any width is floor-safe
+    * because the margins are bit-identical doubles on both engines); per bin, the exact empirical
+    * accuracy. A well-behaved classifier's accuracy rises with margin —
+    * the curve a filtering pipeline reads to pick its confidence
+    * threshold (q253's metrics say how good; this says how TRUSTABLE
+    * per confidence level).
+    *
+    * Determinism: s1/s2 are the rounded grid scores, bit-identical
+    * across engines, so the margin, the floor bucket, and every count
+    * are exact; accuracy is ONE division of exact integers; only
+    * avg_margin rounds (+1e-9, 6). Requires ≥ 2 labels in the training
+    * slice (single-label grids have no runner-up — those docs drop,
+    * documented).
+    */
+  def nbMarginCalibration(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, isTrain: Column, binWidth: Double = 0.25,
+      nBins: Int = 8): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(desc("__score"), col("__label"))
+    val top = nbScoredGrid(df, idCol, textCol, labelCol, isTrain)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 2)
+      .groupBy(col(idCol))
+      .agg(max("label").as("label"),
+        max(when(col("__rn") === 1, col("__label"))).as("pred"),
+        max(when(col("__rn") === 1, col("__score"))).as("__s1"),
+        max(when(col("__rn") === 2, col("__score"))).as("__s2"))
+      .filter(col("__s2").isNotNull)
+      .withColumn("__m", col("__s1") - col("__s2"))
+    top
+      .withColumn("bin",
+        least(floor(col("__m") / binWidth).cast("long"), lit(nBins - 1L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"),
+        round(avg(col("__m")) + lit(1e-9), 6).as("avg_margin"))
+      .withColumn("accuracy", col("n_correct") / col("n"))
+      .select(col("bin"), col("n"), col("n_correct"), col("accuracy"),
+        col("avg_margin"))
+      .orderBy("bin")
+  }
+
+  /** The shared per-(test doc, label) rounded score grid behind
+    * [[nbPredict]] and [[nbMarginCalibration]]: one row per doc×label
+    * with (`idCol`, label = true label, __label = candidate,
+    * __score = rounded NB score).
+    */
+  private def nbScoredGrid(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, isTrain: Column): DataFrame = {
     // null text ≡ empty text (zero tokens, scored by the prior) — the
     // same contract explode_outer gives nbScore; without the coalesce a
     // null array nulls __ntok and the whole score
@@ -110,14 +177,7 @@ object Classify {
         log(col("__ds").cast("double") / col("__d"))
           - col("__ntok") * log((col("__ns") + col("__v")).cast("double"))
           + coalesce(col("__part"), lit(0.0)) + lit(1e-9), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(desc("__score"), col("__label"))
     scored
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("label"), col("__label").as("pred"),
-        col("__score").as("score"))
   }
 
   /** Train the NB model from `df` (already filtered to the training

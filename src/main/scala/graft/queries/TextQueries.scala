@@ -542,6 +542,22 @@ object TextQueries {
         .orderBy("source", "pred")
     }),
 
+    // Margin calibration of the q145 NB classifier (the exp-free
+    // reliability diagram): per test doc, the winner-vs-runner-up
+    // rounded-score gap bucketed into integer-width bins; per bin the
+    // EXACT empirical accuracy — the curve a filtering pipeline reads
+    // to pick its confidence threshold. s1/s2 are bit-identical rounded
+    // grid scores, so margins, floors, and counts are exact; only
+    // avg_margin rounds.
+    "q303_nb_calibration" -> ((s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("split:"),
+        col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 10
+      graft.operators.Classify.nbMarginCalibration(
+        graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
+        "doc_id", "text", "source", isTrain = bucket < 8,
+        binWidth = 0.25, nBins = 8)
+    }),
+
     // Per-label precision/recall/F1 of the q145 NB classifier — the
     // trust measurement before a filtering threshold decides what the
     // corpus keeps. Exact counts, exact P/R divisions, deterministic
@@ -2014,7 +2030,7 @@ object TextQueries {
       |  CROSS JOIN vv CROSS JOIN tt
       |  LEFT JOIN part ON part.doc_id = td.doc_id AND part.label = l.label),
       |rk AS (
-      |  SELECT doc_id, label_true, label AS pred, row_number() OVER (
+      |  SELECT doc_id, label_true, label AS pred, score, row_number() OVER (
       |    PARTITION BY doc_id ORDER BY score DESC, label) AS rn
       |  FROM grid)""".stripMargin
 
@@ -2961,6 +2977,30 @@ object TextQueries {
         |FROM rk WHERE rn = 1
         |GROUP BY 1, 2
         |ORDER BY source, pred""".stripMargin),
+
+    // the q303 margin-calibration replay: top-2 rounded grid scores per
+    // doc, floor bucket clamped into the top bin, exact accuracy
+    "q303_nb_calibration" -> (nbChainSql +
+      """,
+        |top AS (
+        |  SELECT doc_id,
+        |    max(label_true) AS label_true,
+        |    max(CASE WHEN rn = 1 THEN pred END) AS pred,
+        |    max(CASE WHEN rn = 1 THEN score END) AS s1,
+        |    max(CASE WHEN rn = 2 THEN score END) AS s2
+        |  FROM rk WHERE rn <= 2 GROUP BY doc_id),
+        |mb AS (
+        |  SELECT doc_id, pred, label_true, s1 - s2 AS m,
+        |    least(CAST(floor((s1 - s2) / 0.25) AS BIGINT), 7) AS bin
+        |  FROM top WHERE s2 IS NOT NULL)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pred = label_true THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct,
+        |  CAST(sum(CASE WHEN pred = label_true THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS accuracy,
+        |  round(avg(m) + 1e-9, 6) AS avg_margin
+        |FROM mb GROUP BY bin
+        |ORDER BY bin""".stripMargin),
 
     // Classifier metrics replay: the q145 prediction chain, then
     // label-keyed counts, exact precision/recall divisions, and the

@@ -135,4 +135,41 @@ class ClassifySpec extends AnyFunSuite {
     // exactly and the deterministic label tie-break picks "auto"
     assert(got(7L) == "auto")
   }
+
+  test("nbMarginCalibration: separable docs land high bins with exact " +
+      "accuracy, ambiguous ones low, counts conserve") {
+    val spark0 = graft.TestSpark.spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.col
+    val train = Seq(
+      (1L, "apple apple apple pear fruit", "fruit", "train"),
+      (2L, "apple pear pear fruit fruit", "fruit", "train"),
+      (3L, "zebra lion zebra savanna lion", "animal", "train"),
+      (4L, "lion zebra savanna savanna zebra", "animal", "train"))
+    val test = Seq(
+      (5L, "apple apple pear pear apple pear fruit fruit", "fruit", "test"),
+      (6L, "zebra zebra lion lion savanna savanna zebra lion", "animal",
+        "test"),
+      // one shared-vocabulary-free token each way: near-tie margin
+      (7L, "apple zebra", "fruit", "test"))
+    val df = (train ++ test).toDF("doc_id", "text", "label", "split")
+    val got = Classify.nbMarginCalibration(df, "doc_id", "text", "label",
+        col("split") === "train", binWidth = 2.0, nBins = 4)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._2).sum == 3L, "every test doc has a runner-up")
+    assert(got.map(_._1) == got.map(_._1).sorted, "bins ascend")
+    // the two separable docs have margins ~ 6 ln-units -> the clamp bin;
+    // the mixed doc's margin is < 2 -> bin 0
+    val byBin = got.map(t => t._1 -> t).toMap
+    assert(byBin(3L)._2 == 2L && byBin(3L)._4 == 1.0,
+      s"separable docs must clamp into the top bin with accuracy 1: $got")
+    assert(byBin(0L)._2 == 1L, s"the ambiguous doc lands in bin 0: $got")
+    // accuracy is the exact division n_correct/n
+    assert(got.forall(t => t._4 == t._3.toDouble / t._2))
+    // a single-label grid has no runner-up: empty output, not a crash
+    val solo = Seq((1L, "apple", "fruit", "train"),
+      (2L, "pear", "fruit", "test")).toDF("doc_id", "text", "label", "split")
+    assert(Classify.nbMarginCalibration(solo, "doc_id", "text", "label",
+      col("split") === "train").count() == 0L)
+  }
 }
