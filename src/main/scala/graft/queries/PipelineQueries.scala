@@ -453,6 +453,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // STREAMING byte-entropy audit: the histogram fold is per-row
+    // column math, so q302's body runs UNCHANGED on the stream
+    // (append, no state) — gated on q302's oracle verbatim.
+    "q304_stream_byte_entropy" -> ((s, dir) => {
+      graft.streaming.StreamingIngest.streamByteEntropy(s, dir,
+          queryName = Scratch.name("stream_be"))
+        .orderBy("doc_id")
+    }),
+
     "q44_multimodal_meta" -> ((s, dir) => {
       Multimodal.decodePipeline(s, Tables.documents(s, dir), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_bytes"), col("checksum"),
@@ -1583,6 +1592,42 @@ object PipelineQueries {
   // oracle of both q196 (build-included round-trip) and q201
   // (steady-state retrieval): identical rows by the stored ≡ rescan
   // contract
+  /** The q302/q304 byte-entropy oracle: blob synthesis, hex-prefix
+    * byte list, sorted-distinct histogram, the rounded entropy fold.
+    */
+  private lazy val byteEntropySql: String =
+    """WITH blob AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER)
+        |      WHEN 0 THEN unhex(md5('be1:' || CAST(doc_id AS VARCHAR))
+        |        || md5('be2:' || CAST(doc_id AS VARCHAR))
+        |        || md5('be3:' || CAST(doc_id AS VARCHAR))
+        |        || md5('be4:' || CAST(doc_id AS VARCHAR)))
+        |      WHEN 1 THEN unhex(repeat('AB', 64))
+        |      ELSE unhex(repeat('00FF', 32)) END AS bin
+        |  FROM documents),
+        |hx AS (SELECT doc_id, substring(upper(hex(bin)), 1, 128) AS h
+        |       FROM blob),
+        |bs AS (
+        |  SELECT doc_id, len(h) // 2 AS n_bytes,
+        |    list_transform(range(1, CAST(len(h) // 2 AS INTEGER) + 1),
+        |      i -> substring(h, i * 2 - 1, 2)) AS b
+        |  FROM hx),
+        |ds AS (
+        |  SELECT doc_id, n_bytes, b, list_sort(list_distinct(b)) AS d
+        |  FROM bs),
+        |cs AS (
+        |  SELECT doc_id, n_bytes,
+        |    CAST(len(d) AS BIGINT) AS n_distinct,
+        |    list_transform(d, v ->
+        |      CAST(len(list_filter(b, x -> x = v)) AS DOUBLE)) AS c
+        |  FROM ds)
+        |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, n_distinct,
+        |  round(-(list_sum(list_transform(c, x ->
+        |      (x / n_bytes) * ln(x / n_bytes)))) + 1e-9, 6) AS entropy
+        |FROM cs
+        |ORDER BY doc_id""".stripMargin
+
   // the q267/q278 oracle: q195's BM25/RRF arithmetic with the dense
   // branch replaced by q79's IVF × SQ8 replay over the hybrid
   // collection's rows (see the q267 entry for the full reasoning)
@@ -2096,39 +2141,13 @@ object PipelineQueries {
         |ORDER BY click_id, view_id""".stripMargin,
 
     // the q302 replay: blob synthesis, hex-prefix byte list, sorted
-    // distinct histogram, the −Σ(c/n)·ln(c/n) fold rounded once
-    "q302_byte_entropy" ->
-      """WITH blob AS (
-        |  SELECT doc_id,
-        |    CASE CAST(doc_id % 3 AS INTEGER)
-        |      WHEN 0 THEN unhex(md5('be1:' || CAST(doc_id AS VARCHAR))
-        |        || md5('be2:' || CAST(doc_id AS VARCHAR))
-        |        || md5('be3:' || CAST(doc_id AS VARCHAR))
-        |        || md5('be4:' || CAST(doc_id AS VARCHAR)))
-        |      WHEN 1 THEN unhex(repeat('AB', 64))
-        |      ELSE unhex(repeat('00FF', 32)) END AS bin
-        |  FROM documents),
-        |hx AS (SELECT doc_id, substring(upper(hex(bin)), 1, 128) AS h
-        |       FROM blob),
-        |bs AS (
-        |  SELECT doc_id, len(h) // 2 AS n_bytes,
-        |    list_transform(range(1, CAST(len(h) // 2 AS INTEGER) + 1),
-        |      i -> substring(h, i * 2 - 1, 2)) AS b
-        |  FROM hx),
-        |ds AS (
-        |  SELECT doc_id, n_bytes, b, list_sort(list_distinct(b)) AS d
-        |  FROM bs),
-        |cs AS (
-        |  SELECT doc_id, n_bytes,
-        |    CAST(len(d) AS BIGINT) AS n_distinct,
-        |    list_transform(d, v ->
-        |      CAST(len(list_filter(b, x -> x = v)) AS DOUBLE)) AS c
-        |  FROM ds)
-        |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, n_distinct,
-        |  round(-(list_sum(list_transform(c, x ->
-        |      (x / n_bytes) * ln(x / n_bytes)))) + 1e-9, 6) AS entropy
-        |FROM cs
-        |ORDER BY doc_id""".stripMargin,
+    // distinct histogram, the −Σ(c/n)·ln(c/n) fold rounded once;
+    // reused verbatim by the q304 stream twin
+    "q302_byte_entropy" -> byteEntropySql,
+
+    "q304_stream_byte_entropy" -> byteEntropySql,
+
+
 
     "q44_multimodal_meta" ->
       """SELECT doc_id,

@@ -1657,6 +1657,7 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+
     // Count-pruned LM scoring (q100 with minCount=2): the production
     // deviation the NgramLm docs describe — KenLM-style support pruning —
     // made gate-checkable instead of prose. The pruned model is

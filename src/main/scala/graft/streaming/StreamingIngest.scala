@@ -527,6 +527,38 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** Streaming byte-entropy audit — [[graft.operators.Multimodal
+    * .byteEntropy]] on the stream over the q302 synthesized blobs: the
+    * histogram fold is pure per-row column math (no state), so the
+    * batch body runs UNCHANGED in append mode against the batch oracle
+    * verbatim — the blob-quality screen at ingest time.
+    */
+  def streamByteEntropy(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_byte_entropy"): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val arriving = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val id = col("doc_id").cast("string")
+    val hexStr = when(col("doc_id") % 3 === 0,
+        concat(md5(concat(lit("be1:"), id)), md5(concat(lit("be2:"), id)),
+          md5(concat(lit("be3:"), id)), md5(concat(lit("be4:"), id))))
+      .when(col("doc_id") % 3 === 1, lit("AB" * 64))
+      .otherwise(lit("00FF" * 32))
+    val out = graft.operators.Multimodal.byteEntropy(
+      arriving.select(col("doc_id"), unhex(hexStr).as("blob")),
+      "doc_id", "blob", prefixBytes = 64)
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming ingest-time NOVELTY metric — [[graft.operators
     * .TextAnalysis.incomingNovelty]] on the stream: the corpus's
     * distinct shingles are the static side; one marker left join + one

@@ -815,6 +815,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF"), "pure column math expected")
   }
 
+  test("q298 ppmi: pair explode is per-row HOF, totals broadcast, no cartesian") {
+    val p = plan("q298_ppmi")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation must never self-join:\n${p.take(2000)}")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnl <= 2, s"only the 1-row totals may cross (got $bnl)")
+    assert(!p.contains("ScalaUDF"), "pure column math expected")
+  }
+
+  test("q292 stickiness: fan-out then aggs, day-keyed shuffles only, no cartesian") {
+    val p = plan("q292_stickiness")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"stickiness must stay on keyed joins:\n${p.take(2000)}")
+    assert(p.contains("Generate explode"),
+      "the rolling window must be the explode fan-out")
+  }
+
+  test("q295 cusum: chunk catalog broadcasts, windows key on (grp, chunk)") {
+    val p = plan("q295_cusum_drift")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bounded chunk catalog must broadcast:\n${p.take(2000)}")
+    assert("windowspecdefinition\\(grp[#0-9]*, __chunk".r.findAllIn(p).nonEmpty,
+      s"per-row windows must partition by (grp, chunk), never grp alone:\n${p.take(3000)}")
+  }
+
+  test("q302 byte entropy: pure per-row math — no hash shuffle, no window, no UDF") {
+    val p = plan("q302_byte_entropy")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the histogram fold must not shuffle:\n${p.take(2000)}")
+    assert(!p.contains("Window") && !p.contains("ScalaUDF"))
+  }
+
   test("q146 url canon: canonicalization runs scan-side, no UDF, no pre-agg shuffle") {
     val p = plan("q146_url_canon")
     assert(!p.contains("ScalaUDF"), "pure column math expected")
