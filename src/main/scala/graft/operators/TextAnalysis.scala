@@ -934,6 +934,33 @@ object TextAnalysis {
     ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
     ("ip", "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>"))
 
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002) —
+    * the dataset-RELEASE privacy screen beside [[scrubPii]]'s in-text
+    * redaction: group rows by their quasi-identifier combination
+    * (equivalence classes); any class smaller than k re-identifies its
+    * members by linkage. Returns the one-row release report: class
+    * count, row count, classes/rows below k, and the smallest class —
+    * the numbers a data-release checklist quotes.
+    *
+    * Determinism: pure exact-integer aggregation (no rounding
+    * anywhere). Scale shape: ONE groupBy on the quasi columns, then an
+    * aggregate over the class-level frame (class count ≤ the quasi
+    * domain product, never corpus-row-sized for real quasi columns).
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity: no quasi-identifier columns")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val classes = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum("__n").as("n_rows"),
+      sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_risk_classes"),
+      sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("n_risk_rows"),
+      min("__n").as("min_class_size"))
+  }
+
   /** Occurrences of one PII class (by name from [[piiPatterns]]). */
   def piiCount(text: Column, cls: String): Column = {
     val pat = piiPatterns.collectFirst { case (`cls`, p, _) => p }

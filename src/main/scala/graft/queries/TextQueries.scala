@@ -722,6 +722,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // k-anonymity release audit (Sweeney 2002) over (lang, source,
+    // 50-char length bucket) quasi-identifiers: equivalence-class
+    // sizes, classes/rows below k=5, smallest class — the data-release
+    // privacy screen beside the PII scrub. Pure exact-integer
+    // aggregation, no rounding anywhere.
+    "q305_k_anonymity" -> ((s, dir) => {
+      TextAnalysis.kAnonymity(
+        graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+          .withColumn("len_bucket", expr("n_chars DIV 50")),
+        Seq("lang", "source", "len_bucket"), k = 5L)
+    }),
+
     // Windowed PPMI associations (Church & Hanks 1990): skip-gram
     // co-occurrence over a ±2 window, PMI in one fixed-op-order ln,
     // top-30 above the support floor — the count-based embedding prep
@@ -4386,6 +4398,20 @@ object TextQueries {
     "q285_fim" -> fimSql("documents"),
 
     "q289_rake" -> rakeSql("documents"),
+
+    "q305_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT lang, source, n_chars // 50 AS len_bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risk_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_risk_rows,
+        |  CAST(min(n) AS BIGINT) AS min_class_size
+        |FROM cls""".stripMargin,
 
     // the q298 PPMI replay: pair explode via the SELECT-list unnest of a
     // column-bounded slice (the round-5 lateral rule), unordered CASE

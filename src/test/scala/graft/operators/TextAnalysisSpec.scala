@@ -948,6 +948,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getString(1) == "alpha beta gamma" && r.getDouble(2) == 9.0)
   }
 
+  test("kAnonymity: hand-computed classes, risk cut strictly below k, " +
+      "loud empty quasi list") {
+    // classes: (en,a)=3, (en,b)=2, (fr,a)=1 → with k=3: risk = 2 classes
+    // holding 3 rows; min class 1
+    val df = Seq(("en", "a"), ("en", "a"), ("en", "a"), ("en", "b"),
+      ("en", "b"), ("fr", "a")).toDF("lang", "src")
+    val got = TextAnalysis.kAnonymity(df, Seq("lang", "src"), k = 3L)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got == ((3L, 6L, 2L, 3L, 1L)), s"got $got")
+    // boundary: a class of exactly k is NOT at risk
+    val got2 = TextAnalysis.kAnonymity(df, Seq("lang", "src"), k = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got2 == ((3L, 6L, 1L, 1L, 1L)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.kAnonymity(df, Seq.empty, k = 3L)
+    }
+  }
+
   test("PPMI associations: hand-computed pmi, window reach, same-word " +
       "margins, support floor") {
     def r6(x: Double): Double = BigDecimal(x + 1e-9)
