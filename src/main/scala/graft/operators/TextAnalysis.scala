@@ -961,6 +961,32 @@ object TextAnalysis {
       min("__n").as("min_class_size"))
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — [[kAnonymity]]'s
+    * companion: a class can be k-anonymous yet leak its SENSITIVE
+    * attribute when every member shares one value (the homogeneity
+    * attack). Per quasi-identifier class, the distinct sensitive-value
+    * count; the report counts classes below the diversity floor l and
+    * the worst class. Pure exact-integer aggregation: one
+    * (quasi, sensitive) distinct pass, one class-grain count, one
+    * report aggregate.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "lDiversity: no quasi-identifier columns")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val classes = df
+      .select((quasiCols :+ sensitiveCol).map(col): _*)
+      .distinct()
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__nd"))
+    classes.agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("__nd") < l, 1L).otherwise(0L)).as("n_risk_classes"),
+      min("__nd").as("min_diversity"))
+  }
+
   /** Occurrences of one PII class (by name from [[piiPatterns]]). */
   def piiCount(text: Column, cls: String): Column = {
     val pat = piiPatterns.collectFirst { case (`cls`, p, _) => p }

@@ -734,6 +734,17 @@ object TextQueries {
         Seq("lang", "source", "len_bucket"), k = 5L)
     }),
 
+    // l-diversity audit (Machanavajjhala 2007), q305's companion: per
+    // (source, length-bucket) class, the distinct lang count — classes
+    // below l=2 are homogeneity-attackable even when k-anonymous. Pure
+    // exact-integer aggregation.
+    "q306_l_diversity" -> ((s, dir) => {
+      TextAnalysis.lDiversity(
+        graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+          .withColumn("len_bucket", expr("n_chars DIV 50")),
+        Seq("source", "len_bucket"), "lang", l = 2L)
+    }),
+
     // Windowed PPMI associations (Church & Hanks 1990): skip-gram
     // co-occurrence over a ±2 window, PMI in one fixed-op-order ln,
     // top-30 above the support floor — the count-based embedding prep
@@ -4398,6 +4409,19 @@ object TextQueries {
     "q285_fim" -> fimSql("documents"),
 
     "q289_rake" -> rakeSql("documents"),
+
+    "q306_l_diversity" ->
+      """WITH d AS (
+        |  SELECT DISTINCT source, n_chars // 50 AS len_bucket, lang
+        |  FROM documents),
+        |cls AS (
+        |  SELECT source, len_bucket, CAST(count(*) AS BIGINT) AS nd
+        |  FROM d GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN nd < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risk_classes,
+        |  CAST(min(nd) AS BIGINT) AS min_diversity
+        |FROM cls""".stripMargin,
 
     "q305_k_anonymity" ->
       """WITH cls AS (

@@ -966,6 +966,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("lDiversity: homogeneous classes flag even when k-anonymous") {
+    // class (a): langs {en, en, fr} → 2 distinct; class (b): {en, en} →
+    // 1 distinct — k-anonymous at k=2 but NOT 2-diverse
+    val df = Seq(("a", "en"), ("a", "en"), ("a", "fr"),
+      ("b", "en"), ("b", "en")).toDF("src", "lang")
+    val got = TextAnalysis.lDiversity(df, Seq("src"), "lang", l = 2L)
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((2L, 1L, 1L)), s"got $got")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.lDiversity(df, Seq("lang"), "lang", l = 2L)
+    }
+  }
+
   test("PPMI associations: hand-computed pmi, window reach, same-word " +
       "margins, support floor") {
     def r6(x: Double): Double = BigDecimal(x + 1e-9)
