@@ -987,6 +987,46 @@ object TextAnalysis {
       min("__nd").as("min_diversity"))
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third
+    * leg of the release-privacy trilogy ([[kAnonymity]], [[lDiversity]]):
+    * a class can be diverse yet still leak when its sensitive-value
+    * DISTRIBUTION differs sharply from the corpus (the skewness
+    * attack). Per quasi-identifier class, the total-variation distance
+    * ½ Σ_v |p_class(v) − p_global(v)| (the paper's categorical ground
+    * distance). Values absent from a class fold in algebraically —
+    * Σ_v = 1 + Σ_{present} (|pc − pg| − pg), the q288 dispersion
+    * identity — so no class×value grid materializes.
+    *
+    * Per-term math is exact divisions in ONE fixed op order; only the
+    * cross-value sum rounds (+1e-9, 6). Output one row per class:
+    * (quasi columns…, n, tvd), class-catalog sized.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness: no quasi-identifier columns")
+    require(!quasiCols.contains(sensitiveCol),
+      s"sensitive column $sensitiveCol cannot also be a quasi-identifier")
+    val csv = df
+      .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val ctot = csv.groupBy(quasiCols.map(col): _*)
+      .agg(sum("__n").as("__nc"))
+    val gv = csv.groupBy(col(sensitiveCol)).agg(sum("__n").as("__gv"))
+    val gt = gv.agg(sum("__gv").as("__g"))
+    csv
+      .join(ctot, quasiCols)
+      .join(broadcast(gv), Seq(sensitiveCol))
+      .crossJoin(broadcast(gt))
+      .withColumn("__contrib",
+        abs(col("__n") / col("__nc") - col("__gv") / col("__g")) -
+          col("__gv") / col("__g"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(max("__nc").as("n"),
+        round(((lit(1.0) + sum(col("__contrib"))) / 2) + lit(1e-9), 6)
+          .as("tvd"))
+      .orderBy(quasiCols.map(col): _*)
+  }
+
   /** Occurrences of one PII class (by name from [[piiPatterns]]). */
   def piiCount(text: Column, cls: String): Column = {
     val pat = piiPatterns.collectFirst { case (`cls`, p, _) => p }

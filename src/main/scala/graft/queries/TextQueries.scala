@@ -734,6 +734,18 @@ object TextQueries {
         Seq("lang", "source", "len_bucket"), k = 5L)
     }),
 
+    // t-closeness audit (Li et al. 2007), the trilogy's third leg: per
+    // (source, length-bucket) class, total-variation distance of the
+    // lang distribution from the corpus — the skewness-attack screen.
+    // Absent values fold in algebraically (the q288 identity); only the
+    // cross-value sum rounds.
+    "q307_t_closeness" -> ((s, dir) => {
+      TextAnalysis.tCloseness(
+        graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+          .withColumn("len_bucket", expr("n_chars DIV 50")),
+        Seq("source", "len_bucket"), "lang")
+    }),
+
     // l-diversity audit (Machanavajjhala 2007), q305's companion: per
     // (source, length-bucket) class, the distinct lang count — classes
     // below l=2 are homogeneity-attackable even when k-anonymous. Pure
@@ -4409,6 +4421,29 @@ object TextQueries {
     "q285_fim" -> fimSql("documents"),
 
     "q289_rake" -> rakeSql("documents"),
+
+    "q307_t_closeness" ->
+      """WITH csv AS (
+        |  SELECT source, n_chars // 50 AS len_bucket, lang,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |ctot AS (SELECT source, len_bucket, CAST(sum(n) AS BIGINT) AS nc
+        |         FROM csv GROUP BY 1, 2),
+        |gv AS (SELECT lang, CAST(sum(n) AS BIGINT) AS gvn
+        |       FROM csv GROUP BY 1),
+        |gt AS (SELECT CAST(sum(gvn) AS BIGINT) AS g FROM gv)
+        |SELECT c.source, c.len_bucket, max(t.nc) AS n,
+        |  round((1.0 + sum(
+        |      abs(CAST(c.n AS DOUBLE) / CAST(t.nc AS DOUBLE)
+        |        - CAST(gv.gvn AS DOUBLE) / CAST(gt.g AS DOUBLE))
+        |      - CAST(gv.gvn AS DOUBLE) / CAST(gt.g AS DOUBLE))) / 2
+        |    + 1e-9, 6) AS tvd
+        |FROM csv c
+        |JOIN ctot t ON t.source = c.source AND t.len_bucket = c.len_bucket
+        |JOIN gv ON gv.lang = c.lang
+        |CROSS JOIN gt
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q306_l_diversity" ->
       """WITH d AS (

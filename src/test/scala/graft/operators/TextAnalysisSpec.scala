@@ -966,6 +966,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("tCloseness: hand-computed TVD, skewed class flags even when " +
+      "diverse, absent-value fold") {
+    def r6(x: Double): Double = BigDecimal(x + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // global: en 4/8, fr 4/8. class a: en 3/4, fr 1/4 (diverse but
+    // skewed) → TVD = ½(|3/4−1/2| + |1/4−1/2|) = 1/4.
+    // class b: en 1/4, fr 3/4 → symmetric, 1/4.
+    val df = Seq(("a", "en"), ("a", "en"), ("a", "en"), ("a", "fr"),
+      ("b", "en"), ("b", "fr"), ("b", "fr"), ("b", "fr"))
+      .toDF("src", "lang")
+    val got = TextAnalysis.tCloseness(df, Seq("src"), "lang")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 4L, 0.25), ("b", 4L, 0.25)), s"got $got")
+    // absent-value fold: class c misses fr entirely → TVD =
+    // ½(|1−5/9| + 4/9) = 4/9 (the 1+Σ(|pc−pg|−pg) identity carries the
+    // missing value's full global mass)
+    val df2 = (Seq(("a", "en"), ("a", "en"), ("a", "en"), ("a", "fr"),
+      ("b", "en"), ("b", "fr"), ("b", "fr"), ("b", "fr")) :+ (("c", "en")))
+      .toDF("src", "lang")
+    val c = TextAnalysis.tCloseness(df2, Seq("src"), "lang")
+      .as[(String, Long, Double)].collect().find(_._1 == "c").get
+    assert(c._2 == 1L &&
+      c._3 == r6((1.0 + (math.abs(1.0 / 1 - 5.0 / 9) - 5.0 / 9)) / 2),
+      s"got $c")
+  }
+
   test("lDiversity: homogeneous classes flag even when k-anonymous") {
     // class (a): langs {en, en, fr} → 2 distinct; class (b): {en, en} →
     // 1 distinct — k-anonymous at k=2 but NOT 2-diverse
