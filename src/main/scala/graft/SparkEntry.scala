@@ -123,5 +123,12 @@ object SparkEntry {
     // query (every stage's isolated gate already green: q61, q131,
     // q200, q139, q82). Its time is the honest "pipeline number" for
     // the full corpus-build chain.
-    "q269_pretrain_capstone")
+    "q269_pretrain_capstone",
+    // round-13 addition (r12 verdict item 3): tokenizer TRAINING — the
+    // only driver-loop-heavy family that had no tracked number. Unigram-LM
+    // hard-EM has the steepest loop profile in the repo (per EM round:
+    // a maxWordLen-layer Viterbi DP of keyed joins over the word
+    // spectrum, then a vocabulary-grain re-estimation; BPE/WordPiece
+    // merge rounds are single count-table regroups by comparison).
+    "q268_unigram_lm")
 }

@@ -502,8 +502,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def keywords(name: String): DataFrame = {
     requireCollection(name)
+    val cur = read(name)
+    require(cur.columns.contains("payload"),
+      s"KEYWORDS needs a payload column on $name")
     graft.operators.TextAnalysis.rakeKeywords(
-        read(name).select(col("id"), col("payload")),
+        cur.select(col("id"), col("payload")),
         "id", "payload")
       .orderBy("id")
   }

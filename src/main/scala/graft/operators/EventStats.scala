@@ -76,6 +76,15 @@ object EventStats {
     * (unix_micros — the stream-join precedent: never interval math).
     * Same scale shape as [[funnel]]: one bounded join+agg per step,
     * user-keyed.
+    *
+    * SEMANTIC (deliberate, r12-advisor-reviewed): the anchor is
+    * GREEDY-EARLIEST — each step's clock starts at the user's earliest
+    * QUALIFYING event for that step, so a user whose step-i event is
+    * in-window only relative to a LATER step-(i−1) occurrence does NOT
+    * convert here. This is the strict "first journey" reading; the
+    * common any-anchor reading ("ANY step-(i−1) occurrence may open the
+    * window") is [[windowedFunnelAnyAnchor]] — pick by question, the
+    * two legitimately disagree (spec-pinned divergence case).
     */
   def windowedFunnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String],
@@ -96,6 +105,47 @@ object EventStats {
               unix_micros(col("__prev")) + maxGapMicros)
           .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
       cur.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }
+    perStep.reduce(_ unionByName _)
+  }
+
+  /** Any-anchor variant of [[windowedFunnel]] — the other standard
+    * funnel reading: step i counts users with a `steps(i)` event
+    * strictly after and within `maxGapMicros` of ANY qualifying
+    * step-(i−1) event, not just the earliest one. A user who misses
+    * the window from their first journey but converts on a retry
+    * counts here and not there — the two semantics legitimately
+    * disagree (spec-pinned divergence case).
+    *
+    * Per-step state is the SET of qualifying times per user (distinct
+    * (user, ts) pairs), bounded by the user's own per-step event count
+    * — the sessionize argument: user streams are bounded, the corpus
+    * is not. Each step is still ONE user-keyed join + distinct; the
+    * per-user qualifying×candidate product never crosses users, so the
+    * shuffle stays keyed and skew-bounded at 100 TB.
+    */
+  def windowedFunnelAnyAnchor(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, steps: Seq[String],
+      maxGapMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "windowedFunnelAnyAnchor needs at least one step")
+    require(maxGapMicros >= 1,
+      s"maxGapMicros must be positive, got $maxGapMicros")
+    var cur: DataFrame = null
+    val perStep = steps.zipWithIndex.map { case (st, i) =>
+      val evs = events.filter(col(typeCol) === st)
+        .select(col(userCol), col(tsCol))
+      cur =
+        if (i == 0) evs.select(col(userCol), col(tsCol).as("__t")).distinct()
+        else evs
+          .join(cur.select(col(userCol), col("__t").as("__prev")),
+            Seq(userCol))
+          .filter(col(tsCol) > col("__prev") &&
+            unix_micros(col(tsCol)) <=
+              unix_micros(col("__prev")) + maxGapMicros)
+          .select(col(userCol), col(tsCol).as("__t")).distinct()
+      cur.agg(countDistinct(col(userCol)).as("n_users"))
         .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
           col("n_users"))
     }

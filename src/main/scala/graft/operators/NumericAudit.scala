@@ -32,6 +32,14 @@ object NumericAudit {
     * only the 9-term chi-squared sum rounds (+1e-9, 6). The group
     * window is 9 rows by construction (the q256 bounded-window class).
     *
+    * The 2-decimal contract is ENFORCED in the filter, not just
+    * documented: a value in (0, 0.005) rounds to 0 cents — its "first
+    * digit" would be 0, outside the 1..9 grid — so sub-cent rows are
+    * excluded from the digit counts AND the group totals together
+    * (counting them in n while dropping them from the grid would skew
+    * every expected mass and the chi-squared with them — the r12
+    * advisor finding). The oracle mirrors the same cents >= 1 predicate.
+    *
     * Output: (grp, digit, n_d, n, chi2) — one row per group × digit
     * 1..9, chi2 constant within a group.
     */
@@ -40,8 +48,11 @@ object NumericAudit {
     val spark = df.sparkSession
     val base = df.filter(col(valCol) > 0)
       .select(col(groupCol).as("grp"),
-        substring(round(col(valCol) * 100).cast("long").cast("string"),
-          1, 1).cast("int").as("digit"))
+        round(col(valCol) * 100).cast("long").as("__cents"))
+      .filter(col("__cents") >= 1)
+      .select(col("grp"),
+        substring(col("__cents").cast("string"), 1, 1)
+          .cast("int").as("digit"))
     val counts = base.groupBy("grp", "digit").agg(count(lit(1)).as("n_d"))
     val totals = base.groupBy("grp").agg(count(lit(1)).as("n"))
     val digits = spark.range(1, 10)

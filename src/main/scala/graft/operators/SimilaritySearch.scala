@@ -550,10 +550,15 @@ object SimilaritySearch {
     * One scan, no per-radius rescans: each scored row computes its
     * bucket distance d once and fans out to every radius ≥ d (explode
     * factor ≤ maxRadius+1 — `sequence`'s descending trap is excluded by
-    * the d ≤ maxRadius filter), then one per-(query, radius) top-k
-    * window. The query side broadcasts (bounded by construction, the
-    * batch-probe rule); radii with zero candidates still emit via the
-    * radius catalog.
+    * the d ≤ maxRadius filter). BOTH exact cuts — the gold top-k per
+    * query and the per-(query, radius) probe top-k — run in
+    * [[TopKAggregator]]'s bounded heap (the q59-gated shape): ≤ k rows
+    * per partition per group cross the shuffle, never a corpus-sized
+    * `row_number` window partition (at 100 TB a per-query window over
+    * the full scored corpus is a single-reducer sort of the whole
+    * collection). The query side broadcasts (bounded by construction,
+    * the batch-probe rule); radii with zero candidates still emit via
+    * the radius catalog.
     *
     * Determinism: scores round (+0, 6 — the q126 parity), ranks
     * tie-break on id, hits/candidates are exact integers, and recall =
@@ -567,9 +572,27 @@ object SimilaritySearch {
     require(nBits >= 1 && nBits <= 30, s"nBits must be in [1,30], got $nBits")
     require(maxRadius >= 0 && maxRadius <= nBits,
       s"maxRadius must be in [0,$nBits], got $maxRadius")
-    val coded = vectors.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+    // ids ride the bounded heap as longs; reject non-integral id columns
+    // up front (the candidatePairs/embeddingPairs precedent — a silent
+    // cast would emit wrong joins, not an error)
+    val integral = Seq[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    require(integral.contains(vectors.schema(idCol).dataType),
+      s"signRecallCurve requires an integral id column; '$idCol' is " +
+        vectors.schema(idCol).dataType.simpleString +
+        " — hash or re-key non-numeric ids first")
+    require(integral.contains(queries.schema(qidCol).dataType),
+      s"signRecallCurve requires an integral query-id column; '$qidCol' " +
+        s"is ${queries.schema(qidCol).dataType.simpleString}")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val coded = vectors.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).as("__v"),
       VectorIndex.signBucket(col(vecCol), nBits).as("__c"))
-    val qs = queries.select(col(qidCol).as("__qid"),
+    val qs = queries.select(col(qidCol).cast("long").as("__qid"),
       col(qvecCol).as("__qv"),
       VectorIndex.signBucket(col(qvecCol), nBits).as("__qc"))
     val scored = coded.crossJoin(broadcast(qs))
@@ -577,18 +600,31 @@ object SimilaritySearch {
       .withColumn("__score", round(cosine_sim(col("__v"), col("__qv")), 6))
       .withColumn("__d", bit_count(col("__c").cast("long")
         .bitwiseXOR(col("__qc").cast("long"))))
-    val wq = Window.partitionBy("__qid").orderBy(desc("__score"),
-      col("__id"))
-    val gold = scored.withColumn("__rn", row_number().over(wq))
-      .filter(col("__rn") <= k).select(col("__qid"), col("__id"))
+    // gold cut: bounded heap per query. Ties resolve (score desc, id asc)
+    // inside the aggregator — identical to the row_number formulation it
+    // replaces (gated equal by q59/q291 across 3 SFs).
+    val gold = scored.select(col("__qid"), col("__id"), col("__score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(new TopKAggregator(k).toColumn)
+      .toDF("__qid", "__topk")
+      .select(col("__qid"), explode(col("__topk")).as("__e"))
+      .select(col("__qid"), col("__e._1").as("__id"))
     val fanned = scored.filter(col("__d") <= maxRadius)
       .withColumn("radius",
         explode(sequence(col("__d").cast("int"), lit(maxRadius))))
-    val wr = Window.partitionBy("__qid", "radius")
-      .orderBy(desc("__score"), col("__id"))
-    val probe = fanned.withColumn("__rn", row_number().over(wr))
-      .filter(col("__rn") <= k)
-      .select(col("__qid"), col("__id"), col("radius"))
+    // probe cut: the same bounded heap keyed by (query, radius) — the
+    // fan-out multiplies rows by ≤ maxRadius+1, so a window here would be
+    // an even larger single-reducer sort than the gold's.
+    val probe = fanned
+      .select(col("__qid"), col("radius"), col("__id"), col("__score"))
+      .as[(Long, Int, Long, Double)]
+      .groupByKey(t => (t._1, t._2)).mapValues(t => (t._3, t._4))
+      .agg(new TopKAggregator(k).toColumn)
+      .toDF("__key", "__topk")
+      .select(col("__key._1").as("__qid"), col("__key._2").as("radius"),
+        explode(col("__topk")).as("__e"))
+      .select(col("__qid"), col("__e._1").as("__id"), col("radius"))
     val nCand = fanned.groupBy("radius")
       .agg(count(lit(1)).as("n_candidates"))
     val nHit = probe.join(gold, Seq("__qid", "__id"))

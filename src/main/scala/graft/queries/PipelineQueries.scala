@@ -1138,16 +1138,24 @@ object PipelineQueries {
         .withColumn("query_id", lit(0L))
         .withColumn("rank", row_number().over(wSys).cast("long"))
         .select(col("query_id"), col("id").as("doc_id"), col("rank"))
-      val wGold = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(desc("__score"), col("id"))
-      val gold = db.read("docs")
+      // gold: exact dense top-10 via orderBy+limit → TakeOrderedAndProject
+      // (per-partition heap + driver merge), NEVER a row_number window
+      // with the constant query_id partition key — that shape is a
+      // guaranteed single-reducer sort of the whole collection read (the
+      // r12 verdict item). The rank window below sees ≤ 10 rows by
+      // construction.
+      val goldTop = db.read("docs")
         .crossJoin(broadcast(qf.select(col("embedding").as("__qv"))))
-        .withColumn("query_id", lit(0L))
         .withColumn("__score",
           round(graft.functions.cosine_sim(col("embedding"), col("__qv")),
             6))
+        .orderBy(desc("__score"), col("id"))
+        .limit(10)
+      val wGold = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("__score"), col("id"))
+      val gold = goldTop
+        .withColumn("query_id", lit(0L))
         .withColumn("rank", row_number().over(wGold).cast("long"))
-        .filter(col("rank") <= 10)
         .select(col("query_id"), col("id").as("doc_id"), col("rank"))
       graft.operators.RankEval.rankingMetrics(sys, gold, k = 10)
         .orderBy("query_id")

@@ -606,6 +606,18 @@ object RelationalQueries {
         .orderBy("step")
     }),
 
+    // Any-anchor time-constrained funnel — q297's sibling semantic:
+    // ANY qualifying prior-step occurrence may open the conversion
+    // window (the retry-converts reading). Per-step state is the
+    // distinct qualifying-time set per user; still one user-keyed
+    // join + distinct per step.
+    "q308_funnel_any_anchor" -> ((s, dir) => {
+      graft.operators.EventStats.windowedFunnelAnyAnchor(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"), maxGapMicros = 21600000000L)
+        .orderBy("step")
+    }),
+
     // Behavioral-prefix duplicate detection: accounts whose first-3
     // event-type sequences are identical group together (the bot
     // screen — dedup applied to EVENT streams). The raw ordered prefix
@@ -1041,6 +1053,30 @@ object RelationalQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM s3)
         |ORDER BY step""".stripMargin,
 
+    "q308_funnel_any_anchor" ->
+      """WITH s1 AS (
+        |  SELECT DISTINCT user_id, ts AS t FROM events
+        |  WHERE event_type = 'signup'),
+        |s2 AS (
+        |  SELECT DISTINCT e.user_id, e.ts AS t
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t
+        |    AND epoch_us(e.ts) <= epoch_us(s1.t) + 21600000000),
+        |s3 AS (
+        |  SELECT DISTINCT e.user_id, e.ts AS t
+        |  FROM events e JOIN s2 ON s2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        |    AND epoch_us(e.ts) <= epoch_us(s2.t) + 21600000000)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM s1) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'view',
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM s2)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase',
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM s3)
+        |ORDER BY step""".stripMargin,
+
     "q296_behavior_prefix" ->
       """WITH r AS (
         |  SELECT user_id, event_type,
@@ -1061,7 +1097,8 @@ object RelationalQueries {
         |  SELECT l_returnflag AS grp,
         |    CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
         |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
-        |  FROM lineitem WHERE l_extendedprice > 0),
+        |  FROM lineitem WHERE l_extendedprice > 0
+        |    AND CAST(round(l_extendedprice * 100) AS BIGINT) >= 1),
         |counts AS (SELECT grp, digit, CAST(count(*) AS BIGINT) AS n_d
         |           FROM base GROUP BY 1, 2),
         |totals AS (SELECT grp, CAST(count(*) AS BIGINT) AS n

@@ -138,6 +138,53 @@ class EventStatsSpec extends AnyFunSuite {
       (3L, "purchase", 1L)), s"got $got")
   }
 
+  test("windowedFunnelAnyAnchor: a retry-opened window converts here and " +
+      "not under greedy-earliest — the pinned divergence case") {
+    def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val gap = 10L * 60L * 1000000L // 10 minutes in micros
+    val ev = Seq(
+      // u1: signups at 10:00 and 10:20; view at 10:25. Greedy-earliest
+      // anchors the view window at the 10:00 signup (misses, 25 > 10);
+      // any-anchor admits it via the 10:20 signup (5 min gap).
+      (1L, t(0), "signup"), (1L, t(20), "signup"), (1L, t(25), "view"),
+      // u2: in-window relative to the earliest too — counts under both
+      (2L, t(0), "signup"), (2L, t(5), "view"),
+      // u3: late relative to EVERY signup — counts under neither
+      (3L, t(0), "signup"), (3L, t(11), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val any = EventStats.windowedFunnelAnyAnchor(ev, "user_id", "ts",
+        "event_type", Seq("signup", "view"), maxGapMicros = gap)
+      .orderBy("step").as[(Long, String, Long)].collect().toSeq
+    val greedy = EventStats.windowedFunnel(ev, "user_id", "ts",
+        "event_type", Seq("signup", "view"), maxGapMicros = gap)
+      .orderBy("step").as[(Long, String, Long)].collect().toSeq
+    assert(any == Seq((1L, "signup", 3L), (2L, "view", 2L)), s"got $any")
+    assert(greedy == Seq((1L, "signup", 3L), (2L, "view", 1L)),
+      s"got $greedy")
+  }
+
+  test("windowedFunnelAnyAnchor: strict >, window boundary inclusive, " +
+      "chained steps each re-anchor on any qualifying time") {
+    def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val gap = 10L * 60L * 1000000L
+    val ev = Seq(
+      // u1: equal-time view excluded (strict >); 10-min gap is inclusive
+      (1L, t(0), "signup"), (1L, t(0), "view"), (1L, t(10), "view"),
+      // ... and the purchase window re-anchors on the 10:10 view
+      (1L, t(20), "purchase"),
+      // u2: purchase in-window only from the EARLIER of two views —
+      // the set semantics keep both anchors alive
+      (2L, t(0), "signup"), (2L, t(1), "view"), (2L, t(9), "view"),
+      (2L, t(8), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventStats.windowedFunnelAnyAnchor(ev, "user_id", "ts",
+        "event_type", Seq("signup", "view", "purchase"),
+        maxGapMicros = gap)
+      .orderBy("step").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "signup", 2L), (2L, "view", 2L),
+      (3L, "purchase", 2L)), s"got $got")
+  }
+
   test("behaviorPrefixGroups: identical prefixes group, tie-break orders " +
       "equal timestamps, short streams fingerprint whole") {
     def t(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")

@@ -33,6 +33,23 @@ class NumericAuditSpec extends AnyFunSuite {
     assert(got.forall(_._5 == r6), s"chi2 ${got.head._5} != replay $r6")
   }
 
+  test("benfordDigits: sub-cent values are excluded from counts AND " +
+      "totals together — observed and expected masses stay consistent") {
+    // 0.004 rounds to 0 cents (digit 0, outside the 1..9 grid): it must
+    // leave n as well as the grid, or every expected mass is inflated
+    // (the r12 advisor finding). 0.005 rounds HALF_UP to 1 cent → digit 1.
+    val df = Seq(
+      ("g", 0.004), ("g", 0.005), ("g", 2.00), ("g", 9.99)
+    ).toDF("grp", "amt")
+    val got = NumericAudit.benfordDigits(df, "grp", "amt")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got.forall(_._4 == 3L),
+      s"sub-cent row must not count in n: ${got.map(_._4)}")
+    val byDigit = got.map(r => r._2 -> r._3).toMap
+    assert(byDigit(1L) == 1L && byDigit(2L) == 1L && byDigit(9L) == 1L)
+    assert(byDigit.values.sum == 3L, "grid must sum to n exactly")
+  }
+
   private def cusumRows(vals: Seq[(String, Long, Long)], h: Long,
       chunk: Long = 4096) = {
     val df = vals.toDF("grp", "id", "v")
