@@ -251,10 +251,13 @@ object CommandExecutor {
             }
           case "minhash" =>
             opts.getOrElse("mode", "full") match {
+              // buckets default -1 = derived from the collection's size
+              // (ScaleKnobs.sigBuckets); explicit values honored
               case "full" => db.reindexMinhash(coll,
                 shingleN = opts.getOrElse("shingles", "5").toInt,
                 numHashes = opts.getOrElse("hashes", "8").toInt,
-                rowsPerBand = opts.getOrElse("rows", "2").toInt)
+                rowsPerBand = opts.getOrElse("rows", "2").toInt,
+                buckets = opts.getOrElse("buckets", "-1").toInt)
               case "refresh" => db.refreshMinhash(coll)
               case "compact" => db.compactMinhash(coll)
               case other => throw new IllegalArgumentException(
@@ -264,7 +267,8 @@ object CommandExecutor {
           case "winsig" =>
             opts.getOrElse("mode", "full") match {
               case "full" => db.reindexWinsig(coll,
-                minTokens = opts.getOrElse("mintokens", "15").toInt)
+                minTokens = opts.getOrElse("mintokens", "15").toInt,
+                buckets = opts.getOrElse("buckets", "-1").toInt)
               case "refresh" => db.refreshWinsig(coll)
               case "compact" => db.compactWinsig(coll)
               case other => throw new IllegalArgumentException(

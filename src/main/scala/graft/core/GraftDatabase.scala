@@ -1041,7 +1041,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     new Path(minhashDir(name), s"gen_${minhashGen(name)}")
 
   private val MinhashBandsSchema = StructType.fromDDL(
-    "id BIGINT, band_key STRING, seg INT, band INT")
+    "id BIGINT, band_key STRING, seg INT, band INT, band_bucket INT")
 
   private def minhashTombstones(name: String): DataFrame =
     readArtifact(new Path(minhashGenDir(name), "tombstones"),
@@ -1050,7 +1050,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   private def liveMinhashBands(name: String): DataFrame =
     readArtifact(new Path(minhashGenDir(name), "bands"), MinhashBandsSchema)
       .join(broadcast(minhashTombstones(name)), Seq("id", "seg"), "left_anti")
-      .select("id", "band", "band_key")
+      // band_bucket rides along: the probe derives the batch's bucket set
+      // from the same md5 slice and pushes it as a partition filter
+      .select("id", "band", "band_key", "band_bucket")
 
   private def liveMinhashDocs(name: String): DataFrame =
     readArtifact(new Path(minhashGenDir(name), "docs"), WinsigDocsSchema)
@@ -1065,22 +1067,30 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     (intOf("shingleN"), intOf("numHashes"), intOf("rowsPerBand"))
   }
 
+  private def minhashBuckets(name: String): Int =
+    """"buckets"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readString(fs, minhashMetaPath(name)))
+      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+        s"minhash meta has no buckets field on $name"))
+
   /** One segment append: banded signatures + the (id, payload_md5)
     * diff-base rows for every doc in `rows` (short docs with no
     * shingles included — the diff must see them).
     */
   private def writeMinhashSegment(name: String, rows: DataFrame,
-      shingleN: Int, numHashes: Int, rowsPerBand: Int, seg: Int,
-      genDir: Path): Unit = {
+      shingleN: Int, numHashes: Int, rowsPerBand: Int, buckets: Int,
+      seg: Int, genDir: Path): Unit = {
     graft.operators.Dedup.bandKeys(
         graft.operators.Dedup.minhashSignatures(
           graft.operators.Dedup.explodeShingles(
             rows, "id", "payload", shingleN),
           "id", numHashes),
         "id", numHashes, rowsPerBand)
+      .withColumn("band_bucket",
+        graft.operators.Dedup.sigBucket(col("band_key"), buckets))
       .withColumn("seg", lit(seg))
       .write.mode("append").option("compression", Compression)
-      .partitionBy("band")
+      .partitionBy("band", "band_bucket")
       .parquet(new Path(genDir, "bands").toString)
     rows.select(col("id"), md5(col("payload")).as("payload_md5"))
       .withColumn("seg", lit(seg))
@@ -1099,7 +1109,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * artifacts — [[refreshMinhash]] maintains it at delta price.
     */
   def reindexMinhash(name: String, shingleN: Int = 5, numHashes: Int = 8,
-      rowsPerBand: Int = 2): Unit = {
+      rowsPerBand: Int = 2, buckets: Int = -1): Unit = {
     requireCollection(name)
     require(shingleN >= 1 && numHashes >= 1 && numHashes <= 8 &&
       numHashes % rowsPerBand == 0,
@@ -1107,12 +1117,21 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val cur = read(name)
     require(cur.columns.contains("payload"),
       s"REINDEX type=minhash needs a payload column on $name")
+    // buckets = -1 derives the band_bucket sub-partition count from the
+    // collection's optimizer size stats (ScaleKnobs.sigBuckets — the
+    // postings-buckets contract: layout-only, result-invariant); an
+    // explicit count must divide 65536 (the 16-bit slice, no modulo bias)
+    val nBuckets =
+      if (buckets == -1) graft.operators.ScaleKnobs.sigBuckets(cur)
+      else buckets
+    require(nBuckets >= 1 && 65536 % nBuckets == 0,
+      s"minhash buckets must divide 65536, got $nBuckets")
     val dir = minhashDir(name)
     if (fs.exists(dir)) fs.delete(dir, true)
     writeMinhashSegment(name, cur, shingleN, numHashes, rowsPerBand,
-      seg = 0, genDir = new Path(dir, "gen_0"))
+      nBuckets, seg = 0, genDir = new Path(dir, "gen_0"))
     writeString(fs, minhashMetaPath(name),
-      s"""{"type":"minhash","shingleN":$shingleN,"numHashes":$numHashes,"rowsPerBand":$rowsPerBand,"gen":0}""")
+      s"""{"type":"minhash","shingleN":$shingleN,"numHashes":$numHashes,"rowsPerBand":$rowsPerBand,"buckets":$nBuckets,"gen":0}""")
   }
 
   /** REINDEX type=minhash;mode=refresh — incremental signature
@@ -1146,8 +1165,10 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       val newRows = cur.join(broadcast(arrivals.select("id")), Seq("id"))
       val nextSeg = readArtifact(new Path(genDir, "docs"), WinsigDocsSchema)
         .agg(coalesce(max("seg"), lit(0)).as("m")).head().getInt(0) + 1
+      // bucket count comes from the meta: every segment must share the
+      // generation's layout or the partition dirs diverge mid-artifact
       writeMinhashSegment(name, newRows, shingleN, numHashes, rowsPerBand,
-        nextSeg, genDir)
+        minhashBuckets(name), nextSeg, genDir)
     }
     val tombPath = new Path(genDir, "tombstones")
     if (!departures.isEmpty) {
@@ -1182,17 +1203,18 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val nextDir = new Path(dir, s"gen_${g + 1}")
     if (fs.exists(nextDir)) fs.delete(nextDir, true)
     val (shingleN, numHashes, rowsPerBand) = minhashParams(name)
+    val nBuckets = minhashBuckets(name)
     readArtifact(new Path(minhashGenDir(name), "bands"), MinhashBandsSchema)
       .join(broadcast(minhashTombstones(name)), Seq("id", "seg"), "left_anti")
       .withColumn("seg", lit(0))
       .write.mode("overwrite").option("compression", Compression)
-      .partitionBy("band")
+      .partitionBy("band", "band_bucket")
       .parquet(new Path(nextDir, "bands").toString)
     liveMinhashDocs(name).withColumn("seg", lit(0))
       .write.mode("overwrite").option("compression", Compression)
       .parquet(new Path(nextDir, "docs").toString)
     writeString(fs, minhashMetaPath(name),
-      s"""{"type":"minhash","shingleN":$shingleN,"numHashes":$numHashes,"rowsPerBand":$rowsPerBand,"gen":${g + 1}}""")
+      s"""{"type":"minhash","shingleN":$shingleN,"numHashes":$numHashes,"rowsPerBand":$rowsPerBand,"buckets":$nBuckets,"gen":${g + 1}}""")
     Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("gen_") && n != s"gen_${g + 1}")
@@ -1243,7 +1265,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         "id", numHashes, rowsPerBand)
     graft.operators.Dedup.incomingNearDups(bands, cur, batch,
       "id", "payload", threshold, shingleN, numHashes, rowsPerBand,
-      maxBucketSize)
+      maxBucketSize,
+      // the stored layout's bucket count unlocks partition pruning in
+      // the probe; the rescan fallback has no band_bucket column and
+      // the operator's cap-and-switch simply ignores the knob then
+      corpusBuckets = if (live) minhashBuckets(name) else -1)
   }
 
   /** Mark the minhash artifact stale (mutations — a stale signature
@@ -1286,7 +1312,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     new Path(winsigDir(name), s"gen_${winsigGen(name)}")
 
   private val WinsigSigsSchema = StructType.fromDDL(
-    "id BIGINT, win_sig STRING, seg INT")
+    "id BIGINT, win_sig STRING, seg INT, sig_bucket INT")
   private val WinsigDocsSchema = StructType.fromDDL(
     "id BIGINT, payload_md5 STRING, seg INT")
 
@@ -1309,10 +1335,13 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * every refresh).
     */
   private def writeWinsigSegment(name: String, rows: DataFrame,
-      minTokens: Int, seg: Int, genDir: Path): Unit = {
+      minTokens: Int, buckets: Int, seg: Int, genDir: Path): Unit = {
     graft.operators.Dedup.windowSigRows(rows, "id", "payload", minTokens)
+      .withColumn("sig_bucket",
+        graft.operators.Dedup.sigBucket(col("win_sig"), buckets))
       .withColumn("seg", lit(seg))
       .write.mode("append").option("compression", Compression)
+      .partitionBy("sig_bucket")
       .parquet(new Path(genDir, "sigs").toString)
     rows.select(col("id"), md5(col("payload")).as("payload_md5"))
       .withColumn("seg", lit(seg))
@@ -1328,18 +1357,27 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * width the artifact was built with (md5 sigs from different widths
     * never collide — a mixed-width probe would silently match nothing).
     */
-  def reindexWinsig(name: String, minTokens: Int = 15): Unit = {
+  def reindexWinsig(name: String, minTokens: Int = 15,
+      buckets: Int = -1): Unit = {
     requireCollection(name)
     require(minTokens >= 2, s"bad winsig minTokens: $minTokens")
     val cur = read(name)
     require(cur.columns.contains("payload"),
       s"REINDEX type=winsig needs a payload column on $name")
+    // derived sub-bucket layout, the reindexMinhash contract: -1 reads
+    // the collection's optimizer size stats; explicit counts must
+    // divide 65536 (16-bit md5 slice, no modulo bias)
+    val nBuckets =
+      if (buckets == -1) graft.operators.ScaleKnobs.sigBuckets(cur)
+      else buckets
+    require(nBuckets >= 1 && 65536 % nBuckets == 0,
+      s"winsig buckets must divide 65536, got $nBuckets")
     val dir = winsigDir(name)
     if (fs.exists(dir)) fs.delete(dir, true)
-    writeWinsigSegment(name, cur, minTokens, seg = 0,
+    writeWinsigSegment(name, cur, minTokens, nBuckets, seg = 0,
       genDir = new Path(dir, "gen_0"))
     writeString(fs, winsigMetaPath(name),
-      s"""{"type":"winsig","minTokens":$minTokens,"gen":0}""")
+      s"""{"type":"winsig","minTokens":$minTokens,"buckets":$nBuckets,"gen":0}""")
   }
 
   /** REINDEX type=winsig;mode=refresh — incremental screening-artifact
@@ -1374,7 +1412,8 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       val newRows = cur.join(broadcast(arrivals.select("id")), Seq("id"))
       val nextSeg = readArtifact(new Path(genDir, "docs"), WinsigDocsSchema)
         .agg(coalesce(max("seg"), lit(0)).as("m")).head().getInt(0) + 1
-      writeWinsigSegment(name, newRows, minTokens, nextSeg, genDir)
+      writeWinsigSegment(name, newRows, minTokens, winsigBuckets(name),
+        nextSeg, genDir)
     }
     val tombPath = new Path(genDir, "tombstones")
     if (!departures.isEmpty) {
@@ -1411,14 +1450,16 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val nextDir = new Path(dir, s"gen_${g + 1}")
     if (fs.exists(nextDir)) fs.delete(nextDir, true)
     val minTokens = winsigMinTokens(name)
+    val nBuckets = winsigBuckets(name)
     liveWinsigSigs(name).withColumn("seg", lit(0))
       .write.mode("overwrite").option("compression", Compression)
+      .partitionBy("sig_bucket")
       .parquet(new Path(nextDir, "sigs").toString)
     liveWinsigDocs(name).withColumn("seg", lit(0))
       .write.mode("overwrite").option("compression", Compression)
       .parquet(new Path(nextDir, "docs").toString)
     writeString(fs, winsigMetaPath(name),
-      s"""{"type":"winsig","minTokens":$minTokens,"gen":${g + 1}}""")
+      s"""{"type":"winsig","minTokens":$minTokens,"buckets":$nBuckets,"gen":${g + 1}}""")
     Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("gen_") && n != s"gen_${g + 1}")
@@ -1432,6 +1473,12 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .findFirstMatchIn(readString(fs, winsigMetaPath(name)))
       .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
         s"winsig meta has no minTokens field on $name"))
+
+  private def winsigBuckets(name: String): Int =
+    """"buckets"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readString(fs, winsigMetaPath(name)))
+      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+        s"winsig meta has no buckets field on $name"))
 
   /** Scrub an arriving batch (`id`, `payload`) of every token position
     * covered by a >= minTokens-token window already present in the
@@ -1463,10 +1510,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       // explicit schemas throughout the artifact reads: an artifact
       // built over an empty (or all-too-short-payload) collection still
       // reads as an empty frame
-      if (live) liveWinsigSigs(name).select("win_sig")
+      if (live) liveWinsigSigs(name).select("win_sig", "sig_bucket")
       else graft.operators.Dedup.windowSigs(cur, "id", "payload", minTokens)
     graft.operators.Dedup.incomingCoveredText(sigs, batch,
-      "id", "payload", minTokens)
+      "id", "payload", minTokens,
+      corpusBuckets = if (live) winsigBuckets(name) else -1)
   }
 
   /** Mark the winsig artifact stale (mutations — a stale signature table

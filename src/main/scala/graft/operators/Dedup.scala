@@ -84,6 +84,17 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
+  /** Bias-free LAYOUT bucket of an md5-hex key: the first 4 hex chars
+    * are a uniform 16-bit slice and the bucket count must divide 65536
+    * (the q82 no-modulo-bias rule — REINDEX enforces it), so
+    * `slice % buckets` is exactly uniform. Pure column math — any probe
+    * recomputes the artifact's bucket from the key alone, which is what
+    * lets an ingest batch push its own bucket set as a partition filter
+    * into the stored band/signature scan.
+    */
+  def sigBucket(key: Column, buckets: Int): Column =
+    (conv(substring(key, 1, 4), 16, 10).cast("int") % buckets).cast("int")
+
   /** Candidate pairs (a < b) from shared band keys. One pass: buckets are
     * aggregated (sorted member sets), degenerate hot buckets
     * (> maxBucketSize members) dropped — at corpus scale those are
@@ -753,7 +764,7 @@ object Dedup {
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, shingleN: Int = 5, numHashes: Int = 8,
       rowsPerBand: Int = 2, maxBucketSize: Int = 1000,
-      materialize: Boolean = true): DataFrame = {
+      materialize: Boolean = true, corpusBuckets: Int = -1): DataFrame = {
     // the batch's shingles feed BOTH candidate generation and
     // verification: materialize them ONCE (eager, delta-sized — the
     // refreshPostings arrivals discipline) so neither subtree re-runs
@@ -766,13 +777,32 @@ object Dedup {
     val batchBands = bandKeys(
       minhashSignatures(shA, idCol, numHashes),
       idCol, numHashes, rowsPerBand)
-    val okKeys = corpusBands.groupBy("band", "band_key")
+    // stored-layout pruning (cap-and-switch): when the corpus bands are
+    // bucket-partitioned (band_bucket = sigBucket(band_key, n) — the
+    // ScaleKnobs-derived REINDEX layout), the batch's own bucket set is
+    // pushed as a literal IN filter so the artifact scan prunes to
+    // matching partitions instead of reading every band row. The collect
+    // is ≤ corpusBuckets ints over the checkpointed batch shingles (the
+    // q79 collected-In-filter discipline); a batch whose bands touch
+    // every bucket switches back to the full read. Layout-only: the same
+    // (band, band_key) pairs survive either way, so results are
+    // bucket-count invariant (spec-pinned at two widths).
+    val corpusLive =
+      if (corpusBuckets >= 1 && corpusBands.columns.contains("band_bucket")) {
+        val bks = batchBands
+          .select(sigBucket(col("band_key"), corpusBuckets).as("__bb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        if (bks.size < corpusBuckets)
+          corpusBands.filter(col("band_bucket").isin(bks: _*))
+        else corpusBands
+      } else corpusBands
+    val okKeys = corpusLive.groupBy("band", "band_key")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucketSize)
       .select("band", "band_key")
     val pairs = batchBands
       .select(col(idCol).as("a_id"), col("band"), col("band_key"))
-      .join(corpusBands
+      .join(corpusLive
         .select(col(idCol).as("b_id"), col("band"), col("band_key"))
         .join(okKeys, Seq("band", "band_key"), "left_semi"),
         Seq("band", "band_key"))
@@ -1433,12 +1463,37 @@ object Dedup {
     * text is never read.
     */
   def incomingCoveredText(corpusSigs: DataFrame, batch: DataFrame,
-      idCol: String, textCol: String, minTokens: Int): DataFrame = {
+      idCol: String, textCol: String, minTokens: Int,
+      corpusBuckets: Int = -1): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
-    val wins = overlappingWindows(batch, idCol, textCol, minTokens)
+    val wins0 = overlappingWindows(batch, idCol, textCol, minTokens)
+    // stored-layout pruning (the incomingNearDups cap-and-switch shape):
+    // when the stored sig table is bucket-partitioned (sig_bucket =
+    // sigBucket(win_sig, n)), checkpoint the batch's windows ONCE (they
+    // feed both the bucket derivation and the probe — without the
+    // checkpoint the window-md5 chain would run twice), push the batch's
+    // bucket set as a partition filter, and release the checkpoint after
+    // materializing the (batch-sized) screened output.
+    val (wins, sigs, ckpt) =
+      if (corpusBuckets >= 1 && corpusSigs.columns.contains("sig_bucket")) {
+        val w = wins0.localCheckpoint(true)
+        val bks = w.select(sigBucket(col("win_sig"), corpusBuckets).as("__sb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val pruned =
+          if (bks.size < corpusBuckets)
+            corpusSigs.filter(col("sig_bucket").isin(bks: _*))
+          else corpusSigs
+        (w, pruned, Some(w))
+      } else (wins0, corpusSigs, None)
     val covered = coveredPositions(
-      wins.join(corpusSigs.select("win_sig"), Seq("win_sig"), "left_semi"),
+      wins.join(sigs.select("win_sig"), Seq("win_sig"), "left_semi"),
       idCol, minTokens)
-    removeCoveredTokens(tokenRows(batch, idCol, textCol), covered, idCol)
+    val raw = removeCoveredTokens(tokenRows(batch, idCol, textCol), covered,
+      idCol)
+    ckpt.fold(raw) { w =>
+      val out = raw.localCheckpoint(true)
+      GraftSqlShims.unpersistCheckpoint(w)
+      out
+    }
   }
 }

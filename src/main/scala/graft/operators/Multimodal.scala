@@ -275,13 +275,30 @@ object Multimodal {
     * the storable screening artifact (write partitioned by `band`; an
     * incoming probe then touches only its own bands' partitions) and
     * the shared first stage of [[dhashNearDups]] / [[incomingDhashDups]].
+    *
+    * `buckets >= 1` appends a `key_bucket` layout column (`key %
+    * buckets` — the key is a uniform 14-bit slice, so any power of two
+    * dividing 16384 buckets bias-free): write the artifact partitioned
+    * by (band, key_bucket) and [[incomingDhashDups]] prunes the stored
+    * scan to the batch's own bucket set (the ScaleKnobs sub-bucket
+    * contract: layout-only, result-invariant — spec-pinned at two
+    * widths). Pass [[ScaleKnobs.sigBuckets]] of the binary frame to
+    * derive the count from optimizer stats.
     */
-  def dhashBands(df: DataFrame, idCol: String, binCol: String): DataFrame =
-    df.select(col(idCol).cast("long").as("id"),
+  def dhashBands(df: DataFrame, idCol: String, binCol: String,
+      buckets: Int = -1): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
         dHash56(col(binCol)).as("sig"))
       .select(col("id"), col("sig"),
         posexplode(array((0 until 4).map(b =>
           dhashBandKey(col("sig"), b)): _*)).as(Seq("band", "key")))
+    if (buckets < 1) base
+    else {
+      require(16384 % buckets == 0,
+        s"dhash key buckets must divide 16384 (14-bit keys), got $buckets")
+      base.withColumn("key_bucket", (col("key") % buckets).cast("int"))
+    }
+  }
 
   def dhashNearDups(df: DataFrame, idCol: String, binCol: String,
       maxHamming: Int = 6, maxBucketSize: Int = 1000): DataFrame = {
@@ -323,15 +340,29 @@ object Multimodal {
     */
   def incomingDhashDups(stored: DataFrame, batch: DataFrame,
       idCol: String, binCol: String, maxHamming: Int = 6,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, corpusBuckets: Int = -1): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     require(maxBucketSize >= 2,
       s"maxBucketSize must be >= 2, got $maxBucketSize")
-    val okStored = stored.groupBy("band", "key")
+    // stored-layout pruning (the incomingNearDups cap-and-switch shape):
+    // a key_bucket-partitioned artifact scans only the batch's own
+    // buckets. Deriving them re-hashes the batch once (dHash56 is pure
+    // codegen over a bounded prefix — cheaper than a checkpoint); the
+    // collect is ≤ corpusBuckets ints.
+    val storedLive =
+      if (corpusBuckets >= 1 && stored.columns.contains("key_bucket")) {
+        val bks = dhashBands(batch, idCol, binCol, corpusBuckets)
+          .select(col("key_bucket")).distinct().collect()
+          .map(_.getInt(0)).toSeq
+        if (bks.size < corpusBuckets)
+          stored.filter(col("key_bucket").isin(bks: _*))
+        else stored
+      } else stored
+    val okStored = storedLive.groupBy("band", "key")
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") <= maxBucketSize)
       .select("band", "key")
-    val el = stored.join(okStored, Seq("band", "key"))
+    val el = storedLive.join(okStored, Seq("band", "key"))
     dhashBands(batch, idCol, binCol)
       .select(col("band"), col("key"), col("id").as("a_id"),
         col("sig").as("__sa"))

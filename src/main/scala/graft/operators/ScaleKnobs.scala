@@ -49,4 +49,29 @@ object ScaleKnobs {
       b
     }
   }
+
+  /** Hash-key sub-bucket count for the band/signature screening
+    * artifacts (minhash bands, winsig sigs, dhash bands): their keys are
+    * md5 hex, so a 16-bit slice modulo a power of two buckets bias-free
+    * (the q82 rule — the count must divide 65536), and an ingest probe
+    * can push its batch's bucket set as a partition filter instead of
+    * reading the whole artifact (the term_bucket discipline applied to
+    * dedup screening). Target ~32 MB of SOURCE bytes per bucket —
+    * signature rows are far smaller than the text they fingerprint, so
+    * this overestimates bucket size, which only makes buckets larger
+    * (the safe direction, same argument as [[postingsBuckets]]). Power
+    * of two in [8, 4096]; a stat-less plan falls back to 16.
+    */
+  def sigBuckets(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val statless = size >= spark.sessionState.conf.defaultSizeInBytes
+    if (statless) 16
+    else {
+      val want = (size / (32L * 1024 * 1024)).toLong + 1
+      var b = 8
+      while (b < 4096 && b < want) b *= 2
+      b
+    }
+  }
 }

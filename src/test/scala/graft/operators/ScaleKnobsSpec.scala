@@ -63,4 +63,123 @@ class ScaleKnobsSpec extends AnyFunSuite {
     assert(derived === build(16))
     assert(derived === build(256))
   }
+
+  test("sigBuckets: power of two dividing 65536, within [8, 4096]") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val b = ScaleKnobs.sigBuckets(docs)
+    assert(b >= 8 && b <= 4096)
+    assert(65536 % b === 0)
+    assert(Integer.bitCount(b) === 1, s"$b must be a power of two")
+  }
+
+  private def screenDb(tag: String) = {
+    val db = graft.core.GraftDatabase.create(spark,
+      java.nio.file.Files.createTempDirectory(tag).toString, "kdb")
+    db.createCollection("docs", StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", StringType))))
+    db.bulkInsert("docs", graft.Tables.documents(spark, TestSpark.sf)
+      .select(col("doc_id").as("id"), col("text").as("payload")))
+    db
+  }
+
+  private def screenBatch = graft.Tables.documents(spark, TestSpark.sf)
+    .filter(col("doc_id") % 7 === 3)
+    .select((col("doc_id") + 500000L).as("id"), col("text").as("payload"))
+
+  test("SCREEN dupes is bucket-invariant: derived default ≡ explicit 8 and 64") {
+    def run(buckets: Int): Seq[String] = {
+      val db = screenDb("graft_mhknobs")
+      if (buckets == -1) db.reindexMinhash("docs")
+      else db.reindexMinhash("docs", buckets = buckets)
+      db.screenDupes("docs", screenBatch)
+        .orderBy("a_id", "b_id").collect().map(_.toString).toSeq
+    }
+    val derived = run(-1)
+    assert(derived.nonEmpty, "the 1-in-7 replay batch must hit stored docs")
+    assert(derived === run(8))
+    assert(derived === run(64))
+  }
+
+  test("SCREEN substrings is bucket-invariant: derived default ≡ explicit 8 and 64") {
+    def run(buckets: Int): Seq[String] = {
+      val db = screenDb("graft_wsknobs")
+      if (buckets == -1) db.reindexWinsig("docs")
+      else db.reindexWinsig("docs", buckets = buckets)
+      db.screenSubstrings("docs", screenBatch)
+        .orderBy("id").collect().map(_.toString).toSeq
+    }
+    val derived = run(-1)
+    assert(derived.nonEmpty)
+    assert(derived === run(8))
+    assert(derived === run(64))
+  }
+
+  test("dhash incoming screen is bucket-invariant: unbucketed ≡ widths 8 and 64") {
+    import org.apache.spark.sql.functions.{conv => _, _}
+    val media = graft.Tables.events(spark, TestSpark.sf)
+      .select(col("event_id").cast("long").as("id"),
+        Multimodal.sceneGridPayload(col("event_id") % 50,
+          col("event_id")).as("media"))
+    val corpus = media.filter(col("id") % 3 =!= 0)
+    val batch = media.filter(col("id") % 3 === 0)
+    def run(buckets: Int): Seq[String] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_dhknobs")
+        .toString + "/bands"
+      val bands = Multimodal.dhashBands(corpus, "id", "media", buckets)
+      val writer = bands.write.mode("overwrite")
+      (if (buckets >= 1) writer.partitionBy("band", "key_bucket")
+       else writer.partitionBy("band")).parquet(dir)
+      Multimodal.incomingDhashDups(spark.read.parquet(dir), batch,
+          "id", "media", maxHamming = 10, corpusBuckets = buckets)
+        .orderBy("a_id", "b_id").collect().map(_.toString).toSeq
+    }
+    val unbucketed = run(-1)
+    assert(unbucketed === run(8))
+    assert(unbucketed === run(64))
+  }
+
+  test("bucketed band probe prunes the stored scan to the batch's buckets") {
+    val db = screenDb("graft_mhprune")
+    db.reindexMinhash("docs", buckets = 64)
+    val stored = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(db.root,
+        "graft_minhash_docs/gen_0/bands").toString)
+    // one-doc batch: its band rows touch ≤ 4 of 64 buckets, so the
+    // cap-and-switch must push an IN partition filter into the scan
+    val probe = Dedup.incomingNearDups(stored,
+      graft.Tables.documents(spark, TestSpark.sf)
+        .select(col("doc_id").as("id"), col("text").as("payload")),
+      graft.Tables.documents(spark, TestSpark.sf).limit(1)
+        .select((col("doc_id") + 900000L).as("id"),
+          col("text").as("payload")),
+      "id", "payload", materialize = false, corpusBuckets = 64)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("band_bucket"),
+      s"stored scan must carry the bucket partition column:\n${p.take(1500)}")
+    assert(p.contains("PartitionFilters: [") && (
+      "PartitionFilters: \\[[^\\]]*band_bucket".r.findFirstIn(p).isDefined),
+      s"the batch's bucket set must prune the stored scan:\n${p.take(1500)}")
+  }
+
+  test("REINDEX type=minhash with no count records a derived power-of-two layout") {
+    val db = screenDb("graft_mhmeta")
+    db.reindexMinhash("docs")
+    // the derived count must land in meta (refresh segments must share
+    // the generation's layout)...
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(db.root.toUri.getPath,
+        "graft_minhash_docs", "meta.json")), "UTF-8")
+    val b = """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(meta)
+      .map(_.group(1).toInt)
+    assert(b.isDefined, s"meta must record the derived bucket count: $meta")
+    assert(Integer.bitCount(b.get) === 1 && 65536 % b.get === 0,
+      s"derived count ${b.get} must be a power of two dividing 65536")
+    // ...and the band segment dirs must carry the band_bucket partitions
+    val bandsDir = java.nio.file.Paths.get(db.root.toUri.getPath,
+      "graft_minhash_docs", "gen_0", "bands")
+    val hasBucketDirs = java.nio.file.Files.walk(bandsDir)
+      .anyMatch(p => p.getFileName.toString.startsWith("band_bucket="))
+    assert(hasBucketDirs, "band dirs must sub-partition by band_bucket")
+  }
 }
