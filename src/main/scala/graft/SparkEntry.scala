@@ -130,5 +130,10 @@ object SparkEntry {
     // a maxWordLen-layer Viterbi DP of keyed joins over the word
     // spectrum, then a vocabulary-grain re-estimation; BPE/WordPiece
     // merge rounds are single count-table regroups by comparison).
-    "q268_unigram_lm")
+    "q268_unigram_lm",
+    // round-13 addition (r12 verdict item 7): hybrid serving under a
+    // CONCURRENT query batch — q267 measures one query; real serving
+    // amortizes the postings scan and the cell probe across a batch.
+    // One pruned postings pass + one cell-union probe for 3 queries.
+    "q309_hybrid_batch")
 }

@@ -1622,6 +1622,177 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       kRrf = kRrf, k = k)
   }
 
+  /** SEARCHHYBRID for a QUERY BATCH — the concurrent-serving shape
+    * (r12 verdict item 7): real retrieval traffic arrives as batches,
+    * and a per-query loop would pay one postings scan and one cell
+    * probe per query. This answers the WHOLE batch with:
+    *
+    *  - ONE postings pass pruned to the union of every query's term
+    *    buckets: the batch rides a BROADCAST (query_id, term, ord)
+    *    catalog joined onto the pruned postings rows, each row computes
+    *    its own BM25 contribution ([[graft.operators.TextAnalysis
+    *    .bm25FromIndex]]'s arithmetic term-for-term), and the per-
+    *    (query, doc) score is an ord-ordered sort+fold — bit-identical
+    *    to the single-query fixed-order chain because absent terms
+    *    contribute exactly +0.0 (all contributions are ≥ 0, so
+    *    skipping zeros is an IEEE identity) and the fold adds in the
+    *    query's own term order. The kf cut is [[TopKAggregator]]'s
+    *    bounded heap per query on the ROUNDED score — no windows, no
+    *    per-query plan branches: plan size is independent of batch
+    *    size, and the postings scan executes once for the batch.
+    *  - ONE cell-probe scan for every query's dense candidates
+    *    ([[VectorIndex.probeBatch]]: the union of all probed cells,
+    *    scored per (query, cell) broadcast pair, bounded heap per
+    *    query). The kf cut rides the heap's raw exact score (the
+    *    q128-gated discipline); ranks are then re-derived on the
+    *    ROUNDED score (the hybrid rank doctrine) over the ≤ kf
+    *    survivors.
+    *  - RRF fusion per query ([[SimilaritySearch.rrfFuse]]'s exact
+    *    arithmetic) with a k-cut over the ≤ 2·kf fused rows per query.
+    *
+    * Queries are driver-side by construction (a serving request, not a
+    * table) — that is what lets the term sets prune the postings scan
+    * with literal filters and the per-query score chains stay
+    * fixed-order plan literals. Falls back per branch exactly like
+    * [[searchHybrid]]: stale/missing postings → one corpus tokenize
+    * (still one pass for the batch), no probeRadius / no cell layout →
+    * the exact broadcast batch scan.
+    *
+    * Output: (query_id, id, rrf, n_lists) — [[SimilaritySearch.rrfFuse]]'s
+    * columns per query, ordered (query_id, rrf desc, id).
+    */
+  def searchHybridBatch(name: String,
+      queries: Seq[(Long, Seq[String], Array[Float])],
+      k: Int = 10, kf: Int = 20, kRrf: Int = 60,
+      probeRadius: Int = -1): DataFrame = {
+    requireCollection(name)
+    require(queries.nonEmpty, "searchHybridBatch needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      s"duplicate query ids in batch: ${queries.map(_._1)}")
+    require(k >= 1 && kf >= k && kRrf >= 1,
+      s"bad batch cuts (k=$k, kf=$kf, kRrf=$kRrf)")
+    val spark = this.spark
+    import spark.implicits._
+    val termsByQ: Seq[(Long, Seq[String])] = queries.map { case (qid, ts, _) =>
+      val nt = normalizeTerms(ts)
+      require(nt.nonEmpty, s"no searchable terms for query $qid " +
+        s"(got: ${ts.mkString(", ")})")
+      (qid, nt)
+    }
+    val unionTerms: Seq[String] = termsByQ.flatMap(_._2).distinct
+
+    // ---- sparse branch: one pruned postings pass for the whole batch
+    val tDir = textIndexDir(name)
+    val liveText = fs.exists(new Path(tDir, "meta.json")) &&
+      !fs.exists(textIndexStaleMarker(name))
+    val (hits, doclens) =
+      if (liveText) {
+        val buckets = parseTextIndexBuckets(
+          readString(fs, textIndexMetaPath(name)))
+        val wanted = unionTerms.map(bucketOfTerm(_, buckets)).distinct
+        val postings = readArtifact(
+            new Path(textGenDir(name), "postings"), PostingsSchema)
+          .filter(col("term_bucket").isin(wanted: _*) &&
+            col("term").isin(unionTerms: _*))
+          .join(broadcast(tombstones(name)), Seq("id", "seg"), "left_anti")
+        (postings.select(col("id"), col("term"), col("tf")),
+          liveDoclens(name).select(col("id"), col("dl")))
+      } else {
+        val cur = read(name)
+        require(cur.columns.contains("payload"),
+          s"SEARCHHYBRID needs a payload column on $name " +
+            s"(has: ${cur.columns.mkString(", ")})")
+        (graft.operators.TextAnalysis.invertedIndex(cur, "id", "payload")
+            .filter(col("term").isin(unionTerms: _*)),
+          graft.operators.TextAnalysis.docLengths(cur, "id", "payload"))
+      }
+    // the batch catalog: (query_id, term, ord) — ord is the term's
+    // position in ITS query's list, the fold order that keeps per-query
+    // summation identical to the single-query chain
+    val qt = broadcast(termsByQ.flatMap { case (qid, terms) =>
+      terms.zipWithIndex.map { case (t, o) => (qid, t, o) }
+    }.toDF("query_id", "term", "__ord"))
+    val base = doclens.agg(
+      count(lit(1)).as("__n"),
+      (sum("dl").cast("double") / count(lit(1))).as("__avgdl"))
+    // per-term document frequencies: term-grain, ≤ |unionTerms| rows
+    val dfs = broadcast(hits.groupBy("term")
+      .agg(count(lit(1)).as("__df")))
+    val k1 = 1.2
+    val b = 0.75
+    // per (query, doc, term) contribution: bm25()/bm25FromIndex()
+    // operation-for-operation (the q136 never-pre-fold rule). tf ≥ 1 by
+    // postings construction, so the single-query chain's tf>0 guard is
+    // vacuously true on every row here; absent terms have no row and
+    // would contribute exactly +0.0 (contributions are ≥ 0 — idf > 0
+    // always since its log argument exceeds 1), an IEEE identity.
+    val idf = log((col("__n") - col("__df") + 0.5) /
+      (col("__df") + 0.5) + 1)
+    val contrib = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - b + lit(b) * col("dl") / col("__avgdl")))
+    val scoredRows = hits
+      .join(qt, Seq("term"))
+      .join(doclens, Seq("id"))
+      .join(dfs, Seq("term"))
+      .crossJoin(broadcast(base))
+      .select(col("query_id"), col("id"), col("__ord"), contrib.as("__c"))
+    // per-(query, doc) score: fold the contributions in ord order (the
+    // query's own term order, left-assoc like the single-query chain),
+    // round once; the kf cut rides the bounded heap per query on the
+    // ROUNDED score, ties on lowest id (TopKAggregator's contract —
+    // identical to ORDER BY bm25 DESC, id).
+    val perQueryDoc = scoredRows
+      .groupBy("query_id", "id")
+      .agg(round(aggregate(
+          array_sort(collect_list(struct(col("__ord"), col("__c")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("__c")) + lit(1e-9), 6).as("bm25"))
+    val sparse = SimilaritySearch.boundedTopKPerQuery(
+        perQueryDoc.select(col("query_id"), col("id"), col("bm25"))
+          .as[(Long, Long, Double)],
+        kf, desc_? = true, "id", "query_id")
+      .select(col("query_id"), col("id"), col("rank").cast("long").as("rank"))
+
+    // ---- dense branch: one cell-union probe for the whole batch
+    val qvecs = queries.map { case (qid, _, v) => (qid, v) }
+      .toDF("query_id", "query_vec")
+    val data = read(name)
+    lazy val layout = indexType(name)
+    val denseTop =
+      if (probeRadius >= 0 && data.columns.contains("cluster_id") &&
+          layout.contains("sign_bucket"))
+        VectorIndex.probeBatch(data.drop(PqCodeCol), qvecs, k = kf,
+          metric = "cosine", nBits = indexBits(name), radius = probeRadius,
+          vecCol = "embedding", idCol = "id")
+      else
+        SimilaritySearch.topKBatchAgg(data, qvecs, k = kf,
+          metric = "cosine", vecCol = "embedding", idCol = "id")
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(org.apache.spark.sql.functions.desc("__cs"), col("id"))
+    val dense = denseTop
+      .select(col("query_id"), col("id"), round(col("score"), 6).as("__cs"))
+      .withColumn("rank", row_number().over(wD).cast("long"))
+      .select("query_id", "id", "rank")
+
+    // ---- RRF per query (rrfFuse's exact arithmetic, query-keyed)
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(org.apache.spark.sql.functions.desc("rrf"), col("id"))
+    sparse.unionByName(dense)
+      .select(col("query_id"), col("id"), col("rank").cast("long").as("__r"))
+      .groupBy("query_id", "id")
+      .agg(
+        round(sum(lit(1.0) / (lit(kRrf) + col("__r"))) + lit(1e-9), 6)
+          .as("rrf"),
+        count(lit(1)).as("n_lists"))
+      .withColumn("__rk", row_number().over(wK))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("id"), col("rrf"), col("n_lists"))
+      .orderBy(col("query_id"), desc("rrf"), col("id"))
+  }
+
   /** SQ8-accelerated SEARCHSIMILAR (see [[SimilaritySearch.topKSq8]]): scan
     * int8-quantized scores for everything, exact-rerank only a shortlist.
     * Works on any layout (no index required) — the accelerator of choice

@@ -271,7 +271,7 @@ object SimilaritySearch {
     * metrics); `desc_?` restores the sign on output. Ties kept on
     * (score, lowest id). Output: (queryIdCol, idCol, score, rank).
     */
-  private[operators] def boundedTopKPerQuery(
+  private[graft] def boundedTopKPerQuery(
       scored: org.apache.spark.sql.Dataset[(Long, Long, Double)],
       k: Int, desc_? : Boolean, idCol: String,
       queryIdCol: String): DataFrame = {

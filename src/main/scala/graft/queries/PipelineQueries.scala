@@ -1161,6 +1161,27 @@ object PipelineQueries {
         .orderBy("query_id")
     }),
 
+    // SEARCHHYBRID for a QUERY BATCH at serving steady state (r12
+    // verdict item 7 — real traffic arrives as concurrent batches):
+    // three queries with distinct term sets and query vectors answered
+    // by ONE term-bucket-pruned postings pass (broadcast term catalog +
+    // ord-ordered contribution fold — plan size independent of batch
+    // size) and ONE sign-cell union probe (bounded heap per query),
+    // fused per query by RRF. Zero-df edge included (graftmissing
+    // never occurs in the corpus).
+    // The oracle replays every query's full chain and unions.
+    "q309_hybrid_batch" -> ((s, dir) => {
+      val db = storedHybridDb(s, dir)
+      val vecs = Tables.embeddings(s, dir).filter(col("vec_id") < 3)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      db.searchHybridBatch("docs", Seq(
+          (0L, Seq("vector", "data", "merge"), vecs(0L)),
+          (1L, Seq("join", "window", "scan"), vecs(1L)),
+          (2L, Seq("query", "graftmissing"), vecs(2L))),
+        k = 10, kf = 20, probeRadius = 1)
+    }),
+
     // INCREMENTAL index maintenance end to end (the nightly-delta story):
     // build the postings artifact, mutate the collection (insert a 10%
     // slice re-tagged with a marker term, rewrite one doc, delete an id
@@ -1711,6 +1732,86 @@ object PipelineQueries {
       |WHERE tf0 + tf1 + tf2 > 0
       |ORDER BY bm25 DESC, id
       |LIMIT 20""".stripMargin
+
+  // the q309 oracle: per batch query, q195's BM25 arithmetic over the
+  // query's OWN terms (fixed-order CASE chain), the q128 raw-cut dense
+  // probe re-ranked on the rounded score, RRF, top-10 — unioned across
+  // the batch. toks/cod pin one evaluation (AS MATERIALIZED — the q203
+  // rule: three consumers each would re-expand them).
+  private lazy val hybridBatchSql: String = {
+    val qs = Seq(
+      (0L, Seq("vector", "data", "merge"), 0L),
+      (1L, Seq("join", "window", "scan"), 1L),
+      (2L, Seq("query", "graftmissing"), 2L))
+    val per = qs.map { case (qid, terms, vid) =>
+      val dfDefs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(",\n    ")
+      val cases = terms.indices.map(i =>
+        s"""(CASE WHEN tf$i > 0 THEN ln((n - df$i + 0.5)/(df$i + 0.5) + 1)
+           |      * (tf$i * (1.2 + 1)) / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+           |      ELSE 0.0 END)""".stripMargin).mkString("\n    + ")
+      val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
+      s"""pd$qid AS (
+         |  SELECT id, CAST(len(t) AS BIGINT) AS dl,
+         |    ${terms.zipWithIndex.map { case (t, i) =>
+               s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf$i"
+             }.mkString(",\n    ")}
+         |  FROM toks),
+         |st$qid AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |    $dfDefs
+         |  FROM pd$qid),
+         |bm$qid AS (
+         |  SELECT id, round(
+         |    $cases + 1e-9, 6) AS bm25
+         |  FROM pd$qid CROSS JOIN st$qid WHERE $anyTf > 0),
+         |sp$qid AS (
+         |  SELECT id, CAST(rn AS BIGINT) AS r FROM (
+         |    SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS rn
+         |    FROM bm$qid)
+         |  WHERE rn <= 20),
+         |qv$qid AS (
+         |  SELECT CAST(embedding AS DOUBLE[]) AS qemb,
+         |    ${VectorQueries.duckBucket("embedding")} AS qc
+         |  FROM embeddings WHERE vec_id = $vid),
+         |sc$qid AS (
+         |  SELECT e.id,
+         |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qemb) AS raw
+         |  FROM cod e CROSS JOIN qv$qid q
+         |  WHERE bit_count(xor(CAST(e.c AS BIGINT), CAST(q.qc AS BIGINT))) <= 1),
+         |ct$qid AS (
+         |  SELECT id, raw FROM (
+         |    SELECT id, raw, row_number() OVER (ORDER BY raw DESC, id) AS rn
+         |    FROM sc$qid)
+         |  WHERE rn <= 20),
+         |de$qid AS (
+         |  SELECT id, CAST(row_number() OVER (
+         |    ORDER BY round(raw, 6) DESC, id) AS BIGINT) AS r
+         |  FROM ct$qid),
+         |u$qid AS (SELECT id, r FROM sp$qid UNION ALL SELECT id, r FROM de$qid),
+         |f$qid AS (
+         |  SELECT CAST($qid AS BIGINT) AS query_id, id,
+         |    round(sum(1.0/(60 + r)) + 1e-9, 6) AS rrf,
+         |    CAST(count(*) AS BIGINT) AS n_lists
+         |  FROM u$qid GROUP BY id ORDER BY rrf DESC, id LIMIT 10)""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT d.doc_id AS id, d.text
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+       |toks AS MATERIALIZED (
+       |  SELECT id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM base),
+       |cod AS MATERIALIZED (
+       |  SELECT b.id, e.embedding, ${VectorQueries.duckBucket("e.embedding")} AS c
+       |  FROM base b JOIN embeddings e ON e.vec_id = b.id),
+       |${per.mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT * FROM f0 UNION ALL SELECT * FROM f1
+       |  UNION ALL SELECT * FROM f2)
+       |ORDER BY query_id, rrf DESC, id""".stripMargin
+  }
 
   private lazy val hybridBmPrefix =
     """WITH base AS (
@@ -2439,6 +2540,8 @@ object PipelineQueries {
     // written out explicitly for the integer-exact shortlist cut, exact
     // rerank, kf cut on the ROUNDED score) over the hybrid collection
     "q267_hybrid_stored" -> hybridAnnSql,
+
+    "q309_hybrid_batch" -> hybridBatchSql,
 
     "q301_stats_cmd" ->
       """SELECT stat, value FROM (

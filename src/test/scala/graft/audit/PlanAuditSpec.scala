@@ -591,6 +591,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q309 hybrid batch: ONE pruned postings scan + ONE pruned cell probe for the whole batch") {
+    // the whole point of the batch path: per-query branches must share
+    // the union-term pivot (ReusedExchange), so the postings artifact is
+    // scanned once for the batch — AQE materializes reuse only in the
+    // final plan, so execute first (the q20 codegen precedent)
+    val df = graft.SparkEntry.queries("q309_hybrid_batch")(spark, TestSpark.sf)
+    df.collect()
+    // the FINAL plan (post-AQE) is authoritative; its toString appends the
+    // initial plan below a marker — audit only the final section
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // sparse: the whole batch rides ONE term-bucket-pruned postings scan
+    // (broadcast term catalog + per-row contributions + ord-ordered fold
+    // + bounded heap) — plan size is independent of batch size
+    val postingsScans =
+      "Scan parquet[^\\n]*textindex[^\\n]*term:string,id:bigint,tf:bigint".r
+        .findAllIn(p).size
+    assert(postingsScans == 1,
+      s"expected ONE postings scan for the batch, got $postingsScans:\n${p.take(2000)}")
+    assert("PartitionFilters: \\[term_bucket[^\\]]* IN ".r.findFirstIn(p).isDefined,
+      s"the postings scan must prune to the union term buckets:\n${p.take(2000)}")
+    // both cuts (sparse kf, dense kf) are bounded heaps
+    assert(p.contains("ObjectHashAggregate"),
+      s"the per-query cuts must be the bounded heap aggregator:\n${p.take(2000)}")
+    // dense side: one collection scan, pruned to the probed-cell union
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(p).isDefined,
+      s"the batch probe must prune sign-bucket cells:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the stored sparse branch must never re-tokenize the corpus
+    assert(!p.contains("regexp"),
+      s"stored path must not re-tokenize:\n${p.take(2000)}")
+    // every surviving window ranks a k-bounded input (dense re-rank over
+    // the heap's ≤ kf rows, the fused ≤ 2·kf cut)
+    assert(unboundedWindows(p).isEmpty,
+      s"window(s) fed by an unbounded read: ${unboundedWindows(p)}")
+  }
+
   test("q269 pretrain capstone: keyed shuffles only, source-partitioned packing") {
     // stage boundaries are eagerly checkpointed (multi-consumer frames),
     // so the inspectable plan is the chunk→pack→shard tail; the upstream
