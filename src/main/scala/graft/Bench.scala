@@ -12,6 +12,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional args (dev only — the driver passes none): restrict the run
+    // to the named queries, for standalone adjudication of a suspect
+    // in-set number (the r9 house method: a rise that reproduces in a
+    // fresh JVM running ONLY that query is code/data; one that doesn't is
+    // set-interaction — cache eviction, GC shadow — or box drift).
+    // Restricted runs never overwrite BENCH_LOCAL.json.
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args.toSet) else None
+    val benchSet = SparkEntry.benchQueries.filter(q => only.forall(_(q)))
+    require(benchSet.nonEmpty, s"no bench queries match ${args.toSeq}")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,7 +62,7 @@ object Bench {
     // schema-broken queries as ~0.14 s "speedups").
     val broken = scala.collection.mutable.LinkedHashMap.empty[String, String]
     calibrate(spark)
-    SparkEntry.benchQueries.foreach { name =>
+    benchSet.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).collect()
       catch { case e: Throwable =>
         broken(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -69,22 +79,33 @@ object Bench {
     // inflated value, while passes put the whole set (~10 s) between a
     // query's reps, so a burst can only touch one of them.
     val reps = 3
-    val times = Array.fill(SparkEntry.benchQueries.length)(Double.MaxValue)
+    val times = Array.fill(benchSet.length)(Double.MaxValue)
     // GC seconds INSIDE the rep that produced each query's min wall time —
     // the round-9 heap A/B showed GC throttling masquerading as query
     // regressions (q100 2.58s@8g vs 1.66s@16g, code unchanged); recording
     // per-query GC makes that failure mode visible in the artifact instead
     // of needing a heap bisection to find
-    val gcs = Array.fill(SparkEntry.benchQueries.length)(0.0)
+    val gcs = Array.fill(benchSet.length)(0.0)
     var calib = Double.MaxValue
+    var calibShuffle = Double.MaxValue
     for (_ <- 0 until reps) {
-      // the calibration probe rides in every timed pass like a query, so
-      // its min sees the same noise environment the query minima do
+      // BOTH calibration probes ride in every timed pass like queries, so
+      // their minima see the same noise environment the query minima do.
+      // calibrate() is the single-stage codegen-hash probe (per-core
+      // speed); calibrateShuffle() is WORKLOAD-shaped — one codegen
+      // scan-agg stage + one shuffle + one final agg (r13 verdict item 3:
+      // box adjustment must not hinge on a probe the bench demonstrably
+      // doesn't follow — q201 was identical across "1.74×-different"
+      // boxes because the hash probe can't see memory/shuffle pressure).
       val c0 = System.nanoTime()
       calibrate(spark)
       calib = math.min(calib, (System.nanoTime() - c0) / 1e9)
       sweep(spark)
-      SparkEntry.benchQueries.zipWithIndex.foreach { case (name, i) =>
+      val c1 = System.nanoTime()
+      calibrateShuffle(spark)
+      calibShuffle = math.min(calibShuffle, (System.nanoTime() - c1) / 1e9)
+      sweep(spark)
+      benchSet.zipWithIndex.foreach { case (name, i) =>
         if (!broken.contains(name)) {
           val fn = SparkEntry.queries(name)
           val g0 = gcMillis()
@@ -105,7 +126,7 @@ object Bench {
         }
       }
     }
-    val results = SparkEntry.benchQueries.zip(times)
+    val results = benchSet.zip(times)
       .filter { case (name, _) => !broken.contains(name) }
     // the driver captures only ~2 KB of output tail: the round-10 artifact
     // lost `total`/`calibration`/the first six query times when the raw
@@ -119,7 +140,7 @@ object Bench {
     def r3(v: Double): String = fmt(v, 3)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val gcPairs = SparkEntry.benchQueries.zip(gcs)
+    val gcPairs = benchSet.zip(gcs)
       .filter { case (name, _) => !broken.contains(name) }
     // printed line carries only the GC entries big enough to adjudicate a
     // rise (>= 0.1 s inside a min rep); the full map lives in
@@ -150,14 +171,15 @@ object Bench {
     // summary fields LAST: the tail capture truncates the FRONT of an
     // oversized line, so `value`/`calibration` survive even if the
     // per-query map gets clipped
-    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"gc_in_min_rep":$gcJson,"gc_total":${r3(gcTotal)},"broken":$errs,"heap_gb":${fmt(heapGb, 1)},"cal_ratio_vs_prev":${r3(ratio)},"calibration":${fmt(calib, 4)},"value":${r3(total)}}"""
+    val line = s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"gc_in_min_rep":$gcJson,"gc_total":${r3(gcTotal)},"broken":$errs,"heap_gb":${fmt(heapGb, 1)},"cal_ratio_vs_prev":${r3(ratio)},"cal_shuffle":${fmt(calibShuffle, 4)},"calibration":${fmt(calib, 4)},"value":${r3(total)}}"""
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullGc = gcPairs.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"cal_ratio_vs_prev":$ratio,"heap_gb":$heapGb,"queries":$fullQs,"gc_in_min_rep":$fullGc,"broken":$errs,"delta_vs_prev":$deltas,"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (full + "\n").getBytes("UTF-8"))
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","calibration":$calib,"cal_shuffle":$calibShuffle,"cal_ratio_vs_prev":$ratio,"heap_gb":$heapGb,"queries":$fullQs,"gc_in_min_rep":$fullGc,"broken":$errs,"delta_vs_prev":$deltas,"sf":"$sfDir"}"""
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (full + "\n").getBytes("UTF-8"))
     // The metric line must be the FINAL stdout line: silence every Spark
     // logger first (the end-of-run localCheckpoint-unpersist WARNs from the
     // last sweep otherwise interleave after it in a merged capture), print,
@@ -195,6 +217,28 @@ object Bench {
     // modulo bounds the ANSI sum: |h % 1e9+7| · 200M < 2^63 by a wide margin
     spark.range(0L, 200000000L, 1L, splits)
       .select(sum(xxhash64(col("id")) % 1000000007L)).collect()
+    ()
+  }
+
+  /** Second calibration probe, WORKLOAD-shaped (r13 verdict item 3): one
+    * codegen'd scan + partial aggregation, ONE shuffle (1024 groups over
+    * the session's partitions), one final aggregation — the minimal
+    * template of the bench set's dominant query shape. Fixed synthetic
+    * work (no testdata), so its round-over-round ratio isolates the box
+    * drift the single-stage hash probe cannot see (shuffle buffers,
+    * memory bandwidth, allocator pressure). Adjudication rule: a query
+    * rise that tracks cal_shuffle but not calibration is a
+    * shuffle/memory-lane box change; one that tracks neither and
+    * reproduces standalone is code/data.
+    */
+  private def calibrateShuffle(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    val splits = spark.sparkContext.defaultParallelism
+    spark.range(0L, 20000000L, 1L, splits)
+      .select((xxhash64(col("id")) % 1024L).as("k"),
+        (xxhash64(col("id"), lit(1)) % 1000000007L).as("v"))
+      .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .select(sum(col("s") % 1000000007L), sum("n")).collect()
     ()
   }
 

@@ -135,5 +135,10 @@ object SparkEntry {
     // CONCURRENT query batch — q267 measures one query; real serving
     // amortizes the postings scan and the cell probe across a batch.
     // One pruned postings pass + one cell-union probe for 3 queries.
-    "q309_hybrid_batch")
+    "q309_hybrid_batch",
+    // round-14 addition (r13 verdict item 1): the same batch served from
+    // the RESIDUAL ADC layout — dense candidates from ONE codes-only
+    // scan pruned to the probed-cell union (broadcast residual LUTs,
+    // bounded shortlist heap, one shortlist-bounded exact rerank).
+    "q310_hybrid_adc_batch")
 }

@@ -167,20 +167,49 @@ object CommandExecutor {
 
       case SearchHybrid(coll, arg) =>
         val opts = parseKv(arg)
-        val vec = opts.getOrElse("vec", throw new IllegalArgumentException(
-          "SEARCHHYBRID arg must include vec=f,f,...")).split(",")
-          .map(_.trim.toFloat)
-        db.searchHybrid(coll,
-          terms = splitTerms(opts, "SEARCHHYBRID"),
-          query = vec,
-          k = opts.getOrElse("k", "10").toInt,
-          kf = opts.getOrElse("kf", "20").toInt,
-          kRrf = opts.getOrElse("krrf", "60").toInt,
-          // radius + shortlist opt the dense branch into the stored ANN
-          // composition (cell probe × SQ8 × exact rerank) — the same
-          // option names SEARCHSIMILAR uses
-          probeRadius = opts.getOrElse("radius", "-1").toInt,
-          shortlist = opts.getOrElse("shortlist", "-1").toInt)
+        opts.get("queries") match {
+          // batch grammar: queries=<file> — one query per line,
+          // `qid|term1,term2,...|f,f,...` (a serving request is
+          // driver-side by construction; Float.toString round-trips, so
+          // a file written from the API's vectors parses back exact).
+          // The whole batch is answered by ONE postings pass + ONE
+          // cell/ADC probe (searchHybridBatch).
+          case Some(path) =>
+            require(!opts.contains("vec") && !opts.contains("terms"),
+              "SEARCHHYBRID: queries= (batch file) excludes vec=/terms=")
+            val batch = java.nio.file.Files
+              .readAllLines(java.nio.file.Paths.get(path)).toArray
+              .map(_.toString.trim).filter(_.nonEmpty).toSeq
+              .map { ln =>
+                val parts = ln.split("\\|", -1)
+                require(parts.length == 3,
+                  s"bad batch line (want qid|terms|vec): $ln")
+                (parts(0).trim.toLong,
+                  parts(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+                  parts(2).split(",").map(_.trim.toFloat))
+              }
+            db.searchHybridBatch(coll, batch,
+              k = opts.getOrElse("k", "10").toInt,
+              kf = opts.getOrElse("kf", "20").toInt,
+              kRrf = opts.getOrElse("krrf", "60").toInt,
+              probeRadius = opts.getOrElse("radius", "-1").toInt,
+              shortlist = opts.getOrElse("shortlist", "-1").toInt)
+          case None =>
+            val vec = opts.getOrElse("vec", throw new IllegalArgumentException(
+              "SEARCHHYBRID arg must include vec=f,f,... (or queries=<file>)"))
+              .split(",").map(_.trim.toFloat)
+            db.searchHybrid(coll,
+              terms = splitTerms(opts, "SEARCHHYBRID"),
+              query = vec,
+              k = opts.getOrElse("k", "10").toInt,
+              kf = opts.getOrElse("kf", "20").toInt,
+              kRrf = opts.getOrElse("krrf", "60").toInt,
+              // radius + shortlist opt the dense branch into the stored ANN
+              // composition (cell probe × SQ8 × exact rerank) — the same
+              // option names SEARCHSIMILAR uses
+              probeRadius = opts.getOrElse("radius", "-1").toInt,
+              shortlist = opts.getOrElse("shortlist", "-1").toInt)
+        }
 
       case Summarize(coll, arg) =>
         val opts = arg.map(parseKv).getOrElse(Map.empty)
@@ -275,6 +304,20 @@ object CommandExecutor {
                 "REINDEX type=winsig mode must be full, refresh, or " +
                   s"compact, got: $other")
             }
+          case "dhash" =>
+            opts.getOrElse("mode", "full") match {
+              // buckets default -1 = derived from the collection's size
+              // (ScaleKnobs.sigBuckets); explicit values honored. Full
+              // rebuild only: dHash carries no diff base and the hash is
+              // one codegen scan — mutations mark the artifact stale and
+              // the screen falls back until the next REINDEX.
+              case "full" => db.reindexDhash(coll,
+                mediaCol = opts.getOrElse("col", "media"),
+                buckets = opts.getOrElse("buckets", "-1").toInt)
+              case other => throw new IllegalArgumentException(
+                "REINDEX type=dhash supports mode=full only (no diff " +
+                  s"base to refresh from), got: $other")
+            }
           case "tokenizer" =>
             // the trained-artifact family: like zorder this records intent
             // in a sidecar rather than a cluster_id partition layout
@@ -283,7 +326,7 @@ object CommandExecutor {
               nMerges = opts.getOrElse("merges", "10").toInt)
           case other => throw new IllegalArgumentException(
             "REINDEX type must be sign, kmeans, zorder, pq, ivfpq, " +
-              s"postings, minhash, winsig, or tokenizer, got: $other")
+              s"postings, minhash, winsig, dhash, or tokenizer, got: $other")
         }
         status("REINDEX", coll)
     }

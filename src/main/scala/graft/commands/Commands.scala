@@ -46,7 +46,10 @@ package graft.commands
   *    BM25 keyword retrieval over the payload column.
   *  - SEARCHHYBRID arg (extension): `terms=a,b,c;vec=f,f,...[;k;kf;krrf]`
   *    — reciprocal-rank fusion of the BM25 and cosine rankings (each
-  *    branch's top `kf`, fused with constant `krrf`, top `k` out).
+  *    branch's top `kf`, fused with constant `krrf`, top `k` out); OR
+  *    `queries=<file>[;k;kf;krrf;radius;shortlist]` — a batch file
+  *    (one `qid|terms|vec` line per query) answered by ONE postings
+  *    pass + ONE cell/ADC probe for the whole batch.
   */
 sealed trait GraftCommand
 

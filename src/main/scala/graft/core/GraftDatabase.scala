@@ -69,6 +69,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     deleteTextIndex(name) // the artifacts must not outlive their collection
     deleteMinhashIndex(name)
     deleteWinsigIndex(name)
+    deleteDhashIndex(name)
     ()
   }
 
@@ -110,6 +111,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     if (fs.exists(new Path(winsigDir(name), "meta.json")))
       rows += (("winsig",
         if (fs.exists(winsigStaleMarker(name))) "stale" else "live"))
+    if (fs.exists(dhashMetaPath(name)))
+      rows += (("dhash",
+        if (fs.exists(dhashStaleMarker(name))) "stale" else "live"))
     rows.sortBy(_._1).toSeq.toDF("index_type", "state")
   }
 
@@ -214,6 +218,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     invalidateTextIndex(name) // appended rows are not in the stored postings
     invalidateMinhashIndex(name) // ... nor in the stored signatures
     invalidateWinsigIndex(name) // ... nor in the stored window sigs
+    invalidateDhashIndex(name) // ... nor in the stored dhash bands
     // derived columns the existing data carries (quantized copy, cluster
     // assignment) are recomputed for arriving rows in the same write pass —
     // an append may never produce rows missing a column the readers expect.
@@ -306,6 +311,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     invalidateTextIndex(name)
     invalidateMinhashIndex(name)
     invalidateWinsigIndex(name)
+    invalidateDhashIndex(name)
     val current = read(name)
     val hasIndex = current.columns.contains("cluster_id")
     val hasQuant = current.columns.contains(QuantCol)
@@ -350,6 +356,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     invalidateTextIndex(name)
     invalidateMinhashIndex(name)
     invalidateWinsigIndex(name)
+    invalidateDhashIndex(name)
     rewrite(name, graft.operators.Mutations.deleteWhere(read(name), predicate))
   }
 
@@ -379,6 +386,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     invalidateTextIndex(name)
     invalidateMinhashIndex(name)
     invalidateWinsigIndex(name)
+    invalidateDhashIndex(name)
     import spark.implicits._
     val next = align(name, snapshot)
     val current = read(name)
@@ -1067,11 +1075,18 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     (intOf("shingleN"), intOf("numHashes"), intOf("rowsPerBand"))
   }
 
+  // Missing buckets field = an artifact built before the derived
+  // sub-bucket layouts landed: its partition dirs have no band_bucket
+  // layer, so segments appended under the current layout would mix flat
+  // files with partition dirs (the round-11 discovery-conflict rule).
+  // The supported upgrade is a full rebuild — say so, actionably.
   private def minhashBuckets(name: String): Int =
     """"buckets"\s*:\s*(\d+)""".r
       .findFirstMatchIn(readString(fs, minhashMetaPath(name)))
       .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
-        s"minhash meta has no buckets field on $name"))
+        s"minhash meta on $name has no buckets field (artifact predates " +
+          "the bucketed layout) — run REINDEX type=minhash to rebuild " +
+          "before refresh/compact/screen"))
 
   /** One segment append: banded signatures + the (id, payload_md5)
     * diff-base rows for every doc in `rows` (short docs with no
@@ -1474,11 +1489,14 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
         s"winsig meta has no minTokens field on $name"))
 
+  // same pre-upgrade contract as minhashBuckets: full rebuild, loudly
   private def winsigBuckets(name: String): Int =
     """"buckets"\s*:\s*(\d+)""".r
       .findFirstMatchIn(readString(fs, winsigMetaPath(name)))
       .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
-        s"winsig meta has no buckets field on $name"))
+        s"winsig meta on $name has no buckets field (artifact predates " +
+          "the bucketed layout) — run REINDEX type=winsig to rebuild " +
+          "before refresh/compact/screen"))
 
   /** Scrub an arriving batch (`id`, `payload`) of every token position
     * covered by a >= minTokens-token window already present in the
@@ -1528,6 +1546,123 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
 
   private def deleteWinsigIndex(name: String): Unit = {
     val dir = winsigDir(name)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+
+  // ---- dhash signature artifact (ingest-time perceptual screening) ------
+
+  private def dhashDir(name: String): Path =
+    new Path(root, s"${ReservedPrefix}dhash_$name")
+
+  private def dhashStaleMarker(name: String): Path =
+    new Path(dhashDir(name), "stale")
+
+  private def dhashMetaPath(name: String): Path =
+    new Path(dhashDir(name), "meta.json")
+
+  private val DhashBandsSchema = StructType.fromDDL(
+    "id BIGINT, sig BIGINT, band INT, key BIGINT, key_bucket INT")
+
+  private def dhashBuckets(name: String): Int =
+    """"buckets"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readString(fs, dhashMetaPath(name)))
+      .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+        s"dhash meta on $name has no buckets field"))
+
+  private def dhashMediaCol(name: String): String =
+    """"mediaCol"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(readString(fs, dhashMetaPath(name)))
+      .map(_.group(1)).getOrElse(throw new IllegalStateException(
+        s"dhash meta on $name has no mediaCol field"))
+
+  /** REINDEX type=dhash — materialize the collection's banded dHash56
+    * signatures ([[graft.operators.Multimodal.dhashBands]] over the
+    * binary `mediaCol`) as a managed artifact partitioned by
+    * `(band, key_bucket)`: the corpus side of [[screenImages]], hashed
+    * once instead of per arriving batch. `buckets = -1` derives the
+    * sub-bucket count from optimizer size stats
+    * ([[graft.operators.ScaleKnobs.sigBuckets]] — power of two, so it
+    * divides the 14-bit key space bias-free); explicit counts must
+    * divide 16384. meta.json records (mediaCol, buckets) so the probe
+    * always hashes the column — and prunes with the layout — the
+    * artifact was built with. Full rebuild only: dHash rows carry no
+    * diff base, and the hash is pure codegen over a bounded prefix, so
+    * a rebuild costs one scan (no refresh mode; mutations mark the
+    * artifact stale and the screen falls back to the in-query
+    * recompute until the next REINDEX).
+    */
+  def reindexDhash(name: String, mediaCol: String = "media",
+      buckets: Int = -1): Unit = {
+    requireCollection(name)
+    val cur = read(name)
+    require(cur.columns.contains(mediaCol),
+      s"REINDEX type=dhash needs a binary $mediaCol column on $name " +
+        s"(has: ${cur.columns.mkString(", ")})")
+    val nBuckets =
+      if (buckets == -1) graft.operators.ScaleKnobs.sigBuckets(cur)
+      else buckets
+    require(nBuckets >= 1 && 16384 % nBuckets == 0,
+      s"dhash buckets must divide 16384 (14-bit keys), got $nBuckets")
+    val dir = dhashDir(name)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    graft.operators.Multimodal.dhashBands(
+        cur.select(col("id"), col(mediaCol)), "id", mediaCol, nBuckets)
+      .write.mode("overwrite").option("compression", Compression)
+      .partitionBy("band", "key_bucket")
+      .parquet(new Path(dir, "bands").toString)
+    writeString(fs, dhashMetaPath(name),
+      s"""{"type":"dhash","mediaCol":"$mediaCol","buckets":$nBuckets}""")
+  }
+
+  /** Screen an arriving image batch (`id`, media) for perceptual
+    * near-duplicates of the collection —
+    * [[graft.operators.Multimodal.incomingDhashDups]] through the
+    * managed surface. With a LIVE dhash artifact the corpus side is the
+    * stored band table pruned to the batch's own `key_bucket` set (the
+    * batch pays only its own hashing + the band-keyed probe); without
+    * one — or when a mutation has marked it stale — the bands recompute
+    * from the collection in the same query (identical exact-integer
+    * values, so results never change, only cost). The media column
+    * comes from the artifact's meta whenever one exists, EVEN STALE
+    * ([[screenDupes]]' recorded-parameters rule). Output:
+    * (a_id = batch, b_id = stored doc, hamming ≤ maxHamming).
+    */
+  def screenImages(name: String, batch: DataFrame,
+      mediaCol: String = "media", maxHamming: Int = 6,
+      maxBucketSize: Int = 1000): DataFrame = {
+    requireCollection(name)
+    val cur = read(name)
+    val hasMeta = fs.exists(dhashMetaPath(name))
+    val live = hasMeta && !fs.exists(dhashStaleMarker(name))
+    val mc = if (hasMeta) dhashMediaCol(name) else mediaCol
+    require(cur.columns.contains(mc),
+      s"SCREEN needs a binary $mc column on $name")
+    require(batch.columns.contains("id") && batch.columns.contains(mc),
+      s"screen batch needs (id, $mc) columns — got " +
+        batch.columns.mkString("(", ", ", ")"))
+    val bands =
+      // explicit schema: an artifact over an empty collection has a
+      // schemaless partitioned dir — the declared schema reads it empty
+      if (live) spark.read.schema(DhashBandsSchema)
+        .parquet(new Path(dhashDir(name), "bands").toString)
+      else graft.operators.Multimodal.dhashBands(
+        cur.select(col("id"), col(mc)), "id", mc)
+    graft.operators.Multimodal.incomingDhashDups(bands, batch, "id", mc,
+      maxHamming, maxBucketSize,
+      corpusBuckets = if (live) dhashBuckets(name) else -1)
+  }
+
+  /** Mark the dhash artifact stale (mutations — a stale signature must
+    * never screen; [[screenImages]] falls back to the in-query
+    * recompute). No-op when absent.
+    */
+  private def invalidateDhashIndex(name: String): Unit = {
+    if (fs.exists(dhashMetaPath(name)))
+      writeString(fs, dhashStaleMarker(name), "stale")
+  }
+
+  private def deleteDhashIndex(name: String): Unit = {
+    val dir = dhashDir(name)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
   }
 
@@ -1653,10 +1788,21 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * Queries are driver-side by construction (a serving request, not a
     * table) — that is what lets the term sets prune the postings scan
     * with literal filters and the per-query score chains stay
-    * fixed-order plan literals. Falls back per branch exactly like
-    * [[searchHybrid]]: stale/missing postings → one corpus tokenize
-    * (still one pass for the batch), no probeRadius / no cell layout →
-    * the exact broadcast batch scan.
+    * fixed-order plan literals.
+    *
+    * Dense dispatch mirrors [[searchSimilarBatch]] layout-for-layout:
+    * an ADC layout (`pq` / `ivfpq_kmeans`) with `shortlist >= 1` runs
+    * the codes-only batch probe ([[ProductQuantization.probeAdcBatch]]
+    * / [[ProductQuantization.probeAdcResidualBatch]] — per-(query, cell)
+    * broadcast LUTs, bounded shortlist heap, ONE exact rerank whose
+    * rank is already on the ROUNDED l2 ascending, id tie-break);
+    * `sign_bucket` runs the exact cosine cell probe; `kmeans` the exact
+    * cosine nprobe probe (probeRadius = nprobe − 1, the house
+    * convention). `probeRadius` on a clustered layout with no batch
+    * probe is LOUD — never a silent exact scan the caller believes is
+    * pruned. Stale/missing postings → one corpus tokenize (still one
+    * pass for the batch); no probeRadius / no cell layout → the exact
+    * broadcast batch scan.
     *
     * Output: (query_id, id, rrf, n_lists) — [[SimilaritySearch.rrfFuse]]'s
     * columns per query, ordered (query_id, rrf desc, id).
@@ -1664,7 +1810,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   def searchHybridBatch(name: String,
       queries: Seq[(Long, Seq[String], Array[Float])],
       k: Int = 10, kf: Int = 20, kRrf: Int = 60,
-      probeRadius: Int = -1): DataFrame = {
+      probeRadius: Int = -1, shortlist: Int = -1): DataFrame = {
     requireCollection(name)
     require(queries.nonEmpty, "searchHybridBatch needs at least one query")
     require(queries.map(_._1).distinct.size == queries.size,
@@ -1754,27 +1900,58 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         kf, desc_? = true, "id", "query_id")
       .select(col("query_id"), col("id"), col("rank").cast("long").as("rank"))
 
-    // ---- dense branch: one cell-union probe for the whole batch
+    // ---- dense branch: one cell-union probe for the whole batch.
+    // cosine layouts rank DESC on the rounded similarity; the ADC
+    // layouts' exact rerank already ranks ASC on the rounded l2 (a
+    // distance) — RRF consumes ranks, so the two conventions fuse
+    // identically.
     val qvecs = queries.map { case (qid, _, v) => (qid, v) }
       .toDF("query_id", "query_vec")
     val data = read(name)
     lazy val layout = indexType(name)
-    val denseTop =
-      if (probeRadius >= 0 && data.columns.contains("cluster_id") &&
-          layout.contains("sign_bucket"))
-        VectorIndex.probeBatch(data.drop(PqCodeCol), qvecs, k = kf,
-          metric = "cosine", nBits = indexBits(name), radius = probeRadius,
-          vecCol = "embedding", idCol = "id")
-      else
-        SimilaritySearch.topKBatchAgg(data, qvecs, k = kf,
-          metric = "cosine", vecCol = "embedding", idCol = "id")
-    val wD = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(org.apache.spark.sql.functions.desc("__cs"), col("id"))
-    val dense = denseTop
-      .select(col("query_id"), col("id"), round(col("score"), 6).as("__cs"))
-      .withColumn("rank", row_number().over(wD).cast("long"))
-      .select("query_id", "id", "rank")
+    val probeable = probeRadius >= 0 && data.columns.contains("cluster_id")
+    def cosineRanks(denseTop: DataFrame): DataFrame = {
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(org.apache.spark.sql.functions.desc("__cs"), col("id"))
+      denseTop
+        .select(col("query_id"), col("id"), round(col("score"), 6).as("__cs"))
+        .withColumn("rank", row_number().over(wD).cast("long"))
+        .select("query_id", "id", "rank")
+    }
+    val dense =
+      if (probeable && layout.contains("ivfpq_kmeans") && shortlist >= 1) {
+        val coarse: ProductQuantization.Codebooks = Array(centroidsOf(name))
+        ProductQuantization.probeAdcResidualBatch(data, qvecs, k = kf,
+            shortlist = shortlist, codebooks = pqCodebooksOf(name),
+            cellCents = coarseMap(coarse), nprobe = probeRadius + 1,
+            vecCol = "embedding", codeCol = PqCodeCol, idCol = "id")
+          .select(col("query_id"), col("id"),
+            col("rank").cast("long").as("rank"))
+      } else if (probeable && layout.contains("pq") && shortlist >= 1) {
+        ProductQuantization.probeAdcBatch(data, qvecs, k = kf,
+            shortlist = shortlist, codebooks = pqCodebooksOf(name),
+            nBits = indexBits(name), radius = probeRadius,
+            vecCol = "embedding", codeCol = PqCodeCol, idCol = "id")
+          .select(col("query_id"), col("id"),
+            col("rank").cast("long").as("rank"))
+      } else if (probeable && layout.exists(t =>
+          t == "sign_bucket" || t == "pq")) {
+        cosineRanks(VectorIndex.probeBatch(data.drop(PqCodeCol), qvecs,
+          k = kf, metric = "cosine", nBits = indexBits(name),
+          radius = probeRadius, vecCol = "embedding", idCol = "id"))
+      } else if (probeable && layout.contains("kmeans")) {
+        cosineRanks(VectorIndex.probeKMeansBatch(data, qvecs, k = kf,
+          metric = "cosine", centroids = centroidsOf(name),
+          nprobe = probeRadius + 1, idCol = "id"))
+      } else {
+        require(!probeable,
+          s"probeRadius=$probeRadius set but layout $layout on $name has " +
+            "no batch probe — REINDEX to sign/kmeans/pq/ivfpq or drop " +
+            "probeRadius for the exact scan")
+        cosineRanks(SimilaritySearch.topKBatchAgg(data, qvecs, k = kf,
+          metric = "cosine", vecCol = "embedding", idCol = "id"))
+      }
 
     // ---- RRF per query (rrfFuse's exact arithmetic, query-keyed)
     val wK = org.apache.spark.sql.expressions.Window

@@ -80,6 +80,24 @@ object PipelineQueries {
         db
       })
 
+  // q310's steady-state artifact: the hybrid collection under the
+  // RESIDUAL ADC layout — payload + embedding rows, ivfpq_kmeans REINDEX
+  // (cluster_id partition dirs + pq_code column + sidecar models), THEN
+  // the postings build (the vector rewrite would mark a prior text
+  // artifact stale — q267's build-order rule). Serving then answers a
+  // whole query batch from codes + postings: no float-vector scan except
+  // the shortlist-bounded rerank.
+  private val ivfPqHybridDbCache =
+    scala.collection.concurrent.TrieMap.empty[String, GraftDatabase]
+  private def storedIvfPqHybridDb(s: SparkSession, dir: String): GraftDatabase =
+    ivfPqHybridDbCache.getOrElseUpdate(
+      s"${System.identityHashCode(s)}:$dir", {
+        val db = hybridCollection(s, dir, "graft_q310")
+        db.reindexIvfPq("docs", m = 8, ksub = 16, rounds = 1, kCells = 8)
+        db.reindexPostings("docs", buckets = 64)
+        db
+      })
+
   // q267's steady-state artifact: ONE hybrid collection carrying BOTH
   // retrieval artifacts — the sign-bucket cell layout + stored int8 copy
   // (the dense ANN side) and the term-bucket postings (the sparse side).
@@ -524,6 +542,34 @@ object PipelineQueries {
           gridPayload(col("doc_id"), col("doc_id") + 500000L).as("media"))
       Multimodal.incomingDhashDups(stored, batch, "doc_id", "media",
           maxHamming = 6)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // The q244 screen through the MANAGED surface (r13 verdict item 7):
+    // REINDEX type=dhash materializes the collection's banded dHash56
+    // rows partitioned by (band, key_bucket) — the sub-bucket count
+    // DERIVED from optimizer size stats (ScaleKnobs.sigBuckets), meta-
+    // recorded — and screenImages prunes the stored scan to the batch's
+    // own bucket set (ScaleKnobsSpec pins result-invariance at two
+    // explicit widths + the stale fallback). Same derived corpus/batch
+    // content as q244 → its oracle verbatim.
+    "q312_screen_images" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q312")
+      db.createCollection("imgs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("media", org.apache.spark.sql.types.BinaryType))))
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      db.bulkInsert("imgs", docs.select(col("doc_id").as("id"),
+        gridPayload(col("doc_id"), col("doc_id")).as("media")))
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("imgs"), "REINDEX",
+            Some("type=dhash"))
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity)).collect()
+      val batch = docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("id"),
+          gridPayload(col("doc_id"), col("doc_id") + 500000L).as("media"))
+      db.screenImages("imgs", batch, maxHamming = 6)
         .orderBy("a_id", "b_id")
     }),
 
@@ -1182,6 +1228,49 @@ object PipelineQueries {
         k = 10, kf = 20, probeRadius = 1)
     }),
 
+    // SEARCHHYBRID batch over the RESIDUAL ADC layout (r13 verdict item
+    // 1 — the dense branch q309 couldn't exercise): same 3-query batch,
+    // but the dense candidates come from ONE codes-only ADC scan pruned
+    // to the union of every query's nprobe=2 coarse cells (per-(query,
+    // cell) broadcast residual LUTs, bounded shortlist heap, ONE exact
+    // rerank ranking on the ROUNDED l2 ascending) — float vectors are
+    // read only for the shortlist-bounded rerank. The oracle replays the
+    // full chain: both codebook trainings (q266's machinery), the ADC
+    // probe, the BM25 branch per query, RRF.
+    "q310_hybrid_adc_batch" -> ((s, dir) => {
+      val db = storedIvfPqHybridDb(s, dir)
+      val vecs = Tables.embeddings(s, dir).filter(col("vec_id") < 3)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      db.searchHybridBatch("docs", Seq(
+          (0L, Seq("vector", "data", "merge"), vecs(0L)),
+          (1L, Seq("join", "window", "scan"), vecs(1L)),
+          (2L, Seq("query", "graftmissing"), vecs(2L))),
+        k = 10, kf = 20, probeRadius = 1, shortlist = 40)
+    }),
+
+    // Batch serving at the COMMAND surface (r13 verdict item 6): the
+    // same batch as q310 through SEARCHHYBRID's `queries=<file>` grammar
+    // (one qid|terms|vec line per query — Float.toString round-trips, so
+    // the file parse is exact). Command ≡ API: q310's oracle verbatim.
+    "q311_hybrid_batch_cmd" -> ((s, dir) => {
+      val db = storedIvfPqHybridDb(s, dir)
+      val vecs = Tables.embeddings(s, dir).filter(col("vec_id") < 3)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val f = java.nio.file.Files.createTempFile("graft_q311", ".txt")
+      java.nio.file.Files.write(f, Seq(
+          s"0|vector,data,merge|${vecs(0L).mkString(",")}",
+          s"1|join,window,scan|${vecs(1L).mkString(",")}",
+          s"2|query,graftmissing|${vecs(2L).mkString(",")}")
+        .mkString("\n").getBytes("UTF-8"))
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "SEARCHHYBRID",
+            Some(s"queries=$f;k=10;kf=20;radius=1;shortlist=40"))
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+    }),
+
     // INCREMENTAL index maintenance end to end (the nightly-delta story):
     // build the postings artifact, mutate the collection (insert a 10%
     // slice re-tagged with a marker term, rewrite one doc, delete an id
@@ -1813,6 +1902,88 @@ object PipelineQueries {
        |ORDER BY query_id, rrf DESC, id""".stripMargin
   }
 
+  // the q310 oracle: hybridBatchSql's BM25 branch per query (text copied
+  // verbatim — the q309-gated arithmetic), the dense branch replaced by
+  // the kmeans-IVFPQ ADC replay (VectorQueries.ivfPqAdcCtes — q266's
+  // trainings + per-(query, cell) residual LUTs), shortlist-40 cut on
+  // (adc_dist, vec_id), exact-l2 rerank ranked ASCENDING on the rounded
+  // dist to kf=20, RRF per query, top-10.
+  private lazy val hybridAdcBatchSql: String = {
+    val qs = Seq(
+      (0L, Seq("vector", "data", "merge")),
+      (1L, Seq("join", "window", "scan")),
+      (2L, Seq("query", "graftmissing")))
+    val per = qs.map { case (qid, terms) =>
+      val dfDefs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(",\n    ")
+      val cases = terms.indices.map(i =>
+        s"""(CASE WHEN tf$i > 0 THEN ln((n - df$i + 0.5)/(df$i + 0.5) + 1)
+           |      * (tf$i * (1.2 + 1)) / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+           |      ELSE 0.0 END)""".stripMargin).mkString("\n    + ")
+      val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
+      s"""pd$qid AS (
+         |  SELECT id, CAST(len(t) AS BIGINT) AS dl,
+         |    ${terms.zipWithIndex.map { case (t, i) =>
+               s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf$i"
+             }.mkString(",\n    ")}
+         |  FROM toks),
+         |st$qid AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         |    $dfDefs
+         |  FROM pd$qid),
+         |bm$qid AS (
+         |  SELECT id, round(
+         |    $cases + 1e-9, 6) AS bm25
+         |  FROM pd$qid CROSS JOIN st$qid WHERE $anyTf > 0),
+         |sp$qid AS (
+         |  SELECT CAST($qid AS BIGINT) AS query_id, id,
+         |    CAST(rn AS BIGINT) AS r FROM (
+         |    SELECT id, row_number() OVER (ORDER BY bm25 DESC, id) AS rn
+         |    FROM bm$qid)
+         |  WHERE rn <= 20)""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT d.doc_id AS id, d.text
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+       |toks AS MATERIALIZED (
+       |  SELECT id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |  FROM base),
+       |${per.mkString(",\n")},
+       |${VectorQueries.ivfPqAdcCtes("rpq:coarse", "rpq")},
+       |short2 AS (
+       |  SELECT query_id, vec_id, adc_dist FROM (
+       |    SELECT query_id, vec_id, adc_dist, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+       |    FROM adc)
+       |  WHERE rn <= 40),
+       |sel2 AS (
+       |  SELECT short2.query_id, short2.vec_id,
+       |    round(list_distance(e2.v, q.qv), 6) AS dist
+       |  FROM short2 JOIN e2 ON e2.vec_id = short2.vec_id
+       |  JOIN qs4 q ON q.query_id = short2.query_id),
+       |den AS (
+       |  SELECT query_id, id, CAST(rn AS BIGINT) AS r FROM (
+       |    SELECT query_id, vec_id AS id, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+       |    FROM sel2)
+       |  WHERE rn <= 20),
+       |u AS (
+       |  ${qs.map { case (qid, _) => s"SELECT * FROM sp$qid" }
+            .mkString("\n  UNION ALL ")}
+       |  UNION ALL SELECT query_id, id, r FROM den),
+       |g AS (
+       |  SELECT query_id, id, round(sum(1.0/(60 + r)) + 1e-9, 6) AS rrf,
+       |    CAST(count(*) AS BIGINT) AS n_lists
+       |  FROM u GROUP BY query_id, id)
+       |SELECT query_id, id, rrf, n_lists FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf DESC, id) AS rn FROM g)
+       |WHERE rn <= 10
+       |ORDER BY query_id, rrf DESC, id""".stripMargin
+  }
+
   private lazy val hybridBmPrefix =
     """WITH base AS (
       |  SELECT d.doc_id AS id, d.text
@@ -2068,6 +2239,10 @@ object PipelineQueries {
     // Stream ≡ batch: the stateless dHash probe gates on q244's oracle
     // verbatim (the q205/q214 convention).
     "q245_stream_phash" -> q244OracleSql,
+
+    // managed-artifact screen ≡ raw screen: q244's oracle verbatim (the
+    // q207 pattern — REINDEX type=dhash + screenImages, layout-only)
+    "q312_screen_images" -> q244OracleSql,
 
     // q132's replay (training, codes, lut, ball pruning, ADC shortlist,
     // exact rerank) WITHOUT the self-exclusion: the managed collection
@@ -2542,6 +2717,14 @@ object PipelineQueries {
     "q267_hybrid_stored" -> hybridAnnSql,
 
     "q309_hybrid_batch" -> hybridBatchSql,
+
+    // the full ADC-batch serving replay: both codebook trainings +
+    // residual-LUT probe (q266's machinery) fused with the per-query
+    // BM25 branch (q309's arithmetic) by RRF
+    "q310_hybrid_adc_batch" -> hybridAdcBatchSql,
+
+    // command ≡ API: q310's oracle verbatim
+    "q311_hybrid_batch_cmd" -> hybridAdcBatchSql,
 
     "q301_stats_cmd" ->
       """SELECT stat, value FROM (

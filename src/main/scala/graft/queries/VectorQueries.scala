@@ -1009,14 +1009,15 @@ object VectorQueries {
        |  SELECT vec_id, [$rvExprs] AS v FROM fv)""".stripMargin
   }
 
-  // Seed-parameterized batch kmeans-IVFPQ replay (q170 uses the raw
-  // gate's seeds, q173 the reindex's): coarse m=1 training, residuals,
-  // fine training, 3 queries × nprobe=2 probed cells, per-(query, cell)
-  // residual LUTs, shortlist 20, exact-l2 rerank to rank <= 5.
-  // Self-matches included.
-  private[queries] def kmeansBatchSql(coarseSeed: String,
+  // The shared kmeans-IVFPQ ADC replay (q266/q310): coarse m=1 training
+  // over all embeddings, residuals, fine training, 3 queries (vec_id < 3)
+  // × nprobe=2 probed cells, per-(query, cell) residual LUTs — ends at
+  // `adc` (query_id, vec_id, adc_dist). Callers append their own
+  // shortlist/rerank tail. Text extracted VERBATIM from the q266-gated
+  // kmeansBatchSql body.
+  private[queries] def ivfPqAdcCtes(coarseSeed: String,
       fineSeed: String): String =
-    s"""WITH e2 AS (
+    s"""e2 AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |""".stripMargin +
     pqTrainBody("e2", coarseSeed, 1, 64, 8, "k") +
@@ -1049,7 +1050,17 @@ object VectorQueries {
       |  FROM rcodes k2
       |  JOIN kcodes kc ON kc.vec_id = k2.vec_id
       |  JOIN lutr l ON l.cell = kc.cid AND l.s = k2.s AND l.cid = k2.cid
-      |  GROUP BY l.query_id, k2.vec_id),
+      |  GROUP BY l.query_id, k2.vec_id)""".stripMargin
+
+  // Seed-parameterized batch kmeans-IVFPQ replay (q170 uses the raw
+  // gate's seeds, q173 the reindex's): coarse m=1 training, residuals,
+  // fine training, 3 queries × nprobe=2 probed cells, per-(query, cell)
+  // residual LUTs, shortlist 20, exact-l2 rerank to rank <= 5.
+  // Self-matches included.
+  private[queries] def kmeansBatchSql(coarseSeed: String,
+      fineSeed: String): String =
+    "WITH " + ivfPqAdcCtes(coarseSeed, fineSeed) +
+    """,
       |short AS (
       |  SELECT query_id, vec_id, adc_dist FROM (
       |    SELECT query_id, vec_id, adc_dist, row_number() OVER (

@@ -628,19 +628,71 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window(s) fed by an unbounded read: ${unboundedWindows(p)}")
   }
 
+  test("q310 ADC hybrid batch: ONE codes-only ADC scan + pruned postings for the whole batch") {
+    // the r13 verdict item: the dense branch must serve the batch from
+    // the stored codes — ONE scan reading pq_code (never the float
+    // vectors) pruned to the union of every query's probed cells; float
+    // vectors are read only by the shortlist-bounded rerank
+    val df = graft.SparkEntry.queries("q310_hybrid_adc_batch")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // sparse: one term-bucket-pruned postings scan for the batch
+    val postingsScans =
+      "Scan parquet[^\\n]*textindex[^\\n]*term:string,id:bigint,tf:bigint".r
+        .findAllIn(p).size
+    assert(postingsScans == 1,
+      s"expected ONE postings scan for the batch, got $postingsScans:\n${p.take(2000)}")
+    assert("PartitionFilters: \\[term_bucket[^\\]]* IN ".r.findFirstIn(p).isDefined,
+      s"the postings scan must prune to the union term buckets:\n${p.take(2000)}")
+    // dense: exactly ONE ADC scan reading codes WITHOUT the embedding
+    // column, pruned to the probed-cell union partitions
+    val codeScans = "ReadSchema: struct<[^>]*pq_code[^>]*>".r.findAllIn(p)
+      .toSeq.filter(s => !s.contains("embedding"))
+    assert(codeScans.size == 1,
+      s"expected ONE codes-only ADC scan, got ${codeScans.size}:\n${p.take(2000)}")
+    assert(!"ReadSchema: struct<[^>]*pq_code[^>]*>".r.findAllIn(p)
+      .exists(_.contains("embedding")),
+      s"no scan may read codes AND vectors together:\n${p.take(2000)}")
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(p).isDefined,
+      s"the ADC scan must prune to the probed-cell partitions:\n${p.take(2000)}")
+    // both the shortlist and sparse kf cuts are bounded heaps; LUTs and
+    // the shortlist broadcast
+    assert(p.contains("ObjectHashAggregate"),
+      s"the per-query cuts must be the bounded heap aggregator:\n${p.take(2000)}")
+    assert(p.contains("BroadcastExchange"),
+      "per-(query, cell) LUTs and the shortlist must broadcast")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("regexp"),
+      s"stored path must not re-tokenize:\n${p.take(2000)}")
+    assert(unboundedWindows(p).isEmpty,
+      s"window(s) fed by an unbounded read: ${unboundedWindows(p)}")
+  }
+
   test("q269 pretrain capstone: keyed shuffles only, source-partitioned packing") {
-    // stage boundaries are eagerly checkpointed (multi-consumer frames),
-    // so the inspectable plan is the chunk→pack→shard tail; the upstream
-    // stages' shapes are pinned by their own gates' audits (q61/q131/
-    // q200's machinery)
-    val p = plan("q269_pretrain_capstone")
-    assert(!p.contains("CartesianProduct"),
-      s"every join must be keyed:\n${p.take(2000)}")
-    assert(!p.contains("ScalaUDF"), "the whole chain must be column math")
+    // stage boundaries now COMMIT to a StageStore generation (the r13
+    // restartability item), so the gate's returned plan is just the
+    // final stage's read-back — audit the recorded per-stage plans
+    // instead (StageStore.stagePlans; upstream operator shapes are also
+    // pinned by their own gates' audits: q61/q131/q200's machinery)
+    val store = new graft.core.StageStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_q269audit").toString)
+    graft.operators.PretrainPipeline.run(
+      graft.operators.Parallelism.ensure(
+        graft.Tables.documents(spark, TestSpark.sf)), store)
+    assert(store.stagePlans.keySet == Set("s1_curated", "s2_spandedup",
+      "s3_selected", "s4_shard_summary"))
+    store.stagePlans.foreach { case (stage, p) =>
+      assert(!p.contains("CartesianProduct"),
+        s"every join in $stage must be keyed:\n${p.take(2000)}")
+      assert(!p.contains("ScalaUDF"),
+        s"the whole chain must be column math ($stage)")
+    }
     // packing windows partition by source — never a global unpartitioned
     // window over the corpus
-    assert(p.contains("hashpartitioning(source"),
-      s"pack/chunk windows must partition by source:\n${p.take(2000)}")
+    val s4 = store.stagePlans("s4_shard_summary")
+    assert(s4.contains("hashpartitioning(source"),
+      s"pack/chunk windows must partition by source:\n${s4.take(2000)}")
   }
 
   test("q143 kmv sketch: bounded heap per group, no per-group sort window") {

@@ -162,6 +162,71 @@ class ScaleKnobsSpec extends AnyFunSuite {
       s"the batch's bucket set must prune the stored scan:\n${p.take(1500)}")
   }
 
+  test("managed dhash screen is bucket-invariant: derived ≡ explicit 4 and 64, stale falls back") {
+    import org.apache.spark.sql.types._
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val corpus = docs.select(col("doc_id").as("id"),
+      Multimodal.sceneGridPayload(col("doc_id"), col("doc_id")).as("media"))
+    val batch = docs.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 500000L).as("id"),
+        Multimodal.sceneGridPayload(col("doc_id"), col("doc_id") + 500000L)
+          .as("media"))
+    def mkDb(buckets: Int): graft.core.GraftDatabase = {
+      val d = graft.core.GraftDatabase.create(spark,
+        java.nio.file.Files.createTempDirectory("graft_dhmanaged").toString,
+        "db")
+      d.createCollection("imgs", StructType(Seq(
+        StructField("id", LongType), StructField("media", BinaryType))))
+      d.bulkInsert("imgs", corpus)
+      d.reindexDhash("imgs", buckets = buckets)
+      d
+    }
+    def screen(d: graft.core.GraftDatabase): Seq[String] =
+      d.screenImages("imgs", batch).orderBy("a_id", "b_id")
+        .collect().map(_.toString).toSeq
+    val derived = screen(mkDb(-1))
+    assert(derived.nonEmpty)
+    assert(derived === screen(mkDb(4)))
+    val d64 = mkDb(64)
+    assert(derived === screen(d64))
+    // a mutation marks the artifact stale → the screen falls back to the
+    // in-query recompute with IDENTICAL rows (only cost changes)
+    d64.delete("imgs", col("id") === -1L)
+    assert(d64.listIndexes("imgs").collect()
+      .exists(r => r.getString(0) == "dhash" && r.getString(1) == "stale"))
+    assert(derived === screen(d64))
+    // REINDEX restores live serving
+    d64.reindexDhash("imgs")
+    assert(d64.listIndexes("imgs").collect()
+      .exists(r => r.getString(0) == "dhash" && r.getString(1) == "live"))
+    assert(derived === screen(d64))
+  }
+
+  test("managed dhash probe prunes the stored scan to the batch's key buckets") {
+    import org.apache.spark.sql.types._
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val d = graft.core.GraftDatabase.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_dhprune").toString,
+      "db")
+    d.createCollection("imgs", StructType(Seq(
+      StructField("id", LongType), StructField("media", BinaryType))))
+    d.bulkInsert("imgs", docs.select(col("doc_id").as("id"),
+      Multimodal.sceneGridPayload(col("doc_id"), col("doc_id")).as("media")))
+    d.reindexDhash("imgs", buckets = 64)
+    // one-image batch: its 4 band keys touch ≤ 4 of 64 buckets, so the
+    // cap-and-switch must push an IN partition filter into the scan
+    val tiny = docs.filter(col("doc_id") === 3)
+      .select((col("doc_id") + 500000L).as("id"),
+        Multimodal.sceneGridPayload(col("doc_id"), col("doc_id") + 500000L)
+          .as("media"))
+    val p = d.screenImages("imgs", tiny)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("key_bucket"),
+      s"stored scan must carry the bucket partition column:\n${p.take(1500)}")
+    assert("PartitionFilters: \\[[^\\]]*key_bucket".r.findFirstIn(p).isDefined,
+      s"the batch's bucket set must prune the stored scan:\n${p.take(1500)}")
+  }
+
   test("REINDEX type=minhash with no count records a derived power-of-two layout") {
     val db = screenDb("graft_mhmeta")
     db.reindexMinhash("docs")
