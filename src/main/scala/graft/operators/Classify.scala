@@ -301,4 +301,85 @@ object Classify {
         .otherwise(lit(2) * col("precision") * col("recall") /
           (col("precision") + col("recall"))))
   }
+
+  /** Deterministic logistic-regression training: full-batch gradient
+    * descent for a FIXED number of rounds over double feature columns
+    * (bias added internally as a constant 1 feature) — the trainable
+    * quality/language-filter slot next to the count-based NB family.
+    * At 100 TB each round is ONE map-side-combinable aggregation over
+    * the corpus; the model state (a handful of weights) lives in plan
+    * literals (the centroids precedent), so nothing corpus-sized ever
+    * reaches the driver.
+    *
+    * Cross-engine determinism (the pageRank round-discipline applied to
+    * a transcendental recursion): per-round gradient SUMS are the only
+    * order-dependent accumulations and the only transcendental surface
+    * (σ(z) = 1/(1+exp(−z)) per row; exp-sum parity at 6-decimal
+    * rounding is the q148 precedent), so each is rounded (+1e-9, 6)
+    * BEFORE it re-enters the recursion; everything after — divide by
+    * the exact row count, scale by a dyadic η, subtract — is single
+    * IEEE ops on bit-identical doubles that an oracle replays exactly.
+    * Feature values must be engine-exact by CALLER contract (single
+    * divisions of integer counts, the q120 doctrine, or dyadic
+    * scalings).
+    *
+    * The 1e-6 gradient quantization changes the optimizer's path, not
+    * its character: GD with quantized gradients converges to within the
+    * quantization ball, and a corpus filter's operating point is set by
+    * a threshold sweep afterwards anyway — determinism is worth more
+    * than the seventh decimal of a step direction.
+    *
+    * Output: one row per round 1..`rounds` — (round, w_bias,
+    * w_<feature>...) with weights rounded (+1e-9, 6) for output; the
+    * INTERNAL recursion keeps full precision between rounds.
+    */
+  def logisticTrain(df: DataFrame, featureCols: Seq[String],
+      labelCol: String, eta: Double, rounds: Int): DataFrame = {
+    require(featureCols.nonEmpty, "logisticTrain needs feature columns")
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1, 64], got $rounds")
+    val spark = df.sparkSession
+    // bias first: x_0 = 1
+    val xs: Seq[Column] = lit(1.0) +: featureCols.map(c => col(c))
+    val k = xs.length
+    // each round re-aggregates the features: materialize the derivation
+    // once (the q65 localCheckpoint discipline; the trajectory result is
+    // driver-literal, so the unpersist below can't strand a consumer)
+    val feats = df.localCheckpoint(true)
+    val n = feats.count()
+    require(n > 0, "logisticTrain needs a non-empty training frame")
+    var w = Array.fill(k)(0.0)
+    val traj = Array.newBuilder[org.apache.spark.sql.Row]
+    for (r <- 1 to rounds) {
+      // z in one fixed left-assoc op order: w0·1 + w1·x1 + ... (the
+      // oracle writes the same chain literally)
+      val z = xs.zip(w).map { case (x, wj) => lit(wj) * x }
+        .reduceLeft(_ + _)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val gradSums = feats.agg(
+        round(sum((p - col(labelCol)) * xs.head) + lit(1e-9), 6).as("g0"),
+        xs.tail.zipWithIndex.map { case (x, i) =>
+          round(sum((p - col(labelCol)) * x) + lit(1e-9), 6).as(s"g${i + 1}")
+        }: _*).head()
+      w = w.indices.map { j =>
+        w(j) - eta * (gradSums.getDouble(j) / n.toDouble)
+      }.toArray
+      traj += org.apache.spark.sql.Row.fromSeq(r.toLong +: w.toSeq)
+    }
+    org.apache.spark.sql.GraftSqlShims.unpersistCheckpoint(feats)
+    val names = "w_bias" +: featureCols.map(c => s"w_$c")
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("round",
+        org.apache.spark.sql.types.LongType) +:
+      names.map(name => org.apache.spark.sql.types.StructField(name,
+        org.apache.spark.sql.types.DoubleType)))
+    // output rounding through Spark's own round() so the oracle
+    // convention (round(x + 1e-9, 6) on both sides) holds exactly
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(traj.result(): _*)), schema)
+      .select(col("round") +: names.map(name =>
+        round(col(name) + lit(1e-9), 6).as(name)): _*)
+      .orderBy("round")
+  }
 }

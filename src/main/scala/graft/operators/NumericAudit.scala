@@ -44,25 +44,53 @@ object NumericAudit {
     * 1..9, chi2 constant within a group.
     */
   def benfordDigits(df: DataFrame, groupCol: String,
-      valCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val base = df.filter(col(valCol) > 0)
+      valCol: String): DataFrame =
+    benfordFromCounts(
+      benfordDigitRows(df, groupCol, valCol)
+        .groupBy("grp", "digit").agg(count(lit(1)).as("n_d")))
+
+  /** The per-row half of [[benfordDigits]]: (grp, digit) with the exact
+    * integer-cents digit extraction and the sub-cent exclusion. Pure
+    * stateless column math — the streaming twin runs it unchanged on an
+    * unbounded frame.
+    */
+  def benfordDigitRows(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame =
+    df.filter(col(valCol) > 0)
       .select(col(groupCol).as("grp"),
         round(col(valCol) * 100).cast("long").as("__cents"))
       .filter(col("__cents") >= 1)
       .select(col("grp"),
         substring(col("__cents").cast("string"), 1, 1)
           .cast("int").as("digit"))
-    val counts = base.groupBy("grp", "digit").agg(count(lit(1)).as("n_d"))
-    val totals = base.groupBy("grp").agg(count(lit(1)).as("n"))
+
+  /** The post-aggregation half of [[benfordDigits]]: groups×9 grid,
+    * expected Benford mass, chi-squared — over per-(grp, digit) exact
+    * counts `n_d`. Shared verbatim by the batch audit and the streaming
+    * twin (whose memory sink lands exactly this shape, so stream ≡ batch
+    * by construction). Group totals are the digit counts' own sum: every
+    * surviving row's digit is in 1..9, so nothing is lost to the grid.
+    */
+  def benfordFromCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
     val digits = spark.range(1, 10)
       .select(col("id").cast("int").as("digit"))
     val e = log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
       log(lit(10.0)) * col("n").cast("double")
     val wg = Window.partitionBy("grp")
-    totals.crossJoin(broadcast(digits))
-      .join(counts, Seq("grp", "digit"), "left")
-      .na.fill(0L, Seq("n_d"))
+    // totals + grid in ONE aggregation over the counts (a digit→count
+    // map per group, looked up per grid cell): deriving totals from the
+    // counts frame and joining back would SELF-JOIN it, which the
+    // streaming twin's memory-sink view cannot deduplicate (conflicting
+    // attributes). Map semantics are order-blind, so the collect_list's
+    // partition order is immaterial; keys are unique by the groupBy.
+    counts.groupBy("grp")
+      .agg(sum("n_d").as("n"),
+        map_from_entries(collect_list(struct(col("digit"), col("n_d"))))
+          .as("__m"))
+      .crossJoin(broadcast(digits))
+      .withColumn("n_d", coalesce(element_at(col("__m"), col("digit")),
+        lit(0L)))
       .withColumn("__e", e)
       .withColumn("__c",
         (col("n_d").cast("double") - col("__e")) *
@@ -71,6 +99,76 @@ object NumericAudit {
       .select(col("grp"), col("digit").cast("long").as("digit"),
         col("n_d"), col("n"), col("chi2"))
       .orderBy("grp", "digit")
+  }
+
+  /** Population Stability Index (the standard model-monitoring drift
+    * score, e.g. Siddiqi 2006) between a REFERENCE and a CURRENT slice
+    * of an integral metric, per group: PSI = Σ_bins (p_cur − p_ref) ·
+    * ln(p_cur / p_ref) over a fixed-width binning with a top catch-all
+    * bin. The "has this source's length/quality distribution moved since
+    * the reference crawl" screen — the distribution-shape sibling of
+    * [[cusumDrift]] (sequential shift) and the KS/KL members of the
+    * drift family. Conventional reading: < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 shifted.
+    *
+    * Determinism: bin ids are exact integer math (val DIV width, clamped
+    * to [0, nBins−1] — mirror the clamp in any oracle); bin masses are
+    * add-one smoothed SINGLE divisions of exact integer counts
+    * (p = (n_b + 1)/(N + nBins)) so zero-count bins stay finite and both
+    * engines compute bit-identical doubles (the q120 exact-division
+    * doctrine); ln on identical doubles is the q97 parity class; only
+    * the nBins-term sum rounds (+1e-9, 6). The per-group window is nBins
+    * rows by construction (the q256 bounded-window class).
+    *
+    * Groups must appear in BOTH slices (inner join of the totals) — a
+    * PSI against an absent reference is undefined, not zero.
+    *
+    * Output: (grp, bin, n_ref, n_cur, psi) — one row per group × bin,
+    * psi constant within a group.
+    */
+  def psiDrift(ref: DataFrame, cur: DataFrame, groupCol: String,
+      valCol: String, binWidth: Long, nBins: Int): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be positive, got $binWidth")
+    require(nBins >= 2, s"nBins must be at least 2, got $nBins")
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType,
+      org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.LongType)
+    Seq(ref, cur).foreach { df =>
+      require(integral.contains(df.schema(valCol).dataType),
+        s"psiDrift needs an integral value column (exactness contract), " +
+          s"got ${df.schema(valCol).dataType.simpleString}")
+    }
+    val spark = ref.sparkSession
+    // DIV, never `/`: Spark's `/` on longs is DOUBLE division
+    def binned(df: DataFrame): DataFrame =
+      df.select(col(groupCol).as("grp"),
+        col(valCol).cast("long").as("__v"))
+        .select(col("grp"),
+          greatest(lit(0L), least(expr(s"__v DIV $binWidth"),
+            lit(nBins - 1L))).as("bin"))
+    val rb = binned(ref)
+    val cb = binned(cur)
+    val rc = rb.groupBy("grp", "bin").agg(count(lit(1)).as("n_ref"))
+    val cc = cb.groupBy("grp", "bin").agg(count(lit(1)).as("n_cur"))
+    val rt = rb.groupBy("grp").agg(count(lit(1)).as("__nr"))
+    val ct = cb.groupBy("grp").agg(count(lit(1)).as("__nc"))
+    val bins = spark.range(0, nBins).select(col("id").as("bin"))
+    val pr = (col("n_ref") + 1L).cast("double") /
+      (col("__nr") + lit(nBins.toLong)).cast("double")
+    val pc = (col("n_cur") + 1L).cast("double") /
+      (col("__nc") + lit(nBins.toLong)).cast("double")
+    val wg = Window.partitionBy("grp")
+    rt.join(ct, Seq("grp"))
+      .crossJoin(broadcast(bins))
+      .join(rc, Seq("grp", "bin"), "left")
+      .join(cc, Seq("grp", "bin"), "left")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("__t", (pc - pr) * log(pc / pr))
+      .withColumn("psi", round(sum(col("__t")).over(wg) + lit(1e-9), 6))
+      .select(col("grp"), col("bin"), col("n_ref"), col("n_cur"), col("psi"))
+      .orderBy("grp", "bin")
   }
 
   /** Two-sided CUSUM drift detection (Page 1954) over an INTEGER metric

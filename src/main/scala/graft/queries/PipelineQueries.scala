@@ -1464,6 +1464,46 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Refresh + compact on an EXPLICITLY multi-bucket minhash artifact
+    // (r13 verdict item 8): q228's mutation script with buckets=16 forced
+    // at build time, so the (band, band_bucket) partition layout is
+    // exercised at every SF regardless of what ScaleKnobs.sigBuckets
+    // derives from the collection's stats. The refresh segment must land
+    // under the SAME bucket layout (minhashBuckets reads the meta) and
+    // compaction must carry it into gen_1 — any layout divergence either
+    // errors at read (mixed flat/partitioned dirs) or changes the probe's
+    // pruned candidate set. Bucketing is result-invariant, so the oracle
+    // is q227/q228's verbatim.
+    "q313_bucketed_refresh" -> ((s, dir) => {
+      import s.implicits._
+      val db = scratchDb(s, "graft_q313")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      def run(cmd: String, arg: String) =
+        CommandExecutor.execute(db,
+          graft.commands.CommandParser.parse(Some("docs"), cmd, Some(arg))
+            .fold(e => throw new IllegalArgumentException(e.message),
+              identity))
+      run("REINDEX", "type=minhash;buckets=16").collect()
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 1000000L).as("id"),
+          concat(col("text"), lit(" graftrefresh")).as("payload")))
+      db.update("docs",
+        Seq((0L, "graftrefresh vector data payload")).toDF("id", "payload"))
+      db.delete("docs", col("id") % 97 === 3)
+      run("REINDEX", "type=minhash;mode=refresh").collect()
+      run("REINDEX", "type=minhash;mode=compact").collect()
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("id"),
+          concat(col("text"), lit(" tm1 tm2")).as("payload"))
+      db.screenDupes("docs", batch)
+        .orderBy("a_id", "b_id")
+    }),
+
     // The artifact inventory surface: LISTINDEXES reports every managed
     // index with its serving state — live after the REINDEXes, the
     // stale-able three flip to stale after a mutation while the vector
@@ -2663,6 +2703,9 @@ object PipelineQueries {
     "q227_minhash_refresh" -> minhashRefreshSql,
     // minhash compaction is content-preserving: q227's oracle verbatim
     "q228_minhash_compact" -> minhashRefreshSql,
+    // bucket layout is result-invariant (ScaleKnobsSpec pins the physical
+    // layout survival): q227's oracle verbatim
+    "q313_bucketed_refresh" -> minhashRefreshSql,
 
     // the cached-artifact phrase serve must equal the from-text
     // recompute over the hybrid collection's rows

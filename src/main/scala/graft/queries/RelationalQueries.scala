@@ -639,6 +639,35 @@ object RelationalQueries {
         Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice")
     }),
 
+    // Population Stability Index per source: token-length distributions
+    // of a REFERENCE slice vs a CURRENT slice over 16 fixed-width bins
+    // (width 32, top bin catch-all) — add-one smoothed single exact
+    // divisions, ln-parity terms, one rounded sum. The slices split on
+    // (doc_id DIV 20) % 2, NOT doc_id % 2: source = src(doc_id % 20) in
+    // this testdata, so a parity split would give each slice disjoint
+    // sources and an empty ref∩cur group set. The distribution-shape
+    // drift monitor beside KS (q241), CUSUM (q295), and source-KL (q157).
+    "q315_psi_drift" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("len"))
+      graft.operators.NumericAudit.psiDrift(
+        docs.filter(expr("(doc_id DIV 20) % 2") === 0),
+        docs.filter(expr("(doc_id DIV 20) % 2") === 1),
+        "source", "len", binWidth = 32, nBins = 16)
+    }),
+
+    // STREAMING Benford audit: the digit projection is stateless row
+    // math, so the stream pays ONE aggregation (grp×digit counts,
+    // complete mode) and the grid/chi-squared post-math runs on the sink
+    // table through the SAME NumericAudit.benfordFromCounts the batch
+    // audit calls — q294's oracle verbatim (the q245/q262 stream-twin
+    // economics applied to the numeric-audit family).
+    "q314_stream_benford" -> ((s, dir) => {
+      graft.streaming.StreamingIngest.streamBenford(s, dir,
+        queryName = s"benford_${java.util.UUID.randomUUID().toString.take(8)}")
+    }),
+
     "q54_running_sum" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("o_custkey")
@@ -688,6 +717,37 @@ object RelationalQueries {
         .orderBy("bucket")
     })
   )
+
+  /** q294/q314 oracle: exact integer-cents digit extraction (never float
+    * formatting or log10 floors), groups×9 grid with zero-count digits
+    * carrying their expected mass, chi-squared the only rounded
+    * accumulation — shared verbatim by the batch audit and its streaming
+    * twin.
+    */
+  private lazy val benfordSql: String =
+    """WITH base AS (
+      |  SELECT l_returnflag AS grp,
+      |    CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      |  FROM lineitem WHERE l_extendedprice > 0
+      |    AND CAST(round(l_extendedprice * 100) AS BIGINT) >= 1),
+      |counts AS (SELECT grp, digit, CAST(count(*) AS BIGINT) AS n_d
+      |           FROM base GROUP BY 1, 2),
+      |totals AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+      |           FROM base GROUP BY 1),
+      |grid AS (
+      |  SELECT t.grp, d.digit, COALESCE(c.n_d, 0) AS n_d, t.n,
+      |    ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(d.digit AS DOUBLE))
+      |      / ln(CAST(10 AS DOUBLE)) * CAST(t.n AS DOUBLE) AS e
+      |  FROM totals t
+      |  CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
+      |  LEFT JOIN counts c ON c.grp = t.grp AND c.digit = d.digit)
+      |SELECT grp, CAST(digit AS BIGINT) AS digit,
+      |  CAST(n_d AS BIGINT) AS n_d, n,
+      |  round(sum((CAST(n_d AS DOUBLE) - e) * (CAST(n_d AS DOUBLE) - e) / e)
+      |    OVER (PARTITION BY grp) + 1e-9, 6) AS chi2
+      |FROM grid
+      |ORDER BY grp, digit""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -1092,30 +1152,53 @@ object RelationalQueries {
         |HAVING count(*) >= 2
         |ORDER BY n_users DESC, prefix""".stripMargin,
 
-    "q294_benford" ->
-      """WITH base AS (
-        |  SELECT l_returnflag AS grp,
-        |    CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
-        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
-        |  FROM lineitem WHERE l_extendedprice > 0
-        |    AND CAST(round(l_extendedprice * 100) AS BIGINT) >= 1),
-        |counts AS (SELECT grp, digit, CAST(count(*) AS BIGINT) AS n_d
-        |           FROM base GROUP BY 1, 2),
-        |totals AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
-        |           FROM base GROUP BY 1),
+    // PSI: bins are exact integer math (// floor on non-negative counts,
+    // clamped top bin), masses are add-one smoothed single divisions of
+    // exact counts, ln on identical doubles, one rounded sum — term
+    // written (cur − ref) · ln(cur/ref) in the same op order as the
+    // Spark side
+    "q315_psi_drift" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS lenv
+        |  FROM documents),
+        |rb AS (
+        |  SELECT source AS grp, greatest(0, least(lenv // 32, 15)) AS bin
+        |  FROM d WHERE (doc_id // 20) % 2 = 0),
+        |cb AS (
+        |  SELECT source AS grp, greatest(0, least(lenv // 32, 15)) AS bin
+        |  FROM d WHERE (doc_id // 20) % 2 = 1),
+        |rc AS (SELECT grp, bin, count(*) AS n_ref FROM rb GROUP BY 1, 2),
+        |cc AS (SELECT grp, bin, count(*) AS n_cur FROM cb GROUP BY 1, 2),
+        |rt AS (SELECT grp, count(*) AS nr FROM rb GROUP BY 1),
+        |ct AS (SELECT grp, count(*) AS nc FROM cb GROUP BY 1),
         |grid AS (
-        |  SELECT t.grp, d.digit, COALESCE(c.n_d, 0) AS n_d, t.n,
-        |    ln(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(d.digit AS DOUBLE))
-        |      / ln(CAST(10 AS DOUBLE)) * CAST(t.n AS DOUBLE) AS e
-        |  FROM totals t
-        |  CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
-        |  LEFT JOIN counts c ON c.grp = t.grp AND c.digit = d.digit)
-        |SELECT grp, CAST(digit AS BIGINT) AS digit,
-        |  CAST(n_d AS BIGINT) AS n_d, n,
-        |  round(sum((CAST(n_d AS DOUBLE) - e) * (CAST(n_d AS DOUBLE) - e) / e)
-        |    OVER (PARTITION BY grp) + 1e-9, 6) AS chi2
-        |FROM grid
-        |ORDER BY grp, digit""".stripMargin,
+        |  SELECT rt.grp, b.bin,
+        |    COALESCE(rc.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur,
+        |    rt.nr, ct.nc
+        |  FROM rt JOIN ct ON ct.grp = rt.grp
+        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+        |  LEFT JOIN rc ON rc.grp = rt.grp AND rc.bin = b.bin
+        |  LEFT JOIN cc ON cc.grp = rt.grp AND cc.bin = b.bin),
+        |t AS (
+        |  SELECT grp, bin, n_ref, n_cur,
+        |    (CAST(n_cur + 1 AS DOUBLE) / CAST(nc + 16 AS DOUBLE)
+        |      - CAST(n_ref + 1 AS DOUBLE) / CAST(nr + 16 AS DOUBLE))
+        |    * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(nc + 16 AS DOUBLE))
+        |        / (CAST(n_ref + 1 AS DOUBLE) / CAST(nr + 16 AS DOUBLE)))
+        |      AS term
+        |  FROM grid)
+        |SELECT grp, CAST(bin AS BIGINT) AS bin,
+        |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+        |  round(sum(term) OVER (PARTITION BY grp) + 1e-9, 6) AS psi
+        |FROM t
+        |ORDER BY grp, bin""".stripMargin,
+
+    "q294_benford" -> benfordSql,
+    // the streaming twin gates on the batch oracle verbatim (the q102 →
+    // q96 pattern): same digit rows, same grid math, only the execution
+    // surface differs
+    "q314_stream_benford" -> benfordSql,
 
     "q292_stickiness" ->
       """WITH ud AS (

@@ -572,6 +572,52 @@ object TextQueries {
         .orderBy("label")
     }),
 
+    // Logistic-regression quality/language classifier TRAINING (the
+    // trainable sibling of the closed-form NB at q145): 6 rounds of
+    // full-batch GD over cheap exact text features (token count / 256,
+    // digit/punct/uppercase char ratios — single divisions of integer
+    // counts), label = (lang = 'en'). Per-round gradient sums are the
+    // only order-dependent + transcendental surface and round (+1e-9, 6)
+    // before re-entering the recursion (the pageRank round-discipline;
+    // exp-sum parity is the q148 precedent); the oracle replays all 6
+    // layers with materialized CTEs (the q203 discipline — each layer is
+    // referenced twice, inlining would go exponential). Output: the
+    // weight trajectory, every float rounded.
+    "q316_lr_train" -> ((s, dir) => {
+      graft.operators.Classify.logisticTrain(
+        lrFeatures(Tables.documents(s, dir)),
+        Seq("x_len", "x_digit", "x_punct", "x_upper"), "y",
+        eta = 0.5, rounds = 6)
+    }),
+
+    // The trained LR model APPLIED (q316's weights as plan literals —
+    // the centroids precedent; the 5-double collect is model-sized):
+    // per-doc sigmoid score and thresholded keep/drop decision. The
+    // prediction thresholds on the ROUNDED score (the rank-on-rounded
+    // doctrine: a one-ulp exp difference must not flip a keep decision);
+    // the oracle re-derives the weights through the same 6 layers and
+    // scores identically.
+    "q317_lr_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val traj = graft.operators.Classify.logisticTrain(
+        lrFeatures(docs), Seq("x_len", "x_digit", "x_punct", "x_upper"),
+        "y", eta = 0.5, rounds = 6)
+      val wRow = traj.orderBy(desc("round")).limit(1).head()
+      val w = (1 to 5).map(wRow.getDouble)
+      val feat = lrFeatures(docs.select(col("doc_id"), col("text"),
+        col("lang")))
+      val z = lit(w(0)) * lit(1.0) + lit(w(1)) * col("x_len") +
+        lit(w(2)) * col("x_digit") + lit(w(3)) * col("x_punct") +
+        lit(w(4)) * col("x_upper")
+      feat
+        .withColumn("score",
+          round(lit(1.0) / (lit(1.0) + exp(-z)) + lit(1e-9), 6))
+        .select(col("doc_id"), col("y").cast("long").as("is_en"),
+          col("score"),
+          when(col("score") >= 0.5, 1L).otherwise(0L).as("pred"))
+        .orderBy("doc_id")
+    }),
+
     // BPE merge-candidate table (tokenizer training, first merge): the
     // most frequent adjacent character pairs weighted by word frequency.
     // Pairs explode off the vocabulary, never the corpus; top-20 cut is
@@ -1980,6 +2026,101 @@ object TextQueries {
          |ORDER BY $idOut""".stripMargin
     }
 
+  /** q316/q317 feature frame: label + four engine-exact features (token
+    * count scaled by a dyadic constant; digit/punct/uppercase char
+    * ratios as SINGLE divisions of integer counts — the q120 doctrine).
+    * doc_id rides along for the scoring gate.
+    */
+  private def lrFeatures(docs: DataFrame): DataFrame = {
+    val nChar = length(col("text")).cast("double")
+    def cnt(re: String): Column =
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("double")
+    graft.operators.Parallelism.ensure(docs)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        (graft.operators.TextAnalysis.tokenCount(col("text"))
+          .cast("double") / lit(256.0)).as("x_len"),
+        (cnt("[0-9]") / nChar).as("x_digit"),
+        (cnt("[.,;:!?]") / nChar).as("x_punct"),
+        (cnt("[A-Z]") / nChar).as("x_upper"))
+  }
+
+  /** The q316/q317 oracle prefix: feature CTE + 6 generated GD layers.
+    * EVERY layer is MATERIALIZED (the q203 discipline): g_r and w_r each
+    * reference w_{r-1}, so inlining would expand the chain 2^rounds
+    * times. The sigmoid, gradient rounding, and update arithmetic are
+    * written in EXACTLY the Spark operator's op order — the weights must
+    * re-enter each round bit-identical (the pageRank round-discipline).
+    */
+  private def lrLayersSql(rounds: Int): String = {
+    val feat =
+      """feat AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN CAST(1 AS DOUBLE)
+        |         ELSE CAST(0 AS DOUBLE) END AS y,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+        |      / CAST(256 AS DOUBLE) AS x1,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS x2,
+        |    CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS x3,
+        |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+        |      / CAST(length(text) AS DOUBLE) AS x4
+        |  FROM documents WHERE length(text) > 0),
+        |nn AS (SELECT count(*) AS n FROM feat),
+        |w0 AS (SELECT CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS w1,
+        |  CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3,
+        |  CAST(0 AS DOUBLE) AS w4)""".stripMargin
+    val p = "CAST(1 AS DOUBLE)/(CAST(1 AS DOUBLE)+exp(-(" +
+      "w.b*CAST(1 AS DOUBLE) + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + " +
+      "w.w4*f.x4)))"
+    val layers = (1 to rounds).map { r =>
+      val xs = Seq("CAST(1 AS DOUBLE)", "f.x1", "f.x2", "f.x3", "f.x4")
+      val gs = xs.zipWithIndex.map { case (x, j) =>
+        s"    round(sum(($p - f.y) * $x) + 1e-9, 6) AS g$j"
+      }.mkString(",\n")
+      val ws = Seq("b", "w1", "w2", "w3", "w4").zipWithIndex.map {
+        case (wn, j) => s"    w.$wn - 0.5*(g.g$j/nn.n) AS $wn"
+      }.mkString(",\n")
+      s"""g$r AS MATERIALIZED (
+         |  SELECT
+         |$gs
+         |  FROM feat f, w${r - 1} w),
+         |w$r AS MATERIALIZED (
+         |  SELECT
+         |$ws
+         |  FROM w${r - 1} w, g$r g, nn)""".stripMargin
+    }
+    "WITH " + feat + ",\n" + layers.mkString(",\n")
+  }
+
+  private lazy val lrTrainSql: String = {
+    val rows = (1 to 6).map { r =>
+      s"""  SELECT CAST($r AS BIGINT) AS round, round(b + 1e-9, 6) AS w_bias,
+         |    round(w1 + 1e-9, 6) AS w_x_len, round(w2 + 1e-9, 6) AS w_x_digit,
+         |    round(w3 + 1e-9, 6) AS w_x_punct, round(w4 + 1e-9, 6) AS w_x_upper
+         |  FROM w$r""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    lrLayersSql(6) + "\nSELECT * FROM (\n" + rows + ")\nORDER BY round"
+  }
+
+  private lazy val lrScoreSql: String =
+    lrLayersSql(6) +
+      """,
+        |wf AS (SELECT round(b + 1e-9, 6) AS b, round(w1 + 1e-9, 6) AS w1,
+        |  round(w2 + 1e-9, 6) AS w2, round(w3 + 1e-9, 6) AS w3,
+        |  round(w4 + 1e-9, 6) AS w4 FROM w6)
+        |SELECT doc_id, is_en, score,
+        |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred
+        |FROM (
+        |  SELECT f.doc_id AS doc_id, CAST(f.y AS BIGINT) AS is_en,
+        |    round(CAST(1 AS DOUBLE)/(CAST(1 AS DOUBLE)+exp(-(
+        |      w.b*CAST(1 AS DOUBLE) + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 +
+        |      w.w4*f.x4))) + 1e-9, 6) AS score
+        |  FROM feat f, wf w)
+        |ORDER BY doc_id""".stripMargin
+
   private lazy val nbChainSql =
     """WITH d AS (
       |  SELECT doc_id, source,
@@ -2954,6 +3095,16 @@ object TextQueries {
         |  CAST(count(*) AS BIGINT) AS n
         |FROM c GROUP BY canon
         |ORDER BY canon""".stripMargin),
+
+    // LR training replay: 6 materialized GD layers, gradient sums
+    // rounded before each update — the weight trajectory must land
+    // bit-identical per round
+    "q316_lr_train" -> lrTrainSql,
+
+    // LR scoring replay: the SAME 6 layers re-derive the published
+    // (output-rounded) weights, then one sigmoid per doc, thresholded on
+    // the rounded score
+    "q317_lr_score" -> lrScoreSql,
 
     "q145_nb_classify" -> (nbChainSql +
       """

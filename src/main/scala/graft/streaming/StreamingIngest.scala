@@ -980,6 +980,36 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** STREAMING Benford first-digit audit (q294's twin): the digit
+    * projection is stateless per-row math (exact integer cents, sub-cent
+    * exclusion — [[graft.operators.NumericAudit.benfordDigitRows]]
+    * verbatim), so the stream pays exactly ONE aggregation —
+    * groupBy(grp, digit).count in complete mode — and the groups×9 grid,
+    * expectation, and chi-squared run as batch post-math on the sink
+    * table ([[graft.operators.NumericAudit.benfordFromCounts]], the same
+    * code the batch audit calls, so stream ≡ batch by construction).
+    */
+  def streamBenford(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_benford"): DataFrame = {
+    val path = s"$sfDir/lineitem.parquet"
+    val schema = spark.read.parquet(path).schema
+    val counts = graft.operators.NumericAudit.benfordDigitRows(
+        spark.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "lineitem.parquet")
+          .parquet(sfDir),
+        "l_returnflag", "l_extendedprice")
+      .groupBy("grp", "digit").agg(count(lit(1)).as("n_d"))
+    val q = counts.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.operators.NumericAudit.benfordFromCounts(spark.table(queryName))
+  }
+
   /** Streaming ingest into a collection directory: the WAL-replacement
     * path. Checkpoints live under the database's graft_wal dir, so
     * TRUNCATEWAL (database target) clears exactly this state.

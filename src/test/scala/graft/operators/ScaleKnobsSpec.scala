@@ -227,6 +227,86 @@ class ScaleKnobsSpec extends AnyFunSuite {
       s"the batch's bucket set must prune the stored scan:\n${p.take(1500)}")
   }
 
+  test("refresh + compact preserve the bucketed artifact layouts") {
+    import org.apache.spark.sql.functions.countDistinct
+    // r13 verdict item 8: segment appends (refresh) and the compacted
+    // generation must both land under the artifact's recorded bucket
+    // layout — a divergent segment would mix flat files with partition
+    // dirs (read error) or silently change the probe's pruned candidates.
+    val db = screenDb("graft_bucketedrefresh")
+    db.reindexMinhash("docs", buckets = 16)
+    db.reindexWinsig("docs", buckets = 16)
+    // the q225 mutation script: insert shifted twins, rewrite id 0,
+    // delete a slice — refresh then hashes only the delta
+    db.bulkInsert("docs", graft.Tables.documents(spark, TestSpark.sf)
+      .filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 1000000L).as("id"),
+        concat(col("text"), lit(" graftrefresh")).as("payload")))
+    import spark.implicits._
+    db.update("docs",
+      Seq((0L, "graftrefresh vector data payload")).toDF("id", "payload"))
+    db.delete("docs", col("id") % 97 === 3)
+    db.refreshMinhash("docs")
+    db.refreshWinsig("docs")
+    val rootPath = db.root.toUri.getPath
+    def meta(artifact: String): String = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+        rootPath, artifact, "meta.json")), "UTF-8")
+    def bucketsOf(artifact: String): Int =
+      """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(meta(artifact))
+        .map(_.group(1).toInt).getOrElse(-1)
+    assert(bucketsOf("graft_minhash_docs") === 16)
+    assert(bucketsOf("graft_winsig_docs") === 16)
+    // the refresh SEGMENT (seg > 0) must read back with partition-dir
+    // bucket values spread over the 16-wide layout — reading the
+    // partition column back is only possible if the segment's files
+    // landed under band_bucket=/sig_bucket= dirs
+    val refreshedBands = spark.read.parquet(
+        s"$rootPath/graft_minhash_docs/gen_0/bands")
+      .filter(col("seg") > 0)
+    assert(refreshedBands.count() > 0, "refresh must append a segment")
+    assert(refreshedBands.filter(
+      col("band_bucket") < 0 || col("band_bucket") >= 16).count() === 0L)
+    assert(refreshedBands.agg(countDistinct("band_bucket")).head.getLong(0)
+      > 1L, "a corpus-sized segment must spread over the bucket layout")
+    val refreshedSigs = spark.read.parquet(
+        s"$rootPath/graft_winsig_docs/gen_0/sigs")
+      .filter(col("seg") > 0)
+    assert(refreshedSigs.count() > 0)
+    assert(refreshedSigs.agg(countDistinct("sig_bucket")).head.getLong(0)
+      > 1L)
+    // compaction must carry the layout into the next generation
+    db.compactMinhash("docs")
+    db.compactWinsig("docs")
+    assert(bucketsOf("graft_minhash_docs") === 16)
+    assert(bucketsOf("graft_winsig_docs") === 16)
+    def bucketDirs(rel: String, layer: String): Long =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(rootPath, rel))
+        .filter(p => p.getFileName.toString.startsWith(layer)).count()
+    assert(bucketDirs("graft_minhash_docs/gen_1/bands", "band_bucket=") > 1,
+      "compacted generation must keep the band_bucket partition layer")
+    assert(bucketDirs("graft_winsig_docs/gen_1/sigs", "sig_bucket=") > 1,
+      "compacted generation must keep the sig_bucket partition layer")
+    // result invariance across the maintained lifecycle: the compacted
+    // 16-bucket artifacts screen exactly like fresh builds at a DIFFERENT
+    // width over the same final corpus
+    val twin = graft.core.GraftDatabase.create(spark,
+      java.nio.file.Files.createTempDirectory("graft_bucketedtwin")
+        .toString, "kdb")
+    twin.createCollection("docs", StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", StringType))))
+    twin.bulkInsert("docs", db.read("docs").select("id", "payload"))
+    twin.reindexMinhash("docs", buckets = 8)
+    twin.reindexWinsig("docs", buckets = 8)
+    def rows(d: graft.core.GraftDatabase): (Seq[String], Seq[String]) = (
+      d.screenDupes("docs", screenBatch).orderBy("a_id", "b_id")
+        .collect().map(_.toString).toSeq,
+      d.screenSubstrings("docs", screenBatch).orderBy("id")
+        .collect().map(_.toString).toSeq)
+    assert(rows(db) === rows(twin))
+  }
+
   test("REINDEX type=minhash with no count records a derived power-of-two layout") {
     val db = screenDb("graft_mhmeta")
     db.reindexMinhash("docs")
