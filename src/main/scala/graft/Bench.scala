@@ -234,7 +234,10 @@ object Bench {
   private def calibrateShuffle(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions._
     val splits = spark.sparkContext.defaultParallelism
-    spark.range(0L, 20000000L, 1L, splits)
+    // 80M rows (~1 s at 32 threads): the original 20M-row probe measured
+    // 0.26–0.50 s across same-box JVMs in r14 — too small for a stable
+    // min-of-3; a ~1 s job amortizes scheduling waves 4× better
+    spark.range(0L, 80000000L, 1L, splits)
       .select((xxhash64(col("id")) % 1024L).as("k"),
         (xxhash64(col("id"), lit(1)) % 1000000007L).as("v"))
       .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))

@@ -77,6 +77,17 @@ object CommandExecutor {
         db.bulkInsert(coll, source)
         status("BULKINSERT", coll)
 
+      case Export(coll, arg) =>
+        // arg grammar: `<path>[;format=jsonl|csv|parquet;shards=<n>]` —
+        // BULKINSERT's ';'-separated k=v tail convention
+        val parts = arg.split(";").map(_.trim).filter(_.nonEmpty)
+        val opts =
+          if (parts.length > 1) parseKv(parts.tail.mkString(";"))
+          else Map.empty[String, String]
+        db.exportCollection(coll, parts.head,
+          format = opts.getOrElse("format", "jsonl"),
+          nShards = opts.getOrElse("shards", "8").toInt)
+
       case Update(coll, arg) =>
         val updates =
           if (arg.endsWith(".parquet") || arg.endsWith(".pq")) spark.read.parquet(arg)

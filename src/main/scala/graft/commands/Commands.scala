@@ -42,6 +42,10 @@ package graft.commands
   *    (diff → delete removed, upsert added+changed with derived columns
   *    re-derived, unchanged rows untouched) and the command returns the
   *    per-status diff counts.
+  *  - EXPORT arg (extension): `<path>[;format=jsonl|csv|parquet;shards=<n>]`
+  *    — deterministic sharded egress: md5-slice shard placement (the q82
+  *    rule), one id-ordered file per shard, formats matching the
+  *    BULKINSERT readers (csv refuses non-atomic columns loudly).
   *  - SEARCHTEXT arg (extension): `terms=a,b,c[;k=<n>;k1=<f>;b=<f>]` —
   *    BM25 keyword retrieval over the payload column.
   *  - SEARCHHYBRID arg (extension): `terms=a,b,c;vec=f,f,...[;k;kf;krrf]`
@@ -71,6 +75,7 @@ object GraftCommand {
   final case class SearchHybrid(collection: String, arg: String) extends GraftCommand
   final case class SearchPhrase(collection: String, arg: String) extends GraftCommand
   final case class SearchProximity(collection: String, arg: String) extends GraftCommand
+  final case class Export(collection: String, arg: String) extends GraftCommand
   final case class Summarize(collection: String, arg: Option[String]) extends GraftCommand
   final case class Keywords(collection: String, arg: Option[String]) extends GraftCommand
   final case class Stats(collection: String) extends GraftCommand
@@ -128,6 +133,7 @@ object CommandParser {
       case "SEARCHHYBRID" => needBoth("SEARCHHYBRID")(SearchHybrid(_, _))
       case "SEARCHPHRASE" => needBoth("SEARCHPHRASE")(SearchPhrase(_, _))
       case "SEARCHPROX" => needBoth("SEARCHPROX")(SearchProximity(_, _))
+      case "EXPORT" => needBoth("EXPORT")(Export(_, _))
       case "SUMMARIZE" => needColl("SUMMARIZE")(Summarize(_, arg))
       case "KEYWORDS" => needColl("KEYWORDS")(Keywords(_, arg))
       case "STATS" => needColl("STATS")(Stats(_))

@@ -250,6 +250,62 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     }
   }
 
+  /** EXPORT — deterministic sharded egress (the BULKINSERT sources'
+    * missing write half): every row lands in shard
+    * `md5("export:" + id) 16-bit slice % nShards` (the q82 rule —
+    * nShards must divide 65536, no modulo bias), each shard is written
+    * as ONE file with rows in id order (repartition on the shard column
+    * puts a shard in exactly one task; the within-task sort makes the
+    * file bytes a pure function of data + shard count), and the format
+    * round-trips through the matching BULKINSERT reader. Placement is
+    * md5-derived, so an auditor recomputes every row's shard in SQL.
+    *
+    * Formats: `jsonl` (default) and `parquet` carry any column type;
+    * `csv` requires a flat schema (arrays/binary refused loudly — the
+    * csv writer cannot represent them).
+    *
+    * Returns the per-shard audit (shard, n_rows), ordered.
+    */
+  def exportCollection(name: String, path: String,
+      format: String = "jsonl", nShards: Int = 8): DataFrame = {
+    requireCollection(name)
+    require(nShards >= 1 && 65536 % nShards == 0,
+      s"EXPORT shards must divide 65536, got $nShards")
+    val cur = read(name)
+    require(cur.columns.contains("id"),
+      s"EXPORT needs an id column on $name (shard + file order key)")
+    if (format == "csv") {
+      import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType}
+      val complex = cur.schema.fields.filter(f => f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType => true
+        case _ => false
+      })
+      require(complex.isEmpty,
+        "EXPORT format=csv cannot represent non-atomic columns: " +
+          complex.map(f => s"${f.name}: ${f.dataType.simpleString}")
+            .mkString(", ") + " — use jsonl or parquet")
+    }
+    val sharded = cur
+      .withColumn("shard", conv(substring(md5(concat(lit("export:"),
+          col("id").cast("string"))), 1, 4), 16, 10).cast("long")
+        % nShards)
+      // one task per shard → one file per shard dir; the sort pins the
+      // file's row order so the exported bytes are reproducible
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "id")
+    val writer = sharded.write.mode("overwrite").partitionBy("shard")
+    format match {
+      case "jsonl" => writer.json(path)
+      case "csv" => writer.option("header", "true").csv(path)
+      case "parquet" => writer.option("compression", Compression)
+        .parquet(path)
+      case other => throw new IllegalArgumentException(
+        s"EXPORT format must be jsonl, csv, or parquet, got: $other")
+    }
+    sharded.groupBy("shard").agg(count(lit(1)).as("n_rows"))
+      .orderBy("shard")
+  }
+
   /** Materialize an int8 scalar-quantized copy of the embedding column
     * (`embedding_q8`, array<tinyint> — a quarter of the float32 bytes on
     * disk). SEARCHSIMILAR's SQ8 path then reads ONLY (id, embedding_q8)

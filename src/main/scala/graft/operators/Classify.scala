@@ -302,6 +302,20 @@ object Classify {
           (col("precision") + col("recall"))))
   }
 
+  /** The published-model scoring column: σ(w_bias + w·x) rounded
+    * (+1e-9, 6), in EXACTLY the left-assoc op order [[logisticTrain]]
+    * trains with (and its oracle replays) — pure stateless column math,
+    * so it runs unchanged on a stream. Threshold keep/drop decisions on
+    * the ROUNDED value (the rank-on-rounded doctrine).
+    */
+  def logisticScore(w: Seq[Double], xs: Seq[Column]): Column = {
+    require(w.length == xs.length + 1,
+      s"need ${xs.length + 1} weights (bias first), got ${w.length}")
+    val z = ((lit(w.head) * lit(1.0)) +:
+      xs.zip(w.tail).map { case (x, wj) => lit(wj) * x }).reduceLeft(_ + _)
+    round(lit(1.0) / (lit(1.0) + exp(-z)) + lit(1e-9), 6)
+  }
+
   /** Deterministic logistic-regression training: full-batch gradient
     * descent for a FIXED number of rounds over double feature columns
     * (bias added internally as a constant 1 feature) — the trainable

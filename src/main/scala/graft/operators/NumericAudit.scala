@@ -140,31 +140,54 @@ object NumericAudit {
         s"psiDrift needs an integral value column (exactness contract), " +
           s"got ${df.schema(valCol).dataType.simpleString}")
     }
-    val spark = ref.sparkSession
-    // DIV, never `/`: Spark's `/` on longs is DOUBLE division
-    def binned(df: DataFrame): DataFrame =
-      df.select(col(groupCol).as("grp"),
+    psiFromCounts(
+      psiBinned(ref, groupCol, valCol, binWidth, nBins)
+        .groupBy("grp", "bin").agg(count(lit(1)).as("n")),
+      psiBinned(cur, groupCol, valCol, binWidth, nBins)
+        .groupBy("grp", "bin").agg(count(lit(1)).as("n")),
+      nBins)
+  }
+
+  /** The per-row half of [[psiDrift]]: (grp, bin) with the exact integer
+    * binning (DIV, never `/` — Spark's `/` on longs is DOUBLE division;
+    * clamped top bin). Pure stateless column math — the streaming twin
+    * runs it unchanged on an unbounded frame.
+    */
+  def psiBinned(df: DataFrame, groupCol: String, valCol: String,
+      binWidth: Long, nBins: Int): DataFrame =
+    df.select(col(groupCol).as("grp"),
         col(valCol).cast("long").as("__v"))
-        .select(col("grp"),
-          greatest(lit(0L), least(expr(s"__v DIV $binWidth"),
-            lit(nBins - 1L))).as("bin"))
-    val rb = binned(ref)
-    val cb = binned(cur)
-    val rc = rb.groupBy("grp", "bin").agg(count(lit(1)).as("n_ref"))
-    val cc = cb.groupBy("grp", "bin").agg(count(lit(1)).as("n_cur"))
-    val rt = rb.groupBy("grp").agg(count(lit(1)).as("__nr"))
-    val ct = cb.groupBy("grp").agg(count(lit(1)).as("__nc"))
+      .select(col("grp"),
+        greatest(lit(0L), least(expr(s"__v DIV $binWidth"),
+          lit(nBins - 1L))).as("bin"))
+
+  /** The post-aggregation half of [[psiDrift]]: per-group bin→count maps
+    * (the benfordFromCounts gather — totals derived from the counts' own
+    * sums, so a memory-sink view never self-joins), the groups×nBins
+    * grid by map lookup, smoothed masses, ln-parity terms, one rounded
+    * sum. `refCounts`/`curCounts`: (grp, bin, n) exact counts. Shared
+    * verbatim by the batch operator and the streaming twin.
+    */
+  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+      nBins: Int): DataFrame = {
+    val spark = refCounts.sparkSession
+    def gathered(c: DataFrame, total: String, m: String): DataFrame =
+      c.groupBy("grp").agg(sum("n").as(total),
+        map_from_entries(collect_list(struct(col("bin"), col("n"))))
+          .as(m))
     val bins = spark.range(0, nBins).select(col("id").as("bin"))
     val pr = (col("n_ref") + 1L).cast("double") /
       (col("__nr") + lit(nBins.toLong)).cast("double")
     val pc = (col("n_cur") + 1L).cast("double") /
       (col("__nc") + lit(nBins.toLong)).cast("double")
     val wg = Window.partitionBy("grp")
-    rt.join(ct, Seq("grp"))
+    gathered(refCounts, "__nr", "__mr")
+      .join(gathered(curCounts, "__nc", "__mc"), Seq("grp"))
       .crossJoin(broadcast(bins))
-      .join(rc, Seq("grp", "bin"), "left")
-      .join(cc, Seq("grp", "bin"), "left")
-      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .withColumn("n_ref",
+        coalesce(element_at(col("__mr"), col("bin")), lit(0L)))
+      .withColumn("n_cur",
+        coalesce(element_at(col("__mc"), col("bin")), lit(0L)))
       .withColumn("__t", (pc - pr) * log(pc / pr))
       .withColumn("psi", round(sum(col("__t")).over(wg) + lit(1e-9), 6))
       .select(col("grp"), col("bin"), col("n_ref"), col("n_cur"), col("psi"))

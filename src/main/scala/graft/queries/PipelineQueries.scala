@@ -235,6 +235,33 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // EXPORT — the BULKINSERT sources' missing write half (deterministic
+    // sharded egress): the collection round-trips out as jsonl with
+    // md5-slice shard placement (the q82 rule — every row's shard is
+    // SQL-recomputable) and ONE id-ordered file per shard dir. The gate
+    // reads the export back and pins content (payload md5) AND placement
+    // (the shard partition value) per row.
+    "q321_export_cmd" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q321")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      val out = Scratch.dir("graft_q321") + "/export"
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "EXPORT",
+          Some(s"$out;format=jsonl;shards=8"))
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+        .collect()
+      s.read.json(out)
+        .select(col("id").cast("long").as("id"),
+          md5(col("payload")).as("payload_sig"),
+          col("shard").cast("long").as("shard"))
+        .orderBy("id")
+    }),
+
     // Ingest-side normalization through the command grammar:
     // `BULKINSERT <path>;normalize=fold` canonicalizes payloads (NFC +
     // accent fold) during the write, so byte-variant payloads land
@@ -2386,6 +2413,15 @@ object PipelineQueries {
         |    CAST(embedding AS DOUBLE[]))), 6) AS norm
         |FROM embeddings
         |WHERE vec_id % 3 = 0
+        |ORDER BY id""".stripMargin,
+
+    // export round-trip: content by payload md5, placement by the
+    // SQL-recomputable md5-slice shard rule
+    "q321_export_cmd" ->
+      """SELECT doc_id AS id, md5(text) AS payload_sig,
+        |  CAST(('0x' || substring(md5('export:' || CAST(doc_id AS VARCHAR)),
+        |    1, 4)) AS BIGINT) % 8 AS shard
+        |FROM documents
         |ORDER BY id""".stripMargin,
 
     "q299_orc_ingest" ->

@@ -657,6 +657,15 @@ object RelationalQueries {
         "source", "len", binWidth = 32, nBins = 16)
     }),
 
+    // STREAMING PSI: the reference profile is static, the current slice
+    // streams through ONE complete-mode aggregation, and the
+    // grid/smoothing/ln post-math is psiFromCounts — the same code the
+    // batch operator calls. q315's oracle verbatim.
+    "q319_stream_psi" -> ((s, dir) => {
+      graft.streaming.StreamingIngest.streamPsiDrift(s, dir,
+        queryName = s"psi_${java.util.UUID.randomUUID().toString.take(8)}")
+    }),
+
     // STREAMING Benford audit: the digit projection is stateless row
     // math, so the stream pays ONE aggregation (grp×digit counts,
     // complete mode) and the grid/chi-squared post-math runs on the sink
@@ -748,6 +757,49 @@ object RelationalQueries {
       |    OVER (PARTITION BY grp) + 1e-9, 6) AS chi2
       |FROM grid
       |ORDER BY grp, digit""".stripMargin
+
+  /** q315/q319 oracle: exact integer binning (// floor on non-negative
+    * counts, clamped top bin), add-one smoothed single divisions of
+    * exact counts, ln-parity terms written (cur − ref) · ln(cur/ref) in
+    * the Spark op order, one rounded sum — shared verbatim by the batch
+    * PSI and its streaming twin.
+    */
+  private lazy val psiDriftSql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id,
+      |    len(regexp_extract_all(text, '\S+')) AS lenv
+      |  FROM documents),
+      |rb AS (
+      |  SELECT source AS grp, greatest(0, least(lenv // 32, 15)) AS bin
+      |  FROM d WHERE (doc_id // 20) % 2 = 0),
+      |cb AS (
+      |  SELECT source AS grp, greatest(0, least(lenv // 32, 15)) AS bin
+      |  FROM d WHERE (doc_id // 20) % 2 = 1),
+      |rc AS (SELECT grp, bin, count(*) AS n_ref FROM rb GROUP BY 1, 2),
+      |cc AS (SELECT grp, bin, count(*) AS n_cur FROM cb GROUP BY 1, 2),
+      |rt AS (SELECT grp, count(*) AS nr FROM rb GROUP BY 1),
+      |ct AS (SELECT grp, count(*) AS nc FROM cb GROUP BY 1),
+      |grid AS (
+      |  SELECT rt.grp, b.bin,
+      |    COALESCE(rc.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur,
+      |    rt.nr, ct.nc
+      |  FROM rt JOIN ct ON ct.grp = rt.grp
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
+      |  LEFT JOIN rc ON rc.grp = rt.grp AND rc.bin = b.bin
+      |  LEFT JOIN cc ON cc.grp = rt.grp AND cc.bin = b.bin),
+      |t AS (
+      |  SELECT grp, bin, n_ref, n_cur,
+      |    (CAST(n_cur + 1 AS DOUBLE) / CAST(nc + 16 AS DOUBLE)
+      |      - CAST(n_ref + 1 AS DOUBLE) / CAST(nr + 16 AS DOUBLE))
+      |    * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(nc + 16 AS DOUBLE))
+      |        / (CAST(n_ref + 1 AS DOUBLE) / CAST(nr + 16 AS DOUBLE)))
+      |      AS term
+      |  FROM grid)
+      |SELECT grp, CAST(bin AS BIGINT) AS bin,
+      |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+      |  round(sum(term) OVER (PARTITION BY grp) + 1e-9, 6) AS psi
+      |FROM t
+      |ORDER BY grp, bin""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -1157,42 +1209,9 @@ object RelationalQueries {
     // exact counts, ln on identical doubles, one rounded sum — term
     // written (cur − ref) · ln(cur/ref) in the same op order as the
     // Spark side
-    "q315_psi_drift" ->
-      """WITH d AS (
-        |  SELECT source, doc_id,
-        |    len(regexp_extract_all(text, '\S+')) AS lenv
-        |  FROM documents),
-        |rb AS (
-        |  SELECT source AS grp, greatest(0, least(lenv // 32, 15)) AS bin
-        |  FROM d WHERE (doc_id // 20) % 2 = 0),
-        |cb AS (
-        |  SELECT source AS grp, greatest(0, least(lenv // 32, 15)) AS bin
-        |  FROM d WHERE (doc_id // 20) % 2 = 1),
-        |rc AS (SELECT grp, bin, count(*) AS n_ref FROM rb GROUP BY 1, 2),
-        |cc AS (SELECT grp, bin, count(*) AS n_cur FROM cb GROUP BY 1, 2),
-        |rt AS (SELECT grp, count(*) AS nr FROM rb GROUP BY 1),
-        |ct AS (SELECT grp, count(*) AS nc FROM cb GROUP BY 1),
-        |grid AS (
-        |  SELECT rt.grp, b.bin,
-        |    COALESCE(rc.n_ref, 0) AS n_ref, COALESCE(cc.n_cur, 0) AS n_cur,
-        |    rt.nr, ct.nc
-        |  FROM rt JOIN ct ON ct.grp = rt.grp
-        |  CROSS JOIN (SELECT unnest(range(0, 16)) AS bin) b
-        |  LEFT JOIN rc ON rc.grp = rt.grp AND rc.bin = b.bin
-        |  LEFT JOIN cc ON cc.grp = rt.grp AND cc.bin = b.bin),
-        |t AS (
-        |  SELECT grp, bin, n_ref, n_cur,
-        |    (CAST(n_cur + 1 AS DOUBLE) / CAST(nc + 16 AS DOUBLE)
-        |      - CAST(n_ref + 1 AS DOUBLE) / CAST(nr + 16 AS DOUBLE))
-        |    * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(nc + 16 AS DOUBLE))
-        |        / (CAST(n_ref + 1 AS DOUBLE) / CAST(nr + 16 AS DOUBLE)))
-        |      AS term
-        |  FROM grid)
-        |SELECT grp, CAST(bin AS BIGINT) AS bin,
-        |  CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
-        |  round(sum(term) OVER (PARTITION BY grp) + 1e-9, 6) AS psi
-        |FROM t
-        |ORDER BY grp, bin""".stripMargin,
+    "q315_psi_drift" -> psiDriftSql,
+    // the PSI streaming twin gates on q315's oracle verbatim
+    "q319_stream_psi" -> psiDriftSql,
 
     "q294_benford" -> benfordSql,
     // the streaming twin gates on the batch oracle verbatim (the q102 →

@@ -604,18 +604,62 @@ object TextQueries {
         "y", eta = 0.5, rounds = 6)
       val wRow = traj.orderBy(desc("round")).limit(1).head()
       val w = (1 to 5).map(wRow.getDouble)
-      val feat = lrFeatures(docs.select(col("doc_id"), col("text"),
-        col("lang")))
-      val z = lit(w(0)) * lit(1.0) + lit(w(1)) * col("x_len") +
-        lit(w(2)) * col("x_digit") + lit(w(3)) * col("x_punct") +
-        lit(w(4)) * col("x_upper")
-      feat
-        .withColumn("score",
-          round(lit(1.0) / (lit(1.0) + exp(-z)) + lit(1e-9), 6))
+      lrFeatures(docs.select(col("doc_id"), col("text"), col("lang")))
+        .withColumn("score", graft.operators.Classify.logisticScore(w,
+          Seq(col("x_len"), col("x_digit"), col("x_punct"),
+            col("x_upper"))))
         .select(col("doc_id"), col("y").cast("long").as("is_en"),
           col("score"),
           when(col("score") >= 0.5, 1L).otherwise(0L).as("pred"))
         .orderBy("doc_id")
+    }),
+
+    // The LR scorer on a STREAM: weights train batch-side (model-sized
+    // driver literals — the centroids precedent), then the scoring is a
+    // stateless projection over the arriving docs (append mode, no
+    // state) — q317's oracle verbatim (the q102 → q96 stream-twin
+    // pattern applied to the trained-model family).
+    "q318_stream_lr_score" -> ((s, dir) => {
+      val traj = graft.operators.Classify.logisticTrain(
+        lrFeatures(Tables.documents(s, dir)),
+        Seq("x_len", "x_digit", "x_punct", "x_upper"), "y",
+        eta = 0.5, rounds = 6)
+      val wRow = traj.orderBy(desc("round")).limit(1).head()
+      graft.streaming.StreamingIngest.streamLrScore(s, dir,
+          (1 to 5).map(wRow.getDouble),
+          queryName = s"lr_${java.util.UUID.randomUUID().toString.take(8)}")
+        .orderBy("doc_id")
+    }),
+
+    // Reliability diagram of the q317 LR scorer (the q303 calibration
+    // convention for the trained-model family): scores binned at dyadic
+    // width 1/2048 (score·2048 is an EXACT power-of-two scaling of the
+    // 6-decimal rounded score, floor exact; bins are data-driven ids —
+    // this corpus's scores span ~0.003, so a fixed [0,1) grid would
+    // collapse to one row), per bin the EXACT empirical positive rate
+    // (single integer division) beside the rounded mean score — the
+    // curve a filtering pipeline reads to pick its keep threshold.
+    "q320_lr_calibration" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val traj = graft.operators.Classify.logisticTrain(
+        lrFeatures(docs), Seq("x_len", "x_digit", "x_punct", "x_upper"),
+        "y", eta = 0.5, rounds = 6)
+      val wRow = traj.orderBy(desc("round")).limit(1).head()
+      val w = (1 to 5).map(wRow.getDouble)
+      lrFeatures(docs.select(col("doc_id"), col("text"), col("lang")))
+        .withColumn("score", graft.operators.Classify.logisticScore(w,
+          Seq(col("x_len"), col("x_digit"), col("x_punct"),
+            col("x_upper"))))
+        .withColumn("bin", floor(col("score") * 2048.0).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(col("y").cast("long")).as("n_pos"),
+          round(avg(col("score")) + lit(1e-9), 6).as("avg_score"))
+        .withColumn("pos_rate",
+          col("n_pos").cast("double") / col("n").cast("double"))
+        .select(col("bin"), col("n"), col("n_pos"), col("pos_rate"),
+          col("avg_score"))
+        .orderBy("bin")
     }),
 
     // BPE merge-candidate table (tokenizer training, first merge): the
@@ -2031,11 +2075,15 @@ object TextQueries {
     * ratios as SINGLE divisions of integer counts — the q120 doctrine).
     * doc_id rides along for the scoring gate.
     */
-  private def lrFeatures(docs: DataFrame): DataFrame = {
+  private[graft] def lrFeatures(docs: DataFrame,
+      ensure: Boolean = true): DataFrame = {
     val nChar = length(col("text")).cast("double")
     def cnt(re: String): Column =
       size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("double")
-    graft.operators.Parallelism.ensure(docs)
+    // the split-widening guard reads optimizer stats — batch only; the
+    // streaming twin passes ensure = false (micro-batches are already
+    // scheduler-sized and the projection is cheap)
+    (if (ensure) graft.operators.Parallelism.ensure(docs) else docs)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
@@ -2120,6 +2168,29 @@ object TextQueries {
         |      w.w4*f.x4))) + 1e-9, 6) AS score
         |  FROM feat f, wf w)
         |ORDER BY doc_id""".stripMargin
+
+  private lazy val lrCalibrationSql: String =
+    lrLayersSql(6) +
+      """,
+        |wf AS (SELECT round(b + 1e-9, 6) AS b, round(w1 + 1e-9, 6) AS w1,
+        |  round(w2 + 1e-9, 6) AS w2, round(w3 + 1e-9, 6) AS w3,
+        |  round(w4 + 1e-9, 6) AS w4 FROM w6),
+        |sc AS (
+        |  SELECT f.y AS y,
+        |    round(CAST(1 AS DOUBLE)/(CAST(1 AS DOUBLE)+exp(-(
+        |      w.b*CAST(1 AS DOUBLE) + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 +
+        |      w.w4*f.x4))) + 1e-9, 6) AS score
+        |  FROM feat f, wf w)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+        |  CAST(sum(CAST(y AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS pos_rate,
+        |  round(avg(score) + 1e-9, 6) AS avg_score
+        |FROM (SELECT y, score,
+        |        CAST(floor(score * CAST(2048 AS DOUBLE)) AS BIGINT) AS bin
+        |      FROM sc)
+        |GROUP BY bin
+        |ORDER BY bin""".stripMargin
 
   private lazy val nbChainSql =
     """WITH d AS (
@@ -3105,6 +3176,14 @@ object TextQueries {
     // (output-rounded) weights, then one sigmoid per doc, thresholded on
     // the rounded score
     "q317_lr_score" -> lrScoreSql,
+
+    // the streaming scorer gates on the batch oracle verbatim (stateless
+    // projection — the q102 → q96 pattern)
+    "q318_stream_lr_score" -> lrScoreSql,
+
+    // LR reliability diagram: same 6 layers + published-weight scoring,
+    // dyadic 1/8 score bins, exact positive-rate division, rounded mean
+    "q320_lr_calibration" -> lrCalibrationSql,
 
     "q145_nb_classify" -> (nbChainSql +
       """

@@ -980,6 +980,79 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** STREAMING PSI drift (q315's twin): the REFERENCE slice is static
+    * (its bin counts are batch frames), the CURRENT slice streams — the
+    * binning is stateless row math ([[graft.operators.NumericAudit
+    * .psiBinned]] verbatim), so the stream pays exactly ONE aggregation
+    * (grp×bin counts, complete mode) and the grid/smoothing/ln post-math
+    * runs on the sink table through the SAME
+    * [[graft.operators.NumericAudit.psiFromCounts]] the batch operator
+    * calls. The production shape: reference profile stored once,
+    * arriving data monitored against it continuously.
+    */
+  def streamPsiDrift(spark: SparkSession, sfDir: String,
+      queryName: String = "stream_psi"): DataFrame = {
+    import graft.operators.{NumericAudit, TextAnalysis}
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    def lens(df: DataFrame): DataFrame =
+      df.select(col("source"), col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("len"))
+    val refCounts = NumericAudit.psiBinned(
+        lens(spark.read.parquet(path))
+          .filter(expr("(doc_id DIV 20) % 2") === 0),
+        "source", "len", binWidth = 32, nBins = 16)
+      .groupBy("grp", "bin").agg(count(lit(1)).as("n"))
+    val curCounts = NumericAudit.psiBinned(
+        lens(spark.readStream
+            .schema(schema)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sfDir))
+          .filter(expr("(doc_id DIV 20) % 2") === 1),
+        "source", "len", binWidth = 32, nBins = 16)
+      .groupBy("grp", "bin").agg(count(lit(1)).as("n"))
+    val q = curCounts.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    NumericAudit.psiFromCounts(refCounts, spark.table(queryName), nBins = 16)
+  }
+
+  /** STREAMING logistic-regression scoring (q317's twin): the published
+    * weights arrive as driver literals (trained batch-side — a model is
+    * a handful of doubles, the centroids precedent) and the sigmoid
+    * scoring is a stateless projection ([[graft.operators.Classify
+    * .logisticScore]], the same column the batch scorer uses), so the
+    * stream runs append-mode with no state at all.
+    */
+  def streamLrScore(spark: SparkSession, sfDir: String, w: Seq[Double],
+      queryName: String = "stream_lr"): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val scored = graft.queries.TextQueries.lrFeatures(
+        spark.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "documents.parquet")
+          .parquet(sfDir),
+        ensure = false)
+      .withColumn("score", graft.operators.Classify.logisticScore(w,
+        Seq(col("x_len"), col("x_digit"), col("x_punct"), col("x_upper"))))
+      .select(col("doc_id"), col("y").cast("long").as("is_en"),
+        col("score"),
+        when(col("score") >= 0.5, 1L).otherwise(0L).as("pred"))
+    val q = scored.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
   /** STREAMING Benford first-digit audit (q294's twin): the digit
     * projection is stateless per-row math (exact integer cents, sub-cent
     * exclusion — [[graft.operators.NumericAudit.benfordDigitRows]]

@@ -275,6 +275,53 @@ class CommandsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("unknown normalize mode"))
   }
 
+  test("executor: EXPORT writes one id-ordered file per shard; csv refuses arrays") {
+    val parent = Files.createTempDirectory("graftexport").toString
+    val db = GraftDatabase.create(spark, parent, "exdb")
+    db.createCollection("vecs")
+    val txt = s"$parent/in.txt"
+    Files.writeString(java.nio.file.Paths.get(txt),
+      (0 until 40).map(i => s"0.$i,0.2;p$i").mkString("", "\n", "\n"))
+    CommandExecutor.execute(db, GraftCommand.BulkInsert("vecs", txt))
+    val out = s"$parent/export"
+    val audit = CommandExecutor.execute(db,
+        GraftCommand.Export("vecs", s"$out;format=jsonl;shards=4"))
+      .as[(Long, Long)].collect().toMap
+    assert(audit.keySet.subsetOf((0L until 4L).toSet) &&
+      audit.values.sum == 40L, s"audit $audit")
+    // one data file per shard dir, rows inside in id order
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length == audit.size, "one dir per non-empty shard")
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(f => f.getName.endsWith(".json"))
+      assert(files.length == 1, s"${d.getName}: one file per shard")
+      val ids = scala.io.Source.fromFile(files.head).getLines()
+        .map(l => """"id"\s*:\s*(\d+)""".r.findFirstMatchIn(l).get
+          .group(1).toLong).toSeq
+      assert(ids == ids.sorted, s"${d.getName}: file rows must be id-ordered")
+    }
+    // round-trip: the export reads back content-identical
+    val back = spark.read.json(out)
+      .selectExpr("CAST(id AS LONG)", "payload")
+      .as[(Long, String)].collect().toSet
+    val orig = db.read("vecs").select("id", "payload")
+      .as[(Long, String)].collect().toSet
+    assert(back == orig)
+    // csv cannot represent the embedding array — loud refusal
+    val err = intercept[IllegalArgumentException] {
+      db.exportCollection("vecs", s"$parent/export_csv", format = "csv")
+    }
+    assert(err.getMessage.contains("non-atomic"))
+    // bad shard counts and formats fail loudly
+    assert(intercept[IllegalArgumentException] {
+      db.exportCollection("vecs", s"$parent/x", nShards = 7)
+    }.getMessage.contains("divide 65536"))
+    assert(intercept[IllegalArgumentException] {
+      db.exportCollection("vecs", s"$parent/x", format = "xml")
+    }.getMessage.contains("format"))
+  }
+
   test("executor: bulkinsert from csv, commas and quotes in payload survive") {
     val parent = Files.createTempDirectory("graftcsv").toString
     val db = GraftDatabase.create(spark, parent, "csvdb")
