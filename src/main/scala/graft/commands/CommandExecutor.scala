@@ -78,8 +78,9 @@ object CommandExecutor {
         status("BULKINSERT", coll)
 
       case Export(coll, arg) =>
-        // arg grammar: `<path>[;format=jsonl|csv|parquet;shards=<n>]` —
-        // BULKINSERT's ';'-separated k=v tail convention
+        // arg grammar: `<path>[;format=jsonl|csv|parquet|text;shards=<n>]`
+        // — BULKINSERT's ';'-separated k=v tail convention; shards=-1
+        // derives the count from size stats (ScaleKnobs.exportShards)
         val parts = arg.split(";").map(_.trim).filter(_.nonEmpty)
         val opts =
           if (parts.length > 1) parseKv(parts.tail.mkString(";"))

@@ -42,10 +42,13 @@ package graft.commands
   *    (diff → delete removed, upsert added+changed with derived columns
   *    re-derived, unchanged rows untouched) and the command returns the
   *    per-status diff counts.
-  *  - EXPORT arg (extension): `<path>[;format=jsonl|csv|parquet;shards=<n>]`
-  *    — deterministic sharded egress: md5-slice shard placement (the q82
-  *    rule), one id-ordered file per shard, formats matching the
-  *    BULKINSERT readers (csv refuses non-atomic columns loudly).
+  *  - EXPORT arg (extension):
+  *    `<path>[;format=jsonl|csv|parquet|text;shards=<n>]` — deterministic
+  *    sharded egress: md5-slice shard placement (the q82 rule), one
+  *    id-ordered file per shard, formats matching the BULKINSERT readers
+  *    (csv refuses non-atomic columns loudly; text writes the
+  *    reference's own `vec;payload` lines, refusing payloads with ';'
+  *    or newline); `shards=-1` derives the count from size stats.
   *  - SEARCHTEXT arg (extension): `terms=a,b,c[;k=<n>;k1=<f>;b=<f>]` —
   *    BM25 keyword retrieval over the payload column.
   *  - SEARCHHYBRID arg (extension): `terms=a,b,c;vec=f,f,...[;k;kf;krrf]`

@@ -262,16 +262,43 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     *
     * Formats: `jsonl` (default) and `parquet` carry any column type;
     * `csv` requires a flat schema (arrays/binary refused loudly — the
-    * csv writer cannot represent them).
+    * csv writer cannot represent them); `text` writes the reference's
+    * own `vec;payload` embeddings-file lines (the BULKINSERT text
+    * reader's format, now writable too — ids regenerate as line numbers
+    * on re-ingest, by that format's design) and refuses payloads that
+    * would corrupt the line framing (';' or newline) per row, loudly.
+    *
+    * `nShards = -1` derives the count from the collection's optimizer
+    * size stats (ScaleKnobs.exportShards — ~64 MB of source bytes per
+    * shard, power of two).
     *
     * Returns the per-shard audit (shard, n_rows), ordered.
     */
   def exportCollection(name: String, path: String,
       format: String = "jsonl", nShards: Int = 8): DataFrame = {
     requireCollection(name)
-    require(nShards >= 1 && 65536 % nShards == 0,
-      s"EXPORT shards must divide 65536, got $nShards")
-    val cur = read(name)
+    val cur0 = read(name)
+    val nSh =
+      if (nShards == -1) graft.operators.ScaleKnobs.exportShards(cur0)
+      else nShards
+    require(nSh >= 1 && 65536 % nSh == 0,
+      s"EXPORT shards must divide 65536, got $nSh")
+    val cur =
+      if (format == "text") {
+        require(cur0.columns.contains("embedding") &&
+          cur0.columns.contains("payload"),
+          "EXPORT format=text writes the reference's vec;payload lines " +
+            s"— needs embedding and payload columns on $name")
+        cur0.select(col("id"),
+          when(col("payload").contains(";") || col("payload").contains("\n"),
+            raise_error(concat(lit("EXPORT format=text: payload of id "),
+              col("id").cast("string"),
+              lit(" contains ';' or newline — unrepresentable in the " +
+                "line format; use jsonl"))))
+            .otherwise(concat(concat_ws(",",
+              transform(col("embedding"), x => x.cast("string"))),
+              lit(";"), col("payload"))).as("value"))
+      } else cur0
     require(cur.columns.contains("id"),
       s"EXPORT needs an id column on $name (shard + file order key)")
     if (format == "csv") {
@@ -288,19 +315,25 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val sharded = cur
       .withColumn("shard", conv(substring(md5(concat(lit("export:"),
           col("id").cast("string"))), 1, 4), 16, 10).cast("long")
-        % nShards)
+        % nSh)
       // one task per shard → one file per shard dir; the sort pins the
       // file's row order so the exported bytes are reproducible
-      .repartition(nShards, col("shard"))
+      .repartition(nSh, col("shard"))
       .sortWithinPartitions("shard", "id")
-    val writer = sharded.write.mode("overwrite").partitionBy("shard")
     format match {
-      case "jsonl" => writer.json(path)
-      case "csv" => writer.option("header", "true").csv(path)
-      case "parquet" => writer.option("compression", Compression)
-        .parquet(path)
+      case "jsonl" => sharded.write.mode("overwrite").partitionBy("shard")
+        .json(path)
+      case "csv" => sharded.write.mode("overwrite").partitionBy("shard")
+        .option("header", "true").csv(path)
+      case "parquet" => sharded.write.mode("overwrite").partitionBy("shard")
+        .option("compression", Compression).parquet(path)
+      case "text" =>
+        // the text writer takes exactly one column; the projection after
+        // the sort keeps per-partition row order (no exchange)
+        sharded.select("shard", "value").write.mode("overwrite")
+          .partitionBy("shard").text(path)
       case other => throw new IllegalArgumentException(
-        s"EXPORT format must be jsonl, csv, or parquet, got: $other")
+        s"EXPORT format must be jsonl, csv, parquet, or text, got: $other")
     }
     sharded.groupBy("shard").agg(count(lit(1)).as("n_rows"))
       .orderBy("shard")

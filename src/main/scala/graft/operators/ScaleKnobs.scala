@@ -50,6 +50,26 @@ object ScaleKnobs {
     }
   }
 
+  /** EXPORT shard count: target ~64 MB of source bytes per shard file
+    * (one task writes one shard, so a shard must be a healthy single
+    * file, not a monolith and not a sliver). Power of two dividing
+    * 65536 (the md5-slice placement rule is modulo-bias-free only
+    * then), clamped to [1, 4096]; a stat-less plan falls back to the
+    * historical default 8.
+    */
+  def exportShards(df: DataFrame): Int = {
+    val spark = df.sparkSession
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val statless = size >= spark.sessionState.conf.defaultSizeInBytes
+    if (statless) 8
+    else {
+      val want = (size / (64L * 1024 * 1024)).toLong + 1
+      var b = 1
+      while (b < 4096 && b < want) b *= 2
+      b
+    }
+  }
+
   /** Hash-key sub-bucket count for the band/signature screening
     * artifacts (minhash bands, winsig sigs, dhash bands): their keys are
     * md5 hex, so a 16-bit slice modulo a power of two buckets bias-free

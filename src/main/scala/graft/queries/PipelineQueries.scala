@@ -262,6 +262,41 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // EXPORT format=text closes the loop on the REFERENCE'S OWN
+    // embeddings-file format (`vec;payload` lines — previously readable
+    // via BULKINSERT, now writable too): export one id-ordered shard,
+    // re-ingest it into a second collection (ids regenerate as line
+    // numbers, by that format's design: line order = id order at
+    // shards=1), and pin payloads + re-parsed vector dims/norms. Float
+    // rendering round-trips exactly (shortest-repr toString ↔ toFloat),
+    // so the oracle never sees the text bytes — only the identical
+    // reconstructed values (the q299 norm convention).
+    "q322_export_text" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q322")
+      def recSchema = StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("payload", StringType)))
+      db.createCollection("recs", recSchema)
+      db.bulkInsert("recs", Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 3 === 2)
+        .select(col("vec_id").as("id"), col("embedding"),
+          concat(lit("t:"), col("label").cast("string")).as("payload")))
+      val out = Scratch.dir("graft_q322") + "/export"
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("recs"), "EXPORT",
+          Some(s"$out;format=text;shards=1"))
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+        .collect()
+      db.createCollection("recs2", recSchema)
+      CommandExecutor.execute(db, GraftCommand.BulkInsert("recs2", out))
+      db.read("recs2").select(col("id"), col("payload"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(graft.functions.l2_norm(col("embedding")), 6).as("norm"))
+        .orderBy("id")
+    }),
+
     // Ingest-side normalization through the command grammar:
     // `BULKINSERT <path>;normalize=fold` canonicalizes payloads (NFC +
     // accent fold) during the write, so byte-variant payloads land
@@ -2413,6 +2448,19 @@ object PipelineQueries {
         |    CAST(embedding AS DOUBLE[]))), 6) AS norm
         |FROM embeddings
         |WHERE vec_id % 3 = 0
+        |ORDER BY id""".stripMargin,
+
+    // text-format export round-trip: ids regenerate as line numbers in
+    // id order (shards=1), vectors re-parse to identical floats
+    "q322_export_text" ->
+      """SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+        |    AS id,
+        |  't:' || CAST(label AS VARCHAR) AS payload,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |    CAST(embedding AS DOUBLE[]))), 6) AS norm
+        |FROM embeddings
+        |WHERE vec_id % 3 = 2
         |ORDER BY id""".stripMargin,
 
     // export round-trip: content by payload md5, placement by the

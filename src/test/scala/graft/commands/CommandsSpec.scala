@@ -322,6 +322,42 @@ class CommandsSpec extends AnyFunSuite {
     }.getMessage.contains("format"))
   }
 
+  test("EXPORT format=text round-trips the reference line format; framing-corrupting payloads refuse") {
+    val parent = Files.createTempDirectory("graftexptext").toString
+    val db = GraftDatabase.create(spark, parent, "exdb2")
+    db.createCollection("vecs")
+    val txt = s"$parent/in.txt"
+    Files.writeString(java.nio.file.Paths.get(txt),
+      "0.5,0.25;alpha\n-1.5,2.0;beta\n")
+    CommandExecutor.execute(db, GraftCommand.BulkInsert("vecs", txt))
+    db.exportCollection("vecs", s"$parent/out", format = "text", nShards = 1)
+    // the exported bytes ARE the reference's vec;payload lines, id-ordered
+    val files = new java.io.File(s"$parent/out/shard=0").listFiles()
+      .filter(_.getName.endsWith(".txt"))
+    assert(files.length == 1)
+    val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+    assert(lines == Seq("0.5,0.25;alpha", "-1.5,2.0;beta"), lines.toString)
+    // round-trip through the BULKINSERT text reader
+    db.createCollection("back")
+    CommandExecutor.execute(db, GraftCommand.BulkInsert("back", s"$parent/out"))
+    assert(db.read("back").orderBy("id")
+      .select("payload").as[String].collect().toSeq ==
+      Seq("alpha", "beta"))
+    // a payload carrying the line format's own delimiter refuses per row
+    db.update("vecs",
+      Seq((0L, Array(0.5f, 0.25f), "bad;payload"))
+        .toDF("id", "embedding", "payload"))
+    val err = intercept[Exception] {
+      db.exportCollection("vecs", s"$parent/out2", format = "text",
+        nShards = 1)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("unrepresentable")),
+      s"got: ${messages(err)}")
+  }
+
   test("executor: bulkinsert from csv, commas and quotes in payload survive") {
     val parent = Files.createTempDirectory("graftcsv").toString
     val db = GraftDatabase.create(spark, parent, "csvdb")

@@ -227,6 +227,27 @@ class ScaleKnobsSpec extends AnyFunSuite {
       s"the batch's bucket set must prune the stored scan:\n${p.take(1500)}")
   }
 
+  test("exportShards: sane derivation; derived ≡ explicit content") {
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val b = ScaleKnobs.exportShards(docs)
+    assert(b >= 1 && b <= 4096 && 65536 % b === 0)
+    assert(Integer.bitCount(b) === 1, s"$b must be a power of two")
+    // shard count changes layout, never rows: derived vs explicit widths
+    // read back content-identical (shard VALUES differ by modulus — only
+    // the (id, payload) content is layout-invariant)
+    def export(shards: Int): Set[String] = {
+      val db = screenDb("graft_exknobs")
+      val out = java.nio.file.Files.createTempDirectory("graft_exout")
+        .toString + "/e"
+      db.exportCollection("docs", out, format = "jsonl", nShards = shards)
+      spark.read.json(out).selectExpr("CAST(id AS LONG)", "payload")
+        .collect().map(_.toString).toSet
+    }
+    val derived = export(-1)
+    assert(derived.nonEmpty)
+    assert(derived === export(4))
+  }
+
   test("refresh + compact preserve the bucketed artifact layouts") {
     import org.apache.spark.sql.functions.countDistinct
     // r13 verdict item 8: segment appends (refresh) and the compacted
