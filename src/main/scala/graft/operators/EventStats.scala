@@ -288,4 +288,84 @@ object EventStats {
         date_format(col("hour"), "yyyy-MM-dd HH").as("hour"),
         col("n"), col("z"))
   }
+
+  /** Time-to-convert distribution of [[windowedFunnel]]'s
+    * greedy-earliest chain: for every user who completes ALL steps,
+    * latency = final-step qualifying time − step-1 anchor time (exact
+    * integer µs), reported as an exact histogram
+    * (latency DIV `bucketMicros`, per-bucket count + min/max) — the
+    * scale-sane distribution shape: one user-keyed chain + ONE
+    * bucket-grain aggregation. (An exact global median would need a
+    * corpus-wide rank — the window anti-pattern; a reader takes the
+    * median from the bucket counts to bucket precision instead.) All
+    * integer math, zero rounding (the q120 doctrine).
+    *
+    * Output: (bucket, n_users, lo_us, hi_us), ordered by bucket.
+    */
+  def funnelLatency(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxGapMicros: Long,
+      bucketMicros: Long): DataFrame = {
+    require(steps.length >= 2,
+      "funnelLatency needs at least an anchor and a final step")
+    require(maxGapMicros >= 1, s"maxGapMicros must be positive, got $maxGapMicros")
+    require(bucketMicros >= 1, s"bucketMicros must be positive, got $bucketMicros")
+    // the windowedFunnel chain, carrying the step-1 anchor through:
+    // anchor = the user's earliest first-step event, each later step the
+    // earliest qualifying occurrence after (and within the gap of) the
+    // previous step's time
+    var cur: DataFrame = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      .withColumn("__anchor", col("__t"))
+    steps.tail.foreach { st =>
+      cur = events.filter(col(typeCol) === st)
+        .select(col(userCol), col(tsCol))
+        .join(cur.select(col(userCol), col("__t").as("__prev"),
+          col("__anchor")), Seq(userCol))
+        .filter(col(tsCol) > col("__prev") &&
+          unix_micros(col(tsCol)) <=
+            unix_micros(col("__prev")) + maxGapMicros)
+        .groupBy(col(userCol), col("__anchor"))
+        .agg(min(col(tsCol)).as("__t"))
+    }
+    cur.select((unix_micros(col("__t")) - unix_micros(col("__anchor")))
+        .as("__lat"))
+      .withColumn("bucket", expr(s"__lat DIV $bucketMicros"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"),
+        min("__lat").as("lo_us"), max("__lat").as("hi_us"))
+      .orderBy("bucket")
+  }
+
+  /** Exponentially time-decayed event counts per group — the
+    * freshness-weighted popularity counter (trending topics, decaying
+    * source reputation): each event weighs 2^(−age/halfLife), computed
+    * as exp(−λ·age_µs) with λ = ln 2 / halfLife_µs. ONE map-side-
+    * combinable aggregation over the events — the shape that runs
+    * unchanged on a stream (the twin anchors on the same `asOfMicros`).
+    *
+    * Determinism: `asOfMicros` is a CALLER-supplied anchor (derive it
+    * from the data's max or a fixed clock — never the wall clock, which
+    * no oracle can replay); ages are exact integer µs; the halfLife
+    * denominator is exact in double (days·86400·1e6 < 2^53), so λ
+    * differs across engines by at most the one ulp of ln 2 — absorbed
+    * by the rounded weight SUM (+1e-9, 6), the q148 exp-sum parity
+    * class. An oracle must recompute λ with the same op order:
+    * ln(2.0) / ((days · 86400.0) · 1000000.0).
+    *
+    * Output: (grp, n, decayed), ordered.
+    */
+  def decayedCounts(events: DataFrame, groupCol: String, tsCol: String,
+      asOfMicros: Long, halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0.0,
+      s"halfLifeDays must be positive, got $halfLifeDays")
+    val lambda = math.log(2.0) / ((halfLifeDays * 86400.0) * 1000000.0)
+    events.select(col(groupCol).as("grp"),
+        unix_micros(col(tsCol)).as("__t"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"),
+        round(sum(exp(lit(-lambda) *
+          (lit(asOfMicros) - col("__t")).cast("double"))) + lit(1e-9), 6)
+          .as("decayed"))
+      .orderBy("grp")
+  }
 }

@@ -657,6 +657,41 @@ object RelationalQueries {
         "source", "len", binWidth = 32, nBins = 16)
     }),
 
+    // Time-to-convert distribution of the signup→view→purchase funnel
+    // (q297's steps at a 7-day conversion window — the 6-hour window
+    // converts nobody at the small SFs): per converted user, purchase
+    // time − signup anchor in exact µs, as an exact 1-DAY-bucket
+    // histogram with per-bucket min/max — one user-keyed chain + ONE
+    // bucket-grain aggregation, zero rounding.
+    "q325_funnel_latency" -> ((s, dir) => {
+      graft.operators.EventStats.funnelLatency(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"),
+        maxGapMicros = 604800000000L, bucketMicros = 86400000000L)
+    }),
+
+    // Exponentially time-decayed event counts per type — the
+    // freshness-weighted popularity counter (trending screen). Anchor =
+    // the data's own max epoch-µs (a replayable clock, collected as ONE
+    // driver long); weights exp(−λ·age_µs), λ = ln2/halfLife_µs; the
+    // one rounded accumulation is the weight sum (q148 exp-sum parity).
+    "q323_decayed_counts" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val asOf = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      graft.operators.EventStats.decayedCounts(ev, "event_type", "ts",
+        asOf, halfLifeDays = 7.0)
+    }),
+
+    // The decayed counter on a STREAM: the anchor derives batch-side
+    // (the PSI twin's static-reference pattern) and the operator body is
+    // ONE aggregation, so decayedCounts runs UNCHANGED on the streaming
+    // frame — stream ≡ batch by literal code identity, q323's oracle
+    // verbatim.
+    "q324_stream_decay" -> ((s, dir) => {
+      graft.streaming.StreamingIngest.streamDecayedCounts(s, dir,
+        queryName = s"decay_${java.util.UUID.randomUUID().toString.take(8)}")
+    }),
+
     // STREAMING PSI: the reference profile is static, the current slice
     // streams through ONE complete-mode aggregation, and the
     // grid/smoothing/ln post-math is psiFromCounts — the same code the
@@ -800,6 +835,22 @@ object RelationalQueries {
       |  round(sum(term) OVER (PARTITION BY grp) + 1e-9, 6) AS psi
       |FROM t
       |ORDER BY grp, bin""".stripMargin
+
+  /** q323/q324 oracle: the decay anchor is the data's own max epoch-µs
+    * (replayable), λ written in the exact Spark op order with every
+    * denominator literal CAST to DOUBLE, one rounded weight sum.
+    */
+  private lazy val decayedCountsSql: String =
+    """WITH e AS (SELECT event_type AS grp, epoch_us(ts) AS t FROM events),
+      |mx AS (SELECT max(t) AS mt FROM e)
+      |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(exp(-(ln(CAST(2 AS DOUBLE)) /
+      |      ((CAST(7 AS DOUBLE) * CAST(86400 AS DOUBLE))
+      |        * CAST(1000000 AS DOUBLE)))
+      |    * CAST(mx.mt - t AS DOUBLE))) + 1e-9, 6) AS decayed
+      |FROM e, mx
+      |GROUP BY grp
+      |ORDER BY grp""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -1212,6 +1263,39 @@ object RelationalQueries {
     "q315_psi_drift" -> psiDriftSql,
     // the PSI streaming twin gates on q315's oracle verbatim
     "q319_stream_psi" -> psiDriftSql,
+
+    // funnel latency: the q297 greedy-earliest chain replayed with the
+    // anchor carried through; exact integer µs and // bucket floors
+    "q325_funnel_latency" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
+        |  FROM events),
+        |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = 'signup'
+        |       GROUP BY u),
+        |s2 AS (SELECT e.u, s1.t1, min(e.t) AS t2 FROM e
+        |       JOIN s1 ON e.u = s1.u
+        |       WHERE e.et = 'view' AND e.t > s1.t1
+        |         AND e.t <= s1.t1 + 604800000000
+        |       GROUP BY e.u, s1.t1),
+        |s3 AS (SELECT e.u, s2.t1, min(e.t) AS t3 FROM e
+        |       JOIN s2 ON e.u = s2.u
+        |       WHERE e.et = 'purchase' AND e.t > s2.t2
+        |         AND e.t <= s2.t2 + 604800000000
+        |       GROUP BY e.u, s2.t1),
+        |lat AS (SELECT t3 - t1 AS l FROM s3)
+        |SELECT l // 86400000000 AS bucket, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(min(l) AS BIGINT) AS lo_us, CAST(max(l) AS BIGINT) AS hi_us
+        |FROM lat
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    // decayed counts: λ recomputed with the Spark op order — ln(2.0)
+    // over an all-CAST-DOUBLE denominator (the r12 decimal-literal
+    // rule); ages exact integer µs (epoch_us parity proven by q297);
+    // only the weight sum rounds
+    "q323_decayed_counts" -> decayedCountsSql,
+    // the streaming twin gates on the batch oracle verbatim
+    "q324_stream_decay" -> decayedCountsSql,
 
     "q294_benford" -> benfordSql,
     // the streaming twin gates on the batch oracle verbatim (the q102 →

@@ -980,6 +980,37 @@ object StreamingIngest {
     spark.table(queryName)
   }
 
+  /** STREAMING time-decayed counts (q323's twin): the decay anchor is
+    * derived batch-side (a fixed clock an oracle can replay — never the
+    * wall clock), and the operator body is ONE aggregation, so
+    * [[graft.operators.EventStats.decayedCounts]] runs UNCHANGED on the
+    * streaming frame (complete mode permits the final sort) — stream ≡
+    * batch by literal code identity.
+    */
+  def streamDecayedCounts(spark: SparkSession, sfDir: String,
+      halfLifeDays: Double = 7.0,
+      queryName: String = "stream_decay"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val asOf = graft.Tables.events(spark, sfDir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val stream = graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
+    val q = graft.operators.EventStats.decayedCounts(stream, "event_type",
+        "ts", asOf, halfLifeDays)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName).orderBy("grp")
+  }
+
   /** STREAMING PSI drift (q315's twin): the REFERENCE slice is static
     * (its bin counts are batch frames), the CURRENT slice streams — the
     * binning is stateless row math ([[graft.operators.NumericAudit

@@ -208,4 +208,42 @@ class EventStatsSpec extends AnyFunSuite {
     assert(got == Seq(("signup|view|click", 3L, 1L), ("error|error", 2L, 4L)),
       s"got $got")
   }
+
+  test("decayedCounts halves per half-life; funnelLatency buckets by exact DIV") {
+    val base = 1700000000000000L // anchor, epoch microseconds
+    val day = 86400000000L
+    val ev = Seq(
+      ("a", base),            // age 0 -> weight 1
+      ("a", base - 7 * day),  // age = one half-life -> 0.5
+      ("b", base - 14 * day)  // two half-lives -> 0.25
+    ).toDF("event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = EventStats.decayedCounts(ev, "event_type", "ts", base,
+        halfLifeDays = 7.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // the 2-ulp lambda round-trip lands exactly back on the dyadic
+    // weights after the 6-decimal output rounding
+    assert(got("a") == (("a", 2L, 1.5)), s"got ${got("a")}")
+    assert(got("b") == (("b", 1L, 0.25)), s"got ${got("b")}")
+
+    // funnel latency: u1 converts exactly ON a day boundary -> DIV puts
+    // it in bucket 1; u2 one microsecond earlier -> bucket 0; u3 never
+    // completes the chain (purchase outside the gap) -> absent
+    val t0 = base
+    val fun = Seq(
+      (1L, t0, "signup"), (1L, t0 + day / 2, "view"),
+      (1L, t0 + day, "purchase"),
+      (2L, t0, "signup"), (2L, t0 + day / 2, "view"),
+      (2L, t0 + day - 1L, "purchase"),
+      (3L, t0, "signup"), (3L, t0 + day / 2, "view"),
+      (3L, t0 + 9 * day, "purchase")
+    ).toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val lat = EventStats.funnelLatency(fun, "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"),
+        maxGapMicros = 7 * day, bucketMicros = day)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(lat == Seq((0L, 1L, day - 1L, day - 1L), (1L, 1L, day, day)),
+      s"got $lat")
+  }
 }
