@@ -156,6 +156,35 @@ object VectorQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // SEMANTIC cross-set decontamination (the embedding-level sibling of
+    // the n-gram q81/q113 screens — the Gopher/GPT-4-report practice of
+    // checking eval sets against training data by similarity, not just
+    // string overlap): every eval vector's nearest TRAIN neighbor via
+    // the bounded-heap batch scan, flagged on the ROUNDED score. A third
+    // of the eval queries carry a PLANTED train member's exact vector
+    // ((vec_id DIV 50) % 3 = 0 borrows vec_id+1's embedding — a train
+    // member by construction), so contamination is detectable at score
+    // 1.0 against a ~0.4 clean background; the 0.5 flag threshold sits
+    // in that gap with no boundary risk.
+    "q326_semantic_decon" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val donors = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("donor_vec"))
+      val evalQ = emb.filter(col("vec_id") % 50 === 0)
+        .join(donors, Seq("vec_id"))
+        .select(col("vec_id").as("query_id"),
+          when(expr("(vec_id DIV 50) % 3") === 0, col("donor_vec"))
+            .otherwise(col("embedding")).as("query_vec"))
+      val train = emb.filter(col("vec_id") % 50 =!= 0)
+      SimilaritySearch.topKBatchAgg(train, evalQ, k = 1, metric = "cosine",
+          vecCol = "embedding", idCol = "vec_id")
+        .select(col("query_id").as("eval_id"), col("vec_id").as("train_id"),
+          round(col("score"), 6).as("score"),
+          when(round(col("score"), 6) >= 0.5, 1L).otherwise(0L)
+            .as("contaminated"))
+        .orderBy("eval_id")
+    }),
+
     // Hard-negative mining (contrastive-training prep): for each of 5
     // anchor vectors, the top-5 most-cosine-similar rows with a DIFFERENT
     // label. The label predicate runs map-side before the ranking window —
@@ -2196,6 +2225,36 @@ object VectorQueries {
         |FROM scored
         |WHERE rank <= 5 AND vec_id <> query_id
         |ORDER BY query_id, rank""".stripMargin,
+
+    // semantic decontamination: the planted-donor CASE replayed, exact
+    // double cosine, flag on the rounded score (no boundary risk — the
+    // planted 1.0 and the ~0.4 clean background straddle 0.5 by a mile)
+    "q326_semantic_decon" ->
+      """WITH don AS (
+        |  SELECT vec_id - 1 AS vec_id, embedding AS donor_vec
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT e.vec_id AS query_id,
+        |    CASE WHEN (e.vec_id // 50) % 3 = 0 THEN d.donor_vec
+        |         ELSE e.embedding END AS query_vec
+        |  FROM embeddings e JOIN don d ON d.vec_id = e.vec_id
+        |  WHERE e.vec_id % 50 = 0),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.query_vec AS DOUBLE[])) AS raw,
+        |    row_number() OVER (PARTITION BY q.query_id
+        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |        CAST(q.query_vec AS DOUBLE[])) DESC, e.vec_id) AS rn
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id % 50 <> 0)
+        |SELECT query_id AS eval_id, vec_id AS train_id,
+        |  round(raw, 6) AS score,
+        |  CAST(CASE WHEN round(raw, 6) >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS contaminated
+        |FROM s
+        |WHERE rn = 1
+        |ORDER BY eval_id""".stripMargin,
 
     "q52_sql_surface" ->
       """SELECT e.vec_id AS vec_id,
