@@ -170,14 +170,17 @@ object VectorQueries {
       val emb = Tables.embeddings(s, dir)
       val donors = emb.select((col("vec_id") - 1).as("vec_id"),
         col("embedding").as("donor_vec"))
-      val evalQ = emb.filter(col("vec_id") % 50 === 0)
+      // explicit broadcasts: the eval side is 2% of the corpus, but the
+      // PRE-execution plan the audit reads can't see that through the
+      // filter estimate (the r12 PlanAuditSpec note) — pin the shape
+      val evalQ = broadcast(emb.filter(col("vec_id") % 50 === 0))
         .join(donors, Seq("vec_id"))
         .select(col("vec_id").as("query_id"),
           when(expr("(vec_id DIV 50) % 3") === 0, col("donor_vec"))
             .otherwise(col("embedding")).as("query_vec"))
       val train = emb.filter(col("vec_id") % 50 =!= 0)
-      SimilaritySearch.topKBatchAgg(train, evalQ, k = 1, metric = "cosine",
-          vecCol = "embedding", idCol = "vec_id")
+      SimilaritySearch.topKBatchAgg(train, broadcast(evalQ), k = 1,
+          metric = "cosine", vecCol = "embedding", idCol = "vec_id")
         .select(col("query_id").as("eval_id"), col("vec_id").as("train_id"),
           round(col("score"), 6).as("score"),
           when(round(col("score"), 6) >= 0.5, 1L).otherwise(0L)

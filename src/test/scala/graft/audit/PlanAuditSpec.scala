@@ -984,6 +984,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window") && !p.contains("ScalaUDF"))
   }
 
+  test("q323 decayed counts: ONE events scan, map-side-combined single aggregation") {
+    val p = plan("q323_decayed_counts")
+    // the whole operator is one scan → partial agg → final agg: the
+    // shape that amortizes at 100 TB (and the reason the stream twin
+    // can run the identical body)
+    assert("FileScan parquet".r.findAllIn(p).size == 1,
+      s"exactly one events scan expected:\n${p.take(2000)}")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      "map-side combine expected")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "no join belongs in this plan")
+    assert(unboundedWindows(p).isEmpty, "no rank window belongs here")
+  }
+
+  test("q326 semantic decon: broadcast eval queries, bounded-heap top-1, no corpus sort") {
+    val p = plan("q326_semantic_decon")
+    // the eval-query side (tiny) broadcasts into the single train scan;
+    // the top-1 cut is the TopKAggregator's bounded heap with partial
+    // aggregation (≤ k rows per partition per query ever shuffle)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval queries must broadcast:\n${p.take(2000)}")
+    assert(p.contains("partial_topkaggregator"),
+      "bounded-heap partial aggregation expected")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join belongs on the vector path")
+    assert(unboundedWindows(p).isEmpty,
+      "the top-1 cut must never be an unbounded rank window")
+  }
+
   test("q146 url canon: canonicalization runs scan-side, no UDF, no pre-agg shuffle") {
     val p = plan("q146_url_canon")
     assert(!p.contains("ScalaUDF"), "pure column math expected")
