@@ -85,9 +85,17 @@ object CommandExecutor {
         val opts =
           if (parts.length > 1) parseKv(parts.tail.mkString(";"))
           else Map.empty[String, String]
+        val shardsStr = opts.getOrElse("shards", "8")
+        val nShards =
+          try shardsStr.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"EXPORT shards= must be an integer, got '$shardsStr' — " +
+                "grammar: <path>[;format=jsonl|csv|parquet|text;shards=<n>]")
+          }
         db.exportCollection(coll, parts.head,
           format = opts.getOrElse("format", "jsonl"),
-          nShards = opts.getOrElse("shards", "8").toInt)
+          nShards = nShards)
 
       case Update(coll, arg) =>
         val updates =

@@ -278,6 +278,13 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       format: String = "jsonl", nShards: Int = 8): DataFrame = {
     requireCollection(name)
     val cur0 = read(name)
+    // 'shard' is the export's reserved placement column (and 'value' the
+    // text format's line column): silently overwriting a collection column
+    // of that name would drop its data on export and reconstitute
+    // placement values on re-ingest — refuse loudly instead.
+    require(!cur0.columns.contains("shard"),
+      s"EXPORT: collection $name already has a 'shard' column — the name " +
+        "is reserved for the export's placement column; rename it first")
     val nSh =
       if (nShards == -1) graft.operators.ScaleKnobs.exportShards(cur0)
       else nShards
@@ -289,8 +296,18 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
           cur0.columns.contains("payload"),
           "EXPORT format=text writes the reference's vec;payload lines " +
             s"— needs embedding and payload columns on $name")
+        require(!cur0.columns.contains("value"),
+          s"EXPORT format=text: collection $name already has a 'value' " +
+            "column — the name is reserved for the text line column")
+        // NULLs would otherwise slip past contains() (NULL-propagating)
+        // and surface later as the text writer's opaque null-type error
         cur0.select(col("id"),
-          when(col("payload").contains(";") || col("payload").contains("\n"),
+          when(col("payload").isNull || col("embedding").isNull,
+            raise_error(concat(lit("EXPORT format=text: id "),
+              col("id").cast("string"),
+              lit(" has a NULL payload or embedding — unrepresentable in " +
+                "the line format; use jsonl"))))
+            .when(col("payload").contains(";") || col("payload").contains("\n"),
             raise_error(concat(lit("EXPORT format=text: payload of id "),
               col("id").cast("string"),
               lit(" contains ';' or newline — unrepresentable in the " +
@@ -312,10 +329,10 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
           complex.map(f => s"${f.name}: ${f.dataType.simpleString}")
             .mkString(", ") + " — use jsonl or parquet")
     }
+    val shardExpr = conv(substring(md5(concat(lit("export:"),
+        col("id").cast("string"))), 1, 4), 16, 10).cast("long") % nSh
     val sharded = cur
-      .withColumn("shard", conv(substring(md5(concat(lit("export:"),
-          col("id").cast("string"))), 1, 4), 16, 10).cast("long")
-        % nSh)
+      .withColumn("shard", shardExpr)
       // one task per shard → one file per shard dir; the sort pins the
       // file's row order so the exported bytes are reproducible
       .repartition(nSh, col("shard"))
@@ -335,7 +352,13 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       case other => throw new IllegalArgumentException(
         s"EXPORT format must be jsonl, csv, parquet, or text, got: $other")
     }
-    sharded.groupBy("shard").agg(count(lit(1)).as("n_rows"))
+    // per-shard audit WITHOUT re-executing the write plan: the shard is a
+    // pure function of id, so the summary aggregates the shard expression
+    // straight off an id-only projection of the collection — a
+    // column-pruned scan, no exchange/sort replay (at 100 TB the write
+    // plan's shuffle would otherwise run twice for a ≤-nShards-row report)
+    read(name).select(shardExpr.as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
       .orderBy("shard")
   }
 
@@ -1889,9 +1912,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * cosine nprobe probe (probeRadius = nprobe − 1, the house
     * convention). `probeRadius` on a clustered layout with no batch
     * probe is LOUD — never a silent exact scan the caller believes is
-    * pruned. Stale/missing postings → one corpus tokenize (still one
-    * pass for the batch); no probeRadius / no cell layout → the exact
-    * broadcast batch scan.
+    * pruned. A STALE postings artifact is equally LOUD (a silent
+    * per-call corpus tokenize would hide the degradation — refresh or
+    * drop the artifact first); no artifact at all → one corpus
+    * tokenize, still one pass for the batch; no probeRadius / no cell
+    * layout → the exact broadcast batch scan.
     *
     * Output: (query_id, id, rrf, n_lists) — [[SimilaritySearch.rrfFuse]]'s
     * columns per query, ordered (query_id, rrf desc, id).
@@ -1933,6 +1958,16 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         (postings.select(col("id"), col("term"), col("tf")),
           liveDoclens(name).select(col("id"), col("dl")))
       } else {
+        // a STALE artifact never serves — but silently tokenizing the
+        // corpus once per batch call hides the degradation from the
+        // caller (the dense branch errors loudly on an unprobeable
+        // layout; parity here). No artifact at all = the legitimate
+        // index-free path, still one pass for the whole batch.
+        require(!fs.exists(new Path(tDir, "meta.json")),
+          s"postings artifact on $name is stale (mutated since the last " +
+            "build) — SEARCHHYBRID batch would silently tokenize the " +
+            "whole corpus; REINDEX type=postings mode=refresh (or rebuild, " +
+            "or DROP the artifact) first")
         val cur = read(name)
         require(cur.columns.contains("payload"),
           s"SEARCHHYBRID needs a payload column on $name " +
@@ -2348,6 +2383,85 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     ProductQuantization.probeAdcResidualCells(data, query, cells, k,
       shortlist, pqCodebooksOf(name), cellCents, vecCol = "embedding",
       codeCol = PqCodeCol, idCol = idCol)
+  }
+
+  /** Semantic cross-set decontamination screen over a stored collection
+    * — the embedding-level sibling of the n-gram screens, against the
+    * collection as the TRAINING corpus: each eval query's nearest train
+    * neighbor, flagged when the ROUNDED cosine crosses `threshold`.
+    *
+    * Exact by default: one corpus pass, eval side broadcast, top-1 via a
+    * map-side-combinable max(struct(rounded score, −id)) — ONE struct
+    * per query per partition ever shuffles. On an `ivfpq_kmeans`
+    * collection with `probeRadius`/`shortlist` set, the screen answers
+    * from the stored CODES instead ([[ProductQuantization
+    * .adcResidualScored]] — the batched-ADC serving machinery under the
+    * decon flag rule): per-query cell probes, broadcast residual LUTs,
+    * bounded shortlist heap, then ONE exact cosine rerank of shortlisted
+    * rows only — a re-screen per eval-set revision reads m bytes of
+    * vector data per row instead of the float corpus. `probeRadius` on
+    * an unprobeable layout is LOUD — never a silent full scan.
+    *
+    * Both paths rank the top-1 cut on the ROUNDED cosine with an id
+    * tie-break (rank-on-rounded doctrine — raw-float ulps never decide
+    * the flagged neighbor). A planted exact duplicate ADC-scores at its
+    * own quantization error (near the cell minimum), survives any sane
+    * shortlist, and reranks to cosine 1.0 — detection recall on exact
+    * copies is 1.0 (spec-pinned against the exact screen).
+    *
+    * `evalQ`: (query_id integral, query_vec array<float>). Output:
+    * (eval_id, train_id, score, contaminated), ordered by eval_id.
+    */
+  def deconScreen(name: String, evalQ: DataFrame, threshold: Double = 0.5,
+      probeRadius: Int = -1, shortlist: Int = -1): DataFrame = {
+    requireCollection(name)
+    val spark = this.spark
+    import spark.implicits._
+    graft.operators.VectorIndex.requireIntegralCol(evalQ, "query_id",
+      "deconScreen")
+    val data = read(name)
+    val qs = evalQ.select(col("query_id").cast("long").as("query_id"),
+      col("query_vec"))
+    lazy val layout = indexType(name)
+    val probeable = probeRadius >= 0 && data.columns.contains("cluster_id")
+    val scoredTop =
+      if (probeable && layout.contains("ivfpq_kmeans") && shortlist >= 1) {
+        val coarse: ProductQuantization.Codebooks = Array(centroidsOf(name))
+        val scored = ProductQuantization.adcResidualScored(data, qs,
+            pqCodebooksOf(name), coarseMap(coarse),
+            nprobe = probeRadius + 1, codeCol = PqCodeCol, idCol = "id")
+          .select(col("query_id").cast("long"), col("id").cast("long"),
+            col("s").cast("double"))
+          .as[(Long, Long, Double)]
+        val short = graft.operators.SimilaritySearch
+          .boundedTopKPerQuery(scored, shortlist, desc_? = false,
+            "id", "query_id")
+          .select(col("query_id"), col("id"))
+        data.select(col("id").cast("long").as("id"), col("embedding"))
+          .join(broadcast(short), Seq("id"))
+          .join(broadcast(qs), Seq("query_id"))
+          .select(col("query_id"),
+            round(graft.functions.cosine_sim(col("embedding"),
+              col("query_vec")), 6).as("score"),
+            (-col("id")).as("nid"))
+      } else {
+        require(!probeable,
+          s"probeRadius=$probeRadius set but layout $layout on $name has " +
+            "no codes-only decon probe — REINDEX type=ivfpq (and pass " +
+            "shortlist >= 1), or drop probeRadius for the exact screen")
+        data.crossJoin(broadcast(qs))
+          .select(col("query_id"),
+            round(graft.functions.cosine_sim(col("embedding"),
+              col("query_vec")), 6).as("score"),
+            (-col("id").cast("long")).as("nid"))
+      }
+    scoredTop.groupBy("query_id")
+      .agg(max(struct(col("score"), col("nid"))).as("m"))
+      .select(col("query_id").as("eval_id"), (-col("m.nid")).as("train_id"),
+        col("m.score").as("score"),
+        when(col("m.score") >= threshold, 1L).otherwise(0L)
+          .as("contaminated"))
+      .orderBy("eval_id")
   }
 
   /** REINDEX with a Z-ORDER file layout: rewrite the collection

@@ -53,9 +53,14 @@ final class StageStore(spark: SparkSession, rootDir: String) {
 
   /** Return `stage`'s committed output, computing + committing it first
     * if absent. `compute` is by-name: a committed stage never builds the
-    * upstream plan at all.
+    * upstream plan at all. `partitionCols` (optional) lays the stage's
+    * parquet out partitioned on those columns, so downstream per-value
+    * reads prune directories (the resumable-export staging shape); the
+    * read-back declares the FULL schema explicitly, so partition values
+    * rehydrate typed and zero-row stages still read back.
     */
-  def stage(name: String)(compute: => DataFrame): DataFrame = {
+  def stage(name: String, partitionCols: Seq[String] = Nil)
+      (compute: => DataFrame): DataFrame = {
     require(name.matches("[A-Za-z0-9_.-]+"), s"bad stage name: $name")
     val dir = new Path(root, name)
     val meta = metaPath(name)
@@ -74,7 +79,9 @@ final class StageStore(spark: SparkSession, rootDir: String) {
       val out = compute
       computed += name
       stagePlans(name) = out.queryExecution.executedPlan.toString
-      out.write.mode("overwrite").parquet(new Path(genDir, "data").toString)
+      val w = out.write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(new Path(genDir, "data").toString)
       writeString(new Path(genDir, "schema.json"), out.schema.json)
       if (failBeforeCommit.contains(name))
         throw new IllegalStateException(s"injected crash before commit: $name")

@@ -348,7 +348,8 @@ object Classify {
     * INTERNAL recursion keeps full precision between rounds.
     */
   def logisticTrain(df: DataFrame, featureCols: Seq[String],
-      labelCol: String, eta: Double, rounds: Int): DataFrame = {
+      labelCol: String, eta: Double, rounds: Int,
+      store: Option[graft.core.StageStore] = None): DataFrame = {
     require(featureCols.nonEmpty, "logisticTrain needs feature columns")
     require(rounds >= 1 && rounds <= 64,
       s"rounds must be in [1, 64], got $rounds")
@@ -358,9 +359,20 @@ object Classify {
     val k = xs.length
     // each round re-aggregates the features: materialize the derivation
     // once (the q65 localCheckpoint discipline; the trajectory result is
-    // driver-literal, so the unpersist below can't strand a consumer)
-    val feats = df.localCheckpoint(true)
-    val n = feats.count()
+    // driver-literal, so the unpersist below can't strand a consumer).
+    // With a store (r14 verdict item 2) the checkpoint is LAZY: each
+    // round's rounded gradient-sum row and the row count COMMIT through
+    // the generation pointer, so a resumed run replays committed rounds
+    // from their one-row stages (the weight recursion on bit-identical
+    // rounded sums is exact driver math) and touches the corpus only at
+    // the first uncommitted round.
+    var featsTouched = false
+    lazy val feats = { featsTouched = true; df.localCheckpoint(true) }
+    val n = store match {
+      case Some(st) =>
+        st.stage("lr_n")(feats.agg(count(lit(1)).as("n"))).head().getLong(0)
+      case None => feats.count()
+    }
     require(n > 0, "logisticTrain needs a non-empty training frame")
     var w = Array.fill(k)(0.0)
     val traj = Array.newBuilder[org.apache.spark.sql.Row]
@@ -370,17 +382,22 @@ object Classify {
       val z = xs.zip(w).map { case (x, wj) => lit(wj) * x }
         .reduceLeft(_ + _)
       val p = lit(1.0) / (lit(1.0) + exp(-z))
-      val gradSums = feats.agg(
+      def gradAgg = feats.agg(
         round(sum((p - col(labelCol)) * xs.head) + lit(1e-9), 6).as("g0"),
         xs.tail.zipWithIndex.map { case (x, i) =>
           round(sum((p - col(labelCol)) * x) + lit(1e-9), 6).as(s"g${i + 1}")
-        }: _*).head()
+        }: _*)
+      val gradSums = store match {
+        case Some(st) => st.stage(s"lr_grad_$r")(gradAgg).head()
+        case None => gradAgg.head()
+      }
       w = w.indices.map { j =>
         w(j) - eta * (gradSums.getDouble(j) / n.toDouble)
       }.toArray
       traj += org.apache.spark.sql.Row.fromSeq(r.toLong +: w.toSeq)
     }
-    org.apache.spark.sql.GraftSqlShims.unpersistCheckpoint(feats)
+    if (featsTouched)
+      org.apache.spark.sql.GraftSqlShims.unpersistCheckpoint(feats)
     val names = "w_bias" +: featureCols.map(c => s"w_$c")
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("round",

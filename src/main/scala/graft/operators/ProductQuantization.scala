@@ -488,15 +488,37 @@ object ProductQuantization {
       idCol: String = "id", queryIdCol: String = "query_id",
       queryVecCol: String = "query_vec"): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val scored = adcResidualScored(indexed, queries, codebooks, cellCents,
+      nprobe, codeCol, idCol, queryIdCol, queryVecCol)
+    batchExactRerank(indexed, queries, scored, k, shortlist, vecCol, idCol,
+      queryIdCol, queryVecCol)
+  }
+
+  /** The codes-only ADC scoring frame shared by [[probeAdcResidualBatch]]
+    * and the decon screen ([[graft.core.GraftDatabase.deconScreen]]): per
+    * query its `nprobe` nearest coarse cells (engine-exact rounded-l2
+    * rank), per-(query, cell) residual LUTs as ONE broadcast whose cell
+    * join also restricts scoring to probed cells, ADC distance per stored
+    * code row. Scans ONLY `(idCol, cluster_id, codeCol)` pruned to the
+    * probed-cell union — never the float vectors. Output: (queryIdCol,
+    * idCol, s) with s = −rounded ADC distance (the bounded heap's
+    * higher-is-better convention).
+    */
+  private[graft] def adcResidualScored(indexed: DataFrame,
+      queries: DataFrame, codebooks: Codebooks,
+      cellCents: Map[Int, Array[Double]], nprobe: Int,
+      codeCol: String = "pq_code", idCol: String = "id",
+      queryIdCol: String = "query_id",
+      queryVecCol: String = "query_vec"): DataFrame = {
     val spark = indexed.sparkSession
     import spark.implicits._
-    VectorIndex.requireIntegralCol(queries, queryIdCol, "probeAdcResidualBatch")
-    VectorIndex.requireIntegralCol(indexed, idCol, "probeAdcResidualBatch")
+    VectorIndex.requireIntegralCol(queries, queryIdCol, "adcResidualScored")
+    VectorIndex.requireIntegralCol(indexed, idCol, "adcResidualScored")
     val m = codebooks.length
     val ksub = codebooks.head.length
     val qRows = queries
       .select(col(queryIdCol).cast("long"), col(queryVecCol)).collect()
-    require(qRows.nonEmpty, "probeAdcResidualBatch: empty query batch")
+    require(qRows.nonEmpty, "adcResidualScored: empty query batch")
     val qVecs: Map[Long, Array[Float]] =
       qRows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     val cellPairs: Seq[(Long, Int)] = qRows.toSeq.flatMap { r =>
@@ -515,13 +537,11 @@ object ProductQuantization {
       element_at(col("__lut"),
         lit(s * ksub) + element_at(col(codeCol), s + 1).cast("int"))
     }.reduce(_ + _)
-    val scored = indexed
+    indexed
       .filter(col("cluster_id").isin(union: _*))
       .join(broadcast(luts), Seq("cluster_id"))
       .select(col(queryIdCol), col(idCol).cast("long").as(idCol),
         (-round(adc + lit(1e-9), 6)).as("s"))
-    batchExactRerank(indexed, queries, scored, k, shortlist, vecCol, idCol,
-      queryIdCol, queryVecCol)
   }
 
   /** Shared batch tail: bounded per-query shortlist heap over negated

@@ -1230,8 +1230,13 @@ object TextAnalysis {
     */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int,
       incremental: Boolean = false,
-      byteLevel: Boolean = false): Seq[(String, String, Long)] = {
+      byteLevel: Boolean = false,
+      store: Option[graft.core.StageStore] = None)
+      : Seq[(String, String, Long)] = {
     require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    if (store.isDefined)
+      return bpeTrainStaged(df, textCol, nMerges, incremental, byteLevel,
+        store.get)
     val chars = baseSymbols(col("word"), byteLevel)
     // byte-level pairs with the RAW case-and-punctuation-preserving
     // pre-tokenization (the GPT-2 setup): the closed byte alphabet makes
@@ -1310,6 +1315,102 @@ object TextAnalysis {
     GraftSqlShims.unpersistCheckpoint(vocab)
     GraftSqlShims.unpersistCheckpoint(counts)
     prev.foreach(GraftSqlShims.unpersistCheckpoint)
+    merges.toSeq
+  }
+
+  /** [[bpeTrain]] under a [[graft.core.StageStore]] (r14 verdict item
+    * 2): the word-frequency table (the ONE corpus read) and every
+    * round's 1-row merge pick COMMIT through the generation pointer, so
+    * a preempted training resumes at merge grain — committed picks read
+    * back without running any pair-count job, and the in-session
+    * segmentation state rebuilds from the staged word table by replaying
+    * the committed merges as ONE left-assoc replace-chain projection
+    * (replace is confluent here: each pick's ` a  b ` pattern is exactly
+    * what the per-round replace consumed, so the chain equals the
+    * round-by-round rewrites). Output and pick order are byte-identical
+    * to the unstaged loop — q129's oracle gates both shapes.
+    */
+  private def bpeTrainStaged(df: DataFrame, textCol: String, nMerges: Int,
+      incremental: Boolean, byteLevel: Boolean,
+      st: graft.core.StageStore): Seq[(String, String, Long)] = {
+    val chars = baseSymbols(col("word"), byteLevel)
+    val toks =
+      if (byteLevel) regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+      else normalizedTokens(col(textCol))
+    lazy val wordsBase = st.stage("bpe_words") {
+      df.select(explode(toks).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          concat(lit(" "), array_join(chars, "  "), lit(" ")).as("seg"))
+    }
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+    var vocabOpt: Option[DataFrame] = None
+    var countsOpt: Option[DataFrame] = None
+    var prev: Seq[DataFrame] = Nil
+    // first demand AFTER a resume: replay the committed merges onto the
+    // staged word table in one projection, then maintain incrementally
+    // exactly like the unstaged loop
+    def vocabState(): DataFrame = vocabOpt.getOrElse {
+      val segCol = merges.foldLeft(col("seg")) { case (c, (a, b, _)) =>
+        org.apache.spark.sql.functions.replace(
+          c, lit(s" $a  $b "), lit(s" $a$b "))
+      }
+      val v = wordsBase.select(col("freq"), segCol.as("seg"))
+        .localCheckpoint(false)
+      vocabOpt = Some(v)
+      if (incremental)
+        countsOpt = Some(segPairCounts(v).localCheckpoint(false))
+      v
+    }
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val best = st.stage(s"bpe_merge_${r + 1}") {
+        (if (incremental) { vocabState(); countsOpt.get }
+         else segPairCounts(vocabState()))
+          .orderBy(desc("n"), col("a"), col("b")).limit(1)
+      }.collect()
+      prev.foreach(GraftSqlShims.unpersistCheckpoint)
+      prev = Nil
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, n) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += ((a, b, n))
+        r += 1
+        // maintain the in-session state only if it exists — a committed
+        // pick on a resume never materializes the segmentation at all
+        if (r < nMerges && vocabOpt.isDefined) {
+          val vocab = vocabOpt.get
+          val pat = s" $a  $b "
+          val merged = s" $a$b "
+          val updated = vocab
+            .withColumn("seg", org.apache.spark.sql.functions.replace(
+              col("seg"), lit(pat), lit(merged)))
+            .localCheckpoint(false)
+          if (incremental) {
+            val hit = vocab.filter(col("seg").contains(pat))
+            val oldPairs = segPairCounts(hit)
+              .select(col("a"), col("b"), (-col("n")).as("n"))
+            val newPairs = segPairCounts(hit.withColumn("seg",
+              org.apache.spark.sql.functions.replace(
+                col("seg"), lit(pat), lit(merged))))
+            val nextCounts = countsOpt.get.unionByName(oldPairs)
+              .unionByName(newPairs)
+              .groupBy("a", "b").agg(sum("n").as("n"))
+              .filter(col("n") =!= 0L)
+              .localCheckpoint(false)
+            prev = Seq(countsOpt.get, vocab)
+            countsOpt = Some(nextCounts)
+          } else {
+            prev = Seq(vocab)
+          }
+          vocabOpt = Some(updated)
+        }
+      }
+    }
+    (vocabOpt.toSeq ++ countsOpt.toSeq ++ prev)
+      .foreach(GraftSqlShims.unpersistCheckpoint)
     merges.toSeq
   }
 

@@ -63,43 +63,66 @@ object UnigramLm {
     */
   def train(df: DataFrame, textCol: String, vocabTarget: Int = 64,
       emRounds: Int = 2, seedMultiplier: Int = 4, maxPieceLen: Int = 8,
-      maxWordLen: Int = 16): DataFrame = {
+      maxWordLen: Int = 16,
+      store: Option[graft.core.StageStore] = None): DataFrame = {
     require(vocabTarget >= 1, s"vocabTarget must be >= 1, got $vocabTarget")
     require(emRounds >= 1, s"emRounds must be >= 1, got $emRounds")
     require(maxPieceLen >= 1 && maxPieceLen <= maxWordLen,
       s"need 1 <= maxPieceLen <= maxWordLen, got $maxPieceLen/$maxWordLen")
-    val words = wordFreqs(df, textCol, maxWordLen).localCheckpoint(true)
+    // With a store (r14 verdict item 2), the restart-relevant round
+    // boundaries — the word census (the one corpus read) and each EM
+    // round's re-estimated vocabulary — COMMIT through the generation-
+    // pointer discipline instead of session-local checkpoints, so a
+    // preempted training resumes at round grain: committed rounds read
+    // back (the by-name compute never builds the DP), the first
+    // uncommitted round recomputes from vocab-grain staged state, never
+    // the corpus. occ/census/seed stay derived (vocab-grain recompute is
+    // one explode — cheaper than their stage round-trips).
+    def mat(name: String)(f: => DataFrame): DataFrame = store match {
+      case Some(st) => st.stage(name)(f)
+      case None => f.localCheckpoint(true)
+    }
+    def free(d: DataFrame): Unit =
+      if (store.isEmpty) GraftSqlShims.unpersistCheckpoint(d)
+    val words = mat("em_words")(wordFreqs(df, textCol, maxWordLen))
     require(!words.isEmpty,
       "unigramLmTrain: no eligible words (empty corpus after filtering)")
-    val occ = substrings(words, maxPieceLen).localCheckpoint(true)
-    val census = occ.groupBy("piece").agg(sum("freq").as("c"))
-      .localCheckpoint(true)
+    lazy val occ0 = substrings(words, maxPieceLen)
+    val occ =
+      if (store.isEmpty) occ0.localCheckpoint(true) else occ0
+    lazy val census0 = occ.groupBy("piece").agg(sum("freq").as("c"))
+    val census =
+      if (store.isEmpty) census0.localCheckpoint(true) else census0
     val chars = census.filter(length(col("piece")) === 1)
       .select(col("piece"), col("c"))
     val seedMulti = census.filter(length(col("piece")) > 1)
       .orderBy(desc("c"), col("piece"))
       .limit(vocabTarget * seedMultiplier)
       .select(col("piece"), col("c"))
-    var vocab = withLogp(
+    var vocab = mat("em_seed")(withLogp(
       chars.select(col("piece"), (col("c") + 1L).as("cnt"),
           lit(1L).as("is_char"))
         .unionByName(seedMulti.select(col("piece"), col("c").as("cnt"),
-          lit(0L).as("is_char"))))
-      .localCheckpoint(true)
-    for (_ <- 1 to emRounds) {
-      val counts = viterbiCounts(words, occ, vocab)
-      val next = withLogp(
-        chars.join(counts, Seq("piece"), "left_outer")
-          .select(col("piece"),
-            (coalesce(col("c2"), lit(0L)) + 1L).as("cnt"),
-            lit(1L).as("is_char"))
-          .unionByName(counts.filter(length(col("piece")) > 1)
-            .select(col("piece"), col("c2").as("cnt"),
-              lit(0L).as("is_char"))))
-        .localCheckpoint(true)
-      GraftSqlShims.unpersistCheckpoint(vocab)
-      GraftSqlShims.unpersistCheckpoint(counts)
-      vocab = next
+          lit(0L).as("is_char")))))
+    for (r <- 1 to emRounds) {
+      val prev = vocab
+      var roundCounts: Option[DataFrame] = None
+      vocab = mat(s"em_round_$r") {
+        val counts = viterbiCounts(words, occ, prev)
+        roundCounts = Some(counts)
+        withLogp(
+          chars.join(counts, Seq("piece"), "left_outer")
+            .select(col("piece"),
+              (coalesce(col("c2"), lit(0L)) + 1L).as("cnt"),
+              lit(1L).as("is_char"))
+            .unionByName(counts.filter(length(col("piece")) > 1)
+              .select(col("piece"), col("c2").as("cnt"),
+                lit(0L).as("is_char"))))
+      }
+      free(prev)
+      // the round's DP count frame is session-local either way; by the
+      // time mat() returns, the successor is materialized/committed
+      roundCounts.foreach(GraftSqlShims.unpersistCheckpoint)
     }
     // final prune: every char survives; multi-char pieces cut to the
     // remaining budget by (count DESC, piece ASC); one last M-step over
@@ -111,14 +134,15 @@ object UnigramLm {
       .unionByName(vocab.filter(col("is_char") === 0L)
         .orderBy(desc("cnt"), col("piece")).limit(keepMulti)
         .select("piece", "cnt", "is_char"))
-    val out = withLogp(pruned)
+    val out = mat("em_final")(withLogp(pruned)
       .select(col("piece"), col("is_char"), col("cnt").as("count"),
-        col("logp"))
-      .localCheckpoint(true)
-    GraftSqlShims.unpersistCheckpoint(vocab)
-    GraftSqlShims.unpersistCheckpoint(words)
-    GraftSqlShims.unpersistCheckpoint(occ)
-    GraftSqlShims.unpersistCheckpoint(census)
+        col("logp")))
+    free(vocab)
+    free(words)
+    if (store.isEmpty) {
+      GraftSqlShims.unpersistCheckpoint(occ)
+      GraftSqlShims.unpersistCheckpoint(census)
+    }
     out
   }
 

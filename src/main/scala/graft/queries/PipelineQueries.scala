@@ -98,6 +98,27 @@ object PipelineQueries {
         db
       })
 
+  // q327's steady-state artifact: the TRAIN-side corpus (embeddings with
+  // vec_id % 50 <> 0 — the q326 split) under the residual IVF×PQ layout,
+  // so the decon screen answers from stored codes. Eval rows are NOT
+  // members: the collection IS the training set being screened against.
+  private val deconDbCache =
+    scala.collection.concurrent.TrieMap.empty[String, GraftDatabase]
+  private def storedDeconDb(s: SparkSession, dir: String): GraftDatabase =
+    deconDbCache.getOrElseUpdate(
+      s"${System.identityHashCode(s)}:$dir", {
+        val db = scratchDb(s, "graft_q327")
+        db.createCollection("train", StructType(Seq(
+          StructField("id", LongType),
+          StructField("embedding", ArrayType(FloatType, containsNull = false)),
+          StructField("label", IntegerType))))
+        db.bulkInsert("train", Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 50 =!= 0)
+          .withColumnRenamed("vec_id", "id"))
+        db.reindexIvfPq("train", m = 8, ksub = 16, rounds = 1, kCells = 8)
+        db
+      })
+
   // q267's steady-state artifact: ONE hybrid collection carrying BOTH
   // retrieval artifacts — the sign-bucket cell layout + stored int8 copy
   // (the dense ANN side) and the term-bucket postings (the sparse side).
@@ -1309,6 +1330,34 @@ object PipelineQueries {
           (1L, Seq("join", "window", "scan"), vecs(1L)),
           (2L, Seq("query", "graftmissing"), vecs(2L))),
         k = 10, kf = 20, probeRadius = 1, shortlist = 40)
+    }),
+
+    // ANN-assisted semantic decontamination (the r14 verdict's top item —
+    // q326's screen made routine at scale): the SAME planted eval batch,
+    // but the nearest-train-neighbor search answers from the stored
+    // IVF×PQ CODES — per-query cell probes + broadcast residual ADC LUTs
+    // + bounded shortlist heap + ONE exact cosine rerank of shortlisted
+    // rows — instead of a full float-vector corpus pass. Planted
+    // contamination (exact donor copies, 1/3 of evals) ADC-scores at its
+    // own quantization error, survives the shortlist, reranks to 1.0:
+    // detection recall on exact copies is 1.0 (DeconScreenSpec pins it
+    // against the exact q326 answer). The oracle replays the WHOLE
+    // chain: both codebook trainings over the train slice, cell probes,
+    // ADC shortlist, cosine rerank, rounded-rank top-1, flag.
+    "q327_decon_ann" -> ((s, dir) => {
+      val db = storedDeconDb(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val donors = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("donor_vec"))
+      // the eval side is ~2% of the corpus — broadcast it into the donor
+      // join explicitly (the q326 r12 pre-execution-estimate rule)
+      val evalQ = broadcast(emb.filter(col("vec_id") % 50 === 0))
+        .join(donors, Seq("vec_id"))
+        .select(col("vec_id").as("query_id"),
+          when(expr("(vec_id DIV 50) % 3") === 0, col("donor_vec"))
+            .otherwise(col("embedding")).as("query_vec"))
+      db.deconScreen("train", evalQ, threshold = 0.5,
+        probeRadius = 1, shortlist = 40)
     }),
 
     // Batch serving at the COMMAND surface (r13 verdict item 6): the
@@ -2852,6 +2901,11 @@ object PipelineQueries {
 
     // command ≡ API: q310's oracle verbatim
     "q311_hybrid_batch_cmd" -> hybridAdcBatchSql,
+
+    // the full ANN-assisted decon replay: train-slice codebook
+    // trainings + residual ADC shortlist + exact cosine rerank +
+    // rounded-rank top-1 + the contamination flag
+    "q327_decon_ann" -> VectorQueries.deconAnnSql(40),
 
     "q301_stats_cmd" ->
       """SELECT stat, value FROM (

@@ -584,10 +584,13 @@ object TextQueries {
     // referenced twice, inlining would go exponential). Output: the
     // weight trajectory, every float rounded.
     "q316_lr_train" -> ((s, dir) => {
+      // gradient rounds commit through a fresh StageStore (the q268/q269
+      // convention — TrainResumeSpec pins kill-and-resume)
       graft.operators.Classify.logisticTrain(
         lrFeatures(Tables.documents(s, dir)),
         Seq("x_len", "x_digit", "x_punct", "x_upper"), "y",
-        eta = 0.5, rounds = 6)
+        eta = 0.5, rounds = 6,
+        store = Some(new graft.core.StageStore(s, Scratch.dir("graft_q316"))))
     }),
 
     // The trained LR model APPLIED (q316's weights as plan literals —
@@ -680,9 +683,13 @@ object TextQueries {
     // first merge's table (q107). Symbol-pair ties break on (a, b).
     "q129_bpe_merges" -> ((s, dir) => {
       import s.implicits._
+      // merge picks commit through a fresh StageStore (the q268/q269
+      // convention — TrainResumeSpec pins kill-and-resume + replay)
       TextAnalysis.bpeTrain(
           graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
-          "text", nMerges = 10)
+          "text", nMerges = 10,
+          store = Some(new graft.core.StageStore(s,
+            Scratch.dir("graft_q129"))))
         .zipWithIndex
         .map { case ((a, b, n), i) => (i + 1L, a, b, n) }
         .toDF("rank", "a", "b", "n")
@@ -698,10 +705,16 @@ object TextQueries {
     // Closes the third published tokenizer family beside BPE (q129) and
     // WordPiece (q239).
     "q268_unigram_lm" -> ((s, dir) => {
+      // the training commits its word census + every EM round through a
+      // FRESH StageStore (the q269 convention): the gate's time stays
+      // the honest full-training number WITH the round-grain durability
+      // a preempted 100 TB run resumes from (TrainResumeSpec pins
+      // kill-and-resume in both crash windows).
+      val store = new graft.core.StageStore(s, Scratch.dir("graft_q268"))
       graft.operators.UnigramLm.train(
           graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
           "text", vocabTarget = 64, emRounds = 2, seedMultiplier = 4,
-          maxPieceLen = 8, maxWordLen = 16)
+          maxPieceLen = 8, maxWordLen = 16, store = Some(store))
         .select(col("piece"), col("is_char"), col("count").as("cnt"),
           col("logp"))
         .orderBy("piece")
@@ -3182,7 +3195,7 @@ object TextQueries {
     "q318_stream_lr_score" -> lrScoreSql,
 
     // LR reliability diagram: same 6 layers + published-weight scoring,
-    // dyadic 1/8 score bins, exact positive-rate division, rounded mean
+    // dyadic 1/2048 score bins, exact positive-rate division, rounded mean
     "q320_lr_calibration" -> lrCalibrationSql,
 
     "q145_nb_classify" -> (nbChainSql +

@@ -179,12 +179,23 @@ object VectorQueries {
           when(expr("(vec_id DIV 50) % 3") === 0, col("donor_vec"))
             .otherwise(col("embedding")).as("query_vec"))
       val train = emb.filter(col("vec_id") % 50 =!= 0)
-      SimilaritySearch.topKBatchAgg(train, broadcast(evalQ), k = 1,
-          metric = "cosine", vecCol = "embedding", idCol = "vec_id")
-        .select(col("query_id").as("eval_id"), col("vec_id").as("train_id"),
-          round(col("score"), 6).as("score"),
-          when(round(col("score"), 6) >= 0.5, 1L).otherwise(0L)
-            .as("contaminated"))
+      // top-1 on the ROUNDED score with a vec_id tie-break (the
+      // rank-on-rounded doctrine — raw-cosine ulps between engines must
+      // never decide which train neighbor wins): max(struct(score, -id))
+      // picks the highest rounded score, lowest id on ties, and is
+      // map-side combinable (ONE struct per query per partition crosses
+      // the shuffle — tighter than a k=1 heap).
+      train.crossJoin(broadcast(evalQ))
+        .select(col("query_id"),
+          round(graft.functions.cosine_sim(col("embedding"),
+            col("query_vec")), 6).as("score"),
+          (-col("vec_id")).as("nid"))
+        .groupBy("query_id")
+        .agg(max(struct(col("score"), col("nid"))).as("m"))
+        .select(col("query_id").as("eval_id"),
+          (-col("m.nid")).as("train_id"),
+          col("m.score").as("score"),
+          when(col("m.score") >= 0.5, 1L).otherwise(0L).as("contaminated"))
         .orderBy("eval_id")
     }),
 
@@ -1049,8 +1060,20 @@ object VectorQueries {
   // kmeansBatchSql body.
   private[queries] def ivfPqAdcCtes(coarseSeed: String,
       fineSeed: String): String =
+    ivfPqAdcCtesFrom("",
+      "qs4 AS (SELECT vec_id AS query_id, v AS qv FROM e2 WHERE vec_id < 3)",
+      coarseSeed, fineSeed, nprobe = 2)
+
+  /** [[ivfPqAdcCtes]] generalized (the ANN-assisted decon gate, q327):
+    * `srcSuffix` restricts the trained/coded corpus (a WHERE tail on the
+    * embeddings scan — the decon collection holds only TRAIN rows),
+    * `qs4Cte` is the full query CTE producing (query_id, qv DOUBLE[]),
+    * and `nprobe` the per-query probed-cell count.
+    */
+  private[queries] def ivfPqAdcCtesFrom(srcSuffix: String, qs4Cte: String,
+      coarseSeed: String, fineSeed: String, nprobe: Int): String =
     s"""e2 AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$srcSuffix),
        |""".stripMargin +
     pqTrainBody("e2", coarseSeed, 1, 64, 8, "k") +
     """,
@@ -1062,14 +1085,14 @@ object VectorQueries {
       |  GROUP BY e2.vec_id),
       |""".stripMargin +
     pqTrainBody("rv3", fineSeed, 8, 8, 16, "r") +
-    """,
-      |qs4 AS (SELECT vec_id AS query_id, v AS qv FROM e2 WHERE vec_id < 3),
+    s""",
+      |$qs4Cte,
       |probed AS (
       |  SELECT query_id, cid, cent FROM (
       |    SELECT q.query_id, c.cid, c.cent, row_number() OVER (
       |      PARTITION BY q.query_id
       |      ORDER BY round(list_distance(c.cent, q.qv), 6), c.cid) AS rn
-      |    FROM kc1 c CROSS JOIN qs4 q) WHERE rn <= 2),
+      |    FROM kc1 c CROSS JOIN qs4 q) WHERE rn <= $nprobe),
       |lutr AS (
       |  SELECT p.query_id, p.cid AS cell, c1.s, c1.cid,
       |    round(sum(power(q.qv[c1.s*8 + ii.i] - p.cent[c1.s*8 + ii.i]
@@ -1083,6 +1106,44 @@ object VectorQueries {
       |  JOIN kcodes kc ON kc.vec_id = k2.vec_id
       |  JOIN lutr l ON l.cell = kc.cid AND l.s = k2.s AND l.cid = k2.cid
       |  GROUP BY l.query_id, k2.vec_id)""".stripMargin
+
+  /** The q327 oracle: the FULL ANN-assisted decon replay — coarse + fine
+    * codebook trainings over the TRAIN slice only (vec_id % 50 <> 0, the
+    * reindex seeds), q326's planted eval queries, nprobe probed cells,
+    * residual ADC distances, the `shortlist` cut on the rounded ADC
+    * distance (vec_id tie-break — the bounded heap's contract), ONE
+    * exact cosine rerank of shortlisted rows, top-1 on the ROUNDED
+    * cosine with vec_id tie-break, flag at 0.5.
+    */
+  private[queries] def deconAnnSql(shortlist: Int): String =
+    "WITH " + ivfPqAdcCtesFrom(" WHERE vec_id % 50 <> 0",
+      """qs4 AS (
+        |  SELECT e.vec_id AS query_id,
+        |    CASE WHEN (e.vec_id // 50) % 3 = 0
+        |         THEN CAST(d.embedding AS DOUBLE[])
+        |         ELSE CAST(e.embedding AS DOUBLE[]) END AS qv
+        |  FROM embeddings e JOIN embeddings d ON d.vec_id = e.vec_id + 1
+        |  WHERE e.vec_id % 50 = 0)""".stripMargin,
+      "rpq:coarse", "rpq", nprobe = 2) +
+    s""",
+      |short AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+      |    FROM adc)
+      |  WHERE rn <= $shortlist),
+      |rr AS (
+      |  SELECT s.query_id, s.vec_id,
+      |    round(list_cosine_similarity(e2.v, q.qv), 6) AS score
+      |  FROM short s JOIN e2 ON e2.vec_id = s.vec_id
+      |  JOIN qs4 q ON q.query_id = s.query_id)
+      |SELECT query_id AS eval_id, vec_id AS train_id, score,
+      |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS contaminated
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY score DESC, vec_id) AS rn FROM rr)
+      |WHERE rn = 1
+      |ORDER BY eval_id""".stripMargin
 
   // Seed-parameterized batch kmeans-IVFPQ replay (q170 uses the raw
   // gate's seeds, q173 the reindex's): coarse m=1 training, residuals,
@@ -2231,7 +2292,11 @@ object VectorQueries {
 
     // semantic decontamination: the planted-donor CASE replayed, exact
     // double cosine, flag on the rounded score (no boundary risk — the
-    // planted 1.0 and the ~0.4 clean background straddle 0.5 by a mile)
+    // planted 1.0 and the ~0.4 clean background straddle 0.5 by a mile).
+    // The top-1 cut ranks on the ROUNDED score with a vec_id tie-break
+    // (rank-on-rounded doctrine — list_cosine_similarity's op order
+    // differs in ulps from the Spark-side cosine, so a raw-ranked cut
+    // could flip train_id between two near-equal clean neighbors).
     "q326_semantic_decon" ->
       """WITH don AS (
         |  SELECT vec_id - 1 AS vec_id, embedding AS donor_vec
@@ -2244,16 +2309,16 @@ object VectorQueries {
         |  WHERE e.vec_id % 50 = 0),
         |s AS (
         |  SELECT q.query_id, e.vec_id,
-        |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |      CAST(q.query_vec AS DOUBLE[])) AS raw,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.query_vec AS DOUBLE[])), 6) AS score,
         |    row_number() OVER (PARTITION BY q.query_id
-        |      ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
-        |        CAST(q.query_vec AS DOUBLE[])) DESC, e.vec_id) AS rn
+        |      ORDER BY round(list_cosine_similarity(
+        |        CAST(e.embedding AS DOUBLE[]),
+        |        CAST(q.query_vec AS DOUBLE[])), 6) DESC, e.vec_id) AS rn
         |  FROM embeddings e CROSS JOIN q
         |  WHERE e.vec_id % 50 <> 0)
-        |SELECT query_id AS eval_id, vec_id AS train_id,
-        |  round(raw, 6) AS score,
-        |  CAST(CASE WHEN round(raw, 6) >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+        |SELECT query_id AS eval_id, vec_id AS train_id, score,
+        |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
         |    AS contaminated
         |FROM s
         |WHERE rn = 1

@@ -998,19 +998,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(unboundedWindows(p).isEmpty, "no rank window belongs here")
   }
 
-  test("q326 semantic decon: broadcast eval queries, bounded-heap top-1, no corpus sort") {
+  test("q326 semantic decon: broadcast eval queries, map-side max-struct top-1, no corpus sort") {
     val p = plan("q326_semantic_decon")
     // the eval-query side (tiny) broadcasts into the single train scan;
-    // the top-1 cut is the TopKAggregator's bounded heap with partial
-    // aggregation (≤ k rows per partition per query ever shuffle)
+    // the top-1 cut is max(struct(rounded score, -id)) with partial
+    // aggregation — ONE struct per query per partition ever shuffles
+    // (tighter than a k=1 heap), and the rank-on-rounded doctrine holds
+    // at the cut (raw-cosine ulps never decide the neighbor)
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"eval queries must broadcast:\n${p.take(2000)}")
-    assert(p.contains("partial_topkaggregator"),
-      "bounded-heap partial aggregation expected")
+    assert(p.contains("partial_max"),
+      "map-side partial max expected")
     assert(!p.contains("SortMergeJoin"),
       "no shuffle join belongs on the vector path")
     assert(unboundedWindows(p).isEmpty,
       "the top-1 cut must never be an unbounded rank window")
+  }
+
+  test("q327 ANN decon: ONE codes-only ADC scan, pruned cells, bounded heap, no unbounded window") {
+    // the decon screen must never read the float corpus: ONE scan reads
+    // pq_code (no embedding) pruned to the probed-cell union; floats are
+    // touched only by the shortlist-bounded cosine rerank; the shortlist
+    // cut is the bounded heap and the top-1 a partial max
+    val df = graft.SparkEntry.queries("q327_decon_ann")(spark, TestSpark.sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val codeScans = "ReadSchema: struct<[^>]*pq_code[^>]*>".r.findAllIn(p)
+      .toSeq
+    assert(codeScans.size == 1 && !codeScans.exists(_.contains("embedding")),
+      s"expected ONE codes-only ADC scan, got $codeScans:\n${p.take(2000)}")
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(p).isDefined,
+      s"the ADC scan must prune to the probed-cell partitions:\n${p.take(2000)}")
+    assert(p.contains("ObjectHashAggregate"),
+      "the shortlist cut must be the bounded heap aggregator")
+    assert(p.contains("partial_max"),
+      "the top-1 cut must be a map-side partial max")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"broadcast-only joins expected:\n${p.take(2000)}")
+    assert(unboundedWindows(p).isEmpty,
+      s"window(s) fed by an unbounded read: ${unboundedWindows(p)}")
   }
 
   test("q146 url canon: canonicalization runs scan-side, no UDF, no pre-agg shuffle") {

@@ -322,6 +322,90 @@ class CommandsSpec extends AnyFunSuite {
     }.getMessage.contains("format"))
   }
 
+  test("EXPORT: reserved columns refuse, shards= parse is loud, summary never re-runs the write plan") {
+    val parent = Files.createTempDirectory("graftexport2").toString
+    val db = GraftDatabase.create(spark, parent, "exdb3")
+    // a collection that already carries a 'shard' column must refuse —
+    // the export would silently overwrite it and re-ingest would
+    // reconstitute placement values instead of the user's data
+    db.createCollection("shardy", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("shard",
+        org.apache.spark.sql.types.LongType))))
+    db.bulkInsert("shardy", Seq((0L, 7L)).toDF("id", "shard"))
+    assert(intercept[IllegalArgumentException] {
+      db.exportCollection("shardy", s"$parent/x")
+    }.getMessage.contains("reserved"))
+    // malformed shards= at the command layer: the grammar's loud
+    // IllegalArgumentException, not a raw NumberFormatException
+    db.createCollection("vecs")
+    val txt = s"$parent/in.txt"
+    Files.writeString(java.nio.file.Paths.get(txt), "0.5,0.25;alpha\n")
+    CommandExecutor.execute(db, GraftCommand.BulkInsert("vecs", txt))
+    assert(intercept[IllegalArgumentException] {
+      CommandExecutor.execute(db,
+        GraftCommand.Export("vecs", s"$parent/x;shards=abc"))
+    }.getMessage.contains("must be an integer"))
+    // the per-shard audit aggregates the shard expression off an id-only
+    // pruned scan — it must NOT re-execute the write plan's
+    // repartition/sort (at 100 TB that would double export cost)
+    val audit = db.exportCollection("vecs", s"$parent/out", nShards = 4)
+    audit.collect()
+    val p = audit.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("ReadSchema: struct<id:bigint>"),
+      s"summary must scan only the id column:\n${p.take(2000)}")
+    // the only exchange is the count aggregation's ENSURE_REQUIREMENTS
+    // (≤ nShards rows) — never the write plan's REPARTITION_BY_NUM or
+    // its within-partition sort
+    assert(!p.contains("REPARTITION_BY_NUM") && !p.contains("Sort ["),
+      s"summary must not replay the write repartition/sort:\n${p.take(2000)}")
+  }
+
+  test("EXPORT format=text: NULL payloads refuse with the descriptive per-row error") {
+    val parent = Files.createTempDirectory("graftexpnull").toString
+    val db = GraftDatabase.create(spark, parent, "exdb4")
+    db.createCollection("vecs")
+    db.bulkInsert("vecs",
+      Seq((0L, Array(0.5f), Option("ok")), (1L, Array(0.25f), None))
+        .toDF("id", "embedding", "payload"))
+    val err = intercept[Exception] {
+      db.exportCollection("vecs", s"$parent/out", format = "text",
+        nShards = 1)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("NULL payload or embedding")),
+      s"got: ${messages(err)}")
+  }
+
+  test("SEARCHHYBRID batch on a STALE postings artifact is loud, not a silent corpus tokenize") {
+    val parent = Files.createTempDirectory("graftstale").toString
+    val db = GraftDatabase.create(spark, parent, "staledb")
+    db.createCollection("docs")
+    val txt = s"$parent/in.txt"
+    Files.writeString(java.nio.file.Paths.get(txt),
+      "0.5,0.25;vector data\n-1.5,2.0;join scan\n")
+    CommandExecutor.execute(db, GraftCommand.BulkInsert("docs", txt))
+    db.reindexPostings("docs", buckets = 4)
+    val qs = Seq((0L, Seq("vector"), Array(0.5f, 0.25f)))
+    // live artifact serves
+    assert(db.searchHybridBatch("docs", qs, k = 2, kf = 2).count() > 0)
+    // a mutation marks it stale — the batch path must refuse with the
+    // refresh hint (the dense branch's loudness, sparse edition)
+    db.delete("docs", org.apache.spark.sql.functions.col("id") === 1L)
+    val e = intercept[IllegalArgumentException] {
+      db.searchHybridBatch("docs", qs, k = 2, kf = 2).collect()
+    }
+    assert(e.getMessage.contains("stale") &&
+      e.getMessage.contains("mode=refresh"))
+    // refreshed artifact serves again
+    db.refreshPostings("docs")
+    assert(db.searchHybridBatch("docs", qs, k = 2, kf = 2).count() > 0)
+  }
+
   test("EXPORT format=text round-trips the reference line format; framing-corrupting payloads refuse") {
     val parent = Files.createTempDirectory("graftexptext").toString
     val db = GraftDatabase.create(spark, parent, "exdb2")
