@@ -140,5 +140,12 @@ object SparkEntry {
     // the RESIDUAL ADC layout — dense candidates from ONE codes-only
     // scan pruned to the probed-cell union (broadcast residual LUTs,
     // bounded shortlist heap, one shortlist-bounded exact rerank).
-    "q310_hybrid_adc_batch")
+    "q310_hybrid_adc_batch",
+    // round-15 addition (r14 verdict item 7): the EGRESS path — no
+    // prior entry exercised a write-heavy operator. Both ride cached
+    // source collections (the q201 steady-state convention), so the
+    // timed body is the export itself: q321 the sharded jsonl write +
+    // read-back, q322 the reference vec;payload text write + re-ingest
+    // round-trip.
+    "q321_export_cmd", "q322_export_text")
 }

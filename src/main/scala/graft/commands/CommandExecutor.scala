@@ -91,11 +91,15 @@ object CommandExecutor {
           catch { case _: NumberFormatException =>
             throw new IllegalArgumentException(
               s"EXPORT shards= must be an integer, got '$shardsStr' — " +
-                "grammar: <path>[;format=jsonl|csv|parquet|text;shards=<n>]")
+                "grammar: <path>[;format=jsonl|csv|parquet|text;shards=<n>" +
+                ";resume=true]")
           }
-        db.exportCollection(coll, parts.head,
-          format = opts.getOrElse("format", "jsonl"),
-          nShards = nShards)
+        val fmt = opts.getOrElse("format", "jsonl")
+        // resume=true opts into the per-shard-committed export (same
+        // bytes; a preempted run resumes at shard grain)
+        if (opts.get("resume").contains("true"))
+          db.exportCollectionResumable(coll, parts.head, fmt, nShards)
+        else db.exportCollection(coll, parts.head, fmt, nShards)
 
       case Update(coll, arg) =>
         val updates =

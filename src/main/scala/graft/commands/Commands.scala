@@ -48,7 +48,9 @@ package graft.commands
   *    id-ordered file per shard, formats matching the BULKINSERT readers
   *    (csv refuses non-atomic columns loudly; text writes the
   *    reference's own `vec;payload` lines, refusing payloads with ';'
-  *    or newline); `shards=-1` derives the count from size stats.
+  *    or newline); `shards=-1` derives the count from size stats;
+  *    `resume=true` commits per shard (one staged scan, markerless
+  *    shards convert on resume — identical bytes, preemption-safe).
   *  - SEARCHTEXT arg (extension): `terms=a,b,c[;k=<n>;k1=<f>;b=<f>]` —
   *    BM25 keyword retrieval over the payload column.
   *  - SEARCHHYBRID arg (extension): `terms=a,b,c;vec=f,f,...[;k;kf;krrf]`

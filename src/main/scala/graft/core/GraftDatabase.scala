@@ -276,6 +276,53 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def exportCollection(name: String, path: String,
       format: String = "jsonl", nShards: Int = 8): DataFrame = {
+    val (cur, nSh) = exportPrep(name, format, nShards)
+    val shardExpr = exportShardExpr(nSh)
+    val sharded = cur
+      .withColumn("shard", shardExpr)
+      // one task per shard → one file per shard dir; the sort pins the
+      // file's row order so the exported bytes are reproducible
+      .repartition(nSh, col("shard"))
+      .sortWithinPartitions("shard", "id")
+    format match {
+      case "jsonl" => sharded.write.mode("overwrite").partitionBy("shard")
+        .json(path)
+      case "csv" => sharded.write.mode("overwrite").partitionBy("shard")
+        .option("header", "true").csv(path)
+      case "parquet" => sharded.write.mode("overwrite").partitionBy("shard")
+        .option("compression", Compression).parquet(path)
+      case "text" =>
+        // the text writer takes exactly one column; the projection after
+        // the sort keeps per-partition row order (no exchange)
+        sharded.select("shard", "value").write.mode("overwrite")
+          .partitionBy("shard").text(path)
+      case other => throw new IllegalArgumentException(
+        s"EXPORT format must be jsonl, csv, parquet, or text, got: $other")
+    }
+    // per-shard audit WITHOUT re-executing the write plan: the shard is a
+    // pure function of id, so the summary aggregates the shard expression
+    // straight off an id-only projection of the collection — a
+    // column-pruned scan, no exchange/sort replay (at 100 TB the write
+    // plan's shuffle would otherwise run twice for a ≤-nShards-row report)
+    read(name).select(shardExpr.as("shard"))
+      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
+      .orderBy("shard")
+  }
+
+  /** The export's md5-slice placement (the q82 rule): 16-bit slice of
+    * md5("export:" + id), modulo a 65536-divisor shard count — every
+    * row's shard is recomputable in SQL. */
+  private def exportShardExpr(nSh: Int): Column =
+    conv(substring(md5(concat(lit("export:"),
+      col("id").cast("string"))), 1, 4), 16, 10).cast("long") % nSh
+
+  /** Shared EXPORT validation + projection: reserved-column refusals,
+    * shard-count resolution, the text format's framed `value` column
+    * with per-row NULL/delimiter refusals, csv flatness. Returns the
+    * frame to shard (id + data columns) and the pinned shard count.
+    */
+  private def exportPrep(name: String, format: String,
+      nShards: Int): (DataFrame, Int) = {
     requireCollection(name)
     val cur0 = read(name)
     // 'shard' is the export's reserved placement column (and 'value' the
@@ -329,37 +376,115 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
           complex.map(f => s"${f.name}: ${f.dataType.simpleString}")
             .mkString(", ") + " — use jsonl or parquet")
     }
-    val shardExpr = conv(substring(md5(concat(lit("export:"),
-        col("id").cast("string"))), 1, 4), 16, 10).cast("long") % nSh
-    val sharded = cur
-      .withColumn("shard", shardExpr)
-      // one task per shard → one file per shard dir; the sort pins the
-      // file's row order so the exported bytes are reproducible
-      .repartition(nSh, col("shard"))
-      .sortWithinPartitions("shard", "id")
-    format match {
-      case "jsonl" => sharded.write.mode("overwrite").partitionBy("shard")
-        .json(path)
-      case "csv" => sharded.write.mode("overwrite").partitionBy("shard")
-        .option("header", "true").csv(path)
-      case "parquet" => sharded.write.mode("overwrite").partitionBy("shard")
-        .option("compression", Compression).parquet(path)
-      case "text" =>
-        // the text writer takes exactly one column; the projection after
-        // the sort keeps per-partition row order (no exchange)
-        sharded.select("shard", "value").write.mode("overwrite")
-          .partitionBy("shard").text(path)
-      case other => throw new IllegalArgumentException(
-        s"EXPORT format must be jsonl, csv, parquet, or text, got: $other")
+    (cur, nSh)
+  }
+
+  /** Test hook (spec-only): crash the resumable export after shard N's
+    * files are written but BEFORE its marker commits (the mid-shard
+    * window), or right AFTER the marker (the post-commit window).
+    */
+  private[graft] var exportFailBeforeMark: Option[Int] = None
+  private[graft] var exportFailAfterMark: Option[Int] = None
+
+  /** RESUMABLE EXPORT (r14 verdict item 3): [[exportCollection]]'s
+    * bytes under a per-shard commit discipline, so a preempted export
+    * resumes at SHARD grain instead of restarting from zero.
+    *
+    * Shape: ONE corpus scan stages the sharded frame as parquet
+    * partitioned by shard (a [[StageStore]] generation — crash-atomic by
+    * the pointer rule), then each shard converts independently from its
+    * PRUNED staging partition to the final format and commits a marker
+    * carrying its row count. A resume skips the staging scan when the
+    * stage is committed and converts ONLY markerless shards; when every
+    * marker exists the staging data is swept and nothing recomputes.
+    * Shard count and format PIN in `_export_meta.json` at first call — a
+    * crashed 16-shard export can never resume as 8 shards (`shards=-1`
+    * stats can drift between sessions), and a format mismatch refuses.
+    *
+    * Written bytes are identical to a fresh [[exportCollection]] run
+    * (same placement, same per-file id order, same renderers —
+    * ExportResumeSpec compares content per shard); the summary reads the
+    * markers, touching no data. Total data passes: one scan + one
+    * staging write + one pruned read per shard — the durability price a
+    * preemptible 100 TB export pays for never re-reading the corpus.
+    */
+  def exportCollectionResumable(name: String, path: String,
+      format: String = "jsonl", nShards: Int = 8): DataFrame = {
+    requireCollection(name)
+    val spark = this.spark
+    import spark.implicits._
+    val metaP = new Path(path, "_export_meta.json")
+    val pinned: Option[(String, Int)] =
+      if (!fs.exists(metaP)) None
+      else {
+        val m = readString(fs, metaP)
+        val f = """"format"\s*:\s*"([a-z]+)"""".r.findFirstMatchIn(m)
+          .map(_.group(1))
+        val s = """"shards"\s*:\s*(\d+)""".r.findFirstMatchIn(m)
+          .map(_.group(1).toInt)
+        require(f.isDefined && s.isDefined,
+          s"EXPORT resume: malformed _export_meta.json at $path")
+        require(f.get == format,
+          s"EXPORT resume: $path was started as format=${f.get}, " +
+            s"got format=$format — finish or remove the old export first")
+        Some((f.get, s.get))
+      }
+    // -1 adopts the pinned count (the stats-derived call resumed later);
+    // an EXPLICIT mismatching count refuses — a crashed 16-shard export
+    // must never silently continue as 8
+    pinned.foreach { case (_, s) => require(nShards == -1 || nShards == s,
+      s"EXPORT resume: $path was started with shards=$s, got $nShards") }
+    val (cur, nSh) = exportPrep(name, format,
+      pinned.map(_._2).getOrElse(nShards))
+    if (pinned.isEmpty) {
+      fs.mkdirs(new Path(path))
+      writeString(fs, metaP,
+        s"""{"format": "$format", "shards": $nSh}""")
     }
-    // per-shard audit WITHOUT re-executing the write plan: the shard is a
-    // pure function of id, so the summary aggregates the shard expression
-    // straight off an id-only projection of the collection — a
-    // column-pruned scan, no exchange/sort replay (at 100 TB the write
-    // plan's shuffle would otherwise run twice for a ≤-nShards-row report)
-    read(name).select(shardExpr.as("shard"))
-      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
-      .orderBy("shard")
+    val doneDir = new Path(path, "_shards")
+    def marker(s: Int) = new Path(doneDir, s"$s.done")
+    val todo = (0 until nSh).filter(s => !fs.exists(marker(s)))
+    if (todo.nonEmpty) {
+      val store = new StageStore(spark, new Path(path, "_staging").toString)
+      val staged = store.stage("sharded", partitionCols = Seq("shard")) {
+        cur.withColumn("shard", exportShardExpr(nSh))
+      }
+      val dataCols = cur.columns.toSeq
+      todo.foreach { s =>
+        val part = staged.filter(col("shard") === s)
+        val rows = part.count()
+        // a zero-row shard writes NO dir — partitionBy parity with the
+        // single-job export (its dynamic write emits nothing either)
+        if (rows > 0) {
+          val ordered = part.select(dataCols.map(col): _*)
+            .coalesce(1).sortWithinPartitions("id")
+          val outDir = new Path(path, s"shard=$s").toString
+          format match {
+            case "jsonl" => ordered.write.mode("overwrite").json(outDir)
+            case "csv" => ordered.write.mode("overwrite")
+              .option("header", "true").csv(outDir)
+            case "parquet" => ordered.write.mode("overwrite")
+              .option("compression", Compression).parquet(outDir)
+            case "text" => ordered.select("value").write.mode("overwrite")
+              .text(outDir)
+          }
+        }
+        if (exportFailBeforeMark.contains(s))
+          throw new IllegalStateException(
+            s"injected crash before marker of shard $s")
+        writeString(fs, marker(s), rows.toString)
+        if (exportFailAfterMark.contains(s))
+          throw new IllegalStateException(
+            s"injected crash after marker of shard $s")
+      }
+    }
+    // every shard committed: sweep the staging copy (half its storage
+    // back), then report from the markers — no data read
+    fs.delete(new Path(path, "_staging"), true)
+    val counts = (0 until nSh)
+      .map(s => (s.toLong, readString(fs, marker(s)).trim.toLong))
+      .filter(_._2 > 0L)
+    counts.toDF("shard", "n_rows").orderBy("shard")
   }
 
   /** Materialize an int8 scalar-quantized copy of the embedding column

@@ -336,6 +336,42 @@ object EventStats {
       .orderBy("bucket")
   }
 
+  /** [[funnelLatency]]'s 2-step histogram recovered from a QUALIFYING
+    * PAIR table — the streaming reformulation (r14 verdict item 5, the
+    * q205→q204 push-joins-before-aggregation doctrine): the stream pays
+    * only the windowed step-A⋈step-B join (every (a, b) with
+    * b ∈ (a, a+gap] — stateful, watermark-evicted, ZERO aggregations),
+    * and this batch post-math runs on the sink. `anchors` (each user's
+    * earliest step-A time) derives BATCH-side from the static events
+    * frame — the PSI twin's static-reference pattern — because the
+    * anchor is a min over ALL step-A events, including those with no
+    * qualifying step-B, which the pair table by construction lacks.
+    * Pairs at the anchor are exactly the chain's qualifying step-B
+    * candidates, so min(t_b) per user replays the greedy-earliest pick
+    * and the histogram equals the batch [[funnelLatency]] row for row
+    * (the q329/q330 gates pin it on one oracle).
+    *
+    * `pairs`: (userCol, t_a, t_b) exact epoch-µs; `anchors`:
+    * (userCol, anchor_us). Output: (bucket, n_users, lo_us, hi_us).
+    */
+  def funnelLatencyFromPairs(pairs: DataFrame, anchors: DataFrame,
+      userCol: String, bucketMicros: Long): DataFrame = {
+    require(bucketMicros >= 1, s"bucketMicros must be positive, got $bucketMicros")
+    // user-keyed join, NOT a broadcast: anchors are user-grain (one row
+    // per step-A user — corpus-scaled), pairs are conversion-grain
+    pairs
+      .join(anchors, Seq(userCol))
+      .filter(col("t_a") === col("anchor_us"))
+      .groupBy(col(userCol), col("anchor_us"))
+      .agg(min(col("t_b")).as("__t2"))
+      .select((col("__t2") - col("anchor_us")).as("__lat"))
+      .withColumn("bucket", expr(s"__lat DIV $bucketMicros"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"),
+        min("__lat").as("lo_us"), max("__lat").as("hi_us"))
+      .orderBy("bucket")
+  }
+
   /** Exponentially time-decayed event counts per group — the
     * freshness-weighted popularity counter (trending topics, decaying
     * source reputation): each event weighs 2^(−age/halfLife), computed

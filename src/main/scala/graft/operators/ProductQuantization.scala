@@ -66,24 +66,40 @@ object ProductQuantization {
     * vectors in md5(seed:id) order, sliced per subspace.
     */
   def trainCodebooks(df: DataFrame, idCol: String, vecCol: String,
-      m: Int, ksub: Int, rounds: Int = 1, seed: String = "pq"): Codebooks = {
+      m: Int, ksub: Int, rounds: Int = 1, seed: String = "pq",
+      store: Option[graft.core.StageStore] = None): Codebooks = {
     require(ksub >= 1 && ksub <= 127,
       s"ksub must fit a signed byte code, got $ksub")
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
-    // size() instead of a typed getSeq: the input may be the float
-    // source column or a double residual column ([[withResiduals]])
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    val dsub = checkDims(dim, m)
     val key = md5(concat(lit(seed + ":"), col(idCol).cast("string")))
+    // stage names must satisfy StageStore's charset; the seed string
+    // (e.g. "rpq:coarse") keys the stages of coexisting trainings
+    val tag = seed.replaceAll("[^A-Za-z0-9_.-]", "-")
+    // With a store (r14 verdict item 2), the seed sample and each Lloyd
+    // round's model-sized mean frame COMMIT through the generation
+    // pointer: a resumed training replays committed rounds from their
+    // (s, cid, pos, mean) stages — the codebook recursion is exact
+    // driver math on read-back doubles — and touches the corpus only at
+    // the first uncommitted round. dim then derives from the staged
+    // seeds, so a fully-committed training never reads the corpus.
     // ONE bounded top-k for every subspace's seeds (TakeOrdered, never a
     // rank window): the classic PQ init slices the same sampled rows.
-    val seedVecs = df
+    def seedPlan = df
       .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__key", key)
       .orderBy(col("__key"), col(idCol)).limit(ksub)
-      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+      .select("__v")
+    val seedVecs = (store match {
+      case Some(st) => st.stage(s"pq_${tag}_seeds")(seedPlan)
+      case None =>
+        // size() instead of a typed getSeq: the input may be the float
+        // source column or a double residual column ([[withResiduals]])
+        seedPlan
+    }).collect().map(_.getSeq[Double](0).toArray)
     require(seedVecs.length == ksub,
       s"need at least ksub=$ksub vectors to seed, got ${seedVecs.length}")
+    val dim = seedVecs.head.length
+    val dsub = checkDims(dim, m)
     var cents: Codebooks = Array.tabulate(m) { s =>
       seedVecs.map(v => v.slice(s * dsub, (s + 1) * dsub))
     }
@@ -97,14 +113,17 @@ object ProductQuantization {
         struct(lit(s).as("s"), nearestCid(sv, frozen(s)).as("cid"),
           sv.as("sv"))
       }
-      val meanRows = df
+      def meanPlan = df
         .select(col(vecCol).cast("array<double>").as("__v"))
         .select(explode(array(subStructs: _*)).as("e"))
         .select(col("e.s").as("s"), col("e.cid").as("cid"),
           posexplode(col("e.sv")))
         .groupBy("s", "cid", "pos")
         .agg(round(avg("col") + lit(1e-9), 6).as("m"))
-        .collect()
+      val meanRows = (store match {
+        case Some(st) => st.stage(s"pq_${tag}_round_${r + 1}")(meanPlan)
+        case None => meanPlan
+      }).collect()
       // keep-previous for empty cells (dense codebook, MLlib behavior)
       val next = cents.map(_.map(_.clone()))
       meanRows.foreach { row =>

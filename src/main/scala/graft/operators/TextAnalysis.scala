@@ -1439,9 +1439,12 @@ object TextAnalysis {
     * Output: the merge sequence in order —
     * (a, b, n, ca, cb, score) per round.
     */
-  def wordPieceTrain(df: DataFrame, textCol: String, nMerges: Int)
+  def wordPieceTrain(df: DataFrame, textCol: String, nMerges: Int,
+      store: Option[graft.core.StageStore] = None)
       : Seq[(String, String, Long, Long, Long, Double)] = {
     require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    if (store.isDefined)
+      return wordPieceTrainStaged(df, textCol, nMerges, store.get)
     val chars = baseSymbols(col("word"), byteLevel = false)
     var vocab = df
       .select(explode(normalizedTokens(col(textCol))).as("word"))
@@ -1484,6 +1487,75 @@ object TextAnalysis {
     }
     GraftSqlShims.unpersistCheckpoint(vocab)
     prev.foreach(GraftSqlShims.unpersistCheckpoint)
+    merges.toSeq
+  }
+
+  /** [[wordPieceTrain]] under a [[graft.core.StageStore]] — the
+    * [[bpeTrainStaged]] discipline with the likelihood pick: the word
+    * table and every round's 1-row (a, b, n, ca, cb, score) pick commit
+    * through the generation pointer; a resume replays committed merges
+    * as one replace-chain projection over the staged words and never
+    * re-reads the corpus. q239's oracle gates both shapes.
+    */
+  private def wordPieceTrainStaged(df: DataFrame, textCol: String,
+      nMerges: Int, st: graft.core.StageStore)
+      : Seq[(String, String, Long, Long, Long, Double)] = {
+    val chars = baseSymbols(col("word"), byteLevel = false)
+    lazy val wordsBase = st.stage("wp_words") {
+      df.select(explode(normalizedTokens(col(textCol))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          concat(lit(" "), array_join(chars, "  "), lit(" ")).as("seg"))
+    }
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(String, String, Long, Long, Long, Double)]()
+    var vocabOpt: Option[DataFrame] = None
+    var prev: Option[DataFrame] = None
+    def vocabState(): DataFrame = vocabOpt.getOrElse {
+      val segCol = merges.foldLeft(col("seg")) { case (c, (a, b, _, _, _, _)) =>
+        org.apache.spark.sql.functions.replace(
+          c, lit(s" $a  $b "), lit(s" $a$b "))
+      }
+      val v = wordsBase.select(col("freq"), segCol.as("seg"))
+        .localCheckpoint(false)
+      vocabOpt = Some(v)
+      v
+    }
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val best = st.stage(s"wp_merge_${r + 1}") {
+        val vocab = vocabState()
+        val syms = segSymbolCounts(vocab)
+        segPairCounts(vocab)
+          .join(syms.select(col("sym").as("a"), col("c").as("ca")), Seq("a"))
+          .join(syms.select(col("sym").as("b"), col("c").as("cb")), Seq("b"))
+          .select(col("a"), col("b"), col("n"), col("ca"), col("cb"),
+            (col("n") / (col("ca") * col("cb"))).as("score"))
+          .orderBy(desc("score"), col("a"), col("b")).limit(1)
+      }.collect()
+      prev.foreach(GraftSqlShims.unpersistCheckpoint)
+      prev = None
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        val (a, b) = (row.getString(0), row.getString(1))
+        merges += ((a, b, row.getLong(2), row.getLong(3), row.getLong(4),
+          row.getDouble(5)))
+        r += 1
+        if (r < nMerges && vocabOpt.isDefined) {
+          val vocab = vocabOpt.get
+          val updated = vocab.withColumn("seg",
+              org.apache.spark.sql.functions.replace(col("seg"),
+                lit(s" $a  $b "), lit(s" $a$b ")))
+            .localCheckpoint(false)
+          prev = Some(vocab)
+          vocabOpt = Some(updated)
+        }
+      }
+    }
+    (vocabOpt.toSeq ++ prev.toSeq)
+      .foreach(GraftSqlShims.unpersistCheckpoint)
     merges.toSeq
   }
 

@@ -98,6 +98,42 @@ object PipelineQueries {
         db
       })
 
+  // q321/q328's steady-state artifact: the docs collection the EXPORT
+  // gates/bench entries egress — built once per (session, sfDir) so the
+  // timed body is the export write itself (the q201 convention)
+  private val exportDocsDbCache =
+    scala.collection.concurrent.TrieMap.empty[String, GraftDatabase]
+  private def exportDocsDb(s: SparkSession, dir: String): GraftDatabase =
+    exportDocsDbCache.getOrElseUpdate(
+      s"${System.identityHashCode(s)}:$dir", {
+        val db = scratchDb(s, "graft_q321")
+        db.createCollection("docs", StructType(Seq(
+          StructField("id", LongType),
+          StructField("payload", StringType))))
+        db.bulkInsert("docs", Tables.documents(s, dir)
+          .select(col("doc_id").as("id"), col("text").as("payload")))
+        db
+      })
+
+  // q322's steady-state artifact: the embedding collection whose text
+  // export exercises the reference's own vec;payload line format
+  private val exportVecsDbCache =
+    scala.collection.concurrent.TrieMap.empty[String, GraftDatabase]
+  private def exportVecsDb(s: SparkSession, dir: String): GraftDatabase =
+    exportVecsDbCache.getOrElseUpdate(
+      s"${System.identityHashCode(s)}:$dir", {
+        val db = scratchDb(s, "graft_q322")
+        db.createCollection("recs", StructType(Seq(
+          StructField("id", LongType),
+          StructField("embedding", ArrayType(FloatType, containsNull = false)),
+          StructField("payload", StringType))))
+        db.bulkInsert("recs", Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 3 === 2)
+          .select(col("vec_id").as("id"), col("embedding"),
+            concat(lit("t:"), col("label").cast("string")).as("payload")))
+        db
+      })
+
   // q327's steady-state artifact: the TRAIN-side corpus (embeddings with
   // vec_id % 50 <> 0 — the q326 split) under the residual IVF×PQ layout,
   // so the decon screen answers from stored codes. Eval rows are NOT
@@ -263,16 +299,37 @@ object PipelineQueries {
     // reads the export back and pins content (payload md5) AND placement
     // (the shard partition value) per row.
     "q321_export_cmd" -> ((s, dir) => {
-      val db = scratchDb(s, "graft_q321")
-      db.createCollection("docs", StructType(Seq(
-        StructField("id", LongType),
-        StructField("payload", StringType))))
-      db.bulkInsert("docs", Tables.documents(s, dir)
-        .select(col("doc_id").as("id"), col("text").as("payload")))
+      // steady-state artifact (the q201 convention, egress edition):
+      // the source collection builds once per (session, sfDir); each
+      // call pays the EXPORT itself — so the bench entry times the
+      // write path, not the scratch ingest
+      val db = exportDocsDb(s, dir)
       val out = Scratch.dir("graft_q321") + "/export"
       CommandExecutor.execute(db,
         graft.commands.CommandParser.parse(Some("docs"), "EXPORT",
           Some(s"$out;format=jsonl;shards=8"))
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+        .collect()
+      s.read.json(out)
+        .select(col("id").cast("long").as("id"),
+          md5(col("payload")).as("payload_sig"),
+          col("shard").cast("long").as("shard"))
+        .orderBy("id")
+    }),
+
+    // RESUMABLE EXPORT at the command surface (r14 verdict item 3):
+    // `resume=true` routes the per-shard-committed path — one staged
+    // corpus scan, per-shard conversion + marker commit, summary from
+    // markers. Bytes and placement are identical to the single-job
+    // export (ExportResumeSpec kills + resumes both crash windows), so
+    // the gate is q321's oracle verbatim.
+    "q328_export_resume" -> ((s, dir) => {
+      val db = exportDocsDb(s, dir)
+      val out = Scratch.dir("graft_q328") + "/export"
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "EXPORT",
+          Some(s"$out;format=jsonl;shards=8;resume=true"))
           .fold(e => throw new IllegalArgumentException(e.message),
             identity))
         .collect()
@@ -293,16 +350,9 @@ object PipelineQueries {
     // so the oracle never sees the text bytes — only the identical
     // reconstructed values (the q299 norm convention).
     "q322_export_text" -> ((s, dir) => {
-      val db = scratchDb(s, "graft_q322")
-      def recSchema = StructType(Seq(
-        StructField("id", LongType),
-        StructField("embedding", ArrayType(FloatType, containsNull = false)),
-        StructField("payload", StringType)))
-      db.createCollection("recs", recSchema)
-      db.bulkInsert("recs", Tables.embeddings(s, dir)
-        .filter(col("vec_id") % 3 === 2)
-        .select(col("vec_id").as("id"), col("embedding"),
-          concat(lit("t:"), col("label").cast("string")).as("payload")))
+      // source collection cached per (session, sfDir) — each call times
+      // the text export + re-ingest round-trip, not the scratch build
+      val db = exportVecsDb(s, dir)
       val out = Scratch.dir("graft_q322") + "/export"
       CommandExecutor.execute(db,
         graft.commands.CommandParser.parse(Some("recs"), "EXPORT",
@@ -310,9 +360,13 @@ object PipelineQueries {
           .fold(e => throw new IllegalArgumentException(e.message),
             identity))
         .collect()
-      db.createCollection("recs2", recSchema)
-      CommandExecutor.execute(db, GraftCommand.BulkInsert("recs2", out))
-      db.read("recs2").select(col("id"), col("payload"),
+      val back = Scratch.name("recs2")
+      db.createCollection(back, StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("payload", StringType))))
+      CommandExecutor.execute(db, GraftCommand.BulkInsert(back, out))
+      db.read(back).select(col("id"), col("payload"),
         size(col("embedding")).cast("long").as("dim"),
         round(graft.functions.l2_norm(col("embedding")), 6).as("norm"))
         .orderBy("id")
@@ -2906,6 +2960,15 @@ object PipelineQueries {
     // trainings + residual ADC shortlist + exact cosine rerank +
     // rounded-rank top-1 + the contamination flag
     "q327_decon_ann" -> VectorQueries.deconAnnSql(40),
+
+    // resume ≡ single-job export: q321's oracle verbatim (identical
+    // placement + content through the per-shard-committed path)
+    "q328_export_resume" ->
+      """SELECT doc_id AS id, md5(text) AS payload_sig,
+        |  CAST(('0x' || substring(md5('export:' || CAST(doc_id AS VARCHAR)),
+        |    1, 4)) AS BIGINT) % 8 AS shard
+        |FROM documents
+        |ORDER BY id""".stripMargin,
 
     "q301_stats_cmd" ->
       """SELECT stat, value FROM (

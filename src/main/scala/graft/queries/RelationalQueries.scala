@@ -670,6 +670,27 @@ object RelationalQueries {
         maxGapMicros = 604800000000L, bucketMicros = 86400000000L)
     }),
 
+    // The 2-STEP funnel (signup→purchase direct, 7-day window) — the
+    // shape whose streaming form exists (q330): one user-keyed chain,
+    // one bucket-grain agg, exact integer µs throughout.
+    "q329_funnel2_latency" -> ((s, dir) => {
+      graft.operators.EventStats.funnelLatency(
+        Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "purchase"),
+        maxGapMicros = 604800000000L, bucketMicros = 86400000000L)
+    }),
+
+    // STREAMING funnel (r14 verdict item 5): the chained agg→join→agg
+    // funnel reformulated under the q205→q204 doctrine — ONE watermarked
+    // stream-stream join emits qualifying (user, t_a, t_b) pairs with
+    // zero in-flight aggregations; anchors derive batch-side (the PSI
+    // static-reference pattern); the histogram is batch post-math on the
+    // sink (EventStats.funnelLatencyFromPairs). q329's oracle verbatim.
+    "q330_stream_funnel" -> ((s, dir) => {
+      graft.streaming.StreamingIngest.streamFunnelLatency(s, dir,
+        queryName = s"funnel_${java.util.UUID.randomUUID().toString.take(8)}")
+    }),
+
     // Exponentially time-decayed event counts per type — the
     // freshness-weighted popularity counter (trending screen). Anchor =
     // the data's own max epoch-µs (a replayable clock, collected as ONE
@@ -840,6 +861,26 @@ object RelationalQueries {
     * (replayable), λ written in the exact Spark op order with every
     * denominator literal CAST to DOUBLE, one rounded weight sum.
     */
+  // the 2-step funnel latency histogram (q329 + its stream twin q330):
+  // q325's chain with the middle step removed — all exact integer µs
+  private lazy val funnel2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
+      |  FROM events),
+      |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = 'signup'
+      |       GROUP BY u),
+      |s2 AS (SELECT e.u, s1.t1, min(e.t) AS t2 FROM e
+      |       JOIN s1 ON e.u = s1.u
+      |       WHERE e.et = 'purchase' AND e.t > s1.t1
+      |         AND e.t <= s1.t1 + 604800000000
+      |       GROUP BY e.u, s1.t1),
+      |lat AS (SELECT t2 - t1 AS l FROM s2)
+      |SELECT l // 86400000000 AS bucket, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(min(l) AS BIGINT) AS lo_us, CAST(max(l) AS BIGINT) AS hi_us
+      |FROM lat
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   private lazy val decayedCountsSql: String =
     """WITH e AS (SELECT event_type AS grp, epoch_us(ts) AS t FROM events),
       |mx AS (SELECT max(t) AS mt FROM e)
@@ -1288,6 +1329,15 @@ object RelationalQueries {
         |FROM lat
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+
+    // the 2-step funnel: q325's chain minus the middle step — anchor =
+    // earliest signup, conversion = earliest purchase in the 7-day
+    // window, exact-µs day buckets
+    "q329_funnel2_latency" -> funnel2Sql,
+    // the streaming reformulation gates on the batch oracle verbatim
+    // (join-before-every-agg + static anchors + sink post-math ≡ the
+    // greedy 2-step chain)
+    "q330_stream_funnel" -> funnel2Sql,
 
     // decayed counts: λ recomputed with the Spark op order — ln(2.0)
     // over an all-CAST-DOUBLE denominator (the r12 decimal-literal

@@ -947,9 +947,13 @@ object TextQueries {
     // three downstream frames — the q203 inlining rule).
     "q239_wordpiece" -> ((s, dir) => {
       import s.implicits._
+      // merge picks commit through a fresh StageStore (the q129
+      // convention — TrainResumeSpec pins kill-and-resume)
       TextAnalysis.wordPieceTrain(
           graft.operators.Parallelism.ensure(Tables.documents(s, dir)),
-          "text", nMerges = 10)
+          "text", nMerges = 10,
+          store = Some(new graft.core.StageStore(s,
+            Scratch.dir("graft_q239"))))
         .zipWithIndex
         .map { case ((a, b, n, ca, cb, sc), i) =>
           (i + 1L, a, b, n, ca, cb, sc) }

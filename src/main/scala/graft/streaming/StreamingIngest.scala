@@ -1114,6 +1114,67 @@ object StreamingIngest {
     graft.operators.NumericAudit.benfordFromCounts(spark.table(queryName))
   }
 
+  /** STREAMING funnel latency (r14 verdict item 5 — the funnel family's
+    * first streaming form): the chained per-step agg→join→agg funnel
+    * cannot stream (aggregations cannot precede a stream join), but the
+    * 2-STEP funnel reformulates under the q205→q204 doctrine — push the
+    * join before every aggregation. The stream pays exactly ONE stateful
+    * operator: a watermarked stream-stream self-join emitting every
+    * qualifying (user, t_a, t_b) pair with t_b ∈ (t_a, t_a+gap] (the
+    * event-time range bounds join state — the streamAttribution shape);
+    * NO aggregation runs in-flight. Anchors (each user's earliest
+    * step-A, a min over ALL step-A events — information the pair table
+    * cannot carry) derive BATCH-side from the static frame (the PSI
+    * static-reference pattern), and the histogram is batch post-math on
+    * the sink through [[graft.operators.EventStats
+    * .funnelLatencyFromPairs]]. Gates on the 2-step batch funnel's
+    * oracle verbatim (q329 ≡ q330).
+    */
+  def streamFunnelLatency(spark: SparkSession, sfDir: String,
+      stepA: String = "signup", stepB: String = "purchase",
+      maxGapMicros: Long = 604800000000L,
+      bucketMicros: Long = 86400000000L,
+      queryName: String = "stream_funnel"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+
+    def side(eventType: String, prefix: String) = graft.Tables.normalizeTs(
+        spark.readStream
+          .schema(schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir))
+      .filter(col("event_type") === eventType)
+      .select(col("user_id").as(s"${prefix}_user"),
+        col("ts").as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+
+    // timestamp ± INTERVAL arithmetic is exact integer µs; the range
+    // condition doubles as the join's state-eviction bound
+    val gapDays = maxGapMicros / 86400000000L
+    require(gapDays * 86400000000L == maxGapMicros,
+      s"streamFunnelLatency: maxGapMicros must be whole days, got $maxGapMicros")
+    val pairs = side(stepA, "a").join(
+        side(stepB, "b"),
+        expr(s"""a_user = b_user AND
+                 b_ts > a_ts AND
+                 b_ts <= a_ts + INTERVAL $gapDays DAYS"""))
+      .select(col("a_user").as("user_id"),
+        unix_micros(col("a_ts")).as("t_a"),
+        unix_micros(col("b_ts")).as("t_b"))
+
+    val q = pairs.writeStream
+      .outputMode("append").format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val anchors = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === stepA)
+      .groupBy("user_id")
+      .agg(min(unix_micros(col("ts"))).as("anchor_us"))
+    graft.operators.EventStats.funnelLatencyFromPairs(
+      spark.table(queryName), anchors, "user_id", bucketMicros)
+  }
+
   /** Streaming ingest into a collection directory: the WAL-replacement
     * path. Checkpoints live under the database's graft_wal dir, so
     * TRUNCATEWAL (database target) clears exactly this state.

@@ -1,0 +1,131 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Resumable EXPORT (r14 verdict item 3): per-shard commit under the
+  * pointer discipline. Kill the export in BOTH crash windows — after a
+  * shard's marker and mid-shard (files written, marker absent) — and
+  * the resumed run must convert ONLY the missing shards from the
+  * committed staging generation (never re-scan the collection), with
+  * every shard's data-file bytes identical to a fresh single-job
+  * [[GraftDatabase.exportCollection]]. The `_export_meta.json` pin
+  * refuses shard-count/format drift across resumes.
+  */
+class ExportResumeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDb(): GraftDatabase = {
+    val parent = Files.createTempDirectory("graft_exresume").toString
+    val db = GraftDatabase.create(spark, parent, "db")
+    db.createCollection("recs", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType))))
+    db.bulkInsert("recs",
+      (0L until 60L).map(i => (i, s"row payload $i")).toDF("id", "payload"))
+    db
+  }
+
+  /** shard dir → that shard's single data file's lines. */
+  private def shardBytes(path: String, suffix: String): Map[String, Seq[String]] =
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("shard=")).map { d =>
+        val fs = d.listFiles().filter(_.getName.endsWith(suffix))
+        assert(fs.length == 1, s"${d.getName}: expected one data file")
+        d.getName -> scala.io.Source.fromFile(fs.head).getLines().toSeq
+      }.toMap
+
+  test("kill AFTER a shard marker: resume converts only the missing shards, bytes identical") {
+    val db = freshDb()
+    val base = Files.createTempDirectory("graft_exout").toString
+    val freshOut = s"$base/fresh"
+    val resOut = s"$base/resumable"
+    val goldAudit = db.exportCollection("recs", freshOut, "jsonl", 4)
+      .as[(Long, Long)].collect().toSeq
+    db.exportFailAfterMark = Some(1)
+    val e = intercept[IllegalStateException] {
+      db.exportCollectionResumable("recs", resOut, "jsonl", 4)
+    }
+    assert(e.getMessage.contains("after marker of shard 1"))
+    db.exportFailAfterMark = None
+    // markers 0..1 committed, 2..3 absent
+    assert(new java.io.File(s"$resOut/_shards/1.done").exists())
+    assert(!new java.io.File(s"$resOut/_shards/2.done").exists())
+    // resume through a FRESH handle (a new session/JVM in production):
+    // only the markerless shards convert, from the committed staging
+    val db2 = GraftDatabase.open(spark, db.root.toString)
+    val audit = db2.exportCollectionResumable("recs", resOut, "jsonl", 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(audit == goldAudit)
+    assert(shardBytes(resOut, ".json") == shardBytes(freshOut, ".json"),
+      "resumed export bytes must equal the fresh single-job export")
+    assert(!new java.io.File(s"$resOut/_staging").exists(),
+      "completed export must sweep its staging copy")
+    // a no-op re-call on the finished export recomputes nothing and
+    // reports the same audit from the markers
+    assert(db2.exportCollectionResumable("recs", resOut, "jsonl", 4)
+      .as[(Long, Long)].collect().toSeq == goldAudit)
+  }
+
+  test("kill MID-shard (files written, marker absent): resume rewrites that shard") {
+    val db = freshDb()
+    val base = Files.createTempDirectory("graft_exout2").toString
+    val freshOut = s"$base/fresh"
+    val resOut = s"$base/resumable"
+    db.exportCollection("recs", freshOut, "jsonl", 4).collect()
+    db.exportFailBeforeMark = Some(2)
+    intercept[IllegalStateException] {
+      db.exportCollectionResumable("recs", resOut, "jsonl", 4)
+    }
+    db.exportFailBeforeMark = None
+    // shard 2's files exist but its marker does not — the overwrite
+    // conversion on resume makes the window idempotent
+    assert(!new java.io.File(s"$resOut/_shards/2.done").exists())
+    db.exportCollectionResumable("recs", resOut, "jsonl", 4).collect()
+    assert(shardBytes(resOut, ".json") == shardBytes(freshOut, ".json"))
+  }
+
+  test("the meta pin refuses shard-count and format drift across resumes") {
+    val db = freshDb()
+    val resOut = Files.createTempDirectory("graft_exout3").toString + "/r"
+    db.exportFailAfterMark = Some(0)
+    intercept[IllegalStateException] {
+      db.exportCollectionResumable("recs", resOut, "jsonl", 4)
+    }
+    db.exportFailAfterMark = None
+    assert(intercept[IllegalArgumentException] {
+      db.exportCollectionResumable("recs", resOut, "jsonl", 8)
+    }.getMessage.contains("started with shards=4"))
+    assert(intercept[IllegalArgumentException] {
+      db.exportCollectionResumable("recs", resOut, "csv", 4)
+    }.getMessage.contains("started as format=jsonl"))
+    // and the matching call completes the export
+    assert(db.exportCollectionResumable("recs", resOut, "jsonl", 4)
+      .count() > 0)
+  }
+
+  test("text format resumes too: framing and float rendering survive the staging round-trip") {
+    val parent = Files.createTempDirectory("graft_exresumetxt").toString
+    val db = GraftDatabase.create(spark, parent, "db")
+    db.createCollection("vecs")
+    val txt = s"$parent/in.txt"
+    Files.writeString(java.nio.file.Paths.get(txt),
+      (0 until 20).map(i => s"0.$i,-1.5;p$i").mkString("", "\n", "\n"))
+    graft.commands.CommandExecutor.execute(db,
+      graft.commands.GraftCommand.BulkInsert("vecs", txt))
+    val base = Files.createTempDirectory("graft_exouttxt").toString
+    db.exportCollection("vecs", s"$base/fresh", "text", 2).collect()
+    // through the command grammar: resume=true routes the per-shard path
+    graft.commands.CommandExecutor.execute(db,
+      graft.commands.GraftCommand.Export("vecs",
+        s"$base/res;format=text;shards=2;resume=true")).collect()
+    assert(shardBytes(s"$base/res", ".txt") ==
+      shardBytes(s"$base/fresh", ".txt"))
+  }
+}

@@ -103,6 +103,63 @@ class TrainResumeSpec extends AnyFunSuite {
       incremental = true) == bpeGold)
   }
 
+  // ---- WordPiece ----------------------------------------------------
+
+  private def wp(store: Option[StageStore]) =
+    TextAnalysis.wordPieceTrain(docs, "text", nMerges = 5, store = store)
+
+  private lazy val wpGold = wp(None)
+
+  test("WordPiece: kill AFTER a committed merge, resume replays and continues identically") {
+    val root = freshRoot()
+    val killed = new StageStore(spark, root)
+    killed.failAfterCommit = Some("wp_merge_2")
+    intercept[IllegalStateException] { wp(Some(killed)) }
+    assert(killed.computed.toSeq ==
+      Seq("wp_words", "wp_merge_1", "wp_merge_2"))
+    val resumed = new StageStore(spark, root)
+    assert(wp(Some(resumed)) == wpGold)
+    assert(resumed.computed.toSeq ==
+      Seq("wp_merge_3", "wp_merge_4", "wp_merge_5"),
+      s"resume must not re-read the corpus: ${resumed.computed}")
+  }
+
+  // ---- PQ codebook training -----------------------------------------
+
+  private def pqVecs = graft.Tables.embeddings(spark, TestSpark.sf)
+    .filter(org.apache.spark.sql.functions.col("vec_id") < 200)
+
+  private def pq(store: Option[StageStore]): Seq[Seq[Seq[Double]]] =
+    ProductQuantization.trainCodebooks(pqVecs, "vec_id", "embedding",
+        m = 8, ksub = 8, rounds = 3, seed = "resume", store = store)
+      .map(_.map(_.toSeq).toSeq).toSeq
+
+  private lazy val pqGold = pq(None)
+
+  test("PQ training: kill AFTER a committed Lloyd round, resume replays codebooks exactly") {
+    val root = freshRoot()
+    val killed = new StageStore(spark, root)
+    killed.failAfterCommit = Some("pq_resume_round_2")
+    intercept[IllegalStateException] { pq(Some(killed)) }
+    assert(killed.computed.toSeq ==
+      Seq("pq_resume_seeds", "pq_resume_round_1", "pq_resume_round_2"))
+    val resumed = new StageStore(spark, root)
+    assert(pq(Some(resumed)) == pqGold)
+    assert(resumed.computed.toSeq == Seq("pq_resume_round_3"),
+      s"committed rounds must read back: ${resumed.computed}")
+  }
+
+  test("PQ training: kill MID-round, resume recomputes that round into a fresh generation") {
+    val root = freshRoot()
+    val killed = new StageStore(spark, root)
+    killed.failBeforeCommit = Some("pq_resume_round_1")
+    intercept[IllegalStateException] { pq(Some(killed)) }
+    assert(killed.committedGen("pq_resume_round_1").isEmpty)
+    val resumed = new StageStore(spark, root)
+    assert(pq(Some(resumed)) == pqGold)
+    assert(resumed.committedGen("pq_resume_round_1").contains(1))
+  }
+
   // ---- logistic regression ------------------------------------------
 
   private def lrFeats = Seq(
