@@ -101,6 +101,26 @@ object CommandExecutor {
           db.exportCollectionResumable(coll, parts.head, fmt, nShards)
         else db.exportCollection(coll, parts.head, fmt, nShards)
 
+      case Decon(coll, arg) =>
+        // arg grammar: `queries=<file.parquet>[;threshold=<f>;radius=<n>
+        // ;shortlist=<n>]` — the batch-file convention of SEARCHSIMILAR
+        val opts = parseKv(arg)
+        val path = opts.getOrElse("queries",
+          throw new IllegalArgumentException(
+            "DECON needs queries=<file.parquet> of (query_id, query_vec)"))
+        def num[T](key: String, default: T, parse: String => T): T =
+          opts.get(key).map { v =>
+            try parse(v)
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"DECON $key= must be numeric, got '$v'")
+            }
+          }.getOrElse(default)
+        db.deconScreen(coll, readBatchQueries(spark, path),
+          threshold = num("threshold", 0.5, _.toDouble),
+          probeRadius = num("radius", -1, _.toInt),
+          shortlist = num("shortlist", -1, _.toInt))
+
       case Update(coll, arg) =>
         val updates =
           if (arg.endsWith(".parquet") || arg.endsWith(".pq")) spark.read.parquet(arg)

@@ -51,6 +51,13 @@ package graft.commands
   *    or newline); `shards=-1` derives the count from size stats;
   *    `resume=true` commits per shard (one staged scan, markerless
   *    shards convert on resume — identical bytes, preemption-safe).
+  *  - DECON arg (extension): `queries=<file.parquet>[;threshold=<f>;
+  *    radius=<n>;shortlist=<n>]` — semantic cross-set decontamination of
+  *    the eval batch in the file (query_id, query_vec) against the
+  *    collection as the TRAINING corpus: nearest train neighbor per eval
+  *    row, flagged on the rounded cosine ≥ threshold (default 0.5);
+  *    radius+shortlist opt into the stored-codes ADC screen on an
+  *    ivfpq_kmeans layout (loud on unprobeable layouts).
   *  - SEARCHTEXT arg (extension): `terms=a,b,c[;k=<n>;k1=<f>;b=<f>]` —
   *    BM25 keyword retrieval over the payload column.
   *  - SEARCHHYBRID arg (extension): `terms=a,b,c;vec=f,f,...[;k;kf;krrf]`
@@ -81,6 +88,7 @@ object GraftCommand {
   final case class SearchPhrase(collection: String, arg: String) extends GraftCommand
   final case class SearchProximity(collection: String, arg: String) extends GraftCommand
   final case class Export(collection: String, arg: String) extends GraftCommand
+  final case class Decon(collection: String, arg: String) extends GraftCommand
   final case class Summarize(collection: String, arg: Option[String]) extends GraftCommand
   final case class Keywords(collection: String, arg: Option[String]) extends GraftCommand
   final case class Stats(collection: String) extends GraftCommand
@@ -139,6 +147,7 @@ object CommandParser {
       case "SEARCHPHRASE" => needBoth("SEARCHPHRASE")(SearchPhrase(_, _))
       case "SEARCHPROX" => needBoth("SEARCHPROX")(SearchProximity(_, _))
       case "EXPORT" => needBoth("EXPORT")(Export(_, _))
+      case "DECON" => needBoth("DECON")(Decon(_, _))
       case "SUMMARIZE" => needColl("SUMMARIZE")(Summarize(_, arg))
       case "KEYWORDS" => needColl("KEYWORDS")(Keywords(_, arg))
       case "STATS" => needColl("STATS")(Stats(_))

@@ -1414,6 +1414,47 @@ object PipelineQueries {
         probeRadius = 1, shortlist = 40)
     }),
 
+    // DECON at the COMMAND surface: the same eval batch shipped as a
+    // (query_id, query_vec) parquet file through the `DECON queries=...`
+    // grammar (SEARCHSIMILAR's batch-file convention). Command ≡ API:
+    // q327's oracle verbatim.
+    "q331_decon_cmd" -> ((s, dir) => {
+      val db = storedDeconDb(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val donors = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("donor_vec"))
+      val evalQ = broadcast(emb.filter(col("vec_id") % 50 === 0))
+        .join(donors, Seq("vec_id"))
+        .select(col("vec_id").as("query_id"),
+          when(expr("(vec_id DIV 50) % 3") === 0, col("donor_vec"))
+            .otherwise(col("embedding")).as("query_vec"))
+      val f = Scratch.dir("graft_q331") + "/eval.parquet"
+      evalQ.write.mode("overwrite").parquet(f)
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("train"), "DECON",
+          Some(s"queries=$f;threshold=0.5;radius=1;shortlist=40"))
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+    }),
+
+    // CONTINUOUS decontamination: eval queries ARRIVE as a stream, each
+    // micro-batch screens against the stored codes inside foreachBatch
+    // (the CDC pattern — per-eval-row independence makes the union
+    // across micro-batches equal the one-batch screen), verdicts land in
+    // a results collection. q327's oracle verbatim.
+    "q332_stream_decon" -> ((s, dir) => {
+      val trainDb = storedDeconDb(s, dir)
+      val sink = scratchDb(s, "graft_q332")
+      val sc = Scratch.name("screened")
+      sink.createCollection(sc, StructType(Seq(
+        StructField("eval_id", LongType),
+        StructField("train_id", LongType),
+        StructField("score", org.apache.spark.sql.types.DoubleType),
+        StructField("contaminated", LongType))))
+      graft.streaming.StreamingIngest.streamDeconScreen(s, dir,
+        trainDb, "train", sink, sc)
+    }),
+
     // Batch serving at the COMMAND surface (r13 verdict item 6): the
     // same batch as q310 through SEARCHHYBRID's `queries=<file>` grammar
     // (one qid|terms|vec line per query — Float.toString round-trips, so
@@ -2960,6 +3001,10 @@ object PipelineQueries {
     // trainings + residual ADC shortlist + exact cosine rerank +
     // rounded-rank top-1 + the contamination flag
     "q327_decon_ann" -> VectorQueries.deconAnnSql(40),
+
+    // command ≡ API ≡ stream: q327's oracle verbatim
+    "q331_decon_cmd" -> VectorQueries.deconAnnSql(40),
+    "q332_stream_decon" -> VectorQueries.deconAnnSql(40),
 
     // resume ≡ single-job export: q321's oracle verbatim (identical
     // placement + content through the per-shard-committed path)

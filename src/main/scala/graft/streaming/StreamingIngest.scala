@@ -1114,6 +1114,52 @@ object StreamingIngest {
     graft.operators.NumericAudit.benfordFromCounts(spark.table(queryName))
   }
 
+  /** CONTINUOUS semantic decontamination — the q327 screen as arriving
+    * eval batches (the production cadence: every eval-set revision
+    * screens on arrival, answered from the stored IVF×PQ codes, never a
+    * float corpus pass). Eval queries stream; the planted-donor
+    * construction is a stream-static join (stateless); each micro-batch
+    * screens through [[graft.core.GraftDatabase.deconScreen]] inside
+    * `foreachBatch` (the CDC escape hatch — the screen's LUT derivation
+    * is a driver-side model-sized step no streaming plan expresses) and
+    * appends its verdict rows to a results collection. Per-eval-row
+    * independence makes the union across micro-batches equal the
+    * one-batch screen, so the gate is q327's oracle VERBATIM.
+    */
+  def streamDeconScreen(spark: SparkSession, sfDir: String,
+      trainDb: graft.core.GraftDatabase, trainColl: String,
+      sinkDb: graft.core.GraftDatabase, sinkColl: String,
+      threshold: Double = 0.5, probeRadius: Int = 1,
+      shortlist: Int = 40): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    val donors = graft.Tables.embeddings(spark, sfDir)
+      .select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("donor_vec"))
+    val evalStream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sfDir)
+      .filter(col("vec_id") % 50 === 0)
+      .join(donors, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"),
+        when(expr("(vec_id DIV 50) % 3") === 0, col("donor_vec"))
+          .otherwise(col("embedding")).as("query_vec"))
+    val q = evalStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        // an empty micro-batch must not pay a screen (probe derivation
+        // requires a non-empty query batch — the r10 empty-batch rule)
+        if (!batch.isEmpty)
+          sinkDb.bulkInsert(sinkColl,
+            trainDb.deconScreen(trainColl, batch, threshold,
+              probeRadius, shortlist))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    sinkDb.read(sinkColl).orderBy("eval_id")
+  }
+
   /** STREAMING funnel latency (r14 verdict item 5 — the funnel family's
     * first streaming form): the chained per-step agg→join→agg funnel
     * cannot stream (aggregations cannot precede a stream join), but the

@@ -406,6 +406,38 @@ class CommandsSpec extends AnyFunSuite {
     assert(db.searchHybridBatch("docs", qs, k = 2, kf = 2).count() > 0)
   }
 
+  test("DECON grammar: missing queries= and malformed numerics are loud; screen flags a planted duplicate") {
+    val parent = Files.createTempDirectory("graftdecon").toString
+    val db = GraftDatabase.create(spark, parent, "dcdb")
+    db.createCollection("train", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)))))
+    db.bulkInsert("train", Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(0.6f, 0.8f)))
+      .toDF("id", "embedding"))
+    assert(intercept[IllegalArgumentException] {
+      CommandExecutor.execute(db, GraftCommand.Decon("train", "threshold=0.5"))
+    }.getMessage.contains("queries="))
+    val qf = s"$parent/eval.parquet"
+    Seq((10L, Array(1f, 0f)), (11L, Array(-1f, 0f)))
+      .toDF("query_id", "query_vec").write.parquet(qf)
+    assert(intercept[IllegalArgumentException] {
+      CommandExecutor.execute(db,
+        GraftCommand.Decon("train", s"queries=$qf;threshold=abc"))
+    }.getMessage.contains("must be numeric"))
+    // exact screen: the duplicate of train id 0 flags, the opposite
+    // vector does not
+    val out = CommandExecutor.execute(db,
+        GraftCommand.Decon("train", s"queries=$qf"))
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(10L) == ((0L, 1.0, 1L)))
+    assert(out(11L)._3 == 0L)
+  }
+
   test("EXPORT format=text round-trips the reference line format; framing-corrupting payloads refuse") {
     val parent = Files.createTempDirectory("graftexptext").toString
     val db = GraftDatabase.create(spark, parent, "exdb2")
