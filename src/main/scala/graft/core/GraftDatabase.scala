@@ -2436,15 +2436,20 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def reindexIvfPq(name: String, m: Int = 8, ksub: Int = 16,
       rounds: Int = 1, kCells: Int = 8, idCol: String = "id",
-      seed: String = "rpq"): Unit = {
+      seed: String = "rpq",
+      store: Option[StageStore] = None): Unit = {
     requireCollection(name)
     val cur = read(name)
     val base = cur.drop("cluster_id").drop(PqCodeCol)
+    // with a store, BOTH codebook trainings commit per Lloyd round (the
+    // TrainResumeSpec discipline): a preempted index build resumes its
+    // training loops from the committed round stages and pays only the
+    // final layout rewrite again — the one non-incremental job left
     val coarse = ProductQuantization.trainCodebooks(base, idCol,
-      "embedding", 1, kCells, rounds, seed + ":coarse")
+      "embedding", 1, kCells, rounds, seed + ":coarse", store)
     val clustered = ivfPqClustered(base, coarse)
     val cb = ProductQuantization.trainCodebooks(clustered, idCol, "__res",
-      m, ksub, rounds, seed)
+      m, ksub, rounds, seed, store)
     val laid = ProductQuantization.assignCodes(clustered, "__res", cb,
       PqCodeCol).drop("__res")
     rewrite(name, laid, partitionBy = Seq("cluster_id"))

@@ -680,6 +680,22 @@ object RelationalQueries {
         maxGapMicros = 604800000000L, bucketMicros = 86400000000L)
     }),
 
+    // The FULL 3-step funnel on a stream — the state-machine path
+    // (flatMapGroupsWithState + event-time timeouts): what SURVEY §2.14
+    // proves impossible for the JOIN form, per-key custom state
+    // expresses — each user's events buffer until the watermark passes
+    // the chain's decision deadline (anchor + 2·gap), then the greedy
+    // chain finalizes exactly once and the state evicts (bounded
+    // replays flush terminal state with one punctuation row — live
+    // streams advance watermarks with ongoing traffic). Histogram =
+    // batch post-math on the conversion sink. q325's oracle VERBATIM.
+    "q334_stream_funnel3" -> ((s, dir) => {
+      graft.streaming.StatefulFunnel.funnelLatencyStream(s, dir,
+        Seq("signup", "view", "purchase"), gapUs = 604800000000L,
+        bucketMicros = 86400000000L,
+        queryName = s"funnel3_${java.util.UUID.randomUUID().toString.take(8)}")
+    }),
+
     // STREAMING funnel (r14 verdict item 5): the chained agg→join→agg
     // funnel reformulated under the q205→q204 doctrine — ONE watermarked
     // stream-stream join emits qualifying (user, t_a, t_b) pairs with
@@ -861,6 +877,31 @@ object RelationalQueries {
     * (replayable), λ written in the exact Spark op order with every
     * denominator literal CAST to DOUBLE, one rounded weight sum.
     */
+  // the 3-step funnel latency histogram (q325 + its STATEFUL stream
+  // twin q334): greedy-earliest chain, exact integer µs throughout
+  private lazy val funnel3Sql: String =
+    """WITH e AS (
+      |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
+      |  FROM events),
+      |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = 'signup'
+      |       GROUP BY u),
+      |s2 AS (SELECT e.u, s1.t1, min(e.t) AS t2 FROM e
+      |       JOIN s1 ON e.u = s1.u
+      |       WHERE e.et = 'view' AND e.t > s1.t1
+      |         AND e.t <= s1.t1 + 604800000000
+      |       GROUP BY e.u, s1.t1),
+      |s3 AS (SELECT e.u, s2.t1, min(e.t) AS t3 FROM e
+      |       JOIN s2 ON e.u = s2.u
+      |       WHERE e.et = 'purchase' AND e.t > s2.t2
+      |         AND e.t <= s2.t2 + 604800000000
+      |       GROUP BY e.u, s2.t1),
+      |lat AS (SELECT t3 - t1 AS l FROM s3)
+      |SELECT l // 86400000000 AS bucket, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(min(l) AS BIGINT) AS lo_us, CAST(max(l) AS BIGINT) AS hi_us
+      |FROM lat
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   // the 2-step funnel latency histogram (q329 + its stream twin q330):
   // q325's chain with the middle step removed — all exact integer µs
   private lazy val funnel2Sql: String =
@@ -1307,28 +1348,10 @@ object RelationalQueries {
 
     // funnel latency: the q297 greedy-earliest chain replayed with the
     // anchor carried through; exact integer µs and // bucket floors
-    "q325_funnel_latency" ->
-      """WITH e AS (
-        |  SELECT user_id AS u, event_type AS et, epoch_us(ts) AS t
-        |  FROM events),
-        |s1 AS (SELECT u, min(t) AS t1 FROM e WHERE et = 'signup'
-        |       GROUP BY u),
-        |s2 AS (SELECT e.u, s1.t1, min(e.t) AS t2 FROM e
-        |       JOIN s1 ON e.u = s1.u
-        |       WHERE e.et = 'view' AND e.t > s1.t1
-        |         AND e.t <= s1.t1 + 604800000000
-        |       GROUP BY e.u, s1.t1),
-        |s3 AS (SELECT e.u, s2.t1, min(e.t) AS t3 FROM e
-        |       JOIN s2 ON e.u = s2.u
-        |       WHERE e.et = 'purchase' AND e.t > s2.t2
-        |         AND e.t <= s2.t2 + 604800000000
-        |       GROUP BY e.u, s2.t1),
-        |lat AS (SELECT t3 - t1 AS l FROM s3)
-        |SELECT l // 86400000000 AS bucket, CAST(count(*) AS BIGINT) AS n_users,
-        |  CAST(min(l) AS BIGINT) AS lo_us, CAST(max(l) AS BIGINT) AS hi_us
-        |FROM lat
-        |GROUP BY 1
-        |ORDER BY bucket""".stripMargin,
+    "q325_funnel_latency" -> funnel3Sql,
+
+    // the stateful 3-step stream gates on the batch oracle verbatim
+    "q334_stream_funnel3" -> funnel3Sql,
 
     // the 2-step funnel: q325's chain minus the middle step — anchor =
     // earliest signup, conversion = earliest purchase in the 7-day

@@ -199,6 +199,55 @@ object VectorQueries {
         .orderBy("eval_id")
     }),
 
+    // Decon THRESHOLD CALIBRATION: the operating-point sweep a team runs
+    // before turning a contamination screen on — q326's exact top-1
+    // scores against the PLANTED ground truth ((eval_id DIV 50) % 3 = 0
+    // borrows a train vector), evaluated at a dyadic 1/16 threshold
+    // grid. Counts are exact integers; precision/recall are SINGLE
+    // divisions of exact counts (the q120 doctrine — engine-exact,
+    // unrounded); thresholds i/16 are dyadic (exact in double), so every
+    // score >= thr comparison is deterministic cross-engine. An empty
+    // positive set at high thresholds reports −1 (never a NULL-division
+    // surprise).
+    "q333_decon_threshold_sweep" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val donors = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("donor_vec"))
+      val evalQ = broadcast(emb.filter(col("vec_id") % 50 === 0))
+        .join(donors, Seq("vec_id"))
+        .select(col("vec_id").as("query_id"),
+          when(expr("(vec_id DIV 50) % 3") === 0, col("donor_vec"))
+            .otherwise(col("embedding")).as("query_vec"))
+      val top = emb.filter(col("vec_id") % 50 =!= 0)
+        .crossJoin(broadcast(evalQ))
+        .select(col("query_id"),
+          round(graft.functions.cosine_sim(col("embedding"),
+            col("query_vec")), 6).as("score"))
+        .groupBy("query_id")
+        .agg(max(col("score")).as("score"))
+        .withColumn("planted",
+          when(expr("(query_id DIV 50) % 3") === 0, 1L).otherwise(0L))
+      val grid = s.range(0, 16)
+        .select((col("id").cast("double") / 16).as("thr"))
+      top.crossJoin(broadcast(grid))
+        .groupBy("thr")
+        .agg(
+          sum(when(col("score") >= col("thr") && col("planted") === 1L, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score") >= col("thr") && col("planted") === 0L, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("score") < col("thr") && col("planted") === 1L, 1L)
+            .otherwise(0L)).as("fn"))
+        .select(col("thr"), col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp")))
+            .otherwise(lit(-1.0)).as("precision"),
+          when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn")))
+            .otherwise(lit(-1.0)).as("recall"))
+        .orderBy("thr")
+    }),
+
     // Hard-negative mining (contrastive-training prep): for each of 5
     // anchor vectors, the top-5 most-cosine-similar rows with a DIFFERENT
     // label. The label predicate runs map-side before the ranking window —
@@ -2323,6 +2372,46 @@ object VectorQueries {
         |FROM s
         |WHERE rn = 1
         |ORDER BY eval_id""".stripMargin,
+
+    // threshold sweep: q326's score chain + a dyadic 1/16 grid; exact
+    // integer confusion counts, single exact divisions, −1 sentinels
+    "q333_decon_threshold_sweep" ->
+      """WITH don AS (
+        |  SELECT vec_id - 1 AS vec_id, embedding AS donor_vec
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT e.vec_id AS query_id,
+        |    CASE WHEN (e.vec_id // 50) % 3 = 0 THEN d.donor_vec
+        |         ELSE e.embedding END AS query_vec
+        |  FROM embeddings e JOIN don d ON d.vec_id = e.vec_id
+        |  WHERE e.vec_id % 50 = 0),
+        |tops AS (
+        |  SELECT q.query_id,
+        |    max(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(q.query_vec AS DOUBLE[])), 6)) AS score,
+        |    CAST(CASE WHEN (q.query_id // 50) % 3 = 0 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS planted
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id % 50 <> 0
+        |  GROUP BY q.query_id),
+        |grid AS (SELECT CAST(unnest(range(0, 16)) AS DOUBLE) / 16 AS thr),
+        |cm AS (
+        |  SELECT thr,
+        |    CAST(sum(CASE WHEN score >= thr AND planted = 1 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN score >= thr AND planted = 0 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN score < thr AND planted = 1 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS fn
+        |  FROM tops CROSS JOIN grid
+        |  GROUP BY thr)
+        |SELECT thr, tp, fp, fn,
+        |  CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp)
+        |       ELSE -1.0 END AS precision,
+        |  CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn)
+        |       ELSE -1.0 END AS recall
+        |FROM cm
+        |ORDER BY thr""".stripMargin,
 
     "q52_sql_surface" ->
       """SELECT e.vec_id AS vec_id,

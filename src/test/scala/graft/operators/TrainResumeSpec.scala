@@ -160,6 +160,50 @@ class TrainResumeSpec extends AnyFunSuite {
     assert(resumed.committedGen("pq_resume_round_1").contains(1))
   }
 
+  // ---- REINDEX type=ivfpq under a store -----------------------------
+
+  test("reindexIvfPq: a killed index build resumes its trainings at round grain, layout identical") {
+    import org.apache.spark.sql.functions.col
+    def freshTrainColl(): graft.core.GraftDatabase = {
+      val parent = Files.createTempDirectory("graft_reidx").toString
+      val db = graft.core.GraftDatabase.create(spark, parent, "db")
+      db.createCollection("vecs", org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, containsNull = false)))))
+      db.bulkInsert("vecs", graft.Tables.embeddings(spark, TestSpark.sf)
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id").as("id"), col("embedding")))
+      db
+    }
+    def layoutOf(db: graft.core.GraftDatabase) = db.read("vecs")
+      .select("id", "cluster_id", "pq_code")
+      .as[(Long, Int, Seq[Byte])].collect()
+      .map(t => (t._1, t._2, t._3)).toSet
+    val goldDb = freshTrainColl()
+    goldDb.reindexIvfPq("vecs", m = 8, ksub = 8, rounds = 2, kCells = 4)
+    val gold = layoutOf(goldDb)
+    val db2 = freshTrainColl()
+    val root = freshRoot()
+    val killed = new StageStore(spark, root)
+    killed.failAfterCommit = Some("pq_rpq_round_1")
+    intercept[IllegalStateException] {
+      db2.reindexIvfPq("vecs", m = 8, ksub = 8, rounds = 2, kCells = 4,
+        store = Some(killed))
+    }
+    // the coarse training and fine round 1 are committed; the resume
+    // recomputes only fine round 2, then pays the layout rewrite
+    val resumed = new StageStore(spark, root)
+    db2.reindexIvfPq("vecs", m = 8, ksub = 8, rounds = 2, kCells = 4,
+      store = Some(resumed))
+    assert(resumed.computed.toSeq == Seq("pq_rpq_round_2"),
+      s"resume must replay committed training rounds: ${resumed.computed}")
+    assert(layoutOf(db2) == gold,
+      "resumed index build must produce the identical layout")
+  }
+
   // ---- logistic regression ------------------------------------------
 
   private def lrFeats = Seq(
