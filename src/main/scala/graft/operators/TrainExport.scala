@@ -307,6 +307,50 @@ object TrainExport {
     * vector summing materially below 1 would silently underfill the
     * budget (and above 1, overfill it); either case raises instead.
     */
+  /** LEAKAGE-SAFE train/val/test split: assign documents to splits at
+    * near-duplicate CLUSTER grain, so no near-dup pair ever straddles a
+    * split boundary (train/test contamination through paraphrases and
+    * mirrors — the failure a doc-grain random split ships by default).
+    *
+    * `pairs` are the near-dup edges (any screen — MinHash-LSH,
+    * SimHash, embedding-cosine); documents connected through them
+    * collapse to one cluster ([[Dedup.connectedComponents]]'s min-id
+    * representative; isolated docs are their own cluster), and the
+    * WHOLE cluster lands in one split by the md5 16-bit slice of its
+    * representative (`md5("split:" + rep) % nSlots` — the q82 rule,
+    * nSlots divides 65536, no modulo bias; SQL-recomputable per row).
+    * Slots [0, n−v−t) → train, [n−v−t, n−t) → val, rest → test.
+    *
+    * Scale shape: the components loop is label-frame-sized per round
+    * (the q65 discipline); assignment is one broadcast-free left join
+    * (cluster labels are pair-member-sized, usually ≪ corpus) + pure
+    * column math. Output: (id, rep, split), one row per document.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+      nSlots: Int = 16, valSlots: Int = 1, testSlots: Int = 1): DataFrame = {
+    require(nSlots >= 2 && 65536 % nSlots == 0,
+      s"nSlots must divide 65536, got $nSlots")
+    require(valSlots >= 0 && testSlots >= 0 &&
+      valSlots + testSlots < nSlots,
+      s"need valSlots + testSlots < nSlots, got $valSlots/$testSlots/$nSlots")
+    graft.operators.VectorIndex.requireIntegralCol(docs, idCol,
+      "leakageSafeSplit")
+    val cc = Dedup.connectedComponents(pairs)
+      .select(col("id"), col("cluster_rep"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(cc, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("cluster_rep"), col("id")).as("rep"))
+      .withColumn("__slot", conv(substring(md5(concat(lit("split:"),
+          col("rep").cast("string"))), 1, 4), 16, 10).cast("long")
+        % nSlots)
+      .withColumn("split",
+        when(col("__slot") < nSlots - valSlots - testSlots, "train")
+          .when(col("__slot") < nSlots - testSlots, "val")
+          .otherwise("test"))
+      .drop("__slot")
+  }
+
   def hamiltonQuotas(weights: DataFrame, n: Int,
       sourceCol: String = "source",
       weightCol: String = "weight"): DataFrame = {

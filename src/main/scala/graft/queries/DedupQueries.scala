@@ -184,6 +184,26 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // LEAKAGE-SAFE SPLITS: train/val/test assignment at near-dup
+    // CLUSTER grain — connected components over the MinHash-LSH edges
+    // (q65's machinery), the WHOLE cluster placed by the md5 slice of
+    // its min-id representative (no near-dup pair can straddle a split:
+    // the train/test contamination a doc-grain random split ships by
+    // default). Isolated docs are their own cluster. 16 slots → 14/1/1
+    // (87.5% / 6.25% / 6.25%). The oracle replays components +
+    // placement; TrainExportSpec pins the zero-crossing invariant.
+    "q335_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs,
+        idCol = "doc_id", textCol = "text",
+        shingleN = 5, numHashes = 8, rowsPerBand = 2)
+      graft.operators.TrainExport.leakageSafeSplit(docs, pairs, "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_clusters"))
+        .orderBy("split")
+    }),
+
     // PageRank centrality over the q31 near-dup graph — representative
     // selection by structure (the most-pointed-at duplicate) instead of
     // q65's arbitrary min-id. Fixed 5-round power iteration; each
@@ -900,6 +920,46 @@ object DedupQueries {
     // zero-false-negative guarantee, so the prefix×prefix candidate path
     // must land byte-identical qualifying pairs
     "q187_prefix_join" -> ngramJaccardOracle,
+
+    // components + coalesce-to-self + md5-slice placement + per-split
+    // stats (count DISTINCT rep is order-blind — safe here)
+    "q335_leakage_safe_split" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |$signaturesCte,
+         |$bandsCte,
+         |ok_buckets AS (
+         |  SELECT band, band_key FROM bands
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |eligible AS (
+         |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM eligible a JOIN eligible b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |asg AS (
+         |  SELECT d.doc_id AS id, coalesce(cl.rep, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+         |sp AS (
+         |  SELECT id, rep,
+         |    CASE WHEN slot < 14 THEN 'train'
+         |         WHEN slot < 15 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT id, rep,
+         |    CAST(('0x' || substring(md5('split:' || CAST(rep AS VARCHAR)),
+         |      1, 4)) AS BIGINT) % 16 AS slot FROM asg))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters
+         |FROM sp
+         |GROUP BY split
+         |ORDER BY split""".stripMargin,
 
     "q65_dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,

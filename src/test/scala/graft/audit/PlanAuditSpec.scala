@@ -1040,6 +1040,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window(s) fed by an unbounded read: ${unboundedWindows(p)}")
   }
 
+  test("q333 threshold sweep: broadcast grid + eval queries, map-side partial aggregation, no corpus sort") {
+    val p = plan("q333_decon_threshold_sweep")
+    // both small sides (eval queries, the 16-row threshold grid)
+    // broadcast into the single train scan; the top-1 and the confusion
+    // counts are partial aggregations — nothing corpus-sized sorts
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval queries + grid must broadcast:\n${p.take(2000)}")
+    assert(p.contains("partial_max") && p.contains("partial_sum"),
+      "map-side partial max + sums expected")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "broadcast-only joins expected")
+    assert(unboundedWindows(p).isEmpty,
+      "no rank window belongs in the sweep")
+  }
+
+  test("q329 2-step funnel: user-keyed joins + bucket-grain agg, no window, no cartesian") {
+    val p = plan("q329_funnel2_latency")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(unboundedWindows(p).isEmpty,
+      "the funnel chain is joins + aggs — no corpus-wide window")
+    // every hash exchange keys on the user chain or the final bucket —
+    // no round-robin repartition sneaks in
+    assert(!p.contains("REPARTITION_BY_NUM"), p.take(2000))
+  }
+
   test("q146 url canon: canonicalization runs scan-side, no UDF, no pre-agg shuffle") {
     val p = plan("q146_url_canon")
     assert(!p.contains("ScalaUDF"), "pure column math expected")

@@ -14,6 +14,42 @@ class TrainExportSpec extends AnyFunSuite {
   private def docs = (1L to 400L).map(i => (i, s"tok$i " * (i % 7 + 1).toInt))
     .toDF("doc_id", "text")
 
+  test("leakageSafeSplit: near-dup clusters never straddle splits; singletons are their own cluster") {
+    // a hand-built near-dup graph: {1,2,3} one component (via 1-2, 2-3),
+    // {10,11} another, everything else isolated
+    val sdocs = (1L to 40L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = TrainExport.leakageSafeSplit(sdocs, pairs, "doc_id")
+      .as[(Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.length == 40)
+    // cluster cohesion: reps collapse to the min id, splits agree
+    assert(Seq(1L, 2L, 3L).map(byId(_)).distinct.size == 1)
+    assert(byId(1L)._1 == 1L)
+    assert(Seq(10L, 11L).map(byId(_)).distinct.size == 1 &&
+      byId(10L)._1 == 10L)
+    // singletons: own rep
+    assert(byId(20L)._1 == 20L)
+    // the zero-crossing invariant over every edge
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(byId(a)._2 == byId(b)._2, s"pair ($a,$b) straddles splits")
+    }
+    // all three splits materialize over 40 clusters at 14/1/1 of 16 in
+    // expectation — pin only that train dominates and the union is total
+    val bySplit = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.values.sum == 40)
+    assert(bySplit.getOrElse("train", 0) > bySplit.getOrElse("val", 0) &&
+      bySplit.getOrElse("train", 0) > bySplit.getOrElse("test", 0))
+    // contract errors are loud
+    assert(intercept[IllegalArgumentException] {
+      TrainExport.leakageSafeSplit(sdocs, pairs, "doc_id", nSlots = 10)
+    }.getMessage.contains("divide 65536"))
+    assert(intercept[IllegalArgumentException] {
+      TrainExport.leakageSafeSplit(sdocs, pairs, "doc_id",
+        valSlots = 8, testSlots = 8)
+    }.getMessage.contains("valSlots"))
+  }
+
   test("withShard: deterministic, uniform-ish, power-of-two contract") {
     val a = TrainExport.withShard(docs, "doc_id", 16)
       .select("doc_id", "shard", "__shuffle_key").collect()
