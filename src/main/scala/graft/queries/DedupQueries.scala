@@ -184,14 +184,16 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // LEAKAGE-SAFE SPLITS: train/val/test assignment at near-dup
-    // CLUSTER grain — connected components over the MinHash-LSH edges
-    // (q65's machinery), the WHOLE cluster placed by the md5 slice of
-    // its min-id representative (no near-dup pair can straddle a split:
-    // the train/test contamination a doc-grain random split ships by
-    // default). Isolated docs are their own cluster. 16 slots → 14/1/1
-    // (87.5% / 6.25% / 6.25%). The oracle replays components +
-    // placement; TrainExportSpec pins the zero-crossing invariant.
+    // LEAKAGE-SAFE SPLITS as a reusable OPERATOR: q91 gates this
+    // composition inline (components over the LSH edges + md5-of-rep
+    // placement); TrainExport.leakageSafeSplit lifts it to an API any
+    // edge set can drive (MinHash, SimHash, embedding-cosine) and fixes
+    // q91's `% 10` placement — 10 does not divide 65536, so the 16-bit
+    // slice carries modulo bias (the q82 rule; q91 predates it and
+    // stays as the historical gate). 16 slots → 14/1/1. The oracle
+    // replays components + placement; TrainExportSpec pins the
+    // zero-crossing invariant, cluster cohesion, and the loud
+    // divide-65536 contract.
     "q335_leakage_safe_split" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val pairs = Dedup.minhashCandidates(docs,
