@@ -96,10 +96,19 @@ object CommandExecutor {
           }
         val fmt = opts.getOrElse("format", "jsonl")
         // resume=true opts into the per-shard-committed export (same
-        // bytes; a preempted run resumes at shard grain)
-        if (opts.get("resume").contains("true"))
-          db.exportCollectionResumable(coll, parts.head, fmt, nShards)
-        else db.exportCollection(coll, parts.head, fmt, nShards)
+        // bytes; a preempted run resumes at shard grain); parallel=<n>
+        // bounds concurrent shard-conversion jobs on that path
+        if (opts.get("resume").contains("true")) {
+          val parStr = opts.getOrElse("parallel", "1")
+          val par =
+            try parStr.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"EXPORT parallel= must be an integer, got '$parStr'")
+            }
+          db.exportCollectionResumable(coll, parts.head, fmt, nShards,
+            parallelism = par)
+        } else db.exportCollection(coll, parts.head, fmt, nShards)
 
       case Decon(coll, arg) =>
         // arg grammar: `queries=<file.parquet>[;threshold=<f>;radius=<n>

@@ -50,7 +50,8 @@ package graft.commands
   *    reference's own `vec;payload` lines, refusing payloads with ';'
   *    or newline); `shards=-1` derives the count from size stats;
   *    `resume=true` commits per shard (one staged scan, markerless
-  *    shards convert on resume — identical bytes, preemption-safe).
+  *    shards convert on resume — identical bytes, preemption-safe);
+  *    `parallel=<n>` bounds concurrent shard conversions on that path.
   *  - DECON arg (extension): `queries=<file.parquet>[;threshold=<f>;
   *    radius=<n>;shortlist=<n>]` — semantic cross-set decontamination of
   *    the eval batch in the file (query_id, query_vec) against the

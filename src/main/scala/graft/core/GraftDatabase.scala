@@ -409,7 +409,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * preemptible 100 TB export pays for never re-reading the corpus.
     */
   def exportCollectionResumable(name: String, path: String,
-      format: String = "jsonl", nShards: Int = 8): DataFrame = {
+      format: String = "jsonl", nShards: Int = 8,
+      parallelism: Int = 1): DataFrame = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     requireCollection(name)
     val spark = this.spark
     import spark.implicits._
@@ -450,7 +452,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         cur.withColumn("shard", exportShardExpr(nSh))
       }
       val dataCols = cur.columns.toSeq
-      todo.foreach { s =>
+      def convertShard(s: Int): Unit = {
         val part = staged.filter(col("shard") === s)
         val rows = part.count()
         // a zero-row shard writes NO dir — partitionBy parity with the
@@ -476,6 +478,25 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         if (exportFailAfterMark.contains(s))
           throw new IllegalStateException(
             s"injected crash after marker of shard $s")
+      }
+      if (parallelism == 1) todo.foreach(convertShard)
+      else {
+        // each conversion is a small pruned job; at thousands of shards
+        // the driver-side sequencing dominates, so run a BOUNDED pool of
+        // concurrent shard jobs (the Spark scheduler interleaves them).
+        // Markers stay per-shard, so a crash still resumes at shard
+        // grain — only the completion ORDER is nondeterministic, never
+        // the bytes (per-shard work is independent by placement).
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(parallelism, todo.size))
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        try {
+          val fs0 = todo.map(s => scala.concurrent.Future(convertShard(s)))
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(fs0),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
       }
     }
     // every shard committed: sweep the staging copy (half its storage

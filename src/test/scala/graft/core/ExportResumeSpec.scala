@@ -110,6 +110,16 @@ class ExportResumeSpec extends AnyFunSuite {
       .count() > 0)
   }
 
+  test("parallel shard conversion produces identical bytes (order-free per-shard work)") {
+    val db = freshDb()
+    val base = Files.createTempDirectory("graft_exoutpar").toString
+    db.exportCollection("recs", s"$base/fresh", "jsonl", 8).collect()
+    db.exportCollectionResumable("recs", s"$base/par", "jsonl", 8,
+      parallelism = 4).collect()
+    assert(shardBytes(s"$base/par", ".json") ==
+      shardBytes(s"$base/fresh", ".json"))
+  }
+
   test("text format resumes too: framing and float rendering survive the staging round-trip") {
     val parent = Files.createTempDirectory("graft_exresumetxt").toString
     val db = GraftDatabase.create(spark, parent, "db")
