@@ -407,6 +407,13 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * markers, touching no data. Total data passes: one scan + one
     * staging write + one pruned read per shard — the durability price a
     * preemptible 100 TB export pays for never re-reading the corpus.
+    *
+    * A fully-marked export path is a WRITE-ONCE artifact: re-calling on
+    * it is a no-op returning the committed audit (spec-pinned), even if
+    * the collection has changed since — resume means "finish THE
+    * export", never "refresh it". Export fresh data to a new path (or
+    * remove the old artifact); incremental re-export is deliberately
+    * not conflated with crash resume.
     */
   def exportCollectionResumable(name: String, path: String,
       format: String = "jsonl", nShards: Int = 8,

@@ -206,6 +206,33 @@ object DedupQueries {
         .orderBy("split")
     }),
 
+    // The split operator under EMBEDDING edges — the "any edge set"
+    // claim exercised end to end: every 7th vector re-enters as an
+    // exact copy (id + 100000 — the planted-duplicate convention), the
+    // sign-bucket LSH pair screen finds the copy pairs at rounded
+    // cosine >= 0.999 (background tops out ~0.55 — no boundary risk),
+    // and leakageSafeSplit keeps each copy with its original. A
+    // doc-grain split would separate ~2·(1/16)·(15/16) of the copy
+    // pairs; here n_clusters < n_docs in exactly the planted amount and
+    // no pair straddles (TrainExportSpec's invariant, here under a
+    // second edge family).
+    "q336_embed_split" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val aug = emb.select(col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding")))
+      val pairs = Dedup.embeddingPairs(aug, "vec_id", "embedding",
+          nBits = 8)
+        .filter(round(col("score"), 6) >= 0.999)
+        .select("a_id", "b_id")
+      graft.operators.TrainExport.leakageSafeSplit(aug, pairs, "vec_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_clusters"))
+        .orderBy("split")
+    }),
+
     // PageRank centrality over the q31 near-dup graph — representative
     // selection by structure (the most-pointed-at duplicate) instead of
     // q65's arbitrary min-id. Fixed 5-round power iteration; each
@@ -962,6 +989,55 @@ object DedupQueries {
          |FROM sp
          |GROUP BY split
          |ORDER BY split""".stripMargin,
+
+    // the embedding-edge split replay: augmented set (planted copies),
+    // q34's bucket screen at the 0.999 cut, components, placement
+    "q336_embed_split" -> {
+      val bucket = (0 until 8)
+        .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH RECURSIVE aug AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, embedding FROM embeddings
+         |  WHERE vec_id % 7 = 0),
+         |coded AS (
+         |  SELECT vec_id, embedding, $bucket AS bucket FROM aug),
+         |keep AS (
+         |  SELECT bucket FROM coded GROUP BY bucket
+         |  HAVING count(DISTINCT vec_id) BETWEEN 2 AND 1000),
+         |pr AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM coded a JOIN coded b
+         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  JOIN keep k ON a.bucket = k.bucket
+         |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+         |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.999),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pr
+         |  UNION SELECT b_id, a_id FROM pr),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |asg AS (
+         |  SELECT a.vec_id AS id, coalesce(cl.rep, a.vec_id) AS rep
+         |  FROM aug a LEFT JOIN cl ON cl.id = a.vec_id),
+         |sp AS (
+         |  SELECT id, rep,
+         |    CASE WHEN slot < 14 THEN 'train'
+         |         WHEN slot < 15 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT id, rep,
+         |    CAST(('0x' || substring(md5('split:' || CAST(rep AS VARCHAR)),
+         |      1, 4)) AS BIGINT) % 16 AS slot FROM asg))
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters
+         |FROM sp
+         |GROUP BY split
+         |ORDER BY split""".stripMargin
+    },
 
     "q65_dedup_clusters" ->
       s"""WITH RECURSIVE $shinglesCte,
