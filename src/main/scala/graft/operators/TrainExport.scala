@@ -351,6 +351,67 @@ object TrainExport {
       .drop("__slot")
   }
 
+  /** INGEST-TIME split routing — [[leakageSafeSplit]]'s arrival path:
+    * a new document must land in the SAME split as its near-duplicates
+    * already in the corpus, or a tomorrow's crawl of yesterday's test
+    * document trains the model on it. `matches` are the arriving
+    * batch's verified near-dup hits against the stored corpus
+    * ([[Dedup.incomingNearDups]]'s (a_id batch, b_id corpus) shape —
+    * the stored-bands screen, never a corpus rescan); `assign` is the
+    * corpus's committed (id, rep, split) table.
+    *
+    * Routing key: the SMALLEST cluster representative among a doc's
+    * matches (deterministic; the split is a pure function of the rep's
+    * md5 slice, so inheriting the rep IS inheriting the split);
+    * unmatched arrivals route by their own id under the same rule —
+    * exactly what [[leakageSafeSplit]] would assign a singleton.
+    * `bridged = 1` flags arrivals whose matches span MORE THAN ONE
+    * split — the signal that the arrival connects clusters the
+    * original edge set separated (route to the smallest-rep side,
+    * surface the flag; silently ignoring it would hide real leakage).
+    *
+    * Scale shape: one batch-keyed aggregation over the match table
+    * (match-grain, not corpus-grain) + one left join at batch grain +
+    * pure column math. Output: (id, split, n_matches, bridged).
+    */
+  def routeSplits(assign: DataFrame, matches: DataFrame, batch: DataFrame,
+      idCol: String, nSlots: Int = 16, valSlots: Int = 1,
+      testSlots: Int = 1): DataFrame = {
+    require(nSlots >= 2 && 65536 % nSlots == 0,
+      s"nSlots must divide 65536, got $nSlots")
+    require(valSlots >= 0 && testSlots >= 0 &&
+      valSlots + testSlots < nSlots,
+      s"need valSlots + testSlots < nSlots, got $valSlots/$testSlots/$nSlots")
+    graft.operators.VectorIndex.requireIntegralCol(batch, idCol,
+      "routeSplits")
+    val m = matches
+      .select(col("a_id").cast("long").as("id"),
+        col("b_id").cast("long").as("b_id"))
+      .join(assign.select(col("id").as("b_id"), col("rep"),
+        col("split").as("__ms")), Seq("b_id"))
+      .groupBy("id")
+      // the STORED split of the smallest-rep match is authoritative
+      // (never recomputed from the rep — the corpus assignment may have
+      // used any slot scheme); rep is unique per cluster and a cluster
+      // holds one split, so ties cannot disagree
+      .agg(min(struct(col("rep").as("rep"), col("__ms").as("split")))
+          .as("w"),
+        countDistinct(col("__ms")).as("__ns"),
+        count(lit(1)).as("n_matches"))
+    val slot = conv(substring(md5(concat(lit("split:"),
+        col("id").cast("string"))), 1, 4), 16, 10).cast("long") % nSlots
+    batch.select(col(idCol).cast("long").as("id"))
+      .join(m, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("w.split"),
+          when(slot < nSlots - valSlots - testSlots, "train")
+            .when(slot < nSlots - testSlots, "val")
+            .otherwise("test")).as("split"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        when(coalesce(col("__ns"), lit(1L)) > 1L, 1L).otherwise(0L)
+          .as("bridged"))
+  }
+
   def hamiltonQuotas(weights: DataFrame, n: Int,
       sourceCol: String = "source",
       weightCol: String = "weight"): DataFrame = {

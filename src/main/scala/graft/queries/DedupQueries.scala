@@ -612,6 +612,37 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // INGEST-TIME split routing (q335's arrival path): the q204 arrival
+    // batch (re-tagged near-copies) screens against the STORED bands,
+    // and each arrival inherits the split of its matches' smallest
+    // cluster representative — tomorrow's crawl of yesterday's test doc
+    // can never land in train. Unmatched arrivals (docs too short to
+    // clear the Jaccard bar) route by their own id under the identical
+    // slice rule; `bridged` flags matches spanning >1 split. The oracle
+    // replays the FULL composition: batch screen (q204's chain), corpus
+    // components + placement (q335's), min-rep inheritance, fallback.
+    "q337_split_routing" -> ((s, dir) => {
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      val bandsPath = Scratch.dir("graft_q337") + "/bands"
+      Dedup.bandKeys(
+          Dedup.minhashSignatures(
+            Dedup.explodeShingles(docs, "doc_id", "text", 5), "doc_id", 8),
+          "doc_id", 8, 2)
+        .write.mode("overwrite").partitionBy("band").parquet(bandsPath)
+      val stored = s.read.parquet(bandsPath)
+      val batch = Tables.documents(s, dir).filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" tm1 tm2")).as("text"))
+      val assign = graft.operators.TrainExport.leakageSafeSplit(docs,
+        Dedup.minhashCandidates(docs, "doc_id", "text",
+          shingleN = 5, numHashes = 8, rowsPerBand = 2), "doc_id")
+      val matches = Dedup.incomingNearDups(stored, docs, batch,
+        "doc_id", "text")
+      graft.operators.TrainExport.routeSplits(assign, matches, batch,
+          "doc_id")
+        .orderBy("id")
+    }),
+
     // Embedding-cosine near-dup: sign-bucket LSH prefilter, top-20 most
     // similar in-bucket pairs (the corpus has no >0.5-cosine pairs, so the
     // operator reports the nearest ones rather than a thresholded set).
@@ -1833,6 +1864,95 @@ object DedupQueries {
          |  JOIN bn ON bn.doc_id = c.b_id)
          |WHERE jaccard >= 0.5
          |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    // the routing replay: q204's batch screen + q335's corpus
+    // components/placement + min-rep inheritance + the own-id fallback
+    // (the split is a pure function of the routed key's md5 slice, so
+    // one CASE serves both paths)
+    "q337_split_routing" -> {
+      val corpusChain = minhashChainSql(
+        "SELECT doc_id, text FROM documents", "c")
+      val batchChain = minhashChainSql(
+        "SELECT doc_id + 500000 AS doc_id, text || ' tm1 tm2' AS text " +
+          "FROM documents WHERE doc_id % 7 = 3", "b")
+      s"""WITH RECURSIVE $corpusChain,
+         |$batchChain,
+         |ok AS (
+         |  SELECT band, band_key FROM bandsc
+         |  GROUP BY band, band_key HAVING count(*) <= 1000),
+         |cand AS (
+         |  SELECT DISTINCT bb.doc_id AS a_id, bc.doc_id AS b_id
+         |  FROM bandsb bb
+         |  JOIN bandsc bc ON bb.band = bc.band AND bb.band_key = bc.band_key
+         |  JOIN ok ON bc.band = ok.band AND bc.band_key = ok.band_key),
+         |an AS (SELECT doc_id, count(*) AS an FROM shb GROUP BY doc_id),
+         |bn AS (SELECT doc_id, count(*) AS bn FROM shc GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS s
+         |  FROM cand c
+         |  JOIN shb a ON a.doc_id = c.a_id
+         |  JOIN shc b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+         |  GROUP BY c.a_id, c.b_id),
+         |mtch AS (
+         |  SELECT a_id, b_id FROM (
+         |    SELECT c.a_id, c.b_id,
+         |      CAST(COALESCE(s.s, 0) AS DOUBLE)
+         |        / (an.an + bn.bn - COALESCE(s.s, 0)) AS j
+         |    FROM cand c
+         |    LEFT JOIN shared s ON s.a_id = c.a_id AND s.b_id = c.b_id
+         |    JOIN an ON an.doc_id = c.a_id
+         |    JOIN bn ON bn.doc_id = c.b_id)
+         |  WHERE j >= 0.5),
+         |okc AS (
+         |  SELECT band, band_key FROM bandsc
+         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+         |prc AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM bandsc a JOIN bandsc b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |      AND a.doc_id < b.doc_id
+         |  JOIN okc ON a.band = okc.band AND a.band_key = okc.band_key),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM prc
+         |  UNION SELECT b_id, a_id FROM prc),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+         |cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+         |asg AS (
+         |  SELECT d.doc_id AS id, coalesce(cl.rep, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+         |spc AS (
+         |  SELECT id, rep,
+         |    CASE WHEN slot < 14 THEN 'train'
+         |         WHEN slot < 15 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT id, rep,
+         |    CAST(('0x' || substring(md5('split:' || CAST(rep AS VARCHAR)),
+         |      1, 4)) AS BIGINT) % 16 AS slot FROM asg)),
+         |mg AS (
+         |  SELECT m.a_id AS id, min(sp.rep) AS minrep,
+         |    CAST(count(*) AS BIGINT) AS n_matches,
+         |    count(DISTINCT sp.split) AS ns
+         |  FROM mtch m JOIN spc sp ON sp.id = m.b_id
+         |  GROUP BY m.a_id),
+         |routed AS (
+         |  SELECT t.doc_id AS id, coalesce(mg.minrep, t.doc_id) AS key,
+         |    coalesce(mg.n_matches, 0) AS n_matches,
+         |    CAST(CASE WHEN coalesce(mg.ns, 1) > 1 THEN 1 ELSE 0 END
+         |      AS BIGINT) AS bridged
+         |  FROM toksb t LEFT JOIN mg ON mg.id = t.doc_id)
+         |SELECT id,
+         |  CASE WHEN slot < 14 THEN 'train'
+         |       WHEN slot < 15 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  n_matches, bridged
+         |FROM (SELECT *,
+         |  CAST(('0x' || substring(md5('split:' || CAST(key AS VARCHAR)),
+         |    1, 4)) AS BIGINT) % 16 AS slot FROM routed)
+         |ORDER BY id""".stripMargin
     },
 
     "q34_embed_neardup" -> {

@@ -50,6 +50,37 @@ class TrainExportSpec extends AnyFunSuite {
     }.getMessage.contains("valSlots"))
   }
 
+  test("routeSplits: arrivals inherit their matches' split, unmatched fall back, bridging flags") {
+    // corpus assignment: two clusters in DIFFERENT splits + singletons
+    val assign = Seq(
+      (1L, 1L, "train"), (2L, 1L, "train"),
+      (10L, 10L, "test"), (11L, 10L, "test"),
+      (20L, 20L, "val"))
+      .toDF("id", "rep", "split")
+    // arrival 100 matches cluster 1 → train; 101 matches cluster 10 →
+    // test; 102 matches BOTH clusters → smallest rep (1) wins, bridged;
+    // 103 matches nothing → own-id fallback
+    val matches = Seq(
+      (100L, 1L), (100L, 2L),
+      (101L, 11L),
+      (102L, 2L), (102L, 10L))
+      .toDF("a_id", "b_id")
+    val batch = Seq(100L, 101L, 102L, 103L).toDF("doc_id")
+    val out = TrainExport.routeSplits(assign, matches, batch, "doc_id")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(100L) == (("train", 2L, 0L)))
+    assert(out(101L) == (("test", 1L, 0L)))
+    // bridged: matches span train AND test; routes by smallest rep (1)
+    assert(out(102L) == (("train", 2L, 1L)))
+    // unmatched: the same slice rule leakageSafeSplit gives a singleton
+    val fallback = TrainExport.leakageSafeSplit(
+        Seq((103L, "x")).toDF("doc_id", "text"),
+        Seq.empty[(Long, Long)].toDF("a_id", "b_id"), "doc_id")
+      .select("split").as[String].head()
+    assert(out(103L)._1 == fallback && out(103L)._2 == 0L)
+  }
+
   test("withShard: deterministic, uniform-ish, power-of-two contract") {
     val a = TrainExport.withShard(docs, "doc_id", 16)
       .select("doc_id", "shard", "__shuffle_key").collect()
