@@ -130,6 +130,46 @@ object CommandExecutor {
           probeRadius = num("radius", -1, _.toInt),
           shortlist = num("shortlist", -1, _.toInt))
 
+      case Split(coll, arg) =>
+        // arg grammar: `[slots=<n>;val=<n>;test=<n>]` — all optional
+        val opts = arg.map(parseKv).getOrElse(Map.empty)
+        def num(key: String, default: Int): Int =
+          opts.get(key).map { v =>
+            try v.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"SPLIT $key= must be an integer, got '$v' — grammar: " +
+                  "[slots=<n>;val=<n>;test=<n>]")
+            }
+          }.getOrElse(default)
+        db.buildSplits(coll, nSlots = num("slots", 16),
+          valSlots = num("val", 1), testSlots = num("test", 1))
+
+      case Route(coll, arg) =>
+        // arg grammar: `batch=<path.parquet>[;threshold=<f>;insert=bool]`
+        val opts = parseKv(arg)
+        val path = opts.getOrElse("batch",
+          throw new IllegalArgumentException(
+            "ROUTE needs batch=<file.parquet> of (id, payload) rows"))
+        require(path.endsWith(".parquet") || path.endsWith(".pq"),
+          s"ROUTE batch= requires a parquet file of (id, payload), got: $path")
+        val thr = opts.get("threshold").map { v =>
+          try v.toDouble
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"ROUTE threshold= must be numeric, got '$v'")
+          }
+        }.getOrElse(0.5)
+        val ins = opts.get("insert") match {
+          case None => true
+          case Some("true") => true
+          case Some("false") => false
+          case Some(other) => throw new IllegalArgumentException(
+            s"ROUTE insert= must be true or false, got '$other'")
+        }
+        db.routeArrivals(coll, spark.read.parquet(path),
+          threshold = thr, insert = ins)
+
       case Update(coll, arg) =>
         val updates =
           if (arg.endsWith(".parquet") || arg.endsWith(".pq")) spark.read.parquet(arg)
@@ -295,7 +335,19 @@ object CommandExecutor {
         val opts = arg.map(parseKv).getOrElse(Map.empty)
         opts.getOrElse("type", "sign") match {
           case "kmeans" =>
-            db.reindexKMeans(coll, k = opts.getOrElse("k", "16").toInt)
+            // trainer=md5 selects the engine-replayable trainer (md5-seeded
+            // deterministic Lloyd — oracles replay the layout); the default
+            // stays MLlib (seeded, not SQL-reproducible)
+            opts.getOrElse("trainer", "mllib") match {
+              case "mllib" =>
+                db.reindexKMeans(coll, k = opts.getOrElse("k", "16").toInt)
+              case "md5" =>
+                db.reindexKMeansMd5(coll,
+                  k = opts.getOrElse("k", "8").toInt,
+                  rounds = opts.getOrElse("rounds", "1").toInt)
+              case other => throw new IllegalArgumentException(
+                s"REINDEX type=kmeans trainer must be mllib or md5, got: $other")
+            }
           case "sign" =>
             db.reindex(coll, nBits = opts.getOrElse("bits", "8").toInt)
           case "zorder" =>

@@ -28,7 +28,9 @@ package graft.commands
   *    stored codes (composed with `radius` cell pruning). `batch=<path>`
   *    answers a whole (query_id, query_vec) parquet in one scan.
   *  - REINDEX arg (optional): `[type=sign;bits=<n>]` (default),
-  *    `type=kmeans;k=<n>` (centroid IVF, centroids stored in the sidecar),
+  *    `type=kmeans;k=<n>[;trainer=mllib|md5;rounds=<n>]` (centroid IVF,
+  *    centroids stored in the sidecar; trainer=md5 swaps MLlib for the
+  *    md5-seeded deterministic Lloyd so oracles can replay the layout),
   *    `type=pq;m=<n>;ksub=<n>[;rounds;bits]` (sign-bucket cells + m-byte
   *    PQ codes + codebooks sidecar),
   *    `type=ivfpq;m=<n>;ksub=<n>[;rounds;k=<cells>]` (kmeans-coarse
@@ -59,6 +61,19 @@ package graft.commands
   *    row, flagged on the rounded cosine ≥ threshold (default 0.5);
   *    radius+shortlist opt into the stored-codes ADC screen on an
   *    ivfpq_kmeans layout (loud on unprobeable layouts).
+  *  - SPLIT arg (extension, optional): `[slots=<n>;val=<n>;test=<n>]` —
+  *    build (or rebuild) the managed leakage-safe train/val/test split
+  *    sidecar: near-dup clusters over the payload column placed whole by
+  *    the md5-slice-of-representative rule (slots divides 65536); returns
+  *    the per-split summary. A rebuild supersedes all prior ROUTE commits.
+  *  - ROUTE arg (extension): `batch=<path.parquet>[;threshold=<f>;
+  *    insert=true|false]` — route an arriving (id, payload) batch through
+  *    the split lifecycle: screen against the stored minhash bands,
+  *    inherit the split of the smallest-rep match (own-id fallback,
+  *    `bridged` flagged), COMMIT the routed assignments back into the
+  *    sidecar (transitive inheritance), and with insert=true (default)
+  *    append the batch to the collection + refresh the minhash artifact
+  *    so the next batch can match these arrivals.
   *  - SEARCHTEXT arg (extension): `terms=a,b,c[;k=<n>;k1=<f>;b=<f>]` —
   *    BM25 keyword retrieval over the payload column.
   *  - SEARCHHYBRID arg (extension): `terms=a,b,c;vec=f,f,...[;k;kf;krrf]`
@@ -90,6 +105,8 @@ object GraftCommand {
   final case class SearchProximity(collection: String, arg: String) extends GraftCommand
   final case class Export(collection: String, arg: String) extends GraftCommand
   final case class Decon(collection: String, arg: String) extends GraftCommand
+  final case class Split(collection: String, arg: Option[String]) extends GraftCommand
+  final case class Route(collection: String, arg: String) extends GraftCommand
   final case class Summarize(collection: String, arg: Option[String]) extends GraftCommand
   final case class Keywords(collection: String, arg: Option[String]) extends GraftCommand
   final case class Stats(collection: String) extends GraftCommand
@@ -149,6 +166,8 @@ object CommandParser {
       case "SEARCHPROX" => needBoth("SEARCHPROX")(SearchProximity(_, _))
       case "EXPORT" => needBoth("EXPORT")(Export(_, _))
       case "DECON" => needBoth("DECON")(Decon(_, _))
+      case "SPLIT" => needColl("SPLIT")(Split(_, arg))
+      case "ROUTE" => needBoth("ROUTE")(Route(_, _))
       case "SUMMARIZE" => needColl("SUMMARIZE")(Summarize(_, arg))
       case "KEYWORDS" => needColl("KEYWORDS")(Keywords(_, arg))
       case "STATS" => needColl("STATS")(Stats(_))

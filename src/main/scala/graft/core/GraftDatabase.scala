@@ -70,6 +70,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     deleteMinhashIndex(name)
     deleteWinsigIndex(name)
     deleteDhashIndex(name)
+    deleteSplitsSidecar(name)
     ()
   }
 
@@ -114,6 +115,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     if (fs.exists(dhashMetaPath(name)))
       rows += (("dhash",
         if (fs.exists(dhashStaleMarker(name))) "stale" else "live"))
+    // the split sidecar never goes stale: assignments are point-in-time
+    // placements by design (a re-SPLIT rebuilds, mutations don't move)
+    if (fs.exists(splitsMetaPath(name))) rows += (("splits", "live"))
     rows.sortBy(_._1).toSeq.toDF("index_type", "state")
   }
 
@@ -1566,6 +1570,192 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     if (fs.exists(dir)) { fs.delete(dir, true); () }
   }
 
+  // ---- managed split sidecar (leakage-safe split lifecycle) ---------------
+  //
+  // SPLIT materializes [[graft.operators.TrainExport.leakageSafeSplit]]'s
+  // (id, rep, split) assignment as a collection sidecar under the
+  // generation-pointer discipline; ROUTE screens an arriving batch against
+  // the stored minhash bands, inherits splits from the sidecar, and COMMITS
+  // the routed rows back into it — which is what makes inheritance
+  // TRANSITIVE: tomorrow's crawl of a doc that itself ARRIVED yesterday
+  // (and matched nothing older) still inherits yesterday's placement,
+  // instead of falling back to its own-id slot one generation out.
+
+  private def splitsDir(name: String): Path =
+    new Path(root, s"${ReservedPrefix}splits_$name")
+
+  private def splitsMetaPath(name: String): Path =
+    new Path(splitsDir(name), "meta.json")
+
+  private def splitsGen(name: String): Int =
+    """"gen"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readString(fs, splitsMetaPath(name)))
+      .map(_.group(1).toInt).getOrElse(0)
+
+  private def splitsGenDir(name: String): Path =
+    new Path(splitsDir(name), s"gen_${splitsGen(name)}")
+
+  private val SplitAssignSchema = StructType.fromDDL(
+    "id BIGINT, rep BIGINT, split STRING")
+
+  private def splitsParams(name: String): (Int, Int, Int) = {
+    val meta = readString(fs, splitsMetaPath(name))
+    def intOf(k: String): Int =
+      s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(meta)
+        .map(_.group(1).toInt).getOrElse(throw new IllegalStateException(
+          s"splits meta has no $k field: $meta"))
+    (intOf("slots"), intOf("val"), intOf("test"))
+  }
+
+  /** Committed ROUTE segment numbers of the current generation — only
+    * MARKED segments are live (a crash mid-write leaves an unmarked
+    * orphan dir readers never see; the next ROUTE overwrites it).
+    */
+  private def splitRoutedSegs(name: String): Seq[Int] = {
+    val g = splitsGenDir(name)
+    if (!fs.exists(g)) Seq.empty
+    else fs.listStatus(g).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("routed_") && n.endsWith(".done"))
+      .map(_.stripPrefix("routed_").stripSuffix(".done").toInt).sorted
+  }
+
+  /** The committed split assignment table — the SPLIT base plus every
+    * committed ROUTE segment: (id, rep, split), one row per document
+    * ever placed. Explicit-schema reads throughout (zero-row segments
+    * read back as empty frames, the round-11 rule).
+    */
+  def splitAssignments(name: String): DataFrame = {
+    requireCollection(name)
+    require(fs.exists(splitsMetaPath(name)),
+      s"no split sidecar on $name — run SPLIT first")
+    val g = splitsGenDir(name)
+    val base = readArtifact(new Path(g, "assign"), SplitAssignSchema)
+    splitRoutedSegs(name).foldLeft(base) { (acc, seg) =>
+      acc.unionByName(
+        readArtifact(new Path(g, s"routed_$seg"), SplitAssignSchema))
+    }
+  }
+
+  /** SPLIT — build (or rebuild) the managed leakage-safe split sidecar:
+    * near-dup candidate pairs over the collection's payloads
+    * ([[graft.operators.Dedup.minhashCandidates]], parameters following
+    * the minhash artifact's meta when one exists — the [[screenDupes]]
+    * family rule, so SPLIT and ROUTE operate in one signature family),
+    * whole clusters placed by [[graft.operators.TrainExport
+    * .leakageSafeSplit]]'s md5-slice rule, committed as a fresh
+    * generation by the single meta overwrite — a rebuild atomically
+    * supersedes the base AND all prior ROUTE segments (assignments are
+    * point-in-time placements: mutations don't move a doc's split, a
+    * re-SPLIT does). Returns the per-split summary
+    * (split, n_docs, n_clusters).
+    */
+  def buildSplits(name: String, nSlots: Int = 16, valSlots: Int = 1,
+      testSlots: Int = 1): DataFrame = {
+    requireCollection(name)
+    val cur = read(name)
+    require(cur.columns.contains("payload"),
+      s"SPLIT needs a payload column on $name")
+    val (shingleN, numHashes, rowsPerBand) =
+      if (fs.exists(minhashMetaPath(name))) minhashParams(name) else (5, 8, 2)
+    val pairs = graft.operators.Dedup.minhashCandidates(
+      cur, "id", "payload", shingleN, numHashes, rowsPerBand)
+    val assign = graft.operators.TrainExport.leakageSafeSplit(
+      cur, pairs, "id", nSlots, valSlots, testSlots)
+    val dir = splitsDir(name)
+    val g = if (fs.exists(splitsMetaPath(name))) splitsGen(name) + 1 else 0
+    val genDir = new Path(dir, s"gen_$g")
+    if (fs.exists(genDir)) fs.delete(genDir, true)
+    assign.select(col("id").cast("long").as("id"),
+        col("rep").cast("long").as("rep"), col("split"))
+      .write.mode("overwrite").option("compression", Compression)
+      .parquet(new Path(genDir, "assign").toString)
+    writeString(fs, splitsMetaPath(name),
+      s"""{"type":"splits","slots":$nSlots,"val":$valSlots,"test":$testSlots,"gen":$g}""")
+    // sweep superseded generations (the compactPostings orphan rule)
+    Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("gen_") && n != s"gen_$g") fs.delete(st.getPath, true)
+    }
+    splitAssignments(name).groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"))
+      .orderBy("split")
+  }
+
+  /** ROUTE — admit an arriving batch (`id`, `payload`) into the managed
+    * split lifecycle: screen against the stored minhash bands
+    * ([[screenDupes]] — never a corpus text rescan while the artifact is
+    * live), inherit each arrival's split from the committed assignment
+    * table ([[graft.operators.TrainExport.routeSplits]] — smallest-rep
+    * match authoritative, own-id fallback, `bridged` surfaced), then
+    * COMMIT the routed (id, rep, split) rows back into the sidecar as a
+    * marked segment. That commit is what the API-only operator lacked:
+    * the NEXT batch's near-dups of THIS batch inherit through it, so
+    * inheritance no longer stops at one generation. With `insert=true`
+    * (default) the batch is also appended to the collection (it must
+    * carry the collection's declared columns) and the minhash artifact
+    * refreshed, so the next batch's screen can MATCH these arrivals.
+    *
+    * The routed frame is eagerly checkpointed BEFORE the insert+refresh
+    * — correctness, not just cost: the returned plan reads the band
+    * artifact, and re-running it after the refresh would screen the
+    * arrivals against THEMSELVES.
+    *
+    * Contract: arrival ids must be NEW (loud on a collision — splits are
+    * write-once per id; a re-route would duplicate the assignment row).
+    * Returns (id, rep, split, n_matches, bridged), ordered by id.
+    */
+  def routeArrivals(name: String, batch: DataFrame,
+      threshold: Double = 0.5, insert: Boolean = true): DataFrame = {
+    requireCollection(name)
+    require(fs.exists(splitsMetaPath(name)),
+      s"no split sidecar on $name — run SPLIT before ROUTE")
+    require(batch.columns.contains("id") && batch.columns.contains("payload"),
+      "ROUTE batch needs (id, payload) columns — got " +
+        batch.columns.mkString("(", ", ", ")"))
+    val (nSlots, valSlots, testSlots) = splitsParams(name)
+    val assign = splitAssignments(name)
+    val arriving = batch.select(col("id").cast("long").as("id"),
+      col("payload"))
+    // loud id-collision check: one semi-join against the assignment
+    // table (assignment-grain scan, ≤1-row output — cheap next to the
+    // screen itself)
+    val clash = arriving.join(assign, Seq("id"), "left_semi")
+      .select(col("id")).limit(1).collect()
+    require(clash.isEmpty,
+      s"ROUTE: arrival id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+        s"already has a committed split on $name — splits are write-once " +
+        "per id; re-routing would duplicate its assignment row")
+    val matches = screenDupes(name, arriving, threshold)
+    val routed = graft.operators.TrainExport.routeSplits(
+        assign, matches, arriving, "id", nSlots, valSlots, testSlots)
+      .localCheckpoint(true)
+    val g = splitsGenDir(name)
+    val existing = Option(
+        if (fs.exists(g)) fs.listStatus(g) else null)
+      .getOrElse(Array.empty).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("routed_"))
+      .map(_.stripPrefix("routed_").stripSuffix(".done"))
+      .flatMap(n => scala.util.Try(n.toInt).toOption)
+    val seg = if (existing.isEmpty) 0 else existing.max + 1
+    routed.select(col("id"), col("rep"), col("split"))
+      .write.mode("overwrite").option("compression", Compression)
+      .parquet(new Path(g, s"routed_$seg").toString)
+    writeString(fs, new Path(g, s"routed_$seg.done"), "") // the commit
+    if (insert) {
+      bulkInsert(name, batch)
+      // no artifact = the screen was already the rescan fallback, which
+      // sees collection rows directly — nothing to refresh
+      if (fs.exists(minhashMetaPath(name))) refreshMinhash(name)
+    }
+    routed.orderBy("id")
+  }
+
+  private def deleteSplitsSidecar(name: String): Unit = {
+    val dir = splitsDir(name)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+
   // ---- window-signature artifact (exact-substring ingest screening) ------
   //
   // Same lifecycle machinery as the text index: id-attributed rows in
@@ -2393,6 +2583,38 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       s"""{"type": "kmeans", "k": $k, "centroids": $cents}""")
   }
 
+  /** [[reindexKMeans]]'s ENGINE-REPLAYABLE sibling (`REINDEX
+    * type=kmeans;trainer=md5`): centroids from [[ProductQuantization
+    * .trainCodebooks]] with m = 1 — the IVF×PQ COARSE trainer (md5-seeded
+    * sample, `rounds` fixed Lloyd refinements, rounded means) — and rows
+    * assigned by the same rounded-distance rule ([[ProductQuantization
+    * .assignCodes]], lowest-cid tie-break), written 0-indexed to match
+    * the kmeans sidecar convention. A SQL oracle replays the training,
+    * the layout, and any probe built on it — which the MLlib trainer
+    * (seeded but not SQL-reproducible) cannot offer. Same sidecar shape,
+    * so every kmeans-layout reader (probes, appends, the decon screen)
+    * serves both trainers identically.
+    */
+  def reindexKMeansMd5(name: String, k: Int = 8, rounds: Int = 1,
+      seed: String = "ivf"): Unit = {
+    requireCollection(name)
+    val base = {
+      val cur = read(name)
+      if (cur.columns.contains("cluster_id")) cur.drop("cluster_id") else cur
+    }
+    val cb = ProductQuantization.trainCodebooks(base, "id", "embedding",
+      m = 1, ksub = k, rounds = rounds, seed = seed)
+    val assigned = ProductQuantization
+      .assignCodes(base, "embedding", cb, "__coarse")
+      .withColumn("cluster_id",
+        (element_at(col("__coarse"), 1) - 1).cast("int"))
+      .drop("__coarse")
+    rewrite(name, assigned, partitionBy = Seq("cluster_id"))
+    val cents = cb(0).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    writeString(fs, new Path(collDir(name), IndexMetaFile),
+      s"""{"type": "kmeans", "k": $k, "centroids": $cents}""")
+  }
+
   /** REINDEX with the IVF × PQ layout — the 100 TB ANN index as a managed
     * artifact: train per-subspace codebooks ([[ProductQuantization
     * .trainCodebooks]] — md5-seeded, `rounds` deterministic Lloyd
@@ -2557,8 +2779,15 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * decon flag rule): per-query cell probes, broadcast residual LUTs,
     * bounded shortlist heap, then ONE exact cosine rerank of shortlisted
     * rows only — a re-screen per eval-set revision reads m bytes of
-    * vector data per row instead of the float corpus. `probeRadius` on
-    * an unprobeable layout is LOUD — never a silent full scan.
+    * vector data per row instead of the float corpus. On a `kmeans`
+    * collection (the second-most-common layout) `probeRadius` prunes the
+    * scan to each query's `probeRadius + 1` nearest coarse cells
+    * (rounded-l2 probe rule) and exact-cosine-scores only those cells'
+    * float vectors — no shortlist stage (scores are exact already; a
+    * caller setting `shortlist` errors rather than being ignored).
+    * `probeRadius` on an unprobeable layout — INCLUDING an unindexed
+    * collection with no cluster_id at all — is LOUD — never a silent
+    * full scan.
     *
     * Both paths rank the top-1 cut on the ROUNDED cosine with an id
     * tie-break (rank-on-rounded doctrine — raw-float ulps never decide
@@ -2580,33 +2809,82 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val data = read(name)
     val qs = evalQ.select(col("query_id").cast("long").as("query_id"),
       col("query_vec"))
-    lazy val layout = indexType(name)
-    val probeable = probeRadius >= 0 && data.columns.contains("cluster_id")
     val scoredTop =
-      if (probeable && layout.contains("ivfpq_kmeans") && shortlist >= 1) {
-        val coarse: ProductQuantization.Codebooks = Array(centroidsOf(name))
-        val scored = ProductQuantization.adcResidualScored(data, qs,
-            pqCodebooksOf(name), coarseMap(coarse),
-            nprobe = probeRadius + 1, codeCol = PqCodeCol, idCol = "id")
-          .select(col("query_id").cast("long"), col("id").cast("long"),
-            col("s").cast("double"))
-          .as[(Long, Long, Double)]
-        val short = graft.operators.SimilaritySearch
-          .boundedTopKPerQuery(scored, shortlist, desc_? = false,
-            "id", "query_id")
-          .select(col("query_id"), col("id"))
-        data.select(col("id").cast("long").as("id"), col("embedding"))
-          .join(broadcast(short), Seq("id"))
-          .join(broadcast(qs), Seq("query_id"))
-          .select(col("query_id"),
-            round(graft.functions.cosine_sim(col("embedding"),
-              col("query_vec")), 6).as("score"),
-            (-col("id")).as("nid"))
+      if (probeRadius >= 0) {
+        // probeRadius opted into a pruned screen — EVERY path from here
+        // is loud on an unservable request: an unindexed collection (no
+        // cluster_id) must never silently degrade to the exact full
+        // scan the caller explicitly asked to avoid (the r15 ADVICE
+        // note — the DECON command exposes radius= to users)
+        require(data.columns.contains("cluster_id"),
+          s"probeRadius=$probeRadius set but $name has no cluster_id " +
+            "layout — REINDEX type=ivfpq or type=kmeans first, or drop " +
+            "probeRadius for the exact screen")
+        indexType(name) match {
+          case Some("ivfpq_kmeans") =>
+            require(shortlist >= 1,
+              s"probeRadius=$probeRadius on the ivfpq_kmeans layout " +
+                "needs shortlist >= 1 (the ADC screen's rerank bound), " +
+                s"got $shortlist")
+            val coarse: ProductQuantization.Codebooks =
+              Array(centroidsOf(name))
+            val scored = ProductQuantization.adcResidualScored(data, qs,
+                pqCodebooksOf(name), coarseMap(coarse),
+                nprobe = probeRadius + 1, codeCol = PqCodeCol, idCol = "id")
+              .select(col("query_id").cast("long"), col("id").cast("long"),
+                col("s").cast("double"))
+              .as[(Long, Long, Double)]
+            val short = graft.operators.SimilaritySearch
+              .boundedTopKPerQuery(scored, shortlist, desc_? = false,
+                "id", "query_id")
+              .select(col("query_id"), col("id"))
+            data.select(col("id").cast("long").as("id"), col("embedding"))
+              .join(broadcast(short), Seq("id"))
+              .join(broadcast(qs), Seq("query_id"))
+              .select(col("query_id"),
+                round(graft.functions.cosine_sim(col("embedding"),
+                  col("query_vec")), 6).as("score"),
+                (-col("id")).as("nid"))
+          case Some("kmeans") =>
+            // no stored codes on this layout — the screen prunes to each
+            // query's nprobe nearest coarse cells (rounded-l2 rank, the
+            // [[ProductQuantization.nearestCellsD]] probe rule, so an
+            // oracle replays the probe set) and exact-cosine-scores ONLY
+            // the probed cells' float vectors: a partition-pruned scan,
+            // no rerank stage — `shortlist` has no meaning here and a
+            // caller setting it gets told so rather than ignored
+            require(shortlist < 1,
+              s"shortlist=$shortlist set but the kmeans-layout screen " +
+                "scores exact cosines directly (no ADC rerank stage) — " +
+                "drop shortlist, or REINDEX type=ivfpq for the " +
+                "codes-only screen")
+            val cents = centroidsOf(name)
+            val cellMap =
+              cents.zipWithIndex.map { case (c, i) => i -> c }.toMap
+            val qRows = qs.collect()
+            require(qRows.nonEmpty, "deconScreen: empty eval batch")
+            val cellPairs = qRows.toSeq.flatMap { r =>
+              ProductQuantization.nearestCellsD(
+                  r.getSeq[Float](1).map(_.toDouble).toArray, cellMap,
+                  probeRadius + 1)
+                .map(c => (r.getLong(0), c))
+            }
+            val union = cellPairs.map(_._2).distinct.sorted
+            val cellsDf = cellPairs.toDF("query_id", "cluster_id")
+            data.filter(col("cluster_id").isin(union: _*))
+              .join(broadcast(cellsDf), Seq("cluster_id"))
+              .join(broadcast(qs), Seq("query_id"))
+              .select(col("query_id"),
+                round(graft.functions.cosine_sim(col("embedding"),
+                  col("query_vec")), 6).as("score"),
+                (-col("id").cast("long")).as("nid"))
+          case other => throw new IllegalArgumentException(
+            s"probeRadius=$probeRadius set but layout $other on $name " +
+              "has no decon probe — REINDEX type=ivfpq (with " +
+              "shortlist >= 1) or type=kmeans, or drop probeRadius for " +
+              "the exact screen")
+        }
       } else {
-        require(!probeable,
-          s"probeRadius=$probeRadius set but layout $layout on $name has " +
-            "no codes-only decon probe — REINDEX type=ivfpq (and pass " +
-            "shortlist >= 1), or drop probeRadius for the exact screen")
         data.crossJoin(broadcast(qs))
           .select(col("query_id"),
             round(graft.functions.cosine_sim(col("embedding"),

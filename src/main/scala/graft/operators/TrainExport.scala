@@ -370,9 +370,16 @@ object TrainExport {
     * original edge set separated (route to the smallest-rep side,
     * surface the flag; silently ignoring it would hide real leakage).
     *
+    * The output carries the routing key as `rep` (the inherited match
+    * rep, or the arrival's own id on fallback) so a caller can COMMIT
+    * routed rows back into its assignment table — the step that makes
+    * inheritance transitive: a later arrival that near-dups only THIS
+    * arrival then inherits through its committed (id, rep, split) row
+    * ([[graft.core.GraftDatabase.routeArrivals]] does exactly that).
+    *
     * Scale shape: one batch-keyed aggregation over the match table
     * (match-grain, not corpus-grain) + one left join at batch grain +
-    * pure column math. Output: (id, split, n_matches, bridged).
+    * pure column math. Output: (id, rep, split, n_matches, bridged).
     */
   def routeSplits(assign: DataFrame, matches: DataFrame, batch: DataFrame,
       idCol: String, nSlots: Int = 16, valSlots: Int = 1,
@@ -403,6 +410,7 @@ object TrainExport {
     batch.select(col(idCol).cast("long").as("id"))
       .join(m, Seq("id"), "left_outer")
       .select(col("id"),
+        coalesce(col("w.rep"), col("id")).as("rep"),
         coalesce(col("w.split"),
           when(slot < nSlots - valSlots - testSlots, "train")
             .when(slot < nSlots - testSlots, "val")

@@ -983,43 +983,7 @@ object DedupQueries {
 
     // components + coalesce-to-self + md5-slice placement + per-split
     // stats (count DISTINCT rep is order-blind — safe here)
-    "q335_leakage_safe_split" ->
-      s"""WITH RECURSIVE $shinglesCte,
-         |$signaturesCte,
-         |$bandsCte,
-         |ok_buckets AS (
-         |  SELECT band, band_key FROM bands
-         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
-         |eligible AS (
-         |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM eligible a JOIN eligible b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |edges AS (
-         |  SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION SELECT b_id, a_id FROM pairs),
-         |reach AS (
-         |  SELECT src AS id, src AS r FROM edges
-         |  UNION
-         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
-         |cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
-         |asg AS (
-         |  SELECT d.doc_id AS id, coalesce(cl.rep, d.doc_id) AS rep
-         |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
-         |sp AS (
-         |  SELECT id, rep,
-         |    CASE WHEN slot < 14 THEN 'train'
-         |         WHEN slot < 15 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM (SELECT id, rep,
-         |    CAST(('0x' || substring(md5('split:' || CAST(rep AS VARCHAR)),
-         |      1, 4)) AS BIGINT) % 16 AS slot FROM asg))
-         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters
-         |FROM sp
-         |GROUP BY split
-         |ORDER BY split""".stripMargin,
+    "q335_leakage_safe_split" -> leakageSplitOracleSql,
 
     // the embedding-edge split replay: augmented set (planted copies),
     // q34's bucket screen at the 0.999 cut, components, placement
@@ -1869,91 +1833,10 @@ object DedupQueries {
     // the routing replay: q204's batch screen + q335's corpus
     // components/placement + min-rep inheritance + the own-id fallback
     // (the split is a pure function of the routed key's md5 slice, so
-    // one CASE serves both paths)
-    "q337_split_routing" -> {
-      val corpusChain = minhashChainSql(
-        "SELECT doc_id, text FROM documents", "c")
-      val batchChain = minhashChainSql(
-        "SELECT doc_id + 500000 AS doc_id, text || ' tm1 tm2' AS text " +
-          "FROM documents WHERE doc_id % 7 = 3", "b")
-      s"""WITH RECURSIVE $corpusChain,
-         |$batchChain,
-         |ok AS (
-         |  SELECT band, band_key FROM bandsc
-         |  GROUP BY band, band_key HAVING count(*) <= 1000),
-         |cand AS (
-         |  SELECT DISTINCT bb.doc_id AS a_id, bc.doc_id AS b_id
-         |  FROM bandsb bb
-         |  JOIN bandsc bc ON bb.band = bc.band AND bb.band_key = bc.band_key
-         |  JOIN ok ON bc.band = ok.band AND bc.band_key = ok.band_key),
-         |an AS (SELECT doc_id, count(*) AS an FROM shb GROUP BY doc_id),
-         |bn AS (SELECT doc_id, count(*) AS bn FROM shc GROUP BY doc_id),
-         |shared AS (
-         |  SELECT c.a_id, c.b_id, count(*) AS s
-         |  FROM cand c
-         |  JOIN shb a ON a.doc_id = c.a_id
-         |  JOIN shc b ON b.doc_id = c.b_id AND b.shingle = a.shingle
-         |  GROUP BY c.a_id, c.b_id),
-         |mtch AS (
-         |  SELECT a_id, b_id FROM (
-         |    SELECT c.a_id, c.b_id,
-         |      CAST(COALESCE(s.s, 0) AS DOUBLE)
-         |        / (an.an + bn.bn - COALESCE(s.s, 0)) AS j
-         |    FROM cand c
-         |    LEFT JOIN shared s ON s.a_id = c.a_id AND s.b_id = c.b_id
-         |    JOIN an ON an.doc_id = c.a_id
-         |    JOIN bn ON bn.doc_id = c.b_id)
-         |  WHERE j >= 0.5),
-         |okc AS (
-         |  SELECT band, band_key FROM bandsc
-         |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
-         |prc AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM bandsc a JOIN bandsc b
-         |    ON a.band = b.band AND a.band_key = b.band_key
-         |      AND a.doc_id < b.doc_id
-         |  JOIN okc ON a.band = okc.band AND a.band_key = okc.band_key),
-         |edges AS (
-         |  SELECT a_id AS src, b_id AS dst FROM prc
-         |  UNION SELECT b_id, a_id FROM prc),
-         |reach AS (
-         |  SELECT src AS id, src AS r FROM edges
-         |  UNION
-         |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
-         |cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
-         |asg AS (
-         |  SELECT d.doc_id AS id, coalesce(cl.rep, d.doc_id) AS rep
-         |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
-         |spc AS (
-         |  SELECT id, rep,
-         |    CASE WHEN slot < 14 THEN 'train'
-         |         WHEN slot < 15 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM (SELECT id, rep,
-         |    CAST(('0x' || substring(md5('split:' || CAST(rep AS VARCHAR)),
-         |      1, 4)) AS BIGINT) % 16 AS slot FROM asg)),
-         |mg AS (
-         |  SELECT m.a_id AS id, min(sp.rep) AS minrep,
-         |    CAST(count(*) AS BIGINT) AS n_matches,
-         |    count(DISTINCT sp.split) AS ns
-         |  FROM mtch m JOIN spc sp ON sp.id = m.b_id
-         |  GROUP BY m.a_id),
-         |routed AS (
-         |  SELECT t.doc_id AS id, coalesce(mg.minrep, t.doc_id) AS key,
-         |    coalesce(mg.n_matches, 0) AS n_matches,
-         |    CAST(CASE WHEN coalesce(mg.ns, 1) > 1 THEN 1 ELSE 0 END
-         |      AS BIGINT) AS bridged
-         |  FROM toksb t LEFT JOIN mg ON mg.id = t.doc_id)
-         |SELECT id,
-         |  CASE WHEN slot < 14 THEN 'train'
-         |       WHEN slot < 15 THEN 'val'
-         |       ELSE 'test' END AS split,
-         |  n_matches, bridged
-         |FROM (SELECT *,
-         |  CAST(('0x' || substring(md5('split:' || CAST(key AS VARCHAR)),
-         |    1, 4)) AS BIGINT) % 16 AS slot FROM routed)
-         |ORDER BY id""".stripMargin
-    },
+    // one CASE serves both paths). Shared verbatim by q339 (the managed
+    // ROUTE command on the same corpus + batch through the stored bands)
+    // and q341 (its single-batch streaming twin).
+    "q337_split_routing" -> routeOracleSql,
 
     "q34_embed_neardup" -> {
       val bucket = (0 until 8)
@@ -2055,6 +1938,140 @@ object DedupQueries {
     * bandsCte fragments (which are hardwired to `documents`): emits
     * `sh$p` (distinct shingles) and `bands$p` (banded signatures).
     */
+  /** The q335 oracle — components + coalesce-to-self + md5-slice
+    * placement + per-split stats. Shared verbatim by q338 (the managed
+    * SPLIT command builds the same assignment from the same corpus).
+    */
+  private[queries] lazy val leakageSplitOracleSql: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       |$signaturesCte,
+       |$bandsCte,
+       |ok_buckets AS (
+       |  SELECT band, band_key FROM bands
+       |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+       |eligible AS (
+       |  SELECT bands.* FROM bands JOIN ok_buckets USING (band, band_key)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM eligible a JOIN eligible b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       |cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+       |asg AS (
+       |  SELECT d.doc_id AS id, coalesce(cl.rep, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+       |sp AS (
+       |  SELECT id, rep,
+       |    CASE WHEN slot < 14 THEN 'train'
+       |         WHEN slot < 15 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT id, rep,
+       |    CAST(('0x' || substring(md5('split:' || CAST(rep AS VARCHAR)),
+       |      1, 4)) AS BIGINT) % 16 AS slot FROM asg))
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters
+       |FROM sp
+       |GROUP BY split
+       |ORDER BY split""".stripMargin
+
+  /** The q337 oracle — q204's batch screen + q335's corpus
+    * components/placement + min-rep inheritance + the own-id fallback
+    * (the split is a pure function of the routed key's md5 slice, so one
+    * CASE serves both paths; valid because stored splits equal the slice
+    * of their rep under leakageSafeSplit's rule). Shared verbatim by
+    * q339 (the managed ROUTE command) and q341 (the streaming twin).
+    */
+  private[queries] lazy val routeOracleSql: String = {
+    val corpusChain = minhashChainSql(
+      "SELECT doc_id, text FROM documents", "c")
+    val batchChain = minhashChainSql(
+      "SELECT doc_id + 500000 AS doc_id, text || ' tm1 tm2' AS text " +
+        "FROM documents WHERE doc_id % 7 = 3", "b")
+    s"""WITH RECURSIVE $corpusChain,
+       |$batchChain,
+       |ok AS (
+       |  SELECT band, band_key FROM bandsc
+       |  GROUP BY band, band_key HAVING count(*) <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT bb.doc_id AS a_id, bc.doc_id AS b_id
+       |  FROM bandsb bb
+       |  JOIN bandsc bc ON bb.band = bc.band AND bb.band_key = bc.band_key
+       |  JOIN ok ON bc.band = ok.band AND bc.band_key = ok.band_key),
+       |an AS (SELECT doc_id, count(*) AS an FROM shb GROUP BY doc_id),
+       |bn AS (SELECT doc_id, count(*) AS bn FROM shc GROUP BY doc_id),
+       |shared AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS s
+       |  FROM cand c
+       |  JOIN shb a ON a.doc_id = c.a_id
+       |  JOIN shc b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+       |  GROUP BY c.a_id, c.b_id),
+       |mtch AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      CAST(COALESCE(s.s, 0) AS DOUBLE)
+       |        / (an.an + bn.bn - COALESCE(s.s, 0)) AS j
+       |    FROM cand c
+       |    LEFT JOIN shared s ON s.a_id = c.a_id AND s.b_id = c.b_id
+       |    JOIN an ON an.doc_id = c.a_id
+       |    JOIN bn ON bn.doc_id = c.b_id)
+       |  WHERE j >= 0.5),
+       |okc AS (
+       |  SELECT band, band_key FROM bandsc
+       |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+       |prc AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bandsc a JOIN bandsc b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |      AND a.doc_id < b.doc_id
+       |  JOIN okc ON a.band = okc.band AND a.band_key = okc.band_key),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM prc
+       |  UNION SELECT b_id, a_id FROM prc),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       |cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+       |asg AS (
+       |  SELECT d.doc_id AS id, coalesce(cl.rep, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+       |spc AS (
+       |  SELECT id, rep,
+       |    CASE WHEN slot < 14 THEN 'train'
+       |         WHEN slot < 15 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT id, rep,
+       |    CAST(('0x' || substring(md5('split:' || CAST(rep AS VARCHAR)),
+       |      1, 4)) AS BIGINT) % 16 AS slot FROM asg)),
+       |mg AS (
+       |  SELECT m.a_id AS id, min(sp.rep) AS minrep,
+       |    CAST(count(*) AS BIGINT) AS n_matches,
+       |    count(DISTINCT sp.split) AS ns
+       |  FROM mtch m JOIN spc sp ON sp.id = m.b_id
+       |  GROUP BY m.a_id),
+       |routed AS (
+       |  SELECT t.doc_id AS id, coalesce(mg.minrep, t.doc_id) AS key,
+       |    coalesce(mg.n_matches, 0) AS n_matches,
+       |    CAST(CASE WHEN coalesce(mg.ns, 1) > 1 THEN 1 ELSE 0 END
+       |      AS BIGINT) AS bridged
+       |  FROM toksb t LEFT JOIN mg ON mg.id = t.doc_id)
+       |SELECT id, key AS rep,
+       |  CASE WHEN slot < 14 THEN 'train'
+       |       WHEN slot < 15 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  n_matches, bridged
+       |FROM (SELECT *,
+       |  CAST(('0x' || substring(md5('split:' || CAST(key AS VARCHAR)),
+       |    1, 4)) AS BIGINT) % 16 AS slot FROM routed)
+       |ORDER BY id""".stripMargin
+  }
+
   private[queries] def minhashChainSql(srcSql: String, p: String): String = {
     val mins = (0 until 8)
       .map(s => s"min(substring(md5(shingle), ${s * 4 + 1}, 4)) AS mh$s")

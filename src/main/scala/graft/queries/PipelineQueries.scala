@@ -155,6 +155,50 @@ object PipelineQueries {
         db
       })
 
+  /** The split-lifecycle fixture shared by q339/q340/q341 (NOT cached —
+    * ROUTE mutates the collection, the band artifact, AND the sidecar,
+    * so every gate run builds its own): documents as (id, payload), the
+    * minhash band artifact, and the SPLIT sidecar.
+    */
+  private def routedDocsDb(s: SparkSession, dir: String,
+      prefix: String): GraftDatabase = {
+    val db = scratchDb(s, prefix)
+    db.createCollection("docs", StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", StringType))))
+    db.bulkInsert("docs", Tables.documents(s, dir)
+      .select(col("doc_id").as("id"), col("text").as("payload")))
+    db.reindexMinhash("docs", buckets = 64)
+    db.buildSplits("docs")
+    db
+  }
+
+  // q342's steady-state artifact: the q327 TRAIN slice under the
+  // DETERMINISTIC kmeans layout (REINDEX type=kmeans;trainer=md5 —
+  // md5-seeded Lloyd, so the oracle replays the training AND the
+  // row→cell layout), for the float-pruned decon screen on the
+  // second-most-common layout. Cached: the decon gates only read.
+  private val kmeansDeconDbCache =
+    scala.collection.concurrent.TrieMap.empty[String, GraftDatabase]
+  private def storedKmeansDeconDb(s: SparkSession, dir: String): GraftDatabase =
+    kmeansDeconDbCache.getOrElseUpdate(
+      s"${System.identityHashCode(s)}:$dir", {
+        val db = scratchDb(s, "graft_q342")
+        db.createCollection("train", StructType(Seq(
+          StructField("id", LongType),
+          StructField("embedding", ArrayType(FloatType, containsNull = false)),
+          StructField("label", IntegerType))))
+        db.bulkInsert("train", Tables.embeddings(s, dir)
+          .filter(col("vec_id") % 50 =!= 0)
+          .withColumnRenamed("vec_id", "id"))
+        CommandExecutor.execute(db,
+          graft.commands.CommandParser.parse(Some("train"), "REINDEX",
+              Some("type=kmeans;trainer=md5;k=8;rounds=1"))
+            .fold(e => throw new IllegalArgumentException(e.message),
+              identity)).collect()
+        db
+      })
+
   // q267's steady-state artifact: ONE hybrid collection carrying BOTH
   // retrieval artifacts — the sign-bucket cell layout + stored int8 copy
   // (the dense ANN side) and the term-bucket postings (the sparse side).
@@ -1455,6 +1499,126 @@ object PipelineQueries {
         trainDb, "train", sink, sc)
     }),
 
+    // The managed SPLIT command (r15 verdict item 1 — splits as a
+    // LIFECYCLE, not just an API): documents ingested as a collection,
+    // `SPLIT` builds the (id, rep, split) sidecar (near-dup candidate
+    // pairs over payloads + leakageSafeSplit's md5-slice placement,
+    // committed under the generation pointer) and returns the per-split
+    // summary. Command ≡ operator: q335's oracle verbatim.
+    "q338_split_cmd" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q338")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "SPLIT", None)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+    }),
+
+    // The managed ROUTE command: q337's arrival batch through the FULL
+    // lifecycle — stored-band screen (REINDEX type=minhash, never a
+    // corpus rescan), split inheritance from the committed sidecar,
+    // routed assignments committed back, arrivals inserted + the band
+    // artifact refreshed. Command ≡ operator: q337's oracle verbatim
+    // (the managed screen and the in-query screen share every parameter:
+    // shingleN 5 / 8 hashes / 4×2 bands / jaccard 0.5 / cap 1000).
+    "q339_route_cmd" -> ((s, dir) => {
+      val db = routedDocsDb(s, dir, "graft_q339")
+      val f = Scratch.dir("graft_q339b") + "/batch.parquet"
+      Tables.documents(s, dir).filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("id"),
+          concat(col("text"), lit(" tm1 tm2")).as("payload"))
+        .write.mode("overwrite").parquet(f)
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "ROUTE",
+            Some(s"batch=$f;threshold=0.5"))
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+    }),
+
+    // TRANSITIVE inheritance — the leak the r15 verdict called out,
+    // closed and gated: batch 1 is NEW content (vowel-flattened text —
+    // shingle-disjoint from the corpus, so every arrival routes by its
+    // own-id fallback and COMMITS that placement), batch 1 is admitted
+    // (insert + band refresh), then batch 2 near-dups ONLY batch-1
+    // arrivals (their text + the q337 marker tokens) and must inherit
+    // the ROUTED placement — slice(md5(batch-1 id)), not its own
+    // slice(md5(batch-2 id)), which is what the one-generation API form
+    // would produce. The oracle replays all three screens end to end:
+    // corpus assignment, batch-1 routing, the batch-2 screen against
+    // corpus ∪ batch-1 bands, min-rep inheritance over the UNION
+    // assignment table.
+    "q340_route_gen2" -> ((s, dir) => {
+      val db = routedDocsDb(s, dir, "graft_q340")
+      def route(path: String) = CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "ROUTE",
+            Some(s"batch=$path;threshold=0.5"))
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+      val base = Tables.documents(s, dir).filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "[aeiou]", "0").as("flat"))
+      val f1 = Scratch.dir("graft_q340b1") + "/batch.parquet"
+      base.select((col("doc_id") + 500000L).as("id"),
+        col("flat").as("payload")).write.mode("overwrite").parquet(f1)
+      route(f1).collect() // batch 1: routed, committed, admitted
+      val f2 = Scratch.dir("graft_q340b2") + "/batch.parquet"
+      base.select((col("doc_id") + 600000L).as("id"),
+        concat(col("flat"), lit(" tm1 tm2")).as("payload"))
+        .write.mode("overwrite").parquet(f2)
+      route(f2) // batch 2: inherits through batch 1's committed rows
+    }),
+
+    // CONTINUOUS split routing (the r15 verdict's streaming-twin item):
+    // the q339 arrival batch ARRIVES as a stream; each micro-batch
+    // screens, inherits, commits, and is admitted inside foreachBatch
+    // (serial micro-batches + per-batch sidecar commits = the
+    // cross-batch inheritance contract; StreamingRoutingSpec pins the
+    // two-batch case). Single-batch run ≡ batch ROUTE: q337's oracle
+    // verbatim (per-arrival independence within the batch).
+    "q341_stream_routing" -> ((s, dir) => {
+      val db = routedDocsDb(s, dir, "graft_q341")
+      val sink = scratchDb(s, "graft_q341s")
+      val sc = Scratch.name("routed")
+      sink.createCollection(sc, StructType(Seq(
+        StructField("id", LongType),
+        StructField("rep", LongType),
+        StructField("split", StringType),
+        StructField("n_matches", LongType),
+        StructField("bridged", LongType))))
+      graft.streaming.StreamingIngest.streamRouteSplits(s, dir,
+        db, "docs", sink, sc,
+        arrivals = raw => raw.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 500000L).as("id"),
+            concat(col("text"), lit(" tm1 tm2")).as("payload")))
+    }),
+
+    // The decon screen on the KMEANS layout (r15 verdict item 3 — the
+    // second-most-common layout gets the pruned screen): same planted
+    // eval batch as q327, but the collection carries no codes — the
+    // screen prunes to each query's radius+1 nearest coarse cells
+    // (rounded-l2 probe rule) and exact-cosine-scores ONLY those cells'
+    // float vectors (a partition-pruned scan; no shortlist stage).
+    // Planted copies score 1.0 in their own always-probed cell —
+    // recall 1.0 by construction (the query's #1 cell IS the copy's
+    // assignment cell: same rounded argmin). trainer=md5 makes the
+    // whole chain — training, layout, probe, rerank — oracle-replayable.
+    "q342_decon_kmeans" -> ((s, dir) => {
+      val db = storedKmeansDeconDb(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val donors = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("donor_vec"))
+      val evalQ = broadcast(emb.filter(col("vec_id") % 50 === 0))
+        .join(donors, Seq("vec_id"))
+        .select(col("vec_id").as("query_id"),
+          when(expr("(vec_id DIV 50) % 3") === 0, col("donor_vec"))
+            .otherwise(col("embedding")).as("query_vec"))
+      db.deconScreen("train", evalQ, threshold = 0.5, probeRadius = 1)
+    }),
+
     // Batch serving at the COMMAND surface (r13 verdict item 6): the
     // same batch as q310 through SEARCHHYBRID's `queries=<file>` grammar
     // (one qid|terms|vec line per query — Float.toString round-trips, so
@@ -2361,6 +2525,146 @@ object PipelineQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** The q340 oracle — transitive split inheritance replayed end to end.
+    * Three screen chains: the corpus (c), batch 1 (b — vowel-flattened
+    * text at id + 500000, shingle-disjoint new content), batch 2 (d —
+    * batch-1 text + the q337 marker tokens at id + 600000). Then:
+    * corpus components + placement (q335's chain), batch-1 routing
+    * (min-rep inheritance, own-id fallback — its committed rows carry
+    * rep = routing key, so split = slice(rep) holds for them exactly as
+    * for corpus rows), the batch-2 screen against corpus ∪ batch-1
+    * bands WITH the hot-bucket cap over the union (the implementation's
+    * refreshed artifact), and batch-2 routing over the UNION assignment
+    * table. Output: batch 2's routed rows.
+    */
+  private lazy val routeGen2Sql: String = {
+    val corpusChain = DedupQueries.minhashChainSql(
+      "SELECT doc_id, text FROM documents", "c")
+    val b1Chain = DedupQueries.minhashChainSql(
+      "SELECT doc_id + 500000 AS doc_id, " +
+        "regexp_replace(text, '[aeiou]', '0', 'g') AS text " +
+        "FROM documents WHERE doc_id % 7 = 3", "b")
+    val b2Chain = DedupQueries.minhashChainSql(
+      "SELECT doc_id + 600000 AS doc_id, " +
+        "regexp_replace(text, '[aeiou]', '0', 'g') || ' tm1 tm2' AS text " +
+        "FROM documents WHERE doc_id % 7 = 3", "d")
+    s"""WITH RECURSIVE $corpusChain,
+       |$b1Chain,
+       |$b2Chain,
+       |ok1 AS (
+       |  SELECT band, band_key FROM bandsc
+       |  GROUP BY band, band_key HAVING count(*) <= 1000),
+       |cand1 AS (
+       |  SELECT DISTINCT bb.doc_id AS a_id, bc.doc_id AS b_id
+       |  FROM bandsb bb
+       |  JOIN bandsc bc ON bb.band = bc.band AND bb.band_key = bc.band_key
+       |  JOIN ok1 ON bc.band = ok1.band AND bc.band_key = ok1.band_key),
+       |an1 AS (SELECT doc_id, count(*) AS an FROM shb GROUP BY doc_id),
+       |cn AS (SELECT doc_id, count(*) AS cn FROM shc GROUP BY doc_id),
+       |sh1 AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS s
+       |  FROM cand1 c
+       |  JOIN shb a ON a.doc_id = c.a_id
+       |  JOIN shc b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+       |  GROUP BY c.a_id, c.b_id),
+       |mtch1 AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      CAST(COALESCE(s.s, 0) AS DOUBLE)
+       |        / (an1.an + cn.cn - COALESCE(s.s, 0)) AS j
+       |    FROM cand1 c
+       |    LEFT JOIN sh1 s ON s.a_id = c.a_id AND s.b_id = c.b_id
+       |    JOIN an1 ON an1.doc_id = c.a_id
+       |    JOIN cn ON cn.doc_id = c.b_id)
+       |  WHERE j >= 0.5),
+       |okc AS (
+       |  SELECT band, band_key FROM bandsc
+       |  GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+       |prc AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bandsc a JOIN bandsc b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |      AND a.doc_id < b.doc_id
+       |  JOIN okc ON a.band = okc.band AND a.band_key = okc.band_key),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM prc
+       |  UNION SELECT b_id, a_id FROM prc),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       |cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+       |asg AS (
+       |  SELECT d.doc_id AS id, coalesce(cl.rep, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+       |mg1 AS (
+       |  SELECT m.a_id AS id, min(sp.rep) AS minrep
+       |  FROM mtch1 m JOIN asg sp ON sp.id = m.b_id
+       |  GROUP BY m.a_id),
+       |a1 AS (
+       |  SELECT t.doc_id AS id, coalesce(mg1.minrep, t.doc_id) AS rep
+       |  FROM toksb t LEFT JOIN mg1 ON mg1.id = t.doc_id),
+       |au AS (SELECT id, rep FROM asg UNION ALL SELECT id, rep FROM a1),
+       |spu AS (
+       |  SELECT id, rep,
+       |    CASE WHEN slot < 14 THEN 'train'
+       |         WHEN slot < 15 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT id, rep,
+       |    CAST(('0x' || substring(md5('split:' || CAST(rep AS VARCHAR)),
+       |      1, 4)) AS BIGINT) % 16 AS slot FROM au)),
+       |bands2 AS (
+       |  SELECT * FROM bandsc UNION ALL SELECT * FROM bandsb),
+       |shu AS (SELECT * FROM shc UNION ALL SELECT * FROM shb),
+       |un AS (SELECT doc_id, count(*) AS un FROM shu GROUP BY doc_id),
+       |ok2 AS (
+       |  SELECT band, band_key FROM bands2
+       |  GROUP BY band, band_key HAVING count(*) <= 1000),
+       |cand2 AS (
+       |  SELECT DISTINCT bd.doc_id AS a_id, b2.doc_id AS b_id
+       |  FROM bandsd bd
+       |  JOIN bands2 b2 ON bd.band = b2.band AND bd.band_key = b2.band_key
+       |  JOIN ok2 ON b2.band = ok2.band AND b2.band_key = ok2.band_key),
+       |dn AS (SELECT doc_id, count(*) AS dn FROM shd GROUP BY doc_id),
+       |sh2 AS (
+       |  SELECT c.a_id, c.b_id, count(*) AS s
+       |  FROM cand2 c
+       |  JOIN shd a ON a.doc_id = c.a_id
+       |  JOIN shu b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+       |  GROUP BY c.a_id, c.b_id),
+       |mtch2 AS (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT c.a_id, c.b_id,
+       |      CAST(COALESCE(s.s, 0) AS DOUBLE)
+       |        / (dn.dn + un.un - COALESCE(s.s, 0)) AS j
+       |    FROM cand2 c
+       |    LEFT JOIN sh2 s ON s.a_id = c.a_id AND s.b_id = c.b_id
+       |    JOIN dn ON dn.doc_id = c.a_id
+       |    JOIN un ON un.doc_id = c.b_id)
+       |  WHERE j >= 0.5),
+       |mg2 AS (
+       |  SELECT m.a_id AS id, min(sp.rep) AS minrep,
+       |    CAST(count(*) AS BIGINT) AS n_matches,
+       |    count(DISTINCT sp.split) AS ns
+       |  FROM mtch2 m JOIN spu sp ON sp.id = m.b_id
+       |  GROUP BY m.a_id),
+       |routed2 AS (
+       |  SELECT t.doc_id AS id, coalesce(mg2.minrep, t.doc_id) AS key,
+       |    coalesce(mg2.n_matches, 0) AS n_matches,
+       |    CAST(CASE WHEN coalesce(mg2.ns, 1) > 1 THEN 1 ELSE 0 END
+       |      AS BIGINT) AS bridged
+       |  FROM toksd t LEFT JOIN mg2 ON mg2.id = t.doc_id)
+       |SELECT id, key AS rep,
+       |  CASE WHEN slot < 14 THEN 'train'
+       |       WHEN slot < 15 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  n_matches, bridged
+       |FROM (SELECT *,
+       |  CAST(('0x' || substring(md5('split:' || CAST(key AS VARCHAR)),
+       |    1, 4)) AS BIGINT) % 16 AS slot FROM routed2)
+       |ORDER BY id""".stripMargin
+  }
+
   private lazy val postingsRefreshSql: String =
       """WITH cur AS (
         |  SELECT doc_id AS id, text AS payload FROM documents
@@ -2924,6 +3228,26 @@ object PipelineQueries {
 
     // the managed screen equals the raw operator: q204's oracle verbatim
     "q207_screen_dupes" -> DedupQueries.oracles("q204_incoming_dedup"),
+
+    // the managed SPLIT command equals the operator composition: q335's
+    // oracle verbatim
+    "q338_split_cmd" -> DedupQueries.leakageSplitOracleSql,
+    // the managed ROUTE command equals the operator composition: q337's
+    // oracle verbatim (same corpus, same batch, same screen family)
+    "q339_route_cmd" -> DedupQueries.routeOracleSql,
+    // the single-batch streaming routing run equals the batch ROUTE
+    // (per-arrival independence within the batch): q337's oracle verbatim
+    "q341_stream_routing" -> DedupQueries.routeOracleSql,
+    // transitive-inheritance replay: corpus assignment + batch-1 routing
+    // (own-id fallback on shingle-disjoint content) + batch-2 screen
+    // against corpus ∪ batch-1 bands + min-rep inheritance over the
+    // UNION assignment table
+    "q340_route_gen2" -> routeGen2Sql,
+
+    // the kmeans-layout decon replay: md5-seeded coarse training over
+    // the train slice, rounded-l2 probe cells, exact rounded cosine over
+    // probed rows only, rounded top-1, flag at 0.5
+    "q342_decon_kmeans" -> VectorQueries.deconKmeansSql(2),
     "q215_screen_substrings" -> DedupQueries.oracles("q213_incoming_substring"),
     "q225_winsig_refresh" -> winsigRefreshSql,
     // winsig compaction is content-preserving: q225's oracle verbatim

@@ -1194,6 +1194,49 @@ object VectorQueries {
       |WHERE rn = 1
       |ORDER BY eval_id""".stripMargin
 
+  /** The q342 oracle: the KMEANS-layout decon replay — the md5-seeded
+    * coarse training ([[graft.core.GraftDatabase.reindexKMeansMd5]]'s
+    * trainCodebooks m=1 / k=8 / 1 round / seed "ivf") over the TRAIN
+    * slice, q326's planted eval queries, each query's `nprobe` nearest
+    * cells by the rounded-l2 probe rule, exact ROUNDED cosine over the
+    * probed cells' rows only (no shortlist stage — this layout has no
+    * codes), top-1 with vec_id tie-break, flag at 0.5.
+    */
+  private[queries] def deconKmeansSql(nprobe: Int): String =
+    """WITH e2 AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE vec_id % 50 <> 0),
+      |""".stripMargin +
+    pqTrainBody("e2", "ivf", 1, 64, 8, "k") +
+    s""",
+      |qs4 AS (
+      |  SELECT e.vec_id AS query_id,
+      |    CASE WHEN (e.vec_id // 50) % 3 = 0
+      |         THEN CAST(d.embedding AS DOUBLE[])
+      |         ELSE CAST(e.embedding AS DOUBLE[]) END AS qv
+      |  FROM embeddings e JOIN embeddings d ON d.vec_id = e.vec_id + 1
+      |  WHERE e.vec_id % 50 = 0),
+      |probed AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid, row_number() OVER (
+      |      PARTITION BY q.query_id
+      |      ORDER BY round(list_distance(c.cent, q.qv), 6), c.cid) AS rn
+      |    FROM kc1 c CROSS JOIN qs4 q) WHERE rn <= $nprobe),
+      |rr AS (
+      |  SELECT p.query_id, kc.vec_id,
+      |    round(list_cosine_similarity(e2.v, q.qv), 6) AS score
+      |  FROM probed p
+      |  JOIN kcodes kc ON kc.cid = p.cid
+      |  JOIN e2 ON e2.vec_id = kc.vec_id
+      |  JOIN qs4 q ON q.query_id = p.query_id)
+      |SELECT query_id AS eval_id, vec_id AS train_id, score,
+      |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS contaminated
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY score DESC, vec_id) AS rn FROM rr)
+      |WHERE rn = 1
+      |ORDER BY eval_id""".stripMargin
+
   // Seed-parameterized batch kmeans-IVFPQ replay (q170 uses the raw
   // gate's seeds, q173 the reindex's): coarse m=1 training, residuals,
   // fine training, 3 queries × nprobe=2 probed cells, per-(query, cell)

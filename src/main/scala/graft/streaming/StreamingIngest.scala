@@ -1144,12 +1144,18 @@ object StreamingIngest {
       .select(col("vec_id").as("query_id"),
         when(expr("(vec_id DIV 50) % 3") === 0, col("donor_vec"))
           .otherwise(col("embedding")).as("query_vec"))
+    // foreachBatch is at-least-once: a retried micro-batch must not
+    // double-append verdict rows to the sink collection. The applied-set
+    // check is the standard batchId-idempotency contract (scoped to this
+    // run, which is also the checkpointless harness run's replay scope —
+    // a checkpointed restart would re-screen from the source anyway).
+    val applied = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val q = evalStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+          org.apache.spark.sql.Row], batchId: Long) =>
         // an empty micro-batch must not pay a screen (probe derivation
         // requires a non-empty query batch — the r10 empty-batch rule)
-        if (!batch.isEmpty)
+        if (applied.add(batchId) && !batch.isEmpty)
           sinkDb.bulkInsert(sinkColl,
             trainDb.deconScreen(trainColl, batch, threshold,
               probeRadius, shortlist))
@@ -1158,6 +1164,58 @@ object StreamingIngest {
       .start()
     try q.processAllAvailable() finally q.stop()
     sinkDb.read(sinkColl).orderBy("eval_id")
+  }
+
+  /** STREAMING split routing — [[graft.core.GraftDatabase.routeArrivals]]
+    * as a continuous admission pipeline (arrivals are the definitionally
+    * streaming input of the split lifecycle): arriving documents stream
+    * in, and each micro-batch screens against the stored bands, inherits
+    * from the committed assignment table, COMMITS its routed assignments
+    * into the split sidecar, and is inserted + band-refreshed BEFORE the
+    * next batch screens — the cross-batch contract that makes
+    * inheritance hold across micro-batches (batch N+1's near-dups of a
+    * batch-N arrival inherit batch N's routed placement; foreachBatch's
+    * serial execution provides the ordering, routeArrivals the commit).
+    * Per-arrival independence within a batch makes the single-batch run
+    * equal the batch ROUTE — the gate (q341) is q339's oracle verbatim;
+    * the cross-batch inheritance order is spec-pinned
+    * (StreamingRoutingSpec).
+    *
+    * batchId idempotency (the streamDeconScreen rule): a retried
+    * micro-batch is skipped rather than re-routed — necessary here not
+    * just against double-append but because routeArrivals' write-once id
+    * contract would refuse the replayed ids loudly mid-stream.
+    *
+    * `arrivals` maps the raw streaming frame to (id, payload) rows —
+    * the caller owns the arrival construction; verdict rows land in
+    * `sinkDb.sinkColl` ((id, rep, split, n_matches, bridged) schema).
+    */
+  def streamRouteSplits(spark: SparkSession, sfDir: String,
+      db: graft.core.GraftDatabase, coll: String,
+      sinkDb: graft.core.GraftDatabase, sinkColl: String,
+      arrivals: DataFrame => DataFrame,
+      threshold: Double = 0.5,
+      maxFilesPerTrigger: Option[Int] = None,
+      glob: String = "documents.parquet"): DataFrame = {
+    val schema = spark.read.option("pathGlobFilter", glob)
+      .parquet(sfDir).schema
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    val stream = arrivals(reader.parquet(sfDir))
+    val applied = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        if (applied.add(batchId) && !batch.isEmpty)
+          sinkDb.bulkInsert(sinkColl,
+            db.routeArrivals(coll, batch, threshold))
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    sinkDb.read(sinkColl).orderBy("id")
   }
 
   /** STREAMING funnel latency (r14 verdict item 5 — the funnel family's

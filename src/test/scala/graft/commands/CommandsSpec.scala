@@ -54,6 +54,18 @@ class CommandsSpec extends AnyFunSuite {
       Right(Stats("c1")))
     assert(CommandParser.parse(None, "STATS", None) ==
       Left(CommandError.MissingCollection("STATS")))
+    // SPLIT: collection required, arg optional (slots/val/test kv)
+    assert(CommandParser.parse(Some("c1"), "split", None) ==
+      Right(Split("c1", None)))
+    assert(CommandParser.parse(Some("c1"), "SPLIT", Some("slots=32")) ==
+      Right(Split("c1", Some("slots=32"))))
+    assert(CommandParser.parse(None, "SPLIT", None) ==
+      Left(CommandError.MissingCollection("SPLIT")))
+    // ROUTE: collection + arg required
+    assert(CommandParser.parse(Some("c1"), "route", Some("batch=/p/b.parquet")) ==
+      Right(Route("c1", "batch=/p/b.parquet")))
+    assert(CommandParser.parse(Some("c1"), "ROUTE", None) ==
+      Left(CommandError.MissingArg("ROUTE")))
   }
 
   test("executor: LISTINDEXES inventory tracks the stale/rebuild lifecycle") {

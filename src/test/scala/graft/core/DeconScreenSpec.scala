@@ -94,16 +94,68 @@ class DeconScreenSpec extends AnyFunSuite {
 
   test("probeRadius on an unprobeable layout is loud; non-integral query_id refuses") {
     val db = trainDb()
-    db.reindex("train", nBits = 4) // sign_bucket: no codes-only decon path
+    db.reindex("train", nBits = 4) // sign_bucket: no decon probe path
     val e = intercept[IllegalArgumentException] {
       db.deconScreen("train", evalQ(), probeRadius = 1, shortlist = 20)
         .collect()
     }
-    assert(e.getMessage.contains("no codes-only decon probe"))
+    assert(e.getMessage.contains("no decon probe"))
     val bad = evalQ().withColumn("query_id", concat(lit("q"),
       col("query_id").cast("string")))
     assert(intercept[IllegalArgumentException] {
       db.deconScreen("train", bad)
     }.getMessage.contains("integral"))
+  }
+
+  test("probeRadius on an UNINDEXED collection (no cluster_id) is loud — never a silent exact scan") {
+    val db = trainDb() // no REINDEX at all
+    val e = intercept[IllegalArgumentException] {
+      db.deconScreen("train", evalQ(), probeRadius = 1)
+    }
+    assert(e.getMessage.contains("no cluster_id"), e.getMessage)
+    // and WITHOUT probeRadius the exact screen still serves
+    assert(db.deconScreen("train", evalQ()).count() > 0)
+  }
+
+  test("kmeans layout: pruned screen recall 1.0 on planted copies; flags match exact; shortlist refuses") {
+    val db = trainDb()
+    db.reindexKMeansMd5("train", k = 4, rounds = 1)
+    val qs = evalQ()
+    val pruned = db.deconScreen("train", qs, threshold = 0.5,
+        probeRadius = 1)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    val exact = db.deconScreen("train", qs, threshold = 0.5)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(pruned.nonEmpty && pruned.map(_._1) == exact.map(_._1))
+    val planted = pruned.filter { case (eid, _, _, _) => (eid / 50) % 3 == 0 }
+    assert(planted.nonEmpty, "fixture must contain planted evals")
+    // a planted copy's assignment cell IS the query's #1 probe cell
+    // (identical rounded argmin), so it is always scanned: 1.0, donor id
+    planted.foreach { case (eid, tid, score, flag) =>
+      assert(flag == 1L && score == 1.0 && tid == eid + 1,
+        s"planted eval $eid: ($tid, $score, $flag)")
+    }
+    // pruning can only LOWER a clean score — no clean eval gains a flag
+    val exactFlags = exact.map(r => r._1 -> r._4).toMap
+    pruned.foreach { case (eid, _, _, flag) =>
+      assert(flag == exactFlags(eid), s"flag mismatch on eval $eid")
+    }
+    // shortlist has no meaning on this layout: loud, not ignored
+    assert(intercept[IllegalArgumentException] {
+      db.deconScreen("train", qs, probeRadius = 1, shortlist = 20)
+    }.getMessage.contains("no ADC rerank stage"))
+  }
+
+  test("kmeans pruned screen scans only probed cells (partition-pruned float scan)") {
+    val db = trainDb()
+    db.reindexKMeansMd5("train", k = 4, rounds = 1)
+    val df = db.deconScreen("train", evalQ(), threshold = 0.5,
+      probeRadius = 0) // nprobe = 1: a strict subset of cells
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PartitionFilters: \\[[^\\]]*cluster_id".r.findFirstIn(p).isDefined,
+      s"the kmeans screen must prune to probed cells:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 }

@@ -1,0 +1,149 @@
+package graft.core
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The managed split lifecycle (r15 verdict item 1 — splits as a
+  * first-class capability, not just an API):
+  *
+  *  - SPLIT builds the (id, rep, split) sidecar under the generation
+  *    pointer; no near-dup pair ever straddles a split (the
+  *    leakageSafeSplit invariant through the managed surface);
+  *  - ROUTE commits routed arrivals BACK into the sidecar, so
+  *    inheritance is TRANSITIVE — a second-generation arrival that
+  *    near-dups only a ROUTED arrival inherits ITS placement;
+  *  - splits are write-once per id (a re-route refuses loudly);
+  *  - a crash between segment write and marker leaves an orphan the
+  *    readers never see; a re-SPLIT atomically supersedes every ROUTE;
+  *  - insert=false commits the assignment without admitting the batch.
+  */
+class SplitLifecycleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // distinctive long texts: every doc clears the 5-token shingle floor,
+  // and the two "dup" docs share their full text (jaccard 1.0)
+  private val corpusDocs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (3L, "one two three four five six seven eight nine ten"),
+    (4L, "red orange yellow green blue indigo violet cyan magenta white"))
+
+  private def db(): GraftDatabase = {
+    val parent = Files.createTempDirectory("graft_splits").toString
+    val d = GraftDatabase.create(spark, parent, "db")
+    d.createCollection("docs", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType))))
+    d.bulkInsert("docs", corpusDocs.toDF("id", "payload"))
+    d.reindexMinhash("docs", buckets = 4)
+    d
+  }
+
+  test("SPLIT: sidecar committed, summary matches assignments, no near-dup pair straddles") {
+    val d = db()
+    val summary = d.buildSplits("docs")
+      .as[(String, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(summary.values.map(_._1).sum == corpusDocs.size.toLong)
+    val assign = d.splitAssignments("docs")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(assign.size == corpusDocs.size)
+    // docs 1 and 2 are exact dups: one cluster, one split, min-id rep
+    assert(assign(1L)._2 == 1L && assign(2L)._2 == 1L)
+    assert(assign(1L)._3 == assign(2L)._3)
+    // the sidecar shows up in the artifact inventory
+    assert(d.listIndexes("docs").as[(String, String)].collect()
+      .contains(("splits", "live")))
+  }
+
+  test("ROUTE: transitive inheritance through a committed routed arrival") {
+    val d = db()
+    d.buildSplits("docs")
+    // batch 1: NEW content (matches nothing) → own-id fallback, committed
+    val b1 = Seq((100L, "zork quux fnord blarg wibble wobble flib glorp snark quib"))
+      .toDF("id", "payload")
+    val r1 = d.routeArrivals("docs", b1)
+      .as[(Long, Long, String, Long, Long)].collect().head
+    assert(r1._2 == 100L && r1._4 == 0L, s"batch 1 must fall back: $r1")
+    // batch 2: an exact copy of the ROUTED arrival (and of nothing else)
+    val b2 = Seq((200L, "zork quux fnord blarg wibble wobble flib glorp snark quib"))
+      .toDF("id", "payload")
+    val r2 = d.routeArrivals("docs", b2)
+      .as[(Long, Long, String, Long, Long)].collect().head
+    assert(r2._2 == 100L && r2._3 == r1._3 && r2._4 == 1L,
+      s"batch 2 must inherit the ROUTED arrival's placement: $r2 vs $r1")
+    // both commits are visible in the assignment table
+    val assign = d.splitAssignments("docs")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(assign.contains(100L) && assign.contains(200L))
+    assert(assign(200L)._3 == assign(100L)._3)
+  }
+
+  test("splits are write-once per id: a re-route refuses loudly") {
+    val d = db()
+    d.buildSplits("docs")
+    val b = Seq((100L, "zork quux fnord blarg wibble wobble flib glorp snark quib"))
+      .toDF("id", "payload")
+    d.routeArrivals("docs", b).collect()
+    val e = intercept[IllegalArgumentException] {
+      d.routeArrivals("docs", b.withColumn("payload", lit("other text")))
+    }
+    assert(e.getMessage.contains("write-once"), e.getMessage)
+    // a CORPUS id collides too (SPLIT placed it)
+    assert(intercept[IllegalArgumentException] {
+      d.routeArrivals("docs", Seq((1L, "x y z w v u t s r q"))
+        .toDF("id", "payload"))
+    }.getMessage.contains("write-once"))
+  }
+
+  test("crash window: an unmarked routed segment is invisible; re-SPLIT supersedes all routes") {
+    val d = db()
+    d.buildSplits("docs")
+    d.routeArrivals("docs",
+      Seq((100L, "zork quux fnord blarg wibble wobble flib glorp snark quib"))
+        .toDF("id", "payload")).collect()
+    assert(d.splitAssignments("docs").count() == corpusDocs.size + 1L)
+    // simulate a crash between segment write and marker: data, no .done
+    val genDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(d.root, "graft_splits_docs"), "gen_0")
+    Seq((999L, 999L, "train")).toDF("id", "rep", "split")
+      .write.mode("overwrite").parquet(
+        new org.apache.hadoop.fs.Path(genDir, "routed_7").toString)
+    assert(d.splitAssignments("docs").filter(col("id") === 999L).count() == 0,
+      "an unmarked segment must never be read")
+    // a rebuild supersedes the base AND every routed segment: the batch-1
+    // arrival (inserted into the collection) is re-placed by the rebuild,
+    // and no routed segment survives
+    d.buildSplits("docs")
+    val after = d.splitAssignments("docs")
+      .as[(Long, Long, String)].collect().map(_._1).toSet
+    assert(after == (corpusDocs.map(_._1).toSet + 100L))
+    // the next route starts from segment 0 of the NEW generation
+    d.routeArrivals("docs",
+      Seq((300L, "aaa bbb ccc ddd eee fff ggg hhh iii jjj"))
+        .toDF("id", "payload")).collect()
+    assert(d.splitAssignments("docs").filter(col("id") === 300L).count() == 1)
+  }
+
+  test("insert=false: assignment committed, batch NOT admitted") {
+    val d = db()
+    d.buildSplits("docs")
+    d.routeArrivals("docs",
+      Seq((100L, "zork quux fnord blarg wibble wobble flib glorp snark quib"))
+        .toDF("id", "payload"), insert = false).collect()
+    assert(d.splitAssignments("docs").filter(col("id") === 100L).count() == 1)
+    assert(d.read("docs").filter(col("id") === 100L).count() == 0)
+    // ROUTE before SPLIT is loud
+    val d2 = db()
+    assert(intercept[IllegalArgumentException] {
+      d2.routeArrivals("docs", Seq((1L, "x")).toDF("id", "payload"))
+    }.getMessage.contains("run SPLIT before ROUTE"))
+  }
+}

@@ -67,18 +67,23 @@ class TrainExportSpec extends AnyFunSuite {
       .toDF("a_id", "b_id")
     val batch = Seq(100L, 101L, 102L, 103L).toDF("doc_id")
     val out = TrainExport.routeSplits(assign, matches, batch, "doc_id")
-      .as[(Long, String, Long, Long)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
-    assert(out(100L) == (("train", 2L, 0L)))
-    assert(out(101L) == (("test", 1L, 0L)))
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // rep carries the routing key (the inherited match rep / the own id
+    // on fallback) so a caller can COMMIT routed rows into its
+    // assignment table — the transitive-inheritance handle
+    assert(out(100L) == ((1L, "train", 2L, 0L)))
+    assert(out(101L) == ((10L, "test", 1L, 0L)))
     // bridged: matches span train AND test; routes by smallest rep (1)
-    assert(out(102L) == (("train", 2L, 1L)))
-    // unmatched: the same slice rule leakageSafeSplit gives a singleton
+    assert(out(102L) == ((1L, "train", 2L, 1L)))
+    // unmatched: the same slice rule leakageSafeSplit gives a singleton,
+    // and the committed rep is the arrival's own id
     val fallback = TrainExport.leakageSafeSplit(
         Seq((103L, "x")).toDF("doc_id", "text"),
         Seq.empty[(Long, Long)].toDF("a_id", "b_id"), "doc_id")
       .select("split").as[String].head()
-    assert(out(103L)._1 == fallback && out(103L)._2 == 0L)
+    assert(out(103L)._1 == 103L && out(103L)._2 == fallback &&
+      out(103L)._3 == 0L)
   }
 
   test("withShard: deterministic, uniform-ish, power-of-two contract") {
