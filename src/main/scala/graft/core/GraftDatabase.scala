@@ -280,14 +280,23 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def exportCollection(name: String, path: String,
       format: String = "jsonl", nShards: Int = 8): DataFrame = {
+    import spark.implicits._
     val (cur, nSh) = exportPrep(name, format, nShards)
     val shardExpr = exportShardExpr(nSh)
+    // the per-shard audit rides the write pass itself: an observe()
+    // metrics node carrying ONE bounded histogram aggregate (O(1)/row,
+    // nSh-long buffer) — the export touches the collection exactly ONCE
+    // (the r15 verdict's zero-extra-pass ask; the prior audit paid a
+    // second id-only scan, which at 100 TB is still a corpus pass)
+    val obs = org.apache.spark.sql.Observation()
+    val histo = udaf(new graft.operators.ShardHistogram(nSh))
     val sharded = cur
       .withColumn("shard", shardExpr)
       // one task per shard → one file per shard dir; the sort pins the
       // file's row order so the exported bytes are reproducible
       .repartition(nSh, col("shard"))
       .sortWithinPartitions("shard", "id")
+      .observe(obs, histo(col("shard")).as("per_shard"))
     format match {
       case "jsonl" => sharded.write.mode("overwrite").partitionBy("shard")
         .json(path)
@@ -303,14 +312,12 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       case other => throw new IllegalArgumentException(
         s"EXPORT format must be jsonl, csv, parquet, or text, got: $other")
     }
-    // per-shard audit WITHOUT re-executing the write plan: the shard is a
-    // pure function of id, so the summary aggregates the shard expression
-    // straight off an id-only projection of the collection — a
-    // column-pruned scan, no exchange/sort replay (at 100 TB the write
-    // plan's shuffle would otherwise run twice for a ≤-nShards-row report)
-    read(name).select(shardExpr.as("shard"))
-      .groupBy("shard").agg(count(lit(1)).as("n_rows"))
-      .orderBy("shard")
+    // the write was the action — the metrics are already collected;
+    // zero-row shards drop (partitionBy parity: their dirs don't exist)
+    val counts = obs.get("per_shard").asInstanceOf[scala.collection.Seq[Long]]
+    counts.toSeq.zipWithIndex.collect {
+      case (rows, s) if rows > 0L => (s.toLong, rows)
+    }.toDF("shard", "n_rows").orderBy("shard")
   }
 
   /** The export's md5-slice placement (the q82 rule): 16-bit slice of
@@ -413,17 +420,18 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * preemptible 100 TB export pays for never re-reading the corpus.
     *
     * A fully-marked export path is a WRITE-ONCE artifact: re-calling on
-    * it is a no-op returning the committed audit (spec-pinned), even if
-    * the collection has changed since — resume means "finish THE
-    * export", never "refresh it". Export fresh data to a new path (or
-    * remove the old artifact); incremental re-export is deliberately
-    * not conflated with crash resume.
+    * it is a no-op returning the committed audit (spec-pinned) — the
+    * short-circuit fires BEFORE any collection access, so the no-op
+    * holds even if the collection has changed schema, gained a reserved
+    * column, or been DROPPED since — resume means "finish THE export",
+    * never "refresh it". Export fresh data to a new path (or remove the
+    * old artifact); incremental re-export is deliberately not conflated
+    * with crash resume.
     */
   def exportCollectionResumable(name: String, path: String,
       format: String = "jsonl", nShards: Int = 8,
       parallelism: Int = 1): DataFrame = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
-    requireCollection(name)
     val spark = this.spark
     import spark.implicits._
     val metaP = new Path(path, "_export_meta.json")
@@ -447,6 +455,24 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     // must never silently continue as 8
     pinned.foreach { case (_, s) => require(nShards == -1 || nShards == s,
       s"EXPORT resume: $path was started with shards=$s, got $nShards") }
+    // write-once short-circuit BEFORE touching the collection: a fully
+    // marked path is a finished artifact and re-calling must return the
+    // committed audit even if the collection has since changed schema,
+    // gained reserved columns, or been dropped (the documented no-op —
+    // exportPrep against the live collection would make it throw)
+    pinned.foreach { case (_, s) =>
+      val allDone = (0 until s).forall(i =>
+        fs.exists(new Path(new Path(path, "_shards"), s"$i.done")))
+      if (allDone) {
+        fs.delete(new Path(path, "_staging"), true)
+        val done = (0 until s)
+          .map(i => (i.toLong, readString(fs,
+            new Path(new Path(path, "_shards"), s"$i.done")).trim.toLong))
+          .filter(_._2 > 0L)
+        return done.toDF("shard", "n_rows").orderBy("shard")
+      }
+    }
+    requireCollection(name)
     val (cur, nSh) = exportPrep(name, format,
       pinned.map(_._2).getOrElse(nShards))
     if (pinned.isEmpty) {
@@ -507,7 +533,16 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
           scala.concurrent.Await.result(
             scala.concurrent.Future.sequence(fs0),
             scala.concurrent.duration.Duration.Inf)
-        } finally pool.shutdown()
+          pool.shutdown()
+        } catch { case t: Throwable =>
+          // no shard job may outlive this invocation: a caller that
+          // catches the failure and immediately re-invokes must never
+          // race a straggler thread writing the same shard dir/marker
+          // concurrently with the new run's overwrite conversion
+          pool.shutdownNow()
+          pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          throw t
+        }
       }
     }
     // every shard committed: sweep the staging copy (half its storage

@@ -63,14 +63,39 @@ object StatefulFunnel {
   /** Run the stateful funnel over the events stream (+ a punctuation
     * stream that flushes terminal state on the bounded replay). Output:
     * one Conversion row per converted user.
+    *
+    * Session hygiene (the r15 verdict's side-effect note): the
+    * `nanosAsLong` legacy conf the nanos-encoded source needs is SAVED
+    * and RESTORED around the run — a caller composing this in a
+    * long-lived session no longer inherits the flip. `clockUs` supplies
+    * the punctuation clock explicitly (the decayedCounts anchor
+    * convention — pass the known max event time and the batch pre-read
+    * is skipped entirely); without it the clock derives from ONE
+    * column-pruned batch pass over the source (replayable, but a second
+    * read of the data — fine for the gate harness this defaults for).
     */
   def runFunnel(spark: SparkSession, sfDir: String, steps: Seq[String],
       gapUs: Long, delaySeconds: Long, queryName: String,
       maxFilesPerTrigger: Option[Int] = None,
-      glob: String = "events.parquet"): Dataset[Conversion] = {
-    import spark.implicits._
+      glob: String = "events.parquet",
+      clockUs: Option[Long] = None): Dataset[Conversion] = {
     require(steps.length >= 2, "funnel needs at least 2 steps")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val priorConf = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
+    try runFunnelInner(spark, sfDir, steps, gapUs, delaySeconds,
+      queryName, maxFilesPerTrigger, glob, clockUs)
+    finally priorConf match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
+  private def runFunnelInner(spark: SparkSession, sfDir: String,
+      steps: Seq[String], gapUs: Long, delaySeconds: Long,
+      queryName: String, maxFilesPerTrigger: Option[Int],
+      glob: String, clockUs: Option[Long]): Dataset[Conversion] = {
+    import spark.implicits._
     val raw = spark.read
       .option("pathGlobFilter", glob).parquet(sfDir)
     val schema = raw.schema
@@ -79,10 +104,11 @@ object StatefulFunnel {
 
     // the punctuation row: one event far past every decision deadline,
     // written in the source's OWN ts encoding (raw INT64 nanos or
-    // TIMESTAMP_NTZ — the testdata has shipped both). Batch-derived
-    // max — a replayable clock, the decayedCounts anchor rule.
-    val maxUs = graft.Tables.normalizeTs(raw)
-      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // TIMESTAMP_NTZ — the testdata has shipped both). Clock: the
+    // caller's, or the batch-derived max (a replayable clock, the
+    // decayedCounts anchor rule).
+    val maxUs = clockUs.getOrElse(graft.Tables.normalizeTs(raw)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0))
     val hbUs = maxUs + horizonUs + 2L * gapUs
     val hbTsValue: Any = schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => hbUs * 1000L

@@ -1239,7 +1239,22 @@ object StreamingIngest {
       maxGapMicros: Long = 604800000000L,
       bucketMicros: Long = 86400000000L,
       queryName: String = "stream_funnel"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // save/restore (the StatefulFunnel session-hygiene rule): the legacy
+    // conf serves only this run's nanos-encoded source reads
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val priorConf = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
+    try streamFunnelLatencyInner(spark, sfDir, stepA, stepB,
+      maxGapMicros, bucketMicros, queryName)
+    finally priorConf match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
+  private def streamFunnelLatencyInner(spark: SparkSession, sfDir: String,
+      stepA: String, stepB: String, maxGapMicros: Long,
+      bucketMicros: Long, queryName: String): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
 
     def side(eventType: String, prefix: String) = graft.Tables.normalizeTs(
@@ -1275,8 +1290,13 @@ object StreamingIngest {
       .filter(col("event_type") === stepA)
       .groupBy("user_id")
       .agg(min(unix_micros(col("ts"))).as("anchor_us"))
+    // eager: the anchors branch lazily re-reads the source parquet, and
+    // the caller's action runs AFTER the wrapper restored the legacy
+    // conf — materialize the (bucket-count-sized) result inside the
+    // conf window so the returned frame carries no source dependency
     graft.operators.EventStats.funnelLatencyFromPairs(
-      spark.table(queryName), anchors, "user_id", bucketMicros)
+        spark.table(queryName), anchors, "user_id", bucketMicros)
+      .localCheckpoint(true)
   }
 
   /** Streaming ingest into a collection directory: the WAL-replacement

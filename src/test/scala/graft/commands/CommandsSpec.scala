@@ -359,20 +359,20 @@ class CommandsSpec extends AnyFunSuite {
       CommandExecutor.execute(db,
         GraftCommand.Export("vecs", s"$parent/x;shards=abc"))
     }.getMessage.contains("must be an integer"))
-    // the per-shard audit aggregates the shard expression off an id-only
-    // pruned scan — it must NOT re-execute the write plan's
-    // repartition/sort (at 100 TB that would double export cost)
+    // the per-shard audit rides the WRITE pass (observe() histogram) —
+    // the returned summary is driver-local metrics, touching NO data:
+    // zero extra scans per export call (the r15 verdict's item 6)
     val audit = db.exportCollection("vecs", s"$parent/out", nShards = 4)
     audit.collect()
     val p = audit.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(p.contains("ReadSchema: struct<id:bigint>"),
-      s"summary must scan only the id column:\n${p.take(2000)}")
-    // the only exchange is the count aggregation's ENSURE_REQUIREMENTS
-    // (≤ nShards rows) — never the write plan's REPARTITION_BY_NUM or
-    // its within-partition sort
+    assert(!p.contains("FileScan") && !p.contains("ReadSchema"),
+      s"summary must not scan the collection at all:\n${p.take(2000)}")
     assert(!p.contains("REPARTITION_BY_NUM") && !p.contains("Sort ["),
       s"summary must not replay the write repartition/sort:\n${p.take(2000)}")
+    // and the audit matches the written data (4 shards of the 1-row
+    // collection = one non-empty shard with one row)
+    assert(audit.collect().map(r => r.getLong(1)).sum == 1L)
   }
 
   test("EXPORT format=text: NULL payloads refuse with the descriptive per-row error") {

@@ -120,6 +120,26 @@ class ExportResumeSpec extends AnyFunSuite {
       shardBytes(s"$base/fresh", ".json"))
   }
 
+  test("write-once no-op fires BEFORE collection access: re-call after DROP returns the committed audit") {
+    val db = freshDb()
+    val out = Files.createTempDirectory("graft_exsc").toString + "/exp"
+    val audit = db.exportCollectionResumable("recs", out, nShards = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(audit.map(_._2).sum == 60L)
+    // the documented no-op must hold even when exportPrep would throw:
+    // drop the collection entirely, then re-call the finished path
+    db.dropCollection("recs")
+    val again = db.exportCollectionResumable("recs", out, nShards = -1)
+      .as[(Long, Long)].collect().toSeq
+    assert(again == audit,
+      s"fully-marked export must return the marker audit: $again vs $audit")
+    // an explicit mismatching shard count still refuses (the pin wins
+    // over the short-circuit's convenience)
+    assert(intercept[IllegalArgumentException] {
+      db.exportCollectionResumable("recs", out, nShards = 8)
+    }.getMessage.contains("was started with shards=4"))
+  }
+
   test("text format resumes too: framing and float rendering survive the staging round-trip") {
     val parent = Files.createTempDirectory("graft_exresumetxt").toString
     val db = GraftDatabase.create(spark, parent, "db")

@@ -102,4 +102,35 @@ class StatefulFunnelSpec extends AnyFunSuite {
     assert(conv.length.toLong == batch,
       "every batch conversion must flush through the state machine")
   }
+
+  test("session hygiene: the nanosAsLong conf is restored; a caller-supplied clock skips the batch pre-read") {
+    val base = 86400000000L * 1000
+    val dir = eventDir(Seq(Seq(
+      (1L, "signup", base), (1L, "view", base + H / 2),
+      (1L, "purchase", base + H))))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    // prior value present: restored to it
+    spark.conf.set(key, "false")
+    StatefulFunnel.runFunnel(spark, dir, Seq("signup", "view", "purchase"),
+      gapUs = H, delaySeconds = 3600, queryName = "sfunnel_conf1",
+      glob = "b*.parquet").collect()
+    assert(spark.conf.get(key) == "false",
+      "runFunnel must restore the caller's conf value")
+    // prior value absent: restored to the default behavior (RuntimeConfig
+    // reports a defaulted conf as its default value, so "restore" writes
+    // the equivalent explicit default — observable behavior unchanged)
+    spark.conf.unset(key)
+    StatefulFunnel.runFunnel(spark, dir, Seq("signup", "view", "purchase"),
+      gapUs = H, delaySeconds = 3600, queryName = "sfunnel_conf2",
+      glob = "b*.parquet").collect()
+    assert(spark.conf.get(key) == "false",
+      "runFunnel must leave the default behavior in place")
+    // caller-supplied clock: same conversions, no batch-derived max
+    val out = StatefulFunnel.runFunnel(spark, dir,
+        Seq("signup", "view", "purchase"), gapUs = H,
+        delaySeconds = 3600, queryName = "sfunnel_conf3",
+        glob = "b*.parquet", clockUs = Some(base + 2 * H))
+      .collect().map(c => (c.user_id, c.lat_us)).toMap
+    assert(out == Map(1L -> H), out.toString)
+  }
 }
