@@ -95,6 +95,9 @@ object CommandExecutor {
                 ";resume=true]")
           }
         val fmt = opts.getOrElse("format", "jsonl")
+        // split=train|val|test exports only that split's rows through
+        // the managed sidecar (the lifecycle's consumer step)
+        val split = opts.get("split")
         // resume=true opts into the per-shard-committed export (same
         // bytes; a preempted run resumes at shard grain); parallel=<n>
         // bounds concurrent shard-conversion jobs on that path
@@ -107,8 +110,9 @@ object CommandExecutor {
                 s"EXPORT parallel= must be an integer, got '$parStr'")
             }
           db.exportCollectionResumable(coll, parts.head, fmt, nShards,
-            parallelism = par)
-        } else db.exportCollection(coll, parts.head, fmt, nShards)
+            parallelism = par, split = split)
+        } else db.exportCollection(coll, parts.head, fmt, nShards,
+          split = split)
 
       case Decon(coll, arg) =>
         // arg grammar: `queries=<file.parquet>[;threshold=<f>;radius=<n>

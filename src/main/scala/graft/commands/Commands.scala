@@ -53,7 +53,10 @@ package graft.commands
   *    or newline); `shards=-1` derives the count from size stats;
   *    `resume=true` commits per shard (one staged scan, markerless
   *    shards convert on resume — identical bytes, preemption-safe);
-  *    `parallel=<n>` bounds concurrent shard conversions on that path.
+  *    `parallel=<n>` bounds concurrent shard conversions on that path;
+  *    `split=train|val|test` exports only that split's rows through the
+  *    managed SPLIT sidecar (pinned in the resume meta like format — a
+  *    train-set export can never silently resume as a full-corpus one).
   *  - DECON arg (extension): `queries=<file.parquet>[;threshold=<f>;
   *    radius=<n>;shortlist=<n>]` — semantic cross-set decontamination of
   *    the eval batch in the file (query_id, query_vec) against the

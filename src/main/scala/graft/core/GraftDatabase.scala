@@ -279,9 +279,10 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * Returns the per-shard audit (shard, n_rows), ordered.
     */
   def exportCollection(name: String, path: String,
-      format: String = "jsonl", nShards: Int = 8): DataFrame = {
+      format: String = "jsonl", nShards: Int = 8,
+      split: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val (cur, nSh) = exportPrep(name, format, nShards)
+    val (cur, nSh) = exportPrep(name, format, nShards, split)
     val shardExpr = exportShardExpr(nSh)
     // the per-shard audit rides the write pass itself: an observe()
     // metrics node carrying ONE bounded histogram aggregate (O(1)/row,
@@ -329,13 +330,31 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
 
   /** Shared EXPORT validation + projection: reserved-column refusals,
     * shard-count resolution, the text format's framed `value` column
-    * with per-row NULL/delimiter refusals, csv flatness. Returns the
-    * frame to shard (id + data columns) and the pinned shard count.
+    * with per-row NULL/delimiter refusals, csv flatness, and the
+    * optional SPLIT filter (the split lifecycle's consumer step — write
+    * the training set, hold back val/test). Returns the frame to shard
+    * (id + data columns) and the pinned shard count.
     */
   private def exportPrep(name: String, format: String,
-      nShards: Int): (DataFrame, Int) = {
+      nShards: Int, split: Option[String] = None): (DataFrame, Int) = {
     requireCollection(name)
-    val cur0 = read(name)
+    val curAll = read(name)
+    // split=<v> exports only the rows the managed sidecar placed in that
+    // split: a semi-join against the (already split-filtered) assignment
+    // table — id-keyed, so at scale it shuffles assignment-grain rows,
+    // never re-screens text. The label set is closed (leakageSafeSplit's
+    // three labels), so a typo refuses instead of exporting zero rows.
+    val cur0 = split match {
+      case None => curAll
+      case Some(sv) =>
+        require(Seq("train", "val", "test").contains(sv),
+          s"EXPORT split= must be train, val, or test, got '$sv'")
+        require(fs.exists(splitsMetaPath(name)),
+          s"EXPORT split=$sv needs the split sidecar on $name — run SPLIT first")
+        curAll.join(
+          splitAssignments(name).filter(col("split") === sv).select("id"),
+          Seq("id"), "left_semi")
+    }
     // 'shard' is the export's reserved placement column (and 'value' the
     // text format's line column): silently overwriting a collection column
     // of that name would drop its data on export and reconstitute
@@ -430,7 +449,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def exportCollectionResumable(name: String, path: String,
       format: String = "jsonl", nShards: Int = 8,
-      parallelism: Int = 1): DataFrame = {
+      parallelism: Int = 1, split: Option[String] = None): DataFrame = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val spark = this.spark
     import spark.implicits._
@@ -448,6 +467,15 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         require(f.get == format,
           s"EXPORT resume: $path was started as format=${f.get}, " +
             s"got format=$format — finish or remove the old export first")
+        // the split filter is part of the artifact's identity exactly
+        // like format: a train-set export must never silently resume as
+        // a full-corpus one (or vice versa)
+        val sp = """"split"\s*:\s*"([a-z]*)"""".r.findFirstMatchIn(m)
+          .map(_.group(1)).getOrElse("")
+        require(sp == split.getOrElse(""),
+          s"EXPORT resume: $path was started with split=" +
+            s"${if (sp.isEmpty) "<none>" else sp}, got " +
+            s"${split.getOrElse("<none>")} — finish or remove the old export first")
         Some((f.get, s.get))
       }
     // -1 adopts the pinned count (the stats-derived call resumed later);
@@ -474,11 +502,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     }
     requireCollection(name)
     val (cur, nSh) = exportPrep(name, format,
-      pinned.map(_._2).getOrElse(nShards))
+      pinned.map(_._2).getOrElse(nShards), split)
     if (pinned.isEmpty) {
       fs.mkdirs(new Path(path))
       writeString(fs, metaP,
-        s"""{"format": "$format", "shards": $nSh}""")
+        s"""{"format": "$format", "shards": $nSh, "split": "${split.getOrElse("")}"}""")
     }
     val doneDir = new Path(path, "_shards")
     def marker(s: Int) = new Path(doneDir, s"$s.done")

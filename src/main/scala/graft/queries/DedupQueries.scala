@@ -1938,12 +1938,12 @@ object DedupQueries {
     * bandsCte fragments (which are hardwired to `documents`): emits
     * `sh$p` (distinct shingles) and `bands$p` (banded signatures).
     */
-  /** The q335 oracle — components + coalesce-to-self + md5-slice
-    * placement + per-split stats. Shared verbatim by q338 (the managed
-    * SPLIT command builds the same assignment from the same corpus).
+  /** The q335 corpus-assignment chain (components + coalesce-to-self +
+    * md5-slice placement), ending at `sp` (id, rep, split) — shared by
+    * the q335/q338 summary oracle and q343's split-filtered export.
     */
-  private[queries] lazy val leakageSplitOracleSql: String =
-    s"""WITH RECURSIVE $shinglesCte,
+  private[queries] lazy val splitAssignChainSql: String =
+    s"""$shinglesCte,
        |$signaturesCte,
        |$bandsCte,
        |ok_buckets AS (
@@ -1973,12 +1973,29 @@ object DedupQueries {
        |         ELSE 'test' END AS split
        |  FROM (SELECT id, rep,
        |    CAST(('0x' || substring(md5('split:' || CAST(rep AS VARCHAR)),
-       |      1, 4)) AS BIGINT) % 16 AS slot FROM asg))
+       |      1, 4)) AS BIGINT) % 16 AS slot FROM asg))""".stripMargin
+
+  /** The q335 oracle — the assignment chain + per-split stats. Shared
+    * verbatim by q338 (the managed SPLIT command builds the same
+    * assignment from the same corpus).
+    */
+  private[queries] lazy val leakageSplitOracleSql: String =
+    s"""WITH RECURSIVE $splitAssignChainSql
        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters
        |FROM sp
        |GROUP BY split
        |ORDER BY split""".stripMargin
+
+  /** The q343 oracle: the assignment chain + the TRAIN-split document
+    * set — exactly the rows `EXPORT ...;split=train` must write.
+    */
+  private[queries] lazy val exportSplitOracleSql: String =
+    s"""WITH RECURSIVE $splitAssignChainSql
+       |SELECT d.doc_id AS id, d.text AS payload
+       |FROM documents d JOIN sp ON sp.id = d.doc_id
+       |WHERE sp.split = 'train'
+       |ORDER BY id""".stripMargin
 
   /** The q337 oracle — q204's batch screen + q335's corpus
     * components/placement + min-rep inheritance + the own-id fallback

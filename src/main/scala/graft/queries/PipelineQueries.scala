@@ -1596,6 +1596,34 @@ object PipelineQueries {
             concat(col("text"), lit(" tm1 tm2")).as("payload")))
     }),
 
+    // Split-aware egress — the lifecycle's CONSUMER step: `EXPORT
+    // ...;split=train` writes exactly the training split through the
+    // managed sidecar (a semi-join against the split-filtered assignment
+    // table — id-keyed, never a re-screen), the held-out splits never
+    // touch the artifact. Read-back ≡ the assignment chain filtered to
+    // train; the split value rides the resume meta like format, so a
+    // train-set export can never silently resume as a full-corpus one
+    // (ExportResumeSpec pins the refusal).
+    "q343_export_split" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q343")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      def run(cmd: String, arg: Option[String]) = CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), cmd, arg)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+      run("SPLIT", None).collect()
+      val out = Scratch.dir("graft_q343") + "/export"
+      run("EXPORT", Some(s"$out;format=jsonl;shards=8;split=train"))
+        .collect()
+      s.read.json(out)
+        .select(col("id").cast("long").as("id"), col("payload"))
+        .orderBy("id")
+    }),
+
     // The decon screen on the KMEANS layout (r15 verdict item 3 — the
     // second-most-common layout gets the pruned screen): same planted
     // eval batch as q327, but the collection carries no codes — the
@@ -3248,6 +3276,8 @@ object PipelineQueries {
     // the train slice, rounded-l2 probe cells, exact rounded cosine over
     // probed rows only, rounded top-1, flag at 0.5
     "q342_decon_kmeans" -> VectorQueries.deconKmeansSql(2),
+    // split-filtered egress read-back ≡ the assignment chain's train set
+    "q343_export_split" -> DedupQueries.exportSplitOracleSql,
     "q215_screen_substrings" -> DedupQueries.oracles("q213_incoming_substring"),
     "q225_winsig_refresh" -> winsigRefreshSql,
     // winsig compaction is content-preserving: q225's oracle verbatim

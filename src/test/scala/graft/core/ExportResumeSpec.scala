@@ -140,6 +140,34 @@ class ExportResumeSpec extends AnyFunSuite {
     }.getMessage.contains("was started with shards=4"))
   }
 
+  test("split= is part of the artifact identity: pinned in meta, refused on drift, counts match the sidecar") {
+    val db = freshDb()
+    db.buildSplits("recs") // the (id, payload) fixture — all singletons
+    val trainN = db.splitAssignments("recs")
+      .filter(org.apache.spark.sql.functions.col("split") === "train")
+      .count()
+    val out = Files.createTempDirectory("graft_exsplit").toString + "/exp"
+    val audit = db.exportCollectionResumable("recs", out, nShards = 4,
+        split = Some("train"))
+      .as[(Long, Long)].collect().toSeq
+    assert(audit.map(_._2).sum == trainN, s"audit $audit vs sidecar $trainN")
+    // a resume WITHOUT the split (or with a different one) refuses: a
+    // train-set export must never silently continue as full-corpus
+    assert(intercept[IllegalArgumentException] {
+      db.exportCollectionResumable("recs", out, nShards = -1)
+    }.getMessage.contains("was started with split=train"))
+    // single-job parity: same rows through exportCollection(split=...)
+    val out2 = Files.createTempDirectory("graft_exsplit2").toString + "/exp"
+    val audit2 = db.exportCollection("recs", out2, nShards = 4,
+        split = Some("train"))
+      .as[(Long, Long)].collect().toSeq
+    assert(audit2 == audit, s"$audit2 vs $audit")
+    // a typo'd split label refuses loudly instead of exporting nothing
+    assert(intercept[IllegalArgumentException] {
+      db.exportCollection("recs", out2 + "x", split = Some("trian"))
+    }.getMessage.contains("must be train, val, or test"))
+  }
+
   test("text format resumes too: framing and float rendering survive the staging round-trip") {
     val parent = Files.createTempDirectory("graft_exresumetxt").toString
     val db = GraftDatabase.create(spark, parent, "db")
