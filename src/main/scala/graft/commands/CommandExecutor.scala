@@ -135,7 +135,9 @@ object CommandExecutor {
           shortlist = num("shortlist", -1, _.toInt))
 
       case Split(coll, arg) =>
-        // arg grammar: `[slots=<n>;val=<n>;test=<n>]` — all optional
+        // arg grammar: `[by=minhash|embedding;slots=<n>;val=<n>;test=<n>;
+        // threshold=<f>;bits=<n>]` — all optional; by=embedding drives
+        // the sign-bucket cosine edge family instead of text shingles
         val opts = arg.map(parseKv).getOrElse(Map.empty)
         def num(key: String, default: Int): Int =
           opts.get(key).map { v =>
@@ -143,27 +145,39 @@ object CommandExecutor {
             catch { case _: NumberFormatException =>
               throw new IllegalArgumentException(
                 s"SPLIT $key= must be an integer, got '$v' — grammar: " +
-                  "[slots=<n>;val=<n>;test=<n>]")
+                  "[by=minhash|embedding;slots=<n>;val=<n>;test=<n>]")
             }
           }.getOrElse(default)
-        db.buildSplits(coll, nSlots = num("slots", 16),
-          valSlots = num("val", 1), testSlots = num("test", 1))
+        opts.getOrElse("by", "minhash") match {
+          case "minhash" =>
+            db.buildSplits(coll, nSlots = num("slots", 16),
+              valSlots = num("val", 1), testSlots = num("test", 1))
+          case "embedding" =>
+            db.buildSplitsEmbedding(coll,
+              threshold = opts.getOrElse("threshold", "0.999").toDouble,
+              nBits = num("bits", 8), nSlots = num("slots", 16),
+              valSlots = num("val", 1), testSlots = num("test", 1))
+          case other => throw new IllegalArgumentException(
+            s"SPLIT by= must be minhash or embedding, got '$other'")
+        }
 
       case Route(coll, arg) =>
-        // arg grammar: `batch=<path.parquet>[;threshold=<f>;insert=bool]`
+        // arg grammar: `batch=<path.parquet>[;by=minhash|embedding;
+        // threshold=<f>;insert=bool]`
         val opts = parseKv(arg)
         val path = opts.getOrElse("batch",
           throw new IllegalArgumentException(
-            "ROUTE needs batch=<file.parquet> of (id, payload) rows"))
+            "ROUTE needs batch=<file.parquet> of arriving rows"))
         require(path.endsWith(".parquet") || path.endsWith(".pq"),
-          s"ROUTE batch= requires a parquet file of (id, payload), got: $path")
-        val thr = opts.get("threshold").map { v =>
-          try v.toDouble
-          catch { case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"ROUTE threshold= must be numeric, got '$v'")
-          }
-        }.getOrElse(0.5)
+          s"ROUTE batch= requires a parquet file, got: $path")
+        def thr(default: Double): Double =
+          opts.get("threshold").map { v =>
+            try v.toDouble
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"ROUTE threshold= must be numeric, got '$v'")
+            }
+          }.getOrElse(default)
         val ins = opts.get("insert") match {
           case None => true
           case Some("true") => true
@@ -171,8 +185,16 @@ object CommandExecutor {
           case Some(other) => throw new IllegalArgumentException(
             s"ROUTE insert= must be true or false, got '$other'")
         }
-        db.routeArrivals(coll, spark.read.parquet(path),
-          threshold = thr, insert = ins)
+        opts.getOrElse("by", "minhash") match {
+          case "minhash" =>
+            db.routeArrivals(coll, spark.read.parquet(path),
+              threshold = thr(0.5), insert = ins)
+          case "embedding" =>
+            db.routeArrivalsEmbedding(coll, spark.read.parquet(path),
+              threshold = thr(0.999), insert = ins)
+          case other => throw new IllegalArgumentException(
+            s"ROUTE by= must be minhash or embedding, got '$other'")
+        }
 
       case Update(coll, arg) =>
         val updates =

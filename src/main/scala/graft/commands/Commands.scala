@@ -64,19 +64,24 @@ package graft.commands
   *    row, flagged on the rounded cosine ≥ threshold (default 0.5);
   *    radius+shortlist opt into the stored-codes ADC screen on an
   *    ivfpq_kmeans layout (loud on unprobeable layouts).
-  *  - SPLIT arg (extension, optional): `[slots=<n>;val=<n>;test=<n>]` —
-  *    build (or rebuild) the managed leakage-safe train/val/test split
-  *    sidecar: near-dup clusters over the payload column placed whole by
-  *    the md5-slice-of-representative rule (slots divides 65536); returns
+  *  - SPLIT arg (extension, optional): `[by=minhash|embedding;slots=<n>;
+  *    val=<n>;test=<n>;threshold=<f>;bits=<n>]` — build (or rebuild) the
+  *    managed leakage-safe train/val/test split sidecar: near-dup
+  *    clusters placed whole by the md5-slice-of-representative rule
+  *    (slots divides 65536); by=minhash (default) clusters over the
+  *    payload column's shingles, by=embedding over the sign-bucket
+  *    cosine screen at `threshold` (vector-identity corpora). Returns
   *    the per-split summary. A rebuild supersedes all prior ROUTE commits.
-  *  - ROUTE arg (extension): `batch=<path.parquet>[;threshold=<f>;
-  *    insert=true|false]` — route an arriving (id, payload) batch through
-  *    the split lifecycle: screen against the stored minhash bands,
+  *  - ROUTE arg (extension): `batch=<path.parquet>[;by=minhash|embedding;
+  *    threshold=<f>;insert=true|false]` — route an arriving batch
+  *    through the split lifecycle: screen against the stored artifact
+  *    (minhash bands, or the sign-bucket layout for by=embedding),
   *    inherit the split of the smallest-rep match (own-id fallback,
   *    `bridged` flagged), COMMIT the routed assignments back into the
   *    sidecar (transitive inheritance), and with insert=true (default)
-  *    append the batch to the collection + refresh the minhash artifact
-  *    so the next batch can match these arrivals.
+  *    append the batch to the collection (+ refresh the minhash artifact;
+  *    the sign layout derives at append) so the next batch can match
+  *    these arrivals.
   *  - SEARCHTEXT arg (extension): `terms=a,b,c[;k=<n>;k1=<f>;b=<f>]` —
   *    BM25 keyword retrieval over the payload column.
   *  - SEARCHHYBRID arg (extension): `terms=a,b,c;vec=f,f,...[;k;kf;krrf]`

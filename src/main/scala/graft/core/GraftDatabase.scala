@@ -1717,11 +1717,42 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     requireCollection(name)
     val cur = read(name)
     require(cur.columns.contains("payload"),
-      s"SPLIT needs a payload column on $name")
+      s"SPLIT needs a payload column on $name (or use SPLIT by=embedding)")
     val (shingleN, numHashes, rowsPerBand) =
       if (fs.exists(minhashMetaPath(name))) minhashParams(name) else (5, 8, 2)
     val pairs = graft.operators.Dedup.minhashCandidates(
       cur, "id", "payload", shingleN, numHashes, rowsPerBand)
+    commitSplitBase(name, cur, pairs, nSlots, valSlots, testSlots)
+  }
+
+  /** SPLIT by=embedding — [[buildSplits]] under EMBEDDING edges (the
+    * q336 edge family through the managed surface): near-dup pairs from
+    * the sign-bucket LSH screen at the ROUNDED-cosine threshold
+    * ([[graft.operators.Dedup.embeddingPairs]] — hot buckets capped),
+    * same cluster placement, same sidecar. For corpora whose identity
+    * lives in the vector, not the payload (image/audio embeddings, the
+    * multimodal tables).
+    */
+  def buildSplitsEmbedding(name: String, threshold: Double = 0.999,
+      nBits: Int = 8, nSlots: Int = 16, valSlots: Int = 1,
+      testSlots: Int = 1): DataFrame = {
+    requireCollection(name)
+    val cur = read(name)
+    require(cur.columns.contains("embedding"),
+      s"SPLIT by=embedding needs an embedding column on $name")
+    val pairs = graft.operators.Dedup.embeddingPairs(
+        cur.select(col("id"), col("embedding")), "id", "embedding", nBits)
+      .filter(round(col("score"), 6) >= threshold)
+      .select("a_id", "b_id")
+    commitSplitBase(name, cur, pairs, nSlots, valSlots, testSlots)
+  }
+
+  /** Shared SPLIT commit: place clusters, write the base assignment as a
+    * fresh generation, flip the pointer, sweep, summarize.
+    */
+  private def commitSplitBase(name: String, cur: DataFrame,
+      pairs: DataFrame, nSlots: Int, valSlots: Int,
+      testSlots: Int): DataFrame = {
     val assign = graft.operators.TrainExport.leakageSafeSplit(
       cur, pairs, "id", nSlots, valSlots, testSlots)
     val dir = splitsDir(name)
@@ -1776,10 +1807,78 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     require(batch.columns.contains("id") && batch.columns.contains("payload"),
       "ROUTE batch needs (id, payload) columns — got " +
         batch.columns.mkString("(", ", ", ")"))
-    val (nSlots, valSlots, testSlots) = splitsParams(name)
-    val assign = splitAssignments(name)
     val arriving = batch.select(col("id").cast("long").as("id"),
       col("payload"))
+    routeCore(name, batch, arriving,
+      screenDupes(name, arriving, threshold),
+      insert, refreshBands = true)
+  }
+
+  /** ROUTE by=embedding — [[routeArrivals]] under EMBEDDING edges: the
+    * arriving batch (`id`, `embedding`) screens against the stored
+    * SIGN-BUCKET layout (arrival buckets collected driver-side — a
+    * ≤ 2^bits value set regardless of batch size — prune the stored
+    * scan to exactly those cells; hot buckets capped, the q34 rule),
+    * matches at the ROUNDED-cosine threshold inherit as in the minhash
+    * path, and routed assignments COMMIT to the same sidecar. With
+    * `insert=true` the layout-aware append assigns arriving rows their
+    * sign bucket in the write pass — so the NEXT batch's screen matches
+    * them with no refresh step at all (the sign layout has no separate
+    * band artifact to maintain).
+    */
+  def routeArrivalsEmbedding(name: String, batch: DataFrame,
+      threshold: Double = 0.999, insert: Boolean = true): DataFrame = {
+    requireCollection(name)
+    require(fs.exists(splitsMetaPath(name)),
+      s"no split sidecar on $name — run SPLIT before ROUTE")
+    require(batch.columns.contains("id") &&
+      batch.columns.contains("embedding"),
+      "ROUTE by=embedding batch needs (id, embedding) columns — got " +
+        batch.columns.mkString("(", ", ", ")"))
+    val cur = read(name)
+    require(cur.columns.contains("cluster_id") &&
+      indexType(name).contains("sign_bucket"),
+      s"ROUTE by=embedding answers from the stored sign-bucket layout — " +
+        s"REINDEX type=sign on $name first (the screen must never " +
+        "full-scan the corpus)")
+    val nBits = indexBits(name)
+    val arriving = batch.select(col("id").cast("long").as("id"),
+      col("embedding"))
+    val withB = arriving.withColumn("__b",
+      graft.operators.VectorIndex.signBucket(col("embedding"), nBits))
+    // the distinct arrival-bucket set is bounded by 2^bits, never by the
+    // batch — collect it and prune the stored scan to those partitions
+    val bks = withB.select("__b").distinct().collect().map(_.getInt(0))
+    val stored = cur
+      .filter(col("cluster_id").isin(bks.toIndexedSeq: _*))
+      .select(col("id").cast("long").as("b_id"),
+        col("embedding").as("__ce"), col("cluster_id").cast("int").as("__b"))
+    // hot-bucket cap over the pruned cells (full bucket contents are in
+    // the pruned scan, so the counts are exact — the q34 convention: a
+    // degenerate bucket screens nothing)
+    val okB = stored.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= 1000L).select("__b")
+    val matches = stored
+      .join(broadcast(withB.join(broadcast(okB), Seq("__b"))), Seq("__b"))
+      .filter(round(graft.functions.cosine_sim(col("embedding"),
+        col("__ce")), 6) >= threshold)
+      .select(col("id").as("a_id"), col("b_id"))
+    routeCore(name, batch, arriving, matches, insert,
+      refreshBands = false)
+  }
+
+  /** Shared ROUTE tail: write-once collision check, inheritance
+    * ([[graft.operators.TrainExport.routeSplits]]), the marked-segment
+    * sidecar commit, optional admission. The routed frame is eagerly
+    * checkpointed BEFORE the insert/refresh — correctness, not just
+    * cost: the returned plan reads the screen's inputs, and re-running
+    * it after admission would screen the arrivals against THEMSELVES.
+    */
+  private def routeCore(name: String, batch: DataFrame,
+      arriving: DataFrame, matches: DataFrame, insert: Boolean,
+      refreshBands: Boolean): DataFrame = {
+    val (nSlots, valSlots, testSlots) = splitsParams(name)
+    val assign = splitAssignments(name)
     // loud id-collision check: one semi-join against the assignment
     // table (assignment-grain scan, ≤1-row output — cheap next to the
     // screen itself)
@@ -1789,7 +1888,6 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       s"ROUTE: arrival id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
         s"already has a committed split on $name — splits are write-once " +
         "per id; re-routing would duplicate its assignment row")
-    val matches = screenDupes(name, arriving, threshold)
     val routed = graft.operators.TrainExport.routeSplits(
         assign, matches, arriving, "id", nSlots, valSlots, testSlots)
       .localCheckpoint(true)
@@ -1807,9 +1905,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     writeString(fs, new Path(g, s"routed_$seg.done"), "") // the commit
     if (insert) {
       bulkInsert(name, batch)
-      // no artifact = the screen was already the rescan fallback, which
-      // sees collection rows directly — nothing to refresh
-      if (fs.exists(minhashMetaPath(name))) refreshMinhash(name)
+      // minhash bands live in a separate artifact needing a refresh; the
+      // sign layout derives at append (no artifact = the rescan fallback
+      // already sees collection rows directly)
+      if (refreshBands && fs.exists(minhashMetaPath(name)))
+        refreshMinhash(name)
     }
     routed.orderBy("id")
   }

@@ -1624,6 +1624,39 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // The split lifecycle under EMBEDDING edges end to end (the q336
+    // edge-family generality carried to the MANAGED surface): a vector
+    // collection under the sign-bucket layout, SPLIT by=embedding
+    // (sign-bucket cosine pairs at 0.999 — background tops out ~0.55),
+    // then every 7th vector re-arrives as an exact copy at id + 100000
+    // and ROUTE by=embedding screens it against the stored layout
+    // (arrival-bucket pruned scan, hot buckets capped), inheriting the
+    // original's cluster placement — a copy of a test vector can never
+    // land in train, and the routed rows commit to the same sidecar the
+    // minhash family uses. The oracle replays pairs, components,
+    // placement, the incoming screen, and min-rep inheritance.
+    "q344_embed_routing" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q344")
+      db.createCollection("vecs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      db.bulkInsert("vecs",
+        Tables.embeddings(s, dir).withColumnRenamed("vec_id", "id"))
+      def run(cmd: String, arg: Option[String]) = CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("vecs"), cmd, arg)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+      run("REINDEX", Some("type=sign;bits=8")).collect()
+      run("SPLIT", Some("by=embedding;threshold=0.999")).collect()
+      val f = Scratch.dir("graft_q344b") + "/batch.parquet"
+      Tables.embeddings(s, dir).filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 100000L).as("id"), col("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(f)
+      run("ROUTE", Some(s"batch=$f;by=embedding;threshold=0.999"))
+    }),
+
     // The decon screen on the KMEANS layout (r15 verdict item 3 — the
     // second-most-common layout gets the pruned screen): same planted
     // eval batch as q327, but the collection carries no codes — the
@@ -2693,6 +2726,79 @@ object PipelineQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** The q344 oracle — the embedding-edge split lifecycle replayed:
+    * corpus sign-bucket cosine pairs at 0.999 (hot buckets capped, the
+    * q34/q336 convention), components + md5-slice placement, the
+    * arriving exact copies' bucket screen against the corpus (incoming
+    * cap ≤ 1000), min-rep inheritance over the assignment, own-id
+    * fallback. Cosine parity: DOUBLE[] casts both sides, round 6.
+    */
+  private lazy val embedRoutingSql: String = {
+    val bucket = (0 until 8)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE coded AS (
+       |  SELECT vec_id, embedding, $bucket AS b FROM embeddings),
+       |keep AS (
+       |  SELECT b FROM coded GROUP BY b
+       |  HAVING count(DISTINCT vec_id) BETWEEN 2 AND 1000),
+       |prc AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM coded a JOIN coded b ON a.b = b.b AND a.vec_id < b.vec_id
+       |  JOIN keep k ON a.b = k.b
+       |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.999),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM prc
+       |  UNION SELECT b_id, a_id FROM prc),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       |cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+       |sp AS (
+       |  SELECT id, rep,
+       |    CASE WHEN slot < 14 THEN 'train'
+       |         WHEN slot < 15 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT id, rep,
+       |    CAST(('0x' || substring(md5('split:' || CAST(rep AS VARCHAR)),
+       |      1, 4)) AS BIGINT) % 16 AS slot
+       |    FROM (SELECT e.vec_id AS id, coalesce(cl.rep, e.vec_id) AS rep
+       |          FROM embeddings e LEFT JOIN cl ON cl.id = e.vec_id))),
+       |bq AS (
+       |  SELECT vec_id + 100000 AS id, embedding, $bucket AS b
+       |  FROM embeddings WHERE vec_id % 7 = 0),
+       |oki AS (SELECT b FROM coded GROUP BY b HAVING count(*) <= 1000),
+       |m AS (
+       |  SELECT q.id AS a_id, c.vec_id AS b_id
+       |  FROM bq q JOIN coded c ON c.b = q.b
+       |  JOIN oki ON q.b = oki.b
+       |  WHERE round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+       |    CAST(c.embedding AS DOUBLE[])), 6) >= 0.999),
+       |mg AS (
+       |  SELECT m.a_id AS id, min(sp.rep) AS minrep,
+       |    CAST(count(*) AS BIGINT) AS n_matches,
+       |    count(DISTINCT sp.split) AS ns
+       |  FROM m JOIN sp ON sp.id = m.b_id
+       |  GROUP BY m.a_id),
+       |routed AS (
+       |  SELECT q.id, coalesce(mg.minrep, q.id) AS key,
+       |    coalesce(mg.n_matches, 0) AS n_matches,
+       |    CAST(CASE WHEN coalesce(mg.ns, 1) > 1 THEN 1 ELSE 0 END
+       |      AS BIGINT) AS bridged
+       |  FROM bq q LEFT JOIN mg ON mg.id = q.id)
+       |SELECT id, key AS rep,
+       |  CASE WHEN slot < 14 THEN 'train'
+       |       WHEN slot < 15 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  n_matches, bridged
+       |FROM (SELECT *,
+       |  CAST(('0x' || substring(md5('split:' || CAST(key AS VARCHAR)),
+       |    1, 4)) AS BIGINT) % 16 AS slot FROM routed)
+       |ORDER BY id""".stripMargin
+  }
+
   private lazy val postingsRefreshSql: String =
       """WITH cur AS (
         |  SELECT doc_id AS id, text AS payload FROM documents
@@ -3278,6 +3384,10 @@ object PipelineQueries {
     "q342_decon_kmeans" -> VectorQueries.deconKmeansSql(2),
     // split-filtered egress read-back ≡ the assignment chain's train set
     "q343_export_split" -> DedupQueries.exportSplitOracleSql,
+    // the embedding-edge routing replay: q336's pair screen + placement,
+    // the arrival-bucket incoming screen at the rounded-cosine cut,
+    // min-rep inheritance with the own-id fallback
+    "q344_embed_routing" -> embedRoutingSql,
     "q215_screen_substrings" -> DedupQueries.oracles("q213_incoming_substring"),
     "q225_winsig_refresh" -> winsigRefreshSql,
     // winsig compaction is content-preserving: q225's oracle verbatim

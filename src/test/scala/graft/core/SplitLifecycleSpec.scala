@@ -132,6 +132,67 @@ class SplitLifecycleSpec extends AnyFunSuite {
     assert(d.splitAssignments("docs").filter(col("id") === 300L).count() == 1)
   }
 
+  test("embedding family: SPLIT by=embedding + transitive ROUTE through the layout-aware append") {
+    val parent = Files.createTempDirectory("graft_esplits").toString
+    val d = GraftDatabase.create(spark, parent, "db")
+    d.createCollection("vecs", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)))))
+    // two exact-dup corpus vectors (one cluster) + two singletons
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    d.bulkInsert("vecs", Seq(
+      (1L, v(1, 0.2, 0.1, 0.3, -0.2, 0.5, 0.1, 0.4)),
+      (2L, v(1, 0.2, 0.1, 0.3, -0.2, 0.5, 0.1, 0.4)),
+      (3L, v(-1, 0.9, -0.4, 0.2, 0.8, -0.3, 0.6, -0.7)),
+      (4L, v(0.1, -0.8, 0.7, -0.5, 0.3, 0.2, -0.9, 0.6)))
+      .toDF("id", "embedding"))
+    d.reindex("vecs", nBits = 8)
+    val summary = d.buildSplitsEmbedding("vecs")
+      .as[(String, Long, Long)].collect()
+    assert(summary.map(_._2).sum == 4L)
+    val assign = d.splitAssignments("vecs")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(assign(1L)._2 == 1L && assign(2L)._2 == 1L &&
+      assign(1L)._3 == assign(2L)._3, "exact dups share cluster + split")
+    // batch 1: a NEW vector (near nothing) → own-id fallback, admitted
+    // through the layout-aware append (sign bucket assigned in the write)
+    val nv = v(-0.3, -0.6, -0.1, -0.9, -0.4, -0.2, -0.8, -0.5)
+    val r1 = d.routeArrivalsEmbedding("vecs",
+        Seq((100L, nv)).toDF("id", "embedding"))
+      .as[(Long, Long, String, Long, Long)].collect().head
+    assert(r1._2 == 100L && r1._4 == 0L, r1.toString)
+    // batch 2: an exact copy of the ROUTED arrival — matched through the
+    // appended row's sign bucket, no refresh step on this family
+    val r2 = d.routeArrivalsEmbedding("vecs",
+        Seq((200L, nv)).toDF("id", "embedding"))
+      .as[(Long, Long, String, Long, Long)].collect().head
+    assert(r2._2 == 100L && r2._3 == r1._3 && r2._4 == 1L,
+      s"batch 2 must inherit the routed arrival's placement: $r2 vs $r1")
+    // a copy of a CORPUS vector inherits the corpus cluster, min-rep
+    val r3 = d.routeArrivalsEmbedding("vecs",
+        Seq((300L, v(1, 0.2, 0.1, 0.3, -0.2, 0.5, 0.1, 0.4)))
+          .toDF("id", "embedding"))
+      .as[(Long, Long, String, Long, Long)].collect().head
+    assert(r3._2 == 1L && r3._3 == assign(1L)._3 && r3._4 >= 2L,
+      r3.toString)
+    // an unindexed collection refuses: the screen must never full-scan
+    val d2 = GraftDatabase.create(spark, parent, "db2")
+    d2.createCollection("flat", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)))))
+    d2.bulkInsert("flat", Seq((1L, nv)).toDF("id", "embedding"))
+    d2.buildSplitsEmbedding("flat")
+    assert(intercept[IllegalArgumentException] {
+      d2.routeArrivalsEmbedding("flat", Seq((9L, nv)).toDF("id", "embedding"))
+    }.getMessage.contains("sign-bucket layout"))
+  }
+
   test("insert=false: assignment committed, batch NOT admitted") {
     val d = db()
     d.buildSplits("docs")
