@@ -148,17 +148,26 @@ object CommandExecutor {
                   "[by=minhash|embedding;slots=<n>;val=<n>;test=<n>]")
             }
           }.getOrElse(default)
-        opts.getOrElse("by", "minhash") match {
-          case "minhash" =>
-            db.buildSplits(coll, nSlots = num("slots", 16),
-              valSlots = num("val", 1), testSlots = num("test", 1))
-          case "embedding" =>
-            db.buildSplitsEmbedding(coll,
-              threshold = opts.getOrElse("threshold", "0.999").toDouble,
-              nBits = num("bits", 8), nSlots = num("slots", 16),
-              valSlots = num("val", 1), testSlots = num("test", 1))
-          case other => throw new IllegalArgumentException(
-            s"SPLIT by= must be minhash or embedding, got '$other'")
+        opts.get("mode") match {
+          // mode=compact folds the base + every ROUTE segment into one
+          // fresh generation (content-preserving; the artifact-family
+          // compaction contract)
+          case Some("compact") =>
+            db.compactSplits(coll); status("SPLIT", coll)
+          case Some(other) => throw new IllegalArgumentException(
+            s"SPLIT mode must be compact (or omitted for a build), got: $other")
+          case None => opts.getOrElse("by", "minhash") match {
+            case "minhash" =>
+              db.buildSplits(coll, nSlots = num("slots", 16),
+                valSlots = num("val", 1), testSlots = num("test", 1))
+            case "embedding" =>
+              db.buildSplitsEmbedding(coll,
+                threshold = opts.getOrElse("threshold", "0.999").toDouble,
+                nBits = num("bits", 8), nSlots = num("slots", 16),
+                valSlots = num("val", 1), testSlots = num("test", 1))
+            case other => throw new IllegalArgumentException(
+              s"SPLIT by= must be minhash or embedding, got '$other'")
+          }
         }
 
       case Route(coll, arg) =>

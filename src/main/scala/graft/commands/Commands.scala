@@ -71,7 +71,9 @@ package graft.commands
   *    (slots divides 65536); by=minhash (default) clusters over the
   *    payload column's shingles, by=embedding over the sign-bucket
   *    cosine screen at `threshold` (vector-identity corpora). Returns
-  *    the per-split summary. A rebuild supersedes all prior ROUTE commits.
+  *    the per-split summary. A rebuild supersedes all prior ROUTE
+  *    commits; `mode=compact` instead folds the base + all ROUTE
+  *    segments into one fresh generation, values unchanged.
   *  - ROUTE arg (extension): `batch=<path.parquet>[;by=minhash|embedding;
   *    threshold=<f>;insert=true|false]` — route an arriving batch
   *    through the split lifecycle: screen against the stored artifact

@@ -1914,6 +1914,37 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     routed.orderBy("id")
   }
 
+  /** SPLIT mode=compact — merge the base assignment and every committed
+    * ROUTE segment into ONE fresh generation (values unchanged — the
+    * [[compactMinhash]] content-preserving contract on this artifact):
+    * after many routed batches the assignment read is a base + N small
+    * segment files; compaction folds them without recomputing any
+    * screen or placement, committed by the single meta pointer flip.
+    */
+  def compactSplits(name: String): Unit = {
+    requireCollection(name)
+    require(fs.exists(splitsMetaPath(name)),
+      s"no split sidecar on $name to compact — run SPLIT first")
+    val (nSlots, valSlots, testSlots) = splitsParams(name)
+    val dir = splitsDir(name)
+    val g = splitsGen(name) + 1
+    val genDir = new Path(dir, s"gen_$g")
+    if (fs.exists(genDir)) fs.delete(genDir, true)
+    // reads the OLD generation, writes the NEW one, then the pointer
+    // flips — readers serve gen g−1 until the flip, a crash leaves an
+    // orphan dir, never a half-artifact
+    splitAssignments(name)
+      .write.mode("overwrite").option("compression", Compression)
+      .parquet(new Path(genDir, "assign").toString)
+    writeString(fs, splitsMetaPath(name),
+      s"""{"type":"splits","slots":$nSlots,"val":$valSlots,"test":$testSlots,"gen":$g}""")
+    Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("gen_") && n != s"gen_$g") fs.delete(st.getPath, true)
+    }
+    ()
+  }
+
   private def deleteSplitsSidecar(name: String): Unit = {
     val dir = splitsDir(name)
     if (fs.exists(dir)) { fs.delete(dir, true); () }

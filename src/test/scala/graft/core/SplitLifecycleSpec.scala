@@ -193,6 +193,36 @@ class SplitLifecycleSpec extends AnyFunSuite {
     }.getMessage.contains("sign-bucket layout"))
   }
 
+  test("SPLIT mode=compact: base + routed segments fold into one generation, values unchanged") {
+    val d = db()
+    d.buildSplits("docs")
+    d.routeArrivals("docs",
+      Seq((100L, "zork quux fnord blarg wibble wobble flib glorp snark quib"))
+        .toDF("id", "payload")).collect()
+    d.routeArrivals("docs",
+      Seq((101L, "aaa bbb ccc ddd eee fff ggg hhh iii jjj"))
+        .toDF("id", "payload")).collect()
+    val before = d.splitAssignments("docs")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    d.compactSplits("docs")
+    val after = d.splitAssignments("docs")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(after == before, "compaction must be content-preserving")
+    // the new generation carries NO routed segments — the next route
+    // starts from segment 0 and everything keeps composing
+    val genDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(d.root, "graft_splits_docs"), "gen_1")
+    val fs = genDir.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    assert(fs.exists(genDir), "compaction must flip to gen_1")
+    assert(!fs.listStatus(genDir).exists(
+      _.getPath.getName.startsWith("routed_")))
+    d.routeArrivals("docs",
+      Seq((102L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10"))
+        .toDF("id", "payload")).collect()
+    assert(d.splitAssignments("docs").count() == before.size + 1L)
+  }
+
   test("insert=false: assignment committed, batch NOT admitted") {
     val d = db()
     d.buildSplits("docs")
