@@ -154,8 +154,14 @@ object CommandExecutor {
           // compaction contract)
           case Some("compact") =>
             db.compactSplits(coll); status("SPLIT", coll)
+          // mode=stats is the read-only inspection surface: the build's
+          // summary over the COMMITTED assignment (ROUTE rows included),
+          // rebuilding nothing
+          case Some("stats") =>
+            db.splitSummary(coll)
           case Some(other) => throw new IllegalArgumentException(
-            s"SPLIT mode must be compact (or omitted for a build), got: $other")
+            "SPLIT mode must be compact or stats (or omitted for a " +
+              s"build), got: $other")
           case None => opts.getOrElse("by", "minhash") match {
             case "minhash" =>
               db.buildSplits(coll, nSlots = num("slots", 16),

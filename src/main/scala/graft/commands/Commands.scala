@@ -73,7 +73,9 @@ package graft.commands
   *    cosine screen at `threshold` (vector-identity corpora). Returns
   *    the per-split summary. A rebuild supersedes all prior ROUTE
   *    commits; `mode=compact` instead folds the base + all ROUTE
-  *    segments into one fresh generation, values unchanged.
+  *    segments into one fresh generation, values unchanged;
+  *    `mode=stats` returns the summary of the committed assignment
+  *    (ROUTE rows included) without rebuilding anything.
   *  - ROUTE arg (extension): `batch=<path.parquet>[;by=minhash|embedding;
   *    threshold=<f>;insert=true|false]` — route an arriving batch
   *    through the split lifecycle: screen against the stored artifact

@@ -1770,11 +1770,18 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       val n = st.getPath.getName
       if (n.startsWith("gen_") && n != s"gen_$g") fs.delete(st.getPath, true)
     }
+    splitSummary(name)
+  }
+
+  /** The per-split summary of the committed assignment table — the
+    * read-only inspection surface (`SPLIT mode=stats`): what a build
+    * returns, WITHOUT rebuilding anything (ROUTE commits included).
+    */
+  def splitSummary(name: String): DataFrame =
     splitAssignments(name).groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("rep")).as("n_clusters"))
       .orderBy("split")
-  }
 
   /** ROUTE — admit an arriving batch (`id`, `payload`) into the managed
     * split lifecycle: screen against the stored minhash bands
@@ -1874,9 +1881,17 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * cost: the returned plan reads the screen's inputs, and re-running
     * it after admission would screen the arrivals against THEMSELVES.
     */
+  /** Pre-execution plan of the last ROUTE screen (spec introspection):
+    * the routed frame the caller gets back is a checkpoint scan, so the
+    * screen's pruned-scan shape is not visible there — audits assert on
+    * this instead (the StageStore.stagePlans convention).
+    */
+  private[graft] var lastRouteScreenPlan: Option[String] = None
+
   private def routeCore(name: String, batch: DataFrame,
       arriving: DataFrame, matches: DataFrame, insert: Boolean,
       refreshBands: Boolean): DataFrame = {
+    lastRouteScreenPlan = Some(matches.queryExecution.executedPlan.toString)
     val (nSlots, valSlots, testSlots) = splitsParams(name)
     val assign = splitAssignments(name)
     // loud id-collision check: one semi-join against the assignment

@@ -1596,6 +1596,25 @@ object PipelineQueries {
             concat(col("text"), lit(" tm1 tm2")).as("payload")))
     }),
 
+    // The read-only inspection surface: `SPLIT mode=stats` summarizes
+    // the COMMITTED assignment without rebuilding — after a build it
+    // must equal the build's own summary (q335's oracle verbatim; the
+    // command-parity convention).
+    "q345_split_stats" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q345")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      db.buildSplits("docs").collect()
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "SPLIT",
+            Some("mode=stats"))
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+    }),
+
     // Split-aware egress — the lifecycle's CONSUMER step: `EXPORT
     // ...;split=train` writes exactly the training split through the
     // managed sidecar (a semi-join against the split-filtered assignment
@@ -3366,6 +3385,8 @@ object PipelineQueries {
     // the managed SPLIT command equals the operator composition: q335's
     // oracle verbatim
     "q338_split_cmd" -> DedupQueries.leakageSplitOracleSql,
+    // the read-only stats surface equals the build summary: q335 verbatim
+    "q345_split_stats" -> DedupQueries.leakageSplitOracleSql,
     // the managed ROUTE command equals the operator composition: q337's
     // oracle verbatim (same corpus, same batch, same screen family)
     "q339_route_cmd" -> DedupQueries.routeOracleSql,

@@ -164,6 +164,15 @@ class SplitLifecycleSpec extends AnyFunSuite {
         Seq((100L, nv)).toDF("id", "embedding"))
       .as[(Long, Long, String, Long, Long)].collect().head
     assert(r1._2 == 100L && r1._4 == 0L, r1.toString)
+    // plan pin: the screen's stored-side scan is PRUNED to the arrival
+    // buckets (partition filters on cluster_id — never a full corpus
+    // scan) and carries no cartesian
+    val screenPlan = d.lastRouteScreenPlan.get
+    assert("PartitionFilters: \\[[^\\]]*cluster_id"
+        .r.findFirstIn(screenPlan).isDefined,
+      s"the embedding screen must prune to arrival buckets:\n" +
+        screenPlan.take(2000))
+    assert(!screenPlan.contains("CartesianProduct"), screenPlan.take(2000))
     // batch 2: an exact copy of the ROUTED arrival — matched through the
     // appended row's sign bucket, no refresh step on this family
     val r2 = d.routeArrivalsEmbedding("vecs",
