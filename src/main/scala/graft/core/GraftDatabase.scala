@@ -1693,10 +1693,15 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       s"no split sidecar on $name — run SPLIT first")
     val g = splitsGenDir(name)
     val base = readArtifact(new Path(g, "assign"), SplitAssignSchema)
-    splitRoutedSegs(name).foldLeft(base) { (acc, seg) =>
-      acc.unionByName(
-        readArtifact(new Path(g, s"routed_$seg"), SplitAssignSchema))
-    }
+    val segs = splitRoutedSegs(name)
+    if (segs.isEmpty) base
+    else base.unionByName(
+      // ONE multi-path scan over every MARKED segment — a per-segment
+      // union would grow the plan linearly with ROUTE batches (at
+      // thousands of admitted batches that's real analysis time);
+      // unmarked orphans are excluded by construction (never globbed)
+      spark.read.schema(SplitAssignSchema)
+        .parquet(segs.map(n => new Path(g, s"routed_$n").toString): _*))
   }
 
   /** SPLIT — build (or rebuild) the managed leakage-safe split sidecar:
