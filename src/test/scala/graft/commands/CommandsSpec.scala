@@ -375,6 +375,15 @@ class CommandsSpec extends AnyFunSuite {
     assert(audit.collect().map(r => r.getLong(1)).sum == 1L)
   }
 
+  test("EXPORT of an EMPTY collection: empty audit, observe metrics resolve (no hang)") {
+    val parent = Files.createTempDirectory("graftexpempty").toString
+    val db = GraftDatabase.create(spark, parent, "exdb9")
+    db.createCollection("vecs")
+    val audit = db.exportCollection("vecs", s"$parent/out", nShards = 4)
+    assert(audit.collect().isEmpty,
+      "zero rows → zero non-empty shards in the audit")
+  }
+
   test("EXPORT format=text: NULL payloads refuse with the descriptive per-row error") {
     val parent = Files.createTempDirectory("graftexpnull").toString
     val db = GraftDatabase.create(spark, parent, "exdb4")
