@@ -167,8 +167,14 @@ object CommandExecutor {
               db.buildSplits(coll, nSlots = num("slots", 16),
                 valSlots = num("val", 1), testSlots = num("test", 1))
             case "embedding" =>
-              db.buildSplitsEmbedding(coll,
-                threshold = opts.getOrElse("threshold", "0.999").toDouble,
+              val thr = opts.get("threshold").map { v =>
+                try v.toDouble
+                catch { case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"SPLIT threshold= must be numeric, got '$v'")
+                }
+              }.getOrElse(0.999)
+              db.buildSplitsEmbedding(coll, threshold = thr,
                 nBits = num("bits", 8), nSlots = num("slots", 16),
                 valSlots = num("val", 1), testSlots = num("test", 1))
             case other => throw new IllegalArgumentException(
@@ -383,8 +389,10 @@ object CommandExecutor {
               case "mllib" =>
                 db.reindexKMeans(coll, k = opts.getOrElse("k", "16").toInt)
               case "md5" =>
+                // same default k as the MLlib branch: switching trainers
+                // must never silently change the cell count
                 db.reindexKMeansMd5(coll,
-                  k = opts.getOrElse("k", "8").toInt,
+                  k = opts.getOrElse("k", "16").toInt,
                   rounds = opts.getOrElse("rounds", "1").toInt)
               case other => throw new IllegalArgumentException(
                 s"REINDEX type=kmeans trainer must be mllib or md5, got: $other")

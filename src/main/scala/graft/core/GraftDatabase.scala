@@ -517,7 +517,17 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         cur.withColumn("shard", exportShardExpr(nSh))
       }
       val dataCols = cur.columns.toSeq
+      // one job group per invocation: a parallel-mode failure must be
+      // able to cancel SUBMITTED shard jobs, not just interrupt pool
+      // threads — a write job left running would task-commit into the
+      // same shard dir a caller's immediate re-invoke overwrites
+      val jobGroup =
+        s"graft-export-${java.util.UUID.randomUUID().toString.take(12)}"
       def convertShard(s: Int): Unit = {
+        // thread-local: each pool thread (or the sequential caller) tags
+        // its jobs so cancelJobGroup reaches all of them
+        spark.sparkContext.setJobGroup(jobGroup,
+          s"export shard $s of $name", interruptOnCancel = true)
         val part = staged.filter(col("shard") === s)
         val rows = part.count()
         // a zero-row shard writes NO dir — partitionBy parity with the
@@ -544,7 +554,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
           throw new IllegalStateException(
             s"injected crash after marker of shard $s")
       }
-      if (parallelism == 1) todo.foreach(convertShard)
+      if (parallelism == 1)
+        try todo.foreach(convertShard)
+        finally spark.sparkContext.clearJobGroup()
       else {
         // each conversion is a small pruned job; at thousands of shards
         // the driver-side sequencing dominates, so run a BOUNDED pool of
@@ -565,8 +577,12 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         } catch { case t: Throwable =>
           // no shard job may outlive this invocation: a caller that
           // catches the failure and immediately re-invokes must never
-          // race a straggler thread writing the same shard dir/marker
-          // concurrently with the new run's overwrite conversion
+          // race a straggler writing the same shard dir/marker
+          // concurrently with the new run's overwrite conversion.
+          // BOTH layers: cancel the SUBMITTED Spark jobs (an interrupted
+          // pool thread does not stop its job's tasks), then drain the
+          // pool so no thread can submit more work after we return.
+          spark.sparkContext.cancelJobGroup(jobGroup)
           pool.shutdownNow()
           pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
           throw t
@@ -611,7 +627,21 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       case Some("sign_bucket") =>
         Some(VectorIndex.assignSignBuckets(_, nBits = indexBits(name)))
       case Some("kmeans") =>
-        Some(VectorIndex.assignNearestCentroid(_, centroidsOf(name)))
+        // the md5-trained layout is DEFINED by the rounded-distance
+        // assignment rule (that's what makes it oracle-replayable) —
+        // appends must use the SAME rule or appended rows land in cells
+        // no replay computes (a raw argmin and round(l2, 6) disagree at
+        // rounding boundaries). The MLlib layout keeps the raw argmin:
+        // its cells are not engine-replayable to begin with.
+        if (kmeansTrainerOf(name).contains("md5"))
+          Some(df => ProductQuantization
+            .assignCodes(df, "embedding",
+              Array(centroidsOf(name)): ProductQuantization.Codebooks,
+              "__coarse")
+            .withColumn("cluster_id",
+              (element_at(col("__coarse"), 1) - 1).cast("int"))
+            .drop("__coarse"))
+        else Some(VectorIndex.assignNearestCentroid(_, centroidsOf(name)))
       case Some("pq") =>
         // same cell rule as sign_bucket (the pq_code column is re-derived
         // by the bulkInsert pass above, keyed off the schema read)
@@ -1671,8 +1701,10 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   }
 
   /** Committed ROUTE segment numbers of the current generation — only
-    * MARKED segments are live (a crash mid-write leaves an unmarked
-    * orphan dir readers never see; the next ROUTE overwrites it).
+    * MARKED segments are live. A crash mid-write leaves an unmarked
+    * orphan dir readers never see; segment numbering skips past it (max
+    * over ALL routed_* names), so the orphan sits inert until a
+    * compactSplits / re-SPLIT sweeps the generation.
     */
   private def splitRoutedSegs(name: String): Seq[Int] = {
     val g = splitsGenDir(name)
@@ -1745,8 +1777,16 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val cur = read(name)
     require(cur.columns.contains("embedding"),
       s"SPLIT by=embedding needs an embedding column on $name")
+    // a stored sign layout pins the signature family: SPLIT and ROUTE
+    // must bucket identically (the buildSplits/minhashParams rule) or an
+    // arrival could near-dup under one bucketing and not the other —
+    // inheriting through pairs the split never clustered, or missing a
+    // test-set copy entirely
+    val bits =
+      if (indexType(name).contains("sign_bucket")) indexBits(name)
+      else nBits
     val pairs = graft.operators.Dedup.embeddingPairs(
-        cur.select(col("id"), col("embedding")), "id", "embedding", nBits)
+        cur.select(col("id"), col("embedding")), "id", "embedding", bits)
       .filter(round(col("score"), 6) >= threshold)
       .select("a_id", "b_id")
     commitSplitBase(name, cur, pairs, nSlots, valSlots, testSlots)
@@ -1899,6 +1939,12 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     lastRouteScreenPlan = Some(matches.queryExecution.executedPlan.toString)
     val (nSlots, valSlots, testSlots) = splitsParams(name)
     val assign = splitAssignments(name)
+    // admission pre-check BEFORE anything commits: a batch the collection
+    // cannot accept (missing declared columns) must fail with NOTHING
+    // written — otherwise the sidecar commit lands, bulkInsert throws,
+    // and the write-once rule then refuses the corrected batch forever
+    // (align only builds the projection — no job runs here)
+    if (insert) { align(name, batch); () }
     // loud id-collision check: one semi-join against the assignment
     // table (assignment-grain scan, ≤1-row output — cheap next to the
     // screen itself)
@@ -1908,6 +1954,15 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       s"ROUTE: arrival id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
         s"already has a committed split on $name — splits are write-once " +
         "per id; re-routing would duplicate its assignment row")
+    // ... and WITHIN the batch: a doubled arrival id would pass the
+    // committed-row check yet commit two assignment rows (and insert the
+    // doc twice) — same write-once contract, batch edition
+    val dup = arriving.groupBy("id").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1L).select(col("id")).limit(1).collect()
+    require(dup.isEmpty,
+      s"ROUTE: arrival id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
+        "appears more than once in the batch — ids must be unique " +
+        "(splits are write-once per id); dedupe the batch first")
     val routed = graft.operators.TrainExport.routeSplits(
         assign, matches, arriving, "id", nSlots, valSlots, testSlots)
       .localCheckpoint(true)
@@ -2809,7 +2864,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * so every kmeans-layout reader (probes, appends, the decon screen)
     * serves both trainers identically.
     */
-  def reindexKMeansMd5(name: String, k: Int = 8, rounds: Int = 1,
+  def reindexKMeansMd5(name: String, k: Int = 16, rounds: Int = 1,
       seed: String = "ivf"): Unit = {
     requireCollection(name)
     val base = {
@@ -2825,9 +2880,19 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .drop("__coarse")
     rewrite(name, assigned, partitionBy = Seq("cluster_id"))
     val cents = cb(0).map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+    // the trainer tag routes the APPEND assignment rule: md5 layouts
+    // re-assign arriving rows by the same rounded rule the training used
     writeString(fs, new Path(collDir(name), IndexMetaFile),
-      s"""{"type": "kmeans", "k": $k, "centroids": $cents}""")
+      s"""{"type": "kmeans", "trainer": "md5", "k": $k, "centroids": $cents}""")
   }
+
+  /** Trainer tag of a kmeans sidecar ("md5" for the engine-replayable
+    * layout; absent for MLlib builds — including all pre-r16 sidecars).
+    */
+  private def kmeansTrainerOf(name: String): Option[String] =
+    indexSidecar(name).flatMap(m =>
+      """"trainer"\s*:\s*"([a-z0-9]+)"""".r.findFirstMatchIn(m)
+        .map(_.group(1)))
 
   /** REINDEX with the IVF × PQ layout — the 100 TB ANN index as a managed
     * artifact: train per-subspace codebooks ([[ProductQuantization

@@ -232,6 +232,89 @@ class SplitLifecycleSpec extends AnyFunSuite {
     assert(d.splitAssignments("docs").count() == before.size + 1L)
   }
 
+  test("ROUTE fails ATOMICALLY on an unadmittable batch: nothing committed, corrected batch accepted") {
+    val parent = Files.createTempDirectory("graft_splits_adm").toString
+    val d = GraftDatabase.create(spark, parent, "db")
+    d.createCollection("docs", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType))))
+    d.bulkInsert("docs", corpusDocs.map { case (i, t) => (i, t, "web") }
+      .toDF("id", "payload", "source"))
+    d.reindexMinhash("docs", buckets = 4)
+    d.buildSplits("docs")
+    val n0 = d.splitAssignments("docs").count()
+    // batch missing the declared 'source' column: the admission
+    // pre-check must fire BEFORE the sidecar commit — otherwise the
+    // write-once rule would refuse the corrected batch forever
+    val e = intercept[IllegalArgumentException] {
+      d.routeArrivals("docs",
+        Seq((100L, "zork quux fnord blarg wibble wobble flib glorp snark quib"))
+          .toDF("id", "payload"))
+    }
+    assert(e.getMessage.contains("missing column source"), e.getMessage)
+    assert(d.splitAssignments("docs").count() == n0,
+      "a failed admission must commit nothing")
+    // the corrected batch routes fine (no write-once refusal)
+    val r = d.routeArrivals("docs",
+        Seq((100L, "zork quux fnord blarg wibble wobble flib glorp snark quib", "web"))
+          .toDF("id", "payload", "source"))
+      .collect()
+    assert(r.length == 1)
+    // ... and a batch with a DOUBLED id refuses before committing
+    assert(intercept[IllegalArgumentException] {
+      d.routeArrivals("docs",
+        Seq((200L, "a b c d e f g h i j", "web"),
+          (200L, "a b c d e f g h i j", "web"))
+          .toDF("id", "payload", "source"))
+    }.getMessage.contains("more than once in the batch"))
+    assert(d.splitAssignments("docs")
+      .filter(col("id") === 200L).count() == 0)
+  }
+
+  test("md5-kmeans layout: appends assign by the SAME rounded rule the training used") {
+    val parent = Files.createTempDirectory("graft_md5app").toString
+    val d = GraftDatabase.create(spark, parent, "db")
+    d.createCollection("vecs", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)))))
+    val src = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select(col("vec_id").as("id"), col("embedding"))
+    d.bulkInsert("vecs", src.filter(col("id") < 400))
+    d.reindexKMeansMd5("vecs", k = 4, rounds = 1)
+    // append rows the training never saw; their stored cluster_id must
+    // equal the rounded assignCodes rule (an oracle-replayable cell),
+    // NOT the raw-argmin rule the MLlib layout uses
+    d.bulkInsert("vecs", src.filter(col("id") >= 400))
+    val appended = d.read("vecs").filter(col("id") >= 400)
+      .select(col("id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(appended.nonEmpty)
+    // expected: the deterministic training replayed on the SAME
+    // pre-append slice (seed/rounds = the reindex call's), then the
+    // rounded assignCodes rule — exactly what an oracle would compute
+    val expect = {
+      import graft.operators.ProductQuantization
+      val cb = ProductQuantization.trainCodebooks(
+        src.filter(col("id") < 400), "id", "embedding",
+        m = 1, ksub = 4, rounds = 1, seed = "ivf")
+      ProductQuantization.assignCodes(
+          src.filter(col("id") >= 400), "embedding", cb, "__c")
+        .select(col("id"),
+          (org.apache.spark.sql.functions.element_at(col("__c"), 1) - 1)
+            .cast("int").as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    assert(appended == expect,
+      "appended rows must land in the rounded-rule cells")
+  }
+
   test("insert=false: assignment committed, batch NOT admitted") {
     val d = db()
     d.buildSplits("docs")
