@@ -1699,6 +1699,42 @@ object PipelineQueries {
       db.deconScreen("train", evalQ, threshold = 0.5, probeRadius = 1)
     }),
 
+    // The kmeans decon screen on a MUTATED collection — the append rule
+    // gated end to end: 4/5 of the train slice ingests, the md5 trainer
+    // builds the layout, THEN the held-back 1/5 appends (bulkInsert
+    // assigns their cells by the SAME rounded rule — the r16 hardening),
+    // and the pruned screen runs over the union. The oracle replays the
+    // training on the PRE-APPEND slice only, assigns the full union
+    // against those centroids, and probes — a raw-argmin append rule
+    // would scatter appended rows into unreplayable cells and break the
+    // hash here.
+    "q346_decon_kmeans_append" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q346")
+      db.createCollection("train", StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      val train = Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 50 =!= 0)
+        .withColumnRenamed("vec_id", "id")
+      db.bulkInsert("train", train.filter(col("id") % 5 =!= 1))
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("train"), "REINDEX",
+            Some("type=kmeans;trainer=md5;k=8;rounds=1"))
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity)).collect()
+      db.bulkInsert("train", train.filter(col("id") % 5 === 1))
+      val emb = Tables.embeddings(s, dir)
+      val donors = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("donor_vec"))
+      val evalQ = broadcast(emb.filter(col("vec_id") % 50 === 0))
+        .join(donors, Seq("vec_id"))
+        .select(col("vec_id").as("query_id"),
+          when(expr("(vec_id DIV 50) % 3") === 0, col("donor_vec"))
+            .otherwise(col("embedding")).as("query_vec"))
+      db.deconScreen("train", evalQ, threshold = 0.5, probeRadius = 1)
+    }),
+
     // Batch serving at the COMMAND surface (r13 verdict item 6): the
     // same batch as q310 through SEARCHHYBRID's `queries=<file>` grammar
     // (one qid|terms|vec line per query — Float.toString round-trips, so
@@ -3403,6 +3439,9 @@ object PipelineQueries {
     // the train slice, rounded-l2 probe cells, exact rounded cosine over
     // probed rows only, rounded top-1, flag at 0.5
     "q342_decon_kmeans" -> VectorQueries.deconKmeansSql(2),
+    // the mutated-collection edition: training replayed on the
+    // pre-append slice, the union assigned by the same rounded rule
+    "q346_decon_kmeans_append" -> VectorQueries.deconKmeansAppendSql(2),
     // split-filtered egress read-back ≡ the assignment chain's train set
     "q343_export_split" -> DedupQueries.exportSplitOracleSql,
     // the embedding-edge routing replay: q336's pair screen + placement,

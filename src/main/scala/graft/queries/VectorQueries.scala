@@ -1237,6 +1237,57 @@ object VectorQueries {
       |WHERE rn = 1
       |ORDER BY eval_id""".stripMargin
 
+  /** The q346 oracle: [[deconKmeansSql]] on a MUTATED collection — the
+    * coarse training replays over the PRE-APPEND slice only
+    * (`id % 5 <> 1` of the train rows, exactly what the reindex saw),
+    * then the FULL union assigns against those centroids by the same
+    * rounded rule the append path uses, and the probe scans the union's
+    * cells. A raw-argmin append rule would diverge here.
+    */
+  private[queries] def deconKmeansAppendSql(nprobe: Int): String =
+    """WITH e2 AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE vec_id % 50 <> 0 AND vec_id % 5 <> 1),
+      |""".stripMargin +
+    pqTrainBody("e2", "ivf", 1, 64, 8, "k") +
+    s""",
+      |allv AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  WHERE vec_id % 50 <> 0),
+      |acodes AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT a.vec_id, c.cid, row_number() OVER (
+      |      PARTITION BY a.vec_id
+      |      ORDER BY round(list_distance(a.v, c.cent), 6), c.cid) AS rn
+      |    FROM allv a CROSS JOIN kc1 c) WHERE rn = 1),
+      |qs4 AS (
+      |  SELECT e.vec_id AS query_id,
+      |    CASE WHEN (e.vec_id // 50) % 3 = 0
+      |         THEN CAST(d.embedding AS DOUBLE[])
+      |         ELSE CAST(e.embedding AS DOUBLE[]) END AS qv
+      |  FROM embeddings e JOIN embeddings d ON d.vec_id = e.vec_id + 1
+      |  WHERE e.vec_id % 50 = 0),
+      |probed AS (
+      |  SELECT query_id, cid FROM (
+      |    SELECT q.query_id, c.cid, row_number() OVER (
+      |      PARTITION BY q.query_id
+      |      ORDER BY round(list_distance(c.cent, q.qv), 6), c.cid) AS rn
+      |    FROM kc1 c CROSS JOIN qs4 q) WHERE rn <= $nprobe),
+      |rr AS (
+      |  SELECT p.query_id, kc.vec_id,
+      |    round(list_cosine_similarity(a2.v, q.qv), 6) AS score
+      |  FROM probed p
+      |  JOIN acodes kc ON kc.cid = p.cid
+      |  JOIN allv a2 ON a2.vec_id = kc.vec_id
+      |  JOIN qs4 q ON q.query_id = p.query_id)
+      |SELECT query_id AS eval_id, vec_id AS train_id, score,
+      |  CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS contaminated
+      |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+      |  ORDER BY score DESC, vec_id) AS rn FROM rr)
+      |WHERE rn = 1
+      |ORDER BY eval_id""".stripMargin
+
   // Seed-parameterized batch kmeans-IVFPQ replay (q170 uses the raw
   // gate's seeds, q173 the reindex's): coarse m=1 training, residuals,
   // fine training, 3 queries × nprobe=2 probed cells, per-(query, cell)
