@@ -1699,6 +1699,58 @@ object PipelineQueries {
       db.deconScreen("train", evalQ, threshold = 0.5, probeRadius = 1)
     }),
 
+    // The kmeans decon screen's STREAMING twin (the q332 economics on
+    // the new layout): eval queries arrive as a stream, each micro-batch
+    // screens against the stored kmeans layout inside foreachBatch
+    // (shortlist = -1 selects the pruned float path — no ADC stage on
+    // this layout). Per-eval-row independence: q342's oracle verbatim.
+    "q347_stream_decon_kmeans" -> ((s, dir) => {
+      val trainDb = storedKmeansDeconDb(s, dir)
+      val sink = scratchDb(s, "graft_q347")
+      val sc = Scratch.name("screened")
+      sink.createCollection(sc, StructType(Seq(
+        StructField("eval_id", LongType),
+        StructField("train_id", LongType),
+        StructField("score", org.apache.spark.sql.types.DoubleType),
+        StructField("contaminated", LongType))))
+      graft.streaming.StreamingIngest.streamDeconScreen(s, dir,
+        trainDb, "train", sink, sc, threshold = 0.5,
+        probeRadius = 1, shortlist = -1)
+    }),
+
+    // The embedding routing family's STREAMING twin: q344's arrival
+    // batch (exact copies at id + 100000) arrives as a stream; each
+    // micro-batch screens against the stored sign layout, inherits,
+    // commits, and is admitted through the layout-aware append inside
+    // foreachBatch — cross-batch inheritance with NO refresh step on
+    // this family. Single-batch run ≡ batch ROUTE: q344's oracle
+    // verbatim.
+    "q348_stream_embed_routing" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q348")
+      db.createCollection("vecs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      db.bulkInsert("vecs",
+        Tables.embeddings(s, dir).withColumnRenamed("vec_id", "id"))
+      db.reindex("vecs", nBits = 8)
+      db.buildSplitsEmbedding("vecs")
+      val sink = scratchDb(s, "graft_q348s")
+      val sc = Scratch.name("routed")
+      sink.createCollection(sc, StructType(Seq(
+        StructField("id", LongType),
+        StructField("rep", LongType),
+        StructField("split", StringType),
+        StructField("n_matches", LongType),
+        StructField("bridged", LongType))))
+      graft.streaming.StreamingIngest.streamRouteSplits(s, dir,
+        db, "vecs", sink, sc,
+        arrivals = raw => raw.filter(col("vec_id") % 7 === 0)
+          .select((col("vec_id") + 100000L).as("id"), col("embedding"),
+            col("label")),
+        threshold = 0.999, glob = "embeddings.parquet", by = "embedding")
+    }),
+
     // The kmeans decon screen on a MUTATED collection — the append rule
     // gated end to end: 4/5 of the train slice ingests, the md5 trainer
     // builds the layout, THEN the held-back 1/5 appends (bulkInsert
@@ -3442,6 +3494,10 @@ object PipelineQueries {
     // the mutated-collection edition: training replayed on the
     // pre-append slice, the union assigned by the same rounded rule
     "q346_decon_kmeans_append" -> VectorQueries.deconKmeansAppendSql(2),
+    // stream ≡ batch on the kmeans screen: q342's oracle verbatim
+    "q347_stream_decon_kmeans" -> VectorQueries.deconKmeansSql(2),
+    // stream ≡ batch on the embedding routing: q344's oracle verbatim
+    "q348_stream_embed_routing" -> embedRoutingSql,
     // split-filtered egress read-back ≡ the assignment chain's train set
     "q343_export_split" -> DedupQueries.exportSplitOracleSql,
     // the embedding-edge routing replay: q336's pair screen + placement,

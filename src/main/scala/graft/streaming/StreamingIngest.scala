@@ -1196,7 +1196,10 @@ object StreamingIngest {
       arrivals: DataFrame => DataFrame,
       threshold: Double = 0.5,
       maxFilesPerTrigger: Option[Int] = None,
-      glob: String = "documents.parquet"): DataFrame = {
+      glob: String = "documents.parquet",
+      by: String = "minhash"): DataFrame = {
+    require(by == "minhash" || by == "embedding",
+      s"streamRouteSplits: by must be minhash or embedding, got '$by'")
     val schema = spark.read.option("pathGlobFilter", glob)
       .parquet(sfDir).schema
     val reader = spark.readStream.schema(schema)
@@ -1210,7 +1213,9 @@ object StreamingIngest {
           org.apache.spark.sql.Row], batchId: Long) =>
         if (applied.add(batchId) && !batch.isEmpty)
           sinkDb.bulkInsert(sinkColl,
-            db.routeArrivals(coll, batch, threshold))
+            if (by == "embedding")
+              db.routeArrivalsEmbedding(coll, batch, threshold)
+            else db.routeArrivals(coll, batch, threshold))
       }
       .trigger(Trigger.AvailableNow())
       .start()
