@@ -174,8 +174,10 @@ object CommandExecutor {
                     s"SPLIT threshold= must be numeric, got '$v'")
                 }
               }.getOrElse(0.999)
+              // bits=-1 adopts the stored sign layout's width (else 8);
+              // an explicit mismatch refuses in buildSplitsEmbedding
               db.buildSplitsEmbedding(coll, threshold = thr,
-                nBits = num("bits", 8), nSlots = num("slots", 16),
+                nBits = num("bits", -1), nSlots = num("slots", 16),
                 valSlots = num("val", 1), testSlots = num("test", 1))
             case other => throw new IllegalArgumentException(
               s"SPLIT by= must be minhash or embedding, got '$other'")

@@ -524,10 +524,6 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       val jobGroup =
         s"graft-export-${java.util.UUID.randomUUID().toString.take(12)}"
       def convertShard(s: Int): Unit = {
-        // thread-local: each pool thread (or the sequential caller) tags
-        // its jobs so cancelJobGroup reaches all of them
-        spark.sparkContext.setJobGroup(jobGroup,
-          s"export shard $s of $name", interruptOnCancel = true)
         val part = staged.filter(col("shard") === s)
         val rows = part.count()
         // a zero-row shard writes NO dir — partitionBy parity with the
@@ -554,9 +550,10 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
           throw new IllegalStateException(
             s"injected crash after marker of shard $s")
       }
-      if (parallelism == 1)
-        try todo.foreach(convertShard)
-        finally spark.sparkContext.clearJobGroup()
+      // sequential mode needs no job-group games (there can be no
+      // concurrent straggler) — and setting one here would clobber any
+      // group the CALLING thread already carries
+      if (parallelism == 1) todo.foreach(convertShard)
       else {
         // each conversion is a small pruned job; at thousands of shards
         // the driver-side sequencing dominates, so run a BOUNDED pool of
@@ -569,7 +566,13 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         implicit val ec: scala.concurrent.ExecutionContext =
           scala.concurrent.ExecutionContext.fromExecutor(pool)
         try {
-          val fs0 = todo.map(s => scala.concurrent.Future(convertShard(s)))
+          val fs0 = todo.map(s => scala.concurrent.Future {
+            // pool threads are fresh (no caller group to clobber): tag
+            // every shard job so a failure can cancel all of them
+            spark.sparkContext.setJobGroup(jobGroup,
+              s"export shard $s of $name", interruptOnCancel = true)
+            convertShard(s)
+          })
           scala.concurrent.Await.result(
             scala.concurrent.Future.sequence(fs0),
             scala.concurrent.duration.Duration.Inf)
@@ -579,12 +582,16 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
           // catches the failure and immediately re-invokes must never
           // race a straggler writing the same shard dir/marker
           // concurrently with the new run's overwrite conversion.
-          // BOTH layers: cancel the SUBMITTED Spark jobs (an interrupted
-          // pool thread does not stop its job's tasks), then drain the
-          // pool so no thread can submit more work after we return.
+          // THREE layers, ordered: cancel the submitted jobs (an
+          // interrupted pool thread does not stop its job's tasks),
+          // drain the pool, then cancel AGAIN — a thread that was
+          // between setJobGroup and submit when the first cancel ran
+          // can have submitted into the already-cancelled group, and
+          // only after awaitTermination can no further submit happen.
           spark.sparkContext.cancelJobGroup(jobGroup)
           pool.shutdownNow()
           pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          spark.sparkContext.cancelJobGroup(jobGroup)
           throw t
         }
       }
@@ -627,21 +634,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       case Some("sign_bucket") =>
         Some(VectorIndex.assignSignBuckets(_, nBits = indexBits(name)))
       case Some("kmeans") =>
-        // the md5-trained layout is DEFINED by the rounded-distance
-        // assignment rule (that's what makes it oracle-replayable) —
-        // appends must use the SAME rule or appended rows land in cells
-        // no replay computes (a raw argmin and round(l2, 6) disagree at
-        // rounding boundaries). The MLlib layout keeps the raw argmin:
-        // its cells are not engine-replayable to begin with.
-        if (kmeansTrainerOf(name).contains("md5"))
-          Some(df => ProductQuantization
-            .assignCodes(df, "embedding",
-              Array(centroidsOf(name)): ProductQuantization.Codebooks,
-              "__coarse")
-            .withColumn("cluster_id",
-              (element_at(col("__coarse"), 1) - 1).cast("int"))
-            .drop("__coarse"))
-        else Some(VectorIndex.assignNearestCentroid(_, centroidsOf(name)))
+        Some(kmeansAssignRule(name))
       case Some("pq") =>
         // same cell rule as sign_bucket (the pq_code column is re-derived
         // by the bulkInsert pass above, keyed off the schema read)
@@ -689,9 +682,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       case Some("sign_bucket") =>
         VectorIndex.assignSignBuckets(merged, nBits = indexBits(name))
       case Some("kmeans") =>
-        // re-assign against the stored centroids (same rule the append path
-        // uses) — the index survives the update instead of being dropped
-        VectorIndex.assignNearestCentroid(merged, centroidsOf(name))
+        // re-assign against the stored centroids via the SAME
+        // trainer-aware rule the append path uses — the index survives
+        // the update instead of being dropped, and md5-trained layouts
+        // keep their oracle-replayable cells through updates too
+        kmeansAssignRule(name)(merged)
       case Some("pq") =>
         // both derived columns are reproducible from the sidecar, so the
         // PQ index survives updates too — cells AND codes re-derive
@@ -1700,6 +1695,20 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     (intOf("slots"), intOf("val"), intOf("test"))
   }
 
+  /** Edge family the sidecar was built with ("minhash"/"embedding";
+    * absent on pre-pin sidecars — treated as unpinned).
+    */
+  private def splitsFamilyOf(name: String): Option[String] =
+    """"family"\s*:\s*"([a-z]+)"""".r
+      .findFirstMatchIn(readString(fs, splitsMetaPath(name)))
+      .map(_.group(1))
+
+  /** Sign-bucket width of an embedding-family sidecar, if pinned. */
+  private def splitsBitsOf(name: String): Option[Int] =
+    """"bits"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readString(fs, splitsMetaPath(name)))
+      .map(_.group(1).toInt)
+
   /** Committed ROUTE segment numbers of the current generation — only
     * MARKED segments are live. A crash mid-write leaves an unmarked
     * orphan dir readers never see; segment numbering skips past it (max
@@ -1759,7 +1768,8 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       if (fs.exists(minhashMetaPath(name))) minhashParams(name) else (5, 8, 2)
     val pairs = graft.operators.Dedup.minhashCandidates(
       cur, "id", "payload", shingleN, numHashes, rowsPerBand)
-    commitSplitBase(name, cur, pairs, nSlots, valSlots, testSlots)
+    commitSplitBase(name, cur, pairs, nSlots, valSlots, testSlots,
+      extraMeta = ""","family":"minhash"""")
   }
 
   /** SPLIT by=embedding — [[buildSplits]] under EMBEDDING edges (the
@@ -1771,7 +1781,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * multimodal tables).
     */
   def buildSplitsEmbedding(name: String, threshold: Double = 0.999,
-      nBits: Int = 8, nSlots: Int = 16, valSlots: Int = 1,
+      nBits: Int = -1, nSlots: Int = 16, valSlots: Int = 1,
       testSlots: Int = 1): DataFrame = {
     requireCollection(name)
     val cur = read(name)
@@ -1781,15 +1791,27 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     // must bucket identically (the buildSplits/minhashParams rule) or an
     // arrival could near-dup under one bucketing and not the other —
     // inheriting through pairs the split never clustered, or missing a
-    // test-set copy entirely
-    val bits =
-      if (indexType(name).contains("sign_bucket")) indexBits(name)
-      else nBits
+    // test-set copy entirely. -1 ADOPTS (stored layout's width, else 8);
+    // an EXPLICIT mismatching width refuses — the resume-pin doctrine.
+    val stored: Option[Int] =
+      if (indexType(name).contains("sign_bucket")) Some(indexBits(name))
+      else None
+    val bits = (nBits, stored) match {
+      case (-1, Some(b)) => b
+      case (-1, None) => 8
+      case (b, Some(sb)) =>
+        require(b == sb, s"SPLIT by=embedding bits=$b but the stored " +
+          s"sign layout on $name uses $sb bits — drop bits= to adopt, " +
+          "or REINDEX the layout first")
+        b
+      case (b, None) => b
+    }
     val pairs = graft.operators.Dedup.embeddingPairs(
         cur.select(col("id"), col("embedding")), "id", "embedding", bits)
       .filter(round(col("score"), 6) >= threshold)
       .select("a_id", "b_id")
-    commitSplitBase(name, cur, pairs, nSlots, valSlots, testSlots)
+    commitSplitBase(name, cur, pairs, nSlots, valSlots, testSlots,
+      extraMeta = s""","family":"embedding","bits":$bits""")
   }
 
   /** Shared SPLIT commit: place clusters, write the base assignment as a
@@ -1797,7 +1819,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   private def commitSplitBase(name: String, cur: DataFrame,
       pairs: DataFrame, nSlots: Int, valSlots: Int,
-      testSlots: Int): DataFrame = {
+      testSlots: Int, extraMeta: String = ""): DataFrame = {
     val assign = graft.operators.TrainExport.leakageSafeSplit(
       cur, pairs, "id", nSlots, valSlots, testSlots)
     val dir = splitsDir(name)
@@ -1809,7 +1831,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .write.mode("overwrite").option("compression", Compression)
       .parquet(new Path(genDir, "assign").toString)
     writeString(fs, splitsMetaPath(name),
-      s"""{"type":"splits","slots":$nSlots,"val":$valSlots,"test":$testSlots,"gen":$g}""")
+      s"""{"type":"splits","slots":$nSlots,"val":$valSlots,"test":$testSlots$extraMeta,"gen":$g}""")
     // sweep superseded generations (the compactPostings orphan rule)
     Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
       val n = st.getPath.getName
@@ -1859,6 +1881,12 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     require(batch.columns.contains("id") && batch.columns.contains("payload"),
       "ROUTE batch needs (id, payload) columns — got " +
         batch.columns.mkString("(", ", ", ")"))
+    // cross-family routing would inherit through a DIFFERENT edge set
+    // than the one that clustered the corpus — refuse, don't guess
+    splitsFamilyOf(name).foreach(f => require(f == "minhash",
+      s"the split sidecar on $name was built by=$f — ROUTE (minhash) " +
+        s"would inherit through a different edge family; use " +
+        s"ROUTE by=$f or re-SPLIT"))
     val arriving = batch.select(col("id").cast("long").as("id"),
       col("payload"))
     routeCore(name, batch, arriving,
@@ -1893,7 +1921,18 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       s"ROUTE by=embedding answers from the stored sign-bucket layout — " +
         s"REINDEX type=sign on $name first (the screen must never " +
         "full-scan the corpus)")
+    splitsFamilyOf(name).foreach(f => require(f == "embedding",
+      s"the split sidecar on $name was built by=$f — ROUTE by=embedding " +
+        "would inherit through a different edge family; use the " +
+        s"matching ROUTE or re-SPLIT by=embedding"))
     val nBits = indexBits(name)
+    // the sidecar's pinned signature width must match the layout the
+    // screen is about to probe — a re-REINDEX at a different width
+    // between SPLIT and ROUTE would silently change the edge family
+    splitsBitsOf(name).foreach(b => require(b == nBits,
+      s"the split sidecar on $name was built at $b sign bits but the " +
+        s"stored layout now uses $nBits — re-SPLIT by=embedding (or " +
+        "restore the layout) before routing"))
     val arriving = batch.select(col("id").cast("long").as("id"),
       col("embedding"))
     val withB = arriving.withColumn("__b",
@@ -1945,24 +1984,29 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     // and the write-once rule then refuses the corrected batch forever
     // (align only builds the projection — no job runs here)
     if (insert) { align(name, batch); () }
-    // loud id-collision check: one semi-join against the assignment
-    // table (assignment-grain scan, ≤1-row output — cheap next to the
-    // screen itself)
-    val clash = arriving.join(assign, Seq("id"), "left_semi")
-      .select(col("id")).limit(1).collect()
-    require(clash.isEmpty,
-      s"ROUTE: arrival id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
-        s"already has a committed split on $name — splits are write-once " +
-        "per id; re-routing would duplicate its assignment row")
-    // ... and WITHIN the batch: a doubled arrival id would pass the
-    // committed-row check yet commit two assignment rows (and insert the
-    // doc twice) — same write-once contract, batch edition
-    val dup = arriving.groupBy("id").agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1L).select(col("id")).limit(1).collect()
-    require(dup.isEmpty,
-      s"ROUTE: arrival id ${dup.headOption.map(_.getLong(0)).getOrElse(-1L)} " +
-        "appears more than once in the batch — ids must be unique " +
-        "(splits are write-once per id); dedupe the batch first")
+    // loud write-once checks, ONE driver action for both (per-batch
+    // driver-side job overhead dominates small incremental jobs — the
+    // round-11 rule): an arrival id may neither carry a committed split
+    // already NOR appear twice within the batch — either way a commit
+    // would duplicate its assignment row
+    val bad = arriving.groupBy("id").agg(count(lit(1)).as("__n"))
+      .join(assign.select(col("id")).distinct()
+        .withColumn("__committed", lit(true)), Seq("id"), "left_outer")
+      .filter(col("__n") > 1L || col("__committed"))
+      .select(col("id"), col("__n"),
+        coalesce(col("__committed"), lit(false)).as("__committed"))
+      .limit(1).collect()
+    bad.headOption.foreach { r =>
+      val id = r.getLong(0)
+      if (r.getBoolean(2)) throw new IllegalArgumentException(
+        s"requirement failed: ROUTE: arrival id $id already has a " +
+          s"committed split on $name — splits are write-once per id; " +
+          "re-routing would duplicate its assignment row")
+      else throw new IllegalArgumentException(
+        s"requirement failed: ROUTE: arrival id $id appears more than " +
+          "once in the batch — ids must be unique (splits are " +
+          "write-once per id); dedupe the batch first")
+    }
     val routed = graft.operators.TrainExport.routeSplits(
         assign, matches, arriving, "id", nSlots, valSlots, testSlots)
       .localCheckpoint(true)
@@ -2001,6 +2045,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     require(fs.exists(splitsMetaPath(name)),
       s"no split sidecar on $name to compact — run SPLIT first")
     val (nSlots, valSlots, testSlots) = splitsParams(name)
+    // the family/bits pins are part of the artifact's identity — a
+    // compaction must carry them into the new meta verbatim
+    val carried =
+      splitsFamilyOf(name).map(f => s""","family":"$f"""").getOrElse("") +
+      splitsBitsOf(name).map(b => s""","bits":$b""").getOrElse("")
     val dir = splitsDir(name)
     val g = splitsGen(name) + 1
     val genDir = new Path(dir, s"gen_$g")
@@ -2012,7 +2061,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .write.mode("overwrite").option("compression", Compression)
       .parquet(new Path(genDir, "assign").toString)
     writeString(fs, splitsMetaPath(name),
-      s"""{"type":"splits","slots":$nSlots,"val":$valSlots,"test":$testSlots,"gen":$g}""")
+      s"""{"type":"splits","slots":$nSlots,"val":$valSlots,"test":$testSlots$carried,"gen":$g}""")
     Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("gen_") && n != s"gen_$g") fs.delete(st.getPath, true)
@@ -2886,13 +2935,30 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       s"""{"type": "kmeans", "trainer": "md5", "k": $k, "centroids": $cents}""")
   }
 
-  /** Trainer tag of a kmeans sidecar ("md5" for the engine-replayable
-    * layout; absent for MLlib builds — including all pre-r16 sidecars).
+  /** The kmeans cluster-assignment rule for arriving/updated rows,
+    * TRAINER-AWARE: an md5-trained layout is DEFINED by the rounded
+    * assignCodes rule (that's what makes its cells oracle-replayable),
+    * so appends AND updates must re-assign by the same rule — a raw
+    * argmin disagrees at round(l2, 6) boundaries and would place rows
+    * in cells no replay computes. MLlib layouts keep the raw argmin
+    * (their cells are not engine-replayable to begin with). ONE sidecar
+    * read serves trainer + centroids — this feeds the hot write path.
     */
-  private def kmeansTrainerOf(name: String): Option[String] =
-    indexSidecar(name).flatMap(m =>
-      """"trainer"\s*:\s*"([a-z0-9]+)"""".r.findFirstMatchIn(m)
-        .map(_.group(1)))
+  private def kmeansAssignRule(name: String): DataFrame => DataFrame = {
+    val json = indexSidecar(name).getOrElse(throw new IllegalStateException(
+      s"no index sidecar on $name"))
+    val cents = parseIndexCentroids(json).getOrElse(
+      throw new IllegalStateException(
+        s"kmeans sidecar on $name has no centroids"))
+    if (""""trainer"\s*:\s*"md5"""".r.findFirstIn(json).isDefined)
+      df => ProductQuantization
+        .assignCodes(df, "embedding",
+          Array(cents): ProductQuantization.Codebooks, "__coarse")
+        .withColumn("cluster_id",
+          (element_at(col("__coarse"), 1) - 1).cast("int"))
+        .drop("__coarse")
+    else df => VectorIndex.assignNearestCentroid(df, cents)
+  }
 
   /** REINDEX with the IVF × PQ layout — the 100 TB ANN index as a managed
     * artifact: train per-subspace codebooks ([[ProductQuantization

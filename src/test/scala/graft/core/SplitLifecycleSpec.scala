@@ -313,6 +313,65 @@ class SplitLifecycleSpec extends AnyFunSuite {
     }
     assert(appended == expect,
       "appended rows must land in the rounded-rule cells")
+    // UPDATE keeps the rule too (its kmeans re-assign shares the
+    // trainer-aware dispatch): rewrite row 0 with row 450's vector and
+    // it must land in 450's (rounded-rule) cell
+    val v450 = src.filter(col("id") === 450).select("embedding")
+      .collect().head.getSeq[Float](0)
+    d.update("vecs", Seq((0L, v450.toArray)).toDF("id", "embedding"))
+    val c0 = d.read("vecs").filter(col("id") === 0L)
+      .select("cluster_id").collect().head.getInt(0)
+    assert(c0 == expect(450L),
+      s"updated row must follow the rounded rule: $c0 vs ${expect(450L)}")
+  }
+
+  test("edge-family and bit-width pins: cross-family ROUTE refuses; layout drift refuses; compact carries pins") {
+    // minhash-built sidecar refuses the embedding router
+    val dm = db()
+    dm.buildSplits("docs")
+    assert(intercept[IllegalArgumentException] {
+      dm.routeArrivalsEmbedding("docs",
+        Seq((900L, Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, 8f)))
+          .toDF("id", "embedding"))
+    }.getMessage.contains("built by=minhash"))
+    // embedding-built sidecar refuses the minhash router
+    val parent = Files.createTempDirectory("graft_fam").toString
+    val de = GraftDatabase.create(spark, parent, "db")
+    de.createCollection("vecs", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)))))
+    de.bulkInsert("vecs", Seq(
+      (1L, Array(1f, 0.2f, 0.1f, 0.3f, -0.2f, 0.5f, 0.1f, 0.4f)),
+      (2L, Array(-1f, 0.9f, -0.4f, 0.2f, 0.8f, -0.3f, 0.6f, -0.7f)))
+      .toDF("id", "embedding"))
+    de.reindex("vecs", nBits = 8)
+    de.buildSplitsEmbedding("vecs") // adopts the stored 8 bits
+    assert(intercept[IllegalArgumentException] {
+      de.routeArrivals("vecs", Seq((9L, "some payload text here now ok"))
+        .toDF("id", "payload"))
+    }.getMessage.contains("built by=embedding"))
+    // an explicit mismatching width refuses at SPLIT time
+    assert(intercept[IllegalArgumentException] {
+      de.buildSplitsEmbedding("vecs", nBits = 4)
+    }.getMessage.contains("stored sign layout"))
+    // layout drift between SPLIT and ROUTE refuses at ROUTE time
+    de.reindex("vecs", nBits = 4)
+    assert(intercept[IllegalArgumentException] {
+      de.routeArrivalsEmbedding("vecs",
+        Seq((9L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+          .toDF("id", "embedding"))
+    }.getMessage.contains("built at 8 sign bits"))
+    // restore the layout; compaction carries the pins and routing works
+    de.reindex("vecs", nBits = 8)
+    de.compactSplits("vecs")
+    val r = de.routeArrivalsEmbedding("vecs",
+        Seq((9L, Array(0.3f, -0.6f, 0.1f, -0.9f, 0.4f, -0.2f, 0.8f, -0.5f)))
+          .toDF("id", "embedding"))
+      .collect()
+    assert(r.length == 1)
   }
 
   test("insert=false: assignment committed, batch NOT admitted") {
