@@ -147,5 +147,14 @@ object SparkEntry {
     // timed body is the export itself: q321 the sharded jsonl write +
     // read-back, q322 the reference vec;payload text write + re-ingest
     // round-trip.
-    "q321_export_cmd", "q322_export_text")
+    "q321_export_cmd", "q322_export_text",
+    // round-17 additions (r16 verdict item 4): the split lifecycle's
+    // steady-state costs — q349 the routing SCREEN (dry-run ROUTE of the
+    // q339 batch against the cached band artifact + sidecar: shingle +
+    // band-join + verify + inheritance math, nothing committed, so reps
+    // are identical), q350 the split-aware EXPORT (id-keyed semi-join
+    // against the committed assignment + sharded jsonl write). Both ride
+    // one cached fixture (the q201 convention) — warmup pays the
+    // corpus/band/sidecar build once.
+    "q349_route_preview", "q350_export_split_stored")
 }

@@ -201,20 +201,24 @@ object CommandExecutor {
                 s"ROUTE threshold= must be numeric, got '$v'")
             }
           }.getOrElse(default)
-        val ins = opts.get("insert") match {
-          case None => true
+        def boolOpt(key: String): Boolean = opts.get(key) match {
+          case None => key == "insert" // insert defaults true, dryrun false
           case Some("true") => true
           case Some("false") => false
           case Some(other) => throw new IllegalArgumentException(
-            s"ROUTE insert= must be true or false, got '$other'")
+            s"ROUTE $key= must be true or false, got '$other'")
         }
+        val ins = boolOpt("insert")
+        // dryrun=true: the full screen + inheritance + placement with the
+        // same refusals, NOTHING committed — the preview surface
+        val dry = boolOpt("dryrun")
         opts.getOrElse("by", "minhash") match {
           case "minhash" =>
             db.routeArrivals(coll, spark.read.parquet(path),
-              threshold = thr(0.5), insert = ins)
+              threshold = thr(0.5), insert = ins, dryRun = dry)
           case "embedding" =>
             db.routeArrivalsEmbedding(coll, spark.read.parquet(path),
-              threshold = thr(0.999), insert = ins)
+              threshold = thr(0.999), insert = ins, dryRun = dry)
           case other => throw new IllegalArgumentException(
             s"ROUTE by= must be minhash or embedding, got '$other'")
         }

@@ -77,7 +77,8 @@ package graft.commands
   *    `mode=stats` returns the summary of the committed assignment
   *    (ROUTE rows included) without rebuilding anything.
   *  - ROUTE arg (extension): `batch=<path.parquet>[;by=minhash|embedding;
-  *    threshold=<f>;insert=true|false]` — route an arriving batch
+  *    threshold=<f>;insert=true|false;dryrun=true|false]` — route an
+  *    arriving batch
   *    through the split lifecycle: screen against the stored artifact
   *    (minhash bands, or the sign-bucket layout for by=embedding),
   *    inherit the split of the smallest-rep match (own-id fallback,
@@ -85,7 +86,9 @@ package graft.commands
   *    sidecar (transitive inheritance), and with insert=true (default)
   *    append the batch to the collection (+ refresh the minhash artifact;
   *    the sign layout derives at append) so the next batch can match
-  *    these arrivals.
+  *    these arrivals. `dryrun=true` runs the full screen + inheritance +
+  *    placement math with the same refusals but commits NOTHING — the
+  *    capacity-planning preview.
   *  - SEARCHTEXT arg (extension): `terms=a,b,c[;k=<n>;k1=<f>;b=<f>]` —
   *    BM25 keyword retrieval over the payload column.
   *  - SEARCHHYBRID arg (extension): `terms=a,b,c;vec=f,f,...[;k;kf;krrf]`

@@ -71,6 +71,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     deleteWinsigIndex(name)
     deleteDhashIndex(name)
     deleteSplitsSidecar(name)
+    if (fs.exists(batchLogDir(name))) { fs.delete(batchLogDir(name), true); () }
     ()
   }
 
@@ -325,8 +326,15 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * md5("export:" + id), modulo a 65536-divisor shard count — every
     * row's shard is recomputable in SQL. */
   private def exportShardExpr(nSh: Int): Column =
-    conv(substring(md5(concat(lit("export:"),
-      col("id").cast("string"))), 1, 4), 16, 10).cast("long") % nSh
+    // a NULL id would land its row in the hive default-partition dir
+    // while the observe() audit miscounts it — loud per-row guard riding
+    // the write projection (the text-format guards' pattern, no extra
+    // validation scan)
+    when(col("id").isNull, raise_error(lit(
+      "EXPORT: NULL id — shard placement is md5(id)-derived; every " +
+        "exported row needs a non-null id")))
+      .otherwise(conv(substring(md5(concat(lit("export:"),
+        col("id").cast("string"))), 1, 4), 16, 10).cast("long") % nSh)
 
   /** Shared EXPORT validation + projection: reserved-column refusals,
     * shard-count resolution, the text format's framed `value` column
@@ -1720,7 +1728,88 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     if (!fs.exists(g)) Seq.empty
     else fs.listStatus(g).toSeq.map(_.getPath.getName)
       .filter(n => n.startsWith("routed_") && n.endsWith(".done"))
-      .map(_.stripPrefix("routed_").stripSuffix(".done").toInt).sorted
+      // a stray non-numeric file must not brick the assignment read —
+      // tolerate it exactly as routeCore's sibling listing does
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("routed_").stripSuffix(".done").toInt).toOption)
+      .sorted
+  }
+
+  /** Compaction carry file for durable batch tags: compactSplits folds
+    * the routed segments (and their tag-bearing markers) away, so the
+    * applied-tag set is carried into the fresh generation as one
+    * newline-delimited file written BEFORE the meta pointer flips.
+    */
+  private def splitsBatchCarryPath(name: String): Path =
+    new Path(splitsGenDir(name), "_batches")
+
+  /** Durable replay-idempotency record for ROUTE micro-batches: every
+    * batch tag ever committed into the CURRENT generation — read from
+    * the `routed_<n>.done` marker contents (the tag commits atomically
+    * with its segment: the marker write IS the commit) plus the
+    * compaction carry file. A checkpoint-restarted streaming screen
+    * derives its skip set from THIS, not from driver memory, so a
+    * replayed micro-batch is recognized across restarts instead of
+    * dying on the write-once refusal.
+    */
+  def routedBatchTags(name: String): Set[String] = {
+    requireCollection(name)
+    if (!fs.exists(splitsMetaPath(name))) return Set.empty
+    val g = splitsGenDir(name)
+    val tagRe = """"batch"\s*:\s*"([A-Za-z0-9_.-]+)"""".r
+    val fromMarkers =
+      if (!fs.exists(g)) Seq.empty[String]
+      else fs.listStatus(g).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("routed_") &&
+          p.getName.endsWith(".done"))
+        .flatMap(p => tagRe.findFirstMatchIn(readString(fs, p))
+          .map(_.group(1)))
+    val carry = splitsBatchCarryPath(name)
+    val fromCarry =
+      if (!fs.exists(carry)) Seq.empty[String]
+      else readString(fs, carry).split('\n').toSeq
+        .map(_.trim).filter(_.nonEmpty)
+    (fromMarkers ++ fromCarry).toSet
+  }
+
+  /** Crash-recovery re-admission — the documented recovery path for the
+    * ROUTE commit window: the sidecar marker commits BEFORE the
+    * collection insert, so a crash between the two leaves arrivals
+    * permanently assigned but absent from the collection (and the
+    * write-once rule rightly refuses a plain re-ROUTE). This re-admits
+    * such a batch WITHOUT re-assigning: every arrival id must already
+    * carry a committed assignment (loud otherwise — an unassigned id
+    * means this is not a replay), rows absent from the collection are
+    * inserted (band artifact refreshed so the next screen matches
+    * them), present rows are left untouched. Idempotent: re-running it
+    * on a fully-present batch is a no-op. Returns the re-admitted count.
+    */
+  def readmitRouted(name: String, batch: DataFrame): Long = {
+    requireCollection(name)
+    require(fs.exists(splitsMetaPath(name)),
+      s"no split sidecar on $name — nothing was ever routed")
+    require(batch.columns.contains("id"),
+      "readmitRouted batch needs an id column")
+    val arriving = batch.withColumn("id", col("id").cast("long"))
+    val unassigned = arriving.select("id").distinct()
+      .join(splitAssignments(name).select("id"), Seq("id"), "left_anti")
+      .limit(1).collect()
+    require(unassigned.isEmpty,
+      s"readmitRouted: id ${unassigned.headOption.map(_.getLong(0))
+        .getOrElse(-1L)} on $name has no committed assignment — this " +
+        "batch is not a crash replay; ROUTE it instead")
+    // checkpoint BEFORE the insert: the anti-join plan reads the very
+    // collection the insert appends to (the routeCore eager-commit rule)
+    val missing = arriving
+      .join(read(name).select(col("id").cast("long").as("id")),
+        Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val n = missing.count()
+    if (n > 0L) {
+      bulkInsert(name, missing)
+      if (fs.exists(minhashMetaPath(name))) refreshMinhash(name)
+    }
+    n
   }
 
   /** The committed split assignment table — the SPLIT base plus every
@@ -1870,11 +1959,19 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * arrivals against THEMSELVES.
     *
     * Contract: arrival ids must be NEW (loud on a collision — splits are
-    * write-once per id; a re-route would duplicate the assignment row).
-    * Returns (id, rep, split, n_matches, bridged), ordered by id.
+    * write-once per id; a re-route would duplicate the assignment row —
+    * and loud when insert=true on an id already in the collection
+    * without a split row: admitting it would duplicate the id).
+    * Recovery: the sidecar segment commits BEFORE the insert, so a crash
+    * between the two leaves arrivals assigned but absent — re-admit them
+    * with [[readmitRouted]] (the streaming screen does this
+    * automatically on a recognized replay). Returns
+    * (id, rep, split, n_matches, bridged), ordered by id.
     */
   def routeArrivals(name: String, batch: DataFrame,
-      threshold: Double = 0.5, insert: Boolean = true): DataFrame = {
+      threshold: Double = 0.5, insert: Boolean = true,
+      batchTag: Option[String] = None,
+      dryRun: Boolean = false): DataFrame = {
     requireCollection(name)
     require(fs.exists(splitsMetaPath(name)),
       s"no split sidecar on $name — run SPLIT before ROUTE")
@@ -1891,7 +1988,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       col("payload"))
     routeCore(name, batch, arriving,
       screenDupes(name, arriving, threshold),
-      insert, refreshBands = true)
+      insert, refreshBands = true, batchTag, dryRun)
   }
 
   /** ROUTE by=embedding — [[routeArrivals]] under EMBEDDING edges: the
@@ -1907,7 +2004,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * band artifact to maintain).
     */
   def routeArrivalsEmbedding(name: String, batch: DataFrame,
-      threshold: Double = 0.999, insert: Boolean = true): DataFrame = {
+      threshold: Double = 0.999, insert: Boolean = true,
+      batchTag: Option[String] = None,
+      broadcastMaxRows: Long =
+        graft.operators.ScaleKnobs.routeBroadcastMaxRows,
+      dryRun: Boolean = false): DataFrame = {
     requireCollection(name)
     require(fs.exists(splitsMetaPath(name)),
       s"no split sidecar on $name — run SPLIT before ROUTE")
@@ -1915,16 +2016,19 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       batch.columns.contains("embedding"),
       "ROUTE by=embedding batch needs (id, embedding) columns — got " +
         batch.columns.mkString("(", ", ", ")"))
+    // the family pin fires FIRST: a cross-family sidecar is the more
+    // fundamental refusal — it survives even after the user runs the
+    // REINDEX the layout message would suggest
+    splitsFamilyOf(name).foreach(f => require(f == "embedding",
+      s"the split sidecar on $name was built by=$f — ROUTE by=embedding " +
+        "would inherit through a different edge family; use the " +
+        s"matching ROUTE or re-SPLIT by=embedding"))
     val cur = read(name)
     require(cur.columns.contains("cluster_id") &&
       indexType(name).contains("sign_bucket"),
       s"ROUTE by=embedding answers from the stored sign-bucket layout — " +
         s"REINDEX type=sign on $name first (the screen must never " +
         "full-scan the corpus)")
-    splitsFamilyOf(name).foreach(f => require(f == "embedding",
-      s"the split sidecar on $name was built by=$f — ROUTE by=embedding " +
-        "would inherit through a different edge family; use the " +
-        s"matching ROUTE or re-SPLIT by=embedding"))
     val nBits = indexBits(name)
     // the sidecar's pinned signature width must match the layout the
     // screen is about to probe — a re-REINDEX at a different width
@@ -1937,9 +2041,14 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       col("embedding"))
     val withB = arriving.withColumn("__b",
       graft.operators.VectorIndex.signBucket(col("embedding"), nBits))
-    // the distinct arrival-bucket set is bounded by 2^bits, never by the
-    // batch — collect it and prune the stored scan to those partitions
-    val bks = withB.select("__b").distinct().collect().map(_.getInt(0))
+    // ONE job yields both the distinct arrival-bucket set (bounded by
+    // 2^bits, never by the batch — prunes the stored scan to those
+    // partitions) and the batch row count (decides the join strategy
+    // below — the driver never collects the batch itself)
+    val bkCounts = withB.groupBy("__b")
+      .agg(count(lit(1)).as("__n")).collect()
+    val bks = bkCounts.map(_.getInt(0))
+    val batchRows = bkCounts.map(_.getLong(1)).sum
     val stored = cur
       .filter(col("cluster_id").isin(bks.toIndexedSeq: _*))
       .select(col("id").cast("long").as("b_id"),
@@ -1949,13 +2058,20 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     // degenerate bucket screens nothing)
     val okB = stored.groupBy("__b").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= 1000L).select("__b")
+    // micro-batch-grain arrivals broadcast (the stored side is
+    // corpus-scale — never shuffle it for a tiny batch); a crawl-day
+    // batch past the cap joins plain on the bucket key instead, so the
+    // driver never materializes it — the hot-bucket cap (okB, ≤ 2^bits
+    // rows, always broadcast) bounds the blow-up either way
+    val arrivalSide = withB.join(broadcast(okB), Seq("__b"))
     val matches = stored
-      .join(broadcast(withB.join(broadcast(okB), Seq("__b"))), Seq("__b"))
+      .join(if (batchRows <= broadcastMaxRows) broadcast(arrivalSide)
+            else arrivalSide, Seq("__b"))
       .filter(round(graft.functions.cosine_sim(col("embedding"),
         col("__ce")), 6) >= threshold)
       .select(col("id").as("a_id"), col("b_id"))
     routeCore(name, batch, arriving, matches, insert,
-      refreshBands = false)
+      refreshBands = false, batchTag, dryRun)
   }
 
   /** Shared ROUTE tail: write-once collision check, inheritance
@@ -1974,7 +2090,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
 
   private def routeCore(name: String, batch: DataFrame,
       arriving: DataFrame, matches: DataFrame, insert: Boolean,
-      refreshBands: Boolean): DataFrame = {
+      refreshBands: Boolean, batchTag: Option[String] = None,
+      dryRun: Boolean = false): DataFrame = {
+    batchTag.foreach(t => require(t.matches("[A-Za-z0-9_.-]+"),
+      s"ROUTE batch tag must be [A-Za-z0-9_.-]+ (it names a durable " +
+        s"replay record): '$t'"))
     lastRouteScreenPlan = Some(matches.queryExecution.executedPlan.toString)
     val (nSlots, valSlots, testSlots) = splitsParams(name)
     val assign = splitAssignments(name)
@@ -1984,32 +2104,51 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     // and the write-once rule then refuses the corrected batch forever
     // (align only builds the projection — no job runs here)
     if (insert) { align(name, batch); () }
-    // loud write-once checks, ONE driver action for both (per-batch
+    // loud write-once checks, ONE driver action for all three (per-batch
     // driver-side job overhead dominates small incremental jobs — the
     // round-11 rule): an arrival id may neither carry a committed split
-    // already NOR appear twice within the batch — either way a commit
-    // would duplicate its assignment row
-    val bad = arriving.groupBy("id").agg(count(lit(1)).as("__n"))
+    // already, NOR appear twice within the batch, NOR (insert=true)
+    // already exist in the collection WITHOUT a split row (rows
+    // bulk-inserted after SPLIT outside ROUTE — admitting such an id
+    // would append a duplicate into the collection) — the id-only
+    // collection probe rides the same job, column-pruned to the scan
+    val withCommitted = arriving.groupBy("id").agg(count(lit(1)).as("__n"))
       .join(assign.select(col("id")).distinct()
         .withColumn("__committed", lit(true)), Seq("id"), "left_outer")
-      .filter(col("__n") > 1L || col("__committed"))
+    val bad = (if (insert)
+        withCommitted.join(
+          read(name).select(col("id").cast("long").as("id")).distinct()
+            .withColumn("__present", lit(true)),
+          Seq("id"), "left_outer")
+      else withCommitted.withColumn("__present", lit(false)))
+      .filter(col("__n") > 1L || col("__committed") || col("__present"))
       .select(col("id"), col("__n"),
-        coalesce(col("__committed"), lit(false)).as("__committed"))
+        coalesce(col("__committed"), lit(false)).as("__committed"),
+        coalesce(col("__present"), lit(false)).as("__present"))
       .limit(1).collect()
     bad.headOption.foreach { r =>
       val id = r.getLong(0)
-      if (r.getBoolean(2)) throw new IllegalArgumentException(
+      if (r.getLong(1) > 1L) throw new IllegalArgumentException(
+        s"requirement failed: ROUTE: arrival id $id appears more than " +
+          "once in the batch — ids must be unique (splits are " +
+          "write-once per id); dedupe the batch first")
+      else if (r.getBoolean(2)) throw new IllegalArgumentException(
         s"requirement failed: ROUTE: arrival id $id already has a " +
           s"committed split on $name — splits are write-once per id; " +
           "re-routing would duplicate its assignment row")
       else throw new IllegalArgumentException(
-        s"requirement failed: ROUTE: arrival id $id appears more than " +
-          "once in the batch — ids must be unique (splits are " +
-          "write-once per id); dedupe the batch first")
+        s"requirement failed: ROUTE: arrival id $id already exists in " +
+          s"$name without a split row (inserted outside ROUTE after " +
+          "SPLIT) — admitting it would duplicate the id; re-SPLIT to " +
+          "place existing rows, or route a fresh id")
     }
     val routed = graft.operators.TrainExport.routeSplits(
         assign, matches, arriving, "id", nSlots, valSlots, testSlots)
       .localCheckpoint(true)
+    // dry run: the full screen + inheritance + placement math with the
+    // SAME refusals, but NOTHING commits — the capacity-planning /
+    // steady-state-bench shape ("what would this batch's placement be")
+    if (dryRun) return routed.orderBy("id")
     val g = splitsGenDir(name)
     val existing = Option(
         if (fs.exists(g)) fs.listStatus(g) else null)
@@ -2021,7 +2160,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     routed.select(col("id"), col("rep"), col("split"))
       .write.mode("overwrite").option("compression", Compression)
       .parquet(new Path(g, s"routed_$seg").toString)
-    writeString(fs, new Path(g, s"routed_$seg.done"), "") // the commit
+    // the marker write IS the commit — a batch tag rides in its content,
+    // so "this micro-batch committed" and "these assignments are live"
+    // are ONE atomic durable fact (no tag→data crash window at all)
+    writeString(fs, new Path(g, s"routed_$seg.done"),
+      batchTag.map(t => s"""{"batch":"$t"}""").getOrElse(""))
     if (insert) {
       bulkInsert(name, batch)
       // minhash bands live in a separate artifact needing a refresh; the
@@ -2060,6 +2203,14 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     splitAssignments(name)
       .write.mode("overwrite").option("compression", Compression)
       .parquet(new Path(genDir, "assign").toString)
+    // durable batch tags survive compaction: the markers fold away with
+    // their segments, so their tags carry as one file in the new gen —
+    // written BEFORE the pointer flip (the gen dir must be complete
+    // when it becomes visible)
+    val tags = routedBatchTags(name)
+    if (tags.nonEmpty)
+      writeString(fs, new Path(genDir, "_batches"),
+        tags.toSeq.sorted.mkString("\n"))
     writeString(fs, splitsMetaPath(name),
       s"""{"type":"splits","slots":$nSlots,"val":$valSlots,"test":$testSlots$carried,"gen":$g}""")
     Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
@@ -2072,6 +2223,40 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   private def deleteSplitsSidecar(name: String): Unit = {
     val dir = splitsDir(name)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+
+  // ---- durable micro-batch application log (sink-side idempotency) -------
+
+  private def batchLogDir(name: String): Path =
+    new Path(root, s"${ReservedPrefix}batchlog_$name")
+
+  /** Record that streaming micro-batch `tag` was applied to collection
+    * `name` — one empty marker file per tag, written AFTER the sink
+    * append commits. A checkpoint-restarted stream derives its skip set
+    * from [[appliedBatchTags]], so an at-least-once replay appends at
+    * most once; the only remaining window is a crash BETWEEN the append
+    * and this marker (the replay then re-appends — the boundary every
+    * non-transactional sink has; the ROUTE screen closes it completely
+    * because there the tag rides the artifact's own commit marker).
+    */
+  def markBatchApplied(name: String, tag: String): Unit = {
+    requireCollection(name)
+    require(tag.matches("[A-Za-z0-9_.-]+"),
+      s"batch tag must be [A-Za-z0-9_.-]+ (it names a marker file): '$tag'")
+    val dir = batchLogDir(name)
+    if (!fs.exists(dir)) { fs.mkdirs(dir); () }
+    writeString(fs, new Path(dir, tag), "")
+  }
+
+  /** Every batch tag ever recorded against `name` via
+    * [[markBatchApplied]] — the durable skip set a restarted stream
+    * loads before its first micro-batch.
+    */
+  def appliedBatchTags(name: String): Set[String] = {
+    requireCollection(name)
+    val dir = batchLogDir(name)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName).toSet
   }
 
   // ---- window-signature artifact (exact-substring ingest screening) ------
@@ -3204,20 +3389,49 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
                 "drop shortlist, or REINDEX type=ivfpq for the " +
                 "codes-only screen")
             val cents = centroidsOf(name)
-            val cellMap =
-              cents.zipWithIndex.map { case (c, i) => i -> c }.toMap
-            val qRows = qs.collect()
-            require(qRows.nonEmpty, "deconScreen: empty eval batch")
-            val cellPairs = qRows.toSeq.flatMap { r =>
-              ProductQuantization.nearestCellsD(
-                  r.getSeq[Float](1).map(_.toDouble).toArray, cellMap,
-                  probeRadius + 1)
-                .map(c => (r.getLong(0), c))
-            }
-            val union = cellPairs.map(_._2).distinct.sorted
-            val cellsDf = cellPairs.toDF("query_id", "cluster_id")
-            data.filter(col("cluster_id").isin(union: _*))
-              .join(broadcast(cellsDf), Seq("cluster_id"))
+            require(cents.nonEmpty,
+              s"kmeans sidecar on $name carries no centroids")
+            // query→cell assignment runs DISTRIBUTED, as a projection
+            // over centroid literals (the searchSimilarBatch pattern —
+            // centroids are model-sized plan constants; the eval batch
+            // is never collected): per cell the rounded-l2 rank
+            // replicates nearestCellsD bit-for-bit — zip_with squares
+            // sum left-to-right in element order (the driver loop's
+            // order), sqrt is IEEE-correctly-rounded, round is the same
+            // HALF_UP, and array_sort on struct(d, cid) is the
+            // (dist, cid) tie-break — so an oracle still replays the
+            // probe set exactly
+            val nprobe = probeRadius + 1
+            val centLit = array(cents.zipWithIndex.map { case (c, i) =>
+              struct(lit(i).as("cid"),
+                array(c.map(lit(_)).toIndexedSeq: _*).as("cent"))
+            }.toIndexedSeq: _*)
+            val qd = col("query_vec").cast("array<double>")
+            val probeCells = transform(
+              slice(array_sort(transform(centLit, cSt =>
+                struct(round(sqrt(aggregate(
+                    zip_with(cSt.getField("cent"), qd, (c, q) =>
+                      when(c.isNull, lit(0.0)).otherwise {
+                        val d = coalesce(q, lit(0.0)) - c; d * d
+                      }),
+                    lit(0.0), (acc, x) => acc + x)), 6).as("d"),
+                  cSt.getField("cid").as("cid")))),
+                1, nprobe),
+              s => s.getField("cid"))
+            // the cell array materializes in its OWN projection before
+            // the generator (the q119 inlined-lambda rule)
+            val qCells = qs
+              .select(col("query_id"), probeCells.as("__cells"))
+              .select(col("query_id"),
+                explode(col("__cells")).as("cluster_id"))
+            // the distinct probed-cell union stays a bounded driver-side
+            // set (≤ k cells regardless of batch size) — it prunes the
+            // stored scan to matching partitions
+            val union = qCells.select("cluster_id").distinct()
+              .collect().map(_.getInt(0)).sorted
+            require(union.nonEmpty, "deconScreen: empty eval batch")
+            data.filter(col("cluster_id").isin(union.toIndexedSeq: _*))
+              .join(broadcast(qCells), Seq("cluster_id"))
               .join(broadcast(qs), Seq("query_id"))
               .select(col("query_id"),
                 round(graft.functions.cosine_sim(col("embedding"),

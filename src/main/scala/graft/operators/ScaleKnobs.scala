@@ -82,6 +82,16 @@ object ScaleKnobs {
     * (the safe direction, same argument as [[postingsBuckets]]). Power
     * of two in [8, 4096]; a stat-less plan falls back to 16.
     */
+  /** Arrival-batch broadcast cap for the ROUTE screens: a micro-batch
+    * up to this many rows is pinned broadcast (the screen's stored side
+    * is corpus-scale — shuffling it for a tiny batch is the wrong
+    * trade), a larger batch (a crawl-day ROUTE) falls back to a plain
+    * bucket-key equi-join so the driver never materializes it. 64k rows
+    * of even 256-byte embeddings is ~16 MB — at the edge of a sane
+    * broadcast; the hot-bucket caps bound the join blow-up either way.
+    */
+  val routeBroadcastMaxRows: Long = 65536L
+
   def sigBuckets(df: DataFrame): Int = {
     val spark = df.sparkSession
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes

@@ -155,6 +155,18 @@ object PipelineQueries {
         db
       })
 
+  // q349/q350's steady-state fixture: the SAME corpus + band artifact +
+  // SPLIT sidecar, built once per (session, sfDir) — safe to cache
+  // because both consumers are read-only against it (q349 routes
+  // dryRun=true, q350 exports split=train to a fresh dir per call), so
+  // timed bench reps measure the screen / the egress, never the build.
+  private val splitDocsDbCache =
+    scala.collection.concurrent.TrieMap.empty[String, GraftDatabase]
+  private def storedSplitDocsDb(s: SparkSession, dir: String): GraftDatabase =
+    splitDocsDbCache.getOrElseUpdate(
+      s"${System.identityHashCode(s)}:$dir",
+      routedDocsDb(s, dir, "graft_q349"))
+
   /** The split-lifecycle fixture shared by q339/q340/q341 (NOT cached —
     * ROUTE mutates the collection, the band artifact, AND the sidecar,
     * so every gate run builds its own): documents as (id, payload), the
@@ -1749,6 +1761,41 @@ object PipelineQueries {
           .select((col("vec_id") + 100000L).as("id"), col("embedding"),
             col("label")),
         threshold = 0.999, glob = "embeddings.parquet", by = "embedding")
+    }),
+
+    // The routing screen at STEADY STATE (r16 verdict item 4 — the split
+    // lifecycle's cost was invisible round-over-round): docs + band
+    // artifact + SPLIT sidecar build once per (session, sfDir) in the
+    // cached fixture, and the timed body is a DRY-RUN ROUTE of the q339
+    // arrival batch — the full screen (batch shingling + band-keyed
+    // equi-join against the stored artifact + verification) +
+    // inheritance + placement math, with NOTHING committed, so every
+    // bench rep measures the identical screen against the identical
+    // artifact (no write-once collision, no segment growth across
+    // reps). Same inputs as q337/q339 → oracle verbatim.
+    "q349_route_preview" -> ((s, dir) => {
+      val db = storedSplitDocsDb(s, dir)
+      db.routeArrivals("docs",
+        Tables.documents(s, dir).filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 500000L).as("id"),
+            concat(col("text"), lit(" tm1 tm2")).as("payload")),
+        threshold = 0.5, dryRun = true)
+    }),
+
+    // Split-aware egress at STEADY STATE (the q321 convention applied
+    // to the lifecycle consumer): the SAME cached fixture serves the
+    // sidecar, and the timed body is the EXPORT split=train write — the
+    // id-keyed semi-join against the committed assignment + the sharded
+    // jsonl write + read-back, never a re-screen. q343's oracle
+    // verbatim (same corpus, same SPLIT parameters).
+    "q350_export_split_stored" -> ((s, dir) => {
+      val db = storedSplitDocsDb(s, dir)
+      val out = Scratch.dir("graft_q350") + "/export"
+      db.exportCollection("docs", out, format = "jsonl", nShards = 8,
+        split = Some("train")).collect()
+      s.read.json(out)
+        .select(col("id").cast("long").as("id"), col("payload"))
+        .orderBy("id")
     }),
 
     // The kmeans decon screen on a MUTATED collection — the append rule
@@ -3500,6 +3547,11 @@ object PipelineQueries {
     "q348_stream_embed_routing" -> embedRoutingSql,
     // split-filtered egress read-back ≡ the assignment chain's train set
     "q343_export_split" -> DedupQueries.exportSplitOracleSql,
+    // dry-run ROUTE ≡ the committed ROUTE's returned frame (same screen,
+    // same inputs as q337/q339): oracle verbatim
+    "q349_route_preview" -> DedupQueries.routeOracleSql,
+    // steady-state split export ≡ q343 (same corpus, same SPLIT params)
+    "q350_export_split_stored" -> DedupQueries.exportSplitOracleSql,
     // the embedding-edge routing replay: q336's pair screen + placement,
     // the arrival-bucket incoming screen at the rounded-cosine cut,
     // min-rep inheritance with the own-id fallback

@@ -1130,7 +1130,9 @@ object StreamingIngest {
       trainDb: graft.core.GraftDatabase, trainColl: String,
       sinkDb: graft.core.GraftDatabase, sinkColl: String,
       threshold: Double = 0.5, probeRadius: Int = 1,
-      shortlist: Int = 40): DataFrame = {
+      shortlist: Int = 40,
+      checkpointLocation: Option[String] = None,
+      streamTag: String = "decon"): DataFrame = {
     val schema = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
     val donors = graft.Tables.embeddings(spark, sfDir)
       .select((col("vec_id") - 1).as("vec_id"),
@@ -1145,23 +1147,31 @@ object StreamingIngest {
         when(expr("(vec_id DIV 50) % 3") === 0, col("donor_vec"))
           .otherwise(col("embedding")).as("query_vec"))
     // foreachBatch is at-least-once: a retried micro-batch must not
-    // double-append verdict rows to the sink collection. The applied-set
-    // check is the standard batchId-idempotency contract (scoped to this
-    // run, which is also the checkpointless harness run's replay scope —
-    // a checkpointed restart would re-screen from the source anyway).
-    val applied = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-    val q = evalStream.writeStream
+    // double-append verdict rows to the sink collection. The skip set is
+    // DURABLE (sinkDb's batch log, loaded before the first batch), so a
+    // checkpoint-restarted stream skips replayed micro-batches instead
+    // of double-appending; within the run the set is maintained in
+    // memory (foreachBatch executes serially — no concurrency).
+    val applied = scala.collection.mutable.Set.empty[String] ++
+      sinkDb.appliedBatchTags(sinkColl)
+    val writer = evalStream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
+        val tag = s"$streamTag-$batchId"
         // an empty micro-batch must not pay a screen (probe derivation
         // requires a non-empty query batch — the r10 empty-batch rule)
-        if (applied.add(batchId) && !batch.isEmpty)
+        if (!applied.contains(tag) && !batch.isEmpty) {
           sinkDb.bulkInsert(sinkColl,
             trainDb.deconScreen(trainColl, batch, threshold,
               probeRadius, shortlist))
+          sinkDb.markBatchApplied(sinkColl, tag)
+          applied += tag
+          ()
+        }
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    checkpointLocation.foreach(c => writer.option("checkpointLocation", c))
+    val q = writer.start()
     try q.processAllAvailable() finally q.stop()
     sinkDb.read(sinkColl).orderBy("eval_id")
   }
@@ -1181,10 +1191,19 @@ object StreamingIngest {
     * the cross-batch inheritance order is spec-pinned
     * (StreamingRoutingSpec).
     *
-    * batchId idempotency (the streamDeconScreen rule): a retried
-    * micro-batch is skipped rather than re-routed — necessary here not
-    * just against double-append but because routeArrivals' write-once id
-    * contract would refuse the replayed ids loudly mid-stream.
+    * batchId idempotency is DURABLE here: each micro-batch routes with a
+    * batch tag that commits atomically inside its `routed_<n>.done`
+    * marker, and the skip set loads from [[graft.core.GraftDatabase
+    * .routedBatchTags]] before the first batch — so a
+    * checkpoint-restarted stream recognizes replayed micro-batches
+    * across driver restarts instead of dying on the write-once refusal.
+    * A recognized replay is not merely skipped: it runs
+    * [[graft.core.GraftDatabase.readmitRouted]], which heals the one
+    * remaining crash window (sidecar marker committed, collection
+    * insert lost) by re-admitting absent rows without re-assigning —
+    * a fully-present replay is a no-op. Distinct streams routing into
+    * the same collection must pass distinct `streamTag`s (the tag
+    * namespaces batchIds, which restart at 0 per checkpoint).
     *
     * `arrivals` maps the raw streaming frame to (id, payload) rows —
     * the caller owns the arrival construction; verdict rows land in
@@ -1197,7 +1216,9 @@ object StreamingIngest {
       threshold: Double = 0.5,
       maxFilesPerTrigger: Option[Int] = None,
       glob: String = "documents.parquet",
-      by: String = "minhash"): DataFrame = {
+      by: String = "minhash",
+      checkpointLocation: Option[String] = None,
+      streamTag: String = "route"): DataFrame = {
     require(by == "minhash" || by == "embedding",
       s"streamRouteSplits: by must be minhash or embedding, got '$by'")
     val schema = spark.read.option("pathGlobFilter", glob)
@@ -1207,18 +1228,40 @@ object StreamingIngest {
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
     val stream = arrivals(reader.parquet(sfDir))
-    val applied = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-    val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], batchId: Long) =>
-        if (applied.add(batchId) && !batch.isEmpty)
-          sinkDb.bulkInsert(sinkColl,
-            if (by == "embedding")
-              db.routeArrivalsEmbedding(coll, batch, threshold)
-            else db.routeArrivals(coll, batch, threshold))
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // the skip set is DURABLE: committed batch tags read back from the
+    // sidecar's own commit markers (one listing at stream start; the
+    // in-memory set is just this run's accumulator — foreachBatch
+    // executes serially)
+    val applied = scala.collection.mutable.Set.empty[String] ++
+      db.routedBatchTags(coll)
+    val q = {
+      val writer = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          val tag = s"$streamTag-$batchId"
+          if (!batch.isEmpty) {
+            if (applied.contains(tag)) {
+              // a recognized replay heals rather than just skips: rows
+              // lost in the marker→insert crash window re-admit (no new
+              // assignment rows); a fully-present replay is a no-op
+              db.readmitRouted(coll, batch)
+              ()
+            } else {
+              sinkDb.bulkInsert(sinkColl,
+                if (by == "embedding")
+                  db.routeArrivalsEmbedding(coll, batch, threshold,
+                    batchTag = Some(tag))
+                else db.routeArrivals(coll, batch, threshold,
+                  batchTag = Some(tag)))
+              applied += tag
+              ()
+            }
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+      checkpointLocation.foreach(c => writer.option("checkpointLocation", c))
+      writer.start()
+    }
     try q.processAllAvailable() finally q.stop()
     sinkDb.read(sinkColl).orderBy("id")
   }

@@ -186,4 +186,24 @@ class ExportResumeSpec extends AnyFunSuite {
     assert(shardBytes(s"$base/res", ".txt") ==
       shardBytes(s"$base/fresh", ".txt"))
   }
+
+  test("a NULL id refuses per-row in the write pass (the audit would otherwise miscount it)") {
+    val parent = Files.createTempDirectory("graft_exnull").toString
+    val db = GraftDatabase.create(spark, parent, "db")
+    db.createCollection("recs", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType))))
+    db.bulkInsert("recs", Seq[(Option[Long], String)](
+      (Some(1L), "ok"), (None, "null id")).toDF("id", "payload"))
+    val out = Files.createTempDirectory("graft_exnullout").toString + "/e"
+    val e = intercept[Exception] {
+      db.exportCollection("recs", out, nShards = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("NULL id")), e.toString)
+  }
 }

@@ -202,6 +202,91 @@ class SplitLifecycleSpec extends AnyFunSuite {
     }.getMessage.contains("sign-bucket layout"))
   }
 
+  test("an id inserted outside ROUTE after SPLIT refuses admission (duplicate-id guard)") {
+    val d = db()
+    d.buildSplits("docs")
+    // a row lands via plain BULKINSERT after the split was built — it
+    // has NO assignment row, so the old check missed it and insert=true
+    // would have appended a duplicate id into the collection
+    d.bulkInsert("docs",
+      Seq((500L, "kk ll mm nn oo pp qq rr ss tt")).toDF("id", "payload"))
+    assert(intercept[IllegalArgumentException] {
+      d.routeArrivals("docs",
+        Seq((500L, "kk ll mm nn oo pp qq rr ss tt")).toDF("id", "payload"))
+    }.getMessage.contains("without a split row"))
+    // insert=false is assignment-only: the same id routes fine (it
+    // ASSIGNS the already-present row without re-inserting it)
+    val r = d.routeArrivals("docs",
+        Seq((500L, "kk ll mm nn oo pp qq rr ss tt")).toDF("id", "payload"),
+        insert = false)
+      .as[(Long, Long, String, Long, Long)].collect().head
+    assert(r._1 == 500L)
+    assert(d.read("docs").filter(col("id") === 500L).count() == 1L,
+      "assignment-only routing must not duplicate the row")
+  }
+
+  test("a stray non-numeric routed_*.done file is tolerated, not a brick") {
+    val d = db()
+    d.buildSplits("docs")
+    d.routeArrivals("docs",
+      Seq((100L, "zork quux fnord blarg wibble wobble flib glorp snark quib"))
+        .toDF("id", "payload")).collect()
+    // a stray file in the generation dir must not NumberFormatException
+    // the assignment read (ROUTE, EXPORT split=, stats all sit on it)
+    val genDir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(d.root, "graft_splits_docs"), "gen_0")
+    val fs = genDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val stray = new org.apache.hadoop.fs.Path(genDir, "routed_tmp.done")
+    val os = fs.create(stray); os.close()
+    assert(d.splitAssignments("docs").filter(col("id") === 100L)
+      .count() == 1L)
+    d.routeArrivals("docs",
+      Seq((101L, "aa bb cc dd ee ff gg hh ii jj")).toDF("id", "payload"))
+      .collect()
+    assert(d.splitAssignments("docs").filter(col("id") === 101L)
+      .count() == 1L)
+  }
+
+  test("past the broadcast cap an arrival batch joins plain on the bucket key (no pinned broadcast)") {
+    val parent = Files.createTempDirectory("graft_bigroute").toString
+    val d = GraftDatabase.create(spark, parent, "db")
+    d.createCollection("vecs", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)))))
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    d.bulkInsert("vecs", Seq(
+      (1L, v(1, 0.2, 0.1, 0.3, -0.2, 0.5, 0.1, 0.4)),
+      (2L, v(-1, 0.9, -0.4, 0.2, 0.8, -0.3, 0.6, -0.7)))
+      .toDF("id", "embedding"))
+    d.reindex("vecs", nBits = 8)
+    d.buildSplitsEmbedding("vecs")
+    val nv = v(-0.3, -0.6, -0.1, -0.9, -0.4, -0.2, -0.8, -0.5)
+    // broadcastMaxRows = 0 models the crawl-day batch (the cap is a row
+    // count — forcing it beats generating 65k rows in a unit spec)
+    val r = d.routeArrivalsEmbedding("vecs",
+        Seq((100L, nv)).toDF("id", "embedding"), broadcastMaxRows = 0L)
+      .as[(Long, Long, String, Long, Long)].collect().head
+    assert(r._2 == 100L && r._4 == 0L, r.toString)
+    val plan = d.lastRouteScreenPlan.get
+    // the stored-vs-arrival join must NOT pin a broadcast of the batch:
+    // statically it plans as a shuffle join (AQE may still pick
+    // broadcast at runtime for genuinely tiny batches — the cap removes
+    // the PIN, which is what OOMs the driver at crawl-day size). The
+    // one remaining pinned broadcast is okB (≤ 2^bits hot-bucket rows).
+    assert("SortMergeJoin|ShuffledHashJoin".r.findFirstIn(plan).isDefined,
+      s"past the cap the arrival join must plan as a shuffle join:\n" +
+        plan.take(2000))
+    assert("BroadcastExchange".r.findAllIn(plan).size <= 1,
+      s"only the hot-bucket frame may stay pinned broadcast:\n" +
+        plan.take(2000))
+    // the pruned-scan property is join-strategy independent
+    assert("PartitionFilters: \\[[^\\]]*cluster_id"
+      .r.findFirstIn(plan).isDefined, plan.take(2000))
+  }
+
   test("SPLIT mode=compact: base + routed segments fold into one generation, values unchanged") {
     val d = db()
     d.buildSplits("docs")
