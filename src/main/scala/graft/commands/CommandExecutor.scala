@@ -78,9 +78,11 @@ object CommandExecutor {
         status("BULKINSERT", coll)
 
       case Export(coll, arg) =>
-        // arg grammar: `<path>[;format=jsonl|csv|parquet|text;shards=<n>]`
-        // — BULKINSERT's ';'-separated k=v tail convention; shards=-1
-        // derives the count from size stats (ScaleKnobs.exportShards)
+        // arg grammar: `<path>[;format=jsonl|csv|parquet|text;shards=<n>;
+        // split=train|val|test;exclude=<collection>;resume=true;
+        // parallel=<n>]` — BULKINSERT's ';'-separated k=v tail
+        // convention; shards=-1 derives the count from size stats
+        // (ScaleKnobs.exportShards)
         val parts = arg.split(";").map(_.trim).filter(_.nonEmpty)
         val opts =
           if (parts.length > 1) parseKv(parts.tail.mkString(";"))
@@ -98,6 +100,9 @@ object CommandExecutor {
         // split=train|val|test exports only that split's rows through
         // the managed sidecar (the lifecycle's consumer step)
         val split = opts.get("split")
+        // exclude=<collection> anti-joins a committed id-keyed verdict
+        // collection (decon→egress: write the CLEAN set in one step)
+        val exclude = opts.get("exclude")
         // resume=true opts into the per-shard-committed export (same
         // bytes; a preempted run resumes at shard grain); parallel=<n>
         // bounds concurrent shard-conversion jobs on that path
@@ -110,9 +115,9 @@ object CommandExecutor {
                 s"EXPORT parallel= must be an integer, got '$parStr'")
             }
           db.exportCollectionResumable(coll, parts.head, fmt, nShards,
-            parallelism = par, split = split)
+            parallelism = par, split = split, exclude = exclude)
         } else db.exportCollection(coll, parts.head, fmt, nShards,
-          split = split)
+          split = split, exclude = exclude)
 
       case Decon(coll, arg) =>
         // arg grammar: `queries=<file.parquet>[;threshold=<f>;radius=<n>
@@ -135,9 +140,11 @@ object CommandExecutor {
           shortlist = num("shortlist", -1, _.toInt))
 
       case Split(coll, arg) =>
-        // arg grammar: `[by=minhash|embedding;slots=<n>;val=<n>;test=<n>;
-        // threshold=<f>;bits=<n>]` — all optional; by=embedding drives
-        // the sign-bucket cosine edge family instead of text shingles
+        // arg grammar: `[by=minhash|embedding|winsig|dhash;slots=<n>;
+        // val=<n>;test=<n>;threshold=<f>;bits=<n>;mintokens=<n>;
+        // hamming=<n>]` — all optional; by= picks the edge family:
+        // text shingles (minhash), sign-bucket cosine (embedding),
+        // exact-substring windows (winsig), perceptual dHash (dhash)
         val opts = arg.map(parseKv).getOrElse(Map.empty)
         def num(key: String, default: Int): Int =
           opts.get(key).map { v =>
@@ -155,10 +162,11 @@ object CommandExecutor {
           case Some("compact") =>
             db.compactSplits(coll); status("SPLIT", coll)
           // mode=stats is the read-only inspection surface: the build's
-          // summary over the COMMITTED assignment (ROUTE rows included),
-          // rebuilding nothing
+          // summary over the COMMITTED assignment (ROUTE rows included)
+          // plus artifact health (routed-segment count), rebuilding
+          // nothing
           case Some("stats") =>
-            db.splitSummary(coll)
+            db.splitStats(coll)
           case Some(other) => throw new IllegalArgumentException(
             "SPLIT mode must be compact or stats (or omitted for a " +
               s"build), got: $other")
@@ -179,14 +187,26 @@ object CommandExecutor {
               db.buildSplitsEmbedding(coll, threshold = thr,
                 nBits = num("bits", -1), nSlots = num("slots", 16),
                 valSlots = num("val", 1), testSlots = num("test", 1))
+            // exact-substring identity edges (minTokens=-1 adopts the
+            // stored winsig artifact's width)
+            case "winsig" =>
+              db.buildSplitsWinsig(coll, minTokens = num("mintokens", -1),
+                nSlots = num("slots", 16), valSlots = num("val", 1),
+                testSlots = num("test", 1))
+            // perceptual image-identity edges (dHash56, hamming radius)
+            case "dhash" =>
+              db.buildSplitsDhash(coll, maxHamming = num("hamming", 6),
+                nSlots = num("slots", 16), valSlots = num("val", 1),
+                testSlots = num("test", 1))
             case other => throw new IllegalArgumentException(
-              s"SPLIT by= must be minhash or embedding, got '$other'")
+              s"SPLIT by= must be minhash, embedding, winsig, or dhash, " +
+                s"got '$other'")
           }
         }
 
       case Route(coll, arg) =>
-        // arg grammar: `batch=<path.parquet>[;by=minhash|embedding;
-        // threshold=<f>;insert=bool]`
+        // arg grammar: `batch=<path.parquet>[;by=minhash|embedding|
+        // winsig|dhash;threshold=<f>;insert=bool;dryrun=bool]`
         val opts = parseKv(arg)
         val path = opts.getOrElse("batch",
           throw new IllegalArgumentException(
@@ -219,8 +239,15 @@ object CommandExecutor {
           case "embedding" =>
             db.routeArrivalsEmbedding(coll, spark.read.parquet(path),
               threshold = thr(0.999), insert = ins, dryRun = dry)
+          case "winsig" =>
+            db.routeArrivalsWinsig(coll, spark.read.parquet(path),
+              insert = ins, dryRun = dry)
+          case "dhash" =>
+            db.routeArrivalsDhash(coll, spark.read.parquet(path),
+              insert = ins, dryRun = dry)
           case other => throw new IllegalArgumentException(
-            s"ROUTE by= must be minhash or embedding, got '$other'")
+            s"ROUTE by= must be minhash, embedding, winsig, or dhash, " +
+              s"got '$other'")
         }
 
       case Update(coll, arg) =>

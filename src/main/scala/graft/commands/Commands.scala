@@ -64,23 +64,27 @@ package graft.commands
   *    row, flagged on the rounded cosine ≥ threshold (default 0.5);
   *    radius+shortlist opt into the stored-codes ADC screen on an
   *    ivfpq_kmeans layout (loud on unprobeable layouts).
-  *  - SPLIT arg (extension, optional): `[by=minhash|embedding;slots=<n>;
-  *    val=<n>;test=<n>;threshold=<f>;bits=<n>]` — build (or rebuild) the
+  *  - SPLIT arg (extension, optional): `[by=minhash|embedding|winsig|
+  *    dhash;slots=<n>;val=<n>;test=<n>;threshold=<f>;bits=<n>;
+  *    mintokens=<n>;hamming=<n>]` — build (or rebuild) the
   *    managed leakage-safe train/val/test split sidecar: near-dup
   *    clusters placed whole by the md5-slice-of-representative rule
   *    (slots divides 65536); by=minhash (default) clusters over the
   *    payload column's shingles, by=embedding over the sign-bucket
-  *    cosine screen at `threshold` (vector-identity corpora). Returns
-  *    the per-split summary. A rebuild supersedes all prior ROUTE
+  *    cosine screen at `threshold` (vector-identity corpora), by=winsig
+  *    over shared `mintokens`-token windows (verbatim-passage identity),
+  *    by=dhash over dHash56 signatures within `hamming` bits (perceptual
+  *    image identity). Returns the per-split summary. A rebuild supersedes all prior ROUTE
   *    commits; `mode=compact` instead folds the base + all ROUTE
   *    segments into one fresh generation, values unchanged;
   *    `mode=stats` returns the summary of the committed assignment
   *    (ROUTE rows included) without rebuilding anything.
-  *  - ROUTE arg (extension): `batch=<path.parquet>[;by=minhash|embedding;
-  *    threshold=<f>;insert=true|false;dryrun=true|false]` — route an
-  *    arriving batch
+  *  - ROUTE arg (extension): `batch=<path.parquet>[;by=minhash|embedding|
+  *    winsig|dhash;threshold=<f>;insert=true|false;dryrun=true|false]` —
+  *    route an arriving batch
   *    through the split lifecycle: screen against the stored artifact
-  *    (minhash bands, or the sign-bucket layout for by=embedding),
+  *    (minhash bands, the sign-bucket layout, the winsig signature
+  *    table, or the dhash band table — matching the sidecar's family),
   *    inherit the split of the smallest-rep match (own-id fallback,
   *    `bridged` flagged), COMMIT the routed assignments back into the
   *    sidecar (transitive inheritance), and with insert=true (default)

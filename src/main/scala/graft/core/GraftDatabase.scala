@@ -277,13 +277,19 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * size stats (ScaleKnobs.exportShards — ~64 MB of source bytes per
     * shard, power of two).
     *
+    * `split=<v>` exports only that split's rows through the managed
+    * sidecar; `exclude=<collection>` anti-joins a COMMITTED id-keyed
+    * verdict collection (a decon screen's contaminated ids) — the
+    * decon→egress step: one export writes the clean set, no re-screen.
+    *
     * Returns the per-shard audit (shard, n_rows), ordered.
     */
   def exportCollection(name: String, path: String,
       format: String = "jsonl", nShards: Int = 8,
-      split: Option[String] = None): DataFrame = {
+      split: Option[String] = None,
+      exclude: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val (cur, nSh) = exportPrep(name, format, nShards, split)
+    val (cur, nSh) = exportPrep(name, format, nShards, split, exclude)
     val shardExpr = exportShardExpr(nSh)
     // the per-shard audit rides the write pass itself: an observe()
     // metrics node carrying ONE bounded histogram aggregate (O(1)/row,
@@ -344,9 +350,29 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * (id + data columns) and the pinned shard count.
     */
   private def exportPrep(name: String, format: String,
-      nShards: Int, split: Option[String] = None): (DataFrame, Int) = {
+      nShards: Int, split: Option[String] = None,
+      exclude: Option[String] = None): (DataFrame, Int) = {
     requireCollection(name)
-    val curAll = read(name)
+    val cur00 = read(name)
+    // exclude=<collection>: anti-join against a COMMITTED id-keyed
+    // verdict collection (a decon screen's contaminated train ids, a
+    // near-dup prune list, ...) — the decon→egress integration step.
+    // Id-keyed by contract: the exclusion consumes verdicts, it never
+    // re-screens anything.
+    val curAll = exclude match {
+      case None => cur00
+      case Some(ex) =>
+        requireCollection(ex)
+        val verdicts = read(ex)
+        require(verdicts.columns.contains("id"),
+          s"EXPORT exclude=$ex needs an id column on the verdict " +
+            s"collection (has: ${verdicts.columns.mkString(", ")}) — " +
+            "commit the ids to drop, e.g. a decon screen's contaminated " +
+            "train ids")
+        cur00.join(
+          verdicts.select(col("id").cast("long").as("id")).distinct(),
+          Seq("id"), "left_anti")
+    }
     // split=<v> exports only the rows the managed sidecar placed in that
     // split: a semi-join against the (already split-filtered) assignment
     // table — id-keyed, so at scale it shuffles assignment-grain rows,
@@ -457,7 +483,8 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   def exportCollectionResumable(name: String, path: String,
       format: String = "jsonl", nShards: Int = 8,
-      parallelism: Int = 1, split: Option[String] = None): DataFrame = {
+      parallelism: Int = 1, split: Option[String] = None,
+      exclude: Option[String] = None): DataFrame = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val spark = this.spark
     import spark.implicits._
@@ -484,6 +511,14 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
           s"EXPORT resume: $path was started with split=" +
             s"${if (sp.isEmpty) "<none>" else sp}, got " +
             s"${split.getOrElse("<none>")} — finish or remove the old export first")
+        // the exclusion source is part of the artifact's identity too:
+        // a decon-cleaned export must never silently resume uncleaned
+        val exPin = """"exclude"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(m)
+          .map(_.group(1)).getOrElse("")
+        require(exPin == exclude.getOrElse(""),
+          s"EXPORT resume: $path was started with exclude=" +
+            s"${if (exPin.isEmpty) "<none>" else exPin}, got " +
+            s"${exclude.getOrElse("<none>")} — finish or remove the old export first")
         Some((f.get, s.get))
       }
     // -1 adopts the pinned count (the stats-derived call resumed later);
@@ -510,11 +545,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     }
     requireCollection(name)
     val (cur, nSh) = exportPrep(name, format,
-      pinned.map(_._2).getOrElse(nShards), split)
+      pinned.map(_._2).getOrElse(nShards), split, exclude)
     if (pinned.isEmpty) {
       fs.mkdirs(new Path(path))
       writeString(fs, metaP,
-        s"""{"format": "$format", "shards": $nSh, "split": "${split.getOrElse("")}"}""")
+        s"""{"format": "$format", "shards": $nSh, "split": "${split.getOrElse("")}", "exclude": "${exclude.getOrElse("")}"}""")
     }
     val doneDir = new Path(path, "_shards")
     def marker(s: Int) = new Path(doneDir, s"$s.done")
@@ -1717,6 +1752,18 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .findFirstMatchIn(readString(fs, splitsMetaPath(name)))
       .map(_.group(1).toInt)
 
+  /** Window width of a winsig-family sidecar, if pinned. */
+  private def splitsMinTokensOf(name: String): Option[Int] =
+    """"min_tokens"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readString(fs, splitsMetaPath(name)))
+      .map(_.group(1).toInt)
+
+  /** Hamming radius of a dhash-family sidecar, if pinned. */
+  private def splitsMaxHammingOf(name: String): Option[Int] =
+    """"max_hamming"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readString(fs, splitsMetaPath(name)))
+      .map(_.group(1).toInt)
+
   /** Committed ROUTE segment numbers of the current generation — only
     * MARKED segments are live. A crash mid-write leaves an unmarked
     * orphan dir readers never see; segment numbering skips past it (max
@@ -1903,6 +1950,78 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       extraMeta = s""","family":"embedding","bits":$bits""")
   }
 
+  /** SPLIT by=winsig — [[buildSplits]] under EXACT-SUBSTRING edges: two
+    * documents sharing any `minTokens`-token window (the winsig
+    * artifact's identity, [[graft.operators.Dedup.windowSigRows]]) are
+    * one cluster. For corpora where leakage means verbatim passages, not
+    * near-dup shingle profiles (license boilerplate corpora, code).
+    * `minTokens = -1` ADOPTS the stored winsig artifact's width when one
+    * exists (else 15); an explicit mismatch refuses — the SPLIT and the
+    * artifact must live in ONE signature family (the
+    * buildSplitsEmbedding bits rule). Hot signatures (more than
+    * `maxBucketSize` carriers — boilerplate) are dropped whole; a live
+    * artifact supplies the stored rows so the build re-windows nothing.
+    */
+  def buildSplitsWinsig(name: String, minTokens: Int = -1,
+      nSlots: Int = 16, valSlots: Int = 1, testSlots: Int = 1,
+      maxBucketSize: Int = 1000): DataFrame = {
+    requireCollection(name)
+    val cur = read(name)
+    require(cur.columns.contains("payload"),
+      s"SPLIT by=winsig needs a payload column on $name")
+    val stored: Option[Int] =
+      if (fs.exists(winsigMetaPath(name))) Some(winsigMinTokens(name))
+      else None
+    val mt = (minTokens, stored) match {
+      case (-1, Some(m)) => m
+      case (-1, None) => 15
+      case (m, Some(sm)) =>
+        require(m == sm, s"SPLIT by=winsig minTokens=$m but the stored " +
+          s"winsig artifact on $name uses $sm — drop minTokens= to " +
+          "adopt, or REINDEX the artifact first")
+        m
+      case (m, None) => m
+    }
+    val live = stored.isDefined && !fs.exists(winsigStaleMarker(name))
+    val rows =
+      if (live) liveWinsigSigs(name).select(col("id"), col("win_sig"))
+      else graft.operators.Dedup.windowSigRows(cur, "id", "payload", mt)
+    val ok = rows.groupBy("win_sig").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
+      .select("win_sig")
+    val el = rows.join(ok, Seq("win_sig"))
+    val pairs = el.select(col("win_sig"), col("id").as("a_id"))
+      .join(el.select(col("win_sig"), col("id").as("b_id")),
+        Seq("win_sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    commitSplitBase(name, cur, pairs, nSlots, valSlots, testSlots,
+      extraMeta = s""","family":"winsig","min_tokens":$mt""")
+  }
+
+  /** SPLIT by=dhash — [[buildSplits]] under PERCEPTUAL-IMAGE edges: two
+    * documents whose media dHash56 signatures sit within `maxHamming`
+    * bits ([[graft.operators.Multimodal.dhashNearDups]] — banded
+    * candidates, hot buckets capped, first-band emission, exact
+    * bit_count verification) are one cluster. The media column follows
+    * the stored dhash artifact's meta when one exists.
+    */
+  def buildSplitsDhash(name: String, maxHamming: Int = 6,
+      mediaCol: String = "media", nSlots: Int = 16, valSlots: Int = 1,
+      testSlots: Int = 1): DataFrame = {
+    requireCollection(name)
+    val cur = read(name)
+    val mc =
+      if (fs.exists(dhashMetaPath(name))) dhashMediaCol(name) else mediaCol
+    require(cur.columns.contains(mc),
+      s"SPLIT by=dhash needs a binary $mc column on $name")
+    val pairs = graft.operators.Multimodal.dhashNearDups(
+        cur.select(col("id"), col(mc)), "id", mc, maxHamming)
+      .select("a_id", "b_id")
+    commitSplitBase(name, cur, pairs, nSlots, valSlots, testSlots,
+      extraMeta = s""","family":"dhash","max_hamming":$maxHamming""")
+  }
+
   /** Shared SPLIT commit: place clusters, write the base assignment as a
     * fresh generation, flip the pointer, sweep, summarize.
     */
@@ -1938,6 +2057,17 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("rep")).as("n_clusters"))
       .orderBy("split")
+
+  /** `SPLIT mode=stats` — [[splitSummary]] plus artifact-health columns:
+    * `n_segments`, the routed-segment count of the current generation
+    * (the auto-compact policy's input — many small segments mean the
+    * assignment read is a base + N-file union; `SPLIT mode=compact`
+    * folds them, and ROUTE does it automatically past
+    * `spark.graft.splits.autoCompactSegments`).
+    */
+  def splitStats(name: String): DataFrame =
+    splitSummary(name).withColumn("n_segments",
+      lit(splitRoutedSegs(name).size.toLong))
 
   /** ROUTE — admit an arriving batch (`id`, `payload`) into the managed
     * split lifecycle: screen against the stored minhash bands
@@ -2074,6 +2204,123 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       refreshBands = false, batchTag, dryRun)
   }
 
+  /** ROUTE by=winsig — [[routeArrivals]] under EXACT-SUBSTRING edges:
+    * the arriving batch windows its own payloads
+    * ([[graft.operators.Dedup.windowSigRows]], width pinned by the
+    * sidecar) and probes the stored signature table with one sig-keyed
+    * equi-join (a live winsig artifact supplies the rows bucket-pruned
+    * to the batch's own `sig_bucket` set; stale/absent falls back to
+    * the in-query recompute — identical values, only cost). Stored
+    * signatures carried by more than `maxBucketSize` docs are dropped
+    * whole (boilerplate). With insert=true the batch is admitted and a
+    * LIVE artifact is incrementally refreshed ([[refreshWinsig]] — the
+    * refreshMinhash discipline), so the next batch can match these
+    * arrivals. routeCore semantics are shared: write-once ids, marked
+    * segments, batch tags, dryRun.
+    */
+  def routeArrivalsWinsig(name: String, batch: DataFrame,
+      insert: Boolean = true, batchTag: Option[String] = None,
+      dryRun: Boolean = false, maxBucketSize: Int = 1000): DataFrame = {
+    requireCollection(name)
+    require(fs.exists(splitsMetaPath(name)),
+      s"no split sidecar on $name — run SPLIT before ROUTE")
+    require(batch.columns.contains("id") && batch.columns.contains("payload"),
+      "ROUTE by=winsig batch needs (id, payload) columns — got " +
+        batch.columns.mkString("(", ", ", ")"))
+    splitsFamilyOf(name).foreach(f => require(f == "winsig",
+      s"the split sidecar on $name was built by=$f — ROUTE by=winsig " +
+        "would inherit through a different edge family; use the " +
+        "matching ROUTE or re-SPLIT by=winsig"))
+    val mt = splitsMinTokensOf(name).getOrElse(15)
+    // width drift between the sidecar and the artifact is a silent
+    // family change — refuse (the splitsBitsOf doctrine)
+    if (fs.exists(winsigMetaPath(name)))
+      require(winsigMinTokens(name) == mt,
+        s"the split sidecar on $name pins min_tokens=$mt but the winsig " +
+          s"artifact uses ${winsigMinTokens(name)} — re-SPLIT by=winsig " +
+          "(or rebuild the artifact) before routing")
+    val arriving = batch.select(col("id").cast("long").as("id"),
+      col("payload"))
+    val live = fs.exists(winsigMetaPath(name)) &&
+      !fs.exists(winsigStaleMarker(name))
+    // the batch's windows feed BOTH the bucket derivation and the probe
+    // — checkpoint once (the incomingCoveredText discipline), release
+    // after the routed frame (itself checkpointed) materializes
+    val bRows = graft.operators.Dedup.windowSigRows(
+      arriving, "id", "payload", mt).localCheckpoint(true)
+    val sRows =
+      if (live) {
+        val nb = winsigBuckets(name)
+        val bks = bRows.select(graft.operators.Dedup
+            .sigBucket(col("win_sig"), nb).as("__sb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val base = liveWinsigSigs(name)
+        (if (bks.size < nb) base.filter(col("sig_bucket").isin(bks: _*))
+         else base).select(col("id"), col("win_sig"))
+      } else graft.operators.Dedup.windowSigRows(
+        read(name), "id", "payload", mt)
+    val ok = sRows.groupBy("win_sig").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucketSize).select("win_sig")
+    val matches = bRows.select(col("win_sig"), col("id").as("a_id"))
+      .join(sRows.join(ok, Seq("win_sig"), "left_semi")
+        .select(col("win_sig"), col("id").as("b_id")), Seq("win_sig"))
+      .select("a_id", "b_id").distinct()
+    val out = routeCore(name, batch, arriving, matches, insert,
+      refreshBands = false, batchTag, dryRun)
+    if (insert && !dryRun && fs.exists(winsigMetaPath(name)))
+      refreshWinsig(name)
+    GraftSqlShims.unpersistCheckpoint(bRows)
+    out
+  }
+
+  /** ROUTE by=dhash — [[routeArrivals]] under PERCEPTUAL-IMAGE edges:
+    * the arriving batch hashes its own media and probes the stored
+    * banded dHash56 artifact through [[screenImages]] (bucket-pruned
+    * while live; stale/absent recomputes — identical exact-integer
+    * values). With insert=true the batch is admitted and a LIVE
+    * artifact gets the arrivals' band rows APPENDED in place (bands are
+    * id-attributed append-only rows, so admission is a delta write, not
+    * a rebuild), keeping the next batch's screen on the stored path.
+    */
+  def routeArrivalsDhash(name: String, batch: DataFrame,
+      insert: Boolean = true, batchTag: Option[String] = None,
+      dryRun: Boolean = false): DataFrame = {
+    requireCollection(name)
+    require(fs.exists(splitsMetaPath(name)),
+      s"no split sidecar on $name — run SPLIT before ROUTE")
+    splitsFamilyOf(name).foreach(f => require(f == "dhash",
+      s"the split sidecar on $name was built by=$f — ROUTE by=dhash " +
+        "would inherit through a different edge family; use the " +
+        "matching ROUTE or re-SPLIT by=dhash"))
+    val mh = splitsMaxHammingOf(name).getOrElse(6)
+    val mc =
+      if (fs.exists(dhashMetaPath(name))) dhashMediaCol(name) else "media"
+    require(batch.columns.contains("id") && batch.columns.contains(mc),
+      s"ROUTE by=dhash batch needs (id, $mc) columns — got " +
+        batch.columns.mkString("(", ", ", ")"))
+    val arriving = batch.select(col("id").cast("long").as("id"), col(mc))
+    val wasLive = fs.exists(dhashMetaPath(name)) &&
+      !fs.exists(dhashStaleMarker(name))
+    val matches = screenImages(name, batch, mc, maxHamming = mh)
+      .select("a_id", "b_id")
+    val out = routeCore(name, batch, arriving, matches, insert,
+      refreshBands = false, batchTag, dryRun)
+    if (insert && !dryRun && wasLive) {
+      // delta admission into the band artifact: append the arrivals'
+      // rows, then clear the stale marker the insert just set — valid
+      // ONLY because the artifact was live before this ROUTE (a marker
+      // predating us must stay)
+      graft.operators.Multimodal.dhashBands(
+          arriving, "id", mc, dhashBuckets(name))
+        .write.mode("append").option("compression", Compression)
+        .partitionBy("band", "key_bucket")
+        .parquet(new Path(dhashDir(name), "bands").toString)
+      fs.delete(dhashStaleMarker(name), false)
+      ()
+    }
+    out
+  }
+
   /** Shared ROUTE tail: write-once collision check, inheritance
     * ([[graft.operators.TrainExport.routeSplits]]), the marked-segment
     * sidecar commit, optional admission. The routed frame is eagerly
@@ -2165,6 +2412,16 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     // are ONE atomic durable fact (no tag→data crash window at all)
     writeString(fs, new Path(g, s"routed_$seg.done"),
       batchTag.map(t => s"""{"batch":"$t"}""").getOrElse(""))
+    // segment-growth hygiene: past the threshold the assignment read is
+    // a base + N-small-file union — fold it NOW (content-preserving,
+    // batch tags carried; one extra read+write of assignment-grain rows,
+    // never a re-screen). 0 disables; the default keeps per-batch cost
+    // amortized to ~1/64 of a compaction.
+    val autoAfter = spark.conf
+      .getOption("spark.graft.splits.autoCompactSegments")
+      .map(_.toInt).getOrElse(64)
+    if (autoAfter > 0 && splitRoutedSegs(name).size > autoAfter)
+      compactSplits(name)
     if (insert) {
       bulkInsert(name, batch)
       // minhash bands live in a separate artifact needing a refresh; the

@@ -1987,6 +1987,22 @@ object DedupQueries {
        |GROUP BY split
        |ORDER BY split""".stripMargin
 
+  /** The q345 oracle — [[leakageSplitOracleSql]] plus the
+    * artifact-health column `SPLIT mode=stats` surfaces: the
+    * routed-segment count is PHYSICAL state (segments, not data), and
+    * the gate's scenario stats a fresh build, whose generation has no
+    * routed segments by construction — the oracle pins that 0 (the
+    * growth/auto-compact behavior is spec-pinned, SplitLifecycleSpec).
+    */
+  private[queries] lazy val splitStatsOracleSql: String =
+    s"""WITH RECURSIVE $splitAssignChainSql
+       |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+       |  CAST(0 AS BIGINT) AS n_segments
+       |FROM sp
+       |GROUP BY split
+       |ORDER BY split""".stripMargin
+
   /** The q343 oracle: the assignment chain + the TRAIN-split document
     * set — exactly the rows `EXPORT ...;split=train` must write.
     */
@@ -1995,6 +2011,104 @@ object DedupQueries {
        |SELECT d.doc_id AS id, d.text AS payload
        |FROM documents d JOIN sp ON sp.id = d.doc_id
        |WHERE sp.split = 'train'
+       |ORDER BY id""".stripMargin
+
+  /** The q352 oracle — the split lifecycle under EXACT-SUBSTRING edges,
+    * replayed end to end: corpus 15-token window signatures (the q211
+    * chain), pair edges on shared signatures (carriers BETWEEN 2 AND
+    * 1000 — the SPLIT hot cap), components + md5-slice placement (the
+    * routeOracleSql shape), the arriving batch's window probe against
+    * corpus signatures (stored cap ≤ 1000), and min-rep inheritance
+    * with the own-id fallback.
+    */
+  private[queries] lazy val winsigRouteOracleSql: String = {
+    def winChain(srcSql: String, p: String): String =
+      raw"""t$p AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+           |  FROM ($srcSql)),
+           |w$p AS (
+           |  SELECT DISTINCT doc_id,
+           |    md5(array_to_string(toks[s+1 : s+15], ' ')) AS sig
+           |  FROM (SELECT doc_id, toks,
+           |          unnest(range(0, len(toks) - 15 + 1)) AS s
+           |        FROM t$p WHERE len(toks) >= 15))""".stripMargin
+    s"""WITH RECURSIVE ${winChain("SELECT doc_id, text FROM documents", "c")},
+       |${winChain(
+          "SELECT doc_id + 500000 AS doc_id, text || ' tm1 tm2' AS text " +
+            "FROM documents WHERE doc_id % 7 = 3", "b")},
+       |okp AS (SELECT sig FROM wc GROUP BY sig
+       |  HAVING count(*) BETWEEN 2 AND 1000),
+       |prc AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM wc a JOIN wc b ON a.sig = b.sig AND a.doc_id < b.doc_id
+       |  JOIN okp ON a.sig = okp.sig),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM prc
+       |  UNION SELECT b_id, a_id FROM prc),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       |cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+       |asg AS (
+       |  SELECT d.doc_id AS id, coalesce(cl.rep, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+       |spc AS (
+       |  SELECT id, rep,
+       |    CASE WHEN slot < 14 THEN 'train'
+       |         WHEN slot < 15 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT id, rep,
+       |    CAST(('0x' || substring(md5('split:' || CAST(rep AS VARCHAR)),
+       |      1, 4)) AS BIGINT) % 16 AS slot FROM asg)),
+       |oks AS (SELECT sig FROM wc GROUP BY sig HAVING count(*) <= 1000),
+       |mtch AS (
+       |  SELECT DISTINCT b.doc_id AS a_id, c.doc_id AS b_id
+       |  FROM wb b JOIN wc c ON b.sig = c.sig
+       |  JOIN oks ON c.sig = oks.sig),
+       |mg AS (
+       |  SELECT m.a_id AS id, min(sp.rep) AS minrep,
+       |    CAST(count(*) AS BIGINT) AS n_matches,
+       |    count(DISTINCT sp.split) AS ns
+       |  FROM mtch m JOIN spc sp ON sp.id = m.b_id
+       |  GROUP BY m.a_id),
+       |routed AS (
+       |  SELECT t.doc_id AS id, coalesce(mg.minrep, t.doc_id) AS key,
+       |    coalesce(mg.n_matches, 0) AS n_matches,
+       |    CAST(CASE WHEN coalesce(mg.ns, 1) > 1 THEN 1 ELSE 0 END
+       |      AS BIGINT) AS bridged
+       |  FROM tb t LEFT JOIN mg ON mg.id = t.doc_id)
+       |SELECT id, key AS rep,
+       |  CASE WHEN slot < 14 THEN 'train'
+       |       WHEN slot < 15 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  n_matches, bridged
+       |FROM (SELECT *,
+       |  CAST(('0x' || substring(md5('split:' || CAST(key AS VARCHAR)),
+       |    1, 4)) AS BIGINT) % 16 AS slot FROM routed)
+       |ORDER BY id""".stripMargin
+  }
+
+  /** The q351 oracle — decon→egress end to end: the split assignment
+    * chain (membership), the q81 n-gram decon screen (contaminated
+    * corpus ids: ≥ 2 shingles shared with the eval slice, eval-shingle
+    * hot cap 100), and the exclusion anti-join — exactly the rows
+    * `EXPORT ...;split=train;exclude=<verdicts>` must write. The `sh`
+    * shingle table is shared between the two chains (one tokenize).
+    */
+  private[queries] lazy val exportExcludeOracleSql: String =
+    s"""WITH RECURSIVE $splitAssignChainSql,
+       |ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+       |evok AS (SELECT shingle FROM ev GROUP BY shingle HAVING count(*) <= 100),
+       |contam AS (
+       |  SELECT s.doc_id
+       |  FROM sh s JOIN ev e USING (shingle) JOIN evok USING (shingle)
+       |  WHERE s.doc_id <> e.eval_id
+       |  GROUP BY s.doc_id, e.eval_id
+       |  HAVING count(*) >= 2)
+       |SELECT d.doc_id AS id, d.text AS payload
+       |FROM documents d JOIN sp ON sp.id = d.doc_id
+       |WHERE sp.split = 'train'
+       |  AND d.doc_id NOT IN (SELECT DISTINCT doc_id FROM contam)
        |ORDER BY id""".stripMargin
 
   /** The q337 oracle — q204's batch screen + q335's corpus

@@ -1798,6 +1798,166 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // The split lifecycle under EXACT-SUBSTRING edges (r16 verdict item
+    // 7a — routeCore is family-agnostic, the winsig family plugs in
+    // with its screen + family tag): documents ingest, REINDEX
+    // type=winsig materializes the signature table, SPLIT by=winsig
+    // clusters docs sharing any 15-token window, and the q339 arrival
+    // batch routes through the stored-signature probe (bucket-pruned,
+    // hot sigs capped), inheriting the min-rep match's placement. The
+    // oracle replays windows, pairs, components, placement, the probe,
+    // and inheritance end to end.
+    "q352_route_winsig" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q352")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      def run(cmd: String, arg: Option[String]) = CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), cmd, arg)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+      run("REINDEX", Some("type=winsig;mintokens=15")).collect()
+      run("SPLIT", Some("by=winsig")).collect()
+      val f = Scratch.dir("graft_q352b") + "/batch.parquet"
+      Tables.documents(s, dir).filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("id"),
+          concat(col("text"), lit(" tm1 tm2")).as("payload"))
+        .write.mode("overwrite").parquet(f)
+      run("ROUTE", Some(s"batch=$f;by=winsig"))
+    }),
+
+    // The split lifecycle under PERCEPTUAL-IMAGE edges (r16 verdict
+    // item 7b): the q242 synthetic grid corpus ingests as a binary
+    // media collection, REINDEX type=dhash materializes the banded
+    // dHash56 artifact, SPLIT by=dhash clusters images within 6 bits,
+    // and the q244 shifted-variant batch routes through the stored band
+    // probe — a copy of a test image can never land in train. Arrival
+    // band rows APPEND into the live artifact (delta admission, no
+    // rebuild). The oracle replays both signature chains + placement +
+    // inheritance.
+    "q353_route_dhash" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q353")
+      db.createCollection("imgs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("media", org.apache.spark.sql.types.BinaryType))))
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      db.bulkInsert("imgs", docs.select(col("doc_id").as("id"),
+        gridPayload(col("doc_id"), col("doc_id")).as("media")))
+      def run(cmd: String, arg: Option[String]) = CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("imgs"), cmd, arg)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+      run("REINDEX", Some("type=dhash")).collect()
+      run("SPLIT", Some("by=dhash")).collect()
+      val f = Scratch.dir("graft_q353b") + "/batch.parquet"
+      docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 500000L).as("id"),
+          gridPayload(col("doc_id"), col("doc_id") + 500000L).as("media"))
+        .write.mode("overwrite").parquet(f)
+      run("ROUTE", Some(s"batch=$f;by=dhash"))
+    }),
+
+    // The winsig routing family STREAMING (the q341 economics on
+    // exact-substring edges): q352's arrival batch arrives as a stream,
+    // each micro-batch screens against the stored signature table,
+    // inherits, commits (durable batch tag), and is admitted + the
+    // artifact incrementally refreshed inside foreachBatch.
+    // Single-batch run ≡ batch ROUTE: q352's oracle verbatim.
+    "q354_stream_route_winsig" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q354")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      db.reindexWinsig("docs", minTokens = 15)
+      db.buildSplitsWinsig("docs")
+      val sink = scratchDb(s, "graft_q354s")
+      val sc = Scratch.name("routed")
+      sink.createCollection(sc, StructType(Seq(
+        StructField("id", LongType),
+        StructField("rep", LongType),
+        StructField("split", StringType),
+        StructField("n_matches", LongType),
+        StructField("bridged", LongType))))
+      graft.streaming.StreamingIngest.streamRouteSplits(s, dir,
+        db, "docs", sink, sc,
+        arrivals = raw => raw.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 500000L).as("id"),
+            concat(col("text"), lit(" tm1 tm2")).as("payload")),
+        by = "winsig")
+    }),
+
+    // The dhash routing family STREAMING: q353's shifted-variant batch
+    // arrives as a stream; each micro-batch hashes its own media,
+    // probes the stored band table, inherits, commits, and its band
+    // rows APPEND into the live artifact inside foreachBatch (delta
+    // admission across the micro-batch seam). Single-batch run ≡ batch
+    // ROUTE: q353's oracle verbatim.
+    "q355_stream_route_dhash" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q355")
+      db.createCollection("imgs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("media", org.apache.spark.sql.types.BinaryType))))
+      val docs = graft.operators.Parallelism.ensure(Tables.documents(s, dir))
+      db.bulkInsert("imgs", docs.select(col("doc_id").as("id"),
+        gridPayload(col("doc_id"), col("doc_id")).as("media")))
+      db.reindexDhash("imgs")
+      db.buildSplitsDhash("imgs")
+      val sink = scratchDb(s, "graft_q355s")
+      val sc = Scratch.name("routed")
+      sink.createCollection(sc, StructType(Seq(
+        StructField("id", LongType),
+        StructField("rep", LongType),
+        StructField("split", StringType),
+        StructField("n_matches", LongType),
+        StructField("bridged", LongType))))
+      graft.streaming.StreamingIngest.streamRouteSplits(s, dir,
+        db, "imgs", sink, sc,
+        arrivals = raw => raw.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 500000L).as("id"),
+            gridPayload(col("doc_id"), col("doc_id") + 500000L)
+              .as("media")),
+        by = "dhash")
+    }),
+
+    // Decon→egress integration (r16 verdict item 6): `EXPORT
+    // split=train;exclude=<verdicts>` writes the CLEAN training set in
+    // ONE managed step — a semi-join against the split sidecar plus an
+    // anti-join against a COMMITTED id-keyed verdict collection (here
+    // the q81 n-gram decon screen's contaminated corpus ids, committed
+    // once; egress only consumes — never a re-screen). The oracle
+    // replays screen + placement + exclusion end to end, and the
+    // exclude source is pinned in the resumable meta like split/format
+    // (ExportResumeSpec).
+    "q351_export_exclude" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q351")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      val docs = Tables.documents(s, dir)
+      db.bulkInsert("docs",
+        docs.select(col("doc_id").as("id"), col("text").as("payload")))
+      db.buildSplits("docs").collect()
+      db.createCollection("verdicts", StructType(Seq(
+        StructField("id", LongType))))
+      db.bulkInsert("verdicts", graft.operators.Dedup.decontaminate(
+          docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text",
+          shingleN = 5, minShared = 2)
+        .select(col("doc_id").as("id")).distinct())
+      val out = Scratch.dir("graft_q351") + "/export"
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "EXPORT",
+            Some(s"$out;format=jsonl;shards=8;split=train;exclude=verdicts"))
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity)).collect()
+      s.read.json(out)
+        .select(col("id").cast("long").as("id"), col("payload"))
+        .orderBy("id")
+    }),
+
     // The kmeans decon screen on a MUTATED collection — the append rule
     // gated end to end: 4/5 of the train slice ingests, the md5 trainer
     // builds the layout, THEN the held-back 1/5 appends (bulkInsert
@@ -3050,6 +3210,79 @@ object PipelineQueries {
        |  AND bit_count(xor(a.sig, b.sig)) <= 6
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** The q353 oracle — the split lifecycle under PERCEPTUAL-IMAGE
+    * edges, replayed end to end: corpus dHash56 pairs (the q242 chain:
+    * banded candidates, carriers BETWEEN 2 AND 1000, first-band
+    * emission, bit_count ≤ 6), components + md5-slice placement, the
+    * shifted arrival batch's screen (the q244 chain: stored cap ≤
+    * 1000), min-rep inheritance with the own-id fallback.
+    */
+  private lazy val dhashRouteOracleSql =
+    s"""WITH RECURSIVE ${dhashSigCtes("c", "", "doc_id", "doc_id", "doc_id")},
+       |${dhashSigCtes("b", " WHERE doc_id % 7 = 3", "doc_id",
+          "doc_id + 500000", "doc_id + 500000")},
+       |bandsc AS MATERIALIZED (
+       |  ${dhashBandsCte.format("sgc")}),
+       |okp AS (SELECT band, key FROM bandsc GROUP BY band, key
+       |  HAVING count(*) BETWEEN 2 AND 1000),
+       |elp AS (SELECT bandsc.* FROM bandsc JOIN okp USING (band, key)),
+       |prc AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM elp a JOIN elp b ON a.band = b.band AND a.key = b.key
+       |    AND a.id < b.id
+       |  WHERE $dhashFirstBandSql
+       |    AND bit_count(xor(a.sig, b.sig)) <= 6),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM prc
+       |  UNION SELECT b_id, a_id FROM prc),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       |cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+       |asg AS (
+       |  SELECT d.doc_id AS id, coalesce(cl.rep, d.doc_id) AS rep
+       |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+       |spc AS (
+       |  SELECT id, rep,
+       |    CASE WHEN slot < 14 THEN 'train'
+       |         WHEN slot < 15 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT id, rep,
+       |    CAST(('0x' || substring(md5('split:' || CAST(rep AS VARCHAR)),
+       |      1, 4)) AS BIGINT) % 16 AS slot FROM asg)),
+       |okc AS (SELECT band, key FROM bandsc GROUP BY band, key
+       |  HAVING count(*) <= 1000),
+       |elc AS (SELECT bandsc.* FROM bandsc JOIN okc USING (band, key)),
+       |bandsb AS MATERIALIZED (
+       |  ${dhashBandsCte.format("sgb")}),
+       |mtch AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+       |  FROM bandsb a JOIN elc b ON a.band = b.band AND a.key = b.key
+       |  WHERE $dhashFirstBandSql
+       |    AND bit_count(xor(a.sig, b.sig)) <= 6),
+       |mg AS (
+       |  SELECT m.a_id AS id, min(sp.rep) AS minrep,
+       |    CAST(count(*) AS BIGINT) AS n_matches,
+       |    count(DISTINCT sp.split) AS ns
+       |  FROM mtch m JOIN spc sp ON sp.id = m.b_id
+       |  GROUP BY m.a_id),
+       |routed AS (
+       |  SELECT t.id, coalesce(mg.minrep, t.id) AS key,
+       |    coalesce(mg.n_matches, 0) AS n_matches,
+       |    CAST(CASE WHEN coalesce(mg.ns, 1) > 1 THEN 1 ELSE 0 END
+       |      AS BIGINT) AS bridged
+       |  FROM sgb t LEFT JOIN mg ON mg.id = t.id)
+       |SELECT id, key AS rep,
+       |  CASE WHEN slot < 14 THEN 'train'
+       |       WHEN slot < 15 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  n_matches, bridged
+       |FROM (SELECT *,
+       |  CAST(('0x' || substring(md5('split:' || CAST(key AS VARCHAR)),
+       |    1, 4)) AS BIGINT) % 16 AS slot FROM routed)
+       |ORDER BY id""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     // dHash replay: the 63 scene/variant pixels, the 56 gradient bits,
@@ -3521,7 +3754,9 @@ object PipelineQueries {
     // oracle verbatim
     "q338_split_cmd" -> DedupQueries.leakageSplitOracleSql,
     // the read-only stats surface equals the build summary: q335 verbatim
-    "q345_split_stats" -> DedupQueries.leakageSplitOracleSql,
+    // stats = build summary + the physical n_segments column (0 on a
+    // fresh build — the growth path is spec-pinned)
+    "q345_split_stats" -> DedupQueries.splitStatsOracleSql,
     // the managed ROUTE command equals the operator composition: q337's
     // oracle verbatim (same corpus, same batch, same screen family)
     "q339_route_cmd" -> DedupQueries.routeOracleSql,
@@ -3552,6 +3787,16 @@ object PipelineQueries {
     "q349_route_preview" -> DedupQueries.routeOracleSql,
     // steady-state split export ≡ q343 (same corpus, same SPLIT params)
     "q350_export_split_stored" -> DedupQueries.exportSplitOracleSql,
+    // decon→egress: split membership + n-gram screen + exclusion
+    "q351_export_exclude" -> DedupQueries.exportExcludeOracleSql,
+    // exact-substring routing: window pairs + placement + probe + min-rep
+    "q352_route_winsig" -> DedupQueries.winsigRouteOracleSql,
+    // perceptual routing: dHash pairs + placement + band probe + min-rep
+    "q353_route_dhash" -> dhashRouteOracleSql,
+    // stream ≡ batch on the winsig routing: q352's oracle verbatim
+    "q354_stream_route_winsig" -> DedupQueries.winsigRouteOracleSql,
+    // stream ≡ batch on the dhash routing: q353's oracle verbatim
+    "q355_stream_route_dhash" -> dhashRouteOracleSql,
     // the embedding-edge routing replay: q336's pair screen + placement,
     // the arrival-bucket incoming screen at the rounded-cosine cut,
     // min-rep inheritance with the own-id fallback

@@ -1219,8 +1219,9 @@ object StreamingIngest {
       by: String = "minhash",
       checkpointLocation: Option[String] = None,
       streamTag: String = "route"): DataFrame = {
-    require(by == "minhash" || by == "embedding",
-      s"streamRouteSplits: by must be minhash or embedding, got '$by'")
+    require(Set("minhash", "embedding", "winsig", "dhash").contains(by),
+      s"streamRouteSplits: by must be minhash, embedding, winsig, or " +
+        s"dhash, got '$by'")
     val schema = spark.read.option("pathGlobFilter", glob)
       .parquet(sfDir).schema
     val reader = spark.readStream.schema(schema)
@@ -1247,12 +1248,18 @@ object StreamingIngest {
               db.readmitRouted(coll, batch)
               ()
             } else {
-              sinkDb.bulkInsert(sinkColl,
-                if (by == "embedding")
+              sinkDb.bulkInsert(sinkColl, by match {
+                case "embedding" =>
                   db.routeArrivalsEmbedding(coll, batch, threshold,
                     batchTag = Some(tag))
-                else db.routeArrivals(coll, batch, threshold,
-                  batchTag = Some(tag)))
+                case "winsig" =>
+                  db.routeArrivalsWinsig(coll, batch, batchTag = Some(tag))
+                case "dhash" =>
+                  db.routeArrivalsDhash(coll, batch, batchTag = Some(tag))
+                case _ =>
+                  db.routeArrivals(coll, batch, threshold,
+                    batchTag = Some(tag))
+              })
               applied += tag
               ()
             }

@@ -168,6 +168,43 @@ class ExportResumeSpec extends AnyFunSuite {
     }.getMessage.contains("must be train, val, or test"))
   }
 
+  test("exclude= drops committed verdict ids and is pinned in the resume meta") {
+    val db = freshDb()
+    db.createCollection("verdicts", org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))))
+    db.bulkInsert("verdicts", Seq(3L, 17L, 42L).toDF("id"))
+    val out = Files.createTempDirectory("graft_exexcl").toString + "/exp"
+    val audit = db.exportCollectionResumable("recs", out, nShards = 4,
+        exclude = Some("verdicts"))
+      .as[(Long, Long)].collect().toSeq
+    assert(audit.map(_._2).sum == 57L, // 60 rows minus the 3 verdicts
+      s"exclusion must drop exactly the committed ids: $audit")
+    // none of the excluded ids is in the written artifact
+    val ids = spark.read.json(out)
+      .select(org.apache.spark.sql.functions.col("id").cast("long"))
+      .as[Long].collect().toSet
+    assert(Seq(3L, 17L, 42L).forall(!ids.contains(_)))
+    // a resume WITHOUT the exclusion (or with a different one) refuses:
+    // a decon-cleaned export must never silently resume uncleaned
+    assert(intercept[IllegalArgumentException] {
+      db.exportCollectionResumable("recs", out, nShards = -1)
+    }.getMessage.contains("was started with exclude=verdicts"))
+    // single-job parity
+    val out2 = Files.createTempDirectory("graft_exexcl2").toString + "/exp"
+    val audit2 = db.exportCollection("recs", out2, nShards = 4,
+        exclude = Some("verdicts"))
+      .as[(Long, Long)].collect().toSeq
+    assert(audit2 == audit, s"$audit2 vs $audit")
+    // a verdict collection without an id column refuses loudly
+    db.createCollection("badv", org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("doc",
+        org.apache.spark.sql.types.LongType))))
+    assert(intercept[IllegalArgumentException] {
+      db.exportCollection("recs", out2 + "x", exclude = Some("badv"))
+    }.getMessage.contains("needs an id column"))
+  }
+
   test("text format resumes too: framing and float rendering survive the staging round-trip") {
     val parent = Files.createTempDirectory("graft_exresumetxt").toString
     val db = GraftDatabase.create(spark, parent, "db")

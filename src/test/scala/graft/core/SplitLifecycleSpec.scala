@@ -202,6 +202,155 @@ class SplitLifecycleSpec extends AnyFunSuite {
     }.getMessage.contains("sign-bucket layout"))
   }
 
+  test("winsig family: SPLIT by=winsig + transitive ROUTE through the refreshed signature table") {
+    val parent = Files.createTempDirectory("graft_wsplits").toString
+    val d = GraftDatabase.create(spark, parent, "db")
+    d.createCollection("docs", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType))))
+    val shared = (1 to 15).map(i => s"w$i").mkString(" ")
+    d.bulkInsert("docs", Seq(
+      (1L, shared + " alpha"),
+      (2L, "intro " + shared),
+      (3L, "unrelated " + (1 to 15).map(i => s"x$i").mkString(" ")))
+      .toDF("id", "payload"))
+    d.reindexWinsig("docs", minTokens = 15)
+    val summary = d.buildSplitsWinsig("docs")
+      .as[(String, Long, Long)].collect()
+    assert(summary.map(_._2).sum == 3L)
+    val assign = d.splitAssignments("docs")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(assign(1L)._2 == 1L && assign(2L)._2 == 1L &&
+      assign(1L)._3 == assign(2L)._3,
+      "docs sharing a 15-token window must share cluster + split")
+    // batch 1: novel passage → own-id fallback, admitted + artifact
+    // refreshed (the winsig family's admission step)
+    val novel = (1 to 15).map(i => s"n$i").mkString(" ")
+    val r1 = d.routeArrivalsWinsig("docs",
+        Seq((100L, novel)).toDF("id", "payload"))
+      .as[(Long, Long, String, Long, Long)].collect().head
+    assert(r1._2 == 100L && r1._4 == 0L, r1.toString)
+    // plan pin: the screen probes the STORED signature artifact pruned
+    // to the batch's own sig_bucket partitions, no cartesian
+    val plan = d.lastRouteScreenPlan.get
+    assert("PartitionFilters: \\[[^\\]]*sig_bucket"
+      .r.findFirstIn(plan).isDefined, plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // batch 2: carries batch 1's window verbatim → inherits the ROUTED
+    // placement through the REFRESHED signature table
+    val r2 = d.routeArrivalsWinsig("docs",
+        Seq((200L, novel + " tail")).toDF("id", "payload"))
+      .as[(Long, Long, String, Long, Long)].collect().head
+    assert(r2._2 == 100L && r2._3 == r1._3 && r2._4 == 1L,
+      s"batch 2 must inherit the routed arrival's placement: $r2 vs $r1")
+    // width drift between sidecar and artifact refuses
+    d.reindexWinsig("docs", minTokens = 10)
+    assert(intercept[IllegalArgumentException] {
+      d.routeArrivalsWinsig("docs",
+        Seq((300L, novel + " x")).toDF("id", "payload"))
+    }.getMessage.contains("pins min_tokens=15"))
+    // cross-family: a minhash-built sidecar refuses this router
+    val dm = db()
+    dm.buildSplits("docs")
+    assert(intercept[IllegalArgumentException] {
+      dm.routeArrivalsWinsig("docs",
+        Seq((900L, novel)).toDF("id", "payload"))
+    }.getMessage.contains("built by=minhash"))
+  }
+
+  test("dhash family: SPLIT by=dhash + ROUTE inherits through appended band rows") {
+    val parent = Files.createTempDirectory("graft_dsplits").toString
+    val d = GraftDatabase.create(spark, parent, "db")
+    d.createCollection("imgs", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("media",
+        org.apache.spark.sql.types.BinaryType))))
+    def media(scene: Long, variant: Long) =
+      graft.operators.Multimodal.sceneGridPayload(lit(scene), lit(variant))
+    def batchDf(id: Long, scene: Long, variant: Long) =
+      Seq(id).toDF("id").select(col("id"),
+        media(scene, variant).as("media"))
+    // ids 1 and 201 share scene 1 (perceptual near-dups); 2 and 3 are
+    // their own scenes
+    d.bulkInsert("imgs", Seq(1L, 2L, 3L).toDF("id")
+      .select(col("id"),
+        when(col("id") === 1L, media(1L, 1L))
+          .when(col("id") === 2L, media(2L, 2L))
+          .otherwise(media(3L, 3L)).as("media")))
+    d.bulkInsert("imgs", batchDf(201L, 1L, 4L))
+    d.reindexDhash("imgs")
+    d.buildSplitsDhash("imgs")
+    val assign = d.splitAssignments("imgs")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(assign(1L)._2 == 1L && assign(201L)._2 == 1L &&
+      assign(1L)._3 == assign(201L)._3,
+      s"same-scene images must share cluster + split: $assign")
+    // batch 1: a NEW scene → own-id fallback
+    val r1 = d.routeArrivalsDhash("imgs", batchDf(500L, 100L, 500L))
+      .as[(Long, Long, String, Long, Long)].collect().head
+    assert(r1._2 == 500L && r1._4 == 0L, r1.toString)
+    // plan pin: the screen probes the STORED band artifact pruned to
+    // the batch's own key_bucket partitions, no cartesian
+    val plan = d.lastRouteScreenPlan.get
+    assert("PartitionFilters: \\[[^\\]]*key_bucket"
+      .r.findFirstIn(plan).isDefined, plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    // batch 2: same scene, shifted variant → inherits batch 1's ROUTED
+    // placement through the APPENDED band rows (no rebuild — the
+    // artifact stayed live)
+    val r2 = d.routeArrivalsDhash("imgs", batchDf(600L, 100L, 600L))
+      .as[(Long, Long, String, Long, Long)].collect().head
+    assert(r2._2 == 500L && r2._3 == r1._3 && r2._4 == 1L,
+      s"batch 2 must inherit through the appended bands: $r2 vs $r1")
+    // cross-family refusal
+    assert(intercept[IllegalArgumentException] {
+      d.routeArrivalsWinsig("imgs",
+        Seq((900L, "a b")).toDF("id", "payload"))
+    }.getMessage.contains("built by=dhash"))
+  }
+
+  test("segment hygiene: stats surfaces the routed-segment count; ROUTE auto-compacts past the threshold") {
+    val d = db()
+    d.buildSplits("docs")
+    def segs(): Long = d.splitStats("docs")
+      .select("n_segments").distinct().as[Long].collect().head
+    assert(segs() == 0L)
+    // a dry run commits nothing — the count must not move
+    d.routeArrivals("docs",
+      Seq((99L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10")).toDF("id", "payload"),
+      dryRun = true).collect()
+    assert(segs() == 0L, "dryRun must not commit a segment")
+    assert(d.splitAssignments("docs").filter(col("id") === 99L).count() == 0L)
+    d.routeArrivals("docs",
+      Seq((100L, "zork quux fnord blarg wibble wobble flib glorp snark quib"))
+        .toDF("id", "payload")).collect()
+    assert(segs() == 1L)
+    spark.conf.set("spark.graft.splits.autoCompactSegments", "2")
+    try {
+      d.routeArrivals("docs",
+        Seq((101L, "aa bb cc dd ee ff gg hh ii jj")).toDF("id", "payload"))
+        .collect()
+      assert(segs() == 2L, "at the threshold nothing folds yet")
+      val before = d.splitAssignments("docs")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      d.routeArrivals("docs",
+        Seq((102L, "k1 k2 k3 k4 k5 k6 k7 k8 k9 k10")).toDF("id", "payload"))
+        .collect()
+      // past the threshold the commit auto-compacted: fresh generation,
+      // zero segments, values (incl. the just-committed batch) unchanged
+      assert(segs() == 0L, "auto-compact must fold past the threshold")
+      val after = d.splitAssignments("docs")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(after.filterNot(r => r._1 == 102L) == before,
+        "auto-compaction must be content-preserving")
+      assert(after.exists(_._1 == 102L),
+        "the compacted generation must carry the triggering batch")
+    } finally spark.conf.unset("spark.graft.splits.autoCompactSegments")
+  }
+
   test("an id inserted outside ROUTE after SPLIT refuses admission (duplicate-id guard)") {
     val d = db()
     d.buildSplits("docs")
