@@ -134,10 +134,22 @@ object CommandExecutor {
                 s"DECON $key= must be numeric, got '$v'")
             }
           }.getOrElse(default)
-        db.deconScreen(coll, readBatchQueries(spark, path),
+        val verdictFrame = db.deconScreen(coll, readBatchQueries(spark, path),
           threshold = num("threshold", 0.5, _.toDouble),
           probeRadius = num("radius", -1, _.toInt),
           shortlist = num("shortlist", -1, _.toInt))
+        // sink=<collection>: COMMIT the verdicts (created on first use) —
+        // the input `EXPORT exclude=` consumes; the screen runs exactly
+        // once (checkpointed — the insert and the returned frame share it)
+        opts.get("sink") match {
+          case None => verdictFrame
+          case Some(sc) =>
+            val committed = verdictFrame.localCheckpoint(true)
+            if (!db.collectionExists(sc))
+              db.createCollection(sc, committed.schema)
+            db.bulkInsert(sc, committed)
+            committed
+        }
 
       case Split(coll, arg) =>
         // arg grammar: `[by=minhash|embedding|winsig|dhash;slots=<n>;

@@ -61,6 +61,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     writeString(fs, metaPath(name), schema.toDDL)
   }
 
+  /** Whether collection `name` exists — the cheap probe command
+    * compositions use (DECON sink= creates its verdict collection on
+    * first use). */
+  def collectionExists(name: String): Boolean = fs.exists(metaPath(name))
+
   /** DROP (reference `src/command/types.rs:21-31`). */
   def dropCollection(name: String): Unit = {
     val dir = collDir(name)
@@ -364,14 +369,21 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       case Some(ex) =>
         requireCollection(ex)
         val verdicts = read(ex)
-        require(verdicts.columns.contains("id"),
-          s"EXPORT exclude=$ex needs an id column on the verdict " +
-            s"collection (has: ${verdicts.columns.mkString(", ")}) — " +
-            "commit the ids to drop, e.g. a decon screen's contaminated " +
-            "train ids")
-        cur00.join(
-          verdicts.select(col("id").cast("long").as("id")).distinct(),
-          Seq("id"), "left_anti")
+        // two accepted shapes: a plain id list, or the decon screen's
+        // own verdict schema (DECON sink= writes it verbatim) — there
+        // the excluded ids are the CONTAMINATED matches' train ids
+        val exIds =
+          if (verdicts.columns.contains("id"))
+            verdicts.select(col("id").cast("long").as("id"))
+          else if (verdicts.columns.contains("train_id") &&
+              verdicts.columns.contains("contaminated"))
+            verdicts.filter(col("contaminated") === 1L)
+              .select(col("train_id").cast("long").as("id"))
+          else throw new IllegalArgumentException(
+            s"EXPORT exclude=$ex needs an id column (or the decon " +
+              "verdict schema train_id/contaminated) on the verdict " +
+              s"collection — has: ${verdicts.columns.mkString(", ")}")
+        cur00.join(exIds.distinct(), Seq("id"), "left_anti")
     }
     // split=<v> exports only the rows the managed sidecar placed in that
     // split: a semi-join against the (already split-filtered) assignment

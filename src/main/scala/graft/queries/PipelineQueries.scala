@@ -1958,6 +1958,75 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // DECON sink= — the screen's verdicts COMMIT to a collection in the
+    // same command (created on first use), closing the loop with
+    // `EXPORT exclude=`: screen once, consume forever. The gate reads
+    // the COMMITTED rows back (stronger than gating the returned
+    // frame): q331's oracle verbatim.
+    "q356_decon_sink" -> ((s, dir) => {
+      val db = storedDeconDb(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val donors = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("donor_vec"))
+      val evalQ = broadcast(emb.filter(col("vec_id") % 50 === 0))
+        .join(donors, Seq("vec_id"))
+        .select(col("vec_id").as("query_id"),
+          when(expr("(vec_id DIV 50) % 3") === 0, col("donor_vec"))
+            .otherwise(col("embedding")).as("query_vec"))
+      val f = Scratch.dir("graft_q356") + "/eval.parquet"
+      evalQ.write.mode("overwrite").parquet(f)
+      val sc = Scratch.name("verdicts")
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("train"), "DECON",
+            Some(s"queries=$f;threshold=0.5;radius=1;shortlist=40;sink=$sc"))
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity)).collect()
+      db.read(sc).select("eval_id", "train_id", "score", "contaminated")
+        .orderBy("eval_id")
+    }),
+
+    // The decon→egress chain ALL-COMMANDS (q351's integration on the
+    // vector family, every step the managed surface): ingest the train
+    // slice, REINDEX type=sign, SPLIT by=embedding, DECON with
+    // sink=verdicts (the exact screen), then EXPORT
+    // split=train;exclude=verdicts — the exclusion consumes the decon
+    // VERDICT SCHEMA directly (contaminated=1 rows' train ids). The
+    // oracle replays sign-bucket pairs, components, placement, the
+    // exact top-1 screen, and the exclusion end to end.
+    "q357_decon_clean_export" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q357")
+      db.createCollection("train", StructType(Seq(
+        StructField("id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false)),
+        StructField("label", IntegerType))))
+      db.bulkInsert("train", Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 50 =!= 0).withColumnRenamed("vec_id", "id"))
+      def run(cmd: String, arg: Option[String]) = CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("train"), cmd, arg)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+      run("REINDEX", Some("type=sign;bits=8")).collect()
+      run("SPLIT", Some("by=embedding")).collect()
+      val emb = Tables.embeddings(s, dir)
+      val donors = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("donor_vec"))
+      val evalQ = broadcast(emb.filter(col("vec_id") % 50 === 0))
+        .join(donors, Seq("vec_id"))
+        .select(col("vec_id").as("query_id"),
+          when(expr("(vec_id DIV 50) % 3") === 0, col("donor_vec"))
+            .otherwise(col("embedding")).as("query_vec"))
+      val f = Scratch.dir("graft_q357") + "/eval.parquet"
+      evalQ.write.mode("overwrite").parquet(f)
+      run("DECON", Some(s"queries=$f;threshold=0.5;sink=verdicts")).collect()
+      val out = Scratch.dir("graft_q357") + "/export"
+      run("EXPORT", Some(s"$out;format=jsonl;shards=8;split=train;" +
+        "exclude=verdicts")).collect()
+      s.read.json(out)
+        .select(col("id").cast("long").as("id"),
+          col("label").cast("long").as("label"))
+        .orderBy("id")
+    }),
+
     // The kmeans decon screen on a MUTATED collection — the append rule
     // gated end to end: 4/5 of the train slice ingests, the md5 trainer
     // builds the layout, THEN the held-back 1/5 appends (bulkInsert
@@ -3113,6 +3182,75 @@ object PipelineQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** The q357 oracle — the vector-family decon→egress chain: sign-bucket
+    * pair edges over the TRAIN slice at 0.999 (the q336/q344 chain),
+    * components + md5-slice placement, the exact top-1 screen (the q326
+    * chain over the same slice — rank on the ROUNDED score, vec_id
+    * tie-break), and the exclusion anti-join on the contaminated
+    * matches' train ids.
+    */
+  private lazy val deconCleanExportSql: String = {
+    val bucket = (0 until 8)
+      .map(i => s"(CASE WHEN embedding[${i + 1}] > 0.0 THEN ${1 << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH RECURSIVE corp AS (
+       |  SELECT vec_id, embedding, label FROM embeddings
+       |  WHERE vec_id % 50 <> 0),
+       |coded AS (SELECT vec_id, embedding, $bucket AS b FROM corp),
+       |keep AS (
+       |  SELECT b FROM coded GROUP BY b
+       |  HAVING count(DISTINCT vec_id) BETWEEN 2 AND 1000),
+       |prc AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM coded a JOIN coded b ON a.b = b.b AND a.vec_id < b.vec_id
+       |  JOIN keep k ON a.b = k.b
+       |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |    CAST(b.embedding AS DOUBLE[])), 6) >= 0.999),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM prc
+       |  UNION SELECT b_id, a_id FROM prc),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+       |cl AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+       |sp AS (
+       |  SELECT id, rep,
+       |    CASE WHEN slot < 14 THEN 'train'
+       |         WHEN slot < 15 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT id, rep,
+       |    CAST(('0x' || substring(md5('split:' || CAST(rep AS VARCHAR)),
+       |      1, 4)) AS BIGINT) % 16 AS slot
+       |    FROM (SELECT c.vec_id AS id, coalesce(cl.rep, c.vec_id) AS rep
+       |          FROM corp c LEFT JOIN cl ON cl.id = c.vec_id))),
+       |don AS (
+       |  SELECT vec_id - 1 AS vec_id, embedding AS donor_vec
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT e.vec_id AS query_id,
+       |    CASE WHEN (e.vec_id // 50) % 3 = 0 THEN d.donor_vec
+       |         ELSE e.embedding END AS query_vec
+       |  FROM embeddings e JOIN don d ON d.vec_id = e.vec_id
+       |  WHERE e.vec_id % 50 = 0),
+       |s AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+       |      CAST(q.query_vec AS DOUBLE[])), 6) AS score,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY round(list_cosine_similarity(
+       |        CAST(c.embedding AS DOUBLE[]),
+       |        CAST(q.query_vec AS DOUBLE[])), 6) DESC, c.vec_id) AS rn
+       |  FROM corp c CROSS JOIN q),
+       |contam AS (
+       |  SELECT DISTINCT vec_id FROM s WHERE rn = 1 AND score >= 0.5)
+       |SELECT c.vec_id AS id, CAST(c.label AS BIGINT) AS label
+       |FROM corp c JOIN sp ON sp.id = c.vec_id
+       |WHERE sp.split = 'train'
+       |  AND c.vec_id NOT IN (SELECT vec_id FROM contam)
+       |ORDER BY id""".stripMargin
+  }
+
   private lazy val postingsRefreshSql: String =
       """WITH cur AS (
         |  SELECT doc_id AS id, text AS payload FROM documents
@@ -3797,6 +3935,10 @@ object PipelineQueries {
     "q354_stream_route_winsig" -> DedupQueries.winsigRouteOracleSql,
     // stream ≡ batch on the dhash routing: q353's oracle verbatim
     "q355_stream_route_dhash" -> dhashRouteOracleSql,
+    // committed verdicts ≡ the screen's own output: q331's oracle
+    "q356_decon_sink" -> VectorQueries.deconAnnSql(40),
+    // the all-commands vector decon→egress chain
+    "q357_decon_clean_export" -> deconCleanExportSql,
     // the embedding-edge routing replay: q336's pair screen + placement,
     // the arrival-bucket incoming screen at the rounded-cosine cut,
     // min-rep inheritance with the own-id fallback
