@@ -156,5 +156,12 @@ object SparkEntry {
     // against the committed assignment + sharded jsonl write). Both ride
     // one cached fixture (the q201 convention) — warmup pays the
     // corpus/band/sidecar build once.
-    "q349_route_preview", "q350_export_split_stored")
+    "q349_route_preview", "q350_export_split_stored",
+    // round-17 session-2 addition: the TAG build — the tag-once corpus
+    // scoring pass (token/lang/quality/PII column math + sidecar
+    // commit), the one-pass cost every downstream attribute filter
+    // amortizes. Rides the cached q321 docs fixture; each rep pays the
+    // full rebuild, which IS the steady-state unit of this lifecycle
+    // (refresh cost is delta-sized by construction).
+    "q358_tag_attrs")
 }

@@ -103,6 +103,9 @@ object CommandExecutor {
         // exclude=<collection> anti-joins a committed id-keyed verdict
         // collection (decon→egress: write the CLEAN set in one step)
         val exclude = opts.get("exclude")
+        // attrs=<spec> filters on the STORED attribute sidecar (tag once,
+        // filter many — refuses when missing or stale, never re-scores)
+        val attrsF = opts.get("attrs")
         // resume=true opts into the per-shard-committed export (same
         // bytes; a preempted run resumes at shard grain); parallel=<n>
         // bounds concurrent shard-conversion jobs on that path
@@ -115,9 +118,10 @@ object CommandExecutor {
                 s"EXPORT parallel= must be an integer, got '$parStr'")
             }
           db.exportCollectionResumable(coll, parts.head, fmt, nShards,
-            parallelism = par, split = split, exclude = exclude)
+            parallelism = par, split = split, exclude = exclude,
+            attrs = attrsF)
         } else db.exportCollection(coll, parts.head, fmt, nShards,
-          split = split, exclude = exclude)
+          split = split, exclude = exclude, attrs = attrsF)
 
       case Decon(coll, arg) =>
         // arg grammar: `queries=<file.parquet>[;threshold=<f>;radius=<n>
@@ -140,7 +144,11 @@ object CommandExecutor {
           shortlist = num("shortlist", -1, _.toInt))
         // sink=<collection>: COMMIT the verdicts (created on first use) —
         // the input `EXPORT exclude=` consumes; the screen runs exactly
-        // once (checkpointed — the insert and the returned frame share it)
+        // once (checkpointed — the insert and the returned frame share
+        // it). Re-running the same DECON appends the same verdicts again:
+        // the sink grows, but exclusion semantics are unaffected (the
+        // exclude consumer distinct()s its id set); the streaming screen
+        // adds the batch-log skip for its at-least-once replays.
         opts.get("sink") match {
           case None => verdictFrame
           case Some(sc) =>
@@ -394,6 +402,26 @@ object CommandExecutor {
               // option names SEARCHSIMILAR uses
               probeRadius = opts.getOrElse("radius", "-1").toInt,
               shortlist = opts.getOrElse("shortlist", "-1").toInt)
+        }
+
+      case Tag(coll, arg) =>
+        // arg grammar: `[mode=refresh|compact|stats]` — no arg builds the
+        // attribute sidecar (one text pass); refresh re-tags only the
+        // (id, payload_md5) delta; compact folds segments flat; stats
+        // reads the committed summary without building anything
+        val opts = arg.map(parseKv).getOrElse(Map.empty)
+        opts.get("mode") match {
+          case Some("refresh") =>
+            db.refreshAttrs(coll); db.tagSummary(coll)
+          case Some("compact") =>
+            db.compactAttrs(coll); status("TAG", coll)
+          case Some("stats") =>
+            db.tagSummary(coll)
+          case Some(other) => throw new IllegalArgumentException(
+            "TAG mode must be refresh, compact, or stats (or omitted " +
+              s"for a build), got: $other")
+          case None =>
+            db.reindexAttrs(coll); db.tagSummary(coll)
         }
 
       case Summarize(coll, arg) =>

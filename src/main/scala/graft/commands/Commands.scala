@@ -93,6 +93,23 @@ package graft.commands
   *    these arrivals. `dryrun=true` runs the full screen + inheritance +
   *    placement math with the same refusals but commits NOTHING — the
   *    capacity-planning preview.
+  *  - TAG arg (extension, optional): `[mode=refresh|compact|stats]` —
+  *    build the managed attribute sidecar ("tag once, filter many"): ONE
+  *    pass over the payload column computing the core tagset per id
+  *    (n_tokens, lang, quality, n_pii — each the same gate-proven math
+  *    its standalone query uses), committed under a generation pointer;
+  *    `mode=refresh` re-tags only new/changed docs and tombstones
+  *    deleted ones (the (id, payload_md5) diff discipline);
+  *    `mode=compact` folds segments flat, values unchanged;
+  *    `mode=stats` returns the per-language summary without building.
+  *    Build/refresh/stats return the summary; downstream consumers
+  *    (`EXPORT attrs=`) filter on the STORED attributes by id-keyed
+  *    semi-join — the corpus text is never re-scored.
+  *  - EXPORT `attrs=<attr op value[,...]>` (extension to the EXPORT arg):
+  *    export only rows whose stored attributes pass the conjunct spec
+  *    (op ∈ >=, <=, !=, =; attrs n_tokens, lang, quality, n_pii) —
+  *    refuses loudly when the sidecar is missing or stale, and is pinned
+  *    in the resume meta like split/format/exclude.
   *  - SEARCHTEXT arg (extension): `terms=a,b,c[;k=<n>;k1=<f>;b=<f>]` —
   *    BM25 keyword retrieval over the payload column.
   *  - SEARCHHYBRID arg (extension): `terms=a,b,c;vec=f,f,...[;k;kf;krrf]`
@@ -126,6 +143,7 @@ object GraftCommand {
   final case class Decon(collection: String, arg: String) extends GraftCommand
   final case class Split(collection: String, arg: Option[String]) extends GraftCommand
   final case class Route(collection: String, arg: String) extends GraftCommand
+  final case class Tag(collection: String, arg: Option[String]) extends GraftCommand
   final case class Summarize(collection: String, arg: Option[String]) extends GraftCommand
   final case class Keywords(collection: String, arg: Option[String]) extends GraftCommand
   final case class Stats(collection: String) extends GraftCommand
@@ -187,6 +205,7 @@ object CommandParser {
       case "DECON" => needBoth("DECON")(Decon(_, _))
       case "SPLIT" => needColl("SPLIT")(Split(_, arg))
       case "ROUTE" => needBoth("ROUTE")(Route(_, _))
+      case "TAG" => needColl("TAG")(Tag(_, arg))
       case "SUMMARIZE" => needColl("SUMMARIZE")(Summarize(_, arg))
       case "KEYWORDS" => needColl("KEYWORDS")(Keywords(_, arg))
       case "STATS" => needColl("STATS")(Stats(_))

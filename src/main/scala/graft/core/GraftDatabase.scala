@@ -76,6 +76,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     deleteWinsigIndex(name)
     deleteDhashIndex(name)
     deleteSplitsSidecar(name)
+    deleteAttrsIndex(name)
     if (fs.exists(batchLogDir(name))) { fs.delete(batchLogDir(name), true); () }
     ()
   }
@@ -124,6 +125,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     // the split sidecar never goes stale: assignments are point-in-time
     // placements by design (a re-SPLIT rebuilds, mutations don't move)
     if (fs.exists(splitsMetaPath(name))) rows += (("splits", "live"))
+    if (fs.exists(attrsMetaPath(name)))
+      rows += (("attrs",
+        if (fs.exists(attrsStaleMarker(name))) "stale" else "live"))
     rows.sortBy(_._1).toSeq.toDF("index_type", "state")
   }
 
@@ -229,6 +233,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     invalidateMinhashIndex(name) // ... nor in the stored signatures
     invalidateWinsigIndex(name) // ... nor in the stored window sigs
     invalidateDhashIndex(name) // ... nor in the stored dhash bands
+    invalidateAttrsIndex(name) // ... nor in the stored attributes
     // derived columns the existing data carries (quantized copy, cluster
     // assignment) are recomputed for arriving rows in the same write pass —
     // an append may never produce rows missing a column the readers expect.
@@ -292,9 +297,10 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   def exportCollection(name: String, path: String,
       format: String = "jsonl", nShards: Int = 8,
       split: Option[String] = None,
-      exclude: Option[String] = None): DataFrame = {
+      exclude: Option[String] = None,
+      attrs: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val (cur, nSh) = exportPrep(name, format, nShards, split, exclude)
+    val (cur, nSh) = exportPrep(name, format, nShards, split, exclude, attrs)
     val shardExpr = exportShardExpr(nSh)
     // the per-shard audit rides the write pass itself: an observe()
     // metrics node carrying ONE bounded histogram aggregate (O(1)/row,
@@ -356,9 +362,28 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     */
   private def exportPrep(name: String, format: String,
       nShards: Int, split: Option[String] = None,
-      exclude: Option[String] = None): (DataFrame, Int) = {
+      exclude: Option[String] = None,
+      attrs: Option[String] = None): (DataFrame, Int) = {
     requireCollection(name)
-    val cur00 = read(name)
+    val cur000 = read(name)
+    // attrs=<filter>: keep only rows whose STORED attributes pass the
+    // conjunct spec — an id-keyed semi-join against the attribute
+    // sidecar ("tag once, filter many": the export never re-scores
+    // text). A stale sidecar refuses loudly: silently re-scoring the
+    // corpus is the cost this sidecar exists to avoid, and silently
+    // filtering on outdated attributes would mislabel updated docs.
+    val cur00 = attrs match {
+      case None => cur000
+      case Some(spec) =>
+        require(fs.exists(attrsMetaPath(name)),
+          s"EXPORT attrs= needs the attribute sidecar on $name — run TAG first")
+        require(!fs.exists(attrsStaleMarker(name)),
+          s"attribute sidecar on $name is stale (a mutation landed after " +
+            "the last TAG) — TAG mode=refresh first")
+        cur000.join(
+          docAttrs(name).filter(attrsPredicate(spec)).select("id"),
+          Seq("id"), "left_semi")
+    }
     // exclude=<collection>: anti-join against a COMMITTED id-keyed
     // verdict collection (a decon screen's contaminated train ids, a
     // near-dup prune list, ...) — the decon→egress integration step.
@@ -496,7 +521,8 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   def exportCollectionResumable(name: String, path: String,
       format: String = "jsonl", nShards: Int = 8,
       parallelism: Int = 1, split: Option[String] = None,
-      exclude: Option[String] = None): DataFrame = {
+      exclude: Option[String] = None,
+      attrs: Option[String] = None): DataFrame = {
     require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
     val spark = this.spark
     import spark.implicits._
@@ -531,6 +557,14 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
           s"EXPORT resume: $path was started with exclude=" +
             s"${if (exPin.isEmpty) "<none>" else exPin}, got " +
             s"${exclude.getOrElse("<none>")} — finish or remove the old export first")
+        // the attrs filter is artifact identity too: a quality-filtered
+        // export must never silently resume unfiltered (or vice versa)
+        val atPin = """"attrs"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(m)
+          .map(_.group(1)).getOrElse("")
+        require(atPin == attrs.getOrElse(""),
+          s"EXPORT resume: $path was started with attrs=" +
+            s"${if (atPin.isEmpty) "<none>" else atPin}, got " +
+            s"${attrs.getOrElse("<none>")} — finish or remove the old export first")
         Some((f.get, s.get))
       }
     // -1 adopts the pinned count (the stats-derived call resumed later);
@@ -557,11 +591,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     }
     requireCollection(name)
     val (cur, nSh) = exportPrep(name, format,
-      pinned.map(_._2).getOrElse(nShards), split, exclude)
+      pinned.map(_._2).getOrElse(nShards), split, exclude, attrs)
     if (pinned.isEmpty) {
       fs.mkdirs(new Path(path))
       writeString(fs, metaP,
-        s"""{"format": "$format", "shards": $nSh, "split": "${split.getOrElse("")}", "exclude": "${exclude.getOrElse("")}"}""")
+        s"""{"format": "$format", "shards": $nSh, "split": "${split.getOrElse("")}", "exclude": "${exclude.getOrElse("")}", "attrs": "${attrs.getOrElse("")}"}""")
     }
     val doneDir = new Path(path, "_shards")
     def marker(s: Int) = new Path(doneDir, s"$s.done")
@@ -722,6 +756,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     invalidateMinhashIndex(name)
     invalidateWinsigIndex(name)
     invalidateDhashIndex(name)
+    invalidateAttrsIndex(name)
     val current = read(name)
     val hasIndex = current.columns.contains("cluster_id")
     val hasQuant = current.columns.contains(QuantCol)
@@ -769,6 +804,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     invalidateMinhashIndex(name)
     invalidateWinsigIndex(name)
     invalidateDhashIndex(name)
+    invalidateAttrsIndex(name)
     rewrite(name, graft.operators.Mutations.deleteWhere(read(name), predicate))
   }
 
@@ -799,6 +835,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     invalidateMinhashIndex(name)
     invalidateWinsigIndex(name)
     invalidateDhashIndex(name)
+    invalidateAttrsIndex(name)
     import spark.implicits._
     val next = align(name, snapshot)
     val current = read(name)
@@ -1842,6 +1879,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * inserted (band artifact refreshed so the next screen matches
     * them), present rows are left untouched. Idempotent: re-running it
     * on a fully-present batch is a no-op. Returns the re-admitted count.
+    *
+    * Only the minhash artifact is refreshed here; the other family
+    * artifacts (winsig/dhash/attrs) are marked stale by the insert and
+    * heal through their own refresh (screens fall back to the rescan
+    * meanwhile — identical values, the documented cost-only fallback).
     */
   def readmitRouted(name: String, batch: DataFrame): Long = {
     requireCollection(name)
@@ -2441,6 +2483,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       // already sees collection rows directly)
       if (refreshBands && fs.exists(minhashMetaPath(name)))
         refreshMinhash(name)
+      // a live attribute sidecar stays current through admissions too
+      // (every stored artifact maintains incrementally): the refresh
+      // scores only the admitted batch — family-agnostic, so it lives
+      // here rather than per-wrapper
+      if (fs.exists(attrsMetaPath(name))) refreshAttrs(name)
     }
     routed.orderBy("id")
   }
@@ -2890,6 +2937,277 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
 
   private def deleteDhashIndex(name: String): Unit = {
     val dir = dhashDir(name)
+    if (fs.exists(dir)) { fs.delete(dir, true); () }
+  }
+
+  // ---- attribute sidecar (TAG: tag once, filter many) --------------------
+  //
+  // The curation pattern large-scale pipelines converge on (CCNet, Dolma):
+  // per-document quality ATTRIBUTES are computed in ONE pass over the text
+  // and persisted; every downstream consumer (filtered egress, mixture
+  // selection, audits) is an id-keyed join against the stored attributes —
+  // the corpus text is never re-scored. At 100 TB the text scan is the
+  // dominant cost, so "tag once, filter many" is the difference between one
+  // corpus pass total and one per filter predicate tried.
+  //
+  // Same lifecycle discipline as the minhash/winsig artifacts: generation
+  // pointer in meta.json, segment + tombstone incremental maintenance
+  // diffed on (id, payload_md5) — so UPDATEd payloads re-tag and DELETEd
+  // docs tombstone at delta price — and a stale marker every mutation sets.
+  // Unlike the screens (which silently fall back to an in-query recompute,
+  // values identical), the attrs CONSUMER refuses a stale artifact loudly:
+  // a silent full-corpus re-scoring is exactly the cost this sidecar
+  // exists to avoid, and at scale it must never happen by accident (the
+  // unindexed-decon refusal doctrine).
+
+  private def attrsDir(name: String): Path =
+    new Path(root, s"${ReservedPrefix}attrs_$name")
+
+  private def attrsMetaPath(name: String): Path =
+    new Path(attrsDir(name), "meta.json")
+
+  private def attrsStaleMarker(name: String): Path =
+    new Path(attrsDir(name), "stale")
+
+  private def attrsGen(name: String): Int =
+    """"gen"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readString(fs, attrsMetaPath(name)))
+      .map(_.group(1).toInt).getOrElse(0)
+
+  private def attrsGenDir(name: String): Path =
+    new Path(attrsDir(name), s"gen_${attrsGen(name)}")
+
+  private val AttrsSchema = StructType.fromDDL(
+    "id BIGINT, payload_md5 STRING, n_tokens BIGINT, lang STRING, " +
+      "quality DOUBLE, n_pii BIGINT, seg INT")
+
+  private def attrsTombstones(name: String): DataFrame =
+    readArtifact(new Path(attrsGenDir(name), "tombstones"), TombstonesSchema)
+
+  private def liveAttrRows(name: String): DataFrame =
+    readArtifact(new Path(attrsGenDir(name), "attrs"), AttrsSchema)
+      .join(broadcast(attrsTombstones(name)), Seq("id", "seg"), "left_anti")
+
+  /** The core tagset over one projection — every attribute is the SAME
+    * gate-proven column math its standalone query uses (q36's quality
+    * chain, q39's language argmax, the PII census regexes), so the stored
+    * values are engine-replayable in plain SQL. The token array and the
+    * two quality ratios materialize in their own projections first (the
+    * CollapseProject rule — every downstream column reads them).
+    */
+  private def attrRows(rows: DataFrame, seg: Int): DataFrame = {
+    import graft.operators.TextAnalysis
+    val toks = regexp_extract_all(lower(col("payload")), lit("\\S+"), lit(0))
+    val base = rows
+      .select(col("id").cast("long").as("id"), col("payload"),
+        toks.as("__toks"))
+      .select(col("id"), col("payload"), col("__toks"),
+        TextAnalysis.punctRatio(col("payload")).as("__punct"),
+        when(size(col("__toks")) === 0, 0.0).otherwise(
+          size(filter(col("__toks"),
+            t => t.isin(TextAnalysis.stopwords: _*)))
+            .cast("double") / size(col("__toks"))).as("__stop"))
+    // q39's argmax fold (strict >, profile order = first-wins tie-break)
+    // over the MATERIALIZED token array — langScore would re-tokenize per
+    // profile (5× the regex cost per row) if left inlined
+    val scored = TextAnalysis.langProfiles.map { case (l, prof) =>
+      l -> size(filter(col("__toks"), t => t.isin(prof: _*))).cast("long")
+    }
+    val langExpr = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (l, score)) =>
+        (when(score > bestScore, lit(l)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+    base.select(
+      col("id"),
+      // the DIFF key coalesces: md5(NULL) is NULL, and a NULL key never
+      // equals itself in the refresh's anti-joins — null-payload rows
+      // would churn (tombstone + re-tag) on every refresh; with the
+      // coalesce they diff stably (attribute VALUES still null-propagate)
+      md5(coalesce(col("payload"), lit(""))).as("payload_md5"),
+      size(col("__toks")).cast("long").as("n_tokens"),
+      langExpr.as("lang"),
+      // stored ROUNDED (+1e-9, 6 — the q36 midpoint convention): filter
+      // thresholds and oracles compare the same 6-decimal lattice
+      round(TextAnalysis.qualityScoreFrom(
+        col("payload"), col("__punct"), col("__stop")) + lit(1e-9), 6)
+        .as("quality"),
+      (TextAnalysis.piiCount(col("payload"), "email") +
+        TextAnalysis.piiCount(col("payload"), "phone") +
+        TextAnalysis.piiCount(col("payload"), "ip")).as("n_pii"),
+      lit(seg).as("seg"))
+  }
+
+  private def writeAttrsSegment(name: String, rows: DataFrame, seg: Int,
+      genDir: Path): Unit =
+    attrRows(rows, seg)
+      .write.mode("append").option("compression", Compression)
+      .parquet(new Path(genDir, "attrs").toString)
+
+  /** TAG — build (or rebuild) the attribute sidecar: ONE pass over the
+    * collection's payloads computing the core tagset (token count,
+    * language id, quality score, PII occurrence count) per id, committed
+    * as a fresh generation. Pure codegen column math inside the scan —
+    * no shuffle, no UDF — so the build runs at scan speed at any scale.
+    */
+  def reindexAttrs(name: String): Unit = {
+    requireCollection(name)
+    val cur = read(name)
+    require(cur.columns.contains("payload"),
+      s"TAG needs a payload column on $name")
+    val dir = attrsDir(name)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    writeAttrsSegment(name, cur, seg = 0, genDir = new Path(dir, "gen_0"))
+    writeString(fs, attrsMetaPath(name), """{"type":"attrs","gen":0}""")
+  }
+
+  /** TAG mode=refresh — incremental attribute maintenance
+    * ([[refreshMinhash]]'s discipline): diff collection vs stored rows on
+    * `(id, payload_md5)`, tag ONLY new/changed docs into a fresh segment,
+    * tombstone replaced/deleted versions, clear the stale marker. An
+    * UPDATEd payload re-tags (its md5 changed); untouched docs never
+    * re-score — the point of the sidecar.
+    */
+  def refreshAttrs(name: String): Unit = {
+    requireCollection(name)
+    require(fs.exists(attrsMetaPath(name)),
+      s"no attribute sidecar on $name to refresh — run TAG first")
+    val genDir = attrsGenDir(name)
+    val cur = read(name)
+    require(cur.columns.contains("payload"),
+      s"TAG needs a payload column on $name")
+    val curKeys = cur.select(col("id").cast("long").as("id"),
+      md5(coalesce(col("payload"), lit(""))).as("payload_md5"))
+    val stored = liveAttrRows(name)
+    val arrivals = curKeys.join(stored.select("id", "payload_md5"),
+      Seq("id", "payload_md5"), "left_anti").localCheckpoint(true)
+    val departures = stored.join(curKeys, Seq("id", "payload_md5"),
+      "left_anti").select(col("id"), col("seg")).localCheckpoint(true)
+    if (!arrivals.isEmpty) {
+      val newRows = cur.withColumn("id", col("id").cast("long"))
+        .join(broadcast(arrivals.select("id")), Seq("id"))
+      val nextSeg = readArtifact(new Path(genDir, "attrs"), AttrsSchema)
+        .agg(coalesce(max("seg"), lit(0)).as("m")).head().getInt(0) + 1
+      writeAttrsSegment(name, newRows, nextSeg, genDir)
+    }
+    if (!departures.isEmpty) {
+      val newTombs = attrsTombstones(name).union(departures)
+      val tombPath = new Path(genDir, "tombstones")
+      val tmp = new Path(genDir, "tombstones_tmp")
+      newTombs.write.mode("overwrite").option("compression", Compression)
+        .parquet(tmp.toString)
+      if (fs.exists(tombPath)) fs.delete(tombPath, true)
+      if (!fs.rename(tmp, tombPath))
+        throw new IllegalStateException(s"attrs tombstone swap failed for $name")
+    }
+    GraftSqlShims.unpersistCheckpoint(arrivals)
+    GraftSqlShims.unpersistCheckpoint(departures)
+    fs.delete(attrsStaleMarker(name), false)
+    ()
+  }
+
+  /** TAG mode=compact — fold segments + tombstones to one flat
+    * generation without re-scoring any text, committed by the single
+    * meta.json pointer flip (the online compaction discipline). Requires
+    * a LIVE artifact.
+    */
+  def compactAttrs(name: String): Unit = {
+    requireCollection(name)
+    require(fs.exists(attrsMetaPath(name)),
+      s"no attribute sidecar on $name to compact — run TAG first")
+    require(!fs.exists(attrsStaleMarker(name)),
+      s"attribute sidecar on $name is stale — TAG mode=refresh first, " +
+        "then compact")
+    val dir = attrsDir(name)
+    val g = attrsGen(name)
+    val nextDir = new Path(dir, s"gen_${g + 1}")
+    if (fs.exists(nextDir)) fs.delete(nextDir, true)
+    liveAttrRows(name).withColumn("seg", lit(0))
+      .write.mode("overwrite").option("compression", Compression)
+      .parquet(new Path(nextDir, "attrs").toString)
+    writeString(fs, attrsMetaPath(name),
+      s"""{"type":"attrs","gen":${g + 1}}""")
+    Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("gen_") && n != s"gen_${g + 1}")
+        fs.delete(st.getPath, true)
+    }
+    ()
+  }
+
+  /** The committed attribute table: (id, n_tokens, lang, quality, n_pii),
+    * one row per live tagged doc. Readable while stale (the values were
+    * true when tagged — STATS surfaces the state); the filtering
+    * CONSUMERS ([[exportCollection]] `attrs=`) refuse staleness loudly.
+    */
+  def docAttrs(name: String): DataFrame = {
+    requireCollection(name)
+    require(fs.exists(attrsMetaPath(name)),
+      s"no attribute sidecar on $name — run TAG first")
+    liveAttrRows(name).select("id", "n_tokens", "lang", "quality", "n_pii")
+  }
+
+  /** TAG mode=stats — per-language summary of the committed attributes
+    * (the corpus-composition report a mixture designer reads): doc count,
+    * token sum, PII-free doc count per language, ordered. Attribute-table
+    * grain aggregation — never touches the corpus text.
+    */
+  def tagSummary(name: String): DataFrame =
+    docAttrs(name).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        sum(when(col("n_pii") === 0L, 1L).otherwise(0L)).as("n_clean"))
+      .orderBy("lang")
+
+  /** Parse an `attrs=` filter spec — the closed conjunct grammar
+    * `attr op value[,attr op value...]`, op ∈ {>=, <=, !=, =}, attr ∈
+    * the core tagset. Closed by design: the filter runs against STORED
+    * columns only, so a typo refuses instead of silently matching
+    * nothing.
+    */
+  private def attrsPredicate(spec: String): Column = {
+    // the spec is pinned verbatim inside the resumable export's JSON
+    // meta — a quote would truncate the pin and defeat the resume check
+    require(!spec.contains("\""), s"attrs filter: no '\"' allowed in '$spec'")
+    val conjuncts = spec.split(",").map(_.trim).filter(_.nonEmpty)
+    require(conjuncts.nonEmpty, s"attrs filter: empty spec '$spec'")
+    val re = "([a-z_]+)(>=|<=|!=|=)(.+)".r
+    def bad(c: String) = throw new IllegalArgumentException(
+      s"attrs filter: cannot parse '$c' — grammar is attr(>=|<=|!=|=)value" +
+        " with attr in n_tokens, lang, quality, n_pii")
+    conjuncts.map {
+      case c @ re(attr, op, raw) =>
+        val value: Column = attr match {
+          case "n_tokens" | "n_pii" =>
+            lit(scala.util.Try(raw.trim.toLong).getOrElse(bad(c)))
+          case "quality" =>
+            lit(scala.util.Try(raw.trim.toDouble).getOrElse(bad(c)))
+          case "lang" => lit(raw.trim)
+          case _ => bad(c)
+        }
+        val a = col(attr)
+        op match {
+          case ">=" => a >= value
+          case "<=" => a <= value
+          case "!=" => a =!= value
+          case _ => a === value
+        }
+      case c => bad(c)
+    }.reduce(_ && _)
+  }
+
+  /** Mark the attribute sidecar stale (mutations call this): the stored
+    * attributes describe payloads that may have changed. Readers of
+    * [[docAttrs]] still see the committed values; filtering consumers
+    * refuse until a refresh re-tags the delta. No-op when absent.
+    */
+  private def invalidateAttrsIndex(name: String): Unit = {
+    if (fs.exists(attrsMetaPath(name)))
+      writeString(fs, attrsStaleMarker(name), "stale")
+  }
+
+  private def deleteAttrsIndex(name: String): Unit = {
+    val dir = attrsDir(name)
     if (fs.exists(dir)) { fs.delete(dir, true); () }
   }
 

@@ -2027,6 +2027,143 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // ---- TAG lifecycle: the attribute sidecar ("tag once, filter
+    // many" — the curation architecture CCNet/Dolma converge on). The
+    // corpus text is scored in ONE pass (token count, language id,
+    // quality, PII count — each the same gate-proven math its standalone
+    // query uses: q36's quality chain, q39's argmax, the PII census
+    // regexes), committed under a generation pointer; every downstream
+    // filter is an id-keyed join against the STORED attributes. At
+    // 100 TB this is the difference between one corpus pass total and
+    // one per filter predicate tried. -----------------------------------
+
+    // The committed attribute table after a TAG build.
+    "q358_tag_attrs" -> ((s, dir) => {
+      val db = exportDocsDb(s, dir)
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "TAG", None)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity)).collect()
+      db.docAttrs("docs").orderBy("id")
+    }),
+
+    // Attribute-filtered egress — the sidecar's CONSUMER step: `EXPORT
+    // attrs=<conjuncts>` writes exactly the rows whose STORED attributes
+    // pass (id-keyed semi-join; the export never re-scores text), with
+    // the standard md5 shard placement. The oracle replays tagging +
+    // filter + placement end to end.
+    "q359_export_attr_filter" -> ((s, dir) => {
+      val db = exportDocsDb(s, dir)
+      def run(cmd: String, arg: Option[String]) = CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), cmd, arg)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+      run("TAG", None).collect()
+      val out = Scratch.dir("graft_q359") + "/export"
+      run("EXPORT", Some(s"$out;format=jsonl;shards=8;" +
+        "attrs=lang=en,quality>=0.2,n_tokens>=16")).collect()
+      s.read.json(out)
+        .select(col("id").cast("long").as("id"),
+          md5(col("payload")).as("payload_sig"),
+          col("shard").cast("long").as("shard"))
+        .orderBy("id")
+    }),
+
+    // Incremental maintenance through the FULL mutation surface: build on
+    // half the corpus, append the other half (stale), UPDATE a slice's
+    // payloads (their md5 changes → they re-tag), DELETE a slice
+    // (tombstones), then ONE refresh heals everything at delta price —
+    // the (id, payload_md5) diff discipline. The oracle recomputes the
+    // attributes from the FINAL corpus state: an implementation that
+    // failed to re-tag updated docs or to tombstone deleted ones
+    // hash-mismatches here.
+    "q360_tag_refresh" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q360")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload"))
+      db.bulkInsert("docs", docs.filter(col("id") % 2 === 0))
+      def run(cmd: String, arg: Option[String]) = CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), cmd, arg)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+      run("TAG", None).collect()
+      db.bulkInsert("docs", docs.filter(col("id") % 2 === 1))
+      db.update("docs", docs.filter(col("id") % 11 === 5)
+        .withColumn("payload", concat(col("payload"), lit(" upd"))))
+      db.delete("docs", col("id") % 7 === 3)
+      run("TAG", Some("mode=refresh")).collect()
+      db.docAttrs("docs").orderBy("id")
+    }),
+
+    // Continuous tagging — the lifecycle's streaming twin: each
+    // micro-batch appends (ids write-once: an id-keyed anti-join makes
+    // checkpoint replays structurally idempotent) and REFRESHES the
+    // sidecar, so attributes are current after every batch. Stream ≡
+    // batch: q358's oracle verbatim.
+    "q361_stream_tag" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q361")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      // TAG the empty collection first: the stream's per-batch step is a
+      // REFRESH (whose work list is the diff — each batch scores itself)
+      db.reindexAttrs("docs")
+      graft.streaming.StreamingIngest.streamTagIngest(s, dir, db, "docs",
+        arrivals = raw => raw.select(col("doc_id").as("id"),
+          col("text").as("payload")))
+    }),
+
+    // TAG mode=stats — the read-only corpus-composition report (docs,
+    // tokens, PII-free count per language) computed from the attribute
+    // table ALONE, never the text (the q345 read-only-surface
+    // convention; a mixture designer's first look at a corpus).
+    "q363_tag_stats" -> ((s, dir) => {
+      val db = exportDocsDb(s, dir)
+      def run(cmd: String, arg: Option[String]) = CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), cmd, arg)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+      run("TAG", None).collect()
+      run("TAG", Some("mode=stats"))
+    }),
+
+    // The MANAGED EGRESS capstone — every sidecar consumer composed in
+    // ONE export: `split=train` (the leakage-safe split sidecar) ∧
+    // `attrs=lang=en` (the stored attribute sidecar) ∧ `exclude=bl` (a
+    // committed id-keyed verdict collection), then md5 shard placement.
+    // Three id-keyed joins against COMMITTED artifacts: the corpus text
+    // is scanned once for the write and never re-clustered, re-scored,
+    // or re-screened. The oracle replays clustering + placement +
+    // tagging + exclusion end to end.
+    "q362_managed_export" -> ((s, dir) => {
+      val db = scratchDb(s, "graft_q362")
+      db.createCollection("docs", StructType(Seq(
+        StructField("id", LongType),
+        StructField("payload", StringType))))
+      db.bulkInsert("docs", Tables.documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").as("payload")))
+      def run(cmd: String, arg: Option[String]) = CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), cmd, arg)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity))
+      run("SPLIT", None).collect()
+      run("TAG", None).collect()
+      db.createCollection("bl", StructType(Seq(StructField("id", LongType))))
+      db.bulkInsert("bl", Tables.documents(s, dir)
+        .filter(col("doc_id") % 13 === 7).select(col("doc_id").as("id")))
+      val out = Scratch.dir("graft_q362") + "/export"
+      run("EXPORT", Some(s"$out;format=jsonl;shards=8;split=train;" +
+        "attrs=lang=en;exclude=bl")).collect()
+      s.read.json(out)
+        .select(col("id").cast("long").as("id"),
+          md5(col("payload")).as("payload_sig"),
+          col("shard").cast("long").as("shard"))
+        .orderBy("id")
+    }),
+
     // The kmeans decon screen on a MUTATED collection — the append rule
     // gated end to end: 4/5 of the train slice ingests, the md5 trainer
     // builds the layout, THEN the held-back 1/5 appends (bulkInsert
@@ -3182,6 +3319,53 @@ object PipelineQueries {
        |ORDER BY id""".stripMargin
   }
 
+  /** The TAG core tagset, re-derived in SQL over an arbitrary corpus
+    * `(doc_id, text)` subquery — q36's quality chain + q39's language
+    * argmax + the PII census regexes, verbatim (the attribute sidecar
+    * stores exactly these values). Shared by the q358 family: q358/q361
+    * over `documents`, q360 over the mutated corpus, q359 embedded as
+    * the export filter's subquery. The token array materializes once in
+    * its own CTE layer, mirroring the Spark side's single projection.
+    */
+  private def tagAttrsCoreSql(corpus: String): String = {
+    val langCase = {
+      def score(lang: String): String = {
+        val prof = graft.operators.TextAnalysis.langProfiles.toMap
+          .apply(lang).map(t => s"'$t'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($prof)))"
+      }
+      val (de, en, es, fr, zh) =
+        (score("de"), score("en"), score("es"), score("fr"), score("zh"))
+      s"""CASE
+         |    WHEN $de >= $en AND $de >= $es AND $de >= $fr AND $de >= $zh THEN 'de'
+         |    WHEN $en >= $es AND $en >= $fr AND $en >= $zh THEN 'en'
+         |    WHEN $es >= $fr AND $es >= $zh THEN 'es'
+         |    WHEN $fr >= $zh THEN 'fr'
+         |    ELSE 'zh'
+         |  END""".stripMargin
+    }
+    raw"""WITH tag_corpus AS ($corpus),
+      |tag_base AS (
+      |  SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks
+      |  FROM tag_corpus),
+      |tag_r AS (
+      |  SELECT doc_id, text, toks,
+      |    CASE WHEN length(text) = 0 THEN 0.0
+      |      ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct,
+      |    CASE WHEN len(toks) = 0 THEN 0.0
+      |      ELSE CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE) / len(toks) END AS stop
+      |  FROM tag_base)
+      |SELECT doc_id AS id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  $langCase AS lang,
+      |  round(least(greatest(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+      |    * (1.0 - punct) * (0.5 + stop), 0.0), 1.0) + 1e-9, 6) AS quality,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+      |    + len(regexp_extract_all(text, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+      |    + len(regexp_extract_all(text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_pii
+      |FROM tag_r""".stripMargin
+  }
+
   /** The q357 oracle — the vector-family decon→egress chain: sign-bucket
     * pair edges over the TRAIN slice at 0.999 (the q336/q344 chain),
     * components + md5-slice placement, the exact top-1 screen (the q326
@@ -3939,6 +4123,53 @@ object PipelineQueries {
     "q356_decon_sink" -> VectorQueries.deconAnnSql(40),
     // the all-commands vector decon→egress chain
     "q357_decon_clean_export" -> deconCleanExportSql,
+    // the committed attribute table: one-pass tagging replayed in SQL
+    "q358_tag_attrs" ->
+      (tagAttrsCoreSql("SELECT doc_id, text FROM documents") +
+        "\nORDER BY id"),
+    // attribute-filtered egress: tag + stored-attr filter + placement
+    "q359_export_attr_filter" ->
+      raw"""SELECT d.doc_id AS id, md5(d.text) AS payload_sig,
+        |  CAST(('0x' || substring(md5('export:' || CAST(d.doc_id AS VARCHAR)),
+        |    1, 4)) AS BIGINT) % 8 AS shard
+        |FROM documents d
+        |JOIN (${tagAttrsCoreSql("SELECT doc_id, text FROM documents")}) a
+        |  ON a.id = d.doc_id
+        |WHERE a.lang = 'en' AND a.quality >= 0.2 AND a.n_tokens >= 16
+        |ORDER BY id""".stripMargin,
+    // the full mutation surface healed by ONE refresh: the oracle
+    // recomputes the tagset from the FINAL corpus state (appended +
+    // updated − deleted)
+    "q360_tag_refresh" ->
+      (tagAttrsCoreSql(
+        "SELECT doc_id, CASE WHEN doc_id % 11 = 5 THEN text || ' upd' " +
+          "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 3") +
+        "\nORDER BY id"),
+    // stream ≡ batch on continuous tagging: q358's oracle verbatim
+    "q361_stream_tag" ->
+      (tagAttrsCoreSql("SELECT doc_id, text FROM documents") +
+        "\nORDER BY id"),
+    // the per-language composition report off the attribute table
+    "q363_tag_stats" ->
+      ("SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,\n" +
+        "  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,\n" +
+        "  CAST(sum(CASE WHEN n_pii = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean\n" +
+        s"FROM (${tagAttrsCoreSql("SELECT doc_id, text FROM documents")}) a\n" +
+        "GROUP BY lang\nORDER BY lang"),
+    // the managed-egress capstone: split chain ∧ stored attrs ∧
+    // blocklist exclusion ∧ md5 placement, replayed end to end
+    "q362_managed_export" ->
+      (s"""WITH RECURSIVE ${DedupQueries.splitAssignChainSql}
+         |SELECT d.doc_id AS id, md5(d.text) AS payload_sig,
+         |  CAST(('0x' || substring(md5('export:' || CAST(d.doc_id AS VARCHAR)),
+         |    1, 4)) AS BIGINT) % 8 AS shard
+         |FROM documents d
+         |JOIN sp ON sp.id = d.doc_id AND sp.split = 'train'
+         |JOIN (""".stripMargin +
+        tagAttrsCoreSql("SELECT doc_id, text FROM documents") +
+        s""") a ON a.id = d.doc_id
+         |WHERE a.lang = 'en' AND d.doc_id % 13 <> 7
+         |ORDER BY id""".stripMargin),
     // the embedding-edge routing replay: q336's pair screen + placement,
     // the arrival-bucket incoming screen at the rounded-cosine cut,
     // min-rep inheritance with the own-id fallback

@@ -49,6 +49,13 @@ class CommandsSpec extends AnyFunSuite {
       Right(Keywords("c1", None)))
     assert(CommandParser.parse(None, "KEYWORDS", None) ==
       Left(CommandError.MissingCollection("KEYWORDS")))
+    // TAG: collection required, arg optional (mode kv)
+    assert(CommandParser.parse(Some("c1"), "tag", None) ==
+      Right(Tag("c1", None)))
+    assert(CommandParser.parse(Some("c1"), "TAG", Some("mode=refresh")) ==
+      Right(Tag("c1", Some("mode=refresh"))))
+    assert(CommandParser.parse(None, "TAG", None) ==
+      Left(CommandError.MissingCollection("TAG")))
     // STATS: collection required, no arg
     assert(CommandParser.parse(Some("c1"), "stats", None) ==
       Right(Stats("c1")))
