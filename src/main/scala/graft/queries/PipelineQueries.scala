@@ -2130,6 +2130,29 @@ object PipelineQueries {
       run("TAG", Some("mode=stats"))
     }),
 
+    // Per-language quality-quota selection OFF THE ATTRIBUTE TABLE — the
+    // mixture-building consumer: keep the top ⌈n/4⌉ docs of each
+    // language by stored quality (rank on the ROUNDED score, id
+    // tie-break — the rank doctrine), ranked with the skew-proof chunked
+    // two-phase pattern (scoreRankChunked: the per-language sort
+    // parallelizes across score bands instead of serializing one reducer
+    // per language). Attribute-table grain end to end — the corpus text
+    // is never touched. Keep count is exact integer math
+    // ((n + 3) DIV 4, the q101 rule).
+    "q364_attr_quota" -> ((s, dir) => {
+      val db = exportDocsDb(s, dir)
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "TAG", None)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity)).collect()
+      graft.operators.TrainExport.scoreRankChunked(
+          db.docAttrs("docs").select("id", "lang", "quality"),
+          "id", "quality", Seq("lang"))
+        .filter(col("rn") <= expr("(__n + 3) DIV 4"))
+        .select("id", "lang", "quality", "rn")
+        .orderBy("id")
+    }),
+
     // The MANAGED EGRESS capstone — every sidecar consumer composed in
     // ONE export: `split=train` (the leakage-safe split sidecar) ∧
     // `attrs=lang=en` (the stored attribute sidecar) ∧ `exclude=bl` (a
@@ -4156,6 +4179,19 @@ object PipelineQueries {
         "  CAST(sum(CASE WHEN n_pii = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean\n" +
         s"FROM (${tagAttrsCoreSql("SELECT doc_id, text FROM documents")}) a\n" +
         "GROUP BY lang\nORDER BY lang"),
+    // the per-language quality quota: attrs + rank-on-rounded + exact
+    // ceil-fraction keep counts
+    "q364_attr_quota" ->
+      (s"""WITH qa AS (${tagAttrsCoreSql("SELECT doc_id, text FROM documents")}),
+         |r AS (
+         |  SELECT id, lang, quality,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY lang ORDER BY quality DESC, id) AS BIGINT) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM qa)
+         |SELECT id, lang, quality, rn FROM r
+         |WHERE rn <= (n + 3) // 4
+         |ORDER BY id""".stripMargin),
     // the managed-egress capstone: split chain ∧ stored attrs ∧
     // blocklist exclusion ∧ md5 placement, replayed end to end
     "q362_managed_export" ->
