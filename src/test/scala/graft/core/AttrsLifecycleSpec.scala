@@ -189,6 +189,30 @@ class AttrsLifecycleSpec extends AnyFunSuite {
     assert(a.keySet == Set(1L, 2L, 50L) && a(50L)._2 == "es", a.toString)
   }
 
+  test("null payload: values null-propagate, the diff key is stable (no churn)") {
+    val d = db(Seq(docEn))
+    d.bulkInsert("docs", Seq((9L, null.asInstanceOf[String]))
+      .toDF("id", "payload"))
+    d.reindexAttrs("docs")
+    // a second refresh on an unchanged corpus must find NO delta: the
+    // md5(coalesce) key makes the null-payload row diff stably instead
+    // of churning (tombstone + re-tag every refresh)
+    d.refreshAttrs("docs")
+    val raw = spark.read.parquet(
+      s"${d.root}/${GraftDatabase.ReservedPrefix}attrs_docs/gen_0/attrs")
+      .select("id", "seg").as[(Long, Int)].collect().toSet
+    assert(raw == Set((1L, 0), (9L, 0)),
+      s"no refresh segment may appear on an unchanged corpus: $raw")
+    val a = d.docAttrs("docs").filter(col("id") === 9L)
+      .select("n_tokens", "lang", "quality", "n_pii").head()
+    // counts null-propagate; quality clamps to 0.0 (least/greatest SKIP
+    // nulls — the r12 rule, identical in DuckDB) and lang falls back to
+    // the fold's first profile — pinned so a change is loud
+    assert(a.isNullAt(0) && a.isNullAt(3) &&
+      a.getString(1) == "de" && a.getDouble(2) == 0.0,
+      s"null-payload attribute row drifted: $a")
+  }
+
   test("docAttrs plans as a stored-artifact scan — no text re-scoring") {
     val d = db(Seq(docEn, docDe))
     d.reindexAttrs("docs")
