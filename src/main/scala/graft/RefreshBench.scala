@@ -91,6 +91,24 @@ object RefreshBench {
     val tFullM = time(db.reindexMinhash("docs"))
     println(f"[refreshbench] minhash sf=$sfDir inflate=$inflate%d full=$tFullM%.3f s refresh=$tRefM%.3f s " +
       f"ratio=${tRefM / tFullM}%.2f")
+
+    // ---- attrs: the tag-once sidecar under the same 1%-delta discipline.
+    // Correctness cross-check is refresh ≡ rebuild (the attr values are a
+    // pure function of the corpus, so the two maintenance paths must
+    // produce identical tables).
+    db.reindexAttrs("docs")
+    db.update("docs", corpus.filter(col("id") % 100 === 3)
+      .select(col("id"),
+        concat(col("payload"), lit(" aref")).as("payload")))
+    val tRefA = time(db.refreshAttrs("docs"))
+    val gotA = db.docAttrs("docs")
+      .collect().map(_.toString).sorted.toSeq
+    val tFullA = time(db.reindexAttrs("docs"))
+    val fullA = db.docAttrs("docs")
+      .collect().map(_.toString).sorted.toSeq
+    require(gotA == fullA, "refreshed attrs diverged from the rebuild")
+    println(f"[refreshbench] attrs sf=$sfDir inflate=$inflate%d full=$tFullA%.3f s refresh=$tRefA%.3f s " +
+      f"ratio=${tRefA / tFullA}%.2f")
     spark.stop()
   }
 }
