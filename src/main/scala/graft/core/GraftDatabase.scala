@@ -3083,12 +3083,14 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       Seq("id", "payload_md5"), "left_anti").localCheckpoint(true)
     val departures = stored.join(curKeys, Seq("id", "payload_md5"),
       "left_anti").select(col("id"), col("seg")).localCheckpoint(true)
+    var wroteSeg = -1
     if (!arrivals.isEmpty) {
       val newRows = cur.withColumn("id", col("id").cast("long"))
         .join(broadcast(arrivals.select("id")), Seq("id"))
       val nextSeg = readArtifact(new Path(genDir, "attrs"), AttrsSchema)
         .agg(coalesce(max("seg"), lit(0)).as("m")).head().getInt(0) + 1
       writeAttrsSegment(name, newRows, nextSeg, genDir)
+      wroteSeg = nextSeg
     }
     if (!departures.isEmpty) {
       val newTombs = attrsTombstones(name).union(departures)
@@ -3103,6 +3105,18 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     GraftSqlShims.unpersistCheckpoint(arrivals)
     GraftSqlShims.unpersistCheckpoint(departures)
     fs.delete(attrsStaleMarker(name), false)
+    // segment hygiene (the splits auto-compact policy, attrs edition):
+    // every refresh with arrivals appends a segment — a streaming twin
+    // appends one per micro-batch — so past the threshold the refresh
+    // folds the artifact flat (values unchanged, pointer-flip commit)
+    // before the segment tail and tombstone anti-join grow unbounded.
+    // 0 disables; checked only when a segment was actually written.
+    if (wroteSeg > 0) {
+      val autoAfter = spark.conf
+        .getOption("spark.graft.attrs.autoCompactSegments")
+        .map(_.toInt).getOrElse(64)
+      if (autoAfter > 0 && wroteSeg > autoAfter) compactAttrs(name)
+    }
     ()
   }
 

@@ -160,6 +160,32 @@ class AttrsLifecycleSpec extends AnyFunSuite {
       s"${d.root}/${GraftDatabase.ReservedPrefix}attrs_docs/gen_0").exists)
   }
 
+  test("refresh auto-compacts past the segment threshold, values unchanged") {
+    val d = db(Seq(docEn))
+    d.reindexAttrs("docs")
+    spark.conf.set("spark.graft.attrs.autoCompactSegments", "2")
+    try {
+      // three refreshes with arrivals → segments 1, 2, then 3 trips the
+      // conf-lowered threshold and folds the artifact flat
+      Seq(21L, 22L, 23L).foreach { id =>
+        d.bulkInsert("docs", Seq((id, s"doc $id von und")).toDF("id", "payload"))
+        d.refreshAttrs("docs")
+      }
+      val before = attrsMap(d)
+      assert(before.keySet == Set(1L, 21L, 22L, 23L))
+      val gen1 = s"${d.root}/${GraftDatabase.ReservedPrefix}attrs_docs/gen_1"
+      assert(new java.io.File(gen1).exists,
+        "the third segment must have triggered an auto-compaction")
+      val segs = spark.read.parquet(s"$gen1/attrs")
+        .select("seg").distinct().as[Int].collect().toSet
+      assert(segs == Set(0), s"compaction must fold segments flat: $segs")
+      // and a fresh refresh on the compacted generation still works
+      d.bulkInsert("docs", Seq((24L, "der hund ist")).toDF("id", "payload"))
+      d.refreshAttrs("docs")
+      assert(attrsMap(d).keySet == Set(1L, 21L, 22L, 23L, 24L))
+    } finally spark.conf.unset("spark.graft.attrs.autoCompactSegments")
+  }
+
   test("tagSummary: per-language doc/token/clean counts") {
     val d = db(Seq(docEn, docDe, docPii))
     d.reindexAttrs("docs")
