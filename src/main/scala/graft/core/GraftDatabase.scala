@@ -1880,10 +1880,13 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * them), present rows are left untouched. Idempotent: re-running it
     * on a fully-present batch is a no-op. Returns the re-admitted count.
     *
-    * Only the minhash artifact is refreshed here; the other family
-    * artifacts (winsig/dhash/attrs) are marked stale by the insert and
-    * heal through their own refresh (screens fall back to the rescan
-    * meanwhile — identical values, the documented cost-only fallback).
+    * Only the minhash artifact is refreshed here; the winsig/dhash
+    * artifacts are marked stale by the insert and heal through their
+    * own refresh (their screens fall back to the rescan meanwhile —
+    * identical values, cost-only). The attrs sidecar is also marked
+    * stale, but its consumers REFUSE rather than fall back — run
+    * `TAG mode=refresh` after a readmit before the next attrs-filtered
+    * export.
     */
   def readmitRouted(name: String, batch: DataFrame): Long = {
     requireCollection(name)
@@ -2476,6 +2479,12 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .map(_.toInt).getOrElse(64)
     if (autoAfter > 0 && splitRoutedSegs(name).size > autoAfter)
       compactSplits(name)
+    // capture BEFORE the insert: bulkInsert marks the attrs sidecar
+    // stale, and a marker that PREDATES this ROUTE must stay (the dhash
+    // delta-admission rule — clearing it would hide someone else's
+    // un-healed mutation)
+    val attrsLiveBefore = fs.exists(attrsMetaPath(name)) &&
+      !fs.exists(attrsStaleMarker(name))
     if (insert) {
       bulkInsert(name, batch)
       // minhash bands live in a separate artifact needing a refresh; the
@@ -2484,10 +2493,22 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       if (refreshBands && fs.exists(minhashMetaPath(name)))
         refreshMinhash(name)
       // a live attribute sidecar stays current through admissions too
-      // (every stored artifact maintains incrementally): the refresh
-      // scores only the admitted batch — family-agnostic, so it lives
-      // here rather than per-wrapper
-      if (fs.exists(attrsMetaPath(name))) refreshAttrs(name)
+      // (every stored artifact maintains incrementally). DELTA admission:
+      // ROUTE ids are write-once, so an admission can only ADD rows —
+      // tag JUST the batch (align = the very rows bulkInsert appended)
+      // and clear the marker the insert set. No corpus diff: per-batch
+      // cost stays batch-sized, where the full refresh would pay two
+      // collection-scale anti-joins per micro-batch.
+      if (attrsLiveBefore) {
+        val gA = attrsGenDir(name)
+        val nextSeg = readArtifact(new Path(gA, "attrs"), AttrsSchema)
+          .agg(coalesce(max("seg"), lit(0)).as("m")).head().getInt(0) + 1
+        writeAttrsSegment(name, align(name, batch), nextSeg, gA)
+        fs.delete(attrsStaleMarker(name), false)
+        maybeAutoCompactAttrs(name, nextSeg)
+      } else if (fs.exists(attrsMetaPath(name)))
+        // an already-stale sidecar needs the full diff heal anyway
+        refreshAttrs(name)
     }
     routed.orderBy("id")
   }
@@ -3003,30 +3024,20 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         toks.as("__toks"))
       .select(col("id"), col("payload"), col("__toks"),
         TextAnalysis.punctRatio(col("payload")).as("__punct"),
-        when(size(col("__toks")) === 0, 0.0).otherwise(
-          size(filter(col("__toks"),
-            t => t.isin(TextAnalysis.stopwords: _*)))
-            .cast("double") / size(col("__toks"))).as("__stop"))
-    // q39's argmax fold (strict >, profile order = first-wins tie-break)
-    // over the MATERIALIZED token array — langScore would re-tokenize per
-    // profile (5× the regex cost per row) if left inlined
-    val scored = TextAnalysis.langProfiles.map { case (l, prof) =>
-      l -> size(filter(col("__toks"), t => t.isin(prof: _*))).cast("long")
-    }
-    val langExpr = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bestLang, bestScore), (l, score)) =>
-        (when(score > bestScore, lit(l)).otherwise(bestLang),
-          when(score > bestScore, score).otherwise(bestScore))
-    }._1
+        TextAnalysis.stopwordRatioFromToks(col("__toks")).as("__stop"))
     base.select(
       col("id"),
-      // the DIFF key coalesces: md5(NULL) is NULL, and a NULL key never
-      // equals itself in the refresh's anti-joins — null-payload rows
-      // would churn (tombstone + re-tag) on every refresh; with the
-      // coalesce they diff stably (attribute VALUES still null-propagate)
-      md5(coalesce(col("payload"), lit(""))).as("payload_md5"),
+      // the DIFF key: md5(NULL) is NULL, and a NULL key never equals
+      // itself in the refresh's anti-joins — null-payload rows would
+      // churn (tombstone + re-tag) on every refresh. The sentinel goes
+      // OUTSIDE the md5 so NULL and '' stay DISTINCT states: a ''<->NULL
+      // update must re-tag (their attribute values differ), which a
+      // md5-of-coalesced-text key would silently miss.
+      coalesce(md5(col("payload")), lit("<null>")).as("payload_md5"),
       size(col("__toks")).cast("long").as("n_tokens"),
-      langExpr.as("lang"),
+      // q39's argmax fold over the MATERIALIZED token array (langId
+      // itself would re-tokenize per profile — 5× the regex cost)
+      TextAnalysis.langIdFromToks(col("__toks")).as("lang"),
       // stored ROUNDED (+1e-9, 6 — the q36 midpoint convention): filter
       // thresholds and oracles compare the same 6-decimal lattice
       round(TextAnalysis.qualityScoreFrom(
@@ -3077,7 +3088,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     require(cur.columns.contains("payload"),
       s"TAG needs a payload column on $name")
     val curKeys = cur.select(col("id").cast("long").as("id"),
-      md5(coalesce(col("payload"), lit(""))).as("payload_md5"))
+      coalesce(md5(col("payload")), lit("<null>")).as("payload_md5"))
     val stored = liveAttrRows(name)
     val arrivals = curKeys.join(stored.select("id", "payload_md5"),
       Seq("id", "payload_md5"), "left_anti").localCheckpoint(true)
@@ -3105,20 +3116,25 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     GraftSqlShims.unpersistCheckpoint(arrivals)
     GraftSqlShims.unpersistCheckpoint(departures)
     fs.delete(attrsStaleMarker(name), false)
-    // segment hygiene (the splits auto-compact policy, attrs edition):
-    // every refresh with arrivals appends a segment — a streaming twin
-    // appends one per micro-batch — so past the threshold the refresh
-    // folds the artifact flat (values unchanged, pointer-flip commit)
-    // before the segment tail and tombstone anti-join grow unbounded.
-    // 0 disables; checked only when a segment was actually written.
+    maybeAutoCompactAttrs(name, wroteSeg)
+    ()
+  }
+
+  /** Segment hygiene (the splits auto-compact policy, attrs edition):
+    * every refresh-with-arrivals or ROUTE delta-admission appends a
+    * segment — a streaming twin appends one per micro-batch — so past
+    * `spark.graft.attrs.autoCompactSegments` (default 64, 0 disables)
+    * the maintenance step folds the artifact flat (values unchanged,
+    * pointer-flip commit) before the segment tail and tombstone
+    * anti-join grow unbounded. Checked only when a segment was written.
+    */
+  private def maybeAutoCompactAttrs(name: String, wroteSeg: Int): Unit =
     if (wroteSeg > 0) {
       val autoAfter = spark.conf
         .getOption("spark.graft.attrs.autoCompactSegments")
         .map(_.toInt).getOrElse(64)
       if (autoAfter > 0 && wroteSeg > autoAfter) compactAttrs(name)
     }
-    ()
-  }
 
   /** TAG mode=compact — fold segments + tombstones to one flat
     * generation without re-scoring any text, committed by the single
@@ -3153,6 +3169,14 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * one row per live tagged doc. Readable while stale (the values were
     * true when tagged — STATS surfaces the state); the filtering
     * CONSUMERS ([[exportCollection]] `attrs=`) refuse staleness loudly.
+    *
+    * One documented crash window: a [[refreshAttrs]] killed between its
+    * arrivals-segment append and its tombstone swap leaves BOTH versions
+    * of an updated doc visible here until the next refresh completes
+    * (the marker is still set, so filtering consumers refuse
+    * throughout; only this read-while-stale surface and
+    * [[tagSummary]] can see the transient double row — the decon
+    * batch-log window class: documented, not pretended closed).
     */
   def docAttrs(name: String): DataFrame = {
     requireCollection(name)
@@ -3219,6 +3243,14 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     if (fs.exists(attrsMetaPath(name)))
       writeString(fs, attrsStaleMarker(name), "stale")
   }
+
+  /** Whether the attribute sidecar exists but a mutation marked it
+    * stale — the probe the streaming tagger's replay heal uses (a
+    * replayed micro-batch whose rows already landed must still clear
+    * the staleness its crashed original left behind).
+    */
+  private[graft] def attrsStale(name: String): Boolean =
+    fs.exists(attrsMetaPath(name)) && fs.exists(attrsStaleMarker(name))
 
   private def deleteAttrsIndex(name: String): Unit = {
     val dir = attrsDir(name)

@@ -305,11 +305,17 @@ object TextAnalysis {
     */
   val stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is")
 
-  def stopwordRatio(text: Column): Column = {
-    val toks = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+  def stopwordRatio(text: Column): Column =
+    stopwordRatioFromToks(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
+
+  /** The same ratio over an ALREADY-TOKENIZED lowercased array — the
+    * single source of the stopword math, so a caller that materializes
+    * the token array once (the attrs tagger) cannot de-sync from this
+    * definition.
+    */
+  def stopwordRatioFromToks(toks: Column): Column =
     when(size(toks) === 0, 0.0).otherwise(
       size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks))
-  }
 
   /** Composite quality score in [0,1]: length-fit × (1 - punct noise) with a
     * stopword-presence bonus. Deliberately simple + frozen: the value is
@@ -701,8 +707,20 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(profile: _*))).cast("long")
   }
 
-  def langId(text: Column): Column = {
-    val scored = langProfiles.map { case (lang, prof) => lang -> langScore(text, prof) }
+  def langId(text: Column): Column =
+    langIdFromToks(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
+
+  /** The language argmax over an ALREADY-TOKENIZED lowercased array —
+    * the single source of the fold (strict >, profile order =
+    * first-wins tie-break), shared by [[langId]] and the attrs tagger
+    * so the stored attribute can never de-sync from q39's semantics.
+    * Callers should materialize `toks` in its own projection first
+    * (the expression references it once per profile).
+    */
+  def langIdFromToks(toks: Column): Column = {
+    val scored = langProfiles.map { case (lang, prof) =>
+      lang -> size(filter(toks, t => t.isin(prof: _*))).cast("long")
+    }
     // argmax with deterministic lang-code tie-break: fold over profiles
     scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bestLang, bestScore), (lang, score)) =>

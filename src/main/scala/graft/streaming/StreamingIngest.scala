@@ -1319,7 +1319,13 @@ object StreamingIngest {
             if (!fresh.isEmpty) {
               db.bulkInsert(coll, fresh)
               db.refreshAttrs(coll)
-            }
+            } else if (db.attrsStale(coll))
+              // a fully-replayed batch (all ids present) can still be the
+              // re-run of an original that crashed BETWEEN its insert and
+              // its refresh: the rows landed but the sidecar is stale and
+              // missing them. A no-delta refresh is cheap; skipping it
+              // would end the stream with a stale, incomplete sidecar.
+              db.refreshAttrs(coll)
             org.apache.spark.sql.GraftSqlShims.unpersistCheckpoint(fresh)
           }
         }

@@ -200,19 +200,42 @@ class AttrsLifecycleSpec extends AnyFunSuite {
     assert(s0.values.map(_._3).sum == 2L)
   }
 
-  test("ROUTE admission keeps a live attribute sidecar current") {
+  test("ROUTE admission keeps a live attribute sidecar current (delta append)") {
     val d = db(Seq(docEn, docDe))
     d.reindexMinhash("docs", buckets = 4)
     d.buildSplits("docs")
     d.reindexAttrs("docs")
     d.routeArrivals("docs",
       Seq((50L, "la que es un dia bueno")).toDF("id", "payload"))
-    // the admission bulkInsert marks stale; routeCore's refresh heals in
-    // the same call — the sidecar is live and includes the arrival
+    // the admission tags JUST the batch (delta append — no corpus diff)
+    // and clears the marker its own insert set
     assert(d.listIndexes("docs").as[(String, String)].collect()
       .contains(("attrs", "live")))
     val a = attrsMap(d)
     assert(a.keySet == Set(1L, 2L, 50L) && a(50L)._2 == "es", a.toString)
+    val raw = spark.read.parquet(
+      s"${d.root}/${GraftDatabase.ReservedPrefix}attrs_docs/gen_0/attrs")
+      .select("id", "seg").as[(Long, Int)].collect().toSet
+    assert(raw == Set((1L, 0), (2L, 0), (50L, 1)),
+      s"admission must append exactly the batch as a new segment: $raw")
+  }
+
+  test("a stale marker predating ROUTE triggers the full heal, not a blind clear") {
+    val d = db(Seq(docEn, docDe))
+    d.reindexMinhash("docs", buckets = 4)
+    d.buildSplits("docs")
+    d.reindexAttrs("docs")
+    // an UNHEALED mutation before the ROUTE: the marker predates the
+    // admission, so the route must leave the sidecar stale (clearing it
+    // would hide doc 60 from the attribute table while claiming live)
+    d.bulkInsert("docs", Seq((60L, "el la que")).toDF("id", "payload"))
+    d.routeArrivals("docs",
+      Seq((51L, "la que es un dia bueno")).toDF("id", "payload"))
+    // the already-stale path runs the FULL refresh heal instead — both
+    // the outside insert and the routed arrival end up tagged and live
+    assert(d.listIndexes("docs").as[(String, String)].collect()
+      .contains(("attrs", "live")))
+    assert(attrsMap(d).keySet == Set(1L, 2L, 51L, 60L))
   }
 
   test("null payload: values null-propagate, the diff key is stable (no churn)") {
