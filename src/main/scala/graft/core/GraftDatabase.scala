@@ -2501,9 +2501,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       // collection-scale anti-joins per micro-batch.
       if (attrsLiveBefore) {
         val gA = attrsGenDir(name)
-        val nextSeg = readArtifact(new Path(gA, "attrs"), AttrsSchema)
-          .agg(coalesce(max("seg"), lit(0)).as("m")).head().getInt(0) + 1
+        val nextSeg = nextAttrsSeg(name, gA)
         writeAttrsSegment(name, align(name, batch), nextSeg, gA)
+        recordAttrsSeg(name, nextSeg)
         fs.delete(attrsStaleMarker(name), false)
         maybeAutoCompactAttrs(name, nextSeg)
       } else if (fs.exists(attrsMetaPath(name)))
@@ -3002,6 +3002,31 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     "id BIGINT, payload_md5 STRING, n_tokens BIGINT, lang STRING, " +
       "quality DOUBLE, n_pii BIGINT, seg INT")
 
+  /** The meta's high-water segment number, when the sidecar records one
+    * (sidecars from before the hint fall back to the artifact scan). */
+  private def attrsMaxSegOf(name: String): Option[Int] =
+    """"max_seg"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(readString(fs, attrsMetaPath(name)))
+      .map(_.group(1).toInt)
+
+  /** Next attrs segment number — from the meta hint when present (one
+    * small-file read, NOT a per-refresh scan of the artifact's seg
+    * column, which at corpus scale is a corpus-row-count read per
+    * streamed micro-batch). Callers append the segment, then
+    * [[recordAttrsSeg]]; a crash between the two merely REUSES the
+    * number for the next arrivals — safe, because the healing diff
+    * excludes already-written rows by (id, payload_md5), so a reused
+    * seg only ever mixes rows that are all live.
+    */
+  private def nextAttrsSeg(name: String, genDir: Path): Int =
+    attrsMaxSegOf(name).map(_ + 1).getOrElse(
+      readArtifact(new Path(genDir, "attrs"), AttrsSchema)
+        .agg(coalesce(max("seg"), lit(0)).as("m")).head().getInt(0) + 1)
+
+  private def recordAttrsSeg(name: String, seg: Int): Unit =
+    writeString(fs, attrsMetaPath(name),
+      s"""{"type":"attrs","gen":${attrsGen(name)},"max_seg":$seg}""")
+
   private def attrsTombstones(name: String): DataFrame =
     readArtifact(new Path(attrsGenDir(name), "tombstones"), TombstonesSchema)
 
@@ -3069,7 +3094,8 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val dir = attrsDir(name)
     if (fs.exists(dir)) fs.delete(dir, true)
     writeAttrsSegment(name, cur, seg = 0, genDir = new Path(dir, "gen_0"))
-    writeString(fs, attrsMetaPath(name), """{"type":"attrs","gen":0}""")
+    writeString(fs, attrsMetaPath(name),
+      """{"type":"attrs","gen":0,"max_seg":0}""")
   }
 
   /** TAG mode=refresh — incremental attribute maintenance
@@ -3098,9 +3124,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     if (!arrivals.isEmpty) {
       val newRows = cur.withColumn("id", col("id").cast("long"))
         .join(broadcast(arrivals.select("id")), Seq("id"))
-      val nextSeg = readArtifact(new Path(genDir, "attrs"), AttrsSchema)
-        .agg(coalesce(max("seg"), lit(0)).as("m")).head().getInt(0) + 1
+      val nextSeg = nextAttrsSeg(name, genDir)
       writeAttrsSegment(name, newRows, nextSeg, genDir)
+      recordAttrsSeg(name, nextSeg)
       wroteSeg = nextSeg
     }
     if (!departures.isEmpty) {
@@ -3156,7 +3182,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .write.mode("overwrite").option("compression", Compression)
       .parquet(new Path(nextDir, "attrs").toString)
     writeString(fs, attrsMetaPath(name),
-      s"""{"type":"attrs","gen":${g + 1}}""")
+      s"""{"type":"attrs","gen":${g + 1},"max_seg":0}""")
     Option(fs.listStatus(dir)).getOrElse(Array.empty).foreach { st =>
       val n = st.getPath.getName
       if (n.startsWith("gen_") && n != s"gen_${g + 1}")

@@ -702,11 +702,6 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "est", "que", "des"),
     "zh" -> Seq("的", "是", "不", "了", "在", "我"))
 
-  def langScore(text: Column, profile: Seq[String]): Column = {
-    val toks = regexp_extract_all(lower(text), lit("\\S+"), lit(0))
-    size(filter(toks, t => t.isin(profile: _*))).cast("long")
-  }
-
   def langId(text: Column): Column =
     langIdFromToks(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
 

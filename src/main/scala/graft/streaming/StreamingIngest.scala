@@ -1246,6 +1246,12 @@ object StreamingIngest {
               // lost in the marker→insert crash window re-admit (no new
               // assignment rows); a fully-present replay is a no-op
               db.readmitRouted(coll, batch)
+              // ...and if the crashed original died between its insert
+              // and its attrs delta-append, the sidecar is stale and
+              // missing the batch — the same heal streamTagIngest runs
+              // (a no-delta refresh is cheap; readmitRouted only
+              // refreshes minhash)
+              if (db.attrsStale(coll)) db.refreshAttrs(coll)
               ()
             } else {
               sinkDb.bulkInsert(sinkColl, by match {

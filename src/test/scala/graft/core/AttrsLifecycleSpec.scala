@@ -244,8 +244,9 @@ class AttrsLifecycleSpec extends AnyFunSuite {
       .toDF("id", "payload"))
     d.reindexAttrs("docs")
     // a second refresh on an unchanged corpus must find NO delta: the
-    // md5(coalesce) key makes the null-payload row diff stably instead
-    // of churning (tombstone + re-tag every refresh)
+    // coalesce(md5(payload), '<null>') key gives the null-payload row a
+    // stable non-null key instead of churning (tombstone + re-tag every
+    // refresh)
     d.refreshAttrs("docs")
     val raw = spark.read.parquet(
       s"${d.root}/${GraftDatabase.ReservedPrefix}attrs_docs/gen_0/attrs")
@@ -260,6 +261,23 @@ class AttrsLifecycleSpec extends AnyFunSuite {
     assert(a.isNullAt(0) && a.isNullAt(3) &&
       a.getString(1) == "de" && a.getDouble(2) == 0.0,
       s"null-payload attribute row drifted: $a")
+  }
+
+  test("''<->NULL payload updates re-tag: the diff key keeps them distinct") {
+    val d = db(Seq(docEn, (7L, "")))
+    d.reindexAttrs("docs")
+    val before = attrsMap(d)
+    assert(before(7L)._1 == 0L, s"'' payload tags n_tokens=0: ${before(7L)}")
+    // flip '' -> NULL: the attribute VALUES differ (0 vs null), so the
+    // refresh MUST see an arrival — a key of md5(coalesce(payload, ''))
+    // would conflate the two states and silently keep the stale row
+    d.update("docs", Seq((7L, null.asInstanceOf[String]))
+      .toDF("id", "payload"))
+    d.refreshAttrs("docs")
+    val after = d.docAttrs("docs").filter(col("id") === 7L)
+      .select("n_tokens").head()
+    assert(after.isNullAt(0),
+      s"NULL payload after the update must re-tag to null counts: $after")
   }
 
   test("docAttrs plans as a stored-artifact scan — no text re-scoring") {
