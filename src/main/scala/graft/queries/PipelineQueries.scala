@@ -2153,6 +2153,30 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // Per-language percentile CALIBRATION off the attribute table — the
+    // cross-source normalization step (CCNet-class): quality scores are
+    // only comparable within a language's distribution, so each doc gets
+    // its percentile rank (rn−1)/(n−1) within its language before any
+    // GLOBAL threshold is applied. Exact integer counts through one
+    // single division (engine-exact, NO rounding — the q120 rule);
+    // ranked skew-proof by the chunked two-phase score rank. Rows with
+    // n = 1 emit percentile 0 (the lone doc is its own minimum).
+    "q365_attr_percentile" -> ((s, dir) => {
+      val db = exportDocsDb(s, dir)
+      CommandExecutor.execute(db,
+        graft.commands.CommandParser.parse(Some("docs"), "TAG", None)
+          .fold(e => throw new IllegalArgumentException(e.message),
+            identity)).collect()
+      graft.operators.TrainExport.scoreRankChunked(
+          db.docAttrs("docs").select("id", "lang", "quality"),
+          "id", "quality", Seq("lang"))
+        .select(col("id"), col("lang"), col("quality"),
+          when(col("__n") === 1L, 0.0).otherwise(
+            (col("rn") - 1L).cast("double") / (col("__n") - 1L))
+            .as("pctl"))
+        .orderBy("id")
+    }),
+
     // The MANAGED EGRESS capstone — every sidecar consumer composed in
     // ONE export: `split=train` (the leakage-safe split sidecar) ∧
     // `attrs=lang=en` (the stored attribute sidecar) ∧ `exclude=bl` (a
@@ -4191,6 +4215,21 @@ object PipelineQueries {
          |  FROM qa)
          |SELECT id, lang, quality, rn FROM r
          |WHERE rn <= (n + 3) // 4
+         |ORDER BY id""".stripMargin),
+    // per-language percentile calibration: rank-on-rounded quality,
+    // one exact integer division, no rounding
+    "q365_attr_percentile" ->
+      (s"""WITH qa AS (${tagAttrsCoreSql("SELECT doc_id, text FROM documents")}),
+         |r AS (
+         |  SELECT id, lang, quality,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY lang ORDER BY quality DESC, id) AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM qa)
+         |SELECT id, lang, quality,
+         |  CASE WHEN n = 1 THEN 0.0
+         |    ELSE CAST(rn - 1 AS DOUBLE) / (n - 1) END AS pctl
+         |FROM r
          |ORDER BY id""".stripMargin),
     // the managed-egress capstone: split chain ∧ stored attrs ∧
     // blocklist exclusion ∧ md5 placement, replayed end to end

@@ -35,6 +35,40 @@ class StreamingTagSpec extends AnyFunSuite {
     ()
   }
 
+  test("checkpoint restart replaying a committed batch changes nothing") {
+    val parent = Files.createTempDirectory("graft_tag_ckpt_db").toString
+    val d = GraftDatabase.create(spark, parent, "db")
+    d.createCollection("docs", StructType(Seq(
+      StructField("id", LongType), StructField("payload", StringType))))
+    d.reindexAttrs("docs")
+    val src = Files.createTempDirectory("graft_tag_ckpt_src")
+    writeFile(src, Seq((1L, "the cat sat on the mat")), "b1.parquet")
+    Thread.sleep(1100)
+    writeFile(src, Seq((2L, "der hund und die katze")), "b2.parquet")
+    val ckpt = Files.createTempDirectory("graft_tag_ckpt").toString
+    val arrivals = (raw: org.apache.spark.sql.DataFrame) =>
+      raw.select(col("id"), col("payload"))
+    val out = StreamingIngest.streamTagIngest(spark, src.toString,
+        d, "docs", arrivals, maxFilesPerTrigger = Some(1),
+        glob = "*.parquet", checkpointLocation = Some(ckpt))
+      .as[(Long, Long, String, Double, Long)].collect().sorted.toSeq
+    assert(out.map(_._1) == Seq(1L, 2L))
+    // force a TRUE driver-restart replay of batch 1: delete its commit
+    // record AND the local ChecksumFs's crc sibling (deleting only the
+    // commit makes the re-commit's rename throw FileAlreadyExists — the
+    // checkpoint kill-and-restart rule), so the restarted query re-runs
+    // the batch with the same batchId
+    assert(new java.io.File(s"$ckpt/commits/1").delete())
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    val replay = StreamingIngest.streamTagIngest(spark, src.toString,
+        d, "docs", arrivals, maxFilesPerTrigger = Some(1),
+        glob = "*.parquet", checkpointLocation = Some(ckpt))
+      .as[(Long, Long, String, Double, Long)].collect().sorted.toSeq
+    assert(replay == out, "the replayed batch must change no attribute")
+    assert(d.read("docs").count() == 2L,
+      "the replayed batch must not duplicate ids")
+  }
+
   test("two micro-batches accumulate; full replay from a fresh checkpoint is a no-op") {
     val parent = Files.createTempDirectory("graft_stream_tag").toString
     val d = GraftDatabase.create(spark, parent, "db")
