@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, GraftSqlShims}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Unigram-LM tokenizer training (Kudo 2018, "Subword Regularization" —
@@ -238,73 +237,83 @@ object UnigramLm {
   }
 
   /** Viterbi DP + backtrace — one emission row per (word, used piece
-    * occurrence): (word, freq, s, piece), materialized. Driver loop over
-    * character positions; every intermediate is vocabulary-sized and
-    * localCheckpointed so rounds plan against flat scans (the
-    * connectedComponents discipline), then released before returning.
+    * occurrence): (word, freq, s, piece), materialized.
+    *
+    * The DP is PER-WORD LOCAL (len ≤ maxWordLen positions, ≤
+    * len·maxPieceLen candidate occurrences), so it runs as per-row
+    * higher-order-function column math over each word's collected
+    * occurrence array instead of a driver loop of per-position joins
+    * (the original shape paid ~2·maxWordLen keyed-join jobs + local
+    * checkpoints per call; this is ONE shuffle). The score induction is
+    * the identical structural order — layer i's score is
+    * `score(j) + logp` for each candidate (j, i, piece), argmax with
+    * ties to the smallest start — so every double compares
+    * bit-identically to the joined form and the oracle's generated DP
+    * layers replay unchanged. Every position 1..len(word) is reachable
+    * because all single chars are in the vocabulary every round.
     */
   private def emissions(words: DataFrame, occ: DataFrame,
       vocab: DataFrame): DataFrame = {
-    val m = occ
+    val occV = occ
       .join(broadcast(vocab.select(col("piece"), col("logp"))), Seq("piece"))
-      .select(col("word"), col("s"), col("e"), col("piece"), col("logp"))
+      .select(col("word"), col("freq"), col("s"), col("e"), col("piece"),
+        col("logp"))
+    // one row per word: its full in-vocab occurrence array (order
+    // immaterial — the argmax below is order-blind: candidates at a
+    // position differ in start s, and the (score, -s) struct max is a
+    // total order over them)
+    val perWord = occV.groupBy("word")
+      .agg(max("freq").as("freq"),
+        collect_list(struct(col("s"), col("e"), col("piece"), col("logp")))
+          .as("__occ"))
+    val len = length(col("word"))
+    // dp(pos) = element pos+1: (sc, bestj, piece); pos 0 = empty prefix.
+    // An unreachable position would carry a null sc, which loses every
+    // max to any reachable candidate (nulls sort first) — same winner as
+    // the joined form's absent row.
+    val dpCol = aggregate(
+      sequence(lit(1), len),
+      array(struct(lit(0.0).as("sc"), lit(-1).as("bestj"),
+        lit(null).cast("string").as("piece"))),
+      (acc, i) => {
+        val best = array_max(transform(
+          filter(col("__occ"), o => o.getField("e") === i),
+          o => struct(
+            (element_at(acc, o.getField("s") + 1).getField("sc")
+              + o.getField("logp")).as("sc"),
+            (-o.getField("s")).as("negs"),
+            o.getField("s").as("s"),
+            o.getField("piece").as("piece"))))
+        concat(acc, array(struct(best.getField("sc").as("sc"),
+          best.getField("s").as("bestj"),
+          best.getField("piece").as("piece"))))
+      })
+    // backtrace from pos = len(word): each hop emits (start, piece) and
+    // jumps to the piece's start; at most len hops, exit at pos 0
+    val btCol = aggregate(
+      sequence(lit(1), len),
+      struct(len.as("pos"),
+        array().cast("array<struct<s:int,piece:string>>").as("out")),
+      (acc, _) => {
+        val e = element_at(col("__dp"), acc.getField("pos") + 1)
+        when(acc.getField("pos") > 0,
+          struct(e.getField("bestj").as("pos"),
+            concat(acc.getField("out"), array(struct(
+              e.getField("bestj").as("s"),
+              e.getField("piece").as("piece")))).as("out")))
+          .otherwise(acc)
+      }).getField("out")
+    // __dp materializes in its own projection (referenced per backtrace
+    // hop — the q119 inlined-lambda rule); explode_outer + isNotNull
+    // instead of explode so InferFiltersFromGenerate can't replant the
+    // DP chain inside a pushed-down size() filter (the q119 fix)
+    perWord
+      .withColumn("__dp", dpCol)
+      .withColumn("__bt", btCol)
+      .select(col("word"), col("freq"), explode_outer(col("__bt")).as("__e"))
+      .filter(col("__e").isNotNull)
+      .select(col("word"), col("freq"), col("__e.s").as("s"),
+        col("__e.piece").as("piece"))
       .localCheckpoint(true)
-    val maxLen = words.agg(max(length(col("word"))).as("m"))
-      .head().getInt(0)
-    // dp rows: (word, pos, score, bestj, piece); pos 0 = empty prefix.
-    // Every position 1..len(word) is reachable because all single chars
-    // are in the vocabulary every round.
-    var dp = words.select(col("word"), lit(0).as("pos"),
-        lit(0.0).as("score"), lit(-1).as("bestj"),
-        lit(null).cast("string").as("piece"))
-      .localCheckpoint(true)
-    val wBest = Window.partitionBy("word")
-      .orderBy(desc("__sc"), col("s"))
-    for (i <- 1 to maxLen) {
-      val layer = m.filter(col("e") === i)
-        .join(dp.select(col("word"), col("pos").as("s"), col("score")),
-          Seq("word", "s"))
-        .withColumn("__sc", col("score") + col("logp"))
-        .withColumn("__rn", row_number().over(wBest))
-        .filter(col("__rn") === 1)
-        .select(col("word"), lit(i).as("pos"), col("__sc").as("score"),
-          col("s").as("bestj"), col("piece"))
-      val next = dp.unionByName(layer).localCheckpoint(true)
-      GraftSqlShims.unpersistCheckpoint(dp)
-      dp = next
-    }
-    // backtrace from pos = len(word): each hop emits the used piece and
-    // jumps to its start; at most maxLen hops, words exit at pos 0
-    var cur = words.select(col("word"), col("freq"),
-        length(col("word")).as("pos"))
-      .localCheckpoint(true)
-    val steps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var hop = 0
-    while (hop < maxLen && !cur.isEmpty) {
-      val step = cur.filter(col("pos") > 0)
-        .join(dp.filter(col("pos") > 0)
-            .select(col("word"), col("pos"), col("bestj"), col("piece")),
-          Seq("word", "pos"))
-        .localCheckpoint(true)
-      steps += step
-      val nxt = step.filter(col("bestj") > 0)
-        .select(col("word"), col("freq"), col("bestj").as("pos"))
-        .localCheckpoint(true)
-      GraftSqlShims.unpersistCheckpoint(cur)
-      cur = nxt
-      hop += 1
-    }
-    val out = steps
-      .map(_.select(col("word"), col("freq"), col("bestj").as("s"),
-        col("piece")))
-      .reduceOption(_ unionByName _)
-      .getOrElse(words.select(col("word"), col("freq"),
-        lit(0).as("s"), lit("").as("piece")).limit(0))
-      .localCheckpoint(true)
-    GraftSqlShims.unpersistCheckpoint(cur)
-    GraftSqlShims.unpersistCheckpoint(dp)
-    GraftSqlShims.unpersistCheckpoint(m)
-    steps.foreach(GraftSqlShims.unpersistCheckpoint)
-    out
   }
 }

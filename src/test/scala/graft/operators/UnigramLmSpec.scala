@@ -61,6 +61,32 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(segs.contains("shun"))
   }
 
+  test("segment matches brute-force max-likelihood enumeration (HOF DP pin)") {
+    // explicit vocab with tie-free logps: the per-word HOF DP (r17
+    // optimization of the per-position join loop) must pick exactly the
+    // global-max segmentation under left-to-right score addition
+    val vmap = Map("h" -> -2.01, "u" -> -2.53, "g" -> -2.27, "s" -> -3.11,
+      "hu" -> -1.93, "ug" -> -1.81, "hug" -> -2.09, "gs" -> -2.63,
+      "ugg" -> -2.41)
+    val vocab = vmap.toSeq.toDF("piece", "logp")
+    val words = Seq("hug", "hugs", "uggh", "shug", "h").toDF("word")
+    def brute(w: String): Seq[String] = {
+      def all(rest: String): Seq[Seq[String]] =
+        if (rest.isEmpty) Seq(Seq.empty)
+        else (1 to rest.length).flatMap { l =>
+          val p = rest.take(l)
+          if (vmap.contains(p)) all(rest.drop(l)).map(p +: _) else Seq.empty
+        }
+      all(w).maxBy(_.foldLeft(0.0)((acc, p) => acc + vmap(p)))
+    }
+    val got = UnigramLm.segment(words, vocab).collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rows) =>
+        w -> rows.sortBy(_.getLong(1)).map(_.getString(2)).toSeq }
+    for (w <- Seq("hug", "hugs", "uggh", "shug", "h"))
+      assert(got(w) === brute(w), s"DP segmentation of $w")
+  }
+
   test("train is deterministic: two runs produce identical vocabularies") {
     def run() = UnigramLm.train(corpus, "text", vocabTarget = 12,
       emRounds = 2, seedMultiplier = 2, maxPieceLen = 4)
