@@ -56,14 +56,18 @@ object Classify {
     */
   def nbPredict(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, isTrain: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(desc("__score"), col("__label"))
+    // top-1 as a map-side-combinable struct extremum instead of a
+    // rank window (the r15 top-1 rule): min(struct(-score, label, score))
+    // = max score, ties to the smallest label — identical to
+    // row_number over (desc __score, asc __label) = 1, without the
+    // partition sort (one partial_min per doc per partition)
     nbScoredGrid(df, idCol, textCol, labelCol, isTrain)
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col("label"), col("__label").as("pred"),
-        col("__score").as("score"))
+      .groupBy(col(idCol))
+      .agg(max("label").as("label"),
+        min(struct((-col("__score")).as("ns"), col("__label").as("l"),
+          col("__score").as("s"))).as("__m"))
+      .select(col(idCol), col("label"), col("__m.l").as("pred"),
+        col("__m.s").as("score"))
   }
 
   /** Margin-based calibration table for [[nbPredict]] (the exp-free
@@ -125,11 +129,17 @@ object Classify {
       labelCol: String, isTrain: Column): DataFrame = {
     // null text ≡ empty text (zero tokens, scored by the prior) — the
     // same contract explode_outer gives nbScore; without the coalesce a
-    // null array nulls __ntok and the whole score
+    // null array nulls __ntok and the whole score.
+    // localCheckpoint: SEVEN derived frames (counts, mass, docsPerLabel,
+    // vocab, totDocs, test, tf) consume this projection and AQE's
+    // ReusedExchange cannot dedup their differing subtrees — unmaterialized,
+    // the plan re-scanned and RE-TOKENIZED the corpus 13× (q145 plan
+    // audit, r17). One corpus pass, one tokenization.
     val base = df.select(col(idCol), col(labelCol).as("__label"),
       isTrain.as("__train"),
       coalesce(TextAnalysis.normalizedTokens(col(textCol)),
         array().cast("array<string>")).as("__toks"))
+      .localCheckpoint(true)
 
     val trainToks = base.filter(col("__train"))
       .select(col("__label"), explode(col("__toks")).as("__tok"))

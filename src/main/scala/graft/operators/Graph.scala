@@ -119,8 +119,14 @@ object Graph {
     */
   def triangleStats(pairs: DataFrame, aCol: String = "a_id",
       bCol: String = "b_id"): DataFrame = {
+    // materialize the edge list once: `pairs` is typically a whole
+    // discovery pipeline (LSH shingle+band joins), and this plan
+    // references the edges from SIX subtrees (deg×2, orient, closure,
+    // final join) that AQE's ReusedExchange cannot all dedup — the r17
+    // plan audit measured the q186 input scanned 9× without this
     val e = pairs.select(col(aCol).cast("long").as("a"),
       col(bCol).cast("long").as("b")).distinct()
+      .localCheckpoint(true)
     val deg = e.select(col("a").as("id"))
       .unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -138,6 +144,9 @@ object Graph {
             struct(col("__da").as("d"), col("a").as("i")).as("dr"))).as("o"))
       .select(col("o.src").as("src"), col("o.dst").as("dst"),
         col("o.dr").as("dr"))
+      // referenced three times (both wedge legs + the closure probe):
+      // edge-sized, one materialization instead of three orient re-joins
+      .localCheckpoint(true)
     // wedges at each source: out-neighbor pairs (v ≺ w); closure = the
     // oriented edge v→w. Triangle rows carry all three corners.
     val w1 = oriented.select(col("src"), col("dst").as("v"), col("dr").as("vr"))

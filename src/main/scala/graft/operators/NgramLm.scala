@@ -207,11 +207,19 @@ object NgramLm {
     val bg = base
       .select(explode(bigramStructs(col("__toks"))).as("__bg"))
       .select(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    // the count table and its derived model frames are each consumed by
+    // several downstream subtrees (ctx/spec/alpha/scoring; AQE reuse
+    // covers only bit-identical exchanges) — materialize them once:
+    // all are vocabulary/spectrum-sized, never corpus-sized (the r17
+    // plan audit measured q229's corpus tokenized 8× without this)
     val c2 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
+      .localCheckpoint(true)
     val ctx = c2.groupBy("__w1").agg(sum("__c2").as("__ctx"))
+      .localCheckpoint(true)
     val uni = base
       .select(explode(col("__toks")).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c1"))
+      .localCheckpoint(true)
     val Array(nRow) = uni.agg(coalesce(sum("__c1").cast("double"), lit(0.0)),
       count(lit(1)).cast("double")).collect()
     val (n, v) = (nRow.getDouble(0), nRow.getDouble(1))
@@ -235,6 +243,7 @@ object NgramLm {
           col("__draw") <= 0.0 || col("__draw") > 1.0, lit(1.0))
           .otherwise(col("__draw")))
       .select(col("__c2"), col("__d"))
+      .localCheckpoint(true)
     // per-history leftover mass: both seen-sums rounded BEFORE the ratio
     val uniAsW2 = uni.select(col("__w").as("__w2"), col("__c1"))
     val alpha = c2
@@ -256,6 +265,7 @@ object NgramLm {
         when(col("__sq") >= 1.0 || col("__skz") >= 1.0, lit(1.0))
           .otherwise((lit(1.0) - col("__skz")) / (lit(1.0) - col("__sq"))))
       .select(col("__w1"), col("__alpha"))
+      .localCheckpoint(true)
     KatzModel(c2, ctx, disc, alpha, uniAsW2, n, v)
   }
 

@@ -473,6 +473,12 @@ object TextAnalysis {
     require(damping > 0 && damping < 1,
       s"damping must be in (0, 1), got $damping")
     require(maxSents >= 1, s"maxSents must be >= 1, got $maxSents")
+    // let-binding idiom: evaluate `bound` ONCE per row, reference it as a
+    // lambda variable in `body` — HOF lambda variables are runtime VALUES,
+    // so this is immune to the q90/q119 CollapseProject-inlining
+    // re-evaluation trap without any checkpoint barrier.
+    def let(bound: Column, body: Column => Column): Column =
+      element_at(transform(array(bound), v => body(v)), 1)
     val sentsRaw = df
       .select(col(idCol).as("doc"),
         posexplode(split(col(textCol), "[.!?]+")).as(Seq("sidx", "__s")))
@@ -482,63 +488,74 @@ object TextAnalysis {
         array_distinct(regexp_extract_all(lower(col("__s")),
           lit("[a-z0-9]+"), lit(0))).as("__w"))
       .filter(size(col("__w")) >= 1)
-    val sents = sentsRaw
-      .join(sentsRaw.groupBy("doc").agg(count(lit(1)).as("n")), Seq("doc"))
-      .localCheckpoint(true)
-    val half = sents.select(col("doc"), col("sidx").as("src"),
-        col("__w").as("__wa"))
-      .join(sents.select(col("doc"), col("sidx").as("dst"),
-        col("__w").as("__wb")), Seq("doc"))
-      .filter(col("src") < col("dst"))
-      .select(col("doc"), col("src"), col("dst"),
-        size(array_intersect(col("__wa"), col("__wb"))).cast("long")
-          .as("__i"),
-        (size(col("__wa")) + size(col("__wb"))).cast("long").as("__ab"))
-      .filter(col("__i") >= 1)
-      .select(col("doc"), col("src"), col("dst"),
-        (col("__i").cast("double") / (col("__ab") - col("__i"))).as("w"))
-    val sym = half.unionByName(half.select(col("doc"),
-      col("dst").as("src"), col("src").as("dst"), col("w")))
-    val edges = sym
-      .join(sym.groupBy("doc", "src")
-        .agg(round(sum("w") + lit(1e-15), scaleDigits).as("__ws")),
-        Seq("doc", "src"))
-      .select(col("doc"), col("src"), col("dst"),
-        (col("w") / col("__ws")).as("enorm"))
-      .localCheckpoint(true)
-    var ranks = sents.select(col("doc"), col("sidx"),
-        (lit(1.0) / col("n")).as("rank"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val contrib = edges
-        .join(ranks.select(col("doc"), col("sidx").as("src"), col("rank")),
-          Seq("doc", "src"))
-        .groupBy(col("doc"), col("dst").as("sidx"))
-        .agg(sum(col("enorm") * col("rank")).as("__c"))
-      val next = sents.select(col("doc"), col("sidx"), col("n"))
-        .join(contrib, Seq("doc", "sidx"), "left_outer")
-        .select(col("doc"), col("sidx"),
-          round((lit(1.0) - damping) / col("n") +
-            lit(damping) * coalesce(col("__c"), lit(0.0)) + lit(1e-15),
-            scaleDigits).as("rank"))
-        .localCheckpoint(false)
-      next.count()
-      GraftSqlShims.unpersistCheckpoint(ranks)
-      ranks = next
-    }
-    val byDoc = Window.partitionBy("doc").orderBy(desc("rank"), col("sidx"))
-    val out = ranks
-      .join(sents.select(col("doc"), col("sidx"), col("sent")),
-        Seq("doc", "sidx"))
-      .withColumn("__rn", row_number().over(byDoc))
-      .filter(col("__rn") === 1)
-      .select(col("doc").as(idCol), col("sidx").as("sent_idx"),
-        col("rank"), col("sent"))
-      .localCheckpoint(true)
-    GraftSqlShims.unpersistCheckpoint(ranks)
-    GraftSqlShims.unpersistCheckpoint(edges)
-    GraftSqlShims.unpersistCheckpoint(sents)
-    out
+    // ONE aggregation per doc; the graph build, all `iters` PageRank
+    // rounds, and the argmax are per-row HOF math over maxSents-bounded
+    // arrays (the per-position joins + per-round driver loop of the
+    // original shape paid ~3·iters shuffles and checkpoints; this is one
+    // shuffle total). Every float op keeps the identical structural
+    // order — Jaccard is the same single division of exact integers,
+    // out-weight sums and per-round ranks round at the same points
+    // (+1e-15, scaleDigits) where the q177 scheme already makes
+    // accumulation order immaterial — so ranks are value-identical to
+    // the joined form and the oracle's unrolled rounds replay unchanged.
+    val perDoc = sentsRaw.groupBy(col("doc"))
+      .agg(array_sort(collect_list(
+        struct(col("sidx"), col("sent"), col("__w")))).as("__ss"))
+    val n = size(col("__ss"))
+    def sAt(i: Column) = element_at(col("__ss"), i + 1)
+    // undirected pairs (i, j < i ... i < j) with ≥ 1 shared word;
+    // w = |∩| / (|a| + |b| − |∩|) — exact integers, one division
+    val prExpr = filter(
+      when(n >= 2,
+        flatten(transform(sequence(lit(0), n - 2), i =>
+          transform(sequence(i + 1, n - 1), j =>
+            let(size(array_intersect(sAt(i).getField("__w"),
+                sAt(j).getField("__w"))).cast("long"), ix =>
+              struct(i.as("i"), j.as("j"),
+                (ix.cast("double") /
+                  ((size(sAt(i).getField("__w")) +
+                    size(sAt(j).getField("__w"))).cast("long") - ix))
+                  .as("w"),
+                ix.as("ix")))))))
+        .otherwise(array().cast(
+          "array<struct<i:int,j:int,w:double,ix:bigint>>")),
+      p => p.getField("ix") >= 1)
+    // per node: rounded out-weight sum, then incoming (source, w/ws(src))
+    def wsExpr(pr: Column): Column =
+      transform(sequence(lit(0), n - 1), k =>
+        round(aggregate(
+          filter(pr, p => p.getField("i") === k || p.getField("j") === k),
+          lit(0.0), (acc, p) => acc + p.getField("w")) + lit(1e-15),
+          scaleDigits))
+    def adjExpr(pr: Column, ws: Column): Column =
+      transform(sequence(lit(0), n - 1), k =>
+        transform(
+          filter(pr, p => p.getField("i") === k || p.getField("j") === k),
+          p => let(when(p.getField("i") === k, p.getField("j"))
+              .otherwise(p.getField("i")), other =>
+            struct(other.as("o"),
+              (p.getField("w") / element_at(ws, other + 1)).as("en")))))
+    val ranksExpr = let(prExpr, pr => let(wsExpr(pr), ws =>
+      let(adjExpr(pr, ws), adj =>
+        aggregate(sequence(lit(1), lit(iters)),
+          transform(sequence(lit(1), n), _ => lit(1.0) / n),
+          (r, _) => transform(sequence(lit(0), n - 1), k =>
+            round((lit(1.0) - damping) / n +
+              lit(damping) * aggregate(element_at(adj, k + 1), lit(0.0),
+                (acc, a) => acc + a.getField("en") *
+                  element_at(r, a.getField("o") + 1)) + lit(1e-15),
+              scaleDigits))))))
+    val bestExpr = let(col("__r"), r => array_max(
+      transform(sequence(lit(0), n - 1), k =>
+        struct(element_at(r, k + 1).as("rank"),
+          (-sAt(k).getField("sidx")).as("negidx"),
+          sAt(k).getField("sidx").as("sidx"),
+          sAt(k).getField("sent").as("sent")))))
+    perDoc
+      .withColumn("__r", ranksExpr)
+      .withColumn("__b", bestExpr)
+      .select(col("doc").as(idCol), col("__b.sidx").as("sent_idx"),
+        col("__b.rank").as("rank"), col("__b.sent").as("sent"))
   }
 
   /** Corpus-wide SENTENCE dedup — the C4 "discard every repeated
