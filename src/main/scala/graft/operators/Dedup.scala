@@ -281,6 +281,9 @@ object Dedup {
     val keyed = df.filter(col(textCol).isNotNull)
       .select(col(idCol), key.as("__key"))
       .withColumn("__chunk", substring(col("__key"), 1, chunks))
+      // consumed by the rank window AND the chunk-count catalog — one
+      // key-normalization pass instead of two
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy(col("__chunk"))
       .orderBy(col("__key"), col(idCol))
     val local = keyed.withColumn("__lrn",
@@ -293,6 +296,9 @@ object Dedup {
       .select("__chunk", "__off")
     val ranked = local.join(broadcast(offsets), Seq("__chunk"))
       .select(col(idCol), (col("__off") + col("__lrn")).as("__rn"))
+      // both sides of the rank-neighbor join read this — materialize
+      // the two-column rank table instead of running the window twice
+      .localCheckpoint(true)
     // neighbor join: each row meets its window-1 successors by rank.
     // sequence(rn+1, rn+window-1) is never empty (window >= 2), so the
     // descending-sequence trap can't fire.
@@ -653,17 +659,27 @@ object Dedup {
     */
   def jaccardOfPairs(df: DataFrame, idCol: String, textCol: String,
       pairs: DataFrame, shingleN: Int = 5): DataFrame = {
+    // materialize both inputs once: the candidate frame is typically a
+    // whole discovery pipeline referenced twice (the distinct + the
+    // final join), and the shingle table feeds THREE subtrees (sizes +
+    // both sides of the intersection join) — without this the r17 plan
+    // audit measured q190 re-running SNM discovery twice and
+    // re-tokenizing the corpus three times. Candidates are
+    // candidate-sized; the shingle table is one tokenization pass
+    // traded against three.
+    val p = pairs.localCheckpoint(true)
     val sh = explodeShingles(df, idCol, textCol, shingleN)
+      .localCheckpoint(true)
     val sized = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__nsh"))
     // distinct BEFORE the shingle joins: a duplicated (a_id, b_id) row in an
     // arbitrary candidate frame would otherwise multiply __shared through
     // both joins (jaccard > 1); each input row still rides through the final
     // join and gets the correct, singly-counted score
-    val shared = pairs.select("a_id", "b_id").distinct()
+    val shared = p.select("a_id", "b_id").distinct()
       .join(sh.select(col(idCol).as("a_id"), col("shingle")), Seq("a_id"))
       .join(sh.select(col(idCol).as("b_id"), col("shingle")), Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("__shared"))
-    pairs
+    p
       .join(shared, Seq("a_id", "b_id"), "left")
       .join(sized.select(col(idCol).as("a_id"), col("__nsh").as("__an")),
         Seq("a_id"), "left")
