@@ -305,7 +305,11 @@ object Multimodal {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     require(maxBucketSize >= 2,
       s"maxBucketSize must be >= 2, got $maxBucketSize")
-    val bands = dhashBands(df, idCol, binCol)
+    // one hashing pass: the banded signature build (63 codegen'd md5
+    // cells + bit math per image) feeds the bucket census AND both
+    // sides of the band self-join — unmaterialized, the plan re-hashed
+    // the corpus 3x (r17 plan audit)
+    val bands = dhashBands(df, idCol, binCol).localCheckpoint(true)
     val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2 && col("__c") <= maxBucketSize)
       .select("band", "key")
