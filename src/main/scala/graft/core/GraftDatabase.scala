@@ -1727,13 +1727,22 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
             cur, "id", "payload", shingleN),
           "id", numHashes),
         "id", numHashes, rowsPerBand)
-    graft.operators.Dedup.incomingNearDups(bands, cur, batch,
+        // the screen consumes the band table twice (hot-key census +
+        // probe join): a stored artifact is just two pruned scans, but
+        // the stale/absent fallback would re-run the whole corpus
+        // signature pipeline per consumer — hash it once (narrow
+        // id+band+key rows, the dhashBands precedent); freed below once
+        // the batch-sized screen output has materialized
+        .localCheckpoint(true)
+    val out = graft.operators.Dedup.incomingNearDups(bands, cur, batch,
       "id", "payload", threshold, shingleN, numHashes, rowsPerBand,
       maxBucketSize,
       // the stored layout's bucket count unlocks partition pruning in
       // the probe; the rescan fallback has no band_bucket column and
       // the operator's cap-and-switch simply ignores the knob then
       corpusBuckets = if (live) minhashBuckets(name) else -1)
+    if (!live) GraftSqlShims.unpersistCheckpoint(bands)
+    out
   }
 
   /** Mark the minhash artifact stale (mutations — a stale signature
@@ -2316,6 +2325,12 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
          else base).select(col("id"), col("win_sig"))
       } else graft.operators.Dedup.windowSigRows(
         read(name), "id", "payload", mt)
+        // the screen consumes the signature table twice (hot-sig census
+        // + probe join): the live path is two pruned stored scans, but
+        // this stale/absent fallback would re-run the corpus window
+        // pipeline per consumer — materialize once (narrow id+sig rows),
+        // freed after routeCore's checkpointed return
+        .localCheckpoint(true)
     val ok = sRows.groupBy("win_sig").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucketSize).select("win_sig")
     val matches = bRows.select(col("win_sig"), col("id").as("a_id"))
@@ -2327,6 +2342,7 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     if (insert && !dryRun && fs.exists(winsigMetaPath(name)))
       refreshWinsig(name)
     GraftSqlShims.unpersistCheckpoint(bRows)
+    if (!live) GraftSqlShims.unpersistCheckpoint(sRows)
     out
   }
 
@@ -2942,9 +2958,21 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         .parquet(new Path(dhashDir(name), "bands").toString)
       else graft.operators.Multimodal.dhashBands(
         cur.select(col("id"), col(mc)), "id", mc)
-    graft.operators.Multimodal.incomingDhashDups(bands, batch, "id", mc,
-      maxHamming, maxBucketSize,
+        // the screen consumes the band table twice (hot-bucket census +
+        // probe join): live is two pruned stored scans, but this
+        // stale/absent fallback would re-hash the corpus per consumer
+        // (63 md5 cells/image) — hash once (the dhashNearDups rule),
+        // freed below after the batch-sized screen output materializes
+        .localCheckpoint(true)
+    val out = graft.operators.Multimodal.incomingDhashDups(bands, batch,
+      "id", mc, maxHamming, maxBucketSize,
       corpusBuckets = if (live) dhashBuckets(name) else -1)
+    if (live) out
+    else {
+      val m = out.localCheckpoint(true)
+      GraftSqlShims.unpersistCheckpoint(bands)
+      m
+    }
   }
 
   /** Mark the dhash artifact stale (mutations — a stale signature must

@@ -728,6 +728,17 @@ object Dedup {
     val candB = corpus.join(
       pairs.select(col("b_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
     val shB = explodeShingles(candB, idCol, textCol, shingleN)
+    crossJaccardFromParts(pairs, shA, shB, idCol)
+  }
+
+  /** The cross-set verification math over pre-built parts (candidate
+    * pairs + both sides' shingle tables) — shared by the lazy
+    * plan-inspection path and [[incomingNearDups]]' materialized screen
+    * path, which checkpoints the parts first (each is referenced by 2–3
+    * subtrees below).
+    */
+  private def crossJaccardFromParts(pairs: DataFrame, shA: DataFrame,
+      shB: DataFrame, idCol: String): DataFrame = {
     val aSizes = shA.groupBy(col(idCol)).agg(count(lit(1)).as("__an"))
     val bSizes = shB.groupBy(col(idCol)).agg(count(lit(1)).as("__bn"))
     val shared = pairs.select("a_id", "b_id").distinct()
@@ -823,22 +834,60 @@ object Dedup {
         .join(okKeys, Seq("band", "band_key"), "left_semi"),
         Seq("band", "band_key"))
       .select("a_id", "b_id").distinct()
-    val raw = crossJaccardWithShingles(corpus, shA, idCol, textCol, pairs,
-        shingleN)
-      .filter(col("jaccard") >= threshold)
-      // using-column joins float their keys to the front in join order
-      // (b_id ends up first) — pin the documented column order
-      .select(col("a_id"), col("b_id"), col("jaccard"))
     // materialize=false is for PLAN INSPECTION only (PlanAuditSpec reads
     // the probe/verification join shapes, which a checkpointed result
     // would hide behind a flat block scan); it leaves shA's checkpoint
     // live because the returned lineage still reads it
-    if (!materialize) raw
+    if (!materialize)
+      crossJaccardWithShingles(corpus, shA, idCol, textCol, pairs, shingleN)
+        .filter(col("jaccard") >= threshold)
+        // using-column joins float their keys to the front in join order
+        // (b_id ends up first) — pin the documented column order
+        .select(col("a_id"), col("b_id"), col("jaccard"))
     else {
-      // materialize the (verified-pairs-sized) result so shA can be freed
-      // NOW rather than leaking one checkpoint per screened batch
-      val out = raw.localCheckpoint(true)
+      // the candidate frame feeds THREE verification subtrees (the b-side
+      // semi-join, the intersection join, the final score join) and the
+      // corpus-side candidate shingles TWO (sizes + intersection) — AQE
+      // reuse covers neither after per-branch pruning, so without these
+      // checkpoints the banded probe re-ran 3x and the corpus was
+      // re-scanned + re-tokenized 2x PER SCREENED BATCH (r17 plan audit,
+      // q349). Both frames are candidate-sized, never corpus-sized.
+      val p = pairs.localCheckpoint(true)
+      // no candidates — the common steady-state screen outcome: skip
+      // verification entirely (no corpus semi-join, no shB, no join
+      // jobs). Also required for clean frees: with an empty side, AQE's
+      // empty-relation propagation completes the final join BEFORE the
+      // intersection's sibling shuffle stages finish, and their orphaned
+      // in-flight tasks would read the just-freed checkpoint blocks
+      // (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND task errors — harmless but
+      // indistinguishable from a real data-path failure in the logs)
+      if (p.isEmpty) {
+        GraftSqlShims.unpersistCheckpoint(shA)
+        GraftSqlShims.unpersistCheckpoint(p)
+        return corpus.sparkSession.createDataFrame(
+          corpus.sparkSession.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row],
+          // id types follow the caller's id column (p carries them);
+          // jaccard is the verification division's double
+          org.apache.spark.sql.types.StructType(Seq(
+            p.schema("a_id").copy(nullable = true),
+            p.schema("b_id").copy(nullable = true),
+            org.apache.spark.sql.types.StructField("jaccard",
+              org.apache.spark.sql.types.DoubleType))))
+      }
+      val candB = corpus.join(
+        p.select(col("b_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
+      val shB = explodeShingles(candB, idCol, textCol, shingleN)
+        .localCheckpoint(true)
+      // materialize the (verified-pairs-sized) result so every screen
+      // checkpoint can be freed NOW rather than leaking per screened batch
+      val out = crossJaccardFromParts(p, shA, shB, idCol)
+        .filter(col("jaccard") >= threshold)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .localCheckpoint(true)
       GraftSqlShims.unpersistCheckpoint(shA)
+      GraftSqlShims.unpersistCheckpoint(p)
+      GraftSqlShims.unpersistCheckpoint(shB)
       out
     }
   }

@@ -76,8 +76,11 @@ object NgramLm {
       .select(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
     val c2 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("c2"))
       .filter(col("c2") >= minCount)
+    // materialized once (vocabulary-sized): consumed by BOTH pair→unigram
+    // joins plus the total — each re-tokenized the corpus otherwise
     val uni = base.select(explode(col("__toks")).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__c1"))
+      .localCheckpoint(true)
     val tot = uni.agg(sum("__c1").cast("double").as("__t"))
     c2
       .join(uni.select(col("__w").as("__w1"), col("__c1").as("c1w1")),
@@ -120,10 +123,15 @@ object NgramLm {
         col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
     val c2full = bg.filter(col("__train"))
       .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
-    val c2 = if (minCount > 1) c2full.filter(col("__c2") >= minCount)
-      else c2full
+    // materialize the count table ONCE (vocabulary-sized, never
+    // corpus-sized): it feeds FOUR consumers (ctx/cont/tot + the scoring
+    // join) and AQE ReusedExchange only dedups bit-identical exchanges —
+    // the r17 plan audit measured q100's corpus tokenized 4× for the
+    // model without this (katzModel precedent)
+    val c2 = (if (minCount > 1) c2full.filter(col("__c2") >= minCount)
+      else c2full).localCheckpoint(true)
     // context / continuation / total counts re-aggregate the COUNT TABLE,
-    // never the corpus (identical subtrees → one reused exchange)
+    // never the corpus
     val ctx = c2.groupBy("__w1").agg(sum("__c2").as("__ctx"))
     val cont = c2.groupBy("__w2").agg(sum("__c2").as("__cont"))
     val tot = c2.agg(sum("__c2").cast("double").as("__t"))
@@ -362,7 +370,11 @@ object NgramLm {
     val bg = base
       .select(explode(bigramStructs(col("__toks"))).as("__bg"))
       .select(col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    // materialized once (vocabulary-sized): the spectrum collect, hist,
+    // contd, and the caller's scoring join each re-derived it from the
+    // corpus otherwise (5 tokenizations measured in the q232 plan)
     val c2 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
+      .localCheckpoint(true)
     // ONE spectrum pass yields B, n1, n2; V from the unigram table —
     // four exact scalars to the driver (bounded model state)
     val Array(specRow) = c2.agg(

@@ -726,4 +726,31 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.incomingNearDups(hotBands, hot, probe, "doc_id", "text",
       maxBucketSize = 4).count() == 4L, "under the cap all four pair up")
   }
+
+  test("incomingNearDups: materialized screen ≡ lazy plan-inspection path") {
+    // the materialized path checkpoints the candidate pairs and the
+    // corpus-side candidate shingles (r17: the banded probe re-ran 3x and
+    // the corpus re-tokenized 2x per screened batch without this) — the
+    // seams are cost-only, so both paths must emit identical rows
+    def words(seed: String, n: Int): String =
+      (0 until n).map(i => s"$seed$i").mkString(" ")
+    val corpus = (1L to 8L).map(i =>
+      (i, words(s"w${i % 3}", 20))).toDF("doc_id", "text")
+    val bands = Dedup.bandKeys(
+      Dedup.minhashSignatures(
+        Dedup.explodeShingles(corpus, "doc_id", "text", 5), "doc_id", 8),
+      "doc_id", 8, 2)
+    val batch = Seq(
+      (100L, words("w1", 20) + " x"),
+      (101L, words("w2", 20)),
+      (102L, words("fresh", 20))).toDF("doc_id", "text")
+    def rows(materialize: Boolean) =
+      Dedup.incomingNearDups(bands, corpus, batch, "doc_id", "text",
+          threshold = 0.3, materialize = materialize)
+        .orderBy("a_id", "b_id")
+        .as[(Long, Long, Double)].collect().toSeq
+    val eager = rows(materialize = true)
+    assert(eager.nonEmpty)
+    assert(eager === rows(materialize = false))
+  }
 }
