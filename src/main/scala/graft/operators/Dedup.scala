@@ -206,8 +206,12 @@ object Dedup {
     // no full sort of the (huge) occurrence list
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("sh_freq"))
       .filter(col("sh_freq") <= maxShingleFreq)
-    val rare = sh.join(freq, Seq("shingle"))
+    // the filtered shingle table feeds three subtrees (both intersection
+    // legs + sizes) and sized two — materialize once (the jaccardOfPairs
+    // trade: one tokenization+freq pass against three)
+    val rare = sh.join(freq, Seq("shingle")).localCheckpoint(true)
     val sized = rare.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      .localCheckpoint(true)
     val shared = rare.select(col(idCol).as("a_id"), col("shingle"))
       .join(rare.select(col(idCol).as("b_id"), col("shingle")), Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
@@ -376,8 +380,13 @@ object Dedup {
     val sh = explodeShingles(df, idCol, textCol, shingleN)
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__f"))
       .filter(col("__f") <= maxShingleFreq)
-    val rare = sh.join(freq, Seq("shingle"))
+    // the rare-shingle table feeds the prefix window + both verification
+    // legs, sized three subtrees — materialize both (18 scans in the
+    // q187 plan without it, r17 all-plans audit). The prefix frame stays
+    // LAZY: its doc-partitioned window is the q187 plan-audit pin.
+    val rare = sh.join(freq, Seq("shingle")).localCheckpoint(true)
     val sized = rare.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     // prefix = the n − ⌈t·n⌉ + 1 globally-rarest shingles of each doc;
     // ⌈n·num/den⌉ as exact integer math (modulus-free DIV form)
     val prefix = rare
@@ -465,8 +474,14 @@ object Dedup {
     val sh = explodeShingles(df, idCol, textCol, shingleN)
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("__f"))
       .filter(col("__f") <= maxShingleFreq)
-    val rare = sh.join(freq, Seq("shingle"))
+    // the rare-shingle table feeds FOUR subtrees (prefix window, the
+    // probe's container side, both verification legs) and sized three —
+    // materialize both (32 scans in the q246 plan without it, r17
+    // all-plans audit); prefix stays LAZY (its doc-partitioned window is
+    // the q246 plan-audit pin)
+    val rare = sh.join(freq, Seq("shingle")).localCheckpoint(true)
     val sized = rare.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
     val prefix = rare
       .withColumn("__pos", row_number().over(Window.partitionBy(col(idCol))
         .orderBy(col("__f"), col("shingle"))))
@@ -1169,16 +1184,23 @@ object Dedup {
       minSim: Double, minPts: Int = 2, nBits: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
     require(minPts >= 1, s"minPts must be >= 1, got $minPts")
+    // the filtered neighborhood pairs feed sym (×2), coreEdges, and —
+    // through sym — core and borders: materialize once (edge-bounded),
+    // or the bucket self-join re-runs per consumer (45 corpus scans in
+    // q258's plan, r17 all-plans audit); core likewise gates three
+    // downstream joins (node-bounded)
     val pairs = embeddingPairs(df, idCol, vecCol, nBits, maxBucketSize)
       .select(col("a_id"), col("b_id"),
         round(col("score") + lit(1e-9), 6).as("__s"))
       .filter(col("__s") >= minSim)
       .select("a_id", "b_id")
+      .localCheckpoint(true)
     val sym = pairs.unionByName(pairs.select(col("b_id").as("a_id"),
       col("a_id").as("b_id")))
     val core = sym.groupBy(col("a_id").as("id"))
       .agg(count(lit(1)).as("__deg"))
       .filter(col("__deg") >= minPts).select("id")
+      .localCheckpoint(true)
     val coreEdges = pairs
       .join(core.select(col("id").as("a_id")), Seq("a_id"), "left_semi")
       .join(core.select(col("id").as("b_id")), Seq("b_id"), "left_semi")
@@ -1216,9 +1238,15 @@ object Dedup {
   def knnEdges(df: DataFrame, idCol: String, vecCol: String, k: Int,
       nBits: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
+    // the LSH pair pipeline feeds both union legs — materialize once
+    // (pair-bounded; the jaccardOfPairs seam rule: without it every
+    // downstream consumer re-runs the bucket self-join, and composed
+    // graph operators multiply that fan-out — the r17 all-plans audit
+    // measured 144 corpus scans in q238's final plan)
     val pairs = embeddingPairs(df, idCol, vecCol, nBits, maxBucketSize)
       .select(col("a_id"), col("b_id"),
         round(col("score") + lit(1e-9), 6).as("score"))
+      .localCheckpoint(true)
     val sym = pairs.unionByName(pairs.select(col("b_id").as("a_id"),
       col("a_id").as("b_id"), col("score")))
     val w = Window.partitionBy(col("a_id"))
@@ -1237,7 +1265,9 @@ object Dedup {
     */
   def mutualKnnEdges(df: DataFrame, idCol: String, vecCol: String, k: Int,
       nBits: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+    // consumed by both sides of the mutuality join (n·k rows)
     val knn = knnEdges(df, idCol, vecCol, k, nBits, maxBucketSize)
+      .localCheckpoint(true)
     knn.filter(col("src_id") < col("dst_id"))
       .select(col("src_id").as("a_id"), col("dst_id").as("b_id"),
         col("score"))

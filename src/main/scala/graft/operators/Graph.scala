@@ -491,16 +491,25 @@ object Graph {
     // anti-join, and a pair present in BOTH orientations would
     // double-count degrees — current callers (mutualKnnEdges) already
     // satisfy the convention, so this is a no-op for them
+    // the caller's pair frame is typically a whole discovery pipeline
+    // (mutual-kNN over LSH buckets) referenced from edges (×2), the
+    // anti-join, and — via edges — centers and both wedge legs:
+    // materialize the canonical edge set and the degree-joined
+    // neighbor table once (both edge-bounded; the r17 all-plans audit
+    // measured the q238 composition re-running the LSH pipeline into
+    // 144 corpus scans without these seams)
     val p = pairs.select(
       least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
       greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
       .distinct()
+      .localCheckpoint(true)
     val edges = p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
     val centers = edges.groupBy(col("a").as("z"))
       .agg(count(lit(1)).as("deg"))
       .filter(col("deg") <= maxCenterDeg)
     val nbrs = edges.select(col("a").as("z"), col("b").as("n"))
       .join(centers, Seq("z"))
+      .localCheckpoint(true)
     val wedges = nbrs.select(col("z"), col("deg"), col("n").as("u"))
       .join(nbrs.select(col("z"), col("n").as("v")), Seq("z"))
       .filter(col("u") < col("v"))

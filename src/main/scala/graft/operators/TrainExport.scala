@@ -424,13 +424,19 @@ object TrainExport {
       sourceCol: String = "source",
       weightCol: String = "weight"): DataFrame = {
     require(n >= 0, s"budget must be non-negative, got $n")
+    // materialize the weights input once — it is |sources|-sized BY
+    // CONTRACT but typically a whole derivation pipeline (q200's DoReMi
+    // weights are a corpus LM pass), and it feeds the emptiness probe,
+    // q0, the leftover aggregate, and the final projection (38 corpus
+    // scans in the q200 plan without this, r17 all-plans audit)
+    val wts = weights.localCheckpoint(true)
     // the in-plan guard below evaluates per ROW — an empty weights frame
     // would skip it entirely and silently leave the whole budget
     // unfilled, the exact failure the guard exists for; catch it eagerly
     // (the frame is |sources|-sized, the check is one cheap job)
-    require(n == 0 || !weights.isEmpty,
+    require(n == 0 || !wts.isEmpty,
       s"hamiltonQuotas: empty weights frame cannot fill a budget of $n")
-    val q0 = weights
+    val q0 = wts
       .withColumn("__q0", floor(col(weightCol) * n).cast("long"))
       .withColumn("__rem", col(weightCol) * n - floor(col(weightCol) * n))
     val r = q0.agg((lit(n.toLong) - coalesce(sum("__q0"), lit(0L))).as("__r"),
@@ -471,7 +477,10 @@ object TrainExport {
     require(Seq(sourceCol, "weight", "n_docs").forall(weights.columns.contains),
       s"weights frame must carry ($sourceCol, weight, n_docs) — got " +
         weights.columns.mkString("(", ", ", ")"))
+    // quotas feed both the fill filter and the final report (and wrap
+    // the caller's weights pipeline) — materialize once, |sources|-sized
     val quotas = hamiltonQuotas(weights, n, sourceCol)
+      .localCheckpoint(true)
     val ranked = md5RankChunked(df.select(col(idCol), col(sourceCol)),
       idCol, Seq(sourceCol), seed)
     val picked = ranked
