@@ -180,27 +180,33 @@ object TextAnalysis {
     * identical output row for row (spec-pinned, and q167 reuses q166's
     * oracle text verbatim — the q102 → q96 stateless-gate pattern).
     *
-    * The trade is per-row O(distinct × total) gram comparisons instead
-    * of a count shuffle (the gram compare is codegen'd string
-    * equality). The regime knob is DOC LENGTH, not corpus size — the
-    * per-row cost is quadratic in a document's tokens but independent
-    * of how many documents surround it, so zero-shuffle wins at normal
-    * doc lengths and only adversarially long documents favor the
-    * grouped shuffle. Measured (RepBench, sf0.01 + sf0.1 interleaved
-    * min-rep): 0.81–0.93× of [[repetitionStats]] — this form is the
-    * batch default too (q166); the grouped operator remains the path
-    * for unbounded-length documents. Tie-breaks, divisions, and
-    * thresholds are the same exact-integer arithmetic, so stream and
-    * batch can never disagree on a keep verdict.
+    * The per-row gram counting is a SORT + one linear run-length fold
+    * per n (r18: was a higher-order filter scan per distinct gram —
+    * O(distinct × total) string compares; the sorted fold is
+    * O(total log total) compares and emits the identical (count, gram)
+    * extremum and duplicate-char sum, since each run of the sorted
+    * array IS one distinct gram's exact occurrence count, the best-run
+    * struct comparison is the same (c, gram) ordering array_max used,
+    * and every quantity stays exact-integer). The regime knob is DOC
+    * LENGTH, not corpus size — per-row cost is near-linearithmic in a
+    * document's tokens and independent of how many documents surround
+    * it. Measured (RepBench, sf0.01 + sf0.1 interleaved min-rep):
+    * 0.81–0.93× of [[repetitionStats]] for the quadratic form already;
+    * the sorted fold only widens that — this form is the batch default
+    * too (q166). Tie-breaks, divisions, and thresholds are the same
+    * exact-integer arithmetic, so stream and batch can never disagree
+    * on a keep verdict.
     */
   def repetitionStatsStateless(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     def frac(num: Column, den: Column): Column =
       when(den.isNull || den === 0L || num.isNull, lit(0.0))
         .otherwise(num.cast("double") / den)
-    // materialize the token array, every gram array, and every distinct
-    // set in their OWN projections: each is referenced per element by a
-    // downstream lambda (the ngramsFromTokens / q90 re-evaluation lesson)
+    // materialize the token array and the line arrays in their OWN
+    // projections: each is referenced per element by a downstream lambda
+    // (the ngramsFromTokens / q90 re-evaluation lesson). Each __r$n
+    // roll-up is likewise its own projection — the top/dup fracs below
+    // reference it 3× and CollapseProject keeps the alias.
     var out = df
       .withColumn("__toks",
         regexp_extract_all(lower(col(textCol)), lit("\\S+"), lit(0)))
@@ -210,28 +216,19 @@ object TextAnalysis {
         filter(transform(split(col(textCol), "\n"), l => trim(l)),
           l => l =!= ""))
       .withColumn("__dlines", array_distinct(col("__lines")))
-    (topNs ++ dupNs).foreach { n =>
-      out = out
-        .withColumn(s"__g$n", ngramsFromTokens(col("__toks"), n))
-        .withColumn(s"__d$n", array_distinct(col(s"__g$n")))
-        // (count, gram) per distinct gram — the same struct the batch
-        // aggregation maxes/sums over
-        .withColumn(s"__cg$n", transform(col(s"__d$n"),
-          g => struct(size(filter(col(s"__g$n"), x => x === g))
-            .cast("long").as("c"), g.as("gram"))))
+    topNs.foreach { n =>
+      out = out.withColumn(s"__r$n", topRunStats(col("__toks"), n))
+    }
+    dupNs.foreach { n =>
+      out = out.withColumn(s"__r$n", dupRunStats(col("__toks"), n))
     }
     val topFracs = topNs.map { n =>
-      val top = array_max(col(s"__cg$n"))
-      val gramLen = (length(top.getField("gram")) - (n - 1)).cast("long")
-      frac(top.getField("c") * gramLen, col("__chars")).as(s"top${n}_frac")
+      val r = col(s"__r$n")
+      val gramLen = (length(r.getField("gram")) - (n - 1)).cast("long")
+      frac(r.getField("c") * gramLen, col("__chars")).as(s"top${n}_frac")
     }
     val dupFracs = dupNs.map { n =>
-      val dupChars = aggregate(col(s"__cg$n"), lit(0L), (acc, s) =>
-        acc + when(s.getField("c") >= 2,
-          (s.getField("c") - 1) *
-            (length(s.getField("gram")) - (n - 1)).cast("long"))
-          .otherwise(0L))
-      frac(dupChars, col("__chars")).as(s"dup${n}_frac")
+      frac(col(s"__r$n"), col("__chars")).as(s"dup${n}_frac")
     }
     val nLines = size(col("__lines")).cast("long")
     val dupLines = nLines - size(col("__dlines")).cast("long")
@@ -251,6 +248,79 @@ object TextAnalysis {
       Seq(col("dup_line_frac") <= 0.30, col("dup_line_char_frac") <= 0.20))
       .reduce(_ && _)
     withFracs.withColumn("keep", keep)
+  }
+
+  /** Per-document top-gram roll-up as a sorted run-length fold: sort the
+    * gram array, walk it once tracking the current run (gram, count),
+    * and finalize each run into the best (count, gram) struct —
+    * `greatest` on the struct is exactly the (c desc, gram desc)
+    * tie-break `array_max(struct(c, gram))` and the grouped
+    * `max(struct)` use. O(L log L) string compares instead of the
+    * O(distinct × L) per-distinct filter scan. All lambda inputs are
+    * bound variables (acc, x) — no outer-expression re-evaluation.
+    * Empty gram arrays (docs under n tokens) yield (c=0, gram=null),
+    * which the frac guards map to 0.0 exactly as the previous
+    * array_max-of-empty → null did. The `x === prev` branch is tested
+    * first (null-safe: the first element sees prev = null → falls
+    * through to the cnt = 0 branch).
+    */
+  private def topRunStats(toks: Column, n: Int): Column = {
+    val grams = array_sort(ngramsFromTokens(toks, n))
+    val zero = struct(
+      lit(null).cast("string").as("prev"),
+      lit(0L).as("cnt"),
+      struct(lit(0L).as("c"), lit(null).cast("string").as("gram"))
+        .as("best"))
+    def runStruct(cnt: Column, prev: Column): Column =
+      struct(cnt.as("c"), prev.as("gram"))
+    aggregate(grams, zero,
+      (acc, x) => {
+        val prev = acc.getField("prev")
+        val cnt = acc.getField("cnt")
+        when(x === prev, struct(prev.as("prev"), (cnt + 1L).as("cnt"),
+            acc.getField("best").as("best")))
+          .when(cnt === 0L, struct(x.as("prev"), lit(1L).as("cnt"),
+            acc.getField("best").as("best")))
+          .otherwise(struct(x.as("prev"), lit(1L).as("cnt"),
+            greatest(acc.getField("best"), runStruct(cnt, prev)).as("best")))
+      },
+      acc => {
+        val prev = acc.getField("prev")
+        val cnt = acc.getField("cnt")
+        // finalize the last run; empty input keeps the (0, null) zero,
+        // which can never beat a real run (every run has c ≥ 1)
+        when(cnt === 0L, acc.getField("best"))
+          .otherwise(greatest(acc.getField("best"), runStruct(cnt, prev)))
+      })
+  }
+
+  /** The duplicate-char half of the roll-up alone (n ∈ dupNs never needs
+    * the best-gram struct): same sorted run walk, scalar accumulator
+    * fields only.
+    */
+  private def dupRunStats(toks: Column, n: Int): Column = {
+    val grams = array_sort(ngramsFromTokens(toks, n))
+    val zero = struct(
+      lit(null).cast("string").as("prev"),
+      lit(0L).as("cnt"),
+      lit(0L).as("dup"))
+    // chars the finished run (cnt × prev) adds to the duplicate sum
+    def dupAdd(cnt: Column, prev: Column): Column =
+      when(cnt >= 2L,
+        (cnt - 1L) * (length(prev) - (n - 1)).cast("long")).otherwise(0L)
+    aggregate(grams, zero,
+      (acc, x) => {
+        val prev = acc.getField("prev")
+        val cnt = acc.getField("cnt")
+        when(x === prev, struct(prev.as("prev"), (cnt + 1L).as("cnt"),
+            acc.getField("dup").as("dup")))
+          .when(cnt === 0L, struct(x.as("prev"), lit(1L).as("cnt"),
+            acc.getField("dup").as("dup")))
+          .otherwise(struct(x.as("prev"), lit(1L).as("cnt"),
+            (acc.getField("dup") + dupAdd(cnt, prev)).as("dup")))
+      },
+      acc => acc.getField("dup") +
+        dupAdd(acc.getField("cnt"), acc.getField("prev")))
   }
 
   /** Winnowing fingerprints (the MOSS scheme): hash every `k`-char gram,
