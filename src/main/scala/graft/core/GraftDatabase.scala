@@ -183,8 +183,11 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     } else {
       // schema inference (not the stored DDL) so partition columns added by
-      // REINDEX (cluster_id=...) stay visible.
-      spark.read.option("basePath", dir.toString).parquet(dir.toString)
+      // REINDEX (cluster_id=...) stay visible. Driver-side listing: an
+      // indexed layout is tens-to-hundreds of cluster dirs and the
+      // distributed listing job is pure overhead there (ScaleKnobs).
+      graft.operators.ScaleKnobs.withDriverListing(spark)(
+        spark.read.option("basePath", dir.toString).parquet(dir.toString))
     }
   }
 
@@ -1470,10 +1473,13 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     * directory is the empty frame (nothing was ever written there).
     */
   private def readArtifact(p: Path,
-      schema: StructType): DataFrame =
-    if (fs.exists(p)) spark.read.schema(schema).parquet(p.toString)
+      schema: StructType): DataFrame = {
+    if (fs.exists(p))
+      graft.operators.ScaleKnobs.withDriverListing(spark)(
+        spark.read.schema(schema).parquet(p.toString))
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   private def textIndexStaleMarker(name: String): Path =
     new Path(textIndexDir(name), "stale")
@@ -1943,8 +1949,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       // union would grow the plan linearly with ROUTE batches (at
       // thousands of admitted batches that's real analysis time);
       // unmarked orphans are excluded by construction (never globbed)
-      spark.read.schema(SplitAssignSchema)
-        .parquet(segs.map(n => new Path(g, s"routed_$n").toString): _*))
+      graft.operators.ScaleKnobs.withDriverListing(spark)(
+        spark.read.schema(SplitAssignSchema)
+          .parquet(segs.map(n => new Path(g, s"routed_$n").toString): _*)))
   }
 
   /** SPLIT — build (or rebuild) the managed leakage-safe split sidecar:
@@ -2409,13 +2416,12 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
   private[graft] var lastRouteScreenPlan: Option[String] = None
 
   private def routeCore(name: String, batch: DataFrame,
-      arriving: DataFrame, matches: DataFrame, insert: Boolean,
+      arriving: DataFrame, matchesIn: => DataFrame, insert: Boolean,
       refreshBands: Boolean, batchTag: Option[String] = None,
       dryRun: Boolean = false): DataFrame = {
     batchTag.foreach(t => require(t.matches("[A-Za-z0-9_.-]+"),
       s"ROUTE batch tag must be [A-Za-z0-9_.-]+ (it names a durable " +
         s"replay record): '$t'"))
-    lastRouteScreenPlan = Some(matches.queryExecution.executedPlan.toString)
     val (nSlots, valSlots, testSlots) = splitsParams(name)
     val assign = splitAssignments(name)
     // admission pre-check BEFORE anything commits: a batch the collection
@@ -2431,11 +2437,19 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     // already exist in the collection WITHOUT a split row (rows
     // bulk-inserted after SPLIT outside ROUTE — admitting such an id
     // would append a duplicate into the collection) — the id-only
-    // collection probe rides the same job, column-pruned to the scan
+    // collection probe rides the same job, column-pruned to the scan.
+    // The check reads (arriving, assign, collection ids) — none of the
+    // SCREEN's inputs — so it runs as a CONCURRENT job while the screen
+    // materializes (guide §2.6 overlap: the check back-fills slots the
+    // screen's stage tail leaves idle; `matchesIn` is by-name exactly so
+    // the screen's eager checkpoints run AFTER this future launches).
+    // Nothing commits until both complete — the fail-with-nothing-written
+    // contract is unchanged; the pool thread is fresh (no caller job
+    // group to clobber) and always torn down.
     val withCommitted = arriving.groupBy("id").agg(count(lit(1)).as("__n"))
       .join(assign.select(col("id")).distinct()
         .withColumn("__committed", lit(true)), Seq("id"), "left_outer")
-    val bad = (if (insert)
+    val badFrame = (if (insert)
         withCommitted.join(
           read(name).select(col("id").cast("long").as("id")).distinct()
             .withColumn("__present", lit(true)),
@@ -2445,7 +2459,18 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       .select(col("id"), col("__n"),
         coalesce(col("__committed"), lit(false)).as("__committed"),
         coalesce(col("__present"), lit(false)).as("__present"))
-      .limit(1).collect()
+      .limit(1)
+    val checkPool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val checkF = scala.concurrent.Future(badFrame.collect())(
+      scala.concurrent.ExecutionContext.fromExecutor(checkPool))
+    val matches =
+      try matchesIn
+      catch { case t: Throwable => checkPool.shutdownNow(); throw t }
+    lastRouteScreenPlan = Some(matches.queryExecution.executedPlan.toString)
+    val bad =
+      try scala.concurrent.Await.result(checkF,
+        scala.concurrent.duration.Duration.Inf)
+      finally checkPool.shutdown()
     bad.headOption.foreach { r =>
       val id = r.getLong(0)
       if (r.getLong(1) > 1L) throw new IllegalArgumentException(
@@ -2954,8 +2979,9 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
     val bands =
       // explicit schema: an artifact over an empty collection has a
       // schemaless partitioned dir — the declared schema reads it empty
-      if (live) spark.read.schema(DhashBandsSchema)
-        .parquet(new Path(dhashDir(name), "bands").toString)
+      if (live) graft.operators.ScaleKnobs.withDriverListing(spark)(
+        spark.read.schema(DhashBandsSchema)
+          .parquet(new Path(dhashDir(name), "bands").toString))
       else graft.operators.Multimodal.dhashBands(
         cur.select(col("id"), col(mc)), "id", mc)
         // the screen consumes the band table twice (hot-bucket census +

@@ -71,8 +71,12 @@ final class StageStore(spark: SparkSession, rootDir: String) {
           s"stage $name meta has no gen field"))
       val schema = DataType.fromJson(
         readString(new Path(dir, s"gen_$g/schema.json"))).asInstanceOf[StructType]
-      // explicit schema: a zero-row stage reads back as the empty frame
-      spark.read.schema(schema).parquet(new Path(dir, s"gen_$g/data").toString)
+      // explicit schema: a zero-row stage reads back as the empty frame;
+      // driver-side listing — partitioned stages are tens of dirs and
+      // the distributed listing job is pure overhead there (ScaleKnobs)
+      graft.operators.ScaleKnobs.withDriverListing(spark)(
+        spark.read.schema(schema)
+          .parquet(new Path(dir, s"gen_$g/data").toString))
     } else {
       val g = nextGen(dir)
       val genDir = new Path(dir, s"gen_$g")

@@ -104,4 +104,36 @@ object ScaleKnobs {
       b
     }
   }
+
+  private val listingLock = new Object
+
+  /** Scoped raise of `spark.sql.sources.parallelPartitionDiscovery
+    * .threshold` around managed artifact/collection reads. The managed
+    * artifacts are partitioned into tens-to-hundreds of directories
+    * (band × bucket, term_bucket, stage partitions), and Spark's default
+    * threshold (32) sends every such listing to a DISTRIBUTED listing
+    * job — ~0.1 s of scheduling overhead PER READ regardless of data
+    * size (measured: 4 × ~0.14 s listing jobs inside one q349 ROUTE
+    * screen), where a driver-side listing of a few hundred local or
+    * object-store dirs is single-digit ms (guide §6 file listing).
+    * Parameterized, never a local-only constant: past
+    * `spark.graft.listing.driverThreshold` (default 512) directories,
+    * the distributed listing is genuinely better and the raise stops
+    * applying. The user's own threshold is never lowered; the previous
+    * value is restored after the read (explicit-default restore — the
+    * r16 RuntimeConfig rule). Synchronized: the threshold is session
+    * state and concurrent screen legs may read artifacts in parallel.
+    */
+  def withDriverListing[T](spark: org.apache.spark.sql.SparkSession)(
+      body: => T): T = listingLock.synchronized {
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val knob = spark.conf.getOption("spark.graft.listing.driverThreshold")
+      .map(_.toInt).getOrElse(512)
+    val prev = spark.conf.get(key).toInt
+    if (knob <= prev) body
+    else {
+      spark.conf.set(key, knob.toString)
+      try body finally spark.conf.set(key, prev.toString)
+    }
+  }
 }
