@@ -1727,7 +1727,8 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       // schemaless partitioned dir — inference would fail, the declared
       // schema reads it empty
       if (live) liveMinhashBands(name)
-      else graft.operators.Dedup.bandKeys(
+      else graft.operators.Materialize.corpusScale(
+        graft.operators.Dedup.bandKeys(
         graft.operators.Dedup.minhashSignatures(
           graft.operators.Dedup.explodeShingles(
             cur, "id", "payload", shingleN),
@@ -1738,17 +1739,21 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         // the stale/absent fallback would re-run the whole corpus
         // signature pipeline per consumer — hash it once (narrow
         // id+band+key rows, the dhashBands precedent); freed below once
-        // the batch-sized screen output has materialized
-        .localCheckpoint(true)
-    val out = graft.operators.Dedup.incomingNearDups(bands, cur, batch,
+        // the batch-sized screen output has materialized. Corpus-row
+        // scale: the storage knob applies (Materialize.corpusScale).
+      )
+    // finally: the screen's output is checkpointed inside the operator,
+    // so the fallback seam is freed on success AND on any screen error
+    // (an exception path would otherwise leak a corpus-sized block set
+    // for the session — r18 ADVICE item)
+    try graft.operators.Dedup.incomingNearDups(bands, cur, batch,
       "id", "payload", threshold, shingleN, numHashes, rowsPerBand,
       maxBucketSize,
       // the stored layout's bucket count unlocks partition pruning in
       // the probe; the rescan fallback has no band_bucket column and
       // the operator's cap-and-switch simply ignores the knob then
       corpusBuckets = if (live) minhashBuckets(name) else -1)
-    if (!live) GraftSqlShims.unpersistCheckpoint(bands)
-    out
+    finally if (!live) GraftSqlShims.unpersistCheckpoint(bands)
   }
 
   /** Mark the minhash artifact stale (mutations — a stale signature
@@ -2330,27 +2335,36 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
         val base = liveWinsigSigs(name)
         (if (bks.size < nb) base.filter(col("sig_bucket").isin(bks: _*))
          else base).select(col("id"), col("win_sig"))
-      } else graft.operators.Dedup.windowSigRows(
-        read(name), "id", "payload", mt)
+      } else graft.operators.Materialize.corpusScale(
+        graft.operators.Dedup.windowSigRows(
+          read(name), "id", "payload", mt)
         // the screen consumes the signature table twice (hot-sig census
         // + probe join): the live path is two pruned stored scans, but
         // this stale/absent fallback would re-run the corpus window
         // pipeline per consumer — materialize once (narrow id+sig rows),
-        // freed after routeCore's checkpointed return
-        .localCheckpoint(true)
+        // freed after routeCore's checkpointed return. Corpus-row scale:
+        // the storage knob applies.
+      )
     val ok = sRows.groupBy("win_sig").agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBucketSize).select("win_sig")
     val matches = bRows.select(col("win_sig"), col("id").as("a_id"))
       .join(sRows.join(ok, Seq("win_sig"), "left_semi")
         .select(col("win_sig"), col("id").as("b_id")), Seq("win_sig"))
       .select("a_id", "b_id").distinct()
-    val out = routeCore(name, batch, arriving, matches, insert,
-      refreshBands = false, batchTag, dryRun)
-    if (insert && !dryRun && fs.exists(winsigMetaPath(name)))
-      refreshWinsig(name)
-    GraftSqlShims.unpersistCheckpoint(bRows)
-    if (!live) GraftSqlShims.unpersistCheckpoint(sRows)
-    out
+    // finally: routeCore's returned frame is checkpointed before it
+    // returns, so the screen seams are freed on success AND on a
+    // refusal/error path (a write-once refusal would otherwise leak the
+    // batch windows + the corpus-sized fallback table — r18 ADVICE item)
+    try {
+      val out = routeCore(name, batch, arriving, matches, insert,
+        refreshBands = false, batchTag, dryRun)
+      if (insert && !dryRun && fs.exists(winsigMetaPath(name)))
+        refreshWinsig(name)
+      out
+    } finally {
+      GraftSqlShims.unpersistCheckpoint(bRows)
+      if (!live) GraftSqlShims.unpersistCheckpoint(sRows)
+    }
   }
 
   /** ROUTE by=dhash — [[routeArrivals]] under PERCEPTUAL-IMAGE edges:
@@ -2982,23 +2996,26 @@ final class GraftDatabase private (val spark: SparkSession, val root: Path) {
       if (live) graft.operators.ScaleKnobs.withDriverListing(spark)(
         spark.read.schema(DhashBandsSchema)
           .parquet(new Path(dhashDir(name), "bands").toString))
-      else graft.operators.Multimodal.dhashBands(
-        cur.select(col("id"), col(mc)), "id", mc)
+      else graft.operators.Materialize.corpusScale(
+        graft.operators.Multimodal.dhashBands(
+          cur.select(col("id"), col(mc)), "id", mc)
         // the screen consumes the band table twice (hot-bucket census +
         // probe join): live is two pruned stored scans, but this
         // stale/absent fallback would re-hash the corpus per consumer
         // (63 md5 cells/image) — hash once (the dhashNearDups rule),
-        // freed below after the batch-sized screen output materializes
-        .localCheckpoint(true)
+        // freed below after the batch-sized screen output materializes.
+        // Corpus-row scale: the storage knob applies.
+      )
     val out = graft.operators.Multimodal.incomingDhashDups(bands, batch,
       "id", mc, maxHamming, maxBucketSize,
       corpusBuckets = if (live) dhashBuckets(name) else -1)
     if (live) out
-    else {
-      val m = out.localCheckpoint(true)
-      GraftSqlShims.unpersistCheckpoint(bands)
-      m
-    }
+    else
+      // finally: the fallback band seam is freed on success AND on a
+      // screen error (r18 ADVICE item — an exception would otherwise
+      // leak a corpus-sized block set for the session)
+      try out.localCheckpoint(true)
+      finally GraftSqlShims.unpersistCheckpoint(bands)
   }
 
   /** Mark the dhash artifact stale (mutations — a stale signature must

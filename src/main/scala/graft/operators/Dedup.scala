@@ -209,9 +209,9 @@ object Dedup {
     // the filtered shingle table feeds three subtrees (both intersection
     // legs + sizes) and sized two — materialize once (the jaccardOfPairs
     // trade: one tokenization+freq pass against three)
-    val rare = sh.join(freq, Seq("shingle")).localCheckpoint(true)
-    val sized = rare.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-      .localCheckpoint(true)
+    val rare = Materialize.corpusScale(sh.join(freq, Seq("shingle")))
+    val sized = Materialize.corpusScale(
+      rare.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh")))
     val shared = rare.select(col(idCol).as("a_id"), col("shingle"))
       .join(rare.select(col(idCol).as("b_id"), col("shingle")), Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
@@ -384,9 +384,9 @@ object Dedup {
     // legs, sized three subtrees — materialize both (18 scans in the
     // q187 plan without it, r17 all-plans audit). The prefix frame stays
     // LAZY: its doc-partitioned window is the q187 plan-audit pin.
-    val rare = sh.join(freq, Seq("shingle")).localCheckpoint(true)
-    val sized = rare.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-      .localCheckpoint(true)
+    val rare = Materialize.corpusScale(sh.join(freq, Seq("shingle")))
+    val sized = Materialize.corpusScale(
+      rare.groupBy(col(idCol)).agg(count(lit(1)).as("__n")))
     // prefix = the n − ⌈t·n⌉ + 1 globally-rarest shingles of each doc;
     // ⌈n·num/den⌉ as exact integer math (modulus-free DIV form)
     val prefix = rare
@@ -479,9 +479,9 @@ object Dedup {
     // materialize both (32 scans in the q246 plan without it, r17
     // all-plans audit); prefix stays LAZY (its doc-partitioned window is
     // the q246 plan-audit pin)
-    val rare = sh.join(freq, Seq("shingle")).localCheckpoint(true)
-    val sized = rare.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-      .localCheckpoint(true)
+    val rare = Materialize.corpusScale(sh.join(freq, Seq("shingle")))
+    val sized = Materialize.corpusScale(
+      rare.groupBy(col(idCol)).agg(count(lit(1)).as("__n")))
     val prefix = rare
       .withColumn("__pos", row_number().over(Window.partitionBy(col(idCol))
         .orderBy(col("__f"), col("shingle"))))
@@ -882,13 +882,18 @@ object Dedup {
         return corpus.sparkSession.createDataFrame(
           corpus.sparkSession.sparkContext
             .emptyRDD[org.apache.spark.sql.Row],
-          // id types follow the caller's id column (p carries them);
-          // jaccard is the verification division's double
+          // id types AND nullability follow the caller's id column (p
+          // carries them — never flip nullable, or the screen's output
+          // schema becomes path-dependent and unionByName/encoder
+          // consumers can observe it); jaccard is the verification
+          // division's double, nullable like every Divide (x/0 → null
+          // under non-ANSI) — spec-pinned schema-identical to the
+          // verified path
           org.apache.spark.sql.types.StructType(Seq(
-            p.schema("a_id").copy(nullable = true),
-            p.schema("b_id").copy(nullable = true),
+            p.schema("a_id"),
+            p.schema("b_id"),
             org.apache.spark.sql.types.StructField("jaccard",
-              org.apache.spark.sql.types.DoubleType))))
+              org.apache.spark.sql.types.DoubleType, nullable = true))))
       }
       val candB = corpus.join(
         p.select(col("b_id").as(idCol)).distinct(), Seq(idCol), "left_semi")
@@ -1236,7 +1241,20 @@ object Dedup {
     * the symmetric, noise-robust variant.
     */
   def knnEdges(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      nBits: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
+      nBits: Int = 8, maxBucketSize: Int = 1000): DataFrame =
+    knnEdgesWithSeam(df, idCol, vecCol, k, nBits, maxBucketSize)._1
+
+  /** [[knnEdges]] plus a handle on its internal pair-pipeline seam, so a
+    * composing caller that MATERIALIZES the edges ([[mutualKnnEdges]])
+    * can free the seam instead of stacking never-released checkpoints
+    * (r18 ADVICE item). The plain [[knnEdges]] return is lazy over the
+    * seam by design (its window shape is the q238 audit surface), so its
+    * per-call retention is the seam block set — documented, and bounded
+    * by the capped pair count.
+    */
+  private[operators] def knnEdgesWithSeam(df: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBits: Int,
+      maxBucketSize: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be positive, got $k")
     // the LSH pair pipeline feeds both union legs — materialize once
     // (pair-bounded; the jaccardOfPairs seam rule: without it every
@@ -1251,10 +1269,11 @@ object Dedup {
       col("a_id").as("b_id"), col("score")))
     val w = Window.partitionBy(col("a_id"))
       .orderBy(desc("score"), col("b_id"))
-    sym.withColumn("rank", row_number().over(w).cast("long"))
+    val edges = sym.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
         col("rank"), col("score"))
+    (edges, pairs)
   }
 
   /** Mutual-kNN edges: keep {a, b} only when EACH is in the other's
@@ -1265,15 +1284,23 @@ object Dedup {
     */
   def mutualKnnEdges(df: DataFrame, idCol: String, vecCol: String, k: Int,
       nBits: Int = 8, maxBucketSize: Int = 1000): DataFrame = {
-    // consumed by both sides of the mutuality join (n·k rows)
-    val knn = knnEdges(df, idCol, vecCol, k, nBits, maxBucketSize)
-      .localCheckpoint(true)
-    knn.filter(col("src_id") < col("dst_id"))
+    // consumed by both sides of the mutuality join (n·k rows). The
+    // incomingNearDups discipline (r18 ADVICE item): materialize the
+    // final edge set and free BOTH intermediates before returning, so a
+    // serving session calling this repeatedly accumulates nothing.
+    val (edges, pairsSeam) =
+      knnEdgesWithSeam(df, idCol, vecCol, k, nBits, maxBucketSize)
+    val knn = edges.localCheckpoint(true)
+    GraftSqlShims.unpersistCheckpoint(pairsSeam)
+    val out = knn.filter(col("src_id") < col("dst_id"))
       .select(col("src_id").as("a_id"), col("dst_id").as("b_id"),
         col("score"))
       .join(knn.filter(col("src_id") > col("dst_id"))
         .select(col("dst_id").as("a_id"), col("src_id").as("b_id")),
         Seq("a_id", "b_id"))
+      .localCheckpoint(true)
+    GraftSqlShims.unpersistCheckpoint(knn)
+    out
   }
 
   /** Within-document repeated-span removal — the paragraph/line-level

@@ -309,7 +309,7 @@ object Multimodal {
     // cells + bit math per image) feeds the bucket census AND both
     // sides of the band self-join — unmaterialized, the plan re-hashed
     // the corpus 3x (r17 plan audit)
-    val bands = dhashBands(df, idCol, binCol).localCheckpoint(true)
+    val bands = Materialize.corpusScale(dhashBands(df, idCol, binCol))
     val ok = bands.groupBy("band", "key").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2 && col("__c") <= maxBucketSize)
       .select("band", "key")

@@ -428,8 +428,10 @@ object TrainExport {
     // CONTRACT but typically a whole derivation pipeline (q200's DoReMi
     // weights are a corpus LM pass), and it feeds the emptiness probe,
     // q0, the leftover aggregate, and the final projection (38 corpus
-    // scans in the q200 plan without this, r17 all-plans audit)
-    val wts = weights.localCheckpoint(true)
+    // scans in the q200 plan without this, r17 all-plans audit).
+    // n == 0 skips it: nothing downstream runs more than once and the
+    // blocks would leak (r18 ADVICE item)
+    val wts = if (n == 0) weights else weights.localCheckpoint(true)
     // the in-plan guard below evaluates per ROW — an empty weights frame
     // would skip it entirely and silently leave the whole budget
     // unfilled, the exact failure the guard exists for; catch it eagerly
@@ -443,7 +445,7 @@ object TrainExport {
       count(lit(1)).as("__cnt"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(desc("__rem"), col(sourceCol))
-    q0.crossJoin(broadcast(r))
+    val out = q0.crossJoin(broadcast(r))
       .withColumn("__rk", row_number().over(w).cast("long"))
       .withColumn("quota",
         when(col("__r") < 0L || col("__r") > col("__cnt"),
@@ -454,6 +456,18 @@ object TrainExport {
         .otherwise(
           col("__q0") + when(col("__rk") <= col("__r"), 1L).otherwise(0L)))
       .drop("__q0", "__rem", "__rk", "__r", "__cnt")
+    if (n == 0) out
+    else {
+      // the quotas frame is |sources|-sized and every caller consumes it
+      // at least twice (fill filter + report): materialize it HERE and
+      // free the wts seam — a returned lineage over wts would pin the
+      // whole weights pipeline's blocks for the session with no handle
+      // to release them (r18 ADVICE item). The per-row budget guard
+      // above fires during this materialization, same loudness.
+      val m = out.localCheckpoint(true)
+      org.apache.spark.sql.GraftSqlShims.unpersistCheckpoint(wts)
+      m
+    }
   }
 
   /** The DoReMi loop closed: per-source quotas ([[hamiltonQuotas]] over
@@ -477,10 +491,10 @@ object TrainExport {
     require(Seq(sourceCol, "weight", "n_docs").forall(weights.columns.contains),
       s"weights frame must carry ($sourceCol, weight, n_docs) — got " +
         weights.columns.mkString("(", ", ", ")"))
-    // quotas feed both the fill filter and the final report (and wrap
-    // the caller's weights pipeline) — materialize once, |sources|-sized
+    // quotas feed both the fill filter and the final report —
+    // hamiltonQuotas returns them already materialized (n > 0) and frees
+    // its own weights seam; re-checkpointing here would just copy blocks
     val quotas = hamiltonQuotas(weights, n, sourceCol)
-      .localCheckpoint(true)
     val ranked = md5RankChunked(df.select(col(idCol), col(sourceCol)),
       idCol, Seq(sourceCol), seed)
     val picked = ranked

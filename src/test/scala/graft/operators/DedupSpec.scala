@@ -753,4 +753,28 @@ class DedupSpec extends AnyFunSuite {
     assert(eager.nonEmpty)
     assert(eager === rows(materialize = false))
   }
+
+  test("incomingNearDups: empty and non-empty screens emit ONE schema") {
+    // the empty-candidates fast path must be schema-identical (names,
+    // types, nullability) to the verified path — a path-dependent schema
+    // breaks unionByName across screened batches and strict encoder reuse
+    def words(seed: String, n: Int): String =
+      (0 until n).map(i => s"$seed$i").mkString(" ")
+    val corpus = (1L to 8L).map(i =>
+      (i, words(s"w${i % 3}", 20))).toDF("doc_id", "text")
+    val bands = Dedup.bandKeys(
+      Dedup.minhashSignatures(
+        Dedup.explodeShingles(corpus, "doc_id", "text", 5), "doc_id", 8),
+      "doc_id", 8, 2)
+    val hit = Seq((100L, words("w1", 20))).toDF("doc_id", "text")
+    val miss = Seq((200L, words("zz", 20))).toDF("doc_id", "text")
+    val hitOut = Dedup.incomingNearDups(bands, corpus, hit,
+      "doc_id", "text", threshold = 0.3)
+    val missOut = Dedup.incomingNearDups(bands, corpus, miss,
+      "doc_id", "text", threshold = 0.3)
+    assert(hitOut.count() > 0 && missOut.count() == 0)
+    assert(missOut.schema === hitOut.schema,
+      s"path-dependent screen schema: ${missOut.schema.treeString} vs " +
+        hitOut.schema.treeString)
+  }
 }
