@@ -274,3 +274,111 @@ case class HammingDistance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
+
+/** argmin over a LITERAL codebook: the 1-based id of the centroid with
+  * the smallest `round(l2_dist(v, c_j), 6)`, ties to the smallest id —
+  * semantically identical to the expanded
+  * `array_min(array(struct(round(l2_dist(v, lit(c_j)), 6), j+1))).getField("c")`
+  * tree, collapsed into ONE compact expression. The expansion (m
+  * subspaces × ksub centroids of l2 trees inside a single Generate/
+  * Project consume) grows the generated method past Janino's 64 KB
+  * limit, dropping whole PQ training/encoding stages to interpreted
+  * eval (the r9 wide-literal-matrix failure mode, measured on q127);
+  * this form codegens to two nested primitive loops.
+  *
+  * Arithmetic parity, term for term: the distance is the same
+  * element-order squared-diff sum + `Math.sqrt` as [[L2Distance]]; the
+  * rounding is Spark `Round(_, 6)`'s exact double path
+  * (`BigDecimal.valueOf(x).setScale(6, HALF_UP)`, NaN/Inf passed
+  * through); the comparison is Spark's double ordering
+  * (`java.lang.Double.compare` — NaN greatest, first minimum wins on
+  * ties = smallest centroid id).
+  */
+case class NearestCentroidId(child: Expression,
+    cents: Array[Array[Double]])
+    extends UnaryExpression with VectorExpressionHelpers {
+  require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
+    "nearest_centroid_id needs a non-empty rectangular codebook")
+
+  override def prettyName: String = "nearest_centroid_id"
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVectorType("vector", child.dataType)
+      .map(TypeCheckResult.TypeCheckFailure)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  private lazy val elem = elemType(child.dataType)
+
+  private def round6(x: Double): Double =
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val dsub = cents.head.length
+    require(a.numElements() == dsub,
+      s"$prettyName: vector length mismatch ${a.numElements()} != $dsub")
+    var best = 0.0
+    var bestJ = 0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var s = 0.0
+      var i = 0
+      while (i < dsub) {
+        val d = getD(a, elem, i) - c(i)
+        s += d * d
+        i += 1
+      }
+      val dist = round6(math.sqrt(s))
+      if (bestJ == 0 || java.lang.Double.compare(dist, best) < 0) {
+        best = dist
+        bestJ = j + 1
+      }
+      j += 1
+    }
+    bestJ
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cref = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val cs = ctx.freshName("cs")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val dist = ctx.freshName("dist")
+      val best = ctx.freshName("best")
+      val bestJ = ctx.freshName("bestJ")
+      s"""
+         |double[][] $cs = $cref;
+         |if ($a.numElements() != $cs[0].length) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: vector length mismatch");
+         |}
+         |double $best = 0.0d;
+         |int $bestJ = 0;
+         |for (int $j = 0; $j < $cs.length; $j++) {
+         |  double $s = 0.0d;
+         |  for (int $i = 0; $i < $cs[0].length; $i++) {
+         |    double d = ${genGetD(a, elem, i)} - $cs[$j][$i];
+         |    $s += d * d;
+         |  }
+         |  double $dist = Math.sqrt($s);
+         |  if (!(Double.isNaN($dist) || Double.isInfinite($dist))) {
+         |    $dist = java.math.BigDecimal.valueOf($dist)
+         |      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  }
+         |  if ($bestJ == 0 || java.lang.Double.compare($dist, $best) < 0) {
+         |    $best = $dist;
+         |    $bestJ = $j + 1;
+         |  }
+         |}
+         |${ev.value} = $bestJ;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -52,13 +52,15 @@ object ProductQuantization {
     * codebook: argmin of ROUNDED l2 distance, ties to the lowest cid —
     * the q106 assignment rule, engine-reproducible.
     */
-  private def nearestCid(sv: Column, cents: Array[Array[Double]]): Column = {
-    val scored = cents.zipWithIndex.map { case (c, j) =>
-      struct(round(graft.functions.l2_dist(sv, lit(c)), 6).as("d"),
-        lit(j + 1).as("c"))
-    }
-    array_min(array(scored.toIndexedSeq: _*)).getField("c")
-  }
+  private def nearestCid(sv: Column, cents: Array[Array[Double]]): Column =
+    // ONE compact expression instead of the expanded
+    // array_min(array(struct(round(l2_dist(...))))) literal tree: m·ksub
+    // l2 trees in a single consume blew Janino's 64 KB method limit and
+    // dropped the PQ training/encoding stages to interpreted eval
+    // (q127, r18; arithmetic parity documented on the expression)
+    org.apache.spark.sql.GraftSqlShims.column(
+      graft.functions.NearestCentroidId(
+        org.apache.spark.sql.GraftSqlShims.expression(sv), cents))
 
   /** Train per-subspace codebooks with `rounds` deterministic Lloyd
     * refinements (fixed round count, never convergence-dependent — a SQL
