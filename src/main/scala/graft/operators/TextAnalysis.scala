@@ -2336,22 +2336,31 @@ object TextAnalysis {
   /** Stored-artifact (perDoc, stats) frames shared by the QL family. */
   private def qlStoredFrames(postings: DataFrame, doclens: DataFrame,
       idCol: String, terms: Seq[String]): (DataFrame, DataFrame) = {
-    val hits = postings.filter(col("term").isin(terms: _*))
-    val perDoc = hits.groupBy(col(idCol))
+    // explicit isNotNull: the same ReusedExchange-enabling filter as
+    // bm25FromIndex (the doclens inner join pushes it into one branch
+    // only otherwise; a no-op on values — postings ids are non-null)
+    val hits = postings.filter(col("term").isin(terms: _*) &&
+      col(idCol).isNotNull)
+    val perDocAgg = hits.groupBy(col(idCol))
       .agg(terms.zipWithIndex.map { case (t, i) =>
           sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf_$i")
         }.head,
         terms.zipWithIndex.tail.map { case (t, i) =>
           sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf_$i")
         }: _*)
-      .join(doclens, Seq(idCol))
+    val perDoc = perDocAgg.join(doclens, Seq(idCol))
     val cs = doclens.agg(sum("dl").as("__cs"))
-    val ctfs = hits.agg(
-      terms.zipWithIndex.map { case (t, i) =>
-        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__ctf_$i")
+    // collection term frequencies re-aggregate the PER-DOC table:
+    // Σ_docs(per-doc Σ tf) ≡ Σ_rows tf exactly (integer sums regrouped),
+    // and both consumers now share the hits→groupBy(id) exchange, so the
+    // pruned postings partitions are scanned ONCE per probe (the
+    // bm25FromIndex r18 restructure)
+    val ctfs = perDocAgg.agg(
+      terms.indices.map { i =>
+        sum(col(s"__tf_$i")).as(s"__ctf_$i")
       }.head,
-      terms.zipWithIndex.tail.map { case (t, i) =>
-        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__ctf_$i")
+      terms.indices.tail.map { i =>
+        sum(col(s"__tf_$i")).as(s"__ctf_$i")
       }: _*)
     // explicit broadcast on the 1×1 stats cross (the bm25FromIndex rule)
     (perDoc, cs.crossJoin(broadcast(ctfs)))
@@ -2640,24 +2649,38 @@ object TextAnalysis {
     require(terms.nonEmpty, "bm25FromIndex: empty term list")
     require(terms.distinct == terms, s"bm25FromIndex: duplicate terms in $terms")
     require(k >= 1, s"k must be positive, got $k")
-    val hits = postings.filter(col("term").isin(terms: _*))
-    val perDoc = hits.groupBy(col(idCol))
+    // the explicit isNotNull matches the filter the doclens inner join
+    // pushes into ITS branch — without it the dfs branch's subtree
+    // differs by exactly that filter and AQE ReusedExchange cannot dedup
+    // the two postings scans (ids are non-null by postings construction,
+    // so the filter is a no-op on values)
+    val hits = postings.filter(col("term").isin(terms: _*) &&
+      col(idCol).isNotNull)
+    val perDocAgg = hits.groupBy(col(idCol))
       .agg(terms.zipWithIndex.map { case (t, i) =>
           sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf_$i")
         }.head,
         terms.zipWithIndex.tail.map { case (t, i) =>
           sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"__tf_$i")
         }: _*)
-      .join(doclens, Seq(idCol))
+    val perDoc = perDocAgg.join(doclens, Seq(idCol))
     val base = doclens.agg(
       count(lit(1)).as("__n"),
       (sum("dl").cast("double") / count(lit(1))).as("__avgdl"))
-    val dfs = hits.agg(
-      terms.zipWithIndex.map { case (t, i) =>
-        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__df_$i")
+    // document frequencies re-aggregate the PER-DOC table, not the hits:
+    // a live doc has exactly one posting row per term it contains (the
+    // segment tombstones guarantee one live version), so
+    // count(rows with term t) ≡ count(docs with __tf_t > 0) EXACTLY —
+    // and both dfs and the score join now sit above the SAME
+    // hits→groupBy(id) exchange, which AQE ReusedExchange dedups: the
+    // pruned postings partitions are scanned ONCE per probe instead of
+    // twice (r18, guide §2.4)
+    val dfs = perDocAgg.agg(
+      terms.indices.map { i =>
+        sum(when(col(s"__tf_$i") > 0L, 1L).otherwise(0L)).as(s"__df_$i")
       }.head,
-      terms.zipWithIndex.tail.map { case (t, i) =>
-        sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__df_$i")
+      terms.indices.tail.map { i =>
+        sum(when(col(s"__tf_$i") > 0L, 1L).otherwise(0L)).as(s"__df_$i")
       }: _*)
     // explicit broadcast: the 1×1 stats cross must never plan as a
     // CartesianProduct when auto-broadcast is disabled (hint survives
