@@ -793,22 +793,29 @@ object TextAnalysis {
     langIdFromToks(regexp_extract_all(lower(text), lit("\\S+"), lit(0)))
 
   /** The language argmax over an ALREADY-TOKENIZED lowercased array —
-    * the single source of the fold (strict >, profile order =
+    * the single source of the decision (strict >, profile order =
     * first-wins tie-break), shared by [[langId]] and the attrs tagger
     * so the stored attribute can never de-sync from q39's semantics.
     * Callers should materialize `toks` in its own projection first
     * (the expression references it once per profile).
+    *
+    * Shape (r18): `array_max(struct(score, −index))` — max score, ties
+    * to the smallest index = the first profile, EXACTLY the previous
+    * when-chain fold's strict-> semantics. The fold duplicated each
+    * profile's HOF-filter score expression through every later
+    * comparison branch (up to 2^(k−1) copies of score_1 in the final
+    * tree — interpreted HOFs have no cross-branch subexpression
+    * elimination), which multiplied the per-row token scans ~6× in the
+    * attrs tagger; here every score evaluates exactly once.
     */
   def langIdFromToks(toks: Column): Column = {
-    val scored = langProfiles.map { case (lang, prof) =>
-      lang -> size(filter(toks, t => t.isin(prof: _*))).cast("long")
+    val entries = langProfiles.zipWithIndex.map { case ((_, prof), i) =>
+      struct(size(filter(toks, t => t.isin(prof: _*))).cast("long").as("s"),
+        lit(-i).as("ni"))
     }
-    // argmax with deterministic lang-code tie-break: fold over profiles
-    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-          when(score > bestScore, score).otherwise(bestScore))
-    }._1
+    val best = array_max(array(entries: _*))
+    element_at(lit(langProfiles.map(_._1).toArray),
+      (-best.getField("ni")) + 1)
   }
 
   /** Lowercased alphanumeric word extraction — the normalization used for
